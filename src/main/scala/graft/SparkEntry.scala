@@ -1,13 +1,430 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dsl.{ParamsFilter, TimeBounds, RoundTime}
+import graft.ops.{Dedup, Diff}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in [[SparkEntry.oracleSql]].
+  *
+  * Conventions that keep the Spark result and the DuckDB oracle hash-equal:
+  *   - every aggregate over doubles is cast to an explicit DECIMAL on BOTH
+  *     sides (double→decimal rounding at coarse scales is unambiguous, and
+  *     DECIMAL arithmetic is exact and engine-independent, unlike summing
+  *     IEEE doubles in nondeterministic order);
+  *   - the final aggregate is cast to DOUBLE on both sides: the exact decimal
+  *     value converts to the same IEEE double in any engine, and the result
+  *     *type* matches too (Spark and DuckDB widen decimal sums differently);
+  *   - every query ends in a total ORDER BY (unique tiebreak column);
+  *   - `events.ts` is nanosecond parquet: Spark reads it as Long and
+  *     truncates to µs (Tables.scala), which is exactly DuckDB's read-time
+  *     TIMESTAMP_NS→TIMESTAMP truncation.
+  */
 object SparkEntry {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  private def ts(literal: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(literal.replace(' ', 'T'))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── §2.4 aggregations / §2.1 scan ────────────────────────────────────
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.where(col("l_shipdate") <= lit(ts("1999-12-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 18, 2)).cast(DoubleType).as("sum_base_price"),
+          sum(dec(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 18, 2)), 38, 4)).cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).where(col("o_orderdate") < lit(ts("1998-03-15 00:00:00")))
+      val l = Tables.lineitem(s, d).where(col("l_shipdate") > lit(ts("1998-03-15 00:00:00")))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 18, 2)), 38, 4)).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier_volume" -> ((s, d) => {
+      // dims broadcast explicitly: region/nation stay tiny at any scale
+      val r = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit(ts("1996-01-01 00:00:00")) &&
+               col("o_orderdate") < lit(ts("1998-01-01 00:00:00")))
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+                 su("s_nationkey") === c("c_nationkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(dec(col("l_extendedprice"), 18, 2) * (lit(1) - dec(col("l_discount"), 18, 2)), 38, 4)).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ── §2.2 projection + predicate pushdown ────────────────────────────
+    "q_scan_project_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit(ts("2000-01-01 00:00:00")) && col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── §2.1/§2.2 get_data read surface: bounds + params + order + limit ─
+    "q_get_data" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.where(TimeBounds.predicate("ts",
+          Some(java.time.Instant.parse("2024-01-05T00:00:00Z")),
+          Some(java.time.Instant.parse("2024-01-20T00:00:00Z"))))
+        .where(ParamsFilter.toPredicate(Map(
+          "event_type" -> Seq("click", "view"),
+          "user_id"    -> ParamsFilter.Not(3L))))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+        .limit(1000)
+    }),
+
+    // ── §2.2 params filter DSL: mixed include/exclude + JSON equality ────
+    "q_params_dsl" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.where(ParamsFilter.toPredicate(Map(
+          "user_id"    -> Seq(1L, 2L, 5L, 7L, 11L),
+          "event_type" -> Seq("_error", "_signup"))))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_params_json" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.where(ParamsFilter.toPredicate(Map("props" -> Map("k" -> 87))))
+        .select(col("event_id"), col("user_id"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.4 sync-time / rowcount / bounds aggregates ────────────────────
+    "q_sync_time" -> ((s, d) =>
+      Tables.events(s, d).agg(max(col("ts")).as("sync_time"))),
+
+    "q_sync_time_per_id" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("sync_time"), min(col("ts")).as("first_time"))
+        .orderBy(col("user_id"))),
+
+    "q_rowcount_bounds" -> ((s, d) => {
+      Tables.events(s, d)
+        .where(TimeBounds.predicate("ts",
+          Some(java.time.Instant.parse("2024-01-03T00:00:00Z")),
+          Some(java.time.Instant.parse("2024-01-27T00:00:00Z"))))
+        .where(ParamsFilter.toPredicate(Map("event_type" -> "purchase")))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_dt_bounds" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        min(col("ts")).as("dt_min"), max(col("ts")).as("dt_max"),
+        count(lit(1)).as("cnt"))),
+
+    "q_distinct_count" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))),
+
+    // ── §2.3 delta anti-join (full-row, null-safe canonical hash) ────────
+    "q_delta_antijoin" -> ((s, d) => {
+      val ev       = Tables.events(s, d)
+      val existing = ev.where(col("event_id") % 3 === 0)
+      val incoming = ev.where(col("event_id") < 600)
+      Diff.filterUnseen(existing, incoming).orderBy(col("event_id"))
+    }),
+
+    // ── §2.3 unseen/update split on index columns ────────────────────────
+    "q_sync_unseen" -> ((s, d) => {
+      val ev        = Tables.events(s, d)
+      val incoming  = ev.where(col("event_id") < 200)
+      val backtrack = ev.where(col("event_id") >= 200 && col("event_id") < 800)
+      val (unseen, _) = Diff.filterExisting(incoming, backtrack, Seq("user_id", "event_type"))
+      unseen.orderBy(col("event_id"))
+    }),
+
+    "q_sync_update" -> ((s, d) => {
+      val ev        = Tables.events(s, d)
+      val incoming  = ev.where(col("event_id") < 200)
+      val backtrack = ev.where(col("event_id") >= 200 && col("event_id") < 800)
+      val (_, update) = Diff.filterExisting(incoming, backtrack, Seq("user_id", "event_type"))
+      update.orderBy(col("event_id"))
+    }),
+
+    // ── §2.3 per-id as-of incremental fetch (join_fetch) ─────────────────
+    "q_asof_incremental" -> ((s, d) => {
+      val ev  = Tables.events(s, d)
+      val st  = ev.where(col("event_id") < 800)
+        .groupBy(col("user_id")).agg(max(col("ts")).as("st"))
+      ev.join(broadcast(st), Seq("user_id"), "left")
+        .where(col("ts") > col("st") || col("st").isNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.3 backtrack window read ───────────────────────────────────────
+    "q_backtrack_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val last = ev.agg(max(col("ts")).as("m"))
+      ev.join(broadcast(last))
+        .where(col("ts") >= col("m") - expr("INTERVAL 24 HOURS"))
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.5 window dedup (keep-latest row_number) ───────────────────────
+    "q_dedup_latest" -> ((s, d) =>
+      Dedup.keepLatest(Tables.events(s, d),
+          keys = Seq("user_id", "event_type"), orderBy = Seq("ts", "event_id"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))),
+
+    "q_duplicate_counts" -> ((s, d) =>
+      Dedup.duplicateCounts(Tables.events(s, d), Seq("user_id", "event_type"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // ── §2.6 sort / limit / top-k ────────────────────────────────────────
+    "q_topk" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(100)),
+
+    // ── §2.7 set ops: chunked-scan union ─────────────────────────────────
+    "q_union_chunks" -> ((s, d) => {
+      val ev     = Tables.events(s, d)
+      val split  = lit(ts("2024-01-15 00:00:00"))
+      val chunk1 = ev.where(col("ts") < split)
+      val chunk2 = ev.where(col("ts") >= split)
+      chunk1.unionByName(chunk2)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.11 clear (delete half-open range) ─────────────────────────────
+    "q_clear_range" -> ((s, d) => {
+      val b = lit(ts("2024-01-10 00:00:00"))
+      val e = lit(ts("2024-01-20 00:00:00"))
+      Tables.events(s, d)
+        .where(!(col("ts") >= b && col("ts") < e))
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.8 scalar functions ────────────────────────────────────────────
+    "q_round_time" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(RoundTime.floor(col("ts"), "hour").as("hour_ts"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(dec(col("value"), 18, 2)).cast(DoubleType).as("sum_value"))
+        .orderBy(col("hour_ts"))),
+
+    "q_epoch_micros" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), RoundTime.epochMicros(col("ts")).as("ts_us"))
+        .orderBy(col("event_id"))),
+
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy(col("event_id"))),
+
+    "q_decimal_quantize" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(dec(col("value"), 18, 4)).cast(DoubleType).as("sum_value"),
+             min(dec(col("value"), 18, 4)).cast(DoubleType).as("min_value"),
+             max(dec(col("value"), 18, 4)).cast(DoubleType).as("max_value"))
+        .orderBy(col("event_type"))),
+
+    "q_na_canonicalize" -> ((s, d) => {
+      // NA-marker strings → NULL (diff canonicalizer), §2.8
+      val ev = Tables.events(s, d).withColumn("event_type",
+        when(col("event_id") % 7 === 0, lit("none")).otherwise(col("event_type")))
+      Diff.canonicalize(ev)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type").asc_nulls_first)
+    })
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables, bare names). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 5
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_get_data" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+           AND event_type IN ('click','view') AND user_id <> 3
+         ORDER BY event_id LIMIT 1000""",
+
+    "q_params_dsl" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id IN (1,2,5,7,11)
+           AND event_type NOT IN ('error','signup')
+         ORDER BY event_id""",
+
+    "q_params_json" ->
+      """SELECT event_id, user_id, props FROM events
+         WHERE json_extract_string(props, '$.k') = '87'
+         ORDER BY event_id""",
+
+    "q_sync_time" -> "SELECT max(ts) AS sync_time FROM events",
+
+    "q_sync_time_per_id" ->
+      """SELECT user_id, max(ts) AS sync_time, min(ts) AS first_time
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_rowcount_bounds" ->
+      """SELECT count(*) AS cnt FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-27 00:00:00'
+           AND event_type = 'purchase'""",
+
+    "q_dt_bounds" ->
+      "SELECT min(ts) AS dt_min, max(ts) AS dt_max, count(*) AS cnt FROM events",
+
+    "q_distinct_count" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+                count(DISTINCT event_type) AS n_types FROM events""",
+
+    "q_delta_antijoin" ->
+      """SELECT * FROM events WHERE event_id < 600 AND event_id % 3 <> 0
+         ORDER BY event_id""",
+
+    "q_sync_unseen" ->
+      """SELECT * FROM events e WHERE event_id < 200 AND NOT EXISTS (
+           SELECT 1 FROM events b WHERE b.event_id >= 200 AND b.event_id < 800
+             AND b.user_id = e.user_id AND b.event_type = e.event_type)
+         ORDER BY event_id""",
+
+    "q_sync_update" ->
+      """SELECT * FROM events e WHERE event_id < 200 AND EXISTS (
+           SELECT 1 FROM events b WHERE b.event_id >= 200 AND b.event_id < 800
+             AND b.user_id = e.user_id AND b.event_type = e.event_type)
+         ORDER BY event_id""",
+
+    "q_asof_incremental" ->
+      """SELECT event_id, e.user_id AS user_id, ts FROM events e LEFT JOIN (
+           SELECT user_id, max(ts) AS st FROM events WHERE event_id < 800 GROUP BY user_id
+         ) s ON e.user_id = s.user_id
+         WHERE e.ts > s.st OR s.st IS NULL ORDER BY event_id""",
+
+    "q_backtrack_window" ->
+      """SELECT event_id, ts, user_id FROM events
+         WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+         ORDER BY event_id""",
+
+    "q_dedup_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY event_id""",
+
+    "q_duplicate_counts" ->
+      """SELECT user_id, event_type, count(*) AS dup_count FROM events
+         GROUP BY user_id, event_type HAVING count(*) > 1
+         ORDER BY user_id, event_type""",
+
+    "q_topk" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100",
+
+    "q_union_chunks" ->
+      """SELECT event_id, ts, user_id FROM (
+           SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+           UNION ALL
+           SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         ) ORDER BY event_id""",
+
+    "q_clear_range" ->
+      """SELECT event_id, ts FROM events
+         WHERE NOT (ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00')
+         ORDER BY event_id""",
+
+    "q_round_time" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_epoch_micros" ->
+      "SELECT event_id, epoch_us(ts) AS ts_us FROM events ORDER BY event_id",
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events ORDER BY event_id""",
+
+    "q_decimal_quantize" ->
+      """SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+         CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+         CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_na_canonicalize" ->
+      """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
+         count(*) AS cnt FROM events
+         GROUP BY 1 ORDER BY 1 NULLS FIRST"""
+  )
 }
