@@ -6,6 +6,8 @@ import org.apache.spark.sql.types._
 
 import graft.dsl.{ParamsFilter, TimeBounds, RoundTime}
 import graft.ops.{Dedup, Diff}
+import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+import graft.sync.SyncEngine
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in [[SparkEntry.oracleSql]].
@@ -263,6 +265,40 @@ object SparkEntry {
              max(dec(col("value"), 18, 4)).cast(DoubleType).as("max_value"))
         .orderBy(col("event_type"))),
 
+    // ── §3.1/§3.2 the full sync pipeline end-to-end ──────────────────────
+    // Two overlapping batches through SyncEngine (diff → unseen/update →
+    // chunk-scoped upsert into parquet storage), read back via getData.
+    "q_sync_pipe_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "sync_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d)
+      eng.sync(spec, ev.where(col("event_id") < 700))
+      eng.sync(spec, ev.where(col("event_id") >= 500)
+        .withColumn("value", col("value") + 1000))
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_sync_upsert_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "sync_upsert_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")),
+        upsert = true)
+      val ev = Tables.events(s, d)
+      eng.sync(spec, ev.where(col("event_id") < 600))
+      eng.sync(spec, ev.where(col("event_id") >= 300)
+        .withColumn("event_type", upper(col("event_type"))))
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_na_canonicalize" -> ((s, d) => {
       // NA-marker strings → NULL (diff canonicalizer), §2.8
       val ev = Tables.events(s, d).withColumn("event_type",
@@ -421,6 +457,16 @@ object SparkEntry {
          CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
          CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_sync_pipe_e2e" ->
+      """SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
+         props FROM events ORDER BY event_id""",
+
+    "q_sync_upsert_e2e" ->
+      """SELECT event_id, ts, user_id,
+         CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
+         value, props FROM events ORDER BY event_id""",
 
     "q_na_canonicalize" ->
       """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,

@@ -1,0 +1,210 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.PipeSpec
+
+/** Parquet-backed pipe target table (no external table-format dependency).
+  *
+  * Two layouts, chosen by whether the pipe has a datetime axis:
+  *
+  *   - **time-partitioned** (`__graft_chunk = yyyy-MM of dt`): upserts use
+  *     dynamic partition overwrite and rewrite ONLY the chunks the patch
+  *     touches — the Spark equivalent of the reference bounding its
+  *     UPDATE/MERGE join by the patch's MIN(dt)..MAX(dt)
+  *     (meerschaum/utils/sql.py:1920-1933). At 100 TB a day's late data
+  *     rewrites a month partition, not the table; reads prune partitions
+  *     from the same column.
+  *
+  *   - **versioned snapshot** (no dt axis): each write lands in a fresh
+  *     `v_<n>/` directory and a `_CURRENT` pointer file flips to it —
+  *     atomic swap semantics like the reference's dedup table rebuild
+  *     (connectors/sql/_pipes.py:4037-4105) without in-place mutation.
+  *
+  * All merge logic is expressed as DataFrame joins so Catalyst handles
+  * pushdown/broadcast; nothing is collected to the driver except the list of
+  * affected partition values (bounded, as the reference caps partitions per
+  * sync at 10k — config/_default.py:111).
+  */
+final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
+
+  val PartCol = "__graft_chunk"
+
+  private def dtCol: Option[String] = spec.columns.datetime
+  private def partitioned: Boolean  = dtCol.isDefined
+
+  def basePath: String = s"$root/${spec.targetName}"
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ── versioned-snapshot plumbing (non-dt pipes) ─────────────────────────
+  private def currentPtr = new Path(s"$basePath/_CURRENT")
+  private def readPtr: Option[Int] = {
+    if (!fs.exists(currentPtr)) None
+    else {
+      val in = fs.open(currentPtr)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+  private def writePtr(v: Int): Unit = {
+    val out = fs.create(currentPtr, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+  private def gcOldVersions(keep: Int): Unit = {
+    if (fs.exists(new Path(basePath))) {
+      val vs = fs.listStatus(new Path(basePath)).map(_.getPath.getName)
+        .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toInt).sorted
+      vs.dropRight(2).foreach(v => fs.delete(new Path(s"$basePath/v_$v"), true))
+    }
+  }
+
+  private def dataPath: String =
+    if (partitioned) s"$basePath/data"
+    else readPtr.map(v => s"$basePath/v_$v").getOrElse(s"$basePath/v_0")
+
+  def exists: Boolean =
+    if (partitioned) fs.exists(new Path(s"$basePath/data"))
+    else readPtr.isDefined
+
+  private def chunkExpr: Column = date_format(col(dtCol.get), "yyyy-MM")
+
+  private def withChunk(df: DataFrame): DataFrame =
+    if (partitioned) df.withColumn(PartCol, chunkExpr) else df
+
+  /** Current table contents (partition column dropped). mergeSchema tolerates
+    * files written before a schema-evolution step. */
+  def read: DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    if (partitioned) df.drop(PartCol) else df
+  }
+
+  /** Read only the partitions matching a chunk-value list — parquet partition
+    * pruning keeps this proportional to the window, not the table. */
+  private def readChunks(chunks: Seq[String], includeNullChunk: Boolean): DataFrame = {
+    val df   = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val pred = {
+      val in = if (chunks.nonEmpty) col(PartCol).isin(chunks: _*) else lit(false)
+      if (includeNullChunk) in || col(PartCol).isNull else in
+    }
+    df.where(pred)
+  }
+
+  def create(df: DataFrame): Unit = write(df, firstVersion = true)
+
+  def overwrite(df: DataFrame): Unit = write(df, firstVersion = false)
+
+  private def write(df: DataFrame, firstVersion: Boolean): Unit = {
+    if (partitioned) {
+      // Write to a temp dir first, then swap: the incoming plan may lazily
+      // read the files being replaced (e.g. a schema-evolution rewrite), and
+      // an in-place overwrite would delete them mid-scan.
+      val dataDir = new Path(s"$basePath/data")
+      val tmp     = new Path(s"$basePath/.data_tmp")
+      withChunk(df).write.mode(SaveMode.Overwrite)
+        .partitionBy(PartCol).parquet(tmp.toString)
+      if (fs.exists(dataDir)) fs.delete(dataDir, true)
+      fs.rename(tmp, dataDir)
+    } else {
+      val v = if (firstVersion) 0 else readPtr.getOrElse(-1) + 1
+      df.write.mode(SaveMode.Overwrite).parquet(s"$basePath/v_$v")
+      writePtr(v); gcOldVersions(keep = 2)
+    }
+  }
+
+  def append(df: DataFrame): Unit = {
+    if (partitioned)
+      withChunk(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(s"$basePath/data")
+    else {
+      // snapshot layout: append = read + union + swap (kept atomic)
+      overwrite(read.unionByName(df, allowMissingColumns = true))
+    }
+  }
+
+  /** Upsert: replace rows whose keys collide, insert the rest.
+    * Partitioned pipes rewrite only the chunks present in the patch. */
+  def upsert(patch: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert requires key columns")
+    if (!exists) { create(patch); return }
+    if (partitioned) {
+      val p = withChunk(patch).cache()
+      try {
+        val chunkVals = p.select(PartCol).distinct().collect().map(_.getString(0))
+        val (nullChunk, vals) = (chunkVals.contains(null), chunkVals.filter(_ != null).toSeq)
+        val current = readChunks(vals, nullChunk)
+        val keyCond = keys.map { k =>
+          if (spec.nullIndices) current(k) <=> p(k) else current(k) === p(k)
+        }.reduce(_ && _)
+        val keep   = current.join(p.select(keys.map(col): _*).distinct(), keyCond, "left_anti")
+        val merged = keep.unionByName(p, allowMissingColumns = true)
+        val tmp    = s"$basePath/.merge_tmp"
+        merged.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
+        // swap merged chunks into data/ (affected partitions only)
+        val dataDir = new Path(s"$basePath/data")
+        fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
+          .foreach { st =>
+            val dest = new Path(dataDir, st.getPath.getName)
+            if (fs.exists(dest)) fs.delete(dest, true)
+            fs.rename(st.getPath, dest)
+          }
+        fs.delete(new Path(tmp), true)
+      } finally p.unpersist()
+    } else {
+      val current = read
+      val cond = keys.map { k =>
+        if (spec.nullIndices) current(k) <=> patch(k) else current(k) === patch(k)
+      }.reduce(_ && _)
+      val keep = current.join(patch.select(keys.map(col): _*).distinct(), cond, "left_anti")
+      overwrite(keep.unionByName(patch, allowMissingColumns = true))
+    }
+  }
+
+  /** Delete a half-open time range (optionally narrowed by a predicate) —
+    * the reference's `clear` (meerschaum/core/Pipe/_clear.py:15-71).
+    * Partitioned pipes rewrite only intersecting chunks; chunks left empty
+    * are removed. */
+  def clear(predicate: Column): Unit = {
+    if (!exists) return
+    if (partitioned) {
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
+      val affectedVals = df.where(predicate).select(PartCol).distinct()
+        .collect().map(_.getString(0))
+      if (affectedVals.isEmpty) return
+      val (nullChunk, vals) = (affectedVals.contains(null), affectedVals.filter(_ != null).toSeq)
+      val affected = readChunks(vals, nullChunk)
+      val kept     = affected.where(!predicate)
+      val tmp      = s"$basePath/.clear_tmp"
+      kept.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
+      val dataDir = new Path(s"$basePath/data")
+      val rewritten = fs.listStatus(new Path(tmp))
+        .filter(_.getPath.getName.startsWith(s"$PartCol=")).map(_.getPath.getName).toSet
+      // remove chunks that were fully cleared, swap in the rewritten ones
+      val affectedDirNames = (vals.map(v => s"$PartCol=$v") ++
+        (if (nullChunk) Seq(s"$PartCol=__HIVE_DEFAULT_PARTITION__") else Nil)).toSet
+      affectedDirNames.foreach { n =>
+        val dest = new Path(dataDir, n)
+        if (fs.exists(dest)) fs.delete(dest, true)
+      }
+      rewritten.foreach { n => fs.rename(new Path(s"$tmp/$n"), new Path(dataDir, n)) }
+      fs.delete(new Path(tmp), true)
+    } else {
+      overwrite(read.where(!predicate))
+    }
+  }
+
+  /** Drop the target entirely (reference `drop_pipe`). */
+  def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
+
+  def rowCount: Long = if (exists) read.count() else 0L
+
+  /** Latest (or earliest) value of the datetime axis — the incremental
+    * bookmark (reference `get_sync_time`). */
+  def syncTime(newest: Boolean = true): Option[java.time.LocalDateTime] = {
+    if (!exists) return None
+    val dt = dtCol.getOrElse(return None)
+    val agg = if (newest) max(col(dt)) else min(col(dt))
+    val row = read.agg(agg.cast("timestamp_ntz").as("t")).head()
+    Option(row.getAs[java.time.LocalDateTime]("t"))
+  }
+}

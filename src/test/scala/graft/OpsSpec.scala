@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dsl.{ChunkGrid, ParamsFilter}
+import graft.ops.{Dedup, Diff}
+import graft.types.{Dtypes, MrsmType}
+import graft.catalog.{PipeCatalog, PipeKeys, PipeSpec}
+
+class ParamsFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("red"), """{"k":"v"}"""),
+    (2L, Some("blue"), """{"k":"w"}"""),
+    (3L, None, """{"k":"v"}"""),
+    (4L, Some("red"), null)).toDF("id", "color", "meta")
+
+  private def ids(params: Map[String, Any]): Seq[Long] =
+    df.where(ParamsFilter.toPredicate(params)).select("id").as[Long].collect().sorted.toSeq
+
+  test("scalar equality")        { assert(ids(Map("id" -> 1L)) == Seq(1L)) }
+  test("IN list")                { assert(ids(Map("id" -> Seq(1L, 2L))) == Seq(1L, 2L)) }
+  test("string negation")        { assert(ids(Map("color" -> "_red")) == Seq(2L)) }
+  test("typed negation")         { assert(ids(Map("id" -> ParamsFilter.Not(1L))) == Seq(2L, 3L, 4L)) }
+  test("NOT IN list")            { assert(ids(Map("color" -> Seq("_red", "_blue"))) == Seq.empty) }
+  test("IS NULL via None")       { assert(ids(Map("color" -> ParamsFilter.Null)) == Seq(3L)) }
+  test("IS NOT NULL via _None")  { assert(ids(Map("color" -> "_None")) == Seq(1L, 2L, 4L)) }
+  test("null element in IN adds OR IS NULL") {
+    assert(ids(Map("color" -> Seq("red", null))) == Seq(1L, 3L, 4L))
+  }
+  test("mixed include and exclude") {
+    assert(ids(Map("id" -> Seq(1L, 2L, 3L), "color" -> Seq("_blue"))) == Seq(1L))
+  }
+  test("JSON field equality") {
+    assert(ids(Map("meta" -> Map("k" -> "v"))) == Seq(1L, 3L))
+  }
+}
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filterUnseen: identical rows vanish, changed rows survive") {
+    val old = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val nw  = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v")
+    val delta = Diff.filterUnseen(old, nw).select("id").as[Long].collect().sorted
+    assert(delta.toSeq == Seq(2L, 3L))
+  }
+
+  test("filterUnseen distinguishes null from empty string") {
+    val old = Seq((1L, Some(""))).toDF("id", "v")
+    val nw  = Seq((1L, Option.empty[String]), (1L, Some(""))).toDF("id", "v")
+    val delta = Diff.filterUnseen(old, nw)
+    assert(delta.count() == 1)
+    assert(delta.where(col("v").isNull).count() == 1)
+  }
+
+  test("NA canonicalization: 'none'/'nan' strings equal real null") {
+    val old = Seq((1L, Option.empty[String])).toDF("id", "v")
+    val nw  = Seq((1L, Some("none")), (1L, Some("nan"))).toDF("id", "v")
+    assert(Diff.filterUnseen(old, nw).count() == 0)
+  }
+
+  test("unseen/update split on keys") {
+    val backtrack = Seq((1L, "x", 1.0)).toDF("id", "tag", "v")
+    val incoming  = Seq((1L, "x", 2.0), (2L, "y", 3.0)).toDF("id", "tag", "v")
+    val (unseen, update) = Diff.filterExisting(incoming, backtrack, Seq("id", "tag"))
+    assert(unseen.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(update.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepLatest keeps one row per key, newest first") {
+    val df = Seq(
+      (1L, "a", "2024-01-01 00:00:00", 1.0),
+      (1L, "a", "2024-01-02 00:00:00", 2.0),
+      (2L, "b", "2024-01-01 00:00:00", 3.0)).toDF("id", "tag", "dts", "v")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    val out = Dedup.keepLatest(df, Seq("id", "tag"), Seq("dt"))
+    assert(out.count() == 2)
+    assert(out.where(col("id") === 1L).select("v").as[Double].head() == 2.0)
+  }
+}
+
+class ChunkGridSpec extends SparkSpec {
+  import java.time.{Duration, Instant}
+
+  test("aligned grid is stable regardless of query begin") {
+    val day = Duration.ofDays(1)
+    val g1 = ChunkGrid.bounds(Instant.parse("2024-01-01T07:00:00Z"),
+      Instant.parse("2024-01-03T00:00:00Z"), day)
+    // first chunk clipped at begin but boundary stays on the aligned grid
+    assert(g1.head._1 == Instant.parse("2024-01-01T07:00:00Z"))
+    assert(g1.head._2 == Instant.parse("2024-01-02T00:00:00Z"))
+    assert(g1.last._2 == Instant.parse("2024-01-03T00:00:00Z"))
+    assert(g1.size == 2)
+  }
+
+  test("unaligned grid starts at begin") {
+    val g = ChunkGrid.bounds(Instant.parse("2024-01-01T07:00:00Z"),
+      Instant.parse("2024-01-02T07:00:00Z"), java.time.Duration.ofDays(1), align = false)
+    assert(g == Seq((Instant.parse("2024-01-01T07:00:00Z"), Instant.parse("2024-01-02T07:00:00Z"))))
+  }
+}
+
+class DtypesSpec extends SparkSpec {
+  import MrsmType._
+
+  test("alias parsing") {
+    assert(Dtypes.parse("int") == MInt64)
+    assert(Dtypes.parse("numeric(20,5)") == MNumeric(20, 5))
+    assert(Dtypes.parse("datetime64[us, UTC]") == MDatetime(tz = true))
+    assert(Dtypes.parse("datetime64[us]") == MDatetime(tz = false))
+    assert(Dtypes.parse("json") == MJson)
+  }
+
+  test("fuzzy equality collapses width and precision") {
+    assert(Dtypes.areEqual(MInt32, MInt64))
+    assert(Dtypes.areEqual(MNumeric(38, 10), MNumeric(20, 5)))
+    assert(!Dtypes.areEqual(MInt64, MStr))
+  }
+
+  test("promotion rules") {
+    assert(Dtypes.promote(MInt32, MInt64) == MInt64)
+    assert(Dtypes.promote(MInt64, MFloat) == MNumeric())
+    assert(Dtypes.promote(MInt64, MFloat, mixedNumerics = false) == MFloat)
+    assert(Dtypes.promote(MInt64, MStr) == MStr)
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  test("register, search with negation and tags") {
+    val cat = new PipeCatalog()
+    cat.register(PipeSpec(PipeKeys("sql_a", "temp"), tags = Seq("prod")))
+    cat.register(PipeSpec(PipeKeys("sql_a", "hum"), tags = Seq("dev")))
+    cat.register(PipeSpec(PipeKeys("sql_b", "temp"), tags = Seq("prod", "gold")))
+    assert(cat.search(connectors = Seq("sql_a")).size == 2)
+    assert(cat.search(connectors = Seq("_sql_a")).size == 1)
+    assert(cat.search(metrics = Seq("temp"), tags = Seq("gold")).size == 1)
+    assert(cat.search(tags = Seq("prod", "_gold")).map(_.keys.metric) == Seq("temp"))
+    assert(cat.search(tags = Seq("prod")).size == 2)
+    cat.delete(PipeKeys("sql_a", "hum"))
+    assert(cat.all.size == 2)
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+import graft.sync.SyncEngine
+
+/** Sync behavior ported from the reference's test_sync.py /
+  * test_filter_existing.py scenarios (FIXTURES.md §1, §3). */
+class SyncEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSpec(root: String, name: String, upsert: Boolean = false): PipeSpec =
+    PipeSpec(
+      keys = PipeKeys("test", name),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+      upsert = upsert)
+
+  private def batch(rows: Seq[(String, Long, Double)]): DataFrame =
+    rows.toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+      .select("dt", "id", "val")
+
+  private val b1 = Seq(
+    ("2024-01-01 00:00:00", 1L, 1.0),
+    ("2024-01-01 00:01:00", 1L, 2.0),
+    ("2024-01-01 00:00:00", 2L, 3.0))
+
+  test("idempotent re-sync: second identical batch is a no-op") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "idem")
+    val r1 = eng.sync(spec, batch(b1))
+    assert(r1.inserted == 3 && r1.updated == 0)
+    val r2 = eng.sync(spec, batch(b1))
+    assert(r2.inserted == 0 && r2.updated == 0)
+    assert(eng.storage(spec).rowCount == 3)
+  }
+
+  test("changed value for existing key -> update, not insert") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "upd")
+    eng.sync(spec, batch(b1))
+    val r = eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 99.0))))
+    assert(r.inserted == 0 && r.updated == 1)
+    val got = eng.getData(spec, params = Map("id" -> 1L))
+    val vals = got.select("val").as[Double].collect().sorted
+    assert(vals.toSeq == Seq(2.0, 99.0))
+    assert(eng.storage(spec).rowCount == 3)
+  }
+
+  test("new keys -> insert only") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "ins")
+    eng.sync(spec, batch(b1))
+    val r = eng.sync(spec, batch(Seq(("2024-01-02 00:00:00", 9L, 5.0))))
+    assert(r.inserted == 1 && r.updated == 0)
+    assert(eng.storage(spec).rowCount == 4)
+  }
+
+  test("intra-batch duplicate keys collapse before apply") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "dupb")
+    val r = eng.sync(spec, batch(Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 00:00:00", 1L, 2.0))))
+    assert(r.total == 1)
+    assert(eng.storage(spec).rowCount == 1)
+  }
+
+  test("upsert mode: overlapping batch applies without diff, stays idempotent") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "ups", upsert = true)
+    eng.sync(spec, batch(b1))
+    val r = eng.sync(spec, batch(Seq(
+      ("2024-01-01 00:00:00", 1L, 42.0),    // existing key -> update
+      ("2024-01-03 00:00:00", 3L, 7.0))))   // new key -> insert
+    assert(r.inserted == 1 && r.updated == 1)
+    assert(eng.storage(spec).rowCount == 4)
+    val v = eng.getData(spec, params = Map("id" -> 1L),
+        begin = Some(LocalDateTime.parse("2024-01-01T00:00:00")),
+        end   = Some(LocalDateTime.parse("2024-01-01T00:00:30")))
+      .select("val").as[Double].collect()
+    assert(v.toSeq == Seq(42.0))
+  }
+
+  test("schema evolution: new column arrives, old rows padded with null") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "evo")
+    eng.sync(spec, batch(b1))
+    val withNew = batch(Seq(("2024-01-05 00:00:00", 5L, 1.5)))
+      .withColumn("extra", lit("x"))
+    val r = eng.sync(spec, withNew)
+    assert(r.inserted == 1)
+    val all = eng.getData(spec)
+    assert(all.columns.contains("extra"))
+    assert(all.where(col("extra").isNull).count() == 3)
+  }
+
+  test("mixed int/float value promotes to numeric (mixed_numerics)") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "mix")
+    val ints = Seq(("2024-01-01 00:00:00", 1L, 10L)).toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    eng.sync(spec, ints)
+    val floats = Seq(("2024-01-02 00:00:00", 2L, 1.5)).toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    eng.sync(spec, floats)
+    val schema = eng.getData(spec).schema("val").dataType
+    assert(schema.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    assert(eng.storage(spec).rowCount == 2)
+  }
+
+  test("null index values with null_indices: null-safe key join") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "nulls").copy(nullIndices = true)
+    val withNull = Seq(
+      ("2024-01-01 00:00:00", Some(1L), 1.0),
+      ("2024-01-01 00:00:00", None, 2.0)).toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    eng.sync(spec, withNull)
+    // re-sync with changed value for the null-keyed row: must be an update
+    val again = Seq(("2024-01-01 00:00:00", Option.empty[Long], 9.0))
+      .toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    val r = eng.sync(spec, again)
+    assert(r.inserted == 0 && r.updated == 1)
+    assert(eng.storage(spec).rowCount == 2)
+  }
+
+  test("primary-key pipe joins on pk alone") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "pk"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("pk", "payload")
+    eng.sync(spec, d1)
+    val r = eng.sync(spec, Seq((2L, "B"), (3L, "c")).toDF("pk", "payload"))
+    assert(r.inserted == 1 && r.updated == 1)
+    val got = eng.getData(spec).orderBy("pk").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("getData: bounds, params, select, omit, order, limit") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "read")
+    eng.sync(spec, batch(b1))
+    val got = eng.getData(spec,
+      select = Seq("dt", "id"),
+      begin = Some(LocalDateTime.parse("2024-01-01T00:00:00")),
+      end   = Some(LocalDateTime.parse("2024-01-01T00:00:30")),
+      params = Map("id" -> Seq(1L, 2L)),
+      limit = Some(10))
+    assert(got.columns.toSeq == Seq("dt", "id"))
+    assert(got.count() == 2)
+  }
+
+  test("clear removes a half-open range; drop removes the target") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "clr")
+    eng.sync(spec, batch(b1))
+    val store = eng.storage(spec)
+    store.clear(col("dt") >= lit(LocalDateTime.parse("2024-01-01T00:00:30")))
+    assert(store.rowCount == 2)
+    store.drop()
+    assert(!store.exists)
+  }
+
+  test("sync time bookmark and backtrack begin") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "bt")
+    eng.sync(spec, batch(b1))
+    assert(eng.storage(spec).syncTime().contains(LocalDateTime.parse("2024-01-01T00:01:00")))
+    assert(eng.nextFetchBegin(spec).contains(
+      LocalDateTime.parse("2024-01-01T00:01:00").minusMinutes(1440)))
+  }
+}
