@@ -7,6 +7,9 @@ import org.apache.spark.sql.types._
 import graft.dsl.{ParamsFilter, TimeBounds, RoundTime}
 import graft.ops.{Dedup, Diff}
 import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Media
+import graft.ops.{ApproxDedup, SimilaritySearch}
 import graft.sync.SyncEngine
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -299,6 +302,88 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── LLM-pipeline: text analysis ──────────────────────────────────────
+    "q_doc_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("len_chars"),
+        TextFns.punctCount(col("text")).cast(LongType).as("n_punct"),
+        TextFns.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q_langid" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFns.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: deduplication ──────────────────────────────────────
+    "q_dedup_exact_docs" -> ((s, d) =>
+      ApproxDedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fp"))),
+
+    "q_ngram_jaccard_pairs" -> ((s, d) =>
+      ApproxDedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          bucketCol = "source", window = 50, n = 1, threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))),
+
+    // MinHash-LSH near-dup: scale path (band join, never a cross join).
+    // The exact-Jaccard verify stage removes LSH false positives, and with
+    // r=2/bands=12 the miss probability for a j>=0.9 pair is ~1e-9, so the
+    // output equals the exact all-pairs oracle.
+    "q_minhash_near_dups" -> ((s, d) =>
+      ApproxDedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5, shingleSize = 3, k = 24, bands = 12)
+        .orderBy(col("id1"), col("id2"))),
+
+    "q_simhash_signatures" -> ((s, d) =>
+      ApproxDedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: similarity search over embeddings ─────────────────
+    "q_embedding_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    "q_embedding_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, 10,
+        dim = q.length, nBits = 12, radius = 3)
+    }),
+
+    "q_embedding_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // ── LLM-pipeline: multimodal binary columns ──────────────────────────
+    // partition-wise stub decode (mapPartitions = the mapInPandas shape);
+    // oracle checks the plumbing-derived fields (byte length, type, frames).
+    "q_media_features" -> ((s, d) => {
+      val media = Media.fromDocuments(s, Tables.documents(s, d))
+      Media.extractFeatures(media).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+                col("n_frames_sampled").cast(LongType).as("n_frames"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_na_canonicalize" -> ((s, d) => {
       // NA-marker strings → NULL (diff canonicalizer), §2.8
       val ev = Tables.events(s, d).withColumn("event_type",
@@ -467,6 +552,87 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
          value, props FROM events ORDER BY event_id""",
+
+    "q_doc_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         md5(lower(trim(text))) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+         (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                  AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                      / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                     ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                 THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "q_langid" ->
+      """WITH h AS (SELECT doc_id,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS h_de,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['the','a','of','and','to','in','is','it','that','for'])) AS h_en,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['el','la','de','que','y','en','un','una','es','por'])) AS h_es,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])) AS h_fr,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人'])) AS h_zh
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+           WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+           WHEN h_fr >= h_zh THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+         FROM h ORDER BY doc_id""",
+
+    "q_dedup_exact_docs" ->
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+         count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT source AS bucket, doc_id,
+             list_distinct(string_split_regex(trim(text), '\s+')) AS sh
+           FROM documents),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+           FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50)
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "q_minhash_near_dups" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         p AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2,
+             len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "q_embedding_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+           (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(qv, qv))) AS cosine
+         FROM embeddings, q
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_media_features" ->
+      """SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN doc_id % 3 = 2 THEN (n_chars * 10) // 1000 ELSE 0 END AS BIGINT) AS n_frames
+         FROM documents ORDER BY media_id""",
 
     "q_na_canonicalize" ->
       """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * All pure Catalyst expressions (codegen'd, no UDFs): at 100 TB these run
+  * inside whole-stage codegen on the scan, shuffling nothing.
+  */
+object TextFns {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count heuristic: words plus intra-word punctuation
+    * splits — a cheap stand-in for a real tokenizer's token count. */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "[\\s\\p{Punct}]+"))
+
+  /** Word n-gram shingles (the unit for MinHash / Jaccard near-dup).
+    * NOTE: Spark `sequence(1, 0)` yields a DESCENDING [1,0], not an empty
+    * array — short texts must be special-cased to an empty shingle set. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Character n-grams of the lowercased text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(text)
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), length(t) - lit(n - 1)),
+          i => t.substr(i, lit(n))))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** Uppercase character ratio. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Rolling-hash document fingerprint (content-addressed identity for
+    * exact dedup): md5 of the canonicalized text. */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 64-bit content hash for bucketing (xxhash64 — cheap, codegen'd). */
+  def contentHash64(text: Column): Column = xxhash64(lower(trim(text)))
+
+  /** Per-language stopword sets for the n-gram/stopword language-ID
+    * heuristic. Small built-in lists (public common stopwords). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "pour", "que", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Count of distinct tokens that hit a stopword list. (array_intersect is
+    * distinct-set semantics — mirrored by DuckDB list_intersect for oracle
+    * parity.) */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(array_intersect(tokens(lower(text)),
+      array(stopwords(lang).map(lit): _*)))
+
+  /** Language-ID heuristic: argmax of stopword hits with a stable tie-break
+    * on language code; "und" (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang"))
+    }
+    // max over (hits, lang-desc) — stable: higher hits win, then earlier code
+    val best = scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length band, mean word length band,
+    * punctuation density, stopword presence — the usual cheap pre-filter
+    * before expensive dedup/training steps. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks  = tokenCount(text).cast("double")
+    val meanWord = nChars / greatest(nToks, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val lenOk   = when(nChars >= 100 && nChars <= 20000, 1.0).otherwise(0.0)
+    val wordOk  = when(meanWord >= 3 && meanWord <= 12, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
+    val stopOk  = when(stopwordHits(text, "en") >= 2, 1.0).otherwise(0.0)
+    (lenOk + wordOk + punctOk + stopOk) / lit(4.0)
+  }
+}

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document deduplication family for training-data pipelines.
+  *
+  * Exact dedup is a hash groupBy. Near-dup follows the standard
+  * shingle → MinHash → banded-LSH → bucket-join → exact-Jaccard-verify
+  * pipeline (Broder '97 resemblance sketches; the MapReduce formulation used
+  * by every large web-corpus dedup). The LSH band join is the scale path:
+  * candidate pairs come from equi-joins on (band, bandHash) — a hash shuffle
+  * proportional to collisions, never the O(n²) cross join. The final exact
+  * Jaccard filter removes LSH false positives.
+  */
+object ApproxDedup {
+
+  // Mersenne prime 2^31-1: shingle hashes are reduced mod P before the
+  // affine step, so a*h+b stays under 2^62 — no Long overflow under Spark's
+  // default ANSI arithmetic. 31-bit minhash space is ample for sketching.
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Bind an expression to a lambda variable so downstream references
+    * evaluate it ONCE per row. Catalyst's CollapseProject would otherwise
+    * substitute the full expression tree into every reference — for an
+    * expression used k times that multiplies evaluation cost k-fold. */
+  private def bindOnce(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), v => body(v)), 1)
+
+  /** k-permutation MinHash signature over word shingles.
+    * h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P; signature_i = min
+    * over shingles. Entirely codegen'd array expressions; the shingle-hash
+    * array is lambda-bound so it is computed once, not once per hash fn. */
+  def minhashSignature(text: Column, shingleSize: Int, k: Int, seed: Long = 7L): Column = {
+    val rng = new scala.util.Random(seed)
+    val coefs = Seq.fill(k)((math.abs(rng.nextLong()) % (P - 1) + 1, math.abs(rng.nextLong()) % P))
+    bindOnce(transform(TextFns.wordShingles(text, shingleSize),
+        s => pmod(xxhash64(s), lit(P)))) { hashes =>
+      array(coefs.map { case (a, b) =>
+        coalesce(
+          array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P)))),
+          lit(Long.MaxValue))
+      }: _*)
+    }
+  }
+
+  /** Candidate near-dup pairs via banded LSH over the MinHash signature:
+    * signature of length k split into `bands` bands; docs colliding on any
+    * full band become candidates. Returns (id1, id2) with id1 < id2. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, k: Int = 20, bands: Int = 5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = docs.select(col(idCol), minhashSignature(col(textCol), shingleSize, k).as("sig"))
+    // band hashes reference `sig` once via lambda binding (not 12 inlined
+    // copies of the whole signature expression)
+    val banded = sig.select(col(idCol), posexplode(
+      bindOnce(col("sig")) { sg =>
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(sg, b * lit(rows) + lit(1), lit(rows)), b))
+      }))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val l = banded.select(col(idCol).as("id1"), col("band"), col("bandHash"))
+    val r = banded.select(col(idCol).as("id2"), col("band"), col("bandHash"))
+    l.join(r, Seq("band", "bandHash"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified by exact shingle
+    * Jaccard ≥ threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleSize: Int = 3,
+                      k: Int = 20, bands: Int = 5): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, shingleSize, k, bands)
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash (Charikar '02): 64-bit signature where bit j carries the sign
+    * of the weighted sum of token-hash bits. Near-dups = small Hamming
+    * distance. Computed with explode + 64 conditional sums — one hash
+    * shuffle on the doc id, no cross join. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol),
+      explode(TextFns.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** Exact duplicate groups by canonical fingerprint; keeps the lowest id as
+    * the survivor (deterministic). */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFns.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Brute-force n-gram Jaccard over a bounded candidate set (same-source,
+    * id-window) — the exact-arithmetic reference for the LSH pipeline and a
+    * usable operator when candidates are pre-bucketed. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        bucketCol: String, window: Long, n: Int,
+                        threshold: Double): DataFrame = {
+    val sh = docs.select(col(bucketCol).as("bucket"), col(idCol),
+      array_distinct(TextFns.wordShingles(col(textCol), n)).as("sh"))
+    val a = sh.select(col("bucket"), col(idCol).as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col("bucket"), col(idCol).as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("bucket"))
+      .where(col("id1") < col("id2") && col("id2") - col("id1") <= window)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

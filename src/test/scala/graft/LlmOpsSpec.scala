@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFns, VectorFns}
+import graft.multimodal.Media
+import graft.ops.{ApproxDedup, SimilaritySearch}
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "el perro y el gato en la casa es que de un"),
+    (4L, "xy")).toDF("id", "text")
+
+  test("tokens and counts") {
+    val r = df.select(TextFns.tokenCount(col("text")).as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(9, 9, 12, 1))
+  }
+
+  test("wordShingles: n=3 over 9 tokens gives 7; short text gives empty (not sequence(1,0) garbage)") {
+    val r = df.select(size(TextFns.wordShingles(col("text"), 3)).as("n")).as[Int].collect()
+    assert(r.toSeq == Seq(7, 7, 10, 0))
+  }
+
+  test("langId picks stopword-dominant language, 'und' when nothing hits") {
+    val r = df.select(TextFns.langId(col("text"))).as[String].collect()
+    assert(r(0) == "en" && r(2) == "es" && r(3) == "und")
+  }
+
+  test("fingerprint is case/whitespace canonical") {
+    val a = Seq(Tuple1("The  Dog")).toDF("t").select(TextFns.fingerprint(col("t"))).head.getString(0)
+    val b = Seq(Tuple1("the  dog ")).toDF("t").select(TextFns.fingerprint(col("t"))).head.getString(0)
+    assert(a == b)
+  }
+
+  test("qualityScore in [0,1]") {
+    val r = df.select(TextFns.qualityScore(col("text"))).as[Double].collect()
+    assert(r.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}
+
+class ApproxDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+    (3L, "one two three four five six seven eight"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 1
+    (5L, "completely different words entirely here now")).toDF("doc_id", "text")
+
+  test("exact duplicates group by fingerprint") {
+    val d = ApproxDedup.exactDuplicates(docs, "doc_id", "text")
+      .where(col("n_copies") > 1).collect()
+    assert(d.length == 1)
+    assert(d(0).getAs[Long]("keep_id") == 1L)
+    assert(d(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds the planted near-dup and the exact dup, not the distinct docs") {
+    val pairs = ApproxDedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 2, k = 24, bands = 12)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))          // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs share signature; unrelated docs differ") {
+    val sig = ApproxDedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(3L)) > 10)
+  }
+
+  test("ngram jaccard pairs: exact arithmetic") {
+    val one = lit("all")
+    val pairs = ApproxDedup.ngramJaccardPairs(
+        docs.withColumn("b", one), "doc_id", "text", "b", 100, 1, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 1.0))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 deterministic 4-dim vectors
+  private lazy val emb = (0 until 8).map { i =>
+    val r = new scala.util.Random(i)
+    (i.toLong, Array.fill(4)(r.nextGaussian().toFloat))
+  }.toDF("vec_id", "embedding")
+
+  private lazy val q: Seq[Double] = {
+    val r = new scala.util.Random(0)
+    Seq.fill(4)(r.nextGaussian())
+  }
+
+  test("brute-force top-k: query vector ranks itself first") {
+    val top = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 3).collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("LSH top-k is a subset of brute-force ranking with identical scores") {
+    val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, 8,
+      dim = 4, nBits = 8, radius = 4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12) }
+  }
+
+  test("IVF top-k returns probed-cell neighbors with exact cosines") {
+    val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", q, 4,
+      nCentroids = 4, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12) }
+  }
+}
+
+class MediaSpec extends SparkSpec {
+
+  test("media plumbing: schema, deterministic stub features, partition-wise extract") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Media.fromDocuments(spark, docs)
+    val feats = Media.extractFeatures(media).cache()
+    assert(feats.count() == docs.count())
+    val f = feats.where(col("media_type") === "video").head()
+    assert(f.n_frames_sampled > 0)
+    assert(feats.where(col("media_type") =!= "audio")
+      .agg(sum(when(col("rms_level") =!= 0.0, 1).otherwise(0))).head().getLong(0) == 0L)
+    // determinism: run twice, same result
+    val again = Media.extractFeatures(media)
+    assert(feats.exceptAll(again).isEmpty)
+    feats.unpersist()
+  }
+}
