@@ -302,6 +302,29 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.9 streaming sync: file micro-batches → foreachBatch merge ─────
+    // Trigger.AvailableNow drains the source; every batch runs the same
+    // idempotent diff+merge as batch sync, so the drained pipe equals the
+    // source table exactly.
+    "q_streaming_sync_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "events_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val path   = Tables.path(d, "events")
+      val schema = s.read.parquet(path).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, path, schema)
+      val q = graft.streaming.StreamingSync.run(eng, spec, stream, s"$root/ckpt",
+        transform = df => Tables.naiveTimestamps(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+      q.awaitTermination()
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── LLM-pipeline: text analysis ──────────────────────────────────────
     "q_doc_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -552,6 +575,10 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
          value, props FROM events ORDER BY event_id""",
+
+    "q_streaming_sync_e2e" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
 
     "q_doc_stats" ->
       """SELECT doc_id,

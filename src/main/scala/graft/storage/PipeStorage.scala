@@ -56,7 +56,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (fs.exists(new Path(basePath))) {
       val vs = fs.listStatus(new Path(basePath)).map(_.getPath.getName)
         .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toInt).sorted
-      vs.dropRight(2).foreach(v => fs.delete(new Path(s"$basePath/v_$v"), true))
+      vs.dropRight(keep).foreach(v => fs.delete(new Path(s"$basePath/v_$v"), true))
     }
   }
 
@@ -195,6 +195,49 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   /** Drop the target entirely (reference `drop_pipe`). */
   def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
+
+  /** Compact small files — the reference's `compress` (TimescaleDB
+    * columnstore policy, core/Pipe/_compress.py:13-107) maps in Spark to
+    * file compaction: parquet is already columnar+compressed, so the win at
+    * scale is coalescing the many small files incremental syncs leave behind
+    * into one file per time chunk (`repartition` on the partition column
+    * hashes each chunk into a single writer task). Atomic tmp+swap like all
+    * other rewrites. */
+  def compact(): Unit = {
+    if (!exists) return
+    if (partitioned) {
+      val df  = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
+      val tmp = new Path(s"$basePath/.compact_tmp")
+      df.repartition(col(PartCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp.toString)
+      val dataDir = new Path(s"$basePath/data")
+      fs.delete(dataDir, true)
+      fs.rename(tmp, dataDir)
+    } else {
+      overwrite(read.coalesce(1))
+    }
+  }
+
+  /** Number of data files currently backing the target (compaction metric). */
+  def fileCount: Long = {
+    if (!exists) return 0L
+    val it = fs.listFiles(new Path(dataPath), true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  /** Remove crash leftovers and superseded snapshots — the reference's
+    * `vacuum` (core/Pipe/_maintenance.py:1-161). Temp dirs are only live
+    * mid-rewrite, so any surviving one is garbage. */
+  def vacuum(): Unit = {
+    if (!fs.exists(new Path(basePath))) return
+    Seq(".data_tmp", ".merge_tmp", ".clear_tmp", ".compact_tmp").foreach { d =>
+      val p = new Path(s"$basePath/$d")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    if (!partitioned) gcOldVersions(keep = 1)
+  }
 
   def rowCount: Long = if (exists) read.count() else 0L
 

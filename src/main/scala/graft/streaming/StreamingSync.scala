@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.catalog.PipeSpec
+import graft.sync.{SyncEngine, SyncResult}
+
+/** Continuous incremental sync as Structured Streaming — the Spark-native
+  * form of the reference's job loop (a scheduler repeatedly calling
+  * `pipe.sync()`: meerschaum/jobs/_Job.py:69+, utils/schedule.py:75-270).
+  *
+  * Each micro-batch flows through the exact same batch sync pipeline
+  * (enforce → evolve → diff → unseen/update → chunk-scoped upsert), so
+  * re-delivered rows are idempotent by construction — the reference's
+  * "diff-then-apply makes redelivery safe" property
+  * (meerschaum/core/Pipe/_sync.py:40-531) carries over verbatim. The sink is
+  * `foreachBatch`, which is how Spark expresses an idempotent MERGE sink.
+  *
+  * Late data: the reference re-reads a backtrack window each cycle
+  * (core/Pipe/_fetch.py:100-181, default 1440 min). In streaming form that is
+  * a watermark of the same width plus stateful key-dedup —
+  * [[withWatermarkDedup]] — while the `foreachBatch` path gets the same
+  * guarantee from the diff itself.
+  *
+  * Scale: state is bounded by (watermark width × key cardinality), never by
+  * history; the per-batch diff joins only against the batch's own dt
+  * envelope, so a 100 TB target costs one partition-pruned slice per batch.
+  */
+object StreamingSync {
+
+  /** Schema for streaming a parquet directory (file streams need an explicit
+    * read schema). */
+  def parquetSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(dir).schema
+
+  /** Build a file-based micro-batch stream over a directory of parquet parts.
+    * `maxFilesPerTrigger` bounds batch size (the reference's 100k-row chunk
+    * knob, config/_default.py:113). */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Run a streaming sync: every micro-batch is synced through `engine`
+    * (diff + merge ⇒ idempotent). Returns the started query; callers
+    * `awaitTermination()`. With `Trigger.AvailableNow` this drains the
+    * source and stops — the reference's `--loop` over a bounded backlog.
+    *
+    * `transform` runs inside the stream (row-level fixups such as epoch
+    * decoding) and stays a streaming-safe projection.
+    */
+  def run(
+      engine: SyncEngine,
+      spec: PipeSpec,
+      stream: DataFrame,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+    val results = new java.util.concurrent.atomic.AtomicReference(SyncResult(0, 0))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val r = engine.sync(spec, transform(batch))
+        results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
+        ()
+      }
+      .start()
+  }
+
+  /** Stateful late-data dedup: watermark of the backtrack width + drop
+    * duplicate keys within it. Use on append-only streams where the diff sink
+    * is not in play (reference semantics: rows re-fetched inside the
+    * backtrack window must not duplicate — core/Pipe/_fetch.py:100-181).
+    */
+  def withWatermarkDedup(stream: DataFrame, dtCol: String, keys: Seq[String],
+                         delay: String = "24 hours"): DataFrame =
+    stream
+      .withColumn(dtCol, col(dtCol).cast("timestamp"))
+      .withWatermark(dtCol, delay)
+      .dropDuplicatesWithinWatermark(keys.toArray)
+
+  /** Tumbling-window counts with late-data tolerance — the streaming form of
+    * the reference's chunk iteration (core/Pipe/_data.py:639-932): windowed
+    * partial aggregates survive restarts via checkpointed state. */
+  def windowedCounts(stream: DataFrame, dtCol: String, width: String,
+                     delay: String = "24 hours"): DataFrame =
+    stream
+      .withColumn(dtCol, col(dtCol).cast("timestamp"))
+      .withWatermark(dtCol, delay)
+      .groupBy(window(col(dtCol), width))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("chunk_start"), col("cnt"))
+}
+
+/** The reference's human schedule DSL → Spark triggers
+  * (meerschaum/utils/schedule.py:75-270 parses "every 10 minutes",
+  * "daily starting 00:30"; tests/test_schedule.py pins next-fire times).
+  * We map the interval forms onto `Trigger.ProcessingTime` and the bounded
+  * forms onto `AvailableNow`; calendar alignment ("daily starting …") is an
+  * external-scheduler concern in Spark and is out of engine scope.
+  */
+object Schedule {
+  private val Every = """(?i)every\s+(\d+)\s*(second|minute|hour)s?""".r
+  private val Bare  = """(?i)(secondly|minutely|hourly)""".r
+
+  def parse(s: String): Trigger = s.trim match {
+    case Every(n, unit)  => Trigger.ProcessingTime(s"$n ${unit.toLowerCase}s")
+    case Bare(freq)      => Trigger.ProcessingTime(freq.toLowerCase match {
+      case "secondly" => "1 second"
+      case "minutely" => "1 minute"
+      case "hourly"   => "1 hour"
+    })
+    case "once" | "available now" | "now" => Trigger.AvailableNow()
+    case other => throw new IllegalArgumentException(s"unparseable schedule: '$other'")
+  }
+}
