@@ -7,18 +7,31 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // (name -> (seconds, errorOrNull)); a failed query must surface, never
+    // bench as a fast success.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); null }
+        catch { case e: Throwable => s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}" }
+      name -> (((System.nanoTime() - t0) / 1e9), err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val nFailed = results.count(_._2._2 != null)
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -312,9 +312,16 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("stream", "events_e2e"),
         columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val path   = Tables.path(d, "events")
-      val schema = s.read.parquet(path).schema
-      val stream = graft.streaming.StreamingSync.parquetStream(s, path, schema)
+      // FileStreamSource requires a DIRECTORY; the testdata table is a single
+      // parquet file, so stage it into a source dir first (copy, not move —
+      // /root/testdata is read-only).
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Tables.path(d, "events")),
+        java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val q = graft.streaming.StreamingSync.run(eng, spec, stream, s"$root/ckpt",
         transform = df => Tables.naiveTimestamps(
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
