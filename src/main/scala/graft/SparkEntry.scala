@@ -373,6 +373,8 @@ object SparkEntry {
           threshold = 0.5, shingleSize = 3, k = 24, bands = 12)
         .orderBy(col("id1"), col("id2"))),
 
+    // SimHash bits derive from md5 nibbles, so the DuckDB oracle reproduces
+    // the signature bit-for-bit (simhashOracleSql shares the formula).
     "q_simhash_signatures" -> ((s, d) =>
       ApproxDedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -386,13 +388,19 @@ object SparkEntry {
       SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
+    // ANN with a persisted-index shape: build stamps the signature/cell
+    // column in one codegen'd projection (no join/window/shuffle of the
+    // vector table); probe prunes by bucket. The oracle re-runs the whole
+    // pipeline in DuckDB from the same hyperplanes / centroid rule.
     "q_embedding_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0)
-      SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, 10,
-        dim = q.length, nBits = 12, radius = 3)
+      val planes  = SimilaritySearch.srpPlanes(dim = q.length, nBits = 12)
+      val indexed = SimilaritySearch.withSrpSignature(emb, "embedding", planes)
+      SimilaritySearch.lshTopK(indexed, "vec_id", "embedding", "sig",
+        q, planes, k = 10, radius = 3)
     }),
 
     "q_embedding_ann_ivf" -> ((s, d) => {
@@ -400,7 +408,10 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0)
-      SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", q, 10)
+      val cents   = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+      SimilaritySearch.ivfTopK(indexed, "vec_id", "embedding", "cell",
+        q, cents, k = 10, nProbe = 4)
     }),
 
     // ── LLM-pipeline: multimodal binary columns ──────────────────────────
@@ -651,6 +662,18 @@ object SparkEntry {
              len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "q_simhash_signatures" ->
+      ApproxDedup.simhashOracleSql("documents", "doc_id", "text"),
+
+    "q_embedding_ann_lsh" ->
+      SimilaritySearch.lshOracleSql("embeddings", "vec_id", "embedding",
+        SimilaritySearch.srpPlanes(dim = 64, nBits = 12), queryId = 0L,
+        k = 10, radius = 3),
+
+    "q_embedding_ann_ivf" ->
+      SimilaritySearch.ivfOracleSql("embeddings", "vec_id", "embedding",
+        nCentroids = 16, nProbe = 4, queryId = 0L, k = 10),
 
     "q_embedding_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

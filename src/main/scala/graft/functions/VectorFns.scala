@@ -35,12 +35,16 @@ object VectorFns {
     val rng = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] =
       Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
+    srpSignaturePlanes(vec, planes)
+  }
+
+  /** Signature from explicit hyperplanes (shared with the oracle SQL
+    * generator so both engines hash identically). */
+  def srpSignaturePlanes(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
       val proj = dot(vec, array(p.map(lit): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    }.reduce(_ + _)
 
   /** Hamming distance between two SRP signatures (Long bucket ids). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

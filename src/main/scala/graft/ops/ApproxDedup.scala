@@ -87,22 +87,50 @@ object ApproxDedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** SimHash (Charikar '02): 64-bit signature where bit j carries the sign
-    * of the weighted sum of token-hash bits. Near-dups = small Hamming
-    * distance. Computed with explode + 64 conditional sums — one hash
-    * shuffle on the doc id, no cross join. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash (Charikar '02): bit j of the signature carries the sign of the
+    * sum over tokens of (±1 by bit j of the token's hash). Near-dups = small
+    * Hamming distance. Computed with explode + conditional sums — one hash
+    * shuffle on the doc id, no cross join, map-side partial aggregation.
+    *
+    * Token bits come from md5 (not xxhash64) so ANSI SQL engines reproduce
+    * the signature exactly: bit j = nibble (j div 4) of the hex digest,
+    * masked by 1 << (j mod 4). 63 bits, keeping the signature a positive
+    * signed 64-bit integer on both sides. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 63): DataFrame = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
     val tok = docs.select(col(idCol),
-      explode(TextFns.tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"b$j")
+        explode(TextFns.tokens(lower(col(textCol)))).as("tok"))
+      .withColumn("nibs", bindOnce(md5(col("tok"))) { h =>
+        transform(sequence(lit(0), lit((bits - 1) / 4)),
+          i => conv(h.substr(i + lit(1), lit(1)), 16, 10).cast("int"))
+      })
+    val bitSums = (0 until bits).map { j =>
+      val nib = element_at(col("nibs"), j / 4 + 1)
+      sum(when(nib.bitwiseAND(lit(1 << (j % 4))) =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
     val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until bits).map { j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** DuckDB oracle reproducing [[simhash]] bit-for-bit from md5 digests. */
+  def simhashOracleSql(table: String, idCol: String, textCol: String,
+                       bits: Int = 63): String = {
+    val bitSums = (0 until bits).map { j =>
+      s"""SUM(CASE WHEN (instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) & ${1 << (j % 4)} != 0 THEN 1 ELSE -1 END) AS b$j"""
+    }.mkString(", ")
+    val sig = (0 until bits).map { j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+         SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS t
+         FROM $table),
+       h AS (SELECT $idCol, md5(t) AS h FROM tok),
+       b AS (SELECT $idCol, $bitSums FROM h GROUP BY $idCol)
+       SELECT $idCol, $sig AS simhash FROM b ORDER BY $idCol"""
   }
 
   /** Exact duplicate groups by canonical fingerprint; keeps the lowest id as

@@ -109,20 +109,39 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
-  test("LSH top-k is a subset of brute-force ranking with identical scores") {
+  test("LSH top-k: indexed probe is a subset of brute-force ranking with identical scores") {
     val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val lsh = SimilaritySearch.lshTopK(emb, "vec_id", "embedding", q, 8,
-      dim = 4, nBits = 8, radius = 4).collect()
+    val planes  = SimilaritySearch.srpPlanes(dim = 4, nBits = 8)
+    val indexed = SimilaritySearch.withSrpSignature(emb, "embedding", planes)
+    val lsh = SimilaritySearch.lshTopK(indexed, "vec_id", "embedding", "sig",
+      q, planes, k = 8, radius = 4).collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12) }
   }
 
-  test("IVF top-k returns probed-cell neighbors with exact cosines") {
+  test("index builds are single projections: no join, no window, no shuffle") {
+    val planes = SimilaritySearch.srpPlanes(dim = 4, nBits = 8)
+    val cents  = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    for (indexed <- Seq(
+        SimilaritySearch.withSrpSignature(emb, "embedding", planes),
+        SimilaritySearch.withIvfCell(emb, "embedding", cents))) {
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
+  test("IVF top-k: cell-pruned probe returns exact cosines; probe plan has no join") {
     val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val ivf = SimilaritySearch.ivfTopK(emb, "vec_id", "embedding", q, 4,
-      nCentroids = 4, nProbe = 2).collect()
+    val cents   = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+    val probe = SimilaritySearch.ivfTopK(indexed, "vec_id", "embedding", "cell",
+      q, cents, k = 4, nProbe = 2)
+    assert(!probe.queryExecution.executedPlan.toString.contains("Join"))
+    val ivf = probe.collect()
     assert(ivf.nonEmpty)
     ivf.foreach { r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12) }
   }
