@@ -302,6 +302,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.8/§3 integer-epoch datetime axis end-to-end ───────────────────
+    // The same sync pipeline on an epoch-second axis (precision unit flows
+    // through bounds, backtrack envelope, and chunk labels).
+    "q_sync_epoch_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_epoch").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "sync_epoch"),
+        columns = ColumnRoles(Map("datetime" -> "ts_s", "primary" -> "event_id")),
+        epochUnit = Some("second"), chunkMinutes = 1440)
+      val ev = Tables.events(s, d).withColumn("ts_s",
+          expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .select(col("event_id"), col("ts_s"), col("user_id"), col("value"))
+      eng.sync(spec, ev.where(col("event_id") < 700))
+      eng.sync(spec, ev.where(col("event_id") >= 500)
+        .withColumn("value", col("value") + 1000))
+      eng.getData(spec)
+        .select(col("event_id"), col("ts_s"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.9 streaming sync: file micro-batches → foreachBatch merge ─────
     // Trigger.AvailableNow drains the source; every batch runs the same
     // idempotent diff+merge as batch sync, so the drained pipe equals the
@@ -593,6 +613,11 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
          value, props FROM events ORDER BY event_id""",
+
+    "q_sync_epoch_e2e" ->
+      """SELECT event_id, epoch_us(ts) // 1000000 AS ts_s, user_id,
+         CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value
+         FROM events ORDER BY event_id""",
 
     "q_streaming_sync_e2e" ->
       """SELECT event_id, ts, user_id, event_type, value, props

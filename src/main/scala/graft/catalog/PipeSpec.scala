@@ -53,6 +53,9 @@ final case class PipeSpec(
     backtrackMinutes: Long = 1440,
     /** chunk width for verify/partitioning (ref config/_default.py:240) */
     chunkMinutes: Long = 43200,
+    /** integer datetime axis: the epoch precision unit ("second",
+      * "millisecond", ...) — ref utils/dtypes/__init__.py:58-89 */
+    epochUnit: Option[String] = None,
     tags: Seq[String] = Seq.empty,
     /** override physical target */
     target: Option[String] = None,

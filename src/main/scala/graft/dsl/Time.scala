@@ -39,6 +39,39 @@ object TimeBounds {
   }
 }
 
+/** Integer-epoch datetime axes with a precision unit — the reference treats
+  * an int axis as an epoch at `precision.unit`
+  * (meerschaum/utils/dtypes/__init__.py:58-89,
+  * core/Pipe/_attributes.py:1138-1236). All bound/backtrack/chunk math then
+  * happens in axis units, so an epoch-second pipe syncs with the same engine
+  * paths as a timestamp pipe.
+  */
+object EpochAxis {
+  /** Axis units per minute, keyed by precision unit name. */
+  val unitsPerMinute: Map[String, Long] = Map(
+    "day"         -> 0L, // sub-minute: a 1-minute pad rounds up to 1 day below
+    "hour"        -> 0L,
+    "minute"      -> 1L,
+    "second"      -> 60L,
+    "millisecond" -> 60L * 1000,
+    "microsecond" -> 60L * 1000 * 1000,
+    "nanosecond"  -> 60L * 1000 * 1000 * 1000)
+
+  require(unitsPerMinute.nonEmpty)
+
+  /** `minutes` expressed in axis units, rounded UP to ≥1 so a positive pad
+    * or chunk width never collapses to zero on coarse axes. */
+  def unitsForMinutes(unit: String, minutes: Long): Long = {
+    val scale = unitsPerMinute.getOrElse(unit.toLowerCase,
+      throw new IllegalArgumentException(s"unknown epoch unit: '$unit'"))
+    unit.toLowerCase match {
+      case "hour" => math.max(1L, minutes / 60)
+      case "day"  => math.max(1L, minutes / 1440)
+      case _      => math.max(1L, minutes * scale)
+    }
+  }
+}
+
 object ChunkGrid {
 
   /** Epoch-aligned chunk bounds: when `align`, the grid starts at

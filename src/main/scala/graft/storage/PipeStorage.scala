@@ -68,7 +68,31 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (partitioned) fs.exists(new Path(s"$basePath/data"))
     else readPtr.isDefined
 
-  private def chunkExpr: Column = date_format(col(dtCol.get), "yyyy-MM")
+  /** Partition label derived from `spec.chunkMinutes`: the calendar unit at
+    * or below the chunk width (month / day / hour / minute), so a
+    * high-frequency pipe gets day or hour chunks and one late row rewrites
+    * that chunk, not a month. Epoch axes label by integer chunk index
+    * (`dt div unitsPerChunk`). */
+  private def chunkExpr: Column = {
+    val dt = col(dtCol.get)
+    spec.epochUnit match {
+      case Some(unit) =>
+        val per = graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes)
+        // integer `div`, not `/`: true division routes through double and
+        // loses precision above 2^53 (a nanosecond epoch is ~2^60)
+        expr(s"cast(`${dtCol.get}` as bigint) div $per").cast("string")
+      case None =>
+        val m = spec.chunkMinutes
+        if (m >= 43200)     date_format(dt, "yyyy-MM")
+        else if (m >= 1440) date_format(dt, "yyyy-MM-dd")
+        else if (m >= 60)   date_format(dt, "yyyy-MM-dd_HH")
+        else                date_format(dt, "yyyy-MM-dd_HH-mm")
+    }
+  }
+
+  /** The chunk-label expression, exposed so the sync engine can fold the
+    * affected-chunk collection into its single reporting aggregate. */
+  def chunkLabel: Option[Column] = if (partitioned) Some(chunkExpr) else None
 
   private def withChunk(df: DataFrame): DataFrame =
     if (partitioned) df.withColumn(PartCol, chunkExpr) else df
@@ -124,13 +148,17 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   /** Upsert: replace rows whose keys collide, insert the rest.
     * Partitioned pipes rewrite only the chunks present in the patch. */
-  def upsert(patch: DataFrame, keys: Seq[String]): Unit = {
+  def upsert(patch: DataFrame, keys: Seq[String],
+             knownChunks: Option[Seq[String]] = None): Unit = {
     require(keys.nonEmpty, "upsert requires key columns")
     if (!exists) { create(patch); return }
     if (partitioned) {
       val p = withChunk(patch).cache()
       try {
-        val chunkVals = p.select(PartCol).distinct().collect().map(_.getString(0))
+        // the sync engine folds chunk collection into its reporting
+        // aggregate; only pay a separate collect when uninstrumented
+        val chunkVals = knownChunks.map(_.toArray).getOrElse(
+          p.select(PartCol).distinct().collect().map(_.getString(0)))
         val (nullChunk, vals) = (chunkVals.contains(null), chunkVals.filter(_ != null).toSeq)
         val current = readChunks(vals, nullChunk)
         val keyCond = keys.map { k =>
@@ -249,5 +277,14 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     val agg = if (newest) max(col(dt)) else min(col(dt))
     val row = read.agg(agg.cast("timestamp_ntz").as("t")).head()
     Option(row.getAs[java.time.LocalDateTime]("t"))
+  }
+
+  /** Sync-time bookmark for an integer-epoch axis (value in axis units). */
+  def syncTimeEpoch(newest: Boolean = true): Option[Long] = {
+    if (!exists) return None
+    val dt = dtCol.getOrElse(return None)
+    val agg = if (newest) max(col(dt)) else min(col(dt))
+    val row = read.agg(agg.cast("long").as("t")).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 }

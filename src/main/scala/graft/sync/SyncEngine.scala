@@ -56,44 +56,99 @@ final class SyncEngine(spark: SparkSession, root: String) {
       return SyncResult(inserted = n, updated = 0)
     }
 
-    // 4. schema evolution (unless static)
+    // 4. schema evolution (unless static). Added columns cost NOTHING here:
+    //    reads use mergeSchema, so old files simply surface typed nulls. Only
+    //    a TYPE PROMOTION (e.g. int val + float batch -> numeric) rewrites the
+    //    table, because parquet cannot merge conflicting physical types. At
+    //    100 TB an added column is a metadata event, not a rewrite.
     val target = store.read
     val (targetAligned, batchAligned) =
       if (spec.static) (target, SchemaEvolution.conform(batch, target.schema))
       else {
-        val a = SchemaEvolution.align(target, batch, spec.mixedNumerics)
-        if (a.schema != target.schema) {
-          store.overwrite(a.existing) // promote/add cols once (tmp+swap write)
-          (store.read, a.incoming)    // re-read: old files are gone after swap
-        } else (a.existing, a.incoming)
+        val u = SchemaEvolution.unifiedSchema(target.schema, batch.schema, spec.mixedNumerics)
+        val promoted = target.schema.fields.exists(f =>
+          u.find(_.name == f.name).exists(_.dataType != f.dataType))
+        if (promoted) {
+          store.overwrite(SchemaEvolution.conform(target, u)) // tmp+swap write
+          (store.read, SchemaEvolution.conform(batch, u))     // re-read post-swap
+        } else
+          (SchemaEvolution.conform(target, u), SchemaEvolution.conform(batch, u))
       }
 
     val keys = syncKeys(spec, batchAligned)
 
-    // 5. upsert mode skips the diff entirely (reference sync_pipe:1921-1935)
+    // 5. upsert mode skips the diff entirely (reference sync_pipe:1921-1935).
+    //    One cached plan feeds one aggregate (insert/update counts + affected
+    //    chunks) and the storage merge — 2 jobs, not 4.
     if (spec.upsert) {
-      val patch = dedupeBatch(spec, batchAligned).cache()
-      val total = patch.count()
-      // split reporting: rows whose keys already exist count as updates
-      val existingKeys = backtrackSlice(spec, targetAligned, patch)
-        .select(keys.map(col): _*).distinct()
-      val updated = patch.join(existingKeys, keys, "left_semi").count()
-      store.upsert(patch, keys)
-      patch.unpersist()
-      return SyncResult(inserted = total - updated, updated = updated)
+      val patch = tagAgainstTarget(spec, store, targetAligned,
+        dedupeBatch(spec, batchAligned), keys, diff = false).cache()
+      try {
+        val (nIns, nUpd, chunks) = countsAndChunks(store, patch, allRows = true)
+        store.upsert(patch.drop(UpdFlag), keys, chunks)
+        SyncResult(nIns, nUpd)
+      } finally patch.unpersist()
+    } else {
+      // 6. diff-then-apply: delta rows tagged update/insert by ONE left join;
+      //    counts + affected chunks come from ONE aggregate over the cached
+      //    delta; updates merge chunk-scoped, inserts append.
+      val tagged = tagAgainstTarget(spec, store, targetAligned,
+        dedupeBatch(spec, batchAligned), keys, diff = true).cache()
+      try {
+        val (nIns, nUpd, chunks) = countsAndChunks(store, tagged, allRows = false)
+        if (nUpd > 0) store.upsert(tagged.where(col(UpdFlag)).drop(UpdFlag), keys, chunks)
+        if (nIns > 0) store.append(tagged.where(!col(UpdFlag)).drop(UpdFlag))
+        SyncResult(nIns, nUpd)
+      } finally tagged.unpersist()
     }
+  }
 
-    // 6. diff-then-apply
-    val backtrack = backtrackSlice(spec, targetAligned, batchAligned)
-    val (unseen, update) = Diff.filterExisting(
-      dedupeBatch(spec, batchAligned), backtrack, keys, spec.nullIndices)
+  private val UpdFlag = "__graft_update"
 
-    val unseenC = unseen.cache(); val updateC = update.cache()
-    val (nIns, nUpd) = (unseenC.count(), updateC.count())
-    if (nUpd > 0) store.upsert(updateC, keys)
-    if (nIns > 0) store.append(unseenC)
-    unseenC.unpersist(); updateC.unpersist()
-    SyncResult(nIns, nUpd)
+  /** Tag batch rows as update (key exists in the backtrack window) or insert.
+    * `diff = true` also drops full-row-identical rows first (the delta). */
+  private def tagAgainstTarget(spec: PipeSpec, store: PipeStorage, target: DataFrame,
+                               batch: DataFrame, keys: Seq[String],
+                               diff: Boolean): DataFrame = {
+    val backtrack = backtrackSlice(spec, target, batch)
+    if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag)
+    else {
+      val bt = backtrack.select(keys.map(col): _*).distinct()
+        .withColumn("__graft_seen", lit(1))
+      val cond = keys.map { k =>
+        if (spec.nullIndices) batch(k) <=> bt(k) else batch(k) === bt(k)
+      }.reduce(_ && _)
+      batch.join(bt, cond, "left")
+        .select(batch.columns.map(c => batch(c)).toIndexedSeq :+
+          bt("__graft_seen").isNotNull.as(UpdFlag): _*)
+    }
+  }
+
+  /** Single-aggregate reporting: (inserted, updated, affected chunk labels).
+    * Chunk labels are collected for the rows the storage merge will rewrite
+    * (all rows in upsert mode, update rows in diff mode) so `upsert` skips
+    * its own distinct+collect job. */
+  private def countsAndChunks(store: PipeStorage, tagged: DataFrame,
+                              allRows: Boolean): (Long, Long, Option[Seq[String]]) = {
+    val chunkOf = store.chunkLabel
+    val relevant = if (allRows) lit(true) else col(UpdFlag)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(when(col(UpdFlag), 1L).otherwise(0L)).as("nUpd")) ++
+      chunkOf.toSeq.flatMap { c => Seq(
+        collect_set(when(relevant, c)).as("chunks"),
+        max(when(relevant && c.isNull, 1).otherwise(0)).as("hasNullChunk"))
+      }
+    val row = tagged.agg(aggs.head, aggs.tail: _*).head()
+    val n    = row.getLong(0)
+    val nUpd = Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val chunks = chunkOf.map { _ =>
+      val vals = row.getSeq[String](2)
+      // max() is null over an empty delta — treat as "no null-dt rows"
+      val hasNull = Option(row.get(3)).exists(_.asInstanceOf[Int] > 0)
+      if (hasNull) vals :+ null else vals
+    }
+    (n - nUpd, nUpd, chunks)
   }
 
   /** Keys for the unseen/update split; fall back to all columns (pure
@@ -120,6 +175,14 @@ final class SyncEngine(spark: SparkSession, root: String) {
     * axis the whole target is the backtrack (small-dimension pipes). */
   private def backtrackSlice(spec: PipeSpec, target: DataFrame, batch: DataFrame): DataFrame =
     spec.columns.datetime.filter(batch.columns.contains) match {
+      case Some(dt) if spec.epochUnit.isDefined =>
+        // integer-epoch axis: the same ±1-minute envelope in axis units
+        val pad = graft.dsl.EpochAxis.unitsForMinutes(spec.epochUnit.get, 1)
+        val row = batch.agg(
+          min(col(dt)).cast("long").as("lo"), max(col(dt)).cast("long").as("hi")).head()
+        if (row.isNullAt(0) || row.isNullAt(1)) target
+        else target.where(
+          col(dt) >= lit(row.getLong(0) - pad) && col(dt) <= lit(row.getLong(1) + pad))
       case Some(dt) =>
         val row = batch.agg(
           min(col(dt)).cast("timestamp_ntz").as("lo"),
@@ -137,6 +200,14 @@ final class SyncEngine(spark: SparkSession, root: String) {
   def nextFetchBegin(spec: PipeSpec): Option[LocalDateTime] =
     storage(spec).syncTime(newest = true).map(_.minus(Duration.ofMinutes(spec.backtrackMinutes)))
 
+  /** Epoch-axis form of [[nextFetchBegin]] (value in the pipe's axis units). */
+  def nextFetchBeginEpoch(spec: PipeSpec): Option[Long] = {
+    val unit = spec.epochUnit.getOrElse(
+      throw new IllegalArgumentException("nextFetchBeginEpoch requires spec.epochUnit"))
+    storage(spec).syncTimeEpoch(newest = true)
+      .map(_ - graft.dsl.EpochAxis.unitsForMinutes(unit, spec.backtrackMinutes))
+  }
+
   /** The read path: projection, half-open time bounds, params DSL, order,
     * limit (reference core/Pipe/_data.py:22-318). */
   def getData(
@@ -145,6 +216,8 @@ final class SyncEngine(spark: SparkSession, root: String) {
       omit: Seq[String] = Seq.empty,
       begin: Option[LocalDateTime] = None,
       end: Option[LocalDateTime] = None,
+      beginEpoch: Option[Long] = None,
+      endEpoch: Option[Long] = None,
       params: Map[String, Any] = Map.empty,
       orderDesc: Boolean = false,
       limit: Option[Int] = None): DataFrame = {
@@ -153,6 +226,8 @@ final class SyncEngine(spark: SparkSession, root: String) {
     spec.columns.datetime.foreach { dt =>
       begin.foreach(b => df = df.where(col(dt) >= lit(b)))
       end.foreach(e => df = df.where(col(dt) < lit(e)))
+      beginEpoch.foreach(b => df = df.where(col(dt) >= lit(b)))
+      endEpoch.foreach(e => df = df.where(col(dt) < lit(e)))
     }
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))
     if (select.nonEmpty) df = df.select(select.map(col): _*)

@@ -167,6 +167,74 @@ class SyncEngineSpec extends SparkSpec {
     assert(!store.exists)
   }
 
+  test("schema evolution: ADDED column leaves existing data files untouched") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "evo_nofiles")
+    eng.sync(spec, batch(b1))
+    val store = eng.storage(spec)
+    def files(): Set[(String, Long)] = {
+      val base = new java.io.File(s"$root/${spec.targetName}/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.lastModified())).toSet
+    }
+    val before = files()
+    val withNew = batch(Seq(("2024-01-05 00:00:00", 5L, 1.5)))
+      .withColumn("extra", lit("x"))
+    eng.sync(spec, withNew)
+    // every pre-existing file survives byte-identical (same path + mtime)
+    assert(before.subsetOf(files()), "add-column sync rewrote existing files")
+    assert(eng.getData(spec).where(col("extra").isNull).count() == 3)
+  }
+
+  test("chunk granularity follows spec.chunkMinutes: daily chunks, one-day rewrite") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "daily").copy(chunkMinutes = 1440)
+    eng.sync(spec, batch(Seq(
+      ("2024-01-01 10:00:00", 1L, 1.0),
+      ("2024-01-02 10:00:00", 2L, 2.0),
+      ("2024-01-03 10:00:00", 3L, 3.0))))
+    val base = new java.io.File(s"$root/${spec.targetName}/data")
+    val parts = base.listFiles().map(_.getName).filter(_.startsWith("__graft_chunk=")).sorted
+    assert(parts.toSeq == Seq("__graft_chunk=2024-01-01",
+      "__graft_chunk=2024-01-02", "__graft_chunk=2024-01-03"))
+    def mtimes(): Map[String, Long] = base.listFiles()
+      .filter(_.getName.startsWith("__graft_chunk="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = mtimes()
+    Thread.sleep(1100) // mtime granularity
+    val r = eng.sync(spec, batch(Seq(("2024-01-02 10:00:00", 2L, 99.0))))
+    assert(r.updated == 1)
+    val after = mtimes()
+    val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
+    // day-1 and day-3 files byte-identical; only day-2 rewrote
+    assert(untouched.keys.exists(_.contains("2024-01-01")))
+    assert(untouched.keys.exists(_.contains("2024-01-03")))
+    assert(!after.keys.filter(_.contains("2024-01-02")).exists(before.contains))
+  }
+
+  test("epoch-second axis: idempotent sync, update, bookmark in axis units") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "epoch"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "id" -> "id")),
+      epochUnit = Some("second"), chunkMinutes = 1440)
+    val b = Seq((1700000000L, 1L, 1.0), (1700000060L, 2L, 2.0)).toDF("ts", "id", "val")
+    val r1 = eng.sync(spec, b)
+    assert(r1.inserted == 2 && r1.updated == 0)
+    val r2 = eng.sync(spec, b)
+    assert(r2.inserted == 0 && r2.updated == 0)
+    val r3 = eng.sync(spec, Seq((1700000060L, 2L, 9.0)).toDF("ts", "id", "val"))
+    assert(r3.inserted == 0 && r3.updated == 1)
+    assert(eng.storage(spec).rowCount == 2)
+    assert(eng.storage(spec).syncTimeEpoch().contains(1700000060L))
+    assert(eng.nextFetchBeginEpoch(spec).contains(1700000060L - 1440 * 60))
+    val got = eng.getData(spec, beginEpoch = Some(1700000030L))
+      .select("val").as[Double].collect()
+    assert(got.toSeq == Seq(9.0))
+  }
+
   test("sync time bookmark and backtrack begin") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = mkSpec(root, "bt")
