@@ -302,6 +302,27 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.5/§2.11 deduplicate as a maintenance op on the STORED pipe ────
+    // Plant duplicates via raw appends (bypassing the sync diff), then
+    // rank-and-rebuild only the chunks that lose rows.
+    "q_deduplicate_pipe" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "dedup_pipe"),
+        columns = ColumnRoles(Map(
+          "datetime" -> "ts", "id" -> "user_id", "seq" -> "event_id")))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val store = eng.storage(spec)
+      store.create(ev)
+      store.append(ev.where(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + 1000))
+      eng.deduplicate(spec, extraOrder = Seq("value"))
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.8/§3 integer-epoch datetime axis end-to-end ───────────────────
     // The same sync pipeline on an epoch-second axis (precision unit flows
     // through bounds, backtrack envelope, and chunk labels).
@@ -613,6 +634,11 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
          value, props FROM events ORDER BY event_id""",
+
+    "q_deduplicate_pipe" ->
+      """SELECT event_id, ts, user_id,
+         CASE WHEN event_id % 5 = 0 THEN value + 1000 ELSE value END AS value
+         FROM events ORDER BY event_id""",
 
     "q_sync_epoch_e2e" ->
       """SELECT event_id, epoch_us(ts) // 1000000 AS ts_s, user_id,

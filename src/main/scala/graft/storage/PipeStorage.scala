@@ -32,6 +32,11 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   val PartCol = "__graft_chunk"
 
+  // Chunk labels are strings by construction; Spark's partition-column type
+  // inference would otherwise read day-granularity labels ("2024-01-02")
+  // back as DateType and break label-based chunk matching.
+  spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+
   private def dtCol: Option[String] = spec.columns.datetime
   private def partitioned: Boolean  = dtCol.isDefined
 
@@ -221,6 +226,70 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     }
   }
 
+  /** Deduplicate the STORED pipe in place — the reference's
+    * `deduplicate_pipe` (meerschaum/connectors/sql/_pipes.py:3888-4105:
+    * ROW_NUMBER-rank, rebuild, atomic rename swap; chunkwise driver path
+    * core/Pipe/_deduplicate.py:14-287).
+    *
+    * One global ranking (a single hash shuffle on the keys — the same cost
+    * the reference's backend pays for its ROW_NUMBER), then ONLY the chunks
+    * that actually lose rows are rewritten and swapped; untouched chunks
+    * keep their files byte-identical. Duplicates whose survivor lives in a
+    * different chunk are handled correctly (the losing chunk rewrites, the
+    * surviving chunk does not). Returns the number of rows removed.
+    */
+  def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
+    require(keys.nonEmpty, "deduplicate requires key columns")
+    if (!exists) return 0L
+    val order = if (orderBy.nonEmpty) orderBy else keys
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order.map(c => col(c).desc): _*)
+    if (partitioned) {
+      val df     = spark.read.option("mergeSchema", "true").parquet(dataPath)
+      val ranked = df.withColumn("__graft_rn", row_number().over(w))
+      // one aggregate: rows to remove + the chunks that lose them
+      val dup = ranked.where(col("__graft_rn") > 1).agg(
+        count(lit(1)).as("n"),
+        collect_set(col(PartCol)).as("chunks"),
+        max(when(col(PartCol).isNull, 1).otherwise(0)).as("nullChunk")).head()
+      val removed = dup.getLong(0)
+      if (removed == 0) return 0L
+      val vals      = dup.getSeq[String](1)
+      val nullChunk = Option(dup.get(2)).exists(_.asInstanceOf[Int] > 0)
+      val chunkPred = {
+        val in = if (vals.nonEmpty) col(PartCol).isin(vals: _*) else lit(false)
+        if (nullChunk) in || col(PartCol).isNull else in
+      }
+      val survivors = ranked
+        .where(col("__graft_rn") === 1 && chunkPred).drop("__graft_rn")
+      val tmp = s"$basePath/.dedup_tmp"
+      survivors.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
+      val dataDir = new Path(s"$basePath/data")
+      val affectedDirNames = (vals.map(v => s"$PartCol=$v") ++
+        (if (nullChunk) Seq(s"$PartCol=__HIVE_DEFAULT_PARTITION__") else Nil)).toSet
+      affectedDirNames.foreach { n =>
+        val dest = new Path(dataDir, n)
+        if (fs.exists(dest)) fs.delete(dest, true)
+      }
+      fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
+        .foreach { st => fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)) }
+      fs.delete(new Path(tmp), true)
+      removed
+    } else {
+      val cur     = read
+      val deduped = cur.withColumn("__graft_rn", row_number().over(w))
+        .where(col("__graft_rn") === 1).drop("__graft_rn").cache()
+      try {
+        val nAfter  = deduped.count()
+        val nBefore = cur.count()
+        if (nBefore == nAfter) return 0L
+        overwrite(deduped)
+        nBefore - nAfter
+      } finally { deduped.unpersist(); () }
+    }
+  }
+
   /** Drop the target entirely (reference `drop_pipe`). */
   def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
 
@@ -260,7 +329,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * mid-rewrite, so any surviving one is garbage. */
   def vacuum(): Unit = {
     if (!fs.exists(new Path(basePath))) return
-    Seq(".data_tmp", ".merge_tmp", ".clear_tmp", ".compact_tmp").foreach { d =>
+    Seq(".data_tmp", ".merge_tmp", ".clear_tmp", ".compact_tmp", ".dedup_tmp").foreach { d =>
       val p = new Path(s"$basePath/$d")
       if (fs.exists(p)) fs.delete(p, true)
     }

@@ -200,6 +200,23 @@ final class SyncEngine(spark: SparkSession, root: String) {
   def nextFetchBegin(spec: PipeSpec): Option[LocalDateTime] =
     storage(spec).syncTime(newest = true).map(_.minus(Duration.ofMinutes(spec.backtrackMinutes)))
 
+  /** Deduplicate the stored pipe — reference `pipe.deduplicate()`
+    * (core/Pipe/_deduplicate.py:14-287). Keys are the datetime axis plus the
+    * pipe's index roles; ties inside a key group break by `extraOrder`
+    * columns descending (pass a value/sequence column for a deterministic
+    * survivor). Only the chunks that lose rows are rewritten. */
+  def deduplicate(spec: PipeSpec, extraOrder: Seq[String] = Seq.empty): Long = {
+    val store = storage(spec)
+    if (!store.exists) return 0L
+    val cols  = store.read.columns.toSeq
+    val keys  = (spec.columns.datetime.toSeq ++ spec.columns.syncKeys)
+      .distinct.filter(cols.contains)
+    val order = (spec.columns.datetime.toSeq ++ extraOrder)
+      .distinct.filter(cols.contains)
+    store.deduplicate(if (keys.nonEmpty) keys else cols,
+                      if (order.nonEmpty) order else keys)
+  }
+
   /** Epoch-axis form of [[nextFetchBegin]] (value in the pipe's axis units). */
   def nextFetchBeginEpoch(spec: PipeSpec): Option[Long] = {
     val unit = spec.epochUnit.getOrElse(

@@ -235,6 +235,39 @@ class SyncEngineSpec extends SparkSpec {
     assert(got.toSeq == Seq(9.0))
   }
 
+  test("deduplicate: removes stored duplicates, rewrites only losing chunks") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "dedup_store").copy(chunkMinutes = 1440)
+    eng.sync(spec, batch(Seq(
+      ("2024-01-01 10:00:00", 1L, 1.0),
+      ("2024-01-02 10:00:00", 2L, 2.0),
+      ("2024-01-03 10:00:00", 3L, 3.0))))
+    val store = eng.storage(spec)
+    // simulate an out-of-band duplicate landing in day 2
+    store.append(batch(Seq(("2024-01-02 10:00:00", 2L, 99.0))))
+    assert(store.rowCount == 4)
+    val base = new java.io.File(s"$root/${spec.targetName}/data")
+    def mtimes(): Map[String, Long] = base.listFiles()
+      .filter(_.getName.startsWith("__graft_chunk="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val before = mtimes()
+    Thread.sleep(1100)
+    val removed = eng.deduplicate(spec, extraOrder = Seq("val"))
+    assert(removed == 1)
+    assert(store.rowCount == 3)
+    // keep-latest by (dt, val desc): the 99.0 copy survives
+    val v = eng.getData(spec, params = Map("id" -> 2L)).select("val").as[Double].collect()
+    assert(v.toSeq == Seq(99.0))
+    val after = mtimes()
+    val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
+    assert(untouched.keys.exists(_.contains("2024-01-01")))
+    assert(untouched.keys.exists(_.contains("2024-01-03")))
+    assert(!after.keys.filter(_.contains("2024-01-02")).exists(before.contains))
+    // idempotent: second pass removes nothing
+    assert(eng.deduplicate(spec, extraOrder = Seq("val")) == 0)
+  }
+
   test("sync time bookmark and backtrack begin") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = mkSpec(root, "bt")
