@@ -302,6 +302,36 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.1 SQL-definition (JDBC) source: the reference's primary ingest ─
+    // Remote = embedded Derby seeded from the events table; the definition
+    // is wrapped with pushed-down bounds + params and read with a
+    // partitioned JDBC scan. Oracle applies the same filter to the
+    // original table.
+    "q_jdbc_definition_fetch" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graftq;create=true"
+      Tables.events(s, d)
+        .select(col("event_id").as("EVENT_ID"), col("ts").cast("timestamp").as("TS"),
+                col("user_id").as("USER_ID"), col("event_type").as("ETYPE"),
+                col("value").as("VAL"))
+        .write.mode("overwrite")
+        .option("createTableColumnTypes", "ETYPE VARCHAR(32)")
+        .jdbc(url, "EVENTS", new java.util.Properties)
+      val spec = PipeSpec(PipeKeys("jdbc", "events"),
+        columns = ColumnRoles(Map("datetime" -> "TS")))
+      val src = new graft.sources.SqlDefinitionSource(
+        url, "SELECT * FROM EVENTS", numPartitions = 4)
+      src.fetch(s, spec,
+          begin = Some(java.time.LocalDateTime.parse("2024-01-05T00:00:00")),
+          end   = Some(java.time.LocalDateTime.parse("2024-01-20T00:00:00")),
+          params = Map("ETYPE" -> Seq("click", "view"),
+                       "USER_ID" -> ParamsFilter.Not(3L)))
+        .select(col("EVENT_ID").as("event_id"),
+                col("TS").cast("timestamp_ntz").as("ts"),
+                col("USER_ID").as("user_id"), col("ETYPE").as("event_type"),
+                col("VAL").as("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.5/§2.11 deduplicate as a maintenance op on the STORED pipe ────
     // Plant duplicates via raw appends (bypassing the sync diff), then
     // rank-and-rebuild only the chunks that lose rows.
@@ -634,6 +664,12 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
          value, props FROM events ORDER BY event_id""",
+
+    "q_jdbc_definition_fetch" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+           AND event_type IN ('click','view') AND user_id <> 3
+         ORDER BY event_id""",
 
     "q_deduplicate_pipe" ->
       """SELECT event_id, ts, user_id,

@@ -96,16 +96,127 @@ object ParamsFilter {
   }
 
   /** JSON-text params: `{'meta': {'k': 'v'}}` matches rows whose JSON column
-    * has field `k` equal to `v` (reference compares serialized JSON text;
-    * field-wise comparison is the semantic equivalent that still pushes work
-    * into codegen'd expressions).
+    * has field `k` equal to `v` (reference compares serialized JSON text —
+    * meerschaum/utils/sql.py:1085-1218; field-wise TYPED comparison is the
+    * semantic equivalent that still pushes into codegen'd expressions).
+    * Values compare by type — numbers numerically (so 87 matches "87.0"),
+    * booleans as booleans, nested maps recurse on the JSON path — instead of
+    * `toString` equality, which silently mismatches floats and booleans.
     */
   private def jsonEquality(name: String, m: Map[String, Any]): Column =
+    jsonPathEquality(col(name), "$", m)
+
+  private def jsonPathEquality(c: Column, path: String, m: Map[String, Any]): Column =
     m.foldLeft(lit(true)) { case (acc, (k, v)) =>
-      acc && (get_json_object(col(name), s"$$.$k") === lit(v.toString))
+      val p = s"$path.$k"
+      val j = get_json_object(c, p)
+      val cmp = v match {
+        case null | None | Null => j.isNull
+        case b: Boolean         => j.cast("boolean") === lit(b)
+        case n @ (_: Long | _: Int | _: Short | _: Byte) =>
+          j.cast("double") === lit(n.toString.toDouble)
+        case d: Double          => j.cast("double") === lit(d)
+        case f: Float           => j.cast("double") === lit(f.toDouble)
+        case nested: Map[_, _]  =>
+          jsonPathEquality(c, p, nested.asInstanceOf[Map[String, Any]])
+        case s                  => j === lit(s.toString)
+      }
+      acc && cmp
     }
+
+  /** Render the DSL as an ANSI SQL WHERE fragment, for pushdown into a JDBC
+    * definition subquery (the reference's `build_where`,
+    * meerschaum/utils/sql.py:1085-1218 — one ANSI dialect here; Catalyst and
+    * the remote engine handle the rest). Identifiers are emitted bare; values
+    * are escaped literals. JSON-map params are not expressible portably and
+    * are rejected rather than silently dropped.
+    */
+  def toSql(params: Map[String, Any]): String =
+    params.toSeq.map { case (k, v) => sqlForColumn(k, v) }
+      .filter(_.nonEmpty).mkString(" AND ")
+
+  private def sqlForColumn(name: String, value: Any): String = value match {
+    case null | None | Null      => s"$name IS NULL"
+    case Not(null | None | Null) => s"$name IS NOT NULL"
+    case Not(v)                  => s"$name <> ${SqlText.literal(v)}"
+    case _: Map[_, _] => throw new IllegalArgumentException(
+      s"JSON-map param '$name' cannot be pushed into a JDBC WHERE clause")
+    case vs: Seq[_]   => sqlInList(name, vs)
+    case s: String if isNegation(s) =>
+      val inner = s.substring(1)
+      if (isNullLiteral(inner)) s"$name IS NOT NULL"
+      else s"$name <> ${SqlText.literal(inner)}"
+    case s: String if isNullLiteral(s) => s"$name IS NULL"
+    case v => s"$name = ${SqlText.literal(v)}"
+  }
+
+  private def sqlInList(name: String, vs: Seq[Any]): String = {
+    val (exclude, include) = vs.partition {
+      case s: String => isNegation(s)
+      case Not(_)    => true
+      case _         => false
+    }
+    val (incNulls, incVals) = include.partition {
+      case null | None | Null => true
+      case s: String          => isNullLiteral(s)
+      case _                  => false
+    }
+    val excStripped = exclude.map {
+      case s: String => s.substring(1)
+      case Not(v)    => v
+    }
+    val (excNulls, excVals) = excStripped.partition {
+      case null | None | Null => true
+      case s: String          => isNullLiteral(s)
+      case _                  => false
+    }
+    def inClause(vals: Seq[Any]) = vals.map(SqlText.literal).mkString("(", ", ", ")")
+    val inc = (incVals.nonEmpty, incNulls.nonEmpty) match {
+      case (true, true)   => Some(s"($name IN ${inClause(incVals)} OR $name IS NULL)")
+      case (true, false)  => Some(s"$name IN ${inClause(incVals)}")
+      case (false, true)  => Some(s"$name IS NULL")
+      case (false, false) => None
+    }
+    val exc = (excVals.nonEmpty, excNulls.nonEmpty) match {
+      case (true, true)   => Some(s"($name NOT IN ${inClause(excVals)} AND $name IS NOT NULL)")
+      case (true, false)  => Some(s"$name NOT IN ${inClause(excVals)}")
+      case (false, true)  => Some(s"$name IS NOT NULL")
+      case (false, false) => None
+    }
+    Seq(inc, exc).flatten.mkString(" AND ")
+  }
 
   private def isNegation(s: String): Boolean = s.startsWith("_")
   private def isNullLiteral(s: String): Boolean =
     s == "None" || s == "none" || s == "null" || s == "NULL"
+}
+
+/** ANSI SQL literal rendering for values pushed into JDBC subqueries. */
+object SqlText {
+  def literal(v: Any): String = v match {
+    // JDBC escape syntax: every JDBC driver translates {ts '...'} to its
+    // native timestamp literal (Derby, for one, rejects ANSI TIMESTAMP '...')
+    case d: java.time.LocalDateTime => s"{ts '${tsString(d)}'}"
+    case i: java.time.Instant =>
+      s"{ts '${tsString(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))}'}"
+    case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
+    case n @ (_: Double | _: Float)                  => n.toString
+    case b: Boolean                                  => b.toString.toUpperCase
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case other => throw new IllegalArgumentException(
+      s"cannot render SQL literal for ${other.getClass.getName}")
+  }
+
+  /** JDBC partition-bound string form (timestamps without the T separator). */
+  def boundString(v: Any): String = v match {
+    case d: java.time.LocalDateTime => tsString(d)
+    case i: java.time.Instant =>
+      tsString(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))
+    case other => other.toString
+  }
+
+  private def tsString(d: java.time.LocalDateTime): String = {
+    val base = d.toString.replace('T', ' ')
+    if (base.length == 16) base + ":00" else base // LocalDateTime drops :00 seconds
+  }
 }

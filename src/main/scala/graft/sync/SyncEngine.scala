@@ -200,6 +200,35 @@ final class SyncEngine(spark: SparkSession, root: String) {
   def nextFetchBegin(spec: PipeSpec): Option[LocalDateTime] =
     storage(spec).syncTime(newest = true).map(_.minus(Duration.ofMinutes(spec.backtrackMinutes)))
 
+  /** Fetch-then-sync through a [[graft.sources.Source]] — the reference's
+    * `pipe.sync()` with no dataframe given (core/Pipe/_sync.py:271-281 →
+    * core/Pipe/_fetch.py:20-97): begin defaults to the stored sync time
+    * minus the backtrack window, so late data inside the window is re-read
+    * and re-diffed; an empty target fetches unbounded. */
+  def fetchSync(spec: PipeSpec, source: graft.sources.Source,
+                begin: Option[Any] = None, end: Option[Any] = None,
+                params: Map[String, Any] = Map.empty): SyncResult = {
+    val effBegin: Option[Any] = begin.orElse {
+      if (spec.epochUnit.isDefined)
+        storage(spec).syncTimeEpoch(newest = true)
+          .map(graft.sources.Backtrack.subtract(spec, _, spec.backtrackMinutes))
+      else nextFetchBegin(spec)
+    }
+    sync(spec, source.fetch(spark, spec, effBegin, end, params))
+  }
+
+  /** Rows as JSON documents — the reference's `get_pipe_docs`
+    * (connectors/sql/_pipes.py:1265-1297). Same read surface as
+    * [[getData]], serialized row-per-line. */
+  def getDocs(spec: PipeSpec,
+              select: Seq[String] = Seq.empty,
+              begin: Option[LocalDateTime] = None,
+              end: Option[LocalDateTime] = None,
+              params: Map[String, Any] = Map.empty,
+              limit: Option[Int] = None): org.apache.spark.sql.Dataset[String] =
+    getData(spec, select = select, begin = begin, end = end,
+      params = params, limit = limit).toJSON
+
   /** Deduplicate the stored pipe — reference `pipe.deduplicate()`
     * (core/Pipe/_deduplicate.py:14-287). Keys are the datetime axis plus the
     * pipe's index roles; ties inside a key group break by `extraOrder`
