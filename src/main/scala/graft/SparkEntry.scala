@@ -268,6 +268,30 @@ object SparkEntry {
              max(dec(col("value"), 18, 4)).cast(DoubleType).as("max_value"))
         .orderBy(col("event_type"))),
 
+    // ── §2.8 dtype canonicalizer kit: uuid / bytes / geometry ────────────
+    // uuid: bare uppercase hex in → canonical lowercase hyphenated out;
+    // bytes: base64 + hex + round-trip; geometry: WKT → WKB → WKT round
+    // trip compared against an independently string-built WKT (DuckDB has
+    // no WKB parser offline; the WKB byte layout itself is pinned by known
+    // OGC vectors in DtypeFnsSpec).
+    "q_dtype_canonical" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bin = col("event_type").cast("binary")
+      val wktIn = concat(lit("POINT ("), col("user_id"), lit(" "),
+        pmod(col("event_id"), lit(100)), lit(")"))
+      ev.select(
+          col("event_id"),
+          graft.functions.DtypeFns.uuidCanonical(
+            upper(md5(col("event_id").cast("string")))).as("uuid_c"),
+          graft.functions.DtypeFns.bytesToBase64(bin).as("b64"),
+          graft.functions.DtypeFns.bytesToHex(bin).as("hx"),
+          graft.functions.DtypeFns.base64ToBytes(
+            graft.functions.DtypeFns.bytesToBase64(bin)).cast("string").as("rt"),
+          graft.functions.DtypeFns.wkbToWkt(
+            graft.functions.DtypeFns.wktToWkb(wktIn)).as("wkt_rt"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §3.1/§3.2 the full sync pipeline end-to-end ──────────────────────
     // Two overlapping batches through SyncEngine (diff → unseen/update →
     // chunk-scoped upsert into parquet storage), read back via getData.
@@ -654,6 +678,19 @@ object SparkEntry {
          CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
          CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_dtype_canonical" ->
+      """SELECT event_id,
+         substring(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+         substring(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+         substring(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+         substring(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+         substring(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uuid_c,
+         to_base64(CAST(event_type AS BLOB)) AS b64,
+         lower(hex(CAST(event_type AS BLOB))) AS hx,
+         CAST(from_base64(to_base64(CAST(event_type AS BLOB))) AS VARCHAR) AS rt,
+         'POINT (' || user_id || '.0 ' || (event_id % 100) || '.0)' AS wkt_rt
+         FROM events ORDER BY event_id""",
 
     "q_sync_pipe_e2e" ->
       """SELECT event_id, ts, user_id, event_type,

@@ -1,0 +1,174 @@
+package graft.types
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal 2D WKT ⇄ WKB codec — the engine's `geometry` dtype rides as WKB
+  * bytes (`BinaryType`), these conversions are the ingest/egress seam
+  * (reference: meerschaum/utils/dtypes/__init__.py:349-518,800-882, which
+  * delegates to shapely; we implement the OGC well-known formats directly).
+  *
+  * Supported: POINT, LINESTRING, POLYGON, MULTIPOINT, MULTILINESTRING,
+  * MULTIPOLYGON, GEOMETRYCOLLECTION — 2D, little-endian WKB (byte order 01),
+  * no SRID header (EWKB is out of scope; the reference strips to plain WKB
+  * for hashing too). Numbers format as Java shortest-roundtrip doubles,
+  * which matches DuckDB/Ryu output for oracle comparison.
+  */
+object GeoWkb {
+
+  // OGC geometry type codes
+  private val Types = Map(
+    "POINT" -> 1, "LINESTRING" -> 2, "POLYGON" -> 3,
+    "MULTIPOINT" -> 4, "MULTILINESTRING" -> 5, "MULTIPOLYGON" -> 6,
+    "GEOMETRYCOLLECTION" -> 7)
+  private val Names = Types.map(_.swap)
+
+  // ── WKT → WKB ──────────────────────────────────────────────────────────
+
+  def wktToWkb(wkt: String): Array[Byte] = {
+    val (name, body) = splitWkt(wkt)
+    val out = ByteBuffer.allocate(wkbSize(name, body)).order(ByteOrder.LITTLE_ENDIAN)
+    writeGeom(out, name, body)
+    out.array()
+  }
+
+  private def splitWkt(wkt: String): (String, String) = {
+    val t = wkt.trim
+    val p = t.indexOf('(')
+    require(p > 0, s"unparseable WKT: '$wkt'")
+    val name = t.substring(0, p).trim.toUpperCase
+    require(Types.contains(name), s"unknown WKT geometry type: '$name'")
+    val body = t.substring(p + 1, t.lastIndexOf(')')).trim
+    (name, body)
+  }
+
+  /** Split a paren-balanced list on top-level commas. */
+  private def topSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def inner(s: String): String = {
+    val t = s.trim
+    require(t.startsWith("(") && t.endsWith(")"), s"expected parenthesized: '$s'")
+    t.substring(1, t.length - 1)
+  }
+
+  private def coord(s: String): (Double, Double) = {
+    val parts = s.trim.split("\\s+")
+    require(parts.length == 2, s"expected 2D coordinate: '$s'")
+    (parts(0).toDouble, parts(1).toDouble)
+  }
+
+  private def wkbSize(name: String, body: String): Int = 5 + (name match {
+    case "POINT"      => 16
+    case "LINESTRING" => 4 + 16 * topSplit(body).size
+    case "POLYGON"    => 4 + topSplit(body).map(r => 4 + 16 * topSplit(inner(r)).size).sum
+    case "MULTIPOINT" =>
+      4 + topSplit(body).size * (5 + 16)
+    case "MULTILINESTRING" =>
+      4 + topSplit(body).map(l => 5 + 4 + 16 * topSplit(inner(l)).size).sum
+    case "MULTIPOLYGON" =>
+      4 + topSplit(body).map { p =>
+        5 + 4 + topSplit(inner(p)).map(r => 4 + 16 * topSplit(inner(r)).size).sum
+      }.sum
+    case "GEOMETRYCOLLECTION" =>
+      4 + topSplit(body).map { g => val (n, b) = splitWkt(g); wkbSize(n, b) }.sum
+  })
+
+  private def writeGeom(out: ByteBuffer, name: String, body: String): Unit = {
+    out.put(1.toByte) // little-endian marker
+    out.putInt(Types(name))
+    name match {
+      case "POINT" =>
+        val (x, y) = coord(body); out.putDouble(x); out.putDouble(y)
+      case "LINESTRING" => writeRing(out, body)
+      case "POLYGON" =>
+        val rings = topSplit(body)
+        out.putInt(rings.size)
+        rings.foreach(r => writeRing(out, inner(r)))
+      case "MULTIPOINT" =>
+        val pts = topSplit(body)
+        out.putInt(pts.size)
+        // members carry their own WKB header; accept "(x y)" and bare "x y"
+        pts.foreach { p =>
+          val c = if (p.startsWith("(")) inner(p) else p
+          writeGeom(out, "POINT", c)
+        }
+      case "MULTILINESTRING" =>
+        val ls = topSplit(body)
+        out.putInt(ls.size)
+        ls.foreach(l => writeGeom(out, "LINESTRING", inner(l)))
+      case "MULTIPOLYGON" =>
+        val ps = topSplit(body)
+        out.putInt(ps.size)
+        ps.foreach(p => writeGeom(out, "POLYGON", inner(p)))
+      case "GEOMETRYCOLLECTION" =>
+        val gs = topSplit(body)
+        out.putInt(gs.size)
+        gs.foreach { g => val (n, b) = splitWkt(g); writeGeom(out, n, b) }
+    }
+  }
+
+  private def writeRing(out: ByteBuffer, body: String): Unit = {
+    val pts = topSplit(body)
+    out.putInt(pts.size)
+    pts.foreach { p => val (x, y) = coord(p); out.putDouble(x); out.putDouble(y) }
+  }
+
+  // ── WKB → WKT ──────────────────────────────────────────────────────────
+
+  def wkbToWkt(wkb: Array[Byte]): String = {
+    val in = ByteBuffer.wrap(wkb)
+    readGeom(in)
+  }
+
+  private def readGeom(in: ByteBuffer): String = {
+    val order = in.get()
+    in.order(if (order == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val code = in.getInt()
+    val name = Names.getOrElse(code,
+      throw new IllegalArgumentException(s"unknown WKB geometry type code: $code"))
+    name match {
+      case "POINT"      => s"POINT (${readCoord(in)})"
+      case "LINESTRING" => s"LINESTRING (${readRing(in)})"
+      case "POLYGON" =>
+        val n = in.getInt()
+        s"POLYGON (${Seq.fill(n)(s"(${readRing(in)})").mkString(", ")})"
+      case "MULTIPOINT" =>
+        val n = in.getInt()
+        s"MULTIPOINT (${Seq.fill(n) { in.get(); in.order(ByteOrder.LITTLE_ENDIAN); in.getInt(); s"(${readCoord(in)})" }.mkString(", ")})"
+      case "MULTILINESTRING" =>
+        val n = in.getInt()
+        s"MULTILINESTRING (${Seq.fill(n) { in.get(); in.getInt(); s"(${readRing(in)})" }.mkString(", ")})"
+      case "MULTIPOLYGON" =>
+        val n = in.getInt()
+        s"MULTIPOLYGON (${
+          Seq.fill(n) {
+            in.get(); in.getInt()
+            val rings = in.getInt()
+            s"(${Seq.fill(rings)(s"(${readRing(in)})").mkString(", ")})"
+          }.mkString(", ")})"
+      case "GEOMETRYCOLLECTION" =>
+        val n = in.getInt()
+        s"GEOMETRYCOLLECTION (${Seq.fill(n)(readGeom(in)).mkString(", ")})"
+    }
+  }
+
+  private def num(d: Double): String = d.toString
+
+  private def readCoord(in: ByteBuffer): String =
+    s"${num(in.getDouble())} ${num(in.getDouble())}"
+
+  private def readRing(in: ByteBuffer): String = {
+    val n = in.getInt()
+    Seq.fill(n)(readCoord(in)).mkString(", ")
+  }
+}
