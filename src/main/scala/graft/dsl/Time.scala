@@ -112,10 +112,58 @@ object RoundTime {
     */
   def floor(c: Column, unit: String): Column = date_trunc(unit, c)
 
+  /** Round UP to the unit boundary (exact boundaries stay put) —
+    * reference `round_time(..., to='up')`. */
+  def ceil(c: Column, unit: String): Column = {
+    val f = date_trunc(unit, c)
+    when(f === c, c).otherwise(f + expr(s"INTERVAL 1 ${intervalUnit(unit)}"))
+  }
+
+  /** Round to the CLOSEST unit boundary, ties up —
+    * reference `round_time(..., to='closest')`. */
+  def closest(c: Column, unit: String): Column = {
+    import org.apache.spark.sql.types.TimestampType
+    val f  = date_trunc(unit, c)
+    val up = ceil(c, unit)
+    val toFloor = unix_micros(c.cast(TimestampType)) - unix_micros(f.cast(TimestampType))
+    val toCeil  = unix_micros(up.cast(TimestampType)) - unix_micros(c.cast(TimestampType))
+    when(toFloor < toCeil, f).otherwise(up)
+  }
+
+  private def intervalUnit(dateTruncUnit: String): String =
+    dateTruncUnit.toLowerCase match {
+      case "hour" | "minute" | "second" | "day" | "week" | "month" | "year" =>
+        dateTruncUnit.toUpperCase
+      case "dd"   => "DAY"
+      case "hh"   => "HOUR"
+      case "mm" | "mon" => "MONTH"
+      case other  => throw new IllegalArgumentException(s"unsupported round unit: $other")
+    }
+
   /** Epoch conversion at microsecond precision — reference `datetime_to_int`
     * (meerschaum/utils/dtypes/__init__.py:1094). Matches DuckDB `epoch_us`.
     * NTZ columns are interpreted as UTC (identity under the pinned session
     * zone). */
   def epochMicros(c: Column): Column =
     unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+}
+
+/** Timezone coercion — the reference's `coerce_timezone`
+  * (meerschaum/utils/dtypes/__init__.py:601-657): UTC is canonical; aware
+  * values strip to UTC wall time, naive values are interpreted in a stated
+  * zone. The session zone is pinned to UTC, so instant⇄NTZ casts are exact.
+  */
+object CoerceTz {
+  import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+  /** Instant (TimestampType) → naive UTC wall time (TimestampNTZ). */
+  def stripToUtcNaive(c: Column): Column = c.cast(TimestampNTZType)
+
+  /** Naive wall time in `tz` → instant: reinterpret then convert. */
+  def assumeZone(c: Column, tz: String): Column =
+    convert_timezone(lit(tz), lit("UTC"), c.cast(TimestampNTZType)).cast(TimestampType)
+
+  /** Move a naive wall time between zones (convert_timezone passthrough). */
+  def convertNaive(c: Column, from: String, to: String): Column =
+    convert_timezone(lit(from), lit(to), c.cast(TimestampNTZType))
 }

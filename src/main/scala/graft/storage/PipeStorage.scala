@@ -324,6 +324,19 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     n
   }
 
+  /** On-disk size in bytes — the reference's `get_pipe_size`
+    * (connectors/sql/_compress.py:103); file-length sum, no scan. */
+  def sizeBytes: Long = {
+    if (!exists) return 0L
+    val it = fs.listFiles(new Path(dataPath), true)
+    var n = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) n += st.getLen
+    }
+    n
+  }
+
   /** Remove crash leftovers and superseded snapshots — the reference's
     * `vacuum` (core/Pipe/_maintenance.py:1-161). Temp dirs are only live
     * mid-rewrite, so any surviving one is garbage. */

@@ -98,25 +98,3 @@ object StreamingSync {
       .select(col("window.start").as("chunk_start"), col("cnt"))
 }
 
-/** The reference's human schedule DSL → Spark triggers
-  * (meerschaum/utils/schedule.py:75-270 parses "every 10 minutes",
-  * "daily starting 00:30"; tests/test_schedule.py pins next-fire times).
-  * We map the interval forms onto `Trigger.ProcessingTime` and the bounded
-  * forms onto `AvailableNow`; calendar alignment ("daily starting …") is an
-  * external-scheduler concern in Spark and is out of engine scope.
-  */
-object Schedule {
-  private val Every = """(?i)every\s+(\d+)\s*(second|minute|hour)s?""".r
-  private val Bare  = """(?i)(secondly|minutely|hourly)""".r
-
-  def parse(s: String): Trigger = s.trim match {
-    case Every(n, unit)  => Trigger.ProcessingTime(s"$n ${unit.toLowerCase}s")
-    case Bare(freq)      => Trigger.ProcessingTime(freq.toLowerCase match {
-      case "secondly" => "1 second"
-      case "minutely" => "1 minute"
-      case "hourly"   => "1 hour"
-    })
-    case "once" | "available now" | "now" => Trigger.AvailableNow()
-    case other => throw new IllegalArgumentException(s"unparseable schedule: '$other'")
-  }
-}

@@ -35,7 +35,16 @@ final class SyncEngine(spark: SparkSession, root: String) {
 
   def storage(spec: PipeSpec): PipeStorage = new PipeStorage(spark, root, spec)
 
-  def sync(spec: PipeSpec, batch0: DataFrame): SyncResult = {
+  /** Sync entry point: a [[SyncStrategy]] on the spec replaces the engine's
+    * sync wholesale (reference plugin `sync()`, core/Pipe/_sync.py:201-261);
+    * otherwise the standard diff-then-apply pipeline runs. */
+  def sync(spec: PipeSpec, batch0: DataFrame): SyncResult =
+    spec.strategy match {
+      case Some(st) => st.sync(this, spec, batch0)
+      case None     => syncDefault(spec, batch0)
+    }
+
+  def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
 
     // 1. dtype enforcement (reference core/Pipe/_dtypes.py:19-115)
@@ -45,6 +54,26 @@ final class SyncEngine(spark: SparkSession, root: String) {
     spec.columns.datetime.foreach { dt =>
       if (spec.autotime && !batch.columns.contains(dt))
         batch = batch.withColumn(dt, current_timestamp().cast("timestamp_ntz"))
+    }
+
+    // 2b. autoincrement surrogate primary key (reference
+    //     core/Pipe/__init__.py:278-279 — DB identity): batches without the
+    //     pk column get maxExisting + row_number. The global window is a
+    //     deliberate serial point, exactly like a DB identity column; pipes
+    //     that need parallel ingest should carry natural keys instead.
+    spec.columns.primary.foreach { pk =>
+      if (spec.autoincrement && !batch.columns.contains(pk)) {
+        val base =
+          if (store.exists) {
+            val r = store.read.agg(max(col(pk).cast("long"))).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          } else 0L
+        val order = spec.columns.datetime.filter(batch.columns.contains)
+          .map(col).getOrElse(lit(1))
+        batch = batch.withColumn(pk,
+          lit(base) + row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(order)))
+      }
     }
 
     // 3. first sync: create the target outright

@@ -146,3 +146,75 @@ class CatalogSpec extends SparkSpec {
     assert(cat.all.size == 2)
   }
 }
+
+class TimeFnsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.dsl.{CoerceTz, RoundTime}
+
+  private lazy val ts = Seq(
+    "2024-03-10 10:00:00", "2024-03-10 10:20:00", "2024-03-10 10:40:00",
+    "2024-03-10 10:30:00").toDF("s")
+    .select(to_timestamp_ntz(col("s")).as("t"))
+
+  test("round_time: floor, ceil (boundary stays), closest (ties up)") {
+    val r = ts.select(
+      RoundTime.floor(col("t"), "hour").cast("timestamp_ntz").as("f"),
+      RoundTime.ceil(col("t"), "hour").cast("timestamp_ntz").as("c"),
+      RoundTime.closest(col("t"), "hour").cast("timestamp_ntz").as("n"))
+      .collect().map(x => (x.get(0).toString, x.get(1).toString, x.get(2).toString))
+    assert(r(0) == ("2024-03-10T10:00", "2024-03-10T10:00", "2024-03-10T10:00")) // boundary
+    assert(r(1) == ("2024-03-10T10:00", "2024-03-10T11:00", "2024-03-10T10:00")) // :20 → down
+    assert(r(2) == ("2024-03-10T10:00", "2024-03-10T11:00", "2024-03-10T11:00")) // :40 → up
+    assert(r(3)._3 == "2024-03-10T11:00")                                        // :30 tie → up
+  }
+
+  test("coerce_timezone: assumeZone converts to UTC instant; convertNaive shifts walls") {
+    val df = Seq("2024-06-01 12:00:00").toDF("s")
+      .select(to_timestamp_ntz(col("s")).as("t"))
+    // noon New York in June = 16:00 UTC (EDT, UTC-4)
+    val instant = df.select(CoerceTz.assumeZone(col("t"), "America/New_York")
+      .cast("timestamp_ntz")).head().get(0).toString
+    assert(instant == "2024-06-01T16:00")
+    val wall = df.select(CoerceTz.convertNaive(col("t"), "UTC", "Asia/Tokyo"))
+      .head().get(0).toString
+    assert(wall == "2024-06-01T21:00")
+    val strip = df.select(CoerceTz.stripToUtcNaive(col("t").cast("timestamp")))
+      .head().get(0).toString
+    assert(strip == "2024-06-01T12:00")
+  }
+}
+
+class StrategySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import graft.sync.{SyncEngine, SyncResult, SyncStrategy}
+
+  test("SyncStrategy overrides the engine sync; can delegate to syncDefault") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    var hookRan = 0
+    val strategy = new SyncStrategy {
+      def sync(e: SyncEngine, spec: PipeSpec, batch: org.apache.spark.sql.DataFrame): SyncResult = {
+        hookRan += 1
+        // custom preprocessing, then the standard pipeline
+        e.syncDefault(spec, batch.withColumn("tagged", lit(true)))
+      }
+    }
+    val spec = PipeSpec(PipeKeys("test", "strat"),
+      columns = ColumnRoles(Map("primary" -> "pk")), strategy = Some(strategy))
+    val r = eng.sync(spec, Seq((1L, "a")).toDF("pk", "v"))
+    assert(hookRan == 1 && r.inserted == 1)
+    assert(eng.getData(spec).columns.contains("tagged"))
+  }
+
+  test("autoincrement: batches without the pk column get sequential ids") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "autoinc"),
+      columns = ColumnRoles(Map("primary" -> "pk")), autoincrement = true)
+    eng.sync(spec, Seq("a", "b", "c").toDF("v"))
+    eng.sync(spec, Seq("d", "e").toDF("v"))
+    val got = eng.getData(spec).orderBy("pk")
+      .select("pk", "v").as[(Long, String)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_._2).sorted.toSeq == Seq("a", "b", "c", "d", "e"))
+  }
+}

@@ -99,10 +99,43 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("schedule DSL maps to triggers") {
-    assert(Schedule.parse("every 10 minutes") == Trigger.ProcessingTime("10 minutes"))
-    assert(Schedule.parse("every 1 second") == Trigger.ProcessingTime("1 seconds"))
-    assert(Schedule.parse("hourly") == Trigger.ProcessingTime("1 hour"))
-    assert(Schedule.parse("once").isInstanceOf[Trigger])
-    intercept[IllegalArgumentException](Schedule.parse("fortnightly vibes"))
+    assert(Schedule.toTrigger("every 10 minutes") == Trigger.ProcessingTime("10 minutes"))
+    assert(Schedule.toTrigger("every 1 second") == Trigger.ProcessingTime("1 seconds"))
+    assert(Schedule.toTrigger("hourly") == Trigger.ProcessingTime("1 hours"))
+    assert(Schedule.toTrigger("once").isInstanceOf[Trigger])
+    intercept[IllegalArgumentException](Schedule.toTrigger("fortnightly vibes"))
+  }
+
+  test("schedule DSL next-fire goldens (reference tests/utils/test_schedule.py)") {
+    import java.time.LocalDateTime
+    val from = LocalDateTime.parse("2024-01-01T00:00:00")
+    def fires(s: String, n: Int = 3): Seq[String] =
+      Schedule.nextFires(s, from, n).map(_.toString)
+
+    assert(fires("every 10 seconds starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-01T00:00:10", "2024-05-01T00:00:20"))
+    assert(fires("* * * * * starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-01T00:01", "2024-05-01T00:02"))
+    assert(fires("daily starting May 1, 2024") ==
+      Seq("2024-05-01T00:00", "2024-05-02T00:00", "2024-05-03T00:00"))
+    assert(fires("weekly starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-08T00:00", "2024-05-15T00:00"))
+    assert(fires("monthly starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-06-01T00:00", "2024-07-01T00:00"))
+    assert(fires("every 3 seconds starting 2024-01-23 01:23:34") ==
+      Seq("2024-01-23T01:23:34", "2024-01-23T01:23:37", "2024-01-23T01:23:40"))
+    assert(fires("weekly & daily starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-08T00:00", "2024-05-15T00:00"))
+    assert(fires("every 3 days & every 5 days starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-16T00:00", "2024-05-31T00:00"))
+    assert(fires("every 13 minutes & every 17 minutes starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-01T03:41", "2024-05-01T07:22"))
+    assert(fires("every 13 minutes | every 17 minutes starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-01T00:13", "2024-05-01T00:17"))
+    assert(fires("every 7 minutes and every 3 days starting 2024-05-01") ==
+      Seq("2024-05-01T00:00", "2024-05-22T00:00", "2024-06-12T00:00"))
+    // cron subset: weekday mornings at a fixed minute
+    assert(fires("30 6 * * mon-fri starting 2024-05-01") ==
+      Seq("2024-05-01T06:30", "2024-05-02T06:30", "2024-05-03T06:30"))
   }
 }
