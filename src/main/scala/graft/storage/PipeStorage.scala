@@ -109,6 +109,52 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (partitioned) df.drop(PartCol) else df
   }
 
+  /** The chunk label of a bound value, computed driver-side with the same
+    * rule as [[chunkExpr]] — used to derive partition-directory predicates
+    * from time bounds. */
+  private def chunkLabelOf(v: Any): String = (spec.epochUnit, v) match {
+    case (Some(unit), l: Long) =>
+      Math.floorDiv(l, graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes)).toString
+    case (None, d: java.time.LocalDateTime) =>
+      val m = spec.chunkMinutes
+      val p = if (m >= 43200) "yyyy-MM" else if (m >= 1440) "yyyy-MM-dd"
+              else if (m >= 60) "yyyy-MM-dd_HH" else "yyyy-MM-dd_HH-mm"
+      d.format(java.time.format.DateTimeFormatter.ofPattern(p))
+    case other => throw new IllegalArgumentException(
+      s"bound $other does not match the pipe's axis (epochUnit=${spec.epochUnit})")
+  }
+
+  /** Bounded read with PARTITION-DIRECTORY pruning: the time bounds become a
+    * chunk-label range predicate (calendar labels compare lexicographically;
+    * epoch labels numerically), so a windowed read on a 100 TB pipe lists and
+    * scans only the chunk directories the window intersects — on top of the
+    * row-level bound predicate, which parquet min/max stats serve within the
+    * surviving files. `end` is exclusive unless `endInclusive`. Bounds are
+    * `LocalDateTime` (timestamp axis) or `Long` (epoch axis). */
+  def readRange(begin: Option[Any], end: Option[Any],
+                endInclusive: Boolean = false): DataFrame = {
+    val dt = dtCol.getOrElse(return read)
+    if (!partitioned || (begin.isEmpty && end.isEmpty)) {
+      var df = read
+      begin.foreach(b => df = df.where(col(dt) >= lit(b)))
+      end.foreach(e => df = df.where(if (endInclusive) col(dt) <= lit(e) else col(dt) < lit(e)))
+      return df
+    }
+    val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val partC: Column =
+      if (spec.epochUnit.isDefined) col(PartCol).cast("long") else col(PartCol)
+    def labelLit(v: Any): Column =
+      if (spec.epochUnit.isDefined) lit(chunkLabelOf(v).toLong) else lit(chunkLabelOf(v))
+    var pred: Column = lit(true)
+    begin.foreach { b => pred = pred && partC >= labelLit(b) && col(dt) >= lit(b) }
+    end.foreach { e =>
+      // the chunk containing `end` may hold rows before it — keep it
+      pred = pred && partC <= labelLit(e) &&
+        (if (endInclusive) col(dt) <= lit(e) else col(dt) < lit(e))
+    }
+    df.where(pred).drop(PartCol)
+  }
+
   /** Read only the partitions matching a chunk-value list — parquet partition
     * pruning keeps this proportional to the window, not the table. */
   private def readChunks(chunks: Seq[String], includeNullChunk: Boolean): DataFrame = {

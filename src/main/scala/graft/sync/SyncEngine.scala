@@ -139,7 +139,7 @@ final class SyncEngine(spark: SparkSession, root: String) {
   private def tagAgainstTarget(spec: PipeSpec, store: PipeStorage, target: DataFrame,
                                batch: DataFrame, keys: Seq[String],
                                diff: Boolean): DataFrame = {
-    val backtrack = backtrackSlice(spec, target, batch)
+    val backtrack = backtrackSlice(spec, store, target, batch)
     if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag)
     else {
       val bt = backtrack.select(keys.map(col): _*).distinct()
@@ -202,7 +202,14 @@ final class SyncEngine(spark: SparkSession, root: String) {
   /** Target slice the diff compares against: rows inside the batch's dt
     * envelope ±1 minute (reference core/Pipe/_sync.py:860-896). Without a dt
     * axis the whole target is the backtrack (small-dimension pipes). */
-  private def backtrackSlice(spec: PipeSpec, target: DataFrame, batch: DataFrame): DataFrame =
+  private def backtrackSlice(spec: PipeSpec, store: PipeStorage, target: DataFrame,
+                             batch: DataFrame): DataFrame = {
+    // the slice goes back to STORAGE with explicit bounds, so the chunk-label
+    // range prunes partition directories — at 100 TB the diff reads only the
+    // chunks the batch's dt envelope touches, not the table's file listing
+    def pruned(lo: Any, hi: Any): DataFrame =
+      SchemaEvolution.conform(
+        store.readRange(Some(lo), Some(hi), endInclusive = true), target.schema)
     spec.columns.datetime.filter(batch.columns.contains) match {
       case Some(dt) if spec.epochUnit.isDefined =>
         // integer-epoch axis: the same ±1-minute envelope in axis units
@@ -210,19 +217,18 @@ final class SyncEngine(spark: SparkSession, root: String) {
         val row = batch.agg(
           min(col(dt)).cast("long").as("lo"), max(col(dt)).cast("long").as("hi")).head()
         if (row.isNullAt(0) || row.isNullAt(1)) target
-        else target.where(
-          col(dt) >= lit(row.getLong(0) - pad) && col(dt) <= lit(row.getLong(1) + pad))
+        else pruned(row.getLong(0) - pad, row.getLong(1) + pad)
       case Some(dt) =>
         val row = batch.agg(
           min(col(dt)).cast("timestamp_ntz").as("lo"),
           max(col(dt)).cast("timestamp_ntz").as("hi")).head()
         (Option(row.getAs[LocalDateTime]("lo")), Option(row.getAs[LocalDateTime]("hi"))) match {
-          case (Some(lo), Some(hi)) =>
-            target.where(col(dt) >= lit(lo.minusMinutes(1)) && col(dt) <= lit(hi.plusMinutes(1)))
+          case (Some(lo), Some(hi)) => pruned(lo.minusMinutes(1), hi.plusMinutes(1))
           case _ => target
         }
       case None => target
     }
+  }
 
   /** Begin bound for the next fetch: newest sync time minus the backtrack
     * window (reference core/Pipe/_fetch.py:144-181). */
@@ -297,13 +303,10 @@ final class SyncEngine(spark: SparkSession, root: String) {
       orderDesc: Boolean = false,
       limit: Option[Int] = None): DataFrame = {
 
-    var df = storage(spec).read
-    spec.columns.datetime.foreach { dt =>
-      begin.foreach(b => df = df.where(col(dt) >= lit(b)))
-      end.foreach(e => df = df.where(col(dt) < lit(e)))
-      beginEpoch.foreach(b => df = df.where(col(dt) >= lit(b)))
-      endEpoch.foreach(e => df = df.where(col(dt) < lit(e)))
-    }
+    // bounded reads go through readRange: the chunk-label predicate prunes
+    // partition directories before any file is opened
+    var df = storage(spec).readRange(
+      begin.orElse(beginEpoch), end.orElse(endEpoch))
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))
     if (select.nonEmpty) df = df.select(select.map(col): _*)
     if (omit.nonEmpty)   df = df.drop(omit: _*)
@@ -322,11 +325,7 @@ final class SyncEngine(spark: SparkSession, root: String) {
                begin: Option[LocalDateTime] = None,
                end: Option[LocalDateTime] = None,
                params: Map[String, Any] = Map.empty): Long = {
-    var df = storage(spec).read
-    spec.columns.datetime.foreach { dt =>
-      begin.foreach(b => df = df.where(col(dt) >= lit(b)))
-      end.foreach(e => df = df.where(col(dt) < lit(e)))
-    }
+    var df = storage(spec).readRange(begin, end)
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))
     df.count()
   }

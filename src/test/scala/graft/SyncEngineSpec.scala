@@ -268,6 +268,33 @@ class SyncEngineSpec extends SparkSpec {
     assert(eng.deduplicate(spec, extraOrder = Seq("val")) == 0)
   }
 
+  test("bounded reads prune partition directories via the chunk label") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "prune").copy(chunkMinutes = 1440)
+    eng.sync(spec, batch(Seq(
+      ("2024-01-01 10:00:00", 1L, 1.0),
+      ("2024-01-02 10:00:00", 2L, 2.0),
+      ("2024-01-03 10:00:00", 3L, 3.0))))
+    val got = eng.getData(spec,
+      begin = Some(LocalDateTime.parse("2024-01-02T00:00:00")),
+      end   = Some(LocalDateTime.parse("2024-01-03T00:00:00")))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("__graft_chunk"), plan)
+    assert(got.select("id").as[Long].collect().toSeq == Seq(2L))
+    // epoch axis: numeric label comparison (lexicographic would be wrong)
+    val especRoot = tmpDir(); val eeng = new SyncEngine(spark, especRoot)
+    val espec = PipeSpec(PipeKeys("test", "eprune"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "id" -> "id")),
+      epochUnit = Some("second"), chunkMinutes = 1)
+    // chunk per minute: labels 28333333 (9 digits) vs earlier 5-digit-safe?
+    eeng.sync(espec, Seq((1699999000L, 1L), (1700000000L, 2L), (1700001200L, 3L))
+      .toDF("ts", "id"))
+    val egot = eeng.getData(espec,
+      beginEpoch = Some(1700000000L), endEpoch = Some(1700001000L))
+    assert(egot.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("sync time bookmark and backtrack begin") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = mkSpec(root, "bt")
