@@ -356,6 +356,35 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.3 per-id as-of incremental fetch through the ENGINE (join_fetch)
+    // The pipe holds events below id 800; joinFetchSync embeds each user's
+    // max(ts) as a remote VALUES join and pulls only newer/new-user rows.
+    "q_join_fetch_incremental" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graftjf;create=true"
+      val up = Tables.events(s, d)
+        .select(col("event_id").as("EVENT_ID"), col("ts").as("TS"),
+                col("user_id").as("USER_ID"), col("event_type").as("ETYPE"),
+                col("value").as("VAL"))
+      up.withColumn("TS", col("TS").cast("timestamp"))
+        .write.mode("overwrite")
+        .option("createTableColumnTypes", "ETYPE VARCHAR(32)")
+        .jdbc(url, "EVENTS", new java.util.Properties)
+      val root = java.nio.file.Files.createTempDirectory("graft_jf").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("jdbc", "join_fetch"),
+        columns = ColumnRoles(Map(
+          "datetime" -> "TS", "id" -> "USER_ID", "primary" -> "EVENT_ID")))
+      eng.sync(spec, up.where(col("EVENT_ID") < 800))
+      val src = new graft.sources.SqlDefinitionSource(url, "SELECT * FROM EVENTS")
+      eng.joinFetchSync(spec, src, maxIds = 100000)
+      eng.getData(spec)
+        .select(col("EVENT_ID").as("event_id"),
+                col("TS").cast("timestamp_ntz").as("ts"),
+                col("USER_ID").as("user_id"), col("ETYPE").as("event_type"),
+                col("VAL").as("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.5/§2.11 deduplicate as a maintenance op on the STORED pipe ────
     // Plant duplicates via raw appends (bypassing the sync diff), then
     // rank-and-rebuild only the chunks that lose rows.
@@ -703,6 +732,14 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id >= 300 THEN upper(event_type) ELSE event_type END AS event_type,
          value, props FROM events ORDER BY event_id""",
+
+    "q_join_fetch_incremental" ->
+      """WITH t AS (SELECT * FROM events WHERE event_id < 800),
+         st AS (SELECT user_id, max(ts) AS st FROM t GROUP BY user_id)
+         SELECT e.event_id, e.ts, e.user_id AS user_id, e.event_type, e.value
+         FROM events e LEFT JOIN st ON e.user_id = st.user_id
+         WHERE e.event_id < 800 OR e.ts > st.st OR st.st IS NULL
+         ORDER BY e.event_id""",
 
     "q_jdbc_definition_fetch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events

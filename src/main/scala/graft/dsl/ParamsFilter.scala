@@ -199,6 +199,9 @@ object SqlText {
     case d: java.time.LocalDateTime => s"{ts '${tsString(d)}'}"
     case i: java.time.Instant =>
       s"{ts '${tsString(java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC))}'}"
+    case t: java.sql.Timestamp => s"{ts '${tsString(t.toLocalDateTime)}'}"
+    case d: java.sql.Date      => s"{d '${d.toString}'}"
+    case d: java.time.LocalDate => s"{d '${d.toString}'}"
     case n @ (_: Long | _: Int | _: Short | _: Byte) => n.toString
     case n @ (_: Double | _: Float)                  => n.toString
     case b: Boolean                                  => b.toString.toUpperCase

@@ -69,6 +69,39 @@ final class SqlDefinitionSource(
       case _ => reader.load()
     }
   }
+
+  /** Per-id as-of incremental fetch — the reference's `join_fetch`
+    * (connectors/sql/_fetch.py:449-521): the pipe's per-id sync times are
+    * embedded as a VALUES table joined against the definition REMOTELY, so
+    * only rows newer than each id's bookmark (plus rows for unseen ids when
+    * `newIds`) cross the wire. `syncTimes` is bounded driver-side state —
+    * one (id, maxDt) pair per id, exactly what the reference ships as a
+    * UNION-ALL CTE. */
+  def fetchJoinIncremental(spark: SparkSession, spec: PipeSpec,
+                           syncTimes: Seq[(Any, Any)],
+                           params: Map[String, Any] = Map.empty,
+                           newIds: Boolean = true): DataFrame = {
+    val idCol = spec.columns.roles.getOrElse("id",
+      throw new IllegalArgumentException("join fetch requires an 'id' column role"))
+    val dtCol = spec.columns.datetime.getOrElse(
+      throw new IllegalArgumentException("join fetch requires a datetime column role"))
+    require(syncTimes.nonEmpty, "join fetch requires at least one sync time")
+    val rows = syncTimes.map { case (id, st) =>
+      s"(${SqlText.literal(id)}, ${SqlText.literal(st)})"
+    }.mkString(", ")
+    val paramSql = ParamsFilter.toSql(params)
+    val extra    = if (paramSql.nonEmpty) s" AND ($paramSql)" else ""
+    val newPred  = if (newIds) s" OR st.GRAFT_JOIN_ID IS NULL" else ""
+    val sub =
+      s"""(SELECT d.* FROM ($definition) d
+          LEFT OUTER JOIN (VALUES $rows) st (GRAFT_JOIN_ID, GRAFT_JOIN_ST)
+          ON st.GRAFT_JOIN_ID = d.$idCol
+          WHERE (d.$dtCol > st.GRAFT_JOIN_ST$newPred)$extra) graft_src"""
+    var reader: DataFrameReader = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", sub).option("fetchsize", fetchSize)
+    props.foreach { case (k, v) => reader = reader.option(k, v) }
+    reader.load()
+  }
 }
 
 /** Backtrack arithmetic shared by engine-driven fetches: the reference's

@@ -252,6 +252,41 @@ final class SyncEngine(spark: SparkSession, root: String) {
     sync(spec, source.fetch(spark, spec, effBegin, end, params))
   }
 
+  /** Per-id as-of incremental sync — the reference's `join_fetch`
+    * (connectors/sql/_fetch.py:449-521): fetch only rows newer than each
+    * id's own sync time (plus rows for unseen ids). A JDBC source gets the
+    * VALUES join pushed into the remote query; any other source is fetched
+    * and filtered with a broadcast join in Spark. Falls back to the plain
+    * backtrack fetch when the pipe is empty, has no id role, or the id
+    * cardinality exceeds `maxIds` (the reference's 250-value pushdown
+    * heuristic, config/_default.py:247 — past that the VALUES list hurts the
+    * remote planner more than it saves). */
+  def joinFetchSync(spec: PipeSpec, source: graft.sources.Source,
+                    params: Map[String, Any] = Map.empty,
+                    newIds: Boolean = true, maxIds: Int = 250): SyncResult = {
+    val store = storage(spec)
+    val idColOpt = spec.columns.roles.get("id")
+    val dtColOpt = spec.columns.datetime
+    if (!store.exists || idColOpt.isEmpty || dtColOpt.isEmpty)
+      return fetchSync(spec, source, params = params)
+    val (idCol, dtCol) = (idColOpt.get, dtColOpt.get)
+    val stDf = store.read.groupBy(col(idCol)).agg(max(col(dtCol)).as("__graft_st"))
+    source match {
+      case sql: graft.sources.SqlDefinitionSource =>
+        val times = stDf.limit(maxIds + 1).collect()
+        if (times.length > maxIds) return fetchSync(spec, source, params = params)
+        val pairs = times.map(r => (r.get(0), r.get(1))).toSeq
+        if (pairs.isEmpty) return fetchSync(spec, source, params = params)
+        sync(spec, sql.fetchJoinIncremental(spark, spec, pairs, params, newIds))
+      case other =>
+        val fetched = other.fetch(spark, spec, None, None, params)
+        val cond = col(dtCol) > col("__graft_st") ||
+          (if (newIds) col("__graft_st").isNull else lit(false))
+        sync(spec, fetched.join(broadcast(stDf), Seq(idCol), "left")
+          .where(cond).drop("__graft_st"))
+    }
+  }
+
   /** Rows as JSON documents — the reference's `get_pipe_docs`
     * (connectors/sql/_pipes.py:1265-1297). Same read surface as
     * [[getData]], serialized row-per-line. */

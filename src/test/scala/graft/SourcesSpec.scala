@@ -82,6 +82,43 @@ class SourcesSpec extends SparkSpec {
     assert(eng.storage(spec).rowCount == 5)
   }
 
+  test("joinFetchSync: per-id VALUES join pushed to the remote; new ids included") {
+    val url = jdbcUrl("joinfetch")
+    seedRemote(url)
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("jdbc", "jf"),
+      columns = ColumnRoles(Map("datetime" -> "TS", "id" -> "ID")))
+    // pipe starts with the day-1/day-2 rows for ids 1 and 2
+    val src = new SqlDefinitionSource(url, "SELECT * FROM EVENTS")
+    eng.sync(spec, src.fetch(spark, spec,
+      end = Some(LocalDateTime.parse("2024-01-03T00:00:00"))))
+    assert(eng.storage(spec).rowCount == 2)
+    // join fetch pulls: id 3 (new), id 1 day-4, id 2 day-5
+    val r = eng.joinFetchSync(spec, src)
+    assert(r.inserted == 3 && r.updated == 0)
+    assert(eng.storage(spec).rowCount == 5)
+    // idempotent: nothing newer remains
+    assert(eng.joinFetchSync(spec, src).total == 0)
+  }
+
+  test("joinFetchSync generic source path filters with a broadcast join") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("plugin", "jf_generic"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("dts", "id", "v")
+        .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+        .select("dt", "id", "v")
+    val all = Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0), ("2024-01-02 00:00:00", 1L, 2.0),
+      ("2024-01-01 00:00:00", 2L, 3.0), ("2024-01-03 00:00:00", 3L, 4.0))
+    val src = new FnSource((_, _, _, _) => mk(all))
+    eng.sync(spec, mk(all.take(1) ++ all.slice(2, 3))) // id1 day1, id2 day1
+    val r = eng.joinFetchSync(spec, src)
+    assert(r.inserted == 2) // id1 day2 (newer) + id3 (new); id2 day1 not newer
+    assert(eng.storage(spec).rowCount == 4)
+  }
+
   test("params DSL renders ANSI SQL (negation, IN, nulls)") {
     assert(ParamsFilter.toSql(Map("a" -> 1L)) == "a = 1")
     assert(ParamsFilter.toSql(Map("a" -> Seq("x", "_y"))) ==
