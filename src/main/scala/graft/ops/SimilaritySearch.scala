@@ -127,6 +127,37 @@ object SimilaritySearch {
     emb.withColumn(cellCol, cell.cast("int"))
   }
 
+  /** Distributed spherical k-means (Lloyd's) for production IVF centroids:
+    * assignment is the same argmax-over-literal-centroids projection as the
+    * index build (no join, no window), and the update step is ONE
+    * posexplode + hash aggregate per iteration — per-dimension means with
+    * map-side partial aggregation, collecting only k×dim cell means
+    * (bounded driver state). Empty clusters keep their previous centroid.
+    * Deterministic given the deterministic init ([[sampleCentroids]]), so
+    * runs are reproducible; the sampled init alone is the oracle-checkable
+    * configuration. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int = 5): Seq[Seq[Double]] = {
+    var cents = sampleCentroids(emb, idCol, vecCol, k)
+    val dim = cents.head.length
+    for (_ <- 1 to iterations) {
+      val assigned = withIvfCell(emb, vecCol, cents, "__graft_cell")
+      val means = assigned
+        .select(col("__graft_cell"), posexplode(col(vecCol).cast("array<double>")))
+        .groupBy(col("__graft_cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cell -> v.toSeq
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
   /** Driver-side probe-cell selection: the nProbe centroids nearest to the
     * query (same score formula as the build side). */
   def ivfProbeCells(centroids: Seq[Seq[Double]], query: Seq[Double], nProbe: Int): Seq[Int] =

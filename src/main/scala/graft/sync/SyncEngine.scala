@@ -31,18 +31,35 @@ final case class SyncResult(inserted: Long, updated: Long) {
   def total: Long = inserted + updated
 }
 
-final class SyncEngine(spark: SparkSession, root: String) {
+/** Row-level and lifecycle hooks — the reference's `chunk_hook` applied per
+  * fetched chunk (core/Pipe/_fetch.py:62-76) and the `@pre_sync_hook` /
+  * `@post_sync_hook` plugin decorators (plugins/__init__.py:129-206).
+  * `chunkHook` rewrites each fetched frame before it enters the pipeline;
+  * `preSync` runs on every batch (fetched or handed in); `postSync` observes
+  * the result. */
+final case class SyncHooks(
+    preSync: (PipeSpec, DataFrame) => DataFrame = (_, df) => df,
+    postSync: (PipeSpec, SyncResult) => Unit = (_, _) => (),
+    chunkHook: DataFrame => DataFrame = identity)
+
+final class SyncEngine(spark: SparkSession, root: String,
+                       hooks: SyncHooks = SyncHooks()) {
 
   def storage(spec: PipeSpec): PipeStorage = new PipeStorage(spark, root, spec)
 
   /** Sync entry point: a [[SyncStrategy]] on the spec replaces the engine's
     * sync wholesale (reference plugin `sync()`, core/Pipe/_sync.py:201-261);
-    * otherwise the standard diff-then-apply pipeline runs. */
-  def sync(spec: PipeSpec, batch0: DataFrame): SyncResult =
-    spec.strategy match {
-      case Some(st) => st.sync(this, spec, batch0)
-      case None     => syncDefault(spec, batch0)
+    * otherwise the standard diff-then-apply pipeline runs, bracketed by the
+    * engine's [[SyncHooks]]. */
+  def sync(spec: PipeSpec, batch0: DataFrame): SyncResult = {
+    val pre = hooks.preSync(spec, batch0)
+    val result = spec.strategy match {
+      case Some(st) => st.sync(this, spec, pre)
+      case None     => syncDefault(spec, pre)
     }
+    hooks.postSync(spec, result)
+    result
+  }
 
   def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
@@ -249,7 +266,7 @@ final class SyncEngine(spark: SparkSession, root: String) {
           .map(graft.sources.Backtrack.subtract(spec, _, spec.backtrackMinutes))
       else nextFetchBegin(spec)
     }
-    sync(spec, source.fetch(spark, spec, effBegin, end, params))
+    sync(spec, hooks.chunkHook(source.fetch(spark, spec, effBegin, end, params)))
   }
 
   /** Per-id as-of incremental sync — the reference's `join_fetch`

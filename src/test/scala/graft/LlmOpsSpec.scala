@@ -144,6 +144,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans centroids separate directional blobs; assignment stays shuffle-free") {
+    // two tight directional clusters in 4-d
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0, 0.0, 0.0, 0.0) else Array(0.0, 10.0, 0.0, 0.0)
+      (i.toLong, base.map(v => (v + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = SimilaritySearch.kmeansCentroids(df, "vec_id", "embedding", k = 2, iterations = 4)
+    // each centroid should be dominated by a different axis
+    val axes = cents.map(c => c.indexOf(c.max)).toSet
+    assert(axes == Set(0, 1), s"centroids $cents")
+    val celled = SimilaritySearch.withIvfCell(df, "embedding", cents)
+    assert(!celled.queryExecution.executedPlan.toString.contains("Exchange"))
+    // cluster membership matches parity of construction
+    val cells = celled.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert((0 until 40).forall(i => cells(i.toLong) == cells((i % 2).toLong)))
+  }
+
   test("IVF top-k: cell-pruned probe returns exact cosines; probe plan has no join") {
     val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

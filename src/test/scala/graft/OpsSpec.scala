@@ -206,6 +206,28 @@ class StrategySpec extends SparkSpec {
     assert(eng.getData(spec).columns.contains("tagged"))
   }
 
+  test("sync hooks: preSync rewrites, postSync observes, chunkHook wraps fetches") {
+    import graft.sources.FnSource
+    import graft.sync.SyncHooks
+    val root = tmpDir()
+    var post = Seq.empty[Long]
+    val hooks = SyncHooks(
+      preSync  = (_, df) => df.withColumn("stamped", lit(true)),
+      postSync = (_, r) => post = post :+ r.total,
+      chunkHook = df => df.where(col("v") =!= "drop"))
+    val eng = new SyncEngine(spark, root, hooks)
+    val spec = PipeSpec(PipeKeys("test", "hooks"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val src = new FnSource((s, _, _, _) => {
+      import s.implicits._
+      Seq((1L, "keep"), (2L, "drop")).toDF("pk", "v")
+    })
+    val r = eng.fetchSync(spec, src)
+    assert(r.inserted == 1)            // chunkHook dropped the 'drop' row
+    assert(post == Seq(1L))            // postSync observed the result
+    assert(eng.getData(spec).columns.contains("stamped")) // preSync applied
+  }
+
   test("autoincrement: batches without the pk column get sequential ids") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = PipeSpec(PipeKeys("test", "autoinc"),
