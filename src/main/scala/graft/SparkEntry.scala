@@ -406,6 +406,28 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.9 verify/backfill: windowed rowcount compare + bounded re-sync ─
+    // Clear a 5-day hole, verify against the source: one windowed aggregate
+    // per side finds the mismatched chunks, one re-sync bounded to exactly
+    // those chunks repairs them.
+    "q_verify_backfill" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_verify").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "backfill"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")),
+        chunkMinutes = 1440)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      eng.sync(spec, ev)
+      eng.storage(spec).clear(
+        col("ts") >= lit(ts("2024-01-10 00:00:00")) &&
+        col("ts") <  lit(ts("2024-01-15 00:00:00")))
+      graft.ops.Maintenance.verify(eng, spec, ev)
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.8/§3 integer-epoch datetime axis end-to-end ───────────────────
     // The same sync pipeline on an epoch-second axis (precision unit flows
     // through bounds, backtrack envelope, and chunk labels).
@@ -751,6 +773,9 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id % 5 = 0 THEN value + 1000 ELSE value END AS value
          FROM events ORDER BY event_id""",
+
+    "q_verify_backfill" ->
+      """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
 
     "q_sync_epoch_e2e" ->
       """SELECT event_id, epoch_us(ts) // 1000000 AS ts_s, user_id,

@@ -7,11 +7,11 @@ import scala.collection.concurrent.TrieMap
   * (meerschaum/connectors/sql/_pipes.py:143-360).
   *
   * The registry is metadata (thousands of entries, not data-plane scale), so
-  * it is an in-memory map with an optional JSON snapshot on disk — the Spark
-  * analogue of the reference's `pipes` table. Data-plane state lives in
-  * [[graft.storage.PipeStorage]].
+  * it is an in-memory map; [[PipeCatalogStore]] persists it as JSON lines —
+  * the Spark analogue of the reference's `pipes` table. Data-plane state
+  * lives in [[graft.storage.PipeStorage]].
   */
-final class PipeCatalog(snapshotDir: Option[String] = None) {
+final class PipeCatalog {
 
   private val pipes = TrieMap.empty[PipeKeys, PipeSpec]
 

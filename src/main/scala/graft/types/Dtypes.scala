@@ -73,6 +73,25 @@ object Dtypes {
     }
   }
 
+  /** Canonical string form, inverse of [[parse]]. */
+  def format(t: MrsmType): String = t match {
+    case MBool            => "bool"
+    case MInt8            => "int8"
+    case MInt16           => "int16"
+    case MInt32           => "int32"
+    case MInt64           => "int64"
+    case MFloat           => "float"
+    case MStr             => "str"
+    case MDate            => "date"
+    case MBytes           => "bytes"
+    case MUuid            => "uuid"
+    case MJson            => "json"
+    case MGeometry        => "geometry"
+    case MNumeric(p, s)   => s"numeric($p,$s)"
+    case MDatetime(true)  => "datetime64[us, UTC]"
+    case MDatetime(false) => "datetime64[us]"
+  }
+
   def fromSpark(dt: DataType): MrsmType = dt match {
     case BooleanType         => MBool
     case ByteType            => MInt8

@@ -147,6 +147,37 @@ class CatalogSpec extends SparkSpec {
   }
 }
 
+class CatalogStoreSpec extends SparkSpec {
+  import graft.catalog.{ColumnRoles, PipeCatalog, PipeCatalogStore, PipeKeys, PipeSpec}
+  import graft.types.MrsmType
+
+  test("catalog round-trips through the JSON snapshot") {
+    val cat = new PipeCatalog()
+    cat.register(PipeSpec(
+      PipeKeys("sql_main", "temperature", Some("office")),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "sensor")),
+      dtypes = Map("val" -> MrsmType.MNumeric(20, 5), "meta" -> MrsmType.MJson),
+      upsert = true, backtrackMinutes = 60, chunkMinutes = 1440,
+      epochUnit = None, tags = Seq("prod", "hvac")))
+    cat.register(PipeSpec(
+      PipeKeys("plugin_x", "counts"),
+      columns = ColumnRoles(Map("datetime" -> "ts")),
+      epochUnit = Some("second")))
+    val path = tmpDir() + "/registry"
+    PipeCatalogStore.save(spark, path, cat)
+    val loaded = PipeCatalogStore.load(spark, path)
+    assert(loaded.all.toSet == cat.all.toSet)
+    assert(loaded.search(tags = Seq("hvac")).map(_.keys.metric) == Seq("temperature"))
+  }
+
+  test("dtype format/parse round-trip") {
+    import graft.types.{Dtypes, MrsmType => M}
+    val ts = Seq(M.MBool, M.MInt8, M.MInt64, M.MFloat, M.MStr, M.MDate, M.MBytes,
+      M.MUuid, M.MJson, M.MGeometry, M.MNumeric(38, 20), M.MDatetime(true), M.MDatetime(false))
+    ts.foreach(t => assert(Dtypes.parse(Dtypes.format(t)) == t, t))
+  }
+}
+
 class TimeFnsSpec extends SparkSpec {
   import spark.implicits._
   import graft.dsl.{CoerceTz, RoundTime}
