@@ -43,7 +43,13 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   def basePath: String = s"$root/${spec.targetName}"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // ── versioned-snapshot plumbing (non-dt pipes) ─────────────────────────
+  // ── manifest-based snapshot plumbing (non-dt pipes) ────────────────────
+  // `_CURRENT` names a manifest; a manifest lists SEGMENT directories. An
+  // append writes one new segment plus a new manifest — O(batch), never
+  // O(table) — and flips the pointer atomically (the reference's temp-table
+  // + rename-swap discipline, connectors/sql/_pipes.py:4037-4105, without
+  // ever rewriting unrelated data). Overwrites start a fresh single-segment
+  // manifest; old manifests and orphan segments are GC'd.
   private def currentPtr = new Path(s"$basePath/_CURRENT")
   private def readPtr: Option[Int] = {
     if (!fs.exists(currentPtr)) None
@@ -57,17 +63,36 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     val out = fs.create(currentPtr, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
-  private def gcOldVersions(keep: Int): Unit = {
-    if (fs.exists(new Path(basePath))) {
-      val vs = fs.listStatus(new Path(basePath)).map(_.getPath.getName)
-        .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toInt).sorted
-      vs.dropRight(keep).foreach(v => fs.delete(new Path(s"$basePath/v_$v"), true))
-    }
+  private def manifestFor(v: Int) = new Path(s"$basePath/m_$v")
+  private def manifestNames(v: Int): Seq[String] = {
+    val in = fs.open(manifestFor(v))
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+  private def writeManifest(v: Int, segs: Seq[String]): Unit = {
+    val out = fs.create(manifestFor(v), true)
+    try out.write(segs.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+  /** Segment directories of the CURRENT snapshot. */
+  private def segDirs: Seq[String] =
+    readPtr.map(v => manifestNames(v).map(n => s"$basePath/$n")).getOrElse(Seq.empty)
+  private def gcOldSnapshots(keep: Int): Unit = {
+    if (!fs.exists(new Path(basePath))) return
+    val ms = fs.listStatus(new Path(basePath)).map(_.getPath.getName)
+      .filter(_.startsWith("m_")).map(_.stripPrefix("m_").toInt).sorted
+    val kept = ms.takeRight(keep)
+    val keptSegs = kept.flatMap(manifestNames).toSet
+    ms.dropRight(keep).foreach(v => fs.delete(manifestFor(v), false))
+    fs.listStatus(new Path(basePath)).map(_.getPath.getName)
+      .filter(_.startsWith("seg_")).filterNot(keptSegs.contains)
+      .foreach(n => fs.delete(new Path(s"$basePath/$n"), true))
   }
 
-  private def dataPath: String =
-    if (partitioned) s"$basePath/data"
-    else readPtr.map(v => s"$basePath/v_$v").getOrElse(s"$basePath/v_0")
+  private def dataPath: String = {
+    require(partitioned, "dataPath is only defined for time-partitioned pipes")
+    s"$basePath/data"
+  }
 
   def exists: Boolean =
     if (partitioned) fs.exists(new Path(s"$basePath/data"))
@@ -103,11 +128,16 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (partitioned) df.withColumn(PartCol, chunkExpr) else df
 
   /** Current table contents (partition column dropped). mergeSchema tolerates
-    * files written before a schema-evolution step. */
-  def read: DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
-    if (partitioned) df.drop(PartCol) else df
-  }
+    * files written before a schema-evolution step and across snapshot
+    * segments of different widths. */
+  def read: DataFrame =
+    if (partitioned)
+      spark.read.option("mergeSchema", "true").parquet(dataPath).drop(PartCol)
+    else {
+      val dirs = segDirs
+      require(dirs.nonEmpty, s"pipe ${spec.targetName} does not exist")
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
 
   /** The chunk label of a bound value, computed driver-side with the same
     * rule as [[chunkExpr]] — used to derive partition-directory predicates
@@ -182,9 +212,11 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       if (fs.exists(dataDir)) fs.delete(dataDir, true)
       fs.rename(tmp, dataDir)
     } else {
-      val v = if (firstVersion) 0 else readPtr.getOrElse(-1) + 1
-      df.write.mode(SaveMode.Overwrite).parquet(s"$basePath/v_$v")
-      writePtr(v); gcOldVersions(keep = 2)
+      val v   = readPtr.getOrElse(-1) + 1
+      val seg = s"seg_$v"
+      df.write.mode(SaveMode.Overwrite).parquet(s"$basePath/$seg")
+      writeManifest(v, Seq(seg))
+      writePtr(v); gcOldSnapshots(keep = 2)
     }
   }
 
@@ -192,8 +224,14 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (partitioned)
       withChunk(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(s"$basePath/data")
     else {
-      // snapshot layout: append = read + union + swap (kept atomic)
-      overwrite(read.unionByName(df, allowMissingColumns = true))
+      // snapshot layout: write ONE new segment + a manifest referencing the
+      // old segments plus it — O(batch) per append, atomic pointer flip
+      val prev = readPtr.map(manifestNames).getOrElse(Seq.empty)
+      val v    = readPtr.getOrElse(-1) + 1
+      val seg  = s"seg_$v"
+      df.write.mode(SaveMode.Overwrite).parquet(s"$basePath/$seg")
+      writeManifest(v, prev :+ seg)
+      writePtr(v); gcOldSnapshots(keep = 2)
     }
   }
 
@@ -361,26 +399,33 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     }
   }
 
+  private def liveDirs: Seq[String] =
+    if (partitioned) Seq(dataPath) else segDirs
+
   /** Number of data files currently backing the target (compaction metric). */
   def fileCount: Long = {
     if (!exists) return 0L
-    val it = fs.listFiles(new Path(dataPath), true)
-    var n = 0L
-    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-    n
+    liveDirs.map { d =>
+      val it = fs.listFiles(new Path(d), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }.sum
   }
 
   /** On-disk size in bytes — the reference's `get_pipe_size`
     * (connectors/sql/_compress.py:103); file-length sum, no scan. */
   def sizeBytes: Long = {
     if (!exists) return 0L
-    val it = fs.listFiles(new Path(dataPath), true)
-    var n = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName.endsWith(".parquet")) n += st.getLen
-    }
-    n
+    liveDirs.map { d =>
+      val it = fs.listFiles(new Path(d), true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) n += st.getLen
+      }
+      n
+    }.sum
   }
 
   /** Remove crash leftovers and superseded snapshots — the reference's
@@ -392,7 +437,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       val p = new Path(s"$basePath/$d")
       if (fs.exists(p)) fs.delete(p, true)
     }
-    if (!partitioned) gcOldVersions(keep = 1)
+    if (!partitioned) gcOldSnapshots(keep = 1)
   }
 
   def rowCount: Long = if (exists) read.count() else 0L

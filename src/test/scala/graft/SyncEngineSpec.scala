@@ -295,6 +295,35 @@ class SyncEngineSpec extends SparkSpec {
     assert(egot.select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("snapshot append is O(batch): existing segments untouched, atomic manifest flip") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "snapappend"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val store = eng.storage(spec)
+    store.create(Seq((1L, "a"), (2L, "b")).toDF("pk", "v"))
+    def segFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(s"$root/${spec.targetName}").listFiles()
+        .filter(_.getName.startsWith("seg_")).flatMap(walk)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = segFiles()
+    Thread.sleep(1100)
+    store.append(Seq((3L, "c")).toDF("pk", "v"))
+    val after = segFiles()
+    // original segment files survive byte-identical; only a new segment lands
+    assert(before.forall { case (p, t) => after.get(p).contains(t) })
+    assert(after.size > before.size)
+    assert(store.read.count() == 3)
+    // upsert and vacuum still work on the manifest layout
+    store.upsert(Seq((2L, "B")).toDF("pk", "v"), Seq("pk"))
+    assert(store.read.where(col("pk") === 2L).select("v").as[String].head() == "B")
+    store.vacuum()
+    assert(store.read.count() == 3)
+  }
+
   test("sync time bookmark and backtrack begin") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = mkSpec(root, "bt")
