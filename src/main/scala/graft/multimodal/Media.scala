@@ -58,6 +58,48 @@ object Media {
     }
   }
 
+  /** One sampled video frame (decoded payload stub). */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Int, ts_ms: Long, frame_payload: Array[Byte])
+
+  /** Stub resize: payload re-encoded for the new dimensions (here a
+    * deterministic size-proportional truncation/extension), dims updated.
+    * Partition-wise and shuffle-free — the real implementation swaps only
+    * the codec body. */
+  def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val targetLen = math.max(1,
+          (r.payload.length.toLong * (width.toLong * height) /
+            math.max(1L, r.width.toLong * r.height)).toInt)
+        val out = java.util.Arrays.copyOf(r.payload, targetLen)
+        r.copy(payload = out, width = width, height = height)
+      }
+    }
+  }
+
+  /** Frame sampling: one output row per sampled timestamp of each video —
+    * a partition-local flatMap (frames of one video never shuffle). The
+    * frame decode is the stubbed byte slice; everything around it (row
+    * explosion, schema, batch shape) is the production contract. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "video").flatMap { r =>
+        val n = (r.duration_ms / everyMs).toInt
+        (0 until n).iterator.map { i =>
+          val ts = i * everyMs
+          val off = if (r.payload.isEmpty) 0
+                    else (ts % math.max(1, r.payload.length)).toInt
+          val len = math.min(16, r.payload.length - off)
+          FrameRow(r.media_id, i, ts,
+            java.util.Arrays.copyOfRange(r.payload, off, off + math.max(0, len)))
+        }
+      }
+    }
+  }
+
   /** Build a deterministic media table from the documents table — payload =
     * utf-8 bytes of the text (stand-in for image bytes), metadata derived
     * from doc fields. Real pipelines read these from object storage. */

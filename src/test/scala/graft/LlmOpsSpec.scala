@@ -193,4 +193,23 @@ class MediaSpec extends SparkSpec {
     assert(feats.exceptAll(again).isEmpty)
     feats.unpersist()
   }
+
+  test("resize and frame sampling: partition-local, deterministic, schema-stable") {
+    val docs  = Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Media.fromDocuments(spark, docs)
+    val small = Media.resize(media, 32, 32).cache()
+    assert(small.count() == media.count())
+    assert(small.collect().forall(r => r.width == 32 && r.height == 32 && r.payload.nonEmpty))
+    val frames = Media.sampleFrames(media, everyMs = 1000).cache()
+    val vids = media.filter(_.media_type == "video").collect()
+    val expected = vids.map(v => v.duration_ms / 1000).sum
+    assert(frames.count() == expected)
+    // frame rows group by media and index densely from 0
+    val byId = frames.collect().groupBy(_.media_id)
+    byId.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length).toSeq)
+    }
+    assert(frames.exceptAll(Media.sampleFrames(media, 1000)).isEmpty)
+    small.unpersist(); frames.unpersist()
+  }
 }
