@@ -376,7 +376,10 @@ object SparkEntry {
           "datetime" -> "TS", "id" -> "USER_ID", "primary" -> "EVENT_ID")))
       eng.sync(spec, up.where(col("EVENT_ID") < 800))
       val src = new graft.sources.SqlDefinitionSource(url, "SELECT * FROM EVENTS")
-      eng.joinFetchSync(spec, src, maxIds = 100000)
+      // default maxIds=250: at sf0.01 (150 users) the VALUES join pushes to
+      // the remote; past the heuristic the engine falls back to the
+      // broadcast-filtered full read with identical results
+      eng.joinFetchSync(spec, src)
       eng.getData(spec)
         .select(col("EVENT_ID").as("event_id"),
                 col("TS").cast("timestamp_ntz").as("ts"),
@@ -413,9 +416,10 @@ object SparkEntry {
     "q_verify_backfill" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_verify").toString
       val eng  = new SyncEngine(s, root)
+      // default 30-day chunks/windows: one mismatched window, two chunk
+      // rewrites (daily granularity is covered by SyncEngineSpec)
       val spec = PipeSpec(PipeKeys("verify", "backfill"),
-        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")),
-        chunkMinutes = 1440)
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       eng.sync(spec, ev)

@@ -288,19 +288,29 @@ final class SyncEngine(spark: SparkSession, root: String,
       return fetchSync(spec, source, params = params)
     val (idCol, dtCol) = (idColOpt.get, dtColOpt.get)
     val stDf = store.read.groupBy(col(idCol)).agg(max(col(dtCol)).as("__graft_st"))
+
+    // Spark-side exact filter — used for non-SQL sources and as the
+    // high-cardinality fallback (identical semantics, the full remote read
+    // is the honest cost once the VALUES list would out-punish the remote
+    // planner)
+    def localFilter(fetched: DataFrame): SyncResult = {
+      val cond = col(dtCol) > col("__graft_st") ||
+        (if (newIds) col("__graft_st").isNull else lit(false))
+      sync(spec, fetched.join(broadcast(stDf), Seq(idCol), "left")
+        .where(cond).drop("__graft_st"))
+    }
+
     source match {
       case sql: graft.sources.SqlDefinitionSource =>
         val times = stDf.limit(maxIds + 1).collect()
-        if (times.length > maxIds) return fetchSync(spec, source, params = params)
-        val pairs = times.map(r => (r.get(0), r.get(1))).toSeq
-        if (pairs.isEmpty) return fetchSync(spec, source, params = params)
-        sync(spec, sql.fetchJoinIncremental(spark, spec, pairs, params, newIds))
-      case other =>
-        val fetched = other.fetch(spark, spec, None, None, params)
-        val cond = col(dtCol) > col("__graft_st") ||
-          (if (newIds) col("__graft_st").isNull else lit(false))
-        sync(spec, fetched.join(broadcast(stDf), Seq(idCol), "left")
-          .where(cond).drop("__graft_st"))
+        if (times.isEmpty) return fetchSync(spec, source, params = params)
+        if (times.length > maxIds)
+          localFilter(sql.fetch(spark, spec, None, None, params))
+        else {
+          val pairs = times.map(r => (r.get(0), r.get(1))).toSeq
+          sync(spec, sql.fetchJoinIncremental(spark, spec, pairs, params, newIds))
+        }
+      case other => localFilter(other.fetch(spark, spec, None, None, params))
     }
   }
 
