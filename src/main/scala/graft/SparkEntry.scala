@@ -531,6 +531,15 @@ object SparkEntry {
       ApproxDedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Embedding-cosine near-dup: SRP band buckets → equi-join candidates →
+    // exact cosine verify; oracle replays the whole pipeline from the same
+    // hyperplanes.
+    "q_embedding_near_dups" -> ((s, d) =>
+      ApproxDedup.embeddingNearDups(Tables.embeddings(s, d), "vec_id", "embedding",
+          planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
+          bands = 4, threshold = 0.45)
+        .orderBy(col("id1"), col("id2"))),
+
     // ── LLM-pipeline: similarity search over embeddings ─────────────────
     "q_embedding_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -857,6 +866,10 @@ object SparkEntry {
 
     "q_simhash_signatures" ->
       ApproxDedup.simhashOracleSql("documents", "doc_id", "text"),
+
+    "q_embedding_near_dups" ->
+      ApproxDedup.embeddingNearDupsOracleSql("embeddings", "vec_id", "embedding",
+        SimilaritySearch.srpPlanes(dim = 64, nBits = 24), bands = 4, threshold = 0.45),
 
     "q_embedding_ann_lsh" ->
       SimilaritySearch.lshOracleSql("embeddings", "vec_id", "embedding",

@@ -189,6 +189,67 @@ object ApproxDedup {
        SELECT $idCol, $sig AS simhash FROM b ORDER BY $idCol"""
   }
 
+  /** Embedding-cosine near-dup pairs: SRP signatures (shared hyperplanes
+    * with [[SimilaritySearch]]) banded into `bands` buckets; candidates
+    * collide on any band value and survivors are verified by exact cosine ≥
+    * threshold. Candidates come from equi-joins on (band, bucket) — the same
+    * never-cross-join shape as the MinHash pipeline, applied to the
+    * embedding space. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Seq[Seq[Double]], bands: Int,
+                        threshold: Double): DataFrame = {
+    val nBits = planes.size
+    require(nBits % bands == 0, "bands must divide the signature width")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sig = emb.select(col(idCol),
+      graft.functions.VectorFns.srpSignaturePlanes(col(vecCol), planes).as("sig"))
+    val banded = sig.select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val l = banded.select(col(idCol).as("id1"), col("band"), col("bv"))
+    val rr = banded.select(col(idCol).as("id2"), col("band"), col("bv"))
+    val cands = l.join(rr, Seq("band", "bv"))
+      .where(col("id1") < col("id2")).select("id1", "id2").distinct()
+    val e = emb.select(col(idCol), col(vecCol).cast("array<double>").as("ev"))
+    cands
+      .join(e.select(col(idCol).as("id1"), col("ev").as("ev1")), Seq("id1"))
+      .join(e.select(col(idCol).as("id2"), col("ev").as("ev2")), Seq("id2"))
+      .withColumn("cosine",
+        graft.functions.VectorFns.cosine(col("ev1"), col("ev2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** DuckDB oracle reproducing [[embeddingNearDups]] end-to-end from the
+    * same hyperplanes. */
+  def embeddingNearDupsOracleSql(table: String, idCol: String, vecCol: String,
+                                 planes: Seq[Seq[Double]], bands: Int,
+                                 threshold: Double): String = {
+    val nBits = planes.size
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(ev, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT $idCol, $b AS band, (sig >> ${b * r}) & $mask AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       sig AS (SELECT $idCol, $sigExpr AS sig FROM e),
+       bands AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT a.$idCol AS id1, b.$idCol AS id2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+           AND a.$idCol < b.$idCol)
+       SELECT c.id1, c.id2,
+         list_dot_product(e1.ev, e2.ev) /
+         (sqrt(list_dot_product(e1.ev, e1.ev)) * sqrt(list_dot_product(e2.ev, e2.ev))) AS cosine
+       FROM cand c JOIN e e1 ON c.id1 = e1.$idCol JOIN e e2 ON c.id2 = e2.$idCol
+       WHERE cosine >= $threshold ORDER BY c.id1, c.id2"""
+  }
+
   /** Exact duplicate groups by canonical fingerprint; keeps the lowest id as
     * the survivor (deterministic). */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -144,6 +144,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding near-dups: planted duplicate pair survives banded LSH + cosine verify") {
+    val rng = new scala.util.Random(3)
+    val base = Array.fill(8)(rng.nextGaussian().toFloat)
+    val rows = (0 until 12).map { i =>
+      val v = if (i == 11) base.map(x => x * 2.0f) // scaled copy of vec 0: cosine 1
+              else if (i == 0) base
+              else Array.fill(8)(rng.nextGaussian().toFloat)
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val planes = SimilaritySearch.srpPlanes(dim = 8, nBits = 16)
+    val pairs = graft.ops.ApproxDedup.embeddingNearDups(
+        emb, "vec_id", "embedding", planes, bands = 4, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 11L && p._3 > 0.999))
+  }
+
   test("kmeans centroids separate directional blobs; assignment stays shuffle-free") {
     // two tight directional clusters in 4-d
     val rng = new scala.util.Random(7)
