@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -84,6 +84,35 @@ object StreamingSync {
       .withColumn(dtCol, col(dtCol).cast("timestamp"))
       .withWatermark(dtCol, delay)
       .dropDuplicatesWithinWatermark(keys.toArray)
+
+  /** Continuously-maintained per-id sync times — the reference's per-id
+    * bookmark state (core/Pipe/_sync.py:534-616, `get_sync_time` per id)
+    * kept as STREAMING state: one `GroupState[Long]` per id holding its
+    * max-seen timestamp, emitted whenever it advances. State size is
+    * O(id cardinality) — scalars, not history — and survives restarts via
+    * the checkpoint, which is exactly the shape that scales to a 100 TB
+    * stream (the alternative, re-aggregating history per batch, does not).
+    */
+  def runningSyncTimes(stream: DataFrame, idCol: String,
+                       dtCol: String): Dataset[(Long, java.sql.Timestamp)] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = stream
+      .select(col(idCol).cast("long").as("id"),
+              col(dtCol).cast("timestamp").as("dt"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          val incoming = rows.map(_._2.getTime).max
+          val prior    = state.getOption.getOrElse(Long.MinValue)
+          if (incoming > prior) {
+            state.update(incoming)
+            Iterator((id, new java.sql.Timestamp(incoming)))
+          } else Iterator.empty
+      }
+  }
 
   /** Tumbling-window counts with late-data tolerance — the streaming form of
     * the reference's chunk iteration (core/Pipe/_data.py:639-932): windowed

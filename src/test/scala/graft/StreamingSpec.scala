@@ -98,6 +98,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningSyncTimes: stateful per-id bookmarks advance monotonically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = StreamingSync.runningSyncTimes(input.toDF().toDF("id", "dt"), "id", "dt")
+      .toDF("id", "sync_time")
+      .writeStream.format("memory").queryName("st_out").outputMode("update").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      // late row for id 1 (no emit), newer row for id 2 (emit)
+      input.addData((1L, ts("2023-12-31 00:00:00")), (2L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("st_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+      assert(rows.size == 3)
+      assert(rows.contains((1L, ts("2024-01-01 00:00:00"))))
+      assert(rows.contains((2L, ts("2024-01-01 01:00:00"))))
+      assert(rows.contains((2L, ts("2024-01-02 00:00:00"))))
+      assert(!rows.contains((1L, ts("2023-12-31 00:00:00"))))
+    } finally q.stop()
+  }
+
   test("schedule DSL maps to triggers") {
     assert(Schedule.toTrigger("every 10 minutes") == Trigger.ProcessingTime("10 minutes"))
     assert(Schedule.toTrigger("every 1 second") == Trigger.ProcessingTime("1 seconds"))

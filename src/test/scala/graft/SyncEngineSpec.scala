@@ -324,6 +324,28 @@ class SyncEngineSpec extends SparkSpec {
     assert(store.read.count() == 3)
   }
 
+  test("static pipe: schema frozen, extra incoming columns dropped") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = mkSpec(root, "static").copy(static = true)
+    eng.sync(spec, batch(b1))
+    val r = eng.sync(spec, batch(Seq(("2024-01-09 00:00:00", 9L, 9.0)))
+      .withColumn("surprise", lit("x")))
+    assert(r.inserted == 1)
+    assert(!eng.getData(spec).columns.contains("surprise"))
+    assert(eng.storage(spec).rowCount == 4)
+  }
+
+  test("enforce=false: declared dtypes are not applied to batches") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "noenforce"),
+      columns = ColumnRoles(Map("primary" -> "pk")),
+      dtypes = Map("a" -> graft.types.MrsmType.MNumeric(10, 2)),
+      enforce = false)
+    eng.sync(spec, Seq((1L, 1.555)).toDF("pk", "a"))
+    assert(eng.getData(spec).schema("a").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("sync time bookmark and backtrack begin") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = mkSpec(root, "bt")
