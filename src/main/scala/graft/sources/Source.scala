@@ -32,6 +32,25 @@ final class FnSource(
     f(spark, spec, begin, end)
 }
 
+/** A pipe as a source for another pipe — the reference's pipe DAG
+  * (`parents`, meerschaum/core/Pipe/_attributes.py:783-988) with its
+  * parent-predicate pushdown (connectors/sql/_fetch.py:229-342): fetching a
+  * window from a parent pipe goes through the storage layer's bounded read,
+  * so the bounds prune the parent's chunk directories before any file is
+  * opened. Chains of pipes (raw → cleaned → aggregated) sync incrementally
+  * end-to-end. `transform` is the derivation (the child's "definition"),
+  * applied AFTER the pruned read. */
+final class PipeSource(engine: graft.sync.SyncEngine, parent: PipeSpec,
+                       transform: DataFrame => DataFrame = identity) extends Source {
+  override def fetch(spark: SparkSession, spec: PipeSpec,
+                     begin: Option[Any], end: Option[Any],
+                     params: Map[String, Any]): DataFrame = {
+    var df = engine.storage(parent).readRange(begin, end)
+    if (params.nonEmpty) df = df.where(graft.dsl.ParamsFilter.toPredicate(params))
+    transform(df)
+  }
+}
+
 /** Deterministic random time-series generator mirroring the reference's
   * stress plugin (tests/plugins/stress.py:36-100): one row per minute from
   * `begin`, `id` in 1..numIds, `val` in 1..100, bounded by `end` or the row

@@ -383,6 +383,22 @@ final class SyncEngine(spark: SparkSession, root: String,
     limit.map(df.limit).getOrElse(df)
   }
 
+  /** Chunked read — the reference's `get_data(as_iterator=True)`
+    * (core/Pipe/_data.py:321-410): one bounded frame per epoch-aligned chunk
+    * of `spec.chunkMinutes`. Each frame is a partition-pruned plan; callers
+    * drive them lazily (Spark's native distribution makes this a maintenance
+    * surface, not a memory-management necessity as in pandas). */
+  def getChunks(spec: PipeSpec,
+                begin: java.time.Instant, end: java.time.Instant):
+      Seq[((java.time.Instant, java.time.Instant), DataFrame)] =
+    graft.dsl.ChunkGrid.bounds(begin, end,
+        java.time.Duration.ofMinutes(spec.chunkMinutes))
+      .map { case (lo, hi) =>
+        ((lo, hi), getData(spec,
+          begin = Some(java.time.LocalDateTime.ofInstant(lo, java.time.ZoneOffset.UTC)),
+          end   = Some(java.time.LocalDateTime.ofInstant(hi, java.time.ZoneOffset.UTC))))
+      }
+
   def rowCount(spec: PipeSpec,
                begin: Option[LocalDateTime] = None,
                end: Option[LocalDateTime] = None,

@@ -119,6 +119,49 @@ class SourcesSpec extends SparkSpec {
     assert(eng.storage(spec).rowCount == 4)
   }
 
+  test("PipeSource: child pipe syncs incrementally from a parent pipe") {
+    import graft.sources.PipeSource
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    def mk(rows: Seq[(String, Long, Double)]) =
+      rows.toDF("dts", "id", "v")
+        .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+        .select("dt", "id", "v")
+    val parent = PipeSpec(PipeKeys("dag", "raw"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+    val child = PipeSpec(PipeKeys("dag", "doubled"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+      backtrackMinutes = 60)
+    eng.sync(parent, mk(Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0), ("2024-01-02 00:00:00", 2L, 2.0))))
+    val src = new PipeSource(eng, parent,
+      transform = _.withColumn("v", col("v") * 2))
+    assert(eng.fetchSync(child, src).inserted == 2)
+    // new parent data flows through on the next incremental pass
+    eng.sync(parent, mk(Seq(("2024-01-03 00:00:00", 3L, 3.0))))
+    val r2 = eng.fetchSync(child, src)
+    assert(r2.inserted == 1 && r2.updated == 0)
+    import spark.implicits._
+    val got = eng.getData(child).orderBy("id").select("v").as[Double].collect()
+    assert(got.toSeq == Seq(2.0, 4.0, 6.0))
+  }
+
+  test("getChunks: epoch-aligned bounded frames cover the range") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("chunks", "t"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+      chunkMinutes = 1440)
+    import spark.implicits._
+    val rows = (0 until 96).map(h =>
+      (java.time.LocalDateTime.parse("2024-01-01T00:00:00").plusHours(h), h.toLong, 1.0))
+    eng.sync(spec, rows.toDF("dt", "id", "v"))
+    val chunks = eng.getChunks(spec,
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-01-05T00:00:00Z"))
+    assert(chunks.size == 4) // four aligned days
+    assert(chunks.map(_._2.count()).sum == 96)
+    assert(chunks.forall(_._2.count() == 24))
+  }
+
   test("params DSL renders ANSI SQL (negation, IN, nulls)") {
     assert(ParamsFilter.toSql(Map("a" -> 1L)) == "a = 1")
     assert(ParamsFilter.toSql(Map("a" -> Seq("x", "_y"))) ==
