@@ -178,6 +178,33 @@ class CatalogStoreSpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{Dedup, Skew}
+
+  // 10k rows, 90% on one hot key
+  private lazy val skewed = spark.range(0, 10000).select(
+    when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+    col("id").as("seq"),
+    (col("id") % 97).cast("double").as("v"))
+
+  test("saltedJoin equals the plain join on skewed keys") {
+    val dim = Seq((1L, "hot"), (20L, "a"), (30L, "b")).toDF("k", "name")
+    val plain  = skewed.join(dim, Seq("k")).select("k", "seq", "name")
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), salt = 8)
+      .select("k", "seq", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedKeepLatest equals window keep-latest on a skewed key") {
+    val expected = Dedup.keepLatest(skewed, Seq("k"), Seq("v", "seq"))
+    val got      = Skew.saltedKeepLatest(skewed, Seq("k"), Seq("v", "seq"), salt = 8)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
+
 class TimeFnsSpec extends SparkSpec {
   import spark.implicits._
   import graft.dsl.{CoerceTz, RoundTime}
