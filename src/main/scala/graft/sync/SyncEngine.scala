@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.PipeSpec
 import graft.dsl.ParamsFilter
-import graft.ops.{Dedup, Diff, SchemaEvolution}
+import graft.ops.{Diff, SchemaEvolution}
 import graft.storage.PipeStorage
 
 /** The incremental sync pipeline — the reference's `pipe.sync()`
@@ -205,14 +205,23 @@ final class SyncEngine(spark: SparkSession, root: String,
   }
 
   /** Collapse intra-batch duplicates before diffing (the reference's chunk
-    * dedup: one row per key, last occurrence wins). */
+    * dedup: one row per key, latest by the dt axis wins). Shaped as a
+    * max-struct HASH AGGREGATE, not a sort+window: partial aggregation
+    * combines map-side, so a hot key reduces before it shuffles and nothing
+    * sorts — the right form for a dedup-to-one-row at any scale. */
   private def dedupeBatch(spec: PipeSpec, batch: DataFrame): DataFrame = {
     val keys = spec.columns.syncKeys.filter(batch.columns.contains)
     if (keys.isEmpty || keys.size == batch.columns.length) batch.distinct()
     else {
       val order = spec.columns.datetime.filter(batch.columns.contains).toSeq
       if (order.isEmpty) batch.dropDuplicates(keys)
-      else Dedup.keepLatest(batch, keys, order)
+      else {
+        val best = struct((order.map(col) :+
+          struct(batch.columns.map(col).toIndexedSeq: _*).as("__row")): _*)
+        batch.groupBy(keys.map(col): _*)
+          .agg(max(best).as("__best"))
+          .select(col("__best.__row.*"))
+      }
     }
   }
 
