@@ -409,6 +409,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.11 compact: many small incremental files → one per chunk,
+    // data byte-identical (file-count drop asserted in unit tests).
+    "q_compact_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "compact"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("value"))
+      // five incremental appends leave many small files per chunk
+      (0 until 5).foreach { i =>
+        eng.sync(spec, ev.where(col("event_id") % 5 === i))
+      }
+      eng.storage(spec).compact()
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.11 copy_to: pipe → pipe copy via idempotent sync ─────────────
+    "q_copy_pipe" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_copy").toString
+      val eng  = new SyncEngine(s, root)
+      val a = PipeSpec(PipeKeys("verify", "copy_src"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val b = PipeSpec(PipeKeys("verify", "copy_dst"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+      eng.sync(a, ev)
+      graft.ops.Maintenance.copyTo(eng, a, b)
+      eng.getData(b)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.9 verify/backfill: windowed rowcount compare + bounded re-sync ─
     // Clear a 5-day hole, verify against the source: one windowed aggregate
     // per side finds the mismatched chunks, one re-sync bounded to exactly
@@ -786,6 +820,12 @@ object SparkEntry {
       """SELECT event_id, ts, user_id,
          CASE WHEN event_id % 5 = 0 THEN value + 1000 ELSE value END AS value
          FROM events ORDER BY event_id""",
+
+    "q_compact_roundtrip" ->
+      """SELECT event_id, ts, value FROM events ORDER BY event_id""",
+
+    "q_copy_pipe" ->
+      """SELECT event_id, ts, user_id FROM events ORDER BY event_id""",
 
     "q_verify_backfill" ->
       """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
