@@ -417,11 +417,12 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("verify", "compact"),
         columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
       val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("value"))
-      // five incremental appends leave many small files per chunk
-      (0 until 5).foreach { i =>
-        eng.sync(spec, ev.where(col("event_id") % 5 === i))
-      }
-      eng.storage(spec).compact()
+      // five raw appends leave many small files per chunk (sync-level diff
+      // behavior is covered elsewhere; compaction is the op under test)
+      val store = eng.storage(spec)
+      store.create(ev.where(col("event_id") % 5 === 0))
+      (1 until 5).foreach { i => store.append(ev.where(col("event_id") % 5 === i)) }
+      store.compact()
       eng.getData(spec)
         .select(col("event_id"), col("ts"), col("value"))
         .orderBy(col("event_id"))
