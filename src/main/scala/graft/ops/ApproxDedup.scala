@@ -259,15 +259,28 @@ object ApproxDedup {
 
   /** Brute-force n-gram Jaccard over a bounded candidate set (same-source,
     * id-window) — the exact-arithmetic reference for the LSH pipeline and a
-    * usable operator when candidates are pre-bucketed. */
+    * usable operator when candidates are pre-bucketed.
+    *
+    * The id-window constraint is part of the JOIN KEY, not a post-join
+    * filter: ids band into blocks of `window`, the left side replicates to
+    * its own and the next block, and the equi-join on (bucket, block) meets
+    * exactly the pairs the window can admit. Intermediate size is bounded
+    * by window² per block instead of |bucket|² — the standard banded
+    * range-join shape. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, window: Long, n: Int,
                         threshold: Double): DataFrame = {
     val sh = docs.select(col(bucketCol).as("bucket"), col(idCol),
       array_distinct(TextFns.wordShingles(col(textCol), n)).as("sh"))
-    val a = sh.select(col("bucket"), col(idCol).as("id1"), col("sh").as("sh1"))
-    val b = sh.select(col("bucket"), col(idCol).as("id2"), col("sh").as("sh2"))
-    a.join(b, Seq("bucket"))
+    val blockOf = floor(col(idCol) / lit(window)).cast("long")
+    // id1 < id2 <= id1+window ⇒ block(id2) ∈ {block(id1), block(id1)+1}
+    val a = sh
+      .withColumn("block", explode(array(blockOf, blockOf + 1)))
+      .select(col("bucket"), col("block"), col(idCol).as("id1"), col("sh").as("sh1"))
+    val b = sh
+      .withColumn("block", blockOf)
+      .select(col("bucket"), col("block"), col(idCol).as("id2"), col("sh").as("sh2"))
+    a.join(b, Seq("bucket", "block"))
       .where(col("id1") < col("id2") && col("id2") - col("id1") <= window)
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
