@@ -24,11 +24,13 @@ object TextFns {
     * array — short texts must be special-cased to an empty shingle set. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - lit(n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    if (n == 1) toks // 1-shingles ARE the tokens; skip the O(tokens²) slicing
+    else
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), size(toks) - lit(n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   /** Character n-grams of the lowercased text. */

@@ -270,8 +270,12 @@ object ApproxDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         bucketCol: String, window: Long, n: Int,
                         threshold: Double): DataFrame = {
+    // shingles compare as 64-bit hashes (identical Jaccard, birthday-bounded
+    // collisions, a fraction of the shuffle and compare bytes — same trick
+    // as the MinHash verify stage)
     val sh = docs.select(col(bucketCol).as("bucket"), col(idCol),
-      array_distinct(TextFns.wordShingles(col(textCol), n)).as("sh"))
+      array_distinct(transform(TextFns.wordShingles(col(textCol), n),
+        s => xxhash64(s))).as("sh"))
     val blockOf = floor(col(idCol) / lit(window)).cast("long")
     // id1 < id2 <= id1+window ⇒ block(id2) ∈ {block(id1), block(id1)+1}
     val a = sh
