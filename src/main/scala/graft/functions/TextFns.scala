@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Bind an expression to a lambda variable so the body evaluates it ONCE
+    * per row: Catalyst's projection collapse would otherwise substitute the
+    * full expression tree into every reference — for `tokens` referenced
+    * inside a per-shingle lambda that means re-running the regex split once
+    * PER SHINGLE (quadratic per document). */
+  private def bindOnce(e: Column)(body: Column => Column): Column =
+    element_at(transform(array(e), v => body(v)), 1)
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
@@ -23,25 +31,25 @@ object TextFns {
     * NOTE: Spark `sequence(1, 0)` yields a DESCENDING [1,0], not an empty
     * array — short texts must be special-cased to an empty shingle set. */
   def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    if (n == 1) toks // 1-shingles ARE the tokens; skip the O(tokens²) slicing
-    else
+    if (n == 1) tokens(text) // 1-shingles ARE the tokens
+    else bindOnce(tokens(text)) { toks =>
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(
           transform(
             sequence(lit(1), size(toks) - lit(n - 1)),
             i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
   }
 
   /** Character n-grams of the lowercased text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(text)
-    when(length(t) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), length(t) - lit(n - 1)),
-          i => t.substr(i, lit(n))))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    bindOnce(lower(text)) { t =>
+      when(length(t) < n, array().cast("array<string>"))
+        .otherwise(
+          transform(
+            sequence(lit(1), length(t) - lit(n - 1)),
+            i => t.substr(i, lit(n))))
+    }
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =

@@ -53,7 +53,11 @@ object ApproxDedup {
                         shingleSize: Int = 3, k: Int = 20, bands: Int = 5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
+    // materialize signatures once: both band-join sides read the cached
+    // (id, sig) table instead of re-evaluating the k-hash expression tree
+    // per side (the in-plan form of "persist the signature index")
     val sig = docs.select(col(idCol), minhashSignature(col(textCol), shingleSize, k).as("sig"))
+      .cache()
     // band hashes reference `sig` once via lambda binding (not 12 inlined
     // copies of the whole signature expression)
     val banded = sig.select(col(idCol), posexplode(
@@ -133,6 +137,7 @@ object ApproxDedup {
                           threshold: Double): DataFrame = {
     val hashed = sh.select(col(idCol),
       array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+      .cache() // read twice (id1/id2 sides); hash the shingle sets once
     cands
       .join(hashed.select(col(idCol).as("id1"), col("hs").as("hs1")), Seq("id1"))
       .join(hashed.select(col(idCol).as("id2"), col("hs").as("hs2")), Seq("id2"))
