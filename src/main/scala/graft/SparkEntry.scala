@@ -339,6 +339,7 @@ object SparkEntry {
                 col("value").as("VAL"))
         .write.mode("overwrite")
         .option("createTableColumnTypes", "ETYPE VARCHAR(32)")
+        .option("batchsize", "10000")
         .jdbc(url, "EVENTS", new java.util.Properties)
       val spec = PipeSpec(PipeKeys("jdbc", "events"),
         columns = ColumnRoles(Map("datetime" -> "TS")))
@@ -368,6 +369,7 @@ object SparkEntry {
       up.withColumn("TS", col("TS").cast("timestamp"))
         .write.mode("overwrite")
         .option("createTableColumnTypes", "ETYPE VARCHAR(32)")
+        .option("batchsize", "10000")
         .jdbc(url, "EVENTS", new java.util.Properties)
       val root = java.nio.file.Files.createTempDirectory("graft_jf").toString
       val eng  = new SyncEngine(s, root)
