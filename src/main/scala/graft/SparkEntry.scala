@@ -337,6 +337,7 @@ object SparkEntry {
         .select(col("event_id").as("EVENT_ID"), col("ts").cast("timestamp").as("TS"),
                 col("user_id").as("USER_ID"), col("event_type").as("ETYPE"),
                 col("value").as("VAL"))
+        .coalesce(4) // bounded writer concurrency against the embedded DB
         .write.mode("overwrite")
         .option("createTableColumnTypes", "ETYPE VARCHAR(32)")
         .option("batchsize", "10000")
@@ -367,6 +368,7 @@ object SparkEntry {
                 col("user_id").as("USER_ID"), col("event_type").as("ETYPE"),
                 col("value").as("VAL"))
       up.withColumn("TS", col("TS").cast("timestamp"))
+        .coalesce(4) // bounded writer concurrency against the embedded DB
         .write.mode("overwrite")
         .option("createTableColumnTypes", "ETYPE VARCHAR(32)")
         .option("batchsize", "10000")
