@@ -465,7 +465,9 @@ object SparkEntry {
       eng.storage(spec).clear(
         col("ts") >= lit(ts("2024-01-10 00:00:00")) &&
         col("ts") <  lit(ts("2024-01-15 00:00:00")))
-      graft.ops.Maintenance.verify(eng, spec, ev)
+      // daily compare windows bound the re-sync to the 5 damaged days while
+      // storage keeps its coarse monthly chunks
+      graft.ops.Maintenance.verify(eng, spec, ev, windowMinutes = Some(1440))
       eng.getData(spec)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .orderBy(col("event_id"))

@@ -30,10 +30,15 @@ object Maintenance {
     * (`window(dt, w)` aligns to the 1970 epoch, matching the reference's
     * aligned `get_chunk_bounds`, core/Pipe/_data.py:728-883).
     */
-  def verify(engine: SyncEngine, spec: PipeSpec, source: DataFrame): VerifyResult = {
+  def verify(engine: SyncEngine, spec: PipeSpec, source: DataFrame,
+             windowMinutes: Option[Long] = None): VerifyResult = {
     val dt = spec.columns.datetime.getOrElse(
       throw new IllegalArgumentException("verify requires a datetime axis"))
-    val w     = s"${spec.chunkMinutes} minutes"
+    // the COMPARE window is its own knob (reference `verify.chunk_minutes`,
+    // config/_default.py:240), independent of the storage chunk width: a
+    // finer window bounds the re-sync to the actual damage without forcing
+    // finer storage partitions
+    val w     = s"${windowMinutes.getOrElse(spec.chunkMinutes)} minutes"
     val store = engine.storage(spec)
 
     if (!store.exists) {
