@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.dsl.{ParamsFilter, TimeBounds, RoundTime}
+import graft.dsl.{CoerceTz, ParamsFilter, TimeBounds, RoundTime}
 import graft.ops.{Dedup, Diff}
 import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
 import graft.functions.{TextFns, VectorFns}
@@ -184,9 +184,13 @@ object SparkEntry {
     // ── §2.3 per-id as-of incremental fetch (join_fetch) ─────────────────
     "q_asof_incremental" -> ((s, d) => {
       val ev  = Tables.events(s, d)
+      // bookmark join column renamed (not usingColumns): both sides share
+      // lineage, and the self-join disambiguation warning marks a pattern
+      // that turns into a silent cross join under expression-form rewrites
       val st  = ev.where(col("event_id") < 800)
         .groupBy(col("user_id")).agg(max(col("ts")).as("st"))
-      ev.join(broadcast(st), Seq("user_id"), "left")
+        .withColumnRenamed("user_id", "st_user_id")
+      ev.join(broadcast(st), ev("user_id") === st("st_user_id"), "left")
         .where(col("ts") > col("st") || col("st").isNull)
         .select(col("event_id"), col("user_id"), col("ts"))
         .orderBy(col("event_id"))
@@ -635,6 +639,166 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("event_type").asc_nulls_first)
+    }),
+
+    // ── §2.1 docs scan: rows as JSON documents (get_pipe_docs) ───────────
+    "q_get_docs" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_docs").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "docs"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      eng.sync(spec, Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id")))
+      eng.getDocs(spec, select = Seq("event_id", "user_id"))
+        .toDF("doc").orderBy(col("doc"))
+    }),
+
+    // ── §2.2 dtype enforcement on READ: the pipe was created through raw
+    // storage (no write-side cast), so the declared int32/numeric dtypes on
+    // the result can only come from getData's enforcement projection.
+    "q_dtype_enforce" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_enforce").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "enforce"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")),
+        dtypes = Map(
+          "user_id" -> graft.types.Dtypes.parse("int32"),
+          "value"   -> graft.types.Dtypes.parse("numeric(18,4)")))
+      eng.storage(spec).create(Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value")))
+      // the quantization is decided by the enforced decimal(18,4); the final
+      // double cast only puts the value in a driver-comparable type (same
+      // convention as q_decimal_quantize — pandas reads DECIMAL as float)
+      eng.getData(spec).select(col("event_id"), col("user_id"),
+          col("value").cast(DoubleType).as("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.1 inline literals: simple-lines text → typed frame ────────────
+    "q_ingest_lines" -> ((s, d) => {
+      val text =
+        """sensor:alpha,reading:12,flag:true
+          |sensor:beta,reading:7.5,flag:false
+          |{"sensor":"gamma","reading":3,"flag":true}""".stripMargin
+      graft.sources.Ingest.fromSimpleLines(s, text).orderBy(col("sensor"))
+    }),
+
+    // ── §2.1 datetime parsing on ingest: ISO strings → timestamp/date ────
+    "q_parse_datetimes" -> ((s, d) => {
+      val raw = Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_str"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d_str"))
+      // parseDatetimes yields DATE for date-only strings; compare as a
+      // midnight timestamp (pandas reads parquet date32 as objects the
+      // driver's normalizer won't coerce)
+      graft.sources.Ingest.parseDatetimes(raw)
+        .withColumn("d_str", col("d_str").cast(TimestampNTZType))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.8 timezone coercion: naive↔zone conversions ───────────────────
+    "q_coerce_tz" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        CoerceTz.convertNaive(col("ts"), "UTC", "America/New_York").as("ts_ny"),
+        CoerceTz.stripToUtcNaive(
+          CoerceTz.assumeZone(col("ts"), "Europe/Berlin")).as("ts_berlin_utc"))
+      .orderBy(col("event_id"))),
+
+    // ── §2.8 round_time: floor + UP + CLOSEST + interval multiple ────────
+    "q_round_modes" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        RoundTime.floor(col("ts"), "hour").cast(TimestampNTZType).as("h_floor"),
+        RoundTime.ceil(col("ts"), "hour").cast(TimestampNTZType).as("h_ceil"),
+        RoundTime.closest(col("ts"), "hour").cast(TimestampNTZType).as("h_closest"),
+        RoundTime.floorInterval(col("ts"), "minute", 15)
+          .cast(TimestampNTZType).as("m15_floor"))
+      .orderBy(col("event_id"))),
+
+    // ── §2.9 autotime with precision: injected clock, 5-minute round-down ─
+    "q_autotime_precision" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_autotime").toString
+      val eng = new SyncEngine(s, root,
+        clock = () => java.time.LocalDateTime.parse("2024-03-07T10:13:27"))
+      val spec = PipeSpec(PipeKeys("verify", "autotime"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")),
+        autotime = true,
+        precision = Some(graft.dsl.Precision("minute", 5, "down")))
+      eng.sync(spec, Tables.events(s, d).select(col("event_id"), col("user_id")))
+      eng.getData(spec).select(col("event_id"), col("ts"), col("user_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.4 chunk bounds: epoch-aligned grid with begin clamp ───────────
+    "q_chunk_bounds" -> ((s, d) => {
+      val bs = graft.dsl.ChunkGrid.bounds(
+        java.time.Instant.parse("2024-01-03T07:00:00Z"),
+        java.time.Instant.parse("2024-01-20T00:00:00Z"),
+        java.time.Duration.ofDays(1))
+      import s.implicits._
+      bs.map { case (lo, hi) =>
+        (java.time.LocalDateTime.ofInstant(lo, java.time.ZoneOffset.UTC),
+         java.time.LocalDateTime.ofInstant(hi, java.time.ZoneOffset.UTC)) }
+        .toDF("chunk_begin", "chunk_end").orderBy(col("chunk_begin"))
+    }),
+
+    // ── §2.9 content-aware verify: values corrupted WITHOUT changing any
+    // window's rowcount (raw storage upsert bypasses the sync diff); the
+    // per-window XOR content signature flags the damaged days and the
+    // bounded re-sync repairs them. A rowcount-only verify passes silently.
+    "q_verify_content" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vcontent").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "content"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      eng.sync(spec, ev)
+      eng.storage(spec).upsert(
+        ev.where(col("ts") >= lit(ts("2024-01-08 00:00:00")) &&
+                 col("ts") <  lit(ts("2024-01-13 00:00:00")))
+          .withColumn("value", col("value") + 9999), Seq("event_id"))
+      graft.ops.Maintenance.verify(eng, spec, ev, windowMinutes = Some(1440))
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── LLM-pipeline: IVF probe against the STORED index. The cell id is
+    // the pipe's integer axis with one chunk per cell, so the probe is a
+    // partition-pruned read of nProbe directories — the persisted form of
+    // q_embedding_ann_ivf's in-plan index.
+    "q_embedding_ann_ivf_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val cents   = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "ivf_store"),
+        columns = ColumnRoles(Map("datetime" -> "cell", "primary" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val store = eng.storage(spec)
+      store.create(indexed)
+      val probed = SimilaritySearch.ivfProbeCells(cents, q, nProbe = 4)
+        .map(c => store.readRange(Some(c.toLong), Some(c.toLong), endInclusive = true))
+        .reduce(_ unionByName _)
+      probed.select(col("vec_id"),
+          VectorFns.cosineToQuery(col("embedding"), q).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // ── §2.1 autoincrement: dense surrogate ids from the two-pass
+    // per-partition offset assignment (no single-partition window).
+    "q_autoincrement_ids" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_autoinc").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "autoinc"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "row_id")),
+        autoincrement = true)
+      eng.sync(spec, Tables.events(s, d).select(col("ts"), col("user_id")))
+      eng.getData(spec).select(col("row_id")).orderBy(col("row_id"))
     })
   )
 
@@ -946,6 +1110,68 @@ object SparkEntry {
     "q_na_canonicalize" ->
       """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,
          count(*) AS cnt FROM events
-         GROUP BY 1 ORDER BY 1 NULLS FIRST"""
+         GROUP BY 1 ORDER BY 1 NULLS FIRST""",
+
+    "q_get_docs" ->
+      """SELECT '{"event_id":' || event_id || ',"user_id":' || user_id || '}' AS doc
+         FROM events ORDER BY doc""",
+
+    "q_dtype_enforce" ->
+      """SELECT event_id, CAST(user_id AS INTEGER) AS user_id,
+         CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) AS value
+         FROM events ORDER BY event_id""",
+
+    "q_ingest_lines" ->
+      """SELECT * FROM (VALUES
+           ('alpha', CAST(12 AS DOUBLE), true),
+           ('beta', CAST(7.5 AS DOUBLE), false),
+           ('gamma', CAST(3 AS DOUBLE), true)) t(sensor, reading, flag)
+         ORDER BY sensor""",
+
+    "q_parse_datetimes" ->
+      """SELECT event_id,
+         strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS ts_str,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS d_str
+         FROM events ORDER BY event_id""",
+
+    "q_coerce_tz" ->
+      """SELECT event_id,
+         timezone('America/New_York', timezone('UTC', ts)) AS ts_ny,
+         timezone('UTC', timezone('Europe/Berlin', ts)) AS ts_berlin_utc
+         FROM events ORDER BY event_id""",
+
+    "q_round_modes" ->
+      """WITH b AS (SELECT event_id, ts, date_trunc('hour', ts) AS f,
+           CASE WHEN date_trunc('hour', ts) = ts THEN ts
+                ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS cl
+         FROM events)
+         SELECT event_id, f AS h_floor, cl AS h_ceil,
+           CASE WHEN epoch_us(ts) - epoch_us(f) < epoch_us(cl) - epoch_us(ts)
+                THEN f ELSE cl END AS h_closest,
+           make_timestamp(epoch_us(ts) - epoch_us(ts) % 900000000) AS m15_floor
+         FROM b ORDER BY event_id""",
+
+    "q_autotime_precision" ->
+      """SELECT event_id, TIMESTAMP '2024-03-07 10:10:00' AS ts, user_id
+         FROM events ORDER BY event_id""",
+
+    "q_chunk_bounds" ->
+      """SELECT CASE WHEN g < TIMESTAMP '2024-01-03 07:00:00'
+                     THEN TIMESTAMP '2024-01-03 07:00:00' ELSE g END AS chunk_begin,
+                g + INTERVAL 1 DAY AS chunk_end
+         FROM generate_series(TIMESTAMP '2024-01-03 00:00:00',
+                              TIMESTAMP '2024-01-19 00:00:00', INTERVAL 1 DAY) t(g)
+         ORDER BY chunk_begin""",
+
+    "q_verify_content" ->
+      """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
+
+    "q_embedding_ann_ivf_stored" ->
+      SimilaritySearch.ivfOracleSql("embeddings", "vec_id", "embedding",
+        nCentroids = 16, nProbe = 4, queryId = 0L, k = 10),
+
+    "q_autoincrement_ids" ->
+      """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
+         FROM events ORDER BY row_id"""
   )
 }

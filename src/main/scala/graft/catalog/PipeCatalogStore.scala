@@ -21,7 +21,10 @@ object PipeCatalogStore {
       isStatic: Boolean, enforce: Boolean, nullIndices: Boolean,
       mixedNumerics: Boolean, backtrackMinutes: Long, chunkMinutes: Long,
       epochUnit: Option[String], tags: Seq[String], target: Option[String],
-      parents: Seq[String])
+      parents: Seq[String],
+      precisionUnit: Option[String] = None, precisionInterval: Option[Long] = None,
+      precisionRound: Option[String] = None,
+      references: Seq[String] = Seq.empty, children: Seq[String] = Seq.empty)
 
   private def keysToString(k: PipeKeys): String =
     Seq(k.connector, k.metric, k.location.getOrElse(""), k.instance).mkString("")
@@ -36,7 +39,9 @@ object PipeCatalogStore {
     s.columns.roles, s.dtypes.map { case (c, t) => c -> Dtypes.format(t) },
     s.upsert, s.autotime, s.autoincrement, s.static, s.enforce, s.nullIndices,
     s.mixedNumerics, s.backtrackMinutes, s.chunkMinutes, s.epochUnit,
-    s.tags, s.target, s.parents.map(keysToString))
+    s.tags, s.target, s.parents.map(keysToString),
+    s.precision.map(_.unit), s.precision.map(_.interval), s.precision.map(_.roundTo),
+    s.references.map(keysToString), s.children.map(keysToString))
 
   private def fromRow(r: SpecRow): PipeSpec = PipeSpec(
     keys = PipeKeys(r.connector, r.metric, r.location, r.instance),
@@ -47,7 +52,11 @@ object PipeCatalogStore {
     nullIndices = r.nullIndices, mixedNumerics = r.mixedNumerics,
     backtrackMinutes = r.backtrackMinutes, chunkMinutes = r.chunkMinutes,
     epochUnit = r.epochUnit, tags = r.tags, target = r.target,
-    parents = r.parents.map(keysFromString))
+    precision = r.precisionUnit.map(u => graft.dsl.Precision(
+      u, r.precisionInterval.getOrElse(1L), r.precisionRound.getOrElse("down"))),
+    parents = r.parents.map(keysFromString),
+    references = Option(r.references).getOrElse(Seq.empty).map(keysFromString),
+    children = Option(r.children).getOrElse(Seq.empty).map(keysFromString))
 
   def save(spark: SparkSession, path: String, catalog: PipeCatalog): Unit = {
     import spark.implicits._

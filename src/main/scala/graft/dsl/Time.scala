@@ -59,6 +59,38 @@ object EpochAxis {
 
   require(unitsPerMinute.nonEmpty)
 
+  /** A wall-clock instant expressed in axis units since the epoch —
+    * drives autotime stamping on integer axes. */
+  def toUnits(t: java.time.LocalDateTime, unit: String): Long = {
+    val inst = t.toInstant(java.time.ZoneOffset.UTC)
+    unit.toLowerCase match {
+      case "day"         => Math.floorDiv(inst.getEpochSecond, 86400L)
+      case "hour"        => Math.floorDiv(inst.getEpochSecond, 3600L)
+      case "minute"      => Math.floorDiv(inst.getEpochSecond, 60L)
+      case "second"      => inst.getEpochSecond
+      case "millisecond" => inst.toEpochMilli
+      case "microsecond" => inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      case "nanosecond"  => inst.getEpochSecond * 1000000000L + inst.getNano
+      case other => throw new IllegalArgumentException(s"unknown epoch unit: '$other'")
+    }
+  }
+
+  /** Round an axis value to an interval multiple per a [[Precision]]'s mode
+    * (epoch-axis twin of [[RoundTime.roundTo]]; the unit is the AXIS unit, so
+    * only the interval and mode of `p` apply). */
+  def roundUnits(v: Long, p: Precision): Long = {
+    val iv = p.interval
+    if (iv <= 1) v
+    else {
+      val down = Math.floorDiv(v, iv) * iv
+      p.roundTo match {
+        case "down"    => down
+        case "up"      => if (v == down) v else down + iv
+        case "closest" => if (v - down < down + iv - v) down else down + iv
+      }
+    }
+  }
+
   /** `minutes` expressed in axis units, rounded UP to ≥1 so a positive pad
     * or chunk width never collapses to zero on coarse axes. */
   def unitsForMinutes(unit: String, minutes: Long): Long = {
@@ -105,6 +137,17 @@ object ChunkGrid {
     window(col(dtCol), interval).getField("start")
 }
 
+/** Time-axis precision: unit + interval multiple + rounding mode — the
+  * reference's `precision` pipe parameter driving `get_current_timestamp`
+  * (meerschaum/utils/dtypes/__init__.py:1138-1236). A pipe with
+  * `Precision("minute", 5, "down")` stamps ingest times aligned to 5-minute
+  * boundaries. `roundTo` ∈ down | up | closest. */
+final case class Precision(unit: String = "minute", interval: Long = 1,
+                           roundTo: String = "down") {
+  require(interval >= 1, "precision interval must be >= 1")
+  require(Set("down", "up", "closest")(roundTo), s"unknown roundTo: $roundTo")
+}
+
 object RoundTime {
   /** Round a timestamp down to a unit — reference `round_time`
     * (meerschaum/utils/dtypes/__init__.py:1333-1409). Units as accepted by
@@ -128,6 +171,51 @@ object RoundTime {
     val toFloor = unix_micros(c.cast(TimestampType)) - unix_micros(f.cast(TimestampType))
     val toCeil  = unix_micros(up.cast(TimestampType)) - unix_micros(c.cast(TimestampType))
     when(toFloor < toCeil, f).otherwise(up)
+  }
+
+  /** Microseconds per fixed-width unit (calendar units like month/year have
+    * no fixed width and only support interval = 1 via [[floor]]/[[ceil]]). */
+  private def microsPer(unit: String): Long = unit.toLowerCase match {
+    case "second" => 1000000L
+    case "minute" => 60L * 1000000
+    case "hour"   => 3600L * 1000000
+    case "day"    => 86400L * 1000000
+    case other => throw new IllegalArgumentException(
+      s"interval rounding needs a fixed-width unit, got: $other")
+  }
+
+  private def toStep(c: Column, unit: String, interval: Long) =
+    (unix_micros(c.cast(org.apache.spark.sql.types.TimestampType)),
+     lit(microsPer(unit) * interval))
+
+  /** Round down to an INTERVAL MULTIPLE of a unit (e.g. 5 minutes), anchored
+    * at the epoch. `interval = 1` delegates to [[floor]], which also accepts
+    * calendar units. */
+  def floorInterval(c: Column, unit: String, interval: Long): Column =
+    if (interval <= 1) floor(c, unit)
+    else { val (us, step) = toStep(c, unit, interval)
+           timestamp_micros(us - pmod(us, step)) }
+
+  /** Round up to an interval multiple (exact boundaries stay put). */
+  def ceilInterval(c: Column, unit: String, interval: Long): Column =
+    if (interval <= 1) ceil(c, unit)
+    else { val (us, step) = toStep(c, unit, interval)
+           timestamp_micros(when(pmod(us, step) === 0, us)
+             .otherwise(us - pmod(us, step) + step)) }
+
+  /** Round to the closest interval boundary, ties up. */
+  def closestInterval(c: Column, unit: String, interval: Long): Column =
+    if (interval <= 1) closest(c, unit)
+    else { val (us, step) = toStep(c, unit, interval)
+           val down = us - pmod(us, step)
+           timestamp_micros(when(us - down < down + step - us, down)
+             .otherwise(down + step)) }
+
+  /** Apply a [[Precision]]'s rounding mode. */
+  def roundTo(c: Column, p: Precision): Column = p.roundTo match {
+    case "down"    => floorInterval(c, p.unit, p.interval)
+    case "up"      => ceilInterval(c, p.unit, p.interval)
+    case "closest" => closestInterval(c, p.unit, p.interval)
   }
 
   private def intervalUnit(dateTruncUnit: String): String =

@@ -68,10 +68,20 @@ object Diff {
     }
   }
 
+  /** The backtrack side's key columns are ALIASED (`__graft_bk_*`) before the
+    * join: incoming and backtrack routinely share lineage (both read the same
+    * scan), and a same-attribute `===` leans on Spark's self-join
+    * auto-disambiguation — one rewrite away from a trivially-true predicate
+    * (Spark warns on exactly this construction). */
+  private def bkName(k: String): String = s"__graft_bk_$k"
+
+  private def bkKeys(backtrack: DataFrame, keys: Seq[String]): DataFrame =
+    backtrack.select(keys.map(k => col(k).as(bkName(k))): _*).distinct()
+
   private def keyCondition(l: DataFrame, r: DataFrame, keys: Seq[String],
                            nullSafe: Boolean): Column =
     keys.map { k =>
-      if (nullSafe) l(k) <=> r(k) else l(k) === r(k)
+      if (nullSafe) l(k) <=> r(bkName(k)) else l(k) === r(bkName(k))
     }.reduce(_ && _)
 
   /** Split a delta into (unseen → insert, update → modify) on the pipe's
@@ -81,7 +91,7 @@ object Diff {
     */
   def unseenUpdateSplit(delta: DataFrame, backtrack: DataFrame, keys: Seq[String],
                         nullSafe: Boolean = false): (DataFrame, DataFrame) = {
-    val bt = backtrack.select(keys.map(col): _*).distinct()
+    val bt = bkKeys(backtrack, keys)
     val unseen = delta.join(bt, keyCondition(delta, bt, keys, nullSafe), "left_anti")
     val update = delta.join(bt, keyCondition(delta, bt, keys, nullSafe), "left_semi")
     (unseen, update)
@@ -97,8 +107,7 @@ object Diff {
                   nullSafe: Boolean = false,
                   flag: String = "__graft_update"): DataFrame = {
     val delta = filterUnseen(backtrack, incoming)
-    val bt = backtrack.select(keys.map(col): _*).distinct()
-      .withColumn("__graft_seen", lit(1))
+    val bt = bkKeys(backtrack, keys).withColumn("__graft_seen", lit(1))
     val j = delta.join(bt, keyCondition(delta, bt, keys, nullSafe), "left")
     j.select(delta.columns.map(c => delta(c)).toIndexedSeq :+
       bt("__graft_seen").isNotNull.as(flag): _*)

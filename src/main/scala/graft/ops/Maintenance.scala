@@ -31,7 +31,8 @@ object Maintenance {
     * aligned `get_chunk_bounds`, core/Pipe/_data.py:728-883).
     */
   def verify(engine: SyncEngine, spec: PipeSpec, source: DataFrame,
-             windowMinutes: Option[Long] = None): VerifyResult = {
+             windowMinutes: Option[Long] = None,
+             checkContent: Boolean = true): VerifyResult = {
     val dt = spec.columns.datetime.getOrElse(
       throw new IllegalArgumentException("verify requires a datetime axis"))
     // the COMPARE window is its own knob (reference `verify.chunk_minutes`,
@@ -46,20 +47,50 @@ object Maintenance {
       return VerifyResult(0, 0, r)
     }
 
-    def counts(df: DataFrame) = df
-      .groupBy(window(col(dt).cast("timestamp"), w).getField("start").as("__chunk"))
-      .agg(count(lit(1)).as("__cnt"))
+    // `checkContent` (the DEFAULT, matching the reference's distrust of
+    // rowcounts alone — core/Pipe/_verify.py:146-330) compares an
+    // order-independent per-window content signature on top of the count:
+    // XOR of a 64-bit hash of the canonical row hash. A window whose values
+    // were corrupted without changing its count no longer verifies clean.
+    // XOR (not sum) is overflow-free under ANSI mode and commutative, so
+    // partition order never changes the signature.
+    // hash the COMMON columns, cast to the unified schema on both sides —
+    // a promoted stored type (int batch + float batch → numeric) must not
+    // read as corruption
+    val tgtSchema = store.read.schema
+    val unified = SchemaEvolution.unifiedSchema(tgtSchema, source.schema, spec.mixedNumerics)
+    val commonFields = unified.fields.filter(f =>
+      source.columns.contains(f.name) && tgtSchema.fieldNames.contains(f.name)).toSeq
+    val common = commonFields.map(_.name)
 
-    val src = counts(source).withColumnRenamed("__cnt", "__src_cnt")
-    val tgt = counts(store.read).withColumnRenamed("__cnt", "__tgt_cnt")
+    def summarize(df: DataFrame) = {
+      val canon = df.select(
+        commonFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      val rows = canon.select(
+        window(col(dt).cast("timestamp"), w).getField("start").as("__chunk"),
+        xxhash64(Diff.rowHash(common)).as("__h"))
+      if (checkContent)
+        rows.groupBy(col("__chunk"))
+          .agg(count(lit(1)).as("__cnt"), expr("bit_xor(__h)").as("__sig"))
+      else
+        rows.groupBy(col("__chunk"))
+          .agg(count(lit(1)).as("__cnt"), lit(0L).as("__sig"))
+    }
+
+    val src = summarize(source)
+      .withColumnRenamed("__cnt", "__src_cnt").withColumnRenamed("__sig", "__src_sig")
+    val tgt = summarize(store.read)
+      .withColumnRenamed("__cnt", "__tgt_cnt").withColumnRenamed("__sig", "__tgt_sig")
     val joined = src.join(tgt, Seq("__chunk"), "full_outer")
       .select(col("__chunk"),
         coalesce(col("__src_cnt"), lit(0L)).as("s"),
-        coalesce(col("__tgt_cnt"), lit(0L)).as("t"))
+        coalesce(col("__tgt_cnt"), lit(0L)).as("t"),
+        coalesce(col("__src_sig"), lit(0L)).as("ss"),
+        coalesce(col("__tgt_sig"), lit(0L)).as("ts"))
       .cache()
     try {
       val total = joined.count()
-      val bad   = joined.where(col("s") =!= col("t"))
+      val bad   = joined.where(col("s") =!= col("t") || col("ss") =!= col("ts"))
         .select(col("__chunk")).collect().map(_.getTimestamp(0))
       if (bad.isEmpty) return VerifyResult(total, 0, SyncResult(0, 0))
       // one re-sync bounded to the mismatched chunks (partition-prunable)

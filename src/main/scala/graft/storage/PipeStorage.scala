@@ -248,23 +248,52 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
         // aggregate; only pay a separate collect when uninstrumented
         val chunkVals = knownChunks.map(_.toArray).getOrElse(
           p.select(PartCol).distinct().collect().map(_.getString(0)))
-        val (nullChunk, vals) = (chunkVals.contains(null), chunkVals.filter(_ != null).toSeq)
+        val patchOnly = (chunkVals.contains(null), chunkVals.filter(_ != null).toSeq)
+        // dt-moving updates: when the keys do not pin the chunk (no dt axis
+        // among them), a key whose existing row lives OUTSIDE the patch's
+        // chunks would survive alongside its moved replacement. Locate those
+        // stray chunks with a key-pruned scan (parquet reads only the key
+        // columns + the partition label) and fold them into the rewrite set.
+        val strayVals: Array[String] =
+          if (dtCol.exists(keys.contains)) Array.empty
+          else {
+            val all = spark.read.option("mergeSchema", "true").parquet(dataPath)
+              .select(keys.map(col) :+ col(PartCol): _*)
+            val pk  = p.select(keys.map(col): _*).distinct()
+            val kc  = keys.map { k =>
+              if (spec.nullIndices) all(k) <=> pk(k) else all(k) === pk(k)
+            }.reduce(_ && _)
+            val inPatch = {
+              val in = if (patchOnly._2.nonEmpty) col(PartCol).isin(patchOnly._2: _*)
+                       else lit(false)
+              if (patchOnly._1) in || col(PartCol).isNull else in
+            }
+            all.join(pk, kc, "left_semi")
+              .where(!coalesce(inPatch, lit(false)))
+              .select(PartCol).distinct().collect().map(_.getString(0))
+          }
+        val merged = (chunkVals ++ strayVals).distinct
+        val (nullChunk, vals) = (merged.contains(null), merged.filter(_ != null).toSeq)
         val current = readChunks(vals, nullChunk)
         val keyCond = keys.map { k =>
           if (spec.nullIndices) current(k) <=> p(k) else current(k) === p(k)
         }.reduce(_ && _)
         val keep   = current.join(p.select(keys.map(col): _*).distinct(), keyCond, "left_anti")
-        val merged = keep.unionByName(p, allowMissingColumns = true)
+        val mergedDf = keep.unionByName(p, allowMissingColumns = true)
         val tmp    = s"$basePath/.merge_tmp"
-        merged.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
-        // swap merged chunks into data/ (affected partitions only)
+        mergedDf.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
+        // swap merged chunks into data/: every affected dir is removed first
+        // (a stray chunk can lose ALL its rows and then has no tmp output),
+        // then the rewritten dirs move in
         val dataDir = new Path(s"$basePath/data")
+        val affectedDirNames = (vals.map(v => s"$PartCol=$v") ++
+          (if (nullChunk) Seq(s"$PartCol=__HIVE_DEFAULT_PARTITION__") else Nil)).toSet
+        affectedDirNames.foreach { n =>
+          val dest = new Path(dataDir, n)
+          if (fs.exists(dest)) fs.delete(dest, true)
+        }
         fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
-          .foreach { st =>
-            val dest = new Path(dataDir, st.getPath.getName)
-            if (fs.exists(dest)) fs.delete(dest, true)
-            fs.rename(st.getPath, dest)
-          }
+          .foreach { st => fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)) }
         fs.delete(new Path(tmp), true)
       } finally p.unpersist()
     } else {

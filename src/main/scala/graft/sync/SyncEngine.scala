@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.PipeSpec
 import graft.dsl.ParamsFilter
-import graft.ops.{Diff, SchemaEvolution}
+import graft.ops.{Diff, SchemaEvolution, SpecialCols}
 import graft.storage.PipeStorage
 
 /** The incremental sync pipeline — the reference's `pipe.sync()`
@@ -27,7 +27,9 @@ import graft.storage.PipeStorage
   * keeps a 100 TB target syncable (the window is broadcast-able in the
   * common case).
   */
-final case class SyncResult(inserted: Long, updated: Long) {
+final case class SyncResult(inserted: Long, updated: Long,
+                            attempts: Int = 1,
+                            attemptErrors: Seq[String] = Seq.empty) {
   def total: Long = inserted + updated
 }
 
@@ -42,23 +44,41 @@ final case class SyncHooks(
     postSync: (PipeSpec, SyncResult) => Unit = (_, _) => (),
     chunkHook: DataFrame => DataFrame = identity)
 
+/** @param catalog when given, dtypes inferred/evolved at sync time are
+  *                 persisted back into the registered spec (reference
+  *                 core/Pipe/_sync.py:1074-1107); `catalogPath` additionally
+  *                 writes the registry to disk after each change.
+  * @param retries  sync-level attempts (reference retries each sync 3× with
+  *                 quadratic sleep, core/Pipe/_sync.py:333-355).
+  * @param clock    injected wall clock for autotime stamping (testable;
+  *                 production default is UTC now). */
 final class SyncEngine(spark: SparkSession, root: String,
-                       hooks: SyncHooks = SyncHooks()) {
+                       hooks: SyncHooks = SyncHooks(),
+                       catalog: Option[graft.catalog.PipeCatalog] = None,
+                       catalogPath: Option[String] = None,
+                       retries: Int = 3,
+                       retryBaseSleepMs: Long = 1000,
+                       clock: () => LocalDateTime =
+                         () => LocalDateTime.now(java.time.ZoneOffset.UTC)) {
 
   def storage(spec: PipeSpec): PipeStorage = new PipeStorage(spark, root, spec)
 
   /** Sync entry point: a [[SyncStrategy]] on the spec replaces the engine's
     * sync wholesale (reference plugin `sync()`, core/Pipe/_sync.py:201-261);
     * otherwise the standard diff-then-apply pipeline runs, bracketed by the
-    * engine's [[SyncHooks]]. */
+    * engine's [[SyncHooks]] and wrapped in a bounded [[Retry]] (the diff
+    * pipeline is idempotent, so a partially applied attempt re-converges). */
   def sync(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val pre = hooks.preSync(spec, batch0)
-    val result = spec.strategy match {
-      case Some(st) => st.sync(this, spec, pre)
-      case None     => syncDefault(spec, pre)
+    val (result, attempts, errs) = Retry.withBackoff(retries, retryBaseSleepMs) {
+      spec.strategy match {
+        case Some(st) => st.sync(this, spec, pre)
+        case None     => syncDefault(spec, pre)
+      }
     }
-    hooks.postSync(spec, result)
-    result
+    val r = result.copy(attempts = attempts, attemptErrors = errs)
+    hooks.postSync(spec, r)
+    r
   }
 
   def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
@@ -67,17 +87,32 @@ final class SyncEngine(spark: SparkSession, root: String,
     // 1. dtype enforcement (reference core/Pipe/_dtypes.py:19-115)
     var batch = if (spec.enforce) SchemaEvolution.enforceDtypes(batch0, spec.dtypes) else batch0
 
-    // 2. autotime stamping (reference core/Pipe/_sync.py:412-433)
+    // 2. autotime stamping (reference core/Pipe/_sync.py:412-433) — the
+    //    injected clock, routed through the pipe's precision (interval
+    //    rounding, ref utils/dtypes/__init__.py:1138-1236)
     spec.columns.datetime.foreach { dt =>
-      if (spec.autotime && !batch.columns.contains(dt))
-        batch = batch.withColumn(dt, current_timestamp().cast("timestamp_ntz"))
+      if (spec.autotime && !batch.columns.contains(dt)) {
+        val stamp: Column = spec.epochUnit match {
+          case Some(unit) =>
+            val now = graft.dsl.EpochAxis.toUnits(clock(), unit)
+            lit(spec.precision.map(graft.dsl.EpochAxis.roundUnits(now, _)).getOrElse(now))
+          case None =>
+            val nowLit = lit(clock()).cast("timestamp_ntz")
+            spec.precision
+              .map(p => graft.dsl.RoundTime.roundTo(nowLit, p).cast("timestamp_ntz"))
+              .getOrElse(nowLit)
+        }
+        batch = batch.withColumn(dt, stamp)
+      }
     }
 
     // 2b. autoincrement surrogate primary key (reference
     //     core/Pipe/__init__.py:278-279 — DB identity): batches without the
-    //     pk column get maxExisting + row_number. The global window is a
-    //     deliberate serial point, exactly like a DB identity column; pipes
-    //     that need parallel ingest should carry natural keys instead.
+    //     pk column get dense sequential ids via TWO-PASS per-partition
+    //     offsets (zipWithIndex = one count-per-partition job + one narrow
+    //     map) — no single-partition window, so a 100 TB bulk load stays
+    //     parallel. Assignment order follows the batch's partition layout,
+    //     the same non-promise a DB identity column makes.
     spec.columns.primary.foreach { pk =>
       if (spec.autoincrement && !batch.columns.contains(pk)) {
         val base =
@@ -85,13 +120,27 @@ final class SyncEngine(spark: SparkSession, root: String,
             val r = store.read.agg(max(col(pk).cast("long"))).head()
             if (r.isNullAt(0)) 0L else r.getLong(0)
           } else 0L
-        val order = spec.columns.datetime.filter(batch.columns.contains)
-          .map(col).getOrElse(lit(1))
-        batch = batch.withColumn(pk,
-          lit(base) + row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(order)))
+        val schema = batch.schema.add(pk, org.apache.spark.sql.types.LongType,
+          nullable = false)
+        val rdd = batch.rdd.zipWithIndex().map { case (row, i) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + 1L + i))
+        }
+        batch = spark.createDataFrame(rdd, schema)
       }
     }
+
+    // 2c. special-column inference (reference `get_uuid_cols`/`get_json_cols`,
+    //     utils/dataframe.py:642-1234): uuid/json shapes hiding in string
+    //     columns are recorded in the catalog. Metadata-only (both ride as
+    //     string physically) and only computed when a catalog is attached to
+    //     consume the result — no catalog, no extra job.
+    lazy val inferredSpecial: Map[String, graft.types.MrsmType] =
+      if (catalog.isEmpty) Map.empty
+      else {
+        val declared = spec.dtypes.keySet ++
+          catalog.flatMap(_.get(spec.keys)).map(_.dtypes.keySet).getOrElse(Set.empty)
+        SpecialCols.infer(batch, declared)
+      }
 
     // 3. first sync: create the target outright
     if (!store.exists) {
@@ -99,6 +148,7 @@ final class SyncEngine(spark: SparkSession, root: String,
       val n = deduped.cache().count()
       store.create(deduped)
       deduped.unpersist()
+      persistDtypes(spec, deduped.schema, inferredSpecial)
       return SyncResult(inserted = n, updated = 0)
     }
 
@@ -116,9 +166,13 @@ final class SyncEngine(spark: SparkSession, root: String,
           u.find(_.name == f.name).exists(_.dataType != f.dataType))
         if (promoted) {
           store.overwrite(SchemaEvolution.conform(target, u)) // tmp+swap write
+          persistDtypes(spec, u, inferredSpecial)
           (store.read, SchemaEvolution.conform(batch, u))     // re-read post-swap
-        } else
+        } else {
+          if (u.length != target.schema.length || inferredSpecial.nonEmpty)
+            persistDtypes(spec, u, inferredSpecial)
           (SchemaEvolution.conform(target, u), SchemaEvolution.conform(batch, u))
+        }
       }
 
     val keys = syncKeys(spec, batchAligned)
@@ -151,6 +205,29 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   private val UpdFlag = "__graft_update"
 
+  /** Write inferred/evolved dtypes back into the registered spec — the
+    * reference persists newly detected dtypes into the pipe's parameters at
+    * sync time (core/Pipe/_sync.py:1074-1107), so after drift the registry
+    * still describes the table. Declared dtypes keep their richer engine
+    * type (uuid/json/geometry ride as string/binary physically) as long as
+    * the physical type still matches; drifted or new columns record the
+    * inferred type. */
+  private def persistDtypes(spec: PipeSpec, schema: org.apache.spark.sql.types.StructType,
+                            inferred: Map[String, graft.types.MrsmType] = Map.empty): Unit =
+    catalog.foreach { cat =>
+      val declared = cat.get(spec.keys).map(_.dtypes).getOrElse(spec.dtypes)
+      val merged = schema.fields.map { f =>
+        f.name -> (declared.get(f.name) match {
+          case Some(t) if t.spark == f.dataType => t
+          case _ => inferred.getOrElse(f.name, graft.types.Dtypes.fromSpark(f.dataType))
+        })
+      }.toMap
+      if (merged != declared || cat.get(spec.keys).isEmpty) {
+        cat.register(spec.copy(dtypes = merged))
+        catalogPath.foreach(p => graft.catalog.PipeCatalogStore.save(spark, p, cat))
+      }
+    }
+
   /** Tag batch rows as update (key exists in the backtrack window) or insert.
     * `diff = true` also drops full-row-identical rows first (the delta). */
   private def tagAgainstTarget(spec: PipeSpec, store: PipeStorage, target: DataFrame,
@@ -159,10 +236,14 @@ final class SyncEngine(spark: SparkSession, root: String,
     val backtrack = backtrackSlice(spec, store, target, batch)
     if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag)
     else {
-      val bt = backtrack.select(keys.map(col): _*).distinct()
+      // backtrack keys aliased before the join — batch and backtrack can
+      // share lineage (see Diff's bkKeys rationale)
+      val bt = backtrack
+        .select(keys.map(k => col(k).as(s"__graft_bk_$k")): _*).distinct()
         .withColumn("__graft_seen", lit(1))
       val cond = keys.map { k =>
-        if (spec.nullIndices) batch(k) <=> bt(k) else batch(k) === bt(k)
+        if (spec.nullIndices) batch(k) <=> bt(s"__graft_bk_$k")
+        else batch(k) === bt(s"__graft_bk_$k")
       }.reduce(_ && _)
       batch.join(bt, cond, "left")
         .select(batch.columns.map(c => batch(c)).toIndexedSeq :+
@@ -303,10 +384,16 @@ final class SyncEngine(spark: SparkSession, root: String,
     // is the honest cost once the VALUES list would out-punish the remote
     // planner)
     def localFilter(fetched: DataFrame): SyncResult = {
+      // the bookmark's join column is RENAMED, not joined via usingColumns:
+      // `fetched` can share lineage with stDf (both read this store), and a
+      // usingColumns self-join on shared lineage leans on Spark's
+      // auto-disambiguation — one rewrite away from a silent cross join
+      val bk = stDf.withColumnRenamed(idCol, "__graft_bk_id")
       val cond = col(dtCol) > col("__graft_st") ||
         (if (newIds) col("__graft_st").isNull else lit(false))
-      sync(spec, fetched.join(broadcast(stDf), Seq(idCol), "left")
-        .where(cond).drop("__graft_st"))
+      sync(spec, fetched.join(broadcast(bk),
+          fetched(idCol) === bk("__graft_bk_id"), "left")
+        .where(cond).drop("__graft_bk_id", "__graft_st"))
     }
 
     source match {
@@ -378,6 +465,10 @@ final class SyncEngine(spark: SparkSession, root: String,
     // partition directories before any file is opened
     var df = storage(spec).readRange(
       begin.orElse(beginEpoch), end.orElse(endEpoch))
+    // dtype enforcement on READ (reference core/Pipe/_data.py:310-314): the
+    // result carries the declared dtypes, one codegen'd projection
+    if (spec.enforce && spec.dtypes.nonEmpty)
+      df = SchemaEvolution.enforceDtypes(df, spec.dtypes)
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))
     if (select.nonEmpty) df = df.select(select.map(col): _*)
     if (omit.nonEmpty)   df = df.drop(omit: _*)

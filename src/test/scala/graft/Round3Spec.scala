@@ -1,0 +1,359 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ColumnRoles, PipeCatalog, PipeCatalogStore, PipeKeys, PipeSpec}
+import graft.dsl.{Precision, RoundTime}
+import graft.ops.Maintenance
+import graft.sync.{SyncEngine, SyncResult, SyncStrategy}
+
+/** Round-3 behaviors: sync retry, dtype persistence, enforced reads,
+  * dt-moving upserts, distributed autoincrement, precision stamping,
+  * content-aware verify, stored-index probes. */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkSpec(name: String): PipeSpec =
+    PipeSpec(PipeKeys("test", name),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+
+  private def batch(rows: Seq[(String, Long, Double)]): DataFrame =
+    rows.toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+      .select("dt", "id", "val")
+
+  // ── sync-level retry ────────────────────────────────────────────────────
+
+  test("transient sync failure succeeds on retry, errors surfaced") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root, retries = 3, retryBaseSleepMs = 1)
+    var calls = 0
+    val flaky = new SyncStrategy {
+      def sync(e: SyncEngine, spec: PipeSpec, b: DataFrame): SyncResult = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException(s"transient #$calls")
+        e.syncDefault(spec, b)
+      }
+    }
+    val spec = mkSpec("retry").copy(strategy = Some(flaky))
+    val r = eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0))))
+    assert(r.inserted == 1)
+    assert(r.attempts == 3)
+    assert(r.attemptErrors == Seq("attempt 1: transient #1", "attempt 2: transient #2"))
+    assert(eng.storage(spec).rowCount == 1)
+  }
+
+  test("retries exhausted: the final failure propagates") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root, retries = 2, retryBaseSleepMs = 1)
+    val dead = new SyncStrategy {
+      def sync(e: SyncEngine, spec: PipeSpec, b: DataFrame): SyncResult =
+        throw new RuntimeException("permanent")
+    }
+    val spec = mkSpec("retry_dead").copy(strategy = Some(dead))
+    val e = intercept[RuntimeException] {
+      eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0))))
+    }
+    assert(e.getMessage == "permanent")
+  }
+
+  // ── dtype persistence back into the catalog ─────────────────────────────
+
+  test("evolved dtypes persist into the catalog and reload from disk") {
+    val root = tmpDir(); val catPath = s"${tmpDir()}/catalog"
+    val cat = new PipeCatalog()
+    val eng = new SyncEngine(spark, root, catalog = Some(cat),
+      catalogPath = Some(catPath), retryBaseSleepMs = 1)
+    val spec = mkSpec("dtpersist")
+    // first sync: inferred dtypes registered
+    val ints = Seq(("2024-01-01 00:00:00", 1L, 10L)).toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    eng.sync(spec, ints)
+    assert(cat.get(spec.keys).exists(
+      _.dtypes.get("val").contains(graft.types.MrsmType.MInt64)))
+    // drifting batch: float val promotes to numeric, new column appears
+    val floats = Seq(("2024-01-02 00:00:00", 2L, 1.5)).toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+      .withColumn("extra", lit("x"))
+    eng.sync(spec, floats)
+    val reloaded = PipeCatalogStore.load(spark, catPath).get(spec.keys)
+    assert(reloaded.exists(_.dtypes.get("val").exists(
+      _.isInstanceOf[graft.types.MrsmType.MNumeric])))
+    assert(reloaded.exists(_.dtypes.get("extra").contains(graft.types.MrsmType.MStr)))
+  }
+
+  test("declared richer dtype survives persistence when physical type matches") {
+    val root = tmpDir()
+    val cat = new PipeCatalog()
+    val eng = new SyncEngine(spark, root, catalog = Some(cat))
+    val spec = PipeSpec(PipeKeys("test", "uuidkeep"),
+      columns = ColumnRoles(Map("primary" -> "pk")),
+      dtypes = Map("u" -> graft.types.MrsmType.MUuid))
+    cat.register(spec)
+    eng.sync(spec, Seq((1L, "0f8fad5b-d9cb-469f-a165-70867728950e")).toDF("pk", "u"))
+    // uuid rides as string physically; the declared uuid must not degrade to str
+    assert(cat.get(spec.keys).exists(
+      _.dtypes.get("u").contains(graft.types.MrsmType.MUuid)))
+  }
+
+  // ── dtype enforcement on read ───────────────────────────────────────────
+
+  test("getData enforces declared dtypes on the result") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "readenforce"),
+      columns = ColumnRoles(Map("primary" -> "pk")),
+      dtypes = Map("a" -> graft.types.MrsmType.MNumeric(10, 2),
+                   "b" -> graft.types.MrsmType.MInt32))
+    // raw storage write: no write-side cast happened
+    eng.storage(spec).create(Seq((1L, 1.555, 7L)).toDF("pk", "a", "b"))
+    val got = eng.getData(spec)
+    assert(got.schema("a").dataType == org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(got.schema("b").dataType == org.apache.spark.sql.types.IntegerType)
+    // enforce=false leaves the stored types alone
+    val loose = eng.getData(spec.copy(enforce = false))
+    assert(loose.schema("a").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  // ── dt-moving update in upsert ──────────────────────────────────────────
+
+  test("upsert moving a key's dt across a chunk boundary does not duplicate") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "dtmove"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+      upsert = true, chunkMinutes = 1440)
+    eng.sync(spec, batch(Seq(
+      ("2024-01-01 10:00:00", 1L, 1.0),
+      ("2024-01-02 10:00:00", 2L, 2.0))))
+    // id=1 moves from the Jan-1 chunk to Jan-5 — a different partition dir.
+    // The tag window (batch dt envelope) can't see the Jan-1 row, so the row
+    // counts as an insert; what matters is that the stray-chunk scan removes
+    // the old row instead of leaving a duplicate behind.
+    val r = eng.sync(spec, batch(Seq(("2024-01-05 10:00:00", 1L, 9.0))))
+    assert(r.total == 1)
+    assert(eng.storage(spec).rowCount == 2)
+    val got = eng.getData(spec, params = Map("id" -> 1L))
+      .select("dt", "val").as[(LocalDateTime, Double)].collect()
+    assert(got.toSeq == Seq((LocalDateTime.parse("2024-01-05T10:00:00"), 9.0)))
+  }
+
+  test("upsert where the stray chunk loses ALL rows removes its directory") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "dtmove_all"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+      upsert = true, chunkMinutes = 1440)
+    eng.sync(spec, batch(Seq(("2024-01-01 10:00:00", 1L, 1.0))))
+    eng.sync(spec, batch(Seq(("2024-01-05 10:00:00", 1L, 9.0))))
+    assert(eng.storage(spec).rowCount == 1)
+    val base = new java.io.File(s"$root/${spec.targetName}/data")
+    val parts = base.listFiles().map(_.getName).filter(_.startsWith("__graft_chunk="))
+    assert(parts.toSeq == Seq("__graft_chunk=2024-01-05"))
+  }
+
+  // ── distributed autoincrement ───────────────────────────────────────────
+
+  test("autoincrement: dense ids on a multi-partition batch, continues from max") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "autoinc"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "rid")),
+      autoincrement = true)
+    val b1 = (1 to 100).map(i => (s"2024-01-01 00:${"%02d".format(i % 60)}:00", i.toLong, i * 1.0))
+    eng.sync(spec, batch(b1).drop("id").repartition(7))
+    val ids1 = eng.getData(spec).select("rid").as[Long].collect().sorted
+    assert(ids1.toSeq == (1L to 100L))
+    // second batch continues from the stored max
+    val b2 = (1 to 50).map(i => (s"2024-01-02 00:${"%02d".format(i % 60)}:00", i.toLong, i * 1.0))
+    eng.sync(spec, batch(b2).drop("id").repartition(5))
+    val ids2 = eng.getData(spec).select("rid").as[Long].collect().sorted
+    assert(ids2.toSeq == (1L to 150L))
+  }
+
+  // ── precision stamping ──────────────────────────────────────────────────
+
+  test("autotime with 5-minute round-down precision stamps aligned timestamps") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root,
+      clock = () => LocalDateTime.parse("2024-03-07T10:13:27"))
+    val spec = PipeSpec(PipeKeys("test", "prec"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "pk")),
+      autotime = true, precision = Some(Precision("minute", 5, "down")))
+    eng.sync(spec, Seq((1L, "a"), (2L, "b")).toDF("pk", "v"))
+    val stamps = eng.getData(spec).select("dt").as[LocalDateTime].collect().distinct
+    assert(stamps.toSeq == Seq(LocalDateTime.parse("2024-03-07T10:10:00")))
+  }
+
+  test("autotime precision on an epoch axis rounds in axis units") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root,
+      clock = () => LocalDateTime.parse("2024-03-07T10:13:27"))
+    val spec = PipeSpec(PipeKeys("test", "prec_epoch"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "pk")),
+      autotime = true, epochUnit = Some("second"),
+      precision = Some(Precision("second", 300, "down")))
+    eng.sync(spec, Seq((1L, "a")).toDF("pk", "v"))
+    val want = (LocalDateTime.parse("2024-03-07T10:13:27")
+      .toEpochSecond(java.time.ZoneOffset.UTC) / 300) * 300
+    assert(eng.getData(spec).select("ts").as[Long].head() == want)
+  }
+
+  test("interval rounding column functions: floor/ceil/closest") {
+    val df = Seq("2024-03-07 10:13:27", "2024-03-07 10:15:00", "2024-03-07 10:17:31")
+      .toDF("s").select(to_timestamp_ntz(col("s")).as("t"))
+    val got = df.select(
+      RoundTime.floorInterval(col("t"), "minute", 5).cast("timestamp_ntz").as("f"),
+      RoundTime.ceilInterval(col("t"), "minute", 5).cast("timestamp_ntz").as("c"),
+      RoundTime.closestInterval(col("t"), "minute", 5).cast("timestamp_ntz").as("n"))
+      .as[(LocalDateTime, LocalDateTime, LocalDateTime)].collect()
+    def t(s: String) = LocalDateTime.parse(s)
+    assert(got(0) == ((t("2024-03-07T10:10:00"), t("2024-03-07T10:15:00"), t("2024-03-07T10:15:00"))))
+    assert(got(1) == ((t("2024-03-07T10:15:00"), t("2024-03-07T10:15:00"), t("2024-03-07T10:15:00"))))
+    // 10:17:31 is 149s from 10:20 and 151s from 10:15 — closest rounds up
+    assert(got(2) == ((t("2024-03-07T10:15:00"), t("2024-03-07T10:20:00"), t("2024-03-07T10:20:00"))))
+  }
+
+  test("precision persists through the catalog store") {
+    val path = s"${tmpDir()}/cat"
+    val cat = new PipeCatalog()
+    cat.register(PipeSpec(PipeKeys("test", "precstore"),
+      precision = Some(Precision("minute", 5, "closest"))))
+    PipeCatalogStore.save(spark, path, cat)
+    val back = PipeCatalogStore.load(spark, path).get(PipeKeys("test", "precstore"))
+    assert(back.exists(_.precision.contains(Precision("minute", 5, "closest"))))
+  }
+
+  // ── content-aware verify ────────────────────────────────────────────────
+
+  test("verify catches count-neutral corruption; rowcount-only does not") {
+    def freshlyCorrupted(): (SyncEngine, PipeSpec, DataFrame) = {
+      val root = tmpDir(); val eng = new SyncEngine(spark, root, retryBaseSleepMs = 1)
+      val spec = PipeSpec(PipeKeys("test", "vcontent"),
+        columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+        chunkMinutes = 1440)
+      val src = batch(Seq(
+        ("2024-01-01 10:00:00", 1L, 1.0),
+        ("2024-01-02 10:00:00", 2L, 2.0),
+        ("2024-01-03 10:00:00", 3L, 3.0)))
+      eng.sync(spec, src)
+      // corrupt day 2's value through raw storage: counts unchanged
+      eng.storage(spec).upsert(
+        batch(Seq(("2024-01-02 10:00:00", 2L, 666.0))), Seq("id"))
+      (eng, spec, src)
+    }
+    val (e1, s1, src1) = freshlyCorrupted()
+    val blind = Maintenance.verify(e1, s1, src1, checkContent = false)
+    assert(blind.chunksMismatched == 0) // silent pass — the round-2 defect
+    val (e2, s2, src2) = freshlyCorrupted()
+    val r2 = Maintenance.verify(e2, s2, src2) // checkContent default true
+    assert(r2.chunksMismatched == 1)
+    assert(r2.resync.updated == 1)
+    val vals = e2.getData(s2).orderBy("id").select("val").as[Double].collect()
+    assert(vals.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  // ── special-column inference ────────────────────────────────────────────
+
+  test("uuid/json shapes in string columns are inferred and persisted") {
+    val root = tmpDir()
+    val cat = new PipeCatalog()
+    val eng = new SyncEngine(spark, root, catalog = Some(cat))
+    val spec = PipeSpec(PipeKeys("test", "inferspecial"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val df = Seq(
+      (1L, "0f8fad5b-d9cb-469f-a165-70867728950e", """{"a": 1}""", "plain"),
+      (2L, "7C9E6679-7425-40DE-944B-E07FC1F90AE7", """[1, 2, 3]""", "123"))
+      .toDF("pk", "u", "j", "s")
+    eng.sync(spec, df)
+    val dts = cat.get(spec.keys).map(_.dtypes).getOrElse(Map.empty)
+    assert(dts.get("u").contains(graft.types.MrsmType.MUuid))
+    assert(dts.get("j").contains(graft.types.MrsmType.MJson))
+    assert(dts.get("s").contains(graft.types.MrsmType.MStr)) // mixed → plain
+    // physical schema unchanged: both ride as string
+    assert(eng.getData(spec).schema("u").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("inference skips declared columns and non-uniform shapes") {
+    val df = Seq(
+      ("0f8fad5b-d9cb-469f-a165-70867728950e", """{"a":1}""", "{broken"),
+      ("not-a-uuid", """{"b":2}""", """{"ok":1}"""))
+      .toDF("mixed_u", "j", "half_json")
+    val got = graft.ops.SpecialCols.infer(df, declared = Set("j"))
+    assert(got == Map.empty) // mixed_u not uniform, j declared, half_json invalid
+    val all = graft.ops.SpecialCols.infer(df)
+    assert(all == Map("j" -> graft.types.MrsmType.MJson))
+  }
+
+  // ── pipe-DAG parameter inheritance + children ───────────────────────────
+
+  test("references inherit roles/dtypes/tags; own values win; later ref wins") {
+    val cat = new PipeCatalog()
+    val base = PipeSpec(PipeKeys("dag", "base"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "station")),
+      dtypes = Map("temp" -> graft.types.MrsmType.MFloat),
+      tags = Seq("weather"), epochUnit = Some("second"))
+    val base2 = PipeSpec(PipeKeys("dag", "base2"),
+      columns = ColumnRoles(Map("id" -> "sensor")),
+      dtypes = Map("temp" -> graft.types.MrsmType.MNumeric(10, 2)))
+    val child = PipeSpec(PipeKeys("dag", "child"),
+      columns = ColumnRoles(Map("datetime" -> "observed_at")),
+      tags = Seq("derived"),
+      references = Seq(base.keys, base2.keys))
+    Seq(base, base2, child).foreach(cat.register)
+    val r = cat.resolve(child.keys).get
+    assert(r.columns.datetime.contains("observed_at"))       // own wins
+    assert(r.columns.roles.get("id").contains("sensor"))     // later ref wins
+    assert(r.dtypes.get("temp").contains(graft.types.MrsmType.MNumeric(10, 2)))
+    assert(r.tags.toSet == Set("weather", "derived"))
+    assert(r.epochUnit.contains("second"))                   // inherited option
+  }
+
+  test("reference cycles fall back to the raw spec; children are unioned") {
+    val cat = new PipeCatalog()
+    val a = PipeSpec(PipeKeys("dag", "a"),
+      tags = Seq("ta"), references = Seq(PipeKeys("dag", "b")),
+      children = Seq(PipeKeys("dag", "c")))
+    val b = PipeSpec(PipeKeys("dag", "b"),
+      tags = Seq("tb"), references = Seq(PipeKeys("dag", "a")))
+    val c = PipeSpec(PipeKeys("dag", "c"))
+    val d = PipeSpec(PipeKeys("dag", "d"), parents = Seq(a.keys))
+    Seq(a, b, c, d).foreach(cat.register)
+    // a -> b -> a cycle: b contributes its raw tags, the loop arm is dropped
+    assert(cat.resolve(a.keys).get.tags.toSet == Set("tb", "ta"))
+    assert(cat.childrenOf(a.keys).map(_.keys.metric).sorted == Seq("c", "d"))
+  }
+
+  test("references and children persist through the catalog store") {
+    val path = s"${tmpDir()}/cat"
+    val cat = new PipeCatalog()
+    cat.register(PipeSpec(PipeKeys("dag", "persisted"),
+      references = Seq(PipeKeys("dag", "base")),
+      children = Seq(PipeKeys("dag", "kid", Some("loc")))))
+    PipeCatalogStore.save(spark, path, cat)
+    val back = PipeCatalogStore.load(spark, path).get(PipeKeys("dag", "persisted")).get
+    assert(back.references == Seq(PipeKeys("dag", "base")))
+    assert(back.children == Seq(PipeKeys("dag", "kid", Some("loc"))))
+  }
+
+  // ── stored-index ANN probe ──────────────────────────────────────────────
+
+  test("stored IVF cell probe is a partition-pruned read") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "ivfstore"),
+      columns = ColumnRoles(Map("datetime" -> "cell", "primary" -> "vid")),
+      epochUnit = Some("minute"), chunkMinutes = 1)
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(8)(((i * 7 + 3) % 11).toDouble)))
+      .toDF("vid", "embedding")
+    val cents = graft.ops.SimilaritySearch.sampleCentroids(vecs, "vid", "embedding", 4)
+    val indexed = graft.ops.SimilaritySearch.withIvfCell(vecs, "embedding", cents)
+    val store = eng.storage(spec)
+    store.create(indexed)
+    val probed = store.readRange(Some(1L), Some(1L), endInclusive = true)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("__graft_chunk"), plan)
+    // every returned row belongs to the probed cell
+    assert(probed.select("cell").distinct().as[Int].collect().toSeq.forall(_ == 1))
+  }
+}
