@@ -359,23 +359,35 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       .partitionBy(keys.map(col): _*)
       .orderBy(order.map(c => col(c).desc): _*)
     if (partitioned) {
-      val df     = spark.read.option("mergeSchema", "true").parquet(dataPath)
-      val ranked = df.withColumn("__graft_rn", row_number().over(w))
-      // one aggregate: rows to remove + the chunks that lose them
-      val dup = ranked.where(col("__graft_rn") > 1).agg(
-        count(lit(1)).as("n"),
-        collect_set(col(PartCol)).as("chunks"),
-        max(when(col(PartCol).isNull, 1).otherwise(0)).as("nullChunk")).head()
-      val removed = dup.getLong(0)
+      val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+      // narrow pre-pass: find duplicate KEYS and the chunks holding their
+      // rows with a keys+chunk-label projection (column-pruned scan, map-side
+      // combined hash agg) — the table-wide shuffle carries key columns, not
+      // full rows. Every chunk containing any row of a duplicated key lands
+      // in the affected set, so the full-row window below sees ALL rows of
+      // every multi-row key even when they span chunks.
+      val dup = df.select((keys :+ PartCol).map(col): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+             collect_set(col(PartCol)).as("__chunks"),
+             max(when(col(PartCol).isNull, 1).otherwise(0)).as("__nullChunk"))
+        .where(col("__n") > 1)
+        .agg(sum(col("__n") - 1).as("removed"),
+             array_distinct(flatten(collect_list(col("__chunks")))).as("chunks"),
+             max(col("__nullChunk")).as("nullChunk"))
+        .head()
+      val removed = Option(dup.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (removed == 0) return 0L
-      val vals      = dup.getSeq[String](1)
+      val vals      = Option(dup.getSeq[String](1)).getOrElse(Seq.empty)
       val nullChunk = Option(dup.get(2)).exists(_.asInstanceOf[Int] > 0)
       val chunkPred = {
         val in = if (vals.nonEmpty) col(PartCol).isin(vals: _*) else lit(false)
         if (nullChunk) in || col(PartCol).isNull else in
       }
-      val survivors = ranked
-        .where(col("__graft_rn") === 1 && chunkPred).drop("__graft_rn")
+      // full rows shuffle only for the losing chunks' slice of the table
+      val survivors = df.where(chunkPred)
+        .withColumn("__graft_rn", row_number().over(w))
+        .where(col("__graft_rn") === 1).drop("__graft_rn")
       val tmp = s"$basePath/.dedup_tmp"
       survivors.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
       val dataDir = new Path(s"$basePath/data")

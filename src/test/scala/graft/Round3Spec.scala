@@ -336,6 +336,37 @@ class Round3Spec extends SparkSpec {
     assert(back.children == Seq(PipeKeys("dag", "kid", Some("loc"))))
   }
 
+  // ── deduplicate: narrow pre-pass correctness across chunks ──────────────
+
+  test("deduplicate picks one survivor when a key's duplicates span chunks") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "dedupspan"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+      chunkMinutes = 1440)
+    val store = eng.storage(spec)
+    // raw appends bypass the sync diff: id=1 duplicated across Jan-1 and
+    // Jan-3 chunks (different dt), id=2 clean, id=3 duplicated within Jan-2
+    store.create(batch(Seq(
+      ("2024-01-01 10:00:00", 1L, 1.0),
+      ("2024-01-02 10:00:00", 2L, 2.0),
+      ("2024-01-02 11:00:00", 3L, 3.0))))
+    store.append(batch(Seq(
+      ("2024-01-03 10:00:00", 1L, 9.0),
+      ("2024-01-02 11:00:00", 3L, 8.0))))
+    // dedupe on id alone, newest dt wins → id=1 keeps the Jan-3 row
+    val removed = store.deduplicate(Seq("id"), Seq("dt"))
+    assert(removed == 2)
+    val got = eng.getData(spec).orderBy("id")
+      .select("id", "val").as[(Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 9.0), (2L, 2.0), (3L, 8.0)))
+    // the untouched would-be-clean chunk layout survives: Jan-1 dir is gone
+    // (its only row lost), Jan-2 and Jan-3 remain
+    val base = new java.io.File(s"$root/${spec.targetName}/data")
+    val parts = base.listFiles().map(_.getName)
+      .filter(_.startsWith("__graft_chunk=")).sorted
+    assert(parts.toSeq == Seq("__graft_chunk=2024-01-02", "__graft_chunk=2024-01-03"))
+  }
+
   // ── stored-index ANN probe ──────────────────────────────────────────────
 
   test("stored IVF cell probe is a partition-pruned read") {
