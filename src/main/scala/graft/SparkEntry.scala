@@ -789,6 +789,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ── §2.8 special-column inference: uuid/json shapes hiding in string
+    // columns are detected from the VALUES (all-sampled-match rule); the
+    // oracle replays the same per-column counting decision in SQL. `maybe`
+    // mixes uuids with source words on a data-dependent predicate, so the
+    // "not uniform → stays str" branch is decided by the data, not the query.
+    "q_infer_special" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      def hx(a: Int, b: Int) = substring(md5(col("doc_id").cast("string")), a, b)
+      val uuid = concat_ws("-", hx(1, 8), hx(9, 4), hx(13, 4), hx(17, 4), hx(21, 12))
+      val df = docs.select(
+        uuid.as("u"),
+        when(col("doc_id") % 7 === 0, col("source")).otherwise(uuid).as("maybe"),
+        concat(lit("{\"n\":"), col("n_chars").cast("string"), lit("}")).as("j"),
+        col("lang").as("s"))
+      val inferred = graft.ops.SpecialCols.infer(df)
+      df.columns.toSeq.sorted.map { c =>
+        c -> graft.types.Dtypes.format(
+          inferred.getOrElse(c, graft.types.MrsmType.MStr))
+      }.toDF("col_name", "dtype").orderBy(col("col_name"))
+    }),
+
     // ── §2.1 autoincrement: dense surrogate ids from the two-pass
     // per-partition offset assignment (no single-partition window).
     "q_autoincrement_ids" -> ((s, d) => {
@@ -1172,6 +1194,58 @@ object SparkEntry {
 
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
-         FROM events ORDER BY row_id"""
+         FROM events ORDER BY row_id""",
+
+    "q_infer_special" ->
+      """WITH src AS (
+           SELECT
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 21, 12) AS u,
+             CASE WHEN doc_id % 7 = 0 THEN source ELSE
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '-' ||
+               substring(md5(CAST(doc_id AS VARCHAR)), 9, 4) || '-' ||
+               substring(md5(CAST(doc_id AS VARCHAR)), 13, 4) || '-' ||
+               substring(md5(CAST(doc_id AS VARCHAR)), 17, 4) || '-' ||
+               substring(md5(CAST(doc_id AS VARCHAR)), 21, 12) END AS maybe,
+             '{"n":' || n_chars || '}' AS j,
+             lang AS s
+           FROM documents
+         ), stats AS (
+           SELECT 'u' AS col_name, count(u) AS n,
+             count(CASE WHEN regexp_full_match(u,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')
+               THEN 1 END) AS n_uuid,
+             count(CASE WHEN left(ltrim(u), 1) IN ('{','[') AND json_valid(u)
+               THEN 1 END) AS n_json FROM src
+           UNION ALL
+           SELECT 'maybe', count(maybe),
+             count(CASE WHEN regexp_full_match(maybe,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')
+               THEN 1 END),
+             count(CASE WHEN left(ltrim(maybe), 1) IN ('{','[') AND json_valid(maybe)
+               THEN 1 END) FROM src
+           UNION ALL
+           SELECT 'j', count(j),
+             count(CASE WHEN regexp_full_match(j,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')
+               THEN 1 END),
+             count(CASE WHEN left(ltrim(j), 1) IN ('{','[') AND json_valid(j)
+               THEN 1 END) FROM src
+           UNION ALL
+           SELECT 's', count(s),
+             count(CASE WHEN regexp_full_match(s,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}')
+               THEN 1 END),
+             count(CASE WHEN left(ltrim(s), 1) IN ('{','[') AND json_valid(s)
+               THEN 1 END) FROM src
+         )
+         SELECT col_name,
+           CASE WHEN n > 0 AND n_uuid = n THEN 'uuid'
+                WHEN n > 0 AND n_json = n THEN 'json'
+                ELSE 'str' END AS dtype
+         FROM stats ORDER BY col_name"""
   )
 }

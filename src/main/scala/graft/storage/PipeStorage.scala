@@ -344,12 +344,13 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * ROW_NUMBER-rank, rebuild, atomic rename swap; chunkwise driver path
     * core/Pipe/_deduplicate.py:14-287).
     *
-    * One global ranking (a single hash shuffle on the keys — the same cost
-    * the reference's backend pays for its ROW_NUMBER), then ONLY the chunks
-    * that actually lose rows are rewritten and swapped; untouched chunks
-    * keep their files byte-identical. Duplicates whose survivor lives in a
-    * different chunk are handled correctly (the losing chunk rewrites, the
-    * surviving chunk does not). Returns the number of rows removed.
+    * A narrow table-wide pre-pass (keys + chunk label only) locates the
+    * duplicated keys and their chunks; full rows are then ranked only over
+    * the affected chunks' slice, and ONLY chunks that lose rows are
+    * rewritten and swapped — untouched chunks keep their files
+    * byte-identical. Duplicates whose survivor lives in a different chunk
+    * are handled correctly (every chunk holding a duplicated key's rows is
+    * in the affected set). Returns the number of rows removed.
     */
   def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
     require(keys.nonEmpty, "deduplicate requires key columns")
