@@ -789,6 +789,40 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ── LLM-pipeline: near-dup probe against the STORED band index. The
+    // inverted (band, bandHash) table persists with one chunk per bucket;
+    // probing one document reads only its ≤ `bands` bucket directories
+    // (partition-pruned), then exact-verifies the candidates. r = 2 rows per
+    // band keeps the LSH recall exact at this threshold, so the oracle is
+    // the one-vs-all exact Jaccard for the query document.
+    "q_minhash_probe_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qid  = 45L
+      def index(df: DataFrame) = ApproxDedup.minhashBandIndex(
+        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 12, buckets = 16)
+      val root = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "mh_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val store = eng.storage(spec)
+      store.create(index(docs))
+      // query side: ≤ 12 (band, bandHash, bucket) rows for the one document
+      val qBands = index(docs.where(col("doc_id") === qid))
+        .select("band", "bandHash", "bucket").collect()
+      val probed = qBands.toSeq.map { r =>
+        store.readRange(Some(r.getLong(2)), Some(r.getLong(2)), endInclusive = true)
+          .where(col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
+      }.reduce(_ unionByName _)
+      val cands = probed.where(col("doc_id") =!= qid)
+        .select(col("doc_id")).distinct()
+        .select(least(lit(qid), col("doc_id")).as("id1"),
+                greatest(lit(qid), col("doc_id")).as("id2"))
+      ApproxDedup.verifyPairs(cands, docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ── §2.8 special-column inference: uuid/json shapes hiding in string
     // columns are detected from the VALUES (all-sampled-match rule); the
     // oracle replays the same per-column counting decision in SQL. `maybe`
@@ -1195,6 +1229,19 @@ object SparkEntry {
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
          FROM events ORDER BY row_id""",
+
+    "q_minhash_probe_stored" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         q AS (SELECT sh FROM sh WHERE doc_id = 45),
+         p AS (
+           SELECT LEAST(45, b.doc_id) AS id1, GREATEST(45, b.doc_id) AS id2,
+             len(list_intersect(q.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(q.sh, b.sh)))::DOUBLE AS jaccard
+           FROM sh b, q WHERE b.doc_id <> 45)
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
 
     "q_infer_special" ->
       """WITH src AS (

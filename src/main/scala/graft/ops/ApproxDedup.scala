@@ -86,6 +86,41 @@ object ApproxDedup {
     verifyExact(cands, sh, idCol, threshold)
   }
 
+  /** Rows of the PERSISTABLE banded-LSH inverted index: one row per
+    * (document, band) carrying the band hash plus a bounded integer BUCKET
+    * label (`band * buckets + pmod(bandHash, buckets)`) fit for use as a
+    * partition axis. Store once through [[graft.storage.PipeStorage]] with
+    * one chunk per bucket; probing the near-dups of one document then reads
+    * at most `bands` bucket directories instead of re-hashing the corpus —
+    * the same index-build/probe split as the ANN path. One shuffle-free
+    * projection + explode; nothing wider than (id, 2 ints, 1 long) leaves
+    * the scan. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
+                       buckets: Int = 64): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    docs.select(col(idCol), posexplode(
+        bindOnce(minhashSignature(col(textCol), shingleSize, k)) { sg =>
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(sg, b * lit(rows) + lit(1), lit(rows)), b))
+        }))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+      .withColumn("bucket",
+        col("band").cast("long") * lit(buckets.toLong) +
+          pmod(col("bandHash").cast("long"), lit(buckets.toLong)))
+  }
+
+  /** Exact hashed-shingle Jaccard over GIVEN candidate pairs — the public
+    * verify half for probes against a stored [[minhashBandIndex]]. */
+  def verifyPairs(cands: DataFrame, docs: DataFrame, idCol: String,
+                  textCol: String, shingleSize: Int,
+                  threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+    verifyExact(cands, sh, idCol, threshold)
+  }
+
   /** The 100 TB configuration: r = k/bands ≥ 4 rows per band cuts the random
     * candidate rate by orders of magnitude, and surviving candidates are
     * prefiltered by the signature-estimated Jaccard (fraction of equal

@@ -367,6 +367,33 @@ class Round3Spec extends SparkSpec {
     assert(parts.toSeq == Seq("__graft_chunk=2024-01-02", "__graft_chunk=2024-01-03"))
   }
 
+  // ── stored minhash band-index probe ─────────────────────────────────────
+
+  test("band-index probe candidates equal the in-plan LSH candidates for a doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different words that share nothing with the others at all"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val inPlan = graft.ops.ApproxDedup
+      .minhashCandidates(docs, "doc_id", "text", 3, 24, 12)
+      .where(col("id1") === 1L || col("id2") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = graft.ops.ApproxDedup
+      .minhashBandIndex(docs, "doc_id", "text", 3, 24, 12, buckets = 8)
+    val qKeys = index.where(col("doc_id") === 1L)
+      .select("band", "bandHash").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val probed = index.where(col("doc_id") =!= 1L)
+      .collect()
+      .filter(r => qKeys.contains((r.getInt(1), r.getInt(2))))
+      .map(r => (math.min(1L, r.getLong(0)), math.max(1L, r.getLong(0)))).toSet
+    assert(probed == inPlan)
+    assert(probed.contains((1L, 2L)) && probed.contains((1L, 4L)))
+    assert(!probed.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   // ── stored-index ANN probe ──────────────────────────────────────────────
 
   test("stored IVF cell probe is a partition-pruned read") {
