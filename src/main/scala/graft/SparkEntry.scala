@@ -779,10 +779,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "cell", "primary" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val store = eng.storage(spec)
-      store.create(indexed)
-      val probed = SimilaritySearch.ivfProbeCells(cents, q, nProbe = 4)
-        .map(c => store.readRange(Some(c.toLong), Some(c.toLong), endInclusive = true))
-        .reduce(_ unionByName _)
+      store.create(indexed.repartition(col("cell")))
+      val probed = store.readIn(
+        SimilaritySearch.ivfProbeCells(cents, q, nProbe = 4).map(_.toLong))
       probed.select(col("vec_id"),
           VectorFns.cosineToQuery(col("embedding"), q).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
@@ -799,21 +798,25 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val qid  = 45L
       def index(df: DataFrame) = ApproxDedup.minhashBandIndex(
-        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 12, buckets = 16)
+        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 12, buckets = 4)
       val root = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("ann", "mh_bands"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val store = eng.storage(spec)
-      store.create(index(docs))
+      // repartition by the bucket label before storing: one file per bucket
+      // directory instead of (tasks × buckets) shards
+      store.create(index(docs).repartition(col("bucket")))
       // query side: ≤ 12 (band, bandHash, bucket) rows for the one document
       val qBands = index(docs.where(col("doc_id") === qid))
         .select("band", "bandHash", "bucket").collect()
-      val probed = qBands.toSeq.map { r =>
-        store.readRange(Some(r.getLong(2)), Some(r.getLong(2)), endInclusive = true)
-          .where(col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
-      }.reduce(_ unionByName _)
+      // ONE partition-pruned scan over the probe buckets, then the exact
+      // (band, bandHash) disjunction within them
+      val hit = qBands.toSeq.map(r =>
+          col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
+        .reduce(_ || _)
+      val probed = store.readIn(qBands.toSeq.map(_.getLong(2))).where(hit)
       val cands = probed.where(col("doc_id") =!= qid)
         .select(col("doc_id")).distinct()
         .select(least(lit(qid), col("doc_id")).as("id1"),

@@ -54,6 +54,13 @@ object Diff {
   def rowHash(columns: Seq[String]): Column =
     sha2(to_json(struct(columns.sorted.map(col): _*)), 256)
 
+  /** 64-bit variant over the same canonical text form — for per-window
+    * content SIGNATURES (XOR-aggregated), where 64 bits per row is the
+    * right size and sha-256 would be wasted scan cost. Not for the delta
+    * join, which keeps the 256-bit key. */
+  def rowHash64(columns: Seq[String]): Column =
+    xxhash64(to_json(struct(columns.sorted.map(col): _*)))
+
   /** Rows of `incoming` whose full row does not appear in `existing`
     * (the reference's `filter_unseen_df`). Columns compared = intersection,
     * as in the reference. */

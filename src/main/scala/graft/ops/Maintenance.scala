@@ -68,7 +68,7 @@ object Maintenance {
         commonFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       val rows = canon.select(
         window(col(dt).cast("timestamp"), w).getField("start").as("__chunk"),
-        xxhash64(Diff.rowHash(common)).as("__h"))
+        Diff.rowHash64(common).as("__h"))
       if (checkContent)
         rows.groupBy(col("__chunk"))
           .agg(count(lit(1)).as("__cnt"), expr("bit_xor(__h)").as("__sig"))

@@ -185,6 +185,25 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     df.where(pred).drop(PartCol)
   }
 
+  /** Bounded read of an explicit SET of axis values — the probe-side
+    * companion to [[readRange]] for bucketed integer axes (ANN cells, LSH
+    * band buckets): ONE scan whose partition filter lists only the chunk
+    * directories holding the requested values, instead of one read per
+    * value. */
+  def readIn(values: Seq[Any]): DataFrame = {
+    val dt = dtCol.getOrElse(
+      throw new IllegalArgumentException("readIn requires a datetime axis"))
+    if (values.isEmpty) return read.where(lit(false))
+    if (!partitioned) return read.where(col(dt).isin(values: _*))
+    val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val labels = values.map(chunkLabelOf).distinct
+    val pred =
+      if (spec.epochUnit.isDefined)
+        col(PartCol).cast("long").isin(labels.map(_.toLong): _*)
+      else col(PartCol).isin(labels: _*)
+    df.where(pred && col(dt).isin(values: _*)).drop(PartCol)
+  }
+
   /** Read only the partitions matching a chunk-value list — parquet partition
     * pruning keeps this proportional to the window, not the table. */
   private def readChunks(chunks: Seq[String], includeNullChunk: Boolean): DataFrame = {

@@ -407,11 +407,13 @@ class Round3Spec extends SparkSpec {
     val indexed = graft.ops.SimilaritySearch.withIvfCell(vecs, "embedding", cents)
     val store = eng.storage(spec)
     store.create(indexed)
-    val probed = store.readRange(Some(1L), Some(1L), endInclusive = true)
+    val probed = store.readIn(Seq(1L, 3L))
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan)
     assert(plan.contains("__graft_chunk"), plan)
-    // every returned row belongs to the probed cell
-    assert(probed.select("cell").distinct().as[Int].collect().toSeq.forall(_ == 1))
+    // one scan, only rows of the probed cells
+    assert(probed.select("cell").distinct().as[Int].collect().toSet.subsetOf(Set(1, 3)))
+    assert(probed.count() ==
+      indexed.where(col("cell").isin(1, 3)).count())
   }
 }
