@@ -81,6 +81,18 @@ final class SyncEngine(spark: SparkSession, root: String,
     r
   }
 
+  /** Sync a REGISTERED pipe by keys: the spec comes from the catalog with
+    * parameter inheritance resolved ([[graft.catalog.PipeCatalog.resolve]]),
+    * the way the reference's `pipe.sync()` reads `pipe.parameters` with
+    * references applied (core/Pipe/_attributes.py:60-170). */
+  def sync(keys: graft.catalog.PipeKeys, batch: DataFrame): SyncResult = {
+    val cat = catalog.getOrElse(
+      throw new IllegalStateException("sync by keys requires an attached catalog"))
+    val spec = cat.resolve(keys).getOrElse(
+      throw new IllegalArgumentException(s"pipe not registered: $keys"))
+    sync(spec, batch)
+  }
+
   def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
 

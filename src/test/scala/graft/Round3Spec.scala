@@ -324,6 +324,23 @@ class Round3Spec extends SparkSpec {
     assert(cat.childrenOf(a.keys).map(_.keys.metric).sorted == Seq("c", "d"))
   }
 
+  test("sync by keys resolves inherited parameters from the catalog") {
+    val root = tmpDir()
+    val cat = new PipeCatalog()
+    val eng = new SyncEngine(spark, root, catalog = Some(cat))
+    // the base defines the layout; the child only declares its reference
+    val base = PipeSpec(PipeKeys("dag", "layout"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+    val child = PipeSpec(PipeKeys("dag", "leaf"),
+      references = Seq(base.keys))
+    Seq(base, child).foreach(cat.register)
+    val r = eng.sync(child.keys, batch(Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 00:00:00", 1L, 2.0)))) // same key: inherited roles dedupe
+    assert(r.inserted == 1)
+    assert(eng.storage(cat.resolve(child.keys).get).rowCount == 1)
+  }
+
   test("references and children persist through the catalog store") {
     val path = s"${tmpDir()}/cat"
     val cat = new PipeCatalog()
