@@ -53,7 +53,8 @@ final class PipeCatalog {
     tags = (base.tags ++ child.tags).distinct,
     epochUnit = child.epochUnit.orElse(base.epochUnit),
     precision = child.precision.orElse(base.precision),
-    strategy = child.strategy.orElse(base.strategy))
+    strategy = child.strategy.orElse(base.strategy),
+    extras = base.extras ++ child.extras)
 
   /** Children bookkeeping: the pipe's explicit `children` designations plus
     * every registered pipe naming `keys` among its `parents` (reference

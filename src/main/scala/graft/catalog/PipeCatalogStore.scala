@@ -24,7 +24,8 @@ object PipeCatalogStore {
       parents: Seq[String],
       precisionUnit: Option[String] = None, precisionInterval: Option[Long] = None,
       precisionRound: Option[String] = None,
-      references: Seq[String] = Seq.empty, children: Seq[String] = Seq.empty)
+      references: Seq[String] = Seq.empty, children: Seq[String] = Seq.empty,
+      extras: Map[String, String] = Map.empty)
 
   private def keysToString(k: PipeKeys): String =
     Seq(k.connector, k.metric, k.location.getOrElse(""), k.instance).mkString("")
@@ -41,7 +42,7 @@ object PipeCatalogStore {
     s.mixedNumerics, s.backtrackMinutes, s.chunkMinutes, s.epochUnit,
     s.tags, s.target, s.parents.map(keysToString),
     s.precision.map(_.unit), s.precision.map(_.interval), s.precision.map(_.roundTo),
-    s.references.map(keysToString), s.children.map(keysToString))
+    s.references.map(keysToString), s.children.map(keysToString), s.extras)
 
   private def fromRow(r: SpecRow): PipeSpec = PipeSpec(
     keys = PipeKeys(r.connector, r.metric, r.location, r.instance),
@@ -56,7 +57,8 @@ object PipeCatalogStore {
       u, r.precisionInterval.getOrElse(1L), r.precisionRound.getOrElse("down"))),
     parents = r.parents.map(keysFromString),
     references = Option(r.references).getOrElse(Seq.empty).map(keysFromString),
-    children = Option(r.children).getOrElse(Seq.empty).map(keysFromString))
+    children = Option(r.children).getOrElse(Seq.empty).map(keysFromString),
+    extras = Option(r.extras).getOrElse(Map.empty))
 
   def save(spark: SparkSession, path: String, catalog: PipeCatalog): Unit = {
     import spark.implicits._

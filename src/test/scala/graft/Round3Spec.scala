@@ -307,6 +307,14 @@ class Round3Spec extends SparkSpec {
     assert(r.dtypes.get("temp").contains(graft.types.MrsmType.MNumeric(10, 2)))
     assert(r.tags.toSet == Set("weather", "derived"))
     assert(r.epochUnit.contains("second"))                   // inherited option
+    // free-form extras merge entry-wise, child wins
+    val withExtras = cat.register(child.copy(
+      extras = Map("fetch.definition" -> "SELECT 2")))
+    cat.register(base.copy(extras = Map(
+      "fetch.definition" -> "SELECT 1", "owner" -> "weather-team")))
+    val r2 = cat.resolve(withExtras.keys).get
+    assert(r2.extras == Map(
+      "fetch.definition" -> "SELECT 2", "owner" -> "weather-team"))
   }
 
   test("reference cycles fall back to the raw spec; children are unioned") {
@@ -346,11 +354,13 @@ class Round3Spec extends SparkSpec {
     val cat = new PipeCatalog()
     cat.register(PipeSpec(PipeKeys("dag", "persisted"),
       references = Seq(PipeKeys("dag", "base")),
-      children = Seq(PipeKeys("dag", "kid", Some("loc")))))
+      children = Seq(PipeKeys("dag", "kid", Some("loc"))),
+      extras = Map("fetch.definition" -> "SELECT 1", "note" -> "x")))
     PipeCatalogStore.save(spark, path, cat)
     val back = PipeCatalogStore.load(spark, path).get(PipeKeys("dag", "persisted")).get
     assert(back.references == Seq(PipeKeys("dag", "base")))
     assert(back.children == Seq(PipeKeys("dag", "kid", Some("loc"))))
+    assert(back.extras == Map("fetch.definition" -> "SELECT 1", "note" -> "x"))
   }
 
   // ── deduplicate: narrow pre-pass correctness across chunks ──────────────
