@@ -394,6 +394,22 @@ class Round3Spec extends SparkSpec {
     assert(parts.toSeq == Seq("__graft_chunk=2024-01-02", "__graft_chunk=2024-01-03"))
   }
 
+  test("content-aware verify repairs an epoch-axis pipe") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root, retryBaseSleepMs = 1)
+    val spec = PipeSpec(PipeKeys("test", "vepoch"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")),
+      epochUnit = Some("second"), chunkMinutes = 1440)
+    val src = Seq((86400L, 1L, 1.0), (172800L, 2L, 2.0), (259200L, 3L, 3.0))
+      .toDF("ts", "id", "val")
+    eng.sync(spec, src)
+    eng.storage(spec).upsert(
+      Seq((172800L, 2L, 666.0)).toDF("ts", "id", "val"), Seq("id"))
+    val r = Maintenance.verify(eng, spec, src, windowMinutes = Some(1440))
+    assert(r.chunksMismatched == 1)
+    val vals = eng.getData(spec).orderBy("id").select("val").as[Double].collect()
+    assert(vals.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
   // ── stored minhash band-index probe ─────────────────────────────────────
 
   test("band-index probe candidates equal the in-plan LSH candidates for a doc") {
