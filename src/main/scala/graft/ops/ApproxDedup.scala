@@ -170,10 +170,19 @@ object ApproxDedup {
     * bytes. */
   private def verifyExact(cands: DataFrame, sh: DataFrame, idCol: String,
                           threshold: Double): DataFrame = {
-    val hashed = sh.select(col(idCol),
-      array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+    // only documents that appear in a candidate pair need their shingle
+    // sets — semi-join before hashing/caching, so the cached footprint is
+    // O(candidates), not O(corpus) (at 100 TB candidates are a sliver).
+    // The pair set itself is read three times (two id sides + the final
+    // join) — cache it so the band join runs once.
+    val c = cands.cache()
+    val ids = c.select(col("id1").as(idCol))
+      .union(c.select(col("id2").as(idCol))).distinct()
+    val hashed = sh.join(ids, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
       .cache() // read twice (id1/id2 sides); hash the shingle sets once
-    cands
+    c
       .join(hashed.select(col(idCol).as("id1"), col("hs").as("hs1")), Seq("id1"))
       .join(hashed.select(col(idCol).as("id2"), col("hs").as("hs2")), Seq("id2"))
       .withColumn("jaccard",

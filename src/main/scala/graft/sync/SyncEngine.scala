@@ -154,12 +154,15 @@ final class SyncEngine(spark: SparkSession, root: String,
         SpecialCols.infer(batch, declared)
       }
 
-    // 3. first sync: create the target outright
+    // 3. first sync: create the target outright. The batch materializes
+    //    ONCE into the write; the inserted count comes from the written
+    //    table (a filterless parquet count is row-metadata cheap) — caching
+    //    a create batch just to count it would spill a table's worth of
+    //    rows at 100 TB.
     if (!store.exists) {
       val deduped = dedupeBatch(spec, batch)
-      val n = deduped.cache().count()
       store.create(deduped)
-      deduped.unpersist()
+      val n = store.rowCount
       persistDtypes(spec, deduped.schema, inferredSpecial)
       return SyncResult(inserted = n, updated = 0)
     }
