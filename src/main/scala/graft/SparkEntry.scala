@@ -788,6 +788,19 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ── LLM-pipeline: deterministic train/val/test carve — md5-bucket
+    // assignment, reproduced bit-for-bit by the oracle (no RNG/seed drift;
+    // append-stable membership). A pure projection: no shuffle until the
+    // reporting aggregate.
+    "q_train_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"))
+    }),
+
     // ── LLM-pipeline: near-dup probe against the STORED band index. The
     // inverted (band, bandHash) table persists with one chunk per bucket;
     // probing one document reads only its ≤ `bands` bucket directories
@@ -1232,6 +1245,17 @@ object SparkEntry {
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
          FROM events ORDER BY row_id""",
+
+    "q_train_split" ->
+      """WITH b AS (
+           SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk,
+                  n_chars
+           FROM documents)
+         SELECT CASE WHEN bk < 80 THEN 'train'
+                     WHEN bk < 90 THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM b GROUP BY 1 ORDER BY 1""",
 
     "q_minhash_probe_stored" ->
       """WITH sh AS (

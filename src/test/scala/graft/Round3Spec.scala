@@ -410,6 +410,31 @@ class Round3Spec extends SparkSpec {
     assert(vals.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  // ── deterministic sampling ──────────────────────────────────────────────
+
+  test("hash split is deterministic, partition-independent, and ~weighted") {
+    val ids = (1L to 2000L).toDF("id")
+    def dist(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("s", graft.ops.Sampling.splitLabel(col("id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = dist(ids)
+    val b = dist(ids.repartition(13))
+    assert(a == b) // resharding never moves a row's split
+    assert(a("train") > 1400 && a("train") < 1800) // ~80% of 2000
+    assert(a("val") + a("test") + a("train") == 2000)
+    // holdout slice: weights below the space leave nulls
+    val hold = ids.withColumn("s", graft.ops.Sampling.splitLabel(col("id"),
+      Seq("train" -> 50), buckets = 100)).where(col("s").isNull).count()
+    assert(hold > 800 && hold < 1200)
+    // percent sample is a subset of itself at higher percent
+    val p10 = ids.where(graft.ops.Sampling.samplePredicate(col("id"), 10))
+      .as[Long].collect().toSet
+    val p20 = ids.where(graft.ops.Sampling.samplePredicate(col("id"), 20))
+      .as[Long].collect().toSet
+    assert(p10.subsetOf(p20)) // append/threshold-stable membership
+  }
+
   // ── stored minhash band-index probe ─────────────────────────────────────
 
   test("band-index probe candidates equal the in-plan LSH candidates for a doc") {
