@@ -464,6 +464,18 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   /** The read path: projection, half-open time bounds, params DSL, order,
     * limit (reference core/Pipe/_data.py:22-318). */
+  /** Translate a bound to the pipe's axis: a datetime bound on an
+    * epoch-integer axis converts to axis units, the way the reference
+    * accepts `--begin 2026-05-30` against an int axis
+    * (tests/test_pipe_data.py:276-320, `datetime_to_int`). */
+  private def axisBound(spec: PipeSpec, dtB: Option[LocalDateTime],
+                        epochB: Option[Long]): Option[Any] =
+    spec.epochUnit match {
+      case Some(unit) =>
+        epochB.orElse(dtB.map(graft.dsl.EpochAxis.toUnits(_, unit)))
+      case None => dtB
+    }
+
   def getData(
       spec: PipeSpec,
       select: Seq[String] = Seq.empty,
@@ -479,7 +491,7 @@ final class SyncEngine(spark: SparkSession, root: String,
     // bounded reads go through readRange: the chunk-label predicate prunes
     // partition directories before any file is opened
     var df = storage(spec).readRange(
-      begin.orElse(beginEpoch), end.orElse(endEpoch))
+      axisBound(spec, begin, beginEpoch), axisBound(spec, end, endEpoch))
     // dtype enforcement on READ (reference core/Pipe/_data.py:310-314): the
     // result carries the declared dtypes, one codegen'd projection
     if (spec.enforce && spec.dtypes.nonEmpty)
@@ -518,8 +530,43 @@ final class SyncEngine(spark: SparkSession, root: String,
                begin: Option[LocalDateTime] = None,
                end: Option[LocalDateTime] = None,
                params: Map[String, Any] = Map.empty): Long = {
-    var df = storage(spec).readRange(begin, end)
+    var df = storage(spec).readRange(
+      axisBound(spec, begin, None), axisBound(spec, end, None))
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))
     df.count()
+  }
+
+  /** Params-filtered sync time for multiplexed pipes — the reference's
+    * `get_sync_time(params=...)` (tests/test_sync.py:1448-1476): the newest
+    * (or oldest) axis value among rows matching the params DSL. */
+  def syncTime(spec: PipeSpec, params: Map[String, Any] = Map.empty,
+               newest: Boolean = true): Option[LocalDateTime] = {
+    val store = storage(spec)
+    if (params.isEmpty) return store.syncTime(newest)
+    if (!store.exists) return None
+    val dt = spec.columns.datetime.getOrElse(return None)
+    val agg = if (newest) max(col(dt)) else min(col(dt))
+    val row = store.read.where(ParamsFilter.toPredicate(params))
+      .agg(agg.cast("timestamp_ntz").as("t")).head()
+    Option(row.getAs[LocalDateTime]("t"))
+  }
+
+  /** Range delete — the reference's `pipe.clear(begin, end, params)`
+    * (core/Pipe/_clear.py:15-71): half-open on the axis (datetime bounds
+    * translate on epoch axes, like [[getData]]), optionally narrowed by the
+    * params DSL. Chunk-scoped in storage. */
+  def clear(spec: PipeSpec,
+            begin: Option[LocalDateTime] = None,
+            end: Option[LocalDateTime] = None,
+            beginEpoch: Option[Long] = None,
+            endEpoch: Option[Long] = None,
+            params: Map[String, Any] = Map.empty): Unit = {
+    val dt = spec.columns.datetime.getOrElse(
+      throw new IllegalArgumentException("clear requires a datetime axis"))
+    var pred: Column = lit(true)
+    axisBound(spec, begin, beginEpoch).foreach(b => pred = pred && col(dt) >= lit(b))
+    axisBound(spec, end, endEpoch).foreach(e => pred = pred && col(dt) < lit(e))
+    if (params.nonEmpty) pred = pred && ParamsFilter.toPredicate(params)
+    storage(spec).clear(pred)
   }
 }

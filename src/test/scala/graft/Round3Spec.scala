@@ -410,6 +410,42 @@ class Round3Spec extends SparkSpec {
     assert(vals.toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("datetime bounds translate onto an epoch-integer axis") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "epoch_begin"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "id" -> "id")),
+      epochUnit = Some("millisecond"), chunkMinutes = 1440)
+    def epoch(day: Int): Long = java.time.LocalDateTime.of(2026, 5, day, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    eng.sync(spec, Seq(28, 29, 30, 31).map(d => (epoch(d), d.toLong)).toDF("ts", "id"))
+    // get_data with a DATETIME begin filters by the translated epoch
+    val got = eng.getData(spec,
+        begin = Some(java.time.LocalDateTime.of(2026, 5, 30, 0, 0)))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(30L, 31L))
+    // clear with a datetime end removes the earlier rows
+    eng.clear(spec, end = Some(java.time.LocalDateTime.of(2026, 5, 30, 0, 0)))
+    val rest = eng.getData(spec).select("id").as[Long].collect().sorted
+    assert(rest.toSeq == Seq(30L, 31L))
+    assert(eng.rowCount(spec,
+      begin = Some(java.time.LocalDateTime.of(2026, 5, 31, 0, 0))) == 1L)
+  }
+
+  test("params-filtered sync time for multiplexed pipes") {
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "synctime_params"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+    eng.sync(spec, batch(Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-06-01 00:00:00", 2L, 2.0))))
+    val a = eng.syncTime(spec, Map("id" -> 1L))
+    val b = eng.syncTime(spec, Map("id" -> 2L))
+    assert(a.contains(LocalDateTime.parse("2024-01-01T00:00:00")))
+    assert(b.contains(LocalDateTime.parse("2024-06-01T00:00:00")))
+    assert(a.get.isBefore(b.get))
+    assert(eng.syncTime(spec, Map("id" -> 99L)).isEmpty)
+  }
+
   // ── deterministic sampling ──────────────────────────────────────────────
 
   test("hash split is deterministic, partition-independent, and ~weighted") {
