@@ -431,6 +431,21 @@ class Round3Spec extends SparkSpec {
       begin = Some(java.time.LocalDateTime.of(2026, 5, 31, 0, 0))) == 1L)
   }
 
+  test("upsert pipe with no value columns stays idempotent") {
+    // reference tests/test_sync.py:814-843 — every column is a key
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "upsert_no_vals"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+      upsert = true)
+    val rows = Seq(("2023-01-01 00:00:00", 1L), ("2023-01-02 00:00:00", 2L),
+      ("2023-01-03 00:00:00", 3L))
+      .toDF("dts", "id").withColumn("dt", to_timestamp_ntz(col("dts")))
+      .select("dt", "id")
+    eng.sync(spec, rows)
+    eng.sync(spec, rows.where(col("id") === 3L))
+    assert(eng.storage(spec).rowCount == 3)
+  }
+
   test("params-filtered sync time for multiplexed pipes") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = PipeSpec(PipeKeys("test", "synctime_params"),
