@@ -1,24 +1,32 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 
+import graft.expressions.{CosineSimilarity, DotProduct, SrpSignature}
+
 /** Embedding-vector primitives over `Array[Float]`/`Array[Double]` columns.
-  * Pure Catalyst (`zip_with`/`aggregate`) — vector math stays inside codegen
-  * with zero shuffles, which is the only viable form at 100 TB of vectors.
+  * Dot/cosine/SRP run as native Catalyst expressions with `doGenCode`
+  * ([[graft.expressions.VectorExprs]]): Spark's higher-order functions
+  * evaluate lambdas interpreted, so the generated single-loop forms keep
+  * the vector math inside whole-stage codegen with zero shuffles — the
+  * only viable form at 100 TB of vectors. Arithmetic is bit-exact with the
+  * `zip_with`/`aggregate` equivalents (same element-order accumulation),
+  * so the shared-coefficient DuckDB oracles still hash-match.
   */
 object VectorFns {
 
   private def d(c: Column): Column = c.cast("array<double>")
+  private def ex(c: Column) = GraftColumnBridge.expression(c)
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    GraftColumnBridge.column(DotProduct(ex(d(a)), ex(d(b))))
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), (acc, v) => acc + v))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    GraftColumnBridge.column(CosineSimilarity(ex(d(a)), ex(d(b))))
 
   /** Cosine against a constant query vector (literal array — broadcast-free). */
   def cosineToQuery(a: Column, query: Seq[Double]): Column = {
@@ -39,12 +47,10 @@ object VectorFns {
   }
 
   /** Signature from explicit hyperplanes (shared with the oracle SQL
-    * generator so both engines hash identically). */
+    * generator so both engines hash identically). All planes project in
+    * ONE generated pass over the vector. */
   def srpSignaturePlanes(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = dot(vec, array(p.map(lit): _*))
-      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    GraftColumnBridge.column(SrpSignature(ex(d(vec)), planes.map(_.toArray).toArray))
 
   /** Hamming distance between two SRP signatures (Long bucket ids). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

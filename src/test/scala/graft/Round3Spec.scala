@@ -513,6 +513,43 @@ class Round3Spec extends SparkSpec {
     assert(!probed.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // ── native vector expressions ───────────────────────────────────────────
+
+  test("codegen vector expressions match the higher-order-function forms") {
+    import org.apache.spark.sql.functions.{aggregate => agg_, transform => transform_, _}
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian()), Seq.fill(16)(rng.nextGaussian())))
+      .toDF("id", "a", "b")
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      agg_(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def hofNorm(x: org.apache.spark.sql.Column) =
+      sqrt(agg_(transform_(x, v => v * v), lit(0.0), (acc, v) => acc + v))
+    val planes = Seq.fill(24)(Seq.fill(16)(rng.nextGaussian()))
+    val hofSig = planes.zipWithIndex.map { case (p, i) =>
+      when(hofDot(col("a"), array(p.map(lit): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs.select(
+      graft.functions.VectorFns.dot(col("a"), col("b")).as("d1"),
+      hofDot(col("a"), col("b")).as("d2"),
+      graft.functions.VectorFns.cosine(col("a"), col("b")).as("c1"),
+      (hofDot(col("a"), col("b")) / (hofNorm(col("a")) * hofNorm(col("b")))).as("c2"),
+      graft.functions.VectorFns.srpSignaturePlanes(col("a"), planes).as("s1"),
+      hofSig.as("s2")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot exact") // bit-exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3), "cosine exact")
+      assert(r.getLong(4) == r.getLong(5), "srp signature exact")
+    }
+    // null element and length-mismatch semantics follow the zip_with rules
+    val edge = Seq((Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFns.dot(col("a"), col("b")).as("d"),
+        graft.functions.VectorFns.cosine(col("a"), slice(col("b"), 1, 1)).as("c"))
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   // ── stored-index ANN probe ──────────────────────────────────────────────
 
   test("stored IVF cell probe is a partition-pruned read") {
