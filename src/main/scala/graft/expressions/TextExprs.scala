@@ -1,0 +1,78 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared kernel for [[MinHashSignature]] — also the generated code's call
+  * target, so eval and codegen cannot drift. */
+object MinHashKernel {
+  val P = 2147483647L // Mersenne 2^31-1, see ApproxDedup
+
+  /** Shingle + hash + k-way min in ONE pass over the token array.
+    * Shingle strings join with a single space (`UTF8String.concatWs`, the
+    * same kernel `concat_ws(" ", ...)` lowers to) and hash with Spark's
+    * xxhash64 seed 42, so signatures are bit-identical to the composed
+    * `wordShingles → xxhash64 → pmod → array_min` column form. Fewer than
+    * `shingleSize` tokens → zero shingles → all-MaxValue signature, the
+    * `coalesce(array_min(...), MaxValue)` convention. */
+  def compute(tokens: ArrayData, shingleSize: Int,
+              as: Array[Long], bs: Array[Long]): ArrayData = {
+    val k = as.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val nTok = tokens.numElements()
+    val space = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](shingleSize)
+    var i = 0
+    while (i <= nTok - shingleSize) {
+      var j = 0
+      while (j < shingleSize) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val s = if (shingleSize == 1) parts(0) else UTF8String.concatWs(space, parts: _*)
+      val h = Math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
+      var c = 0
+      while (c < k) {
+        val v = Math.floorMod(h * as(c) + bs(c), P)
+        if (v < sig(c)) sig(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** k-permutation MinHash signature over word shingles, computed from the
+  * TOKEN array in one generated pass. The composed Catalyst form pays
+  * interpreted lambda dispatch for every (shingle × hash-function) pair —
+  * `transform`/`aggregate` sit outside whole-stage codegen — so a k=24
+  * signature over a 500-token document costs ~12k boxed calls per row.
+  * Here codegen emits a single static call into [[MinHashKernel]]. */
+case class MinHashSignature(child: Expression, shingleSize: Int,
+                            as: Array[Long], bs: Array[Long])
+    extends UnaryExpression {
+  require(as.length == bs.length, "coefficient arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes() = {
+    if (child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash expects array<string> tokens, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.compute(v.asInstanceOf[ArrayData], shingleSize, as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", as, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.MinHashKernel.compute($v, $shingleSize, $asRef, $bsRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

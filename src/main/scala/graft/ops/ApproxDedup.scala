@@ -31,19 +31,20 @@ object ApproxDedup {
 
   /** k-permutation MinHash signature over word shingles.
     * h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P; signature_i = min
-    * over shingles. Entirely codegen'd array expressions; the shingle-hash
-    * array is lambda-bound so it is computed once, not once per hash fn. */
+    * over shingles. Runs as ONE generated kernel pass over the token array
+    * ([[graft.expressions.MinHashSignature]]) — the composed
+    * transform/array_min form paid interpreted lambda dispatch per
+    * (shingle × hash fn). Signatures are bit-identical to that form (same
+    * shingle strings, xxhash64 seed, coefficient draws, MaxValue-on-empty
+    * convention — a null text also keeps its all-MaxValue signature). */
   def minhashSignature(text: Column, shingleSize: Int, k: Int, seed: Long = 7L): Column = {
     val rng = new scala.util.Random(seed)
     val coefs = Seq.fill(k)((math.abs(rng.nextLong()) % (P - 1) + 1, math.abs(rng.nextLong()) % P))
-    bindOnce(transform(TextFns.wordShingles(text, shingleSize),
-        s => pmod(xxhash64(s), lit(P)))) { hashes =>
-      array(coefs.map { case (a, b) =>
-        coalesce(
-          array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(P)))),
-          lit(Long.MaxValue))
-      }: _*)
-    }
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(TextFns.tokens(text)),
+        shingleSize, coefs.map(_._1).toArray, coefs.map(_._2).toArray))
+    coalesce(sig, typedlit(Seq.fill(k)(Long.MaxValue)))
   }
 
   /** Candidate near-dup pairs via banded LSH over the MinHash signature:

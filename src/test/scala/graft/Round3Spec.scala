@@ -486,6 +486,39 @@ class Round3Spec extends SparkSpec {
     assert(p10.subsetOf(p20)) // append/threshold-stable membership
   }
 
+  test("kernel minhash signatures match the composed column form exactly") {
+    import org.apache.spark.sql.functions.{aggregate => _, transform => transform_, _}
+    val P = 2147483647L
+    def composed(text: org.apache.spark.sql.Column, shingleSize: Int, k: Int,
+                 seed: Long): org.apache.spark.sql.Column = {
+      val rng = new scala.util.Random(seed)
+      val coefs = Seq.fill(k)(
+        (math.abs(rng.nextLong()) % (P - 1) + 1, math.abs(rng.nextLong()) % P))
+      val hashes = transform_(
+        graft.functions.TextFns.wordShingles(text, shingleSize),
+        s => pmod(xxhash64(s), lit(P)))
+      array(coefs.map { case (a, b) =>
+        coalesce(
+          array_min(transform_(hashes, h => pmod(h * lit(a) + lit(b), lit(P)))),
+          lit(Long.MaxValue))
+      }: _*)
+    }
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs and more",
+      "one two", // shorter than the shingle size -> all-MaxValue
+      "",
+      "single").toDF("text")
+    for (n <- Seq(1, 3)) {
+      val rows = docs.select(
+        graft.ops.ApproxDedup.minhashSignature(col("text"), n, 24).as("fast"),
+        composed(col("text"), n, 24, seed = 7L).as("slow")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"shingleSize=$n")
+      }
+    }
+  }
+
   // ── stored minhash band-index probe ─────────────────────────────────────
 
   test("band-index probe candidates equal the in-plan LSH candidates for a doc") {
