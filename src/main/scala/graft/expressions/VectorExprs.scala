@@ -46,8 +46,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes() = {
-    val ok = Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-      Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType])
+    // getDouble reinterprets raw slots — anything but double elements would
+    // produce silent garbage, so the check is exact (callers cast first)
+    val ok = Seq(left, right).forall(
+      _.dataType.isInstanceOf[ArrayType] &&
+        Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == DoubleType))
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"dot expects array<double> inputs, got ${left.dataType}, ${right.dataType}")
@@ -83,10 +86,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes() = {
-    val ok = Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType])
+    val ok = Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType] &&
+      e.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine expects array inputs, got ${left.dataType}, ${right.dataType}")
+      s"cosine expects array<double> inputs, got ${left.dataType}, ${right.dataType}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -124,10 +128,11 @@ case class SrpSignature(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def checkInputDataTypes() = {
-    if (child.dataType.isInstanceOf[ArrayType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    val ok = child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"srp expects an array input, got ${child.dataType}")
+      s"srp expects an array<double> input, got ${child.dataType}")
   }
 
   override def nullSafeEval(v: Any): Any = {

@@ -50,10 +50,12 @@ object Maintenance {
     // `checkContent` (the DEFAULT, matching the reference's distrust of
     // rowcounts alone — core/Pipe/_verify.py:146-330) compares an
     // order-independent per-window content signature on top of the count:
-    // XOR of a 64-bit hash of the canonical row hash. A window whose values
-    // were corrupted without changing its count no longer verifies clean.
-    // XOR (not sum) is overflow-free under ANSI mode and commutative, so
-    // partition order never changes the signature.
+    // a SUM of the 64-bit canonical row hashes, widened to decimal so ANSI
+    // mode cannot overflow. A window whose values were corrupted without
+    // changing its count no longer verifies clean. Sum (not XOR) is
+    // commutative AND multiplicity-sensitive — XOR cancels rows that
+    // differ in identical pairs (h^h = 0), passing exactly the damage this
+    // check exists to catch.
     // hash the COMMON columns, cast to the unified schema on both sides —
     // a promoted stored type (int batch + float batch → numeric) must not
     // read as corruption
@@ -71,10 +73,12 @@ object Maintenance {
         Diff.rowHash64(common).as("__h"))
       if (checkContent)
         rows.groupBy(col("__chunk"))
-          .agg(count(lit(1)).as("__cnt"), expr("bit_xor(__h)").as("__sig"))
+          .agg(count(lit(1)).as("__cnt"),
+               sum(col("__h").cast("decimal(38,0)")).as("__sig"))
       else
         rows.groupBy(col("__chunk"))
-          .agg(count(lit(1)).as("__cnt"), lit(0L).as("__sig"))
+          .agg(count(lit(1)).as("__cnt"),
+               lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)").as("__sig"))
     }
 
     val src = summarize(source)
@@ -85,8 +89,8 @@ object Maintenance {
       .select(col("__chunk"),
         coalesce(col("__src_cnt"), lit(0L)).as("s"),
         coalesce(col("__tgt_cnt"), lit(0L)).as("t"),
-        coalesce(col("__src_sig"), lit(0L)).as("ss"),
-        coalesce(col("__tgt_sig"), lit(0L)).as("ts"))
+        coalesce(col("__src_sig"), lit(java.math.BigDecimal.ZERO)).as("ss"),
+        coalesce(col("__tgt_sig"), lit(java.math.BigDecimal.ZERO)).as("ts"))
       .cache()
     try {
       val total = joined.count()

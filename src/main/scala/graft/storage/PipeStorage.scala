@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.PipeSpec
 
+/** Reach of the dt-moving-update guard in [[PipeStorage.upsert]]: where can
+  * the OLD row of a colliding key live when the upsert keys do not pin the
+  * chunk? `Off` = nowhere (keys include the axis, or the caller guarantees
+  * dt never moves). `Bounded(lo, hi)` = only inside the given axis window —
+  * diff-mode updates can only originate in the backtrack slice, so the
+  * engine passes that window and the guard scans just its chunks.
+  * `Full` = anywhere (native-upsert mode applies arbitrary rows) — a
+  * key-column table scan, the price of the guarantee. */
+sealed trait StrayScan
+object StrayScan {
+  case object Off extends StrayScan
+  final case class Bounded(lo: Any, hi: Any) extends StrayScan
+  case object Full extends StrayScan
+}
+
 /** Parquet-backed pipe target table (no external table-format dependency).
   *
   * Two layouts, chosen by whether the pipe has a datetime axis:
@@ -191,10 +206,11 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * directories holding the requested values, instead of one read per
     * value. */
   def readIn(values: Seq[Any]): DataFrame = {
+    // partitioned == dtCol.isDefined, so requiring the axis implies the
+    // chunked layout — no snapshot branch exists here
     val dt = dtCol.getOrElse(
       throw new IllegalArgumentException("readIn requires a datetime axis"))
     if (values.isEmpty) return read.where(lit(false))
-    if (!partitioned) return read.where(col(dt).isin(values: _*))
     val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
     val labels = values.map(chunkLabelOf).distinct
     val pred =
@@ -255,9 +271,15 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   }
 
   /** Upsert: replace rows whose keys collide, insert the rest.
-    * Partitioned pipes rewrite only the chunks present in the patch. */
+    * Partitioned pipes rewrite only the chunks present in the patch.
+    * `strayScan` bounds the dt-moving-update guard (see [[StrayScan]]):
+    * the sync engine passes the backtrack window in diff mode, so the
+    * steady-state incremental path scans only the window's chunks; the
+    * full scan remains the correctness default for native-upsert pipes,
+    * where an old row can live anywhere. */
   def upsert(patch: DataFrame, keys: Seq[String],
-             knownChunks: Option[Seq[String]] = None): Unit = {
+             knownChunks: Option[Seq[String]] = None,
+             strayScan: StrayScan = StrayScan.Full): Unit = {
     require(keys.nonEmpty, "upsert requires key columns")
     if (!exists) { create(patch); return }
     if (partitioned) {
@@ -272,23 +294,36 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
         // among them), a key whose existing row lives OUTSIDE the patch's
         // chunks would survive alongside its moved replacement. Locate those
         // stray chunks with a key-pruned scan (parquet reads only the key
-        // columns + the partition label) and fold them into the rewrite set.
+        // columns + the partition label), partition-pruned to the stray
+        // bound and away from the patch's own chunks.
         val strayVals: Array[String] =
-          if (dtCol.exists(keys.contains)) Array.empty
+          if (dtCol.exists(keys.contains) || strayScan == StrayScan.Off) Array.empty
           else {
-            val all = spark.read.option("mergeSchema", "true").parquet(dataPath)
-              .select(keys.map(col) :+ col(PartCol): _*)
-            val pk  = p.select(keys.map(col): _*).distinct()
-            val kc  = keys.map { k =>
-              if (spec.nullIndices) all(k) <=> pk(k) else all(k) === pk(k)
-            }.reduce(_ && _)
+            val all0 = spark.read.option("mergeSchema", "true").parquet(dataPath)
+            val bounded = strayScan match {
+              case StrayScan.Bounded(lo, hi) =>
+                val partC = if (spec.epochUnit.isDefined) col(PartCol).cast("long")
+                            else col(PartCol)
+                def lbl(v: Any): Column =
+                  if (spec.epochUnit.isDefined) lit(chunkLabelOf(v).toLong)
+                  else lit(chunkLabelOf(v))
+                all0.where(partC >= lbl(lo) && partC <= lbl(hi))
+              case _ => all0
+            }
             val inPatch = {
               val in = if (patchOnly._2.nonEmpty) col(PartCol).isin(patchOnly._2: _*)
                        else lit(false)
               if (patchOnly._1) in || col(PartCol).isNull else in
             }
+            // partition-column predicate BEFORE the join: patch chunks are
+            // being rewritten anyway, so their directories never scan
+            val all = bounded.where(!coalesce(inPatch, lit(false)))
+              .select(keys.map(col) :+ col(PartCol): _*)
+            val pk  = p.select(keys.map(col): _*).distinct()
+            val kc  = keys.map { k =>
+              if (spec.nullIndices) all(k) <=> pk(k) else all(k) === pk(k)
+            }.reduce(_ && _)
             all.join(pk, kc, "left_semi")
-              .where(!coalesce(inPatch, lit(false)))
               .select(PartCol).distinct().collect().map(_.getString(0))
           }
         val merged = (chunkVals ++ strayVals).distinct

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.catalog.PipeSpec
 import graft.dsl.ParamsFilter
 import graft.ops.{Diff, SchemaEvolution, SpecialCols}
-import graft.storage.PipeStorage
+import graft.storage.{PipeStorage, StrayScan}
 
 /** The incremental sync pipeline — the reference's `pipe.sync()`
   * (meerschaum/core/Pipe/_sync.py:40-531) and the read path `get_data`
@@ -70,7 +70,15 @@ final class SyncEngine(spark: SparkSession, root: String,
     * pipeline is idempotent, so a partially applied attempt re-converges). */
   def sync(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val pre = hooks.preSync(spec, batch0)
-    val (result, attempts, errs) = Retry.withBackoff(retries, retryBaseSleepMs) {
+    // retry leans on the diff pipeline's idempotence — but autoincrement
+    // assignment is NOT idempotent (each attempt re-reads max(pk) and mints
+    // fresh ids, so rows persisted by a partial attempt would re-insert
+    // under new ids). Batches that will receive generated ids get exactly
+    // one attempt, like a DB identity insert outside a transaction.
+    val mintsIds = spec.autoincrement &&
+      spec.columns.primary.exists(pk => !pre.columns.contains(pk))
+    val effRetries = if (mintsIds) 1 else retries
+    val (result, attempts, errs) = Retry.withBackoff(effRetries, retryBaseSleepMs) {
       spec.strategy match {
         case Some(st) => st.sync(this, spec, pre)
         case None     => syncDefault(spec, pre)
@@ -191,27 +199,38 @@ final class SyncEngine(spark: SparkSession, root: String,
       }
 
     val keys = syncKeys(spec, batchAligned)
+    // the batch's axis envelope, computed ONCE: bounds both the backtrack
+    // slice (the diff window) and the stray-chunk guard in storage
+    val envelope = batchEnvelope(spec, batchAligned)
 
     // 5. upsert mode skips the diff entirely (reference sync_pipe:1921-1935).
     //    One cached plan feeds one aggregate (insert/update counts + affected
-    //    chunks) and the storage merge — 2 jobs, not 4.
+    //    chunks) and the storage merge — 2 jobs, not 4. Native upsert
+    //    applies arbitrary rows, so the dt-move guard must scan the full
+    //    key columns (StrayScan.Full — documented cost of the guarantee).
     if (spec.upsert) {
       val patch = tagAgainstTarget(spec, store, targetAligned,
-        dedupeBatch(spec, batchAligned), keys, diff = false).cache()
+        dedupeBatch(spec, batchAligned), keys, envelope, diff = false).cache()
       try {
         val (nIns, nUpd, chunks) = countsAndChunks(store, patch, allRows = true)
-        store.upsert(patch.drop(UpdFlag), keys, chunks)
+        store.upsert(patch.drop(UpdFlag), keys, chunks, StrayScan.Full)
         SyncResult(nIns, nUpd)
       } finally patch.unpersist()
     } else {
       // 6. diff-then-apply: delta rows tagged update/insert by ONE left join;
       //    counts + affected chunks come from ONE aggregate over the cached
-      //    delta; updates merge chunk-scoped, inserts append.
+      //    delta; updates merge chunk-scoped, inserts append. Update rows
+      //    were DETECTED inside the backtrack window, so their old chunks
+      //    are provably within it — the stray guard prunes to that window
+      //    instead of scanning the table.
       val tagged = tagAgainstTarget(spec, store, targetAligned,
-        dedupeBatch(spec, batchAligned), keys, diff = true).cache()
+        dedupeBatch(spec, batchAligned), keys, envelope, diff = true).cache()
       try {
         val (nIns, nUpd, chunks) = countsAndChunks(store, tagged, allRows = false)
-        if (nUpd > 0) store.upsert(tagged.where(col(UpdFlag)).drop(UpdFlag), keys, chunks)
+        val stray = envelope.map { case (lo, hi) => StrayScan.Bounded(lo, hi): StrayScan }
+          .getOrElse(StrayScan.Full)
+        if (nUpd > 0)
+          store.upsert(tagged.where(col(UpdFlag)).drop(UpdFlag), keys, chunks, stray)
         if (nIns > 0) store.append(tagged.where(!col(UpdFlag)).drop(UpdFlag))
         SyncResult(nIns, nUpd)
       } finally tagged.unpersist()
@@ -230,15 +249,21 @@ final class SyncEngine(spark: SparkSession, root: String,
   private def persistDtypes(spec: PipeSpec, schema: org.apache.spark.sql.types.StructType,
                             inferred: Map[String, graft.types.MrsmType] = Map.empty): Unit =
     catalog.foreach { cat =>
-      val declared = cat.get(spec.keys).map(_.dtypes).getOrElse(spec.dtypes)
+      val raw = cat.get(spec.keys)
+      // `spec` here may be inheritance-RESOLVED (sync by keys) — richer
+      // types it carries (inherited uuid/json) count as declared, but only
+      // the RAW registered entry is rewritten, and only its dtypes: writing
+      // the resolved spec back would flatten columns/tags/extras and stop
+      // the child from following future edits to its references.
+      val declared = spec.dtypes ++ raw.map(_.dtypes).getOrElse(Map.empty)
       val merged = schema.fields.map { f =>
         f.name -> (declared.get(f.name) match {
           case Some(t) if t.spark == f.dataType => t
           case _ => inferred.getOrElse(f.name, graft.types.Dtypes.fromSpark(f.dataType))
         })
       }.toMap
-      if (merged != declared || cat.get(spec.keys).isEmpty) {
-        cat.register(spec.copy(dtypes = merged))
+      if (raw.isEmpty || merged != raw.get.dtypes) {
+        cat.register(raw.getOrElse(spec).copy(dtypes = merged))
         catalogPath.foreach(p => graft.catalog.PipeCatalogStore.save(spark, p, cat))
       }
     }
@@ -247,8 +272,9 @@ final class SyncEngine(spark: SparkSession, root: String,
     * `diff = true` also drops full-row-identical rows first (the delta). */
   private def tagAgainstTarget(spec: PipeSpec, store: PipeStorage, target: DataFrame,
                                batch: DataFrame, keys: Seq[String],
+                               envelope: Option[(Any, Any)],
                                diff: Boolean): DataFrame = {
-    val backtrack = backtrackSlice(spec, store, target, batch)
+    val backtrack = backtrackSlice(spec, store, target, envelope)
     if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag)
     else {
       // backtrack keys aliased before the join — batch and backtrack can
@@ -321,36 +347,43 @@ final class SyncEngine(spark: SparkSession, root: String,
     }
   }
 
-  /** Target slice the diff compares against: rows inside the batch's dt
-    * envelope ±1 minute (reference core/Pipe/_sync.py:860-896). Without a dt
-    * axis the whole target is the backtrack (small-dimension pipes). */
-  private def backtrackSlice(spec: PipeSpec, store: PipeStorage, target: DataFrame,
-                             batch: DataFrame): DataFrame = {
-    // the slice goes back to STORAGE with explicit bounds, so the chunk-label
-    // range prunes partition directories — at 100 TB the diff reads only the
-    // chunks the batch's dt envelope touches, not the table's file listing
-    def pruned(lo: Any, hi: Any): DataFrame =
-      SchemaEvolution.conform(
-        store.readRange(Some(lo), Some(hi), endInclusive = true), target.schema)
-    spec.columns.datetime.filter(batch.columns.contains) match {
-      case Some(dt) if spec.epochUnit.isDefined =>
-        // integer-epoch axis: the same ±1-minute envelope in axis units
+  /** The batch's dt envelope padded ±1 minute (reference
+    * core/Pipe/_sync.py:860-896), in axis values — one aggregate job,
+    * shared by the backtrack slice and the storage stray-chunk guard.
+    * None when the batch has no dt column or only null axis values. */
+  private def batchEnvelope(spec: PipeSpec, batch: DataFrame): Option[(Any, Any)] =
+    spec.columns.datetime.filter(batch.columns.contains).flatMap { dt =>
+      if (spec.epochUnit.isDefined) {
         val pad = graft.dsl.EpochAxis.unitsForMinutes(spec.epochUnit.get, 1)
         val row = batch.agg(
           min(col(dt)).cast("long").as("lo"), max(col(dt)).cast("long").as("hi")).head()
-        if (row.isNullAt(0) || row.isNullAt(1)) target
-        else pruned(row.getLong(0) - pad, row.getLong(1) + pad)
-      case Some(dt) =>
+        if (row.isNullAt(0) || row.isNullAt(1)) None
+        else Some((row.getLong(0) - pad, row.getLong(1) + pad))
+      } else {
         val row = batch.agg(
           min(col(dt)).cast("timestamp_ntz").as("lo"),
           max(col(dt)).cast("timestamp_ntz").as("hi")).head()
         (Option(row.getAs[LocalDateTime]("lo")), Option(row.getAs[LocalDateTime]("hi"))) match {
-          case (Some(lo), Some(hi)) => pruned(lo.minusMinutes(1), hi.plusMinutes(1))
-          case _ => target
+          case (Some(lo), Some(hi)) => Some((lo.minusMinutes(1), hi.plusMinutes(1)))
+          case _ => None
         }
+      }
+    }
+
+  /** Target slice the diff compares against: rows inside the batch's dt
+    * envelope. Without an envelope (no dt axis, or all-null) the whole
+    * target is the backtrack (small-dimension pipes). */
+  private def backtrackSlice(spec: PipeSpec, store: PipeStorage, target: DataFrame,
+                             envelope: Option[(Any, Any)]): DataFrame =
+    envelope match {
+      case Some((lo, hi)) =>
+        // the slice goes back to STORAGE with explicit bounds, so the
+        // chunk-label range prunes partition directories — at 100 TB the
+        // diff reads only the chunks the envelope touches
+        SchemaEvolution.conform(
+          store.readRange(Some(lo), Some(hi), endInclusive = true), target.schema)
       case None => target
     }
-  }
 
   /** Begin bound for the next fetch: newest sync time minus the backtrack
     * window (reference core/Pipe/_fetch.py:144-181). */
@@ -473,7 +506,12 @@ final class SyncEngine(spark: SparkSession, root: String,
     spec.epochUnit match {
       case Some(unit) =>
         epochB.orElse(dtB.map(graft.dsl.EpochAxis.toUnits(_, unit)))
-      case None => dtB
+      case None =>
+        // an epoch bound against a timestamp axis is a caller bug — dropping
+        // it silently would turn a bounded clear() into a full-table delete
+        require(epochB.isEmpty,
+          s"pipe ${spec.keys} has a timestamp axis; epoch bounds need spec.epochUnit")
+        dtB
     }
 
   def getData(
@@ -541,6 +579,8 @@ final class SyncEngine(spark: SparkSession, root: String,
     * (or oldest) axis value among rows matching the params DSL. */
   def syncTime(spec: PipeSpec, params: Map[String, Any] = Map.empty,
                newest: Boolean = true): Option[LocalDateTime] = {
+    require(spec.epochUnit.isEmpty,
+      s"pipe ${spec.keys} has an integer axis; use syncTimeEpoch")
     val store = storage(spec)
     if (params.isEmpty) return store.syncTime(newest)
     if (!store.exists) return None
@@ -549,6 +589,20 @@ final class SyncEngine(spark: SparkSession, root: String,
     val row = store.read.where(ParamsFilter.toPredicate(params))
       .agg(agg.cast("timestamp_ntz").as("t")).head()
     Option(row.getAs[LocalDateTime]("t"))
+  }
+
+  /** Epoch-axis twin of the params-filtered [[syncTime]] (axis units). */
+  def syncTimeEpoch(spec: PipeSpec, params: Map[String, Any] = Map.empty,
+                    newest: Boolean = true): Option[Long] = {
+    require(spec.epochUnit.isDefined, "syncTimeEpoch requires spec.epochUnit")
+    val store = storage(spec)
+    if (params.isEmpty) return store.syncTimeEpoch(newest)
+    if (!store.exists) return None
+    val dt = spec.columns.datetime.getOrElse(return None)
+    val agg = if (newest) max(col(dt)) else min(col(dt))
+    val row = store.read.where(ParamsFilter.toPredicate(params))
+      .agg(agg.cast("long").as("t")).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
   /** Range delete — the reference's `pipe.clear(begin, end, params)`

@@ -349,6 +349,53 @@ class Round3Spec extends SparkSpec {
     assert(eng.storage(cat.resolve(child.keys).get).rowCount == 1)
   }
 
+  test("dtype persistence neither flattens inheritance nor downgrades it") {
+    val root = tmpDir()
+    val cat = new PipeCatalog()
+    val eng = new SyncEngine(spark, root, catalog = Some(cat))
+    val base = PipeSpec(PipeKeys("dag", "uuidbase"),
+      columns = ColumnRoles(Map("primary" -> "pk")),
+      dtypes = Map("u" -> graft.types.MrsmType.MUuid),
+      tags = Seq("base-tag"))
+    val child = PipeSpec(PipeKeys("dag", "uuidchild"), references = Seq(base.keys))
+    Seq(base, child).foreach(cat.register)
+    eng.sync(child.keys,
+      Seq((1L, "0f8fad5b-d9cb-469f-a165-70867728950e")).toDF("pk", "u"))
+    val raw = cat.get(child.keys).get
+    // the registered child keeps its reference edge and does NOT absorb the
+    // base's tags/columns; the inherited uuid dtype is preserved, not
+    // downgraded to str by the physical-string schema
+    assert(raw.references == Seq(base.keys))
+    assert(raw.tags.isEmpty && raw.columns.roles.isEmpty)
+    assert(raw.dtypes.get("u").contains(graft.types.MrsmType.MUuid))
+    assert(cat.resolve(child.keys).get.tags == Seq("base-tag")) // still follows base
+  }
+
+  test("autoincrement batches are not retried (non-idempotent id minting)") {
+    val root = tmpDir()
+    var attempts = 0
+    val failing = new SyncStrategy {
+      def sync(e: SyncEngine, s: PipeSpec, b: DataFrame): SyncResult = {
+        attempts += 1; throw new RuntimeException("boom")
+      }
+    }
+    val eng = new SyncEngine(spark, root, retries = 3, retryBaseSleepMs = 1)
+    val spec = PipeSpec(PipeKeys("test", "autoinc_retry"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "rid")),
+      autoincrement = true, strategy = Some(failing))
+    intercept[RuntimeException] {
+      eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0))).drop("id"))
+    }
+    assert(attempts == 1) // id-minting sync gets exactly one attempt
+    // with the pk already present no ids are minted — retries stay on
+    attempts = 0
+    intercept[RuntimeException] {
+      eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0)))
+        .withColumnRenamed("id", "rid"))
+    }
+    assert(attempts == 3)
+  }
+
   test("references and children persist through the catalog store") {
     val path = s"${tmpDir()}/cat"
     val cat = new PipeCatalog()
