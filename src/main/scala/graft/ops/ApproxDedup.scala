@@ -175,7 +175,9 @@ object ApproxDedup {
     // sets — semi-join before hashing/caching, so the cached footprint is
     // O(candidates), not O(corpus) (at 100 TB candidates are a sliver).
     // The pair set itself is read three times (two id sides + the final
-    // join) — cache it so the band join runs once.
+    // join) — cache it so the band join runs once. Both caches are
+    // MEMORY_AND_DISK and bounded by the candidate set; their lifecycle is
+    // LRU eviction (the result stays lazy, so there is no unpersist point).
     val c = cands.cache()
     val ids = c.select(col("id1").as(idCol))
       .union(c.select(col("id2").as(idCol))).distinct()
