@@ -139,6 +139,25 @@ class Round3Spec extends SparkSpec {
     assert(got.toSeq == Seq((LocalDateTime.parse("2024-01-05T10:00:00"), 9.0)))
   }
 
+  test("diff-mode dt move inside the diff envelope does not duplicate") {
+    // minute chunks: the 10:00:50 row moves 20s to 10:01:10 — a different
+    // chunk directory but inside the ±1-minute diff envelope, so it tags as
+    // an update and the BOUNDED stray scan removes the old chunk's row.
+    // (A move beyond the envelope is a NEW event in diff mode by design —
+    // the reference's same semantics; key-identity pipes use upsert mode.)
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("test", "dtmove_diff"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+      chunkMinutes = 1)
+    eng.sync(spec, batch(Seq(("2024-01-01 10:00:50", 1L, 1.0))))
+    val r = eng.sync(spec, batch(Seq(("2024-01-01 10:01:10", 1L, 2.0))))
+    assert(r.updated == 1)
+    assert(eng.storage(spec).rowCount == 1)
+    val got = eng.getData(spec).select("dt", "val")
+      .as[(LocalDateTime, Double)].head()
+    assert(got == ((LocalDateTime.parse("2024-01-01T10:01:10"), 2.0)))
+  }
+
   test("upsert where the stray chunk loses ALL rows removes its directory") {
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
     val spec = PipeSpec(PipeKeys("test", "dtmove_all"),
