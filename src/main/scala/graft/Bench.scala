@@ -29,13 +29,17 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + v }
+    // 3-decimal timings + headline total LAST: the harness captures a bounded
+    // tail of stdout, so the summary fields must sit at the END of the line to
+    // survive truncation of a long per-query map.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2._2 != null)
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir","metric":"total","value":${r3(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

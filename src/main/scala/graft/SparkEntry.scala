@@ -861,6 +861,97 @@ object SparkEntry {
       }.toDF("col_name", "dtype").orderBy(col("col_name"))
     }),
 
+    // ── as-of join as a first-class operator (the general form of the
+    // reference's per-id join_fetch): each purchase picks up the latest
+    // preceding click for its user. Union+window — ONE shuffle on the key,
+    // no range-join cross product.
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+                col("value").as("click_value"))
+      graft.ops.Relational.asofJoin(purchases, clicks, Seq("user_id"),
+          "ts", "ts", rightPayload = Seq("click_id", "click_value"),
+          rightOrder = Seq("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── gap-based sessionization (4h inactivity): lag + running sum, one
+    // shuffle on the session key; gap compared in exact integer micros.
+    "q_sessionize" -> ((s, d) =>
+      graft.ops.Relational.sessionBounds(Tables.events(s, d),
+          "user_id", "ts", gapSeconds = 14400, tiebreak = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // ── LLM-pipeline: vocabulary build (token frequency top-k) ───────────
+    "q_vocab_topk" -> ((s, d) =>
+      graft.ops.Corpus.vocabTopK(Tables.documents(s, d), "text", 100)),
+
+    // ── LLM-pipeline: benchmark decontamination — corpus docs containing
+    // ≥50% of a benchmark doc's 3-gram shingles. Benchmark side broadcast;
+    // per-shingle rows only cross the shuffle.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Corpus.decontaminate(docs,
+          docs.where(col("doc_id") % 20 === 0), "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // ── LLM-pipeline: winnowing fingerprints (Schleimer et al. 2003),
+    // k=8 char-grams, window w=4 — pure projection, zero shuffle.
+    "q_winnow_fingerprints" -> ((s, d) =>
+      graft.ops.Corpus.winnowFingerprints(Tables.documents(s, d),
+          "doc_id", "text", k = 8, w = 4)
+        .orderBy(col("doc_id"), col("fp"))),
+
+    // ── LLM-pipeline: stratified sampling — per-language keep rates from
+    // the same deterministic md5 buckets as the train split (no RNG).
+    "q_stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(graft.ops.Sampling.stratifiedPredicate(col("doc_id"),
+          col("lang"), Seq("en" -> 10, "zh" -> 50), defaultRate = 100))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: PII redaction (email + phone patterns valid in both
+    // Java regex and RE2, so the oracle applies the identical rewrite).
+    "q_redact_pii" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = concat(lit("user "), col("user_id"), lit(" email u"),
+        col("user_id"), lit("@example"), pmod(col("event_id"), lit(10)),
+        lit(".com phone +1 555-01"),
+        lpad(pmod(col("event_id"), lit(100)).cast("string"), 2, "0"),
+        lit(" end"))
+      ev.select(col("event_id"), TextFns.redactPii(raw).as("redacted"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── LLM-pipeline: quality-distribution percentiles per language.
+    // p ∈ {.25,.5,.75} over integer data: the linear-interpolation lerp is
+    // exact in binary floating point, so exact-percentile engines agree
+    // bit-for-bit. (At 100 TB swap in approx_percentile — same plan shape.)
+    "q_quality_percentile" -> ((s, d) =>
+      Tables.documents(s, d).groupBy(col("lang"))
+        .agg(percentile(col("n_chars").cast(DoubleType), lit(0.25)).as("p25"),
+             percentile(col("n_chars").cast(DoubleType), lit(0.5)).as("p50"),
+             percentile(col("n_chars").cast(DoubleType), lit(0.75)).as("p75"),
+             count(lit(1)).as("cnt"))
+        .orderBy(col("lang"))),
+
+    // ── SQL surface: the same engine functions resolved through the
+    // FunctionRegistry (GraftFunctions.register / GraftExtensions), running
+    // the native codegen'd expressions from a spark.sql query.
+    "q_sql_functions" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id, CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
+               graft_fingerprint(text) AS fp, graft_langid(text) AS pred_lang
+               FROM graft_docs ORDER BY doc_id""")
+    }),
+
     // ── §2.1 autoincrement: dense surrogate ids from the two-pass
     // per-partition offset assignment (no single-partition window).
     "q_autoincrement_ids" -> ((s, d) => {
@@ -1245,6 +1336,127 @@ object SparkEntry {
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
          FROM events ORDER BY row_id""",
+
+    "q_asof_join" ->
+      """WITH t AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='purchase'),
+         q AS (SELECT event_id AS click_id, user_id, ts, value AS click_value FROM events WHERE event_type='click'),
+         u AS (
+           SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS click_id,
+                  CAST(NULL AS DOUBLE) AS click_value, event_id, value FROM t
+           UNION ALL
+           SELECT user_id, ts, 0, click_id, click_value, NULL, NULL FROM q),
+         m AS (
+           SELECT *, last_value(click_id IGNORE NULLS) OVER w AS m_click_id,
+                     last_value(click_value IGNORE NULLS) OVER w AS m_click_value
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, click_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts, value, m_click_id AS click_id,
+                m_click_value AS click_value
+         FROM m WHERE side = 1 ORDER BY event_id""",
+
+    "q_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM o)
+         SELECT user_id, session_idx, min(ts) AS session_start,
+                max(ts) AS session_end, count(*) AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "q_vocab_topk" ->
+      """SELECT tok AS token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents) t
+         WHERE length(tok) > 0
+         GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0),
+         c AS (SELECT doc_id AS corpus_id, sh FROM sh)
+         SELECT corpus_id, bench_id,
+           len(list_intersect(c.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE AS containment
+         FROM c, b WHERE corpus_id <> bench_id
+           AND len(list_intersect(c.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE >= 0.5
+         ORDER BY corpus_id, bench_id""",
+
+    "q_winnow_fingerprints" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(generate_series(1, greatest(length(lower(text))-8+1, 0)),
+             i -> CAST(('0x' || substring(md5(substring(lower(text), i, 8)), 1, 8)) AS BIGINT)) AS hs
+           FROM documents),
+         sel AS (
+           SELECT doc_id, CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+             ELSE list_distinct(list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) END AS fps
+           FROM h)
+         SELECT doc_id, unnest(fps) AS fp FROM sel ORDER BY doc_id, fp""",
+
+    "q_stratified_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+           FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bk < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 100 END
+         ORDER BY doc_id""",
+
+    "q_redact_pii" ->
+      """SELECT event_id, regexp_replace(regexp_replace(
+           'user ' || user_id || ' email u' || user_id || '@example' || (event_id % 10) ||
+           '.com phone +1 555-01' || lpad(CAST(event_id % 100 AS VARCHAR), 2, '0') || ' end',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+         FROM events ORDER BY event_id""",
+
+    "q_quality_percentile" ->
+      """SELECT lang,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5)  AS p50,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
+           count(*) AS cnt
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_sql_functions" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         md5(lower(trim(text))) AS fp,
+         CASE
+           WHEN greatest(
+             len(list_intersect(string_split_regex(lower(text),'\s+'), ['der','die','das','und','ist','ein','eine','zu','den','von'])),
+             len(list_intersect(string_split_regex(lower(text),'\s+'), ['the','a','of','and','to','in','is','it','that','for'])),
+             len(list_intersect(string_split_regex(lower(text),'\s+'), ['el','la','de','que','y','en','un','una','es','por'])),
+             len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])),
+             len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人']))) = 0 THEN 'und'
+           WHEN len(list_intersect(string_split_regex(lower(text),'\s+'), ['der','die','das','und','ist','ein','eine','zu','den','von'])) >=
+                greatest(
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['the','a','of','and','to','in','is','it','that','for'])),
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['el','la','de','que','y','en','un','una','es','por'])),
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])),
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人']))) THEN 'de'
+           WHEN len(list_intersect(string_split_regex(lower(text),'\s+'), ['the','a','of','and','to','in','is','it','that','for'])) >=
+                greatest(
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['el','la','de','que','y','en','un','una','es','por'])),
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])),
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人']))) THEN 'en'
+           WHEN len(list_intersect(string_split_regex(lower(text),'\s+'), ['el','la','de','que','y','en','un','una','es','por'])) >=
+                greatest(
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])),
+                  len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人']))) THEN 'es'
+           WHEN len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])) >=
+                len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人'])) THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+         FROM documents ORDER BY doc_id""",
 
     "q_train_split" ->
       """WITH b AS (

@@ -67,6 +67,20 @@ object TextFns {
   /** 64-bit content hash for bucketing (xxhash64 — cheap, codegen'd). */
   def contentHash64(text: Column): Column = xxhash64(lower(trim(text)))
 
+  /** PII scrubbing: replace email addresses and phone-number-shaped digit
+    * runs with typed placeholder tokens. Patterns restricted to syntax that
+    * parses identically under Java regex and RE2 (no backrefs/lookaround)
+    * so an oracle engine applies the very same rewrite. Codegen'd
+    * regexp_replace — runs on the scan.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Per-language stopword sets for the n-gram/stopword language-ID
     * heuristic. Small built-in lists (public common stopwords). */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Relational operators the reference expresses only implicitly — the
+  * per-id as-of fetch (`join_fetch`, reference
+  * `meerschaum/connectors/sql/_fetch.py:449-521`) is a special case of a
+  * general as-of join, and chunk iteration over a time axis
+  * (`core/Pipe/_data.py:639-932`) is the degenerate fixed-width form of
+  * gap-based sessionization. Both generalized here as first-class ops.
+  *
+  * Scale design: both run as ONE hash shuffle on the join/session keys.
+  * The as-of join is the union+window formulation — Spark would otherwise
+  * plan `t.ts >= q.ts` as a broadcast-nested-loop or a sort-merge with an
+  * inequality tail (per-key cross product); interleaving both sides in one
+  * time-sorted window keeps cost at O(n log n) per key partition with
+  * nothing wider than a row ever materialized per match.
+  */
+object Relational {
+
+  /** A genuinely NULL struct literal. `struct(lit(null), ...)` would be a
+    * NON-null struct whose fields are null — `last(ignoreNulls)` would then
+    * treat a left row's placeholder as a real match and never skip it. */
+  private def nullOf(schema: StructType, cols: Seq[String]): Column =
+    lit(null).cast(StructType(cols.map(c => schema(c).copy(nullable = true))))
+
+  /** As-of join: for every left row, attach `rightPayload` from the most
+    * recent right row with the same `keys` and `right.timeCol <= left
+    * .timeCol` (or strictly `<` when `inclusive=false`); null payload when
+    * no right row precedes. Ties inside the right side at the same
+    * timestamp resolve by `rightOrder` ascending (last wins) — pass a
+    * unique column for a deterministic result.
+    *
+    * Both inputs are tagged and unioned, then a single
+    * `last(payload, ignoreNulls)` window ordered by (time, side, order)
+    * carries the latest right payload forward onto each left row:
+    * one shuffle on `keys`, no join node at all.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String], rightOrder: Seq[String] = Nil,
+               inclusive: Boolean = true): DataFrame = {
+    val leftCols  = left.columns.toSeq
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    // side ordering encodes the bound: inclusive puts right rows BEFORE the
+    // left row at the same timestamp (visible), strict puts them after
+    val rightSide = if (inclusive) 0 else 2
+    val ordCols   = if (rightOrder.nonEmpty) rightOrder else rightPayload
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        nullOf(right.schema, ordCols).as("__ord"),
+        nullOf(right.schema, rightPayload).as("__pay"),
+        struct(leftCols.map(col): _*).as("__row")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(rightSide).as("__side"),
+        struct(ordCols.map(col): _*).as("__ord"),
+        struct(rightPayload.map(col): _*).as("__pay"),
+        nullOf(left.schema, leftCols).as("__row")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(leftCols.map(c => col("__row").getField(c).as(c)) ++
+              rightPayload.map(c => col("__match").getField(c).as(c)): _*)
+  }
+
+  /** Stamp a gap-based session index per key: a new session starts when the
+    * previous event for the key is more than `gapSeconds` older (or there is
+    * none). `tiebreak` orders simultaneous events deterministically.
+    * Adds `session_idx` (1-based per key). One shuffle on `keyCol`.
+    */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String,
+                 gapSeconds: Long, tiebreak: Seq[String]): DataFrame = {
+    val order = col(timeCol).asc +: tiebreak.map(col(_).asc)
+    val w     = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val prev  = lag(col(timeCol), 1).over(w)
+    // exact integer micros (not a double cast): gap comparison at a
+    // boundary must not depend on floating-point rounding
+    val us    = graft.dsl.RoundTime.epochMicros _
+    val isNew = when(prev.isNull ||
+      us(col(timeCol)) - us(prev) > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Collapse sessionized rows to one row per session: bounds, event count,
+    * and an aggregate over `valueCol`. Map-side combine applies — the
+    * shuffle after sessionize is on the same key, so AQE coalesces it.
+    */
+  def sessionBounds(df: DataFrame, keyCol: String, timeCol: String,
+                    gapSeconds: Long, tiebreak: Seq[String]): DataFrame =
+    sessionize(df, keyCol, timeCol, gapSeconds, tiebreak)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(min(col(timeCol)).as("session_start"),
+           max(col(timeCol)).as("session_end"),
+           count(lit(1)).as("n_events"))
+}

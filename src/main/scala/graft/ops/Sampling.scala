@@ -43,4 +43,21 @@ object Sampling {
     * membership the way `df.sample` reseeding does. */
   def samplePredicate(id: Column, percent: Int, buckets: Int = 100): Column =
     hashBucket(id, buckets) < lit(percent.toLong)
+
+  /** Stratified sample: a different keep-rate per stratum value (e.g.
+    * downsample English to 10% while keeping all low-resource languages).
+    * Same md5-bucket mechanics — a pure projection predicate, no
+    * sampleBy/RNG, membership stable under appends and reshards.
+    */
+  def stratifiedPredicate(id: Column, stratum: Column,
+                          rates: Seq[(String, Int)], defaultRate: Int,
+                          buckets: Int = 100): Column = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= buckets),
+      "rates must lie in [0, buckets]")
+    val b = hashBucket(id, buckets)
+    val rate = rates.foldLeft(when(lit(false), lit(0))) {
+      case (c, (v, r)) => c.when(stratum === lit(v), lit(r))
+    }.otherwise(lit(defaultRate))
+    b < rate.cast("long")
+  }
 }
