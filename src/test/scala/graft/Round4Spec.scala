@@ -1,0 +1,191 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFns}
+import graft.ops.{Corpus, Relational, Sampling}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = LocalDateTime.parse(s)
+
+  // trades/quotes classic: one key with interleaved times, ties, and a
+  // key that has trades before any quote
+  private lazy val trades = Seq(
+    (1L, "a", t("2024-01-01T00:00:30"), 10.0),
+    (2L, "a", t("2024-01-01T00:02:00"), 20.0),
+    (3L, "a", t("2024-01-01T00:03:00"), 30.0), // exactly at quote 13
+    (4L, "b", t("2024-01-01T00:00:10"), 40.0)  // before any b quote
+  ).toDF("trade_id", "sym", "ts", "px")
+
+  private lazy val quotes = Seq(
+    (11L, "a", t("2024-01-01T00:00:00"), 1.0),
+    (12L, "a", t("2024-01-01T00:01:00"), 2.0),
+    (120L, "a", t("2024-01-01T00:01:00"), 2.5), // tie: higher id wins
+    (13L, "a", t("2024-01-01T00:03:00"), 3.0),
+    (14L, "b", t("2024-01-01T00:05:00"), 4.0)
+  ).toDF("quote_id", "sym", "ts", "bid")
+
+  test("asofJoin: latest preceding quote per trade, ties by rightOrder, null when none") {
+    val r = Relational.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+        rightPayload = Seq("quote_id", "bid"), rightOrder = Seq("quote_id"))
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id", "bid")
+      .collect()
+    assert(r(0).getLong(1) == 11L && r(0).getDouble(2) == 1.0)
+    assert(r(1).getLong(1) == 120L && r(1).getDouble(2) == 2.5) // tie-break
+    assert(r(2).getLong(1) == 13L)                              // inclusive <=
+    assert(r(3).isNullAt(1) && r(3).isNullAt(2))                // no match
+  }
+
+  test("asofJoin strict: a quote at exactly the trade time is NOT visible") {
+    val r = Relational.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+        rightPayload = Seq("quote_id"), rightOrder = Seq("quote_id"),
+        inclusive = false)
+      .orderBy("trade_id").select("trade_id", "quote_id").collect()
+    assert(r(2).getLong(1) == 120L) // falls back to the 00:01 tie winner
+  }
+
+  test("asofJoin plans as window over one exchange — no join node, no cross product") {
+    val plan = Relational.asofJoin(trades, quotes, Seq("sym"), "ts", "ts",
+      rightPayload = Seq("quote_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join in:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
+  test("sessionBounds matches Spark's built-in session_window aggregation") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val ours = Relational.sessionBounds(ev, "user_id", "ts",
+        gapSeconds = 14400, tiebreak = Seq("event_id"))
+      .select($"user_id", $"session_start", $"n_events")
+      .orderBy($"user_id", $"session_start")
+      .collect()
+    // built-in session_window: gap-merged windows per key; end = last+gap,
+    // so compare (key, start, count) which both definitions share
+    val builtin = ev.groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+      .collect()
+    assert(ours.length == builtin.length)
+    ours.zip(builtin).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("sessionize gap boundary: exactly `gap` apart stays in one session") {
+    val df = Seq(
+      (1L, t("2024-01-01T00:00:00")),
+      (2L, t("2024-01-01T04:00:00")),  // == gap → same session
+      (3L, t("2024-01-01T08:00:01"))   // > gap → new session
+    ).toDF("id", "ts").withColumn("k", lit("u"))
+    val r = Relational.sessionize(df, "k", "ts", 14400, Seq("id"))
+      .select($"id", $"session_idx").orderBy($"id").as[(Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+}
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vocabTopK counts and orders tokens") {
+    val docs = Seq("b a a", "a b", "c").toDF("text")
+    val r = Corpus.vocabTopK(docs, "text", 2).as[(String, Long)].collect()
+    assert(r.toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("decontaminate flags corpus docs containing a benchmark's shingles") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains bench 10 fully
+      (2L, "unrelated words entirely different here"),
+      (10L, "alpha beta gamma delta")                 // the bench doc itself
+    ).toDF("doc_id", "text")
+    val bench = corpus.where($"doc_id" === 10L)
+    val r = Corpus.decontaminate(corpus, bench, "doc_id", "text",
+      shingleSize = 3, threshold = 0.5).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 1L && r(0).getLong(1) == 10L &&
+           r(0).getDouble(2) == 1.0)
+  }
+
+  test("winnowing guarantee: a shared run of length >= w+k-1 shares a fingerprint") {
+    val shared = "zqxwvutsrqp" // 11 chars = w+k-1 with k=8, w=4
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix aa"),
+      (2L, s"completely other ${shared} tail bb")).toDF("doc_id", "text")
+    val fps = Corpus.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    val common = fps.where($"doc_id" === 1L).select("fp")
+      .intersect(fps.where($"doc_id" === 2L).select("fp"))
+    assert(common.count() >= 1)
+  }
+
+  test("winnowFingerprints is a pure projection — no exchange in the plan") {
+    val docs = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val plan = Corpus.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("stratifiedPredicate: rate-0 stratum drops all, rate-100 keeps all, deterministic") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("id", "lang")
+    val kept = df.where(Sampling.stratifiedPredicate($"id", $"lang",
+      Seq("en" -> 0), defaultRate = 100))
+    assert(kept.where($"lang" === "en").count() == 0)
+    assert(kept.where($"lang" === "fr").count() == 500)
+    val partial = df.where(Sampling.stratifiedPredicate($"id", $"lang",
+      Seq("en" -> 30), defaultRate = 100))
+    val c1 = partial.count(); val c2 = partial.count()
+    assert(c1 == c2 && c1 > 500 && c1 < 1000)
+  }
+
+  test("redactPii scrubs emails and phones, leaves short numbers") {
+    val r = Seq("mail a.b+c@ex-1.org or +49 30 1234567 or room 42")
+      .toDF("t").select(TextFns.redactPii($"t")).head.getString(0)
+    assert(r == "mail <EMAIL> or <PHONE> or room 42")
+  }
+}
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("registered SQL functions resolve to the native expressions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                graft_token_count(' a b  c ') AS n,
+                graft_langid('the cat and the dog of it') AS lang,
+                graft_redact_pii('x y@z.io z') AS red,
+                graft_split_label(7, 80, 10, 10) AS split""").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 3)
+    assert(r.getString(3) == "en")
+    assert(r.getString(4) == "x <EMAIL> z")
+    assert(Set("train", "val", "test").contains(r.getString(5)))
+  }
+
+  test("graft_minhash from SQL equals the Scala API signature") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps over it").toDF("text")
+    df.createOrReplaceTempView("g4_minhash_t")
+    val sql = spark.sql(
+      "SELECT graft_minhash(text, 3, 8) AS sig FROM g4_minhash_t")
+      .head.getSeq[Long](0)
+    val api = df.select(
+        graft.ops.ApproxDedup.minhashSignature(col("text"), 3, 8).as("sig"))
+      .head.getSeq[Long](0)
+    assert(sql == api)
+  }
+
+  test("graft_round_time requires a literal unit") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_round_time(ts, ts) FROM (SELECT current_timestamp() AS ts)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}
