@@ -861,6 +861,43 @@ object SparkEntry {
       }.toDF("col_name", "dtype").orderBy(col("col_name"))
     }),
 
+    // ── §2.1 API (HTTP) fetch: the reference's api-connector ingest. An
+    // in-process ND-JSON instance serves the events table; the source plans
+    // 5-day chunk windows on the driver and each TASK pulls its own window
+    // over HTTP (executor-parallel, the partitioned-JDBC shape — the
+    // reference funnels every chunk through the driver). Bounds prune
+    // server-side; params re-apply locally. localCheckpoint materializes
+    // the pull so the server can stop before the query returns.
+    "q_api_fetch" -> ((s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d).select(
+          RoundTime.epochMicros(col("ts")).as("us"),
+          to_json(struct(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"),
+            col("user_id"), col("event_type"), col("value"))).as("j"))
+        .as[(Long, String)].collect().toSeq
+      val h = graft.sources.NdjsonServer.serve(rows)
+      try {
+        val schema = StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", StringType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType)))
+        val src  = new graft.sources.ApiSource(h.url, schema, chunkMinutes = 5 * 1440)
+        val spec = PipeSpec(PipeKeys("api", "events"),
+          columns = ColumnRoles(Map("datetime" -> "ts")))
+        val fetched = src.fetch(s, spec,
+            begin = Some(java.time.LocalDateTime.parse("2024-01-05T00:00:00")),
+            end   = Some(java.time.LocalDateTime.parse("2024-01-20T00:00:00")),
+            params = Map("event_type" -> Seq("click", "view")))
+          .localCheckpoint(true)
+        fetched.select(col("event_id"),
+            to_timestamp(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+              .cast(TimestampNTZType).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      } finally h.stop()
+    }),
+
     // ── as-of join as a first-class operator (the general form of the
     // reference's per-id join_fetch): each purchase picks up the latest
     // preceding click for its user. Union+window — ONE shuffle on the key,
@@ -1336,6 +1373,12 @@ object SparkEntry {
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
          FROM events ORDER BY row_id""",
+
+    "q_api_fetch" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+           AND event_type IN ('click','view')
+         ORDER BY event_id""",
 
     "q_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type='purchase'),

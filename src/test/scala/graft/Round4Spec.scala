@@ -147,6 +147,64 @@ class CorpusSpec extends SparkSpec {
   }
 }
 
+class ApiSourceSpec extends SparkSpec {
+  import java.time.LocalDateTime
+  import org.apache.spark.sql.types._
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import graft.sources.{ApiSink, ApiSource, NdjsonServer}
+
+  private def us(s: String): Long = {
+    val i = LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("ts", StringType),
+    StructField("v", DoubleType)))
+
+  private def rows: Seq[(Long, String)] = (0 until 48).map { i =>
+    val t = LocalDateTime.parse("2024-02-01T00:00:00").plusHours(i)
+    (us(t.toString), s"""{"id":$i,"ts":"$t","v":${i * 1.5}}""")
+  }
+
+  test("ApiSource: chunked fetch applies server-side bounds and local params") {
+    val h = NdjsonServer.serve(rows)
+    try {
+      val src  = new ApiSource(h.url, schema, chunkMinutes = 720) // 12h chunks
+      val spec = PipeSpec(PipeKeys("api", "t"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val got = src.fetch(spark, spec,
+          begin = Some(LocalDateTime.parse("2024-02-01T06:00:00")),
+          end   = Some(LocalDateTime.parse("2024-02-02T00:00:00")),
+          params = Map("id" -> graft.dsl.ParamsFilter.Not(7L)))
+        .orderBy("id").collect()
+      // hours 6..23 minus id 7 → 17 rows, half-open end excludes hour 24
+      assert(got.length == 17)
+      assert(got.head.getLong(0) == 6L && got.last.getLong(0) == 23L)
+      assert(!got.exists(_.getLong(0) == 7L))
+    } finally h.stop()
+  }
+
+  test("ApiSource: unbounded fetch reads everything in one window") {
+    val h = NdjsonServer.serve(rows)
+    try {
+      val src  = new ApiSource(h.url, schema)
+      val spec = PipeSpec(PipeKeys("api", "t"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      assert(src.fetch(spark, spec).count() == 48)
+    } finally h.stop()
+  }
+
+  test("ApiSink: partitions post ND-JSON batches from the executors") {
+    val h = NdjsonServer.serve(Nil)
+    try {
+      import spark.implicits._
+      ApiSink.push((0 until 100).toDF("n"), h.url, batchRows = 17)
+      assert(h.received.size() == 100)
+    } finally h.stop()
+  }
+}
+
 class GraftFunctionsSpec extends SparkSpec {
 
   test("registered SQL functions resolve to the native expressions") {
