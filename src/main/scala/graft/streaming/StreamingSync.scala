@@ -125,5 +125,20 @@ object StreamingSync {
       .groupBy(window(col(dtCol), width))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("chunk_start"), col("cnt"))
+
+  /** Streaming gap-based sessions: Spark's `session_window` with a
+    * watermark — the streaming face of `Relational.sessionBounds`. State
+    * per key is ONE open session; the session closes and emits once the
+    * watermark passes its end + gap, so state never grows with history. */
+  def sessionCounts(stream: DataFrame, dtCol: String, keyCol: String,
+                    gap: String, delay: String = "24 hours"): DataFrame =
+    stream
+      .withColumn(dtCol, col(dtCol).cast("timestamp"))
+      .withWatermark(dtCol, delay)
+      .groupBy(col(keyCol), session_window(col(dtCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
 }
 

@@ -248,7 +248,11 @@ final class SyncEngine(spark: SparkSession, root: String,
     * inferred type. */
   private def persistDtypes(spec: PipeSpec, schema: org.apache.spark.sql.types.StructType,
                             inferred: Map[String, graft.types.MrsmType] = Map.empty): Unit =
-    catalog.foreach { cat =>
+    // synchronized on the catalog: fleet syncs (fetchSyncMany) may persist
+    // dtypes for different pipes concurrently, and register+save must be
+    // atomic or a save snapshotted before another pipe's register could
+    // win the file overwrite and drop that registration
+    catalog.foreach { cat => cat.synchronized {
       val raw = cat.get(spec.keys)
       // `spec` here may be inheritance-RESOLVED (sync by keys) — richer
       // types it carries (inherited uuid/json) count as declared, but only
@@ -266,7 +270,7 @@ final class SyncEngine(spark: SparkSession, root: String,
         cat.register(raw.getOrElse(spec).copy(dtypes = merged))
         catalogPath.foreach(p => graft.catalog.PipeCatalogStore.save(spark, p, cat))
       }
-    }
+    } }
 
   /** Tag batch rows as update (key exists in the backtrack window) or insert.
     * `diff = true` also drops full-row-identical rows first (the delta). */
@@ -405,6 +409,33 @@ final class SyncEngine(spark: SparkSession, root: String,
       else nextFetchBegin(spec)
     }
     sync(spec, hooks.chunkHook(source.fetch(spark, spec, effBegin, end, params)))
+  }
+
+  /** Sync a fleet of pipes concurrently — the reference's pipe-level
+    * `--workers` parallelism (actions run syncs through a worker pool sized
+    * by `get_num_workers`, core/Pipe/_sync.py:1033-1071). Spark job
+    * submission is thread-safe: concurrent syncs interleave their stages on
+    * the cluster, keeping executors busy while another pipe is in
+    * driver-side planning or a remote fetch. Per-pipe failures are captured,
+    * not thrown — one failing pipe must not abort the fleet (each pipe's own
+    * bounded retry has already run inside its sync). */
+  def fetchSyncMany(jobs: Seq[(PipeSpec, graft.sources.Source)],
+                    workers: Int = 4): Map[String, Either[Throwable, SyncResult]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(workers, jobs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = jobs.map { case (spec, src) =>
+        Future {
+          spec.keys.targetName ->
+            (try Right(fetchSync(spec, src))
+             catch { case e: Throwable => Left(e) })
+        }
+      }
+      Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
   }
 
   /** Per-id as-of incremental sync — the reference's `join_fetch`

@@ -147,6 +147,62 @@ class CorpusSpec extends SparkSpec {
   }
 }
 
+class FleetSyncSpec extends SparkSpec {
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import graft.sources.{FnSource, Source, StressSource}
+  import graft.sync.SyncEngine
+
+  test("fetchSyncMany syncs a fleet concurrently and captures per-pipe failures") {
+    val engine = new SyncEngine(spark, tmpDir())
+    def spec(n: Int) = PipeSpec(PipeKeys("fleet", s"p$n"),
+      columns = ColumnRoles(Map("datetime" -> "datetime", "id" -> "id")))
+    val good: Seq[(PipeSpec, Source)] = (1 to 3).map { n =>
+      (spec(n), new StressSource(rows = 100, numIds = 2, seed = n): Source) }
+    val bad: (PipeSpec, Source) = (spec(9),
+      new FnSource((_, _, _, _) => throw new RuntimeException("boom")))
+    val res = engine.fetchSyncMany(good :+ bad, workers = 4)
+    assert(res.size == 4)
+    assert(res("fleet_p9").isLeft &&
+      res("fleet_p9").left.toOption.get.getMessage == "boom")
+    (1 to 3).foreach { n =>
+      assert(res(s"fleet_p$n").toOption.get.total == 100)
+      assert(engine.getData(spec(n)).count() == 100)
+    }
+  }
+}
+
+class StreamingSessionSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.streaming.StreamingSync
+
+  test("streaming session windows merge gap-adjacent events per key") {
+    import spark.implicits._
+    val dir = s"${tmpDir()}/src"
+    Seq(
+      (1L, "2024-01-01T00:00:00", "a"),
+      (2L, "2024-01-01T01:00:00", "a"),  // within the 4h gap → same session
+      (3L, "2024-01-01T10:00:00", "a"),  // past the gap → new session
+      (4L, "2024-01-01T00:30:00", "b"))
+      .toDF("id", "dt", "kind")
+      .withColumn("dt", col("dt").cast("timestamp_ntz"))
+      .coalesce(1).write.parquet(dir)
+    val schema = StreamingSync.parquetSchema(spark, dir)
+    val stream = StreamingSync.parquetStream(spark, dir, schema)
+    val agg = StreamingSync.sessionCounts(stream, "dt", "kind", "4 hours")
+    val q = agg.writeStream.format("memory").queryName("g4_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("g4_sessions")
+      .orderBy("kind", "session_start").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(0) == "a" && rows(0).getLong(3) == 2L)
+    assert(rows(1).getString(0) == "a" && rows(1).getLong(3) == 1L)
+    assert(rows(2).getString(0) == "b" && rows(2).getLong(3) == 1L)
+  }
+}
+
 class ApiSourceSpec extends SparkSpec {
   import java.time.LocalDateTime
   import org.apache.spark.sql.types._
