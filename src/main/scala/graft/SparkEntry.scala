@@ -922,6 +922,26 @@ object SparkEntry {
           "user_id", "ts", gapSeconds = 14400, tiebreak = Seq("event_id"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // ── range join (point-in-interval), bucketized: purchases falling in
+    // user 7's session windows. Intervals explode onto a 6h bucket grid,
+    // points land in one bucket, hash equi-join + exact residual — never
+    // the broadcast-nested-loop Spark plans for a raw inequality join.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sessions = graft.ops.Relational.sessionBounds(
+          ev.where(col("user_id") === 7), "user_id", "ts",
+          gapSeconds = 14400, tiebreak = Seq("event_id"))
+        .drop("user_id")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts").as("pt_ts"))
+      graft.ops.Relational.pointInIntervalJoin(sessions, purchases,
+          "session_start", "session_end", "pt_ts",
+          bucketWidthUs = 6L * 3600 * 1000000)
+        .select(col("session_idx"), col("session_start"), col("session_end"),
+                col("event_id"), col("pt_ts"))
+        .orderBy(col("session_idx"), col("event_id"))
+    }),
+
     // ── LLM-pipeline: vocabulary build (token frequency top-k) ───────────
     "q_vocab_topk" -> ((s, d) =>
       graft.ops.Corpus.vocabTopK(Tables.documents(s, d), "text", 100)),
@@ -1412,6 +1432,27 @@ object SparkEntry {
          SELECT user_id, session_idx, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "q_range_join" ->
+      """WITH o AS (
+           SELECT ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 14400000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WHERE user_id = 7
+           WINDOW w AS (ORDER BY ts, event_id)),
+         s AS (
+           SELECT session_idx, min(ts) AS session_start, max(ts) AS session_end,
+                  count(*) AS n_events
+           FROM (SELECT ts, sum(is_new) OVER (ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 FROM o) t
+           GROUP BY session_idx),
+         p AS (SELECT event_id, ts FROM events WHERE event_type='purchase')
+         SELECT s.session_idx, s.session_start, s.session_end, p.event_id,
+                p.ts AS pt_ts
+         FROM s JOIN p ON p.ts >= s.session_start AND p.ts <= s.session_end
+         ORDER BY session_idx, event_id""",
 
     "q_vocab_topk" ->
       """SELECT tok AS token, count(*) AS freq FROM (

@@ -71,6 +71,38 @@ object Relational {
               rightPayload.map(c => col("__match").getField(c).as(c)): _*)
   }
 
+  /** Point-in-interval range join, bucketized: match every `points` row
+    * whose `ptCol` falls inside a `intervals` row's `[loCol, hiCol]`
+    * (inclusive ends; pass `openEnd=true` for half-open).
+    *
+    * Spark plans a raw `lo <= x AND x <= hi` join as broadcast-nested-loop
+    * (or a per-key quadratic sort-merge tail) — quadratic at scale. Here
+    * both sides map onto a grid of `bucketWidthUs`-wide buckets: intervals
+    * explode into the buckets they span, points land in exactly one, and
+    * the join becomes a hash equi-join on the bucket id + an exact residual
+    * filter. Each qualifying (interval, point) pair meets in EXACTLY one
+    * bucket (the point's own), so no dedup pass is needed. Choose the
+    * bucket width near the typical interval length: explode factor stays
+    * O(1) and the shuffle is narrow.
+    */
+  def pointInIntervalJoin(intervals: DataFrame, points: DataFrame,
+                          loCol: String, hiCol: String, ptCol: String,
+                          bucketWidthUs: Long,
+                          openEnd: Boolean = false): DataFrame = {
+    val us = graft.dsl.RoundTime.epochMicros _
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(
+        floor(us(col(loCol)) / bucketWidthUs).cast("long"),
+        floor(us(col(hiCol)) / bucketWidthUs).cast("long"))))
+    val p = points.withColumn("__bucket",
+      floor(us(col(ptCol)) / bucketWidthUs).cast("long"))
+    val hiBound = if (openEnd) us(col(ptCol)) < us(col(hiCol))
+                  else          us(col(ptCol)) <= us(col(hiCol))
+    i.join(p, Seq("__bucket"))
+      .where(us(col(loCol)) <= us(col(ptCol)) && hiBound)
+      .drop("__bucket")
+  }
+
   /** Stamp a gap-based session index per key: a new session starts when the
     * previous event for the key is more than `gapSeconds` older (or there is
     * none). `tiebreak` orders simultaneous events deterministically.

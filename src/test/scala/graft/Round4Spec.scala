@@ -74,6 +74,28 @@ class RelationalSpec extends SparkSpec {
     ours.zip(builtin).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("pointInIntervalJoin equals the naive inequality join, without the nested loop") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val sessions = Relational.sessionBounds(
+        ev.where(col("user_id") === 3), "user_id", "ts", 14400, Seq("event_id"))
+      .drop("user_id")
+    val pts = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("pt"))
+    val bucketed = Relational.pointInIntervalJoin(sessions, pts,
+      "session_start", "session_end", "pt", bucketWidthUs = 3600L * 1000000)
+    val naive = sessions.join(pts,
+      col("pt") >= col("session_start") && col("pt") <= col("session_end"))
+    val a = bucketed.select("session_idx", "event_id").orderBy("session_idx", "event_id").collect()
+    val b = naive.select("session_idx", "event_id").orderBy("session_idx", "event_id").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"nested loop survived:\n$plan")
+    // openEnd excludes points exactly at the interval end
+    val open = Relational.pointInIntervalJoin(sessions, pts,
+      "session_start", "session_end", "pt", 3600L * 1000000, openEnd = true)
+    assert(open.count() <= a.length)
+  }
+
   test("sessionize gap boundary: exactly `gap` apart stays in one session") {
     val df = Seq(
       (1L, t("2024-01-01T00:00:00")),
