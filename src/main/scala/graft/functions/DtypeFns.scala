@@ -55,4 +55,12 @@ object DtypeFns {
   /** WKB bytes → lowercase hex (the reference's default `wkb_hex` wire
     * format). */
   def wkbHex(c: Column): Column = bytesToHex(c)
+
+  /** GeoPackage blob → plain WKB (non-GPKG bytes pass through). */
+  val gpkgToWkb = udf((b: Array[Byte]) =>
+    Option(b).map(GeoWkb.gpkgToWkb).orNull)
+
+  /** GeoPackage blob → its SRID (null when not a GPKG blob). */
+  val gpkgSrid = udf((b: Array[Byte]) =>
+    Option(b).flatMap(GeoWkb.gpkgSrid).map(Integer.valueOf).orNull)
 }

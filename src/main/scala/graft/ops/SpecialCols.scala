@@ -6,9 +6,11 @@ import org.apache.spark.sql.types.StringType
 
 import graft.types.MrsmType
 
-/** Special-column inference: detect `uuid` / `json` semantics hiding in
-  * plain string columns, the engine analogue of the reference's dtype
-  * detection on object columns (`get_uuid_cols` / `get_json_cols`,
+/** Special-column inference: detect `uuid` / `json` / `datetime` / `date` /
+  * `bool` / `numeric` semantics hiding in plain string columns — the engine
+  * analogue of the reference's dtype detection on object columns
+  * (`get_uuid_cols` / `get_json_cols` / `get_datetime_cols` /
+  * `get_date_cols` / `get_bool_cols` / `get_numeric_cols`,
   * meerschaum/utils/dataframe.py:642-1234). The reference inspects Python
   * object types; here typed sources hand us strings, so the shape of the
   * VALUES decides: a column is special only when EVERY sampled non-null
@@ -24,6 +26,11 @@ object SpecialCols {
 
   private val UuidRe =
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+  private val DateRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+  private val DatetimeRe =
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}(:[0-9]{2}(\\.[0-9]+)?)?(Z|[+-][0-9]{2}:?[0-9]{2})?$"
+  private val NumericRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  private val BoolRe = "^(true|false|True|False)$"
 
   /** Infer special dtypes for undeclared string columns of `df`.
     * Returns only the detections (column → MUuid | MJson); callers merge
@@ -47,17 +54,27 @@ object SpecialCols {
       Seq(
         count(v).as(s"__n_$c"),
         count(when(v.rlike(UuidRe), lit(1))).as(s"__uuid_$c"),
-        count(when(isJson, lit(1))).as(s"__json_$c"))
+        count(when(isJson, lit(1))).as(s"__json_$c"),
+        count(when(v.rlike(DatetimeRe), lit(1))).as(s"__dt_$c"),
+        count(when(v.rlike(DateRe), lit(1))).as(s"__date_$c"),
+        count(when(v.rlike(NumericRe), lit(1))).as(s"__num_$c"),
+        count(when(v.rlike(BoolRe), lit(1))).as(s"__bool_$c"))
     }
     val row = df.limit(sampleRows).agg(aggs.head, aggs.tail: _*).head()
 
+    // precedence mirrors the reference's per-kind scans (most specific
+    // shape first — a uuid is never claimed as text, an all-"true" column
+    // is bool before numeric could ever match it)
     candidates.flatMap { c =>
-      val n    = row.getAs[Long](s"__n_$c")
-      val uuid = row.getAs[Long](s"__uuid_$c")
-      val json = row.getAs[Long](s"__json_$c")
-      if (n == 0L) None
-      else if (uuid == n) Some(c -> (MrsmType.MUuid: MrsmType))
-      else if (json == n) Some(c -> (MrsmType.MJson: MrsmType))
+      def all(kind: String): Boolean =
+        row.getAs[Long](s"__${kind}_$c") == row.getAs[Long](s"__n_$c")
+      if (row.getAs[Long](s"__n_$c") == 0L) None
+      else if (all("uuid")) Some(c -> (MrsmType.MUuid: MrsmType))
+      else if (all("json")) Some(c -> (MrsmType.MJson: MrsmType))
+      else if (all("dt"))   Some(c -> (MrsmType.MDatetime(tz = false): MrsmType))
+      else if (all("date")) Some(c -> (MrsmType.MDate: MrsmType))
+      else if (all("bool")) Some(c -> (MrsmType.MBool: MrsmType))
+      else if (all("num"))  Some(c -> (MrsmType.MNumeric(): MrsmType))
       else None
     }.toMap
   }

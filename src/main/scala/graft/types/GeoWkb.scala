@@ -162,6 +162,49 @@ object GeoWkb {
     }
   }
 
+  // ── GeoPackage geometry blobs (OGC GeoPackage spec §2.1.3) ─────────────
+  // The reference's GPKG branch detects the 'GP' magic and unwraps the
+  // header before treating the payload as WKB
+  // (meerschaum/utils/dtypes/__init__.py:349-518); same here, as pure byte
+  // parsing: magic(2) + version(1) + flags(1) + srid(4) + envelope(0..64)
+  // followed by standard WKB.
+
+  def isGpkg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && b(0) == 'G'.toByte && b(1) == 'P'.toByte
+
+  /** SRID of a GPKG blob (byte order from flags bit 0). */
+  def gpkgSrid(b: Array[Byte]): Option[Int] =
+    if (!isGpkg(b)) None
+    else {
+      val order = if ((b(3) & 0x01) != 0) ByteOrder.LITTLE_ENDIAN
+                  else ByteOrder.BIG_ENDIAN
+      Some(ByteBuffer.wrap(b, 4, 4).order(order).getInt)
+    }
+
+  /** GPKG blob → the plain WKB payload (non-GPKG input passes through).
+    * Envelope contents indicator (flags bits 1-3): 0 → none, 1 → XY
+    * (4 doubles), 2/3 → XY+Z|M (6), 4 → XYZM (8). */
+  def gpkgToWkb(b: Array[Byte]): Array[Byte] =
+    if (!isGpkg(b)) b
+    else {
+      val envDoubles = ((b(3) >> 1) & 0x07) match {
+        case 0 => 0
+        case 1 => 4
+        case 2 | 3 => 6
+        case 4 => 8
+        case e => throw new IllegalArgumentException(s"invalid GPKG envelope code $e")
+      }
+      java.util.Arrays.copyOfRange(b, 8 + envDoubles * 8, b.length)
+    }
+
+  /** Wrap WKB as a GPKG blob (version 0, little-endian srid, no envelope). */
+  def wkbToGpkg(wkb: Array[Byte], srid: Int = 4326): Array[Byte] = {
+    val out = ByteBuffer.allocate(8 + wkb.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('G'.toByte).put('P'.toByte).put(0.toByte).put(0x01.toByte)
+    out.putInt(srid).put(wkb)
+    out.array()
+  }
+
   private def num(d: Double): String = d.toString
 
   private def readCoord(in: ByteBuffer): String =

@@ -162,6 +162,41 @@ class CorpusSpec extends SparkSpec {
     assert(c1 == c2 && c1 > 500 && c1 < 1000)
   }
 
+  test("special-column inference detects datetime/date/bool/numeric shapes") {
+    import graft.types.MrsmType._
+    val df = Seq(
+      ("2024-01-02T03:04:05", "2024-01-02", "true", "12.5", "1along2"),
+      ("2024-06-07 08:09:10.123456", "1999-12-31", "False", "-3e2", "x"))
+      .toDF("dt", "d", "b", "n", "s")
+    val got = graft.ops.SpecialCols.infer(df)
+    assert(got("dt") == MDatetime(tz = false))
+    assert(got("d") == MDate)
+    assert(got("b") == MBool)
+    assert(got("n") == MNumeric())
+    assert(!got.contains("s"))
+  }
+
+  test("GPKG blobs round-trip: header parsed, SRID read, WKB payload intact") {
+    import graft.types.GeoWkb
+    val wkb  = GeoWkb.wktToWkb("POINT (3.5 -7.25)")
+    val gpkg = GeoWkb.wkbToGpkg(wkb, srid = 3857)
+    assert(GeoWkb.isGpkg(gpkg) && !GeoWkb.isGpkg(wkb))
+    assert(GeoWkb.gpkgSrid(gpkg).contains(3857))
+    assert(GeoWkb.gpkgToWkb(gpkg).toSeq == wkb.toSeq)
+    assert(GeoWkb.gpkgToWkb(wkb) eq wkb) // pass-through
+    assert(GeoWkb.wkbToWkt(GeoWkb.gpkgToWkb(gpkg)) == "POINT (3.5 -7.25)")
+    // envelope variant: XY envelope (code 1) skips 32 extra bytes
+    val withEnv = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 32 + wkb.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('G'.toByte).put('P'.toByte).put(0.toByte).put((0x01 | 0x02).toByte)
+      bb.putInt(4326)
+      (0 until 4).foreach(_ => bb.putDouble(0.0))
+      bb.put(wkb); bb.array()
+    }
+    assert(GeoWkb.gpkgToWkb(withEnv).toSeq == wkb.toSeq)
+  }
+
   test("redactPii scrubs emails and phones, leaves short numbers") {
     val r = Seq("mail a.b+c@ex-1.org or +49 30 1234567 or room 42")
       .toDF("t").select(TextFns.redactPii($"t")).head.getString(0)
