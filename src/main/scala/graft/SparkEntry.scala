@@ -957,6 +957,13 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
+    // ── LLM-pipeline: Gopher/C4 repetition filters — top-bigram fraction
+    // and distinct-sentence ratio, computed relationally (explode + two
+    // map-side-combined aggregates), never per-row quadratic lambdas.
+    "q_repetition_stats" -> ((s, d) =>
+      graft.ops.Corpus.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: winnowing fingerprints (Schleimer et al. 2003),
     // k=8 char-grams, window w=4 — pure projection, zero shuffle.
     "q_winnow_fingerprints" -> ((s, d) =>
@@ -1474,6 +1481,20 @@ object SparkEntry {
          FROM c, b WHERE corpus_id <> bench_id
            AND len(list_intersect(c.sh, b.sh))::DOUBLE / len(b.sh)::DOUBLE >= 0.5
          ORDER BY corpus_id, bench_id""",
+
+    "q_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]) END) AS gram
+               FROM t),
+         m AS (SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+               FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(m.top_bigram_count, 0) AS top_bigram_count,
+           coalesce(m.top_bigram_count::DOUBLE / m.n_bigrams::DOUBLE, 0.0) AS top_bigram_fraction,
+           len(list_distinct(string_split(d.text, '. ')))::DOUBLE
+             / len(string_split(d.text, '. '))::DOUBLE AS uniq_sentence_ratio
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id ORDER BY d.doc_id""",
 
     "q_winnow_fingerprints" ->
       """WITH h AS (

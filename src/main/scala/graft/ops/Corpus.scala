@@ -62,6 +62,36 @@ object Corpus {
       .select(col("corpus_id"), col("bench_id"), col("containment"))
   }
 
+  /** Repetition statistics — the Gopher/C4 repetition filters (Rae et al.
+    * 2021 §A1.1; Raffel et al. 2020): fraction of the document consumed by
+    * its most frequent word bigram, and the distinct-sentence ratio.
+    * Documents dominated by one repeated phrase or copy-pasted lines are
+    * the classic low-quality tail these cut.
+    *
+    * Computed RELATIONALLY (explode → count → max), not with per-row
+    * quadratic array lambdas: two map-side-combined aggregates scale to any
+    * document length, and Spark's HOF lambdas evaluate interpreted anyway.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(TextFns.wordShingles(col(textCol), 2)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_count"),
+           sum(col("c")).as("n_bigrams"))
+    val sentences = split(col(textCol), "\\. ") // literal ". " split
+    docs.select(col(idCol),
+        (size(array_distinct(sentences)).cast("double") /
+         size(sentences).cast("double")).as("uniq_sentence_ratio"))
+      .join(grams, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        coalesce(col("top_bigram_count").cast("double") /
+                 col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_fraction"),
+        col("uniq_sentence_ratio"))
+  }
+
   /** 32-bit k-gram hash used by winnowing — md5-derived so an ANSI SQL
     * oracle reproduces it bit-for-bit (a production rolling Karp-Rabin hash
     * drops in here without changing the selection algorithm).

@@ -176,6 +176,20 @@ class CorpusSpec extends SparkSpec {
     assert(!got.contains("s"))
   }
 
+  test("repetitionStats flags phrase-repetition and duplicated sentences") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),      // "buy now"/"now buy" dominate
+      (2L, "all words are entirely distinct here"),
+      (3L, "same thing. same thing. other thing.")) // duplicate sentence
+      .toDF("doc_id", "text")
+    val r = Corpus.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 4L && r(0).getDouble(2) == 4.0 / 7.0)
+    assert(r(1).getLong(1) == 1L)             // no repeated bigram
+    assert(r(2).getDouble(3) == 2.0 / 3.0)    // 2 distinct of 3 sentences
+    assert(r(1).getDouble(3) == 1.0)
+  }
+
   test("GPKG blobs round-trip: header parsed, SRID read, WKB payload intact") {
     import graft.types.GeoWkb
     val wkb  = GeoWkb.wktToWkb("POINT (3.5 -7.25)")
