@@ -274,6 +274,34 @@ class StreamingSessionSpec extends SparkSpec {
   }
 }
 
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scan+project+filter: predicates and projection reach the parquet scan") {
+    val plan = SparkEntry.queries("q_scan_project_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), s"no pushdown in:\n$plan")
+    assert(plan.contains("l_shipdate") && plan.contains("l_quantity"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the filtered/projected columns are read, never the full table
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"over-wide scan: $readSchema")
+  }
+
+  test("q5: dimension joins broadcast (no shuffle of region/nation sides)") {
+    val plan = SparkEntry.queries("q5_local_supplier_volume")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("events scan prunes columns for a two-column projection") {
+    val df = Tables.events(spark, sf).select(org.apache.spark.sql.functions.col("event_id"))
+    val readSchema = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), s"props read for id projection: $readSchema")
+  }
+}
+
 class ApiSourceSpec extends SparkSpec {
   import java.time.LocalDateTime
   import org.apache.spark.sql.types._
