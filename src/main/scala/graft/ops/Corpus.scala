@@ -105,10 +105,27 @@ object Corpus {
     * ≥ w+k−1 shares a fingerprint; density ≈ 2/(w+1).
     *
     * Pure per-document projection (explode at the end) — zero shuffle; at
-    * 100 TB this runs on the scan like the other text functions.
+    * 100 TB this runs on the scan like the other text functions. Selection
+    * runs as ONE generated kernel pass
+    * ([[graft.expressions.WinnowFingerprints]], monotonic-deque window
+    * minimum); the composed HOF form below is kept as the independent
+    * cross-check its equivalence spec runs against.
     */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
+    val fps = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.WinnowFingerprints(
+        org.apache.spark.sql.GraftColumnBridge.expression(lower(col(textCol))),
+        k, w))
+    docs.select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Composed Catalyst form of the same selection (interpreted HOF lambdas
+    * — k·n md5 calls plus n·w slice/min work per document). Retained for
+    * the kernel-equivalence spec; prefer [[winnowFingerprints]]. */
+  private[graft] def winnowFingerprintsComposed(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     val hashes = transform(
       TextFns.charNgrams(col(textCol), k),
       g => gramHash(g))

@@ -142,6 +142,16 @@ class CorpusSpec extends SparkSpec {
     assert(common.count() >= 1)
   }
 
+  test("native winnow kernel is bit-identical to the composed HOF form on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Corpus.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      .orderBy("doc_id", "fp").collect()
+    val b = Corpus.winnowFingerprintsComposed(docs, "doc_id", "text", 8, 4)
+      .orderBy("doc_id", "fp").collect()
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("winnowFingerprints is a pure projection — no exchange in the plan") {
     val docs = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
     val plan = Corpus.winnowFingerprints(docs, "doc_id", "text", 8, 4)
