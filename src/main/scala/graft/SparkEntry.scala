@@ -545,6 +545,15 @@ object SparkEntry {
         TextFns.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    // BPE-ish subword counting: words plus intra-word punctuation splits —
+    // the cheap stand-in for a real tokenizer's token count (the regex
+    // class is the Java∩RE2 ASCII punct set so the oracle splits alike).
+    "q_subword_count" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFns.subwordCount(col("text")).cast(LongType).as("n_subwords"))
+        .orderBy(col("doc_id"))),
+
     "q_langid" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -1256,6 +1265,11 @@ object SparkEntry {
           + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
                      ['the','a','of','and','to','in','is','it','that','for'])) >= 2
                  THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "q_subword_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '[\s[:punct:]]+')) AS BIGINT) AS n_subwords
          FROM documents ORDER BY doc_id""",
 
     "q_langid" ->

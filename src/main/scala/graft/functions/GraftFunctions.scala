@@ -53,6 +53,13 @@ object GraftFunctions {
     "graft_langid"      -> (args => e(TextFns.langId(c(args(0))))),
     "graft_fingerprint" -> (args => e(TextFns.fingerprint(c(args(0))))),
     "graft_redact_pii"  -> (args => e(TextFns.redactPii(c(args(0))))),
+    "graft_winnow" -> { args =>
+      // graft_winnow(text, k, w): winnowing fingerprints, one kernel pass
+      val k = intArg(args, 1, "graft_winnow")
+      val w = intArg(args, 2, "graft_winnow")
+      graft.expressions.WinnowFingerprints(
+        e(org.apache.spark.sql.functions.lower(c(args(0)))), k, w)
+    },
     "graft_round_time" -> { args =>
       val unit = args(1) match {
         case Literal(u, _) if u != null => u.toString

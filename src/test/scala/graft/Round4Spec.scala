@@ -389,6 +389,18 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(Set("train", "val", "test").contains(r.getString(5)))
   }
 
+  test("graft_winnow from SQL equals the Corpus operator") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "The Quick Brown Fox Jumps Over The Dog")).toDF("id", "t")
+    df.createOrReplaceTempView("g4_winnow_t")
+    val sql = spark.sql("SELECT explode(graft_winnow(t, 8, 4)) AS fp FROM g4_winnow_t")
+      .orderBy("fp").as[Long].collect().toSeq
+    val api = graft.ops.Corpus.winnowFingerprints(df, "id", "t", 8, 4)
+      .orderBy("fp").select("fp").as[Long].collect().toSeq
+    assert(sql.nonEmpty && sql == api)
+  }
+
   test("graft_minhash from SQL equals the Scala API signature") {
     GraftFunctions.register(spark)
     import spark.implicits._
