@@ -408,7 +408,7 @@ object SparkEntry {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       val store = eng.storage(spec)
-      store.create(ev)
+      store.create(ev, cluster = false) // monthlong span: 1-2 chunks
       store.append(ev.where(col("event_id") % 5 === 0)
         .withColumn("value", col("value") + 1000))
       eng.deduplicate(spec, extraOrder = Seq("value"))
@@ -428,7 +428,7 @@ object SparkEntry {
       // five raw appends leave many small files per chunk (sync-level diff
       // behavior is covered elsewhere; compaction is the op under test)
       val store = eng.storage(spec)
-      store.create(ev.where(col("event_id") % 5 === 0))
+      store.create(ev.where(col("event_id") % 5 === 0), cluster = false)
       (1 until 5).foreach { i => store.append(ev.where(col("event_id") % 5 === i)) }
       store.compact()
       eng.getData(spec)
@@ -674,7 +674,8 @@ object SparkEntry {
           "user_id" -> graft.types.Dtypes.parse("int32"),
           "value"   -> graft.types.Dtypes.parse("numeric(18,4)")))
       eng.storage(spec).create(Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"), col("value")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value")),
+        cluster = false)
       // the quantization is decided by the enforced decimal(18,4); the final
       // double cast only puts the value in a driver-comparable type (same
       // convention as q_decimal_quantize — pandas reads DECIMAL as float)
@@ -788,7 +789,7 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "cell", "primary" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val store = eng.storage(spec)
-      store.create(indexed.repartition(col("cell")))
+      store.create(indexed) // create() clusters by the chunk (= cell) label
       val probed = store.readIn(
         SimilaritySearch.ivfProbeCells(cents, q, nProbe = 4).map(_.toLong))
       probed.select(col("vec_id"),
@@ -827,9 +828,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val store = eng.storage(spec)
-      // repartition by the bucket label before storing: one file per bucket
-      // directory instead of (tasks × buckets) shards
-      store.create(index(docs).repartition(col("bucket")))
+      // create() clusters by the chunk (= bucket) label: one file per
+      // bucket directory instead of (tasks × buckets) shards
+      store.create(index(docs))
       // query side: ≤ 12 (band, bandHash, bucket) rows for the one document
       val qBands = index(docs.where(col("doc_id") === qid))
         .select("band", "bandHash", "bucket").collect()

@@ -231,18 +231,39 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     df.where(pred)
   }
 
-  def create(df: DataFrame): Unit = write(df, firstVersion = true)
+  /** `cluster` range-partitions the rows by (chunk, dt) before the bulk
+    * write. Without it every task writes a file into every chunk dir it
+    * holds rows for — files ∝ tasks × chunks (a 32-task backfill over 120
+    * monthly chunks shards into ~4k files; at 1000 executors the listing
+    * alone hurts). Clustering bounds files ∝ max(shuffle partitions,
+    * chunks) while keeping big chunks parallel across tasks, and the
+    * within-partition sort tightens parquet row-group dt stats so bounded
+    * reads prune ROW GROUPS inside a chunk, not just chunk dirs. The sync
+    * engine gates it on the batch's chunk span — a batch landing in 1-2
+    * chunks cannot shard badly, and skipping the shuffle is the win there.
+    */
+  def create(df: DataFrame, cluster: Boolean = true): Unit =
+    write(df, firstVersion = true, cluster)
 
-  def overwrite(df: DataFrame): Unit = write(df, firstVersion = false)
+  /** Full-table rewrites (schema promotion) always cluster: table-wide
+    * row volume is exactly the sharding case. */
+  def overwrite(df: DataFrame): Unit =
+    write(df, firstVersion = false, cluster = true)
 
-  private def write(df: DataFrame, firstVersion: Boolean): Unit = {
+  private def write(df: DataFrame, firstVersion: Boolean, cluster: Boolean): Unit = {
     if (partitioned) {
       // Write to a temp dir first, then swap: the incoming plan may lazily
       // read the files being replaced (e.g. a schema-evolution rewrite), and
       // an in-place overwrite would delete them mid-scan.
       val dataDir = new Path(s"$basePath/data")
       val tmp     = new Path(s"$basePath/.data_tmp")
-      withChunk(df).write.mode(SaveMode.Overwrite)
+      val chunked = withChunk(df)
+      val laidOut =
+        if (cluster)
+          chunked.repartitionByRange(col(PartCol), col(dtCol.get))
+            .sortWithinPartitions(col(PartCol), col(dtCol.get))
+        else chunked
+      laidOut.write.mode(SaveMode.Overwrite)
         .partitionBy(PartCol).parquet(tmp.toString)
       if (fs.exists(dataDir)) fs.delete(dataDir, true)
       fs.rename(tmp, dataDir)

@@ -169,7 +169,12 @@ final class SyncEngine(spark: SparkSession, root: String,
     //    rows at 100 TB.
     if (!store.exists) {
       val deduped = dedupeBatch(spec, batch)
-      store.create(deduped)
+      // cluster the write only when the batch spans enough chunks to shard
+      // (tasks × chunks files): a day's batch into 1-2 chunks skips the
+      // shuffle, a multi-year backfill pays one shuffle instead of a
+      // files-per-task-per-chunk explosion
+      val env = batchEnvelope(spec, deduped)
+      store.create(deduped, cluster = chunkSpan(spec, env) >= 4)
       val n = store.rowCount
       persistDtypes(spec, deduped.schema, inferredSpecial)
       return SyncResult(inserted = n, updated = 0)
@@ -355,6 +360,18 @@ final class SyncEngine(spark: SparkSession, root: String,
     * core/Pipe/_sync.py:860-896), in axis values — one aggregate job,
     * shared by the backtrack slice and the storage stray-chunk guard.
     * None when the batch has no dt column or only null axis values. */
+  /** How many storage chunks the envelope spans — the create path's
+    * clustering gate. */
+  private def chunkSpan(spec: PipeSpec, env: Option[(Any, Any)]): Long = env match {
+    case Some((lo: LocalDateTime, hi: LocalDateTime)) =>
+      java.time.Duration.between(lo, hi).toMinutes / math.max(1L, spec.chunkMinutes) + 1
+    case Some((lo: Long, hi: Long)) =>
+      val per = graft.dsl.EpochAxis.unitsForMinutes(
+        spec.epochUnit.getOrElse("second"), spec.chunkMinutes)
+      (hi - lo) / math.max(1L, per) + 1
+    case _ => 1L
+  }
+
   private def batchEnvelope(spec: PipeSpec, batch: DataFrame): Option[(Any, Any)] =
     spec.columns.datetime.filter(batch.columns.contains).flatMap { dt =>
       if (spec.epochUnit.isDefined) {

@@ -446,8 +446,11 @@ class Round3Spec extends SparkSpec {
     store.append(batch(Seq(
       ("2024-01-03 10:00:00", 1L, 9.0),
       ("2024-01-02 11:00:00", 3L, 8.0))))
-    // dedupe on id alone, newest dt wins → id=1 keeps the Jan-3 row
-    val removed = store.deduplicate(Seq("id"), Seq("dt"))
+    // dedupe on id alone, newest dt wins → id=1 keeps the Jan-3 row;
+    // id=3's duplicates share a dt, so `val` is the explicit tiebreak
+    // (without one, rank order among dt-ties is file-encounter order —
+    // the same non-promise the reference's ROW_NUMBER dedup makes)
+    val removed = store.deduplicate(Seq("id"), Seq("dt", "val"))
     assert(removed == 2)
     val got = eng.getData(spec).orderBy("id")
       .select("id", "val").as[(Long, Double)].collect()

@@ -108,6 +108,36 @@ class RelationalSpec extends SparkSpec {
   }
 }
 
+class ClusteredWriteSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import graft.sync.SyncEngine
+
+  test("wide-span create clusters: one file per chunk, not tasks x chunks") {
+    import spark.implicits._
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("probe", "clustered"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+      chunkMinutes = 1440) // daily chunks
+    // 30 days x 40 rows, scattered across 4 parent partitions so an
+    // unclustered write would shard every chunk dir 4 ways
+    val df = (0L until 1200L).map(i => (i, i % 30)).toDF("id", "day")
+      .repartition(4, col("id"))
+      .select(col("id"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("timestamp_ntz")
+          + expr("make_interval(0, 0, 0, cast(day as int), 0, 0, 0)")).as("dt"))
+    eng.sync(spec, df) // span 30 chunks >= 4 -> clustered create
+    val base = new java.io.File(s"$root/${spec.targetName}/data")
+    val chunkDirs = base.listFiles().filter(_.getName.startsWith("__graft_chunk="))
+    assert(chunkDirs.length == 30)
+    chunkDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName} has $files files — write did not cluster")
+    }
+    assert(eng.getData(spec).count() == 1200)
+  }
+}
+
 class CorpusSpec extends SparkSpec {
   import spark.implicits._
 
