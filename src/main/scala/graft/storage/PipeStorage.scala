@@ -559,13 +559,44 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   def rowCount: Long = if (exists) read.count() else 0L
 
+  /** Chunk labels present on disk — a driver-side directory listing, one
+    * metadata call regardless of table size. Null-axis rows live in the
+    * hive default partition and are excluded (they cannot carry an
+    * extreme of the axis). */
+  private def diskChunkLabels: Seq[String] =
+    fs.listStatus(new Path(dataPath)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartCol="))
+      .map(_.stripPrefix(s"$PartCol="))
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+
+  /** The scan for the extreme of the datetime axis, pruned to the ONE
+    * extreme chunk directory: the label is monotone in dt by construction,
+    * so the global max/min lives in the max/min-label chunk. Labels
+    * compare numerically on epoch axes (string "10" sorts before "9") and
+    * lexicographically on the zero-padded calendar formats. Every sync
+    * reads this bookmark — on a 10-year pipe it must scan one chunk, not
+    * list 3650 of them.
+    */
+  private def extremeChunkScan(newest: Boolean): Option[DataFrame] = {
+    val labels = diskChunkLabels
+    if (labels.isEmpty) return None
+    val ord: Ordering[String] =
+      if (spec.epochUnit.isDefined) Ordering.by((s: String) => s.toLong)
+      else Ordering.String
+    val pick = if (newest) labels.max(ord) else labels.min(ord)
+    Some(spark.read.option("mergeSchema", "true").parquet(dataPath)
+      .where(col(PartCol) === pick))
+  }
+
   /** Latest (or earliest) value of the datetime axis — the incremental
     * bookmark (reference `get_sync_time`). */
   def syncTime(newest: Boolean = true): Option[java.time.LocalDateTime] = {
     if (!exists) return None
     val dt = dtCol.getOrElse(return None)
     val agg = if (newest) max(col(dt)) else min(col(dt))
-    val row = read.agg(agg.cast("timestamp_ntz").as("t")).head()
+    val scan = if (partitioned) extremeChunkScan(newest).getOrElse(return None)
+               else read
+    val row = scan.agg(agg.cast("timestamp_ntz").as("t")).head()
     Option(row.getAs[java.time.LocalDateTime]("t"))
   }
 
@@ -574,7 +605,9 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (!exists) return None
     val dt = dtCol.getOrElse(return None)
     val agg = if (newest) max(col(dt)) else min(col(dt))
-    val row = read.agg(agg.cast("long").as("t")).head()
+    val scan = if (partitioned) extremeChunkScan(newest).getOrElse(return None)
+               else read
+    val row = scan.agg(agg.cast("long").as("t")).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 }

@@ -113,6 +113,30 @@ class ClusteredWriteSpec extends SparkSpec {
   import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
   import graft.sync.SyncEngine
 
+  test("syncTime bookmark prunes to the extreme chunk and orders epoch labels numerically") {
+    import spark.implicits._
+    val eng = new SyncEngine(spark, tmpDir())
+    // epoch-minute axis, one chunk per minute: labels ... "9", "10" — a
+    // lexicographic max would pick chunk "9" and report 599, not 659
+    val spec = PipeSpec(PipeKeys("probe", "epochbm"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")),
+      epochUnit = Some("second"), chunkMinutes = 1)
+    val rows = (540L to 659L).map(t => (t, t)).toDF("id", "ts")
+    eng.sync(spec, rows)
+    assert(eng.storage(spec).syncTimeEpoch(newest = true).contains(659L))
+    assert(eng.storage(spec).syncTimeEpoch(newest = false).contains(540L))
+    // timestamp axis: bookmark equals the true max across many daily chunks
+    val tspec = PipeSpec(PipeKeys("probe", "tsbm"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+      chunkMinutes = 1440)
+    val tdf = (0L until 40L).map(i => (i, s"2024-01-${1 + i % 20}".padTo(10, ' ').trim))
+      .toDF("id", "d")
+      .select(col("id"), concat(col("d"), lit(" 12:00:00")).cast("timestamp_ntz").as("dt"))
+    eng.sync(tspec, tdf)
+    assert(eng.storage(tspec).syncTime(newest = true)
+      .contains(java.time.LocalDateTime.parse("2024-01-20T12:00:00")))
+  }
+
   test("wide-span create clusters: one file per chunk, not tasks x chunks") {
     import spark.implicits._
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
