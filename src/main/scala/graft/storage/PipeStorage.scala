@@ -559,6 +559,26 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   def rowCount: Long = if (exists) read.count() else 0L
 
+  // ── autoincrement high-water mark ──────────────────────────────────────
+  // The id generator's base must not cost a full-table max(pk) scan per
+  // sync (ids are NOT aligned with the time axis, so chunk pruning cannot
+  // help). A marker file carries the high-water mark; deletes/clears may
+  // leave it above the true max, which only skips ids — the same gap
+  // semantics a DB identity column has after DELETE.
+  private def maxIdPath = new Path(s"$basePath/_MAXID")
+  def readMaxId: Option[Long] = {
+    if (!fs.exists(maxIdPath)) None
+    else {
+      val in = fs.open(maxIdPath)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+  def writeMaxId(v: Long): Unit = {
+    val out = fs.create(maxIdPath, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Chunk labels present on disk — a driver-side directory listing, one
     * metadata call regardless of table size. Null-axis rows live in the
     * hive default partition and are excluded (they cannot carry an

@@ -135,17 +135,26 @@ final class SyncEngine(spark: SparkSession, root: String,
     //     the same non-promise a DB identity column makes.
     spec.columns.primary.foreach { pk =>
       if (spec.autoincrement && !batch.columns.contains(pk)) {
-        val base =
+        // base from the high-water marker (one metadata read), falling
+        // back to a table scan only for pre-marker pipes; ids are not
+        // time-aligned, so no chunk pruning could bound that scan
+        val base = store.readMaxId.getOrElse {
           if (store.exists) {
             val r = store.read.agg(max(col(pk).cast("long"))).head()
             if (r.isNullAt(0)) 0L else r.getLong(0)
           } else 0L
+        }
         val schema = batch.schema.add(pk, org.apache.spark.sql.types.LongType,
           nullable = false)
-        val rdd = batch.rdd.zipWithIndex().map { case (row, i) =>
+        val counted = batch.rdd.zipWithIndex()
+        val rdd = counted.map { case (row, i) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + 1L + i))
         }
         batch = spark.createDataFrame(rdd, schema)
+        // generated pks are all-new keys: every batch row inserts, so the
+        // next base is exactly base + batch size. zipWithIndex already ran
+        // the per-partition count job; count() here reuses nothing heavier.
+        store.writeMaxId(base + batch.count())
       }
     }
 
