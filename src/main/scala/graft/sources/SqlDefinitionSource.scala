@@ -70,6 +70,33 @@ final class SqlDefinitionSource(
     }
   }
 
+  /** Remote rowcount over the wrapped definition — the reference's
+    * `get_rowcount(remote=True)` (connectors/sql/_pipes.py:2978-3114):
+    * `SELECT COUNT(*)` with the same bounds/params WHERE, executed by the
+    * REMOTE engine so only one number crosses the wire. The honest cheap
+    * half of `verify` against a remote source. */
+  def remoteRowCount(spark: SparkSession, spec: PipeSpec,
+                     begin: Option[Any] = None, end: Option[Any] = None,
+                     params: Map[String, Any] = Map.empty): Long = {
+    val dtCol = spec.columns.datetime
+    val conds = Seq.newBuilder[String]
+    dtCol.foreach { dt =>
+      begin.foreach(b => conds += s"$dt >= ${SqlText.literal(b)}")
+      end.foreach(e => conds += s"$dt < ${SqlText.literal(e)}")
+    }
+    val paramSql = ParamsFilter.toSql(params)
+    if (paramSql.nonEmpty) conds += paramSql
+    val where = {
+      val cs = conds.result()
+      if (cs.isEmpty) "" else cs.mkString(" WHERE ", " AND ", "")
+    }
+    val sub = s"(SELECT COUNT(*) AS GRAFT_N FROM ($definition) graft_defn$where) graft_cnt"
+    var reader: DataFrameReader = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", sub)
+    props.foreach { case (k, v) => reader = reader.option(k, v) }
+    reader.load().head().getAs[Number]("GRAFT_N").longValue()
+  }
+
   /** Per-id as-of incremental fetch — the reference's `join_fetch`
     * (connectors/sql/_fetch.py:449-521): the pipe's per-id sync times are
     * embedded as a VALUES table joined against the definition REMOTELY, so

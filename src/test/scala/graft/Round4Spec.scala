@@ -424,6 +424,30 @@ class ApiSourceSpec extends SparkSpec {
   }
 }
 
+class RemoteRowCountSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+
+  test("remote rowcount pushes bounds+params into one COUNT(*) round trip") {
+    val url = "jdbc:derby:memory:graftrc;create=true"
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, java.sql.Timestamp.valueOf(s"2024-01-${1 + (i - 1) % 28} 00:00:00"), i % 3))
+      .toDF("ID", "TS", "KIND")
+      .coalesce(1).write.mode("overwrite").jdbc(url, "RC_EVENTS", new java.util.Properties)
+    val spec = PipeSpec(PipeKeys("jdbc", "rc"),
+      columns = ColumnRoles(Map("datetime" -> "TS")))
+    val src = new graft.sources.SqlDefinitionSource(url, "SELECT * FROM RC_EVENTS")
+    val n = src.remoteRowCount(spark, spec,
+      begin = Some(java.time.LocalDateTime.parse("2024-01-01T00:00:00")),
+      end   = Some(java.time.LocalDateTime.parse("2024-01-11T00:00:00")),
+      params = Map("KIND" -> 0))
+    val expected = spark.read.jdbc(url, "RC_EVENTS", new java.util.Properties)
+      .where(col("TS") < lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00")) &&
+             col("KIND") === 0).count()
+    assert(n == expected && n > 0)
+  }
+}
+
 class GraftFunctionsSpec extends SparkSpec {
 
   test("registered SQL functions resolve to the native expressions") {
