@@ -372,13 +372,52 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
         fs.delete(new Path(tmp), true)
       } finally p.unpersist()
     } else {
-      val current = read
-      val cond = keys.map { k =>
-        if (spec.nullIndices) current(k) <=> patch(k) else current(k) === patch(k)
+      // Segment-pruned merge: ONE key-column semi-join over the snapshot
+      // (input_file_name → segment) finds the segments actually holding
+      // colliding keys; only those re-read into the merge, everything else
+      // carries into the new manifest untouched. Cost O(affected + batch),
+      // not O(table) — a patch against a 1000-segment dimension pipe
+      // rewrites the few segments its keys live in.
+      val segs = segDirs
+      val pk   = patch.select(keys.map(col): _*).distinct()
+      val withSeg = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+        .withColumn("__seg", regexp_extract(input_file_name(), "(seg_[0-9]+)", 1))
+      val kcScan = keys.map { k =>
+        if (spec.nullIndices) withSeg(k) <=> pk(k) else withSeg(k) === pk(k)
       }.reduce(_ && _)
-      val keep = current.join(patch.select(keys.map(col): _*).distinct(), cond, "left_anti")
-      overwrite(keep.unionByName(patch, allowMissingColumns = true))
+      val affected = withSeg.select(keys.map(col) :+ col("__seg"): _*)
+        .join(pk, kcScan, "left_semi")
+        .select("__seg").distinct().collect().map(_.getString(0)).toSet
+      val untouched = segs.map(_.split('/').last).filterNot(affected.contains)
+      val merged =
+        if (affected.isEmpty) patch
+        else {
+          val cur = spark.read.option("mergeSchema", "true")
+            .parquet(affected.toSeq.map(n => s"$basePath/$n"): _*)
+          val cond = keys.map { k =>
+            if (spec.nullIndices) cur(k) <=> patch(k) else cur(k) === patch(k)
+          }.reduce(_ && _)
+          cur.join(pk, cond, "left_anti")
+            .unionByName(patch, allowMissingColumns = true)
+        }
+      appendSegment(merged, untouched)
     }
+  }
+
+  /** Write `df` as the next segment, point a new manifest at
+    * `carried ++ it`, GC. An empty result still writes one real (0-row)
+    * parquet file so every referenced segment dir stays readable. */
+  private def appendSegment(df: DataFrame, carried: Seq[String]): Unit = {
+    val v   = readPtr.getOrElse(-1) + 1
+    val seg = s"seg_$v"
+    df.write.mode(SaveMode.Overwrite).parquet(s"$basePath/$seg")
+    val hasFiles = fs.listStatus(new Path(s"$basePath/$seg"))
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasFiles)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+        .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$basePath/$seg")
+    writeManifest(v, carried :+ seg)
+    writePtr(v); gcOldSnapshots(keep = 2)
   }
 
   /** Delete a half-open time range (optionally narrowed by a predicate) —
@@ -410,7 +449,19 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       rewritten.foreach { n => fs.rename(new Path(s"$tmp/$n"), new Path(dataDir, n)) }
       fs.delete(new Path(tmp), true)
     } else {
-      overwrite(read.where(!predicate))
+      // segment-pruned clear: only the segments holding matching rows
+      // rewrite (minus the cleared rows); the rest carry over untouched
+      val segs = segDirs
+      val withSeg = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+        .withColumn("__seg", regexp_extract(input_file_name(), "(seg_[0-9]+)", 1))
+      val affected = withSeg.where(predicate)
+        .select("__seg").distinct().collect().map(_.getString(0)).toSet
+      if (affected.isEmpty) return
+      val untouched = segs.map(_.split('/').last).filterNot(affected.contains)
+      val kept = spark.read.option("mergeSchema", "true")
+        .parquet(affected.toSeq.map(n => s"$basePath/$n"): _*)
+        .where(!predicate)
+      appendSegment(kept, untouched)
     }
   }
 

@@ -137,6 +137,39 @@ class ClusteredWriteSpec extends SparkSpec {
       .contains(java.time.LocalDateTime.parse("2024-01-20T12:00:00")))
   }
 
+  test("keyless-pipe upsert/clear rewrite only the segments they touch") {
+    import spark.implicits._
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    // no datetime role → manifest-of-segments layout
+    val spec = PipeSpec(PipeKeys("probe", "segprune"),
+      columns = ColumnRoles(Map("id" -> "id")))
+    val store = eng.storage(spec)
+    store.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))          // seg_0
+    store.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"))          // seg_1
+    store.append(Seq((5L, "e"), (6L, "f")).toDF("id", "v"))          // seg_2
+    def segFiles(seg: String): Set[String] = {
+      val d = new java.io.File(s"$root/${spec.targetName}/$seg")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val s0 = segFiles("seg_0"); val s2 = segFiles("seg_2")
+    assert(s0.nonEmpty && s2.nonEmpty)
+    // patch touches only id=3 (seg_1): seg_0 and seg_2 must carry over
+    store.upsert(Seq((3L, "C"), (9L, "i")).toDF("id", "v"), Seq("id"))
+    assert(segFiles("seg_0") == s0 && segFiles("seg_2") == s2)
+    val after = eng.getData(spec).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(after == Seq((1L, "a"), (2L, "b"), (3L, "C"), (4L, "d"),
+                        (5L, "e"), (6L, "f"), (9L, "i")))
+    // clear rows living only in seg_0: seg_2 files still untouched
+    store.clear(col("id") <= 2L)
+    assert(segFiles("seg_2") == s2)
+    assert(eng.getData(spec).count() == 5)
+    // clearing everything leaves a readable (0-row) snapshot
+    store.clear(lit(true))
+    assert(eng.getData(spec).count() == 0)
+  }
+
   test("wide-span create clusters: one file per chunk, not tasks x chunks") {
     import spark.implicits._
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
