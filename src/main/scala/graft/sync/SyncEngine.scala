@@ -68,8 +68,24 @@ final class SyncEngine(spark: SparkSession, root: String,
     * otherwise the standard diff-then-apply pipeline runs, bracketed by the
     * engine's [[SyncHooks]] and wrapped in a bounded [[Retry]] (the diff
     * pipeline is idempotent, so a partially applied attempt re-converges). */
-  def sync(spec: PipeSpec, batch0: DataFrame): SyncResult = {
+  def sync(spec: PipeSpec, batch0: DataFrame): SyncResult =
+    sync(spec, batch0, checkExisting = true)
+
+  /** `checkExisting = false` is the reference's blind-insert mode
+    * (`pipe.sync(check_existing=False)`, core/Pipe/_sync.py:54,93): skip
+    * the backtrack read and the diff entirely and append the batch as-is —
+    * duplicates included, exactly as the reference documents. For
+    * append-only streams this removes the whole diff cost from the hot
+    * path; note a retry of a partially-applied blind sync re-inserts (the
+    * diff pipeline's idempotence is what a blind append gives up), so
+    * blind syncs get one attempt. */
+  def sync(spec: PipeSpec, batch0: DataFrame, checkExisting: Boolean): SyncResult = {
     val pre = hooks.preSync(spec, batch0)
+    if (!checkExisting) {
+      val r0 = syncBlind(spec, pre)
+      hooks.postSync(spec, r0)
+      return r0
+    }
     // retry leans on the diff pipeline's idempotence — but autoincrement
     // assignment is NOT idempotent (each attempt re-reads max(pk) and mints
     // fresh ids, so rows persisted by a partial attempt would re-insert
@@ -101,9 +117,10 @@ final class SyncEngine(spark: SparkSession, root: String,
     sync(spec, batch)
   }
 
-  def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
-    val store = storage(spec)
-
+  /** Shared ingest preamble: dtype enforcement, autotime stamping, and
+    * autoincrement id assignment (steps 1-2b of the sync pipeline). */
+  private def prepareBatch(spec: PipeSpec, store: PipeStorage,
+                           batch0: DataFrame): DataFrame = {
     // 1. dtype enforcement (reference core/Pipe/_dtypes.py:19-115)
     var batch = if (spec.enforce) SchemaEvolution.enforceDtypes(batch0, spec.dtypes) else batch0
 
@@ -157,19 +174,61 @@ final class SyncEngine(spark: SparkSession, root: String,
         store.writeMaxId(base + batch.count())
       }
     }
+    batch
+  }
 
-    // 2c. special-column inference (reference `get_uuid_cols`/`get_json_cols`,
-    //     utils/dataframe.py:642-1234): uuid/json shapes hiding in string
-    //     columns are recorded in the catalog. Metadata-only (both ride as
-    //     string physically) and only computed when a catalog is attached to
-    //     consume the result — no catalog, no extra job.
-    lazy val inferredSpecial: Map[String, graft.types.MrsmType] =
-      if (catalog.isEmpty) Map.empty
+  /** Special-column inference (reference `get_uuid_cols`/`get_json_cols`,
+    * utils/dataframe.py:642-1234): special shapes hiding in string columns
+    * are recorded in the catalog. Metadata-only and only computed when a
+    * catalog is attached to consume the result — no catalog, no extra job. */
+  private def inferSpecial(spec: PipeSpec, batch: DataFrame): Map[String, graft.types.MrsmType] =
+    if (catalog.isEmpty) Map.empty
+    else {
+      val declared = spec.dtypes.keySet ++
+        catalog.flatMap(_.get(spec.keys)).map(_.dtypes.keySet).getOrElse(Set.empty)
+      SpecialCols.infer(batch, declared)
+    }
+
+  /** Blind insert — the reference's `check_existing=False`
+    * (core/Pipe/_sync.py:54,93): the ingest preamble and schema evolution
+    * still apply, but the backtrack read and diff are skipped entirely and
+    * the batch appends as-is, duplicates included. The append-only fast
+    * path: O(batch) writes, zero data reads of the existing table (counts
+    * come from parquet footer metadata). */
+  def syncBlind(spec: PipeSpec, batch0: DataFrame): SyncResult = {
+    val store = storage(spec)
+    val batch = prepareBatch(spec, store, batch0)
+    lazy val inferred = inferSpecial(spec, batch)
+    if (!store.exists) {
+      val env = batchEnvelope(spec, batch)
+      store.create(batch, cluster = chunkSpan(spec, env) >= 4)
+      val n = store.rowCount
+      persistDtypes(spec, batch.schema, inferred)
+      return SyncResult(inserted = n, updated = 0)
+    }
+    val pre       = store.rowCount
+    val tgtSchema = store.read.schema
+    val aligned =
+      if (spec.static) SchemaEvolution.conform(batch, tgtSchema)
       else {
-        val declared = spec.dtypes.keySet ++
-          catalog.flatMap(_.get(spec.keys)).map(_.dtypes.keySet).getOrElse(Set.empty)
-        SpecialCols.infer(batch, declared)
+        val u = SchemaEvolution.unifiedSchema(tgtSchema, batch.schema, spec.mixedNumerics)
+        val promoted = tgtSchema.fields.exists(f =>
+          u.find(_.name == f.name).exists(_.dataType != f.dataType))
+        if (promoted) store.overwrite(SchemaEvolution.conform(store.read, u))
+        if (promoted || u.length != tgtSchema.length || inferred.nonEmpty)
+          persistDtypes(spec, u, inferred)
+        SchemaEvolution.conform(batch, u)
       }
+    store.append(aligned)
+    SyncResult(inserted = store.rowCount - pre, updated = 0)
+  }
+
+  def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
+    val store = storage(spec)
+    val batch = prepareBatch(spec, store, batch0)
+    // 2c: see [[inferSpecial]]
+    lazy val inferredSpecial: Map[String, graft.types.MrsmType] =
+      inferSpecial(spec, batch)
 
     // 3. first sync: create the target outright. The batch materializes
     //    ONCE into the write; the inserted count comes from the written

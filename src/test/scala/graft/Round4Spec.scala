@@ -320,6 +320,52 @@ class FleetSyncSpec extends SparkSpec {
   import graft.sources.{FnSource, Source, StressSource}
   import graft.sync.SyncEngine
 
+  test("blind sync (check_existing=false) appends without reading the diff") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val eng = new SyncEngine(spark, tmpDir())
+    val spec = PipeSpec(PipeKeys("blind", "events"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")))
+    def b(rows: (Long, String)*) = rows.toSeq.toDF("id", "dt")
+      .withColumn("dt", col("dt").cast("timestamp_ntz"))
+    assert(eng.sync(spec, b((1L, "2024-01-01T00:00:00"), (2L, "2024-01-02T00:00:00")),
+      checkExisting = false).inserted == 2)
+    // redelivery is NOT deduplicated — the documented blind-mode contract
+    val r = eng.sync(spec, b((2L, "2024-01-02T00:00:00"), (3L, "2024-01-03T00:00:00")),
+      checkExisting = false)
+    assert(r.inserted == 2)
+    assert(eng.getData(spec).count() == 4)
+    // the same redelivery through the normal diff path inserts nothing new
+    assert(eng.sync(spec, b((3L, "2024-01-03T00:00:00"))).total == 0)
+  }
+
+  test("fleet syncs persist inferred dtypes for every pipe (no lost catalog writes)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cat  = new graft.catalog.PipeCatalog()
+    val path = s"${tmpDir()}/catalog"
+    val eng  = new SyncEngine(spark, tmpDir(), catalog = Some(cat),
+      catalogPath = Some(path))
+    def spec(n: Int) = PipeSpec(PipeKeys("fleetcat", s"p$n"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")))
+    def src(n: Int) = new FnSource((s, _, _, _) => {
+      import s.implicits._
+      (1L to 50L).map(i => (i, s"2024-01-0${1 + (i % 5)}T00:00:00",
+          f"00000000-0000-0000-0000-${n}%04d${i}%08d"))
+        .toDF("id", "dt", "u")
+        .withColumn("dt", col("dt").cast("timestamp_ntz"))
+    })
+    val jobs: Seq[(PipeSpec, Source)] = (1 to 4).map(n => (spec(n), src(n): Source))
+    val res = eng.fetchSyncMany(jobs, workers = 4)
+    assert(res.values.forall(_.isRight))
+    // every pipe's uuid detection must survive the concurrent register+save
+    val back = graft.catalog.PipeCatalogStore.load(spark, path)
+    (1 to 4).foreach { n =>
+      val dts = back.get(spec(n).keys).map(_.dtypes).getOrElse(Map.empty)
+      assert(dts.get("u").contains(graft.types.MrsmType.MUuid), s"pipe p$n lost its dtypes")
+    }
+  }
+
   test("fetchSyncMany syncs a fleet concurrently and captures per-pipe failures") {
     val engine = new SyncEngine(spark, tmpDir())
     def spec(n: Int) = PipeSpec(PipeKeys("fleet", s"p$n"),
