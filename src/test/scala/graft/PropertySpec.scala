@@ -1,0 +1,123 @@
+package graft
+
+import java.time.{Duration, Instant, LocalDateTime, ZoneOffset}
+
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.types.GeoWkb
+
+/** Property-based coverage of the pure kernels: the WKT⇄WKB codec, the
+  * chunk grid, round_time laws, and the winnowing guarantee — the places
+  * where a missed edge is a silent data corruption rather than a crash.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest (no scalatestplus bridge in
+    * the offline cache): fail the suite with the counterexample on falsify. */
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val coordGen: Gen[(Double, Double)] = for {
+    x <- Gen.chooseNum(-180.0, 180.0)
+    y <- Gen.chooseNum(-90.0, 90.0)
+  } yield (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+           BigDecimal(y).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  private def fmtCoord(c: (Double, Double)) = s"${c._1} ${c._2}"
+
+  private val wktGen: Gen[String] = Gen.oneOf(
+    coordGen.map(c => s"POINT (${fmtCoord(c)})"),
+    Gen.nonEmptyListOf(coordGen).map(cs =>
+      s"LINESTRING (${cs.map(fmtCoord).mkString(", ")})"),
+    Gen.listOfN(4, coordGen).map { cs =>
+      val ring = (cs :+ cs.head).map(fmtCoord).mkString(", ")
+      s"POLYGON (($ring))"
+    },
+    Gen.nonEmptyListOf(coordGen).map(cs =>
+      s"MULTIPOINT (${cs.map(c => s"(${fmtCoord(c)})").mkString(", ")})"))
+
+  test("WKT -> WKB -> WKT round-trips for generated 2D geometries") {
+    check(forAll(wktGen) { wkt =>
+      GeoWkb.wkbToWkt(GeoWkb.wktToWkb(wkt)) == wkt
+    })
+  }
+
+  test("GPKG wrap/unwrap round-trips WKB bytes and SRID") {
+    check(forAll(wktGen, Gen.chooseNum(0, 999999)) { (wkt, srid) =>
+      val wkb  = GeoWkb.wktToWkb(wkt)
+      val gpkg = GeoWkb.wkbToGpkg(wkb, srid)
+      GeoWkb.gpkgToWkb(gpkg).toSeq == wkb.toSeq &&
+        GeoWkb.gpkgSrid(gpkg).contains(srid)
+    })
+  }
+
+  private val instGen: Gen[Instant] =
+    Gen.chooseNum(0L, 4102444800L).map(Instant.ofEpochSecond)
+
+  test("chunk grid covers [begin, end) exactly: contiguous, half-open, aligned") {
+    val gen = for {
+      a <- instGen; b <- instGen if a != b
+      mins <- Gen.oneOf(60L, 1440L, 43200L)
+    } yield (if (a.isBefore(b)) (a, b) else (b, a), mins)
+    check(forAll(gen) { case ((begin, end), mins) =>
+      val step = Duration.ofMinutes(mins)
+      val bs = graft.dsl.ChunkGrid.bounds(begin, end, step)
+      val contiguous = bs.zip(bs.drop(1)).forall { case ((_, hi), (lo2, _)) => hi == lo2 }
+      val covers = bs.nonEmpty && bs.head._1 == begin && bs.last._2 == end
+      val aligned = bs.drop(1).forall { case (lo, _) =>
+        lo.toEpochMilli % step.toMillis == 0 }
+      val ordered = bs.forall { case (lo, hi) => lo.isBefore(hi) }
+      contiguous && covers && aligned && ordered
+    })
+  }
+
+  test("round_time laws: floor <= t < floor+interval; ceil is the dual; closest picks the nearer") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val g = for {
+      s <- Gen.chooseNum(0L, 4102444800L)
+      us <- Gen.chooseNum(0L, 999999L)
+    } yield LocalDateTime.ofInstant(Instant.ofEpochSecond(s, us * 1000), ZoneOffset.UTC)
+    val samples = Gen.listOfN(200, g).sample.get
+    val df = samples.map(Tuple1(_)).toDF("ts")
+    val r = df.select(
+        col("ts"),
+        graft.dsl.RoundTime.floor(col("ts"), "hour").as("f"),
+        graft.dsl.RoundTime.ceil(col("ts"), "hour").as("c"),
+        graft.dsl.RoundTime.closest(col("ts"), "hour").as("n"))
+      .as[(LocalDateTime, LocalDateTime, LocalDateTime, LocalDateTime)].collect()
+    r.foreach { case (ts, f, c, n) =>
+      assert(!f.isAfter(ts) && ts.isBefore(f.plusHours(1)))
+      assert(!c.isBefore(ts) && (c == f || c == f.plusHours(1)))
+      assert(n == f || n == c)
+      val df1 = Duration.between(f, ts); val dc = Duration.between(ts, c)
+      if (df1.compareTo(dc) < 0) assert(n == f)
+      else if (dc.compareTo(df1) < 0) assert(n == c)
+    }
+  }
+
+  test("winnowing guarantee holds for random shared substrings (k=8, w=4)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val alpha = Gen.alphaLowerChar
+    val strGen = (n: Int) => Gen.listOfN(n, alpha).map(_.mkString)
+    val gen = for {
+      shared <- strGen(11) // w + k - 1
+      p1 <- strGen(12); s1 <- strGen(12)
+      p2 <- strGen(12); s2 <- strGen(12)
+    } yield (s"$p1 $shared $s1", s"$p2 $shared $s2")
+    val cases = Gen.listOfN(25, gen).sample.get
+    cases.zipWithIndex.foreach { case ((t1, t2), i) =>
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val fps = graft.ops.Corpus.winnowFingerprints(docs, "doc_id", "text", 8, 4)
+      val common = fps.where($"doc_id" === 1L).select("fp")
+        .intersect(fps.where($"doc_id" === 2L).select("fp")).count()
+      assert(common >= 1, s"case $i: no shared fingerprint for '$t1' / '$t2'")
+    }
+  }
+}
