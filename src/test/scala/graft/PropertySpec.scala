@@ -101,6 +101,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("params DSL: the Column form and the pushdown SQL form select identical rows") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.dsl.ParamsFilter
+    val df = (0L until 300L).map { i =>
+      (i, i % 7, if (i % 11 == 0) null else s"k${i % 5}", i * 1.5)
+    }.toDF("id", "grp", "tag", "score")
+    df.createOrReplaceTempView("prop_params_t")
+    // values are drawn from the COLUMN's type domain — a mixed-type IN
+    // list is caller error (ANSI Spark rejects the cast, correctly)
+    val domains: Map[String, Gen[Any]] = Map(
+      "grp" -> Gen.oneOf(Gen.chooseNum(0L, 7L).map(identity[Any]), Gen.const[Any](null)),
+      "tag" -> Gen.oneOf(Gen.oneOf[Any]("k0", "k1", "k2", "k9"), Gen.const[Any](null)))
+    // NOTE: `v: Any = ...` inside the for-comprehension would desugar to a
+    // TYPE pattern, and type patterns never match null — which the domain
+    // legitimately generates. Build the value in the yield instead.
+    val entryGen: Gen[(String, Any)] = for {
+      colName <- Gen.oneOf("grp", "tag")
+      vs  <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, domains(colName)))
+      neg <- Gen.oneOf(true, false)
+    } yield colName -> ((vs.distinct, neg) match {
+      case (Seq(one), false) => one
+      case (many, false)     => many
+      case (Seq(one), true)  => ParamsFilter.Not(one)
+      case (many, true)      => many.map(ParamsFilter.Not(_))
+    })
+    val paramsGen: Gen[Map[String, Any]] =
+      Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, entryGen)).map(_.toMap)
+    check(forAll(paramsGen) { params =>
+      val viaColumn = df.where(ParamsFilter.toPredicate(params))
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      val sql = ParamsFilter.toSql(params)
+      val viaSql = spark.sql(
+          s"SELECT id FROM prop_params_t WHERE $sql ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      viaColumn == viaSql
+    })
+  }
+
   test("winnowing guarantee holds for random shared substrings (k=8, w=4)") {
     val spark = TestSpark.spark
     import spark.implicits._
