@@ -330,6 +330,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.3 blind-insert sync (check_existing=false): the append-only
+    // fast path — no backtrack read, no diff; two disjoint batches land
+    // exactly once each. O(batch) writes, zero reads of existing data.
+    "q_sync_blind_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_blind").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("blind", "sync_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      eng.sync(spec, ev.where(col("event_id") % 2 === 0), checkExisting = false)
+      eng.sync(spec, ev.where(col("event_id") % 2 === 1), checkExisting = false)
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.1 SQL-definition (JDBC) source: the reference's primary ingest ─
     // Remote = embedded Derby seeded from the events table; the definition
     // is wrapped with pushed-down bounds + params and read with a
@@ -1217,6 +1234,9 @@ object SparkEntry {
          FROM events e LEFT JOIN st ON e.user_id = st.user_id
          WHERE e.event_id < 800 OR e.ts > st.st OR st.st IS NULL
          ORDER BY e.event_id""",
+
+    "q_sync_blind_e2e" ->
+      """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
 
     "q_jdbc_definition_fetch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
