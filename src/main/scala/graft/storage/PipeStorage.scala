@@ -423,12 +423,23 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   /** Delete a half-open time range (optionally narrowed by a predicate) —
     * the reference's `clear` (meerschaum/core/Pipe/_clear.py:15-71).
     * Partitioned pipes rewrite only intersecting chunks; chunks left empty
-    * are removed. */
-  def clear(predicate: Column): Unit = {
+    * are removed. `boundLo`/`boundHi` (axis values, hi's CHUNK kept
+    * inclusive like [[readRange]]) let the affected-chunk DISCOVERY scan
+    * prune partition directories — without them a bounded clear would
+    * still list every chunk of the table just to find the few it touches. */
+  def clear(predicate: Column, boundLo: Option[Any] = None,
+            boundHi: Option[Any] = None): Unit = {
     if (!exists) return
     if (partitioned) {
       val df = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
-      val affectedVals = df.where(predicate).select(PartCol).distinct()
+      val partC: Column =
+        if (spec.epochUnit.isDefined) col(PartCol).cast("long") else col(PartCol)
+      def labelLit(v: Any): Column =
+        if (spec.epochUnit.isDefined) lit(chunkLabelOf(v).toLong) else lit(chunkLabelOf(v))
+      var scanPred = predicate
+      boundLo.foreach(b => scanPred = partC >= labelLit(b) && scanPred)
+      boundHi.foreach(e => scanPred = partC <= labelLit(e) && scanPred)
+      val affectedVals = df.where(scanPred).select(PartCol).distinct()
         .collect().map(_.getString(0))
       if (affectedVals.isEmpty) return
       val (nullChunk, vals) = (affectedVals.contains(null), affectedVals.filter(_ != null).toSeq)

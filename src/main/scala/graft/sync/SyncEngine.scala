@@ -733,10 +733,14 @@ final class SyncEngine(spark: SparkSession, root: String,
             params: Map[String, Any] = Map.empty): Unit = {
     val dt = spec.columns.datetime.getOrElse(
       throw new IllegalArgumentException("clear requires a datetime axis"))
+    val lo = axisBound(spec, begin, beginEpoch)
+    val hi = axisBound(spec, end, endEpoch)
     var pred: Column = lit(true)
-    axisBound(spec, begin, beginEpoch).foreach(b => pred = pred && col(dt) >= lit(b))
-    axisBound(spec, end, endEpoch).foreach(e => pred = pred && col(dt) < lit(e))
+    lo.foreach(b => pred = pred && col(dt) >= lit(b))
+    hi.foreach(e => pred = pred && col(dt) < lit(e))
     if (params.nonEmpty) pred = pred && ParamsFilter.toPredicate(params)
-    storage(spec).clear(pred)
+    // bounds also prune the affected-chunk discovery scan to the window's
+    // partition directories
+    storage(spec).clear(pred, boundLo = lo, boundHi = hi)
   }
 }
