@@ -107,6 +107,22 @@ object Maintenance {
     } finally { joined.unpersist(); () }
   }
 
+  /** Re-partition a pipe's storage under its CURRENT chunk spec — the
+    * reference's `Pipe.repartition` (core/Pipe/_maintenance.py:161, backed
+    * by connectors/sql/_partition.py): after `chunkMinutes` (or the epoch
+    * unit) is edited, the on-disk chunk labels still follow the old width,
+    * and every bounded read's label-range predicate would silently miss
+    * data. One clustered read→write under the new labels (atomic tmp+swap
+    * via overwrite) restores the invariant. O(table) by necessity — the
+    * same full rewrite the reference's partition migration performs.
+    */
+  def repartition(engine: SyncEngine, spec: PipeSpec): Long = {
+    val store = engine.storage(spec)
+    if (!store.exists) return 0L
+    store.overwrite(store.read)
+    store.rowCount
+  }
+
   /** Copy a pipe's data (and by extension its spec) to another pipe —
     * reference `copy_to` (core/Pipe/_copy.py:1-108): chunked data copy into
     * the destination. Spark form: one scan → one partitioned write; an

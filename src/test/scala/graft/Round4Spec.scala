@@ -137,6 +137,30 @@ class ClusteredWriteSpec extends SparkSpec {
       .contains(java.time.LocalDateTime.parse("2024-01-20T12:00:00")))
   }
 
+  test("repartition rewrites storage under an edited chunk width; bounded reads stay correct") {
+    import spark.implicits._
+    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    def spec(mins: Long) = PipeSpec(PipeKeys("probe", "repart"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")),
+      chunkMinutes = mins)
+    val df = (0L until 240L).map(i => (i, s"2024-01-${1 + (i % 10).toInt}T0${(i % 5).toInt}:00:00"))
+      .toDF("id", "dt")
+      .select(col("id"), col("dt").cast("timestamp_ntz").as("dt"))
+    eng.sync(spec(1440), df) // daily chunks
+    val base = new java.io.File(s"$root/${spec(1440).targetName}/data")
+    assert(base.listFiles().count(_.getName.startsWith("__graft_chunk=")) == 10)
+    // the spec's chunk width is EDITED to monthly: labels on disk are now
+    // wrong for the new width until repartition rewrites them
+    val monthly = spec(43200)
+    assert(graft.ops.Maintenance.repartition(eng, monthly) == 240L)
+    assert(base.listFiles().filter(_.getName.startsWith("__graft_chunk="))
+      .map(_.getName).toSeq == Seq("__graft_chunk=2024-01"))
+    val bounded = eng.getData(monthly,
+      begin = Some(java.time.LocalDateTime.parse("2024-01-03T00:00:00")),
+      end   = Some(java.time.LocalDateTime.parse("2024-01-05T00:00:00")))
+    assert(bounded.count() == 48) // 2 of 10 days, 24 rows/day
+  }
+
   test("keyless-pipe upsert/clear rewrite only the segments they touch") {
     import spark.implicits._
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
