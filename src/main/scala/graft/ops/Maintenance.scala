@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.catalog.PipeSpec
@@ -32,9 +32,25 @@ object Maintenance {
     */
   def verify(engine: SyncEngine, spec: PipeSpec, source: DataFrame,
              windowMinutes: Option[Long] = None,
-             checkContent: Boolean = true): VerifyResult = {
+             checkContent: Boolean = true,
+             boundDays: Option[Long] = None): VerifyResult = {
     val dt = spec.columns.datetime.getOrElse(
       throw new IllegalArgumentException("verify requires a datetime axis"))
+    // `boundDays` caps how far back verify re-checks (reference
+    // `verify.bound_days`, default 366 — core/Pipe/_verify.py:546-599,
+    // config/_default.py:239). The bound must apply to BOTH sides'
+    // summaries — bounding only the source would read every archived
+    // window as "missing" and flag the whole history. Epoch axes convert
+    // the cutoff through the axis unit; on the target the predicate rides
+    // the chunk-label pruning of the scan.
+    val boundPred: Option[Column] = boundDays.map { days =>
+      val cutoff = engine.now().minusDays(days)
+      val v: Any = spec.epochUnit match {
+        case Some(unit) => graft.dsl.EpochAxis.toUnits(cutoff, unit)
+        case None       => cutoff
+      }
+      col(dt) >= lit(v)
+    }
     // the COMPARE window is its own knob (reference `verify.chunk_minutes`,
     // config/_default.py:240), independent of the storage chunk width: a
     // finer window bounds the re-sync to the actual damage without forcing
@@ -65,7 +81,8 @@ object Maintenance {
       source.columns.contains(f.name) && tgtSchema.fieldNames.contains(f.name)).toSeq
     val common = commonFields.map(_.name)
 
-    def summarize(df: DataFrame) = {
+    def summarize(df0: DataFrame) = {
+      val df = boundPred.fold(df0)(df0.where)
       val canon = df.select(
         commonFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       val rows = canon.select(

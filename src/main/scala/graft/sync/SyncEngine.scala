@@ -63,6 +63,10 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   def storage(spec: PipeSpec): PipeStorage = new PipeStorage(spark, root, spec)
 
+  /** The engine's wall clock (injected for tests) — shared with maintenance
+    * ops so `verify --bound-days` and autotime agree on "now". */
+  def now(): LocalDateTime = clock()
+
   /** Sync entry point: a [[SyncStrategy]] on the spec replaces the engine's
     * sync wholesale (reference plugin `sync()`, core/Pipe/_sync.py:201-261);
     * otherwise the standard diff-then-apply pipeline runs, bracketed by the

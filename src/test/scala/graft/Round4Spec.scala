@@ -137,6 +137,32 @@ class ClusteredWriteSpec extends SparkSpec {
       .contains(java.time.LocalDateTime.parse("2024-01-20T12:00:00")))
   }
 
+  test("verify boundDays: damage outside the bound is ignored, inside is repaired") {
+    import spark.implicits._
+    val eng = new SyncEngine(spark, tmpDir(),
+      clock = () => java.time.LocalDateTime.parse("2024-01-20T00:00:00"))
+    val spec = PipeSpec(PipeKeys("probe", "vbound"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "id")))
+    val src = (0L until 200L).map(i => (i, s"2024-01-${1 + (i % 20).toInt}T06:00:00", 1.0))
+      .toDF("id", "dt", "v")
+      .select(col("id"), col("dt").cast("timestamp_ntz").as("dt"), col("v"))
+    eng.sync(spec, src)
+    // corrupt one old day (Jan 2, outside the 10-day bound) and one recent
+    // day (Jan 15, inside) without changing counts
+    val store = eng.storage(spec)
+    def corrupt(day: Int) = store.upsert(
+      src.where(col("dt") === lit(java.time.LocalDateTime.parse(f"2024-01-$day%02dT06:00:00")))
+        .withColumn("v", lit(99.0)), Seq("id"))
+    corrupt(2); corrupt(15)
+    val r = graft.ops.Maintenance.verify(eng, spec, src,
+      windowMinutes = Some(1440), boundDays = Some(10))
+    assert(r.chunksMismatched == 1) // only the in-bound day
+    val out = eng.getData(spec).where(col("v") === 99.0)
+      .select(col("dt")).distinct().collect().map(_.getAs[java.time.LocalDateTime](0))
+    // Jan 15 repaired, Jan 2 damage deliberately out of scope
+    assert(out.toSeq == Seq(java.time.LocalDateTime.parse("2024-01-02T06:00:00")))
+  }
+
   test("repartition rewrites storage under an edited chunk width; bounded reads stay correct") {
     import spark.implicits._
     val root = tmpDir(); val eng = new SyncEngine(spark, root)
