@@ -381,7 +381,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       val segs = segDirs
       val pk   = patch.select(keys.map(col): _*).distinct()
       val withSeg = spark.read.option("mergeSchema", "true").parquet(segs: _*)
-        .withColumn("__seg", regexp_extract(input_file_name(), "(seg_[0-9]+)", 1))
+        .withColumn("__seg", regexp_extract(input_file_name(), "/(seg_[0-9]+)/[^/]+$", 1))
       val kcScan = keys.map { k =>
         if (spec.nullIndices) withSeg(k) <=> pk(k) else withSeg(k) === pk(k)
       }.reduce(_ && _)
@@ -464,7 +464,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       // rewrite (minus the cleared rows); the rest carry over untouched
       val segs = segDirs
       val withSeg = spark.read.option("mergeSchema", "true").parquet(segs: _*)
-        .withColumn("__seg", regexp_extract(input_file_name(), "(seg_[0-9]+)", 1))
+        .withColumn("__seg", regexp_extract(input_file_name(), "/(seg_[0-9]+)/[^/]+$", 1))
       val affected = withSeg.where(predicate)
         .select("__seg").distinct().collect().map(_.getString(0)).toSet
       if (affected.isEmpty) return
