@@ -77,9 +77,10 @@ final class ApiSource(baseUrl: String, schema: StructType,
     }
     val urls = windows.map { case (b, e) => s"$baseUrl?begin=$b&end=$e" }
     import spark.implicits._
-    // one task per chunk window: executors pull pages concurrently
+    // one task per chunk window: executors pull pages concurrently.
+    // An empty window set (begin == end) is a legal no-op fetch.
     val lines: Dataset[String] = spark.createDataset(urls)
-      .repartition(urls.size)
+      .repartition(math.max(1, urls.size))
       .flatMap(u => HttpFetch.lines(u))(Encoders.STRING)
     var df = lines.select(from_json(col("value"), schema).as("r")).select("r.*")
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))

@@ -543,6 +543,17 @@ class ApiSourceSpec extends SparkSpec {
     } finally h.stop()
   }
 
+  test("ApiSource: begin == end is a legal empty fetch") {
+    val h = NdjsonServer.serve(rows)
+    try {
+      val src  = new ApiSource(h.url, schema, chunkMinutes = 720)
+      val spec = PipeSpec(PipeKeys("api", "t"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val b = LocalDateTime.parse("2024-02-01T06:00:00")
+      assert(src.fetch(spark, spec, begin = Some(b), end = Some(b)).count() == 0)
+    } finally h.stop()
+  }
+
   test("ApiSink: partitions post ND-JSON batches from the executors") {
     val h = NdjsonServer.serve(Nil)
     try {
