@@ -1043,6 +1043,27 @@ object SparkEntry {
                FROM graft_docs ORDER BY doc_id""")
     }),
 
+    // ── §2.11 registry key/tag search: one pipe registered per nation row,
+    // then searched with a `_`-negated connector filter plus tag include +
+    // exclude groups. The oracle re-implements the documented matching rule
+    // relationally over the same rows — an independent check of the search
+    // semantics, like q_chunk_bounds for the grid.
+    "q_registry_search" -> ((s, d) => {
+      import s.implicits._
+      val cat = new graft.catalog.PipeCatalog()
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        .collect().foreach { r =>
+          val nk = r.getAs[Number](0).longValue; val rk = r.getAs[Number](1).longValue
+          cat.register(PipeSpec(
+            PipeKeys(s"c${rk % 3}", r.getString(2).toLowerCase),
+            tags = Seq(s"r$rk") ++ (if (nk % 2 == 0) Seq("even") else Nil)))
+        }
+      cat.search(connectors = Seq("_c2"), tags = Seq("even", "_r4"))
+        .map(p => (p.keys.connector, p.keys.metric))
+        .toDF("connector", "metric")
+        .orderBy(col("connector"), col("metric"))
+    }),
+
     // ── §2.1 autoincrement: dense surrogate ids from the two-pass
     // per-partition offset assignment (no single-partition window).
     "q_autoincrement_ids" -> ((s, d) => {
@@ -1435,6 +1456,15 @@ object SparkEntry {
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
          FROM events ORDER BY row_id""",
+
+    "q_registry_search" ->
+      """SELECT 'c' || CAST(n_regionkey % 3 AS VARCHAR) AS connector,
+                lower(n_name) AS metric
+         FROM nation
+         WHERE 'c' || CAST(n_regionkey % 3 AS VARCHAR) <> 'c2'
+           AND n_nationkey % 2 = 0
+           AND n_regionkey <> 4
+         ORDER BY connector, metric""",
 
     "q_api_fetch" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
