@@ -1064,6 +1064,22 @@ object SparkEntry {
         .orderBy(col("connector"), col("metric"))
     }),
 
+    // ── §2.9 schedule DSL: next-fire times for an interval form, a
+    // `starting`-anchored daily form, and a 5-field cron — the oracle
+    // regenerates each stream independently with generate_series.
+    "q_schedule_fires" -> ((s, d) => {
+      import s.implicits._
+      val from = java.time.LocalDateTime.parse("2024-03-01T00:00:00")
+      def rows(sch: String, n: Int) =
+        graft.streaming.Schedule.nextFires(sch, from, n)
+          .zipWithIndex.map { case (t, i) => (sch, (i + 1).toLong, t) }
+      (rows("every 15 minutes", 8) ++
+       rows("daily starting 2024-03-05 01:30:00", 5) ++
+       rows("30 14 * * *", 4))
+        .toDF("schedule", "n", "fire_at")
+        .orderBy(col("schedule"), col("n"))
+    }),
+
     // ── §2.1 autoincrement: dense surrogate ids from the two-pass
     // per-partition offset assignment (no single-partition window).
     "q_autoincrement_ids" -> ((s, d) => {
@@ -1456,6 +1472,24 @@ object SparkEntry {
     "q_autoincrement_ids" ->
       """SELECT CAST(row_number() OVER () AS BIGINT) AS row_id
          FROM events ORDER BY row_id""",
+
+    "q_schedule_fires" ->
+      """SELECT * FROM (
+           SELECT 'every 15 minutes' AS schedule,
+                  CAST(row_number() OVER (ORDER BY g) AS BIGINT) AS n, g AS fire_at
+           FROM generate_series(TIMESTAMP '2024-03-01 00:00:00',
+                                TIMESTAMP '2024-03-01 01:45:00', INTERVAL 15 MINUTE) t(g)
+           UNION ALL
+           SELECT 'daily starting 2024-03-05 01:30:00',
+                  CAST(row_number() OVER (ORDER BY g) AS BIGINT), g
+           FROM generate_series(TIMESTAMP '2024-03-05 01:30:00',
+                                TIMESTAMP '2024-03-09 01:30:00', INTERVAL 1 DAY) t(g)
+           UNION ALL
+           SELECT '30 14 * * *',
+                  CAST(row_number() OVER (ORDER BY g) AS BIGINT), g
+           FROM generate_series(TIMESTAMP '2024-03-01 14:30:00',
+                                TIMESTAMP '2024-03-04 14:30:00', INTERVAL 1 DAY) t(g)
+         ) ORDER BY schedule, n""",
 
     "q_registry_search" ->
       """SELECT 'c' || CAST(n_regionkey % 3 AS VARCHAR) AS connector,
