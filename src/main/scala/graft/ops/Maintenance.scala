@@ -108,20 +108,23 @@ object Maintenance {
         coalesce(col("__tgt_cnt"), lit(0L)).as("t"),
         coalesce(col("__src_sig"), lit(java.math.BigDecimal.ZERO)).as("ss"),
         coalesce(col("__tgt_sig"), lit(java.math.BigDecimal.ZERO)).as("ts"))
-      .cache()
-    try {
-      val total = joined.count()
-      val bad   = joined.where(col("s") =!= col("t") || col("ss") =!= col("ts"))
-        .select(col("__chunk")).collect().map(_.getTimestamp(0))
-      if (bad.isEmpty) return VerifyResult(total, 0, SyncResult(0, 0))
-      // one re-sync bounded to the mismatched chunks (partition-prunable)
-      val badSet = bad.map(_.toLocalDateTime).toSet
-      val slice = source.where(
-        window(col(dt).cast("timestamp"), w).getField("start")
-          .cast("timestamp_ntz").isInCollection(badSet))
-      val r = engine.sync(spec, slice)
-      VerifyResult(total, bad.length, r)
-    } finally { joined.unpersist(); () }
+    // ONE action: the summary is one row per compare window (bounded by the
+    // verify bound, never by data volume), so collecting it once replaces
+    // the count job + the filtered-collect job + the cache between them
+    val windows = joined.collect()
+    val total   = windows.length.toLong
+    val bad = windows.filter { r =>
+      r.getLong(1) != r.getLong(2) ||
+        r.getDecimal(3).compareTo(r.getDecimal(4)) != 0
+    }.map(_.getTimestamp(0))
+    if (bad.isEmpty) return VerifyResult(total, 0, SyncResult(0, 0))
+    // one re-sync bounded to the mismatched chunks (partition-prunable)
+    val badSet = bad.map(_.toLocalDateTime).toSet
+    val slice = source.where(
+      window(col(dt).cast("timestamp"), w).getField("start")
+        .cast("timestamp_ntz").isInCollection(badSet))
+    val r = engine.sync(spec, slice)
+    VerifyResult(total, bad.length, r)
   }
 
   /** Re-partition a pipe's storage under its CURRENT chunk spec — the
