@@ -29,17 +29,24 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // 3-decimal timings + headline total LAST: the harness captures a bounded
-    // tail of stdout, so the summary fields must sit at the END of the line to
-    // survive truncation of a long per-query map.
-    def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + r3(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val nFailed = results.count(_._2._2 != null)
-    val total = results.values.map(_._1).sum
-    println(s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir","metric":"total","value":${r3(total)},"unit":"sec"}""")
+    // 2-decimal timings + headline total LAST: the harness captures a bounded
+    // tail of stdout, so the line stays short and the summary fields sit at
+    // the END to survive truncation of a long per-query map. The full
+    // 3-decimal report also lands in BENCH_LOCAL.json for exact reading.
+    def fmt(v: Double, dec: Int): String = s"%.${dec}f".format(v)
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + fmt(v, dec) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }
+        .mkString("{", ",", "}")
+      val nFailed = results.count(_._2._2 != null)
+      val total = results.values.map(_._1).sum
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line(3) + "\n").getBytes("UTF-8"))
+    println(line(2))
     spark.stop()
   }
 }

@@ -1032,6 +1032,92 @@ object SparkEntry {
              count(lit(1)).as("cnt"))
         .orderBy(col("lang"))),
 
+    // ── LLM-pipeline: URL normalization + registrable domain. URLs are
+    // synthesized deterministically from doc_id/source (mixed-case scheme
+    // and host, default/explicit ports, trailing slashes, fragments); the
+    // oracle replays the identical regex pipeline. The domain blocklist
+    // filter at the end is the unit step of domain-level corpus curation.
+    "q_url_domains" -> ((s, d) => {
+      val raw = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://Blog.")),
+        col("source"),
+        when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".Example.COM")),
+        when(col("doc_id") % 4 === 0, lit(":80"))
+          .when(col("doc_id") % 4 === 1, lit(":443"))
+          .when(col("doc_id") % 4 === 2, lit(":8080")).otherwise(lit("")),
+        lit("/Articles/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#Section-2")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.normalizeUrl(raw).as("url_norm"))
+        .withColumn("domain",
+          TextFns.registrableDomain(TextFns.urlHost(col("url_norm"))))
+        .where(!col("domain").isin("src0.co.uk", "src1.co.uk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: C4-style global line dedup — shared boilerplate lines
+    // (synthesized: one corpus-wide, one per source, one short-exempt)
+    // survive only at their first occurrence; each document's own text is
+    // unique and survives everywhere. One md5(line)-keyed window shuffle.
+    "q_dedup_lines" -> ((s, d) => {
+      val withBoiler = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          lit("Subscribe to our newsletter today."),
+          concat(lit("All rights reserved by "), col("source")),
+          lit("© 2024")).as("text"))
+      graft.ops.Corpus.dedupLines(withBoiler, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: sequence packing (concat-and-chunk) — md5-bucketed,
+    // doc-id-ordered token layout cut into 2048-token chunks; per-bucket
+    // cumulative sums run independently (buckets-way parallel at 100 TB).
+    "q_pack_chunks" -> ((s, d) =>
+      graft.ops.Corpus.packChunks(Tables.documents(s, d), "doc_id", "text",
+          tokenBudget = 2048, buckets = 8)
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: top-3 characteristic terms per doc by tf·idf with
+    // the rational idf = 1/df (exact arithmetic → bit-exact oracle replay;
+    // a log idf is a monotone transform with the same per-doc ranking).
+    "q_tfidf_topk" -> ((s, d) =>
+      graft.ops.Corpus.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // ── LLM-pipeline: the band index maintained INCREMENTALLY as a derived
+    // pipe — half the corpus builds it, the other half arrives later through
+    // a blind (append-only) sync that computes band rows for NEW docs only.
+    // Probing the incrementally-synced index equals probing a full rebuild,
+    // so the oracle is the same one-vs-all exact Jaccard.
+    "q_minhash_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qid  = 45L
+      def index(df: DataFrame) = ApproxDedup.minhashBandIndex(
+        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 12, buckets = 4)
+      val root = java.nio.file.Files.createTempDirectory("graft_mh_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "mh_bands_sync"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.sync(spec, index(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+      eng.sync(spec, index(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+      val store = eng.storage(spec)
+      val qBands = index(docs.where(col("doc_id") === qid))
+        .select("band", "bandHash", "bucket").collect()
+      val hit = qBands.toSeq.map(r =>
+          col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
+        .reduce(_ || _)
+      val probed = store.readIn(qBands.toSeq.map(_.getLong(2))).where(hit)
+      val cands = probed.where(col("doc_id") =!= qid)
+        .select(col("doc_id")).distinct()
+        .select(least(lit(qid), col("doc_id")).as("id1"),
+                greatest(lit(qid), col("doc_id")).as("id2"))
+      ApproxDedup.verifyPairs(cands, docs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ── SQL surface: the same engine functions resolved through the
     // FunctionRegistry (GraftFunctions.register / GraftExtensions), running
     // the native codegen'd expressions from a spark.sql query.
@@ -1630,6 +1716,112 @@ object SparkEntry {
            quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75,
            count(*) AS cnt
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_url_domains" ->
+      """WITH u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://Blog.' END) || source ||
+             (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.Example.COM' END) ||
+             (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END) ||
+             '/Articles/' || CAST(doc_id AS VARCHAR) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END) AS raw
+           FROM documents),
+         a AS (
+           SELECT doc_id, regexp_replace(raw, '#.*', '') AS nofrag,
+             regexp_extract(regexp_replace(raw, '#.*', ''),
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+           FROM u),
+         norm AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(lower(auth), '^(http://.*):80$', '\1'),
+                            '^(https://.*):443$', '\1') ||
+             regexp_replace(substring(nofrag, length(auth) + 1), '/+$', '') AS url_norm
+           FROM a),
+         dom AS (
+           SELECT doc_id, url_norm,
+             CASE WHEN len(p) <= 2 THEN array_to_string(p, '.')
+                  WHEN array_to_string(p[-2:], '.') IN
+                    ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+                     'co.jp','co.kr','com.br','com.mx','co.in','com.cn')
+                    THEN array_to_string(p[-3:], '.')
+                  ELSE array_to_string(p[-2:], '.') END AS domain
+           FROM (SELECT doc_id, url_norm,
+                   string_split(lower(regexp_extract(url_norm, '://([^/:?#]+)', 1)), '.') AS p
+                 FROM norm))
+         SELECT doc_id, url_norm, domain FROM dom
+         WHERE domain NOT IN ('src0.co.uk', 'src1.co.uk')
+         ORDER BY doc_id""",
+
+    "q_dedup_lines" ->
+      """WITH d2 AS (
+           SELECT doc_id,
+             text || chr(10) || 'Subscribe to our newsletter today.' || chr(10) ||
+             'All rights reserved by ' || source || chr(10) || '© 2024' AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(ls)),
+             i -> {'pos': i, 'line': ls[i]}), recursive := true)
+           FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2)),
+         k AS (
+           SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+           FROM l),
+         kept AS (SELECT * FROM k WHERE length(line) < 10 OR rn = 1),
+         r AS (
+           SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY 1)
+         SELECT d2.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           coalesce(r.n_kept, 0) AS n_kept,
+           len(string_split(d2.t, chr(10))) - coalesce(r.n_kept, 0) AS n_removed
+         FROM d2 LEFT JOIN r USING (doc_id) ORDER BY doc_id""",
+
+    "q_pack_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, bucket, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS start_offset
+           FROM t)
+         SELECT doc_id, bucket, n_tokens, start_offset,
+           start_offset // 2048 AS chunk_id,
+           (start_offset + n_tokens - 1) // 2048 - start_offset // 2048 + 1 AS n_chunks
+         FROM o ORDER BY doc_id""",
+
+    "q_tfidf_topk" ->
+      """WITH tok AS (
+           SELECT doc_id, tok AS token FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             FROM documents) WHERE length(tok) > 0),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             tf.tf::DOUBLE / df.df::DOUBLE AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf::DOUBLE / df.df::DOUBLE DESC, tf.token) AS rank
+           FROM tf JOIN df USING (token))
+         SELECT doc_id, rank, token, tf, df, score FROM sc WHERE rank <= 3
+         ORDER BY doc_id, rank""",
+
+    "q_minhash_index_sync" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         q AS (SELECT sh FROM sh WHERE doc_id = 45),
+         p AS (
+           SELECT LEAST(45, b.doc_id) AS id1, GREATEST(45, b.doc_id) AS id2,
+             len(list_intersect(q.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(q.sh, b.sh)))::DOUBLE AS jaccard
+           FROM sh b, q WHERE b.doc_id <> 45)
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
 
     "q_sql_functions" ->
       """SELECT doc_id,

@@ -81,6 +81,47 @@ object TextFns {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Common second-level public suffixes (a deliberately small, documented
+    * subset of the Public Suffix List — swap in the full list as a broadcast
+    * lookup for production). */
+  val secondLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au",
+    "co.jp", "co.kr", "com.br", "com.mx", "co.in", "com.cn")
+
+  /** URL normalization for URL-keyed dedup and domain statistics: strip the
+    * fragment, lowercase the scheme+authority (path/query case preserved),
+    * drop default ports (http:80, https:443), and trim trailing slashes.
+    * Pure codegen'd regexp work on the scan — the canonical first step
+    * before grouping a crawl by URL at 100 TB. Regex syntax restricted to
+    * the Java∩RE2-portable subset so an oracle engine applies the identical
+    * rewrite (only the backreference marker differs per dialect). */
+  def normalizeUrl(url: Column): Column =
+    bindOnce(regexp_replace(url, "#.*", "")) { u =>
+      bindOnce(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)) { auth =>
+        val authLower  = lower(auth)
+        val noPort = regexp_replace(
+          regexp_replace(authLower, "^(http://.*):80$", "$1"),
+          "^(https://.*):443$", "$1")
+        val rest = u.substr(length(auth) + lit(1), length(u))
+        concat(noPort, regexp_replace(rest, "/+$", ""))
+      }
+    }
+
+  /** Host part of a (normalized or raw) URL, lowercased. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "://([^/:?#]+)", 1))
+
+  /** Registrable domain (eTLD+1): the last two host labels, or three when
+    * the final two form a known second-level suffix (`co.uk` etc). The unit
+    * for domain-level quality filtering and blocklists. */
+  def registrableDomain(host: Column): Column =
+    bindOnce(split(host, "\\.")) { p =>
+      when(size(p) <= 2, concat_ws(".", p))
+        .when(concat_ws(".", slice(p, -2, 2)).isin(secondLevelSuffixes: _*),
+          concat_ws(".", slice(p, -3, 3)))
+        .otherwise(concat_ws(".", slice(p, -2, 2)))
+    }
+
   /** Per-language stopword sets for the n-gram/stopword language-ID
     * heuristic. Small built-in lists (public common stopwords). */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -90,6 +91,92 @@ object Corpus {
         coalesce(col("top_bigram_count").cast("double") /
                  col("n_bigrams").cast("double"), lit(0.0)).as("top_bigram_fraction"),
         col("uniq_sentence_ratio"))
+  }
+
+  /** C4-style global line deduplication (Raffel et al. 2020 §2.2 apply the
+    * same rule to three-sentence spans): any line appearing more than once
+    * ACROSS the corpus survives only at its first occurrence (ordered by
+    * document id, then position); every other copy is removed and the
+    * documents are reassembled. Lines shorter than `minLineLength` are
+    * exempt (headers, bullets, blank lines) — boilerplate removal should
+    * not eat structure.
+    *
+    * ONE shuffle keyed on md5(line) (the window rank), then one groupBy the
+    * doc id to reassemble — line text never joins against itself and no
+    * per-pair work exists. At 100 TB the md5 key can narrow further to
+    * xxhash64 without changing the algorithm (the md5 form is kept for
+    * bit-exact oracle replay).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minLineLength: Int = 10): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(md5(col("line"))).orderBy(col(idCol), col("pos"))
+    val kept = lines.withColumn("rn", row_number().over(w))
+      .where(length(col("line")) < minLineLength || col("rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+             array_sort(collect_list(struct(col("pos"), col("line")))),
+             s => s.getField("line")), "\n").as("clean_text"),
+           count(lit(1)).as("n_kept"))
+    docs.select(col(idCol), size(split(col(textCol), "\n")).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Sequence packing — the concat-and-chunk layout step before training:
+    * documents are hash-bucketed (deterministic md5 buckets, the
+    * [[Sampling]] mechanics — append-stable, no RNG), laid end-to-end in
+    * doc-id order within each bucket, and cut into fixed `tokenBudget`
+    * chunks. Emits each document's bucket, token count, start offset, first
+    * chunk and the number of chunks it spans.
+    *
+    * One shuffle keyed on the bucket; each bucket's running sum is
+    * independent, so 100 TB packs as `buckets`-way parallel cumulative sums
+    * — no global order, no driver state, and re-packing after an append
+    * only disturbs the buckets the new documents hash into.
+    */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+                 tokenBudget: Long, buckets: Int = 64): DataFrame = {
+    require(tokenBudget > 0, "positive token budget")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    docs.select(col(idCol),
+        Sampling.hashBucket(col(idCol), buckets).as("bucket"),
+        TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk_id", expr(s"start_offset div ${tokenBudget}L"))
+      .withColumn("n_chunks",
+        expr(s"(start_offset + n_tokens - 1) div ${tokenBudget}L") -
+          col("chunk_id") + lit(1L))
+  }
+
+  /** Top-k characteristic terms per document by tf·idf with the rational
+    * idf = 1/df: `score = tf / df` — exactly representable arithmetic, so
+    * rankings replay bit-for-bit on any engine (a logarithmic idf is a
+    * monotone transform of df and produces the same per-document ranking;
+    * swap it in where calibrated scores matter). Two hash aggregates with
+    * map-side combine + one equi-join on the term + one per-doc window rank
+    * — per-token rows cross the shuffles, never document text.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
   }
 
   /** 32-bit k-gram hash used by winnowing — md5-derived so an ANSI SQL
