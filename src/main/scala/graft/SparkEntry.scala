@@ -453,6 +453,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §2.11 repartition: re-chunk storage after the spec's chunk width
+    // changes (reference Pipe.repartition) — monthly chunks rewritten under
+    // daily labels in one clustered pass; bounded reads stay label-prunable.
+    "q_repartition_op" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_repart").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("verify", "repart"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      eng.sync(spec, ev)
+      val daily = spec.copy(chunkMinutes = 1440)
+      graft.ops.Maintenance.repartition(eng, daily)
+      eng.getData(daily)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.11 copy_to: pipe → pipe copy via idempotent sync ─────────────
     "q_copy_pipe" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_copy").toString
@@ -1359,6 +1377,9 @@ object SparkEntry {
          ORDER BY e.event_id""",
 
     "q_sync_blind_e2e" ->
+      """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
+
+    "q_repartition_op" ->
       """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
 
     "q_jdbc_definition_fetch" ->

@@ -493,9 +493,6 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     require(keys.nonEmpty, "deduplicate requires key columns")
     if (!exists) return 0L
     val order = if (orderBy.nonEmpty) orderBy else keys
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(order.map(c => col(c).desc): _*)
     if (partitioned) {
       val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
       // narrow pre-pass: find duplicate KEYS and the chunks holding their
@@ -522,10 +519,11 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
         val in = if (vals.nonEmpty) col(PartCol).isin(vals: _*) else lit(false)
         if (nullChunk) in || col(PartCol).isNull else in
       }
-      // full rows shuffle only for the losing chunks' slice of the table
-      val survivors = df.where(chunkPred)
-        .withColumn("__graft_rn", row_number().over(w))
-        .where(col("__graft_rn") === 1).drop("__graft_rn")
+      // full rows shuffle only for the losing chunks' slice of the table —
+      // ranked as a HASH AGGREGATE (map-side combined), not a window sort:
+      // a hot key reaches the reducer as one row per map task, so skewed
+      // duplicates cannot pin a single task ([[graft.ops.Dedup.keepOnePerKey]])
+      val survivors = graft.ops.Dedup.keepOnePerKey(df.where(chunkPred), keys, order)
       val tmp = s"$basePath/.dedup_tmp"
       survivors.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
       val dataDir = new Path(s"$basePath/data")
@@ -541,8 +539,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       removed
     } else {
       val cur     = read
-      val deduped = cur.withColumn("__graft_rn", row_number().over(w))
-        .where(col("__graft_rn") === 1).drop("__graft_rn").cache()
+      val deduped = graft.ops.Dedup.keepOnePerKey(cur, keys, order).cache()
       try {
         val nAfter  = deduped.count()
         val nBefore = cur.count()

@@ -418,13 +418,7 @@ final class SyncEngine(spark: SparkSession, root: String,
     else {
       val order = spec.columns.datetime.filter(batch.columns.contains).toSeq
       if (order.isEmpty) batch.dropDuplicates(keys)
-      else {
-        val best = struct((order.map(col) :+
-          struct(batch.columns.map(col).toIndexedSeq: _*).as("__row")): _*)
-        batch.groupBy(keys.map(col): _*)
-          .agg(max(best).as("__best"))
-          .select(col("__best.__row.*"))
-      }
+      else graft.ops.Dedup.keepOnePerKey(batch, keys, order)
     }
   }
 

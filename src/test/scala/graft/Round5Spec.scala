@@ -107,6 +107,20 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 1L, "banana"), (3L, 2L, "common")))
   }
 
+  test("keepOnePerKey matches the window rank under a total order, with no Window node") {
+    import graft.ops.Dedup
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    // (ts, event_id) is a total order per user, so both forms agree exactly
+    val viaWindow = Dedup.keepLatest(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .collect().map(_.toSeq).toSet
+    val viaAgg = Dedup.keepOnePerKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+    assert(viaAgg.collect().map(_.toSeq).toSet == viaWindow)
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected hash-agg plan, got:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
   test("blind-synced band index equals a full-rebuild index") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def index(df: org.apache.spark.sql.DataFrame) = ApproxDedup.minhashBandIndex(
