@@ -614,6 +614,24 @@ object SparkEntry {
           threshold = 0.5, shingleSize = 3, k = 24, bands = 12)
         .orderBy(col("id1"), col("id2"))),
 
+    // ── LLM-pipeline: near-dup CLUSTERS — connected components of the
+    // near-dup pair graph by min-label propagation (hash-min); dedup keeps
+    // one representative per cluster. The oracle computes the transitive
+    // closure of the exact-Jaccard pair graph with a recursive CTE.
+    "q_neardup_clusters" -> ((s, d) => {
+      val pairs = ApproxDedup.minhashNearDups(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 12)
+      ApproxDedup.nearDupClusters(pairs).orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: cross-document duplicated 5-gram statistics — the
+    // Gopher/RefinedWeb "fraction of tokens in duplicated n-grams" signal.
+    // Only duplicated grams fan out into positions; the sole table-wide
+    // shuffle carries one md5 per gram.
+    "q_dup_ngram_stats" -> ((s, d) =>
+      ApproxDedup.dupNgramStats(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
     // SimHash bits derive from md5 nibbles, so the DuckDB oracle reproduces
     // the signature bit-for-bit (simhashOracleSql shares the formula).
     "q_simhash_signatures" -> ((s, d) =>
@@ -1468,6 +1486,43 @@ object SparkEntry {
              len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
            FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50)
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE
+         sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         e AS (
+           SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
+           WHERE a.doc_id <> b.doc_id
+             AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
+         reach(node, r) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
+         SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+         GROUP BY node ORDER BY doc_id""",
+
+    "q_dup_ngram_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(t)-4, 0)),
+             i -> {'pos': i, 'h': md5(array_to_string(t[i:i+4], ' '))}), recursive := true)
+           FROM toks),
+         dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM grams GROUP BY 1) WHERE c > 1),
+         cov AS (
+           SELECT doc_id, count(DISTINCT p) AS covered_tokens
+           FROM (SELECT g.doc_id, unnest(generate_series(g.pos, g.pos+4)) AS p
+                 FROM grams g JOIN dup USING (h))
+           GROUP BY 1),
+         tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         SELECT t.doc_id, t.n_tokens,
+           coalesce(c.covered_tokens, 0) AS covered_tokens,
+           coalesce(c.covered_tokens, 0)::DOUBLE / t.n_tokens::DOUBLE AS dup_fraction
+         FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""",
 
     "q_minhash_near_dups" ->
       """WITH sh AS (

@@ -302,6 +302,85 @@ object ApproxDedup {
        WHERE cosine >= $threshold ORDER BY c.id1, c.id2"""
   }
 
+  /** Cross-document duplicated n-gram statistics — the Gopher/RefinedWeb
+    * "fraction of tokens inside duplicated n-grams" quality signal (Rae et
+    * al. 2021 §A1.1; Penedo et al. 2023 §3.2): an n-gram is DUPLICATED when
+    * it occurs more than once across the whole corpus; a token position is
+    * covered when any duplicated n-gram spans it. Emits per document the
+    * token count, covered-token count, and covered fraction.
+    *
+    * Pipeline: positions → md5 n-gram hashes (oracle-replayable; swap a
+    * rolling hash at will) → ONE global count per hash (map-side combined —
+    * the only table-wide shuffle, key = 1 hash) → semi-join back to the
+    * gram starts → explode each duplicated gram into its n positions →
+    * per-doc distinct-position count. Only duplicated grams explode, so the
+    * fan-out is ∝ duplication, not corpus size.
+    */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val toks = docs.select(col(idCol),
+      posexplode(graft.functions.TextFns.tokens(lower(col(textCol))))
+        .as(Seq("pos", "tok")))
+    val grams = docs.select(col(idCol),
+        posexplode(graft.functions.TextFns.wordShingles(lower(col(textCol)), n))
+          .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("h"))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1).select(col("h"))
+    val covered = grams.join(dupHashes, "h")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("pos")).as("covered_tokens"))
+    val totals = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    totals.join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
+  /** Near-duplicate CLUSTERS from a pair list: connected components by
+    * iterative min-label propagation (the hash-min variant of
+    * large-star/small-star, Kiveris et al. 2014) — every document's label
+    * converges to the smallest doc id reachable through the near-dup graph,
+    * and dedup keeps one representative per label.
+    *
+    * Each iteration is one groupBy over the undirected edge list (min
+    * neighbor label) + one join to update labels; iterations bound by the
+    * graph diameter, which for near-dup graphs is tiny (clusters are
+    * near-cliques — the classic observation behind single-linkage LSH
+    * dedup). Driver state is one convergence counter per pass, never data.
+    */
+  def nearDupClusters(pairs: DataFrame, id1: String = "id1",
+                      id2: String = "id2", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // smallest label among self and neighbors
+      val neighborMin = edges.join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact duplicate groups by canonical fingerprint; keeps the lowest id as
     * the survivor (deterministic). */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =

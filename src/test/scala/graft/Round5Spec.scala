@@ -121,6 +121,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("dupNgramStats covers duplicated spans, interval-unions overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e x y z"),   // "a b c" also in doc 2 -> 3 covered
+      (2L, "a b c d q r s t"),   // "a b c" + "b c d" overlap -> 4 covered
+      (3L, "u v w p q m n o")    // nothing duplicated
+    ).toDF("doc_id", "text")
+    val r = graft.ops.ApproxDedup.dupNgramStats(docs, "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"covered_tokens")
+      .as[(Long, Long, Long)].collect()
+    // doc1: grams abc,bcd,cde,dex,exy,xyz; duplicated across corpus: abc,bcd
+    //   -> covered positions 0..3 = 4
+    // doc2: abc,bcd duplicated -> positions 0..3 = 4
+    assert(r.toSeq == Seq((1L, 8L, 4L), (2L, 8L, 4L), (3L, 8L, 0L)))
+  }
+
+  test("nearDupClusters: min-label propagation finds components across chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
+      .toDF("id1", "id2")
+    val r = graft.ops.ApproxDedup.nearDupClusters(pairs)
+      .orderBy($"doc_id").as[(Long, Long)].collect()
+    // {1,2,3,9} chain -> label 1; {5,6} -> label 5
+    assert(r.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L), (9L, 1L)))
+  }
+
+  test("plan shapes: no cross products anywhere; packChunks shuffles once") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pack = Corpus.packChunks(docs, "doc_id", "text", 2048, buckets = 8)
+    val packPlan = pack.queryExecution.executedPlan.toString
+    assert(packPlan.sliding("Exchange".length).count(_ == "Exchange") == 1,
+      s"expected exactly one shuffle in:\n$packPlan")
+    for ((name, df) <- Seq(
+        "dedupLines" -> Corpus.dedupLines(docs, "doc_id", "text"),
+        "tfidf"      -> Corpus.tfidfTopTerms(docs, "doc_id", "text", 3),
+        "dupNgram"   -> graft.ops.ApproxDedup.dupNgramStats(docs, "doc_id", "text", 5))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a cross product:\n$p")
+    }
+  }
+
   test("blind-synced band index equals a full-rebuild index") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     def index(df: org.apache.spark.sql.DataFrame) = ApproxDedup.minhashBandIndex(
