@@ -682,6 +682,43 @@ object SparkEntry {
         q, cents, k = 10, nProbe = 4)
     }),
 
+    // ── LLM-pipeline: SQ8 scalar-quantized ANN — int8 codes stamped in one
+    // projection (4× smaller than float32), pure-integer candidate scoring,
+    // exact-cosine rerank of the survivors. Oracle replays scale,
+    // quantization, and both rankings.
+    "q_embedding_ann_sq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val scale   = SimilaritySearch.maxAbsScale(emb, "embedding")
+      val indexed = SimilaritySearch.withInt8(emb, "embedding", scale)
+      SimilaritySearch.sqTopK(indexed, "vec_id", "embedding", "qvec",
+        q, scale, k = 10, rerank = 50)
+    }),
+
+    // ── LLM-pipeline: PQ ANN — m-byte product-quantization codes stamped
+    // in one projection, asymmetric-distance candidate scoring from m
+    // literal table lookups, exact-cosine rerank. Oracle re-derives
+    // codebooks from the data and replays encode + ADC + both rankings.
+    "q_embedding_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
+      val indexed = SimilaritySearch.withPqCodes(emb, "embedding", cbs)
+      SimilaritySearch.pqTopK(indexed, "vec_id", "embedding", "pq",
+        q, cbs, k = 10, rerank = 50)
+    }),
+
+    // ── LLM-pipeline: rare-token (hapax) quality statistics — corpus-
+    // frequency join, all-integer arithmetic + one division.
+    "q_rare_tokens" -> ((s, d) =>
+      graft.ops.Corpus.rareTokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: multimodal binary columns ──────────────────────────
     // partition-wise stub decode (mapPartitions = the mapInPandas shape);
     // oracle checks the plumbing-derived fields (byte length, type, frames).
@@ -1560,6 +1597,31 @@ object SparkEntry {
             * sqrt(list_dot_product(qv, qv))) AS cosine
          FROM embeddings, q
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_embedding_ann_sq" ->
+      graft.ops.SimilaritySearch.sqOracleSql("embeddings", "vec_id", "embedding",
+        queryId = 0, k = 10, rerank = 50),
+
+    "q_embedding_ann_pq" ->
+      graft.ops.SimilaritySearch.pqOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, queryId = 0, k = 10, rerank = 50),
+
+    "q_rare_tokens" ->
+      """WITH tok AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+             FROM documents) t
+           WHERE length(tok) > 0),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+         cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)
+         SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cf <= 1 THEN tf ELSE 0 END) AS BIGINT) AS n_rare,
+           count(CASE WHEN cf <= 1 THEN 1 END) AS n_rare_types,
+           CAST(sum(CASE WHEN cf <= 1 THEN tf ELSE 0 END) AS DOUBLE) /
+             CAST(sum(tf) AS DOUBLE) AS rare_ratio
+         FROM tf JOIN cf USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,

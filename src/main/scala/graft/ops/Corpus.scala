@@ -153,6 +153,38 @@ object Corpus {
           col("chunk_id") + lit(1L))
   }
 
+  /** Rare-token statistics — the corpus-frequency quality signal behind
+    * CCNet-style filtering (Wenzek et al. 2020 use LM perplexity; the
+    * engine-portable core is "how much of this document is made of tokens
+    * the corpus has essentially never seen"): per document, the total token
+    * count, the number of token OCCURRENCES whose corpus frequency is at
+    * most `rareMaxCount` (hapax legomena at the default 1), the number of
+    * distinct such tokens, and the rare fraction. OOV-heavy gibberish and
+    * boilerplate-free mojibake score high; normal prose scores near zero.
+    *
+    * All-integer arithmetic plus one final division, so results replay
+    * bit-for-bit on any engine. Two hash aggregates with map-side combine +
+    * one equi-join on the token — per-token rows cross the shuffles, never
+    * document text; the corpus-frequency side is vocabulary-sized.
+    */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                     rareMaxCount: Long = 1L): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val rare = col("cf") <= rareMaxCount
+    tf.join(cf, "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+           sum(when(rare, col("tf")).otherwise(lit(0L))).as("n_rare"),
+           count(when(rare, lit(1))).as("n_rare_types"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Top-k characteristic terms per document by tf·idf with the rational
     * idf = 1/df: `score = tf / df` — exactly representable arithmetic, so
     * rankings replay bit-for-bit on any engine (a logarithmic idf is a

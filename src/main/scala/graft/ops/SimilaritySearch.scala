@@ -180,6 +180,186 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  // ── Scalar quantization (SQ8) ──────────────────────────────────────────
+
+  /** Corpus-wide symmetric quantization scale: the maximum |component| over
+    * the whole embedding column. ONE max aggregate (map-side combined,
+    * exact — max never loses precision), scalar driver state. */
+  def maxAbsScale(emb: DataFrame, vecCol: String): Double =
+    emb.agg(max(array_max(transform(col(vecCol).cast("array<double>"),
+      x => abs(x))))).head().getDouble(0)
+
+  /** Index build: int8 codes in one projection — the standard memory/IO
+    * lever for billion-vector search (FAISS's SQ8: 4× smaller than float32,
+    * stored here as a real `array<tinyint>`). `floor(x·127/scale + 0.5)`
+    * (round-half-up) is IEEE-exact and engine-portable; with
+    * `scale = max|x|` the code range is [-127, 127], so no clamp is needed.
+    * Persist the coded column once; probes scan codes and only touch float
+    * vectors for the rerank survivors. */
+  def withInt8(emb: DataFrame, vecCol: String, scale: Double,
+               codeCol: String = "qvec"): DataFrame = {
+    require(scale > 0, "positive quantization scale")
+    emb.withColumn(codeCol, transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(127.0) / lit(scale) + lit(0.5)).cast("tinyint")))
+  }
+
+  /** Driver-side quantization of the query vector with the same rule. */
+  def int8Of(query: Seq[Double], scale: Double): Seq[Long] =
+    query.map(x => math.floor(x * 127.0 / scale + 0.5).toLong)
+
+  /** Probe a code-indexed table: symmetric int8 candidate scoring — an
+    * exact int64 dot product of codes (pure integer arithmetic, so the
+    * candidate ranking is bit-portable across engines) — keep the top
+    * `rerank` candidates, then rank them by exact float cosine. Candidate
+    * selection is a TakeOrdered over the code scan; float vectors are only
+    * read for the `rerank` survivors. */
+  def sqTopK(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
+             query: Seq[Double], scale: Double, k: Int, rerank: Int): DataFrame = {
+    val qArr = array(int8Of(query, scale).map(lit): _*)
+    val score = aggregate(
+      zip_with(col(codeCol).cast("array<long>"), qArr, (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    indexed.select(col(idCol), col(vecCol), score.as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), VectorFns.cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle reproducing the ENTIRE SQ8 pipeline — scale aggregate,
+    * quantization, integer candidate scoring (int codes are ≤ 127·127·dim,
+    * exactly representable in doubles, so `list_dot_product` is exact),
+    * exact-cosine rerank. */
+  def sqOracleSql(table: String, idCol: String, vecCol: String,
+                  queryId: Long, k: Int, rerank: Int): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       s AS (SELECT max(list_max(list_transform(ev, x -> abs(x)))) AS scale FROM e),
+       qz AS (SELECT $idCol, ev,
+         list_transform(ev, x -> floor(x * 127.0 / scale + 0.5)) AS qv
+         FROM e, s),
+       q AS (SELECT qv AS qq, ev AS qev FROM qz WHERE $idCol = $queryId),
+       cand AS (SELECT $idCol, ev, list_dot_product(qz.qv, q.qq) AS qscore
+         FROM qz, q ORDER BY qscore DESC, $idCol LIMIT $rerank)
+       SELECT $idCol,
+         list_dot_product(ev, qev) /
+         (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qev, qev))) AS cosine
+       FROM cand, q ORDER BY cosine DESC, $idCol LIMIT $k"""
+
+  // ── Product quantization (PQ, Jégou et al. 2011) ──────────────────────
+
+  /** Deterministic PQ codebooks: subspace `j`'s codebook is the j-th
+    * subvector of each of the `ks` lowest-id vectors (the bounded-sample
+    * rule of [[sampleCentroids]] applied per subspace — swap per-subspace
+    * k-means in freely; everything downstream only sees the nested seq).
+    * `codebooks(j)(c)` is centroid `c` of subspace `j`. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int): Seq[Seq[Seq[Double]]] = {
+    val base = sampleCentroids(emb, idCol, vecCol, ks)
+    val dim  = base.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val d = dim / m
+    Seq.tabulate(m)(j => base.map(_.slice(j * d, (j + 1) * d)))
+  }
+
+  /** Index build: the m-byte PQ code in ONE projection (array<tinyint> —
+    * dim·4 bytes of float32 become m bytes, the compression that lets a
+    * 100 TB vector corpus keep its codes in executor memory). Per subspace,
+    * the nearest centroid by L2 via the monotone form
+    * `|c|² − 2·x·c` (|x|² is constant across centroids); ties break to the
+    * lowest centroid id. No join, no window, no shuffle. */
+  def withPqCodes(emb: DataFrame, vecCol: String,
+                  codebooks: Seq[Seq[Seq[Double]]],
+                  codeCol: String = "pq"): DataFrame = {
+    val d  = codebooks.head.head.length
+    val ev = col(vecCol).cast("array<double>")
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(ev, j * d + 1, d)
+      val scores = array(cb.map { c =>
+        val cl = array(c.map(lit): _*)
+        VectorFns.dot(cl, cl) - lit(2.0) * VectorFns.dot(sub, cl)
+      }: _*)
+      element_at(transform(array(scores), s =>
+        array_position(s, array_min(s)) - 1), 1).cast("tinyint")
+    }
+    emb.withColumn(codeCol, array(codes: _*))
+  }
+
+  /** Driver-side ADC term table: `adcTable(j)(c) = |c|² − 2·q_j·c` — the
+    * asymmetric-distance contribution of code `c` in subspace `j` (same
+    * monotone-L2 form as the build side; adding the constant |q_j|² per
+    * subspace would not change any ranking). m·ks doubles. */
+  def pqAdcTable(query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] = {
+    val d = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val qs = query.slice(j * d, (j + 1) * d)
+      cb.map { c =>
+        val cc = c.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        val qc = qs.zip(c).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        cc - 2.0 * qc
+      }
+    }
+  }
+
+  /** Probe a PQ-coded table: asymmetric distance computation — m literal
+    * table lookups summed in a fixed left-to-right chain (engine-portable
+    * IEEE arithmetic), TakeOrdered to the `rerank` nearest codes, exact
+    * float cosine over the survivors. The scan reads m-byte codes; float
+    * vectors are only touched for the rerank set. */
+  def pqTopK(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
+             query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
+             k: Int, rerank: Int): DataFrame = {
+    val adist = pqAdcTable(query, codebooks).zipWithIndex.map { case (t, j) =>
+      element_at(array(t.map(lit): _*),
+        element_at(col(codeCol), j + 1).cast("int") + 1)
+    }.reduceLeft(_ + _)
+    indexed.select(col(idCol), col(vecCol), adist.as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), VectorFns.cosineToQuery(col(vecCol), query).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle reproducing the ENTIRE PQ pipeline — codebooks re-derived
+    * from the data by the same `$idCol < ks` subvector rule (data-independent
+    * of the Spark run), encode via the same monotone-L2 argmin, ADC terms
+    * re-derived per subspace, summed in the same left-to-right chain, exact
+    * cosine rerank. */
+  def pqOracleSql(table: String, idCol: String, vecCol: String,
+                  dim: Int, m: Int, ks: Int,
+                  queryId: Long, k: Int, rerank: Int): String = {
+    val d = dim / m
+    val chain = (1 until m).foldLeft("s0") { (acc, j) => s"($acc + s$j)" }
+    val pivots = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN t END) AS s$j").mkString(", ")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       sub AS (SELECT $idCol, j, ev[(j*$d+1):(j*$d+$d)] AS sv FROM e, js),
+       cb AS (SELECT j, $idCol AS cid, sv AS cv FROM sub WHERE $idCol < $ks),
+       enc AS (
+         SELECT $idCol, j, cid FROM (
+           SELECT s.$idCol, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.$idCol, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+       q AS (SELECT j, sv AS qsv FROM sub WHERE $idCol = $queryId),
+       term AS (
+         SELECT enc.$idCol, enc.j,
+           list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qsv, c.cv) AS t
+         FROM enc JOIN cb c ON enc.j = c.j AND enc.cid = c.cid
+                  JOIN q ON q.j = enc.j),
+       adc AS (SELECT $idCol, $chain AS adist FROM (
+         SELECT $idCol, $pivots FROM term GROUP BY $idCol)),
+       cand AS (SELECT a.$idCol, e.ev FROM adc a JOIN e USING ($idCol)
+         ORDER BY a.adist ASC, a.$idCol LIMIT $rerank),
+       qe AS (SELECT ev AS qv FROM e WHERE $idCol = $queryId)
+       SELECT $idCol,
+         list_dot_product(ev, qv) /
+         (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+       FROM cand, qe ORDER BY cosine DESC, $idCol LIMIT $k"""
+  }
+
   /** DuckDB oracle reproducing the ENTIRE IVF pipeline. Centroids are
     * re-derived by the same deterministic rule ($idCol < nCentroids) so the
     * oracle is data-independent of the Spark run. */
