@@ -564,6 +564,40 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── Streaming content dedup e2e: the corpus is delivered TWICE (two
+    // staged files → redelivery across micro-batches); content fingerprints
+    // dedup IN-STREAM (watermark-bounded state — O(fps inside the window),
+    // never history), survivors blind-append to the pipe (no per-batch diff
+    // read of the target). In-corpus duplicate texts collapse along with
+    // the redelivery, so the result is each distinct fingerprint once.
+    "q_streaming_dedup_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "dedup_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(Tables.path(d, "documents")),
+          java.nio.file.Paths.get(s"$srcDir/documents_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      // synthetic event times start a day after epoch: a row AT epoch 0
+      // sits exactly on the stream's initial watermark and is culled as late
+      val deduped = graft.streaming.StreamingSync.withWatermarkDedup(
+        stream
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") * 60L + 86400L) * 1000000L))
+          .withColumn("fp", TextFns.fingerprint(col("text"))),
+        "ts", Seq("fp"), delay = "1 minute")
+        .select(col("ts"), col("fp"))
+      val q = graft.streaming.StreamingSync.run(eng, spec, deduped, s"$root/ckpt",
+        checkExisting = false)
+      q.awaitTermination()
+      eng.getData(spec).select(col("fp")).orderBy(col("fp"))
+    }),
+
     // ── LLM-pipeline: text analysis ──────────────────────────────────────
     "q_doc_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -1465,6 +1499,10 @@ object SparkEntry {
     "q_streaming_sync_e2e" ->
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
+
+    "q_streaming_dedup_e2e" ->
+      """SELECT DISTINCT md5(lower(trim(text))) AS fp
+         FROM documents ORDER BY fp""",
 
     "q_doc_stats" ->
       """SELECT doc_id,

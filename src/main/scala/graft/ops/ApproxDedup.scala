@@ -355,11 +355,16 @@ object ApproxDedup {
     */
   def nearDupClusters(pairs: DataFrame, id1: String = "id1",
                       id2: String = "id2", maxIters: Int = 20): DataFrame = {
+    // Eager localCheckpoints truncate lineage each pass — without them every
+    // iteration's plan embeds all previous iterations' plans and Catalyst
+    // re-analysis grows quadratically (the classic iterative-DataFrame trap;
+    // the checkpointed label table is two longs per node, so executor-local
+    // storage is the cheap side of the trade at any scale).
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+      .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -367,17 +372,17 @@ object ApproxDedup {
       val neighborMin = edges.join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      // carry the old label through the SAME materialization so the
+      // convergence test is a count over checkpointed data, not another join
+      val next = labels.withColumnRenamed("label", "old")
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.where(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("node"), col("label"))
       i += 1
     }
-    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -53,6 +53,11 @@ object StreamingSync {
     *
     * `transform` runs inside the stream (row-level fixups such as epoch
     * decoding) and stays a streaming-safe projection.
+    *
+    * `checkExisting = false` blind-appends each micro-batch (the reference's
+    * `--skip-check-existing`): the right sink when the stream itself already
+    * guarantees uniqueness (e.g. [[withWatermarkDedup]] upstream) — no diff
+    * read of the target per batch.
     */
   def run(
       engine: SyncEngine,
@@ -60,13 +65,14 @@ object StreamingSync {
       stream: DataFrame,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      transform: DataFrame => DataFrame = identity): StreamingQuery = {
+      transform: DataFrame => DataFrame = identity,
+      checkExisting: Boolean = true): StreamingQuery = {
     val results = new java.util.concurrent.atomic.AtomicReference(SyncResult(0, 0))
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val r = engine.sync(spec, transform(batch))
+        val r = engine.sync(spec, transform(batch), checkExisting = checkExisting)
         results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
         ()
       }

@@ -41,6 +41,13 @@ class SqAnnSpec extends SparkSpec {
     assert(sq.toSeq == bf.toSeq)
   }
 
+  test("SQ8 index build is a pure projection: no join, no exchange") {
+    val scale = SimilaritySearch.maxAbsScale(vecs, "embedding")
+    val plan = SimilaritySearch.withInt8(vecs, "embedding", scale)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
   test("driver-side query quantization matches the engine rule") {
     val scale = SimilaritySearch.maxAbsScale(vecs, "embedding")
     val q = vecs.where($"vec_id" === 3)
@@ -84,6 +91,13 @@ class PqAnnSpec extends SparkSpec {
     codes.zipWithIndex.foreach { case (c, i) =>
       assert(c == Seq.fill(4)(i), s"vector $i must encode to its own centroid")
     }
+  }
+
+  test("PQ index build is a pure projection: no join, no exchange") {
+    val cbs = SimilaritySearch.pqCodebooks(vecs, "vec_id", "embedding", m = 4, ks = 8)
+    val plan = SimilaritySearch.withPqCodes(vecs, "embedding", cbs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
   test("pqTopK with rerank >= n reproduces the brute-force ranking exactly") {
