@@ -747,6 +747,24 @@ object SparkEntry {
         q, cbs, k = 10, rerank = 50)
     }),
 
+    // ── LLM-pipeline: IVF+PQ ANN — the production composition: the scan
+    // prunes to nProbe cells, m-byte ADC scores rank inside them, floats
+    // load only for the rerank set. Oracle re-derives centroids AND
+    // codebooks from the data and replays the whole pipeline.
+    "q_embedding_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
+      val indexed = SimilaritySearch.withPqCodes(
+        SimilaritySearch.withIvfCell(emb, "embedding", cents), "embedding", cbs)
+      SimilaritySearch.ivfPqTopK(indexed, "vec_id", "embedding", "cell", "pq",
+        q, cents, cbs, k = 10, nProbe = 8, rerank = 50)
+    }),
+
     // ── LLM-pipeline: rare-token (hapax) quality statistics — corpus-
     // frequency join, all-integer arithmetic + one division.
     "q_rare_tokens" -> ((s, d) =>
@@ -1643,6 +1661,11 @@ object SparkEntry {
     "q_embedding_ann_pq" ->
       graft.ops.SimilaritySearch.pqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, queryId = 0, k = 10, rerank = 50),
+
+    "q_embedding_ann_ivfpq" ->
+      graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
+        queryId = 0, k = 10, rerank = 50),
 
     "q_rare_tokens" ->
       """WITH tok AS (

@@ -133,17 +133,37 @@ object ApproxDedup {
   def minhashNearDupsFast(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double, shingleSize: Int = 3,
                           k: Int = 24, bands: Int = 6,
-                          estSlack: Double = 0.25): DataFrame = {
+                          estSlack: Double = 0.25,
+                          maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val sig = docs.select(col(idCol),
       minhashSignature(col(textCol), shingleSize, k).as("sig"))
     val rows = k / bands
-    val banded = sig.select(col(idCol), posexplode(
+    val banded0 = sig.select(col(idCol), posexplode(
         bindOnce(col("sig")) { sg =>
           transform(sequence(lit(0), lit(bands - 1)),
             b => hash(slice(sg, b * lit(rows) + lit(1), lit(rows)), b))
         }))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+    // Hot-bucket cap — the skew guard a web corpus needs: a boilerplate
+    // band (empty pages, license headers) can put millions of documents in
+    // ONE bucket, and the self-join on that bucket is quadratic no matter
+    // how AQE splits it. Buckets larger than `maxBucket` are dropped whole
+    // via a broadcast anti-join against the hot-bucket list (map-side
+    // combined count, so the list is tiny by construction — no sort, no
+    // extra wide shuffle). A dropped bucket's members remain candidates
+    // through their other, discriminative bands; only pairs whose EVERY
+    // matching band is degenerate are lost. 0 disables (the oracle
+    // configuration).
+    val banded =
+      if (maxBucket <= 0) banded0
+      else {
+        val hot = banded0.groupBy(col("band"), col("bandHash"))
+          .agg(count(lit(1)).as("__n"))
+          .where(col("__n") > maxBucket)
+          .select(col("band"), col("bandHash"))
+        banded0.join(broadcast(hot), Seq("band", "bandHash"), "left_anti")
+      }
     val l = banded.select(col(idCol).as("id1"), col("band"), col("bandHash"))
     val r = banded.select(col(idCol).as("id2"), col("band"), col("bandHash"))
     val cands = l.join(r, Seq("band", "bandHash"))

@@ -321,6 +321,75 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** IVF+PQ probe — the production composition (FAISS's IVFPQ): the scan is
+    * pruned to the `nProbe` cells nearest the query (partition pruning when
+    * the cell column is the stored chunk axis), candidates inside them are
+    * ranked by the m-byte ADC score, and only the `rerank` survivors touch
+    * float vectors. Index build = [[withIvfCell]] ∘ [[withPqCodes]], two
+    * stacked shuffle-free projections persisted once. */
+  def ivfPqTopK(indexed: DataFrame, idCol: String, vecCol: String,
+                cellCol: String, codeCol: String,
+                query: Seq[Double], centroids: Seq[Seq[Double]],
+                codebooks: Seq[Seq[Seq[Double]]],
+                k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val probe = ivfProbeCells(centroids, query, nProbe)
+    pqTopK(indexed.where(col(cellCol).isin(probe: _*)),
+      idCol, vecCol, codeCol, query, codebooks, k, rerank)
+  }
+
+  /** DuckDB oracle reproducing the ENTIRE IVF+PQ pipeline — coarse centroids
+    * and PQ codebooks both re-derived from the data by their deterministic
+    * `$idCol < n` rules, cell assignment + probe selection as in
+    * [[ivfOracleSql]], encode/ADC/rerank as in [[pqOracleSql]] restricted to
+    * the probed cells. */
+  def ivfPqOracleSql(table: String, idCol: String, vecCol: String,
+                     dim: Int, m: Int, ks: Int, nCentroids: Int, nProbe: Int,
+                     queryId: Long, k: Int, rerank: Int): String = {
+    val d = dim / m
+    val chain = (1 until m).foldLeft("s0") { (acc, j) => s"($acc + s$j)" }
+    val pivots = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN t END) AS s$j").mkString(", ")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ccid FROM (
+           SELECT e.$idCol, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qv0 AS (SELECT ev AS qv FROM e WHERE $idCol = $queryId),
+       probe AS (
+         SELECT ccid FROM cents, qv0
+         ORDER BY list_dot_product(cvec, qv) / sqrt(list_dot_product(cvec, cvec)) DESC, ccid
+         LIMIT $nProbe),
+       keep AS (SELECT $idCol FROM asg WHERE ccid IN (SELECT ccid FROM probe)),
+       js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       sub AS (SELECT $idCol, j, ev[(j*$d+1):(j*$d+$d)] AS sv FROM e, js),
+       cb AS (SELECT j, $idCol AS cid, sv AS cv FROM sub WHERE $idCol < $ks),
+       enc AS (
+         SELECT $idCol, j, cid FROM (
+           SELECT s.$idCol, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.$idCol, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)
+           WHERE s.$idCol IN (SELECT $idCol FROM keep)) WHERE rn = 1),
+       q AS (SELECT j, sv AS qsv FROM sub WHERE $idCol = $queryId),
+       term AS (
+         SELECT enc.$idCol, enc.j,
+           list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qsv, c.cv) AS t
+         FROM enc JOIN cb c ON enc.j = c.j AND enc.cid = c.cid
+                  JOIN q ON q.j = enc.j),
+       adc AS (SELECT $idCol, $chain AS adist FROM (
+         SELECT $idCol, $pivots FROM term GROUP BY $idCol)),
+       cand AS (SELECT a.$idCol, e.ev FROM adc a JOIN e USING ($idCol)
+         ORDER BY a.adist ASC, a.$idCol LIMIT $rerank),
+       qe AS (SELECT ev AS qv FROM e WHERE $idCol = $queryId)
+       SELECT $idCol,
+         list_dot_product(ev, qv) /
+         (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+       FROM cand, qe ORDER BY cosine DESC, $idCol LIMIT $k"""
+  }
+
   /** DuckDB oracle reproducing the ENTIRE PQ pipeline — codebooks re-derived
     * from the data by the same `$idCol < ks` subvector rule (data-independent
     * of the Spark run), encode via the same monotone-L2 argmin, ADC terms

@@ -81,6 +81,27 @@ class ApproxDedupSpec extends SparkSpec {
     assert(fast.contains((1L, 4L))) // exact dup always survives
   }
 
+  test("hot-bucket cap drops degenerate buckets, keeps discriminative pairs") {
+    import spark.implicits._
+    // 12 copies of one boilerplate doc (every band bucket holds all 12) +
+    // one near-dup pair with its own buckets
+    val boiler = (100L to 111L).map(i => (i, "lorem ipsum dolor sit amet consectetur"))
+    val pair = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = ApproxDedup.minhashNearDupsFast(corpus, "doc_id", "text",
+        threshold = 0.4, shingleSize = 2, k = 24, bands = 6, maxBucket = 5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), "discriminative near-dup pair survives")
+    assert(!capped.exists(p => p._1 >= 100L), "boilerplate clique is capped away")
+    // cap off: the boilerplate pairs come back
+    val uncapped = ApproxDedup.minhashNearDupsFast(corpus, "doc_id", "text",
+        threshold = 0.4, shingleSize = 2, k = 24, bands = 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)))
+  }
+
   test("simhash: identical docs share signature; unrelated docs differ") {
     val sig = ApproxDedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
