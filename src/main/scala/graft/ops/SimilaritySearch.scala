@@ -207,21 +207,32 @@ object SimilaritySearch {
   def int8Of(query: Seq[Double], scale: Double): Seq[Long] =
     query.map(x => math.floor(x * 127.0 / scale + 0.5).toLong)
 
-  /** Probe a code-indexed table: symmetric int8 candidate scoring — an
-    * exact int64 dot product of codes (pure integer arithmetic, so the
-    * candidate ranking is bit-portable across engines) — keep the top
-    * `rerank` candidates, then rank them by exact float cosine. Candidate
-    * selection is a TakeOrdered over the code scan; float vectors are only
-    * read for the `rerank` survivors. */
-  def sqTopK(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
-             query: Seq[Double], scale: Double, k: Int, rerank: Int): DataFrame = {
-    val qArr = array(int8Of(query, scale).map(lit): _*)
+  /** Candidate phase of the SQ8 probe: symmetric int8 scoring — an exact
+    * int64 dot product of codes (pure integer arithmetic, so the candidate
+    * ranking is bit-portable across engines) — TakeOrdered to the top
+    * `rerank`. Reads ONLY (id, codes): column pruning keeps the float
+    * vector out of this scan entirely. */
+  def sqCandidates(indexed: DataFrame, idCol: String, codeCol: String,
+                   qCodes: Seq[Long], rerank: Int): DataFrame = {
+    val qArr = array(qCodes.map(lit): _*)
     val score = aggregate(
       zip_with(col(codeCol).cast("array<long>"), qArr, (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
-    indexed.select(col(idCol), col(vecCol), score.as("qscore"))
+    indexed.select(col(idCol), score.as("qscore"))
       .orderBy(col("qscore").desc, col(idCol))
       .limit(rerank)
+  }
+
+  /** Probe a code-indexed table in TWO bounded jobs: the narrow candidate
+    * scan above (float vectors never read), then an exact-cosine rerank of
+    * the `rerank` collected ids — a driver-bounded list whose `isin`
+    * predicate pushes into the parquet scan, so the float column is read
+    * only for row groups holding survivors. */
+  def sqTopK(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
+             query: Seq[Double], scale: Double, k: Int, rerank: Int): DataFrame = {
+    val ids = sqCandidates(indexed, idCol, codeCol, int8Of(query, scale), rerank)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    indexed.where(col(idCol).isInCollection(ids))
       .select(col(idCol), VectorFns.cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -301,21 +312,32 @@ object SimilaritySearch {
     }
   }
 
-  /** Probe a PQ-coded table: asymmetric distance computation — m literal
-    * table lookups summed in a fixed left-to-right chain (engine-portable
-    * IEEE arithmetic), TakeOrdered to the `rerank` nearest codes, exact
-    * float cosine over the survivors. The scan reads m-byte codes; float
-    * vectors are only touched for the rerank set. */
-  def pqTopK(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
-             query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
-             k: Int, rerank: Int): DataFrame = {
-    val adist = pqAdcTable(query, codebooks).zipWithIndex.map { case (t, j) =>
+  /** Candidate phase of the PQ probe: asymmetric distance computation — m
+    * literal table lookups summed in a fixed left-to-right chain
+    * (engine-portable IEEE arithmetic), TakeOrdered to the `rerank`
+    * nearest codes. Reads ONLY (id, m-byte codes). */
+  def pqCandidates(indexed: DataFrame, idCol: String, codeCol: String,
+                   adcTable: Seq[Seq[Double]], rerank: Int): DataFrame = {
+    val adist = adcTable.zipWithIndex.map { case (t, j) =>
       element_at(array(t.map(lit): _*),
         element_at(col(codeCol), j + 1).cast("int") + 1)
     }.reduceLeft(_ + _)
-    indexed.select(col(idCol), col(vecCol), adist.as("adist"))
+    indexed.select(col(idCol), adist.as("adist"))
       .orderBy(col("adist").asc, col(idCol))
       .limit(rerank)
+  }
+
+  /** Probe a PQ-coded table in TWO bounded jobs: the narrow ADC candidate
+    * scan (float vectors never read), then an exact-cosine rerank of the
+    * collected survivor ids with the `isin` predicate pushed into the
+    * parquet scan. */
+  def pqTopK(indexed: DataFrame, idCol: String, vecCol: String, codeCol: String,
+             query: Seq[Double], codebooks: Seq[Seq[Seq[Double]]],
+             k: Int, rerank: Int): DataFrame = {
+    val ids = pqCandidates(indexed, idCol, codeCol,
+        pqAdcTable(query, codebooks), rerank)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    indexed.where(col(idCol).isInCollection(ids))
       .select(col(idCol), VectorFns.cosineToQuery(col(vecCol), query).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

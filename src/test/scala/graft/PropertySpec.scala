@@ -141,6 +141,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SQ8 quantization laws: codes bounded, reconstruction within a half step") {
+    val vecGen = for {
+      n  <- Gen.chooseNum(1, 32)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-1e3, 1e3))
+      if vs.exists(_ != 0.0)
+    } yield vs
+    check(forAll(vecGen) { vs =>
+      val scale = vs.map(math.abs).max
+      val codes = graft.ops.SimilaritySearch.int8Of(vs, scale)
+      val step  = scale / 127.0
+      codes.forall(c => c >= -127L && c <= 127L) &&
+        vs.zip(codes).forall { case (x, c) =>
+          // floor(x·127/scale + 0.5) is within 1/2 of x·127/scale, so the
+          // reconstruction error is at most half a step (+ FP slack)
+          math.abs(x - c * step) <= step * 0.5 + 1e-9 * scale
+        }
+    })
+  }
+
   test("winnowing guarantee holds for random shared substrings (k=8, w=4)") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -41,6 +41,26 @@ class SqAnnSpec extends SparkSpec {
     assert(sq.toSeq == bf.toSeq)
   }
 
+  test("candidate scans read only (id, codes) from parquet — floats pruned") {
+    val scale = SimilaritySearch.maxAbsScale(vecs, "embedding")
+    val cbs = SimilaritySearch.pqCodebooks(vecs, "vec_id", "embedding", m = 4, ks = 8)
+    val dir = tmpDir()
+    SimilaritySearch.withPqCodes(
+        SimilaritySearch.withInt8(vecs, "embedding", scale), "embedding", cbs)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val sqPlan = SimilaritySearch.sqCandidates(stored, "vec_id", "qvec",
+      Seq.fill(8)(1L), rerank = 5).queryExecution.executedPlan.toString
+    val pqPlan = SimilaritySearch.pqCandidates(stored, "vec_id", "pq",
+      SimilaritySearch.pqAdcTable(Seq.fill(8)(0.5), cbs), rerank = 5)
+      .queryExecution.executedPlan.toString
+    for (plan <- Seq(sqPlan, pqPlan)) {
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("embedding"),
+        s"candidate scan must not read the float column:\n$readSchema")
+    }
+  }
+
   test("SQ8 index build is a pure projection: no join, no exchange") {
     val scale = SimilaritySearch.maxAbsScale(vecs, "embedding")
     val plan = SimilaritySearch.withInt8(vecs, "embedding", scale)
