@@ -765,6 +765,27 @@ object SparkEntry {
         q, cents, cbs, k = 10, nProbe = 8, rerank = 50)
     }),
 
+    // ── LLM-pipeline: SemDeDup (Abbas et al. 2023) — semantic dedup with
+    // the pair search pruned to k-means cells: Σ|cell|² candidates instead
+    // of N², shuffles keyed on cell / id only. Oracle replays cell argmax,
+    // exact intra-cell cosine pairs, and the transitive closure.
+    "q_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      ApproxDedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.45)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── LLM-pipeline: cluster-balanced diversity sample — perCell md5-order
+    // representatives of every k-means cell (coverage of every semantic
+    // region, not a head-cluster-dominated uniform draw).
+    "q_cluster_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      graft.ops.Sampling.clusterSample(emb, "vec_id", "embedding", cents, perCell = 5)
+        .orderBy(col("cell"), col("vec_id"))
+    }),
+
     // ── LLM-pipeline: rare-token (hapax) quality statistics — corpus-
     // frequency join, all-integer arithmetic + one division.
     "q_rare_tokens" -> ((s, d) =>
@@ -1144,6 +1165,28 @@ object SparkEntry {
       ev.select(col("event_id"), TextFns.redactPii(raw).as("redacted"))
         .orderBy(col("event_id"))
     }),
+
+    // ── LLM-pipeline: Unicode NFC normalization (UTR #15) via the native
+    // generated expression — decomposed e+U+0301 sequences are synthesized
+    // onto each document deterministically; the oracle applies DuckDB's
+    // nfc_normalize to the same construction and compares the normalized
+    // bytes and codepoint counts.
+    "q_nfc_normalize" -> ((s, d) => {
+      val decomposed = concat(substring(col("text"), 1, 40), lit("e\u0301"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(decomposed).cast(LongType).as("n_before"),
+          length(TextFns.unicodeNormalize(decomposed)).cast(LongType).as("n_after"),
+          TextFns.unicodeNormalize(decomposed).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: Gopher-rule composite quality filter (Rae et al.
+    // 2021) — seven structural signals, a keep decision, and a
+    // deterministic reject-reason string, all codegen'd scan expressions.
+    "q_quality_filter" -> ((s, d) =>
+      graft.ops.Corpus.gopherQualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // ── LLM-pipeline: quality-distribution percentiles per language.
     // p ∈ {.25,.5,.75} over integer data: the linear-interpolation lerp is
@@ -1667,6 +1710,14 @@ object SparkEntry {
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
 
+    "q_semantic_dedup" ->
+      ApproxDedup.semanticDedupOracleSql("embeddings", "vec_id", "embedding",
+        nCentroids = 16, threshold = 0.45),
+
+    "q_cluster_sample" ->
+      graft.ops.Sampling.clusterSampleOracleSql("embeddings", "vec_id", "embedding",
+        nCentroids = 16, perCell = 5),
+
     "q_rare_tokens" ->
       """WITH tok AS (
            SELECT doc_id, tok FROM (
@@ -1907,6 +1958,19 @@ object SparkEntry {
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
          FROM events ORDER BY event_id""",
+
+    "q_nfc_normalize" ->
+      """WITH s AS (
+           SELECT doc_id, substr(text, 1, 40) || 'e' || chr(769) AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_before,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
+           nfc_normalize(raw) AS normalized
+         FROM s ORDER BY doc_id""",
+
+    "q_quality_filter" ->
+      graft.ops.Corpus.gopherQualityFilterOracleSql("documents", "doc_id", "text"),
 
     "q_quality_percentile" ->
       """SELECT lang,

@@ -76,3 +76,44 @@ case class MinHashSignature(child: Expression, shingleSize: Int,
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Call target for [[UnicodeNormalize]]'s generated code — shared with
+  * interpreted eval so the two paths cannot drift. Already-normalized
+  * strings (the overwhelmingly common case for web text) return the input
+  * UTF8String without materializing a java.lang.String copy. */
+object UnicodeNormalizeKernel {
+  def compute(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native expression — the
+  * canonical first step of text curation (dedup fingerprints, shingles, and
+  * tokenizers all assume one byte form per visually-identical string; UTR
+  * #15 normalization is how "é" composed and "e"+U+0301 decomposed become
+  * the same document). Spark has no built-in; a generated static call keeps
+  * the scan inside whole-stage codegen where a Scala UDF would box. */
+case class UnicodeNormalize(child: Expression, formName: String)
+    extends UnaryExpression {
+  @transient private lazy val form = java.text.Normalizer.Form.valueOf(formName)
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize expects a string, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnicodeNormalizeKernel.compute(v.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", form, "java.text.Normalizer$Form")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.UnicodeNormalizeKernel.compute($v, $formRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -53,6 +53,7 @@ object GraftFunctions {
     "graft_langid"      -> (args => e(TextFns.langId(c(args(0))))),
     "graft_fingerprint" -> (args => e(TextFns.fingerprint(c(args(0))))),
     "graft_redact_pii"  -> (args => e(TextFns.redactPii(c(args(0))))),
+    "graft_nfc"         -> (args => graft.expressions.UnicodeNormalize(args(0), "NFC")),
     "graft_winnow" -> { args =>
       // graft_winnow(text, k, w): winnowing fingerprints, one kernel pass
       val k = intArg(args, 1, "graft_winnow")

@@ -60,6 +60,15 @@ object TextFns {
     (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
+  /** Unicode normalization (UTR #15) — native generated expression
+    * ([[graft.expressions.UnicodeNormalize]]); `form` ∈ NFC/NFD/NFKC/NFKD.
+    * The canonical first step before fingerprinting or shingling: composed
+    * and decomposed spellings of the same text must hash identically. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), form))
+
   /** Rolling-hash document fingerprint (content-addressed identity for
     * exact dedup): md5 of the canonicalized text. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))

@@ -361,6 +361,79 @@ object ApproxDedup {
           col("n_tokens").cast("double")).as("dup_fraction"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * in embedding space with the pair search PRUNED to k-means cells —
+    * vectors are compared only against others in the SAME cluster, so the
+    * candidate volume is Σ|cell|² instead of N² (the paper dedups
+    * multi-billion-vector corpora exactly this way, growing the cell count
+    * with the corpus to bound cell width). Cell assignment is the
+    * shuffle-free argmax projection of [[SimilaritySearch.withIvfCell]];
+    * the only shuffles key on the cell id (pair join) and vector id (label
+    * propagation). Mutually-similar vectors (cosine ≥ threshold,
+    * transitively within a cell) collapse to their lowest id via
+    * [[nearDupClusters]]; each vector reports its representative and an
+    * int 0/1 survival flag (reference has no embedding surface; ground
+    * truth is the exact intra-cell pair graph's transitive closure).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val reps = nearDupClusters(
+      semanticDedupPairs(emb, idCol, vecCol, centroids, threshold))
+    emb.select(col(idCol))
+      .join(reps.select(col("doc_id").as(idCol), col("cluster_id")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("rep_id"),
+        (coalesce(col("cluster_id"), col(idCol)) === col(idCol))
+          .cast("int").as("keep"))
+  }
+
+  /** The pair stage of [[semanticDedup]]: intra-cell candidate pairs above
+    * the cosine threshold. The only shuffle keys on the cell id (equi-join);
+    * candidate volume is Σ|cell|², never N². */
+  def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]],
+                         threshold: Double): DataFrame = {
+    val cells = SimilaritySearch.withIvfCell(emb, vecCol, centroids, "__cell")
+      .select(col("__cell"), col(idCol), col(vecCol).cast("array<double>").as("__ev"))
+    val a = cells.select(col("__cell"), col(idCol).as("id1"), col("__ev").as("ev1"))
+    val b = cells.select(col("__cell"), col(idCol).as("id2"), col("__ev").as("ev2"))
+    a.join(b, "__cell")
+      .where(col("id1") < col("id2"))
+      .where(graft.functions.VectorFns.cosine(col("ev1"), col("ev2")) >= threshold)
+      .select(col("id1"), col("id2"))
+  }
+
+  /** DuckDB oracle reproducing [[semanticDedup]] end-to-end: centroids
+    * re-derived by the deterministic `$idCol < n` rule, the same
+    * argmax cell assignment, exact intra-cell cosine pairs, and the pair
+    * graph's transitive closure via a recursive CTE. */
+  def semanticDedupOracleSql(table: String, idCol: String, vecCol: String,
+                             nCentroids: Int, threshold: Double): String =
+    s"""WITH RECURSIVE
+       e0 AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS cid, ev AS cvec FROM e0 WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ev, cid FROM (
+           SELECT e0.$idCol, e0.ev, c.cid,
+             row_number() OVER (PARTITION BY e0.$idCol
+               ORDER BY list_dot_product(e0.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.cid) AS rn
+           FROM e0, cents c) WHERE rn = 1),
+       p AS (
+         SELECT a.$idCol AS id1, b.$idCol AS id2
+         FROM asg a JOIN asg b ON a.cid = b.cid AND a.$idCol < b.$idCol
+         WHERE list_dot_product(a.ev, b.ev) /
+           (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(b.ev, b.ev))) >= $threshold),
+       ed AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+       reach(node, r) AS (
+         SELECT a, a FROM ed
+         UNION
+         SELECT reach.node, ed.b FROM reach JOIN ed ON reach.r = ed.a),
+       lab AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+       SELECT e0.$idCol, coalesce(lab.rep, e0.$idCol) AS rep_id,
+         CAST(CASE WHEN coalesce(lab.rep, e0.$idCol) = e0.$idCol THEN 1 ELSE 0 END AS INT) AS keep
+       FROM e0 LEFT JOIN lab ON lab.node = e0.$idCol
+       ORDER BY e0.$idCol"""
+
   /** Near-duplicate CLUSTERS from a pair list: connected components by
     * iterative min-label propagation (the hash-min variant of
     * large-star/small-star, Kiveris et al. 2014) — every document's label

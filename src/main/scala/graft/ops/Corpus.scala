@@ -185,6 +185,115 @@ object Corpus {
         col("n_rare").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** The 8-word stopword test set of the Gopher rules (Rae et al. 2021,
+    * §A1.1): a document counts a stopword once per DISTINCT member present. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule composite document quality filter (Rae et al. 2021 §A1.1;
+    * the C4/RefinedWeb rule family): per-document structural signals plus a
+    * keep decision and a deterministic comma-joined reject-reason string.
+    *
+    * Signals and default bounds (Gopher's):
+    *   - word count ∈ [minWords, maxWords] (50 … 100,000)
+    *   - mean word length ∈ [3, 10]
+    *   - ('#' + '…'-as-'...') symbols per word < 0.1
+    *   - lines starting with a bullet ('-'/'*') < 90 %
+    *   - lines ending in '...' < 30 %
+    *   - words containing an alphabetic character > 80 %
+    *   - ≥ 2 distinct members of [[gopherStopwords]]
+    *
+    * Everything is a pure codegen'd scan expression — zero shuffle at any
+    * scale — and every signal is integer counting plus ONE division, so
+    * signals and the decision replay bit-for-bit in an ANSI-SQL oracle.
+    * (The symbol ratio uses the integer-exact form (3·#hash + len∆)/3·words,
+    * algebraically identical to (#hash + #ellipsis)/words.)
+    */
+  def gopherQualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                          minWords: Long = 50L,
+                          maxWords: Long = 100000L): DataFrame = {
+    val txt   = trim(col(textCol))
+    val toks  = split(txt, "\\s+")
+    val lines = split(col(textCol), "\n")
+    val nWords = size(toks).cast("long")
+    val meanLen = aggregate(transform(toks, w => length(w)), lit(0),
+        (a, x) => a + x).cast("double") / nWords.cast("double")
+    val symbolNum = lit(3) * (length(txt) - length(translate(txt, "#", ""))) +
+      (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", "")))
+    val symbolRatio = symbolNum.cast("double") / (lit(3) * nWords).cast("double")
+    val bulletRatio = size(filter(lines, l =>
+        trim(l).startsWith("-") || trim(l).startsWith("*")))
+      .cast("double") / size(lines).cast("double")
+    val ellipsisRatio = size(filter(lines, l => trim(l).endsWith("...")))
+      .cast("double") / size(lines).cast("double")
+    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double")
+    val nStop = size(array_intersect(
+        array_distinct(transform(toks, w => lower(w))),
+        array(gopherStopwords.map(lit): _*))).cast("long")
+    val base = docs.select(col(idCol),
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
+      nStop.as("n_stopwords"))
+    val fails: Seq[(String, Column)] = Seq(
+      "word_count"       -> (col("n_words") < minWords || col("n_words") > maxWords),
+      "mean_word_length" -> (col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0),
+      "symbol_ratio"     -> (col("symbol_ratio") >= 0.1),
+      "bullet_lines"     -> (col("bullet_ratio") >= 0.9),
+      "ellipsis_lines"   -> (col("ellipsis_ratio") >= 0.3),
+      "alpha_words"      -> (col("alpha_ratio") <= 0.8),
+      "stopwords"        -> (col("n_stopwords") < 2))
+    base
+      .withColumn("keep", (!fails.map(_._2).reduce(_ || _)).cast("int"))
+      .withColumn("reject_reasons",
+        concat_ws(",", fails.map { case (n, c) => when(c, lit(n)) }: _*))
+  }
+
+  /** DuckDB oracle replaying [[gopherQualityFilter]] signal-for-signal. */
+  def gopherQualityFilterOracleSql(table: String, idCol: String,
+                                   textCol: String, minWords: Long = 50L,
+                                   maxWords: Long = 100000L): String = {
+    val stops = gopherStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH t0 AS (
+         SELECT $idCol, $textCol AS text, trim($textCol) AS txt,
+           string_split_regex(trim($textCol), '\\s+') AS toks,
+           string_split($textCol, chr(10)) AS lines
+         FROM $table),
+       sig AS (
+         SELECT $idCol,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           CAST(3 * (length(txt) - length(replace(txt, '#', '')))
+             + (length(txt) - length(regexp_replace(txt, '\\.\\.\\.', '', 'g'))) AS DOUBLE)
+             / CAST(3 * len(toks) AS DOUBLE) AS symbol_ratio,
+           CAST(len(list_filter(lines, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*'))) AS DOUBLE)
+             / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+           CAST(len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS DOUBLE)
+             / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+           CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
+           CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), $stops)) AS BIGINT) AS n_stopwords
+         FROM t0)
+       SELECT $idCol, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+         ellipsis_ratio, alpha_ratio, n_stopwords,
+         CAST(CASE WHEN (n_words < $minWords OR n_words > $maxWords)
+           OR (mean_word_len < 3.0 OR mean_word_len > 10.0)
+           OR symbol_ratio >= 0.1 OR bullet_ratio >= 0.9
+           OR ellipsis_ratio >= 0.3 OR alpha_ratio <= 0.8
+           OR n_stopwords < 2 THEN 0 ELSE 1 END AS INT) AS keep,
+         concat_ws(',',
+           CASE WHEN n_words < $minWords OR n_words > $maxWords THEN 'word_count' END,
+           CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_length' END,
+           CASE WHEN symbol_ratio >= 0.1 THEN 'symbol_ratio' END,
+           CASE WHEN bullet_ratio >= 0.9 THEN 'bullet_lines' END,
+           CASE WHEN ellipsis_ratio >= 0.3 THEN 'ellipsis_lines' END,
+           CASE WHEN alpha_ratio <= 0.8 THEN 'alpha_words' END,
+           CASE WHEN n_stopwords < 2 THEN 'stopwords' END) AS reject_reasons
+       FROM sig ORDER BY $idCol"""
+  }
+
   /** Top-k characteristic terms per document by tf·idf with the rational
     * idf = 1/df: `score = tf / df` — exactly representable arithmetic, so
     * rankings replay bit-for-bit on any engine (a logarithmic idf is a

@@ -44,6 +44,49 @@ object Sampling {
   def samplePredicate(id: Column, percent: Int, buckets: Int = 100): Column =
     hashBucket(id, buckets) < lit(percent.toLong)
 
+  /** Cluster-balanced diversity sample: the `perCell` deterministic
+    * representatives of every k-means cell — the cluster-coverage sampler
+    * for curation (take a few documents from EVERY semantic region instead
+    * of `percent` dominated by the head clusters; the SemDeDup/DSIR-style
+    * complement to uniform sampling). Cell assignment is the shuffle-free
+    * argmax projection of [[SimilaritySearch.withIvfCell]]; ranking inside
+    * a cell orders by md5(id) — the same engine-portable, append-stable
+    * coin as [[hashBucket]] — via one window partitioned by cell (per-cell
+    * state is bounded by cell width, which the centroid count controls).
+    */
+  def clusterSample(emb: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String, centroids: Seq[Seq[Double]],
+                    perCell: Int): org.apache.spark.sql.DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    SimilaritySearch.withIvfCell(emb, vecCol, centroids, "cell")
+      .select(col("cell"), col(idCol))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perCell)
+      .select(col("cell"), col(idCol))
+  }
+
+  /** DuckDB oracle reproducing [[clusterSample]]: centroids by the
+    * deterministic `$idCol < n` rule, the same argmax assignment, the same
+    * md5 within-cell order. */
+  def clusterSampleOracleSql(table: String, idCol: String, vecCol: String,
+                             nCentroids: Int, perCell: Int): String =
+    s"""WITH e0 AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS cid, ev AS cvec FROM e0 WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, cid AS cell FROM (
+           SELECT e0.$idCol, c.cid,
+             row_number() OVER (PARTITION BY e0.$idCol
+               ORDER BY list_dot_product(e0.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.cid) AS rn
+           FROM e0, cents c) WHERE rn = 1)
+       SELECT CAST(cell AS INT) AS cell, $idCol FROM (
+         SELECT $idCol, cell,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn
+         FROM asg) WHERE rn <= $perCell
+       ORDER BY cell, $idCol"""
+
   /** Stratified sample: a different keep-rate per stratum value (e.g.
     * downsample English to 10% while keeping all low-resource languages).
     * Same md5-bucket mechanics — a pure projection predicate, no

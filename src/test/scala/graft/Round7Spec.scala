@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ops.{ApproxDedup, Corpus, Sampling, SimilaritySearch}
+
+/** Round-7 operators: SemDeDup, cluster-balanced sampling, Unicode
+  * normalization, and the Gopher composite quality filter. */
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three tight groups around orthogonal directions + one singleton:
+  // near-identical vectors within a group, near-zero cosine across groups
+  private def vecs = {
+    val base = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val rows = for {
+      g <- base.indices
+      j <- 0 until 3
+    } yield {
+      val v = base(g).clone()
+      v((g + 1) % 4) += 0.01 * (j + 1) // tiny perturbation, cosine ~0.9999
+      ((g * 3 + j).toLong, v.map(_.toFloat))
+    }
+    (rows :+ (9L, Array(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+  }
+
+  private val axes: Seq[Seq[Double]] = Seq(
+    Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+    Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+
+  test("semanticDedup keeps one representative per tight group") {
+    val out = ApproxDedup.semanticDedup(vecs, "vec_id", "embedding", axes, 0.99)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 10)
+    // group members collapse to the group's lowest id
+    for (g <- 0 until 3; j <- 0 until 3) {
+      val (_, rep, keep) = out(g * 3 + j)
+      assert(rep == g * 3L, s"member ${g * 3 + j} must point at ${g * 3}")
+      assert(keep == (if (j == 0) 1 else 0))
+    }
+    // the singleton survives as its own representative
+    assert(out(9) == ((9L, 9L, 1)))
+  }
+
+  test("semanticDedup pair search never leaves a cell (no cross-cell pair shuffle)") {
+    // vectors in different cells with cosine 1.0 against each other would
+    // be missed by design — verify the cell pruning actually binds by
+    // checking the plan joins on the cell column
+    val cells = SimilaritySearch.withIvfCell(vecs, "embedding", axes, "__cell")
+    val plan = ApproxDedup.semanticDedupPairs(vecs, "vec_id", "embedding", axes, 0.99)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__cell"), "pair join must key on the cell id")
+    assert(!plan.toLowerCase.contains("cartesianproduct") &&
+           !plan.contains("Cross"), s"pair search must never cross join:\n$plan")
+    assert(cells.select("__cell").distinct().count() > 1)
+  }
+}
+
+class ClusterSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq.tabulate(60) { i =>
+    (i.toLong, Array(math.sin(i * 1.7), math.cos(i * 0.9),
+      (i % 7) / 7.0 - 0.5, (i % 11) / 11.0 - 0.5).map(_.toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("clusterSample keeps at most perCell rows per cell, deterministically") {
+    val cents = SimilaritySearch.sampleCentroids(vecs, "vec_id", "embedding", 4)
+    val s1 = Sampling.clusterSample(vecs, "vec_id", "embedding", cents, 3)
+      .orderBy($"cell", $"vec_id").as[(Int, Long)].collect()
+    val s2 = Sampling.clusterSample(vecs.repartition(7), "vec_id", "embedding", cents, 3)
+      .orderBy($"cell", $"vec_id").as[(Int, Long)].collect()
+    assert(s1.sameElements(s2), "membership must not depend on partitioning")
+    val perCell = s1.groupBy(_._1).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 3))
+    assert(perCell.values.sum == s1.length)
+  }
+
+  test("clusterSample covers every non-empty cell") {
+    val cents = SimilaritySearch.sampleCentroids(vecs, "vec_id", "embedding", 4)
+    val cells = SimilaritySearch.withIvfCell(vecs, "embedding", cents, "cell")
+      .select($"cell").distinct().as[Int].collect().toSet
+    val sampled = Sampling.clusterSample(vecs, "vec_id", "embedding", cents, 2)
+      .select($"cell").distinct().as[Int].collect().toSet
+    assert(sampled == cells, "every semantic region must contribute")
+  }
+}
+
+class UnicodeNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("NFC composes decomposed sequences; composed text is unchanged") {
+    val df = Seq(
+      (1L, "Cafe\u0301"),      // decomposed é
+      (2L, "Caf\u00e9"),       // precomposed é
+      (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val out = df.select($"id", TextFns.unicodeNormalize($"s").as("n"))
+      .orderBy($"id").as[(Long, String)].collect()
+    assert(out(0)._2 == "Caf\u00e9")
+    assert(out(1)._2 == "Caf\u00e9")
+    assert(out(2)._2 == "plain ascii")
+    assert(out(3)._2 == null)
+    // idempotent
+    val twice = df.select(TextFns.unicodeNormalize(
+      TextFns.unicodeNormalize($"s")).as("n")).orderBy($"n").collect()
+    assert(twice.length == 4)
+  }
+
+  test("NFKC folds compatibility characters (ﬁ ligature, fullwidth digits)") {
+    val out = Seq((1L, "\ufb01le \uff11\uff12")).toDF("id", "s")
+      .select(TextFns.unicodeNormalize($"s", "NFKC")).as[String].head()
+    assert(out == "file 12")
+  }
+
+  test("graft_nfc is callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_nfc('Cafe\u0301') AS n").as[String].head()
+    assert(r == "Caf\u00e9")
+  }
+}
+
+class QualityFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodText = {
+    // >= 50 words, mean length in [3,10], stopwords present, alphabetic
+    val s = "the quick brown fox jumps over that lazy dog with great energy and style "
+    (s * 5).trim
+  }
+
+  test("gopherQualityFilter passes normal prose and names each violated rule") {
+    val docs = Seq(
+      (1L, goodText),
+      (2L, "short text"),                               // word_count (+ stopwords)
+      (3L, ("#" * 30 + " word ") * 20 + goodText),      // symbol_ratio
+      (4L, (1 to 60).map(_ => "- bullet item").mkString("\n")), // bullet_lines
+      (5L, goodText.split(" ").map(_ => "12345").mkString(" ")) // alpha + stopwords
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherQualityFilter(docs, "doc_id", "text")
+      .select($"doc_id", $"keep", $"reject_reasons")
+      .orderBy($"doc_id").as[(Long, Int, String)].collect()
+    assert(out(0) == ((1L, 1, "")))
+    assert(out(1)._2 == 0 && out(1)._3.contains("word_count"))
+    assert(out(2)._2 == 0 && out(2)._3.contains("symbol_ratio"))
+    assert(out(3)._2 == 0 && out(3)._3.contains("bullet_lines"))
+    assert(out(4)._2 == 0 && out(4)._3.contains("alpha_words")
+      && out(4)._3.contains("stopwords"))
+  }
+
+  test("quality filter is a pure projection: no exchange in the plan") {
+    val docs = Seq((1L, goodText)).toDF("doc_id", "text")
+    val plan = Corpus.gopherQualityFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scan-local op must not shuffle:\n$plan")
+  }
+}
