@@ -347,6 +347,37 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── §1.1 pipe DAG (parents): raw → cleaned chain synced INCREMENTALLY.
+    // The child's source is the parent pipe read through the storage
+    // layer's partition-pruned bounded read; the second child sync re-reads
+    // only from its sync time minus the backtrack window. Batches split on
+    // the time axis so the incremental window covers all new rows (the
+    // reference's late-data contract).
+    "q_pipe_dag" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_dag").toString
+      val eng  = new SyncEngine(s, root)
+      val parent = PipeSpec(PipeKeys("dag", "raw"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val child = PipeSpec(PipeKeys("dag", "clean"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")),
+        parents = Seq(parent.keys))
+      val src = new graft.sources.PipeSource(eng, parent,
+        df => df.where(col("event_type") =!= "error")
+                .withColumn("value", col("value") * 2))
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+      val cut = lit(ts("2024-01-15 00:00:00"))
+      eng.sync(parent, ev.where(col("ts") < cut))
+      eng.fetchSync(child, src)
+      eng.sync(parent, ev.where(col("ts") >= cut))
+      eng.fetchSync(child, src)
+      eng.getData(child)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.1 SQL-definition (JDBC) source: the reference's primary ingest ─
     // Remote = embedded Derby seeded from the events table; the definition
     // is wrapped with pushed-down bounds + params and read with a
@@ -1286,6 +1317,42 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // ── LLM-pipeline: the IVF ANN index maintained INCREMENTALLY as a
+    // derived pipe — the cell column is stamped at ingest (shuffle-free
+    // projection), halves arrive through blind appends into a
+    // cell-partitioned pipe, and the probe reads ONLY the nProbe cells'
+    // partition directories. Incremental build == full rebuild, so the
+    // oracle is the standard IVF replay.
+    "q_ivf_index_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      def index(df: org.apache.spark.sql.DataFrame) =
+        SimilaritySearch.withIvfCell(df, "embedding", cents)
+          .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "ivf_cells_sync"),
+        columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
+      eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+      val probe = SimilaritySearch.ivfProbeCells(cents, q, nProbe = 4)
+      eng.storage(spec).readIn(probe.map(_.toLong))
+        .select(col("vec_id"), VectorFns.cosineToQuery(col("embedding"), q).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // ── §2.4 column profile (the ANALYZE surface): non-null / exact
+    // distinct / min / max per column in ONE aggregate pass.
+    "q_profile_stats" -> ((s, d) =>
+      graft.ops.Maintenance.profile(Tables.events(s, d),
+          Seq("event_id", "user_id", "value", "event_type"))
+        .orderBy(col("col_name"))),
+
     // ── SQL surface: the same engine functions resolved through the
     // FunctionRegistry (GraftFunctions.register / GraftExtensions), running
     // the native codegen'd expressions from a spark.sql query.
@@ -2072,6 +2139,19 @@ object SparkEntry {
            FROM tf JOIN df USING (token))
          SELECT doc_id, rank, token, tf, df, score FROM sc WHERE rank <= 3
          ORDER BY doc_id, rank""",
+
+    "q_pipe_dag" ->
+      """SELECT event_id, ts, user_id, event_type, value * 2 AS value
+         FROM events WHERE event_type <> 'error' ORDER BY event_id""",
+
+    "q_ivf_index_sync" ->
+      SimilaritySearch.ivfOracleSql("embeddings", "vec_id", "embedding",
+        nCentroids = 16, nProbe = 4, queryId = 0L, k = 10),
+
+    "q_profile_stats" ->
+      graft.ops.Maintenance.profileOracleSql("events",
+        Seq(("event_id", true), ("user_id", true), ("value", true),
+            ("event_type", false))),
 
     "q_minhash_index_sync" ->
       """WITH sh AS (

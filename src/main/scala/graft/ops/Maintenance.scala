@@ -152,4 +152,55 @@ object Maintenance {
     val src = engine.storage(from).read
     engine.sync(to, src)
   }
+
+  /** Column profile — the ANALYZE/statistics surface (reference exposes
+    * table size and distinct counts, §2.4; this is the per-column form a
+    * data engineer actually asks for): non-null count, exact distinct
+    * count, and min/max per column, in long format. ONE aggregate job —
+    * every statistic computes in the same pass with map-side partial
+    * aggregation; the exact distincts expand the input k-ways (Spark's
+    * multi-count-distinct plan), which is the right trade below ~1 TB —
+    * at 100 TB swap `approx_count_distinct` into the same shape.
+    * Numeric min/max surface as DOUBLE and others as canonical strings, so
+    * an engine-independent oracle compares exactly (no float-to-text
+    * formatting dependence). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile requires at least one column")
+    val numeric = df.schema.fields.map(f =>
+      f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_nd")) ++
+      (if (numeric(c))
+        Seq(min(col(c)).cast("double").as(s"${c}_mn"),
+            max(col(c)).cast("double").as(s"${c}_mx"))
+      else
+        Seq(min(col(c)).cast("string").as(s"${c}_mns"),
+            max(col(c)).cast("string").as(s"${c}_mxs")))
+    }
+    val rows = cols.map { c =>
+      if (numeric(c))
+        s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+      else
+        s"'$c', ${c}_nn, ${c}_nd, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ${c}_mns, ${c}_mxs"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $rows)")
+        .as(Seq("col_name", "n_nonnull", "n_distinct",
+                "min_num", "max_num", "min_str", "max_str")))
+  }
+
+  /** DuckDB oracle replaying [[profile]] as one UNION ALL branch per column. */
+  def profileOracleSql(table: String, cols: Seq[(String, Boolean)]): String =
+    cols.map { case (c, isNum) =>
+      val (mn, mx, mns, mxs) =
+        if (isNum) (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+                    "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+              s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      s"""SELECT '$c' AS col_name, CAST(count($c) AS BIGINT) AS n_nonnull,
+         CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
+         FROM $table"""
+    }.mkString(" UNION ALL ") + " ORDER BY col_name"
 }

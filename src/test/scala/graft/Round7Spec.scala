@@ -160,3 +160,23 @@ class QualityFilterSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"scan-local op must not shuffle:\n$plan")
   }
 }
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile: one aggregate pass, nulls excluded, typed min/max slots") {
+    val df = Seq(
+      (1L, Some("a"), Some(2.5)),
+      (2L, None, Some(-1.0)),
+      (3L, Some("b"), None),
+      (4L, Some("a"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val out = graft.ops.Maintenance.profile(df, Seq("id", "s", "v"))
+      .orderBy($"col_name")
+      .as[(String, Long, Long, Option[Double], Option[Double], Option[String], Option[String])]
+      .collect()
+    assert(out(0) == (("id", 4L, 4L, Some(1.0), Some(4.0), None, None)))
+    assert(out(1) == (("s", 3L, 2L, None, None, Some("a"), Some("b"))))
+    assert(out(2) == (("v", 3L, 2L, Some(-1.0), Some(2.5), None, None)))
+  }
+}
