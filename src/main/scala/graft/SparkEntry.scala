@@ -629,6 +629,61 @@ object SparkEntry {
       eng.getData(spec).select(col("fp")).orderBy(col("fp"))
     }),
 
+    // ── §2.9 streaming sessionization e2e: Spark `session_window` + water-
+    // mark, drained with AvailableNow. Two far-future sentinel batches
+    // (maxFilesPerTrigger=1) advance the watermark past every real
+    // session's end, so append mode flushes them all deterministically —
+    // emission in batch N uses the watermark from batch N-1, so the LAST
+    // data batch must lie beyond (every session end + delay). The oracle is
+    // the batch gaps-and-islands form with session_window's boundary rule
+    // (diff >= gap starts a session; end = last event + gap).
+    "q_streaming_sessions" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ssess").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "sessions"),
+        columns = ColumnRoles(Map("datetime" -> "session_start", "id" -> "user_id")))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Tables.path(d, "events")),
+        java.nio.file.Paths.get(s"$srcDir/a_events.parquet"))
+      // sentinel rows (user_id = -1) at 2030/2031: same raw schema, staged
+      // as later files so each lands in its own micro-batch
+      def stageSentinel(year: Int, idx: Int): Unit = {
+        val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+        val tmp = s"$root/sent_$idx"
+        s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
+          .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
+          .coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$srcDir/z_sentinel_$idx.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + idx * 10000L))
+      }
+      stageSentinel(2030, 1)
+      stageSentinel(2031, 2)
+      val schema = s.read.parquet(s"$srcDir/a_events.parquet").schema
+      val stream = graft.streaming.StreamingSync.parquetStream(
+        s, srcDir, schema, maxFilesPerTrigger = Some(1))
+      val sessions = graft.streaming.StreamingSync.sessionCounts(
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        "ts", "user_id", gap = "4 hours", delay = "1 minute")
+      val q = graft.streaming.StreamingSync.run(eng, spec, sessions,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(spec).where(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_start").cast(TimestampNTZType).as("session_start"),
+          col("session_end").cast(TimestampNTZType).as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ── LLM-pipeline: text analysis ──────────────────────────────────────
     "q_doc_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -711,6 +766,21 @@ object SparkEntry {
           planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
           bands = 4, threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
+
+    // ── LLM-pipeline: SEMANTIC decontamination — cross-set embedding
+    // near-dups (paraphrased benchmark leakage that n-gram overlap misses).
+    // The benchmark slice broadcasts through both the band join and the
+    // verify; the corpus never shuffles.
+    "q_semantic_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      ApproxDedup.embeddingCrossNearDups(
+          emb.where(col("vec_id") % 10 =!= 0), "vec_id",
+          emb.where(col("vec_id") % 10 === 0), "vec_id",
+          "embedding",
+          planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
+          bands = 6, threshold = 0.3)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
 
     // ── LLM-pipeline: similarity search over embeddings ─────────────────
     "q_embedding_topk" -> ((s, d) => {
@@ -1746,6 +1816,12 @@ object SparkEntry {
       ApproxDedup.embeddingNearDupsOracleSql("embeddings", "vec_id", "embedding",
         SimilaritySearch.srpPlanes(dim = 64, nBits = 24), bands = 4, threshold = 0.45),
 
+    "q_semantic_decontaminate" ->
+      ApproxDedup.embeddingCrossNearDupsOracleSql("embeddings", "vec_id",
+        "embedding", SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
+        bands = 6, threshold = 0.3,
+        corpusPred = "vec_id % 10 <> 0", benchPred = "vec_id % 10 = 0"),
+
     "q_embedding_ann_lsh" ->
       SimilaritySearch.lshOracleSql("embeddings", "vec_id", "embedding",
         SimilaritySearch.srpPlanes(dim = 64, nBits = 12), queryId = 0L,
@@ -1941,6 +2017,23 @@ object SparkEntry {
          SELECT user_id, session_idx, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "q_streaming_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 14400000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 4 HOUR AS session_end,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
 
     "q_range_join" ->
       """WITH o AS (

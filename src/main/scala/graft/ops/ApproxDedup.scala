@@ -361,6 +361,78 @@ object ApproxDedup {
           col("n_tokens").cast("double")).as("dup_fraction"))
   }
 
+  /** Cross-set embedding near-dups — SEMANTIC decontamination, the
+    * embedding-space complement of [[Corpus.decontaminate]]'s n-gram
+    * overlap (paraphrased benchmark leakage that shares no 8-gram still
+    * lands next to the benchmark item in embedding space). Corpus rows
+    * whose cosine against any benchmark vector reaches the threshold are
+    * flagged with the offending benchmark id.
+    *
+    * Shape: SRP band equi-join between the two sets — never a cross join —
+    * and the benchmark side (small by definition: eval sets) broadcasts in
+    * both the candidate join and the exact-cosine verify, so the corpus
+    * never shuffles. */
+  def embeddingCrossNearDups(corpus: DataFrame, corpusId: String,
+                             bench: DataFrame, benchId: String,
+                             vecCol: String, planes: Seq[Seq[Double]],
+                             bands: Int, threshold: Double): DataFrame = {
+    val nBits = planes.size
+    require(nBits % bands == 0, "bands must divide the signature width")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, id: String, as: String) =
+      df.select(col(id).as(as),
+          graft.functions.VectorFns.srpSignaturePlanes(col(vecCol), planes).as("sig"))
+        .select(col(as), posexplode(array((0 until bands).map(b =>
+            shiftright(col("sig"), b * r).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cands = banded(corpus, corpusId, "corpus_id")
+      .join(broadcast(banded(bench, benchId, "bench_id")), Seq("band", "bv"))
+      .select("corpus_id", "bench_id").distinct()
+    val ce = corpus.select(col(corpusId).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val be = bench.select(col(benchId).as("bench_id"),
+      col(vecCol).cast("array<double>").as("__bv"))
+    cands.join(ce, "corpus_id").join(broadcast(be), "bench_id")
+      .withColumn("cosine",
+        graft.functions.VectorFns.cosine(col("__cv"), col("__bv")))
+      .where(col("cosine") >= threshold)
+      .select(col("corpus_id"), col("bench_id"), col("cosine"))
+  }
+
+  /** DuckDB oracle reproducing [[embeddingCrossNearDups]] end-to-end from
+    * the same hyperplanes; `corpusPred`/`benchPred` carve the two sets out
+    * of one table. */
+  def embeddingCrossNearDupsOracleSql(table: String, idCol: String,
+                                      vecCol: String, planes: Seq[Seq[Double]],
+                                      bands: Int, threshold: Double,
+                                      corpusPred: String,
+                                      benchPred: String): String = {
+    val nBits = planes.size
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(ev, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT $idCol, $b AS band, (sig >> ${b * r}) & $mask AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       sig AS (SELECT $idCol, $sigExpr AS sig FROM e),
+       bands AS ($bandSelects),
+       cb AS (SELECT * FROM bands WHERE $corpusPred),
+       bb AS (SELECT * FROM bands WHERE $benchPred),
+       cand AS (
+         SELECT DISTINCT c.$idCol AS corpus_id, b.$idCol AS bench_id
+         FROM cb c JOIN bb b ON c.band = b.band AND c.bv = b.bv)
+       SELECT cand.corpus_id, cand.bench_id,
+         list_dot_product(e1.ev, e2.ev) /
+         (sqrt(list_dot_product(e1.ev, e1.ev)) * sqrt(list_dot_product(e2.ev, e2.ev))) AS cosine
+       FROM cand JOIN e e1 ON cand.corpus_id = e1.$idCol
+                 JOIN e e2 ON cand.bench_id = e2.$idCol
+       WHERE cosine >= $threshold ORDER BY corpus_id, bench_id"""
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     * in embedding space with the pair search PRUNED to k-means cells —
     * vectors are compared only against others in the SAME cluster, so the

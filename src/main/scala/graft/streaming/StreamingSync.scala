@@ -72,8 +72,14 @@ object StreamingSync {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val r = engine.sync(spec, transform(batch), checkExisting = checkExisting)
-        results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
+        // watermark-driven sinks legitimately produce empty micro-batches
+        // (nothing finalized yet / no-data flush ticks) — syncing one would
+        // create a zero-file parquet table that poisons the next read
+        val b = transform(batch)
+        if (!b.isEmpty) {
+          val r = engine.sync(spec, b, checkExisting = checkExisting)
+          results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
+        }
         ()
       }
       .start()
