@@ -1423,6 +1423,38 @@ object SparkEntry {
           Seq("event_id", "user_id", "value", "event_type"))
         .orderBy(col("col_name"))),
 
+    // ── §2.4 equi-width histogram: bounds aggregate + ONE binned hash
+    // aggregate (shuffles `bins` rows at any scale).
+    "q_histogram" -> ((s, d) =>
+      graft.ops.Maintenance.histogram(Tables.events(s, d), "value", bins = 20)
+        .orderBy(col("bin"))),
+
+    // ── LLM-pipeline FLAGSHIP COMPOSITION: normalize → quality-filter →
+    // exact-dedup → split + token count, all stages chained as one lazy
+    // plan (normalize and filter fuse into the scan; dedup is the only
+    // shuffle; split is a projection). The oracle replays the whole chain.
+    "q_curation_pipeline" -> ((s, d) => {
+      val normalized = Tables.documents(s, d)
+        .withColumn("text", TextFns.unicodeNormalize(col("text")))
+      // bounds tuned to the synthetic corpus (random word soup carries no
+      // English stopwords); the rule set and plan shape are the production
+      // ones — only thresholds move
+      val kept = normalized.join(
+        graft.ops.Corpus.gopherQualityFilter(normalized, "doc_id", "text",
+            minWords = 20, maxWords = 100000, minStopwords = 0)
+          .where(col("keep") === 1).select("doc_id"),
+        "doc_id")
+      val survivors = kept
+        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      kept.join(survivors.select("doc_id"), "doc_id")
+        .select(col("doc_id"),
+          graft.ops.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
+          TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── SQL surface: the same engine functions resolved through the
     // FunctionRegistry (GraftFunctions.register / GraftExtensions), running
     // the native codegen'd expressions from a spark.sql query.
@@ -2245,6 +2277,31 @@ object SparkEntry {
       graft.ops.Maintenance.profileOracleSql("events",
         Seq(("event_id", true), ("user_id", true), ("value", true),
             ("event_type", false))),
+
+    "q_histogram" ->
+      graft.ops.Maintenance.histogramOracleSql("events", "value", bins = 20),
+
+    "q_curation_pipeline" -> {
+      val cte = graft.ops.Corpus.gopherSignalsCte(
+        "(SELECT doc_id, nfc_normalize(text) AS text FROM documents)",
+        "doc_id", "text")
+      s"""WITH $cte,
+         kept AS (
+           SELECT t0.doc_id, t0.text FROM t0 JOIN sig USING (doc_id)
+           WHERE NOT (${graft.ops.Corpus.gopherRejectSql(20, 100000, 0)})),
+         surv AS (
+           SELECT min(doc_id) AS doc_id
+           FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM kept)
+           GROUP BY fp),
+         sel AS (
+           SELECT k.doc_id, k.text,
+             CAST(('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+           FROM kept k JOIN surv USING (doc_id))
+         SELECT doc_id,
+           CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         FROM sel ORDER BY doc_id"""
+    },
 
     "q_minhash_index_sync" ->
       """WITH sh AS (

@@ -211,7 +211,8 @@ object Corpus {
     */
   def gopherQualityFilter(docs: DataFrame, idCol: String, textCol: String,
                           minWords: Long = 50L,
-                          maxWords: Long = 100000L): DataFrame = {
+                          maxWords: Long = 100000L,
+                          minStopwords: Int = 2): DataFrame = {
     val txt   = trim(col(textCol))
     val toks  = split(txt, "\\s+")
     val lines = split(col(textCol), "\n")
@@ -243,19 +244,18 @@ object Corpus {
       "bullet_lines"     -> (col("bullet_ratio") >= 0.9),
       "ellipsis_lines"   -> (col("ellipsis_ratio") >= 0.3),
       "alpha_words"      -> (col("alpha_ratio") <= 0.8),
-      "stopwords"        -> (col("n_stopwords") < 2))
+      "stopwords"        -> (col("n_stopwords") < minStopwords))
     base
       .withColumn("keep", (!fails.map(_._2).reduce(_ || _)).cast("int"))
       .withColumn("reject_reasons",
         concat_ws(",", fails.map { case (n, c) => when(c, lit(n)) }: _*))
   }
 
-  /** DuckDB oracle replaying [[gopherQualityFilter]] signal-for-signal. */
-  def gopherQualityFilterOracleSql(table: String, idCol: String,
-                                   textCol: String, minWords: Long = 50L,
-                                   maxWords: Long = 100000L): String = {
+  /** The signal CTEs of the Gopher oracle (t0 + sig), shared by the
+    * standalone oracle and composed-pipeline oracles. */
+  def gopherSignalsCte(table: String, idCol: String, textCol: String): String = {
     val stops = gopherStopwords.map(s => s"'$s'").mkString("[", ",", "]")
-    s"""WITH t0 AS (
+    s"""t0 AS (
          SELECT $idCol, $textCol AS text, trim($textCol) AS txt,
            string_split_regex(trim($textCol), '\\s+') AS toks,
            string_split($textCol, chr(10)) AS lines
@@ -275,14 +275,28 @@ object Corpus {
            CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
              / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
            CAST(len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))), $stops)) AS BIGINT) AS n_stopwords
-         FROM t0)
+         FROM t0)"""
+  }
+
+  /** The reject condition over a `sig` row (composes with
+    * [[gopherSignalsCte]]). */
+  def gopherRejectSql(minWords: Long = 50L, maxWords: Long = 100000L,
+                      minStopwords: Int = 2): String =
+    s"""(n_words < $minWords OR n_words > $maxWords)
+       OR (mean_word_len < 3.0 OR mean_word_len > 10.0)
+       OR symbol_ratio >= 0.1 OR bullet_ratio >= 0.9
+       OR ellipsis_ratio >= 0.3 OR alpha_ratio <= 0.8
+       OR n_stopwords < $minStopwords"""
+
+  /** DuckDB oracle replaying [[gopherQualityFilter]] signal-for-signal. */
+  def gopherQualityFilterOracleSql(table: String, idCol: String,
+                                   textCol: String, minWords: Long = 50L,
+                                   maxWords: Long = 100000L): String =
+    s"""WITH ${gopherSignalsCte(table, idCol, textCol)}
        SELECT $idCol, n_words, mean_word_len, symbol_ratio, bullet_ratio,
          ellipsis_ratio, alpha_ratio, n_stopwords,
-         CAST(CASE WHEN (n_words < $minWords OR n_words > $maxWords)
-           OR (mean_word_len < 3.0 OR mean_word_len > 10.0)
-           OR symbol_ratio >= 0.1 OR bullet_ratio >= 0.9
-           OR ellipsis_ratio >= 0.3 OR alpha_ratio <= 0.8
-           OR n_stopwords < 2 THEN 0 ELSE 1 END AS INT) AS keep,
+         CAST(CASE WHEN ${gopherRejectSql(minWords, maxWords)}
+           THEN 0 ELSE 1 END AS INT) AS keep,
          concat_ws(',',
            CASE WHEN n_words < $minWords OR n_words > $maxWords THEN 'word_count' END,
            CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'mean_word_length' END,
@@ -292,7 +306,6 @@ object Corpus {
            CASE WHEN alpha_ratio <= 0.8 THEN 'alpha_words' END,
            CASE WHEN n_stopwords < 2 THEN 'stopwords' END) AS reject_reasons
        FROM sig ORDER BY $idCol"""
-  }
 
   /** Top-k characteristic terms per document by tf·idf with the rational
     * idf = 1/df: `score = tf / df` — exactly representable arithmetic, so

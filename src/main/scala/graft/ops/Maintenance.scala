@@ -190,6 +190,39 @@ object Maintenance {
                 "min_num", "max_num", "min_str", "max_str")))
   }
 
+  /** Equi-width histogram of a numeric column — the distribution half of
+    * the ANALYZE surface. Two jobs: one min/max aggregate for the bounds,
+    * then ONE hash aggregate over the bin index (map-side combined; 100 TB
+    * shuffles `bins` rows). The bin arithmetic is a fixed IEEE expression
+    * shared with the oracle generator, so counts replay exactly; the top
+    * edge clamps into the last bin. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(c).cast("double")
+    val b = df.agg(min(v), max(v)).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    val width = (hi - lo) / bins
+    val bin = (if (width == 0.0) lit(0)
+               else least(floor((v - lit(lo)) / lit(width)), lit(bins - 1L)))
+      .cast("int")
+    df.where(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("bin"), (lit(lo) + col("bin") * lit(width)).as("bin_lo"), col("cnt"))
+  }
+
+  /** DuckDB oracle replaying [[histogram]] with the bounds re-derived in
+    * SQL and the identical bin arithmetic. */
+  def histogramOracleSql(table: String, c: String, bins: Int): String =
+    s"""WITH b AS (SELECT min(CAST($c AS DOUBLE)) AS lo, max(CAST($c AS DOUBLE)) AS hi FROM $table),
+       h AS (
+         SELECT CAST(CASE WHEN hi = lo THEN 0
+             ELSE least(floor((CAST($c AS DOUBLE) - lo) / ((hi - lo) / $bins)), $bins - 1) END AS INT) AS bin,
+           count(*) AS cnt
+         FROM $table, b WHERE $c IS NOT NULL GROUP BY 1)
+       SELECT bin, CAST(lo + bin * ((hi - lo) / $bins) AS DOUBLE) AS bin_lo, cnt
+       FROM h, b ORDER BY bin"""
+
   /** DuckDB oracle replaying [[profile]] as one UNION ALL branch per column. */
   def profileOracleSql(table: String, cols: Seq[(String, Boolean)]): String =
     cols.map { case (c, isNum) =>

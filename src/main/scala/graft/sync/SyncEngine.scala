@@ -356,7 +356,11 @@ final class SyncEngine(spark: SparkSession, root: String,
                                envelope: Option[(Any, Any)],
                                diff: Boolean): DataFrame = {
     val backtrack = backtrackSlice(spec, store, target, envelope)
-    if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag)
+    // hot-key pipes opt into a salted diff join (extras.skew_salt = N):
+    // the deterministic form of skew mitigation for the hash-join path
+    // AQE's sort-merge-only skew handling can't reach
+    val salt = spec.extras.get("skew_salt").map(_.toInt).getOrElse(1)
+    if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag, salt)
     else {
       // backtrack keys aliased before the join — batch and backtrack can
       // share lineage (see Diff's bkKeys rationale)

@@ -180,3 +180,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Unicode-normalization kernel laws (pure JVM kernel — the expression's
+  * eval and codegen both call it, so these cover the engine behavior). */
+class UnicodeNormalizePropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def nfc(s: String): String =
+    graft.expressions.UnicodeNormalizeKernel.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      java.text.Normalizer.Form.NFC).toString
+
+  // strings mixing ASCII, Latin-1 letters, and combining marks
+  private val gen: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf('\u00e9', '\u00fc', '\u00f1', '\u00e5'),
+    2 -> Gen.oneOf('\u0301', '\u0308', '\u0303', '\u030a'),
+    1 -> Gen.oneOf(' ', '.', '-'))).map(_.mkString)
+
+  test("NFC is idempotent and stable in codepoint count") {
+    check(forAll(gen) { s =>
+      val once = nfc(s)
+      nfc(once) == once &&
+        once.codePointCount(0, once.length) <= s.codePointCount(0, s.length)
+    })
+  }
+
+  test("NFC preserves canonical equivalence classes (decomposed == composed)") {
+    check(forAll(Gen.alphaStr) { s =>
+      nfc(s + "é") == nfc(s + "é")
+    })
+  }
+}

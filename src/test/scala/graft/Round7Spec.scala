@@ -180,3 +180,66 @@ class ProfileSpec extends SparkSpec {
     assert(out(2) == (("v", 3L, 2L, Some(-1.0), Some(2.5), None, None)))
   }
 }
+
+class SkewWiringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted tagExisting equals the unsalted split exactly") {
+    val existing = Seq.tabulate(200)(i => (i.toLong % 5, i.toLong, s"old$i"))
+      .toDF("hot_key", "sub_id", "payload")
+    val incoming = Seq.tabulate(300)(i => (i.toLong % 5, i.toLong, s"new$i"))
+      .toDF("hot_key", "sub_id", "payload")
+    val keys = Seq("hot_key", "sub_id")
+    def collectTags(salt: Int) =
+      graft.ops.Diff.tagExisting(incoming, existing, keys, salt = salt)
+        .orderBy($"hot_key", $"sub_id")
+        .select($"hot_key", $"sub_id", $"__graft_update")
+        .as[(Long, Long, Boolean)].collect().toSeq
+    assert(collectTags(8) == collectTags(1))
+  }
+
+  test("spec extras.skew_salt routes through a full sync without changing results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_salt").toString
+    val eng = new graft.sync.SyncEngine(spark, root)
+    def spec(name: String, extras: Map[String, String]) = graft.catalog.PipeSpec(
+      graft.catalog.PipeKeys("skew", name),
+      columns = graft.catalog.ColumnRoles(
+        Map("datetime" -> "ts", "id" -> "k")),
+      extras = extras)
+    val mk = (off: Int) => Seq.tabulate(500) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"),
+       (i % 3).toLong, (i + off).toLong)
+    }.toDF("ts", "k", "v")
+    for ((name, ex) <- Seq(("plain", Map.empty[String, String]),
+                           ("salted", Map("skew_salt" -> "6")))) {
+      val sp = spec(name, ex)
+      eng.sync(sp, mk(0))
+      eng.sync(sp, mk(1000)) // same keys → updates
+    }
+    val a = eng.getData(spec("plain", Map.empty)).orderBy($"ts", $"k")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    val b = eng.getData(spec("salted", Map("skew_salt" -> "6"))).orderBy($"ts", $"k")
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+}
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram bins partition the value range; counts sum to non-null rows") {
+    val df = (Seq.tabulate(100)(i => Some(i.toDouble)) :+ None).toDF("v")
+    val h = graft.ops.Maintenance.histogram(df, "v", 10)
+      .orderBy($"bin").as[(Int, Double, Long)].collect()
+    assert(h.map(_._3).sum == 100)
+    assert(h.map(_._1).toSeq == (0 until 10))
+    assert(h.forall(_._3 == 10)) // uniform data, equi-width bins
+    assert(h.head._2 == 0.0 && h.last._2 == 9 * (99.0 / 10))
+  }
+
+  test("constant column lands in one bin") {
+    val h = graft.ops.Maintenance.histogram(
+      Seq(5.0, 5.0, 5.0).toDF("v"), "v", 4).collect()
+    assert(h.length == 1 && h.head.getLong(2) == 3)
+  }
+}
