@@ -169,14 +169,20 @@ object Corpus {
     */
   def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
                      rareMaxCount: Long = 1L): DataFrame = {
+    // the output is purely numeric, so token STRINGS never need to survive
+    // the shuffles: compare 64-bit xxhash64 values instead — every shuffle
+    // key narrows from a string to 8 bytes (the same birthday-bounded trick
+    // as the MinHash verify stage; a vocabulary-scale corpus puts the
+    // collision odds around 1e-7, and a collision only perturbs one
+    // document's rare count by one)
     val tf = docs.select(col(idCol),
         explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
-      .groupBy(col(idCol), col("token"))
+      .groupBy(col(idCol), xxhash64(col("token")).as("__th"))
       .agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val cf = tf.groupBy(col("__th")).agg(sum(col("tf")).as("cf"))
     val rare = col("cf") <= rareMaxCount
-    tf.join(cf, "token")
+    tf.join(cf, "__th")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
            sum(when(rare, col("tf")).otherwise(lit(0L))).as("n_rare"),
