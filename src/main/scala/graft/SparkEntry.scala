@@ -684,6 +684,35 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ── §2.9 stateful per-id sync-time bookkeeping as STREAMING state:
+    // one GroupState[Long] (µs) per id via flatMapGroupsWithState, emitted
+    // on advance, upserted into a bookmark pipe keyed on the id. The final
+    // table equals the batch `max(ts) GROUP BY id` — the oracle.
+    "q_streaming_synctimes" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_sst").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "synctimes"),
+        columns = ColumnRoles(Map("datetime" -> "st", "primary" -> "user_id")))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Tables.path(d, "events")),
+        java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val st = graft.streaming.StreamingSync.runningSyncTimes(
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          "user_id", "ts")
+        .toDF("user_id", "st")
+      val q = graft.streaming.StreamingSync.run(eng, spec, st, s"$root/ckpt",
+        outputMode = Some("update"))
+      q.awaitTermination()
+      eng.getData(spec)
+        .select(col("user_id"), col("st").cast(TimestampNTZType).as("st"))
+        .orderBy(col("user_id"))
+    }),
+
     // ── LLM-pipeline: text analysis ──────────────────────────────────────
     "q_doc_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -2049,6 +2078,10 @@ object SparkEntry {
          SELECT user_id, session_idx, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+
+    "q_streaming_synctimes" ->
+      """SELECT user_id, max(ts) AS st FROM events GROUP BY user_id
+         ORDER BY user_id""",
 
     "q_streaming_sessions" ->
       """WITH o AS (

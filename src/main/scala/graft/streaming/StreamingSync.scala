@@ -66,11 +66,14 @@ object StreamingSync {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       transform: DataFrame => DataFrame = identity,
-      checkExisting: Boolean = true): StreamingQuery = {
+      checkExisting: Boolean = true,
+      outputMode: Option[String] = None): StreamingQuery = {
     val results = new java.util.concurrent.atomic.AtomicReference(SyncResult(0, 0))
-    stream.writeStream
+    val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
+    outputMode.foreach(writer.outputMode) // e.g. "update" for *GroupsWithState
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // watermark-driven sinks legitimately produce empty micro-batches
         // (nothing finalized yet / no-data flush ticks) — syncing one would
@@ -117,11 +120,18 @@ object StreamingSync {
       .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (id: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
-          val incoming = rows.map(_._2.getTime).max
-          val prior    = state.getOption.getOrElse(Long.MinValue)
+          // state in MICROseconds: Timestamp.getTime truncates to millis,
+          // which both corrupts the emitted bookmark and can mis-order two
+          // events inside the same millisecond
+          val incoming = rows.map { r =>
+            val i = r._2.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }.max
+          val prior = state.getOption.getOrElse(Long.MinValue)
           if (incoming > prior) {
             state.update(incoming)
-            Iterator((id, new java.sql.Timestamp(incoming)))
+            Iterator((id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              incoming / 1000000L, (incoming % 1000000L) * 1000L))))
           } else Iterator.empty
       }
   }
