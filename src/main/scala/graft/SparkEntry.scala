@@ -1218,6 +1218,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── as-of join, FORWARD direction with a tolerance window (pandas
+    // merge_asof surface): each purchase picks up the NEXT click within
+    // 2 hours — same single-shuffle union+window machinery on the negated
+    // axis; beyond-tolerance matches null out, rows stay.
+    "q_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      graft.ops.Relational.asofJoin(purchases, clicks, Seq("user_id"),
+          "ts", "ts", rightPayload = Seq("click_id"),
+          rightOrder = Seq("click_id"),
+          direction = "forward", toleranceUs = Some(2L * 3600 * 1000000))
+        .orderBy(col("event_id"))
+    }),
+
     // ── gap-based sessionization (4h inactivity): lag + running sum, one
     // shuffle on the session key; gap compared in exact integer micros.
     "q_sessionize" -> ((s, d) =>
@@ -2061,6 +2078,24 @@ object SparkEntry {
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, ts, value, m_click_id AS click_id,
                 m_click_value AS click_value
+         FROM m WHERE side = 1 ORDER BY event_id""",
+
+    "q_asof_tolerance" ->
+      """WITH t AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+         q AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type='click'),
+         u AS (
+           SELECT user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS click_id,
+                  CAST(NULL AS TIMESTAMP) AS rts, event_id FROM t
+           UNION ALL
+           SELECT user_id, ts, 0, click_id, ts, NULL FROM q),
+         m AS (
+           SELECT *, last_value(click_id IGNORE NULLS) OVER w AS m_click_id,
+                     last_value(rts IGNORE NULLS) OVER w AS m_rts
+           FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, click_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts,
+           CASE WHEN m_rts IS NOT NULL AND epoch_us(m_rts) - epoch_us(ts) <= 7200000000
+                THEN m_click_id END AS click_id
          FROM m WHERE side = 1 ORDER BY event_id""",
 
     "q_sessionize" ->

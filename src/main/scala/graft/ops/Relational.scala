@@ -39,36 +39,65 @@ object Relational {
     * carries the latest right payload forward onto each left row:
     * one shuffle on `keys`, no join node at all.
     */
+  /** Axis value in exact integer micros (timestamps) or as-is (numeric
+    * epoch axes) — ordering and tolerance arithmetic must not round. */
+  private def axisUs(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        graft.dsl.RoundTime.epochMicros(col(c))
+      case _ => col(c).cast("long")
+    }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightPayload: Seq[String], rightOrder: Seq[String] = Nil,
-               inclusive: Boolean = true): DataFrame = {
+               inclusive: Boolean = true,
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
     val leftCols  = left.columns.toSeq
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    // `forward` (nearest right row AT/AFTER the left row) is the backward
+    // join on the NEGATED axis: micros negate exactly, the window machinery
+    // is untouched. `toleranceUs` nulls the payload when the matched right
+    // row is further than the bound (pandas merge_asof semantics).
+    val sign = if (direction == "backward") 1L else -1L
     // side ordering encodes the bound: inclusive puts right rows BEFORE the
     // left row at the same timestamp (visible), strict puts them after
     val rightSide = if (inclusive) 0 else 2
     val ordCols   = if (rightOrder.nonEmpty) rightOrder else rightPayload
     val l = left.select(
       keys.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(1).as("__side"),
+        (axisUs(left, leftTime) * sign).as("__t"), lit(1).as("__side"),
         nullOf(right.schema, ordCols).as("__ord"),
+        lit(null).cast("long").as("__rt"),
         nullOf(right.schema, rightPayload).as("__pay"),
         struct(leftCols.map(col): _*).as("__row")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(rightSide).as("__side"),
+        (axisUs(right, rightTime) * sign).as("__t"), lit(rightSide).as("__side"),
         struct(ordCols.map(col): _*).as("__ord"),
+        (axisUs(right, rightTime) * sign).as("__rt"),
         struct(rightPayload.map(col): _*).as("__pay"),
         nullOf(left.schema, leftCols).as("__row")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
+    val matched = r.unionByName(l)
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .withColumn("__mt", last(col("__rt"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(c => col("__row").getField(c).as(c)) ++
-              rightPayload.map(c => col("__match").getField(c).as(c)): _*)
+    // signed distance left − matched-right is ≥ 0 by construction in both
+    // directions; beyond the tolerance the match nulls out, the row stays
+    val inTol = toleranceUs match {
+      case None    => lit(true)
+      case Some(t) => col("__mt").isNotNull && (col("__t") - col("__mt")) <= t
+    }
+    matched.select(leftCols.map(c => col("__row").getField(c).as(c)) ++
+      rightPayload.map(c =>
+        when(inTol, col("__match").getField(c)).as(c)): _*)
   }
 
   /** Point-in-interval range join, bucketized: match every `points` row

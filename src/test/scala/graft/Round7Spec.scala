@@ -243,3 +243,44 @@ class HistogramSpec extends SparkSpec {
     assert(h.length == 1 && h.head.getLong(2) == 3)
   }
 }
+
+class AsofVariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+  private val lhs = Seq((1L, 10L, ts(10)), (2L, 10L, ts(30)), (3L, 20L, ts(5)))
+    .toDF("id", "k", "t")
+  private val rhs = Seq((100L, 10L, ts(8)), (101L, 10L, ts(10)),
+                        (102L, 10L, ts(45)), (103L, 20L, ts(50)))
+    .toDF("rid", "k", "t")
+
+  test("forward direction picks the nearest FOLLOWING right row") {
+    val out = graft.ops.Relational.asofJoin(lhs, rhs, Seq("k"), "t", "t",
+        rightPayload = Seq("rid"), rightOrder = Seq("rid"),
+        direction = "forward")
+      .orderBy($"id").select($"id", $"rid").as[(Long, Option[Long])].collect()
+    assert(out(0) == ((1L, Some(101L)))) // inclusive: same-ts row visible
+    assert(out(1) == ((2L, Some(102L)))) // next at 10:45
+    assert(out(2) == ((3L, Some(103L))))
+  }
+
+  test("tolerance nulls matches beyond the bound but keeps the rows") {
+    val out = graft.ops.Relational.asofJoin(lhs, rhs, Seq("k"), "t", "t",
+        rightPayload = Seq("rid"), rightOrder = Seq("rid"),
+        direction = "forward", toleranceUs = Some(15L * 60 * 1000000))
+      .orderBy($"id").select($"id", $"rid").as[(Long, Option[Long])].collect()
+    assert(out(0) == ((1L, Some(101L)))) // 0 min away
+    assert(out(1) == ((2L, Some(102L)))) // 15 min away — at the bound
+    assert(out(2) == ((3L, None)))       // 45 min away — beyond
+  }
+
+  test("backward + tolerance keeps unmatched rows with null payload") {
+    val out = graft.ops.Relational.asofJoin(lhs, rhs, Seq("k"), "t", "t",
+        rightPayload = Seq("rid"), rightOrder = Seq("rid"),
+        toleranceUs = Some(2L * 60 * 1000000))
+      .orderBy($"id").select($"id", $"rid").as[(Long, Option[Long])].collect()
+    assert(out(0) == ((1L, Some(101L)))) // same ts, distance 0
+    assert(out(1) == ((2L, None)))       // latest preceding is 20 min back
+    assert(out(2) == ((3L, None)))       // nothing precedes
+  }
+}
