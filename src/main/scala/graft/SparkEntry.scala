@@ -684,6 +684,54 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // ── §2.9 streaming tumbling-window counts (the chunk-iteration shape
+    // as a stream): window() + watermark, drained AvailableNow behind the
+    // same sentinel-batch flush as q_streaming_sessions. Oracle = batch
+    // epoch-aligned 6-hour bucket counts.
+    "q_streaming_windows" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_swin").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "windows"),
+        columns = ColumnRoles(Map("datetime" -> "chunk_start")))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Tables.path(d, "events")),
+        java.nio.file.Paths.get(s"$srcDir/a_events.parquet"))
+      def stageSentinel(year: Int, idx: Int): Unit = {
+        val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+        val tmp = s"$root/sent_$idx"
+        s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
+          .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
+          .coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = java.nio.file.Paths.get(s"$srcDir/z_sentinel_$idx.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + idx * 10000L))
+      }
+      stageSentinel(2030, 1)
+      stageSentinel(2031, 2)
+      val schema = s.read.parquet(s"$srcDir/a_events.parquet").schema
+      val stream = graft.streaming.StreamingSync.parquetStream(
+        s, srcDir, schema, maxFilesPerTrigger = Some(1))
+      val counts = graft.streaming.StreamingSync.windowedCounts(
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        "ts", width = "6 hours", delay = "1 minute")
+      val q = graft.streaming.StreamingSync.run(eng, spec, counts,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(spec)
+        .where(col("chunk_start") < lit(ts("2029-01-01 00:00:00")))
+        .select(col("chunk_start").cast(TimestampNTZType).as("chunk_start"),
+                col("cnt"))
+        .orderBy(col("chunk_start"))
+    }),
+
     // ── §2.9 stateful per-id sync-time bookkeeping as STREAMING state:
     // one GroupState[Long] (µs) per id via flatMapGroupsWithState, emitted
     // on advance, upserted into a bookmark pipe keyed on the id. The final
@@ -2117,6 +2165,12 @@ object SparkEntry {
     "q_streaming_synctimes" ->
       """SELECT user_id, max(ts) AS st FROM events GROUP BY user_id
          ORDER BY user_id""",
+
+    "q_streaming_windows" ->
+      """WITH b AS (
+           SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bus FROM events)
+         SELECT make_timestamp(bus) AS chunk_start, count(*) AS cnt
+         FROM b GROUP BY 1 ORDER BY 1""",
 
     "q_streaming_sessions" ->
       """WITH o AS (
