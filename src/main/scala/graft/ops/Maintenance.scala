@@ -118,12 +118,19 @@ object Maintenance {
         r.getDecimal(3).compareTo(r.getDecimal(4)) != 0
     }.map(_.getTimestamp(0))
     if (bad.isEmpty) return VerifyResult(total, 0, SyncResult(0, 0))
-    // one re-sync bounded to the mismatched chunks (partition-prunable)
-    val badSet = bad.map(_.toLocalDateTime).toSet
-    val slice = source.where(
-      window(col(dt).cast("timestamp"), w).getField("start")
-        .cast("timestamp_ntz").isInCollection(badSet))
-    val r = engine.sync(spec, slice)
+    // repair by WINDOW REPLACEMENT, not by diff: verify has already proven
+    // these windows wrong and the source is authoritative inside them, so
+    // clear + blind re-append is the same result as the diff re-sync minus
+    // its backtrack read, row hashing, and anti-join — the repair cost is
+    // one pruned source scan + the rewrite of the touched chunks. (The
+    // reference re-syncs chunks through the diff path; with rowcount-only
+    // checking that also sweeps up undetected in-window drift, but with the
+    // content signature proving cleanliness the diff can only be a no-op.)
+    val badSet  = bad.map(_.toLocalDateTime).toSet
+    val badWin  = window(col(dt).cast("timestamp"), w).getField("start")
+      .cast("timestamp_ntz").isInCollection(badSet)
+    store.clear(badWin)
+    val r = engine.sync(spec, source.where(badWin), checkExisting = false)
     VerifyResult(total, bad.length, r)
   }
 

@@ -284,3 +284,38 @@ class AsofVariantsSpec extends SparkSpec {
     assert(out(2) == ((3L, None)))       // nothing precedes
   }
 }
+
+class VerifyReplaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("verify repairs EXTRA target rows (diff re-sync could never delete them)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_vrepl").toString
+    val eng = new graft.sync.SyncEngine(spark, root)
+    val spec = graft.catalog.PipeSpec(
+      graft.catalog.PipeKeys("verify", "extras"),
+      columns = graft.catalog.ColumnRoles(
+        Map("datetime" -> "ts", "primary" -> "id")))
+    val src = Seq.tabulate(100) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 12:00:00"), i.toLong, s"v$i")
+    }.toDF("ts", "id", "v")
+    eng.sync(spec, src)
+    // damage: inject rows that the SOURCE never had (same window, new keys)
+    val store = eng.storage(spec)
+    val extras = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-05 13:00:00"), 9001L, "ghost1"),
+      (java.sql.Timestamp.valueOf("2024-01-06 13:00:00"), 9002L, "ghost2")
+    ).toDF("ts", "id", "v")
+    eng.sync(spec, extras) // lands them in storage like a bad upstream batch
+    val res = graft.ops.Maintenance.verify(eng, spec, src,
+      windowMinutes = Some(1440))
+    assert(res.chunksMismatched > 0)
+    val after = eng.getData(spec).select($"id").as[Long].collect().toSet
+    assert(!after.contains(9001L) && !after.contains(9002L),
+      "extra rows must be gone after window replacement")
+    assert(after == (0L until 100L).toSet)
+    // second verify: everything clean
+    val res2 = graft.ops.Maintenance.verify(eng, spec, src,
+      windowMinutes = Some(1440))
+    assert(res2.chunksMismatched == 0)
+  }
+}
