@@ -943,6 +943,22 @@ object SparkEntry {
         q, cents, cbs, k = 10, nProbe = 8, rerank = 50)
     }),
 
+    // ── LLM-pipeline: the FULL Gopher in-document repetition matrix —
+    // top-{2,3,4}-gram and dup-{5..10}-gram character fractions, position-
+    // exact and overlap-safe. Grams shuffle as md5 hashes keyed on
+    // (doc, hash); nothing quadratic, nothing corpus-wide.
+    // The corpus is random word soup (no natural in-document repeats), so
+    // each document's first 8 words are appended TWICE on both sides —
+    // the dup_{5..8} signals get real coverage instead of an empty branch.
+    "q_repetition_matrix" -> ((s, d) => {
+      val first8 = array_join(
+        slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ")
+      val enriched = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws(" ", col("text"), first8, first8).as("text"))
+      graft.ops.Corpus.repetitionMatrix(enriched, "doc_id", "text")
+        .orderBy(col("doc_id"), col("signal"))
+    }),
+
     // ── LLM-pipeline: SemDeDup (Abbas et al. 2023) — semantic dedup with
     // the pair search pruned to k-means cells: Σ|cell|² candidates instead
     // of N², shuffles keyed on cell / id only. Oracle replays cell argmax,
@@ -1978,6 +1994,14 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
+
+    "q_repetition_matrix" ->
+      graft.ops.Corpus.repetitionMatrixOracleSql(
+        """(SELECT doc_id, text || ' ' || f8 || ' ' || f8 AS text FROM (
+           SELECT doc_id, text,
+             array_to_string((string_split_regex(trim(lower(text)), '\s+'))[1:8], ' ') AS f8
+           FROM documents))""",
+        "doc_id", "text"),
 
     "q_semantic_dedup" ->
       ApproxDedup.semanticDedupOracleSql("embeddings", "vec_id", "embedding",

@@ -313,6 +313,121 @@ object Corpus {
            CASE WHEN n_stopwords < 2 THEN 'stopwords' END) AS reject_reasons
        FROM sig ORDER BY $idCol"""
 
+  /** The FULL Gopher in-document repetition matrix (Rae et al. 2021 §A1.1):
+    * per document, the fraction of characters covered by the most frequent
+    * word n-gram for n ∈ `topNs` (default 2–4) and by n-grams occurring
+    * more than once for n ∈ `dupNs` (default 5–10) — the nine repetition
+    * signals the paper filters on, beyond the single-bigram summary of
+    * [[repetitionStats]].
+    *
+    * Character coverage is POSITION-EXACT and overlap-safe for both signal
+    * families (the paper: "taking care not to count characters multiple
+    * times where n-grams overlap"): an occurrence covers its n token
+    * positions, distinct covered positions weight by token length.
+    * Inter-token separators are excluded on both engine and oracle sides —
+    * the documented divergence from counting raw bytes.
+    *
+    * Shape per n: one explode → per-(doc, gram) count (map-side combined)
+    * → semi-join back to occurrences → distinct covered positions → one
+    * per-doc sum. Grams travel as md5 hashes (narrow keys, oracle-
+    * replayable); signals union into long format (doc_id, signal,
+    * covered_chars, total_chars, frac). All shuffles key on (doc, hash) or
+    * doc — nothing quadratic, nothing corpus-wide.
+    */
+  def repetitionMatrix(docs: DataFrame, idCol: String, textCol: String,
+                       topNs: Seq[Int] = Seq(2, 3, 4),
+                       dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    val lens = docs.select(col(idCol),
+        posexplode(TextFns.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .select(col(idCol), col("pos"), length(col("tok")).as("len"))
+    val totals = lens.groupBy(col(idCol)).agg(sum(col("len")).as("total_chars"))
+
+    def grams(n: Int) = docs.select(col(idCol),
+        posexplode(TextFns.wordShingles(lower(col(textCol)), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("h"))
+
+    def coverage(occ: DataFrame, n: Int, signal: String): DataFrame =
+      occ.select(col(idCol),
+          explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+        .distinct()
+        .join(lens.withColumnRenamed("pos", "p"), Seq(idCol, "p"))
+        .groupBy(col(idCol))
+        .agg(sum(col("len")).as("covered_chars"))
+        .withColumn("signal", lit(signal))
+
+    val dupCov = dupNs.map { n =>
+      val g = grams(n)
+      val dups = g.groupBy(col(idCol), col("h"))
+        .agg(count(lit(1)).as("c")).where(col("c") > 1)
+        .select(col(idCol), col("h"))
+      coverage(g.join(dups, Seq(idCol, "h")), n, f"dup_${n}%02d_gram")
+    }
+    val topCov = topNs.map { n =>
+      val g = grams(n)
+      // deterministic top gram: max count, ties to the min hash
+      val top = g.groupBy(col(idCol), col("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(min(struct((-col("c")).as("nc"), col("h"))).as("t"))
+        .select(col(idCol), col("t.h").as("h"))
+      coverage(g.join(top, Seq(idCol, "h")), n, f"top_${n}%02d_gram")
+    }
+    val all = (topCov ++ dupCov).reduce(_.unionByName(_))
+    totals.join(all, Seq(idCol))
+      .select(col(idCol), col("signal"), col("covered_chars"), col("total_chars"))
+      .withColumn("frac",
+        col("covered_chars").cast("double") / col("total_chars").cast("double"))
+  }
+
+  /** DuckDB oracle replaying [[repetitionMatrix]] — one CTE chain per n,
+    * UNION ALL'd. */
+  def repetitionMatrixOracleSql(table: String, idCol: String, textCol: String,
+                                topNs: Seq[Int] = Seq(2, 3, 4),
+                                dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): String = {
+    def branch(n: Int, top: Boolean): String = {
+      val signal = if (top) f"top_${n}%02d_gram" else f"dup_${n}%02d_gram"
+      val pick =
+        if (top)
+          s"""SELECT $idCol, h FROM (
+             SELECT $idCol, h, row_number() OVER (PARTITION BY $idCol
+               ORDER BY c DESC, h) AS rn
+             FROM (SELECT $idCol, h, count(*) AS c FROM g$n GROUP BY 1, 2))
+             WHERE rn = 1"""
+        else
+          s"""SELECT $idCol, h FROM (SELECT $idCol, h, count(*) AS c FROM g$n GROUP BY 1, 2)
+             WHERE c > 1"""
+      s"""SELECT t.$idCol, '$signal' AS signal,
+         cv.covered_chars, t.total_chars
+         FROM totals t JOIN (
+           SELECT cov.$idCol, CAST(sum(l.len) AS BIGINT) AS covered_chars FROM (
+             SELECT DISTINCT o.$idCol, u.p FROM g$n o
+             JOIN ($pick) k ON o.$idCol = k.$idCol AND o.h = k.h,
+             unnest(generate_series(o.pos, o.pos + ${n - 1})) AS u(p)
+           ) cov JOIN lens l ON cov.$idCol = l.$idCol AND cov.p = l.pos
+           GROUP BY 1) cv ON t.$idCol = cv.$idCol"""
+    }
+    val gramCtes = (topNs ++ dupNs).distinct.map { n =>
+      s"""g$n AS (
+         SELECT $idCol, u.i - 1 AS pos,
+           md5(array_to_string(toks[u.i:u.i+${n - 1}], ' ')) AS h
+         FROM tk, unnest(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS u(i))"""
+    }.mkString(",\n       ")
+    val branches = (topNs.map(branch(_, top = true)) ++
+      dupNs.map(branch(_, top = false))).mkString(" UNION ALL ")
+    s"""WITH tk AS (
+         SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS toks
+         FROM $table),
+       lens AS (
+         SELECT $idCol, u.i - 1 AS pos, length(toks[u.i]) AS len
+         FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+       totals AS (SELECT $idCol, CAST(sum(len) AS BIGINT) AS total_chars FROM lens GROUP BY 1),
+       $gramCtes
+       SELECT $idCol, signal, covered_chars, total_chars,
+         CAST(covered_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS frac
+       FROM ($branches)
+       ORDER BY $idCol, signal"""
+  }
+
   /** Top-k characteristic terms per document by tf·idf with the rational
     * idf = 1/df: `score = tf / df` — exactly representable arithmetic, so
     * rankings replay bit-for-bit on any engine (a logarithmic idf is a

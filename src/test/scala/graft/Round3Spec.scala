@@ -266,7 +266,9 @@ class Round3Spec extends SparkSpec {
     val (e2, s2, src2) = freshlyCorrupted()
     val r2 = Maintenance.verify(e2, s2, src2) // checkContent default true
     assert(r2.chunksMismatched == 1)
-    assert(r2.resync.updated == 1)
+    // repair is window REPLACEMENT (clear + blind re-append), so the fixed
+    // row reports as an insert of the replaced window, not an update
+    assert(r2.resync.inserted == 1 && r2.resync.updated == 0)
     val vals = e2.getData(s2).orderBy("id").select("val").as[Double].collect()
     assert(vals.toSeq == Seq(1.0, 2.0, 3.0))
   }

@@ -319,3 +319,29 @@ class VerifyReplaceSpec extends SparkSpec {
     assert(res2.chunksMismatched == 0)
   }
 }
+
+class RepetitionMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition matrix: overlap-safe char coverage, hand-checked") {
+    // "a bb a bb a bb" — top bigram "a bb" occurs 3x at pos 0,2,4 covering
+    // positions 0..5 = all 6 tokens (chars 1+2 each → 9); dup_2 same rows
+    val docs = Seq((1L, "a bb a bb a bb")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.repetitionMatrix(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2))
+      .orderBy($"signal")
+      .as[(Long, String, Long, Long, Double)].collect()
+    // dup branch: both distinct bigrams ("a bb" x3, "bb a" x2) duplicated →
+    // coverage = all positions = 9 chars of 9
+    assert(out(0) == ((1L, "dup_02_gram", 9L, 9L, 1.0)))
+    assert(out(1) == ((1L, "top_02_gram", 9L, 9L, 1.0)))
+  }
+
+  test("repetition matrix: non-repeating text emits top rows only") {
+    val docs = Seq((1L, "one two three four five six")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.repetitionMatrix(docs, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2, 3))
+      .select($"signal").as[String].collect().toSet
+    assert(out == Set("top_02_gram")) // no within-doc duplicates
+  }
+}
