@@ -345,3 +345,28 @@ class RepetitionMatrixSpec extends SparkSpec {
     assert(out == Set("top_02_gram")) // no within-doc duplicates
   }
 }
+
+class RepetitionMatrixLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dup-gram char coverage is monotone non-increasing in n") {
+    // every sub-n-gram of a duplicated (n+1)-gram is itself duplicated and
+    // spans all its positions, so coverage(n) >= coverage(n+1) must hold
+    val rng = new scala.util.Random(7)
+    val docs = Seq.tabulate(40) { i =>
+      val words = Seq.fill(60)(s"w${rng.nextInt(12)}") // small vocab → repeats
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = graft.ops.Corpus.repetitionMatrix(docs, "doc_id", "text",
+        topNs = Nil, dupNs = Seq(2, 3, 4, 5))
+      .select($"doc_id", $"signal", $"covered_chars")
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap)
+    for ((doc, sig) <- m; n <- 2 to 4) {
+      val hi = sig.getOrElse(f"dup_${n}%02d_gram", 0L)
+      val lo = sig.getOrElse(f"dup_${n + 1}%02d_gram", 0L)
+      assert(hi >= lo, s"doc $doc: dup_$n=$hi < dup_${n + 1}=$lo")
+    }
+    assert(m.nonEmpty)
+  }
+}
