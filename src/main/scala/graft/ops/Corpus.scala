@@ -344,7 +344,12 @@ object Corpus {
 
     def grams(n: Int) = docs.select(col(idCol),
         posexplode(TextFns.wordShingles(lower(col(textCol)), n)).as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), md5(col("gram")).as("h"))
+      // 60-bit truncated-md5 keys: the counts shuffle carries 8-byte longs
+      // instead of 32-char digests, and DuckDB replays the truncation
+      // exactly (the winnowing-oracle pattern; 15 hex digits stay inside a
+      // signed BIGINT)
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
 
     def coverage(occ: DataFrame, n: Int, signal: String): DataFrame =
       occ.select(col(idCol),
@@ -409,7 +414,7 @@ object Corpus {
     val gramCtes = (topNs ++ dupNs).distinct.map { n =>
       s"""g$n AS (
          SELECT $idCol, u.i - 1 AS pos,
-           md5(array_to_string(toks[u.i:u.i+${n - 1}], ' ')) AS h
+           CAST(('0x' || substring(md5(array_to_string(toks[u.i:u.i+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS h
          FROM tk, unnest(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS u(i))"""
     }.mkString(",\n       ")
     val branches = (topNs.map(branch(_, top = true)) ++
