@@ -39,6 +39,38 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Stage the events table plus two far-future sentinel rows (user_id −1,
+    * 2030/2031) as separate stream files. With `maxFilesPerTrigger = 1`
+    * each sentinel forms its own micro-batch, driving the watermark past
+    * every real window/session end so append-mode aggregations flush
+    * completely — emission in batch N uses batch N−1's watermark, so the
+    * LAST data batch must lie beyond (every aggregate's end + delay).
+    * Returns the source directory. */
+  private def stageSentineledEvents(s: SparkSession, d: String,
+                                    root: String): String = {
+    val srcDir = s"$root/source"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(d, "events")),
+      java.nio.file.Paths.get(s"$srcDir/a_events.parquet"))
+    for ((year, idx) <- Seq((2030, 1), (2031, 2))) {
+      val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      val tmp = s"$root/sent_$idx"
+      s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
+        .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
+        .coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dest = java.nio.file.Paths.get(s"$srcDir/z_sentinel_$idx.parquet")
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + idx * 10000L))
+    }
+    srcDir
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -643,30 +675,7 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("stream", "sessions"),
         columns = ColumnRoles(Map("datetime" -> "session_start", "id" -> "user_id")))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(Tables.path(d, "events")),
-        java.nio.file.Paths.get(s"$srcDir/a_events.parquet"))
-      // sentinel rows (user_id = -1) at 2030/2031: same raw schema, staged
-      // as later files so each lands in its own micro-batch
-      def stageSentinel(year: Int, idx: Int): Unit = {
-        val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-        val tmp = s"$root/sent_$idx"
-        s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
-          .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
-          .coalesce(1).write.parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        val dest = java.nio.file.Paths.get(s"$srcDir/z_sentinel_$idx.parquet")
-        java.nio.file.Files.move(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + idx * 10000L))
-      }
-      stageSentinel(2030, 1)
-      stageSentinel(2031, 2)
+      val srcDir = stageSentineledEvents(s, d, root)
       val schema = s.read.parquet(s"$srcDir/a_events.parquet").schema
       val stream = graft.streaming.StreamingSync.parquetStream(
         s, srcDir, schema, maxFilesPerTrigger = Some(1))
@@ -694,28 +703,7 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("stream", "windows"),
         columns = ColumnRoles(Map("datetime" -> "chunk_start")))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(Tables.path(d, "events")),
-        java.nio.file.Paths.get(s"$srcDir/a_events.parquet"))
-      def stageSentinel(year: Int, idx: Int): Unit = {
-        val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
-          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-        val tmp = s"$root/sent_$idx"
-        s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
-          .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
-          .coalesce(1).write.parquet(tmp)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-        val dest = java.nio.file.Paths.get(s"$srcDir/z_sentinel_$idx.parquet")
-        java.nio.file.Files.move(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + idx * 10000L))
-      }
-      stageSentinel(2030, 1)
-      stageSentinel(2031, 2)
+      val srcDir = stageSentineledEvents(s, d, root)
       val schema = s.read.parquet(s"$srcDir/a_events.parquet").schema
       val stream = graft.streaming.StreamingSync.parquetStream(
         s, srcDir, schema, maxFilesPerTrigger = Some(1))

@@ -393,7 +393,11 @@ object ApproxDedup {
       col(vecCol).cast("array<double>").as("__cv"))
     val be = bench.select(col(benchId).as("bench_id"),
       col(vecCol).cast("array<double>").as("__bv"))
-    cands.join(ce, "corpus_id").join(broadcast(be), "bench_id")
+    // candidates broadcast too (bounded by bench size × collision rate), so
+    // the corpus vector table is never on the shuffled side of any join —
+    // without the hint a large candidate set flips this to a sort-merge
+    // join and the whole corpus shuffles by id
+    ce.join(broadcast(cands), "corpus_id").join(broadcast(be), "bench_id")
       .withColumn("cosine",
         graft.functions.VectorFns.cosine(col("__cv"), col("__bv")))
       .where(col("cosine") >= threshold)
@@ -548,6 +552,14 @@ object ApproxDedup {
       labels = next.select(col("node"), col("label"))
       i += 1
     }
+    // a silent cap would return NON-minimal representatives for components
+    // deeper than maxIters hops (labels advance one hop per pass) — wrong
+    // dedup survivors with no signal. Near-dup components are near-cliques
+    // (tiny diameter), so hitting this means the input is pathological or
+    // maxIters was lowered; the caller can raise it.
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge within $maxIters iterations — " +
+      "raise maxIters (component diameter exceeds it)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -33,7 +33,8 @@ object Maintenance {
   def verify(engine: SyncEngine, spec: PipeSpec, source: DataFrame,
              windowMinutes: Option[Long] = None,
              checkContent: Boolean = true,
-             boundDays: Option[Long] = None): VerifyResult = {
+             boundDays: Option[Long] = None,
+             deleteMissing: Boolean = false): VerifyResult = {
     val dt = spec.columns.datetime.getOrElse(
       throw new IllegalArgumentException("verify requires a datetime axis"))
     // `boundDays` caps how far back verify re-checks (reference
@@ -116,20 +117,42 @@ object Maintenance {
     val bad = windows.filter { r =>
       r.getLong(1) != r.getLong(2) ||
         r.getDecimal(3).compareTo(r.getDecimal(4)) != 0
-    }.map(_.getTimestamp(0))
+    }
     if (bad.isEmpty) return VerifyResult(total, 0, SyncResult(0, 0))
     // repair by WINDOW REPLACEMENT, not by diff: verify has already proven
     // these windows wrong and the source is authoritative inside them, so
     // clear + blind re-append is the same result as the diff re-sync minus
     // its backtrack read, row hashing, and anti-join — the repair cost is
-    // one pruned source scan + the rewrite of the touched chunks. (The
-    // reference re-syncs chunks through the diff path; with rowcount-only
-    // checking that also sweeps up undetected in-window drift, but with the
-    // content signature proving cleanliness the diff can only be a no-op.)
-    val badSet  = bad.map(_.toLocalDateTime).toSet
+    // one pruned source scan + a chunk-bounded clear + the rewrite of the
+    // touched chunks. (The reference re-syncs chunks through the diff path;
+    // with rowcount-only checking that also sweeps up undetected in-window
+    // drift, but with the content signature proving cleanliness the diff
+    // can only be a no-op.)
+    //
+    // SAFETY: a window where the source has NO rows but the target does is
+    // indistinguishable from "the upstream archived this history" — a
+    // partial source slice must never destroy the target, so target-only
+    // windows are reported as mismatched but only cleared under an explicit
+    // `deleteMissing = true` (the old diff re-sync was additive-only there
+    // and silently left the mismatch in place forever).
+    val replaceable = bad.filter(r => r.getLong(1) > 0 ||
+      (deleteMissing && r.getLong(2) > 0)).map(_.getTimestamp(0))
+    if (replaceable.isEmpty) return VerifyResult(total, bad.length, SyncResult(0, 0))
+    val badSet  = replaceable.map(_.toLocalDateTime).toSet
     val badWin  = window(col(dt).cast("timestamp"), w).getField("start")
       .cast("timestamp_ntz").isInCollection(badSet)
-    store.clear(badWin)
+    // bound the clear's affected-chunk discovery scan to the damaged span:
+    // summarize casts the axis to a timestamp (long axes read as seconds),
+    // so toEpochSecond inverts the cast back into axis units exactly
+    val wMin  = windowMinutes.getOrElse(spec.chunkMinutes)
+    val minLdt = replaceable.minBy(_.getTime).toLocalDateTime
+    val maxLdt = replaceable.maxBy(_.getTime).toLocalDateTime.plusMinutes(wMin)
+    val (lo, hi): (Any, Any) = spec.epochUnit match {
+      case Some(_) => (minLdt.toEpochSecond(java.time.ZoneOffset.UTC),
+                       maxLdt.toEpochSecond(java.time.ZoneOffset.UTC))
+      case None    => (minLdt, maxLdt)
+    }
+    store.clear(badWin, Some(lo), Some(hi))
     val r = engine.sync(spec, source.where(badWin), checkExisting = false)
     VerifyResult(total, bad.length, r)
   }
@@ -207,6 +230,9 @@ object Maintenance {
     require(bins > 0, "bins must be positive")
     val v = col(c).cast("double")
     val b = df.agg(min(v), max(v)).head()
+    if (b.isNullAt(0)) // empty input / all-null column: empty histogram,
+      return df.where(lit(false)) // matching the oracle's empty result
+        .select(lit(0).as("bin"), lit(0.0).as("bin_lo"), lit(0L).as("cnt"))
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     val width = (hi - lo) / bins
     val bin = (if (width == 0.0) lit(0)

@@ -39,15 +39,21 @@ object Relational {
     * carries the latest right payload forward onto each left row:
     * one shuffle on `keys`, no join node at all.
     */
-  /** Axis value in exact integer micros (timestamps) or as-is (numeric
-    * epoch axes) — ordering and tolerance arithmetic must not round. */
-  private def axisUs(df: DataFrame, c: String): Column =
+  /** Axis value in exact integer micros (timestamps) or as-is (integral
+    * epoch axes) — ordering and tolerance arithmetic must not round. Other
+    * types (double, string, date) have no exact integer form: casting them
+    * would silently truncate or null, so they are only legal on the raw
+    * path (backward, no tolerance) and None is returned here. */
+  private def axisUs(df: DataFrame, c: String): Option[Column] = {
+    import org.apache.spark.sql.types._
     df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        graft.dsl.RoundTime.epochMicros(col(c))
-      case _ => col(c).cast("long")
+      case TimestampType | TimestampNTZType =>
+        Some(graft.dsl.RoundTime.epochMicros(col(c)))
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(col(c).cast("long"))
+      case _ => None
     }
+  }
 
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
@@ -62,24 +68,34 @@ object Relational {
     // `forward` (nearest right row AT/AFTER the left row) is the backward
     // join on the NEGATED axis: micros negate exactly, the window machinery
     // is untouched. `toleranceUs` nulls the payload when the matched right
-    // row is further than the bound (pandas merge_asof semantics).
+    // row is further than the bound (pandas merge_asof semantics). Both
+    // features need an exact integer axis (timestamp or integral); any
+    // other orderable axis type stays on the raw backward path.
     val sign = if (direction == "backward") 1L else -1L
+    val needsUs = direction == "forward" || toleranceUs.isDefined
+    val (lAxis, rAxis) = (axisUs(left, leftTime), axisUs(right, rightTime)) match {
+      case (Some(la), Some(ra)) => (la * sign, ra * sign)
+      case _ if needsUs => throw new IllegalArgumentException(
+        s"forward/tolerance as-of joins need a timestamp or integral time " +
+        s"axis; got ${left.schema(leftTime).dataType} / ${right.schema(rightTime).dataType}")
+      case _ => (col(leftTime), col(rightTime)) // raw orderable axis
+    }
     // side ordering encodes the bound: inclusive puts right rows BEFORE the
     // left row at the same timestamp (visible), strict puts them after
     val rightSide = if (inclusive) 0 else 2
     val ordCols   = if (rightOrder.nonEmpty) rightOrder else rightPayload
     val l = left.select(
       keys.map(col) ++ Seq(
-        (axisUs(left, leftTime) * sign).as("__t"), lit(1).as("__side"),
+        lAxis.as("__t"), lit(1).as("__side"),
         nullOf(right.schema, ordCols).as("__ord"),
         lit(null).cast("long").as("__rt"),
         nullOf(right.schema, rightPayload).as("__pay"),
         struct(leftCols.map(col): _*).as("__row")): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
-        (axisUs(right, rightTime) * sign).as("__t"), lit(rightSide).as("__side"),
+        rAxis.as("__t"), lit(rightSide).as("__side"),
         struct(ordCols.map(col): _*).as("__ord"),
-        (axisUs(right, rightTime) * sign).as("__rt"),
+        (if (needsUs) rAxis else lit(null)).cast("long").as("__rt"),
         struct(rightPayload.map(col): _*).as("__pay"),
         nullOf(left.schema, leftCols).as("__row")): _*)
     val w = Window.partitionBy(keys.map(col): _*)

@@ -77,12 +77,17 @@ object StreamingSync {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // watermark-driven sinks legitimately produce empty micro-batches
         // (nothing finalized yet / no-data flush ticks) — syncing one would
-        // create a zero-file parquet table that poisons the next read
-        val b = transform(batch)
-        if (!b.isEmpty) {
-          val r = engine.sync(spec, b, checkExisting = checkExisting)
-          results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
-        }
+        // create a zero-file parquet table that poisons the next read.
+        // persist() so the isEmpty probe and the sync don't each re-execute
+        // the batch plan (for stateful aggregation streams that plan is the
+        // whole aggregate).
+        val b = transform(batch).persist()
+        try {
+          if (!b.isEmpty) {
+            val r = engine.sync(spec, b, checkExisting = checkExisting)
+            results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
+          }
+        } finally b.unpersist()
         ()
       }
       .start()

@@ -359,7 +359,11 @@ final class SyncEngine(spark: SparkSession, root: String,
     // hot-key pipes opt into a salted diff join (extras.skew_salt = N):
     // the deterministic form of skew mitigation for the hash-join path
     // AQE's sort-merge-only skew handling can't reach
-    val salt = spec.extras.get("skew_salt").map(_.toInt).getOrElse(1)
+    val salt = spec.extras.get("skew_salt").map { s =>
+      require(s.matches("[0-9]+") && s.toInt >= 1,
+        s"extras.skew_salt must be a positive integer, got '$s'")
+      s.toInt
+    }.getOrElse(1)
     if (diff) Diff.tagExisting(batch, backtrack, keys, spec.nullIndices, UpdFlag, salt)
     else {
       // backtrack keys aliased before the join — batch and backtrack can

@@ -370,3 +370,44 @@ class RepetitionMatrixLawsSpec extends SparkSpec {
     assert(m.nonEmpty)
   }
 }
+
+class VerifyPartialSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pipe(root: String) = {
+    val eng = new graft.sync.SyncEngine(spark, root)
+    val spec = graft.catalog.PipeSpec(
+      graft.catalog.PipeKeys("verify", "partial"),
+      columns = graft.catalog.ColumnRoles(
+        Map("datetime" -> "ts", "primary" -> "id")))
+    (eng, spec)
+  }
+
+  private def rows(days: Range) = days.map { d =>
+    (java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00"), d.toLong, s"v$d")
+  }.toDF("ts", "id", "v")
+
+  test("a partial source slice must NEVER delete archived target history") {
+    val (eng, spec) = pipe(
+      java.nio.file.Files.createTempDirectory("graft_vpart").toString)
+    eng.sync(spec, rows(1 to 20))          // full history in the pipe
+    val recent = rows(15 to 20)            // upstream retains 6 days only
+    val res = graft.ops.Maintenance.verify(eng, spec, recent,
+      windowMinutes = Some(1440))
+    // archived windows report mismatched (src=0, tgt>0) but stay intact
+    assert(res.chunksMismatched == 14)
+    assert(eng.storage(spec).rowCount == 20)
+    assert(eng.getData(spec).select($"id").as[Long].collect().toSet ==
+      (1L to 20L).toSet)
+  }
+
+  test("deleteMissing=true opts into dropping target-only windows") {
+    val (eng, spec) = pipe(
+      java.nio.file.Files.createTempDirectory("graft_vpart2").toString)
+    eng.sync(spec, rows(1 to 20))
+    graft.ops.Maintenance.verify(eng, spec, rows(15 to 20),
+      windowMinutes = Some(1440), deleteMissing = true)
+    assert(eng.getData(spec).select($"id").as[Long].collect().toSet ==
+      (15L to 20L).toSet)
+  }
+}
