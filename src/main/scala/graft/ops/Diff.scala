@@ -82,8 +82,14 @@ object Diff {
     * (Spark warns on exactly this construction). */
   private def bkName(k: String): String = s"__graft_bk_$k"
 
+  /** The backtrack keys are CANONICALIZED before comparison, mirroring
+    * [[filterUnseen]]'s both-sides normalization (the reference's
+    * `filter_unseen_df` normalizes both frames): the batch side arrives
+    * canonicalized, so a stored NA-marker key ("NaN") must read as NULL
+    * here too or the same key would tag as unseen and append a duplicate. */
   private def bkKeys(backtrack: DataFrame, keys: Seq[String]): DataFrame =
-    backtrack.select(keys.map(k => col(k).as(bkName(k))): _*).distinct()
+    canonicalize(backtrack.select(keys.map(col): _*))
+      .select(keys.map(k => col(k).as(bkName(k))): _*).distinct()
 
   private def keyCondition(l: DataFrame, r: DataFrame, keys: Seq[String],
                            nullSafe: Boolean): Column =

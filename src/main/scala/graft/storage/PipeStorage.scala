@@ -67,6 +67,10 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   // manifest; old manifests and orphan segments are GC'd.
   private def currentPtr = new Path(s"$basePath/_CURRENT")
   private def readPtr: Option[Int] = {
+    // a crash between writePtr's delete and rename leaves only the tmp:
+    // complete the flip (the tmp is always the newest fully-written value)
+    if (!fs.exists(currentPtr) && fs.exists(new Path(s"$basePath/_CURRENT.tmp")))
+      fs.rename(new Path(s"$basePath/_CURRENT.tmp"), currentPtr)
     if (!fs.exists(currentPtr)) None
     else {
       val in = fs.open(currentPtr)
@@ -74,9 +78,16 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       finally in.close()
     }
   }
+  private def ptrTmp = new Path(s"$basePath/_CURRENT.tmp")
   private def writePtr(v: Int): Unit = {
-    val out = fs.create(currentPtr, true)
+    // write-tmp + rename: fs.create(ptr, overwrite=true) truncates in
+    // place, so a crash mid-write would leave an unparsable pointer and
+    // break even `exists`. Crash between delete and rename leaves only the
+    // tmp; readPtr completes the flip.
+    val out = fs.create(ptrTmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(currentPtr)) fs.delete(currentPtr, false)
+    fs.rename(ptrTmp, currentPtr)
   }
   private def manifestFor(v: Int) = new Path(s"$basePath/m_$v")
   private def manifestNames(v: Int): Seq[String] = {
@@ -109,9 +120,95 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     s"$basePath/data"
   }
 
-  def exists: Boolean =
+  // ── crash-safe chunk swaps ──────────────────────────────────────────────
+  // Every partitioned rewrite lands in a tmp dir, then swaps: an INTENT
+  // file (written only after the tmp output is complete) names the tmp and
+  // the affected chunk dirs; old dirs move to a backup dir BEFORE any new
+  // part moves in; backup/tmp/intent delete last. A crash at any point is
+  // recoverable by ROLLING FORWARD from the tmp (see [[recoverSwap]]) — at
+  // no point is the only copy of a chunk in a directory that cleanup would
+  // delete. (The previous delete-then-rename left a window where vacuum()
+  // would have destroyed the sole surviving copy.)
+  private def swapIntent = new Path(s"$basePath/.swap_intent")
+  private def swapBackup = new Path(s"$basePath/.swap_backup")
+
+  private def swapChunks(tmp: String, affectedDirNames: Set[String]): Unit = {
+    val dataDir = new Path(dataPath)
+    val out = fs.create(swapIntent, true)
+    try out.write((tmp.split('/').last +: affectedDirNames.toSeq)
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.mkdirs(swapBackup)
+    affectedDirNames.foreach { n =>
+      val dest = new Path(dataDir, n)
+      if (fs.exists(dest)) fs.rename(dest, new Path(swapBackup, n))
+    }
+    fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
+      .foreach(st => fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)))
+    fs.delete(swapBackup, true)
+    fs.delete(new Path(tmp), true)
+    fs.delete(swapIntent, false)
+  }
+
+  /** Complete an interrupted chunk swap. The intent file exists only while
+    * a swap is in flight, and is written only after the tmp output is
+    * complete, so recovery can always roll FORWARD:
+    *   - affected dir live + its part still in tmp  → old (backup move not
+    *     done yet): replace it with the tmp part;
+    *   - affected dir live + no tmp part + a backup copy exists → the NEW
+    *     dir already moved in: keep;
+    *   - affected dir live + no tmp part + no backup copy → old dir of a
+    *     fully-cleared chunk: delete;
+    *   - affected dir absent + tmp part → move the part in;
+    *   - affected dir absent + no tmp part → already final (fully cleared).
+    */
+  private def recoverSwap(): Unit = {
+    if (!fs.exists(swapIntent)) return
+    val in = fs.open(swapIntent)
+    val lines = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    finally in.close()
+    val tmp     = new Path(s"$basePath/${lines.head}")
+    val dataDir = new Path(dataPath)
+    lines.tail.foreach { n =>
+      val live = new Path(dataDir, n)
+      val part = new Path(tmp, n)
+      val bak  = new Path(swapBackup, n)
+      if (fs.exists(part)) {
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(part, live)
+      } else if (fs.exists(live) && !fs.exists(bak)) {
+        fs.delete(live, true) // fully-cleared chunk, backup move pending
+      }
+    }
+    if (fs.exists(swapBackup)) fs.delete(swapBackup, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    fs.delete(swapIntent, false)
+  }
+
+  /** Run crash recovery once per storage handle before the first
+    * partitioned read or mutation. */
+  private var recoveryChecked = false
+  private def ensureRecovered(): Unit = if (partitioned && !recoveryChecked) {
+    recoveryChecked = true
+    if (fs.exists(new Path(basePath))) {
+      recoverSwap()
+      // whole-dir swap recovery (write/compact): the tmp is complete before
+      // the live dir is touched, so a missing live dir rolls forward from
+      // whichever full-state dir survived
+      val dataDir = new Path(dataPath)
+      Seq(".data_tmp", ".compact_tmp").foreach { t =>
+        val tmp = new Path(s"$basePath/$t.ready")
+        if (!fs.exists(dataDir) && fs.exists(tmp)) fs.rename(tmp, dataDir)
+      }
+    }
+  }
+
+  def exists: Boolean = {
+    ensureRecovered()
     if (partitioned) fs.exists(new Path(s"$basePath/data"))
     else readPtr.isDefined
+  }
 
   /** Partition label derived from `spec.chunkMinutes`: the calendar unit at
     * or below the chunk width (month / day / hour / minute), so a
@@ -123,9 +220,13 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     spec.epochUnit match {
       case Some(unit) =>
         val per = graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes)
-        // integer `div`, not `/`: true division routes through double and
-        // loses precision above 2^53 (a nanosecond epoch is ~2^60)
-        expr(s"cast(`${dtCol.get}` as bigint) div $per").cast("string")
+        // exact integer FLOOR division ((a − pmod(a, per)) div per): plain
+        // `div` truncates toward zero and would disagree with the driver
+        // side's Math.floorDiv for negative epoch values (labels off by
+        // one chunk → bounded reads silently missing rows); `/` routes
+        // through double and loses precision above 2^53
+        expr(s"(cast(`${dtCol.get}` as bigint) - pmod(cast(`${dtCol.get}` as bigint), ${per}L)) div ${per}L")
+          .cast("string")
       case None =>
         val m = spec.chunkMinutes
         if (m >= 43200)     date_format(dt, "yyyy-MM")
@@ -145,7 +246,8 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   /** Current table contents (partition column dropped). mergeSchema tolerates
     * files written before a schema-evolution step and across snapshot
     * segments of different widths. */
-  def read: DataFrame =
+  def read: DataFrame = {
+    ensureRecovered()
     if (partitioned)
       spark.read.option("mergeSchema", "true").parquet(dataPath).drop(PartCol)
     else {
@@ -153,6 +255,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       require(dirs.nonEmpty, s"pipe ${spec.targetName} does not exist")
       spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
+  }
 
   /** The chunk label of a bound value, computed driver-side with the same
     * rule as [[chunkExpr]] — used to derive partition-directory predicates
@@ -178,7 +281,14 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * `LocalDateTime` (timestamp axis) or `Long` (epoch axis). */
   def readRange(begin: Option[Any], end: Option[Any],
                 endInclusive: Boolean = false): DataFrame = {
-    val dt = dtCol.getOrElse(return read)
+    val dt = dtCol.getOrElse {
+      // no datetime axis → a bounded request is undefined; silently
+      // returning the full table would present a table-wide result as a
+      // windowed one (clear() already throws for the same situation)
+      require(begin.isEmpty && end.isEmpty,
+        s"pipe ${spec.targetName} has no datetime axis; bounded reads are undefined")
+      return read
+    }
     if (!partitioned || (begin.isEmpty && end.isEmpty)) {
       var df = read
       begin.foreach(b => df = df.where(col(dt) >= lit(b)))
@@ -265,8 +375,14 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
         else chunked
       laidOut.write.mode(SaveMode.Overwrite)
         .partitionBy(PartCol).parquet(tmp.toString)
+      // mark the tmp complete (atomic rename) BEFORE touching the live dir:
+      // a crash after the delete leaves the `.ready` dir as the sole copy,
+      // and ensureRecovered() rolls it forward on the next open
+      val ready = new Path(s"$tmp.ready")
+      if (fs.exists(ready)) fs.delete(ready, true)
+      fs.rename(tmp, ready)
       if (fs.exists(dataDir)) fs.delete(dataDir, true)
-      fs.rename(tmp, dataDir)
+      fs.rename(ready, dataDir)
     } else {
       val v   = readPtr.getOrElse(-1) + 1
       val seg = s"seg_$v"
@@ -357,19 +473,12 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
         val mergedDf = keep.unionByName(p, allowMissingColumns = true)
         val tmp    = s"$basePath/.merge_tmp"
         mergedDf.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
-        // swap merged chunks into data/: every affected dir is removed first
-        // (a stray chunk can lose ALL its rows and then has no tmp output),
-        // then the rewritten dirs move in
-        val dataDir = new Path(s"$basePath/data")
+        // crash-safe swap: every affected dir (a stray chunk can lose ALL
+        // its rows and then has no tmp output) moves to backup before the
+        // rewritten dirs move in — see swapChunks/recoverSwap
         val affectedDirNames = (vals.map(v => s"$PartCol=$v") ++
           (if (nullChunk) Seq(s"$PartCol=__HIVE_DEFAULT_PARTITION__") else Nil)).toSet
-        affectedDirNames.foreach { n =>
-          val dest = new Path(dataDir, n)
-          if (fs.exists(dest)) fs.delete(dest, true)
-        }
-        fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
-          .foreach { st => fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)) }
-        fs.delete(new Path(tmp), true)
+        swapChunks(tmp, affectedDirNames)
       } finally p.unpersist()
     } else {
       // Segment-pruned merge: ONE key-column semi-join over the snapshot
@@ -444,21 +553,15 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       if (affectedVals.isEmpty) return
       val (nullChunk, vals) = (affectedVals.contains(null), affectedVals.filter(_ != null).toSeq)
       val affected = readChunks(vals, nullChunk)
-      val kept     = affected.where(!predicate)
+      // keep = "predicate IS NOT TRUE": a bare `!predicate` is NULL for
+      // rows where the predicate evaluates NULL (e.g. params equality on a
+      // NULL column) and `where` would DROP them — SQL DELETE keeps them
+      val kept     = affected.where(!(predicate <=> lit(true)))
       val tmp      = s"$basePath/.clear_tmp"
       kept.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
-      val dataDir = new Path(s"$basePath/data")
-      val rewritten = fs.listStatus(new Path(tmp))
-        .filter(_.getPath.getName.startsWith(s"$PartCol=")).map(_.getPath.getName).toSet
-      // remove chunks that were fully cleared, swap in the rewritten ones
       val affectedDirNames = (vals.map(v => s"$PartCol=$v") ++
         (if (nullChunk) Seq(s"$PartCol=__HIVE_DEFAULT_PARTITION__") else Nil)).toSet
-      affectedDirNames.foreach { n =>
-        val dest = new Path(dataDir, n)
-        if (fs.exists(dest)) fs.delete(dest, true)
-      }
-      rewritten.foreach { n => fs.rename(new Path(s"$tmp/$n"), new Path(dataDir, n)) }
-      fs.delete(new Path(tmp), true)
+      swapChunks(tmp, affectedDirNames)
     } else {
       // segment-pruned clear: only the segments holding matching rows
       // rewrite (minus the cleared rows); the rest carry over untouched
@@ -471,7 +574,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       val untouched = segs.map(_.split('/').last).filterNot(affected.contains)
       val kept = spark.read.option("mergeSchema", "true")
         .parquet(affected.toSeq.map(n => s"$basePath/$n"): _*)
-        .where(!predicate)
+        .where(!(predicate <=> lit(true))) // NULL-evaluating rows are KEPT
       appendSegment(kept, untouched)
     }
   }
@@ -526,16 +629,9 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       val survivors = graft.ops.Dedup.keepOnePerKey(df.where(chunkPred), keys, order)
       val tmp = s"$basePath/.dedup_tmp"
       survivors.write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp)
-      val dataDir = new Path(s"$basePath/data")
       val affectedDirNames = (vals.map(v => s"$PartCol=$v") ++
         (if (nullChunk) Seq(s"$PartCol=__HIVE_DEFAULT_PARTITION__") else Nil)).toSet
-      affectedDirNames.foreach { n =>
-        val dest = new Path(dataDir, n)
-        if (fs.exists(dest)) fs.delete(dest, true)
-      }
-      fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
-        .foreach { st => fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)) }
-      fs.delete(new Path(tmp), true)
+      swapChunks(tmp, affectedDirNames)
       removed
     } else {
       val cur     = read
@@ -568,8 +664,11 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       df.repartition(col(PartCol))
         .write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp.toString)
       val dataDir = new Path(s"$basePath/data")
+      val ready = new Path(s"$tmp.ready")
+      if (fs.exists(ready)) fs.delete(ready, true)
+      fs.rename(tmp, ready) // completeness marker — see write()
       fs.delete(dataDir, true)
-      fs.rename(tmp, dataDir)
+      fs.rename(ready, dataDir)
     } else {
       overwrite(read.coalesce(1))
     }
@@ -605,11 +704,16 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   }
 
   /** Remove crash leftovers and superseded snapshots — the reference's
-    * `vacuum` (core/Pipe/_maintenance.py:1-161). Temp dirs are only live
-    * mid-rewrite, so any surviving one is garbage. */
+    * `vacuum` (core/Pipe/_maintenance.py:1-161). Any in-flight swap is
+    * COMPLETED first ([[recoverSwap]] / the `.ready` roll-forward), so the
+    * leftovers deleted here are guaranteed to be superseded copies, never
+    * the sole survivor of an interrupted rewrite. */
   def vacuum(): Unit = {
     if (!fs.exists(new Path(basePath))) return
-    Seq(".data_tmp", ".merge_tmp", ".clear_tmp", ".compact_tmp", ".dedup_tmp").foreach { d =>
+    ensureRecovered()
+    recoverSwap()
+    Seq(".data_tmp", ".merge_tmp", ".clear_tmp", ".compact_tmp", ".dedup_tmp",
+        ".data_tmp.ready", ".compact_tmp.ready", ".swap_backup").foreach { d =>
       val p = new Path(s"$basePath/$d")
       if (fs.exists(p)) fs.delete(p, true)
     }

@@ -27,6 +27,12 @@ import graft.storage.{PipeStorage, StrayScan}
   * keeps a 100 TB target syncable (the window is broadcast-able in the
   * common case).
   */
+/** Counts are derived from the BACKTRACK-WINDOW tag (the reference's
+  * filter_existing split): in upsert mode a key whose existing row lives
+  * OUTSIDE the window still replaces it (the stray-scan guard) but reports
+  * as `inserted` — the table's row count then grows by less than
+  * `inserted`. The reference's counts carry the same window-scoped
+  * semantics. */
 final case class SyncResult(inserted: Long, updated: Long,
                             attempts: Int = 1,
                             attemptErrors: Seq[String] = Seq.empty) {
@@ -519,9 +525,13 @@ final class SyncEngine(spark: SparkSession, root: String,
     try {
       val futs = jobs.map { case (spec, src) =>
         Future {
-          spec.keys.targetName ->
-            (try Right(fetchSync(spec, src))
-             catch { case e: Throwable => Left(e) })
+          // keyed by the LOSSLESS key tuple, not targetName: name
+          // sanitization collapses e.g. ('db','a.b') and ('db','a_b') to
+          // one map entry and one pipe's result would silently vanish
+          val k = (Seq(spec.keys.connector, spec.keys.metric) ++
+            spec.keys.location.toSeq).mkString(":")
+          k -> (try Right(fetchSync(spec, src))
+                catch { case e: Throwable => Left(e) })
         }
       }
       Await.result(Future.sequence(futs),
@@ -557,26 +567,33 @@ final class SyncEngine(spark: SparkSession, root: String,
       // the bookmark's join column is RENAMED, not joined via usingColumns:
       // `fetched` can share lineage with stDf (both read this store), and a
       // usingColumns self-join on shared lineage leans on Spark's
-      // auto-disambiguation — one rewrite away from a silent cross join
+      // auto-disambiguation — one rewrite away from a silent cross join.
+      // NO broadcast hint: this is the HIGH-CARDINALITY fallback, so the
+      // per-id aggregate is exactly the side that can outgrow a broadcast
+      // table — the planner broadcasts it when it fits and shuffles when
+      // it doesn't, both correct.
       val bk = stDf.withColumnRenamed(idCol, "__graft_bk_id")
       val cond = col(dtCol) > col("__graft_st") ||
         (if (newIds) col("__graft_st").isNull else lit(false))
-      sync(spec, fetched.join(broadcast(bk),
+      sync(spec, fetched.join(bk,
           fetched(idCol) === bk("__graft_bk_id"), "left")
         .where(cond).drop("__graft_bk_id", "__graft_st"))
     }
 
+    // the chunk hook applies on EVERY fetch path (fetchSync wraps it too) —
+    // a hook-dependent pipe must not ingest raw rows on this one
     source match {
       case sql: graft.sources.SqlDefinitionSource =>
         val times = stDf.limit(maxIds + 1).collect()
         if (times.isEmpty) return fetchSync(spec, source, params = params)
         if (times.length > maxIds)
-          localFilter(sql.fetch(spark, spec, None, None, params))
+          localFilter(hooks.chunkHook(sql.fetch(spark, spec, None, None, params)))
         else {
           val pairs = times.map(r => (r.get(0), r.get(1))).toSeq
-          sync(spec, sql.fetchJoinIncremental(spark, spec, pairs, params, newIds))
+          sync(spec, hooks.chunkHook(
+            sql.fetchJoinIncremental(spark, spec, pairs, params, newIds)))
         }
-      case other => localFilter(other.fetch(spark, spec, None, None, params))
+      case other => localFilter(hooks.chunkHook(other.fetch(spark, spec, None, None, params)))
     }
   }
 

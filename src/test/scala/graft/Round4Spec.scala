@@ -426,10 +426,10 @@ class FleetSyncSpec extends SparkSpec {
       new FnSource((_, _, _, _) => throw new RuntimeException("boom")))
     val res = engine.fetchSyncMany(good :+ bad, workers = 4)
     assert(res.size == 4)
-    assert(res("fleet_p9").isLeft &&
-      res("fleet_p9").left.toOption.get.getMessage == "boom")
+    assert(res("fleet:p9").isLeft &&
+      res("fleet:p9").left.toOption.get.getMessage == "boom")
     (1 to 3).foreach { n =>
-      assert(res(s"fleet_p$n").toOption.get.total == 100)
+      assert(res(s"fleet:p$n").toOption.get.total == 100)
       assert(engine.getData(spec(n)).count() == 100)
     }
   }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+import graft.storage.PipeStorage
+import graft.sync.SyncEngine
+
+/** Regression tests for the storage-core review findings: three-valued-logic
+  * deletion in clear, crash-recovery of interrupted swaps, negative-epoch
+  * chunk labels, pointer atomicity, and bounded reads on keyless pipes. */
+class ClearNullSemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clear keeps rows whose predicate evaluates to NULL (SQL DELETE semantics)") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("safe", "clearnull"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")))
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1L, Some("x")),
+      (java.sql.Timestamp.valueOf("2024-01-05 11:00:00"), 2L, None),
+      (java.sql.Timestamp.valueOf("2024-01-05 12:00:00"), 3L, Some("y"))
+    ).toDF("ts", "id", "status")
+    eng.sync(spec, df)
+    // DELETE WHERE status = 'x': the NULL-status row evaluates NULL → KEPT
+    eng.storage(spec).clear(col("status") === lit("x"))
+    val left = eng.getData(spec).select($"id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L), "NULL-evaluating rows must survive a clear")
+  }
+
+  test("segment-pipe clear keeps NULL-evaluating rows too") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("safe", "clearnullseg"),
+      columns = ColumnRoles(Map("primary" -> "id"))) // keyless axis → segments
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y"))).toDF("id", "status")
+    eng.sync(spec, df)
+    eng.storage(spec).clear(col("status") === lit("x"))
+    assert(eng.getData(spec).select($"id").as[Long].collect().toSet == Set(2L, 3L))
+  }
+}
+
+class SwapRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkPipe(root: String) = {
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("safe", "swap"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")))
+    val df = Seq.tabulate(50) { i =>
+      (java.sql.Timestamp.valueOf(f"2024-0${i % 3 + 1}%d-10 10:00:00"), i.toLong, s"v$i")
+    }.toDF("ts", "id", "v")
+    eng.sync(spec, df)
+    (eng, spec)
+  }
+
+  test("vacuum after a simulated mid-swap crash must not destroy the only copy") {
+    val root = java.nio.file.Files.createTempDirectory("graft_swapcrash").toString
+    val (eng, spec) = mkPipe(root)
+    val before = eng.getData(spec).orderBy($"id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+
+    // simulate the crash window: move a live chunk dir into the backup dir
+    // and write the intent file, exactly as swapChunks does before a crash
+    // that hits between the backup move and the tmp move-in; the tmp holds
+    // the complete rewritten chunk (here: identical content)
+    val base = java.nio.file.Paths.get(eng.storage(spec).basePath)
+    val dataDir = base.resolve("data")
+    val chunk = java.nio.file.Files.list(dataDir)
+      .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
+      .findFirst().get()
+    val chunkName = chunk.getFileName.toString
+    val tmp = base.resolve(".merge_tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    // tmp part = copy of the live chunk (the "rewritten" output)
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val rel = src.relativize(p)
+        val d = dst.resolve(rel.toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+        else java.nio.file.Files.copy(p, d)
+      }
+    }
+    copyTree(chunk, tmp.resolve(chunkName))
+    java.nio.file.Files.write(base.resolve(".swap_intent"),
+      s".merge_tmp\n$chunkName".getBytes("UTF-8"))
+    val backup = base.resolve(".swap_backup")
+    java.nio.file.Files.createDirectories(backup)
+    // crash point: live chunk moved OUT, tmp not yet moved in
+    java.nio.file.Files.move(chunk, backup.resolve(chunkName))
+
+    // a NEW storage handle (fresh session state) must recover, and vacuum
+    // must not delete the only surviving copy
+    val eng2 = new SyncEngine(spark, root)
+    eng2.storage(spec).vacuum()
+    val after = eng2.getData(spec).orderBy($"id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+    assert(after == before, "recovery must roll the interrupted swap forward")
+  }
+}
+
+class NegativeEpochLabelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded reads agree with storage labels for negative epoch values") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("safe", "negepoch"),
+      columns = ColumnRoles(Map("datetime" -> "t", "primary" -> "id")),
+      epochUnit = Some("minute"), chunkMinutes = 2)
+    val df = Seq((-3L, 1L), (-2L, 2L), (-1L, 3L), (0L, 4L), (1L, 5L), (2L, 6L))
+      .toDF("t", "id")
+    eng.sync(spec, df)
+    val store = eng.storage(spec)
+    // pre-epoch rows must be visible through the label-pruned range read
+    val got = store.readRange(Some(-3L), Some(3L)).select($"id")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val neg = store.readRange(Some(-3L), Some(0L)).select($"id")
+      .as[Long].collect().toSet
+    assert(neg == Set(1L, 2L, 3L))
+  }
+}
+
+class KeylessBoundsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded reads on a pipe without a datetime axis refuse instead of lying") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("safe", "nodt"),
+      columns = ColumnRoles(Map("primary" -> "id")))
+    eng.sync(spec, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      eng.storage(spec).readRange(Some(java.time.LocalDateTime.now()), None).count()
+    }
+    // unbounded reads still work
+    assert(eng.storage(spec).readRange(None, None).count() == 2)
+  }
+}
