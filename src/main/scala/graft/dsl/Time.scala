@@ -91,14 +91,19 @@ object EpochAxis {
     }
   }
 
-  /** `minutes` expressed in axis units, rounded UP to ≥1 so a positive pad
-    * or chunk width never collapses to zero on coarse axes. */
+  /** `minutes` expressed in axis units, rounded UP (ceiling) to ≥1 for a
+    * positive input so a pad or chunk width never collapses to zero — and
+    * never silently NARROWS: a 90-minute backtrack on an hour axis must
+    * cover 2 hours, not 1, or late rows in the uncovered half-hour are
+    * permanently skipped. A zero input stays zero (an explicit "no pad"
+    * must not become one unit). */
   def unitsForMinutes(unit: String, minutes: Long): Long = {
     val scale = unitsPerMinute.getOrElse(unit.toLowerCase,
       throw new IllegalArgumentException(s"unknown epoch unit: '$unit'"))
-    unit.toLowerCase match {
-      case "hour" => math.max(1L, minutes / 60)
-      case "day"  => math.max(1L, minutes / 1440)
+    if (minutes <= 0) 0L
+    else unit.toLowerCase match {
+      case "hour" => (minutes + 59) / 60
+      case "day"  => (minutes + 1439) / 1440
       case _      => math.max(1L, minutes * scale)
     }
   }

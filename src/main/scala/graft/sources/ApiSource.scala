@@ -84,7 +84,23 @@ final class ApiSource(baseUrl: String, schema: StructType,
       .flatMap(u => HttpFetch.lines(u))(Encoders.STRING)
     var df = lines.select(from_json(col("value"), schema).as("r")).select("r.*")
     if (params.nonEmpty) df = df.where(ParamsFilter.toPredicate(params))
+    // bounds RE-APPLY locally like params: correctness never rides on the
+    // server honoring them, and non-LocalDateTime bounds (epoch Long axes)
+    // never reached the URL at all — without this they would be silently
+    // dropped and a bounded fetch would return all history
+    spec.columns.datetime.filter(df.columns.contains).foreach { dt =>
+      begin.foreach(b => df = df.where(col(dt) >= lit(boundLit(b))))
+      end.foreach(e => df = df.where(col(dt) < lit(boundLit(e))))
+    }
     df
+  }
+
+  /** Bound value in a form comparable to the parsed column (ISO text for
+    * datetimes — the ND-JSON axis arrives as a string or timestamp — and
+    * the raw number for epoch axes). */
+  private def boundLit(b: Any): Any = b match {
+    case d: LocalDateTime => java.sql.Timestamp.valueOf(d)
+    case other            => other
   }
 }
 

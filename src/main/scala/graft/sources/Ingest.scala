@@ -120,8 +120,12 @@ object Ingest {
     def classify(i: Int): Option[Kind] = {
       val vals = sample.flatMap(r => Option(r.getString(i)))
       if (vals.isEmpty) None
+      // a MIXED aware/naive column classifies as Aware, not Naive:
+      // to_timestamp parses both (naive values read in the session zone =
+      // UTC), while to_timestamp_ntz rejects zone suffixes and would null
+      // every aware value in the column
       else if (vals.forall(_.matches(tsRe)))
-        Some(if (vals.forall(_.matches(zoneRe))) Aware else Naive)
+        Some(if (vals.exists(_.matches(zoneRe))) Aware else Naive)
       else if (vals.forall(_.matches(dateRe))) Some(AsDate)
       else None
     }

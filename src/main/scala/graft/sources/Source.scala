@@ -23,13 +23,20 @@ trait Source {
             params: Map[String, Any] = Map.empty): DataFrame
 }
 
-/** Wrap a plain function as a Source (the plugin-module form). */
+/** Wrap a plain function as a Source (the plugin-module form). The wrapped
+  * function takes no params argument, so caller-supplied params apply as a
+  * LOCAL filter on its result — same contract as [[PipeSource]], and the
+  * reference passes params kwargs to plugin fetches; silently dropping
+  * them would sync unfiltered rows. */
 final class FnSource(
     f: (SparkSession, PipeSpec, Option[Any], Option[Any]) => DataFrame) extends Source {
   override def fetch(spark: SparkSession, spec: PipeSpec,
                      begin: Option[Any], end: Option[Any],
-                     params: Map[String, Any]): DataFrame =
-    f(spark, spec, begin, end)
+                     params: Map[String, Any]): DataFrame = {
+    val df = f(spark, spec, begin, end)
+    if (params.isEmpty) df
+    else df.where(graft.dsl.ParamsFilter.toPredicate(params))
+  }
 }
 
 /** A pipe as a source for another pipe — the reference's pipe DAG

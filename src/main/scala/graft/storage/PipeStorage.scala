@@ -219,7 +219,8 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     val dt = col(dtCol.get)
     spec.epochUnit match {
       case Some(unit) =>
-        val per = graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes)
+        val per = math.max(1L,
+          graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes))
         // exact integer FLOOR division ((a − pmod(a, per)) div per): plain
         // `div` truncates toward zero and would disagree with the driver
         // side's Math.floorDiv for negative epoch values (labels off by
@@ -262,7 +263,8 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * from time bounds. */
   private def chunkLabelOf(v: Any): String = (spec.epochUnit, v) match {
     case (Some(unit), l: Long) =>
-      Math.floorDiv(l, graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes)).toString
+      Math.floorDiv(l, math.max(1L,
+        graft.dsl.EpochAxis.unitsForMinutes(unit, spec.chunkMinutes))).toString
     case (None, d: java.time.LocalDateTime) =>
       val m = spec.chunkMinutes
       val p = if (m >= 43200) "yyyy-MM" else if (m >= 1440) "yyyy-MM-dd"

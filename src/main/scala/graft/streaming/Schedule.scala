@@ -54,28 +54,58 @@ object Schedule {
     def matches(t: LocalDateTime): Boolean =
       minute(t.getMinute) && hour(t.getHour) && dom(t.getDayOfMonth) &&
         month(t.getMonthValue) && dow(t.getDayOfWeek.getValue % 7) // cron: sun=0
-    def fires(start: LocalDateTime): Iterator[LocalDateTime] =
-      Iterator.iterate(start.withSecond(0).withNano(0))(_.plusMinutes(1))
-        .filter(t => !t.isBefore(start) && matches(t))
+    // BOUNDED scan: an impossible calendar spec ("0 0 31 2 *") would
+    // otherwise spin the minute iterator forever. Six years of minutes
+    // covers every leap-year combination a real spec can need.
+    def fires(start: LocalDateTime): Iterator[LocalDateTime] = new Iterator[LocalDateTime] {
+      private var t = {
+        var x = start.withSecond(0).withNano(0)
+        if (x.isBefore(start)) x = x.plusMinutes(1)
+        x
+      }
+      override def hasNext: Boolean = true
+      override def next(): LocalDateTime = {
+        var scanned = 0
+        while (!matches(t)) {
+          t = t.plusMinutes(1); scanned += 1
+          if (scanned > 6 * 366 * 1440) throw new IllegalArgumentException(
+            "cron spec never fires (no match within 6 years)")
+        }
+        val r = t; t = t.plusMinutes(1); r
+      }
+    }
   }
 
   private def cronField(s: String, lo: Int, hi: Int,
                         names: Map[String, Int] = Map.empty): Set[Int] = {
+    // full names resolve via their 3-letter prefix ("tuesday" → "tue",
+    // "january" → "jan"); unresolvable tokens fail with schedule context
+    // instead of a bare NumberFormatException
+    def resolve(tok: String): Int =
+      names.getOrElse(tok, names.getOrElse(tok.take(3),
+        try tok.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"unparseable cron token: '$tok'") }))
     def one(tok: String): Seq[Int] = {
       val (body, step) = tok.split("/") match {
         case Array(b)    => (b, 1)
         case Array(b, s) => (b, s.toInt)
       }
-      val range = body match {
+      val vals: Seq[Int] = body match {
         case "*" => lo to hi
         case r if r.contains("-") =>
           val Array(a, b) = r.split("-")
-          names.getOrElse(a.toLowerCase, a.toInt) to names.getOrElse(b.toLowerCase, b.toInt)
-        case v => { val x = names.getOrElse(v.toLowerCase, v.toInt); x to x }
+          val (x, y) = (resolve(a.toLowerCase), resolve(b.toLowerCase))
+          // wrapped ranges are valid cron ("fri-sun" = fri,sat,sun)
+          if (x <= y) x to y else (x to hi) ++ (lo to y)
+        case v => { val x = resolve(v.toLowerCase); Seq(x) }
       }
-      range.by(step)
+      // step applies to the SEQUENCE (wrapped ranges included)
+      vals.zipWithIndex.collect { case (v, i) if i % step == 0 => v }
     }
-    s.split(",").toSeq.flatMap(one).toSet
+    val set = s.split(",").toSeq.flatMap(one).toSet
+    require(set.nonEmpty && set.forall(v => v >= lo && v <= hi),
+      s"cron field '$s' out of range [$lo,$hi]")
+    set
   }
 
   private val dowNames = Dows.zipWithIndex.map { case (d, i) => d -> ((i + 1) % 7) }.toMap
@@ -90,13 +120,14 @@ object Schedule {
         Every(n.toLong, unit)
       case cron if cron.split("\\s+").length == 5 =>
         val f = cron.split("\\s+")
+        // dow accepts 0-7 (standard cron: both 0 and 7 are Sunday)
         Cron(cronField(f(0), 0, 59), cronField(f(1), 0, 23), cronField(f(2), 1, 31),
-          cronField(f(3), 1, 12, monNames), cronField(f(4), 0, 6, dowNames))
+          cronField(f(3), 1, 12, monNames), cronField(f(4), 0, 7, dowNames).map(_ % 7))
       case dowish if Dows.exists(dowish.startsWith) =>
         // bare day-of-week subset: hourly at the anchor minute on those days
         // (reference: cron_kw day_of_week + hour '*' + minute start.minute)
         Cron(Set(anchor.getMinute), (0 to 23).toSet, (1 to 31).toSet,
-          (1 to 12).toSet, cronField(dowish, 0, 6, dowNames))
+          (1 to 12).toSet, cronField(dowish, 0, 7, dowNames).map(_ % 7))
       case other => throw new IllegalArgumentException(s"unparseable schedule part: '$other'")
     }
   }
@@ -124,18 +155,29 @@ object Schedule {
   /** First `n` fire times of `schedule` at or after its anchor (`starting`
     * clause, else `from`). */
   def nextFires(schedule: String, from: LocalDateTime, n: Int): Seq[LocalDateTime] = {
-    val (freqRaw, startRaw) = schedule.toLowerCase.split("starting", 2) match {
-      case Array(f, s) => (f.trim, s.trim)
-      case Array(f)    => (f.trim, "")
-    }
-    val anchor = parseStart(startRaw, from)
-    val norm = normalize(freqRaw)
+    // split the ORIGINAL string: lowercasing first would break the
+    // case-sensitive 'T' of an ISO 'starting 2024-05-01T06:00:00' anchor
+    val idx = schedule.toLowerCase.indexOf("starting")
+    val (freqRaw, startRaw) =
+      if (idx < 0) (schedule.trim, "")
+      else (schedule.substring(0, idx).trim,
+            schedule.substring(idx + "starting".length).trim)
+    val anchor0 = parseStart(startRaw, from)
+    val norm = normalize(freqRaw.toLowerCase)
     require(!(norm.contains("&") && norm.contains("|")),
       "cannot combine '&' and '|' logic in one schedule")
     val (parts, union) =
       if (norm.contains("|")) (norm.split("\\|").toSeq, true)
       else (norm.split("&").toSeq, false)
-    val streams = parts.map(p => parsePart(p, anchor).fires(anchor))
+    val parsed = parts.map(p => parsePart(p, anchor0))
+    // an '&' combination with a cron part intersects at MINUTE resolution:
+    // cron candidates are second-truncated, so interval streams must align
+    // to the same grid or exact-equality intersection never meets
+    val anchor =
+      if (!union && parsed.size > 1 && parsed.exists(_.isInstanceOf[Cron]))
+        anchor0.withSecond(0).withNano(0)
+      else anchor0
+    val streams = parsed.map(_.fires(anchor))
     if (streams.size == 1) streams.head.take(n).toSeq
     else if (union) mergeUnion(streams, n)
     else mergeIntersect(streams, n)
@@ -165,7 +207,10 @@ object Schedule {
       }
       guard += 1
     }
-    out.result()
+    val r = out.result()
+    if (r.isEmpty && n > 0) throw new IllegalArgumentException(
+      "schedule parts never coincide within the scan horizon")
+    r
   }
 
   /** Map interval forms to a Structured Streaming trigger; `once`/`now` →

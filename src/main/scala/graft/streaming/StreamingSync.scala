@@ -67,8 +67,8 @@ object StreamingSync {
       trigger: Trigger = Trigger.AvailableNow(),
       transform: DataFrame => DataFrame = identity,
       checkExisting: Boolean = true,
-      outputMode: Option[String] = None): StreamingQuery = {
-    val results = new java.util.concurrent.atomic.AtomicReference(SyncResult(0, 0))
+      outputMode: Option[String] = None,
+      onBatch: SyncResult => Unit = _ => ()): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -83,10 +83,8 @@ object StreamingSync {
         // whole aggregate).
         val b = transform(batch).persist()
         try {
-          if (!b.isEmpty) {
-            val r = engine.sync(spec, b, checkExisting = checkExisting)
-            results.updateAndGet(a => SyncResult(a.inserted + r.inserted, a.updated + r.updated))
-          }
+          if (!b.isEmpty)
+            onBatch(engine.sync(spec, b, checkExisting = checkExisting))
         } finally b.unpersist()
         ()
       }
@@ -120,6 +118,10 @@ object StreamingSync {
     val typed = stream
       .select(col(idCol).cast("long").as("id"),
               col(dtCol).cast("timestamp").as("dt"))
+      // a null id fails primitive-Long decoding and a null/uncastable dt
+      // NPEs in the state function — either would kill the whole query for
+      // one bad row; rows without both values carry no bookmark information
+      .where(col("id").isNotNull && col("dt").isNotNull)
       .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, java.sql.Timestamp)](

@@ -163,3 +163,57 @@ class StreamingSpec extends SparkSpec {
       Seq("2024-05-01T06:30", "2024-05-02T06:30", "2024-05-03T06:30"))
   }
 }
+
+class ScheduleEdgeSpec extends SparkSpec {
+  import java.time.LocalDateTime
+  import graft.streaming.Schedule
+
+  private val base = LocalDateTime.of(2026, 1, 5, 10, 0, 0) // a Monday
+
+  test("wrapped day-of-week ranges fire on the wrapped days (fri-sun)") {
+    val fires = Schedule.nextFires("fri-sun", base, 3)
+    assert(fires.nonEmpty)
+    assert(fires.forall(t => Set(5, 6, 7).contains(t.getDayOfWeek.getValue)))
+  }
+
+  test("dow 7 is Sunday (standard cron) and full names resolve") {
+    val sun = Schedule.nextFires("0 0 * * 7", base, 1).head
+    assert(sun.getDayOfWeek == java.time.DayOfWeek.SUNDAY)
+    val tue = Schedule.nextFires("tuesday", base, 1).head
+    assert(tue.getDayOfWeek == java.time.DayOfWeek.TUESDAY)
+  }
+
+  test("impossible cron specs fail fast instead of hanging") {
+    intercept[IllegalArgumentException] {
+      Schedule.nextFires("0 0 31 2 *", base, 1) // Feb 31 never exists
+    }
+  }
+
+  test("'A & B' with a non-minute-aligned anchor still fires") {
+    val anchored = base.withSecond(30)
+    val fires = Schedule.nextFires("hourly & mon-fri", anchored, 3)
+    assert(fires.length == 3)
+    assert(fires.forall(_.getSecond == 0))
+    assert(fires.forall(t => t.getDayOfWeek.getValue <= 5))
+  }
+
+  test("ISO 'T' starting anchors parse (case preserved)") {
+    val fires = Schedule.nextFires(
+      "every 1 day starting 2026-02-01T06:30:00", base, 2)
+    assert(fires == Seq(
+      LocalDateTime.of(2026, 2, 1, 6, 30), LocalDateTime.of(2026, 2, 2, 6, 30)))
+  }
+}
+
+class EpochUnitsSpec extends SparkSpec {
+  test("unitsForMinutes rounds UP on coarse axes and preserves zero") {
+    import graft.dsl.EpochAxis.unitsForMinutes
+    assert(unitsForMinutes("hour", 90) == 2)   // was 1: narrowed the window
+    assert(unitsForMinutes("hour", 60) == 1)
+    assert(unitsForMinutes("day", 1441) == 2)
+    assert(unitsForMinutes("day", 1440) == 1)
+    assert(unitsForMinutes("minute", 5) == 5)
+    assert(unitsForMinutes("second", 2) == 120)
+    assert(unitsForMinutes("hour", 0) == 0)    // explicit no-pad stays none
+  }
+}
