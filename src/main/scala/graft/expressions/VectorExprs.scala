@@ -47,10 +47,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def checkInputDataTypes() = {
     // getDouble reinterprets raw slots — anything but double elements would
-    // produce silent garbage, so the check is exact (callers cast first)
-    val ok = Seq(left, right).forall(
-      _.dataType.isInstanceOf[ArrayType] &&
-        Seq(left, right).forall(_.dataType.asInstanceOf[ArrayType].elementType == DoubleType))
+    // produce silent garbage, so the check is exact (callers cast first).
+    // Per-element check: casting the OTHER operand inside one forall would
+    // throw ClassCastException during analysis when only one side is an
+    // array, instead of returning the clean failure below.
+    val ok = Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType] &&
+      e.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"dot expects array<double> inputs, got ${left.dataType}, ${right.dataType}")

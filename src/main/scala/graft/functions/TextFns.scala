@@ -14,7 +14,7 @@ object TextFns {
     * full expression tree into every reference — for `tokens` referenced
     * inside a per-shingle lambda that means re-running the regex split once
     * PER SHINGLE (quadratic per document). */
-  private def bindOnce(e: Column)(body: Column => Column): Column =
+  private[graft] def bindOnce(e: Column)(body: Column => Column): Column =
     element_at(transform(array(e), v => body(v)), 1)
 
   /** Whitespace tokenization. */

@@ -22,12 +22,10 @@ object ApproxDedup {
   // default ANSI arithmetic. 31-bit minhash space is ample for sketching.
   private val P = 2147483647L // 2^31 - 1
 
-  /** Bind an expression to a lambda variable so downstream references
-    * evaluate it ONCE per row. Catalyst's CollapseProject would otherwise
-    * substitute the full expression tree into every reference — for an
-    * expression used k times that multiplies evaluation cost k-fold. */
+  // the evaluate-once lambda binding lives in ONE place (TextFns) — the
+  // trick is Catalyst-version-sensitive and must not drift between copies
   private def bindOnce(e: Column)(body: Column => Column): Column =
-    element_at(transform(array(e), v => body(v)), 1)
+    TextFns.bindOnce(e)(body)
 
   /** k-permutation MinHash signature over word shingles.
     * h_i(s) = (a_i * (xxhash64(s) mod P) + b_i) mod P; signature_i = min
@@ -136,8 +134,12 @@ object ApproxDedup {
                           estSlack: Double = 0.25,
                           maxBucket: Int = 0): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    // cached like minhashCandidates: banding, the hot-bucket count, and
+    // BOTH estimate-join sides read this table — uncached, each reference
+    // would re-run the k-hash kernel over the full corpus
     val sig = docs.select(col(idCol),
       minhashSignature(col(textCol), shingleSize, k).as("sig"))
+      .cache()
     val rows = k / bands
     val banded0 = sig.select(col(idCol), posexplode(
         bindOnce(col("sig")) { sg =>
@@ -273,6 +275,9 @@ object ApproxDedup {
     val nBits = planes.size
     require(nBits % bands == 0, "bands must divide the signature width")
     val r = nBits / bands
+    // r = 64 would make the mask (1L << 64) - 1 = 0 (Scala shifts mod 64):
+    // every row lands in ONE bucket and the candidate join goes quadratic
+    require(r <= 63, s"band width $r exceeds the 63-bit bucket mask")
     val mask = (1L << r) - 1
     val sig = emb.select(col(idCol),
       graft.functions.VectorFns.srpSignaturePlanes(col(vecCol), planes).as("sig"))
@@ -379,6 +384,9 @@ object ApproxDedup {
     val nBits = planes.size
     require(nBits % bands == 0, "bands must divide the signature width")
     val r = nBits / bands
+    // r = 64 would make the mask (1L << 64) - 1 = 0 (Scala shifts mod 64):
+    // every row lands in ONE bucket and the candidate join goes quadratic
+    require(r <= 63, s"band width $r exceeds the 63-bit bucket mask")
     val mask = (1L << r) - 1
     def banded(df: DataFrame, id: String, as: String) =
       df.select(col(id).as(as),

@@ -44,16 +44,21 @@ object Corpus {
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
-                    shingleSize: Int, threshold: Double): DataFrame = {
+                    shingleSize: Int, threshold: Double,
+                    excludeSelfPairs: Boolean = true): DataFrame = {
     def shingles(df: DataFrame, as: String) = df.select(
         col(idCol).as(as),
         explode(array_distinct(
           TextFns.wordShingles(col(textCol), shingleSize))).as("sh"))
     val b = shingles(bench, "bench_id")
     val bSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+    // `excludeSelfPairs` exists for the bench-is-a-subset-of-corpus case;
+    // pass false when the two are INDEPENDENT datasets whose integer id
+    // spaces coincide — there a same-id pair is real contamination, not a
+    // self-comparison
     val hits = shingles(corpus, "corpus_id")
       .join(broadcast(b), "sh")
-      .where(col("corpus_id") =!= col("bench_id"))
+      .where(if (excludeSelfPairs) col("corpus_id") =!= col("bench_id") else lit(true))
       .groupBy(col("corpus_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_common"))
     hits.join(broadcast(bSizes), "bench_id")

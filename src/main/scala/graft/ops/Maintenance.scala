@@ -103,8 +103,12 @@ object Maintenance {
       .withColumnRenamed("__cnt", "__src_cnt").withColumnRenamed("__sig", "__src_sig")
     val tgt = summarize(store.read)
       .withColumnRenamed("__cnt", "__tgt_cnt").withColumnRenamed("__sig", "__tgt_sig")
+    // the window start collects as TimestampNTZ: a `Timestamp →
+    // toLocalDateTime` round-trip would render in the JVM's DEFAULT zone
+    // while the `badWin` cast below renders in the SESSION zone — on a
+    // non-UTC JVM the repair predicate would match nothing
     val joined = src.join(tgt, Seq("__chunk"), "full_outer")
-      .select(col("__chunk"),
+      .select(col("__chunk").cast("timestamp_ntz").as("__chunk"),
         coalesce(col("__src_cnt"), lit(0L)).as("s"),
         coalesce(col("__tgt_cnt"), lit(0L)).as("t"),
         coalesce(col("__src_sig"), lit(java.math.BigDecimal.ZERO)).as("ss"),
@@ -136,17 +140,20 @@ object Maintenance {
     // `deleteMissing = true` (the old diff re-sync was additive-only there
     // and silently left the mismatch in place forever).
     val replaceable = bad.filter(r => r.getLong(1) > 0 ||
-      (deleteMissing && r.getLong(2) > 0)).map(_.getTimestamp(0))
+      (deleteMissing && r.getLong(2) > 0))
+      .map(_.getAs[java.time.LocalDateTime](0))
     if (replaceable.isEmpty) return VerifyResult(total, bad.length, SyncResult(0, 0))
-    val badSet  = replaceable.map(_.toLocalDateTime).toSet
+    val badSet  = replaceable.toSet
     val badWin  = window(col(dt).cast("timestamp"), w).getField("start")
       .cast("timestamp_ntz").isInCollection(badSet)
     // bound the clear's affected-chunk discovery scan to the damaged span:
     // summarize casts the axis to a timestamp (long axes read as seconds),
     // so toEpochSecond inverts the cast back into axis units exactly
     val wMin  = windowMinutes.getOrElse(spec.chunkMinutes)
-    val minLdt = replaceable.minBy(_.getTime).toLocalDateTime
-    val maxLdt = replaceable.maxBy(_.getTime).toLocalDateTime.plusMinutes(wMin)
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_.isBefore(_))
+    val minLdt = replaceable.min
+    val maxLdt = replaceable.max.plusMinutes(wMin)
     val (lo, hi): (Any, Any) = spec.epochUnit match {
       case Some(_) => (minLdt.toEpochSecond(java.time.ZoneOffset.UTC),
                        maxLdt.toEpochSecond(java.time.ZoneOffset.UTC))

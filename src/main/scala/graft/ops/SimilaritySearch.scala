@@ -266,6 +266,10 @@ object SimilaritySearch {
     * `codebooks(j)(c)` is centroid `c` of subspace `j`. */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, ks: Int): Seq[Seq[Seq[Double]]] = {
+    // codes are stored as tinyint: ks above 128 would wrap negative and
+    // pqCandidates' element_at lookups would silently read wrong ADC terms
+    require(ks >= 1 && ks <= 128,
+      s"ks must be in [1, 128] for tinyint PQ codes, got $ks")
     val base = sampleCentroids(emb, idCol, vecCol, ks)
     val dim  = base.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
@@ -282,6 +286,8 @@ object SimilaritySearch {
   def withPqCodes(emb: DataFrame, vecCol: String,
                   codebooks: Seq[Seq[Seq[Double]]],
                   codeCol: String = "pq"): DataFrame = {
+    require(codebooks.forall(_.length <= 128),
+      "tinyint PQ codes hold at most 128 centroids per subspace")
     val d  = codebooks.head.head.length
     val ev = col(vecCol).cast("array<double>")
     val codes = codebooks.zipWithIndex.map { case (cb, j) =>

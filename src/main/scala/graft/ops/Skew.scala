@@ -22,6 +22,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt factor must be > 1")
+    // right/full outer joins would emit every UNMATCHED right row once per
+    // salt replica — the construction is only result-identical when
+    // unmatched right rows don't survive the join
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")(jt),
+      s"saltedJoin replicates the right side — '$joinType' would duplicate unmatched right rows")
     val l = left.withColumn(SaltCol, floor(rand(42) * salt).cast("int"))
     val r = right.withColumn(SaltCol, explode(sequence(lit(0), lit(salt - 1)).cast("array<int>")))
     l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)

@@ -138,6 +138,13 @@ object Dtypes {
         if (mixedNumerics) MNumeric() else MFloat
       case (n: MNumeric, o) if intRank(o).isDefined || o == MFloat => n
       case (o, n: MNumeric) if intRank(o).isDefined || o == MFloat => n
+      // two numerics WIDEN (max integral digits + max scale, capped at
+      // Spark's 38) — falling through to MStr would silently turn a
+      // decimal column into text on a precision mismatch
+      case (MNumeric(p1, s1), MNumeric(p2, s2)) =>
+        val s = math.max(s1, s2)
+        val i = math.max(p1 - s1, p2 - s2)
+        MNumeric(math.min(38, i + s), s)
       case (a: MDatetime, _: MDatetime) => a
       case (MUuid, MStr) | (MStr, MUuid) => MStr
       case (MJson, MStr) | (MStr, MJson) => MJson

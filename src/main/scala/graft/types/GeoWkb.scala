@@ -130,6 +130,15 @@ object GeoWkb {
     readGeom(in)
   }
 
+  /** Each multi-geometry MEMBER carries its own byte-order byte (WKB spec):
+    * honor it — forcing little-endian (or inheriting the outer order) would
+    * silently decode a big-endian producer's coordinates with reversed
+    * bytes into garbage-but-finite doubles. */
+  private def memberOrder(in: ByteBuffer): Unit = {
+    val o = in.get()
+    in.order(if (o == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+  }
+
   private def readGeom(in: ByteBuffer): String = {
     val order = in.get()
     in.order(if (order == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
@@ -144,15 +153,15 @@ object GeoWkb {
         s"POLYGON (${Seq.fill(n)(s"(${readRing(in)})").mkString(", ")})"
       case "MULTIPOINT" =>
         val n = in.getInt()
-        s"MULTIPOINT (${Seq.fill(n) { in.get(); in.order(ByteOrder.LITTLE_ENDIAN); in.getInt(); s"(${readCoord(in)})" }.mkString(", ")})"
+        s"MULTIPOINT (${Seq.fill(n) { memberOrder(in); in.getInt(); s"(${readCoord(in)})" }.mkString(", ")})"
       case "MULTILINESTRING" =>
         val n = in.getInt()
-        s"MULTILINESTRING (${Seq.fill(n) { in.get(); in.getInt(); s"(${readRing(in)})" }.mkString(", ")})"
+        s"MULTILINESTRING (${Seq.fill(n) { memberOrder(in); in.getInt(); s"(${readRing(in)})" }.mkString(", ")})"
       case "MULTIPOLYGON" =>
         val n = in.getInt()
         s"MULTIPOLYGON (${
           Seq.fill(n) {
-            in.get(); in.getInt()
+            memberOrder(in); in.getInt()
             val rings = in.getInt()
             s"(${Seq.fill(rings)(s"(${readRing(in)})").mkString(", ")})"
           }.mkString(", ")})"

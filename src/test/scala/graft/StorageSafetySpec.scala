@@ -139,3 +139,53 @@ class KeylessBoundsSpec extends SparkSpec {
     assert(eng.storage(spec).readRange(None, None).count() == 2)
   }
 }
+
+class ReviewRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two conflicting numerics WIDEN instead of degrading to string") {
+    import graft.types.Dtypes
+    import graft.types.MrsmType._
+    val w = Dtypes.promote(MNumeric(38, 10), MNumeric(20, 5))
+    assert(w == MNumeric(38, 10)) // max int digits (28) + max scale (10), capped 38
+    assert(Dtypes.promote(MNumeric(10, 2), MNumeric(12, 6)) == MNumeric(14, 6))
+  }
+
+  test("PQ rejects codebooks beyond tinyint range instead of wrapping codes") {
+    val vecs = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(8)((i % 7).toFloat))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ops.SimilaritySearch.pqCodebooks(vecs, "vec_id", "embedding",
+        m = 4, ks = 256)
+    }
+  }
+
+  test("banded LSH rejects 64-bit band masks instead of going quadratic") {
+    val vecs = Seq((0L, Array.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      graft.ops.ApproxDedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        planes = graft.ops.SimilaritySearch.srpPlanes(4, 64), bands = 1, threshold = 0.5)
+    }
+  }
+
+  test("saltedJoin refuses right/full outer joins that would duplicate rows") {
+    val l = Seq((1L, "a")).toDF("k", "v")
+    val r = Seq((2L, "b")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      graft.ops.Skew.saltedJoin(l, r, Seq("k"), salt = 4, joinType = "full_outer")
+    }
+  }
+
+  test("big-endian multi-geometry members decode correctly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // MULTIPOINT with ONE big-endian member: outer LE header, member BE
+    val buf = ByteBuffer.allocate(1 + 4 + 4 + (1 + 4 + 16))
+    buf.order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(4).putInt(1) // LE MULTIPOINT, 1 member
+    buf.order(ByteOrder.BIG_ENDIAN)
+    buf.put(0.toByte).putInt(1)           // BE POINT member
+    buf.putDouble(30.0).putDouble(10.0)
+    val wkt = graft.types.GeoWkb.wkbToWkt(buf.array())
+    assert(wkt == "MULTIPOINT ((30.0 10.0))", s"got $wkt")
+  }
+}
