@@ -947,6 +947,12 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("signal"))
     }),
 
+    // ── LLM-pipeline: exact-substring dedup signal (Lee et al. 2021) —
+    // chars inside verbatim ≥20-char spans repeated anywhere in the corpus.
+    "q_dup_char_spans" -> ((s, d) =>
+      ApproxDedup.dupCharSpanStats(Tables.documents(s, d), "doc_id", "text", n = 20)
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: SemDeDup (Abbas et al. 2023) — semantic dedup with
     // the pair search pruned to k-means cells: Σ|cell|² candidates instead
     // of N², shuffles keyed on cell / id only. Oracle replays cell argmax,
@@ -1982,6 +1988,9 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
+
+    "q_dup_char_spans" ->
+      ApproxDedup.dupCharSpanStatsOracleSql("documents", "doc_id", "text", n = 20),
 
     "q_repetition_matrix" ->
       graft.ops.Corpus.repetitionMatrixOracleSql(

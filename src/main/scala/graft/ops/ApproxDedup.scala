@@ -518,6 +518,60 @@ object ApproxDedup {
        FROM e0 LEFT JOIN lab ON lab.node = e0.$idCol
        ORDER BY e0.$idCol"""
 
+  /** Character-level duplicated-span statistics — the signal behind EXACT
+    * SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better": verbatim substrings of ≥ `n` characters
+    * repeated anywhere in the corpus). A char n-gram occurring more than
+    * once corpus-wide marks its positions; per document, the fraction of
+    * characters inside such spans (overlap-safe distinct positions).
+    *
+    * Same relational shape as [[dupNgramStats]] at character granularity:
+    * the ONE table-wide shuffle carries a 60-bit truncated-md5 key per
+    * gram (oracle-replayable); only DUPLICATED grams fan out into
+    * positions, so the expensive explode is ∝ duplication, not corpus
+    * size. (The paper's suffix array finds maximal spans; the n-gram form
+    * is the standard sharded approximation — every duplicated span of
+    * length ≥ n is fully covered by its duplicated n-grams.) */
+  def dupCharSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 20): DataFrame = {
+    require(n >= 2, "span length must be >= 2")
+    val grams = docs.select(col(idCol),
+        posexplode(TextFns.charNgrams(col(textCol), n)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val covered = grams.join(dup, "h")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("p")).as("covered_chars"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"))
+      .withColumn("dup_fraction",
+        col("covered_chars").cast("double") / col("n_chars").cast("double"))
+  }
+
+  /** DuckDB oracle replaying [[dupCharSpanStats]]. */
+  def dupCharSpanStatsOracleSql(table: String, idCol: String, textCol: String,
+                                n: Int = 20): String =
+    s"""WITH g AS (
+         SELECT $idCol, u.i - 1 AS pos,
+           CAST(('0x' || substring(md5(substring(lower($textCol), u.i, $n)), 1, 15)) AS BIGINT) AS h
+         FROM $table, unnest(generate_series(1, greatest(length($textCol) - ${n - 1}, 0))) AS u(i)),
+       dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM g GROUP BY 1) WHERE c > 1),
+       cov AS (
+         SELECT $idCol, CAST(count(DISTINCT p) AS BIGINT) AS covered_chars
+         FROM (SELECT g.$idCol, u2.p FROM g JOIN dup USING (h),
+               unnest(generate_series(g.pos, g.pos + ${n - 1})) AS u2(p))
+         GROUP BY 1)
+       SELECT d.$idCol, CAST(length(d.$textCol) AS BIGINT) AS n_chars,
+         coalesce(c.covered_chars, 0) AS covered_chars,
+         coalesce(c.covered_chars, 0)::DOUBLE / length(d.$textCol)::DOUBLE AS dup_fraction
+       FROM $table d LEFT JOIN cov c USING ($idCol) ORDER BY d.$idCol"""
+
   /** Near-duplicate CLUSTERS from a pair list: connected components by
     * iterative min-label propagation (the hash-min variant of
     * large-star/small-star, Kiveris et al. 2014) — every document's label

@@ -411,3 +411,23 @@ class VerifyPartialSourceSpec extends SparkSpec {
       (15L to 20L).toSet)
   }
 }
+
+class DupCharSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicated char spans cover exactly the shared substring positions") {
+    // doc 1 and 2 share a verbatim 30-char prefix; doc 3 is unique
+    val shared = "the quick brown fox jumps over"
+    val docs = Seq(
+      (1L, shared + "1 one tail xyzzy"),      // tails diverge at char 30
+      (2L, shared + "2 two differs totally"),
+      (3L, "entirely unique content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.ApproxDedup.dupCharSpanStats(docs, "doc_id", "text", n = 10)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    // each sharer: the shared 30-char prefix is fully covered (its 10-grams
+    // all duplicate); the unique tails are not
+    assert(out(0)._3 == 30 && out(1)._3 == 30)
+    assert(out(2)._3 == 0 && out(2)._4 == 0.0)
+  }
+}
