@@ -16,7 +16,11 @@ object Bench {
     spark.range(0, 100000).selectExpr("sum(id)").collect()
     spark.read.parquet(Tables.path(sfDir, "region")).count()
     // (name -> (seconds, errorOrNull)); a failed query must surface, never
-    // bench as a fast success.
+    // bench as a fast success. count() is the measured action: it evaluates
+    // every filter/join/aggregate but lets ColumnPruning drop a final
+    // unreferenced projection — acceptable here because the queries end in
+    // aggregates/sorts/limits, and switching sinks would break
+    // round-over-round comparability of BENCH_r{N}.json.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
@@ -33,7 +37,10 @@ object Bench {
     // tail of stdout, so the line stays short and the summary fields sit at
     // the END to survive truncation of a long per-query map. The full
     // 3-decimal report also lands in BENCH_LOCAL.json for exact reading.
-    def fmt(v: Double, dec: Int): String = s"%.${dec}f".format(v)
+    // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would emit
+    // invalid JSON ("q1":1,234) and zero the round's bench results
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def line(dec: Int): String = {
       val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + fmt(v, dec) }
         .mkString("{", ",", "}")
@@ -41,7 +48,7 @@ object Bench {
         .mkString("{", ",", "}")
       val nFailed = results.count(_._2._2 != null)
       val total = results.values.map(_._1).sum
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"sf":${jstr(sfDir)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),

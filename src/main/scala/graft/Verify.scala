@@ -21,7 +21,14 @@ object Verify {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(only).toMap
+      else {
+        // a typo'd name silently matching nothing would write no results
+        // and still exit 0 — the developer would read that as a pass
+        val unknown = only -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(s"[verify] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(only).toMap
+      }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

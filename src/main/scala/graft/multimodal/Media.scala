@@ -67,12 +67,16 @@ object Media {
     * Partition-wise and shuffle-free — the real implementation swaps only
     * the codec body. */
   def resize(media: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val targetLen = math.max(1,
-          (r.payload.length.toLong * (width.toLong * height) /
-            math.max(1L, r.width.toLong * r.height)).toInt)
+        // Long arithmetic end-to-end, clamped BEFORE the Int narrowing: a
+        // large upscale would otherwise wrap .toInt and silently truncate
+        // the payload to ~1 byte
+        val scaled = r.payload.length.toLong * (width.toLong * height) /
+          math.max(1L, r.width.toLong * r.height)
+        val targetLen = math.max(1L, math.min(scaled, Int.MaxValue.toLong)).toInt
         val out = java.util.Arrays.copyOf(r.payload, targetLen)
         r.copy(payload = out, width = width, height = height)
       }
@@ -84,10 +88,12 @@ object Media {
     * frame decode is the stubbed byte slice; everything around it (row
     * explosion, schema, batch shape) is the production contract. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
+    require(everyMs > 0, "frame sampling interval must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.filter(_.media_type == "video").flatMap { r =>
-        val n = (r.duration_ms / everyMs).toInt
+        // clamp before narrowing: duration/interval can exceed Int range
+        val n = math.min(r.duration_ms / everyMs, Int.MaxValue.toLong).toInt
         (0 until n).iterator.map { i =>
           val ts = i * everyMs
           val off = if (r.payload.isEmpty) 0

@@ -14,6 +14,7 @@ object Retry {
   /** Run `body` up to `attempts` times. Returns (result, attemptsUsed,
     * per-attempt error messages). The final failure propagates. */
   def withBackoff[A](attempts: Int, baseSleepMs: Long)(body: => A): (A, Int, Seq[String]) = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
     var errs = Vector.empty[String]
     var n = 0
     while (true) {
@@ -21,7 +22,9 @@ object Retry {
       try return (body, n, errs)
       catch {
         case NonFatal(e) if n < attempts =>
-          errs :+= s"attempt $n: ${e.getMessage}"
+          // class name included: a message-less exception (bare NPE) would
+          // otherwise record as "attempt N: null"
+          errs :+= s"attempt $n: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           Thread.sleep(baseSleepMs * n.toLong * n.toLong)
       }
     }

@@ -42,7 +42,9 @@ class Round3Spec extends SparkSpec {
     val r = eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0))))
     assert(r.inserted == 1)
     assert(r.attempts == 3)
-    assert(r.attemptErrors == Seq("attempt 1: transient #1", "attempt 2: transient #2"))
+    assert(r.attemptErrors == Seq(
+      "attempt 1: RuntimeException: transient #1",
+      "attempt 2: RuntimeException: transient #2"))
     assert(eng.storage(spec).rowCount == 1)
   }
 
