@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // pin the JVM default zone too: embedded-JDBC (Derby) timestamp
+    // round-trips render wall-clock in the JVM zone, not the session zone
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

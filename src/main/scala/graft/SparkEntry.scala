@@ -39,6 +39,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Probe a STORED minhash band index for one document's near-dup pairs:
+    * collect the query doc's ≤ bands (band, bandHash, bucket) rows, read
+    * ONLY those bucket directories (partition-pruned `readIn`), apply the
+    * exact (band, bandHash) disjunction, verify candidates by exact
+    * Jaccard. Shared by the stored-probe and incremental-index queries so
+    * thresholds cannot drift between them. A query doc with no band rows
+    * (absent id / shorter than the shingle) yields an empty pair set
+    * rather than an empty-reduce crash. */
+  private def probeStoredBandIndex(store: graft.storage.PipeStorage,
+                                   docs: DataFrame, qid: Long,
+                                   index: DataFrame => DataFrame): DataFrame = {
+    val qBands = index(docs.where(col("doc_id") === qid))
+      .select("band", "bandHash", "bucket").collect()
+    val hit = qBands.toSeq.map(r =>
+        col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val probed = store.readIn(qBands.toSeq.map(_.getLong(2))).where(hit)
+    val cands = probed.where(col("doc_id") =!= qid)
+      .select(col("doc_id")).distinct()
+      .select(least(lit(qid), col("doc_id")).as("id1"),
+              greatest(lit(qid), col("doc_id")).as("id2"))
+    ApproxDedup.verifyPairs(cands, docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Stage the events table plus two far-future sentinel rows (user_id −1,
     * 2030/2031) as separate stream files. With `maxFilesPerTrigger = 1`
     * each sentinel forms its own micro-batch, driving the watermark past
@@ -60,8 +86,12 @@ object SparkEntry {
       s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
         .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
         .coalesce(1).write.parquet(tmp)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      // Files.list holds an open directory handle — close it (a leaked fd
+      // per sentinel accumulates across looped bench/verify runs)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val part = try listing.filter(p => p.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
       val dest = java.nio.file.Paths.get(s"$srcDir/z_sentinel_$idx.parquet")
       java.nio.file.Files.move(part, dest)
       java.nio.file.Files.setLastModifiedTime(dest,
@@ -791,12 +821,14 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))),
 
     // MinHash-LSH near-dup: scale path (band join, never a cross join).
-    // The exact-Jaccard verify stage removes LSH false positives, and with
-    // r=2/bands=12 the miss probability for a j>=0.9 pair is ~1e-9, so the
-    // output equals the exact all-pairs oracle.
+    // The exact-Jaccard verify stage removes LSH false positives; r=1
+    // (bands=k=24) makes the miss probability (1−j)^24 — ≤ 6e-8 even for
+    // a pair exactly AT the 0.5 threshold — so the output equals the exact
+    // all-pairs oracle for any input, not just high-j corpora. (r=2 would
+    // miss a j=0.5 pair with ~3% probability: oracle-fragile.)
     "q_minhash_near_dups" -> ((s, d) =>
       ApproxDedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.5, shingleSize = 3, k = 24, bands = 12)
+          threshold = 0.5, shingleSize = 3, k = 24, bands = 24)
         .orderBy(col("id1"), col("id2"))),
 
     // ── LLM-pipeline: near-dup CLUSTERS — connected components of the
@@ -805,7 +837,7 @@ object SparkEntry {
     // closure of the exact-Jaccard pair graph with a recursive CTE.
     "q_neardup_clusters" -> ((s, d) => {
       val pairs = ApproxDedup.minhashNearDups(Tables.documents(s, d),
-        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 12)
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 24)
       ApproxDedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
 
@@ -1182,22 +1214,7 @@ object SparkEntry {
       // create() clusters by the chunk (= bucket) label: one file per
       // bucket directory instead of (tasks × buckets) shards
       store.create(index(docs))
-      // query side: ≤ 12 (band, bandHash, bucket) rows for the one document
-      val qBands = index(docs.where(col("doc_id") === qid))
-        .select("band", "bandHash", "bucket").collect()
-      // ONE partition-pruned scan over the probe buckets, then the exact
-      // (band, bandHash) disjunction within them
-      val hit = qBands.toSeq.map(r =>
-          col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
-        .reduce(_ || _)
-      val probed = store.readIn(qBands.toSeq.map(_.getLong(2))).where(hit)
-      val cands = probed.where(col("doc_id") =!= qid)
-        .select(col("doc_id")).distinct()
-        .select(least(lit(qid), col("doc_id")).as("id1"),
-                greatest(lit(qid), col("doc_id")).as("id2"))
-      ApproxDedup.verifyPairs(cands, docs, "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
-        .orderBy(col("id1"), col("id2"))
+      probeStoredBandIndex(store, docs, qid, index)
     }),
 
     // ── §2.8 special-column inference: uuid/json shapes hiding in string
@@ -1475,20 +1492,7 @@ object SparkEntry {
         epochUnit = Some("minute"), chunkMinutes = 1)
       eng.sync(spec, index(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
       eng.sync(spec, index(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
-      val store = eng.storage(spec)
-      val qBands = index(docs.where(col("doc_id") === qid))
-        .select("band", "bandHash", "bucket").collect()
-      val hit = qBands.toSeq.map(r =>
-          col("band") === r.getInt(0) && col("bandHash") === r.getInt(1))
-        .reduce(_ || _)
-      val probed = store.readIn(qBands.toSeq.map(_.getLong(2))).where(hit)
-      val cands = probed.where(col("doc_id") =!= qid)
-        .select(col("doc_id")).distinct()
-        .select(least(lit(qid), col("doc_id")).as("id1"),
-                greatest(lit(qid), col("doc_id")).as("id2"))
-      ApproxDedup.verifyPairs(cands, docs, "doc_id", "text",
-          shingleSize = 3, threshold = 0.5)
-        .orderBy(col("id1"), col("id2"))
+      probeStoredBandIndex(eng.storage(spec), docs, qid, index)
     }),
 
     // ── LLM-pipeline: the IVF ANN index maintained INCREMENTALLY as a
@@ -1548,10 +1552,15 @@ object SparkEntry {
             minWords = 20, maxWords = 100000, minStopwords = 0)
           .where(col("keep") === 1).select("doc_id"),
         "doc_id")
-      val survivors = kept
-        .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      kept.join(survivors.select("doc_id"), "doc_id")
+      // exact dedup as ONE window over the filtered stream (keep lowest id
+      // per fingerprint): deriving a survivor set and joining it back would
+      // evaluate the normalize+filter subtree twice — Spark does not dedupe
+      // DAG subtrees
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      kept.withColumn("fp", TextFns.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
         .select(col("doc_id"),
           graft.ops.Sampling.splitLabel(col("doc_id"),
             Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"),
@@ -1674,8 +1683,11 @@ object SparkEntry {
          ORDER BY event_id""",
 
     "q_params_json" ->
+      // NUMERIC compare, mirroring the engine's cast-to-double equality
+      // (ParamsFilter.jsonEquality matches "87.0" too — a string compare
+      // against '87' would diverge on any non-canonical numeric rendering)
       """SELECT event_id, user_id, props FROM events
-         WHERE json_extract_string(props, '$.k') = '87'
+         WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) = 87.0
          ORDER BY event_id""",
 
     "q_sync_time" -> "SELECT max(ts) AS sync_time FROM events",

@@ -7,6 +7,9 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // pin the JVM default zone too: embedded-JDBC (Derby) timestamp
+    // round-trips render wall-clock in the JVM zone, not the session zone
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

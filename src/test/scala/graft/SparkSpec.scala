@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
