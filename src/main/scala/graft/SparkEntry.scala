@@ -2188,8 +2188,10 @@ object SparkEntry {
            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (
            SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+             -- DuckDB's windowed sum is HUGEINT → pandas float64; CAST so
+             -- the driver hash sees the same int64 as the Spark side
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
            FROM o)
          SELECT user_id, session_idx, min(ts) AS session_start,
                 max(ts) AS session_end, count(*) AS n_events
@@ -2233,8 +2235,8 @@ object SparkEntry {
          s AS (
            SELECT session_idx, min(ts) AS session_start, max(ts) AS session_end,
                   count(*) AS n_events
-           FROM (SELECT ts, sum(is_new) OVER (ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM (SELECT ts, CAST(sum(is_new) OVER (ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
                  FROM o) t
            GROUP BY session_idx),
          p AS (SELECT event_id, ts FROM events WHERE event_type='purchase')

@@ -121,47 +121,52 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   }
 
   // ── crash-safe chunk swaps ──────────────────────────────────────────────
-  // Every partitioned rewrite lands in a tmp dir, then swaps: an INTENT
-  // file (written only after the tmp output is complete) names the tmp and
-  // the affected chunk dirs; old dirs move to a backup dir BEFORE any new
-  // part moves in; backup/tmp/intent delete last. A crash at any point is
-  // recoverable by ROLLING FORWARD from the tmp (see [[recoverSwap]]) — at
-  // no point is the only copy of a chunk in a directory that cleanup would
-  // delete. (The previous delete-then-rename left a window where vacuum()
-  // would have destroyed the sole surviving copy.)
+  // Every partitioned rewrite lands in a tmp dir, then swaps. The INTENT
+  // file — written only after the tmp output is complete — names the tmp
+  // and records the expected FINAL state of every affected chunk dir:
+  // "R name" (a replacement part exists in tmp) or "C name" (the swap
+  // clears the chunk). Recovery rolls FORWARD deterministically from those
+  // tags; it never has to guess whether a live dir is the swap's output or
+  // a leftover to remove. The intent deletes FIRST during cleanup: once
+  // every part has moved into data/ the swap is final, and recovery must
+  // become a no-op before any cleanup starts. (The previous design kept a
+  // backup dir and deleted the intent LAST, which left a crash window —
+  // backup+tmp gone, intent still present — where recovery's
+  // fully-cleared-chunk heuristic deleted the only copy of every
+  // swapped-in chunk; tagged intents remove the heuristic entirely.)
   private def swapIntent = new Path(s"$basePath/.swap_intent")
   private def swapBackup = new Path(s"$basePath/.swap_backup")
 
   private def swapChunks(tmp: String, affectedDirNames: Set[String]): Unit = {
     val dataDir = new Path(dataPath)
+    val tmpParts = fs.listStatus(new Path(tmp)).map(_.getPath.getName)
+      .filter(_.startsWith(s"$PartCol=")).toSet
+    val entries = (affectedDirNames ++ tmpParts).toSeq.sorted
+      .map(n => (if (tmpParts(n)) "R " else "C ") + n)
     val out = fs.create(swapIntent, true)
-    try out.write((tmp.split('/').last +: affectedDirNames.toSeq)
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write((tmp.split('/').last +: entries).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    fs.mkdirs(swapBackup)
-    affectedDirNames.foreach { n =>
-      val dest = new Path(dataDir, n)
-      if (fs.exists(dest)) fs.rename(dest, new Path(swapBackup, n))
+    tmpParts.foreach { n =>
+      val live = new Path(dataDir, n)
+      if (fs.exists(live)) fs.delete(live, true)
+      fs.rename(new Path(tmp, n), live)
     }
-    fs.listStatus(new Path(tmp)).filter(_.getPath.getName.startsWith(s"$PartCol="))
-      .foreach(st => fs.rename(st.getPath, new Path(dataDir, st.getPath.getName)))
-    fs.delete(swapBackup, true)
-    fs.delete(new Path(tmp), true)
+    (affectedDirNames -- tmpParts).foreach { n =>
+      val live = new Path(dataDir, n)
+      if (fs.exists(live)) fs.delete(live, true)
+    }
     fs.delete(swapIntent, false)
+    fs.delete(new Path(tmp), true)
   }
 
-  /** Complete an interrupted chunk swap. The intent file exists only while
-    * a swap is in flight, and is written only after the tmp output is
-    * complete, so recovery can always roll FORWARD:
-    *   - affected dir live + its part still in tmp  → old (backup move not
-    *     done yet): replace it with the tmp part;
-    *   - affected dir live + no tmp part + a backup copy exists → the NEW
-    *     dir already moved in: keep;
-    *   - affected dir live + no tmp part + no backup copy → old dir of a
-    *     fully-cleared chunk: delete;
-    *   - affected dir absent + tmp part → move the part in;
-    *   - affected dir absent + no tmp part → already final (fully cleared).
-    */
+  /** Complete an interrupted chunk swap by rolling FORWARD from the tagged
+    * intent (see above):
+    *   - "R": part still in tmp → superseded live (if any) deletes, part
+    *     moves in; part gone → it already moved, the live dir IS the swap
+    *     output: keep;
+    *   - "C": live deletes if present (the clear rolls forward); absent →
+    *     already final.
+    * Every step is idempotent, so a crash mid-recovery just re-runs. */
   private def recoverSwap(): Unit = {
     if (!fs.exists(swapIntent)) return
     val in = fs.open(swapIntent)
@@ -170,20 +175,21 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     finally in.close()
     val tmp     = new Path(s"$basePath/${lines.head}")
     val dataDir = new Path(dataPath)
-    lines.tail.foreach { n =>
+    lines.tail.foreach { entry =>
+      val (tag, n) = (entry.take(1), entry.drop(2))
       val live = new Path(dataDir, n)
       val part = new Path(tmp, n)
-      val bak  = new Path(swapBackup, n)
-      if (fs.exists(part)) {
-        if (fs.exists(live)) fs.delete(live, true)
-        fs.rename(part, live)
-      } else if (fs.exists(live) && !fs.exists(bak)) {
-        fs.delete(live, true) // fully-cleared chunk, backup move pending
-      }
+      if (tag == "R") {
+        if (fs.exists(part)) {
+          if (fs.exists(live)) fs.delete(live, true)
+          fs.rename(part, live)
+        }
+      } else if (fs.exists(live)) fs.delete(live, true)
     }
-    if (fs.exists(swapBackup)) fs.delete(swapBackup, true)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // intent first: cleanup leftovers are inert (removed here / by vacuum)
     fs.delete(swapIntent, false)
+    if (fs.exists(swapBackup)) fs.delete(swapBackup, true) // pre-tag leftovers
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Run crash recovery once per storage handle before the first

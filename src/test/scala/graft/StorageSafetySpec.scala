@@ -84,11 +84,13 @@ class SwapRecoverySpec extends SparkSpec {
     }
     copyTree(chunk, tmp.resolve(chunkName))
     java.nio.file.Files.write(base.resolve(".swap_intent"),
-      s".merge_tmp\n$chunkName".getBytes("UTF-8"))
-    val backup = base.resolve(".swap_backup")
-    java.nio.file.Files.createDirectories(backup)
-    // crash point: live chunk moved OUT, tmp not yet moved in
-    java.nio.file.Files.move(chunk, backup.resolve(chunkName))
+      s".merge_tmp\nR $chunkName".getBytes("UTF-8"))
+    // crash point: superseded live chunk deleted, tmp not yet moved in
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    deleteTree(chunk)
 
     // a NEW storage handle (fresh session state) must recover, and vacuum
     // must not delete the only surviving copy
@@ -97,6 +99,54 @@ class SwapRecoverySpec extends SparkSpec {
     val after = eng2.getData(spec).orderBy($"id")
       .select($"id", $"v").as[(Long, String)].collect().toSeq
     assert(after == before, "recovery must roll the interrupted swap forward")
+  }
+
+  test("crash AFTER parts moved in but BEFORE intent cleanup keeps the new data") {
+    // the advisor's window: every tmp part already renamed into data/, the
+    // tmp holds no parts anymore, and the intent is still present. The old
+    // heuristic (live + no tmp part + no backup → delete) destroyed the
+    // only copy here; tagged intents must keep it.
+    val root = java.nio.file.Files.createTempDirectory("graft_swapcrash2").toString
+    val (eng, spec) = mkPipe(root)
+    val before = eng.getData(spec).orderBy($"id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+    val base = java.nio.file.Paths.get(eng.storage(spec).basePath)
+    val chunkNames = java.nio.file.Files.list(base.resolve("data"))
+      .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
+      .map[String](_.getFileName.toString).toArray.toSeq.map(_.toString)
+    assert(chunkNames.nonEmpty)
+    // tmp exists but is drained (parts all moved in); intent lists them as R
+    java.nio.file.Files.createDirectories(base.resolve(".merge_tmp"))
+    java.nio.file.Files.write(base.resolve(".swap_intent"),
+      (".merge_tmp" +: chunkNames.map("R " + _)).mkString("\n").getBytes("UTF-8"))
+
+    val eng2 = new SyncEngine(spark, root)
+    eng2.storage(spec).vacuum()
+    val after = eng2.getData(spec).orderBy($"id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+    assert(after == before,
+      "recovery must keep swapped-in chunks when the tmp part already moved")
+  }
+
+  test("C-tagged (cleared) chunks roll forward to deletion on recovery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_swapcrash3").toString
+    val (eng, spec) = mkPipe(root)
+    val base = java.nio.file.Paths.get(eng.storage(spec).basePath)
+    val chunk = java.nio.file.Files.list(base.resolve("data"))
+      .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
+      .findFirst().get()
+    val chunkName = chunk.getFileName.toString
+    val beforeIds = eng.getData(spec).select($"id").as[Long].collect().toSet
+    java.nio.file.Files.createDirectories(base.resolve(".clear_tmp"))
+    java.nio.file.Files.write(base.resolve(".swap_intent"),
+      s".clear_tmp\nC $chunkName".getBytes("UTF-8"))
+
+    val eng2 = new SyncEngine(spark, root)
+    eng2.storage(spec).vacuum()
+    assert(!java.nio.file.Files.exists(base.resolve("data").resolve(chunkName)),
+      "a C-tagged chunk must be deleted by roll-forward recovery")
+    val after = eng2.getData(spec).select($"id").as[Long].collect().toSet
+    assert(after.subsetOf(beforeIds) && after != beforeIds)
   }
 }
 
