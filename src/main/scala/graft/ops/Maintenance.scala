@@ -203,28 +203,33 @@ object Maintenance {
     * formatting dependence). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile requires at least one column")
+    // exact-name attribute references (UnresolvedAttribute.quoted), and the
+    // long-format pivot built as array-of-structs + inline — NO parsed SQL
+    // anywhere, so column names with spaces/dots/hyphens/quotes neither
+    // break parsing nor alias-collide with the generated stat names
+    def ref(c: String): Column = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(c))
     val numeric = df.schema.fields.map(f =>
       f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}_nn"),
-          count_distinct(col(c)).as(s"${c}_nd")) ++
-      (if (numeric(c))
-        Seq(min(col(c)).cast("double").as(s"${c}_mn"),
-            max(col(c)).cast("double").as(s"${c}_mx"))
-      else
-        Seq(min(col(c)).cast("string").as(s"${c}_mns"),
-            max(col(c)).cast("string").as(s"${c}_mxs")))
-    }
+    cols.foreach(c => require(numeric.contains(c), s"no such column: $c"))
     val rows = cols.map { c =>
-      if (numeric(c))
-        s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx, CAST(NULL AS STRING), CAST(NULL AS STRING)"
-      else
-        s"'$c', ${c}_nn, ${c}_nd, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ${c}_mns, ${c}_mxs"
-    }.mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $rows)")
-        .as(Seq("col_name", "n_nonnull", "n_distinct",
-                "min_num", "max_num", "min_str", "max_str")))
+      val base = Seq(lit(c).as("col_name"),
+        count(ref(c)).as("n_nonnull"),
+        count_distinct(ref(c)).as("n_distinct"))
+      val tail =
+        if (numeric(c))
+          Seq(min(ref(c)).cast("double").as("min_num"),
+              max(ref(c)).cast("double").as("max_num"),
+              lit(null).cast("string").as("min_str"),
+              lit(null).cast("string").as("max_str"))
+        else
+          Seq(lit(null).cast("double").as("min_num"),
+              lit(null).cast("double").as("max_num"),
+              min(ref(c)).cast("string").as("min_str"),
+              max(ref(c)).cast("string").as("max_str"))
+      struct(base ++ tail: _*)
+    }
+    df.agg(array(rows: _*).as("__rows")).select(inline(col("__rows")))
   }
 
   /** Equi-width histogram of a numeric column — the distribution half of

@@ -493,6 +493,55 @@ class PlanAuditSpec extends SparkSpec {
       .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("props"), s"props read for id projection: $readSchema")
   }
+
+  test("minhash fast path: hot-bucket cap is a BROADCAST anti-join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    // audit the LAZY candidate stage — minhashNearDupsFast itself eagerly
+    // checkpoints the pair list, which truncates the auditable lineage
+    val (sig, cands) = graft.ops.ApproxDedup.minhashFastCandidates(
+      docs, "doc_id", "text", threshold = 0.5, shingleSize = 3,
+      k = 24, bands = 6, estSlack = 0.25, maxBucket = 200, md5Base = false)
+    try {
+      val plan = cands.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"hot-bucket cap must plan as a broadcast anti-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"BNLJ in the candidate plan:\n$plan")
+    } finally { sig.unpersist(); () }
+  }
+
+  test("asofJoin plans exactly ONE exchange (no range cross product)") {
+    import spark.implicits._
+    val quotes = Seq.tabulate(200)(i =>
+      (i % 5L, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:00:00"), i * 1.0))
+      .toDF("id", "qt", "px")
+    val trades = Seq.tabulate(50)(i =>
+      (i % 5L, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:30:00")))
+      .toDF("id", "tt")
+    val joined = graft.ops.Relational.asofJoin(trades, quotes, Seq("id"),
+      "tt", "qt", Seq("px"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val nExchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(nExchanges == 1, s"asofJoin must shuffle ONCE (union+window), got $nExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"asofJoin must not plan a join node:\n$plan")
+  }
+
+  test("pointInIntervalJoin plans NO BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val intervals = Seq.tabulate(20)(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 12}%02d:00:00"),
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 12 + 2}%02d:00:00")))
+      .toDF("iid", "lo", "hi")
+    val points = Seq.tabulate(40)(i =>
+      (100L + i, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 14}%02d:15:00")))
+      .toDF("pid", "pt")
+    val joined = graft.ops.Relational.pointInIntervalJoin(intervals, points,
+      "lo", "hi", "pt", bucketWidthUs = 3600L * 1000000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested-loop/cartesian plan:\n$plan")
+  }
 }
 
 class ApiSourceSpec extends SparkSpec {
