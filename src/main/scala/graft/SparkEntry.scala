@@ -1253,6 +1253,32 @@ object SparkEntry {
       }.toDF("col_name", "dtype").orderBy(col("col_name"))
     }),
 
+    // ── §2.8 geometry SRID reprojection (reference project_geometry,
+    // utils/dtypes/__init__.py:874-881): synthesize deterministic lon/lat
+    // points, run them through the FULL codec chain
+    // (WKT → WKB → projectWkb 4326→3857 → WKB → WKT → parse), and compare
+    // against the oracle's independent closed-form Web Mercator arithmetic.
+    // x is bit-exact (IEEE mult/div only, same operation order); y passes
+    // through libm tan/ln, so BOTH sides round to 3 decimals (≈1 mm).
+    "q_geo_reproject" -> ((s, d) => {
+      val pts = Tables.customer(s, d).select(col("c_custkey"),
+        (pmod(col("c_custkey") * 7, lit(360)).cast("double") - 180.0 + 0.25).as("lon"),
+        (pmod(col("c_custkey") * 3, lit(170)).cast("double") - 85.0 + 0.125).as("lat"))
+      val wkt  = concat(lit("POINT ("), col("lon").cast("string"), lit(" "),
+                        col("lat").cast("string"), lit(")"))
+      val back = graft.functions.DtypeFns.wkbToWkt(
+        graft.functions.DtypeFns.projectWkb(
+          graft.functions.DtypeFns.wktToWkb(wkt), 4326, 3857))
+      pts.select(col("c_custkey"),
+          regexp_extract(back, "POINT \\(([-0-9.E]+) ([-0-9.E]+)\\)", 1)
+            .cast("double").as("x"),
+          regexp_extract(back, "POINT \\(([-0-9.E]+) ([-0-9.E]+)\\)", 2)
+            .cast("double").as("y"))
+        .select(col("c_custkey"),
+          round(col("x"), 3).as("x3857"), round(col("y"), 3).as("y3857"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ── §2.1 API (HTTP) fetch: the reference's api-connector ingest. An
     // in-process ND-JSON instance serves the events table; the source plans
     // 5-day chunk windows on the driver and each TASK pulls its own window
@@ -2584,6 +2610,19 @@ object SparkEntry {
            CASE WHEN n > 0 AND n_uuid = n THEN 'uuid'
                 WHEN n > 0 AND n_json = n THEN 'json'
                 ELSE 'str' END AS dtype
-         FROM stats ORDER BY col_name"""
+         FROM stats ORDER BY col_name""",
+
+    // independent closed-form Web Mercator; operation order mirrors
+    // GeoWkb.Crs.to3857 so x is bit-exact, y rounds (libm tan/ln)
+    "q_geo_reproject" ->
+      """WITH p AS (
+           SELECT c_custkey,
+             CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.25 AS lon,
+             CAST((c_custkey * 3) % 170 AS DOUBLE) - 85.0 + 0.125 AS lat
+           FROM customer)
+         SELECT c_custkey,
+           round(lon / 180.0 * pi() * 6378137.0, 3) AS x3857,
+           round(ln(tan(lat / 180.0 * pi() / 2.0 + pi() / 4.0)) * 6378137.0, 3) AS y3857
+         FROM p ORDER BY c_custkey"""
   )
 }

@@ -63,4 +63,13 @@ object DtypeFns {
   /** GeoPackage blob → its SRID (null when not a GPKG blob). */
   val gpkgSrid = udf((b: Array[Byte]) =>
     Option(b).flatMap(GeoWkb.gpkgSrid).map(Integer.valueOf).orNull)
+
+  /** Reproject WKB between SRIDs (4326 ⇄ 3857 closed-form; the reference's
+    * `project_geometry`, utils/dtypes/__init__.py:874-881). SRIDs bind at
+    * plan time — they come from the pipe's dtype modifier, not the data. */
+  def projectWkb(c: Column, fromSrid: Int, toSrid: Int): Column = {
+    val f = udf((b: Array[Byte]) =>
+      Option(b).map(GeoWkb.projectWkb(_, fromSrid, toSrid)).orNull)
+    f(c)
+  }
 }

@@ -50,9 +50,11 @@ object Dtypes {
   def parse(s: String): MrsmType = {
     val numericRe  = """(?i)numeric\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
     val datetimeRe = """(?i)datetime(?:64)?\[(\w+)(?:,\s*(.+))?\]""".r
+    val geometryRe = """(?i)(geometry|geography)\s*[\[(].*[\])]""".r
     s.trim match {
       case numericRe(p, sc)            => MNumeric(p.toInt, sc.toInt)
       case datetimeRe(_, tz)           => MDatetime(tz != null)
+      case geometryRe(_)               => MGeometry // modifier via geometryTypeSrid
       case t => t.toLowerCase match {
         case "bool" | "boolean"                      => MBool
         case "int8" | "byte"                         => MInt8
@@ -71,6 +73,53 @@ object Dtypes {
         case other => throw new IllegalArgumentException(s"unknown dtype: $other")
       }
     }
+  }
+
+  /** Parse the `geometry[Type, SRID]` dtype modifier — the reference's
+    * `get_geometry_type_srid` (utils/dtypes/__init__.py:1006-1093): parens
+    * normalize to brackets (PostGIS syntax), parts split on commas and take
+    * the value after any `=`, the SRID is the first integer or
+    * `AUTHORITY:code` part, the geometry type the first remaining string
+    * (normalized to canonical CamelCase). Returns (type, srid-as-string).
+    *
+    * {{{
+    * geometryTypeSrid("geometry[Point, 0]")            == ("Point", "0")
+    * geometryTypeSrid("geometry[0, Point]")            == ("Point", "0")
+    * geometryTypeSrid("geography[POINT]")              == ("Point", "0")
+    * geometryTypeSrid("geometry[POINT, ESRI:102003]")  == ("Point", "ESRI:102003")
+    * geometryTypeSrid("geometry")                      == ("geometry", "0")
+    * }}}
+    */
+  def geometryTypeSrid(dtype: String, defaultType: String = "geometry",
+                       defaultSrid: String = "0"): (String, String) = {
+    val canonical = Map(
+      "point" -> "Point", "linestring" -> "LineString",
+      "linearring" -> "LinearRing", "polygon" -> "Polygon",
+      "multipoint" -> "MultiPoint", "multilinestring" -> "MultiLineString",
+      "multipolygon" -> "MultiPolygon",
+      "geometrycollection" -> "GeometryCollection")
+    val norm = dtype.replace('(', '[').replace(')', ']')
+    val bare = norm.split("\\[", 2)(0)
+    val modifier = norm.drop(bare.length).stripPrefix("[").stripSuffix("]").trim
+    if (modifier.isEmpty) return (defaultType, defaultSrid)
+    val parts = modifier.split(",").toSeq
+      .map(_.split("=").last.trim).filter(_.nonEmpty)
+    def isInt(p: String) = p.matches("-?\\d+")
+    val srid = parts.find(p => isInt(p) || p.contains(":")).getOrElse(defaultSrid)
+    val gtype = parts.find(p => !isInt(p) && p != srid)
+      .map(t => canonical.getOrElse(t.toLowerCase, t))
+      .getOrElse(defaultType)
+    (gtype, srid)
+  }
+
+  /** Numeric EPSG code of a parsed SRID string ("4326" or "EPSG:4326");
+    * None for non-EPSG authorities (ESRI:…) — those have no closed-form
+    * transform here and must not silently map to a wrong EPSG code. */
+  def epsgCode(srid: String): Option[Int] = {
+    val s = srid.trim
+    if (s.matches("-?\\d+")) Some(s.toInt)
+    else if (s.toUpperCase.startsWith("EPSG:")) Some(s.drop(5).trim.toInt)
+    else None
   }
 
   /** Canonical string form, inverse of [[parse]]. */

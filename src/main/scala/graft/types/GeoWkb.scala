@@ -214,6 +214,85 @@ object GeoWkb {
     out.array()
   }
 
+  // ── SRID reprojection ──────────────────────────────────────────────────
+  // The reference reprojects via pyproj (utils/dtypes/__init__.py:874-881
+  // `project_geometry`; GeoJSON egress :833-835). We implement the
+  // closed-form pairs a pipeline actually hits — WGS84 lon/lat ⇄ Web
+  // Mercator (EPSG:4326 ⇄ EPSG:3857, the spherical-Mercator formulas every
+  // web map uses) — as a WKB→WKB coordinate rewrite, walking the structure
+  // once with no intermediate WKT. Unknown SRID pairs fail loudly rather
+  // than passing coordinates through mislabeled.
+
+  /** Spherical Web Mercator. Operation ORDER inside each formula is part of
+    * the oracle contract (IEEE mult/div are exact-rounded, so an ANSI SQL
+    * engine replaying `lon / 180 * pi() * R` reproduces x bit-for-bit; y
+    * involves libm tan/ln and compares at fixed decimals instead). */
+  object Crs {
+    val EarthR = 6378137.0
+    def to3857(lon: Double, lat: Double): (Double, Double) =
+      (lon / 180.0 * math.Pi * EarthR,
+       math.log(math.tan(lat / 180.0 * math.Pi / 2.0 + math.Pi / 4.0)) * EarthR)
+    def to4326(x: Double, y: Double): (Double, Double) =
+      (x / EarthR * 180.0 / math.Pi,
+       (2.0 * math.atan(math.exp(y / EarthR)) - math.Pi / 2.0) * 180.0 / math.Pi)
+
+    def transformer(fromSrid: Int, toSrid: Int): (Double, Double) => (Double, Double) =
+      (fromSrid, toSrid) match {
+        case (a, b) if a == b => (x, y) => (x, y)
+        case (4326, 3857)     => to3857
+        case (3857, 4326)     => to4326
+        case _ => throw new IllegalArgumentException(
+          s"unsupported SRID transform EPSG:$fromSrid -> EPSG:$toSrid " +
+          "(supported: 4326 <-> 3857)")
+      }
+  }
+
+  /** Reproject every coordinate of a WKB geometry; output is canonical
+    * little-endian WKB of identical structure. */
+  def projectWkb(wkb: Array[Byte], fromSrid: Int, toSrid: Int): Array[Byte] = {
+    if (fromSrid == toSrid) return wkb
+    val tf  = Crs.transformer(fromSrid, toSrid)
+    val in  = ByteBuffer.wrap(wkb)
+    val out = ByteBuffer.allocate(wkb.length).order(ByteOrder.LITTLE_ENDIAN)
+    copyGeom(in, out, tf)
+    out.array()
+  }
+
+  private def copyTfCoord(in: ByteBuffer, out: ByteBuffer,
+                          tf: (Double, Double) => (Double, Double)): Unit = {
+    val (x, y) = tf(in.getDouble(), in.getDouble())
+    out.putDouble(x); out.putDouble(y)
+  }
+
+  private def copyTfRing(in: ByteBuffer, out: ByteBuffer,
+                         tf: (Double, Double) => (Double, Double)): Unit = {
+    val n = in.getInt(); out.putInt(n)
+    var i = 0
+    while (i < n) { copyTfCoord(in, out, tf); i += 1 }
+  }
+
+  private def copyGeom(in: ByteBuffer, out: ByteBuffer,
+                       tf: (Double, Double) => (Double, Double)): Unit = {
+    val order = in.get()
+    in.order(if (order == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    out.put(1.toByte) // canonical little-endian output
+    val code = in.getInt(); out.putInt(code)
+    val name = Names.getOrElse(code,
+      throw new IllegalArgumentException(s"unknown WKB geometry type code: $code"))
+    name match {
+      case "POINT"      => copyTfCoord(in, out, tf)
+      case "LINESTRING" => copyTfRing(in, out, tf)
+      case "POLYGON" =>
+        val n = in.getInt(); out.putInt(n)
+        (0 until n).foreach(_ => copyTfRing(in, out, tf))
+      case "MULTIPOINT" | "MULTILINESTRING" | "MULTIPOLYGON" | "GEOMETRYCOLLECTION" =>
+        val n = in.getInt(); out.putInt(n)
+        // members carry their own byte-order byte; copyGeom re-reads it
+        // (and restores the member's order on `in` as it descends)
+        (0 until n).foreach(_ => copyGeom(in, out, tf))
+    }
+  }
+
   private def num(d: Double): String = d.toString
 
   private def readCoord(in: ByteBuffer): String =
