@@ -47,7 +47,7 @@ object SparkEntry {
     * thresholds cannot drift between them. A query doc with no band rows
     * (absent id / shorter than the shingle) yields an empty pair set
     * rather than an empty-reduce crash. */
-  private def probeStoredBandIndex(store: graft.storage.PipeStorage,
+  private def probeStoredBandIndex(store: graft.storage.InstanceStore,
                                    docs: DataFrame, qid: Long,
                                    index: DataFrame => DataFrame): DataFrame = {
     val qBands = index(docs.where(col("doc_id") === qid))

@@ -43,7 +43,8 @@ object StrayScan {
   * affected partition values (bounded, as the reference caps partitions per
   * sync at 10k — config/_default.py:111).
   */
-final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
+final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
+    extends InstanceStore {
 
   val PartCol = "__graft_chunk"
 
@@ -210,7 +211,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     }
   }
 
-  def exists: Boolean = {
+  override def exists: Boolean = {
     ensureRecovered()
     if (partitioned) fs.exists(new Path(s"$basePath/data"))
     else readPtr.isDefined
@@ -245,7 +246,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   /** The chunk-label expression, exposed so the sync engine can fold the
     * affected-chunk collection into its single reporting aggregate. */
-  def chunkLabel: Option[Column] = if (partitioned) Some(chunkExpr) else None
+  override def chunkLabel: Option[Column] = if (partitioned) Some(chunkExpr) else None
 
   private def withChunk(df: DataFrame): DataFrame =
     if (partitioned) df.withColumn(PartCol, chunkExpr) else df
@@ -253,7 +254,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   /** Current table contents (partition column dropped). mergeSchema tolerates
     * files written before a schema-evolution step and across snapshot
     * segments of different widths. */
-  def read: DataFrame = {
+  override def read: DataFrame = {
     ensureRecovered()
     if (partitioned)
       spark.read.option("mergeSchema", "true").parquet(dataPath).drop(PartCol)
@@ -287,7 +288,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * row-level bound predicate, which parquet min/max stats serve within the
     * surviving files. `end` is exclusive unless `endInclusive`. Bounds are
     * `LocalDateTime` (timestamp axis) or `Long` (epoch axis). */
-  def readRange(begin: Option[Any], end: Option[Any],
+  override def readRange(begin: Option[Any], end: Option[Any],
                 endInclusive: Boolean = false): DataFrame = {
     val dt = dtCol.getOrElse {
       // no datetime axis → a bounded request is undefined; silently
@@ -323,7 +324,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * band buckets): ONE scan whose partition filter lists only the chunk
     * directories holding the requested values, instead of one read per
     * value. */
-  def readIn(values: Seq[Any]): DataFrame = {
+  override def readIn(values: Seq[Any]): DataFrame = {
     // partitioned == dtCol.isDefined, so requiring the axis implies the
     // chunked layout — no snapshot branch exists here
     val dt = dtCol.getOrElse(
@@ -360,12 +361,12 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * engine gates it on the batch's chunk span — a batch landing in 1-2
     * chunks cannot shard badly, and skipping the shuffle is the win there.
     */
-  def create(df: DataFrame, cluster: Boolean = true): Unit =
+  override def create(df: DataFrame, cluster: Boolean = true): Unit =
     write(df, firstVersion = true, cluster)
 
   /** Full-table rewrites (schema promotion) always cluster: table-wide
     * row volume is exactly the sharding case. */
-  def overwrite(df: DataFrame): Unit =
+  override def overwrite(df: DataFrame): Unit =
     write(df, firstVersion = false, cluster = true)
 
   private def write(df: DataFrame, firstVersion: Boolean, cluster: Boolean): Unit = {
@@ -400,7 +401,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     }
   }
 
-  def append(df: DataFrame): Unit = {
+  override def append(df: DataFrame): Unit = {
     if (partitioned)
       withChunk(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(s"$basePath/data")
     else {
@@ -422,7 +423,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * steady-state incremental path scans only the window's chunks; the
     * full scan remains the correctness default for native-upsert pipes,
     * where an old row can live anywhere. */
-  def upsert(patch: DataFrame, keys: Seq[String],
+  override def upsert(patch: DataFrame, keys: Seq[String],
              knownChunks: Option[Seq[String]] = None,
              strayScan: StrayScan = StrayScan.Full): Unit = {
     require(keys.nonEmpty, "upsert requires key columns")
@@ -544,7 +545,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * inclusive like [[readRange]]) let the affected-chunk DISCOVERY scan
     * prune partition directories — without them a bounded clear would
     * still list every chunk of the table just to find the few it touches. */
-  def clear(predicate: Column, boundLo: Option[Any] = None,
+  override def clear(predicate: Column, boundLo: Option[Any] = None,
             boundHi: Option[Any] = None): Unit = {
     if (!exists) return
     if (partitioned) {
@@ -600,7 +601,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * are handled correctly (every chunk holding a duplicated key's rows is
     * in the affected set). Returns the number of rows removed.
     */
-  def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
+  override def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
     require(keys.nonEmpty, "deduplicate requires key columns")
     if (!exists) return 0L
     val order = if (orderBy.nonEmpty) orderBy else keys
@@ -655,7 +656,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   }
 
   /** Drop the target entirely (reference `drop_pipe`). */
-  def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
+  override def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
 
   /** Compact small files — the reference's `compress` (TimescaleDB
     * columnstore policy, core/Pipe/_compress.py:13-107) maps in Spark to
@@ -664,7 +665,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * into one file per time chunk (`repartition` on the partition column
     * hashes each chunk into a single writer task). Atomic tmp+swap like all
     * other rewrites. */
-  def compact(): Unit = {
+  override def compact(): Unit = {
     if (!exists) return
     if (partitioned) {
       val df  = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
@@ -686,7 +687,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (partitioned) Seq(dataPath) else segDirs
 
   /** Number of data files currently backing the target (compaction metric). */
-  def fileCount: Long = {
+  override def fileCount: Long = {
     if (!exists) return 0L
     liveDirs.map { d =>
       val it = fs.listFiles(new Path(d), true)
@@ -698,7 +699,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   /** On-disk size in bytes — the reference's `get_pipe_size`
     * (connectors/sql/_compress.py:103); file-length sum, no scan. */
-  def sizeBytes: Long = {
+  override def sizeBytes: Long = {
     if (!exists) return 0L
     liveDirs.map { d =>
       val it = fs.listFiles(new Path(d), true)
@@ -716,7 +717,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     * COMPLETED first ([[recoverSwap]] / the `.ready` roll-forward), so the
     * leftovers deleted here are guaranteed to be superseded copies, never
     * the sole survivor of an interrupted rewrite. */
-  def vacuum(): Unit = {
+  override def vacuum(): Unit = {
     if (!fs.exists(new Path(basePath))) return
     ensureRecovered()
     recoverSwap()
@@ -728,7 +729,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
     if (!partitioned) gcOldSnapshots(keep = 1)
   }
 
-  def rowCount: Long = if (exists) read.count() else 0L
+  override def rowCount: Long = if (exists) read.count() else 0L
 
   // ── autoincrement high-water mark ──────────────────────────────────────
   // The id generator's base must not cost a full-table max(pk) scan per
@@ -737,7 +738,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   // leave it above the true max, which only skips ids — the same gap
   // semantics a DB identity column has after DELETE.
   private def maxIdPath = new Path(s"$basePath/_MAXID")
-  def readMaxId: Option[Long] = {
+  override def readMaxId: Option[Long] = {
     if (!fs.exists(maxIdPath)) None
     else {
       val in = fs.open(maxIdPath)
@@ -745,7 +746,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
       finally in.close()
     }
   }
-  def writeMaxId(v: Long): Unit = {
+  override def writeMaxId(v: Long): Unit = {
     val out = fs.create(maxIdPath, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
@@ -781,7 +782,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
 
   /** Latest (or earliest) value of the datetime axis — the incremental
     * bookmark (reference `get_sync_time`). */
-  def syncTime(newest: Boolean = true): Option[java.time.LocalDateTime] = {
+  override def syncTime(newest: Boolean = true): Option[java.time.LocalDateTime] = {
     if (!exists) return None
     val dt = dtCol.getOrElse(return None)
     val agg = if (newest) max(col(dt)) else min(col(dt))
@@ -792,7 +793,7 @@ final class PipeStorage(spark: SparkSession, root: String, spec: PipeSpec) {
   }
 
   /** Sync-time bookmark for an integer-epoch axis (value in axis units). */
-  def syncTimeEpoch(newest: Boolean = true): Option[Long] = {
+  override def syncTimeEpoch(newest: Boolean = true): Option[Long] = {
     if (!exists) return None
     val dt = dtCol.getOrElse(return None)
     val agg = if (newest) max(col(dt)) else min(col(dt))

@@ -65,9 +65,14 @@ final class SyncEngine(spark: SparkSession, root: String,
                        retries: Int = 3,
                        retryBaseSleepMs: Long = 1000,
                        clock: () => LocalDateTime =
-                         () => LocalDateTime.now(java.time.ZoneOffset.UTC)) {
+                         () => LocalDateTime.now(java.time.ZoneOffset.UTC),
+                       /** the instance-connector seam: swap the pipe
+                         * TARGET backend (parquet by default; see
+                         * [[graft.storage.MemoryStore.factory]]) */
+                       storeFactory: (SparkSession, String, PipeSpec) => graft.storage.InstanceStore =
+                         (s, r, sp) => new PipeStorage(s, r, sp)) {
 
-  def storage(spec: PipeSpec): PipeStorage = new PipeStorage(spark, root, spec)
+  def storage(spec: PipeSpec): graft.storage.InstanceStore = storeFactory(spark, root, spec)
 
   /** The engine's wall clock (injected for tests) — shared with maintenance
     * ops so `verify --bound-days` and autotime agree on "now". */
@@ -129,7 +134,7 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   /** Shared ingest preamble: dtype enforcement, autotime stamping, and
     * autoincrement id assignment (steps 1-2b of the sync pipeline). */
-  private def prepareBatch(spec: PipeSpec, store: PipeStorage,
+  private def prepareBatch(spec: PipeSpec, store: graft.storage.InstanceStore,
                            batch0: DataFrame): DataFrame = {
     // 1. dtype enforcement (reference core/Pipe/_dtypes.py:19-115)
     var batch = if (spec.enforce) SchemaEvolution.enforceDtypes(batch0, spec.dtypes) else batch0
@@ -357,7 +362,7 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   /** Tag batch rows as update (key exists in the backtrack window) or insert.
     * `diff = true` also drops full-row-identical rows first (the delta). */
-  private def tagAgainstTarget(spec: PipeSpec, store: PipeStorage, target: DataFrame,
+  private def tagAgainstTarget(spec: PipeSpec, store: graft.storage.InstanceStore, target: DataFrame,
                                batch: DataFrame, keys: Seq[String],
                                envelope: Option[(Any, Any)],
                                diff: Boolean): DataFrame = {
@@ -391,7 +396,7 @@ final class SyncEngine(spark: SparkSession, root: String,
     * Chunk labels are collected for the rows the storage merge will rewrite
     * (all rows in upsert mode, update rows in diff mode) so `upsert` skips
     * its own distinct+collect job. */
-  private def countsAndChunks(store: PipeStorage, tagged: DataFrame,
+  private def countsAndChunks(store: graft.storage.InstanceStore, tagged: DataFrame,
                               allRows: Boolean): (Long, Long, Option[Seq[String]]) = {
     val chunkOf = store.chunkLabel
     val relevant = if (allRows) lit(true) else col(UpdFlag)
@@ -474,7 +479,7 @@ final class SyncEngine(spark: SparkSession, root: String,
   /** Target slice the diff compares against: rows inside the batch's dt
     * envelope. Without an envelope (no dt axis, or all-null) the whole
     * target is the backtrack (small-dimension pipes). */
-  private def backtrackSlice(spec: PipeSpec, store: PipeStorage, target: DataFrame,
+  private def backtrackSlice(spec: PipeSpec, store: graft.storage.InstanceStore, target: DataFrame,
                              envelope: Option[(Any, Any)]): DataFrame =
     envelope match {
       case Some((lo, hi)) =>

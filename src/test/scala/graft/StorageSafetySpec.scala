@@ -65,7 +65,7 @@ class SwapRecoverySpec extends SparkSpec {
     // and write the intent file, exactly as swapChunks does before a crash
     // that hits between the backup move and the tmp move-in; the tmp holds
     // the complete rewritten chunk (here: identical content)
-    val base = java.nio.file.Paths.get(eng.storage(spec).basePath)
+    val base = java.nio.file.Paths.get(new graft.storage.PipeStorage(spark, root, spec).basePath)
     val dataDir = base.resolve("data")
     val chunk = java.nio.file.Files.list(dataDir)
       .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
@@ -110,7 +110,7 @@ class SwapRecoverySpec extends SparkSpec {
     val (eng, spec) = mkPipe(root)
     val before = eng.getData(spec).orderBy($"id")
       .select($"id", $"v").as[(Long, String)].collect().toSeq
-    val base = java.nio.file.Paths.get(eng.storage(spec).basePath)
+    val base = java.nio.file.Paths.get(new graft.storage.PipeStorage(spark, root, spec).basePath)
     val chunkNames = java.nio.file.Files.list(base.resolve("data"))
       .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
       .map[String](_.getFileName.toString).toArray.toSeq.map(_.toString)
@@ -131,7 +131,7 @@ class SwapRecoverySpec extends SparkSpec {
   test("C-tagged (cleared) chunks roll forward to deletion on recovery") {
     val root = java.nio.file.Files.createTempDirectory("graft_swapcrash3").toString
     val (eng, spec) = mkPipe(root)
-    val base = java.nio.file.Paths.get(eng.storage(spec).basePath)
+    val base = java.nio.file.Paths.get(new graft.storage.PipeStorage(spark, root, spec).basePath)
     val chunk = java.nio.file.Files.list(base.resolve("data"))
       .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
       .findFirst().get()

@@ -9,8 +9,18 @@ import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
 import graft.sync.SyncEngine
 
 /** Sync behavior ported from the reference's test_sync.py /
-  * test_filter_existing.py scenarios (FIXTURES.md §1, §3). */
-class SyncEngineSpec extends SparkSpec {
+  * test_filter_existing.py scenarios (FIXTURES.md §1, §3).
+  *
+  * Abstract over the [[graft.storage.InstanceStore]] backend: the SAME
+  * scenarios run against the parquet store and the in-memory store, so the
+  * instance-connector seam is proven by the suite, not asserted. */
+abstract class SyncEngineSuite extends SparkSpec {
+  protected def mkEngine(root: String): SyncEngine
+  /** Physical-layout assertions (chunk dirs, file mtimes, partition-filter
+    * plans) only apply to the parquet backend; behavior assertions run on
+    * every backend. */
+  protected def fileBacked: Boolean = true
+
   import spark.implicits._
 
   private def mkSpec(root: String, name: String, upsert: Boolean = false): PipeSpec =
@@ -30,7 +40,7 @@ class SyncEngineSpec extends SparkSpec {
     ("2024-01-01 00:00:00", 2L, 3.0))
 
   test("idempotent re-sync: second identical batch is a no-op") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "idem")
     val r1 = eng.sync(spec, batch(b1))
     assert(r1.inserted == 3 && r1.updated == 0)
@@ -40,7 +50,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("changed value for existing key -> update, not insert") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "upd")
     eng.sync(spec, batch(b1))
     val r = eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 99.0))))
@@ -52,7 +62,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("new keys -> insert only") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "ins")
     eng.sync(spec, batch(b1))
     val r = eng.sync(spec, batch(Seq(("2024-01-02 00:00:00", 9L, 5.0))))
@@ -61,7 +71,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("intra-batch duplicate keys collapse before apply") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "dupb")
     val r = eng.sync(spec, batch(Seq(
       ("2024-01-01 00:00:00", 1L, 1.0),
@@ -71,7 +81,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("upsert mode: overlapping batch applies without diff, stays idempotent") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "ups", upsert = true)
     eng.sync(spec, batch(b1))
     val r = eng.sync(spec, batch(Seq(
@@ -87,7 +97,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("schema evolution: new column arrives, old rows padded with null") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "evo")
     eng.sync(spec, batch(b1))
     val withNew = batch(Seq(("2024-01-05 00:00:00", 5L, 1.5)))
@@ -100,7 +110,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("mixed int/float value promotes to numeric (mixed_numerics)") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "mix")
     val ints = Seq(("2024-01-01 00:00:00", 1L, 10L)).toDF("dts", "id", "val")
       .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
@@ -114,7 +124,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("null index values with null_indices: null-safe key join") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "nulls").copy(nullIndices = true)
     val withNull = Seq(
       ("2024-01-01 00:00:00", Some(1L), 1.0),
@@ -131,7 +141,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("primary-key pipe joins on pk alone") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = PipeSpec(PipeKeys("test", "pk"),
       columns = ColumnRoles(Map("primary" -> "pk")))
     val d1 = Seq((1L, "a"), (2L, "b")).toDF("pk", "payload")
@@ -143,7 +153,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("getData: bounds, params, select, omit, order, limit") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "read")
     eng.sync(spec, batch(b1))
     val got = eng.getData(spec,
@@ -157,7 +167,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("clear removes a half-open range; drop removes the target") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "clr")
     eng.sync(spec, batch(b1))
     val store = eng.storage(spec)
@@ -168,7 +178,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("schema evolution: ADDED column leaves existing data files untouched") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "evo_nofiles")
     eng.sync(spec, batch(b1))
     val store = eng.storage(spec)
@@ -179,44 +189,49 @@ class SyncEngineSpec extends SparkSpec {
       walk(base).filter(_.getName.endsWith(".parquet"))
         .map(f => (f.getAbsolutePath, f.lastModified())).toSet
     }
-    val before = files()
+    val before = if (fileBacked) files() else Set.empty[(String, Long)]
     val withNew = batch(Seq(("2024-01-05 00:00:00", 5L, 1.5)))
       .withColumn("extra", lit("x"))
     eng.sync(spec, withNew)
     // every pre-existing file survives byte-identical (same path + mtime)
-    assert(before.subsetOf(files()), "add-column sync rewrote existing files")
+    if (fileBacked)
+      assert(before.subsetOf(files()), "add-column sync rewrote existing files")
     assert(eng.getData(spec).where(col("extra").isNull).count() == 3)
   }
 
   test("chunk granularity follows spec.chunkMinutes: daily chunks, one-day rewrite") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "daily").copy(chunkMinutes = 1440)
     eng.sync(spec, batch(Seq(
       ("2024-01-01 10:00:00", 1L, 1.0),
       ("2024-01-02 10:00:00", 2L, 2.0),
       ("2024-01-03 10:00:00", 3L, 3.0))))
     val base = new java.io.File(s"$root/${spec.targetName}/data")
-    val parts = base.listFiles().map(_.getName).filter(_.startsWith("__graft_chunk=")).sorted
-    assert(parts.toSeq == Seq("__graft_chunk=2024-01-01",
-      "__graft_chunk=2024-01-02", "__graft_chunk=2024-01-03"))
     def mtimes(): Map[String, Long] = base.listFiles()
       .filter(_.getName.startsWith("__graft_chunk="))
       .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
       .map(f => f.getAbsolutePath -> f.lastModified()).toMap
-    val before = mtimes()
-    Thread.sleep(1100) // mtime granularity
+    if (fileBacked) {
+      val parts = base.listFiles().map(_.getName).filter(_.startsWith("__graft_chunk=")).sorted
+      assert(parts.toSeq == Seq("__graft_chunk=2024-01-01",
+        "__graft_chunk=2024-01-02", "__graft_chunk=2024-01-03"))
+    }
+    val before = if (fileBacked) mtimes() else Map.empty[String, Long]
+    if (fileBacked) Thread.sleep(1100) // mtime granularity
     val r = eng.sync(spec, batch(Seq(("2024-01-02 10:00:00", 2L, 99.0))))
     assert(r.updated == 1)
-    val after = mtimes()
-    val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
-    // day-1 and day-3 files byte-identical; only day-2 rewrote
-    assert(untouched.keys.exists(_.contains("2024-01-01")))
-    assert(untouched.keys.exists(_.contains("2024-01-03")))
-    assert(!after.keys.filter(_.contains("2024-01-02")).exists(before.contains))
+    if (fileBacked) {
+      val after = mtimes()
+      val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
+      // day-1 and day-3 files byte-identical; only day-2 rewrote
+      assert(untouched.keys.exists(_.contains("2024-01-01")))
+      assert(untouched.keys.exists(_.contains("2024-01-03")))
+      assert(!after.keys.filter(_.contains("2024-01-02")).exists(before.contains))
+    }
   }
 
   test("epoch-second axis: idempotent sync, update, bookmark in axis units") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = PipeSpec(PipeKeys("test", "epoch"),
       columns = ColumnRoles(Map("datetime" -> "ts", "id" -> "id")),
       epochUnit = Some("second"), chunkMinutes = 1440)
@@ -236,7 +251,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("deduplicate: removes stored duplicates, rewrites only losing chunks") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "dedup_store").copy(chunkMinutes = 1440)
     eng.sync(spec, batch(Seq(
       ("2024-01-01 10:00:00", 1L, 1.0),
@@ -251,25 +266,27 @@ class SyncEngineSpec extends SparkSpec {
       .filter(_.getName.startsWith("__graft_chunk="))
       .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
       .map(f => f.getAbsolutePath -> f.lastModified()).toMap
-    val before = mtimes()
-    Thread.sleep(1100)
+    val before = if (fileBacked) mtimes() else Map.empty[String, Long]
+    if (fileBacked) Thread.sleep(1100)
     val removed = eng.deduplicate(spec, extraOrder = Seq("val"))
     assert(removed == 1)
     assert(store.rowCount == 3)
     // keep-latest by (dt, val desc): the 99.0 copy survives
     val v = eng.getData(spec, params = Map("id" -> 2L)).select("val").as[Double].collect()
     assert(v.toSeq == Seq(99.0))
-    val after = mtimes()
-    val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
-    assert(untouched.keys.exists(_.contains("2024-01-01")))
-    assert(untouched.keys.exists(_.contains("2024-01-03")))
-    assert(!after.keys.filter(_.contains("2024-01-02")).exists(before.contains))
+    if (fileBacked) {
+      val after = mtimes()
+      val untouched = before.filter { case (p, t) => after.get(p).contains(t) }
+      assert(untouched.keys.exists(_.contains("2024-01-01")))
+      assert(untouched.keys.exists(_.contains("2024-01-03")))
+      assert(!after.keys.filter(_.contains("2024-01-02")).exists(before.contains))
+    }
     // idempotent: second pass removes nothing
     assert(eng.deduplicate(spec, extraOrder = Seq("val")) == 0)
   }
 
   test("bounded reads prune partition directories via the chunk label") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "prune").copy(chunkMinutes = 1440)
     eng.sync(spec, batch(Seq(
       ("2024-01-01 10:00:00", 1L, 1.0),
@@ -278,12 +295,14 @@ class SyncEngineSpec extends SparkSpec {
     val got = eng.getData(spec,
       begin = Some(LocalDateTime.parse("2024-01-02T00:00:00")),
       end   = Some(LocalDateTime.parse("2024-01-03T00:00:00")))
-    val plan = got.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
-    assert(plan.contains("__graft_chunk"), plan)
+    if (fileBacked) {
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), plan)
+      assert(plan.contains("__graft_chunk"), plan)
+    }
     assert(got.select("id").as[Long].collect().toSeq == Seq(2L))
     // epoch axis: numeric label comparison (lexicographic would be wrong)
-    val especRoot = tmpDir(); val eeng = new SyncEngine(spark, especRoot)
+    val especRoot = tmpDir(); val eeng = mkEngine(especRoot)
     val espec = PipeSpec(PipeKeys("test", "eprune"),
       columns = ColumnRoles(Map("datetime" -> "ts", "id" -> "id")),
       epochUnit = Some("second"), chunkMinutes = 1)
@@ -296,7 +315,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("snapshot append is O(batch): existing segments untouched, atomic manifest flip") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = PipeSpec(PipeKeys("test", "snapappend"),
       columns = ColumnRoles(Map("primary" -> "pk")))
     val store = eng.storage(spec)
@@ -309,13 +328,15 @@ class SyncEngineSpec extends SparkSpec {
         .filter(_.getName.endsWith(".parquet"))
         .map(f => f.getAbsolutePath -> f.lastModified()).toMap
     }
-    val before = segFiles()
-    Thread.sleep(1100)
+    val before = if (fileBacked) segFiles() else Map.empty[String, Long]
+    if (fileBacked) Thread.sleep(1100)
     store.append(Seq((3L, "c")).toDF("pk", "v"))
-    val after = segFiles()
-    // original segment files survive byte-identical; only a new segment lands
-    assert(before.forall { case (p, t) => after.get(p).contains(t) })
-    assert(after.size > before.size)
+    if (fileBacked) {
+      val after = segFiles()
+      // original segment files survive byte-identical; only a new segment lands
+      assert(before.forall { case (p, t) => after.get(p).contains(t) })
+      assert(after.size > before.size)
+    }
     assert(store.read.count() == 3)
     // upsert and vacuum still work on the manifest layout
     store.upsert(Seq((2L, "B")).toDF("pk", "v"), Seq("pk"))
@@ -325,7 +346,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("static pipe: schema frozen, extra incoming columns dropped") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "static").copy(static = true)
     eng.sync(spec, batch(b1))
     val r = eng.sync(spec, batch(Seq(("2024-01-09 00:00:00", 9L, 9.0)))
@@ -336,7 +357,7 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("enforce=false: declared dtypes are not applied to batches") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = PipeSpec(PipeKeys("test", "noenforce"),
       columns = ColumnRoles(Map("primary" -> "pk")),
       dtypes = Map("a" -> graft.types.MrsmType.MNumeric(10, 2)),
@@ -347,11 +368,25 @@ class SyncEngineSpec extends SparkSpec {
   }
 
   test("sync time bookmark and backtrack begin") {
-    val root = tmpDir(); val eng = new SyncEngine(spark, root)
+    val root = tmpDir(); val eng = mkEngine(root)
     val spec = mkSpec(root, "bt")
     eng.sync(spec, batch(b1))
     assert(eng.storage(spec).syncTime().contains(LocalDateTime.parse("2024-01-01T00:01:00")))
     assert(eng.nextFetchBegin(spec).contains(
       LocalDateTime.parse("2024-01-01T00:01:00").minusMinutes(1440)))
   }
+}
+
+/** The production parquet backend. */
+class SyncEngineSpec extends SyncEngineSuite {
+  protected def mkEngine(root: String) = new SyncEngine(spark, root)
+}
+
+/** The in-memory second backend — same behavior suite, different
+  * InstanceStore implementation (reference: ValkeyConnector implements the
+  * same instance interface as SQLConnector). */
+class MemoryStoreSyncEngineSpec extends SyncEngineSuite {
+  override protected def fileBacked = false
+  protected def mkEngine(root: String) =
+    new SyncEngine(spark, root, storeFactory = graft.storage.MemoryStore.factory)
 }
