@@ -67,4 +67,10 @@ trait InstanceStore {
   def vacuum(): Unit = ()
   def fileCount: Long = 0L
   def sizeBytes: Long = 0L
+
+  /** Run `body` holding this pipe's single-writer lease. Storage mutations
+    * take it internally; the engine additionally brackets multi-step
+    * read-modify-write sequences (autoincrement id minting) so two writers
+    * cannot interleave between the read and the write. Re-entrant. */
+  def withWriteLease[A](body: => A): A = body
 }

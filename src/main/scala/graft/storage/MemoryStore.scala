@@ -117,6 +117,10 @@ final class MemoryStore(spark: SparkSession, root: String, val spec: PipeSpec)
 
   override def readMaxId: Option[Long] = state.maxId
   override def writeMaxId(v: Long): Unit = state.synchronized { state.maxId = Some(v) }
+
+  /** JVM-monitor lease (reentrant) — same exclusion contract as the
+    * parquet backend's lock file, in-process scope. */
+  override def withWriteLease[A](body: => A): A = state.synchronized(body)
 }
 
 object MemoryStore {

@@ -59,6 +59,83 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   def basePath: String = s"$root/${spec.targetName}"
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ── single-writer lease ────────────────────────────────────────────────
+  // The snapshot pointer (`_CURRENT`), the manifest/segment version counter,
+  // and the autoincrement high-water mark (`_MAXID`) are read-modify-write:
+  // two concurrent writers of the SAME pipe could otherwise both commit
+  // v = readPtr+1 (one manifest silently lost) or both mint ids from the
+  // same base (duplicate keys). The reference has the same per-pipe
+  // serialization assumption; here it is ENFORCED by a lease file —
+  // atomic create(overwrite = false) is the mutual exclusion, a timestamp
+  // lets a crashed writer's lease be broken (rename-to-tombstone, so only
+  // one breaker wins), and contention past the acquire timeout fails
+  // LOUDLY instead of corrupting state. Re-entrant within a handle.
+  private def lockPath = new Path(s"$basePath/.writer_lock")
+  private val leaseHeld = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Exclusive lock-file creation. HDFS-like stores get it from
+    * `create(overwrite = false)` directly; Hadoop's LOCAL filesystem
+    * implements that as check-then-create (NOT atomic — two racing
+    * writers both succeed), so local paths go through NIO `CREATE_NEW`
+    * (O_CREAT|O_EXCL, kernel-atomic). */
+  private def tryCreateLock(content: Array[Byte]): Boolean = {
+    val uri = lockPath.toUri
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(uri.getPath), content,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(content) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  override def withWriteLease[A](body: => A): A = {
+    if (leaseHeld.get()) return body
+    fs.mkdirs(new Path(basePath))
+    val deadline = System.currentTimeMillis() + PipeStorage.leaseAcquireTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      if (tryCreateLock(
+          s"${PipeStorage.ownerId} ${System.currentTimeMillis()}".getBytes("UTF-8")))
+        acquired = true
+      else {
+        val staleBefore = System.currentTimeMillis() - PipeStorage.leaseStaleMs
+        val ts = try {
+          val in = fs.open(lockPath)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            .trim.split(" ").last.toLong
+          finally in.close()
+        } catch { case _: Exception => Long.MaxValue } // vanished/garbled: retry
+        if (ts != Long.MaxValue && ts < staleBefore) {
+          // break the dead writer's lease: rename is the atomic claim —
+          // exactly one breaker wins the rename, everyone else loops
+          val tomb = new Path(s"$basePath/.writer_lock.stale.${java.util.UUID.randomUUID()}")
+          try { if (fs.rename(lockPath, tomb)) fs.delete(tomb, false) }
+          catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"another writer holds the lease on ${spec.targetName} " +
+            s"(${lockPath}); concurrent writers of one pipe are not allowed")
+        else Thread.sleep(25)
+      }
+    }
+    leaseHeld.set(true)
+    try body
+    finally {
+      leaseHeld.set(false)
+      try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
   // ── manifest-based snapshot plumbing (non-dt pipes) ────────────────────
   // `_CURRENT` names a manifest; a manifest lists SEGMENT directories. An
   // append writes one new segment plus a new manifest — O(batch), never
@@ -362,12 +439,12 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * chunks cannot shard badly, and skipping the shuffle is the win there.
     */
   override def create(df: DataFrame, cluster: Boolean = true): Unit =
-    write(df, firstVersion = true, cluster)
+    withWriteLease { write(df, firstVersion = true, cluster) }
 
   /** Full-table rewrites (schema promotion) always cluster: table-wide
     * row volume is exactly the sharding case. */
   override def overwrite(df: DataFrame): Unit =
-    write(df, firstVersion = false, cluster = true)
+    withWriteLease { write(df, firstVersion = false, cluster = true) }
 
   private def write(df: DataFrame, firstVersion: Boolean, cluster: Boolean): Unit = {
     if (partitioned) {
@@ -401,7 +478,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     }
   }
 
-  override def append(df: DataFrame): Unit = {
+  override def append(df: DataFrame): Unit = { withWriteLease {
     if (partitioned)
       withChunk(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(s"$basePath/data")
     else {
@@ -415,6 +492,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       writePtr(v); gcOldSnapshots(keep = 2)
     }
   }
+  }
 
   /** Upsert: replace rows whose keys collide, insert the rest.
     * Partitioned pipes rewrite only the chunks present in the patch.
@@ -425,7 +503,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * where an old row can live anywhere. */
   override def upsert(patch: DataFrame, keys: Seq[String],
              knownChunks: Option[Seq[String]] = None,
-             strayScan: StrayScan = StrayScan.Full): Unit = {
+             strayScan: StrayScan = StrayScan.Full): Unit = { withWriteLease {
     require(keys.nonEmpty, "upsert requires key columns")
     if (!exists) { create(patch); return }
     if (partitioned) {
@@ -521,6 +599,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       appendSegment(merged, untouched)
     }
   }
+  }
 
   /** Write `df` as the next segment, point a new manifest at
     * `carried ++ it`, GC. An empty result still writes one real (0-row)
@@ -546,7 +625,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * prune partition directories — without them a bounded clear would
     * still list every chunk of the table just to find the few it touches. */
   override def clear(predicate: Column, boundLo: Option[Any] = None,
-            boundHi: Option[Any] = None): Unit = {
+            boundHi: Option[Any] = None): Unit = { withWriteLease {
     if (!exists) return
     if (partitioned) {
       val df = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
@@ -587,6 +666,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       appendSegment(kept, untouched)
     }
   }
+  }
 
   /** Deduplicate the STORED pipe in place — the reference's
     * `deduplicate_pipe` (meerschaum/connectors/sql/_pipes.py:3888-4105:
@@ -601,7 +681,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * are handled correctly (every chunk holding a duplicated key's rows is
     * in the affected set). Returns the number of rows removed.
     */
-  override def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
+  override def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = { withWriteLease {
     require(keys.nonEmpty, "deduplicate requires key columns")
     if (!exists) return 0L
     val order = if (orderBy.nonEmpty) orderBy else keys
@@ -654,6 +734,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       } finally { deduped.unpersist(); () }
     }
   }
+  }
 
   /** Drop the target entirely (reference `drop_pipe`). */
   override def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
@@ -665,7 +746,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * into one file per time chunk (`repartition` on the partition column
     * hashes each chunk into a single writer task). Atomic tmp+swap like all
     * other rewrites. */
-  override def compact(): Unit = {
+  override def compact(): Unit = { withWriteLease {
     if (!exists) return
     if (partitioned) {
       val df  = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
@@ -681,6 +762,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     } else {
       overwrite(read.coalesce(1))
     }
+  }
   }
 
   private def liveDirs: Seq[String] =
@@ -802,4 +884,13 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     val row = scan.agg(agg.cast("long").as("t")).head()
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
+}
+
+object PipeStorage {
+  /** Identifies this JVM in lease files (diagnostics only). */
+  private[graft] val ownerId = java.util.UUID.randomUUID().toString
+  /** How long acquire spins before failing loudly / when a lease counts as
+    * abandoned. Test-adjustable. */
+  @volatile private[graft] var leaseAcquireTimeoutMs: Long = 60000L
+  @volatile private[graft] var leaseStaleMs: Long = 600000L
 }

@@ -166,10 +166,12 @@ final class SyncEngine(spark: SparkSession, root: String,
     //     parallel. Assignment order follows the batch's partition layout,
     //     the same non-promise a DB identity column makes.
     spec.columns.primary.foreach { pk =>
-      if (spec.autoincrement && !batch.columns.contains(pk)) {
+      if (spec.autoincrement && !batch.columns.contains(pk)) withWriteLeaseOn(store) {
         // base from the high-water marker (one metadata read), falling
         // back to a table scan only for pre-marker pipes; ids are not
-        // time-aligned, so no chunk pruning could bound that scan
+        // time-aligned, so no chunk pruning could bound that scan. The
+        // read->assign->write sequence holds the pipe's writer lease:
+        // two concurrent minters must not both see the same base
         val base = store.readMaxId.getOrElse {
           if (store.exists) {
             val r = store.read.agg(max(col(pk).cast("long"))).head()
@@ -191,6 +193,9 @@ final class SyncEngine(spark: SparkSession, root: String,
     }
     batch
   }
+
+  private def withWriteLeaseOn[A](store: graft.storage.InstanceStore)(body: => A): A =
+    store.withWriteLease(body)
 
   /** Special-column inference (reference `get_uuid_cols`/`get_json_cols`,
     * utils/dataframe.py:642-1234): special shapes hiding in string columns

@@ -239,3 +239,104 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(wkt == "MULTIPOINT ((30.0 10.0))", s"got $wkt")
   }
 }
+
+/** Single-writer lease: two interleaved writers cannot both commit a
+  * snapshot pointer or mint overlapping autoincrement ids. */
+class WriterLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leased read-modify-write of the HWM serializes across threads") {
+    val root = tmpDir()
+    val spec = PipeSpec(PipeKeys("lease", "hwm"),
+      columns = ColumnRoles(Map("primary" -> "id")))
+    def mkStore() = new PipeStorage(spark, root, spec)
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        val st = mkStore() // each writer gets its OWN handle (own process in prod)
+        (0 until 25).foreach { _ =>
+          st.withWriteLease {
+            val base = st.readMaxId.getOrElse(0L)
+            Thread.sleep(1) // widen the race window
+            st.writeMaxId(base + 1)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(mkStore().readMaxId.contains(50L),
+      s"lost updates: ${mkStore().readMaxId}")
+  }
+
+  test("concurrent snapshot appends lose no segments") {
+    val root = tmpDir()
+    val spec = PipeSpec(PipeKeys("lease", "snap"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    new SyncEngine(spark, root).sync(spec, Seq((0L, "seed")).toDF("pk", "v"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          val st = new PipeStorage(spark, root, spec)
+          (1 to 4).foreach { i =>
+            st.append(Seq((t * 100L + i, s"w$t-$i")).toDF("pk", "v"))
+          }
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"append failed: ${errs.peek()}")
+    val got = new PipeStorage(spark, root, spec).read
+    assert(got.count() == 9, "a concurrent append lost a segment commit")
+    assert(got.select("pk").distinct().count() == 9)
+  }
+
+  test("two concurrent autoincrement syncs mint disjoint id ranges") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("lease", "ids"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")),
+      autoincrement = true)
+    eng.sync(spec, Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "seed"))
+      .toDF("ts", "v"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          eng.sync(spec, Seq.tabulate(20)(i =>
+            (java.sql.Timestamp.valueOf(f"2024-01-02 ${t}%02d:${i}%02d:00"), s"w$t-$i"))
+            .toDF("ts", "v"))
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"sync failed: ${errs.peek()}")
+    val ids = eng.getData(spec).select($"id".cast("long")).as[Long].collect()
+    assert(ids.length == 41 && ids.distinct.length == 41,
+      s"overlapping minted ids: ${ids.sorted.toSeq}")
+  }
+
+  test("a live foreign lease makes writers fail loudly; a stale one is broken") {
+    val root = tmpDir()
+    val spec = PipeSpec(PipeKeys("lease", "loud"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val st = new PipeStorage(spark, root, spec)
+    st.create(Seq((1L, "a")).toDF("pk", "v"))
+    val lock = java.nio.file.Paths.get(st.basePath, ".writer_lock")
+    // live foreign lease → loud failure once the acquire timeout passes
+    java.nio.file.Files.write(lock,
+      s"other ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val saved = graft.storage.PipeStorage.leaseAcquireTimeoutMs
+    graft.storage.PipeStorage.leaseAcquireTimeoutMs = 300L
+    try {
+      intercept[IllegalStateException] {
+        st.append(Seq((2L, "b")).toDF("pk", "v"))
+      }
+    } finally graft.storage.PipeStorage.leaseAcquireTimeoutMs = saved
+    // stale lease (older than leaseStaleMs) → broken, write proceeds
+    java.nio.file.Files.write(lock, "dead 1000".getBytes("UTF-8"))
+    st.append(Seq((3L, "c")).toDF("pk", "v"))
+    assert(st.read.count() == 2)
+    assert(!java.nio.file.Files.exists(lock), "lease must release after the write")
+  }
+}
