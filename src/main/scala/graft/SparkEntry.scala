@@ -392,6 +392,32 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── fleet sync e2e: N pipes fetch+sync CONCURRENTLY through the worker
+    // pool (reference --workers parallelism); each shard source yields one
+    // user_id residue class, so the union of the synced pipes must equal
+    // the events table exactly. Per-pipe failures would surface as missing
+    // rows → hash mismatch.
+    "q_fleet_sync" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_fleet").toString
+      val eng  = new SyncEngine(s, root)
+      val shards = 4
+      val jobs = (0 until shards).map { i =>
+        val spec = PipeSpec(PipeKeys("fleet", s"shard$i"),
+          columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+        val src = new graft.sources.FnSource((sp, _, _, _) =>
+          Tables.events(sp, d).where(pmod(col("user_id"), lit(shards)) === i))
+        (spec, src)
+      }
+      val res = eng.fetchSyncMany(jobs, workers = shards)
+      val failed = res.collect { case (k, Left(e)) => s"$k: ${e.getMessage}" }
+      require(failed.isEmpty, s"fleet sync failures: ${failed.mkString("; ")}")
+      jobs.map { case (spec, _) => eng.getData(spec) }
+        .reduce(_.unionByName(_))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── §2.3 blind-insert sync (check_existing=false): the append-only
     // fast path — no backtrack read, no diff; two disjoint batches land
     // exactly once each. O(batch) writes, zero reads of existing data.
@@ -1853,6 +1879,10 @@ object SparkEntry {
 
     "q_sync_blind_e2e" ->
       """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
+
+    "q_fleet_sync" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
 
     "q_repartition_op" ->
       """SELECT event_id, ts, user_id, value FROM events ORDER BY event_id""",
