@@ -66,10 +66,15 @@ object DtypeFns {
 
   /** Reproject WKB between SRIDs (4326 ⇄ 3857 closed-form; the reference's
     * `project_geometry`, utils/dtypes/__init__.py:874-881). SRIDs bind at
-    * plan time — they come from the pipe's dtype modifier, not the data. */
+    * plan time — they come from the pipe's dtype modifier, not the data.
+    * UDF instances cache per SRID pair (matching the file's shared-`val`
+    * convention) so repeated references share one closure. */
+  private val projUdfs = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), org.apache.spark.sql.expressions.UserDefinedFunction]
   def projectWkb(c: Column, fromSrid: Int, toSrid: Int): Column = {
-    val f = udf((b: Array[Byte]) =>
-      Option(b).map(GeoWkb.projectWkb(_, fromSrid, toSrid)).orNull)
+    val f = projUdfs.getOrElseUpdate((fromSrid, toSrid),
+      udf((b: Array[Byte]) =>
+        Option(b).map(GeoWkb.projectWkb(_, fromSrid, toSrid)).orNull))
     f(c)
   }
 }

@@ -58,10 +58,21 @@ final class Job private[jobs] (
     var lastFire: Option[LocalDateTime] = None
     try {
       while (!stopRequested && maxRuns.forall(nRuns < _)) {
-        // nextFires is AT-or-after its `from`: advance past the last fire
-        // or the loop would re-fire the same instant forever
-        val from = lastFire.map(_.plus(1, ChronoUnit.MILLIS)).getOrElse(clock())
-        val fire = Schedule.nextFires(schedule, from, 1).headOption match {
+        val now = clock()
+        // First fire: at-or-after now; a past `starting` anchor catches up
+        // ONCE at now. Subsequent fires: STRICTLY after max(lastFire, now)
+        // — nextFires' at-or-after contract would re-yield the anchor and
+        // run the job back-to-back, and advancing from lastFire alone
+        // would storm through every missed grid point after a long sync
+        // (misfires coalesce, standard cron grace behavior).
+        val fireOpt = lastFire match {
+          case None =>
+            Schedule.nextFires(schedule, now, 1).headOption
+              .map(f => if (f.isBefore(now)) now else f)
+          case Some(lf) =>
+            Schedule.nextFireAfter(schedule, if (lf.isAfter(now)) lf else now)
+        }
+        val fire = fireOpt match {
           case Some(f) => f
           case None    => state = JobStatus.Completed; return
         }
@@ -142,15 +153,20 @@ final class JobRunner(engine: SyncEngine,
     // validate the schedule EAGERLY — a typo'd DSL must fail at start, not
     // inside the background thread where the error is only a log line
     Schedule.nextFires(schedule, clock(), 1)
-    val job = new Job(name, engine, spec, source, schedule, maxRuns,
-      maxKeptRuns, clock)
-    jobs.putIfAbsent(name, job) match {
-      case Some(existing) if existing.isAlive =>
-        throw new IllegalArgumentException(s"job '$name' is already running")
-      case Some(_) => jobs.put(name, job); ()
-      case None    => ()
+    // registration + thread start are one atomic section: a lock-free
+    // putIfAbsent could observe a just-registered job whose thread hasn't
+    // started yet (isAlive == false), replace it, and leave TWO live jobs
+    // syncing the same pipe with one orphaned from the registry
+    jobs.synchronized {
+      jobs.get(name).foreach { existing =>
+        if (existing.isAlive || existing.status == JobStatus.Pending)
+          throw new IllegalArgumentException(s"job '$name' is already running")
+      }
+      val job = new Job(name, engine, spec, source, schedule, maxRuns,
+        maxKeptRuns, clock)
+      jobs.put(name, job)
+      job.start()
     }
-    job.start()
   }
 
   def get(name: String): Option[Job] = jobs.get(name)

@@ -97,7 +97,14 @@ final class MemoryStore(spark: SparkSession, root: String, val spec: PipeSpec)
       before - read.count()
     }
 
-  override def drop(): Unit = { MemoryStore.tables.remove(key); () }
+  override def drop(): Unit = state.synchronized {
+    // EMPTY the state rather than removing it from the registry: another
+    // handle may hold this State's monitor as its write lease, and a
+    // replacement State object would silently fork the mutual exclusion
+    // (two "leased" writers on one pipe)
+    state.df = None
+    state.maxId = None
+  }
 
   override def syncTime(newest: Boolean): Option[java.time.LocalDateTime] = {
     if (!exists) return None

@@ -71,9 +71,6 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   // one breaker wins), and contention past the acquire timeout fails
   // LOUDLY instead of corrupting state. Re-entrant within a handle.
   private def lockPath = new Path(s"$basePath/.writer_lock")
-  private val leaseHeld = new ThreadLocal[Boolean] {
-    override def initialValue(): Boolean = false
-  }
 
   /** Exclusive lock-file creation. HDFS-like stores get it from
     * `create(overwrite = false)` directly; Hadoop's LOCAL filesystem
@@ -99,13 +96,20 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   }
 
   override def withWriteLease[A](body: => A): A = {
-    if (leaseHeld.get()) return body
+    // re-entrancy keyed on (thread, basePath) — NOT per handle: a fresh
+    // handle of the same pipe on the same thread (ensureRecovered inside a
+    // leased mutator's read) must not deadlock on its own lease file
+    val held = PipeStorage.heldPaths.get()
+    if (held.contains(basePath)) return body
     fs.mkdirs(new Path(basePath))
+    // per-acquire token: release and heartbeat must only ever touch OUR
+    // lease — a breaker may have claimed the path while we ran
+    val token = s"${PipeStorage.ownerId}/${java.util.UUID.randomUUID()}"
     val deadline = System.currentTimeMillis() + PipeStorage.leaseAcquireTimeoutMs
     var acquired = false
     while (!acquired) {
       if (tryCreateLock(
-          s"${PipeStorage.ownerId} ${System.currentTimeMillis()}".getBytes("UTF-8")))
+          s"$token ${System.currentTimeMillis()}".getBytes("UTF-8")))
         acquired = true
       else {
         val staleBefore = System.currentTimeMillis() - PipeStorage.leaseStaleMs
@@ -128,11 +132,38 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
         else Thread.sleep(25)
       }
     }
-    leaseHeld.set(true)
+    held += basePath
+    // HEARTBEAT: a legitimate write longer than the stale horizon must not
+    // get its lease broken mid-flight (a 10-minute compact is routine at
+    // scale) — refresh the timestamp at a third of the horizon. A breaker
+    // then only ever fires on a truly dead holder (whose refresher died
+    // with it).
+    val beat = PipeStorage.leaseScheduler.scheduleAtFixedRate(
+      () => try {
+        val out = fs.create(lockPath, true)
+        try out.write(s"$token ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: Exception => () },
+      PipeStorage.leaseStaleMs / 3, PipeStorage.leaseStaleMs / 3,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
-      leaseHeld.set(false)
-      try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+      held -= basePath
+      beat.cancel(false)
+      // release only OUR lease: if a breaker stole it despite the
+      // heartbeat, deleting here would evict the CURRENT holder too
+      try {
+        val mine = try {
+          val in = fs.open(lockPath)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            .trim.startsWith(token)
+          finally in.close()
+        } catch { case _: Exception => false }
+        if (mine) fs.delete(lockPath, false)
+        else System.err.println(
+          s"[graft] WARNING: writer lease on ${spec.targetName} was broken " +
+          "while held — a concurrent writer may have interleaved")
+      } catch { case _: java.io.IOException => () }
     }
   }
 
@@ -253,20 +284,44 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     finally in.close()
     val tmp     = new Path(s"$basePath/${lines.head}")
     val dataDir = new Path(dataPath)
-    lines.tail.foreach { entry =>
-      val (tag, n) = (entry.take(1), entry.drop(2))
-      val live = new Path(dataDir, n)
-      val part = new Path(tmp, n)
-      if (tag == "R") {
+    val tagged  = lines.tail.forall(e => e.startsWith("R ") || e.startsWith("C "))
+    if (tagged) {
+      lines.tail.foreach { entry =>
+        val (tag, n) = (entry.take(1), entry.drop(2))
+        val live = new Path(dataDir, n)
+        val part = new Path(tmp, n)
+        if (tag == "R") {
+          if (fs.exists(part)) {
+            if (fs.exists(live)) fs.delete(live, true)
+            fs.rename(part, live)
+          }
+        } else if (fs.exists(live)) fs.delete(live, true)
+      }
+    } else {
+      // PRE-TAG intent (written by an earlier release that crashed before
+      // this upgrade): entries are bare dir names and the old backup-dir
+      // protocol applies — falling through to the tagged parser would
+      // treat every line as unknown and then delete backup+tmp, destroying
+      // BOTH copies of each affected chunk. Old roll-forward rules:
+      //   part in tmp            → replace live with it;
+      //   live + no part + bak   → new dir already moved in: keep;
+      //   live + no part + !bak  → fully-cleared chunk: delete;
+      //   absent + no part       → already final.
+      lines.tail.foreach { n =>
+        val live = new Path(dataDir, n)
+        val part = new Path(tmp, n)
+        val bak  = new Path(swapBackup, n)
         if (fs.exists(part)) {
           if (fs.exists(live)) fs.delete(live, true)
           fs.rename(part, live)
+        } else if (fs.exists(live) && !fs.exists(bak)) {
+          fs.delete(live, true)
         }
-      } else if (fs.exists(live)) fs.delete(live, true)
+      }
     }
     // intent first: cleanup leftovers are inert (removed here / by vacuum)
     fs.delete(swapIntent, false)
-    if (fs.exists(swapBackup)) fs.delete(swapBackup, true) // pre-tag leftovers
+    if (fs.exists(swapBackup)) fs.delete(swapBackup, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
@@ -276,14 +331,26 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   private def ensureRecovered(): Unit = if (partitioned && !recoveryChecked) {
     recoveryChecked = true
     if (fs.exists(new Path(basePath))) {
-      recoverSwap()
-      // whole-dir swap recovery (write/compact): the tmp is complete before
-      // the live dir is touched, so a missing live dir rolls forward from
-      // whichever full-state dir survived
-      val dataDir = new Path(dataPath)
-      Seq(".data_tmp", ".compact_tmp").foreach { t =>
-        val tmp = new Path(s"$basePath/$t.ready")
-        if (!fs.exists(dataDir) && fs.exists(tmp)) fs.rename(tmp, dataDir)
+      // recovery only runs under the LEASE: an intent file may belong to a
+      // LIVE writer mid-swap in another process, and rolling its swap
+      // forward concurrently races its renames (a just-moved-in part can
+      // be deleted between our exists() and its rename). The existence
+      // checks stay outside so the common no-recovery read path costs one
+      // metadata call, not a lock acquire.
+      val needsRecovery = fs.exists(swapIntent) ||
+        (!fs.exists(new Path(dataPath)) &&
+          Seq(".data_tmp.ready", ".compact_tmp.ready")
+            .exists(t => fs.exists(new Path(s"$basePath/$t"))))
+      if (needsRecovery) withWriteLease {
+        recoverSwap() // re-checks the intent under the lease
+        // whole-dir swap recovery (write/compact): the tmp is complete
+        // before the live dir is touched, so a missing live dir rolls
+        // forward from whichever full-state dir survived
+        val dataDir = new Path(dataPath)
+        Seq(".data_tmp", ".compact_tmp").foreach { t =>
+          val tmp = new Path(s"$basePath/$t.ready")
+          if (!fs.exists(dataDir) && fs.exists(tmp)) fs.rename(tmp, dataDir)
+        }
       }
     }
   }
@@ -799,7 +866,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * COMPLETED first ([[recoverSwap]] / the `.ready` roll-forward), so the
     * leftovers deleted here are guaranteed to be superseded copies, never
     * the sole survivor of an interrupted rewrite. */
-  override def vacuum(): Unit = {
+  override def vacuum(): Unit = withWriteLease {
     if (!fs.exists(new Path(basePath))) return
     ensureRecovered()
     recoverSwap()
@@ -810,6 +877,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     }
     if (!partitioned) gcOldSnapshots(keep = 1)
   }
+
 
   override def rowCount: Long = if (exists) read.count() else 0L
 
@@ -893,4 +961,16 @@ object PipeStorage {
     * abandoned. Test-adjustable. */
   @volatile private[graft] var leaseAcquireTimeoutMs: Long = 60000L
   @volatile private[graft] var leaseStaleMs: Long = 600000L
+  /** Lease re-entrancy: base paths whose lease THIS thread holds. */
+  private[storage] val heldPaths = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+  /** Shared daemon scheduler for lease heartbeats (one thread, all pipes). */
+  private[storage] lazy val leaseScheduler = {
+    val t = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val th = new Thread(r, "graft-lease-heartbeat"); th.setDaemon(true); th
+    })
+    t.setRemoveOnCancelPolicy(true)
+    t
+  }
 }

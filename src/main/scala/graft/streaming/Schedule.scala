@@ -154,7 +154,11 @@ object Schedule {
 
   /** First `n` fire times of `schedule` at or after its anchor (`starting`
     * clause, else `from`). */
-  def nextFires(schedule: String, from: LocalDateTime, n: Int): Seq[LocalDateTime] = {
+  def nextFires(schedule: String, from: LocalDateTime, n: Int): Seq[LocalDateTime] =
+    fireIterator(schedule, from).take(n).toSeq
+
+  /** Lazy merged fire stream (see [[nextFires]] for anchor semantics). */
+  private def fireIterator(schedule: String, from: LocalDateTime): Iterator[LocalDateTime] = {
     // split the ORIGINAL string: lowercasing first would break the
     // case-sensitive 'T' of an ISO 'starting 2024-05-01T06:00:00' anchor
     val idx = schedule.toLowerCase.indexOf("starting")
@@ -178,40 +182,58 @@ object Schedule {
         anchor0.withSecond(0).withNano(0)
       else anchor0
     val streams = parsed.map(_.fires(anchor))
-    if (streams.size == 1) streams.head.take(n).toSeq
-    else if (union) mergeUnion(streams, n)
-    else mergeIntersect(streams, n)
+    if (streams.size == 1) streams.head
+    else if (union) mergeUnionIt(streams)
+    else mergeIntersectIt(streams)
   }
 
-  private def mergeUnion(streams: Seq[Iterator[LocalDateTime]], n: Int): Seq[LocalDateTime] = {
-    val bufs = streams.map(_.buffered)
-    Iterator.continually {
-      val next = bufs.minBy(_.head)
-      val t = next.head
-      bufs.foreach { b => while (b.head == t) b.next() }
-      t
-    }.take(n).toSeq
+  /** First fire STRICTLY after `after` — the job-loop form of
+    * [[nextFires]]. The anchor (`starting` clause, else `after`) stays
+    * fixed while the scan skips forward, so an interval schedule advances
+    * to its next grid point instead of re-yielding the anchor (which is
+    * what [[nextFires]]'s at-or-after contract does, by design, for golden
+    * next-fire dumps). A schedule whose parts never coincide still fails
+    * loudly via the intersect scan guard. */
+  def nextFireAfter(schedule: String, after: LocalDateTime): Option[LocalDateTime] = {
+    val it = fireIterator(schedule, after).dropWhile(!_.isAfter(after))
+    if (it.hasNext) Some(it.next()) else None
   }
 
-  private def mergeIntersect(streams: Seq[Iterator[LocalDateTime]], n: Int): Seq[LocalDateTime] = {
-    val bufs = streams.map(_.buffered)
-    val out = Seq.newBuilder[LocalDateTime]
-    var found = 0
-    var guard = 0
-    while (found < n && guard < 10_000_000) {
-      val max = bufs.map(_.head).max
-      bufs.foreach { b => while (b.head.isBefore(max)) { b.next(); () } }
-      if (bufs.forall(_.head == max)) {
-        out += max; found += 1
-        bufs.foreach(_.next())
+  private def mergeUnionIt(streams: Seq[Iterator[LocalDateTime]]): Iterator[LocalDateTime] =
+    new Iterator[LocalDateTime] {
+      private val bufs = streams.map(_.buffered)
+      override def hasNext: Boolean = true
+      override def next(): LocalDateTime = {
+        val t = bufs.map(_.head).min
+        bufs.foreach { b => while (b.head == t) b.next() }
+        t
       }
-      guard += 1
     }
-    val r = out.result()
-    if (r.isEmpty && n > 0) throw new IllegalArgumentException(
-      "schedule parts never coincide within the scan horizon")
-    r
-  }
+
+  private def mergeIntersectIt(streams: Seq[Iterator[LocalDateTime]]): Iterator[LocalDateTime] =
+    new Iterator[LocalDateTime] {
+      private val bufs = streams.map(_.buffered)
+      private var pending: Option[LocalDateTime] = None
+      private def advance(): Unit = {
+        var guard = 0
+        while (pending.isEmpty && guard < 10_000_000) {
+          val max = bufs.map(_.head).max
+          bufs.foreach { b => while (b.head.isBefore(max)) { b.next(); () } }
+          if (bufs.forall(_.head == max)) {
+            pending = Some(max)
+            bufs.foreach(_.next())
+          }
+          guard += 1
+        }
+        if (pending.isEmpty) throw new IllegalArgumentException(
+          "schedule parts never coincide within the scan horizon")
+      }
+      override def hasNext: Boolean = { if (pending.isEmpty) advance(); true }
+      override def next(): LocalDateTime = {
+        if (pending.isEmpty) advance()
+        val v = pending.get; pending = None; v
+      }
+    }
 
   /** Map interval forms to a Structured Streaming trigger; `once`/`now` →
     * AvailableNow. Calendar forms (cron, month/year intervals) have no Spark

@@ -97,3 +97,45 @@ class JobRunnerSpec extends SparkSpec {
     assert(runner.get("dup").isEmpty && !j.isAlive)
   }
 }
+
+/** Regression: interval schedules must WAIT their period between fires —
+  * nextFires' at-or-after anchor contract would otherwise re-yield the
+  * anchor and run the job back-to-back continuously. */
+class JobIntervalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("'every 2 seconds' fires are spaced by the interval, not back-to-back") {
+    val eng = new graft.sync.SyncEngine(spark, tmpDir())
+    val spec = graft.catalog.PipeSpec(graft.catalog.PipeKeys("jobs", "spaced"),
+      columns = graft.catalog.ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")))
+    val src = new graft.sources.FnSource((s, _, _, _) =>
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L)).toDF("ts", "id"))
+    val runner = new graft.jobs.JobRunner(eng)
+    val t0 = System.currentTimeMillis()
+    val job = runner.start("spaced", spec, src, "every 2 seconds", maxRuns = Some(3))
+    assert(job.awaitRuns(3, timeoutMs = 60000))
+    job.stop()
+    val elapsed = System.currentTimeMillis() - t0
+    // first fire immediate, then two 2-second waits -> >= ~4s total
+    assert(elapsed >= 3500, s"3 fires completed in ${elapsed}ms — not interval-spaced")
+    val fires = job.runs.map(_.fire)
+    assert(fires.sliding(2).forall { case Seq(a, b) =>
+      java.time.Duration.between(a, b).toMillis >= 1900 }, fires.toString)
+  }
+
+  test("a past 'starting' anchor catches up ONCE, then waits for the future grid") {
+    val eng = new graft.sync.SyncEngine(spark, tmpDir())
+    val spec = graft.catalog.PipeSpec(graft.catalog.PipeKeys("jobs", "catchup"),
+      columns = graft.catalog.ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")))
+    val src = new graft.sources.FnSource((s, _, _, _) =>
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L)).toDF("ts", "id"))
+    val runner = new graft.jobs.JobRunner(eng)
+    val job = runner.start("catchup", spec, src, "every 1 hour starting 2020-01-01")
+    assert(job.awaitRuns(1, timeoutMs = 30000), "the catch-up fire must happen")
+    // no missed-fire storm: after the catch-up the next fire is future-dated
+    Thread.sleep(1500)
+    assert(job.runCount == 1, s"missed-fire storm: ${job.runCount} runs")
+    job.stop()
+    assert(job.status == graft.jobs.JobStatus.Stopped)
+  }
+}

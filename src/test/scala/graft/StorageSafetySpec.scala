@@ -128,6 +128,46 @@ class SwapRecoverySpec extends SparkSpec {
       "recovery must keep swapped-in chunks when the tmp part already moved")
   }
 
+  test("PRE-TAG (legacy) intent files recover under the old backup protocol") {
+    // an intent written by the previous release: bare dir names, old copy
+    // in .swap_backup, new part in tmp. The tagged parser must NOT run
+    // (it would treat every line as unknown and then delete backup+tmp —
+    // both copies gone); the legacy roll-forward restores from tmp.
+    val root = java.nio.file.Files.createTempDirectory("graft_swaplegacy").toString
+    val (eng, spec) = mkPipe(root)
+    val before = eng.getData(spec).orderBy($"id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+    val base = java.nio.file.Paths.get(new graft.storage.PipeStorage(spark, root, spec).basePath)
+    val chunk = java.nio.file.Files.list(base.resolve("data"))
+      .filter(p => p.getFileName.toString.startsWith("__graft_chunk="))
+      .findFirst().get()
+    val chunkName = chunk.getFileName.toString
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val rel = src.relativize(p)
+        val d = dst.resolve(rel.toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(d)
+        else java.nio.file.Files.copy(p, d)
+      }
+    }
+    val tmp = base.resolve(".merge_tmp")
+    java.nio.file.Files.createDirectories(tmp)
+    copyTree(chunk, tmp.resolve(chunkName))
+    // legacy intent: NO R/C tags
+    java.nio.file.Files.write(base.resolve(".swap_intent"),
+      s".merge_tmp\n$chunkName".getBytes("UTF-8"))
+    // old protocol: live moved OUT into the backup dir before the crash
+    val backup = base.resolve(".swap_backup")
+    java.nio.file.Files.createDirectories(backup)
+    java.nio.file.Files.move(chunk, backup.resolve(chunkName))
+
+    val eng2 = new SyncEngine(spark, root)
+    eng2.storage(spec).vacuum()
+    val after = eng2.getData(spec).orderBy($"id")
+      .select($"id", $"v").as[(Long, String)].collect().toSeq
+    assert(after == before, "legacy intent must roll forward, not destroy")
+  }
+
   test("C-tagged (cleared) chunks roll forward to deletion on recovery") {
     val root = java.nio.file.Files.createTempDirectory("graft_swapcrash3").toString
     val (eng, spec) = mkPipe(root)
