@@ -358,6 +358,34 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ── HTTP instance e2e: the reference's remote-instance deployment
+    // shape (api connector as the pipes backend, connectors/api/_pipes.py:
+    // 368-489 client vs meerschaum/api server). The SAME two-batch sync as
+    // q_sync_pipe_e2e, but every store call crosses a live PipeServer —
+    // executor-parallel staged uploads, one commit per patch, ND-JSON +
+    // DDL schema on the wire. Result must be byte-identical to the local
+    // parquet run, so the oracle is the same SQL.
+    "q_api_instance_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_api_e2e").toString
+      val srvDir = java.nio.file.Files.createTempDirectory("graft_api_srv").toString
+      val srv = new graft.server.PipeServer(s, srvDir)
+      try {
+        val eng = new SyncEngine(s, root,
+          storeFactory = graft.storage.ApiStore.factory(srv.url))
+        val spec = PipeSpec(PipeKeys("api", "instance_e2e"),
+          columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+        val ev = Tables.events(s, d)
+        eng.sync(spec, ev.where(col("event_id") < 700))
+        eng.sync(spec, ev.where(col("event_id") >= 500)
+          .withColumn("value", col("value") + 1000))
+        eng.getData(spec)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                  col("value"), col("props"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true) // materialized before the server stops
+      } finally srv.stop()
+    }),
+
     // ── §3.1/§3.2 the full sync pipeline end-to-end ──────────────────────
     // Two overlapping batches through SyncEngine (diff → unseen/update →
     // chunk-scoped upsert into parquet storage), read back via getData.
@@ -1863,6 +1891,11 @@ object SparkEntry {
          FROM events ORDER BY event_id""",
 
     "q_sync_pipe_e2e" ->
+      """SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
+         props FROM events ORDER BY event_id""",
+
+    "q_api_instance_e2e" ->
       """SELECT event_id, ts, user_id, event_type,
          CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
          props FROM events ORDER BY event_id""",

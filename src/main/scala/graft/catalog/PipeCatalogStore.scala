@@ -35,7 +35,7 @@ object PipeCatalogStore {
     PipeKeys(p(0), p(1), Option(p(2)).filter(_.nonEmpty), p(3))
   }
 
-  private def toRow(s: PipeSpec): SpecRow = SpecRow(
+  private[graft] def toRow(s: PipeSpec): SpecRow = SpecRow(
     s.keys.connector, s.keys.metric, s.keys.location, s.keys.instance,
     s.columns.roles, s.dtypes.map { case (c, t) => c -> Dtypes.format(t) },
     s.upsert, s.autotime, s.autoincrement, s.static, s.enforce, s.nullIndices,
@@ -44,7 +44,7 @@ object PipeCatalogStore {
     s.precision.map(_.unit), s.precision.map(_.interval), s.precision.map(_.roundTo),
     s.references.map(keysToString), s.children.map(keysToString), s.extras)
 
-  private def fromRow(r: SpecRow): PipeSpec = PipeSpec(
+  private[graft] def fromRow(r: SpecRow): PipeSpec = PipeSpec(
     keys = PipeKeys(r.connector, r.metric, r.location, r.instance),
     columns = ColumnRoles(r.roles),
     dtypes = r.dtypes.map { case (c, t) => c -> Dtypes.parse(t) },

@@ -14,7 +14,7 @@ import graft.dsl.{ChunkGrid, ParamsFilter}
 /** Executor-side HTTP fetch. One lazily-built client per JVM; a failed GET
   * throws, which surfaces as a task failure and rides Spark's task retry —
   * the same recovery story as a failed JDBC partition read. */
-private[sources] object HttpFetch extends Serializable {
+private[graft] object HttpFetch extends Serializable {
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 

@@ -1,0 +1,297 @@
+package graft.storage
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.{Duration, LocalDateTime}
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.PipeSpec
+import graft.server.PipeServer
+import graft.sources.HttpFetch
+
+/** HTTP-backed [[InstanceStore]] — the client half of the API instance
+  * connector (the reference's `connectors/api/_pipes.py:368-489`, which
+  * implements the same instance interface as SQLConnector so a REMOTE
+  * server can be the pipes backend). Every method maps onto one
+  * [[graft.server.PipeServer]] route; running the engine's backend
+  * contract suite over this store is the proof that the instance seam
+  * survives serialization across a process boundary.
+  *
+  * Scale shape: writes are executor-parallel (each partition POSTs its own
+  * staged part; one driver `commit` applies the patch under the server's
+  * write lease), so patch data never funnels through the client driver.
+  * Reads materialize eagerly (fetch + localCheckpoint) to give the same
+  * snapshot semantics as the other backends — a lazy HTTP scan could
+  * observe its own sync's mutation mid-plan. Row volume on this path is
+  * patch-scale by construction (the engine diffs before it writes); bulk
+  * analytical reads belong on the parquet backend directly, exactly as in
+  * the reference deployment.
+  *
+  * Errors surface as the server-side exception class where the engine's
+  * contracts depend on it (IllegalArgument/IllegalState), else IOException.
+  */
+final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
+                     val spec: PipeSpec) extends InstanceStore {
+
+  import ApiStore._
+  import PipeServer.{encodeAny, jsonOpts, jsonOptsJava}
+
+  private def target = spec.targetName
+  private def dtCol: Option[String] = spec.columns.datetime
+
+  ApiStore.ensureRegistered(spark, baseUrl, root, spec)
+
+  private def u(op: String, q: (String, String)*): String = {
+    val qs = (Seq("root" -> root, "target" -> target) ++ q)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    s"$baseUrl/pipes/$op?$qs"
+  }
+
+  // ── reads ──────────────────────────────────────────────────────────────
+
+  override def exists: Boolean = call("GET", u("exists")).toBoolean
+
+  private def fetchDf(dataUrl: String): DataFrame = {
+    val ddl = call("GET", u("schema"))
+    val schema = StructType.fromDDL(ddl)
+    import spark.implicits._
+    // executor-side pull (the task fetches, not the driver), then an eager
+    // checkpoint for snapshot semantics — see class doc
+    val lines = spark.createDataset(Seq(dataUrl))
+      .flatMap(HttpFetch.lines(_))(Encoders.STRING)
+    lines.select(from_json(col("value"), schema, jsonOptsJava).as("r"))
+      .select("r.*").localCheckpoint(true)
+  }
+
+  override def read: DataFrame = {
+    if (!exists) throw new IllegalArgumentException(
+      s"pipe $target does not exist")
+    fetchDf(u("data"))
+  }
+
+  override def readRange(begin: Option[Any], end: Option[Any],
+                         endInclusive: Boolean): DataFrame = {
+    if (dtCol.isEmpty) {
+      require(begin.isEmpty && end.isEmpty,
+        s"pipe $target has no datetime axis; bounded reads are undefined")
+      return read
+    }
+    if (!exists) throw new IllegalArgumentException(
+      s"pipe $target does not exist")
+    val bq = begin.map(encodeAny).toSeq.flatMap { case (k, v) =>
+      Seq("begin" -> v, "beginK" -> k) }
+    val eq = end.map(encodeAny).toSeq.flatMap { case (k, v) =>
+      Seq("end" -> v, "endK" -> k) }
+    fetchDf(u("data", (bq ++ eq :+ ("endIncl" -> endInclusive.toString)): _*))
+  }
+
+  override def readIn(values: Seq[Any]): DataFrame = {
+    val _ = dtCol.getOrElse(
+      throw new IllegalArgumentException("readIn requires a datetime axis"))
+    if (!exists) throw new IllegalArgumentException(
+      s"pipe $target does not exist")
+    if (values.isEmpty) return read.where(lit(false))
+    val enc0 = values.map(encodeAny)
+    val kinds = enc0.map(_._1).distinct
+    require(kinds.size == 1, s"mixed value kinds in readIn: $kinds")
+    fetchDf(u("in", "values" -> enc0.map(_._2).mkString(","), "kind" -> kinds.head))
+  }
+
+  override def rowCount: Long = call("GET", u("count")).toLong
+
+  // ── writes ─────────────────────────────────────────────────────────────
+
+  /** Executor-parallel staged upload + one atomic commit (see class doc). */
+  private def upload(df: DataFrame, mode: String,
+                     extra: Seq[(String, String)] = Seq.empty): Unit = {
+    val wid = java.util.UUID.randomUUID().toString
+    val stageUrl = u("stage", "wid" -> wid)
+    val cols = df.columns
+    df.select(to_json(struct(cols.map(col).toIndexedSeq: _*), jsonOptsJava).as("j"))
+      .select("j").as(Encoders.STRING)
+      .foreachPartition { (it: Iterator[String]) =>
+        it.grouped(10000).foreach(b => HttpFetch.post(stageUrl, b.mkString("\n")))
+      }
+    call("POST", u("commit", (Seq("wid" -> wid, "mode" -> mode,
+      "schema" -> df.schema.toDDL) ++ extra): _*))
+  }
+
+  override def create(df: DataFrame, cluster: Boolean): Unit =
+    upload(df, "create")
+  override def overwrite(df: DataFrame): Unit = upload(df, "overwrite")
+  override def append(df: DataFrame): Unit = upload(df, "append")
+
+  override def upsert(patch: DataFrame, keys: Seq[String],
+                      knownChunks: Option[Seq[String]],
+                      strayScan: StrayScan): Unit = {
+    require(keys.nonEmpty, "upsert requires key columns")
+    val strayQ = strayScan match {
+      case StrayScan.Full => Seq("stray" -> "full")
+      case StrayScan.Off  => Seq("stray" -> "off")
+      case StrayScan.Bounded(lo, hi) =>
+        val (lk, lv) = encodeAny(lo); val (hk, hv) = encodeAny(hi)
+        Seq("stray" -> "bounded", "sLo" -> lv, "sLoK" -> lk,
+            "sHi" -> hv, "sHiK" -> hk)
+    }
+    val kcQ = knownChunks.map(c => Seq("kc" -> c.mkString("\n"))).getOrElse(Seq.empty)
+    upload(patch, "upsert", Seq("keys" -> keys.mkString(",")) ++ strayQ ++ kcQ)
+  }
+
+  // ── deletion / maintenance ─────────────────────────────────────────────
+
+  override def clear(predicate: Column, boundLo: Option[Any],
+                     boundHi: Option[Any]): Unit = {
+    // the predicate crosses the wire as its SQL form — the engine builds
+    // clear predicates from params/bounds (literals + comparisons), which
+    // round-trip through expr() exactly
+    val sqlQ = Seq("sql" ->
+      org.apache.spark.sql.GraftColumnBridge.expressionNow(predicate).sql)
+    val loQ = boundLo.map(encodeAny).toSeq.flatMap { case (k, v) =>
+      Seq("lo" -> v, "loK" -> k) }
+    val hiQ = boundHi.map(encodeAny).toSeq.flatMap { case (k, v) =>
+      Seq("hi" -> v, "hiK" -> k) }
+    call("POST", u("clear", (sqlQ ++ loQ ++ hiQ): _*))
+    ()
+  }
+
+  override def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
+    require(keys.nonEmpty, "deduplicate requires key columns")
+    call("POST", u("dedup", "keys" -> keys.mkString(","),
+      "orderBy" -> orderBy.mkString(","))).toLong
+  }
+
+  override def drop(): Unit = { call("DELETE", u("drop")); () }
+
+  override def compact(): Unit = { call("POST", u("compact")); () }
+  override def vacuum(): Unit = { call("POST", u("vacuum")); () }
+
+  // ── sync bookkeeping ───────────────────────────────────────────────────
+
+  override def syncTime(newest: Boolean): Option[LocalDateTime] =
+    Some(call("GET", u("sync_time", "newest" -> newest.toString)))
+      .filter(_.nonEmpty).map(LocalDateTime.parse)
+
+  override def syncTimeEpoch(newest: Boolean): Option[Long] =
+    Some(call("GET", u("sync_time", "newest" -> newest.toString,
+      "epoch" -> "true"))).filter(_.nonEmpty).map(_.toLong)
+
+  override def readMaxId: Option[Long] =
+    Some(call("GET", u("maxid"))).filter(_.nonEmpty).map(_.toLong)
+
+  override def writeMaxId(v: Long): Unit = {
+    call("POST", u("maxid", "v" -> v.toString)); ()
+  }
+
+  /** Server-held TTL'd advisory lease — the HTTP form of the parquet
+    * store's lock file. Re-entrant per (thread, server, root, target);
+    * contention past the acquire timeout fails loudly, and a broken lease
+    * (server forgot us past the TTL) warns on release like the parquet
+    * backend. */
+  override def withWriteLease[A](body: => A): A = {
+    val key = s"$baseUrl|$root|$target"
+    val held = ApiStore.heldLeases.get()
+    if (held.contains(key)) return body
+    val token = java.util.UUID.randomUUID().toString
+    val acquireUrl = u("lock", "op" -> "acquire", "token" -> token,
+      "ttlMs" -> PipeStorage.leaseStaleMs.toString)
+    val deadline = System.currentTimeMillis() + PipeStorage.leaseAcquireTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      val (code, _) = request("POST", acquireUrl)
+      if (code == 200) acquired = true
+      else if (code == 409) {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire writer lease on $target within " +
+            s"${PipeStorage.leaseAcquireTimeoutMs}ms — a concurrent writer holds it")
+        Thread.sleep(25)
+      } else throw new java.io.IOException(s"lease acquire -> HTTP $code")
+    }
+    held += key
+    try body
+    finally {
+      held -= key
+      val (code, _) = request("POST",
+        u("lock", "op" -> "release", "token" -> token))
+      if (code == 410) System.err.println(
+        s"[graft] WARNING: writer lease on $target was broken while held — " +
+        "a concurrent writer may have interleaved")
+    }
+  }
+}
+
+object ApiStore {
+
+  /** Store factory for [[graft.sync.SyncEngine]] — point the engine at a
+    * running [[graft.server.PipeServer]] and every pipe under the engine's
+    * root lives on that instance. */
+  def factory(baseUrl: String): (SparkSession, String, PipeSpec) => InstanceStore =
+    (s, root, spec) => new ApiStore(s, baseUrl, root, spec)
+
+  private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  /** Spec registration is idempotent server-side; cache by value so the
+    * common handle-per-op pattern costs one POST per distinct spec. */
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), PipeSpec]
+  private def ensureRegistered(spark: SparkSession, baseUrl: String,
+                               root: String, spec: PipeSpec): Unit = {
+    val key = (baseUrl, root, spec.targetName)
+    if (!registered.get(key).contains(spec)) {
+      val json = PipeServer.specToJson(spark, spec)
+      val url = s"$baseUrl/pipes/register?root=${enc(root)}"
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() != 200) throw new java.io.IOException(
+        s"register $url -> HTTP ${resp.statusCode()}: ${resp.body()}")
+      registered.put(key, spec)
+      ()
+    }
+  }
+
+  private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+
+  /** Raw request: (status, body). */
+  private def request(method: String, url: String): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+    val req = method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST"   => b.POST(HttpRequest.BodyPublishers.noBody())
+      case m        => throw new IllegalArgumentException(m)
+    }
+    val resp = client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** Request + server-exception mapping (class doc). */
+  private def call(method: String, url: String): String = {
+    val (code, body) = request(method, url)
+    if (code / 100 == 2) body
+    else if (code == 500) {
+      val i = body.indexOf(": ")
+      val (cls, msg) =
+        if (i >= 0) (body.take(i), body.drop(i + 2)) else ("", body)
+      cls match {
+        case "java.lang.IllegalArgumentException" =>
+          throw new IllegalArgumentException(msg)
+        case "java.lang.IllegalStateException" =>
+          throw new IllegalStateException(msg)
+        case _ => throw new java.io.IOException(s"$method $url -> $body")
+      }
+    } else throw new java.io.IOException(s"$method $url -> HTTP $code: $body")
+  }
+}
