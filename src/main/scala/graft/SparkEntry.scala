@@ -386,6 +386,33 @@ object SparkEntry {
       } finally srv.stop()
     }),
 
+    // ── Valkey instance e2e: the reference's KV-instance deployment shape
+    // (valkey connector as the pipes backend, connectors/valkey/_pipes.py:
+    // 37-139). The SAME two-batch sync as q_sync_pipe_e2e, but every store
+    // call crosses a live RESP server — pipelined executor-parallel ZADD,
+    // score-bounded zrangebyscore reads, token lease. Result must be
+    // byte-identical to the local parquet run, so the oracle is the same
+    // SQL.
+    "q_valkey_instance_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vk_e2e").toString
+      val srv = new graft.kv.MiniValkey()
+      try {
+        val eng = new SyncEngine(s, root,
+          storeFactory = graft.storage.ValkeyStore.factory(srv.host, srv.port))
+        val spec = PipeSpec(PipeKeys("valkey", "instance_e2e"),
+          columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+        val ev = Tables.events(s, d)
+        eng.sync(spec, ev.where(col("event_id") < 700))
+        eng.sync(spec, ev.where(col("event_id") >= 500)
+          .withColumn("value", col("value") + 1000))
+        eng.getData(spec)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                  col("value"), col("props"))
+          .orderBy(col("event_id"))
+          .localCheckpoint(true) // materialized before the server stops
+      } finally srv.stop()
+    }),
+
     // ── §3.1/§3.2 the full sync pipeline end-to-end ──────────────────────
     // Two overlapping batches through SyncEngine (diff → unseen/update →
     // chunk-scoped upsert into parquet storage), read back via getData.
@@ -1896,6 +1923,11 @@ object SparkEntry {
          props FROM events ORDER BY event_id""",
 
     "q_api_instance_e2e" ->
+      """SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
+         props FROM events ORDER BY event_id""",
+
+    "q_valkey_instance_e2e" ->
       """SELECT event_id, ts, user_id, event_type,
          CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
          props FROM events ORDER BY event_id""",
