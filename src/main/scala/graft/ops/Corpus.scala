@@ -342,48 +342,60 @@ object Corpus {
   def repetitionMatrix(docs: DataFrame, idCol: String, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
-    val lens = docs.select(col(idCol),
-        posexplode(TextFns.tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    // ONE corpus scan for every signal: tokenize once, then explode the
+    // n-axis as data (`n` is a column, not a per-branch plan) and derive
+    // each n's shingles from the shared token array. 9 signals used to be
+    // 9 scan+shingle branches with ~4 shuffles each; this shape is 2 scans
+    // (grams + lens) and ~6 shuffles TOTAL — at 100 TB the corpus is read
+    // once, not nine times.
+    val tok = docs.select(col(idCol), TextFns.tokens(lower(col(textCol))).as("toks"))
+    val lens = tok.select(col(idCol),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos"), length(col("tok")).as("len"))
     val totals = lens.groupBy(col(idCol)).agg(sum(col("len")).as("total_chars"))
 
-    def grams(n: Int) = docs.select(col(idCol),
-        posexplode(TextFns.wordShingles(lower(col(textCol)), n)).as(Seq("pos", "gram")))
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val nCol = col("n")
+    // same construction as TextFns.wordShingles, with n as a Column
+    val shingles = when(size(col("toks")) < nCol, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - nCol + lit(1)),
+        i => concat_ws(" ", slice(col("toks"), i, nCol))))
+    val allG = tok
+      .select(col(idCol), col("toks"),
+        explode(array(allNs.map(lit(_)): _*)).as("n"))
+      .select(col(idCol), nCol, posexplode(shingles).as(Seq("pos", "gram")))
       // 60-bit truncated-md5 keys: the counts shuffle carries 8-byte longs
       // instead of 32-char digests, and DuckDB replays the truncation
       // exactly (the winnowing-oracle pattern; 15 hex digits stay inside a
       // signed BIGINT)
-      .select(col(idCol), col("pos"),
+      .select(col(idCol), nCol, col("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
 
-    def coverage(occ: DataFrame, n: Int, signal: String): DataFrame =
-      occ.select(col(idCol),
-          explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
-        .distinct()
-        .join(lens.withColumnRenamed("pos", "p"), Seq(idCol, "p"))
-        .groupBy(col(idCol))
-        .agg(sum(col("len")).as("covered_chars"))
-        .withColumn("signal", lit(signal))
+    val counts = allG.groupBy(col(idCol), nCol, col("h"))
+      .agg(count(lit(1)).as("c"))
+    val dups = counts
+      .where(nCol.isin(dupNs: _*) && col("c") > 1)
+      .select(col(idCol), nCol, col("h"),
+        format_string("dup_%02d_gram", nCol).as("signal"))
+    // deterministic top gram: max count, ties to the min hash
+    val tops = counts
+      .where(nCol.isin(topNs: _*))
+      .groupBy(col(idCol), nCol)
+      .agg(min(struct((-col("c")).as("nc"), col("h"))).as("t"))
+      .select(col(idCol), nCol, col("t.h").as("h"),
+        format_string("top_%02d_gram", nCol).as("signal"))
+    val picks = dups.unionByName(tops)
 
-    val dupCov = dupNs.map { n =>
-      val g = grams(n)
-      val dups = g.groupBy(col(idCol), col("h"))
-        .agg(count(lit(1)).as("c")).where(col("c") > 1)
-        .select(col(idCol), col("h"))
-      coverage(g.join(dups, Seq(idCol, "h")), n, f"dup_${n}%02d_gram")
-    }
-    val topCov = topNs.map { n =>
-      val g = grams(n)
-      // deterministic top gram: max count, ties to the min hash
-      val top = g.groupBy(col(idCol), col("h"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col(idCol))
-        .agg(min(struct((-col("c")).as("nc"), col("h"))).as("t"))
-        .select(col(idCol), col("t.h").as("h"))
-      coverage(g.join(top, Seq(idCol, "h")), n, f"top_${n}%02d_gram")
-    }
-    val all = (topCov ++ dupCov).reduce(_.unionByName(_))
-    totals.join(all, Seq(idCol))
+    val covered = allG.join(picks, Seq(idCol, "n", "h"))
+      .select(col(idCol), col("signal"),
+        explode(sequence(col("pos"), col("pos") + nCol - lit(1))).as("p"))
+      .distinct()
+      .join(lens.withColumnRenamed("pos", "p"), Seq(idCol, "p"))
+      .groupBy(col(idCol), col("signal"))
+      .agg(sum(col("len")).as("covered_chars"))
+
+    totals.join(covered, Seq(idCol))
       .select(col(idCol), col("signal"), col("covered_chars"), col("total_chars"))
       .withColumn("frac",
         col("covered_chars").cast("double") / col("total_chars").cast("double"))
