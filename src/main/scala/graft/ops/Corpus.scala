@@ -342,13 +342,18 @@ object Corpus {
   def repetitionMatrix(docs: DataFrame, idCol: String, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
-    // ONE corpus scan for every signal: tokenize once, then explode the
-    // n-axis as data (`n` is a column, not a per-branch plan) and derive
-    // each n's shingles from the shared token array. 9 signals used to be
-    // 9 scan+shingle branches with ~4 shuffles each; this shape is 2 scans
-    // (grams + lens) and ~6 shuffles TOTAL — at 100 TB the corpus is read
-    // once, not nine times.
+    // ONE corpus pass for every signal: tokenize once (checkpointed — the
+    // text is parsed a single time, then 9 gram branches read the token
+    // arrays, not the parquet), hash every n's grams into ONE compact
+    // signature table of longs (checkpointed — ~10× smaller than the
+    // text), and run ONE count, ONE pick, ONE coverage join over it.
+    // 9 signals used to be 9 scan+shingle branches with ~4 shuffles each
+    // (~36 shuffles, 18 corpus scans); this shape is 1 corpus scan and ~6
+    // shuffles total. Shingles stay per-branch with LITERAL n — a
+    // column-typed n in slice()/sequence() drops the whole projection out
+    // of codegen and costs more than the branches save.
     val tok = docs.select(col(idCol), TextFns.tokens(lower(col(textCol))).as("toks"))
+      .localCheckpoint(true)
     val lens = tok.select(col(idCol),
         posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos"), length(col("tok")).as("len"))
@@ -356,21 +361,23 @@ object Corpus {
 
     val allNs = (topNs ++ dupNs).distinct.sorted
     val nCol = col("n")
-    // same construction as TextFns.wordShingles, with n as a Column
-    val shingles = when(size(col("toks")) < nCol, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(col("toks")) - nCol + lit(1)),
-        i => concat_ws(" ", slice(col("toks"), i, nCol))))
-    val allG = tok
-      .select(col(idCol), col("toks"),
-        explode(array(allNs.map(lit(_)): _*)).as("n"))
-      .select(col(idCol), nCol, posexplode(shingles).as(Seq("pos", "gram")))
+    // TextFns.wordShingles construction, inlined over the shared arrays
+    def shingles(n: Int): Column =
+      when(size(col("toks")) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("toks")) - lit(n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+    val allG = allNs.map { n =>
+      tok.select(col(idCol), lit(n).as("n"),
+        posexplode(shingles(n)).as(Seq("pos", "gram")))
+    }.reduce(_.unionByName(_))
       // 60-bit truncated-md5 keys: the counts shuffle carries 8-byte longs
       // instead of 32-char digests, and DuckDB replays the truncation
       // exactly (the winnowing-oracle pattern; 15 hex digits stay inside a
       // signed BIGINT)
       .select(col(idCol), nCol, col("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+      .localCheckpoint(true)
 
     val counts = allG.groupBy(col(idCol), nCol, col("h"))
       .agg(count(lit(1)).as("c"))
