@@ -215,4 +215,23 @@ class UnicodeNormalizePropertySpec extends AnyFunSuite {
       nfc(s + "é") == nfc(s + "é")
     })
   }
+
+  // ── RESP2 wire protocol: encode → parse is the identity ────────────────
+
+  test("RESP command encode/parse round-trips arbitrary binary-ish args") {
+    val argGen: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('\r', '\n', '$', '*', ':', '+', '-'),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '\u00df'),
+      1 -> Gen.oneOf(' ', '"', '\\'))).map(_.mkString)
+    check(forAll(Gen.nonEmptyListOf(argGen)) { args =>
+      val bytes = graft.kv.Resp.encode(args)
+      val in = new java.io.ByteArrayInputStream(bytes)
+      graft.kv.Resp.readReply(in) match {
+        case graft.kv.Resp.Arr(Some(items)) =>
+          items.map { case graft.kv.Resp.Bulk(Some(v)) => v; case o => o.toString } == args
+        case _ => false
+      }
+    })
+  }
 }

@@ -143,6 +143,31 @@ class ValkeyInstanceSpec extends SparkSpec {
     assert(order.toArray.toSeq == Seq("first", "second"))
   }
 
+  test("concurrent fleet sync over the KV backend: leases serialize, all shards land") {
+    import graft.sync.SyncEngine
+    val eng = new SyncEngine(spark, "vfleet",
+      storeFactory = graft.storage.ValkeyStore.factory(srv.host, srv.port))
+    val shards = 3
+    val jobs = (0 until shards).map { i =>
+      val spec = PipeSpec(PipeKeys("vfleet", s"shard$i"),
+        columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+      val src = new graft.sources.FnSource((sp, _, _, _) => {
+        import sp.implicits._
+        Seq.tabulate(40)(j => (s"2024-01-0${j % 9 + 1} 00:0${j % 6}:00", (i * 100 + j).toLong, j * 1.5))
+          .toDF("dts", "id", "val")
+          .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+      })
+      (spec, src: graft.sources.Source)
+    }
+    val res = eng.fetchSyncMany(jobs, workers = shards)
+    val failed = res.collect { case (k, Left(e)) => s"$k: ${e.getMessage}" }
+    assert(failed.isEmpty, failed.mkString("; "))
+    jobs.foreach { case (spec, _) =>
+      assert(eng.storage(spec).rowCount == 40)
+      eng.storage(spec).drop()
+    }
+  }
+
   test("valkey fetch source resolves by short name and score-prunes") {
     val st = mkStore("fetchsrc")
     st.create(df3, cluster = true)
