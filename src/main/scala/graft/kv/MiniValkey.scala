@@ -38,7 +38,15 @@ final class MiniValkey(bind: String = "127.0.0.1") {
         val t = new Thread(() => serve(s), s"mini-valkey-conn-${s.getPort}")
         t.setDaemon(true)
         t.start()
-      } catch { case _: Throwable if !running.get() => /* closing */ }
+      } catch {
+        case _: Throwable if !running.get() => // closing
+        case e: Throwable =>
+          // a transient accept/thread-create failure must not kill the
+          // accept loop — the socket would stay bound but unserviced and
+          // every client would hang to its SO_TIMEOUT
+          System.err.println(s"[mini-valkey] accept failed, retrying: $e")
+          Thread.sleep(50)
+      }
     }
   }, "mini-valkey-accept")
   acceptThread.setDaemon(true)
@@ -156,6 +164,13 @@ final class MiniValkey(bind: String = "127.0.0.1") {
         else { state(key) = VStr(value, expireAt); Resp.Simple("OK") }
 
       case "GET" => Resp.Bulk(liveStr(args(1)).map(_.s))
+
+      case "PEXPIRE" =>
+        liveStr(args(1)) match {
+          case Some(v) =>
+            state(args(1)) = VStr(v.s, now() + args(2).toLong); Resp.Num(1L)
+          case None => Resp.Num(0L)
+        }
 
       case "DEL" =>
         Resp.Num(args.tail.count(k => state.remove(k).isDefined).toLong)

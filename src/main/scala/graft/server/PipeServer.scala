@@ -32,8 +32,10 @@ import graft.storage.{InstanceStore, PipeStorage, StrayScan}
   *   - GET  `exists` | `count` | `schema` | `sync_time` | `maxid`
   *   - GET  `data?begin&beginK&end&endK&endIncl` → ND-JSON rows
   *   - GET  `in?values&kind` → ND-JSON rows
-  *   - POST `stage?wid` (body: ND-JSON) → buffer a patch part server-side
+  *   - POST `stage?wid&pid&att&seq` (body: ND-JSON) → buffer one batch of
+  *     one task attempt; POST `stage_done?wid&pid&att&n` seals the attempt
   *   - POST `commit?wid&mode&keys&stray…` → apply staged patch atomically
+  *     (one complete sealed attempt per partition — retry/speculation-safe)
   *   - POST `clear?sql&lo…` | `dedup?keys&orderBy` | `maxid?v`
   *   - POST `lock?op&token&ttlMs` → TTL'd advisory writer lease
   *   - POST `compact` | `vacuum`;  DELETE `drop`
@@ -49,7 +51,8 @@ import graft.storage.{InstanceStore, PipeStorage, StrayScan}
 final class PipeServer(
     spark: SparkSession, baseDir: String,
     storeFactory: (SparkSession, String, PipeSpec) => InstanceStore =
-      (s, r, sp) => new PipeStorage(s, r, sp)) {
+      (s, r, sp) => new PipeStorage(s, r, sp),
+    bindPort: Int = 0) {
 
   import PipeServer._
 
@@ -59,7 +62,7 @@ final class PipeServer(
   private val lockGate = new Object
 
   private val server =
-    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", bindPort), 0)
   val port: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$port"
 
@@ -111,8 +114,10 @@ final class PipeServer(
 
       case ("GET", "schema") =>
         val (_, st) = store(root, target)
-        if (!st.exists) respond(x, 404, "no data")
-        else respond(x, 200, st.read.schema.toDDL)
+        st.schemaDdl match {
+          case Some(ddl) => respond(x, 200, ddl)
+          case None      => respond(x, 404, "no data")
+        }
 
       case ("GET", "count") =>
         respond(x, 200, store(root, target)._2.rowCount.toString)
@@ -149,26 +154,32 @@ final class PipeServer(
         respondNdjson(x, st.readIn(vals))
 
       case ("POST", "stage") =>
-        val wid = q("wid")
-        require(wid.matches("[A-Za-z0-9-]+"), s"bad write id: $wid")
-        val f = stagingFile(wid)
-        // executors post parts concurrently; appends serialize per wid
-        stageGates.getOrElseUpdate(wid, new Object).synchronized {
-          val out = new java.io.FileOutputStream(f, true)
-          try { x.getRequestBody.transferTo(out); out.write('\n') }
-          finally out.close()
-        }
+        // one file per (partition, attempt, batch) — concurrent POSTs from
+        // retried/speculative tasks land in distinct files, never appended
+        val dir = stagingDir(q("wid"))
+        val (pid, att, seq) = (q("pid").toLong, q("att").toLong, q("seq").toLong)
+        val f = new java.io.File(dir, s"p${pid}_a${att}_s$seq.part")
+        val out = new java.io.FileOutputStream(f, false)
+        try x.getRequestBody.transferTo(out) finally out.close()
+        respond(x, 200, "ok")
+
+      case ("POST", "stage_done") =>
+        // seals one attempt of one partition: `n` is its batch count
+        val dir = stagingDir(q("wid"))
+        val (pid, att) = (q("pid").toLong, q("att").toLong)
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"p${pid}_a$att.done").toPath,
+          q("n").getBytes(UTF_8))
         respond(x, 200, "ok")
 
       case ("POST", "commit") =>
         val (spec, st) = store(root, target)
         val wid = q("wid")
-        require(wid.matches("[A-Za-z0-9-]+"), s"bad write id: $wid")
         val schema = StructType.fromDDL(q("schema"))
-        val f = stagingFile(wid)
+        val files = selectStaged(wid)
         val df: DataFrame =
-          if (f.exists()) spark.read.schema(schema).options(jsonOpts)
-            .json(f.getAbsolutePath)
+          if (files.nonEmpty) spark.read.schema(schema).options(jsonOpts)
+            .json(files.map(_.getAbsolutePath): _*)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         try q("mode") match {
@@ -187,7 +198,10 @@ final class PipeServer(
               .map(_.split("\n").toSeq.filter(_.nonEmpty))
             st.upsert(df, keys, kc, stray)
           case m => throw new IllegalArgumentException(s"unknown mode: $m")
-        } finally { f.delete(); stageGates.remove(wid); () }
+        } finally {
+          val d = stagingDir(wid)
+          d.listFiles().foreach(_.delete()); d.delete(); ()
+        }
         val _ = spec
         respond(x, 200, "ok")
 
@@ -228,6 +242,19 @@ final class PipeServer(
               }
             }
             if (ok) respond(x, 200, "ok") else respond(x, 409, "held")
+          case "renew" =>
+            // heartbeat: extend OUR lease (token must still match — an
+            // expired-and-reclaimed lock belongs to someone else). An
+            // expired-but-unclaimed lock renews fine: nobody was harmed.
+            val ttl = q.getOrElse("ttlMs", "600000").toLong
+            val ok = lockGate.synchronized {
+              locks.get(key) match {
+                case Some((t, _)) if t == token =>
+                  locks.put(key, (token, System.currentTimeMillis() + ttl)); true
+                case _ => false
+              }
+            }
+            if (ok) respond(x, 200, "ok") else respond(x, 410, "not held")
           case "release" =>
             val mine = lockGate.synchronized {
               locks.get(key) match {
@@ -246,13 +273,45 @@ final class PipeServer(
 
   // ── helpers ────────────────────────────────────────────────────────────
 
-  private val stageGates = TrieMap.empty[String, Object]
   private val stageDir = {
     val d = java.nio.file.Files.createTempDirectory("graft_server_stage")
     d.toFile.deleteOnExit(); d
   }
-  private def stagingFile(wid: String): java.io.File =
-    stageDir.resolve(s"$wid.ndjson").toFile
+  private def stagingDir(wid: String): java.io.File = {
+    require(wid.matches("[A-Za-z0-9-]+"), s"bad write id: $wid")
+    val d = stageDir.resolve(wid).toFile
+    d.mkdirs(); d
+  }
+
+  /** Part files of exactly ONE sealed attempt per partition. A partition
+    * with parts but no attempt that both sealed (`.done`) and has all its
+    * `n` batches means every stage task for it died mid-upload — commit
+    * must fail loudly, not apply a truncated patch. */
+  private def selectStaged(wid: String): Seq[java.io.File] = {
+    val all = stagingDir(wid).listFiles().toSeq
+    val Part = "p(\\d+)_a(\\d+)_s(\\d+)\\.part".r
+    val Done = "p(\\d+)_a(\\d+)\\.done".r
+    val parts = all.flatMap(f => f.getName match {
+      case Part(p, a, s) => Some(((p.toLong, a.toLong), (s.toLong, f)))
+      case _ => None
+    }).groupMap(_._1)(_._2)
+    val sealedN = all.flatMap(f => f.getName match {
+      case Done(p, a) => Some((p.toLong, a.toLong) ->
+        new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8).trim.toLong)
+      case _ => None
+    }).toMap
+    val byPid = (parts.keySet ++ sealedN.keySet).groupBy(_._1)
+    byPid.toSeq.sortBy(_._1).flatMap { case (pid, attempts) =>
+      val complete = attempts.toSeq.sorted.reverse.find { k =>
+        sealedN.get(k).exists(_ == parts.getOrElse(k, Seq.empty).size.toLong)
+      }
+      complete match {
+        case Some(k) => parts.getOrElse(k, Seq.empty).sortBy(_._1).map(_._2)
+        case None => throw new IllegalStateException(
+          s"staged write $wid: partition $pid has no complete sealed attempt")
+      }
+    }
+  }
 
   private def params(x: HttpExchange): Map[String, String] =
     Option(x.getRequestURI.getRawQuery).getOrElse("").split("&")

@@ -52,9 +52,32 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
     s"$baseUrl/pipes/$op?$qs"
   }
 
+  /** Instance-level request wrapper: a server that restarted (losing its
+    * in-memory registry) answers every route with "not registered" even
+    * though this client registered earlier — the process-wide cache then
+    * pins the failure forever. Self-heal: invalidate the cache entry,
+    * re-register, retry ONCE. */
+  private def call(method: String, url: String): String =
+    try ApiStore.call(method, url)
+    catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("is not registered")) =>
+        ApiStore.registered.remove((baseUrl, root, target))
+        ApiStore.ensureRegistered(spark, baseUrl, root, spec)
+        ApiStore.call(method, url)
+    }
+
   // ── reads ──────────────────────────────────────────────────────────────
 
   override def exists: Boolean = call("GET", u("exists")).toBoolean
+
+  /** One schema-route GET — the trait default would full-fetch the table. */
+  override def schemaDdl: Option[String] = {
+    val (code, body) = request("GET", u("schema"))
+    if (code == 200) Some(body)
+    else if (code == 404) None
+    else Some(call("GET", u("schema"))) // surface mapped server errors
+  }
 
   private def fetchDf(dataUrl: String): DataFrame = {
     val ddl = call("GET", u("schema"))
@@ -106,16 +129,35 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
 
   // ── writes ─────────────────────────────────────────────────────────────
 
-  /** Executor-parallel staged upload + one atomic commit (see class doc). */
+  /** Executor-parallel staged upload + one atomic commit (see class doc).
+    *
+    * Idempotent under task retry and speculation: every POST is keyed by
+    * (partition, task-attempt, batch-seq) — a re-executed task stages under
+    * a FRESH attempt id instead of appending to a shared file — and each
+    * attempt seals itself with a `stage_done` marker carrying its batch
+    * count. Commit then applies exactly ONE complete attempt per partition
+    * (any complete attempt of a partition holds the same rowset), so a
+    * retried or speculated task can never double its rows into the patch. */
   private def upload(df: DataFrame, mode: String,
                      extra: Seq[(String, String)] = Seq.empty): Unit = {
     val wid = java.util.UUID.randomUUID().toString
-    val stageUrl = u("stage", "wid" -> wid)
+    val stageBase  = u("stage", "wid" -> wid)
+    val doneBase   = u("stage_done", "wid" -> wid)
     val cols = df.columns
     df.select(to_json(struct(cols.map(col).toIndexedSeq: _*), jsonOptsJava).as("j"))
       .select("j").as(Encoders.STRING)
       .foreachPartition { (it: Iterator[String]) =>
-        it.grouped(10000).foreach(b => HttpFetch.post(stageUrl, b.mkString("\n")))
+        val tc  = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val att = tc.taskAttemptId() // globally unique per attempt (zombies included)
+        var n = 0
+        it.grouped(10000).foreach { b =>
+          HttpFetch.post(s"$stageBase&pid=$pid&att=$att&seq=$n", b.mkString("\n"))
+          n += 1
+        }
+        // seal even when n=0 — commit must be able to tell "this attempt
+        // completed with no rows" from "this attempt died mid-stage"
+        HttpFetch.post(s"$doneBase&pid=$pid&att=$att&n=$n", "")
       }
     call("POST", u("commit", (Seq("wid" -> wid, "mode" -> mode,
       "schema" -> df.schema.toDDL) ++ extra): _*))
@@ -213,9 +255,24 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
       } else throw new java.io.IOException(s"lease acquire -> HTTP $code")
     }
     held += key
+    // HEARTBEAT: the server lock is a hard TTL — a leased operation longer
+    // than leaseStaleMs would silently lose mutual exclusion mid-write
+    // without renewal (the parquet backend heartbeats for the same reason).
+    // A failed renew means the lease is gone; stop beating (release warns).
+    val renewUrl = u("lock", "op" -> "renew", "token" -> token,
+      "ttlMs" -> PipeStorage.leaseStaleMs.toString)
+    val beatBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = PipeStorage.leaseScheduler.scheduleAtFixedRate(
+      () => try {
+        if (!beatBroken.get() && request("POST", renewUrl)._1 != 200)
+          beatBroken.set(true)
+      } catch { case _: Exception => () },
+      PipeStorage.leaseStaleMs / 3, PipeStorage.leaseStaleMs / 3,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       held -= key
+      beat.cancel(false)
       val (code, _) = request("POST",
         u("lock", "op" -> "release", "token" -> token))
       if (code == 410) System.err.println(

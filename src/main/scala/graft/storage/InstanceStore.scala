@@ -31,6 +31,13 @@ trait InstanceStore {
   // ── existence / reads ────────────────────────────────────────────────
   def exists: Boolean
   def read: DataFrame
+
+  /** DDL of the stored schema WITHOUT materializing data. The default goes
+    * through `read.schema`, which is only acceptable for backends whose
+    * `read` is lazy (parquet: footer metadata); eager backends (KV,
+    * in-memory, HTTP) must override with their stored schema — the serving
+    * layer calls this before every data response. None = no data yet. */
+  def schemaDdl: Option[String] = if (exists) Some(read.schema.toDDL) else None
   def readRange(begin: Option[Any], end: Option[Any],
                 endInclusive: Boolean = false): DataFrame
   def readIn(values: Seq[Any]): DataFrame

@@ -138,11 +138,27 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     // scale) — refresh the timestamp at a third of the horizon. A breaker
     // then only ever fires on a truly dead holder (whose refresher died
     // with it).
+    // the beat must verify the file still holds OUR token before rewriting:
+    // a blind overwrite after a GC/IO stall longer than the stale horizon
+    // would clobber a breaker's new lease, and our release would then
+    // delete it — evicting the CURRENT holder. Once broken, stop beating
+    // for good (release reads the same file and warns).
+    val beatBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = PipeStorage.leaseScheduler.scheduleAtFixedRate(
       () => try {
-        val out = fs.create(lockPath, true)
-        try out.write(s"$token ${System.currentTimeMillis()}".getBytes("UTF-8"))
-        finally out.close()
+        if (!beatBroken.get()) {
+          val mine = try {
+            val in = fs.open(lockPath)
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+              .trim.startsWith(token)
+            finally in.close()
+          } catch { case _: Exception => false }
+          if (mine) {
+            val out = fs.create(lockPath, true)
+            try out.write(s"$token ${System.currentTimeMillis()}".getBytes("UTF-8"))
+            finally out.close()
+          } else beatBroken.set(true)
+        }
       } catch { case _: Exception => () },
       PipeStorage.leaseStaleMs / 3, PipeStorage.leaseStaleMs / 3,
       java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -803,8 +819,22 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   }
   }
 
-  /** Drop the target entirely (reference `drop_pipe`). */
-  override def drop(): Unit = if (fs.exists(new Path(basePath))) fs.delete(new Path(basePath), true)
+  /** Drop the target entirely (reference `drop_pipe`). Leased like every
+    * other mutator: a blind recursive delete would rip out a concurrent
+    * holder's live `.writer_lock` (and the data mid-swap under it). Inside
+    * the lease, delete every child EXCEPT the lock file; the lease release
+    * then removes the lock, and the empty basePath goes last (best-effort —
+    * a racing re-create simply wins). */
+  override def drop(): Unit = {
+    val base = new Path(basePath)
+    if (!fs.exists(base)) return
+    withWriteLease {
+      fs.listStatus(base)
+        .filter(_.getPath.getName != ".writer_lock")
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    try { fs.delete(base, false); () } catch { case _: java.io.IOException => () }
+  }
 
   /** Compact small files — the reference's `compress` (TimescaleDB
     * columnstore policy, core/Pipe/_compress.py:13-107) maps in Spark to

@@ -117,6 +117,10 @@ final class ValkeyStore(spark: SparkSession, host: String, port: Int,
 
   override def exists: Boolean = withConn(_.num("EXISTS", kSchema)) == 1L
 
+  /** Stored-key schema — `read` here is an eager full-set fetch, so the
+    * trait default would materialize the whole table to answer a DDL. */
+  override def schemaDdl: Option[String] = storedSchema.map(_.toDDL)
+
   /** Rank-sliced executor-parallel fetch of (member, score) rows in a
     * score range. Eagerly checkpointed for the same snapshot semantics as
     * the other backends (a lazy KV scan could observe its own sync's
@@ -375,9 +379,25 @@ final class ValkeyStore(spark: SparkSession, host: String, port: Int,
       }
     }
     held += leaseKey
+    // HEARTBEAT: SET PX is a hard TTL — a leased operation longer than
+    // leaseStaleMs (a big dedup/upsert) would silently lose mutual
+    // exclusion mid-write without renewal. Extend only while the key still
+    // holds OUR token; once broken, stop for good (release warns).
+    val beatBroken = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = PipeStorage.leaseScheduler.scheduleAtFixedRate(
+      () => try {
+        if (!beatBroken.get()) withConn { c =>
+          if (c.bulk("GET", kLease).contains(token)) {
+            c.command("PEXPIRE", kLease, PipeStorage.leaseStaleMs.toString); ()
+          } else beatBroken.set(true)
+        }
+      } catch { case _: Exception => () },
+      PipeStorage.leaseStaleMs / 3, PipeStorage.leaseStaleMs / 3,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       held -= leaseKey
+      beat.cancel(false)
       withConn { c =>
         if (c.bulk("GET", kLease).contains(token)) { c.command("DEL", kLease); () }
         else System.err.println(

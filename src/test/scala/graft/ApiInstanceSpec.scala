@@ -108,6 +108,99 @@ class ApiInstanceSpec extends SparkSpec {
       resp.body().startsWith("java.lang.IllegalArgumentException"))
   }
 
+  private def http(method: String, url: String, body: String = ""): (Int, String) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    val req = (if (method == "POST")
+      b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)) else b.GET()).build()
+    val resp = java.net.http.HttpClient.newHttpClient()
+      .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  test("commit applies exactly one sealed attempt per partition (task-retry safe)") {
+    val root = tmpDir()
+    val st = new graft.storage.ApiStore(spark, TestPipeServer.server.url, root,
+      PipeSpec(PipeKeys("api", "stagedup"),
+        columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id"))))
+    st.create(df3)
+    val base = TestPipeServer.server.url
+    val tq = s"root=${enc(root)}&target=${enc(st.spec.targetName)}"
+    val wid = "retry-test-1"
+    val row = (id: Long) => s"""{"dt":"2024-02-0${id}T00:00:00.000000","id":$id,"val":$id.5}"""
+    // attempt 7 staged one batch then DIED (no done marker)
+    assert(http("POST", s"$base/pipes/stage?$tq&wid=$wid&pid=0&att=7&seq=0",
+      Seq(row(4), row(5)).mkString("\n"))._1 == 200)
+    // retry attempt 8 staged the same partition fully and sealed it
+    assert(http("POST", s"$base/pipes/stage?$tq&wid=$wid&pid=0&att=8&seq=0",
+      Seq(row(4), row(5)).mkString("\n"))._1 == 200)
+    assert(http("POST", s"$base/pipes/stage_done?$tq&wid=$wid&pid=0&att=8&n=1")._1 == 200)
+    val ddl = enc(df3.schema.toDDL)
+    assert(http("POST",
+      s"$base/pipes/commit?$tq&wid=$wid&mode=append&schema=$ddl")._1 == 200)
+    // the dead attempt's rows must NOT double in: 3 baseline + 2, not + 4
+    assert(st.rowCount == 5L)
+
+    // a partition whose every attempt died mid-stage must fail the commit
+    val wid2 = "retry-test-2"
+    assert(http("POST", s"$base/pipes/stage?$tq&wid=$wid2&pid=0&att=9&seq=0",
+      row(6))._1 == 200)
+    val (code, msg) = http("POST",
+      s"$base/pipes/commit?$tq&wid=$wid2&mode=append&schema=$ddl")
+    assert(code == 500 && msg.contains("no complete sealed attempt"), msg)
+    assert(st.rowCount == 5L, "a failed commit must not apply rows")
+  }
+
+  test("client self-heals registration after a server restart") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-restart").toString
+    val s1 = new graft.server.PipeServer(spark, dir)
+    val spec = PipeSpec(PipeKeys("api", "heal"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")))
+    val st = new graft.storage.ApiStore(spark, s1.url, tmpDir(), spec)
+    st.create(df3)
+    assert(st.rowCount == 3L)
+    val port = s1.port
+    s1.stop()
+    // rebind the same port: same baseUrl, fresh (empty) in-memory registry
+    val s2 = {
+      var srv: graft.server.PipeServer = null
+      var tries = 0
+      while (srv == null) {
+        try srv = new graft.server.PipeServer(spark, dir, bindPort = port)
+        catch { case e: java.net.BindException =>
+          tries += 1; if (tries > 50) throw e; Thread.sleep(100) }
+      }
+      srv
+    }
+    try {
+      // the cached registration is stale; the call must re-register and
+      // succeed instead of failing forever with "not registered"
+      assert(st.rowCount == 3L)
+    } finally s2.stop()
+  }
+
+  test("HTTP lease heartbeat renews past the server TTL") {
+    import graft.storage.PipeStorage
+    val saved = (PipeStorage.leaseStaleMs, PipeStorage.leaseAcquireTimeoutMs)
+    PipeStorage.leaseStaleMs = 400L
+    PipeStorage.leaseAcquireTimeoutMs = 200L
+    try {
+      val st = mkStore("renew")
+      @volatile var intruded = false
+      st.withWriteLease {
+        Thread.sleep(900) // 2× the TTL: only the heartbeat keeps the lease
+        val t = new Thread(() =>
+          try st.withWriteLease { intruded = true }
+          catch { case _: IllegalStateException => () })
+        t.start(); t.join(5000)
+      }
+      assert(!intruded, "a renewed lease must not be acquirable by a second writer")
+    } finally {
+      PipeStorage.leaseStaleMs = saved._1
+      PipeStorage.leaseAcquireTimeoutMs = saved._2
+    }
+  }
+
   test("HTTP writer lease serializes two client threads") {
     val st1 = mkStore("lease")
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -379,4 +379,54 @@ class WriterLeaseSpec extends SparkSpec {
     assert(st.read.count() == 2)
     assert(!java.nio.file.Files.exists(lock), "lease must release after the write")
   }
+
+  test("heartbeat never clobbers a broken lease; release leaves it intact") {
+    val root = tmpDir()
+    val spec = PipeSpec(PipeKeys("lease", "beat"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val st = new PipeStorage(spark, root, spec)
+    val saved = PipeStorage.leaseStaleMs
+    PipeStorage.leaseStaleMs = 300L // beat every 100ms
+    try {
+      val lock = java.nio.file.Paths.get(st.basePath, ".writer_lock")
+      st.withWriteLease {
+        // simulate a breaker claiming the path mid-hold (as after a long
+        // GC stall): the foreign token must SURVIVE our heartbeat and
+        // our release — a blind overwrite would evict the new holder
+        java.nio.file.Files.createDirectories(lock.getParent)
+        java.nio.file.Files.write(lock,
+          s"foreign ${System.currentTimeMillis()}".getBytes("UTF-8"))
+        Thread.sleep(350) // several beat periods
+        val content = new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        assert(content.startsWith("foreign"),
+          s"heartbeat clobbered a broken lease: $content")
+      }
+      val after = new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+      assert(after.startsWith("foreign"),
+        "release must not delete a lease it no longer owns")
+      java.nio.file.Files.delete(lock)
+    } finally PipeStorage.leaseStaleMs = saved
+  }
+
+  test("drop is leased: a live foreign lease blocks it; afterwards it removes the pipe") {
+    val root = tmpDir()
+    val spec = PipeSpec(PipeKeys("lease", "dropguard"),
+      columns = ColumnRoles(Map("primary" -> "pk")))
+    val st = new PipeStorage(spark, root, spec)
+    st.create(Seq((1L, "a")).toDF("pk", "v"))
+    val lock = java.nio.file.Paths.get(st.basePath, ".writer_lock")
+    java.nio.file.Files.write(lock,
+      s"other ${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val saved = PipeStorage.leaseAcquireTimeoutMs
+    PipeStorage.leaseAcquireTimeoutMs = 300L
+    try {
+      intercept[IllegalStateException] { st.drop() }
+      assert(st.exists, "drop under a foreign lease must not delete data")
+    } finally PipeStorage.leaseAcquireTimeoutMs = saved
+    java.nio.file.Files.delete(lock)
+    st.drop()
+    assert(!st.exists)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(st.basePath)),
+      "drop must remove the pipe directory")
+  }
 }

@@ -129,6 +129,31 @@ class ValkeyInstanceSpec extends SparkSpec {
     st.drop()
   }
 
+  test("KV lease heartbeat renews past the PX TTL (PEXPIRE while held)") {
+    import graft.storage.PipeStorage
+    val saved = (PipeStorage.leaseStaleMs, PipeStorage.leaseAcquireTimeoutMs)
+    PipeStorage.leaseStaleMs = 400L
+    PipeStorage.leaseAcquireTimeoutMs = 200L
+    try {
+      val st = mkStore("renew")
+      @volatile var intruded = false
+      st.withWriteLease {
+        Thread.sleep(900) // 2× the TTL: only the heartbeat keeps the key alive
+        val t = new Thread(() =>
+          try st.withWriteLease { intruded = true }
+          catch { case _: IllegalStateException => () })
+        t.start(); t.join(5000)
+      }
+      assert(!intruded, "a renewed lease must not be acquirable by a second writer")
+      // after release a writer acquires immediately
+      st.withWriteLease { intruded = true }
+      assert(intruded)
+    } finally {
+      PipeStorage.leaseStaleMs = saved._1
+      PipeStorage.leaseAcquireTimeoutMs = saved._2
+    }
+  }
+
   test("lease contention: second writer thread blocks, then proceeds") {
     val st1 = mkStore("lease")
     val st2 = mkStore("lease")
