@@ -44,19 +44,27 @@ object Bench {
     // invalid JSON ("q1":1,234) and zero the round's bench results
     def fmt(v: Double, dec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + fmt(v, dec) }
+    // The harness records only the LAST 2000 chars of stdout (r4's line was
+    // 2.9k → BENCH_r04.parsed = null). Stdout therefore shows the slowest
+    // `cap` queries (the informative ones) plus an omitted-count/-sum so the
+    // totals still reconcile; cap=0 (BENCH_LOCAL.json) keeps every query.
+    def line(dec: Int, cap: Int): String = {
+      val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
+      val (shown, omitted) =
+        if (cap > 0) bySlowest.splitAt(cap) else (bySlowest, Seq.empty)
+      val qs = shown.map { case (k, (v, _)) => jstr(k) + ":" + fmt(v, dec) }
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }
         .mkString("{", ",", "}")
       val nFailed = results.count(_._2._2 != null)
       val total = results.values.map(_._1).sum
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"sf":${jstr(sfDir)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      val omitSum = omitted.map(_._2._1).sum
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line(3) + "\n").getBytes("UTF-8"))
-    println(line(2))
+      (line(3, 0) + "\n").getBytes("UTF-8"))
+    println(line(2, 40))
     spark.stop()
   }
 }
