@@ -860,6 +860,37 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ── §2.9 stream-static broadcast enrichment e2e: every micro-batch of
+    // events joins the static nation dimension BROADCAST (the unbounded
+    // side never shuffles on the join key), enriched rows blind-append to
+    // a pipe, and the read-back per-nation rollup equals the batch join —
+    // the oracle. Stateless join: no watermark or sentinel drain needed.
+    "q_streaming_enrich" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_senr").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "enrich"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(Tables.path(d, "events")),
+        java.nio.file.Paths.get(s"$srcDir/events.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val enriched = graft.streaming.StreamingSync.enrichWithStatic(
+          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          dim, pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
+        .select(col("ts"), col("event_id"), col("n_name"))
+      val q = graft.streaming.StreamingSync.run(eng, spec, enriched,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(spec)
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_name"))
+    }),
+
     // ── LLM-pipeline: text analysis ──────────────────────────────────────
     "q_doc_stats" -> ((s, d) =>
       Tables.documents(s, d).select(
@@ -1105,6 +1136,14 @@ object SparkEntry {
     // frequency join, all-integer arithmetic + one division.
     "q_rare_tokens" -> ((s, d) =>
       graft.ops.Corpus.rareTokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: unigram-LM log-prob quality signal (CCNet's KenLM
+    // perplexity with a unigram surrogate model — same fit/join/reduce
+    // plan shape). Micro-nat per-type quantization → integer sums →
+    // oracle-exact; xent is one final division.
+    "q_unigram_logprob" -> ((s, d) =>
+      graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     // ── LLM-pipeline: multimodal binary columns ──────────────────────────
@@ -1499,6 +1538,48 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: DSIR importance weights (Xie et al. 2023) — hashed
+    // unigram+bigram buckets, add-one-smoothed target/raw log-ratios
+    // quantized to integer micro-nats BEFORE summation (long aggregates are
+    // order-independent → oracle-exact; double sums are not). Target domain
+    // here: the English subset; raw corpus: everything.
+    "q_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.importanceWeightsMicro(
+        docs, docs.where(col("lang") === "en"), "doc_id", "text", nBuckets = 256)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: DSIR Gumbel-top-k resample — deterministic md5-coin
+    // Gumbel noise (micro-nats), integer scores, id tiebreak: samples k
+    // docs ∝ softmax(logw) reproducibly on any engine.
+    "q_dsir_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Dsir.select(docs, docs.where(col("lang") === "en"),
+        "doc_id", "text", nBuckets = 256, k = 40)
+        .orderBy(col("score_micro").desc, col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: Shannon character entropy via the native generated
+    // expression — one pass per row, no per-character explode; micro-nat
+    // quantization per distinct char keeps the value oracle-exact.
+    "q_char_entropy" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.charEntropyMicro(col("text")).as("entropy_micro"),
+          TextFns.charEntropy(col("text")).as("entropy"))
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: token-budget mixture sampling — per-domain budgets
+    // (Pile/DoReMi-style mixture weights as integer token budgets), md5
+    // in-domain order, exact LONG running totals.
+    "q_mixture_sample" -> ((s, d) =>
+      graft.ops.Sampling.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+        TextFns.tokenCount(col("text")),
+        Map("en" -> 3000L, "zh" -> 1200L, "de" -> 600L, "es" -> 600L,
+            "fr" -> 600L))
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: PII redaction (email + phone patterns valid in both
     // Java regex and RE2, so the oracle applies the identical rewrite).
     "q_redact_pii" -> ((s, d) => {
@@ -1754,6 +1835,36 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
+  /** Shared oracle CTE chain replaying [[graft.ops.Dsir]] bit-for-bit:
+    * unigram+bigram buckets (60-bit md5 hash % 256), add-one-smoothed
+    * target(en)/raw log-ratios quantized to micro-nat LONGs, per-doc long
+    * sums. Arithmetic forms mirror the Spark column expressions exactly
+    * (same association, same operand types) — see Dsir.scala's exactness
+    * discipline. */
+  private val dsirWeightsCte: String =
+    """tok AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w
+              FROM documents),
+       uni AS (SELECT doc_id, lang, unnest(w) AS g FROM tok),
+       bi AS (SELECT doc_id, lang, w[u.i] || ' ' || w[u.i+1] AS g
+              FROM tok, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)),
+       grams AS (SELECT doc_id, lang, g FROM uni WHERE length(g) > 0
+                 UNION ALL SELECT doc_id, lang, g FROM bi WHERE length(g) > 0),
+       bk AS (SELECT doc_id, lang,
+                CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 256 AS bucket
+              FROM grams),
+       tgt AS (SELECT bucket, count(*) AS nt FROM bk WHERE lang = 'en' GROUP BY 1),
+       rawc AS (SELECT bucket, count(*) AS nr FROM bk GROUP BY 1),
+       tt AS (SELECT CAST(sum(nt) AS DOUBLE) AS t FROM tgt),
+       rt AS (SELECT CAST(sum(nr) AS DOUBLE) AS r FROM rawc),
+       ratios AS (
+         SELECT b.bucket,
+           CAST(round((ln((coalesce(nt, 0) + 1.0) / (t + 256.0))
+                     - ln((coalesce(nr, 0) + 1.0) / (r + 256.0))) * 1000000.0) AS BIGINT) AS lw
+         FROM (SELECT unnest(generate_series(0, 255)) AS bucket) b
+         LEFT JOIN tgt USING (bucket) LEFT JOIN rawc USING (bucket), tt, rt),
+       wsum AS (SELECT bk.doc_id, CAST(sum(lw) AS BIGINT) AS logw_micro
+                FROM bk JOIN ratios USING (bucket) GROUP BY 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2167,6 +2278,9 @@ object SparkEntry {
          FROM tf JOIN cf USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_unigram_logprob" ->
+      graft.ops.Corpus.unigramLogProbOracleSql("documents", "doc_id", "text"),
+
     "q_media_features" ->
       """SELECT doc_id AS media_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -2429,6 +2543,68 @@ object SparkEntry {
          SELECT doc_id, lang FROM b
          WHERE bk < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 100 END
          ORDER BY doc_id""",
+
+    "q_dsir_weights" ->
+      s"""WITH $dsirWeightsCte
+         SELECT d.doc_id, coalesce(w.logw_micro, CAST(0 AS BIGINT)) AS logw_micro
+         FROM documents d LEFT JOIN wsum w USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "q_dsir_resample" ->
+      s"""WITH $dsirWeightsCte,
+         allw AS (
+           SELECT d.doc_id, coalesce(w.logw_micro, CAST(0 AS BIGINT)) AS logw_micro
+           FROM documents d LEFT JOIN wsum w USING (doc_id)),
+         sel AS (
+           SELECT doc_id, logw_micro,
+             logw_micro + CAST(round(-ln(-ln(
+               (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro
+           FROM allw)
+         SELECT doc_id, logw_micro, score_micro FROM sel
+         ORDER BY score_micro DESC, doc_id LIMIT 40""",
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+           FROM documents),
+         cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         terms AS (
+           SELECT cnt.doc_id,
+             CAST(round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+               * ln(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS term
+           FROM cnt JOIN tot USING (doc_id)),
+         e AS (SELECT doc_id, CAST(sum(term) AS BIGINT) AS entropy_micro
+               FROM terms GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(e.entropy_micro, CAST(0 AS BIGINT)) AS entropy_micro,
+           CAST(coalesce(e.entropy_micro, CAST(0 AS BIGINT)) AS DOUBLE) / 1000000.0 AS entropy
+         FROM documents d LEFT JOIN e USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "q_mixture_sample" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b(lang, token_budget) AS (VALUES
+           ('de', CAST(600 AS BIGINT)), ('en', CAST(3000 AS BIGINT)),
+           ('es', CAST(600 AS BIGINT)), ('fr', CAST(600 AS BIGINT)),
+           ('zh', CAST(1200 AS BIGINT))),
+         c AS (
+           SELECT t.doc_id, t.lang, t.n_tokens, b.token_budget,
+             CAST(sum(t.n_tokens) OVER (PARTITION BY t.lang
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           FROM t JOIN b USING (lang))
+         SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= token_budget ORDER BY doc_id""",
+
+    "q_streaming_enrich" ->
+      """SELECT n_name, count(*) AS n_events
+         FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q_redact_pii" ->
       """SELECT event_id, regexp_replace(regexp_replace(

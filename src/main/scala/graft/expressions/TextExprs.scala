@@ -113,6 +113,69 @@ object UnicodeNormalizeKernel {
   }
 }
 
+/** Call target for [[CharEntropyMicro]]'s generated code — shared with
+  * interpreted eval so the two paths cannot drift.
+  *
+  * Returns the Shannon character entropy in integer MICRO-NATS: each
+  * distinct codepoint's term `(n/t)·ln(t/n)` is quantized to
+  * `round(term · 1e6)` BEFORE the sum, so the total is a sum of longs —
+  * order-independent (HashMap iteration order cannot perturb a long sum)
+  * and bit-replayable by an ANSI SQL oracle that groups per character and
+  * sums the same quantized terms. Micro-nat resolution (≤ 0.5e-6 per
+  * distinct char) is far below any filtering threshold's sensitivity. */
+object CharEntropyKernel {
+  def computeMicro(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[Integer, Array[Int]]()
+    var i = 0
+    var total = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1)) else slot(0) += 1
+      total += 1
+    }
+    val t = total.toDouble
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0).toDouble
+      sum += Math.round((c / t) * Math.log(t / c) * 1e6)
+    }
+    sum
+  }
+}
+
+/** Shannon character entropy (micro-nats) as ONE generated pass over the
+  * string — the gibberish/boilerplate detector of quality pipelines (near-0
+  * entropy = one repeated character, ~ln(alphabet) = typical prose; binary
+  * spill and base64 blobs sit far above prose for their length). The
+  * relational form (explode per CHARACTER → two aggregates) multiplies the
+  * corpus row count by its character count before shuffling; here the scan
+  * stays a projection with a per-row hashmap bounded by the alphabet.
+  * Quantization contract in [[CharEntropyKernel]]. */
+case class CharEntropyMicro(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"char_entropy expects a string, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyKernel.computeMicro(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.CharEntropyKernel.computeMicro($v);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native expression — the
   * canonical first step of text curation (dedup fingerprints, shingles, and
   * tokenizers all assume one byte form per visually-identical string; UTR

@@ -69,6 +69,19 @@ object TextFns {
       graft.expressions.UnicodeNormalize(
         org.apache.spark.sql.GraftColumnBridge.expression(text), form))
 
+  /** Shannon character entropy in integer micro-nats — native generated
+    * expression ([[graft.expressions.CharEntropyMicro]]), one pass per row,
+    * no per-character explode. Quantized-long form so downstream aggregates
+    * stay order-independent and oracle-replayable. */
+  def charEntropyMicro(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CharEntropyMicro(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** Character entropy in nats (double surface): the micro value / 1e6. */
+  def charEntropy(text: Column): Column =
+    charEntropyMicro(text).cast("double") / lit(1e6)
+
   /** Rolling-hash document fingerprint (content-addressed identity for
     * exact dedup): md5 of the canonicalized text. */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))

@@ -196,6 +196,72 @@ object Corpus {
         col("n_rare").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Per-document log-probability under a corpus-fit add-one-smoothed
+    * unigram language model — the unigram surrogate of CCNet's KenLM
+    * perplexity quality signal (Wenzek et al. 2020 §3: documents whose
+    * text the LM finds surprising are the low-quality/boilerplate tail).
+    * Same pipeline shape as the real thing: fit a model table over the
+    * corpus, join it back per token, reduce per document — swapping in
+    * 5-gram rows changes the table, not the plan.
+    *
+    * Exactness: per-type log-probs quantize to integer micro-nats BEFORE
+    * the integer multiply by the in-doc count and the per-doc LONG sum
+    * (the [[graft.ops.Dsir]] discipline — order-independent, oracle-
+    * replayable). `xent` (cross-entropy per token, nats) is one final
+    * division of exact integers.
+    *
+    * Scale: tf is a map-side-combined (doc, token) aggregate; the model
+    * table is vocabulary-sized — broadcast when small, plain equi-join
+    * keyed on the token otherwise (never the documents). Totals ride as
+    * broadcast 1-row cross joins.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("t"), count(lit(1)).as("v"))
+    val lw = cf.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log((col("cf") + lit(1.0d)) /
+          (col("t") + col("v")).cast("double")) * lit(1e6))
+          .cast("long").as("lw_micro"))
+    tf.join(lw, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+           sum(col("tf") * col("lw_micro")).as("logprob_micro"))
+      .withColumn("xent",
+        (-col("logprob_micro")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+  }
+
+  /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
+  def unigramLogProbOracleSql(table: String, idCol: String,
+                              textCol: String): String =
+    s"""WITH tok AS (
+         SELECT $idCol, tok FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS tok
+           FROM $table) t
+         WHERE length(tok) > 0),
+       tf AS (SELECT $idCol, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+       cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t, count(*) AS v FROM cf),
+       lw AS (SELECT tok,
+           CAST(round(ln((cf + 1.0) / CAST(t + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS lw_micro
+         FROM cf, tot),
+       agg AS (SELECT tf.$idCol,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * lw_micro) AS BIGINT) AS logprob_micro
+         FROM tf JOIN lw USING (tok) GROUP BY 1)
+       SELECT $idCol, n_tokens, logprob_micro,
+         CAST(-logprob_micro AS DOUBLE) /
+           (CAST(n_tokens AS DOUBLE) * 1000000.0) AS xent
+       FROM agg ORDER BY $idCol"""
+
   /** The 8-word stopword test set of the Gopher rules (Rae et al. 2021,
     * §A1.1): a document counts a stopword once per DISTINCT member present. */
   val gopherStopwords: Seq[String] =

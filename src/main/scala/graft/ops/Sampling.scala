@@ -103,4 +103,38 @@ object Sampling {
     }.otherwise(lit(defaultRate))
     b < rate.cast("long")
   }
+
+  /** Token-budget mixture sampling: carve a training mixture with an
+    * explicit per-domain TOKEN budget (the Pile/DoReMi-style mixture
+    * weights, stated as budgets so the arithmetic stays integer). Within
+    * each domain, documents rank by the md5-of-id coin (engine-portable,
+    * append-stable — the same order every engine and rerun derives) and
+    * survive while their running token total fits the domain's budget.
+    *
+    * One window shuffle partitioned by domain; cumulative sums are LONGs
+    * (exact). Domains absent from `budgets` drop (inner join against the
+    * broadcast budget table). At 100 TB a domain is typically still a small
+    * fraction of the corpus; if one domain dominates a single partition's
+    * memory, pre-range-partition on (domain, md5 prefix) and prefix-sum the
+    * per-range totals — same algorithm, two passes.
+    */
+  def mixtureSample(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    domainCol: String, tokensCol: Column,
+                    budgets: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0L),
+      "budgets must be non-empty and non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = budgets.toSeq.sortBy(_._1).toDF(domainCol, "token_budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("n_tokens", tokensCol.cast("long"))
+      .join(broadcast(b), Seq(domainCol))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= col("token_budget"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -154,6 +154,19 @@ object StreamingSync {
       .groupBy(window(col(dtCol), width))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("chunk_start"), col("cnt"))
+
+  /** Stream-static enrichment: join each micro-batch against a slowly- (or
+    * never-) changing dimension table — the streaming face of the
+    * reference's `join_fetch` dimension lookup
+    * (core/Pipe/_fetch.py `join_fetch` params). The static side is
+    * BROADCAST: a stream-static join must not shuffle the unbounded side on
+    * the join key every micro-batch, and dimensions are small by
+    * definition. Stateless (no watermark needed) — each batch joins
+    * independently, so this composes with append-mode sinks and the
+    * exactly-once `run` merge. */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       joinOn: Column): DataFrame =
+    stream.join(broadcast(dim), joinOn, "inner")
 
   /** Streaming gap-based sessions: Spark's `session_window` with a
     * watermark — the streaming face of `Relational.sessionBounds`. State
