@@ -54,6 +54,7 @@ object GraftFunctions {
     "graft_fingerprint" -> (args => e(TextFns.fingerprint(c(args(0))))),
     "graft_redact_pii"  -> (args => e(TextFns.redactPii(c(args(0))))),
     "graft_nfc"         -> (args => graft.expressions.UnicodeNormalize(args(0), "NFC")),
+    "graft_char_entropy" -> (args => e(TextFns.charEntropy(c(args(0))))),
     "graft_winnow" -> { args =>
       // graft_winnow(text, k, w): winnowing fingerprints, one kernel pass
       val k = intArg(args, 1, "graft_winnow")

@@ -54,6 +54,12 @@ class CharEntropySpec extends SparkSpec {
     assert(k.sameElements(r))
   }
 
+  test("graft_char_entropy is callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.sql("SELECT graft_char_entropy('ab') AS e").as[Double].head()
+    assert(v == (2L * Math.round(0.5 * math.log(2.0) * 1e6)) / 1e6)
+  }
+
   test("null text yields null entropy") {
     val out = Seq((1L, Option.empty[String]), (2L, Some("ab"))).toDF("id", "t")
       .select(TextFns.charEntropyMicro($"t").as("e"))
