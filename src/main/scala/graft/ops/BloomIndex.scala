@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BloomMightContain
+
+/** Bloom-filter membership index for INCREMENTAL exact deduplication —
+  * "is this new document already in the 100 TB corpus?" answered without
+  * ever joining the new batch against corpus history.
+  *
+  * The reference deduplicates arriving rows against the target table by
+  * querying the overlapping window back out and anti-joining
+  * (`core/Pipe/_sync.py` filter_existing → `utils/dataframe.py` filter_unseen
+  * semantics); that is exact but reads history proportional to the window on
+  * every sync. The Bloom index replaces the history read with O(m) bits of
+  * state: a false-positive-prone membership summary whose positives are then
+  * exactly verified against the corpus with a BROADCAST semi-join of just
+  * the candidates — the corpus is scanned once, never shuffled, and the
+  * common case (a genuinely new document) never touches it at all.
+  *
+  * Layout: the filter is stored SPARSE as (word, bits) rows — a derived
+  * pipe, incrementally maintained because bit_or is associative and
+  * commutative: merging batch words == rebuilding from scratch (the
+  * `q_bloom_index_sync` oracle proves this). The probe assembles the dense
+  * long[] once on the driver (m/64 longs, e.g. 2^26 bits = 8 MiB) and ships
+  * it to tasks as one reference object inside a generated expression
+  * ([[graft.expressions.BloomMightContain]]).
+  *
+  * Hashes are md5-derived (two disjoint 60-bit slices of ONE md5, the
+  * second forced odd for double hashing) so DuckDB replays bit positions
+  * exactly; k ≤ 8 keeps `h1 + (k−1)·h2` inside a signed long.
+  */
+object BloomIndex {
+
+  /** Two 60-bit non-negative hashes from one md5 of the value. */
+  def hashes(value: Column): (Column, Column) = (
+    conv(substring(md5(value), 1, 15), 16, 10).cast("long"),
+    conv(substring(md5(value), 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L)))
+
+  /** Sparse filter build: (word: int, bits: long) rows, only words with at
+    * least one set bit. ONE shuffle of ≤ k·|docs| integer rows with map-side
+    * bit_or combine; output ≤ m/64 rows regardless of corpus size. */
+  def bloomWords(docs: DataFrame, valueCol: String, m: Long, k: Int): DataFrame = {
+    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    val (h1, h2) = hashes(col(valueCol))
+    val positions = array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(m)): _*)
+    docs.select(explode(positions).as("pos"))
+      .select((col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("word"))
+      .agg(bit_or(col("bit")).as("bits"))
+  }
+
+  /** Merge two sparse filters — the incremental-maintenance step. */
+  def mergeWords(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("word"), col("bits")).unionByName(b.select(col("word"), col("bits")))
+      .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+
+  /** Densify a sparse filter into the probe-side long[]. Driver memory is
+    * m/64 longs — the INDEX size, bounded by configuration, never by data
+    * (same driver-state class as IVF centroids). */
+  def assemble(words: DataFrame, m: Long): Array[Long] = {
+    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    val dense = new Array[Long]((m / 64).toInt)
+    words.select(col("word").cast("int"), col("bits").cast("long")).collect()
+      .foreach(r => dense(r.getInt(0)) = dense(r.getInt(0)) | r.getLong(1))
+    dense
+  }
+
+  /** Membership-probe Column over an assembled filter. */
+  def mightContain(value: Column, dense: Array[Long], m: Long, k: Int): Column = {
+    val (h1, h2) = hashes(value)
+    GraftColumnBridge.column(BloomMightContain(
+      GraftColumnBridge.expressionNow(h1), GraftColumnBridge.expressionNow(h2),
+      dense, m, k))
+  }
+
+  /** Rows of `newDocs` whose `valueCol` does NOT already occur in `corpus`,
+    * decided exactly: the Bloom probe routes the common case (new value,
+    * filter says no) straight through with zero joins; probe positives —
+    * true duplicates plus the false-positive rate worth of survivors — are
+    * verified against the corpus via ONE corpus scan filtered by a
+    * BROADCAST semi-join of the candidate values. The corpus never
+    * shuffles, and the result is independent of (m, k): those only move
+    * work between the fast path and the verify path.
+    */
+  def notInCorpus(newDocs: DataFrame, corpus: DataFrame, valueCol: String,
+                  dense: Array[Long], m: Long, k: Int): DataFrame = {
+    val tagged = newDocs.withColumn("__bloom_hit",
+      mightContain(col(valueCol), dense, m, k))
+    val candidates = tagged.where(col("__bloom_hit"))
+    // corpus values that really do collide with a candidate (small: ≤ |candidates|)
+    val confirmed = corpus.select(col(valueCol).as("__v")).join(
+        broadcast(candidates.select(col(valueCol).as("__v")).distinct()),
+        Seq("__v"), "left_semi")
+      .distinct()
+    tagged.where(!col("__bloom_hit")).drop("__bloom_hit")
+      .unionByName(candidates.drop("__bloom_hit")
+        .join(broadcast(confirmed.withColumnRenamed("__v", valueCol)),
+          Seq(valueCol), "left_anti"))
+  }
+}
