@@ -83,8 +83,14 @@ object SparkEntry {
       val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
       val tmp = s"$root/sent_$idx"
-      s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
-        .withColumn("ts", lit(ns)).withColumn("user_id", lit(-1L))
+      val base = s.read.parquet(s"$srcDir/a_events.parquet").limit(1)
+      // sentinel ts in the SAME dtype as the source file (int64 nanos or
+      // native timestamp) so the staged dir keeps one schema
+      val sentinelTs = base.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(ns)
+        case dt => lit(s"$year-01-01 00:00:00").cast(dt)
+      }
+      base.withColumn("ts", sentinelTs).withColumn("user_id", lit(-1L))
         .coalesce(1).write.parquet(tmp)
       // Files.list holds an open directory handle — close it (a leaked fd
       // per sentinel accumulates across looped bench/verify runs)
@@ -729,8 +735,7 @@ object SparkEntry {
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val q = graft.streaming.StreamingSync.run(eng, spec, stream, s"$root/ckpt",
-        transform = df => Tables.naiveTimestamps(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+        transform = df => Tables.naiveTimestamps(Tables.normalizeEventsTs(df)))
       q.awaitTermination()
       eng.getData(spec)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -791,7 +796,7 @@ object SparkEntry {
       val stream = graft.streaming.StreamingSync.parquetStream(
         s, srcDir, schema, maxFilesPerTrigger = Some(1))
       val sessions = graft.streaming.StreamingSync.sessionCounts(
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        Tables.normalizeEventsTs(stream, src = "stream"),
         "ts", "user_id", gap = "4 hours", delay = "1 minute")
       val q = graft.streaming.StreamingSync.run(eng, spec, sessions,
         s"$root/ckpt", checkExisting = false)
@@ -819,7 +824,7 @@ object SparkEntry {
       val stream = graft.streaming.StreamingSync.parquetStream(
         s, srcDir, schema, maxFilesPerTrigger = Some(1))
       val counts = graft.streaming.StreamingSync.windowedCounts(
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        Tables.normalizeEventsTs(stream, src = "stream"),
         "ts", width = "6 hours", delay = "1 minute")
       val q = graft.streaming.StreamingSync.run(eng, spec, counts,
         s"$root/ckpt", checkExisting = false)
@@ -849,7 +854,7 @@ object SparkEntry {
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val st = graft.streaming.StreamingSync.runningSyncTimes(
-          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          Tables.normalizeEventsTs(stream, src = "stream"),
           "user_id", "ts")
         .toDF("user_id", "st")
       val q = graft.streaming.StreamingSync.run(eng, spec, st, s"$root/ckpt",
@@ -880,7 +885,7 @@ object SparkEntry {
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val dim = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
       val enriched = graft.streaming.StreamingSync.enrichWithStatic(
-          stream.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          Tables.normalizeEventsTs(stream, src = "stream"),
           dim, pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
         .select(col("ts"), col("event_id"), col("n_name"))
       val q = graft.streaming.StreamingSync.run(eng, spec, enriched,
@@ -927,6 +932,38 @@ object SparkEntry {
       ApproxDedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("fp"))),
 
+    // ── LLM-pipeline: Bloom-index incremental dedup — "is this new doc
+    // already in the 100 TB corpus?" answered from O(m) bits of state, no
+    // batch×history join. The result is EXACT and independent of (m, k):
+    // the filter only routes rows between the zero-join fast path and the
+    // broadcast verify path, so the oracle is the plain anti-join the
+    // reference's filter_unseen computes. Nulls route through "new".
+    "q_bloom_filter_unseen" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val batch = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      val m = 1L << 16; val k = 4
+      val dense = graft.ops.BloomIndex.assemble(
+        graft.ops.BloomIndex.bloomWords(corpus, "text", m, k), m)
+      graft.ops.BloomIndex.notInCorpus(batch, corpus, "text", dense, m, k)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sparse-filter incremental maintenance: build-from-halves + bit_or
+    // merge ≡ build-from-whole (associativity), the property that makes
+    // the index a derived pipe maintainable by blind append. Oracle
+    // replays the md5 double-hash bit layout over the WHOLE corpus.
+    "q_bloom_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = 1L << 16; val k = 4
+      val a = graft.ops.BloomIndex.bloomWords(
+        docs.where(col("doc_id") % 2 === 0), "text", m, k)
+      val b = graft.ops.BloomIndex.bloomWords(
+        docs.where(col("doc_id") % 2 =!= 0), "text", m, k)
+      graft.ops.BloomIndex.mergeWords(a, b).orderBy(col("word"))
+    }),
+
     "q_ngram_jaccard_pairs" -> ((s, d) =>
       ApproxDedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           bucketCol = "source", window = 50, n = 1, threshold = 0.5)
@@ -938,8 +975,14 @@ object SparkEntry {
     // a pair exactly AT the 0.5 threshold — so the output equals the exact
     // all-pairs oracle for any input, not just high-j corpora. (r=2 would
     // miss a j=0.5 pair with ~3% probability: oracle-fragile.)
+    // EXACTNESS-PROOF configuration, deliberately capped to doc_id < 1000
+    // (the full sf0.01 corpus, a fifth of sf0.1): r=1 floods the band join
+    // with single-hash collisions — the price of provable recall — and is
+    // NOT the production path. q_minhash_near_dups_fast (r=4, prefilter,
+    // hot-bucket cap) is the configuration benched at full scale.
     "q_minhash_near_dups" -> ((s, d) =>
-      ApproxDedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+      ApproxDedup.minhashNearDups(
+          Tables.documents(s, d).where(col("doc_id") < 1000), "doc_id", "text",
           threshold = 0.5, shingleSize = 3, k = 24, bands = 24)
         .orderBy(col("id1"), col("id2"))),
 
@@ -2146,6 +2189,26 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
          count(*) AS n_copies FROM documents GROUP BY 1 ORDER BY fp""",
 
+    "q_bloom_filter_unseen" ->
+      """SELECT doc_id, text FROM documents b
+         WHERE doc_id % 7 = 0
+           AND NOT EXISTS (SELECT 1 FROM documents c
+                           WHERE c.doc_id % 2 = 0 AND c.text = b.text)
+         ORDER BY doc_id""",
+
+    "q_bloom_index_sync" ->
+      """WITH h AS (
+           SELECT CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h1,
+                  CAST(('0x' || substring(md5(text), 17, 15)) AS BIGINT) | 1 AS h2
+           FROM documents),
+         p AS (
+           SELECT ((h1 + i * h2) % 65536) AS pos
+           FROM h, (SELECT unnest(generate_series(0, 3)) AS i) AS ks)
+         SELECT CAST(pos // 64 AS INT) AS word,
+                bit_or(CASE WHEN pos % 64 = 63 THEN (-9223372036854775807 - 1)
+                       ELSE 1::BIGINT << CAST(pos % 64 AS INT) END) AS bits
+         FROM p GROUP BY 1 ORDER BY word""",
+
     "q_ngram_jaccard_pairs" ->
       """WITH sh AS (
            SELECT source AS bucket, doc_id,
@@ -2186,7 +2249,8 @@ object SparkEntry {
            SELECT doc_id,
              list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
                ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
-           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents WHERE doc_id < 1000)),
          p AS (
            SELECT a.doc_id AS id1, b.doc_id AS id2,
              len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
@@ -2497,11 +2561,15 @@ object SparkEntry {
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
 
     "q_decontaminate" ->
-      """WITH sh AS (
+      """WITH sh0 AS (
            SELECT doc_id,
              list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
                ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         sh AS (
+           SELECT doc_id,
+             list_transform(sh, s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)) AS sh
+           FROM sh0),
          b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 20 = 0),
          c AS (SELECT doc_id AS corpus_id, sh FROM sh)
          SELECT corpus_id, bench_id,

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * The `events` table is written with nanosecond timestamps, which Spark's
-  * parquet reader rejects by default. We read the column as a raw Long
-  * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-  * exactly what DuckDB does when it casts TIMESTAMP_NS → TIMESTAMP — so the
-  * DuckDB oracle and the Spark plan see identical values.
+  * The `events` table has been written two ways across testdata generations:
+  * as int64 nanosecond epochs (readable only via
+  * spark.sql.legacy.parquet.nanosAsLong, then truncated ns→µs the way DuckDB
+  * casts TIMESTAMP_NS → TIMESTAMP) and as native `timestamp[us]`. We branch
+  * on the LOADED schema rather than assuming one generation, and fail fast
+  * with the offending file path on anything else — one readable assert
+  * instead of sixty downstream analysis errors when the data drifts again.
   *
   * At 100 TB these reads are plain columnar scans: projection and predicates
   * fed by callers reach the parquet reader (PushedFilters / ReadSchema), so
@@ -25,15 +27,39 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = name match {
       case "events" =>
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val df = spark.read.parquet(path(dir, name))
-        // ns → µs truncation (positive epochs: `div` == floor), matching DuckDB.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // nanosAsLong lets a TIMESTAMP_NS file load as Long instead of
+        // erroring; it is a no-op for files already stored as timestamp[us].
+        // Read option (not session conf) so no global state is mutated.
+        val df = spark.read
+          .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .parquet(path(dir, name))
+        normalizeEventsTs(df, src = path(dir, name))
       case _ =>
         spark.read.parquet(path(dir, name))
     }
     naiveTimestamps(raw)
   }
+
+  /** Schema-adaptive `ts` normalization shared by the batch loader and the
+    * streaming readers: int64 nanos → µs truncation (positive epochs:
+    * `div` == floor, matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast);
+    * native timestamp passes through; anything else fails fast naming the
+    * source, so the next testdata drift is one readable error instead of
+    * sixty analysis failures.
+    */
+  def normalizeEventsTs(df: DataFrame, src: String = "events"): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        df
+      case other =>
+        throw new IllegalStateException(
+          s"$src: column `ts` has unexpected type $other (expected int64 " +
+            "nanos or timestamp[us]); the testdata schema has drifted — " +
+            "update Tables.normalizeEventsTs")
+    }
 
   /** Cast session-TZ timestamps to TimestampNTZ (identity under the pinned
     * UTC session zone). DuckDB's TIMESTAMP is timezone-naive, so emitting NTZ

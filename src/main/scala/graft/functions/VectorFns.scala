@@ -28,11 +28,10 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(ex(d(a)), ex(d(b))))
 
-  /** Cosine against a constant query vector (literal array — broadcast-free). */
-  def cosineToQuery(a: Column, query: Seq[Double]): Column = {
-    val q = array(query.map(lit): _*)
-    cosine(a, q)
-  }
+  /** Cosine against a constant query vector — ONE `typedLit` Literal node
+    * (not a per-element CreateArray tree), broadcast-free. */
+  def cosineToQuery(a: Column, query: Seq[Double]): Column =
+    cosine(a, typedLit(query.toArray))
 
   /** Random-hyperplane (sign) LSH signature: `nBits` deterministic
     * pseudo-random hyperplanes derived from a seed; bit i = sign(dot(v, h_i)).

@@ -33,21 +33,45 @@ import graft.expressions.BloomMightContain
   */
 object BloomIndex {
 
-  /** Two 60-bit non-negative hashes from one md5 of the value. */
-  def hashes(value: Column): (Column, Column) = (
-    conv(substring(md5(value), 1, 15), 16, 10).cast("long"),
-    conv(substring(md5(value), 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L)))
+  /** Words-index range check: the dense filter is addressed by int word
+    * index, so m above 2^37 (= 64 · Int.MaxValue, a 16 GiB filter nobody
+    * should build) must fail fast instead of silently truncating. */
+  private def requireM(m: Long): Unit = {
+    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    require(m / 64 <= Int.MaxValue.toLong,
+      s"m = $m exceeds the int word-index range (max ${64L * Int.MaxValue})")
+  }
+
+  /** The two 60-bit slices of a hex md5 digest column (second forced odd
+    * for double hashing). */
+  private def slices(digest: Column): (Column, Column) = (
+    conv(substring(digest, 1, 15), 16, 10).cast("long"),
+    conv(substring(digest, 17, 15), 16, 10).cast("long").bitwiseOR(lit(1L)))
+
+  /** Two 60-bit non-negative hashes from one md5 of the value. The md5
+    * subtree appears in both outputs; stage the digest into its own
+    * projected column (as [[bloomWords]] does) when evaluating outside
+    * whole-stage codegen, whose subexpression elimination otherwise
+    * deduplicates it. */
+  def hashes(value: Column): (Column, Column) = slices(md5(value))
 
   /** Sparse filter build: (word: int, bits: long) rows, only words with at
     * least one set bit. ONE shuffle of ≤ k·|docs| integer rows with map-side
-    * bit_or combine; output ≤ m/64 rows regardless of corpus size. */
+    * bit_or combine; output ≤ m/64 rows regardless of corpus size. Null
+    * values hash to null positions and are simply not indexed (explode
+    * drops them) — the probe side routes nulls through the "new" path. */
   def bloomWords(docs: DataFrame, valueCol: String, m: Long, k: Int): DataFrame = {
-    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    requireM(m)
     require(k >= 1 && k <= 8, "k must be in [1, 8]")
-    val (h1, h2) = hashes(col(valueCol))
+    // Stage the digest as its own column so md5 runs ONCE per row even on
+    // the interpreted path; h1/h2/conv are cheap column refs over it.
+    val staged = docs.select(md5(col(valueCol)).as("__digest"))
+    val (h1, h2) = slices(col("__digest"))
     val positions = array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(m)): _*)
-    docs.select(explode(positions).as("pos"))
-      .select((col("pos") / 64).cast("int").as("word"),
+    staged.select(explode(positions).as("pos"))
+      // integral shift, matching the probe kernel's `pos >>> 6` — double
+      // division would go inexact past 2^53
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy(col("word"))
       .agg(bit_or(col("bit")).as("bits"))
@@ -62,7 +86,7 @@ object BloomIndex {
     * m/64 longs — the INDEX size, bounded by configuration, never by data
     * (same driver-state class as IVF centroids). */
   def assemble(words: DataFrame, m: Long): Array[Long] = {
-    require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+    requireM(m)
     val dense = new Array[Long]((m / 64).toInt)
     words.select(col("word").cast("int"), col("bits").cast("long")).collect()
       .foreach(r => dense(r.getInt(0)) = dense(r.getInt(0)) | r.getLong(1))
@@ -85,19 +109,31 @@ object BloomIndex {
     * BROADCAST semi-join of the candidate values. The corpus never
     * shuffles, and the result is independent of (m, k): those only move
     * work between the fast path and the verify path.
+    *
+    * NULL values probe to a null hit; they are routed through the "new"
+    * path explicitly (reference `utils/dataframe.py` filter_unseen keeps
+    * null-keyed rows as unseen — a pandas merge anti-join never matches
+    * NaN). Sizing assumption: the broadcasts carry the DISTINCT candidate
+    * values (true dups + FP-rate·|batch|); size (m, k) so that stays under
+    * the broadcast threshold — a sync batch is small next to the corpus by
+    * construction. A duplicate-heavy batch degrades the broadcast, not
+    * correctness.
     */
   def notInCorpus(newDocs: DataFrame, corpus: DataFrame, valueCol: String,
                   dense: Array[Long], m: Long, k: Int): DataFrame = {
-    val tagged = newDocs.withColumn("__bloom_hit",
-      mightContain(col(valueCol), dense, m, k))
-    val candidates = tagged.where(col("__bloom_hit"))
+    val hitCol = "__graft_bloom_hit"
+    require(!newDocs.columns.contains(hitCol),
+      s"newDocs already has a column named $hitCol")
+    val tagged = newDocs.withColumn(hitCol,
+      coalesce(mightContain(col(valueCol), dense, m, k), lit(false)))
+    val candidates = tagged.where(col(hitCol))
     // corpus values that really do collide with a candidate (small: ≤ |candidates|)
     val confirmed = corpus.select(col(valueCol).as("__v")).join(
         broadcast(candidates.select(col(valueCol).as("__v")).distinct()),
         Seq("__v"), "left_semi")
       .distinct()
-    tagged.where(!col("__bloom_hit")).drop("__bloom_hit")
-      .unionByName(candidates.drop("__bloom_hit")
+    tagged.where(!col(hitCol)).drop(hitCol)
+      .unionByName(candidates.drop(hitCol)
         .join(broadcast(confirmed.withColumnRenamed("__v", valueCol)),
           Seq(valueCol), "left_anti"))
   }

@@ -40,7 +40,11 @@ object Corpus {
     * `threshold`. The benchmark side is exploded and BROADCAST (eval sets
     * are small by definition); the corpus side streams through one explode
     * + equi-join + count aggregate — per-shingle rows, never per-pair
-    * shingle sets, cross the shuffle.
+    * shingle sets, cross the shuffle. Shingles are hashed to 60-bit
+    * truncated-md5 longs BEFORE the join (the repetitionMatrix/winnowing
+    * key trick): the broadcast table and every probe row carry 8-byte longs
+    * instead of full n-gram strings, and the DuckDB oracle replays the
+    * truncation exactly, so results are identical barring 2^-60 collisions.
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String,
@@ -49,7 +53,10 @@ object Corpus {
     def shingles(df: DataFrame, as: String) = df.select(
         col(idCol).as(as),
         explode(array_distinct(
-          TextFns.wordShingles(col(textCol), shingleSize))).as("sh"))
+          TextFns.wordShingles(col(textCol), shingleSize))).as("__sh_str"))
+      .select(col(as),
+        conv(substring(md5(col("__sh_str")), 1, 15), 16, 10)
+          .cast("long").as("sh"))
     val b = shingles(bench, "bench_id")
     val bSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     // `excludeSelfPairs` exists for the bench-is-a-subset-of-corpus case;
@@ -408,18 +415,23 @@ object Corpus {
   def repetitionMatrix(docs: DataFrame, idCol: String, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
-    // ONE corpus pass for every signal: tokenize once (checkpointed — the
+    // ONE corpus pass for every signal: tokenize once (persisted — the
     // text is parsed a single time, then 9 gram branches read the token
     // arrays, not the parquet), hash every n's grams into ONE compact
-    // signature table of longs (checkpointed — ~10× smaller than the
+    // signature table of longs (persisted — ~10× smaller than the
     // text), and run ONE count, ONE pick, ONE coverage join over it.
+    // persist(MEMORY_AND_DISK) not localCheckpoint(true): the eager
+    // checkpoint forced a blocking materialization of BOTH full tables
+    // before any downstream stage ran, and pinned them deserialized in
+    // memory; lazy spillable persist gets the same reuse without the
+    // up-front wall and degrades to disk instead of OOM at scale.
     // 9 signals used to be 9 scan+shingle branches with ~4 shuffles each
     // (~36 shuffles, 18 corpus scans); this shape is 1 corpus scan and ~6
     // shuffles total. Shingles stay per-branch with LITERAL n — a
     // column-typed n in slice()/sequence() drops the whole projection out
     // of codegen and costs more than the branches save.
     val tok = docs.select(col(idCol), TextFns.tokens(lower(col(textCol))).as("toks"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = tok.select(col(idCol),
         posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col(idCol), col("pos"), length(col("tok")).as("len"))
@@ -443,7 +455,7 @@ object Corpus {
       // signed BIGINT)
       .select(col(idCol), nCol, col("pos"),
         conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val counts = allG.groupBy(col(idCol), nCol, col("h"))
       .agg(count(lit(1)).as("c"))

@@ -106,13 +106,25 @@ object SimilaritySearch {
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0)).toSeq
 
+  /** Left-to-right double accumulation of dot(a, b) — the SAME order as the
+    * codegen'd [[graft.expressions.DotProduct]] loop and DuckDB's
+    * list_dot_product, so driver-side precomputed norms are bit-identical
+    * to what an in-plan `dot(lit, lit)` would constant-fold to. */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Per-centroid score: dot(v, c) / |c| — argmax equals argmax of cosine
-    * (|v| is constant across centroids), with |c| computed in-plan from the
-    * literal so the oracle's arithmetic is bit-identical. */
+    * (|v| is constant across centroids). Each centroid is ONE `typedLit`
+    * Literal node (not a 64-node CreateArray tree) and |c| is precomputed
+    * driver-side with the same accumulation order, so the expression tree
+    * stays small — large literal trees were measured to blow up Catalyst
+    * optimization + codegen time ~30× on repeated actions. */
   private def centroidScores(vec: Column, centroids: Seq[Seq[Double]]): Seq[Column] =
     centroids.map { c =>
-      val cl = array(c.map(lit): _*)
-      VectorFns.dot(vec, cl) / sqrt(VectorFns.dot(cl, cl))
+      VectorFns.dot(vec, typedLit(c.toArray)) / lit(math.sqrt(dotSeq(c, c)))
     }
 
   /** Index build: nearest-centroid cell id in ONE projection — an argmax over
@@ -214,7 +226,7 @@ object SimilaritySearch {
     * vector out of this scan entirely. */
   def sqCandidates(indexed: DataFrame, idCol: String, codeCol: String,
                    qCodes: Seq[Long], rerank: Int): DataFrame = {
-    val qArr = array(qCodes.map(lit): _*)
+    val qArr = typedLit(qCodes.toArray)
     val score = aggregate(
       zip_with(col(codeCol).cast("array<long>"), qArr, (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
@@ -292,9 +304,12 @@ object SimilaritySearch {
     val ev = col(vecCol).cast("array<double>")
     val codes = codebooks.zipWithIndex.map { case (cb, j) =>
       val sub = slice(ev, j * d + 1, d)
+      // |c|² precomputed driver-side (same accumulation order as the codegen
+      // loop ⇒ bit-identical to constant-folding dot(lit, lit)); centroids as
+      // single typedLit nodes keep the projection tree small (see
+      // centroidScores).
       val scores = array(cb.map { c =>
-        val cl = array(c.map(lit): _*)
-        VectorFns.dot(cl, cl) - lit(2.0) * VectorFns.dot(sub, cl)
+        lit(dotSeq(c, c)) - lit(2.0) * VectorFns.dot(sub, typedLit(c.toArray))
       }: _*)
       element_at(transform(array(scores), s =>
         array_position(s, array_min(s)) - 1), 1).cast("tinyint")
@@ -325,7 +340,7 @@ object SimilaritySearch {
   def pqCandidates(indexed: DataFrame, idCol: String, codeCol: String,
                    adcTable: Seq[Seq[Double]], rerank: Int): DataFrame = {
     val adist = adcTable.zipWithIndex.map { case (t, j) =>
-      element_at(array(t.map(lit): _*),
+      element_at(typedLit(t.toArray),
         element_at(col(codeCol), j + 1).cast("int") + 1)
     }.reduceLeft(_ + _)
     indexed.select(col(idCol), adist.as("adist"))

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Fail-fast smoke over the driver-generated testdata: load every table in
+  * `Tables.all` at sf0.001 and assert the dtypes the engine depends on. When
+  * the driver regenerates /root/testdata with a different schema (it has —
+  * events.ts flipped from int64-nanos to timestamp[us] between rounds), this
+  * suite fails with ONE readable assert naming the table and column instead
+  * of dozens of opaque analysis errors across the query registry.
+  */
+class TestdataSchemaSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private val expected: Map[String, Map[String, DataType]] = Map(
+    "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Map("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Map("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Map("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Map("event_id" -> LongType, "ts" -> TimestampNTZType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Map("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+  )
+
+  test("every Tables.all table loads at sf0.001 with the expected dtypes") {
+    Tables.all.foreach { name =>
+      val df = Tables.load(spark, dir, name)
+      val exp = expected(name)
+      val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      exp.foreach { case (colName, dt) =>
+        assert(got.contains(colName),
+          s"$name: column `$colName` missing from loaded schema ${df.schema.simpleString} " +
+            s"(testdata at $dir has drifted)")
+        assert(got(colName) == dt,
+          s"$name.`$colName`: expected $dt, got ${got(colName)} " +
+            s"(testdata at $dir has drifted — update Tables.load / this spec)")
+      }
+      assert(df.head(1).nonEmpty, s"$name: table is empty at sf0.001")
+    }
+  }
+
+  test("events loader still handles the legacy int64-nanos encoding") {
+    // The regenerated testdata stores timestamp[us]; keep the ns branch alive
+    // by synthesizing a TIMESTAMP(NANOS) parquet file and loading through the
+    // same Tables.load path.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    // Spark can't WRITE nanos, so write int64 and rewrite the parquet footer
+    // is overkill — instead verify the LongType branch directly: a file whose
+    // ts column is raw Long must come back truncated to microseconds.
+    spark.range(3).select(
+      col("id").as("event_id"),
+      (lit(1700000000000000000L) + col("id") * 1001L).as("ts"),
+      col("id").as("user_id"),
+      lit("click").as("event_type"),
+      lit(1.0).as("value"),
+      lit("{}").as("props")
+    ).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.load(spark, dir, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    val micros = loaded.select(unix_micros(col("ts").cast(TimestampType)))
+      .collect().map(_.getLong(0)).sorted
+    assert(micros.head == 1700000000000000L, s"ns→µs truncation wrong: ${micros.head}")
+  }
+}
