@@ -24,7 +24,21 @@ object Bench {
     // unreferenced projection — acceptable here because the queries end in
     // aggregates/sorts/limits, and switching sinks would break
     // round-over-round comparability of BENCH_r{N}.json.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Local-iteration filter, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
+    // benches a subset. The driver sets no env, so its run measures all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else {
+        val unknown = only -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          System.err.println(s"[bench] ERROR: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+          spark.stop(); sys.exit(2)
+        }
+        SparkEntry.queries.view.filterKeys(only).toMap
+      }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); null }

@@ -1731,8 +1731,13 @@ object SparkEntry {
     "q_minhash_index_sync" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val qid  = 45L
+      // bands = 6 → r = 4 rows/band: the PRODUCTION kernel (same as
+      // q_minhash_near_dups_fast). The oracled result is unchanged — the
+      // query doc's true near-dups are j ≈ 0.99, which an r=4 band matches
+      // with probability 1−(1−j⁴)⁶ ≈ 1 — while band rows and bucket fanout
+      // halve vs the old r=2 configuration.
       def index(df: DataFrame) = ApproxDedup.minhashBandIndex(
-        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 12, buckets = 4)
+        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 6, buckets = 4)
       val root = java.nio.file.Files.createTempDirectory("graft_mh_sync").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("ann", "mh_bands_sync"),

@@ -127,13 +127,11 @@ final class ValkeyStore(spark: SparkSession, host: String, port: Int,
     * mutation mid-plan). */
   private def rawRead(min: String, max: String): DataFrame = {
     val n = withConn(_.num("ZCOUNT", kDocs, min, max))
-    val batch = 10000L
-    val parts = math.max(1L, math.min((n + batch - 1) / batch,
-      spark.sparkContext.defaultParallelism.toLong)).toInt
-    val per = (n + parts - 1) / parts
+    val slices = ValkeyStore.rankSlices(n, batch = 10000L,
+      parallelism = spark.sparkContext.defaultParallelism)
+    val parts = slices.length
     val (h, pt, key) = (host, port, kDocs)
     import spark.implicits._
-    val slices = (0 until parts).map(i => (i * per, per))
     spark.createDataset(slices).repartition(parts)
       .mapPartitions { it =>
         it.flatMap { case (off, cnt) =>
@@ -411,6 +409,17 @@ final class ValkeyStore(spark: SparkSession, host: String, port: Int,
 object ValkeyStore {
   /** Raw-member column carried through mutation-path reads. */
   private[storage] val MemberCol = "__vk_member"
+
+  /** Rank-slice plan for an executor-parallel ZRANGEBYSCORE read of `n`
+    * members: at most `parallelism` disjoint (offset, count) LIMIT windows
+    * covering ranks [0, n) — one RESP connection per task, never one
+    * driver-side pull. Exposed for the plan-shape spec. */
+  private[graft] def rankSlices(n: Long, batch: Long, parallelism: Int): Seq[(Long, Long)] = {
+    val parts = math.max(1L, math.min((n + batch - 1) / batch,
+      parallelism.toLong)).toInt
+    val per = (n + parts - 1) / parts
+    (0 until parts).map(i => (i.toLong * per, per))
+  }
 
   private val heldLeases = new ThreadLocal[scala.collection.mutable.Set[String]] {
     override def initialValue() = scala.collection.mutable.Set.empty[String]

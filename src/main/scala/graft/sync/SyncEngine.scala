@@ -101,20 +101,26 @@ final class SyncEngine(spark: SparkSession, root: String,
       hooks.postSync(spec, r0)
       return r0
     }
-    // retry leans on the diff pipeline's idempotence — but autoincrement
-    // assignment is NOT idempotent (each attempt re-reads max(pk) and mints
-    // fresh ids, so rows persisted by a partial attempt would re-insert
-    // under new ids). Batches that will receive generated ids get exactly
-    // one attempt, like a DB identity insert outside a transaction.
+    // retry leans on the diff pipeline's idempotence — which now includes
+    // autoincrement minting: ids derive from the COMMITTED high-water mark
+    // (advanced only after the data write lands, see prepareBatch /
+    // syncDefault), so a retried attempt re-reads the same base and
+    // re-mints the SAME ids; rows persisted by a partial attempt dedupe in
+    // the diff instead of re-inserting under fresh keys (reference
+    // semantics: target-generated keys, connectors/sql/_pipes.py:1639-1800).
+    // The writer lease is held across the WHOLE retry loop for minting
+    // batches so no other writer can advance the mark between attempts.
     val mintsIds = spec.autoincrement &&
       spec.columns.primary.exists(pk => !pre.columns.contains(pk))
-    val effRetries = if (mintsIds) 1 else retries
-    val (result, attempts, errs) = Retry.withBackoff(effRetries, retryBaseSleepMs) {
+    def attemptLoop() = Retry.withBackoff(retries, retryBaseSleepMs) {
       spec.strategy match {
         case Some(st) => st.sync(this, spec, pre)
         case None     => syncDefault(spec, pre)
       }
     }
+    val (result, attempts, errs) =
+      if (mintsIds) withWriteLeaseOn(storage(spec))(attemptLoop())
+      else attemptLoop()
     val r = result.copy(attempts = attempts, attemptErrors = errs)
     hooks.postSync(spec, r)
     r
@@ -133,9 +139,13 @@ final class SyncEngine(spark: SparkSession, root: String,
   }
 
   /** Shared ingest preamble: dtype enforcement, autotime stamping, and
-    * autoincrement id assignment (steps 1-2b of the sync pipeline). */
+    * autoincrement id assignment (steps 1-2b of the sync pipeline).
+    * Returns the prepared batch plus the PENDING high-water mark for
+    * minted ids — committed by the caller only after its data write
+    * lands, so a failed attempt leaves the mark untouched and a retry
+    * re-mints the same ids. */
   private def prepareBatch(spec: PipeSpec, store: graft.storage.InstanceStore,
-                           batch0: DataFrame): DataFrame = {
+                           batch0: DataFrame): (DataFrame, Option[Long]) = {
     // 1. dtype enforcement (reference core/Pipe/_dtypes.py:19-115)
     var batch = if (spec.enforce) SchemaEvolution.enforceDtypes(batch0, spec.dtypes) else batch0
 
@@ -165,13 +175,17 @@ final class SyncEngine(spark: SparkSession, root: String,
     //     map) — no single-partition window, so a 100 TB bulk load stays
     //     parallel. Assignment order follows the batch's partition layout,
     //     the same non-promise a DB identity column makes.
+    var pendingMaxId: Option[Long] = None
     spec.columns.primary.foreach { pk =>
       if (spec.autoincrement && !batch.columns.contains(pk)) withWriteLeaseOn(store) {
-        // base from the high-water marker (one metadata read), falling
-        // back to a table scan only for pre-marker pipes; ids are not
-        // time-aligned, so no chunk pruning could bound that scan. The
-        // read->assign->write sequence holds the pipe's writer lease:
-        // two concurrent minters must not both see the same base
+        // base from the COMMITTED high-water marker (one metadata read),
+        // falling back to a table scan only for pre-marker pipes; ids are
+        // not time-aligned, so no chunk pruning could bound that scan. The
+        // marker is NOT advanced here: the caller commits pendingMaxId
+        // after its data write lands, so a failed attempt re-reads the
+        // same base and re-mints the SAME ids (retry-idempotent). The
+        // writer lease spans the whole minting sync (see sync()), keeping
+        // concurrent minters' bases disjoint.
         val base = store.readMaxId.getOrElse {
           if (store.exists) {
             val r = store.read.agg(max(col(pk).cast("long"))).head()
@@ -188,10 +202,10 @@ final class SyncEngine(spark: SparkSession, root: String,
         // generated pks are all-new keys: every batch row inserts, so the
         // next base is exactly base + batch size. zipWithIndex already ran
         // the per-partition count job; count() here reuses nothing heavier.
-        store.writeMaxId(base + batch.count())
+        pendingMaxId = Some(base + batch.count())
       }
     }
-    batch
+    (batch, pendingMaxId)
   }
 
   private def withWriteLeaseOn[A](store: graft.storage.InstanceStore)(body: => A): A =
@@ -217,13 +231,17 @@ final class SyncEngine(spark: SparkSession, root: String,
     * come from parquet footer metadata). */
   def syncBlind(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
-    val batch = prepareBatch(spec, store, batch0)
+    val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
+    // data write then mark: the id high-water mark commits only after the
+    // rows land, so a failed write leaves the mark at its old value
+    def commitMark(): Unit = pendingMaxId.foreach(store.writeMaxId)
     lazy val inferred = inferSpecial(spec, batch)
     if (!store.exists) {
       val env = batchEnvelope(spec, batch)
       store.create(batch, cluster = chunkSpan(spec, env) >= 4)
       val n = store.rowCount
       persistDtypes(spec, batch.schema, inferred)
+      commitMark()
       return SyncResult(inserted = n, updated = 0)
     }
     val pre       = store.rowCount
@@ -240,12 +258,15 @@ final class SyncEngine(spark: SparkSession, root: String,
         SchemaEvolution.conform(batch, u)
       }
     store.append(aligned)
+    commitMark()
     SyncResult(inserted = store.rowCount - pre, updated = 0)
   }
 
   def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
-    val batch = prepareBatch(spec, store, batch0)
+    val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
+    // see syncBlind: the mark commits only after the data write lands
+    def commitMark(): Unit = pendingMaxId.foreach(store.writeMaxId)
     // 2c: see [[inferSpecial]]
     lazy val inferredSpecial: Map[String, graft.types.MrsmType] =
       inferSpecial(spec, batch)
@@ -265,6 +286,7 @@ final class SyncEngine(spark: SparkSession, root: String,
       store.create(deduped, cluster = chunkSpan(spec, env) >= 4)
       val n = store.rowCount
       persistDtypes(spec, deduped.schema, inferredSpecial)
+      commitMark()
       return SyncResult(inserted = n, updated = 0)
     }
 
@@ -307,6 +329,7 @@ final class SyncEngine(spark: SparkSession, root: String,
       try {
         val (nIns, nUpd, chunks) = countsAndChunks(store, patch, allRows = true)
         store.upsert(patch.drop(UpdFlag), keys, chunks, StrayScan.Full)
+        commitMark()
         SyncResult(nIns, nUpd)
       } finally patch.unpersist()
     } else {
@@ -325,6 +348,7 @@ final class SyncEngine(spark: SparkSession, root: String,
         if (nUpd > 0)
           store.upsert(tagged.where(col(UpdFlag)).drop(UpdFlag), keys, chunks, stray)
         if (nIns > 0) store.append(tagged.where(!col(UpdFlag)).drop(UpdFlag))
+        commitMark()
         SyncResult(nIns, nUpd)
       } finally tagged.unpersist()
     }

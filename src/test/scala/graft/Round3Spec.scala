@@ -394,27 +394,44 @@ class Round3Spec extends SparkSpec {
     assert(cat.resolve(child.keys).get.tags == Seq("base-tag")) // still follows base
   }
 
-  test("autoincrement batches are not retried (non-idempotent id minting)") {
+  test("autoincrement minting is retry-idempotent (mark commits after the write)") {
     val root = tmpDir()
+    val eng = new SyncEngine(spark, root, retries = 3, retryBaseSleepMs = 1)
+    val spec = PipeSpec(PipeKeys("test", "autoinc_retry"),
+      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "rid")),
+      autoincrement = true)
+    val b = batch(Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0),
+      ("2024-01-01 01:00:00", 2L, 2.0))).drop("id")
+    eng.sync(spec, b)
+    val store = eng.storage(spec)
+    assert(store.readMaxId.contains(2L))
+    // simulate the partial-failure shape: the data landed but the attempt
+    // died BEFORE the mark commit (the mark is written last now) — roll
+    // the mark back and replay the same batch, as the retry loop would
+    store.writeMaxId(0L)
+    eng.sync(spec, b)
+    val rows = eng.getData(spec).select("rid").collect().map(_.getLong(0)).sorted
+    // the replay re-read the old mark, re-minted the SAME ids, and the
+    // diff deduped the already-persisted rows: no duplicates, no id gaps
+    assert(rows.toSeq == Seq(1L, 2L), s"got ${rows.toSeq}")
+    assert(store.readMaxId.contains(2L)) // replay re-committed the mark
+    // a later batch continues from the committed mark
+    eng.sync(spec, batch(Seq(("2024-01-02 00:00:00", 3L, 3.0))).drop("id"))
+    val all = eng.getData(spec).select("rid").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == Seq(1L, 2L, 3L), s"got ${all.toSeq}")
+    // and minting syncs now use the full retry budget (failures before the
+    // write retry like any other sync)
     var attempts = 0
-    val failing = new SyncStrategy {
+    val alwaysFail = new SyncStrategy {
       def sync(e: SyncEngine, s: PipeSpec, b: DataFrame): SyncResult = {
         attempts += 1; throw new RuntimeException("boom")
       }
     }
-    val eng = new SyncEngine(spark, root, retries = 3, retryBaseSleepMs = 1)
-    val spec = PipeSpec(PipeKeys("test", "autoinc_retry"),
-      columns = ColumnRoles(Map("datetime" -> "dt", "primary" -> "rid")),
-      autoincrement = true, strategy = Some(failing))
     intercept[RuntimeException] {
-      eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0))).drop("id"))
-    }
-    assert(attempts == 1) // id-minting sync gets exactly one attempt
-    // with the pk already present no ids are minted — retries stay on
-    attempts = 0
-    intercept[RuntimeException] {
-      eng.sync(spec, batch(Seq(("2024-01-01 00:00:00", 1L, 1.0)))
-        .withColumnRenamed("id", "rid"))
+      eng.sync(spec.copy(keys = PipeKeys("test", "autoinc_retry2"),
+          strategy = Some(alwaysFail)),
+        batch(Seq(("2024-01-01 00:00:00", 1L, 1.0))).drop("id"))
     }
     assert(attempts == 3)
   }

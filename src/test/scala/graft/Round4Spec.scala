@@ -542,6 +542,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join degenerated to a nested-loop/cartesian plan:\n$plan")
   }
+
+  test("repetition matrix: ONE corpus scan, branches read the persisted tables") {
+    val df = SparkEntry.queries("q_repetition_matrix")(spark, sf)
+    // count on the OPTIMIZED plan: InMemoryRelation is a leaf there (its
+    // cached child plan is a field, not a child), so uncached parquet
+    // re-reads are exactly the remaining LogicalRelation leaves
+    val opt = df.queryExecution.optimizedPlan
+    val parquetScans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
+    val cached = opt.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+    // the 9 gram branches + lens/totals must all feed off the persisted
+    // token/gram tables, never re-reading documents
+    assert(parquetScans.isEmpty,
+      s"${parquetScans.size} uncached parquet scans (branch re-reads):\n$opt")
+    assert(cached.nonEmpty, s"persisted token/gram tables not reused in:\n$opt")
+  }
+
+  test("decontaminate: bench side broadcasts; shingles join as longs") {
+    val df = SparkEntry.queries("q_decontaminate")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"degenerate join:\n$plan")
+    // the shingle key crossing ANY join is the 60-bit hash column, a LONG
+    val joins = df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val shTypes = joins.flatMap(_.children.flatMap(_.output))
+      .filter(_.name == "sh").map(_.dataType).distinct
+    assert(shTypes == Seq(org.apache.spark.sql.types.LongType),
+      s"shingle join key is $shTypes, not hashed longs")
+  }
+
+  test("IVF+PQ rerank plan: no join, bounded TakeOrdered, small literal tree") {
+    val df = SparkEntry.queries("q_embedding_ann_ivfpq")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    assert(!plan.contains("Join"), s"probe must not plan a join:\n$plan")
+    // centroids/codebooks ride as single typedLit nodes: the plan string of
+    // a 16-centroid 4x16-codebook probe stays compact, not a thousand-node
+    // literal dump (the r5 30x codegen regression)
+    assert(plan.length < 200000, s"plan blew up to ${plan.length} chars")
+  }
+
+  test("valkey reads rank-slice into at most `parallelism` disjoint windows") {
+    import graft.storage.ValkeyStore.rankSlices
+    for (n <- Seq(0L, 1L, 9999L, 10000L, 10001L, 250000L); p <- Seq(1, 4, 32)) {
+      val s = rankSlices(n, batch = 10000L, parallelism = p)
+      assert(s.nonEmpty && s.length <= p, s"n=$n p=$p -> ${s.length} slices")
+      // disjoint LIMIT windows covering [0, n): offsets ascend by `per`,
+      // total span >= n
+      val per = s.head._2
+      assert(s.zipWithIndex.forall { case ((off, c), i) => off == i * per && c == per })
+      assert(s.length.toLong * per >= n, s"windows cover ${s.length * per} < $n")
+      if (n > 10000L && p > 1)
+        assert(s.length > 1, s"large read not parallel: n=$n p=$p")
+    }
+  }
 }
 
 class ApiSourceSpec extends SparkSpec {
