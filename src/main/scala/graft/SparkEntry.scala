@@ -1189,6 +1189,14 @@ object SparkEntry {
       graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: fastText-style hashed linear quality classifier —
+    // frozen-model INFERENCE (the CCNet/RedPajama scoring shape): hashed
+    // unigram+bigram features, broadcast B-row weight table, integer
+    // micro-unit sums. The corpus never shuffles for the model.
+    "q_quality_classifier" -> ((s, d) =>
+      graft.ops.Corpus.hashedLinearScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: multimodal binary columns ──────────────────────────
     // partition-wise stub decode (mapPartitions = the mapInPandas shape);
     // oracle checks the plumbing-derived fields (byte length, type, frames).
@@ -2349,6 +2357,9 @@ object SparkEntry {
 
     "q_unigram_logprob" ->
       graft.ops.Corpus.unigramLogProbOracleSql("documents", "doc_id", "text"),
+
+    "q_quality_classifier" ->
+      graft.ops.Corpus.hashedLinearScoreOracleSql("documents", "doc_id", "text"),
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,

@@ -269,6 +269,75 @@ object Corpus {
            (CAST(n_tokens AS DOUBLE) * 1000000.0) AS xent
        FROM agg ORDER BY $idCol"""
 
+  /** fastText-style hashed linear quality classifier — INFERENCE over a
+    * frozen model (Joulin et al. 2016; the shape CCNet/RedPajama run to
+    * score web documents against a reference corpus). Features are hashed
+    * word unigrams + bigrams folded into `buckets` buckets; the per-bucket
+    * weight table is what a trained model ships, here derived
+    * deterministically from md5 so the DuckDB oracle replays inference
+    * end-to-end (swap a real table in freely — the plan is identical).
+    *
+    * Plan shape at 100 TB: ONE explode → bucket projection over the scan,
+    * a BROADCAST join against the B-row weight table (the corpus never
+    * shuffles for the model), and one map-side-combined per-doc aggregate.
+    * Weights are integer micro-units summed as LONG (order-independent,
+    * oracle-exact — the [[unigramLogProb]] discipline); `score` is one
+    * final division.
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "need at least 2 hash buckets")
+    val spark = docs.sparkSession
+    val lowered = lower(col(textCol))
+    val feats = docs.select(col(idCol),
+        explode(concat(TextFns.tokens(lowered),
+          TextFns.wordShingles(lowered, 2))).as("feat"))
+      .where(length(col("feat")) > 0)
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+    val weights = spark.range(buckets.toLong).select(col("id").as("bucket"),
+      (pmod(conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(2001L)) - lit(1000L)).as("w_micro"))
+    feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+           sum(col("w_micro")).as("score_micro"))
+      .withColumn("score",
+        col("score_micro").cast("double") /
+          (col("n_feats").cast("double") * lit(1000.0)))
+      .withColumn("keep", col("score_micro") > lit(0L))
+  }
+
+  /** DuckDB oracle replaying [[hashedLinearScore]] bit-for-bit. */
+  def hashedLinearScoreOracleSql(table: String, idCol: String,
+                                 textCol: String, buckets: Int = 4096): String =
+    s"""WITH toks AS (
+         SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS t
+         FROM $table),
+       f AS (
+         SELECT $idCol, f FROM (
+           SELECT $idCol, unnest(list_concat(t,
+             CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(generate_series(1, len(t)-1),
+               i -> t[i] || ' ' || t[i+1]) END)) AS f
+           FROM toks) q
+         WHERE length(f) > 0),
+       b AS (SELECT $idCol,
+           CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % $buckets AS bucket
+         FROM f),
+       w AS (SELECT bk AS bucket,
+           CAST(('0x' || substring(md5('w' || CAST(bk AS VARCHAR)), 1, 15)) AS BIGINT)
+             % 2001 - 1000 AS w_micro
+         FROM (SELECT unnest(generate_series(0, ${buckets - 1})) AS bk)),
+       agg AS (SELECT $idCol, count(*) AS n_feats,
+           CAST(sum(w_micro) AS BIGINT) AS score_micro
+         FROM b JOIN w USING (bucket) GROUP BY 1)
+       SELECT $idCol, n_feats, score_micro,
+         CAST(score_micro AS DOUBLE) / (CAST(n_feats AS DOUBLE) * 1000.0) AS score,
+         (score_micro > 0) AS keep
+       FROM agg ORDER BY $idCol"""
+
   /** The 8-word stopword test set of the Gopher rules (Rae et al. 2021,
     * §A1.1): a document counts a stopword once per DISTINCT member present. */
   val gopherStopwords: Seq[String] =
