@@ -1132,6 +1132,23 @@ object SparkEntry {
         q, cents, cbs, k = 10, nProbe = 8, rerank = 50)
     }),
 
+    // ── LLM-pipeline: BATCHED IVF ANN — the production probe shape: every
+    // 100th vector queries at once, per-query probe cells resolve IN-PLAN
+    // (argsort over typedLit centroid scores — zero per-query driver work),
+    // the cell equi-join prunes the corpus, and one qid-keyed window ranks.
+    // Scales to millions of query vectors; oracle replays cells + ranking.
+    "q_embedding_ann_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.ivfBatchTopK(indexed, queries,
+          "vec_id", "embedding", "cell", "qid", "qvec",
+          cents, k = 5, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ── LLM-pipeline: the FULL Gopher in-document repetition matrix —
     // top-{2,3,4}-gram and dup-{5..10}-gram character fractions, position-
     // exact and overlap-safe. Grams shuffle as md5 hashes keyed on
@@ -2318,6 +2335,11 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
+
+    "q_embedding_ann_batch" ->
+      graft.ops.SimilaritySearch.ivfBatchOracleSql("embeddings", "vec_id",
+        "embedding", nCentroids = 16, queryFilter = "vec_id % 100 = 0",
+        k = 5, nProbe = 4),
 
     "q_dup_char_spans" ->
       ApproxDedup.dupCharSpanStatsOracleSql("documents", "doc_id", "text", n = 20),

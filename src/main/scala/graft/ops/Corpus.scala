@@ -288,10 +288,15 @@ object Corpus {
                         buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "need at least 2 hash buckets")
     val spark = docs.sparkSession
-    val lowered = lower(col(textCol))
-    val feats = docs.select(col(idCol),
-        explode(concat(TextFns.tokens(lowered),
-          TextFns.wordShingles(lowered, 2))).as("feat"))
+    // tokenize ONCE into a staged column; unigrams and bigrams both read
+    // the shared array instead of re-splitting the text
+    val tok = docs.select(col(idCol),
+      TextFns.tokens(lower(col(textCol))).as("__toks"))
+    val bigrams = when(size(col("__toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("__toks")) - lit(1)),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(2)))))
+    val feats = tok.select(col(idCol),
+        explode(concat(col("__toks"), bigrams)).as("feat"))
       .where(length(col("feat")) > 0)
       .select(col(idCol),
         pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),

@@ -192,6 +192,78 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** BATCHED IVF probe — the production shape: N query vectors resolve
+    * their nProbe cells IN-PLAN (argsort over the typedLit centroid scores,
+    * one projection — no per-query driver work, so the query side scales to
+    * millions of rows), the cell-exploded queries equi-join the indexed
+    * corpus on the cell id, and per-query top-k is one window rank keyed on
+    * the query id. Shuffles: the cell join + one qid-keyed window — never a
+    * cross product, and the corpus side moves only rows in probed cells.
+    * Tie-breaks mirror [[ivfProbeCells]] (score desc, cell asc) and the
+    * single-query probes (cosine desc, id asc), so the DuckDB oracle
+    * replays ranking exactly.
+    */
+  def ivfBatchTopK(indexed: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, cellCol: String,
+                   qidCol: String, qvecCol: String,
+                   centroids: Seq[Seq[Double]],
+                   k: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length)
+    val qv = col(qvecCol).cast("array<double>")
+    // struct(-score, cell): array_sort's lexicographic ascending order ==
+    // (score desc, cell asc), the ivfProbeCells tiebreak
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-(VectorFns.dot(qv, typedLit(c.toArray)) /
+        lit(math.sqrt(dotSeq(c, c))))).as("ns"), lit(i).as("cell"))
+    }: _*)
+    val probed = queries.select(col(qidCol), qv.as("__qv"),
+        explode(transform(slice(array_sort(scored), 1, nProbe),
+          s => s.getField("cell"))).as(cellCol))
+    probed.join(indexed.select(col(idCol), col(vecCol), col(cellCol)), Seq(cellCol))
+      .select(col(qidCol), col(idCol),
+        VectorFns.cosine(col(vecCol), col("__qv")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** DuckDB oracle replaying [[ivfBatchTopK]] end-to-end: centroids by the
+    * deterministic `$idCol < nCentroids` rule, per-query probe cells via a
+    * windowed rank over the same score formula, cell assignment as in the
+    * other IVF oracles, final per-query rank with identical tiebreaks. */
+  def ivfBatchOracleSql(table: String, idCol: String, vecCol: String,
+                        nCentroids: Int, queryFilter: String,
+                        k: Int, nProbe: Int): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ccid AS cell FROM (
+           SELECT e.$idCol, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qs AS (SELECT $idCol AS qid, ev AS qv FROM e WHERE $queryFilter),
+       qcell AS (
+         SELECT qid, qv, ccid AS cell FROM (
+           SELECT q.qid, q.qv, c.ccid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM qs q, cents c) WHERE rn <= $nProbe),
+       cand AS (
+         SELECT qc.qid, e.$idCol,
+           list_dot_product(e.ev, qc.qv) /
+             (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(qc.qv, qc.qv))) AS cosine
+         FROM qcell qc JOIN asg a ON a.cell = qc.cell
+                       JOIN e ON e.$idCol = a.$idCol),
+       ranked AS (
+         SELECT qid, $idCol, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, $idCol) AS rank
+         FROM cand)
+       SELECT qid, $idCol, cosine, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
+
   // ── Scalar quantization (SQ8) ──────────────────────────────────────────
 
   /** Corpus-wide symmetric quantization scale: the maximum |component| over

@@ -152,6 +152,39 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { r => assert(math.abs(bf(r.getLong(0)) - r.getDouble(1)) < 1e-12) }
   }
 
+  test("batched IVF probe: full-coverage config equals per-query brute force") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+    val queries = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // nProbe = all cells → zero pruning loss: per-query results must equal
+    // the brute-force ranking over the whole corpus
+    val got = SimilaritySearch.ivfBatchTopK(indexed, queries,
+        "vec_id", "embedding", "cell", "qid", "qvec", cents, k = 4, nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { qid =>
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", qv, 4)
+        .collect().map(_.getLong(0)).toSeq
+      val ranked = got(qid).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(ranked == bf, s"qid=$qid: $ranked vs brute $bf")
+      assert(got(qid).head.getLong(1) == qid, s"qid=$qid must rank itself first")
+    }
+  }
+
+  test("batched IVF probe plans an equi-join + one window — no cross product") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+    val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = SimilaritySearch.ivfBatchTopK(indexed, queries,
+        "vec_id", "embedding", "cell", "qid", "qvec", cents, k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch probe degenerated:\n$plan")
+    assert(plan.contains("Window"), s"no per-query rank window:\n$plan")
+  }
+
   test("index builds are single projections: no join, no window, no shuffle") {
     val planes = SimilaritySearch.srpPlanes(dim = 4, nBits = 8)
     val cents  = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
