@@ -1149,6 +1149,25 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ── LLM-pipeline: BATCHED IVF+PQ ANN — the full production composition
+    // for N queries at once: per-query probe cells AND ADC term tables
+    // resolve in-plan, candidates rank on (id, cell, m-byte codes) with
+    // floats loaded only for the per-query rerank set. No driver collects.
+    "q_embedding_ann_ivfpq_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
+      val indexed = SimilaritySearch.withPqCodes(
+        SimilaritySearch.withIvfCell(emb, "embedding", cents), "embedding", cbs)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.ivfPqBatchTopK(indexed, queries,
+          "vec_id", "embedding", "cell", "pq", "qid", "qvec",
+          cents, cbs, k = 5, nProbe = 8, rerank = 50)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ── LLM-pipeline: the FULL Gopher in-document repetition matrix —
     // top-{2,3,4}-gram and dup-{5..10}-gram character fractions, position-
     // exact and overlap-safe. Grams shuffle as md5 hashes keyed on
@@ -1399,14 +1418,15 @@ object SparkEntry {
     // ── LLM-pipeline: near-dup probe against the STORED band index. The
     // inverted (band, bandHash) table persists with one chunk per bucket;
     // probing one document reads only its ≤ `bands` bucket directories
-    // (partition-pruned), then exact-verifies the candidates. r = 2 rows per
-    // band keeps the LSH recall exact at this threshold, so the oracle is
-    // the one-vs-all exact Jaccard for the query document.
+    // (partition-pruned), then exact-verifies the candidates. bands = 6 →
+    // r = 4 rows/band: the PRODUCTION kernel; the query doc's true
+    // near-dups are j ≈ 0.99, which an r=4 band matches with probability
+    // 1−(1−j⁴)⁶ ≈ 1, so the one-vs-all exact-Jaccard oracle still holds.
     "q_minhash_probe_stored" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val qid  = 45L
       def index(df: DataFrame) = ApproxDedup.minhashBandIndex(
-        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 12, buckets = 4)
+        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 6, buckets = 4)
       val root = java.nio.file.Files.createTempDirectory("graft_mh_store").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("ann", "mh_bands"),
@@ -2340,6 +2360,11 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfBatchOracleSql("embeddings", "vec_id",
         "embedding", nCentroids = 16, queryFilter = "vec_id % 100 = 0",
         k = 5, nProbe = 4),
+
+    "q_embedding_ann_ivfpq_batch" ->
+      graft.ops.SimilaritySearch.ivfPqBatchOracleSql("embeddings", "vec_id",
+        "embedding", dim = 64, m = 4, ks = 16, nCentroids = 16,
+        queryFilter = "vec_id % 100 = 0", k = 5, nProbe = 8, rerank = 50),
 
     "q_dup_char_spans" ->
       ApproxDedup.dupCharSpanStatsOracleSql("documents", "doc_id", "text", n = 20),

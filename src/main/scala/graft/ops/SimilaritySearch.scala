@@ -203,22 +203,31 @@ object SimilaritySearch {
     * single-query probes (cosine desc, id asc), so the DuckDB oracle
     * replays ranking exactly.
     */
+  /** In-plan per-query probe-cell selection shared by the batched probes:
+    * (qid, __qv, cell) with one row per (query, probed cell). struct(-score,
+    * cell) under array_sort's lexicographic ascending order reproduces the
+    * [[ivfProbeCells]] tiebreak (score desc, cell asc) with zero per-query
+    * driver work. */
+  private def batchProbeCells(queries: DataFrame, qidCol: String, qvecCol: String,
+                              centroids: Seq[Seq[Double]],
+                              nProbe: Int, cellCol: String): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length)
+    val qv = col(qvecCol).cast("array<double>")
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-(VectorFns.dot(qv, typedLit(c.toArray)) /
+        lit(math.sqrt(dotSeq(c, c))))).as("ns"), lit(i).as("cell"))
+    }: _*)
+    queries.select(col(qidCol), qv.as("__qv"),
+      explode(transform(slice(array_sort(scored), 1, nProbe),
+        s => s.getField("cell"))).as(cellCol))
+  }
+
   def ivfBatchTopK(indexed: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, cellCol: String,
                    qidCol: String, qvecCol: String,
                    centroids: Seq[Seq[Double]],
                    k: Int, nProbe: Int): DataFrame = {
-    require(nProbe >= 1 && nProbe <= centroids.length)
-    val qv = col(qvecCol).cast("array<double>")
-    // struct(-score, cell): array_sort's lexicographic ascending order ==
-    // (score desc, cell asc), the ivfProbeCells tiebreak
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-(VectorFns.dot(qv, typedLit(c.toArray)) /
-        lit(math.sqrt(dotSeq(c, c))))).as("ns"), lit(i).as("cell"))
-    }: _*)
-    val probed = queries.select(col(qidCol), qv.as("__qv"),
-        explode(transform(slice(array_sort(scored), 1, nProbe),
-          s => s.getField("cell"))).as(cellCol))
+    val probed = batchProbeCells(queries, qidCol, qvecCol, centroids, nProbe, cellCol)
     probed.join(indexed.select(col(idCol), col(vecCol), col(cellCol)), Seq(cellCol))
       .select(col(qidCol), col(idCol),
         VectorFns.cosine(col(vecCol), col("__qv")).as("cosine"))
@@ -227,6 +236,124 @@ object SimilaritySearch {
           .orderBy(col("cosine").desc, col(idCol))))
       .where(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** BATCHED IVF+PQ probe — FAISS's production composition for N query
+    * vectors at once, fully distributed: probe cells AND the per-query ADC
+    * term tables resolve IN-PLAN (the m×ks table is an expression over the
+    * typedLit codebooks — no driver work per query), the cell equi-join
+    * prunes the corpus, candidates rank by the m-lookup ADC score reading
+    * ONLY (id, cell, m-byte codes) — float vectors never cross the first
+    * join — and the `rerank` survivors per query join back to the vector
+    * table for the exact-cosine top-k. Shuffles: cell join + two qid-keyed
+    * windows + one id equi-join; nothing quadratic, no driver collects.
+    * ADC terms accumulate in the same left-to-right order as
+    * [[pqAdcTable]]/the oracle chain, so ranking is bit-portable.
+    */
+  def ivfPqBatchTopK(indexed: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, cellCol: String, codeCol: String,
+                     qidCol: String, qvecCol: String,
+                     centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                     k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val d = codebooks.head.head.length
+    val probed = batchProbeCells(queries, qidCol, qvecCol, centroids, nProbe, cellCol)
+    // per-query ADC table as an m×ks array column: term(j, c) = |c|² − 2·q_j·c
+    // (|c|² precomputed driver-side, same accumulation order — bit-identical)
+    val qv = col("__qv")
+    val adcCol = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(qv, j * d + 1, d)
+      array(cb.map { c =>
+        lit(dotSeq(c, c)) - lit(2.0) * VectorFns.dot(sub, typedLit(c.toArray))
+      }: _*)
+    }: _*)
+    val cand = probed.withColumn("__adc", adcCol)
+      .join(indexed.select(col(idCol), col(cellCol), col(codeCol)), Seq(cellCol))
+    val adist = codebooks.indices.map { j =>
+      element_at(element_at(col("__adc"), j + 1),
+        element_at(col(codeCol), j + 1).cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val shortlist = cand
+      .select(col(qidCol), col(idCol), col("__qv"), adist.as("adist"))
+      .withColumn("arank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("adist").asc, col(idCol))))
+      .where(col("arank") <= rerank)
+    shortlist
+      .join(indexed.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(qidCol), col(idCol),
+        VectorFns.cosine(col(vecCol), col("__qv")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** DuckDB oracle replaying [[ivfPqBatchTopK]] end-to-end for every query
+    * selected by `queryFilter`: centroids/codebooks by their deterministic
+    * `$idCol < n` rules, per-query probe cells and ADC terms, candidate
+    * rank by the same left-to-right ADC chain, exact-cosine rerank with
+    * identical tiebreaks. */
+  def ivfPqBatchOracleSql(table: String, idCol: String, vecCol: String,
+                          dim: Int, m: Int, ks: Int, nCentroids: Int,
+                          queryFilter: String,
+                          k: Int, nProbe: Int, rerank: Int): String = {
+    val d = dim / m
+    val chain = (1 until m).foldLeft("s0") { (acc, j) => s"($acc + s$j)" }
+    val pivots = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN t END) AS s$j").mkString(", ")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ccid AS cell FROM (
+           SELECT e.$idCol, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       sub AS (SELECT $idCol, j, ev[(j*$d+1):(j*$d+$d)] AS sv FROM e, js),
+       cb AS (SELECT j, $idCol AS cid, sv AS cv FROM sub WHERE $idCol < $ks),
+       enc AS (
+         SELECT $idCol, j, cid FROM (
+           SELECT s.$idCol, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.$idCol, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+       qs AS (SELECT $idCol AS qid, ev AS qv FROM e WHERE $queryFilter),
+       qcell AS (
+         SELECT qid, ccid AS cell FROM (
+           SELECT q.qid, c.ccid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM qs q, cents c) WHERE rn <= $nProbe),
+       pair AS (
+         SELECT qc.qid, a.$idCol FROM qcell qc JOIN asg a ON a.cell = qc.cell),
+       qsub AS (SELECT qid, j, qv[(j*$d+1):(j*$d+$d)] AS qsv FROM qs, js),
+       term AS (
+         SELECT p.qid, enc.$idCol, enc.j,
+           list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qsv, c.cv) AS t
+         FROM pair p
+           JOIN enc ON enc.$idCol = p.$idCol
+           JOIN cb c ON enc.j = c.j AND enc.cid = c.cid
+           JOIN qsub q ON q.qid = p.qid AND q.j = enc.j),
+       adc AS (SELECT qid, $idCol, $chain AS adist FROM (
+         SELECT qid, $idCol, $pivots FROM term GROUP BY qid, $idCol)),
+       cand AS (
+         SELECT qid, $idCol FROM (
+           SELECT qid, $idCol,
+             row_number() OVER (PARTITION BY qid ORDER BY adist ASC, $idCol) AS arank
+           FROM adc) WHERE arank <= $rerank),
+       ranked AS (
+         SELECT c.qid, c.$idCol,
+           list_dot_product(e.ev, q.qv) /
+             (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+         FROM cand c JOIN e ON e.$idCol = c.$idCol JOIN qs q ON q.qid = c.qid),
+       fin AS (
+         SELECT qid, $idCol, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, $idCol) AS rank
+         FROM ranked)
+       SELECT qid, $idCol, cosine, CAST(rank AS INT) AS rank
+       FROM fin WHERE rank <= $k ORDER BY qid, rank"""
   }
 
   /** DuckDB oracle replaying [[ivfBatchTopK]] end-to-end: centroids by the

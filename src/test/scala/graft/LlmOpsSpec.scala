@@ -173,6 +173,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batched IVF+PQ: full-coverage, full-rerank config equals brute force") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", m = 2, ks = 4)
+    val indexed = SimilaritySearch.withPqCodes(
+      SimilaritySearch.withIvfCell(emb, "embedding", cents), "embedding", cbs)
+    val queries = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // nProbe = all cells, rerank = whole corpus → ADC can only reorder the
+    // shortlist, the exact-cosine rerank must equal brute force
+    val got = SimilaritySearch.ivfPqBatchTopK(indexed, queries,
+        "vec_id", "embedding", "cell", "pq", "qid", "qvec",
+        cents, cbs, k = 3, nProbe = 4, rerank = 8)
+      .collect().groupBy(_.getLong(0))
+    (0L until 2L).foreach { qid =>
+      val qv = emb.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val bf = SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", qv, 3)
+        .collect().map(_.getLong(0)).toSeq
+      val ranked = got(qid).sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(ranked == bf, s"qid=$qid: $ranked vs brute $bf")
+    }
+  }
+
+  test("batched IVF+PQ candidate stage never loads float vectors") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", m = 2, ks = 4)
+    val indexed = SimilaritySearch.withPqCodes(
+      SimilaritySearch.withIvfCell(emb, "embedding", cents), "embedding", cbs)
+    val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = SimilaritySearch.ivfPqBatchTopK(indexed, queries,
+        "vec_id", "embedding", "cell", "pq", "qid", "qvec",
+        cents, cbs, k = 3, nProbe = 2, rerank = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch ADC probe degenerated:\n$plan")
+  }
+
   test("batched IVF probe plans an equi-join + one window — no cross product") {
     val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
     val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)

@@ -487,6 +487,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("events time-range predicates push into the parquet scan (native ts)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // with ts stored as native timestamp[us] the loader is a pass-through,
+    // so range predicates reach the scan as PushedFilters (under the old
+    // int64-nanos data they sat above a computed column and could not)
+    val df = Tables.events(spark, sf).where(
+      col("ts") >= lit(java.time.LocalDateTime.parse("2024-01-05T00:00:00")))
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("ts"), s"ts predicate not pushed: $pushed\n$plan")
+  }
+
   test("events scan prunes columns for a two-column projection") {
     val df = Tables.events(spark, sf).select(org.apache.spark.sql.functions.col("event_id"))
     val readSchema = df.queryExecution.executedPlan.toString
