@@ -110,8 +110,6 @@ final class SyncEngine(spark: SparkSession, root: String,
     // semantics: target-generated keys, connectors/sql/_pipes.py:1639-1800).
     // The writer lease is held across the WHOLE retry loop for minting
     // batches so no other writer can advance the mark between attempts.
-    val mintsIds = spec.autoincrement &&
-      spec.columns.primary.exists(pk => !pre.columns.contains(pk))
     def attemptLoop() = Retry.withBackoff(retries, retryBaseSleepMs) {
       spec.strategy match {
         case Some(st) => st.sync(this, spec, pre)
@@ -119,7 +117,7 @@ final class SyncEngine(spark: SparkSession, root: String,
       }
     }
     val (result, attempts, errs) =
-      if (mintsIds) withWriteLeaseOn(storage(spec))(attemptLoop())
+      if (willMint(spec, pre)) withWriteLeaseOn(storage(spec))(attemptLoop())
       else attemptLoop()
     val r = result.copy(attempts = attempts, attemptErrors = errs)
     hooks.postSync(spec, r)
@@ -211,6 +209,21 @@ final class SyncEngine(spark: SparkSession, root: String,
   private def withWriteLeaseOn[A](store: graft.storage.InstanceStore)(body: => A): A =
     store.withWriteLease(body)
 
+  /** Will this batch receive minted autoincrement ids? Minting syncs hold
+    * the writer lease from base-read to mark-commit (all lease impls are
+    * re-entrant per (thread, pipe)), so concurrent minters see disjoint
+    * bases and a retry re-reads a stable one. */
+  private def willMint(spec: PipeSpec, batch: DataFrame): Boolean =
+    spec.autoincrement &&
+      spec.columns.primary.exists(pk => !batch.columns.contains(pk))
+
+  /** Lease scope for the mint→write→mark sequence when `batch` mints ids;
+    * no-op otherwise. Applied INSIDE syncBlind/syncDefault too (not just
+    * sync()) so direct calls keep the disjoint-base guarantee. */
+  private def mintScope[A](spec: PipeSpec, store: graft.storage.InstanceStore,
+                           batch: DataFrame)(body: => A): A =
+    if (willMint(spec, batch)) withWriteLeaseOn(store)(body) else body
+
   /** Special-column inference (reference `get_uuid_cols`/`get_json_cols`,
     * utils/dataframe.py:642-1234): special shapes hiding in string columns
     * are recorded in the catalog. Metadata-only and only computed when a
@@ -231,6 +244,11 @@ final class SyncEngine(spark: SparkSession, root: String,
     * come from parquet footer metadata). */
   def syncBlind(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
+    mintScope(spec, store, batch0) { syncBlindBody(spec, store, batch0) }
+  }
+
+  private def syncBlindBody(spec: PipeSpec, store: graft.storage.InstanceStore,
+                            batch0: DataFrame): SyncResult = {
     val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
     // data write then mark: the id high-water mark commits only after the
     // rows land, so a failed write leaves the mark at its old value
@@ -264,6 +282,11 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   def syncDefault(spec: PipeSpec, batch0: DataFrame): SyncResult = {
     val store = storage(spec)
+    mintScope(spec, store, batch0) { syncDefaultBody(spec, store, batch0) }
+  }
+
+  private def syncDefaultBody(spec: PipeSpec, store: graft.storage.InstanceStore,
+                              batch0: DataFrame): SyncResult = {
     val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
     // see syncBlind: the mark commits only after the data write lands
     def commitMark(): Unit = pendingMaxId.foreach(store.writeMaxId)

@@ -356,6 +356,34 @@ class WriterLeaseSpec extends SparkSpec {
       s"overlapping minted ids: ${ids.sorted.toSeq}")
   }
 
+  test("two concurrent BLIND autoincrement syncs mint disjoint id ranges") {
+    // the blind path takes the mint lease inside syncBlind itself (not via
+    // sync()'s retry wrapper) — this pins the disjoint-base guarantee there
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("lease", "blind_ids"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")),
+      autoincrement = true)
+    eng.sync(spec, Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "seed"))
+      .toDF("ts", "v"), checkExisting = false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          eng.sync(spec, Seq.tabulate(20)(i =>
+            (java.sql.Timestamp.valueOf(f"2024-01-02 ${t}%02d:${i}%02d:00"), s"b$t-$i"))
+            .toDF("ts", "v"), checkExisting = false)
+          ()
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"blind sync failed: ${errs.peek()}")
+    val ids = eng.getData(spec).select($"id".cast("long")).as[Long].collect()
+    assert(ids.length == 41 && ids.distinct.length == 41,
+      s"overlapping minted ids: ${ids.sorted.toSeq}")
+  }
+
   test("a live foreign lease makes writers fail loudly; a stale one is broken") {
     val root = tmpDir()
     val spec = PipeSpec(PipeKeys("lease", "loud"),
