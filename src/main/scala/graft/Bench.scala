@@ -26,8 +26,10 @@ object Bench {
     // round-over-round comparability of BENCH_r{N}.json.
     // Local-iteration filter, mirroring Verify: SPARK_GRAFT_ONLY=q_a,q_b
     // benches a subset. The driver sets no env, so its run measures all.
+    // filter out blanks so `SPARK_GRAFT_ONLY= ...` (empty var) means "all"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else {

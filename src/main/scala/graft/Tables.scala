@@ -27,12 +27,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = name match {
       case "events" =>
-        // nanosAsLong lets a TIMESTAMP_NS file load as Long instead of
+        // nanosAsLong lets a TIMESTAMP(NANOS) file load as Long instead of
         // erroring; it is a no-op for files already stored as timestamp[us].
-        // Read option (not session conf) so no global state is mutated.
-        val df = spark.read
-          .option("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .parquet(path(dir, name))
+        // This MUST be the session conf: Spark 4.1's parquet reader resolves
+        // the flag only from sessionState.conf (ParquetFileFormat
+        // .setupHadoopConf / readSchema — verified in the bundled jar; a
+        // per-read .option of the key is silently ignored). The set is
+        // idempotent and the value never varies, so the global mutation is
+        // benign.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val df = spark.read.parquet(path(dir, name))
         normalizeEventsTs(df, src = path(dir, name))
       case _ =>
         spark.read.parquet(path(dir, name))

@@ -21,7 +21,8 @@ object Verify {
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
     // The driver sets no env, so its run always dumps everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else {

@@ -17,6 +17,15 @@ object TextFns {
   private[graft] def bindOnce(e: Column)(body: Column => Column): Column =
     element_at(transform(array(e), v => body(v)), 1)
 
+  /** 60-bit truncated-md5 long key — the oracle-replayable hash shared by
+    * the dedup / decontamination / classifier / repetition pipelines.
+    * DuckDB computes the IDENTICAL value as
+    * `CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT)`; 15 hex digits
+    * stay inside a signed BIGINT. Keep every use on this ONE definition —
+    * a drifted copy silently breaks oracle parity for just that query. */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 

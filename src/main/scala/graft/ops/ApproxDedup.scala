@@ -652,7 +652,7 @@ object ApproxDedup {
     val grams = docs.select(col(idCol),
         posexplode(TextFns.charNgrams(col(textCol), n)).as(Seq("pos", "g")))
       .select(col(idCol), col("pos"),
-        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        TextFns.md5Long60(col("g")).as("h"))
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("h"))
     val covered = grams.join(dup, "h")

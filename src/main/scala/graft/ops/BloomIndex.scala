@@ -63,9 +63,14 @@ object BloomIndex {
   def bloomWords(docs: DataFrame, valueCol: String, m: Long, k: Int): DataFrame = {
     requireM(m)
     require(k >= 1 && k <= 8, "k must be in [1, 8]")
+    // Null values cannot be indexed (the probe routes them to "new"): drop
+    // them BEFORE hashing — md5(null) is null, and explode keeps null array
+    // ELEMENTS, so without the filter a null row would emit a (null, null)
+    // word row that crashes assemble's getInt.
     // Stage the digest as its own column so md5 runs ONCE per row even on
     // the interpreted path; h1/h2/conv are cheap column refs over it.
-    val staged = docs.select(md5(col(valueCol)).as("__digest"))
+    val staged = docs.where(col(valueCol).isNotNull)
+      .select(md5(col(valueCol)).as("__digest"))
     val (h1, h2) = slices(col("__digest"))
     val positions = array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % lit(m)): _*)
     staged.select(explode(positions).as("pos"))

@@ -55,8 +55,7 @@ object Corpus {
         explode(array_distinct(
           TextFns.wordShingles(col(textCol), shingleSize))).as("__sh_str"))
       .select(col(as),
-        conv(substring(md5(col("__sh_str")), 1, 15), 16, 10)
-          .cast("long").as("sh"))
+        TextFns.md5Long60(col("__sh_str")).as("sh"))
     val b = shingles(bench, "bench_id")
     val bSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     // `excludeSelfPairs` exists for the bench-is-a-subset-of-corpus case;
@@ -299,11 +298,10 @@ object Corpus {
         explode(concat(col("__toks"), bigrams)).as("feat"))
       .where(length(col("feat")) > 0)
       .select(col(idCol),
-        pmod(conv(substring(md5(col("feat")), 1, 15), 16, 10).cast("long"),
-          lit(buckets.toLong)).as("bucket"))
+        pmod(TextFns.md5Long60(col("feat")), lit(buckets.toLong)).as("bucket"))
     val weights = spark.range(buckets.toLong).select(col("id").as("bucket"),
-      (pmod(conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 15),
-          16, 10).cast("long"), lit(2001L)) - lit(1000L)).as("w_micro"))
+      (pmod(TextFns.md5Long60(concat(lit("w"), col("id").cast("string"))),
+          lit(2001L)) - lit(1000L)).as("w_micro"))
     feats.join(broadcast(weights), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
@@ -489,6 +487,24 @@ object Corpus {
   def repetitionMatrix(docs: DataFrame, idCol: String, textCol: String,
                        topNs: Seq[Int] = Seq(2, 3, 4),
                        dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    val (out, tok, allG) = repetitionMatrixLazy(docs, idCol, textCol, topNs, dupNs)
+    // materialize the SMALL result (≤ 9 rows/doc — corpus-proportional,
+    // orders of magnitude under the gram table) so the two big persisted
+    // intermediates can be RELEASED here instead of pinning the session's
+    // CacheManager until shutdown; checkpoint blocks are reclaimed by the
+    // ContextCleaner once the returned frame is GC'd.
+    val materialized = out.localCheckpoint(true)
+    tok.unpersist()
+    allG.unpersist()
+    materialized
+  }
+
+  /** The lazy pipeline behind [[repetitionMatrix]], returning the big
+    * persisted intermediates too — split out so the plan-audit spec can
+    * assert the pre-checkpoint shape (single scan, cached branch reuse). */
+  private[graft] def repetitionMatrixLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int], dupNs: Seq[Int]): (DataFrame, DataFrame, DataFrame) = {
     // ONE corpus pass for every signal: tokenize once (persisted — the
     // text is parsed a single time, then 9 gram branches read the token
     // arrays, not the parquet), hash every n's grams into ONE compact
@@ -528,7 +544,7 @@ object Corpus {
       // exactly (the winnowing-oracle pattern; 15 hex digits stay inside a
       // signed BIGINT)
       .select(col(idCol), nCol, col("pos"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+        TextFns.md5Long60(col("gram")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val counts = allG.groupBy(col(idCol), nCol, col("h"))
@@ -554,10 +570,11 @@ object Corpus {
       .groupBy(col(idCol), col("signal"))
       .agg(sum(col("len")).as("covered_chars"))
 
-    totals.join(covered, Seq(idCol))
+    val out = totals.join(covered, Seq(idCol))
       .select(col(idCol), col("signal"), col("covered_chars"), col("total_chars"))
       .withColumn("frac",
         col("covered_chars").cast("double") / col("total_chars").cast("double"))
+    (out, tok, allG)
   }
 
   /** DuckDB oracle replaying [[repetitionMatrix]] — one CTE chain per n,

@@ -51,7 +51,7 @@ object Dsir {
     docs.select(col(idCol), explode(grams).as("g"))
       .where(length(col("g")) > 0)
       .select(col(idCol),
-        pmod(conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType),
+        pmod(graft.functions.TextFns.md5Long60(col("g")).cast(LongType),
           lit(nBuckets.toLong)).as("bucket"))
   }
 

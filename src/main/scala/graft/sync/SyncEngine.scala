@@ -219,10 +219,47 @@ final class SyncEngine(spark: SparkSession, root: String,
 
   /** Lease scope for the mint→write→mark sequence when `batch` mints ids;
     * no-op otherwise. Applied INSIDE syncBlind/syncDefault too (not just
-    * sync()) so direct calls keep the disjoint-base guarantee. */
+    * sync()) so direct calls keep the disjoint-base guarantee.
+    *
+    * Tradeoff, documented: concurrent minting syncs of ONE pipe now
+    * serialize for the sync's full duration (previously only the short
+    * mint window), so a second minter blocks up to the lease acquire
+    * timeout and then fails LOUDLY. That is the intended semantics — the
+    * alternative (overlapping attempt windows) re-mints ids another writer
+    * just advanced past and silently corrupts — and matches the engine's
+    * one-writer-per-pipe lease philosophy. Concurrent minting writers
+    * should target different pipes. */
   private def mintScope[A](spec: PipeSpec, store: graft.storage.InstanceStore,
                            batch: DataFrame)(body: => A): A =
     if (willMint(spec, batch)) withWriteLeaseOn(store)(body) else body
+
+  /** Commit the minted high-water mark AFTER the data write landed. A
+    * metadata write this small failing is rare but consequential — a stale
+    * mark makes the NEXT batch re-mint ids the persisted rows already
+    * carry — so it retries locally and, if it still fails, throws: the
+    * sync reports failure, the caller replays the batch, the replay
+    * re-mints the SAME ids (base unchanged), dedupes in the diff, and
+    * recommits the mark. Only a process death inside this window leaves a
+    * stale mark, healed by replaying the same batch before syncing new
+    * minting batches (at-least-once replay, the engine's standard failure
+    * contract). */
+  private def commitMintMark(store: graft.storage.InstanceStore,
+                             pending: Option[Long]): Unit =
+    pending.foreach { v =>
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { store.writeMaxId(v); done = true }
+        catch {
+          case e: Exception if attempt < 2 =>
+            attempt += 1; Thread.sleep(50L * attempt)
+          case e: Exception =>
+            throw new IllegalStateException(
+              s"data write landed but the autoincrement mark commit failed " +
+                s"($v); replay this batch before syncing new minting batches", e)
+        }
+      }
+    }
 
   /** Special-column inference (reference `get_uuid_cols`/`get_json_cols`,
     * utils/dataframe.py:642-1234): special shapes hiding in string columns
@@ -252,7 +289,7 @@ final class SyncEngine(spark: SparkSession, root: String,
     val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
     // data write then mark: the id high-water mark commits only after the
     // rows land, so a failed write leaves the mark at its old value
-    def commitMark(): Unit = pendingMaxId.foreach(store.writeMaxId)
+    def commitMark(): Unit = commitMintMark(store, pendingMaxId)
     lazy val inferred = inferSpecial(spec, batch)
     if (!store.exists) {
       val env = batchEnvelope(spec, batch)
@@ -289,7 +326,7 @@ final class SyncEngine(spark: SparkSession, root: String,
                               batch0: DataFrame): SyncResult = {
     val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
     // see syncBlind: the mark commits only after the data write lands
-    def commitMark(): Unit = pendingMaxId.foreach(store.writeMaxId)
+    def commitMark(): Unit = commitMintMark(store, pendingMaxId)
     // 2c: see [[inferSpecial]]
     lazy val inferredSpecial: Map[String, graft.types.MrsmType] =
       inferSpecial(spec, batch)

@@ -21,7 +21,9 @@ class BloomIndexSpec extends SparkSpec {
   }
 
   test("null-valued rows route through the 'new' path, not silently dropped") {
-    val corpus = Seq("a", "b").toDF("v")
+    // nulls in the CORPUS too: they must be skipped by the build (not crash
+    // assemble with a null word row) and never match anything
+    val corpus = Seq(Some("a"), Some("b"), None).toDF("v")
     val batch = Seq(Some("a"), None, Some("q"), None).toDF("v")
     val dense = BloomIndex.assemble(BloomIndex.bloomWords(corpus, "v", m, k), m)
     val out = BloomIndex.notInCorpus(batch, corpus, "v", dense, m, k)

@@ -556,7 +556,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("repetition matrix: ONE corpus scan, branches read the persisted tables") {
-    val df = SparkEntry.queries("q_repetition_matrix")(spark, sf)
+    // audit the LAZY pipeline — the public entry checkpoints the small
+    // result and releases the persisted intermediates, which hides the
+    // auditable shape behind a LogicalRDD
+    val (out, tok, allG) = graft.ops.Corpus.repetitionMatrixLazy(
+      Tables.documents(spark, sf), "doc_id", "text",
+      Seq(2, 3, 4), Seq(5, 6, 7, 8, 9, 10))
+    val df = out
     // count on the OPTIMIZED plan: InMemoryRelation is a leaf there (its
     // cached child plan is a field, not a child), so uncached parquet
     // re-reads are exactly the remaining LogicalRelation leaves
@@ -570,6 +576,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(parquetScans.isEmpty,
       s"${parquetScans.size} uncached parquet scans (branch re-reads):\n$opt")
     assert(cached.nonEmpty, s"persisted token/gram tables not reused in:\n$opt")
+    tok.unpersist(); allG.unpersist(); ()
   }
 
   test("decontaminate: bench side broadcasts; shingles join as longs") {
