@@ -59,6 +59,33 @@ class TestdataSchemaSpec extends SparkSpec {
     }
   }
 
+  test("events loader handles a REAL TIMESTAMP(NANOS) parquet file") {
+    // the original testdata generations stored ts as timestamp[ns]; this
+    // fixture was written with that exact physical type (pyarrow), so the
+    // test exercises the true legacy path: session nanosAsLong conf →
+    // LongType schema → ns→µs truncation. A per-read option would NOT work
+    // (Spark 4.1 resolves the flag from the session conf only) — this test
+    // fails if the conf set is ever dropped again.
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val src = getClass.getResource("/events_nanos.parquet")
+    assert(src != null, "events_nanos.parquet fixture missing from test resources")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(src.toURI),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // an earlier events load in this shared session may have set the conf
+    // already — clear it so THIS load proves Tables.load sets it itself
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val loaded = Tables.load(spark, dir, "events")
+    assert(loaded.schema("ts").dataType == TimestampNTZType)
+    val micros = loaded.select(unix_micros(col("ts").cast(TimestampType)))
+      .collect().map(_.getLong(0)).sorted
+    // 1700000000000000000ns + i·1001ns truncates to …000000µs and …000001µs
+    assert(micros.head == 1700000000000000L, s"ns→µs truncation wrong: ${micros.head}")
+    assert(micros.last == 1700000000000004L, s"ns→µs truncation wrong: ${micros.last}")
+    assert(loaded.count() == 5)
+  }
+
   test("events loader still handles the legacy int64-nanos encoding") {
     // The regenerated testdata stores timestamp[us]; keep the ns branch alive
     // by synthesizing a TIMESTAMP(NANOS) parquet file and loading through the
