@@ -1225,6 +1225,14 @@ object SparkEntry {
       graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: document chunking — sliding 64-token windows with
+    // 16-token overlap (stride 48), the doc → training-sequence step.
+    // Pure projection + posexplode: zero shuffles at any corpus size.
+    "q_doc_chunking" -> ((s, d) =>
+      graft.ops.Corpus.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ── LLM-pipeline: fastText-style hashed linear quality classifier —
     // frozen-model INFERENCE (the CCNet/RedPajama scoring shape): hashed
     // unigram+bigram features, broadcast B-row weight table, integer
@@ -2407,6 +2415,10 @@ object SparkEntry {
 
     "q_quality_classifier" ->
       graft.ops.Corpus.hashedLinearScoreOracleSql("documents", "doc_id", "text"),
+
+    "q_doc_chunking" ->
+      graft.ops.Corpus.chunkDocsOracleSql("documents", "doc_id", "text",
+        chunkTokens = 64, stride = 48),
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,

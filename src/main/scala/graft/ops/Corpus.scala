@@ -341,6 +341,52 @@ object Corpus {
          (score_micro > 0) AS keep
        FROM agg ORDER BY $idCol"""
 
+  /** Document chunking — the doc → training-sequence step: sliding token
+    * windows of `chunkTokens` advancing by `stride` (overlap = chunkTokens −
+    * stride, the standard long-document treatment before packing). Emits
+    * (doc, chunk_idx, chunk_text, n_chunk_tokens); the final window may be
+    * short, and every document yields at least one chunk.
+    *
+    * Pure projection + posexplode over the scan — ZERO shuffles at any
+    * corpus size; output rows ∝ tokens/stride. Composes with
+    * [[packChunks]] downstream.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      "need 1 <= stride <= chunkTokens")
+    val tok = docs.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    // ceil(n / stride) starts, at least one (integer math, oracle-exact)
+    val nStarts = greatest(expr(s"(size(__toks) + ${stride - 1}) div $stride"),
+      lit(1L))
+    tok.select(col(idCol), n.as("__n"),
+        posexplode(transform(sequence(lit(0L), nStarts - 1),
+          i => concat_ws(" ",
+            slice(col("__toks"), (i * stride + 1).cast("int"), lit(chunkTokens))))))
+      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        greatest(least(lit(chunkTokens.toLong),
+            col("__n").cast("long") - col("pos") * stride), lit(0L))
+          .as("n_chunk_tokens"))
+  }
+
+  /** DuckDB oracle replaying [[chunkDocs]] exactly. */
+  def chunkDocsOracleSql(table: String, idCol: String, textCol: String,
+                         chunkTokens: Int, stride: Int): String =
+    s"""WITH t AS (
+         SELECT $idCol, string_split_regex(trim($textCol), '\\s+') AS toks
+         FROM $table),
+       s AS (
+         SELECT $idCol, toks,
+           unnest(generate_series(0,
+             CAST(greatest((len(toks) + ${stride - 1}) // $stride, 1) AS BIGINT) - 1)) AS ci
+         FROM t)
+       SELECT $idCol, CAST(ci AS INT) AS chunk_idx,
+         array_to_string(toks[(ci*$stride+1):(ci*$stride+$chunkTokens)], ' ') AS chunk_text,
+         CAST(greatest(least($chunkTokens, len(toks) - ci*$stride), 0) AS BIGINT) AS n_chunk_tokens
+       FROM s ORDER BY $idCol, chunk_idx"""
+
   /** The 8-word stopword test set of the Gopher rules (Rae et al. 2021,
     * §A1.1): a document counts a stopword once per DISTINCT member present. */
   val gopherStopwords: Seq[String] =
