@@ -65,6 +65,19 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`, restoring
+    * the previous value after. Streaming STATE partitioning is frozen from
+    * this conf at the query's first batch — production sizes it to key
+    * cardinality (here ~150 users / ~120 windows), not to the CPU count; at
+    * 32 the toy streams pay ~100 near-empty state-store file commits per
+    * run. Queries execute sequentially in Verify/Bench, so the scoped
+    * mutation cannot race another entry. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage the events table plus two far-future sentinel rows (user_id −1,
     * 2030/2031) as separate stream files. With `maxFilesPerTrigger = 1`
     * each sentinel forms its own micro-batch, driving the watermark past
@@ -718,7 +731,7 @@ object SparkEntry {
     // Trigger.AvailableNow drains the source; every batch runs the same
     // idempotent diff+merge as batch sync, so the drained pipe equals the
     // source table exactly.
-    "q_streaming_sync_e2e" -> ((s, d) => {
+    "q_streaming_sync_e2e" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("stream", "events_e2e"),
@@ -749,7 +762,7 @@ object SparkEntry {
     // never history), survivors blind-append to the pipe (no per-batch diff
     // read of the target). In-corpus duplicate texts collapse along with
     // the redelivery, so the result is each distinct fingerprint once.
-    "q_streaming_dedup_e2e" -> ((s, d) => {
+    "q_streaming_dedup_e2e" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("stream", "dedup_e2e"),
@@ -785,7 +798,7 @@ object SparkEntry {
     // data batch must lie beyond (every session end + delay). The oracle is
     // the batch gaps-and-islands form with session_window's boundary rule
     // (diff >= gap starts a session; end = last event + gap).
-    "q_streaming_sessions" -> ((s, d) => {
+    "q_streaming_sessions" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_ssess").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("stream", "sessions"),
@@ -813,7 +826,7 @@ object SparkEntry {
     // as a stream): window() + watermark, drained AvailableNow behind the
     // same sentinel-batch flush as q_streaming_sessions. Oracle = batch
     // epoch-aligned 6-hour bucket counts.
-    "q_streaming_windows" -> ((s, d) => {
+    "q_streaming_windows" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_swin").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("stream", "windows"),
@@ -840,7 +853,7 @@ object SparkEntry {
     // one GroupState[Long] (µs) per id via flatMapGroupsWithState, emitted
     // on advance, upserted into a bookmark pipe keyed on the id. The final
     // table equals the batch `max(ts) GROUP BY id` — the oracle.
-    "q_streaming_synctimes" -> ((s, d) => {
+    "q_streaming_synctimes" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_sst").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("stream", "synctimes"),
@@ -870,7 +883,7 @@ object SparkEntry {
     // side never shuffles on the join key), enriched rows blind-append to
     // a pipe, and the read-back per-nation rollup equals the batch join —
     // the oracle. Stateless join: no watermark or sentinel drain needed.
-    "q_streaming_enrich" -> ((s, d) => {
+    "q_streaming_enrich" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_senr").toString
       val eng  = new SyncEngine(s, root)
       val spec = PipeSpec(PipeKeys("stream", "enrich"),
