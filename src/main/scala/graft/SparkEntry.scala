@@ -1238,6 +1238,14 @@ object SparkEntry {
       graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: cross-source overlap matrix — shingle Jaccard
+    // between every source pair; hashed (source, shingle) rows dedupe
+    // before the self-join, so output is |sources|² regardless of corpus.
+    "q_source_overlap" -> ((s, d) =>
+      graft.ops.Corpus.sourceOverlap(Tables.documents(s, d), "text", "source",
+          shingleSize = 3)
+        .orderBy(col("s1"), col("s2"))),
+
     // ── LLM-pipeline: document chunking — sliding 64-token windows with
     // 16-token overlap (stride 48), the doc → training-sequence step.
     // Pure projection + posexplode: zero shuffles at any corpus size.
@@ -2432,6 +2440,10 @@ object SparkEntry {
     "q_doc_chunking" ->
       graft.ops.Corpus.chunkDocsOracleSql("documents", "doc_id", "text",
         chunkTokens = 64, stride = 48),
+
+    "q_source_overlap" ->
+      graft.ops.Corpus.sourceOverlapOracleSql("documents", "text", "source",
+        shingleSize = 3),
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,

@@ -341,6 +341,58 @@ object Corpus {
          (score_micro > 0) AS keep
        FROM agg ORDER BY $idCol"""
 
+  /** Cross-source overlap matrix — corpus diagnostics: shingle-set Jaccard
+    * between every pair of sources ("how much do my crawls/dumps overlap
+    * before I mix them?"). Shingles hash to 60-bit longs and dedupe to
+    * (source, h) rows, so the self-join on h fans out at most |sources| per
+    * key and the output is |sources|² rows regardless of corpus size — a
+    * corpus-scale input reduced to a cheap bounded join.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, groupCol: String,
+                    shingleSize: Int): DataFrame = {
+    val sh = docs.select(col(groupCol).as("src"),
+        explode(array_distinct(
+          TextFns.wordShingles(col(textCol), shingleSize))).as("__s"))
+      .select(col("src"), TextFns.md5Long60(col("__s")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val common = sh.withColumnRenamed("src", "s1")
+      .join(sh.withColumnRenamed("src", "s2"), Seq("h"))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("src").as("s1"), col("n").as("n1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("src").as("s2"), col("n").as("n2"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
+  /** DuckDB oracle replaying [[sourceOverlap]] exactly. */
+  def sourceOverlapOracleSql(table: String, textCol: String, groupCol: String,
+                             shingleSize: Int): String = {
+    val n = shingleSize
+    s"""WITH sh0 AS (
+         SELECT $groupCol AS src,
+           list_distinct(CASE WHEN len(t) < $n THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(generate_series(1, len(t)-${n - 1}),
+               i -> array_to_string(t[i:i+${n - 1}], ' ')) END) AS shl
+         FROM (SELECT $groupCol, string_split_regex(trim($textCol), '\\s+') AS t FROM $table)),
+       sh AS (
+         SELECT DISTINCT src,
+           CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
+         FROM (SELECT src, unnest(shl) AS s FROM sh0)),
+       sz AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+       c AS (
+         SELECT a.src AS s1, b.src AS s2, count(*) AS n_common
+         FROM sh a JOIN sh b USING (h) WHERE a.src < b.src GROUP BY 1, 2)
+       SELECT s1, s2, n_common,
+         CAST(n_common AS DOUBLE) / CAST(z1.n + z2.n - n_common AS DOUBLE) AS jaccard
+       FROM c JOIN sz z1 ON z1.src = c.s1 JOIN sz z2 ON z2.src = c.s2
+       ORDER BY s1, s2"""
+  }
+
   /** Document chunking — the doc → training-sequence step: sliding token
     * windows of `chunkTokens` advancing by `stride` (overlap = chunkTokens −
     * stride, the standard long-document treatment before packing). Emits
