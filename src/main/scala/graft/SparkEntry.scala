@@ -1238,6 +1238,14 @@ object SparkEntry {
       graft.ops.Corpus.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: CCNet head/middle/tail perplexity buckets — per-
+    // language terciles of the unigram-LM cross-entropy, deterministic
+    // ntile (ties on doc_id). The window shuffles scores, never text.
+    "q_ccnet_buckets" -> ((s, d) =>
+      graft.ops.Corpus.ccnetBuckets(Tables.documents(s, d), "doc_id", "text",
+          "lang")
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: cross-source overlap matrix — shingle Jaccard
     // between every source pair; hashed (source, shingle) rows dedupe
     // before the self-join, so output is |sources|² regardless of corpus.
@@ -2444,6 +2452,10 @@ object SparkEntry {
     "q_source_overlap" ->
       graft.ops.Corpus.sourceOverlapOracleSql("documents", "text", "source",
         shingleSize = 3),
+
+    "q_ccnet_buckets" ->
+      graft.ops.Corpus.ccnetBucketsOracleSql("documents", "doc_id", "text",
+        "lang"),
 
     "q_media_features" ->
       """SELECT doc_id AS media_id,

@@ -341,6 +341,65 @@ object Corpus {
          (score_micro > 0) AS keep
        FROM agg ORDER BY $idCol"""
 
+  /** CCNet head/middle/tail buckets (Wenzek et al. 2020 §4): per-language
+    * terciles of the [[unigramLogProb]] cross-entropy — the classic
+    * quality gradation CCNet publishes its corpus in (head = lowest
+    * perplexity). ONE ntile window per language partition over the fitted
+    * scores; ties break on doc id, so the split is deterministic and the
+    * oracle replays it exactly. Scale: the window shuffles (doc, xent)
+    * pairs only — never text — keyed by language.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val lm = unigramLogProb(docs, idCol, textCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("xent").asc, col(idCol).asc)
+    docs.select(col(idCol), col(langCol))
+      .join(lm.select(col(idCol), col("xent")), Seq(idCol))
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("bucket_label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(langCol), col("xent"),
+        col("bucket").cast("int").as("bucket"), col("bucket_label"))
+  }
+
+  /** DuckDB oracle replaying [[ccnetBuckets]] — the [[unigramLogProb]]
+    * chain plus the same deterministic ntile. */
+  def ccnetBucketsOracleSql(table: String, idCol: String, textCol: String,
+                            langCol: String): String =
+    s"""WITH tok AS (
+         SELECT $idCol, tok FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS tok
+           FROM $table) t
+         WHERE length(tok) > 0),
+       tf AS (SELECT $idCol, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+       cf AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t, count(*) AS v FROM cf),
+       lw AS (SELECT tok,
+           CAST(round(ln((cf + 1.0) / CAST(t + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+             AS lw_micro
+         FROM cf, tot),
+       agg AS (SELECT tf.$idCol,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * lw_micro) AS BIGINT) AS logprob_micro
+         FROM tf JOIN lw USING (tok) GROUP BY 1),
+       x AS (SELECT $idCol,
+           CAST(-logprob_micro AS DOUBLE) /
+             (CAST(n_tokens AS DOUBLE) * 1000000.0) AS xent
+         FROM agg),
+       b AS (
+         SELECT d.$idCol, d.$langCol, x.xent,
+           CAST(ntile(3) OVER (PARTITION BY d.$langCol
+             ORDER BY x.xent ASC, d.$idCol ASC) AS INT) AS bucket
+         FROM $table d JOIN x USING ($idCol))
+       SELECT $idCol, $langCol, xent, bucket,
+         CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           ELSE 'tail' END AS bucket_label
+       FROM b ORDER BY $idCol"""
+
   /** Cross-source overlap matrix — corpus diagnostics: shingle-set Jaccard
     * between every pair of sources ("how much do my crawls/dumps overlap
     * before I mix them?"). Shingles hash to 60-bit longs and dedupe to
