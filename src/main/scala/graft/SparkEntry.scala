@@ -1452,6 +1452,46 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ── LLM-pipeline: leakage-safe split — near-dup cluster members NEVER
+    // straddle the train/val/test boundary: membership hashes the CLUSTER
+    // label (min reachable id through the minhash pair graph), so a test
+    // document's near-twin cannot sit in train. Singletons degrade to the
+    // plain md5-of-id carve of q_train_split.
+    "q_leakage_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs,
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      graft.ops.Sampling.leakageSafeSplit(docs, pairs, "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: per-source quota cap (crawl balancing) — at most n
+    // documents per source, the quota going to the best quality scores.
+    // Salted two-stage top-n: the group window never funnels a whole
+    // (head) domain through one task; stage-2 state is n·salts rows per
+    // group, bounded by configuration.
+    "q_source_cap" -> ((s, d) =>
+      graft.ops.Sampling.capPerGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            TextFns.qualityScore(col("text")).as("quality")),
+          "source", Seq(col("quality").desc, col("doc_id").asc), n = 10,
+          saltOn = col("doc_id"), salts = 8)
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: token-budget mixture plan — the data-card accounting
+    // step: per-source token supply vs budgeted demand under target mixture
+    // weights, implied sampling rate, and epochs-over-source (rate > 1 ⇒
+    // the source repeats). One map-combined aggregate + broadcast weights.
+    "q_token_budget_plan" -> ((s, d) => {
+      val weights = (0 until 20).map(i => s"src$i" -> (i + 1).toDouble / 210.0)
+      graft.ops.Sampling.tokenBudgetPlan(Tables.documents(s, d), "source",
+          TextFns.subwordCount(col("text")), weights, budget = 1000000L)
+        .orderBy(col("source"))
+    }),
+
     // ── LLM-pipeline: near-dup probe against the STORED band index. The
     // inverted (band, bandHash) table persists with one chunk per bucket;
     // probing one document reads only its ≤ `bands` bucket directories
@@ -3000,6 +3040,45 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_leakage_safe_split" ->
+      ApproxDedup.leakageSafeSplitOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    "q_source_cap" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+             (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                      AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                          / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                         ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                     THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+           FROM q)
+         SELECT doc_id, source, quality, CAST(rnk AS BIGINT) AS rnk FROM r
+         WHERE rnk <= 10 ORDER BY doc_id""",
+
+    "q_token_budget_plan" ->
+      """WITH a AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '[\s[:punct:]]+'))) AS BIGINT) AS actual_tokens
+           FROM documents GROUP BY source),
+         t AS (
+           SELECT source, n_docs, actual_tokens,
+             CAST(floor(1000000.0 * ((CAST(substring(source, 4) AS INT) + 1) / 210.0)) AS BIGINT) AS target_tokens
+           FROM a)
+         SELECT source, n_docs, actual_tokens, target_tokens,
+           CAST(target_tokens AS DOUBLE) / CAST(actual_tokens AS DOUBLE) AS sample_rate,
+           CAST(ceil(CAST(target_tokens AS DOUBLE) / CAST(actual_tokens AS DOUBLE)) AS BIGINT) AS epochs
+         FROM t ORDER BY source""",
 
     "q_minhash_probe_stored" ->
       """WITH sh AS (

@@ -301,6 +301,41 @@ object ApproxDedup {
        SELECT node AS doc_id, min(rr) AS cluster_id FROM reach
        GROUP BY node ORDER BY doc_id"""
 
+  /** DuckDB oracle for [[Sampling.leakageSafeSplit]] over the FAST-path
+    * pair graph: the [[nearDupClustersFastOracleSql]] closure, cluster
+    * label (own id for singletons) md5-bucketed into the weighted split —
+    * the same bucket formula as the `q_train_split` oracle, keyed on the
+    * GROUP id instead of the document id. */
+  def leakageSafeSplitOracleSql(table: String, idCol: String, textCol: String,
+                                threshold: Double, shingleSize: Int = 3,
+                                k: Int = 24, bands: Int = 6,
+                                estSlack: Double = 0.25, maxBucket: Int = 0,
+                                weights: Seq[(String, Int)] =
+                                  Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                                seed: Long = 7L): String = {
+    val cases = weights.scanLeft(("", 0)) { case ((_, acc), (nm, w)) =>
+      (nm, acc + w) }.tail
+      .map { case (nm, hi) => s"WHEN bk < $hi THEN '$nm'" }.mkString(" ")
+    s"""WITH RECURSIVE ${minhashFastCtes(table, idCol, textCol, threshold,
+                                         shingleSize, k, bands, estSlack,
+                                         maxBucket, seed)},
+         pr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+         e AS (SELECT id1 AS a, id2 AS b FROM pr
+               UNION ALL SELECT id2, id1 FROM pr),
+         reach(node, rr) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.rr = e.a),
+         cl AS (SELECT node AS $idCol, min(rr) AS cluster_id FROM reach GROUP BY node),
+         g AS (SELECT d.$idCol, coalesce(cl.cluster_id, d.$idCol) AS group_id
+               FROM $table d LEFT JOIN cl USING ($idCol)),
+         b AS (SELECT $idCol, group_id,
+                 CAST(('0x' || substring(md5(CAST(group_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bk
+               FROM g)
+       SELECT $idCol, group_id, CASE $cases END AS split
+       FROM b ORDER BY $idCol"""
+  }
+
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
     * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic training-data splits and samples.
@@ -136,5 +136,99 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= col("token_budget"))
       .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-group quota cap — crawl balancing: keep at most `n` rows per group
+    * (domain, source, shard), ranked by `order` (which MUST be a total
+    * order — include an id tiebreak). The Common-Crawl curation guard
+    * against head-domain dominance: no single domain contributes more than
+    * its quota, and the quota goes to the best-ranked documents.
+    *
+    * Group cardinality is typically tiny next to row count (thousands of
+    * domains, billions of rows), so a single window partitioned by group
+    * would funnel whole domains through single tasks. Two stages instead:
+    * a window over (group, salt) — `salts`-way parallel, each partition
+    * ≈ 1/salts of the group — keeps only local top-n survivors, then the
+    * global window ranks the ≤ n·salts survivors per group. Stage-2 state
+    * is bounded by configuration (n·salts rows per group), never by data.
+    * The salt derives from md5 of `saltOn` (deterministic, reshard-stable);
+    * both stages rank by the same total order, so the composition equals
+    * the single-window semantics exactly (top-n distributes over salted
+    * top-n union).
+    */
+  def capPerGroup(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                  order: Seq[Column], n: Int, saltOn: Column,
+                  salts: Int = 64): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(salts > 0, "salts must be positive")
+    val saltC = "__graft_salt"; val rnC = "__graft_rn"
+    require(!df.columns.contains(saltC) && !df.columns.contains(rnC),
+      s"input already has a reserved column ($saltC/$rnC)")
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col(saltC)).orderBy(order: _*)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn(saltC, hashBucket(saltOn, salts))
+      .withColumn(rnC, row_number().over(local))
+      .where(col(rnC) <= n)
+      .drop(saltC, rnC)
+      .withColumn("rnk", row_number().over(global).cast("long"))
+      .where(col("rnk") <= n)
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents NEVER
+    * straddle a split boundary. Membership hashes the near-dup CLUSTER
+    * label (min reachable id through the pair graph,
+    * [[ApproxDedup.nearDupClusters]]) instead of the document id, so a
+    * test document's near-twin cannot sit in train — the standard guard
+    * against split leakage inflating eval scores (cf. Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §6).
+    *
+    * Singletons (no near-dup pair) label as their own id — for them this
+    * degrades to the plain [[splitLabel]] carve. The cluster table is the
+    * paired sliver of the corpus; the join against it shuffles only ids and
+    * labels (AQE broadcasts it when it fits). Same md5-bucket mechanics as
+    * [[splitLabel]]: engine-portable, append-stable, oracle-replayable.
+    */
+  def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
+                       pairs: org.apache.spark.sql.DataFrame, idCol: String,
+                       weights: Seq[(String, Int)]): DataFrame = {
+    val clusters = ApproxDedup.nearDupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.join(clusters, Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", splitLabel(col("group_id"), weights))
+      .drop("cluster_id")
+  }
+
+  /** Token-budget mixture PLAN — the accounting step upstream of
+    * [[mixtureSample]]/[[stratifiedPredicate]]: given target mixture
+    * weights per domain (Pile/DoReMi-style) and a total token budget,
+    * report per domain the actual token supply, the budgeted demand, the
+    * implied sampling rate, and the epoch count (rate above 1 means the
+    * domain repeats — the "epochs over source" number data cards publish).
+    * One map-side-combined aggregate over the corpus plus a broadcast of
+    * the weight table; output is |domains| rows, driver-safe at any scale.
+    */
+  def tokenBudgetPlan(docs: org.apache.spark.sql.DataFrame, domainCol: String,
+                      tokensCol: Column, weights: Seq[(String, Double)],
+                      budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      "weights must be non-empty and non-negative")
+    require(budget >= 0L, "budget must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(domainCol, "weight")
+    docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokensCol.cast("long")).as("actual_tokens"))
+      .join(broadcast(w), Seq(domainCol))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) * col("weight")).cast("long"))
+      .withColumn("sample_rate",
+        col("target_tokens").cast("double") / col("actual_tokens").cast("double"))
+      .withColumn("epochs", ceil(col("sample_rate")).cast("long"))
+      .select(col(domainCol), col("n_docs"), col("actual_tokens"),
+        col("target_tokens"), col("sample_rate"), col("epochs"))
   }
 }

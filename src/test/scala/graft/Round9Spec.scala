@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Round-9 curation-planning operators: per-group quota capping (crawl
+  * balancing), leakage-safe splits, and the token-budget mixture plan. */
+class CapPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.1),
+    ("a", 5L, 0.7), ("b", 6L, 0.3), ("b", 7L, 0.3), ("c", 8L, 1.0))
+    .toDF("grp", "id", "score")
+
+  test("salted two-stage cap equals the single-window top-n") {
+    for (salts <- Seq(1, 3, 16)) {
+      val got = Sampling.capPerGroup(docs, "grp",
+        Seq($"score".desc, $"id".asc), n = 2, saltOn = $"id", salts = salts)
+        .orderBy($"id").as[(String, Long, Double, Long)].collect()
+      val want = docs.withColumn("rnk",
+          row_number().over(Window.partitionBy($"grp")
+            .orderBy($"score".desc, $"id".asc)).cast("long"))
+        .where($"rnk" <= 2)
+        .orderBy($"id").as[(String, Long, Double, Long)].collect()
+      assert(got.sameElements(want), s"salts=$salts")
+    }
+  }
+
+  test("cap keeps at most n per group and ranks within the cap") {
+    val out = Sampling.capPerGroup(docs, "grp",
+      Seq($"score".desc, $"id".asc), n = 2, saltOn = $"id", salts = 4)
+    val perGroup = out.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(perGroup("a") == 2 && perGroup("b") == 2 && perGroup("c") == 1)
+    // group a: ids 1 and 3 tie at 0.9 — id tiebreak keeps both, in order
+    val a = out.where($"grp" === "a").orderBy($"rnk")
+      .select($"id", $"rnk").as[(Long, Long)].collect()
+    assert(a.sameElements(Array((1L, 1L), (3L, 2L))))
+  }
+
+  test("reserved temp-column collision fails fast") {
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(docs.withColumn("__graft_salt", lit(1)), "grp",
+        Seq($"id".asc), n = 1, saltOn = $"id")
+    }
+  }
+}
+
+class LeakageSafeSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val weights = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+  test("near-dup pair members always land in the same split") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1-2-3 plus pair (10,11): all must co-locate with their cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = Sampling.leakageSafeSplit(docs, pairs, "doc_id", weights)
+      .select($"doc_id", $"group_id", $"split")
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.size == 40)
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(byId(10L)._3 == byId(11L)._3 && byId(10L)._2 == 10L)
+  }
+
+  test("singletons degrade to the plain splitLabel carve") {
+    val docs = (1L to 30L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val got = Sampling.leakageSafeSplit(docs, none, "doc_id", weights)
+      .select($"doc_id", $"split").as[(Long, String)].collect().sortBy(_._1)
+    val want = docs.select($"doc_id",
+        Sampling.splitLabel($"doc_id", weights).as("split"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+}
+
+class TokenBudgetPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plan arithmetic: supply, demand, rate, epochs") {
+    val docs = Seq(
+      ("web", 10L), ("web", 30L), ("code", 5L), ("code", 5L), ("books", 400L))
+      .toDF("domain", "n_tok")
+    val out = Sampling.tokenBudgetPlan(docs, "domain", $"n_tok",
+        Seq("web" -> 0.5, "code" -> 0.25, "books" -> 0.25), budget = 400L)
+      .orderBy($"domain")
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+    // books: supply 400, demand 100 → rate 0.25, 1 epoch
+    assert(out(0) == (("books", 1L, 400L, 100L, 0.25, 1L)))
+    // code: supply 10, demand 100 → rate 10, 10 epochs (repeats)
+    assert(out(1) == (("code", 2L, 10L, 100L, 10.0, 10L)))
+    // web: supply 40, demand 200 → rate 5, 5 epochs
+    assert(out(2) == (("web", 2L, 40L, 200L, 5.0, 5L)))
+  }
+
+  test("domains without a weight drop; zero weight keeps the row at rate 0") {
+    val docs = Seq(("web", 10L), ("junk", 99L), ("forum", 5L))
+      .toDF("domain", "n_tok")
+    val out = Sampling.tokenBudgetPlan(docs, "domain", $"n_tok",
+        Seq("web" -> 1.0, "forum" -> 0.0), budget = 100L)
+      .orderBy($"domain")
+      .as[(String, Long, Long, Long, Double, Long)].collect()
+    assert(out.length == 2)
+    assert(out(0) == (("forum", 1L, 5L, 0L, 0.0, 0L)))
+    assert(out(1) == (("web", 1L, 10L, 100L, 10.0, 10L)))
+  }
+}
