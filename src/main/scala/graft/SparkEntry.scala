@@ -1452,6 +1452,25 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ── LLM-pipeline: BM25 top-k retrieval — rank documents against a
+    // bag-of-words query (curation lookups: "which training docs most
+    // resemble this eval prompt"). Token rows filter to the query's terms
+    // BEFORE the tf shuffle; df and (N, avgdl) broadcast; per-term scores
+    // quantize to integer micro-units before the order-free sum.
+    "q_bm25_topk" -> ((s, d) =>
+      graft.ops.Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        query = Seq("table", "scan", "fast", "vector"), k = 15)),
+
+    // ── time-series resample: per-user 6-hour LOCF grid — the classic
+    // gap-fill downsample, composed from the as-of join (grid explode +
+    // ONE keyed shuffle; grid points before a user's first event stay
+    // null). Oracle = DuckDB's native ASOF LEFT JOIN.
+    "q_resample_locf" -> ((s, d) =>
+      graft.ops.Relational.resampleLocf(
+          Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", Seq("value"), "interval 6 hours")
+        .orderBy(col("user_id"), col("grid_ts"))),
+
     // ── LLM-pipeline: leakage-safe split — near-dup cluster members NEVER
     // straddle the train/val/test boundary: membership hashes the CLUSTER
     // label (min reachable id through the minhash pair graph), so a test
@@ -3040,6 +3059,39 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
+           WHERE term IN ('table', 'scan', 'fast', 'vector')
+           GROUP BY 1, 2, 3),
+         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id,
+             CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+               * 1000000.0) AS BIGINT) AS term_score_micro
+           FROM tf JOIN dfq d USING (term) CROSS JOIN stats s)
+         SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+         FROM sc GROUP BY doc_id
+         ORDER BY score_micro DESC, doc_id LIMIT 15""",
+
+    "q_resample_locf" ->
+      """WITH ev AS (SELECT user_id, ts, value FROM events),
+         b AS (SELECT user_id, date_trunc('day', min(ts)) AS t0, max(ts) AS t1
+               FROM ev GROUP BY 1),
+         grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS grid_ts
+                  FROM b)
+         SELECT g.user_id, g.grid_ts, e.value
+         FROM grid g ASOF LEFT JOIN ev e
+           ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+         ORDER BY g.user_id, g.grid_ts""",
 
     "q_leakage_safe_split" ->
       ApproxDedup.leakageSafeSplitOracleSql("documents", "doc_id", "text",

@@ -791,6 +791,56 @@ object Corpus {
     * map-side combine + one equi-join on the term + one per-doc window rank
     * — per-token rows cross the shuffles, never document text.
     */
+  /** BM25 top-k retrieval (Robertson/Sparck Jones; the Okapi BM25 scoring
+    * function): rank documents against a bag-of-words query using
+    * tf·idf with saturation (k1) and length normalization (b). The
+    * retrieval primitive behind data-curation lookups — "which training
+    * documents most resemble this eval prompt" — complementing the
+    * shingle-containment decontaminator with a ranked, partial-match view.
+    *
+    * Scale shape: token rows are filtered to the query's terms BEFORE the
+    * tf shuffle (the only corpus-wide shuffle carries ≤ |query| rows per
+    * doc); document frequencies and the (N, avgdl) stats row are broadcast.
+    * Per-term contributions are quantized to integer micro-units (round ×
+    * 1e6) BEFORE summing — the order-independent-sum trick shared with the
+    * char-entropy/unigram-LM kernels, which also lets an ANSI SQL oracle
+    * replay the score bit-for-bit (ln/÷ agree to far better than 1e-6;
+    * a raw double sum would be partition-order-dependent).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val qTerms = query.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol),
+        TextFns.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("dl"),
+        col("__toks"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl")) // dl integral ⇒ exact sum, order-free avg
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("term_score_micro",
+        round(col("idf") * col("tf") * (lit(k1) + lit(1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))) *
+          lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val tf = docs.select(col(idCol),

@@ -116,6 +116,27 @@ object Relational {
         when(inTol, col("__match").getField(c)).as(c)): _*)
   }
 
+  /** Per-key LOCF resample onto a regular time grid — the classic
+    * time-series downsample/gap-fill: for every key, a grid of `step`-spaced
+    * instants from the key's first observation (truncated to `truncUnit`)
+    * through its last, each carrying the payload of the latest observation
+    * at or before it (last observation carried forward); grid points before
+    * the first observation carry null. Composed from [[asofJoin]], so the
+    * whole operator is the grid explode (∝ keys × grid points, never rows²)
+    * plus as-of's single keyed shuffle.
+    */
+  def resampleLocf(df: DataFrame, keys: Seq[String], timeCol: String,
+                   payload: Seq[String], step: String,
+                   truncUnit: String = "day"): DataFrame = {
+    require(keys.nonEmpty, "resample needs at least one key")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(date_trunc(truncUnit, min(col(timeCol))).as("__t0"),
+        max(col(timeCol)).as("__t1"))
+    val grid = bounds.select(keys.map(col) :+
+      explode(sequence(col("__t0"), col("__t1"), expr(step))).as("grid_ts"): _*)
+    asofJoin(grid, df, keys, "grid_ts", timeCol, payload)
+  }
+
   /** Point-in-interval range join, bucketized: match every `points` row
     * whose `ptCol` falls inside a `intervals` row's `[loCol, hiCol]`
     * (inclusive ends; pass `openEnd=true` for half-open).

@@ -79,6 +79,74 @@ class LeakageSafeSplitSpec extends SparkSpec {
   }
 }
 
+class ResampleLocfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LOCF grid: carries the latest observation, nulls before the first") {
+    val ev = Seq(
+      (1L, "2024-01-01 03:30:00", 10.0),
+      (1L, "2024-01-01 07:00:00", 20.0),
+      (2L, "2024-01-01 13:10:00", 5.0))
+      .toDF("uid", "t", "v")
+      .select($"uid", $"t".cast("timestamp_ntz").as("t"), $"v")
+    val out = graft.ops.Relational.resampleLocf(
+        ev, Seq("uid"), "t", Seq("v"), "interval 6 hours")
+      .orderBy($"uid", $"grid_ts")
+      .select($"uid", $"grid_ts".cast("string"), $"v")
+      .as[(Long, String, Option[Double])].collect()
+    assert(out.sameElements(Array(
+      // uid 1: day-truncated grid 00:00 (before first obs → null), 06:00
+      // (carries 03:30's 10.0); grid stops at 06:00 (12:00 > last obs 07:00)
+      (1L, "2024-01-01 00:00:00", None),
+      (1L, "2024-01-01 06:00:00", Some(10.0)),
+      (2L, "2024-01-01 00:00:00", None),
+      (2L, "2024-01-01 06:00:00", None),
+      (2L, "2024-01-01 12:00:00", None))))
+  }
+
+  test("exact grid-point observation is visible (inclusive as-of)") {
+    val ev = Seq((7L, "2024-03-05 06:00:00", 42.0)).toDF("uid", "t", "v")
+      .select($"uid", $"t".cast("timestamp_ntz").as("t"), $"v")
+    val out = graft.ops.Relational.resampleLocf(
+        ev, Seq("uid"), "t", Seq("v"), "interval 6 hours")
+      .orderBy($"grid_ts")
+      .select($"grid_ts".cast("string"), $"v")
+      .as[(String, Option[Double])].collect()
+    assert(out.sameElements(Array(
+      ("2024-03-05 00:00:00", None), ("2024-03-05 06:00:00", Some(42.0)))))
+  }
+}
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "cat dog cat"), (2L, "dog dog dog dog"), (3L, "bird song"),
+    (4L, "cat")).toDF("id", "text")
+
+  test("matches the hand-computed Okapi BM25 score") {
+    val out = graft.ops.Corpus.bm25TopK(docs, "id", "text",
+        query = Seq("cat"), k = 10)
+      .as[(Long, Long)].collect()
+    // N=4, avgdl=(3+4+2+1)/4=2.5, df(cat)=2, idf=ln(1+(4-2+0.5)/(2+0.5))=ln 2
+    // mirror the engine's runtime association exactly — (1.2 + 1.0) is NOT
+    // the double literal 2.2 (differs in the last ulp)
+    def s(tf: Double, dl: Double): Long =
+      Math.round(math.log(1.0 + (4.0 - 2.0 + 0.5) / 2.5) * tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.5)) * 1e6)
+    assert(out.sameElements(Array((4L, s(1.0, 1.0)), (1L, s(2.0, 3.0)))))
+  }
+
+  test("only query terms shuffle; ties rank by id") {
+    val out = graft.ops.Corpus.bm25TopK(
+        Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("id", "text"),
+        "id", "text", query = Seq("x", "y"), k = 5)
+      .as[(Long, Long)].collect()
+    assert(out.length == 2 && out(0)._1 == 1L && out(1)._1 == 2L)
+    assert(out(0)._2 == out(1)._2) // identical docs → identical score
+  }
+}
+
 class TokenBudgetPlanSpec extends SparkSpec {
   import spark.implicits._
 
