@@ -1452,6 +1452,14 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ── LLM-pipeline: per-source data card — the release-notes summary in
+    // ONE scan + grouped aggregate (exact-unique adds the expand shuffle);
+    // all columns integral (quality in exact micro-units), zero float-
+    // parity risk.
+    "q_data_card" -> ((s, d) =>
+      graft.ops.Corpus.dataCard(Tables.documents(s, d),
+        "source", "lang", "text").orderBy(col("source"))),
+
     // ── LLM-pipeline: BM25 top-k retrieval — rank documents against a
     // bag-of-words query (curation lookups: "which training docs most
     // resemble this eval prompt"). Token rows filter to the query's terms
@@ -3059,6 +3067,29 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_data_card" ->
+      """WITH b AS (
+           SELECT source, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+             CAST((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                        AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                       THEN 1.0 ELSE 0.0 END
+                + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                            / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                           ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                       THEN 1.0 ELSE 0.0 END) / 4.0 * 1000000.0 AS BIGINT) AS qm,
+             md5(lower(trim(text))) AS fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           min(toks) AS min_tokens, max(toks) AS max_tokens,
+           CAST(sum(qm) AS BIGINT) AS sum_quality_micro,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs
+         FROM b GROUP BY source ORDER BY source""",
 
     "q_bm25_topk" ->
       """WITH toks AS (

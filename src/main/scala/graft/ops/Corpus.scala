@@ -791,6 +791,34 @@ object Corpus {
     * map-side combine + one equi-join on the term + one per-doc window rank
     * — per-token rows cross the shuffles, never document text.
     */
+  /** Per-source data card: the one-scan corpus summary a dataset release
+    * publishes per subset — document and token counts, token-length range,
+    * quality mass, language share, and exact-unique document count (dup
+    * rate = 1 − n_unique/n_docs). Every output column is integral (quality
+    * is exact micro-units: the score is a k/4 quarter, so ×1e6 is exact),
+    * so the card has zero float-parity risk across engines.
+    *
+    * One projection feeds one grouped aggregate; `countDistinct` adds the
+    * expand-shuffle for the exact unique count — at 100 TB swap it for
+    * `approx_count_distinct` (same plan minus the expand) when ±2% is
+    * acceptable for the card.
+    */
+  def dataCard(docs: DataFrame, sourceCol: String, langCol: String,
+               textCol: String): DataFrame =
+    docs.select(col(sourceCol), col(langCol),
+        TextFns.tokenCount(col(textCol)).cast("long").as("__toks"),
+        (TextFns.qualityScore(col(textCol)) * lit(1e6)).cast("long").as("__qm"),
+        TextFns.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        min(col("__toks")).as("min_tokens"),
+        max(col("__toks")).as("max_tokens"),
+        sum(col("__qm")).as("sum_quality_micro"),
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_english"),
+        countDistinct(col("__fp")).as("n_unique_docs"))
+
   /** BM25 top-k retrieval (Robertson/Sparck Jones; the Okapi BM25 scoring
     * function): rank documents against a bag-of-words query using
     * tf·idf with saturation (k1) and length normalization (b). The

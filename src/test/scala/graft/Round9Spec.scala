@@ -147,6 +147,32 @@ class Bm25Spec extends SparkSpec {
   }
 }
 
+class DataCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-source card: counts, token range, dup detection, lang share") {
+    val docs = Seq(
+      ("s1", "en", "alpha beta gamma"),
+      ("s1", "en", "Alpha beta GAMMA  "), // same fp after lower+trim
+      ("s1", "fr", "un deux"),
+      ("s2", "en", "solo")).toDF("source", "lang", "text")
+    val out = graft.ops.Corpus.dataCard(docs, "source", "lang", "text")
+      .orderBy($"source")
+      .select($"source", $"n_docs", $"total_tokens", $"min_tokens",
+        $"max_tokens", $"n_english", $"n_unique_docs")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == (("s1", 3L, 8L, 2L, 3L, 2L, 2L)))
+    assert(out(1) == (("s2", 1L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("quality micro-units are exact quarters") {
+    val docs = Seq(("s", "en", "x")).toDF("source", "lang", "text")
+    val qm = graft.ops.Corpus.dataCard(docs, "source", "lang", "text")
+      .select($"sum_quality_micro").as[Long].head()
+    assert(qm % 250000L == 0L) // k/4 score → multiples of 0.25 × 1e6
+  }
+}
+
 class TokenBudgetPlanSpec extends SparkSpec {
   import spark.implicits._
 
