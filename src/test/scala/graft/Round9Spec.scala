@@ -204,3 +204,50 @@ class TokenBudgetPlanSpec extends SparkSpec {
     assert(out(1) == (("web", 1L, 10L, 100L, 10.0, 10L)))
   }
 }
+
+/** Plan-shape audits for the round-9 operators — the structural claims in
+  * SCALE.md, asserted so they cannot silently regress. */
+class Round9PlanSpec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bm25: df/stats broadcast, top-k is TakeOrdered, no BNLJ") {
+    val plan = SparkEntry.queries("q_bm25_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"df/stats must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected BNLJ beyond the single-row stats cross:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
+  }
+
+  test("capPerGroup plans exactly TWO exchanges (salted local + global)") {
+    val df = Seq(("a", 1L, 0.5), ("a", 2L, 0.7), ("b", 3L, 0.1))
+      .toDF("grp", "id", "score")
+    val plan = graft.ops.Sampling.capPerGroup(df, "grp",
+        Seq($"score".desc, $"id".asc), n = 2, saltOn = $"id", salts = 4)
+      .queryExecution.executedPlan.toString
+    val n = plan.linesIterator.count(_.contains("Exchange "))
+    assert(n == 2, s"capPerGroup must shuffle exactly twice, got $n:\n$plan")
+    assert(!plan.contains("Join"), s"capPerGroup must not join:\n$plan")
+  }
+
+  test("dataCard: one scan, no join, bounded exchanges") {
+    val q = SparkEntry.queries("q_data_card")(spark, sf).queryExecution
+    val plan = q.executedPlan.toString
+    assert(!plan.contains("Join"), s"dataCard must not join:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"dataCard must scan ONCE, got $scans:\n$plan")
+  }
+
+  test("resampleLocf: no join node, no cartesian (asof composition)") {
+    val plan = SparkEntry.queries("q_resample_locf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"resample must stay an as-of union+window, not a product:\n$plan")
+  }
+}
