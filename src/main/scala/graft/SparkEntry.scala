@@ -1452,6 +1452,21 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ── LLM-pipeline: quality-aware near-dup survivor selection — keep the
+    // BEST member of each near-dup cluster (score desc, id tiebreak), via
+    // the skew-proof max-struct hash aggregate (no window: a mega-cluster
+    // costs its reducer one struct, not a sort).
+    "q_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.keepBestPerCluster(
+          docs.withColumn("quality", TextFns.qualityScore(col("text"))),
+          pairs, "doc_id", "quality")
+        .orderBy(col("cluster_id"))
+    }),
+
     // ── LLM-pipeline: per-source data card — the release-notes summary in
     // ONE scan + grouped aggregate (exact-unique adds the expand shuffle);
     // all columns integral (quality in exact micro-units), zero float-
@@ -3067,6 +3082,22 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_dedup_keep_best" ->
+      ApproxDedup.keepBestOracleSql("documents", "doc_id", "text",
+        scoreSql =
+          """(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                    AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                   THEN 1.0 ELSE 0.0 END
+            + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                        / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                       ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                   THEN 1.0 ELSE 0.0 END) / 4.0""",
+        scoreName = "quality",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
 
     "q_data_card" ->
       """WITH b AS (

@@ -336,6 +336,62 @@ object ApproxDedup {
        FROM b ORDER BY $idCol"""
   }
 
+  /** Near-dup dedup with QUALITY-AWARE survivor selection: one document per
+    * near-dup cluster — the member with the highest `scoreCol` (ties break
+    * to the lowest id), singletons surviving as themselves. The curation
+    * counterpart of [[nearDupClusters]]' min-id representative: "of these
+    * five near-copies, keep the best one", the policy Lee et al. 2022-style
+    * pipelines apply after clustering.
+    *
+    * Selection is the skew-proof max-struct HASH AGGREGATE (same kernel as
+    * the dedup-ranking path — map-side combined, no window, so a pathological
+    * mega-cluster costs its reducer one struct, not a sort): lexicographic
+    * max of (score, −id) ≡ rank-1 of (score DESC, id ASC).
+    */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
+                         scoreCol: String): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.select(col(idCol), col(scoreCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as(idCol),
+        col("b.s").as(scoreCol))
+  }
+
+  /** DuckDB oracle for [[keepBestPerCluster]] over the FAST-path pair graph:
+    * the [[nearDupClustersFastOracleSql]] closure, then rank-1 per cluster
+    * under (score DESC, id ASC) — provably the same selection as the
+    * max-struct aggregate. `scoreSql` is the score expression over a row of
+    * `table` (referenced as `d`). */
+  def keepBestOracleSql(table: String, idCol: String, textCol: String,
+                        scoreSql: String, scoreName: String, threshold: Double,
+                        shingleSize: Int = 3, k: Int = 24, bands: Int = 6,
+                        estSlack: Double = 0.25, maxBucket: Int = 0,
+                        seed: Long = 7L): String =
+    s"""WITH RECURSIVE ${minhashFastCtes(table, idCol, textCol, threshold,
+                                         shingleSize, k, bands, estSlack,
+                                         maxBucket, seed)},
+         pr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+         e AS (SELECT id1 AS a, id2 AS b FROM pr
+               UNION ALL SELECT id2, id1 FROM pr),
+         reach(node, rr) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.rr = e.a),
+         cl AS (SELECT node AS $idCol, min(rr) AS cluster_id FROM reach GROUP BY node),
+         g AS (SELECT d.$idCol, coalesce(cl.cluster_id, d.$idCol) AS cluster_id,
+                      ($scoreSql) AS $scoreName
+               FROM $table d LEFT JOIN cl USING ($idCol)),
+         r AS (SELECT cluster_id, $idCol, $scoreName,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY $scoreName DESC, $idCol) AS rn
+               FROM g)
+       SELECT cluster_id, $idCol, $scoreName FROM r WHERE rn = 1
+       ORDER BY cluster_id"""
+
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
     * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle

@@ -251,3 +251,22 @@ class Round9PlanSpec extends SparkSpec {
       s"resample must stay an as-of union+window, not a product:\n$plan")
   }
 }
+
+class KeepBestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps the highest-scoring member per cluster, ties to lowest id") {
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),  // cluster {1,2,3} → 2 (tie 2 vs 3)
+      (10L, 0.1), (11L, 0.8),           // cluster {10,11} → 11
+      (20L, 0.0))                       // singleton → itself
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val out = graft.ops.ApproxDedup.keepBestPerCluster(
+        docs, pairs, "doc_id", "score")
+      .orderBy($"cluster_id")
+      .as[(Long, Long, Double)].collect()
+    assert(out.sameElements(Array(
+      (1L, 2L, 0.9), (10L, 11L, 0.8), (20L, 20L, 0.0))))
+  }
+}
