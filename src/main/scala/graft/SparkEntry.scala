@@ -1452,6 +1452,41 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ── LLM-pipeline: the BM25 inverted index maintained INCREMENTALLY as
+    // a derived pipe — postings (doc, term, tf, dl) partitioned by md5 term
+    // bucket, per-batch (n_docs, sum_dl) stats rows that FOLD at probe time
+    // (sum-mergeable, so blind appends == full rebuild). The probe reads
+    // only the query terms' ≤ q bucket directories and scores with the
+    // SAME code path as q_bm25_topk — the full-corpus oracle replays it.
+    "q_bm25_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = Seq("table", "scan", "window")
+      val buckets = 16
+      def postings(df: DataFrame) =
+        graft.ops.Corpus.bm25Postings(df, "doc_id", "text", buckets)
+      val root = java.nio.file.Files.createTempDirectory("graft_bm25_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val pSpec = PipeSpec(PipeKeys("idx", "bm25_postings"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val sSpec = PipeSpec(PipeKeys("idx", "bm25_stats"),
+        columns = ColumnRoles(Map("datetime" -> "batch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val half0 = docs.where(col("doc_id") % 2 === 0)
+      val half1 = docs.where(col("doc_id") % 2 === 1)
+      eng.sync(pSpec, postings(half0), checkExisting = false)
+      eng.sync(sSpec, graft.ops.Corpus.bm25BatchStats(half0, "text", 0L),
+        checkExisting = false)
+      eng.sync(pSpec, postings(half1), checkExisting = false)
+      eng.sync(sSpec, graft.ops.Corpus.bm25BatchStats(half1, "text", 1L),
+        checkExisting = false)
+      val qBuckets = q.map(t =>
+        graft.ops.Sampling.hashBucketValue(t.toLowerCase, buckets)).distinct
+      graft.ops.Corpus.bm25ProbeStored(
+        eng.storage(pSpec).readIn(qBuckets),
+        eng.getData(sSpec), "doc_id", q, k = 12)
+    }),
+
     // ── LLM-pipeline: quality-aware near-dup survivor selection — keep the
     // BEST member of each near-dup cluster (score desc, id tiebreak), via
     // the skew-proof max-struct hash aggregate (no window: a mega-cluster
@@ -3123,26 +3158,14 @@ object SparkEntry {
          FROM b GROUP BY source ORDER BY source""",
 
     "q_bm25_topk" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
-         base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
-         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
-         tf AS (
-           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
-           FROM (SELECT doc_id, dl, unnest(t) AS term FROM base)
-           WHERE term IN ('table', 'scan', 'fast', 'vector')
-           GROUP BY 1, 2, 3),
-         dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-         sc AS (
-           SELECT tf.doc_id,
-             CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * tf.tf * (1.2 + 1.0)
-               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
-               * 1000000.0) AS BIGINT) AS term_score_micro
-           FROM tf JOIN dfq d USING (term) CROSS JOIN stats s)
-         SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS score_micro
-         FROM sc GROUP BY doc_id
-         ORDER BY score_micro DESC, doc_id LIMIT 15""",
+      graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
+        terms = Seq("table", "scan", "fast", "vector"), k = 15),
+
+    // incremental postings build == full rebuild, so the stored-index probe
+    // replays as full-corpus BM25 over the same query
+    "q_bm25_index_sync" ->
+      graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
+        terms = Seq("table", "scan", "window"), k = 12),
 
     "q_resample_locf" ->
       """WITH ev AS (SELECT user_id, ts, value FROM events),

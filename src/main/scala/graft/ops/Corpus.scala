@@ -854,6 +854,15 @@ object Corpus {
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
+    bm25Rank(tf, dfreq, stats, idCol, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail: tf rows × broadcast df × broadcast
+    * (N, avgdl) stats, micro-unit quantization, order-free sum, TakeOrdered.
+    * ONE implementation so the in-plan path ([[bm25TopK]]) and the
+    * stored-index probe score with bit-identical association. */
+  private def bm25Rank(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                       idCol: String, k: Int, k1: Double, b: Double): DataFrame =
     tf.join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
@@ -867,6 +876,83 @@ object Corpus {
       .agg(sum(col("term_score_micro")).as("score_micro"))
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
+
+  /** The PERSISTABLE inverted index behind [[bm25ProbeStored]]: one row per
+    * (document, distinct term) carrying tf, the document length, and an
+    * md5-derived term BUCKET fit for use as the partition axis. All postings
+    * of a term land in ONE bucket, so probing a q-term query reads ≤ q
+    * bucket directories. Build cost: the (doc, term) tf aggregate — one
+    * map-combined shuffle; incremental maintenance is a blind append (new
+    * docs contribute only their own rows). */
+  def bm25Postings(docs: DataFrame, idCol: String, textCol: String,
+                   buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    docs.select(col(idCol), TextFns.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", Sampling.hashBucket(col("term"), buckets))
+  }
+
+  /** Per-batch corpus stats for the stored BM25 index: (n_docs, sum_dl)
+    * rows are SUM-MERGEABLE, so incremental batches blind-append and the
+    * probe folds them — N and avgdl over the union equal the full-corpus
+    * values exactly (dl sums are integral). */
+  def bm25BatchStats(docs: DataFrame, textCol: String, batch: Long): DataFrame =
+    docs.select(TextFns.tokenCount(col(textCol)).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(lit(batch).as("batch"), col("n_docs"), col("sum_dl"))
+
+  /** Score a query against a STORED postings slice (the ≤ q bucket
+    * directories holding the query's terms, already read back — the corpus
+    * is never re-tokenized). `statsRows` are the accumulated
+    * [[bm25BatchStats]] rows. Equals [[bm25TopK]] over the full corpus by
+    * construction: tf/dl/df/N/avgdl are the same numbers, and the scoring
+    * tail is literally the same code. */
+  def bm25ProbeStored(postings: DataFrame, statsRows: DataFrame,
+                      idCol: String, query: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query terms must be non-empty")
+    val qTerms = query.map(_.toLowerCase).distinct
+    val tf = postings.where(col("term").isin(qTerms: _*))
+      .select(col(idCol), col("dl").cast("double").as("dl"), col("term"),
+        col("tf").cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = statsRows.agg(
+        sum(col("n_docs")).as("__n"), sum(col("sum_dl")).as("__s"))
+      .select(col("__n").cast("double").as("n_docs"),
+        (col("__s").cast("double") / col("__n").cast("double")).as("avgdl"))
+    bm25Rank(tf, dfreq, stats, idCol, k, k1, b)
+  }
+
+  /** DuckDB oracle replaying [[bm25TopK]] (and therefore the stored-index
+    * probe, which equals it) — same tokenization, same association, same
+    * micro-unit rounding. */
+  def bm25OracleSql(table: String, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int): String = {
+    val in = terms.map(_.toLowerCase).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+         SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS t FROM $table),
+       base AS (SELECT $idCol, CAST(len(t) AS DOUBLE) AS dl, t FROM toks),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+       tf AS (
+         SELECT $idCol, dl, term, CAST(count(*) AS DOUBLE) AS tf
+         FROM (SELECT $idCol, dl, unnest(t) AS term FROM base)
+         WHERE term IN ($in)
+         GROUP BY 1, 2, 3),
+       dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       sc AS (
+         SELECT tf.$idCol,
+           CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+             * 1000000.0) AS BIGINT) AS term_score_micro
+         FROM tf JOIN dfq d USING (term) CROSS JOIN stats s)
+       SELECT $idCol, CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+       FROM sc GROUP BY $idCol
+       ORDER BY score_micro DESC, $idCol LIMIT $k"""
   }
 
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,

@@ -20,6 +20,16 @@ object Sampling {
     pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
 
+  /** Driver-side mirror of [[hashBucket]] for string values — lets a probe
+    * compute WHICH buckets a handful of keys land in (partition pruning)
+    * without a Spark job. Bit-identical to the Column form. */
+  def hashBucketValue(v: String, buckets: Int = 100): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = digest.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % buckets
+  }
+
   /** Split label from integer weights over a `buckets`-wide hash space,
     * e.g. `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. Buckets beyond
     * the weighted range (when weights sum below `buckets`) label null —

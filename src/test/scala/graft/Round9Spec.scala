@@ -270,3 +270,35 @@ class KeepBestSpec extends SparkSpec {
       (1L, 2L, 0.9), (10L, 11L, 0.8), (20L, 20L, 0.0))))
   }
 }
+
+class Bm25StoredIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("driver-side hashBucketValue mirrors the Column hashBucket") {
+    val vals = Seq("table", "scan", "window", "a", "ünïcode", "")
+    val fromCol = vals.toDF("v")
+      .select($"v", graft.ops.Sampling.hashBucket($"v", 16).as("b"))
+      .as[(String, Long)].collect().toMap
+    vals.foreach { v =>
+      assert(graft.ops.Sampling.hashBucketValue(v, 16) == fromCol(v), v)
+    }
+  }
+
+  test("stored-postings probe equals the in-plan bm25TopK") {
+    val docs = Seq(
+      (1L, "cat dog cat fish"), (2L, "dog dog"), (3L, "cat bird"),
+      (4L, "fish cat cat"), (5L, "unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val q = Seq("cat", "fish")
+    val postings = graft.ops.Corpus.bm25Postings(docs, "doc_id", "text", 4)
+    val stats = graft.ops.Corpus.bm25BatchStats(docs, "text", 0L)
+    // probe only the buckets the query terms hash into (pruning simulated)
+    val qb = q.map(graft.ops.Sampling.hashBucketValue(_, 4)).distinct
+    val slice = postings.where($"bucket".isin(qb: _*))
+    val got = graft.ops.Corpus.bm25ProbeStored(slice, stats, "doc_id", q, 10)
+      .as[(Long, Long)].collect()
+    val want = graft.ops.Corpus.bm25TopK(docs, "doc_id", "text", q, 10)
+      .as[(Long, Long)].collect()
+    assert(got.sameElements(want))
+  }
+}
