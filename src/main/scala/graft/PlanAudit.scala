@@ -69,7 +69,16 @@ object PlanAudit {
        "per-query ADC tables are projections (no driver work per query), the " +
        "cell equi-join prunes the corpus with only (id, cell, codes) crossing " +
        "it, and two qid-keyed windows rank ADC candidates then exact-cosine " +
-       "rerank. No cartesian product, no collect anywhere in the plan."))
+       "rerank. No cartesian product, no collect anywhere in the plan."),
+    "q_bm25_topk" ->
+      ("BM25 retrieval: the tf aggregate shuffles only rows already filtered " +
+       "to the query's terms; document frequencies and the single (N, avgdl) " +
+       "stats row arrive via BroadcastExchange; the top-k is " +
+       "TakeOrderedAndProject — no global sort, no wide join."),
+    "q_data_card" ->
+      ("Per-source data card: ONE parquet scan feeds one grouped aggregate " +
+       "(the exact-unique count adds the Expand); no join anywhere — the " +
+       "whole corpus summary is a single pass."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
