@@ -1519,6 +1519,17 @@ object SparkEntry {
       graft.ops.Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         query = Seq("table", "scan", "fast", "vector"), k = 15)),
 
+    // ── time-series rolling window: per-user trailing-24h count + sum —
+    // ONE user-keyed window shuffle with a RANGE frame over exact epoch
+    // micros; the summed value quantizes to micro-longs first, so the
+    // result is exact under ANY frame-evaluation strategy (slide,
+    // recompute, segment tree) and the oracle replays it.
+    "q_rolling_24h" -> ((s, d) =>
+      graft.ops.Relational.rollingWindow(
+          Tables.events(s, d).select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", windowUs = 24L * 3600 * 1000000L)
+        .orderBy(col("user_id"), col("ts"))),
+
     // ── time-series resample: per-user 6-hour LOCF grid — the classic
     // gap-fill downsample, composed from the as-of join (grid explode +
     // ONE keyed shuffle; grid points before a user's first event stay
@@ -3166,6 +3177,19 @@ object SparkEntry {
     "q_bm25_index_sync" ->
       graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
         terms = Seq("table", "scan", "window"), k = 12),
+
+    "q_rolling_24h" ->
+      """WITH e AS (
+           SELECT user_id, ts, value, epoch_us(ts) AS us,
+             CAST(round(value * 1000000.0) AS BIGINT) AS vm
+           FROM events)
+         SELECT user_id, ts, value,
+           count(*) OVER w AS n_window,
+           CAST(sum(vm) OVER w AS BIGINT) AS sum_micro_window
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts""",
 
     "q_resample_locf" ->
       """WITH ev AS (SELECT user_id, ts, value FROM events),

@@ -116,6 +116,31 @@ object Relational {
         when(inTol, col("__match").getField(c)).as(c)): _*)
   }
 
+  /** Per-key trailing-window rolling aggregates: for every row, the count
+    * and sum of `valueCol` over the half-open-at-the-left, inclusive window
+    * `[t − window, t]` of the SAME key — per-user activity rates, rolling
+    * exposure, API-limit windows. One window shuffle keyed on `keys` with a
+    * RANGE frame over exact epoch micros.
+    *
+    * The summed value is quantized to integer micro-units FIRST: long sums
+    * are exact under ANY evaluation tree, so the result is independent of
+    * whether the engine slides, recomputes, or segment-trees the frame —
+    * and an ANSI SQL oracle replays it exactly (a raw double sum would
+    * differ in ulps between frame strategies).
+    */
+  def rollingWindow(df: DataFrame, keys: Seq[String], timeCol: String,
+                    valueCol: String, windowUs: Long): DataFrame = {
+    require(keys.nonEmpty, "rolling window needs at least one key")
+    require(windowUs >= 0, "window must be non-negative")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__us"))
+      .rangeBetween(-windowUs, 0)
+    df.withColumn("__us", graft.dsl.RoundTime.epochMicros(col(timeCol)))
+      .withColumn("__vm", round(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_micro_window", sum(col("__vm")).over(w))
+      .drop("__us", "__vm")
+  }
+
   /** Per-key LOCF resample onto a regular time grid — the classic
     * time-series downsample/gap-fill: for every key, a grid of `step`-spaced
     * instants from the key's first observation (truncated to `truncUnit`)

@@ -302,3 +302,27 @@ class Bm25StoredIndexSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 }
+
+class RollingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trailing range frame: inclusive current row, left edge inclusive") {
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.5),
+      (1L, "2024-01-01 10:00:00", 2.0),
+      (1L, "2024-01-02 10:00:00", 4.0),  // 00:00 falls OUT (>24h), 10:00 IN (exactly 24h)
+      (2L, "2024-01-01 05:00:00", -1.25))
+      .toDF("uid", "t", "v")
+      .select($"uid", $"t".cast("timestamp_ntz").as("t"), $"v")
+    val out = graft.ops.Relational.rollingWindow(
+        ev, Seq("uid"), "t", "v", windowUs = 24L * 3600 * 1000000L)
+      .orderBy($"uid", $"t")
+      .select($"uid", $"n_window", $"sum_micro_window")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sameElements(Array(
+      (1L, 1L, 1500000L),
+      (1L, 2L, 3500000L),
+      (1L, 2L, 6000000L),   // 10:00 day1 (exactly -24h, inclusive) + itself
+      (2L, 1L, -1250000L))))
+  }
+}
