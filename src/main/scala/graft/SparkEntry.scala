@@ -1519,6 +1519,32 @@ object SparkEntry {
       graft.ops.Corpus.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         query = Seq("table", "scan", "fast", "vector"), k = 15)),
 
+    // ── LLM-pipeline: language-ID confusion matrix — the model-eval
+    // harness over the labeled corpus (which langs the n-gram heuristic
+    // confuses). One scan-fused prediction projection + one grouped count.
+    "q_langid_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), TextFns.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // ── analytics: cohort retention over events — users grouped by their
+    // first-activity day, counted distinct per whole-week offset. All
+    // integer arithmetic (epoch-micro div), so the oracle is exact; two
+    // aggregates + one id-keyed join.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("__us", graft.dsl.RoundTime.epochMicros(col("ts")))
+        .withColumn("__cus", graft.dsl.RoundTime.epochMicros(col("cohort_day")))
+        .withColumn("week_offset", expr("(__us - __cus) div 604800000000"))
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    }),
+
     // ── time-series rolling window: per-user trailing-24h count + sum —
     // ONE user-keyed window shuffle with a RANGE frame over exact epoch
     // micros; the summed value quantizes to micro-longs first, so the
@@ -3177,6 +3203,36 @@ object SparkEntry {
     "q_bm25_index_sync" ->
       graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
         terms = Seq("table", "scan", "window"), k = 12),
+
+    "q_langid_confusion" ->
+      """WITH h AS (SELECT lang,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['der','die','das','und','ist','ein','eine','zu','den','von'])) AS h_de,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['the','a','of','and','to','in','is','it','that','for'])) AS h_en,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['el','la','de','que','y','en','un','una','es','por'])) AS h_es,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])) AS h_fr,
+           len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人'])) AS h_zh
+           FROM documents),
+         p AS (SELECT lang, CASE
+           WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+           WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+           WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+           WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+           WHEN h_fr >= h_zh THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+           FROM h)
+         SELECT lang, pred_lang, count(*) AS cnt FROM p
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_cohort_retention" ->
+      """WITH f AS (
+           SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+           FROM events GROUP BY 1),
+         j AS (
+           SELECT e.user_id, f.cohort_day,
+             (epoch_us(e.ts) - epoch_us(f.cohort_day)) // 604800000000 AS week_offset
+           FROM events e JOIN f USING (user_id))
+         SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_rolling_24h" ->
       """WITH e AS (
