@@ -1545,6 +1545,15 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("week_offset"))
     }),
 
+    // ── analytics: strictly-ordered event funnel — step k counts only
+    // strictly after step k−1's first completion. One pre-filtered
+    // id-keyed aggregate per step; |steps| output rows.
+    "q_event_funnel" -> ((s, d) =>
+      graft.ops.Relational.funnel(Tables.events(s, d),
+          "user_id", "event_type", "ts",
+          steps = Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step"))),
+
     // ── time-series rolling window: per-user trailing-24h count + sum —
     // ONE user-keyed window shuffle with a RANGE frame over exact epoch
     // micros; the summed value quantizes to micro-longs first, so the
@@ -3233,6 +3242,22 @@ object SparkEntry {
            FROM events e JOIN f USING (user_id))
          SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+         SELECT * FROM (
+           SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+           UNION ALL SELECT '2_view', count(*) FROM s2
+           UNION ALL SELECT '3_click', count(*) FROM s3
+           UNION ALL SELECT '4_purchase', count(*) FROM s4)
+         ORDER BY step""",
 
     "q_rolling_24h" ->
       """WITH e AS (

@@ -116,6 +116,37 @@ object Relational {
         when(inTol, col("__match").getField(c)).as(c)): _*)
   }
 
+  /** Ordered event funnel: how many entities completed step k of a strictly
+    * ordered step sequence — step k counts only if it happened STRICTLY
+    * after the entity's step k−1 completion (first qualifying occurrence
+    * each). The classic product-analytics funnel, composed relationally so
+    * the SQL oracle states the same fixpoint: t₁ = min ts of step 1,
+    * tₖ = min ts of step k with ts > tₖ₋₁.
+    *
+    * One key-partitioned aggregate per step, each over the PRE-FILTERED
+    * step slice (the type predicate pushes to the scan); joins are keyed on
+    * the entity id, and each step's frame shrinks monotonically. Output is
+    * |steps| rows.
+    */
+  def funnel(events: DataFrame, idCol: String, typeCol: String,
+             timeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    var reached = events.where(col(typeCol) === lit(steps.head))
+      .groupBy(col(idCol)).agg(min(col(timeCol)).as("__t"))
+    val width = steps.length.toString.length
+    def label(i: Int) = s"%0${width}d_%s".format(i + 1, steps(i))
+    var out = reached.select(lit(label(0)).as("step"), col(idCol))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = events.where(col(typeCol) === lit(st))
+        .join(reached, Seq(idCol))
+        .where(col(timeCol) > col("__t"))
+        .groupBy(col(idCol)).agg(min(col(timeCol)).as("__t"))
+      out = out.unionByName(reached.select(lit(label(i)).as("step"), col(idCol)))
+    }
+    out.groupBy(col("step")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-key trailing-window rolling aggregates: for every row, the count
     * and sum of `valueCol` over the half-open-at-the-left, inclusive window
     * `[t − window, t]` of the SAME key — per-user activity rates, rolling

@@ -326,3 +326,36 @@ class RollingWindowSpec extends SparkSpec {
       (2L, 1L, -1250000L))))
   }
 }
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strict ordering: later steps require earlier completion first") {
+    def t(x: String) = s"2024-01-01 $x:00:00"
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "a", t("01")), (1L, "b", t("02")), (1L, "c", t("03")),
+      // user 2: b BEFORE a — b must not count
+      (2L, "b", t("01")), (2L, "a", t("02")),
+      // user 3: a and b, c missing
+      (3L, "a", t("01")), (3L, "b", t("05")),
+      // user 4: never did a
+      (4L, "b", t("01")), (4L, "c", t("02")))
+      .toDF("uid", "et", "ts")
+      .select($"uid", $"et", $"ts".cast("timestamp_ntz").as("ts"))
+    val out = graft.ops.Relational.funnel(ev, "uid", "et", "ts",
+        Seq("a", "b", "c"))
+      .orderBy($"step").as[(String, Long)].collect()
+    assert(out.sameElements(Array(("1_a", 3L), ("2_b", 2L), ("3_c", 1L))))
+  }
+
+  test("same-timestamp step does NOT count (strictly after)") {
+    val ev = Seq((1L, "a", "2024-01-01 01:00:00"),
+                 (1L, "b", "2024-01-01 01:00:00"))
+      .toDF("uid", "et", "ts")
+      .select($"uid", $"et", $"ts".cast("timestamp_ntz").as("ts"))
+    val out = graft.ops.Relational.funnel(ev, "uid", "et", "ts", Seq("a", "b"))
+      .orderBy($"step").as[(String, Long)].collect()
+    assert(out.sameElements(Array(("1_a", 1L))))
+  }
+}
