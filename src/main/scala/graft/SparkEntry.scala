@@ -1281,6 +1281,17 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ── LLM-pipeline: multimodal content-hash dedup — duplicate media
+    // payloads (opaque binary) collapse onto their sha-256; one hash agg
+    // keyed on the digest, payload bytes never shuffle (the hash does).
+    "q_media_dedup" -> ((s, d) => {
+      val media = Media.fromDocuments(s, Tables.documents(s, d)).toDF()
+      media.select(col("media_id"), sha2(col("payload"), 256).as("content_sha256"))
+        .groupBy(col("content_sha256"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keeper_id"))
+        .orderBy(col("content_sha256"))
+    }),
+
     "q_na_canonicalize" -> ((s, d) => {
       // NA-marker strings → NULL (diff canonicalizer), §2.8
       val ev = Tables.events(s, d).withColumn("event_type",
@@ -3242,6 +3253,13 @@ object SparkEntry {
            FROM events e JOIN f USING (user_id))
          SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // DuckDB sha256 over VARCHAR hashes the UTF-8 bytes — the same bytes
+    // Spark's string→binary cast feeds sha2
+    "q_media_dedup" ->
+      """SELECT sha256(text) AS content_sha256,
+         count(*) AS n_copies, min(doc_id) AS keeper_id
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
