@@ -1498,6 +1498,27 @@ object SparkEntry {
         eng.getData(sSpec), "doc_id", q, k = 12)
     }),
 
+    // ── LLM-pipeline: SOFT dedup — weight each doc by 1/|near-dup cluster|
+    // (micro-units) instead of dropping: the cluster's total training
+    // influence equals one document's while all text stays visible.
+    "q_soft_dedup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.softDedupWeights(docs, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: winnowing MATCH pairs (the MOSS composition) — doc
+    // pairs sharing ≥ minShared fingerprints; boilerplate fps (> maxDocs
+    // docs) drop BEFORE the self-join, so a ubiquitous fingerprint cannot
+    // go quadratic.
+    "q_winnow_pairs" -> ((s, d) =>
+      graft.ops.Corpus.winnowMatchPairs(Tables.documents(s, d),
+          "doc_id", "text", k = 8, w = 4, minShared = 5, maxDocsPerFp = 10)
+        .orderBy(col("id1"), col("id2"))),
+
     // ── LLM-pipeline: quality-aware near-dup survivor selection — keep the
     // BEST member of each near-dup cluster (score desc, id tiebreak), via
     // the skew-proof max-struct hash aggregate (no window: a mega-cluster
@@ -3174,6 +3195,28 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_soft_dedup_weights" ->
+      ApproxDedup.softDedupWeightsOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    "q_winnow_pairs" ->
+      """WITH h AS (
+           SELECT doc_id, list_transform(generate_series(1, greatest(length(lower(text))-8+1, 0)),
+             i -> CAST(('0x' || substring(md5(substring(lower(text), i, 8)), 1, 8)) AS BIGINT)) AS hs
+           FROM documents),
+         sel AS (
+           SELECT doc_id, CASE WHEN len(hs) < 4 THEN list_distinct(hs)
+             ELSE list_distinct(list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3]))) END AS fps
+           FROM h),
+         u AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+         rare AS (SELECT fp FROM u GROUP BY fp HAVING count(*) <= 10)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared_fps
+         FROM u a JOIN rare r ON a.fp = r.fp
+                  JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5
+         ORDER BY id1, id2""",
 
     "q_dedup_keep_best" ->
       ApproxDedup.keepBestOracleSql("documents", "doc_id", "text",

@@ -392,6 +392,57 @@ object ApproxDedup {
        SELECT cluster_id, $idCol, $scoreName FROM r WHERE rn = 1
        ORDER BY cluster_id"""
 
+  /** SOFT dedup: instead of dropping near-duplicates, weight every document
+    * by 1/|its near-dup cluster| (integer micro-units) — the re-weighting
+    * policy that keeps all text visible to training while the cluster's
+    * TOTAL influence equals one document's. Singletons weigh 1.0. Same
+    * cluster machinery as [[nearDupClusters]]; the extra cost is one
+    * |clusters|-row aggregate and an id-keyed join against the paired
+    * sliver of the corpus.
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+                       idCol: String): DataFrame = {
+    val cl = nearDupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .withColumn("weight_micro",
+        round(lit(1e6) / col("cluster_size")).cast("long"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        col("weight_micro"))
+  }
+
+  /** DuckDB oracle for [[softDedupWeights]] over the FAST-path pair graph. */
+  def softDedupWeightsOracleSql(table: String, idCol: String, textCol: String,
+                                threshold: Double, shingleSize: Int = 3,
+                                k: Int = 24, bands: Int = 6,
+                                estSlack: Double = 0.25, maxBucket: Int = 0,
+                                seed: Long = 7L): String =
+    s"""WITH RECURSIVE ${minhashFastCtes(table, idCol, textCol, threshold,
+                                         shingleSize, k, bands, estSlack,
+                                         maxBucket, seed)},
+         pr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+         e AS (SELECT id1 AS a, id2 AS b FROM pr
+               UNION ALL SELECT id2, id1 FROM pr),
+         reach(node, rr) AS (
+           SELECT a, a FROM e
+           UNION
+           SELECT reach.node, e.b FROM reach JOIN e ON reach.rr = e.a),
+         cl AS (SELECT node AS $idCol, min(rr) AS cluster_id FROM reach GROUP BY node),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+         g AS (SELECT d.$idCol, coalesce(cl.cluster_id, d.$idCol) AS cluster_id,
+                      coalesce(sz.cluster_size, 1) AS cluster_size
+               FROM $table d LEFT JOIN cl USING ($idCol)
+                             LEFT JOIN sz ON cl.cluster_id = sz.cluster_id)
+       SELECT $idCol, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         CAST(round(1000000.0 / cluster_size) AS BIGINT) AS weight_micro
+       FROM g ORDER BY $idCol"""
+
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
     * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle

@@ -955,6 +955,33 @@ object Corpus {
        ORDER BY score_micro DESC, $idCol LIMIT $k"""
   }
 
+  /** Winnowing MATCH pairs (the MOSS composition, SIGMOD 2003 §5): document
+    * pairs sharing at least `minShared` winnowing fingerprints — the
+    * plagiarism/copy-candidate detector built on the same fingerprint rows
+    * [[winnowFingerprints]] persists. Fingerprints shared by more than
+    * `maxDocsPerFp` documents are boilerplate and drop BEFORE the
+    * self-join (the hot-bucket cap of the minhash path — a ubiquitous
+    * fingerprint cannot go quadratic); candidate fanout per surviving
+    * fingerprint is then ≤ maxDocsPerFp². One fp-keyed equi-join + one
+    * pair-keyed count — never an all-pairs comparison.
+    */
+  def winnowMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int, minShared: Int,
+                       maxDocsPerFp: Int): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    require(maxDocsPerFp >= 2, "maxDocsPerFp must allow at least a pair")
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxDocsPerFp).select(col("fp"))
+    val pruned = fps.join(rare, Seq("fp"))
+    pruned.select(col("fp"), col(idCol).as("id1"))
+      .join(pruned.select(col("fp"), col(idCol).as("id2")), Seq("fp"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val tf = docs.select(col(idCol),

@@ -359,3 +359,27 @@ class FunnelSpec extends SparkSpec {
     assert(out.sameElements(Array(("1_a", 1L))))
   }
 }
+
+class SoftDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weights are 1/cluster-size micro-units; singletons weigh 1.0") {
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val out = graft.ops.ApproxDedup.softDedupWeights(docs, pairs, "doc_id")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"cluster_size", $"weight_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(out.sameElements(Array(
+      (1L, 3L, 333333L), (2L, 3L, 333333L), (3L, 3L, 333333L),
+      (4L, 1L, 1000000L), (5L, 2L, 500000L), (6L, 2L, 500000L))))
+  }
+
+  test("total cluster influence ~ one document") {
+    val docs = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val total = graft.ops.ApproxDedup.softDedupWeights(docs, pairs, "doc_id")
+      .agg(sum($"weight_micro")).as[Long].head()
+    assert(total == 4L * 250000L)
+  }
+}
