@@ -45,7 +45,18 @@ object Bench {
       val err =
         try { fn(spark, sfDir).count(); null }
         catch { case e: Throwable => s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}" }
-      name -> (((System.nanoTime() - t0) / 1e9), err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // per-query isolation, OUTSIDE the timed section: queries that cache/
+      // checkpoint leave storage blocks pinned, and 140+ queries of
+      // accumulation turns into GC pressure that lands on whichever query
+      // runs late in the (arbitrary) map order — observed as a 5s query
+      // benching 27s. Clearing between queries measures each against a
+      // clean executor, like the driver's per-query runs.
+      spark.sharedState.cacheManager.clearCache()
+      // localCheckpoint blocks (iterative clustering, eager pair lists) are
+      // RDD-level storage the cacheManager does not track — release them too
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> (elapsed, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
