@@ -1498,6 +1498,14 @@ object SparkEntry {
         eng.getData(sSpec), "doc_id", q, k = 12)
     }),
 
+    // ── LLM-pipeline: PMI collocations — top within-doc co-occurring pairs
+    // among the top-40 vocabulary, ln(n_ab·N/(n_a·n_b)) in micro-units.
+    // Tokens prune to the broadcast vocab BEFORE the shuffle; self-join
+    // fanout bounded at V²/2 per doc by configuration.
+    "q_pmi_pairs" -> ((s, d) =>
+      graft.ops.Corpus.pmiPairs(Tables.documents(s, d), "doc_id", "text",
+        vocabK = 40, minPairCount = 5L, k = 25)),
+
     // ── LLM-pipeline: SOFT dedup — weight each doc by 1/|near-dup cluster|
     // (micro-units) instead of dropping: the cluster's total training
     // influence equals one document's while all text stays visible.
@@ -3195,6 +3203,32 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_pmi_pairs" ->
+      """WITH alltok AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           FROM documents),
+         vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS c FROM alltok WHERE length(token) > 0
+             GROUP BY 1 ORDER BY c DESC, token LIMIT 40)),
+         pres AS (
+           SELECT DISTINCT doc_id, token FROM alltok
+           WHERE length(token) > 0 AND token IN (SELECT token FROM vocab)),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         tc AS (SELECT token, count(*) AS n_t FROM pres GROUP BY 1),
+         pr AS (
+           SELECT a.token AS t1, b.token AS t2, count(*) AS n_pair
+           FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.token < b.token
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT pr.t1, pr.t2, pr.n_pair,
+           CAST(round(ln((pr.n_pair * nd.n_docs)::DOUBLE / (ta.n_t * tb.n_t)::DOUBLE)
+             * 1000000.0) AS BIGINT) AS pmi_micro
+         FROM pr
+         CROSS JOIN nd
+         JOIN tc ta ON pr.t1 = ta.token
+         JOIN tc tb ON pr.t2 = tb.token
+         ORDER BY pmi_micro DESC, t1, t2 LIMIT 25""",
 
     "q_soft_dedup_weights" ->
       ApproxDedup.softDedupWeightsOracleSql("documents", "doc_id", "text",

@@ -982,6 +982,48 @@ object Corpus {
       .where(col("shared_fps") >= minShared)
   }
 
+  /** PMI collocation pairs (Church & Hanks 1990): the top-k within-document
+    * co-occurring term pairs among the `vocabK` most frequent terms, scored
+    * by pointwise mutual information over document co-occurrence —
+    * pmi(a,b) = ln(n_ab·N / (n_a·n_b)) — the vocabulary-building
+    * collocation detector ("new york" behaves as one token).
+    *
+    * Scale shape: token rows prune to the broadcast top-V vocabulary BEFORE
+    * anything shuffles, the per-doc distinct projection bounds the self-join
+    * fanout at V²/2 pairs per document (configuration, not data), and term/
+    * doc counts are exact longs whose single double division + micro-unit
+    * rounding the SQL oracle replays bit-for-bit.
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+               vocabK: Int, minPairCount: Long, k: Int): DataFrame = {
+    require(vocabK > 1 && k > 0 && minPairCount >= 1, "bad pmi parameters")
+    val vocabTop = vocabTopK(docs, textCol, vocabK).select(col("token"))
+    val present = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(broadcast(vocabTop), "token")
+      .select(col(idCol), col("token")).distinct()
+    val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    val termCounts = present.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_t")) // ≤ V rows
+    val pairs = present.as("x")
+      .join(present.as("y"),
+        col(s"x.$idCol") === col(s"y.$idCol") && col("x.token") < col("y.token"))
+      .groupBy(col("x.token").as("t1"), col("y.token").as("t2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    pairs
+      .join(broadcast(termCounts.select(col("token").as("t1"), col("n_t").as("n_1"))), "t1")
+      .join(broadcast(termCounts.select(col("token").as("t2"), col("n_t").as("n_2"))), "t2")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi_micro",
+        round(log((col("n_pair") * col("n_docs")).cast("double") /
+          (col("n_1") * col("n_2")).cast("double")) * lit(1e6)).cast("long"))
+      .select(col("t1"), col("t2"), col("n_pair"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val tf = docs.select(col(idCol),

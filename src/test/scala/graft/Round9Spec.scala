@@ -383,3 +383,29 @@ class SoftDedupSpec extends SparkSpec {
     assert(total == 4L * 250000L)
   }
 }
+
+class PmiPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pmi: perfectly-associated pair scores ln(N/n) in micro-units") {
+    // "a b" always co-occur (3 docs of 6); "c" appears alone
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "c x"), (5L, "c y"), (6L, "c z")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.pmiPairs(docs, "doc_id", "text",
+        vocabK = 10, minPairCount = 3L, k = 5)
+      .as[(String, String, Long, Long)].collect()
+    // only (a,b) has n_pair >= 3; pmi = ln(3*6/(3*3)) = ln 2
+    assert(out.length == 1)
+    assert(out(0)._1 == "a" && out(0)._2 == "b" && out(0)._3 == 3L)
+    assert(out(0)._4 == Math.round(math.log((3L * 6L).toDouble / (3L * 3L).toDouble) * 1e6))
+  }
+
+  test("within-doc repeats count once (document co-occurrence)") {
+    val docs = Seq((1L, "a a a b b")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.pmiPairs(docs, "doc_id", "text",
+        vocabK = 5, minPairCount = 1L, k = 5)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.length == 1 && out(0)._3 == 1L) // one doc, one pair
+  }
+}
