@@ -1498,6 +1498,19 @@ object SparkEntry {
         eng.getData(sSpec), "doc_id", q, k = 12)
     }),
 
+    // ── layout: Morton Z-order clustering key over (user, hour) — sorting
+    // by z co-locates rows close in BOTH dimensions so row-group min/max
+    // stats prune scans filtered on EITHER column. Pure codegen'd bit
+    // arithmetic; the write path is repartitionByRange(z) + sort.
+    "q_zorder_values" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("__us", graft.dsl.RoundTime.epochMicros(col("ts")))
+        .withColumn("__hr", expr("__us div 3600000000"))
+        .select(col("event_id"),
+          graft.ops.Maintenance.zValue(col("user_id"), col("__hr"), 16)
+            .as("zvalue"))
+        .orderBy(col("event_id"))),
+
     // ── LLM-pipeline: PMI collocations — top within-doc co-occurring pairs
     // among the top-40 vocabulary, ln(n_ab·N/(n_a·n_b)) in micro-units.
     // Tokens prune to the broadcast vocab BEFORE the shuffle; self-join
@@ -3203,6 +3216,12 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_zorder_values" ->
+      s"""SELECT event_id,
+         CAST(${graft.ops.Maintenance.zValueOracleExpr("user_id",
+           "epoch_us(ts) // 3600000000", 16)} AS BIGINT) AS zvalue
+         FROM events ORDER BY event_id""",
 
     "q_pmi_pairs" ->
       """WITH alltok AS (

@@ -256,6 +256,34 @@ object Maintenance {
       .select(col("bin"), (lit(lo) + col("bin") * lit(width)).as("bin_lo"), col("cnt"))
   }
 
+  /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
+    * integer keys — the multi-dimensional clustering key behind
+    * data-layout optimization: sorting/range-partitioning a table by
+    * z(a, b) co-locates rows close in BOTH dimensions, so min/max row-group
+    * stats prune scans filtered on EITHER column (the Delta/Iceberg
+    * OPTIMIZE ZORDER layout, reduced to one exact expression). Pure
+    * codegen'd bit arithmetic — unrolled shifts, no UDF; write-path usage
+    * is `df.repartitionByRange($"z").sortWithinPartitions($"z")`.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val am = pmod(a.cast("long"), lit(1L << bits))
+    val bm = pmod(b.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB oracle expression for [[zValue]] over SQL sub-expressions `a`
+    * and `b` (non-negative) — the identical unrolled interleave. */
+  def zValueOracleExpr(a: String, b: String, bits: Int = 16): String = {
+    val m = 1L << bits
+    (0 until bits).map { i =>
+      s"((((($a) % $m) >> $i) & 1) << ${2 * i}) + ((((($b) % $m) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+  }
+
   /** DuckDB oracle replaying [[histogram]] with the bounds re-derived in
     * SQL and the identical bin arithmetic. */
   def histogramOracleSql(table: String, c: String, bins: Int): String =

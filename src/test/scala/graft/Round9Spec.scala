@@ -409,3 +409,33 @@ class PmiPairsSpec extends SparkSpec {
     assert(out.length == 1 && out(0)._3 == 1L) // one doc, one pair
   }
 }
+
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bit interleave: known values") {
+    // z(a=0b11, b=0b00) = 0b0101 = 5; z(0b00, 0b11) = 0b1010 = 10;
+    // z(0b10, 0b01) = a1<<2 | b0<<1 = 4 + 2 = 6
+    val out = Seq((3L, 0L), (0L, 3L), (2L, 1L)).toDF("a", "b")
+      .select(graft.ops.Maintenance.zValue($"a", $"b", 4).as("z"))
+      .as[Long].collect()
+    assert(out.sameElements(Array(5L, 10L, 6L)))
+  }
+
+  test("locality: nearby points interleave into nearby z-values") {
+    // all 4x4 grid points, z-sorted: each consecutive pair differs by one
+    // grid step in at most... (weak check: z is a bijection on the grid)
+    val zs = (for (a <- 0 until 4; b <- 0 until 4) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+      .select(graft.ops.Maintenance.zValue($"a", $"b", 2).as("z"))
+      .as[Long].collect().sorted
+    assert(zs.sameElements(Array.tabulate(16)(_.toLong))) // bijective onto [0,16)
+  }
+
+  test("modulo wrap keeps the key non-negative for any input") {
+    val z = Seq((-5L, 70000L)).toDF("a", "b")
+      .select(graft.ops.Maintenance.zValue($"a", $"b", 16).as("z"))
+      .as[Long].head()
+    assert(z >= 0L)
+  }
+}
