@@ -1498,6 +1498,15 @@ object SparkEntry {
         eng.getData(sSpec), "doc_id", q, k = 12)
     }),
 
+    // ── LLM-pipeline: output shard plan — size-targeted export shards in
+    // a deterministic md5 order, buckets-way parallel (no global sort);
+    // a row's shard is the target-sized window its cumulative start
+    // offset falls in, namespaced by bucket.
+    "q_shard_plan" -> ((s, d) =>
+      graft.ops.Sampling.shardPlan(Tables.documents(s, d), "doc_id",
+          col("n_chars"), targetPerShard = 20000L, buckets = 8)
+        .orderBy(col("shard_id"))),
+
     // ── layout: Morton Z-order clustering key over (user, hour) — sorting
     // by z co-locates rows close in BOTH dimensions so row-group min/max
     // stats prune scans filtered on EITHER column. Pure codegen'd bit
@@ -3216,6 +3225,21 @@ object SparkEntry {
                      ELSE 'test' END AS split,
                 count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q_shard_plan" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bk,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+           FROM documents),
+         c AS (
+           SELECT bk, n_chars,
+             sum(n_chars) OVER (PARTITION BY bk ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM b)
+         SELECT CAST(bk * 1000000 + (cum - n_chars) // 20000 AS BIGINT) AS shard_id,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_size
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     "q_zorder_values" ->
       s"""SELECT event_id,

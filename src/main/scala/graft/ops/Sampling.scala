@@ -148,6 +148,37 @@ object Sampling {
       .select(col(idCol), col(domainCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Output shard plan — the webdataset/LLM-export step: assign every row
+    * a shard id such that shards hold ≈ `targetPerShard` of `sizeCol`
+    * (tokens, bytes) in a deterministic, engine-portable order. Rows lay
+    * out md5-of-id-ordered inside `buckets` independent hash buckets
+    * (buckets-way parallel — the same layout as sequence packing, so no
+    * global sort, no single-partition window); a row's shard is the
+    * target-sized window its cumulative START offset falls in, namespaced
+    * by bucket. Returns the per-shard manifest (shard_id, n_docs,
+    * sum_size) — join the assignment back by recomputing it, or write with
+    * `partitionBy(shard_id)`.
+    */
+  def shardPlan(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                sizeCol: Column, targetPerShard: Long,
+                buckets: Int = 8): DataFrame = {
+    require(targetPerShard > 0, "targetPerShard must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("__b", hashBucket(col(idCol), buckets))
+      .withColumn("__sz", sizeCol.cast("long"))
+      .withColumn("__cum", sum(col("__sz")).over(w))
+      .withColumn("shard_id",
+        col("__b") * lit(1000000L) +
+          expr(s"(__cum - __sz) div $targetPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("sum_size"))
+  }
+
   /** Per-group quota cap — crawl balancing: keep at most `n` rows per group
     * (domain, source, shard), ranked by `order` (which MUST be a total
     * order — include an id tiebreak). The Common-Crawl curation guard

@@ -439,3 +439,20 @@ class ZorderSpec extends SparkSpec {
     assert(z >= 0L)
   }
 }
+
+class ShardPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shards respect the size target; totals reconcile") {
+    val docs = (1L to 100L).map(i => (i, 100L)).toDF("doc_id", "n")
+    val out = graft.ops.Sampling.shardPlan(docs, "doc_id", $"n",
+        targetPerShard = 500L, buckets = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).sum == 100L * 100L) // every row in exactly one shard
+    // a shard never STARTS a row at/beyond the target, so with uniform
+    // 100-sized rows each shard holds <= 5 rows (500/100)
+    assert(out.forall(_._2 <= 5L))
+    // bucket namespacing: shard ids from different buckets never collide
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+}
