@@ -1520,6 +1520,18 @@ object SparkEntry {
             .as("zvalue"))
         .orderBy(col("event_id"))),
 
+    // ── LLM-pipeline: near-dup graph centrality — fixed-iteration PageRank
+    // with integer micro-unit ranks (per-edge contributions quantized
+    // BEFORE the sum → order-independent at any parallelism; the oracle
+    // unrolls the same 3 steps). One edge join + one dst-keyed aggregate
+    // per iteration, rank tables checkpointed so plan depth stays flat.
+    "q_pagerank" -> ((s, d) => {
+      val pairs = ApproxDedup.minhashNearDupsFast(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      graft.ops.Graph.pageRankMicro(pairs, iters = 3).orderBy(col("node"))
+    }),
+
     // ── LLM-pipeline: PMI collocations — top within-doc co-occurring pairs
     // among the top-40 vocabulary, ln(n_ab·N/(n_a·n_b)) in micro-units.
     // Tokens prune to the broadcast vocab BEFORE the shuffle; self-join
@@ -3246,6 +3258,11 @@ object SparkEntry {
          CAST(${graft.ops.Maintenance.zValueOracleExpr("user_id",
            "epoch_us(ts) // 3600000000", 16)} AS BIGINT) AS zvalue
          FROM events ORDER BY event_id""",
+
+    "q_pagerank" ->
+      ApproxDedup.pageRankFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, iters = 3, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
 
     "q_pmi_pairs" ->
       """WITH alltok AS (

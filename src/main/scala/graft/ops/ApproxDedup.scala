@@ -443,6 +443,41 @@ object ApproxDedup {
          CAST(round(1000000.0 / cluster_size) AS BIGINT) AS weight_micro
        FROM g ORDER BY $idCol"""
 
+  /** DuckDB oracle for [[Graph.pageRankMicro]] over the FAST-path pair
+    * graph: the same `iters` steps unrolled as sequential CTEs — identical
+    * init, identical per-edge rounding, identical base term. */
+  def pageRankFastOracleSql(table: String, idCol: String, textCol: String,
+                            threshold: Double, iters: Int,
+                            damping: Double = 0.85, shingleSize: Int = 3,
+                            k: Int = 24, bands: Int = 6,
+                            estSlack: Double = 0.25, maxBucket: Int = 0,
+                            seed: Long = 7L): String = {
+    // literals are spelled as the same arithmetic the Scala side evaluates
+    // ((1.0 - 0.85) is NOT the double literal 0.15)
+    val d = damping.toString
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT e.dst AS node,
+             CAST(round((1.0 - $d) * 1000000.0 / nn.n) AS BIGINT)
+               + CAST(sum(CAST(round($d * r.r / dg.deg) AS BIGINT)) AS BIGINT) AS r
+           FROM ed e JOIN r${i - 1} r ON e.src = r.node
+                     JOIN dg ON e.src = dg.src
+                     CROSS JOIN nn
+           GROUP BY e.dst, nn.n)"""
+    }.mkString(",\n         ")
+    s"""WITH ${minhashFastCtes(table, idCol, textCol, threshold, shingleSize,
+                               k, bands, estSlack, maxBucket, seed)},
+         prr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+         ed AS (SELECT id1 AS src, id2 AS dst FROM prr
+                UNION SELECT id2, id1 FROM prr),
+         dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+         nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM ed),
+         r0 AS (SELECT s.src AS node, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+                FROM (SELECT DISTINCT src FROM ed) s CROSS JOIN nn),
+         $iterCtes
+       SELECT node, r AS rank_micro FROM r$iters ORDER BY node"""
+  }
+
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
     * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle

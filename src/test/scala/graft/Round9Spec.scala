@@ -456,3 +456,27 @@ class ShardPlanSpec extends SparkSpec {
     assert(out.map(_._1).distinct.length == out.length)
   }
 }
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star graph: the hub outranks the leaves; ranks deterministic") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id1", "id2")
+    val r = graft.ops.Graph.pageRankMicro(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 5)
+    assert(Seq(2L, 3L, 4L, 5L).forall(l => r(1L) > r(l)))
+    assert(Seq(2L, 3L, 4L, 5L).map(r).distinct.size == 1) // symmetric leaves
+    // rerun is bit-identical (integer quantization → order-independent)
+    val r2 = graft.ops.Graph.pageRankMicro(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == r2)
+  }
+
+  test("two disconnected pairs: all nodes rank equally") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val r = graft.ops.Graph.pageRankMicro(pairs, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r.values.toSet.size == 1)
+  }
+}
