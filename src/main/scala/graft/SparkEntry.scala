@@ -1584,6 +1584,44 @@ object SparkEntry {
       graft.ops.Corpus.dataCard(Tables.documents(s, d),
         "source", "lang", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: BPE pair counting — the tokenizer-training kernel
+    // (one merge iteration = this op). The only corpus-sized pass is the
+    // map-side-combined word-frequency aggregate; the pair explode runs
+    // over the |vocab|-row table, corpus-size-independent.
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.ops.Corpus.bpePairCounts(Tables.documents(s, d), "text", k = 30)),
+
+    // ── LLM-pipeline: per-source KL from the corpus unigram mix — the
+    // data-mixing diagnostic behind DoReMi/Pile weight tuning. Micro-nat
+    // integer sums (order-independent, oracle-exact); text never shuffles.
+    "q_domain_kl" -> ((s, d) =>
+      graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
+        "source", "text").orderBy(col("source"))),
+
+    // ── LLM-pipeline: weighted sampling WITHOUT replacement ∝ n_chars —
+    // Gumbel-top-k over quantized log-weights ≡ Efraimidis–Spirakis; the
+    // md5 coin makes it engine-portable and reshuffle-stable. Pure scan
+    // projection + TakeOrdered, zero shuffles.
+    "q_weighted_sample" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(Tables.documents(s, d),
+        "doc_id", col("n_chars"), k = 50)),
+
+    // ── LLM-pipeline: hard-negative mining (contrastive training data) —
+    // per query vector, the top-k nearest with a DIFFERENT label, IVF-cell
+    // pruned with the mismatch predicate applied before the ranking window.
+    "q_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      SimilaritySearch.hardNegatives(indexed, queries,
+          "vec_id", "embedding", "cell", "label", "qid", "qvec", "qlabel",
+          cents, k = 5, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ── LLM-pipeline: BM25 top-k retrieval — rank documents against a
     // bag-of-words query (curation lookups: "which training docs most
     // resemble this eval prompt"). Token rows filter to the query's terms
@@ -2639,6 +2677,21 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqBatchOracleSql("embeddings", "vec_id",
         "embedding", dim = 64, m = 4, ks = 16, nCentroids = 16,
         queryFilter = "vec_id % 100 = 0", k = 5, nProbe = 8, rerank = 50),
+
+    "q_hard_negatives" ->
+      graft.ops.SimilaritySearch.hardNegativesOracleSql("embeddings", "vec_id",
+        "embedding", "label", nCentroids = 16,
+        queryFilter = "vec_id % 100 = 0", k = 5, nProbe = 4),
+
+    "q_bpe_pairs" ->
+      graft.ops.Corpus.bpePairCountsOracleSql("documents", "text", k = 30),
+
+    "q_domain_kl" ->
+      graft.ops.Corpus.domainDivergenceOracleSql("documents", "source", "text"),
+
+    "q_weighted_sample" ->
+      graft.ops.Sampling.weightedSampleOracleSql("documents", "doc_id",
+        "n_chars", k = 50),
 
     "q_dup_char_spans" ->
       ApproxDedup.dupCharSpanStatsOracleSql("documents", "doc_id", "text", n = 20),

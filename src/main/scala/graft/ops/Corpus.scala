@@ -1070,6 +1070,154 @@ object Corpus {
     docs.select(col(idCol), explode(fps).as("fp"))
   }
 
+  /** One iteration of byte-pair-encoding pair counting — the kernel of BPE
+    * tokenizer training (Sennrich, Haddow & Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): the corpus
+    * frequency of every adjacent symbol pair inside words, weighted by word
+    * frequency. The full trainer loop applies the argmax pair as a merge
+    * and re-counts; every iteration IS this operator over a re-segmented
+    * vocabulary, so the scale shape shown here is the trainer's scale
+    * shape. (Beyond-reference §2.12: Meerschaum has no tokenizer surface.)
+    *
+    * Scale: the only corpus-sized pass is the token explode feeding the
+    * word-frequency hash aggregate (map-side combined — each partition
+    * emits its DISTINCT words, not its token stream). The pair explode then
+    * runs over the |vocab|-row word table — corpus-size-INDEPENDENT — and
+    * the final aggregate + TakeOrdered touch ≤ |vocab|·maxWordLen rows.
+    * Single-char words contribute no pairs (guarded: Spark's
+    * `sequence(1, 0)` is a DESCENDING [1, 0], not empty).
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val word = col("token")
+    val pairs = when(length(word) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(word) - lit(1)),
+        i => word.substr(i, lit(2))))
+    vocab(docs, textCol)
+      .select(explode(pairs).as("pair"), col("freq"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle replaying [[bpePairCounts]] exactly (1-based substring
+    * over the same lower/trim/`\s+` tokenization; `generate_series(1, 0)`
+    * is empty in DuckDB, so the length guard is a WHERE). */
+  def bpePairCountsOracleSql(table: String, textCol: String, k: Int): String =
+    s"""WITH words AS (
+         SELECT token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1),
+       pr AS (
+         SELECT substring(token, CAST(i AS INT), 2) AS pair, freq FROM (
+           SELECT token, freq,
+             unnest(generate_series(1, length(token) - 1)) AS i
+           FROM words WHERE length(token) >= 2) g)
+       SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_freq
+       FROM pr GROUP BY 1 ORDER BY pair_freq DESC, pair LIMIT $k"""
+
+  /** Per-source KL divergence from the corpus-wide unigram distribution —
+    * the data-mixing diagnostic ("how far is each source's token mix from
+    * the blend we are actually training on"; the DoReMi/Pile-style weight
+    * tuning loop reads exactly this quantity per domain). KL(P_s ‖ Q) =
+    * Σ_t P_s(t)·ln(P_s(t)/Q(t)) over the source's token types; support of
+    * P_s is a subset of Q's by construction so no smoothing is needed.
+    *
+    * Exactness: the ln ratio is quantized to micro-nats PER (source, type)
+    * and the per-source total is `Σ c_st · term_micro` — an integer sum,
+    * order-independent under any partitioning, so Spark and the oracle
+    * agree bit-for-bit however the aggregation tree reassociates. The two
+    * trailing divisions (µ→nats, /N_s) happen ONCE on the final row.
+    *
+    * Scale: one corpus-sized explode into the (source, type) hash
+    * aggregate (map-side combined); everything downstream is
+    * |sources|·|vocab| rows — the type-total re-aggregate, the token
+    * equi-join back, and two broadcast-sized side tables (per-source totals
+    * and the grand total). Document text never shuffles; Spark's
+    * ReuseExchange shares the base (source, type) shuffle across the three
+    * consumers.
+    */
+  def domainDivergence(docs: DataFrame, groupCol: String,
+                       textCol: String): DataFrame = {
+    val (out, st) = domainDivergenceLazy(docs, groupCol, textCol)
+    // the result is |sources| rows — materialize it and RELEASE the
+    // persisted (source, type) table instead of pinning the CacheManager
+    // (the repetitionMatrix pattern)
+    val materialized = out.localCheckpoint(true)
+    st.unpersist()
+    materialized
+  }
+
+  /** The lazy pipeline behind [[domainDivergence]], returning the persisted
+    * (source, type) intermediate — split out so the plan-audit spec can
+    * assert the pre-checkpoint shape (ONE corpus scan; the three consumers
+    * read the cached aggregate, which Catalyst does NOT share on its own:
+    * the join branch gets an extra isnotnull pushed into its copy, so
+    * ReuseExchange sees three distinct subtrees and would re-run the
+    * corpus-sized explode per branch). */
+  private[graft] def domainDivergenceLazy(
+      docs: DataFrame, groupCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    // |sources|·|vocab| rows of (source, type, count) — the only
+    // corpus-sized pass is the explode feeding this map-side-combined
+    // aggregate; everything downstream reads the persisted table
+    val st = docs.select(col(groupCol).as("source"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val nt = ct.agg(sum(col("c_t")).as("n_total"))
+    val out = st.join(ct, Seq("token"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(nt))
+      .withColumn("term_micro",
+        round(log((col("c_st").cast("double") * col("n_total").cast("double")) /
+                  (col("n_s").cast("double") * col("c_t").cast("double")))
+          * lit(1e6)).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum(col("c_st") * col("term_micro")).as("kl_micro_sum"))
+      .withColumn("kl_nats",
+        (col("kl_micro_sum").cast("double") / lit(1e6)) /
+          col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"), col("kl_micro_sum"),
+        col("kl_nats"))
+    (out, st)
+  }
+
+  /** DuckDB oracle replaying [[domainDivergence]] — same tokenization,
+    * same float-op shapes (three IEEE steps inside the ln, one round, one
+    * integer weighted sum, two final divisions). */
+  def domainDivergenceOracleSql(table: String, groupCol: String,
+                                textCol: String): String =
+    s"""WITH st AS (
+         SELECT source, token, count(*) AS c_st FROM (
+           SELECT $groupCol AS source,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1, 2),
+       ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+       ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+       nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_total FROM ct),
+       terms AS (
+         SELECT st.source, st.c_st, ns.n_s,
+           CAST(round(ln((CAST(st.c_st AS DOUBLE) * CAST(nt.n_total AS DOUBLE)) /
+                         (CAST(ns.n_s AS DOUBLE) * CAST(ct.c_t AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS term_micro
+         FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nt)
+       SELECT source,
+         CAST(max(n_s) AS BIGINT) AS n_tokens,
+         CAST(sum(c_st * term_micro) AS BIGINT) AS kl_micro_sum,
+         (CAST(sum(c_st * term_micro) AS DOUBLE) / 1000000.0) /
+           CAST(max(n_s) AS DOUBLE) AS kl_nats
+       FROM terms GROUP BY 1"""
+
   /** Composed Catalyst form of the same selection (interpreted HOF lambdas
     * — k·n md5 calls plus n·w slice/min work per document). Retained for
     * the kernel-equivalence spec; prefer [[winnowFingerprints]]. */

@@ -242,6 +242,49 @@ object Sampling {
       .drop("cluster_id")
   }
 
+  /** Weighted sampling WITHOUT replacement, ∝ a per-row weight (quality
+    * score, token count, dedup-cluster mass): keep the k rows ranked by
+    * `round(ln(w)·1e6) + gumbel_micro(id)` — Gumbel-top-k over log-weights,
+    * which draws exactly the Efraimidis–Spirakis ("Weighted random sampling
+    * with a reservoir", IPL 2006) distribution: P(row i first) = w_i / Σw.
+    * The Gumbel noise is the repo's deterministic md5 coin
+    * ([[Dsir.gumbelMicro]]), so the sample is reproducible across engines,
+    * reruns, and reshards, and the ranking key is an INTEGER (micro-nats) —
+    * ties break by id, no float-comparison parity risk anywhere.
+    *
+    * Scale: a pure scan projection + TakeOrdered(k) — zero shuffles; rows
+    * with non-positive weight are excluded (ln undefined), matching "weight
+    * 0 = never sampled".
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs.where(weightCol > lit(0))
+      .select(col(idCol), weightCol.cast("long").as("weight"))
+      .withColumn("score_micro",
+        round(log(col("weight").cast("double")) * lit(1e6)).cast("long") +
+          Dsir.gumbelMicro(col(idCol)))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle replaying [[weightedSample]] — same ln quantization and
+    * the same md5-derived Gumbel coin as the DSIR resample oracle. */
+  def weightedSampleOracleSql(table: String, idCol: String,
+                              weightExpr: String, k: Int): String =
+    s"""WITH t AS (
+         SELECT $idCol, CAST($weightExpr AS BIGINT) AS weight FROM $table
+         WHERE $weightExpr > 0),
+       s AS (
+         SELECT $idCol, weight,
+           CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000.0) AS BIGINT) +
+           CAST(round(-ln(-ln(
+             (CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro
+         FROM t)
+       SELECT $idCol, weight, score_micro FROM s
+       ORDER BY score_micro DESC, $idCol LIMIT $k"""
+
   /** Token-budget mixture PLAN — the accounting step upstream of
     * [[mixtureSample]]/[[stratifiedPredicate]]: given target mixture
     * weights per domain (Pile/DoReMi-style) and a total token budget,

@@ -210,16 +210,17 @@ object SimilaritySearch {
     * driver work. */
   private def batchProbeCells(queries: DataFrame, qidCol: String, qvecCol: String,
                               centroids: Seq[Seq[Double]],
-                              nProbe: Int, cellCol: String): DataFrame = {
+                              nProbe: Int, cellCol: String,
+                              keep: Seq[String] = Nil): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.length)
     val qv = col(qvecCol).cast("array<double>")
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       struct((-(VectorFns.dot(qv, typedLit(c.toArray)) /
         lit(math.sqrt(dotSeq(c, c))))).as("ns"), lit(i).as("cell"))
     }: _*)
-    queries.select(col(qidCol), qv.as("__qv"),
+    queries.select(col(qidCol) +: keep.map(col) :+ qv.as("__qv") :+
       explode(transform(slice(array_sort(scored), 1, nProbe),
-        s => s.getField("cell"))).as(cellCol))
+        s => s.getField("cell"))).as(cellCol): _*)
   }
 
   def ivfBatchTopK(indexed: DataFrame, queries: DataFrame,
@@ -237,6 +238,70 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive/embedding-model training (the
+    * DPR/E5/GTE fine-tuning data step, Karpukhin et al. 2020 §4.2): for
+    * every query vector, the k nearest corpus vectors carrying a DIFFERENT
+    * label — semantically close yet wrong, exactly the negatives that make
+    * the training signal hard. Same distributed shape as [[ivfBatchTopK]]:
+    * per-query probe cells resolve IN-PLAN, the cell equi-join prunes the
+    * corpus, the label-mismatch predicate filters BEFORE the qid-keyed
+    * ranking window (self-pairs drop for free — a row shares its own
+    * label). Zero driver work per query; scales to millions of queries.
+    */
+  def hardNegatives(indexed: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, cellCol: String, labelCol: String,
+                    qidCol: String, qvecCol: String, qlabelCol: String,
+                    centroids: Seq[Seq[Double]],
+                    k: Int, nProbe: Int): DataFrame = {
+    val probed = batchProbeCells(queries, qidCol, qvecCol, centroids, nProbe,
+      cellCol, keep = Seq(qlabelCol))
+    probed.join(
+        indexed.select(col(idCol), col(vecCol), col(cellCol), col(labelCol)),
+        Seq(cellCol))
+      .where(col(labelCol) =!= col(qlabelCol))
+      .select(col(qidCol), col(idCol), col(labelCol),
+        VectorFns.cosine(col(vecCol), col("__qv")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
+          .orderBy(col("cosine").desc, col(idCol))))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col(labelCol), col("cosine"), col("rank"))
+  }
+
+  /** DuckDB oracle replaying [[hardNegatives]] — [[ivfBatchOracleSql]]'s
+    * chain plus the label-mismatch predicate before the ranking. */
+  def hardNegativesOracleSql(table: String, idCol: String, vecCol: String,
+                             labelCol: String, nCentroids: Int,
+                             queryFilter: String, k: Int, nProbe: Int): String =
+    s"""WITH e AS (SELECT $idCol, $labelCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ccid AS cell FROM (
+           SELECT e.$idCol, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qs AS (SELECT $idCol AS qid, $labelCol AS qlabel, ev AS qv FROM e WHERE $queryFilter),
+       qcell AS (
+         SELECT qid, qlabel, qv, ccid AS cell FROM (
+           SELECT q.qid, q.qlabel, q.qv, c.ccid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM qs q, cents c) WHERE rn <= $nProbe),
+       cand AS (
+         SELECT qc.qid, e.$idCol, e.$labelCol,
+           list_dot_product(e.ev, qc.qv) /
+             (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(qc.qv, qc.qv))) AS cosine
+         FROM qcell qc JOIN asg a ON a.cell = qc.cell
+                       JOIN e ON e.$idCol = a.$idCol
+         WHERE e.$labelCol <> qc.qlabel),
+       ranked AS (
+         SELECT qid, $idCol, $labelCol, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, $idCol) AS rank
+         FROM cand)
+       SELECT qid, $idCol, $labelCol, cosine, CAST(rank AS INT) AS rank
+       FROM ranked WHERE rank <= $k ORDER BY qid, rank"""
 
   /** BATCHED IVF+PQ probe — FAISS's production composition for N query
     * vectors at once, fully distributed: probe cells AND the per-query ADC

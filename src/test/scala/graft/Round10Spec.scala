@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Sampling, SimilaritySearch}
+
+/** Round-10 training-data operators: BPE pair counting, weighted sampling
+  * without replacement, per-source KL divergence, hard-negative mining. */
+class BpePairCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pair frequencies weight by word frequency; single chars drop") {
+    // vocab: "aa" freq 2, "ab" freq 1, "x" freq 3 (no pairs)
+    val docs = Seq("aa ab x", "aa x", "x").toDF("text")
+    val got = Corpus.bpePairCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aa" -> 2L, "ab" -> 1L))
+  }
+
+  test("case folds before counting and top-k orders by freq then pair") {
+    val docs = Seq("AB ab", "cd").toDF("text")
+    val got = Corpus.bpePairCounts(docs, "text", k = 1)
+      .as[(String, Long)].collect()
+    assert(got.sameElements(Array(("ab", 2L))))
+  }
+
+  test("longer words emit every adjacent pair") {
+    val docs = Seq("abcd").toDF("text")
+    val got = Corpus.bpePairCounts(docs, "text", k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ab" -> 1L, "bc" -> 1L, "cd" -> 1L))
+  }
+}
+
+class WeightedSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+
+  test("returns k rows, deterministic across runs") {
+    val a = Sampling.weightedSample(docs, "id", $"w", k = 10)
+      .as[(Long, Long, Long)].collect()
+    val b = Sampling.weightedSample(docs, "id", $"w", k = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(a.length == 10 && a.sameElements(b))
+  }
+
+  test("non-positive weights are excluded") {
+    val mixed = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 1L)).toDF("id", "w")
+    val got = Sampling.weightedSample(mixed, "id", $"w", k = 10)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("ranking matches a brute-force replay of the integer key") {
+    val got = Sampling.weightedSample(docs, "id", $"w", k = 100)
+      .select($"id", $"score_micro").as[(Long, Long)].collect()
+    val want = docs.select($"id", (
+        round(log($"w".cast("double")) * lit(1e6)).cast("long") +
+          graft.ops.Dsir.gumbelMicro($"id")).as("s"))
+      .orderBy($"s".desc, $"id").as[(Long, Long)].collect()
+    assert(got.sameElements(want))
+  }
+
+  test("an overwhelming weight is always sampled") {
+    // ln(1e12) ≈ 27.6 nats above unit weights — Gumbel noise (stddev ~1.3
+    // nats) cannot bridge that gap in practice
+    val skewed = (1L to 50L).map(i => (i, 1L)).toDF("id", "w")
+      .union(Seq((99L, 1000000000000L)).toDF("id", "w"))
+    val got = Sampling.weightedSample(skewed, "id", $"w", k = 5)
+      .select($"id").as[Long].collect().toSet
+    assert(got.contains(99L))
+  }
+}
+
+class DomainDivergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical per-source distributions give exactly zero KL") {
+    // both sources have the same unigram distribution {a: 2/3, b: 1/3} →
+    // every ratio is exactly 1.0, ln quantizes to 0 micro-nats, no float dust
+    val docs = Seq(("s1", "a a b"), ("s2", "a a b a a b")).toDF("src", "text")
+    val got = Corpus.domainDivergence(docs, "src", "text")
+      .select($"source", $"kl_micro_sum").as[(String, Long)].collect().toMap
+    assert(got == Map("s1" -> 0L, "s2" -> 0L))
+  }
+
+  test("a skewed source diverges positively; totals are per-source tokens") {
+    val docs = Seq(("s1", "a a a a"), ("s2", "b b b b"), ("s3", "a b a b"))
+      .toDF("src", "text")
+    val rows = Corpus.domainDivergence(docs, "src", "text")
+      .select($"source", $"n_tokens", $"kl_nats")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows("s1")._2 == 4L && rows("s2")._2 == 4L && rows("s3")._2 == 4L)
+    // s1 and s2 concentrate on one token (ratio 12/7 > 1) → positive KL;
+    // s3 matches the corpus blend less badly than the pure sources
+    assert(rows("s1")._3 > 0.0 && rows("s2")._3 > 0.0)
+    assert(rows("s3")._3 < rows("s1")._3)
+  }
+}
+
+class Round10PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("weightedSample plans zero exchanges — pure projection + TakeOrdered") {
+    import org.apache.spark.sql.functions.col
+    val plan = SparkEntry.queries("q_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange "),
+      s"weightedSample must not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("domainDivergence: ONE corpus scan; consumers read the persisted (source, type) table") {
+    // audit the LAZY pipeline — the public entry checkpoints the small
+    // result and releases the persisted intermediate
+    val (out, st) = graft.ops.Corpus.domainDivergenceLazy(
+      Tables.documents(spark, sf), "source", "text")
+    try {
+      val opt = out.queryExecution.optimizedPlan
+      val parquetScans = opt.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
+      val cached = opt.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+      assert(parquetScans.isEmpty,
+        s"${parquetScans.size} uncached corpus scans (branch re-reads):\n$opt")
+      assert(cached.nonEmpty, s"persisted (source, type) table not reused in:\n$opt")
+    } finally { st.unpersist(); () }
+  }
+
+  test("hardNegatives plans only equi-joins — no nested loop, no cartesian") {
+    val plan = SparkEntry.queries("q_hard_negatives")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"hard negatives degenerated to a quadratic join:\n$plan")
+  }
+
+  test("bpePairCounts scans the corpus once; the pair explode sits above the vocab aggregate") {
+    val plan = SparkEntry.queries("q_bpe_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"$scans corpus scans in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+  }
+}
+
+class HardNegativesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 40 unit-ish vectors in 4 dims, 2 labels; ids 0..15 double as centroids
+  private def emb = (0L until 40L).map { i =>
+    val d = (i % 8).toInt
+    (i, Array(1.0f + d, (d * d % 5).toFloat, (7 - d).toFloat, 1.0f),
+      (i % 2).toInt)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("every returned negative carries a different label than its query") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+    val queries = emb.where($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+    val out = SimilaritySearch.hardNegatives(indexed, queries,
+      "vec_id", "embedding", "cell", "label", "qid", "qvec", "qlabel",
+      cents, k = 3, nProbe = 8)
+    val rows = out.select($"qid", $"vec_id", $"label").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, id, lab) =>
+      assert(lab == ((id % 2).toInt) && lab != ((qid % 2).toInt) && id != qid)
+    }
+  }
+
+  test("probing all cells equals the brute-force label-filtered top-k") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+    val queries = emb.where($"vec_id" === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"label".as("qlabel"))
+    val got = SimilaritySearch.hardNegatives(indexed, queries,
+        "vec_id", "embedding", "cell", "label", "qid", "qvec", "qlabel",
+        cents, k = 5, nProbe = 8)
+      .orderBy($"rank").select($"vec_id").as[Long].collect()
+    val q = emb.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val want = emb.where($"label" =!= 0)
+      .select($"vec_id", graft.functions.VectorFns.cosine(
+        $"embedding", typedLit(q.toArray)).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(5)
+      .select($"vec_id").as[Long].collect()
+    assert(got.sameElements(want))
+  }
+}
