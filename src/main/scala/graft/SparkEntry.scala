@@ -1598,6 +1598,25 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: interpolated-bigram LM cross-entropy — one modeling
+    // step up from q_unigram_logprob toward CCNet's KenLM: catches
+    // degenerate word ORDER a unigram score is blind to. ONE corpus scan
+    // (persisted token arrays feed both explodes); micro-nat integer sums.
+    "q_bigram_logprob" -> ((s, d) =>
+      graft.ops.Corpus.bigramLogProb(Tables.documents(s, d),
+        "doc_id", "text", lambda = 0.7).orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: epoch materialization — the upsampling step after
+    // the token-budget plan: each doc repeats floor(rate) times plus a
+    // deterministic md5-coin fractional epoch. Broadcast rate table +
+    // pure projection/explode; append-stable per-document coin.
+    "q_epoch_materialize" -> ((s, d) =>
+      graft.ops.Sampling.materializeEpochs(Tables.documents(s, d),
+          "doc_id", "lang", TextFns.tokenCount(col("text")),
+          Seq("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+          budget = 60000L)
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // ── LLM-pipeline: weighted sampling WITHOUT replacement ∝ n_chars —
     // Gumbel-top-k over quantized log-weights ≡ Efraimidis–Spirakis; the
     // md5 coin makes it engine-portable and reshuffle-stable. Pure scan
@@ -2685,6 +2704,16 @@ object SparkEntry {
 
     "q_bpe_pairs" ->
       graft.ops.Corpus.bpePairCountsOracleSql("documents", "text", k = 30),
+
+    "q_bigram_logprob" ->
+      graft.ops.Corpus.bigramLogProbOracleSql("documents", "doc_id", "text",
+        lambda = 0.7),
+
+    "q_epoch_materialize" ->
+      graft.ops.Sampling.materializeEpochsOracleSql("documents", "doc_id",
+        "lang", """len(string_split_regex(trim(text), '\s+'))""",
+        Seq("de" -> 0.2, "en" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+        budget = 60000L),
 
     "q_domain_kl" ->
       graft.ops.Corpus.domainDivergenceOracleSql("documents", "source", "text"),

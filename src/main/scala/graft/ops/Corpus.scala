@@ -243,6 +243,143 @@ object Corpus {
           (col("n_tokens").cast("double") * lit(1e6)))
   }
 
+  /** Per-document log-probability under a corpus-fit INTERPOLATED BIGRAM
+    * language model — one modeling step up from [[unigramLogProb]] toward
+    * CCNet's 5-gram KenLM (Wenzek et al. 2020 §3; Jelinek–Mercer
+    * interpolation): P(w|v) = λ·c(v,w)/c(v,·) + (1−λ)·P_uni(w) with the
+    * add-one unigram as the smoothing floor, and the document's first
+    * token scored under the unigram alone. Catches degenerate word ORDER
+    * (shuffled/templated text) that any unigram score is blind to.
+    *
+    * Exactness: per-TYPE log-probs quantize to integer micro-nats before
+    * the integer multiply by in-doc counts and the per-doc LONG sums —
+    * order-independent, oracle-replayable; `xent` is one final division.
+    *
+    * Scale: ONE corpus scan — the token arrays persist
+    * (repetitionMatrix's pattern) and both the unigram and bigram explodes
+    * read the cached arrays; the model tables are type-level (vocabulary /
+    * bigram-type sized) and join back by token equi-joins. Text never
+    * shuffles; totals ride as broadcast 1-row cross joins.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    val (out, toks) = bigramLogProbLazy(docs, idCol, textCol, lambda)
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** The lazy pipeline behind [[bigramLogProb]], returning the persisted
+    * token-array intermediate for the plan-audit spec. */
+  private[graft] def bigramLogProbLazy(
+      docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double): (DataFrame, DataFrame) = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    val toks = docs.select(col(idCol),
+        filter(TextFns.tokens(lower(col(textCol))),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
+    // the add-one unigram term, shared by the floor and the first token —
+    // SAME float shape as unigramLogProb's oracle
+    def uniTerm = (col("cf") + lit(1.0d)) /
+      (col("tot_t") + col("tot_v")).cast("double")
+    val lwUni = cf.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log(uniTerm) * lit(1e6)).cast("long").as("lw0_micro"))
+    // bigram occurrences per doc: adjacent pairs off the cached arrays
+    // (guarded — Spark's sequence(1, 0) is DESCENDING, not empty)
+    val pairs = when(size(col("toks")) < 2,
+        array().cast("array<struct<v:string,w:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - lit(1)),
+        i => struct(element_at(col("toks"), i).as("v"),
+                    element_at(col("toks"), i + lit(1)).as("w"))))
+    val bg = toks.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
+      .groupBy(col(idCol), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val cvw = bg.groupBy(col("v"), col("w")).agg(sum(col("tf")).as("c_vw"))
+    val cv = cvw.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
+    val lwBi = cvw.join(cv, Seq("v"))
+      .join(cf.withColumnRenamed("token", "w"), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("w"),
+        round(log(
+          lit(lambda) * (col("c_vw").cast("double") / col("c_v").cast("double")) +
+          lit(1.0d - lambda) * uniTerm) * lit(1e6))
+          .cast("long").as("lw_micro"))
+    val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
+    val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
+      .join(lwUni, Seq("token"))
+      .select(col(idCol), col("lw0_micro"))
+    val bsum = bg.join(lwBi, Seq("v", "w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("lw_micro")).as("bi_micro"))
+    val out = nt.join(first, Seq(idCol))
+      .join(bsum, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("lw0_micro") + coalesce(col("bi_micro"), lit(0L)))
+          .as("logprob_micro"))
+      .withColumn("xent",
+        (-col("logprob_micro")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+    (out, toks)
+  }
+
+  /** DuckDB oracle replaying [[bigramLogProb]] — same tokenization, the
+    * same per-type micro-nat quantization, and the interpolation's exact
+    * float-op shapes (λ and 1−λ serialized from the SAME doubles the
+    * Spark plan uses, so e.g. 1−0.7 prints as 0.30000000000000004 and
+    * parses back to the identical bit pattern). */
+  def bigramLogProbOracleSql(table: String, idCol: String, textCol: String,
+                             lambda: Double = 0.7): String =
+    s"""WITH toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tf AS (SELECT $idCol, token, count(*) AS tf FROM (
+           SELECT $idCol, unnest(toks) AS token FROM t2) u GROUP BY 1, 2),
+       cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot_t, count(*) AS tot_v FROM cf),
+       lwu AS (SELECT token,
+           CAST(round(ln((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS lw0_micro
+         FROM cf, tot),
+       bg AS (SELECT $idCol, v, w, count(*) AS tf FROM (
+           SELECT $idCol, toks[CAST(i AS INT)] AS v,
+             toks[CAST(i AS INT) + 1] AS w
+           FROM (SELECT $idCol, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t2 WHERE len(toks) >= 2) g) p
+         GROUP BY 1, 2, 3),
+       cvw AS (SELECT v, w, CAST(sum(tf) AS BIGINT) AS c_vw FROM bg GROUP BY 1, 2),
+       cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cvw GROUP BY 1),
+       lwb AS (SELECT cvw.v, cvw.w,
+           CAST(round(ln($lambda * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
+             ${1.0d - lambda} * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS lw_micro
+         FROM cvw JOIN cv USING (v) JOIN cf ON cf.token = cvw.w CROSS JOIN tot),
+       nt AS (SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+       fi AS (SELECT t2.$idCol, lwu.lw0_micro
+              FROM t2 JOIN lwu ON lwu.token = t2.toks[1]),
+       bs AS (SELECT bg.$idCol,
+                CAST(sum(bg.tf * lwb.lw_micro) AS BIGINT) AS bi_micro
+              FROM bg JOIN lwb ON bg.v = lwb.v AND bg.w = lwb.w GROUP BY 1)
+       SELECT nt.$idCol, nt.n_tokens,
+         CAST(fi.lw0_micro + coalesce(bs.bi_micro, 0) AS BIGINT) AS logprob_micro,
+         CAST(-(fi.lw0_micro + coalesce(bs.bi_micro, 0)) AS DOUBLE) /
+           (CAST(nt.n_tokens AS DOUBLE) * 1000000.0) AS xent
+       FROM nt JOIN fi USING ($idCol) LEFT JOIN bs USING ($idCol)
+       ORDER BY $idCol"""
+
   /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
   def unigramLogProbOracleSql(table: String, idCol: String,
                               textCol: String): String =

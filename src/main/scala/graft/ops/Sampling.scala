@@ -285,6 +285,75 @@ object Sampling {
        SELECT $idCol, weight, score_micro FROM s
        ORDER BY score_micro DESC, $idCol LIMIT $k"""
 
+  /** Epoch MATERIALIZATION — the upsampling step downstream of
+    * [[tokenBudgetPlan]]: emit each document `floor(rate)` times plus one
+    * fractional epoch drawn by the deterministic md5 coin (u < frac(rate)),
+    * where rate = domain target tokens / actual tokens. A domain with
+    * rate 2.4 repeats every doc twice and a deterministic 40% of docs a
+    * third time — the "epochs over source" a mixture data card publishes,
+    * turned into actual training rows (DoReMi/Pile §2: small domains
+    * repeat, the dominant domain subsamples). Expected token yield per
+    * domain = its budgeted target, exactly.
+    *
+    * Scale: one broadcast of the |domains|-row rate table, then a pure
+    * projection + explode — rows out ∝ epochs, zero shuffles beyond the
+    * plan's own aggregate. The coin is per-DOCUMENT, so an incremental
+    * append re-derives the same epochs for existing docs (append-stable).
+    * `sequence(0, n−1)` is guarded: Spark's `sequence(0, -1)` is a
+    * DESCENDING [0, -1], not empty.
+    */
+  def materializeEpochs(docs: DataFrame, idCol: String, domainCol: String,
+                        tokensCol: Column, weights: Seq[(String, Double)],
+                        budget: Long): DataFrame = {
+    val rates = tokenBudgetPlan(docs, domainCol, tokensCol, weights, budget)
+      .select(col(domainCol), col("sample_rate"))
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + lit(0.5d)) / lit(4294967296.0d)
+    val nFull = floor(col("sample_rate")).cast("long")
+    val frac = col("sample_rate") - nFull.cast("double")
+    val nCopies = (nFull + when(u < frac, lit(1L)).otherwise(lit(0L))).as("__n")
+    docs.join(broadcast(rates), Seq(domainCol))
+      .select(col(idCol), col(domainCol), nCopies)
+      .select(col(idCol), col(domainCol),
+        explode(when(col("__n") < 1, array().cast("array<long>"))
+          .otherwise(sequence(lit(0L), col("__n") - 1))).as("epoch"))
+  }
+
+  /** DuckDB oracle replaying [[materializeEpochs]] — same rate arithmetic
+    * shapes (bigint floor cast back to double), same md5 coin. Weight
+    * doubles serialize from the SAME values the Spark plan uses, so they
+    * parse back bit-identical. */
+  def materializeEpochsOracleSql(table: String, idCol: String,
+                                 domainCol: String, tokensExpr: String,
+                                 weights: Seq[(String, Double)],
+                                 budget: Long): String = {
+    val values = weights.sortBy(_._1)
+      .map { case (d, w) => s"('$d', CAST($w AS DOUBLE))" }.mkString(", ")
+    s"""WITH t AS (
+         SELECT $idCol, $domainCol, CAST($tokensExpr AS BIGINT) AS n_tokens
+         FROM $table),
+       w($domainCol, weight) AS (VALUES $values),
+       agg AS (SELECT $domainCol, CAST(sum(n_tokens) AS BIGINT) AS actual
+               FROM t GROUP BY 1),
+       r AS (SELECT agg.$domainCol,
+               CAST(CAST(floor(CAST($budget AS DOUBLE) * weight) AS BIGINT) AS DOUBLE)
+                 / CAST(actual AS DOUBLE) AS rate
+             FROM agg JOIN w USING ($domainCol)),
+       d AS (SELECT t.$idCol, t.$domainCol,
+               CAST(floor(rate) AS BIGINT) AS n_full,
+               rate - CAST(CAST(floor(rate) AS BIGINT) AS DOUBLE) AS frac,
+               (CAST(('0x' || substring(md5(CAST(t.$idCol AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0 AS u
+             FROM t JOIN r USING ($domainCol)),
+       n AS (SELECT $idCol, $domainCol,
+               n_full + CASE WHEN u < frac THEN 1 ELSE 0 END AS n_copies
+             FROM d)
+       SELECT $idCol, $domainCol, CAST(e AS BIGINT) AS epoch FROM (
+         SELECT $idCol, $domainCol, unnest(generate_series(0, n_copies - 1)) AS e
+         FROM n WHERE n_copies >= 1) x
+       ORDER BY $idCol, epoch"""
+  }
+
   /** Token-budget mixture PLAN — the accounting step upstream of
     * [[mixtureSample]]/[[stratifiedPredicate]]: given target mixture
     * weights per domain (Pile/DoReMi-style) and a total token budget,

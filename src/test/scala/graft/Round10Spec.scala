@@ -99,6 +99,80 @@ class DomainDivergenceSpec extends SparkSpec {
   }
 }
 
+class BigramLogProbSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("predictable word order scores better than scrambled, same unigrams") {
+    // both docs share the unigram profile {a:3, b:3, c:3}; doc 1's
+    // transitions are deterministic, doc 2 breaks them
+    val docs = Seq((1L, "a b c a b c a b c"), (2L, "c a b b c a a c b"))
+      .toDF("doc_id", "text")
+    val rows = Corpus.bigramLogProb(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"xent")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 == 9L && rows(2L)._2 == 9L)
+    assert(rows(1L)._3 < rows(2L)._3,
+      s"ordered doc must have lower cross-entropy: $rows")
+  }
+
+  test("a single-token doc scores only its unigram first-token term") {
+    val docs = Seq((1L, "hello"), (2L, "hello world")).toDF("doc_id", "text")
+    val one = Corpus.bigramLogProb(docs, "doc_id", "text")
+      .where($"doc_id" === 1L)
+      .select($"n_tokens", $"logprob_micro").as[(Long, Long)].head()
+    // corpus {hello: 2, world: 1} → T=3, V=2; P_uni(hello) = (2+1)/(3+2)
+    // = 0.6; round(ln(0.6)·1e6) = -510826
+    assert(one == ((1L, -510826L)))
+  }
+
+  test("lambda outside (0, 1) fails fast") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.bigramLogProb(docs, "doc_id", "text", lambda = 1.0)
+    }
+  }
+}
+
+class MaterializeEpochsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two domains, 4 docs each, 10 tokens per doc → actual 40 tokens/domain
+  private val docs = (1L to 8L).map(i =>
+    (i, if (i <= 4) "up" else "down", Seq.fill(10)("t").mkString(" ")))
+    .toDF("doc_id", "dom", "text")
+  private val weights = Seq("up" -> 0.8, "down" -> 0.2)
+
+  private def run() = Sampling.materializeEpochs(docs, "doc_id", "dom",
+    graft.functions.TextFns.tokenCount($"text"), weights, budget = 125L)
+
+  test("per-doc copy counts follow floor(rate) plus the fractional coin") {
+    // up: target floor(125·0.8)=100, rate 2.5 → 2 or 3 copies per doc;
+    // down: target floor(125·0.2)=25, rate 0.625 → 0 or 1 copies
+    val counts = run().groupBy($"doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    (1L to 4L).foreach(i =>
+      assert(Set(2L, 3L).contains(counts(i)), s"doc $i: ${counts.get(i)}"))
+    (5L to 8L).foreach(i =>
+      assert(counts.getOrElse(i, 0L) <= 1L, s"doc $i: ${counts.get(i)}"))
+  }
+
+  test("epochs are dense 0..n-1 and the materialization is deterministic") {
+    val a = run().as[(Long, String, Long)].collect().sorted
+    val b = run().as[(Long, String, Long)].collect().sorted
+    assert(a.sameElements(b))
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(0L until rows.length))
+    }
+  }
+
+  test("domains absent from the weight table emit no rows") {
+    val out = Sampling.materializeEpochs(docs, "doc_id", "dom",
+      graft.functions.TextFns.tokenCount($"text"),
+      Seq("up" -> 1.0), budget = 125L)
+    assert(out.where($"dom" === "down").count() == 0L)
+  }
+}
+
 class Round10PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
@@ -127,6 +201,21 @@ class Round10PlanSpec extends SparkSpec {
         s"${parquetScans.size} uncached corpus scans (branch re-reads):\n$opt")
       assert(cached.nonEmpty, s"persisted (source, type) table not reused in:\n$opt")
     } finally { st.unpersist(); () }
+  }
+
+  test("bigramLogProb: ONE corpus scan; both explodes read the persisted token arrays") {
+    val (out, toks) = graft.ops.Corpus.bigramLogProbLazy(
+      Tables.documents(spark, sf), "doc_id", "text", lambda = 0.7)
+    try {
+      val opt = out.queryExecution.optimizedPlan
+      val parquetScans = opt.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l }
+      val cached = opt.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+      assert(parquetScans.isEmpty,
+        s"${parquetScans.size} uncached corpus scans (branch re-reads):\n$opt")
+      assert(cached.nonEmpty, s"persisted token arrays not reused in:\n$opt")
+    } finally { toks.unpersist(); () }
   }
 
   test("hardNegatives plans only equi-joins — no nested loop, no cartesian") {
