@@ -78,7 +78,20 @@ object PlanAudit {
     "q_data_card" ->
       ("Per-source data card: ONE parquet scan feeds one grouped aggregate " +
        "(the exact-unique count adds the Expand); no join anywhere — the " +
-       "whole corpus summary is a single pass."))
+       "whole corpus summary is a single pass."),
+    "q_weighted_sample" ->
+      ("Weighted sampling without replacement: the integer Gumbel-top-k key " +
+       "is a pure scan projection and the top-k is TakeOrderedAndProject — " +
+       "ZERO Exchange operators in the whole plan."),
+    "q_hard_negatives" ->
+      ("Hard-negative mining: per-query probe cells resolve in-plan " +
+       "(projection over literal centroid scores), the corpus prunes via a " +
+       "cell equi-join with the label-mismatch filter BEFORE the qid-keyed " +
+       "ranking window — no nested loop, no cartesian product."),
+    "q_epoch_materialize" ->
+      ("Epoch materialization: the |domains|-row rate table arrives via " +
+       "BroadcastExchange and the epoch explode is a projection — the " +
+       "corpus side never shuffles."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -124,6 +137,35 @@ object PlanAudit {
           "estimate prefilter reads only the cached k-long signatures.\n\n" +
           s"```\n${plan.trim}\n```\n"
       } finally { sig.unpersist(); () }
+    }
+    // checkpointing entries hide their auditable shape behind a LogicalRDD —
+    // dump the LAZY pipelines directly (same treatment as the minhash
+    // candidate stage above)
+    locally {
+      val (kl, st) = graft.ops.Corpus.domainDivergenceLazy(
+        Tables.documents(spark, sfDir), "source", "text")
+      try {
+        val plan = kl.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        sb ++= "\n## q_domain_kl (lazy stage)\n\n" +
+          "Per-source KL: ONE corpus scan — the (source, type) aggregate is " +
+          "persisted and all three consumers (join probe, type totals, " +
+          "source totals) read the InMemoryTableScan; totals ride as " +
+          "BroadcastExchange sides.\n\n" +
+          s"```\n${plan.trim}\n```\n"
+      } finally { st.unpersist(); () }
+    }
+    locally {
+      val (lm, toks) = graft.ops.Corpus.bigramLogProbLazy(
+        Tables.documents(spark, sfDir), "doc_id", "text", lambda = 0.7)
+      try {
+        val plan = lm.queryExecution.explainString(ExplainMode.fromString("formatted"))
+        sb ++= "\n## q_bigram_logprob (lazy stage)\n\n" +
+          "Interpolated-bigram LM: ONE corpus scan — the token arrays are " +
+          "persisted and BOTH the unigram and bigram explodes read the " +
+          "InMemoryTableScan; model tables are type-level equi-joins, " +
+          "document text never shuffles.\n\n" +
+          s"```\n${plan.trim}\n```\n"
+      } finally { toks.unpersist(); () }
     }
     Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"[plans] wrote $out")
