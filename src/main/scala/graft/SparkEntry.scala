@@ -1598,6 +1598,24 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: exact-substring duplicate REMOVAL (Lee et al. 2021's
+    // applied dedup): corpus-duplicated ≥20-char spans are cut everywhere
+    // but their first occurrence, with island-merged intervals and ordered
+    // segment reconstruction. The corpus gains partial clones (first 60
+    // chars + a unique tail) so keepers, cuts, and kept tails all exercise:
+    // originals (lower ids) survive untouched, clones lose exactly the
+    // cloned prefix and keep their tails.
+    "q_remove_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.where(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(substring(col("text"), 1, 60), lit(" tail-"),
+            col("doc_id").cast("string")).as("text")))
+      ApproxDedup.removeDupSpans(corpus, "doc_id", "text", n = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: interpolated-bigram LM cross-entropy — one modeling
     // step up from q_unigram_logprob toward CCNet's KenLM: catches
     // degenerate word ORDER a unigram score is blind to. ONE corpus scan
@@ -2708,6 +2726,15 @@ object SparkEntry {
     "q_bigram_logprob" ->
       graft.ops.Corpus.bigramLogProbOracleSql("documents", "doc_id", "text",
         lambda = 0.7),
+
+    "q_remove_dup_spans" ->
+      ApproxDedup.removeDupSpansOracleSql(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+             substring(text, 1, 60) || ' tail-' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents WHERE doc_id % 10 = 0)""",
+        "doc_id", "text", n = 20),
 
     "q_epoch_materialize" ->
       graft.ops.Sampling.materializeEpochsOracleSql("documents", "doc_id",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -862,6 +863,121 @@ object ApproxDedup {
          coalesce(c.covered_chars, 0) AS covered_chars,
          coalesce(c.covered_chars, 0)::DOUBLE / length(d.$textCol)::DOUBLE AS dup_fraction
        FROM $table d LEFT JOIN cov c USING ($idCol) ORDER BY d.$idCol"""
+
+  /** Exact-substring duplicate REMOVAL (the dedup Lee et al. 2021 §4.1
+    * actually apply, not just the [[dupCharSpanStats]] signal): every
+    * character covered by a corpus-duplicated n-gram occurrence is CUT
+    * from the document, except in the gram's first occurrence
+    * (lowest doc id, then lowest position — the keeper). Overlapping and
+    * adjacent cut spans merge, and the cleaned text is the ordered
+    * concatenation of the surviving segments. Case-sensitive raw-text
+    * grams (true exact-substring semantics; the stats op's lowercased
+    * grams answer a different, fuzzier question).
+    *
+    * Scale, stage by stage: the gram hash explode is the one corpus-sized
+    * pass (60-bit keys — 8-byte rows into the duplicate-count aggregate,
+    * map-side combined); the keeper window runs only over occurrences of
+    * DUPLICATED grams (∝ duplication, not corpus); interval merging is a
+    * per-doc window over cut spans; and reconstruction joins |spans| rows
+    * back to their documents — a doc with no duplicated spans never
+    * enters any window and passes through the final left join untouched.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 20): DataFrame = {
+    require(n >= 2, "span length must be >= 2")
+    val txt = col(textCol)
+    val grams = docs.select(col(idCol),
+        posexplode(when(length(txt) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), length(txt) - lit(n - 1)),
+            i => txt.substr(i, lit(n))))).as(Seq("i0", "g")))
+      .select(col(idCol), (col("i0") + lit(1)).cast("long").as("pos"),
+        TextFns.md5Long60(col("g")).as("h"))
+    val dupH = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("h"))
+    val nonKeeper = grams.join(dupH, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
+      .where(col("rn") > 1)
+      .select(col(idCol), col("pos").as("start"),
+        (col("pos") + lit(n - 1).cast("long")).as("end"))
+    // gaps-and-islands merge of overlapping/touching cut spans (1-based
+    // inclusive intervals): a span starts a new island iff it begins past
+    // every previous span's reach
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"), col("end"))
+    val islands = nonKeeper
+      .withColumn("reach", max(col("end")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("reach").isNull || col("start") > col("reach") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(w))
+    val merged = islands.groupBy(col(idCol), col("island"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+    val withPrev = merged.withColumn("pe",
+      lag(col("end"), 1, 0L).over(Window.partitionBy(col(idCol)).orderBy(col("start"))))
+    val perDoc = withPrev.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("start"), col("pe")))).as("ivs"),
+        max(col("end")).as("last_e"),
+        sum(col("end") - col("start") + lit(1L)).as("removed"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("last_e").isNull, txt).otherwise(concat(
+          array_join(transform(col("ivs"), iv =>
+            txt.substr((iv.getField("pe") + lit(1L)).cast("int"),
+              (iv.getField("start") - iv.getField("pe") - lit(1L)).cast("int"))), ""),
+          txt.substr((col("last_e") + lit(1L)).cast("int"), length(txt))))
+          .as("clean_text"),
+        length(txt).cast("long").as("n_chars"),
+        coalesce(col("removed"), lit(0L)).as("removed_chars"))
+  }
+
+  /** DuckDB oracle replaying [[removeDupSpans]] — same keeper rule, same
+    * island merge, reconstruction via lag + ordered string_agg. */
+  def removeDupSpansOracleSql(table: String, idCol: String, textCol: String,
+                              n: Int = 20): String =
+    s"""WITH g AS (
+         SELECT $idCol, CAST(u.i AS BIGINT) AS pos,
+           CAST(('0x' || substring(md5(substring($textCol, CAST(u.i AS INT), $n)), 1, 15)) AS BIGINT) AS h
+         FROM $table, unnest(generate_series(1, greatest(length($textCol) - ${n - 1}, 0))) AS u(i)),
+       dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM g GROUP BY 1) t WHERE c > 1),
+       nk AS (SELECT $idCol, pos AS s, pos + ${n - 1} AS e FROM (
+           SELECT g.$idCol, g.pos,
+             row_number() OVER (PARTITION BY g.h ORDER BY g.$idCol, g.pos) AS rn
+           FROM g JOIN dup USING (h)) o
+         WHERE rn > 1),
+       isl AS (SELECT $idCol, s, e,
+           CASE WHEN max(e) OVER (PARTITION BY $idCol ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR s > max(e) OVER (PARTITION BY $idCol ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                THEN 1 ELSE 0 END AS ni
+         FROM nk),
+       isl2 AS (SELECT $idCol, s, e,
+           sum(ni) OVER (PARTITION BY $idCol ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM isl),
+       m AS (SELECT $idCol, island, min(s) AS s, max(e) AS e
+             FROM isl2 GROUP BY 1, 2),
+       wp AS (SELECT $idCol, s, e,
+                lag(e, 1, 0) OVER (PARTITION BY $idCol ORDER BY s) AS pe
+              FROM m),
+       pieces AS (SELECT w.$idCol, w.s,
+           substring(d.$textCol, CAST(w.pe + 1 AS INT), CAST(w.s - w.pe - 1 AS INT)) AS piece
+         FROM wp w JOIN $table d USING ($idCol)),
+       heads AS (SELECT $idCol, string_agg(piece, '' ORDER BY s) AS headtext
+                 FROM pieces GROUP BY 1),
+       tails AS (SELECT $idCol, max(e) AS last_e,
+                   CAST(sum(e - s + 1) AS BIGINT) AS removed
+                 FROM m GROUP BY 1)
+       SELECT d.$idCol,
+         CASE WHEN t.$idCol IS NULL THEN d.$textCol
+              ELSE coalesce(h.headtext, '') ||
+                   substring(d.$textCol, CAST(t.last_e + 1 AS INT)) END AS clean_text,
+         CAST(length(d.$textCol) AS BIGINT) AS n_chars,
+         coalesce(t.removed, 0) AS removed_chars
+       FROM $table d LEFT JOIN heads h USING ($idCol) LEFT JOIN tails t USING ($idCol)
+       ORDER BY d.$idCol"""
 
   /** Near-duplicate CLUSTERS from a pair list: connected components by
     * iterative min-label propagation (the hash-min variant of

@@ -173,6 +173,38 @@ class MaterializeEpochsSpec extends SparkSpec {
   }
 }
 
+class RemoveDupSpansSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ApproxDedup
+
+  private def run(rows: Seq[(Long, String)], n: Int = 5) =
+    ApproxDedup.removeDupSpans(rows.toDF("doc_id", "text"), "doc_id", "text", n)
+      .select($"doc_id", $"clean_text", $"removed_chars")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("the first occurrence keeps the span; later docs lose it") {
+    val out = run(Seq((1L, "abcdefgh"), (2L, "xxabcdefghyy")))
+    assert(out(1L) == (("abcdefgh", 0L)))
+    assert(out(2L) == (("xxyy", 8L)))
+  }
+
+  test("within-document repetition keeps only the first copy") {
+    val out = run(Seq((1L, "abcdeabcde")))
+    assert(out(1L) == (("abcde", 5L)))
+  }
+
+  test("docs without duplicated spans pass through untouched") {
+    val out = run(Seq((1L, "abcdefghij"), (2L, "qrstuvwxyz")))
+    assert(out(1L) == (("abcdefghij", 0L)))
+    assert(out(2L) == (("qrstuvwxyz", 0L)))
+  }
+
+  test("touching cut spans merge into one island") {
+    val out = run(Seq((1L, "abcdefghij"), (2L, "ZZabcdefghijZZ")))
+    assert(out(2L) == (("ZZZZ", 10L)))
+  }
+}
+
 class Round10PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
