@@ -94,10 +94,19 @@ class DsirSpec extends SparkSpec {
       Dsir.gramBuckets(corpus.where($"dom" === "tgt"), "id", "text", 64),
       Dsir.gramBuckets(corpus, "id", "text", 64), 64)
     assert(ratios.count() == 64L)
-    val plan = Dsir.importanceWeightsMicro(
-        corpus, corpus.where($"dom" === "tgt"), "id", "text", 64)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"ratio join must broadcast:\n$plan")
+    // audit the LAZY pipeline — the public entry checkpoints the result
+    val (w, db) = Dsir.weightsLazy(
+      corpus, corpus.where($"dom" === "tgt"), "id", "text", 64)
+    try {
+      val plan = w.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"ratio join must broadcast:\n$plan")
+      // the scoring join and the raw-side fit must BOTH read the persisted
+      // bucket table, not re-run the corpus gram explode per branch
+      val opt = w.queryExecution.optimizedPlan
+      val cached = opt.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+      assert(cached.size >= 2, s"shared bucket table not reused:\n$opt")
+    } finally { db.unpersist(); () }
   }
 
   test("resample is deterministic, k-bounded, and weight-biased") {
