@@ -1598,6 +1598,43 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: SQ8 reconstruction-error QA — cosine between every
+    // vector and its dequantized int8 code in exact micro-units: the gate
+    // before shipping a quantized index. Pure scan projection.
+    "q_sq_recon_error" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val scale = SimilaritySearch.maxAbsScale(emb, "embedding")
+      SimilaritySearch.sqReconstructionError(
+          SimilaritySearch.withInt8(emb, "embedding", scale),
+          "vec_id", "embedding", "qvec", scale)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ── LLM-pipeline: hybrid retrieval via reciprocal-rank fusion — BM25
+    // lexical top-20 fused with embedding-cosine top-20 (ids share the
+    // corpus space), micro-unit integer fusion scores. The heavy retrieval
+    // happens upstream; fusion is a union of tiny frames + one aggregate.
+    "q_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.ops.Corpus.bm25TopK(docs, "doc_id", "text",
+          query = Seq("table", "scan", "fast", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val sem = emb.select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFns.cosineToQuery(col("embedding"), qv).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("doc_id"))))
+      graft.ops.Corpus.rrfFuse(
+        Seq(lex.select(col("doc_id"), col("rank")),
+            sem.select(col("doc_id"), col("rank"))),
+        "doc_id", "rank", k = 10)
+    }),
+
     // ── LLM-pipeline: exact-substring duplicate REMOVAL (Lee et al. 2021's
     // applied dedup): corpus-duplicated ≥20-char spans are cut everywhere
     // but their first occurrence, with island-merged intervals and ordered
@@ -2726,6 +2763,38 @@ object SparkEntry {
     "q_bigram_logprob" ->
       graft.ops.Corpus.bigramLogProbOracleSql("documents", "doc_id", "text",
         lambda = 0.7),
+
+    "q_sq_recon_error" ->
+      graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(
+        "embeddings", "vec_id", "embedding"),
+
+    "q_hybrid_rrf" -> {
+      val bm25 = graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
+        terms = Seq("table", "scan", "fast", "vector"), k = 20)
+      s"""WITH lexr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+           FROM ($bm25) lex),
+         semr AS (
+           SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+           FROM (
+             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id = 0)
+             SELECT vec_id AS doc_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS cosine
+             FROM embeddings, q
+             ORDER BY cosine DESC, vec_id LIMIT 20) sem),
+         u AS (
+           SELECT doc_id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM lexr
+           UNION ALL
+           SELECT doc_id, CAST(round(1000000.0 / (60 + rank)) AS BIGINT) AS c FROM semr)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+           count(*) AS n_lists
+         FROM u GROUP BY 1 ORDER BY rrf_micro DESC, doc_id LIMIT 10"""
+    },
 
     "q_remove_dup_spans" ->
       ApproxDedup.removeDupSpansOracleSql(

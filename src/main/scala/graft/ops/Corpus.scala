@@ -994,6 +994,31 @@ object Corpus {
     bm25Rank(tf, dfreq, stats, idCol, k, k1, b)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: fuse N independent rankings
+    * (BM25 lexical, embedding-cosine semantic, …) by summing
+    * `1/(kRrf + rank)` per list, in exact micro-units so the fused order
+    * is integer-deterministic and oracle-replayable. Items missing from a
+    * list simply contribute nothing — no outer-join scaffolding.
+    *
+    * Scale: each ranking is already top-k-sized (the expensive retrieval
+    * happened upstream); fusion is a union of tiny frames + one hash
+    * aggregate + TakeOrdered. With per-query rankings, add the query id
+    * to `idCol`'s frame and group by both — same shape, still tiny.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "at least one ranking required")
+    require(k > 0 && kRrf >= 0, "k positive, kRrf non-negative")
+    val contribs = rankings.map(df => df.select(col(idCol),
+        round(lit(1e6) / (lit(kRrf) + col(rankCol))).cast("long").as("c")))
+      .reduce(_.unionByName(_))
+    contribs.groupBy(col(idCol))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micro").desc, col(idCol))
+      .limit(k)
+  }
+
   /** The shared BM25 scoring tail: tf rows × broadcast df × broadcast
     * (N, avgdl) stats, micro-unit quantization, order-free sum, TakeOrdered.
     * ONE implementation so the in-plan path ([[bm25TopK]]) and the

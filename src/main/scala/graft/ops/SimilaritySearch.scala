@@ -533,6 +533,41 @@ object SimilaritySearch {
          (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qev, qev))) AS cosine
        FROM cand, q ORDER BY cosine DESC, $idCol LIMIT $k"""
 
+  /** Per-vector SQ8 reconstruction quality — the QA gate before shipping a
+    * quantized index (FAISS's recons-error check): the cosine between each
+    * vector and its dequantized int8 code, in exact micro-units. A
+    * scan-local projection, zero shuffles at any corpus size; feed it to
+    * an aggregate (min / percentile) to decide whether SQ8's error budget
+    * holds for a given embedding distribution before swapping the probe
+    * path over. `scale/127` resolves driver-side to ONE double so the
+    * oracle replays the identical dequantization literal. */
+  def sqReconstructionError(indexed: DataFrame, idCol: String, vecCol: String,
+                            codeCol: String, scale: Double): DataFrame = {
+    require(scale > 0, "positive quantization scale")
+    val s127 = scale / 127.0
+    val deq = transform(col(codeCol).cast("array<double>"), c => c * lit(s127))
+    indexed.select(col(idCol),
+      round(VectorFns.cosine(col(vecCol), deq) * lit(1e6))
+        .cast("long").as("recon_micro"))
+  }
+
+  /** DuckDB oracle replaying [[maxAbsScale]] → [[withInt8]] →
+    * [[sqReconstructionError]] end-to-end (codes in [−127, 127] are exact
+    * in doubles, so skipping the tinyint round-trip changes nothing). */
+  def sqReconstructionErrorOracleSql(table: String, idCol: String,
+                                     vecCol: String): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       s AS (SELECT max(list_max(list_transform(ev, x -> abs(x)))) AS scale FROM e),
+       qz AS (SELECT $idCol, ev,
+           list_transform(list_transform(ev, x -> floor(x * 127.0 / scale + 0.5)),
+             c -> c * (scale / 127.0)) AS dq
+         FROM e, s)
+       SELECT $idCol,
+         CAST(round(list_dot_product(ev, dq) /
+           (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(dq, dq)))
+           * 1000000.0) AS BIGINT) AS recon_micro
+       FROM qz ORDER BY $idCol"""
+
   // ── Product quantization (PQ, Jégou et al. 2011) ──────────────────────
 
   /** Deterministic PQ codebooks: subspace `j`'s codebook is the j-th

@@ -205,6 +205,47 @@ class RemoveDupSpansSpec extends SparkSpec {
   }
 }
 
+class RrfFuseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("an item in both lists outranks equal-rank single-list items") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((10L, 2), (20L, 1), (21L, 3)).toDF("id", "rank")
+    val out = Corpus.rrfFuse(Seq(a, b), "id", "rank", k = 10)
+      .as[(Long, Long, Long)].collect()
+    // id 10: round(1e6/61) + round(1e6/62) = 16393 + 16129 = 32522
+    assert(out.head == ((10L, 32522L, 2L)))
+    // id 20 (rank 1 in one list) beats 11 (rank 2 in one list)
+    val order = out.map(_._1)
+    assert(order.indexOf(20L) < order.indexOf(11L))
+  }
+
+  test("k caps the fused list; ties break by id") {
+    val a = Seq((1L, 1), (2L, 1)).toDF("id", "rank")
+    val out = Corpus.rrfFuse(Seq(a), "id", "rank", k = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(out.sameElements(Array((1L, 16393L, 1L))))
+  }
+}
+
+class SqReconErrorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactly representable vectors reconstruct to cosine 1.0") {
+    val emb = Seq((0L, Array(0.9f, 0.0f)), (1L, Array(0.3f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val scale = SimilaritySearch.maxAbsScale(emb, "embedding")
+    val out = SimilaritySearch.sqReconstructionError(
+        SimilaritySearch.withInt8(emb, "embedding", scale),
+        "vec_id", "embedding", "qvec", scale)
+      .orderBy($"vec_id").as[(Long, Long)].collect().toMap
+    // (0.9, 0) → codes (127, 0) → dequant parallel to the original: exact
+    assert(out(0L) == 1000000L)
+    // (0.3, 0.9) quantizes inexactly — close to but below perfect
+    assert(out(1L) < 1000000L && out(1L) > 990000L, s"got ${out(1L)}")
+  }
+}
+
 class Round10PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
