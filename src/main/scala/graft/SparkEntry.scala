@@ -1598,6 +1598,30 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: near-dup SOURCE matrix — dedup diagnostics: how
+    // near-dup pairs distribute within/across sources ("is crawl B a
+    // re-crawl of A?"). Two id equi-joins + one grouped count; output
+    // ≤ |sources|² rows at any corpus size.
+    "q_neardup_source_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.nearDupSourceMatrix(docs, pairs, "doc_id", "source")
+    }),
+
+    // ── LLM-pipeline: PSI drift bins — the production distribution-shift
+    // monitor between two corpus snapshots (here the doc_id parity halves)
+    // over fixed equi-width n_chars bins; per-bin PSI terms in exact
+    // micro-nats, totals as an OVER () window over the bins-row grid.
+    "q_psi_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Maintenance.psiBins(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        col("n_chars"), lo = 0.0, hi = 4000.0, bins = 20)
+    }),
+
     // ── LLM-pipeline: SQ8 reconstruction-error QA — cosine between every
     // vector and its dequantized int8 code in exact micro-units: the gate
     // before shipping a quantized index. Pure scan projection.
@@ -2767,6 +2791,17 @@ object SparkEntry {
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(
         "embeddings", "vec_id", "embedding"),
+
+    "q_neardup_source_matrix" ->
+      ApproxDedup.nearDupSourceMatrixOracleSql("documents", "doc_id", "text",
+        "source", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    "q_psi_drift" ->
+      graft.ops.Maintenance.psiBinsOracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars", lo = 0.0, hi = 4000.0, bins = 20),
 
     "q_hybrid_rrf" -> {
       val bm25 = graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",

@@ -281,6 +281,40 @@ object ApproxDedup {
        SELECT id1, id2, jaccard FROM p WHERE jaccard >= $threshold
        ORDER BY id1, id2"""
 
+  /** Near-dup SOURCE matrix — dedup diagnostics: how near-dup pairs
+    * distribute within and across sources ("is crawl B mostly a re-crawl
+    * of A?"). Pairs carry only ids, so the matrix is two id equi-joins to
+    * the |docs|-row (id, source) projection + one grouped count over
+    * unordered source pairs — output ≤ |sources|² rows regardless of
+    * corpus size. */
+  def nearDupSourceMatrix(docs: DataFrame, pairs: DataFrame,
+                          idCol: String, groupCol: String): DataFrame = {
+    val s1 = docs.select(col(idCol).as("id1"), col(groupCol).as("src1"))
+    val s2 = docs.select(col(idCol).as("id2"), col(groupCol).as("src2"))
+    pairs.join(s1, Seq("id1")).join(s2, Seq("id2"))
+      .select(least(col("src1"), col("src2")).as("src_a"),
+        greatest(col("src1"), col("src2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB oracle: [[nearDupSourceMatrix]] over the replayed
+    * [[minhashNearDupsFast]] pair graph. */
+  def nearDupSourceMatrixOracleSql(table: String, idCol: String, textCol: String,
+                                   groupCol: String, threshold: Double,
+                                   shingleSize: Int = 3, k: Int = 24,
+                                   bands: Int = 6, estSlack: Double = 0.25,
+                                   maxBucket: Int = 0, seed: Long = 7L): String =
+    s"""WITH ${minhashFastCtes(table, idCol, textCol, threshold, shingleSize,
+                               k, bands, estSlack, maxBucket, seed)},
+       pr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+       s AS (SELECT $idCol AS id, $groupCol AS src FROM $table),
+       m AS (SELECT least(a.src, b.src) AS src_a, greatest(a.src, b.src) AS src_b
+             FROM pr JOIN s a ON a.id = pr.id1 JOIN s b ON b.id = pr.id2)
+       SELECT src_a, src_b, count(*) AS n_pairs
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** DuckDB oracle for [[nearDupClusters]] over the FAST-path pair graph:
     * transitive closure (recursive CTE) of the replayed
     * [[minhashNearDupsFast]] pairs, min reachable id as the cluster label. */

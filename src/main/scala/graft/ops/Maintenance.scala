@@ -256,6 +256,74 @@ object Maintenance {
       .select(col("bin"), (lit(lo) + col("bin") * lit(width)).as("bin_lo"), col("cnt"))
   }
 
+  /** Population Stability Index bins between two snapshots of a numeric
+    * column — the standard production drift monitor ("did this week's
+    * crawl shift the length/quality distribution?"): equi-width bins over
+    * a FIXED [lo, hi) range (fixed so that two snapshots, or fifty weekly
+    * ones, bin identically; out-of-range values clamp into the edge bins),
+    * add-one-smoothed shares, and the per-bin PSI term
+    * `(p_a − p_b)·ln(p_a/p_b)` in exact micro-nats. Σ term_micro ≳ 0.2e6
+    * is the classic "investigate" threshold.
+    *
+    * Scale: each snapshot pays one scan into a `bins`-row hash aggregate
+    * (map-side combined); the totals ride as an OVER () window over the
+    * bins-row grid — single-partition but `bins` rows, never data.
+    */
+  def psiBins(a: DataFrame, b: DataFrame, valueCol: Column,
+              lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi > lo, "hi must exceed lo")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, cnt: String) = df.select(
+        least(greatest(floor((valueCol.cast("double") - lit(lo)) / lit(width)),
+          lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    val spark = a.sparkSession
+    val grid = spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(binned(a, "ca"), Seq("bin"), "left")
+      .join(binned(b, "cb"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pa = (col("ca") + lit(1.0d)) / (sum(col("ca")).over(w) + lit(bins.toLong)).cast("double")
+    val pb = (col("cb") + lit(1.0d)) / (sum(col("cb")).over(w) + lit(bins.toLong)).cast("double")
+    grid.select(col("bin"), col("ca"), col("cb"),
+        round((pa - pb) * log(pa / pb) * lit(1e6)).cast("long").as("term_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** DuckDB oracle replaying [[psiBins]] — same clamp, same smoothing
+    * shapes, same OVER () totals; `lo`/`width` interpolate from the SAME
+    * doubles the Spark plan uses. */
+  def psiBinsOracleSql(tableA: String, tableB: String, valueExpr: String,
+                       lo: Double, hi: Double, bins: Int): String = {
+    val width = (hi - lo) / bins
+    def binned(t: String, cnt: String) =
+      s"""SELECT CAST(least(greatest(floor((CAST($valueExpr AS DOUBLE) - $lo) / $width),
+            0.0), ${(bins - 1).toDouble}) AS INT) AS bin, count(*) AS $cnt
+          FROM $t GROUP BY 1"""
+    s"""WITH ga AS (${binned(tableA, "ca")}),
+       gb AS (${binned(tableB, "cb")}),
+       grid AS (
+         SELECT CAST(g.i AS INT) AS bin,
+           CAST(coalesce(ga.ca, 0) AS BIGINT) AS ca,
+           CAST(coalesce(gb.cb, 0) AS BIGINT) AS cb
+         FROM (SELECT unnest(generate_series(0, ${bins - 1})) AS i) g
+         LEFT JOIN ga ON ga.bin = g.i LEFT JOIN gb ON gb.bin = g.i),
+       t AS (
+         SELECT bin, ca, cb,
+           (ca + 1.0) / CAST(sum(ca) OVER () + $bins AS DOUBLE) AS pa,
+           (cb + 1.0) / CAST(sum(cb) OVER () + $bins AS DOUBLE) AS pb
+         FROM grid)
+       SELECT bin, ca, cb,
+         CAST(round((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT) AS term_micro
+       FROM t ORDER BY bin"""
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
     * integer keys — the multi-dimensional clustering key behind
     * data-layout optimization: sorting/range-partitioning a table by

@@ -246,6 +246,44 @@ class SqReconErrorSpec extends SparkSpec {
   }
 }
 
+class PsiBinsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Maintenance
+
+  test("identical snapshots yield exactly zero PSI terms") {
+    val a = Seq(10.0, 20.0, 30.0, 250.0).toDF("v")
+    val out = Maintenance.psiBins(a, a, $"v", lo = 0.0, hi = 100.0, bins = 4)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.length == 4)
+    assert(out.forall(_._4 == 0L), s"nonzero terms: ${out.toSeq}")
+  }
+
+  test("a shifted snapshot produces positive total PSI; values clamp to edge bins") {
+    val a = Seq(5.0, 15.0, 25.0).toDF("v")
+    val b = Seq(75.0, 85.0, 950.0, -3.0).toDF("v") // 950 → top bin, -3 → bin 0
+    val out = Maintenance.psiBins(a, b, $"v", lo = 0.0, hi = 100.0, bins = 10)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._4).sum > 200000L, s"PSI too small: ${out.toSeq}")
+    assert(out.find(_._1 == 9).get._3 == 1L) // 950 clamped into bin 9
+    assert(out.find(_._1 == 0).get._3 == 1L) // -3 clamped into bin 0
+  }
+}
+
+class NearDupSourceMatrixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ApproxDedup
+
+  test("pairs fold into unordered source cells") {
+    val docs = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("doc_id", "source")
+    // (1,2) within A; (2,3) and (3,1) both A×B regardless of direction
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id1", "id2")
+    val out = ApproxDedup.nearDupSourceMatrix(docs, pairs, "doc_id", "source")
+      .as[(String, String, Long)].collect()
+    assert(out.sameElements(Array(("A", "A", 1L), ("A", "B", 2L))))
+  }
+}
+
 class Round10PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
