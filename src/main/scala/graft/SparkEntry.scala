@@ -1598,6 +1598,14 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: C4 "badwords" blocklist filter — exact token-
+    // boundary matching, occurrence counts + keep flag in one scan
+    // projection (zero shuffles); the blocklist rides as an array literal.
+    "q_blocklist_filter" -> ((s, d) =>
+      graft.ops.Corpus.blocklistFilter(Tables.documents(s, d),
+          "doc_id", "text", words = Seq("table", "scan", "fast"), maxHits = 1L)
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: near-dup SOURCE matrix — dedup diagnostics: how
     // near-dup pairs distribute within/across sources ("is crawl B a
     // re-crawl of A?"). Two id equi-joins + one grouped count; output
@@ -2791,6 +2799,10 @@ object SparkEntry {
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(
         "embeddings", "vec_id", "embedding"),
+
+    "q_blocklist_filter" ->
+      graft.ops.Corpus.blocklistFilterOracleSql("documents", "doc_id", "text",
+        words = Seq("table", "scan", "fast"), maxHits = 1L),
 
     "q_neardup_source_matrix" ->
       ApproxDedup.nearDupSourceMatrixOracleSql("documents", "doc_id", "text",

@@ -994,6 +994,40 @@ object Corpus {
     bm25Rank(tf, dfreq, stats, idCol, k, k1, b)
   }
 
+  /** Blocklist (C4 "badwords") filter — Raffel et al. 2020 §2.2 drop any
+    * page containing a word from a blocklist; the classic safety/boiler-
+    * plate gate every production corpus pipeline runs in some form. Exact
+    * token-boundary matching (no substring false positives), occurrence
+    * COUNTS kept alongside the boolean so thresholded variants (`keep if
+    * hits ≤ k`) and audit reports need no second pass.
+    *
+    * Scale: the blocklist rides inside the expression as one array
+    * literal (production lists are hundreds of words — trivially
+    * broadcast-free); the whole operator is a scan projection, zero
+    * shuffles. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      words: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    val list = typedLit(words.map(_.toLowerCase).distinct.sorted.toArray)
+    val hits = size(filter(TextFns.tokens(lower(col(textCol))),
+      t => array_contains(list, t))).cast("long")
+    docs.select(col(idCol), hits.as("n_hits"))
+      .withColumn("keep", col("n_hits") <= lit(maxHits))
+  }
+
+  /** DuckDB oracle replaying [[blocklistFilter]]. */
+  def blocklistFilterOracleSql(table: String, idCol: String, textCol: String,
+                               words: Seq[String], maxHits: Long = 0L): String = {
+    val list = words.map(_.toLowerCase).distinct.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT $idCol,
+         CAST(len(list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+           t -> list_contains($list, t))) AS BIGINT) AS n_hits,
+         CAST(len(list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+           t -> list_contains($list, t))) AS BIGINT) <= $maxHits AS keep
+       FROM $table ORDER BY $idCol"""
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: fuse N independent rankings
     * (BM25 lexical, embedding-cosine semantic, …) by summing

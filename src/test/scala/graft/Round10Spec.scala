@@ -246,6 +246,29 @@ class SqReconErrorSpec extends SparkSpec {
   }
 }
 
+class BlocklistFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token-boundary matching: no substring false positives, counts exact") {
+    val docs = Seq((1L, "the scan runs"), (2L, "scanner scans scanning"),
+      (3L, "scan scan SCAN")).toDF("doc_id", "text")
+    val out = Corpus.blocklistFilter(docs, "doc_id", "text",
+        words = Seq("scan"), maxHits = 0L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((0L, true)), "substrings must not match")
+    assert(out(3L) == ((3L, false)), "case folds before matching")
+  }
+
+  test("maxHits thresholds the keep flag") {
+    val docs = Seq((1L, "bad"), (2L, "bad bad")).toDF("doc_id", "text")
+    val out = Corpus.blocklistFilter(docs, "doc_id", "text",
+        words = Seq("bad"), maxHits = 1L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) && !out(2L))
+  }
+}
+
 class PsiBinsSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Maintenance
