@@ -412,6 +412,30 @@ object SparkEntry {
     // score-bounded zrangebyscore reads, token lease. Result must be
     // byte-identical to the local parquet run, so the oracle is the same
     // SQL.
+    // ── §2.11 the JDBC instance backend end-to-end — the reference's
+    // PRIMARY instance-connector shape (SQLConnector): pipes as database
+    // tables, staged-MERGE upserts, MAX/MIN sync-time pushdown. Two
+    // overlapping batches through the full sync pipeline against embedded
+    // Derby, read back through the store.
+    "q_jdbc_instance_e2e" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_jdbc_e2e").toString
+      val db = "ge2e" + java.lang.Integer.toHexString(root.hashCode)
+      val eng = new SyncEngine(s, root,
+        storeFactory = graft.storage.JdbcStore.factory(
+          s"jdbc:derby:memory:$db;create=true",
+          varcharCols = Map("event_type" -> 32)))
+      val spec = PipeSpec(PipeKeys("jdbc", "instance_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val ev = Tables.events(s, d)
+      eng.sync(spec, ev.where(col("event_id") < 700))
+      eng.sync(spec, ev.where(col("event_id") >= 500)
+        .withColumn("value", col("value") + 1000))
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_valkey_instance_e2e" -> ((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_vk_e2e").toString
       val srv = new graft.kv.MiniValkey()
@@ -2548,6 +2572,12 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type,
          CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
          props FROM events ORDER BY event_id""",
+
+    "q_jdbc_instance_e2e" ->
+      """SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id >= 500 THEN value + 1000 ELSE value END AS value,
+         props
+         FROM events ORDER BY event_id""",
 
     "q_valkey_instance_e2e" ->
       """SELECT event_id, ts, user_id, event_type,

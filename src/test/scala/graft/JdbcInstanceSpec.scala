@@ -1,0 +1,100 @@
+package graft
+
+import graft.sync.SyncEngine
+
+/** The JDBC (embedded Derby) instance backend — the SAME behavior suite as
+  * the parquet, in-memory, HTTP, and Valkey backends, with every store
+  * call crossing a real JDBC connection and upserts running as staged
+  * MERGE statements (reference: SQLConnector is the PRIMARY instance
+  * backend and passes the same `tests/pipes.py` suite). */
+class JdbcStoreSyncEngineSpec extends SyncEngineSuite {
+  override protected def fileBacked = false
+  protected def mkEngine(root: String): SyncEngine = {
+    // one in-memory Derby database per test root
+    val db = "g" + java.lang.Integer.toHexString(root.hashCode)
+    new SyncEngine(spark, root,
+      storeFactory = graft.storage.JdbcStore.factory(
+        s"jdbc:derby:memory:$db;create=true"))
+  }
+}
+
+/** JDBC-seam specifics the shared suite doesn't reach. */
+class JdbcInstanceSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import spark.implicits._
+
+  private def mkStore(name: String) =
+    new graft.storage.JdbcStore(spark,
+      s"jdbc:derby:memory:jspec;create=true",
+      PipeSpec(PipeKeys("jdbc", name),
+        columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id"))))
+
+  private def df3 = Seq(
+      ("2024-01-01 00:00:00", 1L, 1.5),
+      ("2024-01-02 00:00:00", 2L, 2.5),
+      ("2024-01-03 00:00:00", 3L, 3.5))
+    .toDF("dts", "id", "val")
+    .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+    .select("dt", "id", "val")
+
+  test("NTZ timestamps round-trip through Derby TIMESTAMP via the stored DDL") {
+    val st = mkStore("ntz")
+    st.create(df3, cluster = true)
+    val back = st.read
+    assert(back.schema("dt").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = back.select($"dt".cast("string")).as[String].collect().sorted
+    assert(got.head == "2024-01-01 00:00:00" && got.last == "2024-01-03 00:00:00")
+    st.drop()
+  }
+
+  test("readRange pushes bounds into the remote query text") {
+    val st = mkStore("rng")
+    st.create(df3, cluster = true)
+    val mid = st.readRange(
+      Some(java.time.LocalDateTime.parse("2024-01-02T00:00:00")),
+      Some(java.time.LocalDateTime.parse("2024-01-03T00:00:00")))
+    assert(mid.select($"id").as[Long].collect().toSeq == Seq(2L))
+    val inclusive = st.readRange(
+      Some(java.time.LocalDateTime.parse("2024-01-02T00:00:00")),
+      Some(java.time.LocalDateTime.parse("2024-01-03T00:00:00")),
+      endInclusive = true)
+    assert(inclusive.count() == 2L)
+    st.drop()
+  }
+
+  test("upsert MERGEs: update in place, insert the new key") {
+    val st = mkStore("mrg")
+    st.create(df3, cluster = true)
+    val patch = Seq(("2024-01-02 00:00:00", 2L, 99.0), ("2024-01-04 00:00:00", 4L, 4.5))
+      .toDF("dts", "id", "val")
+      .withColumn("dt", to_timestamp_ntz(col("dts"))).drop("dts")
+      .select("dt", "id", "val")
+    st.upsert(patch, keys = Seq("dt", "id"))
+    assert(st.rowCount == 4L)
+    val v2 = st.read.where($"id" === 2L).select($"val").as[Double].head()
+    assert(v2 == 99.0)
+    st.drop()
+  }
+
+  test("maxId survives in the meta table; drop clears it") {
+    val st = mkStore("hwm")
+    assert(st.readMaxId.isEmpty)
+    st.writeMaxId(41L); st.writeMaxId(42L)
+    assert(st.readMaxId.contains(42L))
+    st.create(df3, cluster = true)
+    st.drop()
+    assert(st.readMaxId.isEmpty && !st.exists)
+  }
+
+  test("syncTime is a MAX/MIN pushdown, not a table scan through Spark") {
+    val st = mkStore("st")
+    st.create(df3, cluster = true)
+    assert(st.syncTime(newest = true)
+      .contains(java.time.LocalDateTime.parse("2024-01-03T00:00:00")))
+    assert(st.syncTime(newest = false)
+      .contains(java.time.LocalDateTime.parse("2024-01-01T00:00:00")))
+    st.drop()
+  }
+}
