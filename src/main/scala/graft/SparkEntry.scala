@@ -1622,6 +1622,27 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: corpus snapshot diff — the dataset-versioning
+    // changelog: added/removed/changed/same per doc id between two corpus
+    // versions. Both sides reduce to (id, md5) BEFORE the one full-outer
+    // join; text never shuffles.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldV = docs.where(col("doc_id") % 7 =!= 0)
+      val newV = docs.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ops.Corpus.corpusDiff(oldV, newV, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: padding-waste report — pick sequence-length buckets
+    // by measuring the pad-token overhead each boundary set costs. One
+    // scan projection (CASE ladder) + one |boundaries|-row aggregate.
+    "q_padding_waste" -> ((s, d) =>
+      graft.ops.Corpus.paddingWaste(Tables.documents(s, d),
+        TextFns.tokenCount(col("text")), boundaries = Seq(64, 128, 256, 512))),
+
     // ── LLM-pipeline: C4 "badwords" blocklist filter — exact token-
     // boundary matching, occurrence counts + keep flag in one scan
     // projection (zero shuffles); the blocklist rides as an array literal.
@@ -2833,6 +2854,19 @@ object SparkEntry {
     "q_blocklist_filter" ->
       graft.ops.Corpus.blocklistFilterOracleSql("documents", "doc_id", "text",
         words = Seq("table", "scan", "fast"), maxHits = 1L),
+
+    "q_corpus_diff" ->
+      graft.ops.Corpus.corpusDiffOracleSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)",
+        """(SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 0)""",
+        "doc_id", "text"),
+
+    "q_padding_waste" ->
+      graft.ops.Corpus.paddingWasteOracleSql("documents",
+        """len(string_split_regex(trim(text), '\s+'))""",
+        boundaries = Seq(64, 128, 256, 512)),
 
     "q_neardup_source_matrix" ->
       ApproxDedup.nearDupSourceMatrixOracleSql("documents", "doc_id", "text",

@@ -994,6 +994,92 @@ object Corpus {
     bm25Rank(tf, dfreq, stats, idCol, k, k1, b)
   }
 
+  /** Corpus snapshot diff — the dataset-versioning release report: per
+    * document id, whether it was ADDED, REMOVED, CHANGED (content hash
+    * differs), or SAME between two corpus versions. The sync engine's
+    * diff answers this for pipes row-by-row; this is the corpus-level
+    * summary a dataset changelog publishes (and the pre-flight check
+    * before re-running downstream dedup/stats on a new drop).
+    *
+    * Scale: ONE full-outer join keyed on the id, with both sides reduced
+    * to (id, md5) BEFORE the join — text never shuffles. Output ∝ ids.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(col(textCol)).as(h))
+    hashed(oldDocs, "h_old").join(hashed(newDocs, "h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "same")
+          .otherwise("changed").as("status"))
+  }
+
+  /** DuckDB oracle replaying [[corpusDiff]]. */
+  def corpusDiffOracleSql(oldTable: String, newTable: String,
+                          idCol: String, textCol: String): String =
+    s"""WITH o AS (SELECT $idCol, md5($textCol) AS h_old FROM $oldTable),
+       n AS (SELECT $idCol, md5($textCol) AS h_new FROM $newTable)
+       SELECT coalesce(o.$idCol, n.$idCol) AS $idCol,
+         CASE WHEN o.$idCol IS NULL THEN 'added'
+              WHEN n.$idCol IS NULL THEN 'removed'
+              WHEN o.h_old = n.h_new THEN 'same'
+              ELSE 'changed' END AS status
+       FROM o FULL OUTER JOIN n ON o.$idCol = n.$idCol
+       ORDER BY $idCol"""
+
+  /** Padding-waste report for length-bucketed batching — the training-
+    * efficiency planning step behind picking sequence-length buckets:
+    * each document lands in the smallest bucket boundary holding its
+    * token count (documents past the largest boundary TRUNCATE to it);
+    * per bucket, how many docs, how many real tokens, and how many pad
+    * tokens the bucket shape wastes. Σ padded/Σ real is the padding
+    * overhead the boundary set costs.
+    *
+    * Scale: one scan projection (the boundary ladder is a CASE chain) +
+    * one |boundaries|-row aggregate, map-side combined.
+    */
+  def paddingWaste(docs: DataFrame, tokensCol: Column,
+                   boundaries: Seq[Int]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.forall(_ > 0), "boundaries must be positive ascending")
+    val n = tokensCol.cast("long")
+    val bucket = boundaries.init.foldRight(
+      lit(boundaries.last.toLong)) { (b, rest) =>
+      when(n <= b, b.toLong).otherwise(rest)
+    }
+    val kept = least(n, lit(boundaries.last.toLong))
+    docs.select(bucket.as("bucket"), kept.as("__kept"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__kept")).as("real_tokens"),
+        sum(col("bucket") - col("__kept")).as("pad_tokens"))
+      .withColumn("pad_fraction",
+        col("pad_tokens").cast("double") /
+          (col("pad_tokens") + col("real_tokens")).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle replaying [[paddingWaste]]. */
+  def paddingWasteOracleSql(table: String, tokensExpr: String,
+                            boundaries: Seq[Int]): String = {
+    val last = boundaries.last
+    val ladder = boundaries.init.reverse.foldLeft(s"CAST($last AS BIGINT)") {
+      (rest, b) => s"CASE WHEN n <= $b THEN CAST($b AS BIGINT) ELSE $rest END"
+    }
+    s"""WITH t AS (SELECT CAST($tokensExpr AS BIGINT) AS n FROM $table),
+       b AS (SELECT $ladder AS bucket, least(n, $last) AS kept FROM t),
+       g AS (SELECT bucket, count(*) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS real_tokens,
+               CAST(sum(bucket - kept) AS BIGINT) AS pad_tokens
+             FROM b GROUP BY 1)
+       SELECT bucket, n_docs, real_tokens, pad_tokens,
+         CAST(pad_tokens AS DOUBLE) /
+           CAST(pad_tokens + real_tokens AS DOUBLE) AS pad_fraction
+       FROM g ORDER BY bucket"""
+  }
+
   /** Blocklist (C4 "badwords") filter — Raffel et al. 2020 §2.2 drop any
     * page containing a word from a blocklist; the classic safety/boiler-
     * plate gate every production corpus pipeline runs in some form. Exact

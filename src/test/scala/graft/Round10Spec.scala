@@ -307,6 +307,68 @@ class NearDupSourceMatrixSpec extends SparkSpec {
   }
 }
 
+class CorpusDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("added, removed, changed, and same all classify correctly") {
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Corpus.corpusDiff(oldV, newV, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed", 4L -> "added"))
+  }
+}
+
+class PaddingWasteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buckets ladder up, overflow truncates to the top boundary") {
+    // lengths 3, 8, 8, 20 with boundaries (4, 8, 16): buckets 4, 8, 8, 16
+    val docs = Seq(3, 8, 8, 20).toDF("n")
+    val out = Corpus.paddingWaste(docs, $"n", boundaries = Seq(4, 8, 16))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(4L) == ((1L, 3L, 1L)))   // one doc, 3 real, 1 pad
+    assert(out(8L) == ((2L, 16L, 0L)))  // two exact fits, no padding
+    assert(out(16L) == ((1L, 16L, 0L))) // truncated to 16 — no pad, lost tokens
+  }
+
+  test("unsorted or non-positive boundaries fail fast") {
+    val docs = Seq(1).toDF("n")
+    intercept[IllegalArgumentException] {
+      Corpus.paddingWaste(docs, $"n", boundaries = Seq(8, 4))
+    }
+  }
+}
+
+/** Cross-op invariants for the round-10 operators. */
+class Round10InvariantSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ApproxDedup
+
+  test("removeDupSpans: removed_chars always equals the length delta") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val out = ApproxDedup.removeDupSpans(docs, "doc_id", "text", n = 20)
+      .select($"doc_id", length($"clean_text").cast("long").as("clean_len"),
+        $"n_chars", $"removed_chars")
+    val bad = out.where($"n_chars" - $"clean_len" =!= $"removed_chars").count()
+    assert(bad == 0L, s"$bad docs where cut accounting disagrees with lengths")
+  }
+
+  test("bpePairCounts totals: Σ pair_freq bounded by Σ freq·(len−1) over the vocab") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocabTotal = Corpus.vocab(docs, "text")
+      .select((greatest(length($"token") - 1, lit(0)) * $"freq").as("p"))
+      .agg(sum($"p")).as[Long].head()
+    // k large enough to cover every pair: totals must match exactly
+    val pairTotal = Corpus.bpePairCounts(docs, "text", k = 1000000)
+      .agg(sum($"pair_freq")).as[Long].head()
+    assert(pairTotal == vocabTotal,
+      s"pair total $pairTotal != vocab-derived $vocabTotal")
+  }
+}
+
 class Round10PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
