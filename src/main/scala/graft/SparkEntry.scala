@@ -814,6 +814,65 @@ object SparkEntry {
       eng.getData(spec).select(col("fp")).orderBy(col("fp"))
     }),
 
+    // ── §2.9 streaming near-dup probe AGAINST HISTORY e2e: arriving docs
+    // stamp their MinHash bands IN-STREAM and stream-static join the
+    // STORED band index of the corpus synced so far (the complement of
+    // q_streaming_dedup_e2e, which only dedups within the stream window).
+    // Candidates exact-verify per ROW (both shingle sets on the row after
+    // a second stream-static join) — no streaming aggregate, no state;
+    // redelivered files collapse in the keyed readback. Threshold 0.995
+    // admits only set-identical twins, so banding recall is exactly 1 and
+    // the batch oracle is deterministic.
+    "q_streaming_neardup_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_snd").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val idxSpec = PipeSpec(PipeKeys("stream", "nd_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(idxSpec).create(ApproxDedup.minhashBandIndex(
+        docs, "doc_id", "text", shingleSize = 3, k = 24, bands = 6, buckets = 4))
+      val histSh = docs.select(col("doc_id").as("hist_id"),
+        array_distinct(TextFns.wordShingles(col("text"), 3)).as("hist_sh"))
+      // stage the arriving docs: exact twins of every 3rd doc, the file
+      // redelivered twice (at-least-once source semantics)
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val bands = ApproxDedup.minhashBandIndex(stream, "doc_id", "text",
+          shingleSize = 3, k = 24, bands = 6, buckets = 4,
+          keep = Seq(array_distinct(TextFns.wordShingles(col("text"), 3)).as("sh")))
+        .withColumnRenamed("doc_id", "sid")
+      val idx = eng.storage(idxSpec).read
+        .select(col("doc_id").as("hist_id"), col("band"), col("bandHash"))
+      val verified = bands.join(idx, Seq("band", "bandHash"))
+        .join(histSh, Seq("hist_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh"), col("hist_sh"))).cast("double") /
+          size(array_union(col("sh"), col("hist_sh"))).cast("double"))
+        .where(col("jaccard") >= lit(0.995))
+        .select(col("sid"), col("hist_id"), col("jaccard"),
+          timestamp_micros((col("sid") * lit(60L) + lit(86400L)) * lit(1000000L)).as("ts"))
+      val sinkSpec = PipeSpec(PipeKeys("stream", "nd_hits"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, verified,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("sid"), col("hist_id"), col("jaccard"))
+        .distinct().orderBy(col("sid"), col("hist_id"))
+    }),
+
     // ── §2.9 streaming sessionization e2e: Spark `session_window` + water-
     // mark, drained with AvailableNow. Two far-future sentinel batches
     // (maxFilesPerTrigger=1) advance the watermark past every real
@@ -2660,6 +2719,23 @@ object SparkEntry {
     "q_streaming_dedup_e2e" ->
       """SELECT DISTINCT md5(lower(trim(text))) AS fp
          FROM documents ORDER BY fp""",
+
+    "q_streaming_neardup_probe" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2),
+                      i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM documents)),
+         s AS (SELECT doc_id + 10000 AS sid, sh FROM sh WHERE doc_id % 3 = 0),
+         p AS (
+           SELECT s.sid, h.doc_id AS hist_id,
+             CAST(len(list_intersect(s.sh, h.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(s.sh, h.sh))) AS DOUBLE) AS jaccard
+           FROM s, sh h)
+         SELECT sid, hist_id, jaccard FROM p
+         WHERE jaccard >= 0.995 ORDER BY sid, hist_id""",
 
     "q_doc_stats" ->
       """SELECT doc_id,

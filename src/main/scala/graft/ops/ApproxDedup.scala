@@ -107,14 +107,14 @@ object ApproxDedup {
     * the scan. */
   def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, k: Int = 20, bands: Int = 5,
-                       buckets: Int = 64): DataFrame = {
+                       buckets: Int = 64, keep: Seq[Column] = Nil): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    docs.select(col(idCol), posexplode(
+    docs.select(col(idCol) +: keep :+ posexplode(
         bindOnce(minhashSignature(col(textCol), shingleSize, k)) { sg =>
           transform(sequence(lit(0), lit(bands - 1)),
             b => hash(slice(sg, b * lit(rows) + lit(1), lit(rows)), b))
-        }))
+        }): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
       .withColumn("bucket",
         col("band").cast("long") * lit(buckets.toLong) +
