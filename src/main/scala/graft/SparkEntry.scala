@@ -1876,6 +1876,16 @@ object SparkEntry {
           steps = Seq("signup", "view", "click", "purchase"))
         .orderBy(col("step"))),
 
+    // ── windowed funnel: each step must land within 48h of the previous
+    // step's completion — the "conversion within T" product metric. Same
+    // shrinking-frame composition; the bound compares exact epoch micros.
+    "q_funnel_windowed" -> ((s, d) =>
+      graft.ops.Relational.funnel(Tables.events(s, d),
+          "user_id", "event_type", "ts",
+          steps = Seq("signup", "view", "click", "purchase"),
+          maxGapUs = Some(48L * 3600L * 1000000L))
+        .orderBy(col("step"))),
+
     // ── time-series rolling window: per-user trailing-24h count + sum —
     // ONE user-keyed window shuffle with a RANGE frame over exact epoch
     // micros; the summed value quantizes to micro-longs first, so the
@@ -3772,6 +3782,25 @@ object SparkEntry {
                 WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
          s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
                 WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+         SELECT * FROM (
+           SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+           UNION ALL SELECT '2_view', count(*) FROM s2
+           UNION ALL SELECT '3_click', count(*) FROM s3
+           UNION ALL SELECT '4_purchase', count(*) FROM s4)
+         ORDER BY step""",
+
+    "q_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t
+                  AND epoch_us(e.ts) <= epoch_us(s1.t) + 172800000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s2.t
+                  AND epoch_us(e.ts) <= epoch_us(s2.t) + 172800000000 GROUP BY 1),
+         s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s3.t
+                  AND epoch_us(e.ts) <= epoch_us(s3.t) + 172800000000 GROUP BY 1)
          SELECT * FROM (
            SELECT '1_signup' AS step, count(*) AS n_users FROM s1
            UNION ALL SELECT '2_view', count(*) FROM s2

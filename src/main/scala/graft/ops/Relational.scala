@@ -129,18 +129,27 @@ object Relational {
     * |steps| rows.
     */
   def funnel(events: DataFrame, idCol: String, typeCol: String,
-             timeCol: String, steps: Seq[String]): DataFrame = {
+             timeCol: String, steps: Seq[String],
+             maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive")
     var reached = events.where(col(typeCol) === lit(steps.head))
       .groupBy(col(idCol)).agg(min(col(timeCol)).as("__t"))
     val width = steps.length.toString.length
     def label(i: Int) = s"%0${width}d_%s".format(i + 1, steps(i))
     var out = reached.select(lit(label(0)).as("step"), col(idCol))
     steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      // the WINDOWED variant ("conversion within T of the previous step")
+      // bounds each step's search window on exact epoch micros — integer
+      // comparisons, so the fixpoint is engine-portable
+      val gapOk = maxGapUs.map(g =>
+          graft.dsl.RoundTime.epochMicros(col(timeCol)) <=
+            graft.dsl.RoundTime.epochMicros(col("__t")) + lit(g))
+        .getOrElse(lit(true))
       reached = events.where(col(typeCol) === lit(st))
         .join(reached, Seq(idCol))
-        .where(col(timeCol) > col("__t"))
+        .where(col(timeCol) > col("__t") && gapOk)
         .groupBy(col(idCol)).agg(min(col(timeCol)).as("__t"))
       out = out.unionByName(reached.select(lit(label(i)).as("step"), col(idCol)))
     }

@@ -341,6 +341,39 @@ class PaddingWasteSpec extends SparkSpec {
   }
 }
 
+class WindowedFunnelSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Relational
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("user_id", "event_type", "dts")
+      .withColumn("ts", to_timestamp_ntz($"dts")).drop("dts")
+
+  test("a step past the gap breaks the chain; within the gap it counts") {
+    val events = ev(
+      (1L, "a", "2024-01-01 00:00:00"), (1L, "b", "2024-01-01 01:00:00"),
+      (2L, "a", "2024-01-01 00:00:00"), (2L, "b", "2024-01-03 00:00:00"))
+    val out = Relational.funnel(events, "user_id", "event_type", "ts",
+        steps = Seq("a", "b"), maxGapUs = Some(24L * 3600L * 1000000L))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("1_a" -> 2L, "2_b" -> 1L))
+  }
+
+  test("windowed counts never exceed the unbounded funnel's") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val steps = Seq("signup", "view", "click")
+    val plain = Relational.funnel(events, "user_id", "event_type", "ts", steps)
+      .as[(String, Long)].collect().toMap
+    val bounded = Relational.funnel(events, "user_id", "event_type", "ts",
+        steps, maxGapUs = Some(3600L * 1000000L))
+      .as[(String, Long)].collect().toMap
+    steps.indices.foreach { i =>
+      val k = s"${i + 1}_${steps(i)}"
+      assert(bounded.getOrElse(k, 0L) <= plain.getOrElse(k, 0L), k)
+    }
+  }
+}
+
 /** Cross-op invariants for the round-10 operators. */
 class Round10InvariantSpec extends SparkSpec {
   import spark.implicits._
