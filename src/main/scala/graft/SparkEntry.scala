@@ -1681,6 +1681,22 @@ object SparkEntry {
       graft.ops.Corpus.domainDivergence(Tables.documents(s, d),
         "source", "text").orderBy(col("source"))),
 
+    // ── LLM-pipeline: FULL BPE tokenizer training — 8 merge iterations of
+    // Sennrich Alg. 1 producing the merge table. The corpus is scanned
+    // ONCE (the vocab fit); every iteration runs on the |vocab|-row
+    // table with the merge applied as a literal left-to-right replace —
+    // identical greedy semantics in Spark and the oracle's CTE chain.
+    "q_bpe_train" -> ((s, d) =>
+      graft.ops.Corpus.bpeTrain(Tables.documents(s, d), "text", nMerges = 8)),
+
+    // ── LLM-pipeline: APPLY the trained BPE tokenizer at corpus scale —
+    // per-doc subword counts: segmentation computed once per DISTINCT
+    // word (vocab-sized loop), stamped by ONE token equi-join. The number
+    // every data-budget pipeline actually wants.
+    "q_bpe_subwords" -> ((s, d) =>
+      graft.ops.Corpus.bpeSegmentCounts(Tables.documents(s, d),
+        "doc_id", "text", nMerges = 8).orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: corpus snapshot diff — the dataset-versioning
     // changelog: added/removed/changed/same per doc id between two corpus
     // versions. Both sides reduce to (id, md5) BEFORE the one full-outer
@@ -2940,6 +2956,13 @@ object SparkEntry {
     "q_blocklist_filter" ->
       graft.ops.Corpus.blocklistFilterOracleSql("documents", "doc_id", "text",
         words = Seq("table", "scan", "fast"), maxHits = 1L),
+
+    "q_bpe_train" ->
+      graft.ops.Corpus.bpeTrainOracleSql("documents", "text", nMerges = 8),
+
+    "q_bpe_subwords" ->
+      graft.ops.Corpus.bpeSegmentCountsOracleSql("documents", "doc_id", "text",
+        nMerges = 8),
 
     "q_corpus_diff" ->
       graft.ops.Corpus.corpusDiffOracleSql(

@@ -994,6 +994,157 @@ object Corpus {
     bm25Rank(tf, dfreq, stats, idCol, k, k1, b)
   }
 
+  /** FULL BPE tokenizer TRAINING — `nMerges` iterations of Sennrich et
+    * al. 2016 Algorithm 1, not just the one-iteration pair-count kernel
+    * ([[bpePairCounts]]): fit the word-frequency vocabulary once, then
+    * repeatedly (count adjacent symbol pairs weighted by word frequency →
+    * take the argmax pair, ties to the lexicographically smallest → merge
+    * it everywhere). Returns the MERGE TABLE (step, pair, pair_freq) —
+    * the artifact a BPE tokenizer ships.
+    *
+    * Words carry their segmentation as a SPACE-JOINED symbol string, and
+    * a merge is one literal (non-regex) `replace` of ` a b ` with ` ab `:
+    * both Spark and the oracle replace non-overlapping matches
+    * left-to-right, which IS greedy BPE merge order, so the trainer is
+    * engine-portable by construction. Pair counting reuses the word-
+    * shingle kernel over the symbol strings.
+    *
+    * Scale: the corpus is touched ONCE (the [[vocab]] fit, map-side
+    * combined, persisted); every merge iteration runs on the |vocab|-row
+    * table — corpus-size-INDEPENDENT, exactly why BPE training is
+    * feasible at 100 TB. Driver state per iteration is the single argmax
+    * row. The re-segmented vocabulary localCheckpoints each iteration
+    * (flat plans — the iterative-DataFrame lineage trap).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (merges, v) = bpeTrainState(docs, textCol, nMerges)
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    merges
+  }
+
+  /** The trainer loop, also returning the FINAL segmented vocabulary
+    * (token, sym, freq) — the checkpointed word → subword-string map
+    * [[bpeSegmentCounts]] applies; callers release it via the returned
+    * frame when done. */
+  private[graft] def bpeTrainState(docs: DataFrame, textCol: String,
+                                   nMerges: Int): (DataFrame, DataFrame) = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var v = vocab(docs, textCol)
+      .select(col("token"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val best = v.select(
+          explode(TextFns.wordShingles(col("sym"), 2)).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair")).limit(1)
+        .as[(String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (pair, f) = best.head
+        merges += ((step, pair, f))
+        val merged = pair.replace(" ", "")
+        val next = v.select(col("token"),
+            trim(call_function("replace",
+              concat(lit(" "), col("sym"), lit(" ")),
+              lit(s" $pair "), lit(s" $merged "))).as("sym"),
+            col("freq"))
+          .localCheckpoint(true)
+        graft.ops.ApproxDedup.freeCheckpoint(v)
+        v = next
+        step += 1
+      }
+    }
+    (merges.toSeq.toDF("step", "pair", "pair_freq"), v)
+  }
+
+  /** APPLY a trained BPE tokenizer at corpus scale: per-document subword
+    * counts under `nMerges` trained merges. The segmentation is computed
+    * once per DISTINCT word (the trainer's vocab-sized loop, corpus-size-
+    * independent) and stamped onto the corpus by ONE token equi-join —
+    * the shape that tokenizes 100 TB without running the merge loop per
+    * document. Output: (id, n_tokens, n_subwords). */
+  def bpeSegmentCounts(docs: DataFrame, idCol: String, textCol: String,
+                       nMerges: Int): DataFrame = {
+    val (_, v) = bpeTrainState(docs, textCol, nMerges)
+    val segLen = v.select(col("token"),
+      size(split(col("sym"), " ")).cast("long").as("n_sub"))
+    val out = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(segLen, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+      .localCheckpoint(true)
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    out
+  }
+
+  /** DuckDB oracle replaying [[bpeSegmentCounts]] — the trainer CTE chain
+    * (token carried through) plus the token equi-join. */
+  def bpeSegmentCountsOracleSql(table: String, idCol: String, textCol: String,
+                                nMerges: Int): String =
+    s"""WITH ${bpeChainCtes(table, textCol, nMerges)},
+       seg AS (SELECT token, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+               FROM v$nMerges),
+       tok AS (SELECT $idCol, token FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0)
+       SELECT tok.$idCol,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords
+       FROM tok JOIN seg USING (token)
+       GROUP BY 1 ORDER BY tok.$idCol"""
+
+  /** The trainer's CTE chain (words → v0 → p/b/v per merge), with the
+    * original token carried through every stage so apply-side oracles can
+    * join the final segmentation back. */
+  private def bpeChainCtes(table: String, textCol: String, nMerges: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+           SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM (
+             SELECT array_to_string(t[j:j+1], ' ') AS pair, freq FROM (
+               SELECT string_split(sym, ' ') AS t, freq FROM v${i - 1}) w,
+               unnest(generate_series(1, len(t) - 1)) AS u(j)
+             WHERE len(t) >= 2) g
+           GROUP BY 1),
+         b$i AS MATERIALIZED (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1),
+         v$i AS MATERIALIZED (
+           SELECT token, trim(replace(' ' || sym || ' ',
+             ' ' || (SELECT pair FROM b$i) || ' ',
+             ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')) AS sym,
+             freq
+           FROM v${i - 1})"""
+    }.mkString(",\n         ")
+    s"""words AS (
+         SELECT token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1),
+       v0 AS MATERIALIZED (SELECT token, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS sym, freq
+              FROM words),
+       $stages"""
+  }
+
+  /** DuckDB oracle replaying [[bpeTrain]] — one CTE stage per merge, the
+    * argmax as a scalar subquery, the SAME literal left-to-right replace. */
+  def bpeTrainOracleSql(table: String, textCol: String, nMerges: Int): String = {
+    val union = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, pair, f AS pair_freq FROM b$i").mkString("\n         UNION ALL ")
+    s"""WITH ${bpeChainCtes(table, textCol, nMerges)}
+       SELECT CAST(step AS INT) AS step, pair, pair_freq FROM (
+         $union) m
+       ORDER BY step"""
+  }
+
   /** Corpus snapshot diff — the dataset-versioning release report: per
     * document id, whether it was ADDED, REMOVED, CHANGED (content hash
     * differs), or SAME between two corpus versions. The sync engine's

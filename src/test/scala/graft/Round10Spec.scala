@@ -341,6 +341,43 @@ class PaddingWasteSpec extends SparkSpec {
   }
 }
 
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge table follows greedy weighted pair counts, re-counted per step") {
+    // vocab: "aaab"×2, "ab"×1 → step 1 merges "a a" (4), step 2 "a b" (3,
+    // counted AFTER the first merge), step 3 "aa ab" (2)
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = Corpus.bpeTrain(docs, "text", nMerges = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+  }
+
+  test("ties break to the lexicographically smallest pair") {
+    val docs = Seq("ab cd").toDF("text")
+    val got = Corpus.bpeTrain(docs, "text", nMerges = 1)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a b", 1L)))
+  }
+
+  test("training stops early when no pairs remain") {
+    val docs = Seq("a b c").toDF("text") // single-char words: no pairs ever
+    assert(Corpus.bpeTrain(docs, "text", nMerges = 5).count() == 0L)
+  }
+
+  test("segment counts apply the trained merges per distinct word") {
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // after 1 merge ("a a"): aaab → 'aa a b' (3 subwords), ab → 'a b' (2)
+    val one = Corpus.bpeSegmentCounts(docs, "doc_id", "text", nMerges = 1)
+      .as[(Long, Long, Long)].head()
+    assert(one == ((1L, 3L, 8L)))
+    // after 3 merges the two words collapse to single tokens
+    val three = Corpus.bpeSegmentCounts(docs, "doc_id", "text", nMerges = 3)
+      .as[(Long, Long, Long)].head()
+    assert(three == ((1L, 3L, 3L)))
+  }
+}
+
 class WindowedFunnelSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Relational
