@@ -40,7 +40,10 @@ object Bench {
         }
         SparkEntry.queries.view.filterKeys(only).toMap
       }
-    val results = selected.map { case (name, fn) =>
+    // deterministic name order: map-order iteration made round-over-round
+    // per-query comparisons noisy (whichever query ran after a heavy one
+    // inherited its GC shadow; the slot changed every build)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); null }
@@ -84,7 +87,7 @@ object Bench {
       val errs = results.collect { case (k, (_, e)) if e != null => jstr(k) + ":" + jstr(e) }
         .mkString("{", ",", "}")
       val nFailed = results.count(_._2._2 != null)
-      val total = results.values.map(_._1).sum
+      val total = results.map(_._2._1).sum
       val omitSum = omitted.map(_._2._1).sum
       s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }

@@ -1892,6 +1892,13 @@ object SparkEntry {
           steps = Seq("signup", "view", "click", "purchase"))
         .orderBy(col("step"))),
 
+    // ── event-sequence trigram mining — the flow-mining primitive ("what
+    // happens right before a purchase"): one user-keyed lag window, one
+    // map-combined count, TakeOrdered. Deterministic (ts, event_id) order.
+    "q_event_trigrams" -> ((s, d) =>
+      graft.ops.Relational.eventNgrams(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 25)),
+
     // ── windowed funnel: each step must land within 48h of the previous
     // step's completion — the "conversion within T" product metric. Same
     // shrinking-frame composition; the bound compares exact epoch micros.
@@ -3811,6 +3818,10 @@ object SparkEntry {
            UNION ALL SELECT '3_click', count(*) FROM s3
            UNION ALL SELECT '4_purchase', count(*) FROM s4)
          ORDER BY step""",
+
+    "q_event_trigrams" ->
+      graft.ops.Relational.eventNgramsOracleSql("events",
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 25),
 
     "q_funnel_windowed" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -156,6 +156,46 @@ object Relational {
     out.groupBy(col("step")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Event-sequence n-gram mining — the behavioral-pattern counterpart of
+    * text n-grams: the most frequent length-`n` runs of consecutive event
+    * TYPES per entity ("view > view > purchase"), ordered by time with a
+    * unique tiebreak so the sequences are deterministic. The standard
+    * flow-mining primitive behind "what do users do right before X".
+    *
+    * One entity-keyed window (lag chain — no self-joins, no per-entity
+    * collect) + one map-side-combined count + TakeOrdered(k).
+    */
+  def eventNgrams(events: DataFrame, idCol: String, typeCol: String,
+                  timeCol: String, tieCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(timeCol), col(tieCol))
+    val parts = ((n - 1) to 1 by -1).map(j => lag(col(typeCol), j).over(w)) :+
+      col(typeCol)
+    events.select(col(idCol), col(typeCol), col(timeCol), col(tieCol))
+      .withColumn("__first", parts.head)
+      .withColumn("pattern", concat_ws(" > ", parts: _*))
+      .where(col("__first").isNotNull) // runs shorter than n drop
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pattern"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle replaying [[eventNgrams]]. */
+  def eventNgramsOracleSql(table: String, idCol: String, typeCol: String,
+                           timeCol: String, tieCol: String,
+                           n: Int, k: Int): String = {
+    val lags = ((n - 1) to 1 by -1).map(j =>
+      s"lag($typeCol, $j) OVER (PARTITION BY $idCol ORDER BY $timeCol, $tieCol) AS g$j")
+      .mkString(", ")
+    s"""WITH l AS (SELECT $idCol, $typeCol, $lags FROM $table),
+       p AS (SELECT concat_ws(' > ', ${(((n - 1) to 1 by -1).map(j => s"g$j") :+ typeCol).mkString(", ")}) AS pattern
+             FROM l WHERE g${n - 1} IS NOT NULL)
+       SELECT pattern, count(*) AS n_occurrences FROM p
+       GROUP BY 1 ORDER BY n_occurrences DESC, pattern LIMIT $k"""
+  }
+
   /** Per-key trailing-window rolling aggregates: for every row, the count
     * and sum of `valueCol` over the half-open-at-the-left, inclusive window
     * `[t − window, t]` of the SAME key — per-user activity rates, rolling

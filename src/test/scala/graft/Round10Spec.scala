@@ -378,6 +378,34 @@ class BpeTrainSpec extends SparkSpec {
   }
 }
 
+class EventNgramsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Relational
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "event_type", "eid")
+      .withColumn("ts", timestamp_micros($"eid" * 1000000L))
+
+  test("trigrams count consecutive type runs per entity, never across entities") {
+    val events = ev(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "b", 4L), (1L, "c", 5L),
+      (2L, "b", 6L), (2L, "c", 7L)) // user 2 has only 2 events: no trigram
+    val got = Relational.eventNgrams(events, "user_id", "event_type",
+        "ts", "eid", n = 3, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a > b > c" -> 1L, "b > c > b" -> 1L, "c > b > c" -> 1L))
+  }
+
+  test("bigrams with a tie order deterministically by pattern") {
+    val events = ev((1L, "x", 1L), (1L, "y", 2L), (1L, "x", 3L), (1L, "y", 4L))
+    val got = Relational.eventNgrams(events, "user_id", "event_type",
+        "ts", "eid", n = 2, k = 1)
+      .as[(String, Long)].collect()
+    // "x > y" (2) beats "y > x" (1)
+    assert(got.sameElements(Array(("x > y", 2L))))
+  }
+}
+
 class WindowedFunnelSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Relational
