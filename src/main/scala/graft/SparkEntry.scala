@@ -1738,6 +1738,15 @@ object SparkEntry {
       ApproxDedup.nearDupSourceMatrix(docs, pairs, "doc_id", "source")
     }),
 
+    // ── LLM-pipeline: percentile winsorization — clamp n_chars to its
+    // exact [p05, p95] (the percentile ⇄ quantile_cont parity the
+    // percentile queries prove), clipped flags for audit. One 2-value
+    // bounds aggregate broadcast over a scan projection.
+    "q_winsorize" -> ((s, d) =>
+      graft.ops.Maintenance.winsorize(Tables.documents(s, d),
+        "doc_id", col("n_chars"), pLo = 0.05, pHi = 0.95)
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: PSI drift bins — the production distribution-shift
     // monitor between two corpus snapshots (here the doc_id parity halves)
     // over fixed equi-width n_chars bins; per-bin PSI terms in exact
@@ -2988,6 +2997,10 @@ object SparkEntry {
       ApproxDedup.nearDupSourceMatrixOracleSql("documents", "doc_id", "text",
         "source", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),
+
+    "q_winsorize" ->
+      graft.ops.Maintenance.winsorizeOracleSql("documents", "doc_id",
+        "n_chars", pLo = 0.05, pHi = 0.95),
 
     "q_psi_drift" ->
       graft.ops.Maintenance.psiBinsOracleSql(

@@ -256,6 +256,39 @@ object Maintenance {
       .select(col("bin"), (lit(lo) + col("bin") * lit(width)).as("bin_lo"), col("cnt"))
   }
 
+  /** Percentile winsorization — the outlier-clamp every feature/quality
+    * column gets before it feeds thresholds or models: values clamp to
+    * the exact [pLo, pHi] percentiles (linear-interpolation definition,
+    * the same `percentile` ⇄ `quantile_cont` parity the percentile
+    * queries prove), with a `clipped` flag for audit counts. One bounds
+    * aggregate (2-row broadcast) + a scan projection.
+    */
+  def winsorize(df: DataFrame, idCol: String, valueCol: Column,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val v = valueCol.cast("double")
+    val bounds = df.agg(
+      percentile(v, lit(pLo)).as("__lo"),
+      percentile(v, lit(pHi)).as("__hi"))
+    df.select(col(idCol), v.as("v"))
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col("v"),
+        least(greatest(col("v"), col("__lo")), col("__hi")).as("v_winsor"),
+        (col("v") < col("__lo") || col("v") > col("__hi")).as("clipped"))
+  }
+
+  /** DuckDB oracle replaying [[winsorize]]. */
+  def winsorizeOracleSql(table: String, idCol: String, valueExpr: String,
+                         pLo: Double, pHi: Double): String =
+    s"""WITH b AS (
+         SELECT quantile_cont(CAST($valueExpr AS DOUBLE), $pLo) AS lo,
+                quantile_cont(CAST($valueExpr AS DOUBLE), $pHi) AS hi
+         FROM $table)
+       SELECT $idCol, CAST($valueExpr AS DOUBLE) AS v,
+         least(greatest(CAST($valueExpr AS DOUBLE), b.lo), b.hi) AS v_winsor,
+         (CAST($valueExpr AS DOUBLE) < b.lo OR CAST($valueExpr AS DOUBLE) > b.hi) AS clipped
+       FROM $table, b ORDER BY $idCol"""
+
   /** Population Stability Index bins between two snapshots of a numeric
     * column — the standard production drift monitor ("did this week's
     * crawl shift the length/quality distribution?"): equi-width bins over

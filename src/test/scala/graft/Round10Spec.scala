@@ -378,6 +378,29 @@ class BpeTrainSpec extends SparkSpec {
   }
 }
 
+class WinsorizeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Maintenance
+
+  test("values clamp to the exact interpolated percentiles; flags mark clips") {
+    // 1..10: p10 = 1.9, p90 = 9.1 (linear interpolation)
+    val df = (1L to 10L).map(i => (i, i.toDouble)).toDF("id", "v")
+    val out = Maintenance.winsorize(df, "id", $"v", pLo = 0.1, pHi = 0.9)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(out(1L) == ((1.9, true)) && out(10L) == ((9.1, true)))
+    assert(out(5L) == ((5.0, false)))
+    assert(out.values.count(_._2) == 2)
+  }
+
+  test("degenerate percentile order fails fast") {
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Maintenance.winsorize(df, "id", $"v", pLo = 0.9, pHi = 0.1)
+    }
+  }
+}
+
 class EventNgramsSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Relational
