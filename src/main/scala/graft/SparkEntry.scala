@@ -1901,6 +1901,22 @@ object SparkEntry {
           steps = Seq("signup", "view", "click", "purchase"))
         .orderBy(col("step"))),
 
+    // ── daily burst detection — ingest monitoring: days whose event count
+    // exceeds mean + 3σ of the trailing 7 full days (self-excluded).
+    // Integer window sums → identical IEEE shapes both engines.
+    "q_daily_bursts" -> ((s, d) =>
+      graft.ops.Relational.dailyBursts(Tables.events(s, d), "ts",
+        sigma = 3.0, window = 7)),
+
+    // ── funnel step latencies — "median time to purchase": the funnel
+    // fixpoint keeping per-user completion times; per transition the
+    // converter count and exact interpolated p50/p90 gap seconds.
+    "q_funnel_latency" -> ((s, d) =>
+      graft.ops.Relational.funnelLatency(Tables.events(s, d),
+          "user_id", "event_type", "ts",
+          steps = Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("transition"))),
+
     // ── event-sequence trigram mining — the flow-mining primitive ("what
     // happens right before a purchase"): one user-keyed lag window, one
     // map-combined count, TakeOrdered. Deterministic (ts, event_id) order.
@@ -3835,6 +3851,15 @@ object SparkEntry {
     "q_event_trigrams" ->
       graft.ops.Relational.eventNgramsOracleSql("events",
         "user_id", "event_type", "ts", "event_id", n = 3, k = 25),
+
+    "q_funnel_latency" ->
+      graft.ops.Relational.funnelLatencyOracleSql("events",
+        "user_id", "event_type", "ts",
+        steps = Seq("signup", "view", "click", "purchase")),
+
+    "q_daily_bursts" ->
+      graft.ops.Relational.dailyBurstsOracleSql("events", "ts",
+        sigma = 3.0, window = 7),
 
     "q_funnel_windowed" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -156,6 +156,129 @@ object Relational {
     out.groupBy(col("step")).agg(count(lit(1)).as("n_users"))
   }
 
+  /** Daily burst detection — the ingest-monitoring anomaly flag: days
+    * whose event count exceeds mean + σ·std of the TRAILING `window` full
+    * days (the day itself excluded, so a burst cannot suppress its own
+    * baseline). Mean/std derive from integer window sums (Σcnt, Σcnt² —
+    * exact under any evaluation order), then three identical IEEE float
+    * shapes both engines replay; days without a full window are skipped.
+    *
+    * Scale: ONE grouped day-count aggregate (map-side combined) feeds a
+    * window over the |days|-row series — the window is single-partition
+    * but runs on days, never on events.
+    */
+  def dailyBursts(events: DataFrame, timeCol: String,
+                  sigma: Double = 3.0, window: Int = 7): DataFrame = {
+    require(window >= 2, "window must be at least 2 days")
+    // day as a truncated TIMESTAMP, not DATE: date values round-trip
+    // differently through the two engines' dataframe bridges
+    val daily = events.groupBy(date_trunc("day", col(timeCol))
+        .cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
+    val mean = col("s").cast("double") / col("n").cast("double")
+    val variance = greatest(
+      col("ss").cast("double") / col("n").cast("double") - mean * mean,
+      lit(0.0d))
+    daily
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .where(col("n") === window)
+      .select(col("day"), col("cnt"),
+        mean.as("mean"), sqrt(variance).as("std"))
+      .withColumn("burst",
+        col("cnt") > col("mean") + lit(sigma) * col("std"))
+      .orderBy(col("day"))
+  }
+
+  /** DuckDB oracle replaying [[dailyBursts]]. */
+  def dailyBurstsOracleSql(table: String, timeCol: String,
+                           sigma: Double = 3.0, window: Int = 7): String = {
+    val mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    s"""WITH d AS (SELECT date_trunc('day', $timeCol) AS day, count(*) AS cnt
+                   FROM $table GROUP BY 1),
+       w AS (SELECT day, cnt,
+               count(cnt) OVER win AS n,
+               CAST(sum(cnt) OVER win AS BIGINT) AS s,
+               CAST(sum(cnt * cnt) OVER win AS BIGINT) AS ss
+             FROM d
+             WINDOW win AS (ORDER BY day ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)),
+       t AS (SELECT day, cnt, $mean AS mean,
+               sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) -
+                 ($mean) * ($mean), 0.0)) AS std
+             FROM w WHERE n = $window)
+       SELECT day, cnt, mean, std, cnt > mean + $sigma * std AS burst
+       FROM t ORDER BY day"""
+  }
+
+  /** Funnel step LATENCIES — how long converting entities take between
+    * consecutive steps (the "median time to purchase" product metric):
+    * the same first-qualifying-occurrence fixpoint as [[funnel]], but
+    * keeping each entity's per-step completion time and reporting, per
+    * transition, the converter count and the exact interpolated p50/p90
+    * gap in seconds. Same shrinking-frame composition; one extra id-keyed
+    * join per transition pairs step k with step k−1.
+    */
+  def funnelLatency(events: DataFrame, idCol: String, typeCol: String,
+                    timeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "latency needs at least two steps")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    var reached = events.where(col(typeCol) === lit(steps.head))
+      .groupBy(col(idCol)).agg(min(col(timeCol)).as("__t"))
+    val width = steps.length.toString.length
+    def label(i: Int) =
+      s"%0${width}d_%s_to_%s".format(i + 1, steps(i - 1), steps(i))
+    var out: DataFrame = null
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = reached.withColumnRenamed("__t", "__tp")
+      reached = events.where(col(typeCol) === lit(st))
+        .join(prev.select(col(idCol), col("__tp").as("__t")), Seq(idCol))
+        .where(col(timeCol) > col("__t"))
+        .groupBy(col(idCol)).agg(min(col(timeCol)).as("__t"))
+      val gaps = reached.join(prev, Seq(idCol))
+        .select(col(idCol),
+          ((graft.dsl.RoundTime.epochMicros(col("__t")) -
+            graft.dsl.RoundTime.epochMicros(col("__tp"))).cast("double") /
+            lit(1000000.0d)).as("gap_s"))
+      val stat = gaps.agg(count(lit(1)).as("n_converted"),
+          percentile(col("gap_s"), lit(0.5)).as("p50_s"),
+          percentile(col("gap_s"), lit(0.9)).as("p90_s"))
+        .select(lit(label(i)).as("transition"), col("n_converted"),
+          col("p50_s"), col("p90_s"))
+      out = if (out == null) stat else out.unionByName(stat)
+    }
+    out
+  }
+
+  /** DuckDB oracle replaying [[funnelLatency]]. */
+  def funnelLatencyOracleSql(table: String, idCol: String, typeCol: String,
+                             timeCol: String, steps: Seq[String]): String = {
+    val width = steps.length.toString.length
+    val ctes = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (SELECT $idCol, min($timeCol) AS t FROM $table
+                   WHERE $typeCol = '$st' GROUP BY 1)"""
+      else
+        s"""s${i + 1} AS (
+             SELECT e.$idCol, min(e.$timeCol) AS t
+             FROM $table e JOIN s$i USING ($idCol)
+             WHERE e.$typeCol = '$st' AND e.$timeCol > s$i.t GROUP BY 1)"""
+    }.mkString(",\n         ")
+    val rows = (1 until steps.length).map { i =>
+      val lbl = s"%0${width}d_%s_to_%s".format(i + 1, steps(i - 1), steps(i))
+      s"""SELECT '$lbl' AS transition,
+            count(*) AS n_converted,
+            quantile_cont(CAST(epoch_us(b.t) - epoch_us(a.t) AS DOUBLE) / 1000000.0, 0.5) AS p50_s,
+            quantile_cont(CAST(epoch_us(b.t) - epoch_us(a.t) AS DOUBLE) / 1000000.0, 0.9) AS p90_s
+          FROM s${i + 1} b JOIN s$i a USING ($idCol)"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH $ctes
+       SELECT * FROM (
+         $rows) m
+       ORDER BY transition"""
+  }
+
   /** Event-sequence n-gram mining — the behavioral-pattern counterpart of
     * text n-grams: the most frequent length-`n` runs of consecutive event
     * TYPES per entity ("view > view > purchase"), ordered by time with a

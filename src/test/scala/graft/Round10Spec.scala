@@ -378,6 +378,54 @@ class BpeTrainSpec extends SparkSpec {
   }
 }
 
+class FunnelLatencySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Relational
+
+  test("per-transition gaps use first qualifying occurrences") {
+    val events = Seq(
+      (1L, "a", "2024-01-01 00:00:00"), (1L, "b", "2024-01-01 02:00:00"),
+      (1L, "b", "2024-01-01 05:00:00"), // later b ignored (first qualifies)
+      (2L, "a", "2024-01-01 00:00:00"), (2L, "b", "2024-01-01 04:00:00"))
+      .toDF("user_id", "event_type", "dts")
+      .withColumn("ts", to_timestamp_ntz($"dts")).drop("dts")
+    val got = Relational.funnelLatency(events, "user_id", "event_type", "ts",
+        steps = Seq("a", "b"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == 1)
+    val (t, n, p50, p90) = got.head
+    assert(t == "2_a_to_b" && n == 2L)
+    // gaps {2h, 4h}: p50 interpolates to 3h, p90 to 2h + 0.9·2h
+    assert(p50 == 3.0 * 3600 && p90 == (2.0 + 0.9 * 2.0) * 3600)
+  }
+}
+
+class DailyBurstsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Relational
+
+  test("a spike over the trailing baseline flags; warm-up days are skipped") {
+    // 7 quiet days (1 event each), then a day with 50 events
+    val rows =
+      (1 to 7).flatMap(day => Seq((day, 1))) ++ Seq.fill(50)((8, 1)).map(t => (t._1, 1))
+    val events = rows.zipWithIndex.map { case ((day, _), i) =>
+      (i.toLong, f"2024-01-$day%02d 12:00:00")
+    }.toDF("eid", "dts").withColumn("ts", to_timestamp_ntz($"dts"))
+    val got = Relational.dailyBursts(events, "ts", sigma = 3.0, window = 7)
+      .select($"cnt", $"burst").as[(Long, Boolean)].collect()
+    // only day 8 has a full trailing window; its 50 events vs mean 1, std 0
+    assert(got.length == 1 && got.head == ((50L, true)))
+  }
+
+  test("steady traffic never flags") {
+    val events = (1 to 20).flatMap(day => (1 to 5).map(i => (day, i)))
+      .zipWithIndex.map { case ((day, _), i) => (i.toLong, f"2024-01-$day%02d 06:00:00") }
+      .toDF("eid", "dts").withColumn("ts", to_timestamp_ntz($"dts"))
+    val flagged = Relational.dailyBursts(events, "ts").where($"burst").count()
+    assert(flagged == 0L)
+  }
+}
+
 class WinsorizeSpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.Maintenance
