@@ -1833,6 +1833,32 @@ object SparkEntry {
           budget = 60000L)
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // ── LLM-pipeline: per-SOURCE weighted sampling — the balanced-subset
+    // builder (k docs per source ∝ length): the weightedSample key ranked
+    // inside each group by one keyed window. Integer key, id tiebreak.
+    "q_weighted_sample_grouped" -> ((s, d) =>
+      graft.ops.Sampling.weightedSamplePerGroup(Tables.documents(s, d),
+          "doc_id", "source", col("n_chars"), k = 5)
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: composed curation v2 — blocklist gate → winsorized
+    // quality → per-source balanced weighted sample, ONE fused lazy plan:
+    // the scan-level gates fuse into the projection, the winsorize bounds
+    // broadcast, and the only shuffle is the final group-sample window.
+    "q_curation_v2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val gated = graft.ops.Corpus.blocklistFilter(docs, "doc_id", "text",
+          words = Seq("table", "scan", "fast"), maxHits = 1L)
+        .where(col("keep"))
+        .join(docs, Seq("doc_id"))
+      val winsored = graft.ops.Maintenance.winsorize(gated, "doc_id",
+        col("n_chars"), pLo = 0.05, pHi = 0.95)
+      graft.ops.Sampling.weightedSamplePerGroup(
+          winsored.join(docs.select(col("doc_id"), col("source")), Seq("doc_id")),
+          "doc_id", "source", col("v_winsor"), k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: weighted sampling WITHOUT replacement ∝ n_chars —
     // Gumbel-top-k over quantized log-weights ≡ Efraimidis–Spirakis; the
     // md5 coin makes it engine-portable and reshuffle-stable. Pure scan
@@ -3073,6 +3099,41 @@ object SparkEntry {
     "q_weighted_sample" ->
       graft.ops.Sampling.weightedSampleOracleSql("documents", "doc_id",
         "n_chars", k = 50),
+
+    "q_weighted_sample_grouped" ->
+      graft.ops.Sampling.weightedSamplePerGroupOracleSql("documents",
+        "doc_id", "source", "n_chars", k = 5),
+
+    // v_winsor is fractional at the clamp boundaries; Spark's double→long
+    // cast TRUNCATES while DuckDB's CAST rounds — hence trunc() in the
+    // weight expression
+    "q_curation_v2" ->
+      s"""WITH gated AS (
+           SELECT d.* FROM documents d
+           WHERE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 t -> list_contains(['fast', 'scan', 'table'], t))) AS BIGINT) <= 1),
+         b AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS lo,
+                      quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS hi
+               FROM gated),
+         wz AS (SELECT doc_id, source,
+                  least(greatest(CAST(n_chars AS DOUBLE), b.lo), b.hi) AS v_winsor
+                FROM gated, b),
+         t AS (SELECT doc_id, source, CAST(trunc(v_winsor) AS BIGINT) AS weight
+               FROM wz WHERE v_winsor > 0),
+         s AS (
+           SELECT doc_id, source, weight,
+             CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000.0) AS BIGINT) +
+             CAST(round(-ln(-ln(
+               (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                 / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro
+           FROM t),
+         r AS (
+           SELECT doc_id, source, weight, score_micro,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score_micro DESC, doc_id) AS rnk
+           FROM s)
+         SELECT doc_id, source, weight, score_micro FROM r
+         WHERE rnk <= 3 ORDER BY doc_id""",
 
     "q_dup_char_spans" ->
       ApproxDedup.dupCharSpanStatsOracleSql("documents", "doc_id", "text", n = 20),

@@ -285,6 +285,56 @@ object Sampling {
        SELECT $idCol, weight, score_micro FROM s
        ORDER BY score_micro DESC, $idCol LIMIT $k"""
 
+  /** PER-GROUP weighted sampling without replacement — k rows per domain
+    * ∝ weight (the balanced-subset builder: "500 docs per source, biased
+    * toward quality"): the same integer Gumbel-top-k key as
+    * [[weightedSample]], ranked inside each group by one keyed window.
+    * Groups with fewer than k positive-weight rows return what they have.
+    *
+    * Scale: ONE group-keyed window shuffle; the key is integer micro-nats
+    * with an id tiebreak, so reruns and reshards agree exactly. A group
+    * hot enough to skew its reducer can pre-thin through [[capPerGroup]]'s
+    * salted two-stage composition — same semantics.
+    */
+  def weightedSamplePerGroup(docs: DataFrame, idCol: String,
+                             groupCol: String, weightCol: Column,
+                             k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score_micro").desc, col(idCol))
+    docs.where(weightCol > lit(0))
+      .select(col(idCol), col(groupCol), weightCol.cast("long").as("weight"))
+      .withColumn("score_micro",
+        round(log(col("weight").cast("double")) * lit(1e6)).cast("long") +
+          Dsir.gumbelMicro(col(idCol)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .drop("rnk")
+  }
+
+  /** DuckDB oracle replaying [[weightedSamplePerGroup]]. */
+  def weightedSamplePerGroupOracleSql(table: String, idCol: String,
+                                      groupCol: String, weightExpr: String,
+                                      k: Int): String =
+    s"""WITH t AS (
+         SELECT $idCol, $groupCol, CAST($weightExpr AS BIGINT) AS weight
+         FROM $table WHERE $weightExpr > 0),
+       s AS (
+         SELECT $idCol, $groupCol, weight,
+           CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000.0) AS BIGINT) +
+           CAST(round(-ln(-ln(
+             (CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro
+         FROM t),
+       r AS (
+         SELECT $idCol, $groupCol, weight, score_micro,
+           row_number() OVER (PARTITION BY $groupCol
+             ORDER BY score_micro DESC, $idCol) AS rnk
+         FROM s)
+       SELECT $idCol, $groupCol, weight, score_micro FROM r
+       WHERE rnk <= $k ORDER BY $idCol"""
+
   /** Epoch MATERIALIZATION — the upsampling step downstream of
     * [[tokenBudgetPlan]]: emit each document `floor(rate)` times plus one
     * fractional epoch drawn by the deterministic md5 coin (u < frac(rate)),

@@ -73,6 +73,30 @@ class WeightedSampleSpec extends SparkSpec {
   }
 }
 
+class WeightedSamplePerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 60L).map(i =>
+    (i, if (i % 3 == 0) "a" else "b", i % 5 + 1)).toDF("id", "grp", "w")
+
+  test("k per group, deterministic, groups short of k return what they have") {
+    val out = Sampling.weightedSamplePerGroup(docs, "id", "grp", $"w", k = 7)
+    val per = out.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(per == Map("a" -> 7L, "b" -> 7L))
+    val tiny = Sampling.weightedSamplePerGroup(
+      docs.where($"id" <= 4), "id", "grp", $"w", k = 7)
+    assert(tiny.where($"grp" === "a").count() == 1L) // only id 3
+  }
+
+  test("per-group ranking replays the flat weightedSample key") {
+    val flat = Sampling.weightedSample(docs, "id", $"w", k = 60)
+      .select($"id", $"score_micro").as[(Long, Long)].collect().toMap
+    val grouped = Sampling.weightedSamplePerGroup(docs, "id", "grp", $"w", k = 60)
+      .select($"id", $"score_micro").as[(Long, Long)].collect().toMap
+    assert(grouped == flat)
+  }
+}
+
 class DomainDivergenceSpec extends SparkSpec {
   import spark.implicits._
 
