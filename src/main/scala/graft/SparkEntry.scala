@@ -1759,6 +1759,30 @@ object SparkEntry {
         col("n_chars"), lo = 0.0, hi = 4000.0, bins = 20)
     }),
 
+    // ── LLM-pipeline: PSI against a STORED baseline — monitoring as a
+    // materialized pipeline: the baseline snapshot's |bins|-row count
+    // table persists as a pipe (bin = integer epoch axis, one chunk per
+    // bin) and every later snapshot compares against the STORE without
+    // re-reading the baseline corpus. Values equal q_psi_drift's by
+    // construction — the oracle proves the storage round-trip is exact.
+    "q_psi_drift_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = graft.ops.Maintenance.psiBinCounts(
+        docs.where(col("doc_id") % 2 === 0), col("n_chars"),
+        lo = 0.0, hi = 4000.0, bins = 20)
+      val root = java.nio.file.Files.createTempDirectory("graft_psi").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("monitor", "psi_base"),
+        columns = ColumnRoles(Map("datetime" -> "bin")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(spec).create(base.withColumn("bin", col("bin").cast("long")))
+      val stored = eng.storage(spec).read
+        .select(col("bin").cast("int").as("bin"), col("cnt"))
+      graft.ops.Maintenance.psiBinsFromCounts(stored,
+        docs.where(col("doc_id") % 2 === 1), col("n_chars"),
+        lo = 0.0, hi = 4000.0, bins = 20)
+    }),
+
     // ── LLM-pipeline: SQ8 reconstruction-error QA — cosine between every
     // vector and its dequantized int8 code in exact micro-units: the gate
     // before shipping a quantized index. Pure scan projection.
@@ -3045,6 +3069,12 @@ object SparkEntry {
         "n_chars", pLo = 0.05, pHi = 0.95),
 
     "q_psi_drift" ->
+      graft.ops.Maintenance.psiBinsOracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars", lo = 0.0, hi = 4000.0, bins = 20),
+
+    "q_psi_drift_stored" ->
       graft.ops.Maintenance.psiBinsOracleSql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",

@@ -303,18 +303,37 @@ object Maintenance {
     * bins-row grid — single-partition but `bins` rows, never data.
     */
   def psiBins(a: DataFrame, b: DataFrame, valueCol: Column,
-              lo: Double, hi: Double, bins: Int): DataFrame = {
+              lo: Double, hi: Double, bins: Int): DataFrame =
+    psiBinsFromCounts(psiBinCounts(a, valueCol, lo, hi, bins),
+      b, valueCol, lo, hi, bins)
+
+  /** The per-snapshot (bin, cnt) table — the PERSISTABLE half of the PSI
+    * monitor: store one per snapshot (a |bins|-row pipe) and every later
+    * snapshot compares against the STORED baseline without re-reading the
+    * baseline corpus. Clamp/width arithmetic identical to [[psiBins]]. */
+  def psiBinCounts(df: DataFrame, valueCol: Column,
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
     require(hi > lo, "hi must exceed lo")
     val width = (hi - lo) / bins
-    def binned(df: DataFrame, cnt: String) = df.select(
+    df.select(
         least(greatest(floor((valueCol.cast("double") - lit(lo)) / lit(width)),
           lit(0.0)), lit((bins - 1).toDouble)).cast("int").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
-    val spark = a.sparkSession
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[psiBins]] with the baseline side pre-binned (from
+    * [[psiBinCounts]], possibly read back from a stored pipe). */
+  def psiBinsFromCounts(baselineCounts: DataFrame, b: DataFrame,
+                        valueCol: Column, lo: Double, hi: Double,
+                        bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val spark = b.sparkSession
     val grid = spark.range(bins).select(col("id").cast("int").as("bin"))
-      .join(binned(a, "ca"), Seq("bin"), "left")
-      .join(binned(b, "cb"), Seq("bin"), "left")
+      .join(baselineCounts.select(col("bin"), col("cnt").as("ca")),
+        Seq("bin"), "left")
+      .join(psiBinCounts(b, valueCol, lo, hi, bins)
+        .select(col("bin"), col("cnt").as("cb")), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
