@@ -1590,6 +1590,18 @@ object SparkEntry {
           col("n_chars"), targetPerShard = 20000L, buckets = 8)
         .orderBy(col("shard_id"))),
 
+    // ── LLM-pipeline: checksummed export manifest — the shard plan plus a
+    // per-shard order-independent content signature (sum of 60-bit row
+    // hashes, decimal-widened): consumers verify shard integrity without
+    // re-reading the corpus.
+    "q_shard_manifest" -> ((s, d) =>
+      graft.ops.Sampling.shardManifest(Tables.documents(s, d), "doc_id",
+          col("n_chars"),
+          TextFns.md5Long60(concat(col("doc_id").cast("string"), lit("|"),
+            col("text"))),
+          targetPerShard = 20000L, buckets = 8)
+        .orderBy(col("shard_id"))),
+
     // ── layout: Morton Z-order clustering key over (user, hour) — sorting
     // by z co-locates rows close in BOTH dimensions so row-group min/max
     // stats prune scans filtered on EITHER column. Pure codegen'd bit
@@ -3776,6 +3788,23 @@ object SparkEntry {
            FROM b)
          SELECT CAST(bk * 1000000 + (cum - n_chars) // 20000 AS BIGINT) AS shard_id,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_size
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q_shard_manifest" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bk,
+             md5(CAST(doc_id AS VARCHAR)) AS ord,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT) AS h
+           FROM documents),
+         c AS (
+           SELECT bk, n_chars, h,
+             sum(n_chars) OVER (PARTITION BY bk ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM b)
+         SELECT CAST(bk * 1000000 + (cum - n_chars) // 20000 AS BIGINT) AS shard_id,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_size,
+           CAST(CAST(sum(h) AS DECIMAL(38,0)) AS VARCHAR) AS content_sig
          FROM c GROUP BY 1 ORDER BY 1""",
 
     "q_zorder_values" ->

@@ -161,7 +161,16 @@ object Sampling {
     */
   def shardPlan(docs: org.apache.spark.sql.DataFrame, idCol: String,
                 sizeCol: Column, targetPerShard: Long,
-                buckets: Int = 8): DataFrame = {
+                buckets: Int = 8): DataFrame =
+    shardAssign(docs, idCol, sizeCol, targetPerShard, buckets)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("sum_size"))
+
+  /** The shard-assignment pipeline shared by [[shardPlan]] and
+    * [[shardManifest]] — every input row plus its `shard_id`. */
+  private def shardAssign(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          sizeCol: Column, targetPerShard: Long,
+                          buckets: Int): DataFrame = {
     require(targetPerShard > 0, "targetPerShard must be positive")
     require(buckets > 0, "buckets must be positive")
     val w = org.apache.spark.sql.expressions.Window
@@ -175,9 +184,24 @@ object Sampling {
       .withColumn("shard_id",
         col("__b") * lit(1000000L) +
           expr(s"(__cum - __sz) div $targetPerShard"))
-      .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("sum_size"))
   }
+
+  /** Checksummed export manifest — [[shardPlan]] plus a per-shard CONTENT
+    * signature: the sum of a caller-supplied 60-bit row hash, widened to
+    * decimal(38,0) so the sum is exact and ANSI-overflow-proof (the
+    * [[graft.ops.Maintenance.verify]] signature discipline). Publish the
+    * manifest next to the export and any consumer can verify shard
+    * integrity without re-reading the corpus; order-independent, so a
+    * re-export that lays rows out differently still verifies. */
+  def shardManifest(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    sizeCol: Column, contentHash: Column,
+                    targetPerShard: Long, buckets: Int = 8): DataFrame =
+    shardAssign(docs, idCol, sizeCol, targetPerShard, buckets)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("sum_size"),
+        // STRING digits, not decimal: the exact value survives both
+        // engines' dataframe bridges (pandas floats big decimals)
+        sum(contentHash.cast("decimal(38,0)")).cast("string").as("content_sig"))
 
   /** Per-group quota cap — crawl balancing: keep at most `n` rows per group
     * (domain, source, shard), ranked by `order` (which MUST be a total

@@ -331,6 +331,39 @@ class NearDupSourceMatrixSpec extends SparkSpec {
   }
 }
 
+class ShardManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 40L).map(i => (i, s"text-$i", 100L))
+    .toDF("doc_id", "text", "sz")
+  private def sig = graft.functions.TextFns.md5Long60(
+    concat($"doc_id".cast("string"), lit("|"), $"text"))
+
+  test("manifest extends the shard plan with an exact order-free signature") {
+    val plan = Sampling.shardPlan(docs, "doc_id", $"sz", 500L, buckets = 2)
+      .as[(Long, Long, Long)].collect().map { case (s, n, z) => s -> ((n, z)) }.toMap
+    val mani = Sampling.shardManifest(docs, "doc_id", $"sz", sig, 500L, buckets = 2)
+      .select($"shard_id", $"n_docs", $"sum_size").as[(Long, Long, Long)]
+      .collect().map { case (s, n, z) => s -> ((n, z)) }.toMap
+    assert(mani == plan, "manifest must agree with the plan on counts/sizes")
+  }
+
+  test("a one-row content change moves exactly that shard's signature") {
+    val a = Sampling.shardManifest(docs, "doc_id", $"sz", sig, 500L, 2)
+      .select($"shard_id", $"content_sig".cast("string"))
+      .as[(Long, String)].collect().toMap
+    val tampered = docs.withColumn("text",
+      when($"doc_id" === 7L, lit("TAMPERED")).otherwise($"text"))
+    val b = Sampling.shardManifest(tampered, "doc_id", $"sz",
+        graft.functions.TextFns.md5Long60(
+          concat($"doc_id".cast("string"), lit("|"), $"text")), 500L, 2)
+      .select($"shard_id", $"content_sig".cast("string"))
+      .as[(Long, String)].collect().toMap
+    val moved = a.keySet.filter(k => a(k) != b(k))
+    assert(moved.size == 1, s"exactly one shard must change: $moved")
+  }
+}
+
 class CorpusDiffSpec extends SparkSpec {
   import spark.implicits._
 
