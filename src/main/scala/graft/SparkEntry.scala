@@ -1738,6 +1738,21 @@ object SparkEntry {
           "doc_id", "text", words = Seq("table", "scan", "fast"), maxHits = 1L)
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: near-dup cluster SIZE distribution — the dedup-rate
+    // diagnostic a release report publishes ("how big are the duplicate
+    // families"): cluster sizes → size histogram, two tiny aggregates over
+    // the |clustered docs|-row label table.
+    "q_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.nearDupClusters(pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     // ── LLM-pipeline: near-dup SOURCE matrix — dedup diagnostics: how
     // near-dup pairs distribute within/across sources ("is crawl B a
     // re-crawl of A?"). Two id equi-joins + one grouped count; output
@@ -3075,6 +3090,15 @@ object SparkEntry {
       ApproxDedup.nearDupSourceMatrixOracleSql("documents", "doc_id", "text",
         "source", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),
+
+    "q_cluster_sizes" -> {
+      val clusters = ApproxDedup.nearDupClustersFastOracleSql(
+        "documents", "doc_id", "text", threshold = 0.5, shingleSize = 3,
+        k = 24, bands = 6, estSlack = 0.25, maxBucket = 200)
+      s"""SELECT sz, count(*) AS n_clusters FROM (
+           SELECT cluster_id, count(*) AS sz FROM ($clusters) c GROUP BY 1) g
+         GROUP BY 1 ORDER BY 1"""
+    },
 
     "q_winsorize" ->
       graft.ops.Maintenance.winsorizeOracleSql("documents", "doc_id",
