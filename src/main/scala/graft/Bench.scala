@@ -18,6 +18,26 @@ object Bench {
     // absorb ~5-15s of class loading (queries iterate in arbitrary map order)
     spark.range(0, 100000).selectExpr("sum(id)").collect()
     spark.read.parquet(Tables.path(sfDir, "region")).count()
+    // Representative star-join warmup, DISCARDED (r6 verdict: deterministic
+    // name ordering put q1/q3/q5 first, and they absorbed the one-time
+    // whole-stage-codegen + vectorized-reader + shuffle/broadcast machinery
+    // JIT cost — a 2-4x inflation vs their steady-state times). This primes
+    // exactly those code paths against the same tables before anything is
+    // timed: big-table parquet scan with a pushed filter, a join, hash
+    // aggregate, sort, limit.
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(Tables.path(sfDir, "lineitem"))
+        .where(col("l_shipdate") > lit("1995-01-01"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val or = spark.read.parquet(Tables.path(sfDir, "orders"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(or, li("l_orderkey") === or("o_orderkey"))
+        .groupBy(col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc).limit(5).count()
+      spark.sharedState.cacheManager.clearCache()
+    }
     // (name -> (seconds, errorOrNull)); a failed query must surface, never
     // bench as a fast success. count() is the measured action: it evaluates
     // every filter/join/aggregate but lets ColumnPruning drop a final

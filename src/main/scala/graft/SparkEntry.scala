@@ -3170,9 +3170,6 @@ object SparkEntry {
       graft.ops.Sampling.weightedSamplePerGroupOracleSql("documents",
         "doc_id", "source", "n_chars", k = 5),
 
-    // v_winsor is fractional at the clamp boundaries; Spark's double→long
-    // cast TRUNCATES while DuckDB's CAST rounds — hence trunc() in the
-    // weight expression
     "q_curation_v2" ->
       s"""WITH gated AS (
            SELECT d.* FROM documents d
@@ -3184,11 +3181,11 @@ object SparkEntry {
          wz AS (SELECT doc_id, source,
                   least(greatest(CAST(n_chars AS DOUBLE), b.lo), b.hi) AS v_winsor
                 FROM gated, b),
-         t AS (SELECT doc_id, source, CAST(trunc(v_winsor) AS BIGINT) AS weight
+         t AS (SELECT doc_id, source, CAST(v_winsor AS DOUBLE) AS weight
                FROM wz WHERE v_winsor > 0),
          s AS (
            SELECT doc_id, source, weight,
-             CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000.0) AS BIGINT) +
+             CAST(round(ln(weight) * 1000000.0) AS BIGINT) +
              CAST(round(-ln(-ln(
                (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
                  / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro

@@ -1002,11 +1002,20 @@ object Corpus {
     * it everywhere). Returns the MERGE TABLE (step, pair, pair_freq) —
     * the artifact a BPE tokenizer ships.
     *
-    * Words carry their segmentation as a SPACE-JOINED symbol string, and
-    * a merge is one literal (non-regex) `replace` of ` a b ` with ` ab `:
-    * both Spark and the oracle replace non-overlapping matches
-    * left-to-right, which IS greedy BPE merge order, so the trainer is
-    * engine-portable by construction. Pair counting reuses the word-
+    * Words carry their segmentation as a SPACE-JOINED symbol string. A
+    * merge must replace every non-overlapping occurrence of the pair
+    * left-to-right (greedy BPE order), and a naive literal replace of
+    * ` a b ` breaks on ADJACENT occurrences: the match consumes the
+    * shared sentinel space, so `banana` under merge `a n` becomes
+    * [b,an,a,n,a] instead of [b,an,an,a]. subword-nmt fixes this with
+    * lookaround regex, but the oracle engine's RE2 has no lookarounds —
+    * so both sides use an equivalent PURELY LITERAL scheme: double every
+    * delimiter space (each symbol then owns a private space on each
+    * side), replace ` a  b ` with ` ab `, and collapse doubled spaces
+    * back. No match can consume a neighboring occurrence's delimiter,
+    * which makes the literal replace EXACTLY greedy left-to-right merge
+    * order — engine-portable by construction, no regex quoting of
+    * arbitrary symbol bytes needed. Pair counting reuses the word-
     * shingle kernel over the symbol strings.
     *
     * Scale: the corpus is touched ONCE (the [[vocab]] fit, map-side
@@ -1050,10 +1059,16 @@ object Corpus {
         val (pair, f) = best.head
         merges += ((step, pair, f))
         val merged = pair.replace(" ", "")
+        // Private-delimiter merge (see scaladoc): double spaces so each
+        // symbol owns its delimiters, literal-replace, collapse back.
+        val doubled = call_function("replace", col("sym"), lit(" "), lit("  "))
+        val pairD = pair.replace(" ", "  ")
         val next = v.select(col("token"),
             trim(call_function("replace",
-              concat(lit(" "), col("sym"), lit(" ")),
-              lit(s" $pair "), lit(s" $merged "))).as("sym"),
+              call_function("replace",
+                concat(lit(" "), doubled, lit(" ")),
+                lit(s" $pairD "), lit(s" $merged ")),
+              lit("  "), lit(" "))).as("sym"),
             col("freq"))
           .localCheckpoint(true)
         graft.ops.ApproxDedup.freeCheckpoint(v)
@@ -1118,9 +1133,11 @@ object Corpus {
            GROUP BY 1),
          b$i AS MATERIALIZED (SELECT pair, f FROM p$i ORDER BY f DESC, pair LIMIT 1),
          v$i AS MATERIALIZED (
-           SELECT token, trim(replace(' ' || sym || ' ',
-             ' ' || (SELECT pair FROM b$i) || ' ',
-             ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')) AS sym,
+           SELECT token, trim(replace(replace(
+             ' ' || replace(sym, ' ', '  ') || ' ',
+             ' ' || (SELECT replace(pair, ' ', '  ') FROM b$i) || ' ',
+             ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
+             '  ', ' ')) AS sym,
              freq
            FROM v${i - 1})"""
     }.mkString(",\n         ")
@@ -1255,8 +1272,10 @@ object Corpus {
   /** DuckDB oracle replaying [[blocklistFilter]]. */
   def blocklistFilterOracleSql(table: String, idCol: String, textCol: String,
                                words: Seq[String], maxHits: Long = 0L): String = {
+    // escape quotes when rendering the literals — a blocklist word with an
+    // apostrophe must not break (or inject into) the generated oracle SQL
     val list = words.map(_.toLowerCase).distinct.sorted
-      .map(w => s"'$w'").mkString("[", ", ", "]")
+      .map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
     s"""SELECT $idCol,
          CAST(len(list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
            t -> list_contains($list, t))) AS BIGINT) AS n_hits,

@@ -278,15 +278,17 @@ object Sampling {
     *
     * Scale: a pure scan projection + TakeOrdered(k) — zero shuffles; rows
     * with non-positive weight are excluded (ln undefined), matching "weight
-    * 0 = never sampled".
+    * 0 = never sampled". The weight stays a DOUBLE end-to-end: fractional
+    * quality scores in (0,1) are first-class (ln is finite and negative),
+    * with no truncate-vs-round cast divergence between engines.
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: Column,
                      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     docs.where(weightCol > lit(0))
-      .select(col(idCol), weightCol.cast("long").as("weight"))
+      .select(col(idCol), weightCol.cast("double").as("weight"))
       .withColumn("score_micro",
-        round(log(col("weight").cast("double")) * lit(1e6)).cast("long") +
+        round(log(col("weight")) * lit(1e6)).cast("long") +
           Dsir.gumbelMicro(col(idCol)))
       .orderBy(col("score_micro").desc, col(idCol))
       .limit(k)
@@ -297,11 +299,11 @@ object Sampling {
   def weightedSampleOracleSql(table: String, idCol: String,
                               weightExpr: String, k: Int): String =
     s"""WITH t AS (
-         SELECT $idCol, CAST($weightExpr AS BIGINT) AS weight FROM $table
+         SELECT $idCol, CAST($weightExpr AS DOUBLE) AS weight FROM $table
          WHERE $weightExpr > 0),
        s AS (
          SELECT $idCol, weight,
-           CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000.0) AS BIGINT) +
+           CAST(round(ln(weight) * 1000000.0) AS BIGINT) +
            CAST(round(-ln(-ln(
              (CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
                / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro
@@ -328,9 +330,9 @@ object Sampling {
       .partitionBy(col(groupCol))
       .orderBy(col("score_micro").desc, col(idCol))
     docs.where(weightCol > lit(0))
-      .select(col(idCol), col(groupCol), weightCol.cast("long").as("weight"))
+      .select(col(idCol), col(groupCol), weightCol.cast("double").as("weight"))
       .withColumn("score_micro",
-        round(log(col("weight").cast("double")) * lit(1e6)).cast("long") +
+        round(log(col("weight")) * lit(1e6)).cast("long") +
           Dsir.gumbelMicro(col(idCol)))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)
@@ -342,11 +344,11 @@ object Sampling {
                                       groupCol: String, weightExpr: String,
                                       k: Int): String =
     s"""WITH t AS (
-         SELECT $idCol, $groupCol, CAST($weightExpr AS BIGINT) AS weight
+         SELECT $idCol, $groupCol, CAST($weightExpr AS DOUBLE) AS weight
          FROM $table WHERE $weightExpr > 0),
        s AS (
          SELECT $idCol, $groupCol, weight,
-           CAST(round(ln(CAST(weight AS DOUBLE)) * 1000000.0) AS BIGINT) +
+           CAST(round(ln(weight) * 1000000.0) AS BIGINT) +
            CAST(round(-ln(-ln(
              (CAST(('0x' || substring(md5(CAST($idCol AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
                / 4294967296.0)) * 1000000.0) AS BIGINT) AS score_micro

@@ -245,7 +245,12 @@ final class JdbcStore(spark: SparkSession, url: String, val spec: PipeSpec,
                       strayScan: StrayScan): Unit = withWriteLease {
     require(keys.nonEmpty, "upsert requires key columns")
     if (!exists) { create(patch, cluster = true); return }
-    val staging = table + "_PATCH"
+    // Session-unique staging name: a fixed `_PATCH` suffix is reachable
+    // from a pipe literally named `<target>_PATCH` (ADVICE r6) — the
+    // random tag keeps the scratch table out of any pipe's namespace,
+    // and a crash-orphaned staging table can never shadow a later one.
+    val staging = table + "_STG_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(12).toUpperCase
     write(patch, staging, "overwrite")
     try {
       val cols = patch.columns.toSeq
@@ -343,9 +348,23 @@ object JdbcStore {
     monitors.getOrElseUpdate((url, table), new Object)
 
   /** Sanitized SQL table name for a pipe (Derby folds unquoted names to
-    * uppercase; keep them uppercase so metadata lookups agree). */
-  def tableName(spec: PipeSpec): String =
-    spec.targetName.toUpperCase.replaceAll("[^A-Z0-9_]", "_")
+    * uppercase; keep them uppercase so metadata lookups agree). Distinct
+    * raw target names that sanitize identically (`a.b` vs `a_b` vs `A B`)
+    * would collide onto one table and cross-contaminate pipes, so a short
+    * md5 of the RAW name disambiguates — stable across sessions, and the
+    * trailing `_H` tag keeps the suffix out of the plain `[A-Z0-9_]*`
+    * space a sanitized name alone can produce. */
+  def tableName(spec: PipeSpec): String = {
+    val sanitized = spec.targetName.toUpperCase.replaceAll("[^A-Z0-9_]", "_")
+    val raw = spec.targetName
+    if (sanitized == raw) sanitized
+    else {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8"))
+      val tag = digest.take(4).map(b => f"$b%02X").mkString
+      s"${sanitized}_${tag}H"
+    }
+  }
 
   /** Store factory for [[graft.sync.SyncEngine]]; `root` is unused (the
     * database location lives in the URL). */

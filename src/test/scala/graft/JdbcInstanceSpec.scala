@@ -88,6 +88,30 @@ class JdbcInstanceSpec extends SparkSpec {
     assert(st.readMaxId.isEmpty && !st.exists)
   }
 
+  test("distinct raw target names never share a table (sanitize collisions)") {
+    // 'a.b', 'a_b', 'A B' (raw `target` overrides) all sanitize to 'A_B' —
+    // the md5 tag keeps them apart; a clean uppercase name stays suffix-free.
+    def name(t: String) = graft.storage.JdbcStore.tableName(
+      PipeSpec(PipeKeys("jdbc", "m"),
+        columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+        target = Some(t)))
+    val raws = Seq("a.b", "a_b", "A B", "A_B")
+    val names = raws.map(name)
+    assert(names.distinct.size == raws.size)
+    assert(name("A_B") == "A_B") // clean name untouched
+    assert(names.forall(_.matches("[A-Z0-9_]+")))
+    // and the stores really are isolated end-to-end
+    def mkT(t: String) = new graft.storage.JdbcStore(spark,
+      s"jdbc:derby:memory:jspec;create=true",
+      PipeSpec(PipeKeys("jdbc", "m"),
+        columns = ColumnRoles(Map("datetime" -> "dt", "id" -> "id")),
+        target = Some(t)))
+    val s1 = mkT("col.lide"); val s2 = mkT("col_lide")
+    s1.create(df3, cluster = true)
+    assert(!s2.exists)
+    s1.drop()
+  }
+
   test("syncTime is a MAX/MIN pushdown, not a table scan through Spark") {
     val st = mkStore("st")
     st.create(df3, cluster = true)

@@ -39,10 +39,28 @@ class WeightedSampleSpec extends SparkSpec {
 
   test("returns k rows, deterministic across runs") {
     val a = Sampling.weightedSample(docs, "id", $"w", k = 10)
-      .as[(Long, Long, Long)].collect()
+      .as[(Long, Double, Long)].collect()
     val b = Sampling.weightedSample(docs, "id", $"w", k = 10)
-      .as[(Long, Long, Long)].collect()
+      .as[(Long, Double, Long)].collect()
     assert(a.length == 10 && a.sameElements(b))
+  }
+
+  test("fractional weights in (0,1) sample with finite scores, ∝ weight") {
+    // The old long-truncation path sent 0 < w < 1 to ln(0) = -Inf
+    // (Long.MinValue) while the oracle rounded 0.5 → 1: silent divergence.
+    val frac = Seq((1L, 0.5), (2L, 0.25), (3L, 2.0), (4L, 0.75))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(frac, "id", $"w", k = 4)
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 4)
+    assert(got.forall { case (_, w, s) => w > 0 && s > Long.MinValue / 2 })
+    // score replays ln(w) in micro-nats exactly
+    val byId = got.map(r => r._1 -> r._3).toMap
+    val expected = frac.select($"id", (
+        round(log($"w") * lit(1e6)).cast("long") +
+          graft.ops.Dsir.gumbelMicro($"id")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(byId == expected)
   }
 
   test("non-positive weights are excluded") {
@@ -291,6 +309,19 @@ class BlocklistFilterSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
     assert(out(1L) && !out(2L))
   }
+
+  test("oracle SQL escapes apostrophes in blocklist words") {
+    val sql = Corpus.blocklistFilterOracleSql("documents", "doc_id", "text",
+      words = Seq("don't", "o'brien's"))
+    assert(sql.contains("'don''t'") && sql.contains("'o''brien''s'"))
+    assert(!sql.contains("'don't'"))
+    // Spark side still matches the raw word at token boundaries
+    val docs = Seq((1L, "they don't stop"), (2L, "dont stop")).toDF("doc_id", "text")
+    val out = Corpus.blocklistFilter(docs, "doc_id", "text",
+        words = Seq("don't"), maxHits = 0L)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(!out(1L) && out(2L))
+  }
 }
 
 class PsiBinsSpec extends SparkSpec {
@@ -415,6 +446,35 @@ class BpeTrainSpec extends SparkSpec {
     val got = Corpus.bpeTrain(docs, "text", nMerges = 1)
       .as[(Int, String, Long)].collect().toSeq
     assert(got == Seq((1, "a b", 1L)))
+  }
+
+  test("adjacent occurrences both merge: banana under 'a n' → b an an a") {
+    // The naive literal replace of ' a n ' consumes the shared sentinel
+    // space and misses the second occurrence ([b,an,a,n,a]); greedy BPE
+    // (subword-nmt) yields [b,an,an,a]. Distinguishes the two.
+    val docs = Seq((1L, "banana")).toDF("doc_id", "text")
+    val got = Corpus.bpeSegmentCounts(docs, "doc_id", "text", nMerges = 1)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1L, 1L, 4L)))
+    // And the step-2 pair table sees (an,an) — only exists post-fix.
+    val merges = Corpus.bpeTrain(Seq("banana").toDF("text"), "text", nMerges = 2)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a n", 2L), (2, "an a", 1L)))
+  }
+
+  test("abab under merge 'a b' → ab ab (2 subwords, not 3)") {
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val got = Corpus.bpeSegmentCounts(docs, "doc_id", "text", nMerges = 1)
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1L, 1L, 2L)))
+  }
+
+  test("odd run aaaaa under 'a a' merges greedily left-to-right → aa aa a") {
+    val merges = Corpus.bpeTrain(Seq("aaaaa").toDF("text"), "text", nMerges = 2)
+      .as[(Int, String, Long)].collect().toSeq
+    // step 1: (a,a) freq 4; after greedy merge "aa aa a" the step-2 pairs
+    // are (aa,aa):1 and (aa,a):1 → lexicographic tie-break picks "aa a".
+    assert(merges == Seq((1, "a a", 4L), (2, "aa a", 1L)))
   }
 
   test("training stops early when no pairs remain") {
