@@ -130,27 +130,37 @@ object ParamsFilter {
     * the remote engine handle the rest). Identifiers are emitted bare; values
     * are escaped literals. JSON-map params are not expressible portably and
     * are rejected rather than silently dropped.
+    *
+    * `ident` renders a column reference (default: bare name, for definition
+    * subqueries against externally-owned tables); `lit` renders a value
+    * (default: JDBC-escape literals). [[graft.storage.JdbcStore]] passes a
+    * dialect-quoting/CLOB-casting `ident` and its dialect's `lit` to push
+    * the SAME semantics into a remote `DELETE`.
     */
-  def toSql(params: Map[String, Any]): String =
-    params.toSeq.map { case (k, v) => sqlForColumn(k, v) }
+  def toSql(params: Map[String, Any],
+            ident: String => String = identity,
+            lit: Any => String = SqlText.literal): String =
+    params.toSeq.map { case (k, v) => sqlForColumn(ident(k), v, lit) }
       .filter(_.nonEmpty).mkString(" AND ")
 
-  private def sqlForColumn(name: String, value: Any): String = value match {
+  private def sqlForColumn(name: String, value: Any,
+                           lit: Any => String): String = value match {
     case null | None | Null      => s"$name IS NULL"
     case Not(null | None | Null) => s"$name IS NOT NULL"
-    case Not(v)                  => s"$name <> ${SqlText.literal(v)}"
+    case Not(v)                  => s"$name <> ${lit(v)}"
     case _: Map[_, _] => throw new IllegalArgumentException(
       s"JSON-map param '$name' cannot be pushed into a JDBC WHERE clause")
-    case vs: Seq[_]   => sqlInList(name, vs)
+    case vs: Seq[_]   => sqlInList(name, vs, lit)
     case s: String if isNegation(s) =>
       val inner = s.substring(1)
       if (isNullLiteral(inner)) s"$name IS NOT NULL"
-      else s"$name <> ${SqlText.literal(inner)}"
+      else s"$name <> ${lit(inner)}"
     case s: String if isNullLiteral(s) => s"$name IS NULL"
-    case v => s"$name = ${SqlText.literal(v)}"
+    case v => s"$name = ${lit(v)}"
   }
 
-  private def sqlInList(name: String, vs: Seq[Any]): String = {
+  private def sqlInList(name: String, vs: Seq[Any],
+                        lit: Any => String): String = {
     val (exclude, include) = vs.partition {
       case s: String => isNegation(s)
       case Not(_)    => true
@@ -170,7 +180,7 @@ object ParamsFilter {
       case s: String          => isNullLiteral(s)
       case _                  => false
     }
-    def inClause(vals: Seq[Any]) = vals.map(SqlText.literal).mkString("(", ", ", ")")
+    def inClause(vals: Seq[Any]) = vals.map(lit).mkString("(", ", ", ")")
     val inc = (incVals.nonEmpty, incNulls.nonEmpty) match {
       case (true, true)   => Some(s"($name IN ${inClause(incVals)} OR $name IS NULL)")
       case (true, false)  => Some(s"$name IN ${inClause(incVals)}")

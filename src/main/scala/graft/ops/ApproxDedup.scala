@@ -1079,7 +1079,7 @@ object ApproxDedup {
     * analyzed plan to the LogicalRDD node that owns the blocks. The frame
     * becomes unevaluable afterwards (checkpoints have no lineage to
     * recompute from); callers only free frames nothing references. */
-  private[ops] def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
       case _ => ()

@@ -54,6 +54,24 @@ trait InstanceStore {
   // ── deletion / maintenance ───────────────────────────────────────────
   def clear(predicate: Column, boundLo: Option[Any] = None,
             boundHi: Option[Any] = None): Unit
+
+  /** Structured range delete: half-open axis bounds plus the params DSL,
+    * BEFORE compilation to a Catalyst predicate. The default composes the
+    * predicate and delegates to [[clear]]; backends that render SQL
+    * natively (JDBC) override to push ONE bounded remote `DELETE` instead
+    * of materialize-filter-overwrite. */
+  def clearStructured(boundLo: Option[Any], boundHi: Option[Any],
+                      params: Map[String, Any]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dt = spec.columns.datetime.getOrElse(
+      throw new IllegalArgumentException("clear requires a datetime axis"))
+    var pred: Column = lit(true)
+    boundLo.foreach(b => pred = pred && col(dt) >= lit(b))
+    boundHi.foreach(e => pred = pred && col(dt) < lit(e))
+    if (params.nonEmpty) pred = pred && graft.dsl.ParamsFilter.toPredicate(params)
+    clear(pred, boundLo, boundHi)
+  }
+
   def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long
   def drop(): Unit
 

@@ -29,12 +29,17 @@ import graft.catalog.PipeSpec
   *     text (the same pushdown discipline as
   *     [[graft.sources.SqlDefinitionSource]], which also documents the
   *     partitioned-read option for large remote tables).
-  *   - `clear`/`deduplicate` materialize-filter-overwrite: the engine
-  *     hands a Spark `Column` predicate, and translating arbitrary
-  *     Catalyst trees to dialect SQL is a seam deliberately not crossed
-  *     here — bounded correctness over silent mistranslation. Rewrite
-  *     volume is O(table), acceptable for the proof backend; the parquet
-  *     backend remains the chunk-pruned production path.
+  *   - `clearStructured` renders bounds + params DSL into ONE bounded
+  *     remote `DELETE` (reference connectors/sql/_pipes.py:3158-3246);
+  *     `deduplicate` scopes remote work to the DUPLICATED key tuples
+  *     (GROUP BY...HAVING probe → batched DELETE + survivor re-insert,
+  *     reference :3888-4105). Only the arbitrary-Catalyst-`Column` `clear`
+  *     (server-issued SQL exprs) and rejected/oversized shapes fall back
+  *     to materialize-filter-overwrite — translating arbitrary Catalyst
+  *     trees to dialect SQL is a seam deliberately not crossed.
+  *   - flavor syntax lives in [[SqlDialect]] (quoting, literals,
+  *     comparable-casts, upsert template); this class holds NO inline
+  *     flavor conditionals. Derby is the live dialect.
   *   - `withWriteLease` is a JVM monitor keyed on (url, table): embedded
   *     Derby is single-process by construction. A server-mode database
   *     would swap in SELECT FOR UPDATE on the meta row.
@@ -45,13 +50,27 @@ import graft.catalog.PipeSpec
   * indexed, mirroring the reference's explicit dtypes.
   */
 final class JdbcStore(spark: SparkSession, url: String, val spec: PipeSpec,
-                      varcharCols: Map[String, Int] = Map.empty)
+                      varcharCols: Map[String, Int] = Map.empty,
+                      dialect: SqlDialect = DerbyDialect)
     extends InstanceStore {
 
   private val table = JdbcStore.tableName(spec)
   private def dtCol: Option[String] = spec.columns.datetime
 
-  private def q(id: String): String = "\"" + id.replace("\"", "\"\"") + "\""
+  private def q(id: String): String = dialect.quote(id)
+
+  /** Column-reference renderer for remote comparison predicates: string
+    * columns route through the dialect's comparable-cast (Derby default
+    * strings are CLOB — not SQL-comparable bare). Snapshots the stored
+    * schema ONCE; call per operation, not per column. */
+  private def cmpFn(): String => String = {
+    val stringCols = storedSchema
+      .map(_.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSet)
+      .getOrElse(Set.empty[String])
+    name => dialect.comparable(q(name), stringCols(name) && !varcharCols.contains(name))
+  }
 
   private def withConn[A](body: Connection => A): A = {
     val c = DriverManager.getConnection(url)
@@ -112,8 +131,16 @@ final class JdbcStore(spark: SparkSession, url: String, val spec: PipeSpec,
     }
 
   private def exec(sql: String): Unit = withConn { c =>
+    JdbcStore.record(sql)
     val st = c.createStatement()
     try { st.executeUpdate(sql); () } finally st.close()
+  }
+
+  /** exec returning the affected-row count. */
+  private def execCount(sql: String): Long = withConn { c =>
+    JdbcStore.record(sql)
+    val st = c.createStatement()
+    try st.executeUpdate(sql).toLong finally st.close()
   }
 
   // ── stored-schema bookkeeping (NTZ round-trip) ───────────────────────
@@ -148,6 +175,7 @@ final class JdbcStore(spark: SparkSession, url: String, val spec: PipeSpec,
   override def exists: Boolean = withConn(tableExists(_, table))
 
   private def readQuery(sql: String): DataFrame = {
+    JdbcStore.record(sql)
     val raw = spark.read
       .option("fetchsize", "10000")
       .jdbc(url, s"($sql) g", new java.util.Properties)
@@ -171,17 +199,8 @@ final class JdbcStore(spark: SparkSession, url: String, val spec: PipeSpec,
   override def schemaDdl: Option[String] =
     storedSchema.map(_.toDDL).orElse(if (exists) Some(read.schema.toDDL) else None)
 
-  /** Render a bound value as a Derby literal. */
-  private def lit(v: Any): String = v match {
-    case t: java.time.LocalDateTime =>
-      val ts = java.sql.Timestamp.valueOf(t)
-      s"TIMESTAMP('${ts.toString}')"
-    case t: java.sql.Timestamp => s"TIMESTAMP('${t.toString}')"
-    case n: Number => n.toString
-    case s: String => "'" + s.replace("'", "''") + "'"
-    case other => throw new IllegalArgumentException(
-      s"unsupported bound literal: $other (${other.getClass})")
-  }
+  /** Render a bound value as a flavor literal. */
+  private def lit(v: Any): String = dialect.literal(v)
 
   override def readRange(begin: Option[Any], end: Option[Any],
                          endInclusive: Boolean): DataFrame = {
@@ -252,42 +271,113 @@ final class JdbcStore(spark: SparkSession, url: String, val spec: PipeSpec,
     val staging = table + "_STG_" + java.util.UUID.randomUUID().toString
       .replace("-", "").take(12).toUpperCase
     write(patch, staging, "overwrite")
-    try {
-      val cols = patch.columns.toSeq
-      val nonKeys = cols.filterNot(keys.contains)
-      val on = keys.map { k =>
-        if (spec.nullIndices)
-          s"(t.${q(k)} = p.${q(k)} OR (t.${q(k)} IS NULL AND p.${q(k)} IS NULL))"
-        else s"t.${q(k)} = p.${q(k)}"
-      }.mkString(" AND ")
-      val updateClause =
-        if (nonKeys.isEmpty) ""
-        else " WHEN MATCHED THEN UPDATE SET " +
-          nonKeys.map(c => s"${q(c)} = p.${q(c)}").mkString(", ")
-      val insertClause =
-        s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")}) " +
-          s"VALUES (${cols.map(c => s"p.${q(c)}").mkString(", ")})"
-      exec(s"MERGE INTO $table t USING $staging p ON $on$updateClause$insertClause")
-    } finally exec(s"DROP TABLE $staging")
+    try
+      dialect.upsertSql(table, staging, keys, patch.columns.toSeq,
+        nullSafeKeys = spec.nullIndices).foreach(exec)
+    finally exec(s"DROP TABLE $staging")
   }
 
   // ── deletion / maintenance ───────────────────────────────────────────
   override def clear(predicate: Column, boundLo: Option[Any],
                      boundHi: Option[Any]): Unit = withWriteLease {
     if (!exists) return
+    // Arbitrary-Catalyst-predicate path (PipeServer's `sql` exprs land
+    // here): translating a Catalyst tree to dialect SQL is a seam we
+    // deliberately do not cross — bounded correctness over silent
+    // mistranslation. O(table) rewrite; the STRUCTURED path below covers
+    // every engine-issued clear with a remote DELETE.
     // SQL DELETE three-valued logic: NULL-evaluating rows are KEPT
     overwrite(read.where(!(predicate <=> org.apache.spark.sql.functions.lit(true))))
   }
 
+  /** Engine-issued range delete: bounds + params DSL render into ONE
+    * bounded remote `DELETE` (reference connectors/sql/_pipes.py:3158-3246
+    * `clear_pipe` — delete query with datetime bounds and build_where
+    * params), replacing the O(table) materialize-filter-overwrite. Falls
+    * back to the Spark-side path only for params the SQL renderer rejects
+    * (JSON-map values). */
+  override def clearStructured(boundLo: Option[Any], boundHi: Option[Any],
+                               params: Map[String, Any]): Unit = withWriteLease {
+    if (!exists) return
+    val dt = spec.columns.datetime.getOrElse(
+      throw new IllegalArgumentException("clear requires a datetime axis"))
+    val cmp = cmpFn()
+    val rendered =
+      try Some(graft.dsl.ParamsFilter.toSql(params, ident = cmp, lit = dialect.literal))
+      catch { case _: IllegalArgumentException => None }
+    rendered match {
+      case Some(paramsSql) =>
+        val preds =
+          boundLo.map(b => s"${q(dt)} >= ${lit(b)}").toSeq ++
+          boundHi.map(e => s"${q(dt)} < ${lit(e)}") ++
+          (if (paramsSql.nonEmpty) Seq(paramsSql) else Seq.empty)
+        val where = if (preds.isEmpty) "" else preds.mkString(" WHERE ", " AND ", "")
+        exec(s"DELETE FROM $table$where")
+      case None => super.clearStructured(boundLo, boundHi, params)
+    }
+  }
+
+  /** Keyed dedup scoped to DUPLICATED keys only (reference
+    * connectors/sql/_pipes.py:3888-4105 issues windowed delete SQL): a
+    * remote GROUP BY...HAVING finds the duplicated key tuples (output ∝
+    * duplicates, not table size), survivors for those keys are computed
+    * Spark-side (one bounded read), then ONE batched remote DELETE of the
+    * affected tuples + a re-insert of the survivors. The full-table
+    * rewrite survives only as the fallback for key shapes the remote
+    * aggregate cannot express (Derby: CLOB group-by) or duplicate counts
+    * past [[JdbcStore.maxRemoteDedupKeys]]. */
   override def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long =
     withWriteLease {
       require(keys.nonEmpty, "deduplicate requires key columns")
       if (!exists) return 0L
       val order = if (orderBy.nonEmpty) orderBy else keys
-      val before = rowCount
-      overwrite(graft.ops.Dedup.keepOnePerKey(read, keys, order))
-      before - rowCount
+      try remoteDeduplicate(keys, order)
+      catch { case e: Exception if rootSql(e).isDefined =>
+        // e.g. CLOB key columns: Derby cannot GROUP BY / compare them
+        fullRewriteDeduplicate(keys, order)
+      }
     }
+
+  private def rootSql(e: Throwable): Option[java.sql.SQLException] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .collectFirst { case s: java.sql.SQLException => s }
+
+  private def fullRewriteDeduplicate(keys: Seq[String], order: Seq[String]): Long = {
+    val before = rowCount
+    overwrite(graft.ops.Dedup.keepOnePerKey(read, keys, order))
+    before - rowCount
+  }
+
+  private def remoteDeduplicate(keys: Seq[String], order: Seq[String]): Long = {
+    val cmp = cmpFn()
+    val keyList = keys.map(cmp).mkString(", ")
+    // cap+1 bounds the collect; hitting it falls back to the full rewrite
+    val dupKeys = readQuery(
+      s"SELECT $keyList FROM $table GROUP BY $keyList HAVING COUNT(*) > 1 " +
+        s"FETCH FIRST ${JdbcStore.maxRemoteDedupKeys + 1} ROWS ONLY")
+      .collect()
+    if (dupKeys.isEmpty) return 0L
+    if (dupKeys.length > JdbcStore.maxRemoteDedupKeys)
+      return fullRewriteDeduplicate(keys, order)
+    // one key tuple -> (c1 = v1 AND c2 IS NULL AND ...)
+    def tuplePred(row: org.apache.spark.sql.Row): String =
+      keys.zipWithIndex.map { case (k, i) =>
+        if (row.isNullAt(i)) s"${cmp(k)} IS NULL"
+        else s"${cmp(k)} = ${lit(row.get(i))}"
+      }.mkString("(", " AND ", ")")
+    val batches = dupKeys.grouped(JdbcStore.dedupDeleteBatch).toSeq
+      .map(_.map(tuplePred).mkString(" OR "))
+    // survivors computed and pinned BEFORE any delete runs
+    val affected = batches.map(b => readQuery(s"SELECT * FROM $table WHERE $b"))
+      .reduce(_.unionAll(_))
+    val survivors = graft.ops.Dedup.keepOnePerKey(affected, keys, order)
+      .localCheckpoint(true)
+    try {
+      val removed = batches.map(b => execCount(s"DELETE FROM $table WHERE $b")).sum
+      write(survivors, table, "append")
+      removed - survivors.count()
+    } finally graft.ops.ApproxDedup.freeCheckpoint(survivors)
+  }
 
   override def drop(): Unit = withWriteLease {
     if (exists) exec(s"DROP TABLE $table")
@@ -347,6 +437,24 @@ object JdbcStore {
   private def monitor(url: String, table: String): Object =
     monitors.getOrElseUpdate((url, table), new Object)
 
+  /** Above this many duplicated key tuples, [[JdbcStore.deduplicate]]
+    * abandons the batched remote DELETE (whose statement text grows with
+    * the tuple count) for the full-table rewrite. */
+  val maxRemoteDedupKeys = 10000
+  /** Key tuples per DELETE statement in the remote dedup. */
+  val dedupDeleteBatch = 200
+
+  /** Diagnostic statement log (tests assert pushdown shapes — e.g. that a
+    * bounded clear issues one remote DELETE and never a full-table
+    * SELECT). Off by default; bounded when on. */
+  @volatile var logStatements = false
+  val statementLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[storage] def record(sql: String): Unit =
+    if (logStatements) {
+      statementLog.add(sql)
+      while (statementLog.size > 500) statementLog.poll()
+    }
+
   /** Sanitized SQL table name for a pipe (Derby folds unquoted names to
     * uppercase; keep them uppercase so metadata lookups agree). Distinct
     * raw target names that sanitize identically (`a.b` vs `a_b` vs `A B`)
@@ -368,7 +476,8 @@ object JdbcStore {
 
   /** Store factory for [[graft.sync.SyncEngine]]; `root` is unused (the
     * database location lives in the URL). */
-  def factory(url: String, varcharCols: Map[String, Int] = Map.empty)
+  def factory(url: String, varcharCols: Map[String, Int] = Map.empty,
+              dialect: SqlDialect = DerbyDialect)
       : (SparkSession, String, PipeSpec) => InstanceStore =
-    (s, _, spec) => new JdbcStore(s, url, spec, varcharCols)
+    (s, _, spec) => new JdbcStore(s, url, spec, varcharCols, dialect)
 }

@@ -848,16 +848,12 @@ final class SyncEngine(spark: SparkSession, root: String,
             beginEpoch: Option[Long] = None,
             endEpoch: Option[Long] = None,
             params: Map[String, Any] = Map.empty): Unit = {
-    val dt = spec.columns.datetime.getOrElse(
-      throw new IllegalArgumentException("clear requires a datetime axis"))
     val lo = axisBound(spec, begin, beginEpoch)
     val hi = axisBound(spec, end, endEpoch)
-    var pred: Column = lit(true)
-    lo.foreach(b => pred = pred && col(dt) >= lit(b))
-    hi.foreach(e => pred = pred && col(dt) < lit(e))
-    if (params.nonEmpty) pred = pred && ParamsFilter.toPredicate(params)
-    // bounds also prune the affected-chunk discovery scan to the window's
-    // partition directories
-    storage(spec).clear(pred, boundLo = lo, boundHi = hi)
+    // the structured form keeps the bounds+params symbolic all the way to
+    // the backend: parquet composes the Catalyst predicate (bounds also
+    // prune the affected-chunk discovery scan to the window's partition
+    // directories), JDBC renders ONE bounded remote DELETE
+    storage(spec).clearStructured(lo, hi, params)
   }
 }

@@ -112,6 +112,54 @@ class JdbcInstanceSpec extends SparkSpec {
     s1.drop()
   }
 
+  test("structured clear pushes ONE bounded remote DELETE, no table scan") {
+    val st = mkStore("clr")
+    st.create(df3.withColumn("tag", concat(lit("t"), $"id")), cluster = true)
+    graft.storage.JdbcStore.statementLog.clear()
+    graft.storage.JdbcStore.logStatements = true
+    try {
+      st.clearStructured(
+        Some(java.time.LocalDateTime.parse("2024-01-02T00:00:00")),
+        Some(java.time.LocalDateTime.parse("2024-01-04T00:00:00")),
+        params = Map("tag" -> "t2"))
+    } finally graft.storage.JdbcStore.logStatements = false
+    val stmts = graft.storage.JdbcStore.statementLog.toArray.map(_.toString)
+    val deletes = stmts.filter(_.startsWith("DELETE FROM"))
+    assert(deletes.length == 1, stmts.mkString("; "))
+    assert(deletes.head.contains(">=") && deletes.head.contains("<") &&
+      deletes.head.contains("TIMESTAMP('2024-01-02"))
+    // CLOB string param must be compared through a VARCHAR cast
+    assert(deletes.head.contains("CAST(\"tag\" AS VARCHAR(32672)) = 't2'"))
+    // the clear itself must not read the table back through Spark
+    assert(!stmts.exists(_.startsWith(s"SELECT * FROM")), stmts.mkString("; "))
+    // only (dt in [01-02, 01-04)) AND tag='t2' deleted -> row id=2 gone
+    assert(st.read.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    st.drop()
+  }
+
+  test("deduplicate scopes remote work to duplicated keys only") {
+    val st = mkStore("ddp")
+    st.create(df3, cluster = true)
+    st.append(df3.where($"id" === 2L)) // duplicate one key
+    graft.storage.JdbcStore.statementLog.clear()
+    graft.storage.JdbcStore.logStatements = true
+    val removed =
+      try st.deduplicate(keys = Seq("dt", "id"), orderBy = Seq("dt", "id"))
+      finally graft.storage.JdbcStore.logStatements = false
+    assert(removed == 1L)
+    assert(st.rowCount == 3L)
+    assert(st.read.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val stmts = graft.storage.JdbcStore.statementLog.toArray.map(_.toString)
+    assert(stmts.exists(_.contains("HAVING COUNT(*) > 1")), stmts.mkString("; "))
+    assert(stmts.exists(_.startsWith("DELETE FROM")))
+    // the probe and the affected-row read are keyed; never SELECT * unbounded
+    assert(!stmts.exists(s => s.startsWith("SELECT * FROM") && !s.contains("WHERE")),
+      stmts.mkString("; "))
+    // no duplicates -> zero statements beyond the probe, nothing removed
+    assert(st.deduplicate(Seq("dt", "id"), Seq("dt", "id")) == 0L)
+    st.drop()
+  }
+
   test("syncTime is a MAX/MIN pushdown, not a table scan through Spark") {
     val st = mkStore("st")
     st.create(df3, cluster = true)
