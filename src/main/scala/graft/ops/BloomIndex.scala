@@ -118,28 +118,39 @@ object BloomIndex {
     * NULL values probe to a null hit; they are routed through the "new"
     * path explicitly (reference `utils/dataframe.py` filter_unseen keeps
     * null-keyed rows as unseen — a pandas merge anti-join never matches
-    * NaN). Sizing assumption: the broadcasts carry the DISTINCT candidate
-    * values (true dups + FP-rate·|batch|); size (m, k) so that stays under
-    * the broadcast threshold — a sync batch is small next to the corpus by
-    * construction. A duplicate-heavy batch degrades the broadcast, not
-    * correctness.
+    * NaN). The broadcasts carry the DISTINCT candidate values (true dups +
+    * FP-rate·|batch|) — small next to the corpus by construction on a
+    * normal sync batch. A duplicate-heavy batch (every row a probe hit)
+    * would degrade the broadcast, so the candidate count is measured first
+    * (cheap: `tagged` is persisted, the count reuses it) and above
+    * `broadcastMaxCandidates` the verify switches to a shuffle hash
+    * semi-join — the corpus shuffles once on the value, which is the
+    * correct plan when the candidate side is genuinely big.
     */
   def notInCorpus(newDocs: DataFrame, corpus: DataFrame, valueCol: String,
-                  dense: Array[Long], m: Long, k: Int): DataFrame = {
+                  dense: Array[Long], m: Long, k: Int,
+                  broadcastMaxCandidates: Long = 4000000L): DataFrame = {
     val hitCol = "__graft_bloom_hit"
     require(!newDocs.columns.contains(hitCol),
       s"newDocs already has a column named $hitCol")
+    // tagged feeds three branches (fast path, candidates, verify) — persist
+    // so the batch is scanned and the probe expression evaluated once. Left
+    // persisted for the consumer's lifetime; Spark evicts LRU.
     val tagged = newDocs.withColumn(hitCol,
       coalesce(mightContain(col(valueCol), dense, m, k), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = tagged.where(col(hitCol))
-    // corpus values that really do collide with a candidate (small: ≤ |candidates|)
-    val confirmed = corpus.select(col(valueCol).as("__v")).join(
-        broadcast(candidates.select(col(valueCol).as("__v")).distinct()),
-        Seq("__v"), "left_semi")
+    val distinctCand = candidates.select(col(valueCol).as("__v")).distinct()
+    val useBroadcast = distinctCand.count() <= broadcastMaxCandidates
+    val candSide = if (useBroadcast) broadcast(distinctCand) else distinctCand.hint("shuffle_hash")
+    // corpus values that really do collide with a candidate (≤ |candidates|)
+    val confirmed = corpus.select(col(valueCol).as("__v"))
+      .join(candSide, Seq("__v"), "left_semi")
       .distinct()
+    val confirmedSide = confirmed.withColumnRenamed("__v", valueCol)
     tagged.where(!col(hitCol)).drop(hitCol)
       .unionByName(candidates.drop(hitCol)
-        .join(broadcast(confirmed.withColumnRenamed("__v", valueCol)),
+        .join(if (useBroadcast) broadcast(confirmedSide) else confirmedSide.hint("shuffle_hash"),
           Seq(valueCol), "left_anti"))
   }
 }

@@ -61,6 +61,12 @@ final class PipeServer(
   private val locks = TrieMap.empty[(String, String), (String, Long)]
   private val lockGate = new Object
 
+  // TCP_NODELAY on response sockets: the JDK server writes headers and body
+  // as separate sends, and with Nagle on, the body segment waits for the
+  // client's delayed ACK — a flat ~40 ms tax on EVERY small response
+  // (measured: `exists` 45 ms → 3 ms). Must be set before server creation.
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   private val server =
     HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", bindPort), 0)
   val port: Int = server.getAddress.getPort

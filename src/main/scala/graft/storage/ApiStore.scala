@@ -71,16 +71,31 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
 
   override def exists: Boolean = call("GET", u("exists")).toBoolean
 
+  /** Schema DDL cached per store handle: the engine asks for the schema
+    * before every fetch (3-4 server footer reads per sync at ~100-250 ms
+    * each), and this client holds the pipe's writer lease while mutating —
+    * so within one handle's lifetime the schema only changes through this
+    * handle's own writes, which invalidate the cache. A FOREIGN writer
+    * mutating concurrently is already excluded by the lease model (and
+    * would race the data reads themselves, not just the schema). */
+  @volatile private var schemaCache: Option[Option[String]] = None
+  private def invalidateSchema(): Unit = schemaCache = None
+
   /** One schema-route GET — the trait default would full-fetch the table. */
-  override def schemaDdl: Option[String] = {
-    val (code, body) = request("GET", u("schema"))
-    if (code == 200) Some(body)
-    else if (code == 404) None
-    else Some(call("GET", u("schema"))) // surface mapped server errors
+  override def schemaDdl: Option[String] = schemaCache match {
+    case Some(v) => v
+    case None =>
+      val (code, body) = request("GET", u("schema"))
+      val v =
+        if (code == 200) Some(body)
+        else if (code == 404) None
+        else Some(call("GET", u("schema"))) // surface mapped server errors
+      schemaCache = Some(v)
+      v
   }
 
   private def fetchDf(dataUrl: String): DataFrame = {
-    val ddl = call("GET", u("schema"))
+    val ddl = schemaDdl.getOrElse(call("GET", u("schema")))
     val schema = StructType.fromDDL(ddl)
     import spark.implicits._
     // executor-side pull (the task fetches, not the driver), then an eager
@@ -161,6 +176,7 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
       }
     call("POST", u("commit", (Seq("wid" -> wid, "mode" -> mode,
       "schema" -> df.schema.toDDL) ++ extra): _*))
+    invalidateSchema()
   }
 
   override def create(df: DataFrame, cluster: Boolean): Unit =
@@ -198,16 +214,18 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
     val hiQ = boundHi.map(encodeAny).toSeq.flatMap { case (k, v) =>
       Seq("hi" -> v, "hiK" -> k) }
     call("POST", u("clear", (sqlQ ++ loQ ++ hiQ): _*))
-    ()
+    invalidateSchema()
   }
 
   override def deduplicate(keys: Seq[String], orderBy: Seq[String]): Long = {
     require(keys.nonEmpty, "deduplicate requires key columns")
-    call("POST", u("dedup", "keys" -> keys.mkString(","),
+    val n = call("POST", u("dedup", "keys" -> keys.mkString(","),
       "orderBy" -> orderBy.mkString(","))).toLong
+    invalidateSchema()
+    n
   }
 
-  override def drop(): Unit = { call("DELETE", u("drop")); () }
+  override def drop(): Unit = { call("DELETE", u("drop")); invalidateSchema() }
 
   override def compact(): Unit = { call("POST", u("compact")); () }
   override def vacuum(): Unit = { call("POST", u("vacuum")); () }
@@ -323,6 +341,12 @@ object ApiStore {
 
   /** Raw request: (status, body). */
   private def request(method: String, url: String): (Int, String) = {
+    val t0 = System.nanoTime()
+    try requestInner(method, url)
+    finally if (sys.env.contains("GRAFT_API_TRACE"))
+      println(f"[api] ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $method ${url.takeWhile(_ != '?')} ${url.dropWhile(_ != '?').take(60)}")
+  }
+  private def requestInner(method: String, url: String): (Int, String) = {
     val b = HttpRequest.newBuilder(URI.create(url))
     val req = method match {
       case "GET"    => b.GET()

@@ -33,6 +33,20 @@ class BloomIndexSpec extends SparkSpec {
     assert(out.flatten.sorted.toSeq == Seq("q"))
   }
 
+  test("duplicate-heavy batch over the broadcast threshold falls back to shuffle semi-join, exact") {
+    // every batch row is a probe hit (all values exist in the corpus or are
+    // forced FPs), and the threshold is set below the candidate count so the
+    // verify MUST take the shuffle path
+    val corpus = (0 until 500).map(i => s"doc-$i").toDF("v")
+    val batch = ((0 until 400).map(i => s"doc-$i") ++ (0 until 50).map(i => s"new-$i")).toDF("v")
+    val dense = BloomIndex.assemble(BloomIndex.bloomWords(corpus, "v", m, k), m)
+    val out = BloomIndex.notInCorpus(batch, corpus, "v", dense, m, k,
+        broadcastMaxCandidates = 10L)
+      .as[String].collect().sorted.toSeq
+    val exact = (0 until 50).map(i => s"new-$i").sorted
+    assert(out == exact)
+  }
+
   test("merge of per-half filters equals the filter of the union") {
     val docs = (0 until 200).map(i => s"doc-$i").toDF("v")
     val whole = BloomIndex.bloomWords(docs, "v", m, k)
