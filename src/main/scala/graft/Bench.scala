@@ -92,10 +92,22 @@ object Bench {
     // deterministic name order: map-order iteration made round-over-round
     // per-query comparisons noisy (whichever query ran after a heavy one
     // inherited its GC shadow; the slot changed every build)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // stored-index queries: time build (once-per-corpus-sync cost) and
+      // probe (per-query cost) separately — `name` reports the PROBE, the
+      // build lands as `<name>_build`, so the total stays the end-to-end
+      // sum while the amortized number is visible (r6 verdict item 7)
+      val phases: Seq[(String, () => Unit)] = SparkEntry.staged.get(name) match {
+        case Some(mk) =>
+          val (build, probe) = mk(spark, sfDir)
+          Seq(s"${name}_build" -> build, name -> (() => { probe().count(); () }))
+        case None =>
+          Seq(name -> (() => { fn(spark, sfDir).count(); () }))
+      }
+      phases.map { case (label, run) =>
       val t0 = System.nanoTime()
       val err =
-        try { fn(spark, sfDir).count(); null }
+        try { run(); null }
         catch { case e: Throwable => s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}" }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // per-query isolation, OUTSIDE the timed section: queries that cache/
@@ -108,7 +120,8 @@ object Bench {
       // localCheckpoint blocks (iterative clustering, eager pair lists) are
       // RDD-level storage the cacheManager does not track — release them too
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (elapsed, err)
+      label -> (elapsed, err)
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -91,7 +91,17 @@ object PlanAudit {
     "q_epoch_materialize" ->
       ("Epoch materialization: the |domains|-row rate table arrives via " +
        "BroadcastExchange and the epoch explode is a projection — the " +
-       "corpus side never shuffles."))
+       "corpus side never shuffles."),
+    "q_semantic_drift" ->
+      ("Semantic drift: BOTH snapshots' cell assignments are argmax " +
+       "projections over literal centroids inside the scan stage (no join, " +
+       "no shuffle for the assignment); the only aggregates are k-row cell " +
+       "counts, and the PSI tail is a window over the k-row grid."),
+    "q_zipf_fit" ->
+      ("Zipf fit: the corpus appears ONCE as the token-count hash aggregate " +
+       "(map-side combined); the regression runs over the V-row head — " +
+       "TakeOrdered, a bounded single-partition window, one final " +
+       "single-row aggregate."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -121,6 +121,70 @@ object ApproxDedup {
           pmod(col("bandHash").cast("long"), lit(buckets.toLong)))
   }
 
+  /** LSH parameter-tuning report (the banding-theory tradeoff, Leskovec et
+    * al. MMDS ch.3, made MEASURABLE on this corpus): for every (bands,
+    * rows) factorization of the k-component MinHash signature, the actual
+    * candidate workload the configuration would generate here — Σ n·(n−1)/2
+    * over the (band, slice) buckets, i.e. pair comparisons WITH band
+    * multiplicity, the work a dedup run pays — next to the theoretical
+    * match probability 1−(1−t^r)^b at the target threshold. The operator a
+    * data engineer runs on a corpus SAMPLE before committing a 100 TB
+    * dedup pass to one (b, r) point.
+    *
+    * One cached signature pass; each configuration then costs one shuffle
+    * of (band, r-slice) keys into a counts aggregate whose output is
+    * buckets-bounded. Buckets key on the slice VALUES (not a murmur of
+    * them), so DuckDB replays the counts exactly. Output: one row per
+    * factorization. */
+  def minhashTuning(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, shingleSize: Int = 3, k: Int = 24,
+                    seed: Long = 7L): DataFrame = {
+    val sig = docs.select(col(idCol),
+      minhashSignature(col(textCol), shingleSize, k, seed, md5Base = true).as("sig"))
+      .cache()
+    val reports = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      val banded = sig.select(posexplode(bindOnce(col("sig")) { sg =>
+          transform(sequence(lit(0), lit(b - 1)),
+            bb => slice(sg, bb * lit(r) + lit(1), lit(r)))
+        }).as(Seq("band", "key")))
+      banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L)).cast("long")
+          .as("candidate_checks"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("candidate_checks"),
+          round((lit(1.0) - pow(lit(1.0) - pow(lit(threshold), lit(r.toDouble)),
+            lit(b.toDouble))) * lit(1e6)).cast("long").as("p_match_micro"))
+    }
+    // |divisors(k)| rows total — materialize eagerly so the signature cache
+    // releases here instead of leaking into the session
+    val out = reports.reduce(_ unionByName _).localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
+
+  /** DuckDB oracle replaying [[minhashTuning]]: the shared signature CTEs,
+    * then per-factorization bucket counts UNION'd — buckets compare as
+    * slice-list equality on both sides. */
+  def minhashTuningOracleSql(table: String, idCol: String, textCol: String,
+                             threshold: Double, shingleSize: Int = 3,
+                             k: Int = 24, seed: Long = 7L): String = {
+    val cfgs = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      s"""SELECT $b AS bands, $r AS rows_per_band,
+            coalesce((SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM (
+              SELECT count(*) AS n FROM (
+                SELECT s.id, u.bb, s.sig[u.bb*$r+1 : u.bb*$r+$r] AS key
+                FROM sig s CROSS JOIN
+                  (SELECT unnest(generate_series(0, ${b - 1})) AS bb) u) g
+              GROUP BY bb, key) c), 0) AS candidate_checks,
+            CAST(round((1 - power(1 - power($threshold, $r), $b)) * 1000000)
+              AS BIGINT) AS p_match_micro"""
+    }
+    s"""WITH ${sigCtes(table, idCol, textCol, shingleSize, k, seed)}
+       SELECT * FROM (${cfgs.mkString(" UNION ALL ")}) ORDER BY bands"""
+  }
+
   /** Exact hashed-shingle Jaccard over GIVEN candidate pairs — the public
     * verify half for probes against a stored [[minhashBandIndex]]. */
   def verifyPairs(cands: DataFrame, docs: DataFrame, idCol: String,
@@ -227,21 +291,16 @@ object ApproxDedup {
     * equal slices always collide, and a murmur collision adding a spurious
     * candidate is removed by the exact verify both sides share), the same
     * hot-bucket cap and signature-estimate prefilter. */
-  private def minhashFastCtes(table: String, idCol: String, textCol: String,
-                              threshold: Double, shingleSize: Int, k: Int,
-                              bands: Int, estSlack: Double, maxBucket: Int,
-                              seed: Long): String = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
+  /** The shared signature CTE prefix (tok → sh → hs → sig) — the DuckDB
+    * form of [[minhashSignature]] with md5Base = true; reused by every
+    * minhash-family oracle so the signature definition cannot drift
+    * between them. */
+  private def sigCtes(table: String, idCol: String, textCol: String,
+                      shingleSize: Int, k: Int, seed: Long): String = {
     val (as, bs) = minhashCoefs(k, seed)
     val comps = (0 until k).map { c =>
       s"coalesce(list_min(list_transform(hs, h -> (h * ${as(c)} + ${bs(c)}) % $P)), ${Long.MaxValue})"
     }.mkString(",\n             ")
-    val capCte =
-      if (maxBucket <= 0) "kb AS (SELECT * FROM band)"
-      else s"""hot AS (SELECT b, bsl FROM band GROUP BY b, bsl HAVING count(*) > $maxBucket),
-         kb AS (SELECT band.* FROM band WHERE NOT EXISTS
-                 (SELECT 1 FROM hot WHERE hot.b = band.b AND hot.bsl = band.bsl))"""
     s"""tok AS (SELECT $idCol AS id, string_split_regex(trim($textCol), '\\s+') AS t FROM $table),
          sh AS (SELECT id, CASE WHEN len(t) < $shingleSize THEN CAST([] AS VARCHAR[])
                   ELSE list_transform(generate_series(1, len(t)-${shingleSize - 1}),
@@ -252,7 +311,21 @@ object ApproxDedup {
                 FROM sh),
          sig AS (SELECT id,
            [$comps] AS sig
-           FROM hs),
+           FROM hs)"""
+  }
+
+  private def minhashFastCtes(table: String, idCol: String, textCol: String,
+                              threshold: Double, shingleSize: Int, k: Int,
+                              bands: Int, estSlack: Double, maxBucket: Int,
+                              seed: Long): String = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val capCte =
+      if (maxBucket <= 0) "kb AS (SELECT * FROM band)"
+      else s"""hot AS (SELECT b, bsl FROM band GROUP BY b, bsl HAVING count(*) > $maxBucket),
+         kb AS (SELECT band.* FROM band WHERE NOT EXISTS
+                 (SELECT 1 FROM hot WHERE hot.b = band.b AND hot.bsl = band.bsl))"""
+    s"""${sigCtes(table, idCol, textCol, shingleSize, k, seed)},
          band AS (SELECT id, u.b, sig[u.b*$r+1 : u.b*$r+$r] AS bsl
                   FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${bands - 1})) AS b) u),
          $capCte,

@@ -31,6 +31,78 @@ object Corpus {
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     vocab(docs, textCol).orderBy(col("freq").desc, col("token")).limit(k)
 
+  /** Zipf power-law fit over the rank–frequency head of the vocabulary —
+    * the corpus-health diagnostic (natural language: slope ≈ −1; templated
+    * or synthetic text bends the curve, and a drifting slope between crawls
+    * flags a pipeline change upstream). Least squares over
+    * (ln rank, ln freq) of the top-V terms.
+    *
+    * Scale/parity: the corpus pays ONE map-combined token count ([[vocab]]);
+    * everything after runs on the V-row head (the row_number window is a
+    * single partition of V ≤ 200 rows — bounded by construction). The
+    * (x, y) points quantize to integer micro-nats BEFORE the sums, so the
+    * five sums are order-independent exact LONGs (overflow-proofed for
+    * V ≤ 200 at any real-world frequency), and the slope/intercept/r²
+    * resolve from them in a fixed deterministic double expression — the
+    * DuckDB oracle replays bit-for-bit. */
+  def zipfFit(docs: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
+    require(topV >= 3 && topV <= 200,
+      "topV in [3, 200]: the fit reads the head of the rank curve, and the " +
+      "exact integer sums are overflow-proofed for this range")
+    val ranked = vocabTopK(docs, textCol, topV)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("token"))))
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("freq").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val sums = pts.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val num   = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den   = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    val den2  = col("n").cast("double") * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    sums.select(
+      col("n").as("n_terms"),
+      round(slope * lit(1e6)).cast("long").as("slope_micro"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n").cast("double")).cast("long").as("intercept_micro"),
+      round(num * num / (den * den2) * lit(1e6)).cast("long").as("r2_micro"))
+  }
+
+  /** DuckDB oracle replaying [[zipfFit]] — identical quantization, the same
+    * exact integer sums, and the same double expression for the fit. */
+  def zipfFitOracleSql(table: String, textCol: String, topV: Int = 100): String =
+    s"""WITH v AS (SELECT token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1 ORDER BY freq DESC, token LIMIT $topV),
+       r AS (SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank, freq FROM v),
+       p AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS y
+             FROM r),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x*y) AS BIGINT) AS sxy,
+                    CAST(sum(x*x) AS BIGINT) AS sxx,
+                    CAST(sum(y*y) AS BIGINT) AS syy FROM p)
+       SELECT n AS n_terms,
+         CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+           * 1000000) AS BIGINT) AS slope_micro,
+         CAST(round((CAST(sy AS DOUBLE)
+           - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_micro,
+         CAST(round(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+           / (CAST(n*sxx - sx*sx AS DOUBLE)
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000) AS BIGINT)
+           AS r2_micro
+       FROM s"""
+
   /** Benchmark decontamination: find corpus documents whose shingle sets
     * contain a large fraction of some benchmark document's shingles
     * (containment = |corpus ∩ bench| / |bench|, the standard direction for

@@ -139,6 +139,69 @@ object SimilaritySearch {
     emb.withColumn(cellCol, cell.cast("int"))
   }
 
+  /** Embedding-space drift between two corpus snapshots — semantic PSI,
+    * the embedding analog of [[Maintenance.psiBins]]: both snapshots assign
+    * to the SAME k cells (the baseline's centroids — one argmax projection,
+    * no shuffle, no re-clustering) and the per-cell population shares
+    * compare through the standard add-one-smoothed PSI term in exact
+    * micro-nats. Catches topical / domain-mix shift between crawls that
+    * scalar monitors (length, quality score) cannot see. Σ term_micro ≳
+    * 0.2e6 is the usual "investigate" threshold.
+    *
+    * Scale: one scan per snapshot into a k-row aggregate (map-side
+    * combined); centroids ride as bounded k×dim driver literals — the same
+    * state class as every IVF probe. Bin arithmetic delegates to
+    * [[Maintenance.psiBinsFromCounts]] with [0, k) unit-width bins, which
+    * is the identity on integer cell ids, so the stored-baseline deployment
+    * (persist the k-row cell counts as a pipe) works unchanged. */
+  def semanticDrift(base: DataFrame, cur: DataFrame, vecCol: String,
+                    centroids: Seq[Seq[Double]]): DataFrame = {
+    val k = centroids.size
+    require(k > 0, "need at least one centroid")
+    val baseCounts = withIvfCell(base, vecCol, centroids, "__cell")
+      .groupBy(col("__cell").cast("int").as("bin")).agg(count(lit(1)).as("cnt"))
+    Maintenance.psiBinsFromCounts(baseCounts,
+      withIvfCell(cur, vecCol, centroids, "__cell"), col("__cell"),
+      0.0, k.toDouble, k)
+  }
+
+  /** DuckDB oracle replaying [[semanticDrift]]: centroids re-derived from
+    * the BASE snapshot by the deterministic `$idCol < centroidMax` rule
+    * ([[sampleCentroids]]), the same argmax cell assignment as the
+    * semantic-dedup oracle, and the PSI tail of
+    * [[Maintenance.psiBinsOracleSql]]. `bins` must equal the number of
+    * centroids the rule yields. */
+  def semanticDriftOracleSql(tableA: String, tableB: String, idCol: String,
+                             vecCol: String, centroidMax: Int,
+                             bins: Int): String = {
+    def asg(src: String, out: String) =
+      s"""$out AS (SELECT id, cid FROM (
+           SELECT e.id, c.cid, row_number() OVER (PARTITION BY e.id
+             ORDER BY list_dot_product(e.ev, c.cvec)
+               / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.cid) AS rn
+           FROM $src e, cents c) WHERE rn = 1)"""
+    s"""WITH ea AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS ev FROM $tableA),
+       eb AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS ev FROM $tableB),
+       cents AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, ev AS cvec
+                 FROM ea WHERE id < $centroidMax),
+       ${asg("ea", "asga")},
+       ${asg("eb", "asgb")},
+       ga AS (SELECT CAST(cid AS INT) AS bin, count(*) AS ca FROM asga GROUP BY 1),
+       gb AS (SELECT CAST(cid AS INT) AS bin, count(*) AS cb FROM asgb GROUP BY 1),
+       grid AS (SELECT CAST(g.i AS INT) AS bin,
+           CAST(coalesce(ga.ca, 0) AS BIGINT) AS ca,
+           CAST(coalesce(gb.cb, 0) AS BIGINT) AS cb
+         FROM (SELECT unnest(generate_series(0, ${bins - 1})) AS i) g
+         LEFT JOIN ga ON ga.bin = g.i LEFT JOIN gb ON gb.bin = g.i),
+       t AS (SELECT bin, ca, cb,
+           (ca + 1.0) / CAST(sum(ca) OVER () + $bins AS DOUBLE) AS pa,
+           (cb + 1.0) / CAST(sum(cb) OVER () + $bins AS DOUBLE) AS pb
+         FROM grid)
+       SELECT bin, ca, cb,
+         CAST(round((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT) AS term_micro
+       FROM t ORDER BY bin"""
+  }
+
   /** Distributed spherical k-means (Lloyd's) for production IVF centroids:
     * assignment is the same argmax-over-literal-centroids projection as the
     * index build (no join, no window), and the update step is ONE

@@ -106,38 +106,91 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.dsl.ParamsFilter
+    // tag values deliberately include the DSL's meta-literals — a stored
+    // value "None" (matches-null semantics) and "_x" (negation prefix) —
+    // so the parity covers the full string-interpretation surface, plus a
+    // boolean and a double column for the typed-literal rendering paths.
+    // Quote-bearing strings are excluded: SqlText escapes '' for JDBC
+    // targets, where Spark's own parser concatenates adjacent literals —
+    // that path is covered against live Derby in JdbcInstanceSpec.
     val df = (0L until 300L).map { i =>
-      (i, i % 7, if (i % 11 == 0) null else s"k${i % 5}", i * 1.5)
-    }.toDF("id", "grp", "tag", "score")
+      (i, i % 7,
+       if (i % 11 == 0) null else if (i % 13 == 0) "None" else s"k${i % 5}",
+       if (i % 17 == 0) null else java.lang.Boolean.valueOf(i % 2 == 0),
+       if (i % 19 == 0) null else java.lang.Double.valueOf((i % 4) * 1.5))
+    }.toDF("id", "grp", "tag", "flag", "score")
     df.createOrReplaceTempView("prop_params_t")
     // values are drawn from the COLUMN's type domain — a mixed-type IN
     // list is caller error (ANSI Spark rejects the cast, correctly)
     val domains: Map[String, Gen[Any]] = Map(
       "grp" -> Gen.oneOf(Gen.chooseNum(0L, 7L).map(identity[Any]), Gen.const[Any](null)),
-      "tag" -> Gen.oneOf(Gen.oneOf[Any]("k0", "k1", "k2", "k9"), Gen.const[Any](null)))
+      "tag" -> Gen.oneOf(
+        Gen.oneOf[Any]("k0", "k1", "k2", "k9", "None", "null", "_k0", "_k3", "_None"),
+        Gen.const[Any](null)),
+      "flag"  -> Gen.oneOf[Any](true, false, null),
+      "score" -> Gen.oneOf[Any](0.0, 1.5, 3.0, 4.5, 9.0, null))
     // NOTE: `v: Any = ...` inside the for-comprehension would desugar to a
     // TYPE pattern, and type patterns never match null — which the domain
     // legitimately generates. Build the value in the yield instead.
     val entryGen: Gen[(String, Any)] = for {
-      colName <- Gen.oneOf("grp", "tag")
-      vs  <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, domains(colName)))
-      neg <- Gen.oneOf(true, false)
-    } yield colName -> ((vs.distinct, neg) match {
-      case (Seq(one), false) => one
-      case (many, false)     => many
-      case (Seq(one), true)  => ParamsFilter.Not(one)
-      case (many, true)      => many.map(ParamsFilter.Not(_))
+      colName <- Gen.oneOf("grp", "tag", "flag", "score")
+      vs  <- Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, domains(colName)))
+      // per-element negation: mixed include/exclude lists exercise the
+      // IN ∧ NOT-IN conjunction branch in both renderers
+      negs <- Gen.listOfN(vs.length, Gen.oneOf(true, false))
+      scalarNeg <- Gen.oneOf(true, false)
+    } yield colName -> (vs.distinct match {
+      case Seq(one) if scalarNeg  => ParamsFilter.Not(one)
+      case Seq(one)               => one
+      case many => many.zip(negs).map {
+        case (v, true)  => ParamsFilter.Not(v)
+        case (v, false) => v
+      }
     })
     val paramsGen: Gen[Map[String, Any]] =
-      Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, entryGen)).map(_.toMap)
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, entryGen)).map(_.toMap)
     check(forAll(paramsGen) { params =>
       val viaColumn = df.where(ParamsFilter.toPredicate(params))
         .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
       val sql = ParamsFilter.toSql(params)
       val viaSql = spark.sql(
-          s"SELECT id FROM prop_params_t WHERE $sql ORDER BY id")
+          s"SELECT id FROM prop_params_t WHERE ${if (sql.isEmpty) "TRUE" else sql} ORDER BY id")
         .collect().map(_.getLong(0)).toSeq
       viaColumn == viaSql
+    })
+  }
+
+  test("dtype promotion lattice laws (commutative, associative mod areEqual, idempotent, MStr top)") {
+    import graft.types.Dtypes
+    import graft.types.MrsmType._
+    val numGen: Gen[graft.types.MrsmType] = for {
+      s <- Gen.chooseNum(0, 20)
+      i <- Gen.chooseNum(0, 30)
+    } yield MNumeric(math.min(38, i + s), s)
+    val typeGen: Gen[graft.types.MrsmType] = Gen.frequency(
+      8 -> Gen.oneOf[graft.types.MrsmType](MBool, MInt8, MInt16, MInt32, MInt64,
+        MFloat, MStr, MDate, MBytes, MUuid, MJson, MGeometry),
+      3 -> numGen,
+      2 -> Gen.oneOf(true, false).map(MDatetime(_)))
+    val mixedGen = Gen.oneOf(true, false)
+    def isDt(t: graft.types.MrsmType) = t.isInstanceOf[MDatetime]
+    check(forAll(typeGen, typeGen, mixedGen) { (a, b, m) =>
+      val ab = Dtypes.promote(a, b, m); val ba = Dtypes.promote(b, a, m)
+      // mixed-tz datetime pairs resolve FIRST-WINS by design (the stored
+      // table keeps its axis flavor — commuting would force a 100 TB
+      // rewrite on a tz-drifted batch); they still commute mod areEqual
+      val exact = if (isDt(a) && isDt(b)) true else ab == ba
+      exact && Dtypes.areEqual(ab, ba)
+    })
+    check(forAll(typeGen, typeGen, typeGen, mixedGen) { (a, b, c, m) =>
+      Dtypes.areEqual(
+        Dtypes.promote(Dtypes.promote(a, b, m), c, m),
+        Dtypes.promote(a, Dtypes.promote(b, c, m), m))
+    })
+    check(forAll(typeGen, mixedGen) { (a, m) =>
+      Dtypes.promote(a, a, m) == a &&
+        Dtypes.areEqual(Dtypes.promote(a, MStr, m), MStr) &&
+        Dtypes.areEqual(Dtypes.promote(MStr, a, m), MStr)
     })
   }
 

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ApproxDedup, Corpus, SimilaritySearch}
+
+/** Unit coverage for the round-7 corpus-diagnostics operators: the LSH
+  * tuning report, the Zipf rank-curve fit, and embedding-space drift. */
+class TuningDiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhashTuning: one row per factorization, duplicate docs drive candidate work") {
+    // 5 identical docs + 5 distinct ones: every configuration must charge
+    // at least the C(5,2) duplicate pairs in EVERY band (signatures equal)
+    val docs = ((0 until 5).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
+      (5 until 10).map(i => (i.toLong, s"unique$i words nothing shared here at all $i")))
+      .toDF("doc_id", "text")
+    val out = ApproxDedup.minhashTuning(docs, "doc_id", "text",
+      threshold = 0.5, shingleSize = 3, k = 24).collect()
+    val divisors = (1 to 24).filter(24 % _ == 0)
+    assert(out.length == divisors.length)
+    out.foreach { r =>
+      val (b, rows, checks) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(b * rows == 24)
+      assert(checks >= b.toLong * 10, s"b=$b: $checks < ${b * 10} duplicate checks")
+    }
+    // theoretical match probability at t=0.5: exact closed form
+    val r1 = out.find(_.getInt(0) == 24).get
+    val expect = math.round((1.0 - math.pow(1.0 - 0.5, 24.0)) * 1e6)
+    assert(r1.getLong(3) == expect)
+  }
+
+  test("zipfFit recovers slope ~ -1 on an exact 1/rank frequency curve") {
+    // freq(rank) = round(1200 / rank) for 30 types: ln-ln slope ≈ −1
+    val words = (1 to 30).flatMap { r =>
+      Seq.fill(math.round(1200.0 / r).toInt)(f"w$r%02d")
+    }
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq.toDF("doc_id", "text")
+    val row = Corpus.zipfFit(docs, "text", topV = 30).head()
+    assert(row.getLong(0) == 30)
+    val slope = row.getLong(1)
+    assert(slope > -1050000L && slope < -950000L, s"slope_micro = $slope")
+    assert(row.getLong(3) > 990000L, s"r2_micro = ${row.getLong(3)}")
+  }
+
+  test("semanticDrift: identical snapshots are exactly zero; a shifted one is not") {
+    val dim = 8
+    def vec(seed: Int) = (0 until dim).map(j => math.sin(seed * 31 + j * 7).toFloat)
+    val base = (0L until 64L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val cents = SimilaritySearch.sampleCentroids(base, "vec_id", "embedding", 8)
+    val same = SimilaritySearch.semanticDrift(base, base, "embedding", cents).collect()
+    assert(same.length == 8)
+    assert(same.forall(_.getLong(3) == 0L), "identical snapshots must have zero PSI terms")
+    // shift: all mass into the vectors nearest one centroid
+    val shifted = (0L until 64L).map(i => (i, vec(3))).toDF("vec_id", "embedding")
+    val drift = SimilaritySearch.semanticDrift(base, shifted, "embedding", cents).collect()
+    assert(drift.map(_.getLong(3)).sum > 200000L, "concentrated snapshot must flag drift")
+  }
+}
