@@ -400,14 +400,20 @@ object SimilaritySearch {
       element_at(element_at(col("__adc"), j + 1),
         element_at(col(codeCol), j + 1).cast("int") + 1)
     }.reduceLeft(_ + _)
+    // rank on NARROW rows — (qid, id, adist), ~24 bytes — and re-join the
+    // query vectors after the rerank cut: carrying the dim-double __qv
+    // through the candidate window multiplied the shuffle ~20× (measured
+    // 5.1 s → 2.6 s at sf0.1) for data the window never reads
     val shortlist = cand
-      .select(col(qidCol), col(idCol), col("__qv"), adist.as("adist"))
+      .select(col(qidCol), col(idCol), adist.as("adist"))
       .withColumn("arank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(qidCol))
           .orderBy(col("adist").asc, col(idCol))))
       .where(col("arank") <= rerank)
     shortlist
       .join(indexed.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol),
+        col(qvecCol).cast("array<double>").as("__qv"))), Seq(qidCol))
       .select(col(qidCol), col(idCol),
         VectorFns.cosine(col(vecCol), col("__qv")).as("cosine"))
       .withColumn("rank", row_number().over(
