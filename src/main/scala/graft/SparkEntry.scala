@@ -200,6 +200,25 @@ object SparkEntry {
        })
     }),
 
+    "q_vocab_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      val root = java.nio.file.Files.createTempDirectory("graft_vocab_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "vocab_counts"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, graft.ops.Corpus.vocabPostings(
+          docs.where(col("doc_id") % 2 === 0), "text", buckets), checkExisting = false)
+        eng.sync(spec, graft.ops.Corpus.vocabPostings(
+          docs.where(col("doc_id") % 2 === 1), "text", buckets), checkExisting = false)
+        ()
+       },
+       () => graft.ops.Corpus.vocabFold(eng.getData(spec))
+         .orderBy(col("freq").desc, col("token")).limit(30))
+    }),
+
     "q_bm25_index_sync" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val q = Seq("table", "scan", "window")
@@ -2173,6 +2192,14 @@ object SparkEntry {
     // 1−(1−j⁴)⁶ ≈ 1, so the one-vs-all exact-Jaccard oracle still holds.
     "q_minhash_probe_stored" -> composed("q_minhash_probe_stored"),
 
+    // ── LLM-pipeline: the corpus VOCABULARY maintained incrementally as a
+    // derived pipe — per-batch (bucket, token, freq) rows blind-append
+    // (counting is additive), readers fold with one groupBy-sum over the
+    // |vocab|-row index instead of re-tokenizing the corpus. Probing a
+    // term's frequency reads its ONE md5 bucket dir; this query rolls up
+    // the stored index to the top-30 — oracle = the full-corpus count.
+    "q_vocab_index_sync" -> composed("q_vocab_index_sync"),
+
     // ── LLM-pipeline: LSH parameter-tuning report — for every (bands,
     // rows) factorization of the k=24 signature, the MEASURED candidate
     // workload on this corpus next to the theoretical match probability at
@@ -3548,6 +3575,14 @@ object SparkEntry {
            FROM documents) t
          WHERE length(tok) > 0
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""",
+
+    // the stored-index fold equals the full-corpus count (sum-mergeable)
+    "q_vocab_index_sync" ->
+      """SELECT tok AS token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           FROM documents) t
+         WHERE length(tok) > 0
+         GROUP BY 1 ORDER BY freq DESC, token LIMIT 30""",
 
     "q_decontaminate" ->
       """WITH sh0 AS (

@@ -31,6 +31,25 @@ object Corpus {
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     vocab(docs, textCol).orderBy(col("freq").desc, col("token")).limit(k)
 
+  /** The PERSISTABLE vocabulary: (bucket, token, freq) rows — freq is
+    * SUM-MERGEABLE, so incremental corpus batches blind-append their own
+    * counts and any reader folds with one groupBy-sum over the |vocab|-row
+    * index, never re-tokenizing the corpus. All counts of a token land in
+    * ONE md5 bucket (the BM25-postings layout), so a term-frequency probe
+    * reads ≤ q bucket directories, while corpus-wide rollups (top-k, Zipf
+    * fit, rare-token lists) scan |vocab| rows instead of 100 TB of text. */
+  def vocabPostings(docs: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    vocab(docs, textCol)
+      .withColumn("bucket", Sampling.hashBucket(col("token"), buckets))
+  }
+
+  /** Fold stored [[vocabPostings]] batches back into exact corpus-wide
+    * frequencies — blind appends + this fold ≡ a full rebuild (counting is
+    * additive). */
+  def vocabFold(stored: DataFrame): DataFrame =
+    stored.groupBy(col("token")).agg(sum(col("freq")).as("freq"))
+
   /** Zipf power-law fit over the rank–frequency head of the vocabulary —
     * the corpus-health diagnostic (natural language: slope ≈ −1; templated
     * or synthetic text bends the curve, and a drifting slope between crawls

@@ -44,6 +44,24 @@ class TuningDiagnosticsSpec extends SparkSpec {
     assert(row.getLong(3) > 990000L, s"r2_micro = ${row.getLong(3)}")
   }
 
+  test("vocabPostings halves fold to exactly the full-corpus vocabulary") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta w$i gamma ${if (i % 2 == 0) "even" else "odd"}"))
+      .toDF("doc_id", "text")
+    val whole = Corpus.vocab(docs, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val folded = Corpus.vocabFold(
+        Corpus.vocabPostings(docs.where($"doc_id" % 2 === 0), "text", 8)
+          .unionByName(Corpus.vocabPostings(docs.where($"doc_id" % 2 === 1), "text", 8)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(folded == whole)
+    // every count of a token lands in ONE bucket — probe reads one dir
+    val b = Corpus.vocabPostings(docs, "text", 8)
+      .groupBy($"token").agg(countDistinct($"bucket").as("nb"))
+      .agg(max($"nb")).head().getLong(0)
+    assert(b == 1L)
+  }
+
   test("semanticDrift: identical snapshots are exactly zero; a shifted one is not") {
     val dim = 8
     def vec(seed: Int) = (0 until dim).map(j => math.sin(seed * 31 + j * 7).toFloat)
