@@ -2619,6 +2619,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── LLM-pipeline FLAGSHIP COMPOSITION v3 — the full RefinedWeb/
+    // FineWeb-style curation chain: Gopher structural gate → exact dedup
+    // (keep lowest id per fingerprint) → fuzzy near-dup dedup keeping the
+    // BEST-quality cluster member → CCNet LM-perplexity gate (drop the
+    // worst tercile per language) → leakage-safe split keyed on the
+    // near-dup CLUSTER label → per-(split, lang) doc/token rollup. The
+    // filtered corpus persists once and feeds every stage; pair graph and
+    // cluster labels are computed ONCE and shared by the dedup and the
+    // split. Every stage is individually oracled elsewhere; this query
+    // proves the COMPOSITION end-to-end against one replayed chain.
+    "q_curation_v3" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val kept1 = docs.join(
+        graft.ops.Corpus.gopherQualityFilter(docs, "doc_id", "text",
+            minWords = 20, maxWords = 100000, minStopwords = 0)
+          .where(col("keep") === 1).select("doc_id"),
+        Seq("doc_id"))
+      val fpw = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+      // persist: kept2 feeds the pair graph, keep-best, the LM gate, the
+      // split, and the rollup — unpersisted, the gopher HOF projections
+      // would re-run once per consumer (Spark does not dedupe DAG subtrees)
+      val kept2 = kept1.withColumn("__fp", TextFns.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(fpw))
+        .where(col("__rn") === 1).drop("__rn", "__fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = ApproxDedup.minhashNearDupsFast(kept2, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      val kb = ApproxDedup.keepBestPerCluster(
+        kept2.withColumn("quality", TextFns.qualityScore(col("text"))),
+        pairs, "doc_id", "quality")
+      val kept3 = kept2.join(kb.select("doc_id"), Seq("doc_id"))
+      val cc = graft.ops.Corpus.ccnetBuckets(kept3, "doc_id", "text", "lang")
+      val kept4 = cc.where(col("bucket") <= 2).select("doc_id")
+      val ls = graft.ops.Sampling.leakageSafeSplit(kept2, pairs, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val out = ls.select(col("doc_id"), col("split"))
+        .join(kept4, Seq("doc_id"))
+        .join(kept2.select(col("doc_id"), col("lang"),
+          TextFns.tokenCount(col("text")).cast(LongType).as("__toks")), Seq("doc_id"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__toks")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
+        .localCheckpoint(true) // materialize the tiny rollup, then release
+      kept2.unpersist()
+      out
+    }),
+
     // ── SQL surface: the same engine functions resolved through the
     // FunctionRegistry (GraftFunctions.register / GraftExtensions), running
     // the native codegen'd expressions from a spark.sql query.
@@ -3856,6 +3905,49 @@ object SparkEntry {
            CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
          FROM sel ORDER BY doc_id"""
+    },
+
+    // composed v3 oracle: each stage is the SAME generator its standalone
+    // query is proven by, chained through named CTEs (nested WITHs scope
+    // each generator's internal names); the pair-graph stages both run
+    // over kept2, exactly as the Spark plan shares one pair computation.
+    "q_curation_v3" -> {
+      val scoreSql =
+        """(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                    AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                   THEN 1.0 ELSE 0.0 END
+            + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                        / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                       ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                   THEN 1.0 ELSE 0.0 END) / 4.0"""
+      val kb = ApproxDedup.keepBestOracleSql("kept2", "doc_id", "text",
+        scoreSql, "quality", threshold = 0.5, shingleSize = 3, k = 24,
+        bands = 6, estSlack = 0.25, maxBucket = 200)
+      val cc = graft.ops.Corpus.ccnetBucketsOracleSql("kept3", "doc_id", "text", "lang")
+      val ls = ApproxDedup.leakageSafeSplitOracleSql("kept2", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200)
+      s"""WITH g1 AS (
+           WITH ${graft.ops.Corpus.gopherSignalsCte("documents", "doc_id", "text")}
+           SELECT doc_id FROM sig
+           WHERE NOT (${graft.ops.Corpus.gopherRejectSql(20, 100000, 0)})),
+         kept1 AS (SELECT d.* FROM documents d JOIN g1 USING (doc_id)),
+         kept2 AS (SELECT * EXCLUDE (__rn) FROM (
+             SELECT k.*, row_number() OVER (
+               PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS __rn
+             FROM kept1 k) t WHERE __rn = 1),
+         kb AS ($kb),
+         kept3 AS (SELECT k2.* FROM kept2 k2
+                   WHERE k2.doc_id IN (SELECT doc_id FROM kb)),
+         cc AS ($cc),
+         kept4 AS (SELECT doc_id FROM cc WHERE bucket <= 2),
+         ls AS ($ls)
+         SELECT ls.split, d.lang, count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT) AS total_tokens
+         FROM ls JOIN kept4 USING (doc_id) JOIN kept2 d USING (doc_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
     },
 
     "q_minhash_index_sync" ->
