@@ -2648,14 +2648,17 @@ object SparkEntry {
       val pairs = ApproxDedup.minhashNearDupsFast(kept2, "doc_id", "text",
         threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200, md5Base = true)
-      val kb = ApproxDedup.keepBestPerCluster(
+      // the iterative label propagation runs ONCE; the keep-best dedup and
+      // the split-group labels both read this table
+      val clusters = ApproxDedup.nearDupClusters(pairs).localCheckpoint(true)
+      val kb = ApproxDedup.keepBestFromClusters(
         kept2.withColumn("quality", TextFns.qualityScore(col("text"))),
-        pairs, "doc_id", "quality")
+        clusters, "doc_id", "quality")
       val kept3 = kept2.join(kb.select("doc_id"), Seq("doc_id"))
       val cc = graft.ops.Corpus.ccnetBuckets(kept3, "doc_id", "text", "lang")
       val kept4 = cc.where(col("bucket") <= 2).select("doc_id")
-      val ls = graft.ops.Sampling.leakageSafeSplit(kept2, pairs, "doc_id",
-        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      val ls = graft.ops.Sampling.leakageSafeSplitFromClusters(kept2, clusters,
+        "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
       val out = ls.select(col("doc_id"), col("split"))
         .join(kept4, Seq("doc_id"))
         .join(kept2.select(col("doc_id"), col("lang"),

@@ -457,9 +457,15 @@ object ApproxDedup {
     * max of (score, −id) ≡ rank-1 of (score DESC, id ASC).
     */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, idCol: String,
-                         scoreCol: String): DataFrame = {
-    val clusters = nearDupClusters(pairs)
-      .select(col("doc_id").as(idCol), col("cluster_id"))
+                         scoreCol: String): DataFrame =
+    keepBestFromClusters(docs, nearDupClusters(pairs), idCol, scoreCol)
+
+  /** [[keepBestPerCluster]] over a PRECOMPUTED cluster-label table
+    * (doc_id, cluster_id) — composed pipelines run the iterative label
+    * propagation ONCE and share it between the dedup and the split. */
+  def keepBestFromClusters(docs: DataFrame, clusters0: DataFrame,
+                           idCol: String, scoreCol: String): DataFrame = {
+    val clusters = clusters0.select(col("doc_id").as(idCol), col("cluster_id"))
     docs.select(col(idCol), col(scoreCol))
       .join(clusters, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))

@@ -257,9 +257,18 @@ object Sampling {
     */
   def leakageSafeSplit(docs: org.apache.spark.sql.DataFrame,
                        pairs: org.apache.spark.sql.DataFrame, idCol: String,
-                       weights: Seq[(String, Int)]): DataFrame = {
-    val clusters = ApproxDedup.nearDupClusters(pairs)
-      .select(col("doc_id").as(idCol), col("cluster_id"))
+                       weights: Seq[(String, Int)]): DataFrame =
+    leakageSafeSplitFromClusters(docs, ApproxDedup.nearDupClusters(pairs),
+      idCol, weights)
+
+  /** [[leakageSafeSplit]] over a PRECOMPUTED cluster-label table
+    * (doc_id, cluster_id) — shares one propagation with the dedup stage in
+    * composed pipelines. */
+  def leakageSafeSplitFromClusters(docs: org.apache.spark.sql.DataFrame,
+                                   clusters0: org.apache.spark.sql.DataFrame,
+                                   idCol: String,
+                                   weights: Seq[(String, Int)]): DataFrame = {
+    val clusters = clusters0.select(col("doc_id").as(idCol), col("cluster_id"))
     docs.join(clusters, Seq(idCol), "left")
       .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
       .withColumn("split", splitLabel(col("group_id"), weights))
