@@ -754,30 +754,24 @@ object Corpus {
                           minWords: Long = 50L,
                           maxWords: Long = 100000L,
                           minStopwords: Int = 2): DataFrame = {
-    val txt   = trim(col(textCol))
-    val toks  = split(txt, "\\s+")
-    val lines = split(col(textCol), "\n")
-    val nWords = size(toks).cast("long")
-    val meanLen = aggregate(transform(toks, w => length(w)), lit(0),
-        (a, x) => a + x).cast("double") / nWords.cast("double")
-    val symbolNum = lit(3) * (length(txt) - length(translate(txt, "#", ""))) +
-      (length(txt) - length(regexp_replace(txt, "\\.\\.\\.", "")))
-    val symbolRatio = symbolNum.cast("double") / (lit(3) * nWords).cast("double")
-    val bulletRatio = size(filter(lines, l =>
-        trim(l).startsWith("-") || trim(l).startsWith("*")))
-      .cast("double") / size(lines).cast("double")
-    val ellipsisRatio = size(filter(lines, l => trim(l).endsWith("...")))
-      .cast("double") / size(lines).cast("double")
-    val alphaRatio = size(filter(toks, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nWords.cast("double")
-    val nStop = size(array_intersect(
-        array_distinct(transform(toks, w => lower(w))),
-        array(gopherStopwords.map(lit): _*))).cast("long")
-    val base = docs.select(col(idCol),
-      nWords.as("n_words"), meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
-      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_ratio"),
-      nStop.as("n_stopwords"))
+    // the nine integer counters come from ONE generated kernel pass
+    // (graft.expressions.GopherSignals — the composed HOF form paid
+    // interpreted lambda dispatch per token × signal); ratios derive with
+    // the same casts/divisions as before, so signals are value-identical
+    // (GopherSignalsSpec asserts equality against the composed form)
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.GopherSignals(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        gopherStopwords.toArray))
+    val base = docs.withColumn("__g", sig).select(col(idCol),
+      col("__g")(0).as("n_words"),
+      (col("__g")(1).cast("double") / col("__g")(0).cast("double")).as("mean_word_len"),
+      ((lit(3L) * col("__g")(2) + col("__g")(3)).cast("double") /
+        (lit(3L) * col("__g")(0)).cast("double")).as("symbol_ratio"),
+      (col("__g")(5).cast("double") / col("__g")(4).cast("double")).as("bullet_ratio"),
+      (col("__g")(6).cast("double") / col("__g")(4).cast("double")).as("ellipsis_ratio"),
+      (col("__g")(7).cast("double") / col("__g")(0).cast("double")).as("alpha_ratio"),
+      col("__g")(8).as("n_stopwords"))
     val fails: Seq[(String, Column)] = Seq(
       "word_count"       -> (col("n_words") < minWords || col("n_words") > maxWords),
       "mean_word_length" -> (col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0),
