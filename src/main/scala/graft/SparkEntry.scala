@@ -1513,6 +1513,24 @@ object SparkEntry {
         .orderBy(col("content_sha256"))
     }),
 
+    // ── LLM-pipeline: perceptual (aHash) media near-dup — 64-bit
+    // average-hash fingerprints band into 4×16-bit chunks; by pigeonhole
+    // the banded equi-join is EXACT for hamming ≤ 3 (never all-pairs), and
+    // the verify is one bit_count(xor) per candidate. The luma decode is
+    // the stubbed md5 seam (locality collapses to exact-payload equality
+    // here; a real decoder restores perceptual behavior unchanged).
+    // Every 10th payload is re-ingested under a shifted id (the re-crawl /
+    // re-upload case), so the hamming-0 pairs are real rows, not an empty
+    // trivially-matching result.
+    "q_media_neardups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reup = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Media.perceptualNearDups(
+          Media.fromDocuments(s, docs.unionByName(reup)), maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "q_na_canonicalize" -> ((s, d) => {
       // NA-marker strings → NULL (diff canonicalizer), §2.8
       val ev = Tables.events(s, d).withColumn("event_type",
@@ -4184,6 +4202,14 @@ object SparkEntry {
       """SELECT sha256(text) AS content_sha256,
          count(*) AS n_copies, min(doc_id) AS keeper_id
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q_media_neardups" ->
+      Media.perceptualNearDupsOracleSql(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0)""",
+        "doc_id", "text", maxHamming = 3),
 
     "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

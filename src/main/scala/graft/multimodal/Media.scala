@@ -106,6 +106,103 @@ object Media {
     }
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of a media payload: the
+    * canonical cheap image near-dup signature (8×8 luma grid → 64 bits,
+    * bit j set when cell j is brighter than the grid mean). The DECODE is
+    * the stub seam: the "luma grid" derives deterministically from the
+    * payload bytes (four chained md5 digests — SQL-replayable), which
+    * collapses perceptual locality to exact-payload equality; swapping in a
+    * real decoder restores true perceptual behavior without touching
+    * anything downstream. Brightness compares as `64·luma > Σluma` —
+    * integer arithmetic, no float parity risk. Partition-local mapPartitions:
+    * payloads never shuffle, only the 8-byte hash leaves the scan. */
+  def aHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val luma = new Array[Int](64)
+        var d = 0
+        while (d < 4) {
+          md.reset()
+          md.update(r.payload)
+          md.update(s"|$d".getBytes("UTF-8"))
+          val dig = md.digest()
+          var k = 0
+          while (k < 16) { luma(d * 16 + k) = dig(k) & 0xff; k += 1 }
+          d += 1
+        }
+        var sum = 0L
+        var j = 0
+        while (j < 64) { sum += luma(j); j += 1 }
+        var h = 0L
+        j = 0
+        while (j < 64) {
+          if (64L * luma(j) > sum) h |= (1L << j)
+          j += 1
+        }
+        (r.media_id, h)
+      }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Perceptual near-dup pairs: media whose aHash differs in at most
+    * `maxHamming` bits. Candidates come from an equi-join on 16-bit hash
+    * BANDS — by pigeonhole, any pair within hamming distance 3 agrees on at
+    * least one of the 4 bands, so for maxHamming ≤ 3 the banded join is
+    * EXACT (zero misses), never all-pairs. The verify is one
+    * `bit_count(xor)` per candidate. Arithmetic-shift + mask band
+    * extraction reads bits the sign extension cannot reach, so Spark and
+    * the SQL oracle agree on every band value. */
+  def perceptualNearDups(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming in [0, 3]: 4 × 16-bit bands guarantee exactness only there")
+    val hashes = aHash(media)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bv")))
+    val l = banded.select(col("media_id").as("id1"), col("ahash").as("h1"),
+      col("band"), col("bv"))
+    val r = banded.select(col("media_id").as("id2"), col("ahash").as("h2"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB oracle replaying [[aHash]]+[[perceptualNearDups]] over payloads
+    * that are UTF-8 text (`textExpr` must reproduce the payload bytes). */
+  def perceptualNearDupsOracleSql(table: String, idCol: String,
+                                  textExpr: String, maxHamming: Int): String =
+    s"""WITH lum AS (
+         SELECT $idCol AS id,
+           flatten(list_transform(generate_series(0, 3), d ->
+             list_transform(generate_series(0, 15), k ->
+               CAST(('0x' || substring(md5($textExpr || '|' || CAST(d AS VARCHAR)),
+                 k*2 + 1, 2)) AS BIGINT)))) AS luma
+         FROM $table),
+       h AS (
+         SELECT id,
+           CAST(list_sum(list_transform(generate_series(1, 64), j ->
+             CASE WHEN 64 * luma[j] > list_sum(luma)
+               THEN (CASE WHEN j = 64 THEN -9223372036854775807 - 1
+                     ELSE (CAST(1 AS BIGINT) << (j - 1)) END)
+               ELSE 0 END)) AS BIGINT) AS ahash
+         FROM lum),
+       band AS (
+         SELECT id, ahash, b, (ahash >> (16 * b)) & 65535 AS bv
+         FROM h, (SELECT unnest(generate_series(0, 3)) AS b)),
+       cand AS (
+         SELECT DISTINCT l.id AS id1, r.id AS id2, l.ahash AS h1, r.ahash AS h2
+         FROM band l JOIN band r ON l.b = r.b AND l.bv = r.bv AND l.id < r.id)
+       SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(h1, h2)) <= $maxHamming
+       ORDER BY id1, id2"""
+
   /** Build a deterministic media table from the documents table — payload =
     * utf-8 bytes of the text (stand-in for image bytes), metadata derived
     * from doc fields. Real pipelines read these from object storage. */

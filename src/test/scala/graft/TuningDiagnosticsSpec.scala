@@ -62,6 +62,27 @@ class TuningDiagnosticsSpec extends SparkSpec {
     assert(b == 1L)
   }
 
+  test("perceptual aHash near-dups: identical payloads pair at hamming 0, random ones drop") {
+    import graft.multimodal.Media
+    val docs = ((0 until 30).map(i => (i.toLong, s"unique text body number $i with words")) ++
+      Seq((100L, "duplicated payload body"), (101L, "duplicated payload body"),
+          (102L, "duplicated payload body")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val media = Media.fromDocuments(spark, docs)
+    val pairs = Media.perceptualNearDups(media, maxHamming = 3)
+      .orderBy("id1", "id2").collect()
+    // exactly the three duplicate pairs; md5-stub hashes of distinct
+    // payloads are ~32 bits apart, far beyond hamming 3
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((100L, 101L), (100L, 102L), (101L, 102L)))
+    assert(pairs.forall(_.getInt(2) == 0))
+    intercept[IllegalArgumentException] {
+      Media.perceptualNearDups(media, maxHamming = 9)
+    }
+  }
+
   test("semanticDrift: identical snapshots are exactly zero; a shifted one is not") {
     val dim = 8
     def vec(seed: Int) = (0 until dim).map(j => math.sin(seed * 31 + j * 7).toFloat)
