@@ -1267,6 +1267,17 @@ object SparkEntry {
           bands = 4, threshold = 0.45)
         .orderBy(col("id1"), col("id2"))),
 
+    // ── LLM-pipeline: SRP parameter-tuning report — the embedding analog
+    // of q_minhash_tuning: measured band-bucket candidate workload per
+    // (bands, rows) factorization of the 24-bit SRP signature, next to the
+    // closed-form match probability at the target cosine (precomputed
+    // driver-side, embedded as an identical literal in both engines).
+    "q_srp_tuning" -> ((s, d) =>
+      ApproxDedup.srpTuning(Tables.embeddings(s, d), "vec_id", "embedding",
+          planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
+          targetCosine = 0.45)
+        .orderBy(col("bands"))),
+
     // ── LLM-pipeline: SEMANTIC decontamination — cross-set embedding
     // near-dups (paraphrased benchmark leakage that n-gram overlap misses).
     // The benchmark slice broadcasts through both the band join and the
@@ -3164,6 +3175,10 @@ object SparkEntry {
     "q_embedding_near_dups" ->
       ApproxDedup.embeddingNearDupsOracleSql("embeddings", "vec_id", "embedding",
         SimilaritySearch.srpPlanes(dim = 64, nBits = 24), bands = 4, threshold = 0.45),
+
+    "q_srp_tuning" ->
+      ApproxDedup.srpTuningOracleSql("embeddings", "vec_id", "embedding",
+        SimilaritySearch.srpPlanes(dim = 64, nBits = 24), targetCosine = 0.45),
 
     "q_semantic_decontaminate" ->
       ApproxDedup.embeddingCrossNearDupsOracleSql("embeddings", "vec_id",

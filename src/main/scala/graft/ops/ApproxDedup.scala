@@ -704,6 +704,76 @@ object ApproxDedup {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  /** SRP-LSH parameter tuning — the embedding-space analog of
+    * [[minhashTuning]]: for every (bands, rows) factorization of the
+    * nBits SRP signature, the MEASURED candidate workload on this corpus
+    * (Σ n·(n−1)/2 over the band buckets) next to the theoretical collision
+    * probability at the target cosine (per-bit agreement
+    * p = 1 − arccos(cos)/π, so P(match) = 1 − (1 − p^r)^b). The sample run
+    * before committing an embedding near-dup / ANN-bucketing configuration.
+    * One cached signature pass; each configuration costs one shuffle of
+    * (band, bucket) longs. The probability is computed ONCE driver-side
+    * and embedded as a literal in both engines — no acos/pow parity risk. */
+  def srpTuning(emb: DataFrame, idCol: String, vecCol: String,
+                planes: Seq[Seq[Double]], targetCosine: Double): DataFrame = {
+    val nBits = planes.size
+    val sig = emb.select(col(idCol),
+      graft.functions.VectorFns.srpSignaturePlanes(col(vecCol), planes).as("sig"))
+      .cache()
+    val reports = (1 to nBits).filter(nBits % _ == 0)
+      .filter(b => nBits / b <= 63).map { b =>
+        val r = nBits / b
+        val mask = (1L << r) - 1
+        val banded = sig.select(posexplode(array((0 until b).map(bb =>
+          shiftright(col("sig"), bb * r).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bv")))
+        banded.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L)).cast("long")
+            .as("candidate_checks"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("candidate_checks"),
+            lit(srpMatchMicro(targetCosine, r, b)).as("p_match_micro"))
+      }
+    val out = reports.reduce(_ unionByName _).localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
+
+  /** Driver-side P(band match) at the target cosine, in micro-units — the
+    * ONE computation both engines embed as a literal. */
+  private def srpMatchMicro(targetCosine: Double, r: Int, b: Int): Long = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, targetCosine))) / math.Pi
+    math.round((1.0 - math.pow(1.0 - math.pow(p, r), b)) * 1e6)
+  }
+
+  /** DuckDB oracle replaying [[srpTuning]]: the shared SRP signature from
+    * the same hyperplanes, per-factorization bucket counts UNION'd, the
+    * match probability as the identical precomputed literal. */
+  def srpTuningOracleSql(table: String, idCol: String, vecCol: String,
+                         planes: Seq[Seq[Double]],
+                         targetCosine: Double): String = {
+    val nBits = planes.size
+    val sigExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(ev, ${p.mkString("[", ",", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val cfgs = (1 to nBits).filter(nBits % _ == 0)
+      .filter(b => nBits / b <= 63).map { b =>
+        val r = nBits / b
+        val mask = (1L << r) - 1
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+              coalesce((SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM (
+                SELECT count(*) AS n FROM (
+                  SELECT s.id, u.bb, (s.sig >> (u.bb * $r)) & $mask AS bv
+                  FROM sig s CROSS JOIN
+                    (SELECT unnest(generate_series(0, ${b - 1})) AS bb) u) g
+                GROUP BY bb, bv) c), 0) AS candidate_checks,
+              CAST(${srpMatchMicro(targetCosine, r, b)} AS BIGINT) AS p_match_micro"""
+      }
+    s"""WITH e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       sig AS (SELECT id, $sigExpr AS sig FROM e)
+       SELECT * FROM (${cfgs.mkString(" UNION ALL ")}) ORDER BY bands"""
+  }
+
   /** DuckDB oracle reproducing [[embeddingNearDups]] end-to-end from the
     * same hyperplanes. */
   def embeddingNearDupsOracleSql(table: String, idCol: String, vecCol: String,
