@@ -952,6 +952,39 @@ object SparkEntry {
       eng.getData(spec).select(col("fp")).orderBy(col("fp"))
     }),
 
+    // ── Streaming MULTIMODAL ingest dedup e2e: media payloads (opaque
+    // binary) delivered twice across micro-batches; each row reduces to
+    // its sha-256 on the scan (payload bytes never enter state or the
+    // sink), duplicates collapse in-stream against watermark-bounded
+    // state, survivors blind-append. The multimodal row of the streaming
+    // dedup family — same state bound, binary payload column.
+    "q_streaming_media_dedup" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_smedia").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "media_dedup_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(Tables.path(d, "documents")),
+          java.nio.file.Paths.get(s"$srcDir/documents_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val deduped = graft.streaming.StreamingSync.withWatermarkDedup(
+        stream
+          .withColumn("ts",
+            timestamp_micros((col("doc_id") * 60L + 86400L) * 1000000L))
+          .withColumn("payload", col("text").cast("binary"))
+          .withColumn("content_sha256", sha2(col("payload"), 256)),
+        "ts", Seq("content_sha256"), delay = "1 minute")
+        .select(col("ts"), col("content_sha256"))
+      val q = graft.streaming.StreamingSync.run(eng, spec, deduped, s"$root/ckpt",
+        checkExisting = false)
+      q.awaitTermination()
+      eng.getData(spec).select(col("content_sha256")).orderBy(col("content_sha256"))
+    }),
+
     // ── §2.9 streaming near-dup probe AGAINST HISTORY e2e: arriving docs
     // stamp their MinHash bands IN-STREAM and stream-static join the
     // STORED band index of the corpus synced so far (the complement of
@@ -3031,6 +3064,10 @@ object SparkEntry {
     "q_streaming_dedup_e2e" ->
       """SELECT DISTINCT md5(lower(trim(text))) AS fp
          FROM documents ORDER BY fp""",
+
+    "q_streaming_media_dedup" ->
+      """SELECT DISTINCT sha256(text) AS content_sha256
+         FROM documents ORDER BY content_sha256""",
 
     "q_streaming_neardup_probe" ->
       """WITH sh AS (
