@@ -1479,6 +1479,47 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ── LLM-pipeline: INCREMENTAL SemDeDup — the embedding-space member of
+    // the incremental dedup family: half the corpus builds a cell-
+    // partitioned SURVIVOR pipe; the other half arrives as a batch, reads
+    // the survivor slice partition-pruned to its cells, drops rows within
+    // threshold of ANY stored survivor, dedups the remainder among itself
+    // (intra-cell pairs → min-label closure), and blind-appends its new
+    // survivors. History is never re-clustered. Oracle replays the exact
+    // two-phase semantics (A-survivor closure, B-vs-history check,
+    // B-internal closure) from the shared centroid rule.
+    "q_semantic_dedup_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val a = emb.where(col("vec_id") % 2 === 0)
+      val b = emb.where(col("vec_id") % 2 === 1)
+      val th = 0.45
+      val cents = SimilaritySearch.sampleCentroids(a, "vec_id", "embedding", 32)
+      val aKeepIds = ApproxDedup.semanticDedup(a, "vec_id", "embedding", cents, th)
+        .where(col("keep") === 1).select("vec_id")
+      def cells(df: DataFrame) =
+        SimilaritySearch.withIvfCell(df, "embedding", cents)
+          .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+      val root = java.nio.file.Files.createTempDirectory("graft_semsync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "sem_survivors"),
+        columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val store = eng.storage(spec)
+      store.create(cells(a).join(aKeepIds, Seq("vec_id")))
+      val bCell = cells(b)
+      // bounded driver state: ≤ |centroids| distinct cell labels
+      val probeCells = bCell.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val hist = store.readIn(probeCells)
+      val newSurv = ApproxDedup.semanticNewSurvivors(bCell, hist,
+        "vec_id", "embedding", th)
+      store.append(bCell.join(newSurv.select("vec_id"), Seq("vec_id")))
+      store.read
+        .select(col("vec_id"),
+          (col("vec_id") % 2 === 0).cast("int").as("from_base"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── LLM-pipeline: cluster-balanced diversity sample — perCell md5-order
     // representatives of every k-means cell (coverage of every semantic
     // region, not a head-cluster-dominated uniform draw).
@@ -3222,6 +3263,12 @@ object SparkEntry {
         "embedding", SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
         bands = 6, threshold = 0.3,
         corpusPred = "vec_id % 10 <> 0", benchPred = "vec_id % 10 = 0"),
+
+    "q_semantic_dedup_sync" ->
+      ApproxDedup.semanticDedupSyncOracleSql("embeddings", "vec_id",
+        "embedding", centroidMax = 32,
+        basePred = "vec_id % 2 = 0", batchPred = "vec_id % 2 = 1",
+        threshold = 0.45),
 
     "q_embedding_ann_lsh" ->
       SimilaritySearch.lshOracleSql("embeddings", "vec_id", "embedding",

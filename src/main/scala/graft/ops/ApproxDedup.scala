@@ -946,6 +946,107 @@ object ApproxDedup {
           .cast("int").as("keep"))
   }
 
+  /** INCREMENTAL SemDeDup: the new survivors of an arriving batch against a
+    * STORED survivor set — the embedding-space member of the incremental
+    * dedup family (Bloom for exact, the band index for MinHash). History is
+    * never re-clustered: a batch row is a duplicate when ANY stored
+    * survivor in its cell is within the cosine threshold (one cell-keyed
+    * join against the survivor slice, which the caller reads
+    * partition-pruned to the batch's cells); rows that pass then dedup
+    * AMONG THEMSELVES with the standard intra-cell pair → min-label
+    * closure, and the cluster minima are the batch's new survivors — the
+    * rows to blind-append to the survivor pipe.
+    *
+    * `batch` and `survivors` both carry (cell, idCol, vecCol); cells must
+    * come from the SAME centroids (the survivor pipe stores its cell as
+    * the partition axis, so this is automatic). */
+  def semanticNewSurvivors(batch: DataFrame, survivors: DataFrame,
+                           idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val bc = batch.select(col("cell"), col(idCol),
+      col(vecCol).cast("array<double>").as("__bv"))
+    val hc = survivors.select(col("cell"),
+      col(vecCol).cast("array<double>").as("__hv"))
+    val dupVsHist = bc.join(hc, "cell")
+      .where(graft.functions.VectorFns.cosine(col("__bv"), col("__hv")) >= threshold)
+      .select(col(idCol)).distinct()
+    val passed = bc.join(dupVsHist, Seq(idCol), "left_anti")
+    val l = passed.select(col("cell"), col(idCol).as("id1"), col("__bv").as("v1"))
+    val r = passed.select(col("cell"), col(idCol).as("id2"), col("__bv").as("v2"))
+    val pairs = l.join(r, "cell")
+      .where(col("id1") < col("id2"))
+      .where(graft.functions.VectorFns.cosine(col("v1"), col("v2")) >= threshold)
+      .select(col("id1"), col("id2"))
+    val cl = nearDupClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    passed.join(cl, Seq(idCol), "left")
+      .where(coalesce(col("cluster_id"), col(idCol)) === col(idCol))
+      .select(col(idCol), col("cell"))
+  }
+
+  /** DuckDB oracle replaying the INCREMENTAL SemDeDup pipeline
+    * ([[semanticDedup]] over the base slice, then [[semanticNewSurvivors]]
+    * for the batch slice): shared centroid rule from the BASE slice, the
+    * base closure, the batch-vs-history check, and the batch-internal
+    * closure — the exact two-phase semantics. */
+  def semanticDedupSyncOracleSql(table: String, idCol: String, vecCol: String,
+                                 centroidMax: Int, basePred: String,
+                                 batchPred: String, threshold: Double): String = {
+    def cos(a: String, b: String) =
+      s"""list_dot_product($a, $b) /
+          (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"""
+    s"""WITH RECURSIVE
+       e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS cid, ev AS cvec FROM e
+                 WHERE ($basePred) AND $idCol < $centroidMax),
+       asg AS (
+         SELECT $idCol, ev, cid AS cell FROM (
+           SELECT e.$idCol, e.ev, c.cid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec)
+                 / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.cid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       pa AS (
+         SELECT x.$idCol AS id1, y.$idCol AS id2
+         FROM asg x JOIN asg y ON x.cell = y.cell AND x.$idCol < y.$idCol
+         WHERE (${basePred.replace(idCol, s"x.$idCol")})
+           AND (${basePred.replace(idCol, s"y.$idCol")})
+           AND ${cos("x.ev", "y.ev")} >= $threshold),
+       eda AS (SELECT id1 AS a, id2 AS b FROM pa UNION SELECT id2, id1 FROM pa),
+       reacha(node, r) AS (
+         SELECT a, a FROM eda
+         UNION
+         SELECT reacha.node, eda.b FROM reacha JOIN eda ON reacha.r = eda.a),
+       laba AS (SELECT node, min(r) AS rep FROM reacha GROUP BY node),
+       surva AS (
+         SELECT e.$idCol FROM e LEFT JOIN laba ON laba.node = e.$idCol
+         WHERE ($basePred) AND coalesce(laba.rep, e.$idCol) = e.$idCol),
+       bchk AS (
+         SELECT b.$idCol FROM asg b
+         WHERE (${batchPred.replace(idCol, s"b.$idCol")})
+           AND NOT EXISTS (
+             SELECT 1 FROM surva s JOIN asg sa ON sa.$idCol = s.$idCol
+             WHERE sa.cell = b.cell AND ${cos("sa.ev", "b.ev")} >= $threshold)),
+       pasg AS (SELECT a.* FROM asg a JOIN bchk USING ($idCol)),
+       pb AS (
+         SELECT x.$idCol AS id1, y.$idCol AS id2
+         FROM pasg x JOIN pasg y ON x.cell = y.cell AND x.$idCol < y.$idCol
+         WHERE ${cos("x.ev", "y.ev")} >= $threshold),
+       edb AS (SELECT id1 AS a, id2 AS b FROM pb UNION SELECT id2, id1 FROM pb),
+       reachb(node, r) AS (
+         SELECT a, a FROM edb
+         UNION
+         SELECT reachb.node, edb.b FROM reachb JOIN edb ON reachb.r = edb.a),
+       labb AS (SELECT node, min(r) AS rep FROM reachb GROUP BY node),
+       keepb AS (
+         SELECT bc.$idCol FROM bchk bc LEFT JOIN labb ON labb.node = bc.$idCol
+         WHERE coalesce(labb.rep, bc.$idCol) = bc.$idCol)
+       SELECT $idCol,
+         CAST(CASE WHEN ($basePred) THEN 1 ELSE 0 END AS INT) AS from_base
+       FROM (SELECT $idCol FROM surva UNION ALL SELECT $idCol FROM keepb) u
+       ORDER BY $idCol"""
+  }
+
   /** The pair stage of [[semanticDedup]]: intra-cell candidate pairs above
     * the cosine threshold. The only shuffle keys on the cell id (equi-join);
     * candidate volume is Σ|cell|², never N². */

@@ -83,6 +83,28 @@ class TuningDiagnosticsSpec extends SparkSpec {
     }
   }
 
+  test("semanticNewSurvivors: history dups drop, intra-batch clusters keep one") {
+    import graft.ops.{ApproxDedup, SimilaritySearch}
+    // axis-aligned vectors: cos(e_i, e_j) = 0 for i != j, 1 for twins
+    def v(axis: Int, dim: Int = 4) =
+      (0 until dim).map(j => if (j == axis) 1.0f else 0.0f)
+    val cents = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0), Seq(0, 0, 1.0, 0))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.withIvfCell(df, "embedding", cents)
+        .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+    val hist  = cells(Seq((1L, v(0))).toDF("vec_id", "embedding"))
+    val batch = cells(Seq(
+      (10L, v(0)),  // duplicate of history survivor -> dropped
+      (11L, v(1)),  // new direction, twin of 12 -> min id survives
+      (12L, v(1)),
+      (13L, v(2))   // new singleton -> survives
+    ).toDF("vec_id", "embedding"))
+    val out = ApproxDedup.semanticNewSurvivors(batch, hist,
+        "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L))
+  }
+
   test("semanticDrift: identical snapshots are exactly zero; a shifted one is not") {
     val dim = 8
     def vec(seed: Int) = (0 until dim).map(j => math.sin(seed * 31 + j * 7).toFloat)
