@@ -2303,6 +2303,22 @@ object SparkEntry {
     // the stored index to the top-30 — oracle = the full-corpus count.
     "q_vocab_index_sync" -> composed("q_vocab_index_sync"),
 
+    // ── LLM-pipeline: quality-threshold sweep — the calibration table a
+    // curation run reads before picking its gate: docs/tokens surviving
+    // each candidate threshold, one CASE-ladder aggregate pass.
+    "q_quality_sweep" -> ((s, d) =>
+      graft.ops.Corpus.qualityThresholdSweep(Tables.documents(s, d),
+        TextFns.qualityScore(col("text")), TextFns.tokenCount(col("text")),
+        thresholds = Seq(0.25, 0.5, 0.75, 1.0))),
+
+    // ── LLM-pipeline: dedup-rate curve — verified near-dup pair counts at
+    // every candidate threshold from ONE fast-path pass at the lowest one
+    // (higher thresholds are subsets of the same verified pair list).
+    "q_dedup_rate_curve" -> ((s, d) =>
+      ApproxDedup.dedupRateCurve(Tables.documents(s, d), "doc_id", "text",
+        thresholds = Seq(0.3, 0.5, 0.7, 0.9), shingleSize = 3, k = 24,
+        bands = 6, estSlack = 0.25, maxBucket = 200)),
+
     // ── LLM-pipeline: LSH parameter-tuning report — for every (bands,
     // rows) factorization of the k=24 signature, the MEASURED candidate
     // workload on this corpus next to the theoretical match probability at
@@ -3390,6 +3406,26 @@ object SparkEntry {
     "q_minhash_tuning" ->
       ApproxDedup.minhashTuningOracleSql("documents", "doc_id", "text",
         threshold = 0.5, shingleSize = 3, k = 24),
+
+    "q_quality_sweep" ->
+      graft.ops.Corpus.qualityThresholdSweepOracleSql("documents",
+        scoreSql =
+          """(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                    AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                   THEN 1.0 ELSE 0.0 END
+            + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                        / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                       ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                   THEN 1.0 ELSE 0.0 END) / 4.0""",
+        tokensSql = "len(string_split_regex(trim(text), '\\s+'))",
+        thresholds = Seq(0.25, 0.5, 0.75, 1.0)),
+
+    "q_dedup_rate_curve" ->
+      ApproxDedup.dedupRateCurveOracleSql("documents", "doc_id", "text",
+        thresholds = Seq(0.3, 0.5, 0.7, 0.9), shingleSize = 3, k = 24,
+        bands = 6, estSlack = 0.25, maxBucket = 200),
 
     "q_zipf_fit" ->
       graft.ops.Corpus.zipfFitOracleSql("documents", "text", topV = 100),

@@ -506,6 +506,49 @@ object ApproxDedup {
        SELECT cluster_id, $idCol, $scoreName FROM r WHERE rn = 1
        ORDER BY cluster_id"""
 
+  /** Dedup-rate curve — "how aggressive would threshold t be?": verified
+    * near-dup PAIR counts at every candidate threshold, from ONE fast-path
+    * pass run at the lowest candidate (higher thresholds are subsets, so
+    * one banded+verified pair list answers the whole sweep — a CASE-ladder
+    * aggregate, not |thresholds| dedup runs). Read next to
+    * [[minhashTuning]] when calibrating a production dedup pass. */
+  def dedupRateCurve(docs: DataFrame, idCol: String, textCol: String,
+                     thresholds: Seq[Double], shingleSize: Int = 3,
+                     k: Int = 24, bands: Int = 6, estSlack: Double = 0.25,
+                     maxBucket: Int = 0): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one candidate threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tMin = thresholds.min
+    val pairs = minhashNearDupsFast(docs, idCol, textCol, tMin, shingleSize,
+      k, bands, estSlack, maxBucket, md5Base = true)
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"__p$i") }
+    val row = pairs.agg(aggs.head, aggs.tail: _*).head()
+    thresholds.zipWithIndex.map { case (t, i) => (t, row.getLong(i)) }
+      .toDF("threshold", "n_pairs")
+  }
+
+  /** DuckDB oracle replaying [[dedupRateCurve]] over the fast-path pair
+    * list at the lowest threshold. */
+  def dedupRateCurveOracleSql(table: String, idCol: String, textCol: String,
+                              thresholds: Seq[Double], shingleSize: Int = 3,
+                              k: Int = 24, bands: Int = 6,
+                              estSlack: Double = 0.25, maxBucket: Int = 0,
+                              seed: Long = 7L): String = {
+    val tMin = thresholds.min
+    val rows = thresholds.map(t => s"SELECT $t AS threshold").mkString(" UNION ALL ")
+    s"""WITH ${minhashFastCtes(table, idCol, textCol, tMin, shingleSize, k,
+                               bands, estSlack, maxBucket, seed)},
+       pr AS (SELECT jaccard FROM p WHERE jaccard >= $tMin),
+       th AS ($rows)
+       SELECT th.threshold,
+         CAST(coalesce(sum(CASE WHEN pr.jaccard >= th.threshold THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_pairs
+       FROM th LEFT JOIN pr ON true
+       GROUP BY th.threshold ORDER BY th.threshold"""
+  }
+
   /** SOFT dedup: instead of dropping near-duplicates, weight every document
     * by 1/|its near-dup cluster| (integer micro-units) — the re-weighting
     * policy that keeps all text visible to training while the cluster's

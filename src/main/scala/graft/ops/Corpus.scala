@@ -31,6 +31,58 @@ object Corpus {
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     vocab(docs, textCol).orderBy(col("freq").desc, col("token")).limit(k)
 
+  /** Quality-threshold sweep — the calibration table a curation run reads
+    * before picking its gate: for each candidate threshold, how many
+    * documents and tokens survive `score >= t`, and the surviving token
+    * fraction. ONE map-combined aggregate pass (each row contributes to
+    * every threshold via a CASE ladder — |thresholds| longs per row, no
+    * re-scan per candidate); micro-unit integer token sums. */
+  def qualityThresholdSweep(docs: DataFrame, scoreCol: Column,
+                            tokensCol: Column,
+                            thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one candidate threshold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(scoreCol.cast("double").as("__s"),
+      tokensCol.cast("long").as("__t"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("__s") >= t, 1L).otherwise(0L)).as(s"__n$i"),
+        sum(when(col("__s") >= t, col("__t")).otherwise(0L)).as(s"__k$i"))
+    }
+    val totals = base.agg(count(lit(1)).as("__n_all"),
+      (sum(col("__t")).as("__t_all") +: aggs): _*)
+    val row = totals.head()
+    val nAll = row.getLong(0); val tAll = row.getLong(1)
+    thresholds.zipWithIndex.map { case (t, i) =>
+      val n = row.getLong(2 + 2 * i); val k = row.getLong(3 + 2 * i)
+      (t, n, k, math.round(k.toDouble / tAll.toDouble * 1e6), nAll)
+    }.toDF("threshold", "n_docs_kept", "tokens_kept", "token_frac_micro", "n_docs_total")
+  }
+
+  /** DuckDB oracle replaying [[qualityThresholdSweep]]. */
+  def qualityThresholdSweepOracleSql(table: String, scoreSql: String,
+                                     tokensSql: String,
+                                     thresholds: Seq[Double]): String = {
+    val rows = thresholds.map(t => s"SELECT $t AS threshold").mkString(" UNION ALL ")
+    s"""WITH b AS (SELECT CAST($scoreSql AS DOUBLE) AS s,
+           CAST($tokensSql AS BIGINT) AS t FROM $table),
+       th AS ($rows),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all,
+                      CAST(sum(t) AS BIGINT) AS t_all FROM b)
+       SELECT th.threshold,
+         CAST(sum(CASE WHEN b.s >= th.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_kept,
+         CAST(sum(CASE WHEN b.s >= th.threshold THEN b.t ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+         CAST(round(CAST(sum(CASE WHEN b.s >= th.threshold THEN b.t ELSE 0 END) AS DOUBLE)
+           / CAST(tot.t_all AS DOUBLE) * 1000000) AS BIGINT) AS token_frac_micro,
+         tot.n_all AS n_docs_total
+       FROM th CROSS JOIN b CROSS JOIN tot
+       GROUP BY th.threshold, tot.t_all, tot.n_all
+       ORDER BY th.threshold"""
+  }
+
   /** The PERSISTABLE vocabulary: (bucket, token, freq) rows — freq is
     * SUM-MERGEABLE, so incremental corpus batches blind-append their own
     * counts and any reader folds with one groupBy-sum over the |vocab|-row
