@@ -65,6 +65,28 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Synthesized multi-line pages for the boilerplate queries: each page =
+    * its unique text + a per-source cookie banner (on every page of the
+    * source), an even-id newsletter line (~half the pages), and a short
+    * length-exempt copyright chrome line. The oracle SQL rebuilds the
+    * identical expression ([[boilerplatePagesSqlExpr]]). */
+  private def boilerplatePages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      concat_ws("\n",
+        col("text"),
+        concat(lit("Cookie consent notice for "), col("source")),
+        when(col("doc_id") % 2 === 0,
+            concat(lit("Subscribe to the "), col("source"), lit(" newsletter")))
+          .otherwise(lit("Read more from our partners")),
+        lit("(c) 2024")).as("text"))
+
+  private val boilerplatePagesSqlExpr: String =
+    """concat_ws(chr(10), text,
+       'Cookie consent notice for ' || source,
+       CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to the ' || source || ' newsletter'
+            ELSE 'Read more from our partners' END,
+       '(c) 2024')"""
+
   /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`, restoring
     * the previous value after. Streaming STATE partitioning is frozen from
     * this conf at the query's first batch — production sizes it to key
@@ -217,6 +239,39 @@ object SparkEntry {
        },
        () => graft.ops.Corpus.vocabFold(eng.getData(spec))
          .orderBy(col("freq").desc, col("token")).limit(30))
+    }),
+
+    // Stored boilerplate index: per-batch (bucket, source, line, df) and
+    // (batch, source, n_docs) rows blind-append into two derived pipes;
+    // counting is additive, so the fold + integer prevalence flag equals a
+    // full [[Cleaning.boilerplateLines]] rebuild without re-reading text.
+    "q_boilerplate_index_sync" -> ((s, d) => {
+      val pages = boilerplatePages(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_bp_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val cSpec = PipeSpec(PipeKeys("idx", "bp_counts"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val nSpec = PipeSpec(PipeKeys("idx", "bp_doccounts"),
+        columns = ColumnRoles(Map("datetime" -> "batch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val half0 = pages.where(col("doc_id") % 2 === 0)
+      val half1 = pages.where(col("doc_id") % 2 === 1)
+      (() => {
+        eng.sync(cSpec, graft.ops.Cleaning.boilerplateCounts(
+          half0, "doc_id", "text", "source"), checkExisting = false)
+        eng.sync(nSpec, graft.ops.Cleaning.sourceDocCounts(half0, "source", 0L),
+          checkExisting = false)
+        eng.sync(cSpec, graft.ops.Cleaning.boilerplateCounts(
+          half1, "doc_id", "text", "source"), checkExisting = false)
+        eng.sync(nSpec, graft.ops.Cleaning.sourceDocCounts(half1, "source", 1L),
+          checkExisting = false)
+        ()
+       },
+       () => graft.ops.Cleaning.boilerplateFold(
+           eng.getData(cSpec), eng.getData(nSpec), "source",
+           minFrac = 0.6, minDocs = 2L)
+         .orderBy(col("source"), col("line")))
     }),
 
     "q_bm25_index_sync" -> ((s, d) => {
@@ -2330,6 +2385,118 @@ object SparkEntry {
           threshold = 0.5, shingleSize = 3, k = 24)
         .orderBy(col("bands"))),
 
+    // ── LLM-pipeline: C4 line-level cleaning (Raffel §2.2) — terminal-
+    // punctuation / min-words / "javascript" line gates plus the brace and
+    // lorem-ipsum page gates, over synthesized multi-line pages (prose
+    // line, nav chrome, a js placeholder, per-id code/filler variants).
+    // Pure scan projection — zero shuffles at any corpus size.
+    "q_c4_line_clean" -> ((s, d) => {
+      val page = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("Click here"),
+          concat(lit("All rights reserved by "), col("source"),
+            lit(" media group")),
+          lit("Please enable javascript to view this page."),
+          when(col("doc_id") % 5 === 0, lit("if (x) { return; }"))
+            .otherwise(lit("This closing sentence has exactly seven words!")),
+          when(col("doc_id") % 17 === 0,
+              lit("Lorem Ipsum dolor sit amet text filler."))
+            .otherwise(concat(lit("Document "), col("doc_id"),
+              lit(" concludes with a proper sentence.")))).as("text"))
+      graft.ops.Cleaning.c4LineClean(page, "doc_id", "text",
+          minWords = 5, minLines = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: per-source template-line detection — lines present
+    // in ≥60% of a source's documents (cookie banner on every page, the
+    // even-id newsletter line on only half) via ONE (source, line)-keyed
+    // map-combined aggregate; prevalence compares integers, output is
+    // flagged-lines-sized.
+    "q_boilerplate_lines" -> ((s, d) =>
+      graft.ops.Cleaning.boilerplateLines(boilerplatePages(s, d),
+          "doc_id", "text", "source", minFrac = 0.6, minDocs = 2L)
+        .orderBy(col("source"), col("line"))),
+
+    // ── LLM-pipeline: boilerplate removal — the flagged template lines
+    // broadcast into a left-anti join over the exploded pages; documents
+    // reassemble in original line order (the only shuffle). Short chrome
+    // ("© 2024") is exempt by the length floor and survives.
+    "q_remove_boilerplate" -> ((s, d) =>
+      graft.ops.Cleaning.removeBoilerplate(boilerplatePages(s, d),
+          "doc_id", "text", "source", minFrac = 0.6, minDocs = 2L)
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: EVAL-side contamination report (Brown et al. 2020
+    // App. C) — per benchmark item (every 20th doc), the fraction of its
+    // distinct 3-gram shingles found anywhere in the disjoint training
+    // corpus. Bench shingles broadcast; the corpus never shuffles.
+    "q_contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Corpus.contaminationReport(
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", shingleSize = 3, threshold = 0.5)
+        .orderBy(col("bench_id"))
+    }),
+
+    // ── LLM-pipeline: tokenizer fertility report (Rust et al. 2021) —
+    // subwords/word and chars/subword per language under the corpus-trained
+    // 6-merge BPE, in exact integer micro-units. Merge loop is vocab-sized;
+    // the corpus is touched by ONE token equi-join.
+    "q_fertility_report" -> ((s, d) =>
+      graft.ops.Corpus.fertilityReport(Tables.documents(s, d), "text",
+          "lang", nMerges = 6)
+        .orderBy(col("lang"))),
+
+    // ── LLM-pipeline: UniMax language-balanced budget allocation (Chung
+    // et al. 2023) — the sequential ascending-supply pass resolved as
+    // closed-form water-filling over |languages| window rows; the four
+    // small languages cap at 1 epoch, the en head takes the remainder.
+    "q_unimax_alloc" -> ((s, d) =>
+      graft.ops.Sampling.unimaxAllocation(Tables.documents(s, d), "lang",
+          graft.functions.TextFns.tokenCount(col("text")).cast("long"),
+          budget = 20000L, epochCap = 1)
+        .orderBy(col("lang"))),
+
+    // ── LLM-pipeline: temperature-scaled mixture (mT5's α-sampling) — the
+    // companion table to UniMax: shares ∝ supply^0.3, one transcendental
+    // per LANGUAGE micro-quantized before the exact integer share math.
+    "q_temperature_mixture" -> ((s, d) =>
+      graft.ops.Sampling.temperatureMixture(Tables.documents(s, d), "lang",
+          graft.functions.TextFns.tokenCount(col("text")).cast("long"),
+          budget = 20000L, alpha = 0.3)
+        .orderBy(col("lang"))),
+
+    // ── LLM-pipeline: curriculum / domain-interleaved training order —
+    // round r takes each source's r-th longest document; the (round,
+    // domain_idx) key is the training order, computed with ONE
+    // domain-keyed window and no global sort.
+    "q_curriculum_interleave" -> ((s, d) =>
+      graft.ops.Sampling.curriculumInterleave(Tables.documents(s, d),
+          "doc_id", "source",
+          graft.functions.TextFns.tokenCount(col("text")).cast("long"))
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: PII exposure report — per-source email/phone span
+    // counts (the audit table published before/after redaction), over
+    // deterministically synthesized contact lines; regexp counting fused
+    // into the scan, one |sources|-row aggregate.
+    "q_pii_report" -> ((s, d) => {
+      val page = Tables.documents(s, d).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+              concat(lit(" contact u"), col("doc_id"), lit("@mail.org")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" call +1 555-0199 now"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Cleaning.piiReport(page, "source", "text")
+        .orderBy(col("source"))
+    }),
+
+    "q_boilerplate_index_sync" -> composed("q_boilerplate_index_sync"),
+
     // ── LLM-pipeline: Zipf power-law fit over the vocabulary head — the
     // corpus-health diagnostic (natural text: slope ≈ −1; templated or
     // synthetic text bends the curve). One map-combined token count; the
@@ -3406,6 +3573,63 @@ object SparkEntry {
     "q_minhash_tuning" ->
       ApproxDedup.minhashTuningOracleSql("documents", "doc_id", "text",
         threshold = 0.5, shingleSize = 3, k = 24),
+
+    "q_c4_line_clean" ->
+      graft.ops.Cleaning.c4LineCleanOracleSql("documents", "doc_id",
+        """concat_ws(chr(10),
+           text || '.',
+           'Click here',
+           'All rights reserved by ' || source || ' media group',
+           'Please enable javascript to view this page.',
+           CASE WHEN doc_id % 5 = 0 THEN 'if (x) { return; }'
+                ELSE 'This closing sentence has exactly seven words!' END,
+           CASE WHEN doc_id % 17 = 0 THEN 'Lorem Ipsum dolor sit amet text filler.'
+                ELSE 'Document ' || CAST(doc_id AS VARCHAR) ||
+                     ' concludes with a proper sentence.' END)""",
+        minWords = 5, minLines = 2),
+
+    "q_boilerplate_lines" ->
+      graft.ops.Cleaning.boilerplateLinesOracleSql("documents", "doc_id",
+        boilerplatePagesSqlExpr, "source", minFrac = 0.6, minDocs = 2L),
+
+    "q_remove_boilerplate" ->
+      graft.ops.Cleaning.removeBoilerplateOracleSql("documents", "doc_id",
+        boilerplatePagesSqlExpr, "source", minFrac = 0.6, minDocs = 2L),
+
+    "q_contamination_report" ->
+      graft.ops.Corpus.contaminationReportOracleSql("documents", "doc_id",
+        "text", benchPred = "doc_id % 20 = 0", corpusPred = "doc_id % 20 <> 0",
+        shingleSize = 3, threshold = 0.5),
+
+    "q_fertility_report" ->
+      graft.ops.Corpus.fertilityReportOracleSql("documents", "text",
+        "lang", nMerges = 6),
+
+    "q_unimax_alloc" ->
+      graft.ops.Sampling.unimaxAllocationOracleSql("documents", "lang",
+        "len(string_split_regex(trim(text), '\\s+'))",
+        budget = 20000L, epochCap = 1),
+
+    "q_temperature_mixture" ->
+      graft.ops.Sampling.temperatureMixtureOracleSql("documents", "lang",
+        "len(string_split_regex(trim(text), '\\s+'))",
+        budget = 20000L, alpha = 0.3),
+
+    "q_curriculum_interleave" ->
+      graft.ops.Sampling.curriculumInterleaveOracleSql("documents", "doc_id",
+        "source", "len(string_split_regex(trim(text), '\\s+'))"),
+
+    "q_pii_report" ->
+      graft.ops.Cleaning.piiReportOracleSql("documents", "source",
+        """text || CASE WHEN doc_id % 3 = 0
+             THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.org'
+             ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN ' call +1 555-0199 now'
+             ELSE '' END"""),
+
+    "q_boilerplate_index_sync" ->
+      graft.ops.Cleaning.boilerplateLinesOracleSql("documents", "doc_id",
+        boilerplatePagesSqlExpr, "source", minFrac = 0.6, minDocs = 2L),
 
     "q_quality_sweep" ->
       graft.ops.Corpus.qualityThresholdSweepOracleSql("documents",

@@ -217,6 +217,85 @@ object Corpus {
       .select(col("corpus_id"), col("bench_id"), col("containment"))
   }
 
+  /** EVAL-side contamination report — the complement of [[decontaminate]]
+    * (which flags CORPUS documents): per benchmark item, what fraction of
+    * its distinct `shingleSize`-grams occurs ANYWHERE in the training
+    * corpus. This is the "dirty eval example" accounting of Brown et al.
+    * 2020 Appendix C / Chowdhery et al. 2022 §8 — the number an eval report
+    * publishes per task ("x% of test items are ≥p% contaminated"), where
+    * which corpus document matched is irrelevant.
+    *
+    * Output: one row per benchmark item — (bench_id, n_shingles, n_found,
+    * dirt_frac, dirty) with `dirty` = dirt_frac ≥ `threshold`.
+    *
+    * Scale: the bench shingle table (small by definition) BROADCASTS into
+    * one corpus-side explode; only matching gram hashes survive the join,
+    * so the per-bench distinct count aggregates output-sized rows — the
+    * corpus never shuffles its grams, and no corpus-wide distinct pass
+    * exists. Grams travel as 60-bit truncated-md5 longs (the
+    * [[decontaminate]] key trick, oracle-replayed exactly).
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleSize: Int, threshold: Double): DataFrame = {
+    def shingles(df: DataFrame, as: String) = df.select(
+        col(idCol).as(as),
+        explode(array_distinct(
+          TextFns.wordShingles(col(textCol), shingleSize))).as("__sh_str"))
+      .select(col(as), TextFns.md5Long60(col("__sh_str")).as("sh"))
+    val b = shingles(bench, "bench_id")
+    val bSizes = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_shingles"))
+    // distinct (bench item, gram) matches: a gram repeated across many
+    // corpus documents counts once per bench item
+    val found = shingles(corpus, "corpus_id")
+      .join(broadcast(b), "sh")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("sh")).as("n_found"))
+    bSizes.join(found, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+      .withColumn("dirt_frac",
+        col("n_found").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("dirty", col("dirt_frac") >= threshold)
+  }
+
+  /** DuckDB oracle replaying [[contaminationReport]] — same 60-bit gram
+    * hashes, same distinct-per-item counting. `benchPred` selects the
+    * benchmark slice out of `table`, `corpusPred` the corpus slice (the
+    * eval-side report is only meaningful when the bench rows are NOT in
+    * the probed corpus). */
+  def contaminationReportOracleSql(table: String, idCol: String,
+                                   textCol: String, benchPred: String,
+                                   corpusPred: String,
+                                   shingleSize: Int, threshold: Double): String = {
+    def sh(src: String, as: String) =
+      s"""SELECT DISTINCT $idCol AS $as, g.sh FROM (
+            SELECT $idCol, md5_hex60(gram) AS sh FROM (
+              SELECT $idCol,
+                array_to_string(t[j:j+${shingleSize - 1}], ' ') AS gram
+              FROM (SELECT $idCol,
+                      string_split_regex(trim($textCol), '\\s+') AS t
+                    FROM $src) w,
+                unnest(generate_series(1, len(t) - ${shingleSize - 1})) AS u(j)
+              WHERE len(t) >= $shingleSize) x) g"""
+    // DuckDB has no named-function macro injection here; inline the 60-bit
+    // truncated-md5 exactly as TextFns.md5Long60 computes it
+    def inline60(q: String) = q.replace("md5_hex60(gram)",
+      "CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)")
+    s"""WITH b AS (${inline60(sh(s"(SELECT * FROM $table WHERE $benchPred) __b", "bench_id"))}),
+       c AS (${inline60(sh(s"(SELECT * FROM $table WHERE $corpusPred) __c", "corpus_id"))}),
+       bs AS (SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles FROM b GROUP BY 1),
+       f AS (SELECT b.bench_id, CAST(count(DISTINCT b.sh) AS BIGINT) AS n_found
+             FROM c JOIN b USING (sh) GROUP BY 1)
+       SELECT bs.bench_id, bs.n_shingles,
+         coalesce(f.n_found, 0) AS n_found,
+         CAST(coalesce(f.n_found, 0) AS DOUBLE) / CAST(bs.n_shingles AS DOUBLE)
+           AS dirt_frac,
+         CAST(coalesce(f.n_found, 0) AS DOUBLE) / CAST(bs.n_shingles AS DOUBLE)
+           >= $threshold AS dirty
+       FROM bs LEFT JOIN f USING (bench_id) ORDER BY bs.bench_id"""
+  }
+
   /** Repetition statistics — the Gopher/C4 repetition filters (Rae et al.
     * 2021 §A1.1; Raffel et al. 2020): fraction of the document consumed by
     * its most frequent word bigram, and the distinct-sentence ratio.
@@ -1237,6 +1316,70 @@ object Corpus {
     graft.ops.ApproxDedup.freeCheckpoint(v)
     out
   }
+
+  /** Tokenizer FERTILITY report — the standard multilingual-tokenizer
+    * health check (Ács 2019; Rust et al. 2021 §3): per `groupCol` (usually
+    * language or source), how many subwords the trained BPE produces per
+    * word and how many characters each subword carries. A language whose
+    * fertility is 2–3× the corpus mean is being byte-shredded by the vocab
+    * — the signal that drives vocab-size / sampling decisions before a
+    * 100 TB tokenization run.
+    *
+    * All ratios are exact integer micro-units (`·1e6 div`), so the report
+    * replays bit-for-bit on any engine. Output: one row per group —
+    * (group, n_words, n_subwords, n_chars, fertility_micro,
+    * chars_per_subword_micro).
+    *
+    * Scale: shares [[bpeSegmentCounts]]'s shape — the merge loop runs on
+    * the |vocab|-row table, the corpus is touched by ONE token equi-join
+    * into a |groups|-row aggregate; the vocabulary side carries precomputed
+    * per-token subword and char counts (two integers), never symbol
+    * strings. */
+  def fertilityReport(docs: DataFrame, textCol: String, groupCol: String,
+                      nMerges: Int): DataFrame = {
+    val (_, v) = bpeTrainState(docs, textCol, nMerges)
+    val segLen = v.select(col("token"),
+      size(split(col("sym"), " ")).cast("long").as("n_sub"),
+      length(col("token")).cast("long").as("n_ch"))
+    val out = docs.select(col(groupCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(segLen, Seq("token"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_ch")).as("n_chars"))
+      .withColumn("fertility_micro",
+        expr("n_subwords * 1000000L div n_words"))
+      .withColumn("chars_per_subword_micro",
+        expr("n_chars * 1000000L div n_subwords"))
+      .localCheckpoint(true)
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    out
+  }
+
+  /** DuckDB oracle replaying [[fertilityReport]] — the trainer CTE chain
+    * plus the token equi-join into per-group integer sums. */
+  def fertilityReportOracleSql(table: String, textCol: String,
+                               groupCol: String, nMerges: Int): String =
+    s"""WITH ${bpeChainCtes(table, textCol, nMerges)},
+       seg AS (SELECT token, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub,
+                 CAST(length(token) AS BIGINT) AS n_ch
+               FROM v$nMerges),
+       tok AS (SELECT $groupCol, token FROM (
+           SELECT $groupCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0)
+       SELECT tok.$groupCol,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords,
+         CAST(sum(seg.n_ch) AS BIGINT) AS n_chars,
+         CAST(sum(seg.n_sub) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+           AS fertility_micro,
+         CAST(sum(seg.n_ch) AS BIGINT) * 1000000 // CAST(sum(seg.n_sub) AS BIGINT)
+           AS chars_per_subword_micro
+       FROM tok JOIN seg USING (token)
+       GROUP BY 1 ORDER BY tok.$groupCol"""
 
   /** DuckDB oracle replaying [[bpeSegmentCounts]] — the trainer CTE chain
     * (token carried through) plus the token equi-join. */

@@ -469,4 +469,203 @@ object Sampling {
       .select(col(domainCol), col("n_docs"), col("actual_tokens"),
         col("target_tokens"), col("sample_rate"), col("epochs"))
   }
+
+  /** UniMax language-balanced budget allocation (Chung et al., ICLR 2023
+    * "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): split a total token `budget` across
+    * languages as uniformly as possible, capping each language at
+    * `epochCap` epochs over its supply. UniMax's sequential pass (visit
+    * languages by ascending supply; give each `min(epochCap·supply,
+    * remaining/languages-left)`) is EXACTLY water-filling — once one
+    * language is left uncapped, every later (larger) one receives the same
+    * equal share — so the whole allocation resolves in closed form with
+    * window functions: the capped set is the longest ascending-supply
+    * prefix where `cap·(languages left) ≤ budget remaining`, and everyone
+    * after it splits the remainder evenly. No driver loop, no recursion,
+    * and the same windows replay in ANSI SQL.
+    *
+    * All arithmetic is LONG with integer division (the equal share floors;
+    * the ≤ |languages|-token residue is deliberately left unspent —
+    * deterministic beats exhaustive here). Output: one row per language —
+    * (lang, supply_tokens, capped, alloc_tokens, epochs_micro).
+    *
+    * Scale: ONE map-side-combined aggregate over the corpus into a
+    * |languages|-row table; every window below runs on those rows.
+    */
+  def unimaxAllocation(docs: DataFrame, langCol: String, tokensCol: Column,
+                       budget: Long, epochCap: Int): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    require(epochCap > 0, "epochCap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val supply = docs.groupBy(col(langCol))
+      .agg(sum(tokensCol.cast("long")).as("supply"))
+      .withColumn("cap", col("supply") * lit(epochCap.toLong))
+    val byAsc = Window.orderBy(col("supply"), col(langCol))
+    val all = Window.partitionBy()
+    // ranked: rn, cumulative capped mass INCLUDING this row, |languages|
+    val ranked = supply
+      .withColumn("rn", row_number().over(byAsc))
+      .withColumn("cum", sum(col("cap")).over(
+        byAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all))
+      // row k fits under its cap iff cap_k·(n−k+1) ≤ B − cum_{k−1}
+      .withColumn("fits",
+        col("cap") * (col("n") - col("rn") + lit(1L)) <=
+          lit(budget) - (col("cum") - col("cap")))
+    // the capped set is the longest prefix of fitting rows: one unfit row
+    // un-caps everything after it (water level reached)
+    val kRow = min(when(!col("fits"), col("rn"))).over(all)
+    val labeled = ranked
+      .withColumn("capped", col("rn") < coalesce(kRow, col("n") + lit(1L)))
+      .withColumn("cap_mass",
+        max(when(col("capped"), col("cum")).otherwise(lit(0L))).over(all))
+      .withColumn("n_uncapped",
+        sum(when(!col("capped"), lit(1L)).otherwise(lit(0L))).over(all))
+    labeled
+      .withColumn("alloc_tokens", when(col("capped"), col("cap"))
+        .otherwise(expr(s"(${budget}L - cap_mass) div n_uncapped")))
+      .withColumn("epochs_micro", expr("alloc_tokens * 1000000L div supply"))
+      .select(col(langCol), col("supply").as("supply_tokens"), col("capped"),
+        col("alloc_tokens"), col("epochs_micro"))
+  }
+
+  /** Temperature-scaled language mixture (Arivazhagan et al. 2019 §4.2;
+    * the mT5/XLM-R sampling rule): language l receives budget share
+    * ∝ supply_l^alpha, with alpha ∈ (0, 1] flattening the head (alpha = 1
+    * is proportional, alpha → 0 is uniform). The UniMax alternative
+    * ([[unimaxAllocation]]) caps epochs instead; production pipelines
+    * publish both tables and pick one.
+    *
+    * Parity: `supply^alpha` is computed as a double, normalized by the MAX
+    * weight (a |languages|-row window), and quantized to integer
+    * micro-units BEFORE the share sum — the sum is an order-independent
+    * LONG and every downstream division is integer, so the oracle replays
+    * bit-for-bit (the zipfFit ln-micro precedent: one double transcendental
+    * per GROUP, then exact arithmetic).
+    *
+    * Scale: ONE map-side-combined aggregate over the corpus; all windows
+    * run on |languages| rows. Output: (lang, supply_tokens, weight_micro,
+    * target_tokens, epochs_micro).
+    */
+  def temperatureMixture(docs: DataFrame, langCol: String, tokensCol: Column,
+                         budget: Long, alpha: Double): DataFrame = {
+    require(budget >= 0L, "budget must be non-negative")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    docs.groupBy(col(langCol))
+      .agg(sum(tokensCol.cast("long")).as("supply"))
+      .withColumn("w", pow(col("supply").cast("double"), lit(alpha)))
+      .withColumn("weight_micro",
+        round(col("w") / max(col("w")).over(all) * lit(1e6)).cast("long"))
+      .withColumn("target_tokens",
+        expr(s"${budget}L * weight_micro div sum(weight_micro) over ()"))
+      .withColumn("epochs_micro", expr("target_tokens * 1000000L div supply"))
+      .select(col(langCol), col("supply").as("supply_tokens"),
+        col("weight_micro"), col("target_tokens"), col("epochs_micro"))
+  }
+
+  /** DuckDB oracle replaying [[temperatureMixture]]. */
+  def temperatureMixtureOracleSql(table: String, langCol: String,
+                                  tokensExpr: String, budget: Long,
+                                  alpha: Double): String =
+    s"""WITH s AS (SELECT $langCol, CAST(sum($tokensExpr) AS BIGINT) AS supply
+             FROM $table GROUP BY 1),
+       w AS (SELECT $langCol, supply, pow(CAST(supply AS DOUBLE), $alpha) AS w
+             FROM s),
+       m AS (SELECT $langCol, supply,
+               CAST(round(w / max(w) OVER () * 1000000.0) AS BIGINT)
+                 AS weight_micro
+             FROM w),
+       t AS (SELECT *, $budget * weight_micro // sum(weight_micro) OVER ()
+               AS target_tokens FROM m)
+       SELECT $langCol, supply AS supply_tokens, weight_micro,
+         CAST(target_tokens AS BIGINT) AS target_tokens,
+         CAST(target_tokens * 1000000 // supply AS BIGINT) AS epochs_micro
+       FROM t ORDER BY $langCol"""
+
+  /** Curriculum / domain-interleaved training order: rank documents within
+    * each domain (by a quality/difficulty score descending, id tiebreak),
+    * and emit the lexicographic training key `(round, domain_idx)` — round
+    * r of the curriculum takes each domain's r-th best document, so domains
+    * interleave 1:1 and quality decays smoothly over the run (the standard
+    * curriculum/annealing layout; cf. DoReMi-style staged mixtures).
+    * `global_pos` = (round−1)·|domains| + domain_idx is exact while every
+    * domain still has documents and leaves deterministic GAPS after short
+    * domains exhaust — readers order by the key, so gaps are harmless (and
+    * a gapless global row_number would be a single-partition sort at
+    * 100 TB, which is exactly what this avoids).
+    *
+    * Scale: ONE domain-keyed window shuffle for the rank; the domain index
+    * is a |domains|-row window broadcast back. No global sort anywhere.
+    */
+  def curriculumInterleave(docs: DataFrame, idCol: String, domainCol: String,
+                           scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDomain = Window.partitionBy(col(domainCol))
+      .orderBy(scoreCol.desc, col(idCol))
+    val domIdx = docs.select(col(domainCol)).distinct()
+      .withColumn("domain_idx", row_number().over(
+        Window.orderBy(col(domainCol))).cast("long"))
+      .withColumn("n_doms",
+        count(lit(1)).over(Window.partitionBy()).cast("long"))
+    docs.select(col(idCol), col(domainCol), scoreCol.as("score"))
+      .withColumn("round", row_number().over(perDomain).cast("long"))
+      .join(broadcast(domIdx), Seq(domainCol))
+      .withColumn("global_pos",
+        (col("round") - lit(1L)) * col("n_doms") + col("domain_idx"))
+      .select(col(idCol), col(domainCol), col("round"), col("domain_idx"),
+        col("global_pos"))
+  }
+
+  /** DuckDB oracle replaying [[curriculumInterleave]]. */
+  def curriculumInterleaveOracleSql(table: String, idCol: String,
+                                    domainCol: String,
+                                    scoreExpr: String): String =
+    s"""WITH d AS (SELECT $idCol, $domainCol, $scoreExpr AS score FROM $table),
+       di AS (SELECT $domainCol,
+                CAST(row_number() OVER (ORDER BY $domainCol) AS BIGINT)
+                  AS domain_idx,
+                count(*) OVER () AS n_doms
+              FROM (SELECT DISTINCT $domainCol FROM d) x),
+       r AS (SELECT $idCol, $domainCol,
+               CAST(row_number() OVER (PARTITION BY $domainCol
+                 ORDER BY score DESC, $idCol) AS BIGINT) AS round
+             FROM d)
+       SELECT r.$idCol, r.$domainCol, r.round, di.domain_idx,
+         (r.round - 1) * di.n_doms + di.domain_idx AS global_pos
+       FROM r JOIN di USING ($domainCol)
+       ORDER BY r.$idCol"""
+
+  /** DuckDB oracle replaying [[unimaxAllocation]] — identical windows,
+    * identical integer division. */
+  def unimaxAllocationOracleSql(table: String, langCol: String,
+                                tokensExpr: String, budget: Long,
+                                epochCap: Int): String =
+    s"""WITH s AS (SELECT $langCol, CAST(sum($tokensExpr) AS BIGINT) AS supply
+             FROM $table GROUP BY 1),
+       r AS (SELECT $langCol, supply, supply * $epochCap AS cap,
+               row_number() OVER (ORDER BY supply, $langCol) AS rn,
+               sum(supply * $epochCap) OVER (ORDER BY supply, $langCol
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               count(*) OVER () AS n
+             FROM s),
+       f AS (SELECT *, cap * (n - rn + 1) <= $budget - (cum - cap) AS fits
+             FROM r),
+       k AS (SELECT *,
+               rn < coalesce(min(CASE WHEN NOT fits THEN rn END) OVER (), n + 1)
+                 AS capped
+             FROM f),
+       m AS (SELECT *,
+               max(CASE WHEN capped THEN cum ELSE 0 END) OVER () AS cap_mass,
+               sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) OVER () AS n_uncapped
+             FROM k)
+       SELECT $langCol, supply AS supply_tokens, capped,
+         CAST(CASE WHEN capped THEN cap
+              ELSE ($budget - cap_mass) // n_uncapped END AS BIGINT)
+           AS alloc_tokens,
+         CAST(CASE WHEN capped THEN cap
+              ELSE ($budget - cap_mass) // n_uncapped END AS BIGINT)
+           * 1000000 // supply AS epochs_micro
+       FROM m ORDER BY $langCol"""
 }
