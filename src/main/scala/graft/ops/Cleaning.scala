@@ -178,7 +178,9 @@ object Cleaning {
     * injected verbatim (they are Java∩RE2-portable by construction). */
   def piiReportOracleSql(table: String, sourceCol: String,
                          textExpr: String): String = {
-    def esc(p: String) = p.replace("\\", "\\\\").replace("'", "''")
+    // DuckDB '...' literals are NOT backslash-escape-processed, so the
+    // regex backslashes pass through verbatim — only quotes need doubling
+    def esc(p: String) = p.replace("'", "''")
     s"""WITH d AS (SELECT $sourceCol,
            len(regexp_extract_all($textExpr, '${esc(TextFns.emailPattern)}')) AS e,
            len(regexp_extract_all($textExpr, '${esc(TextFns.phonePattern)}')) AS p

@@ -602,8 +602,10 @@ object Sampling {
   def curriculumInterleave(docs: DataFrame, idCol: String, domainCol: String,
                            scoreCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // rank over the PROJECTED score column: scoreCol may reference inputs
+    // (e.g. the text) that the narrowed frame below no longer carries
     val perDomain = Window.partitionBy(col(domainCol))
-      .orderBy(scoreCol.desc, col(idCol))
+      .orderBy(col("score").desc, col(idCol))
     val domIdx = docs.select(col(domainCol)).distinct()
       .withColumn("domain_idx", row_number().over(
         Window.orderBy(col(domainCol))).cast("long"))

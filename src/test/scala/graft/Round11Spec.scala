@@ -179,3 +179,103 @@ class UnimaxSpec extends SparkSpec {
     assert(got("only") == (("only", false, 500L, 500000L)))
   }
 }
+
+class TemperatureMixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("alpha=1 is proportional; integer share math sums under budget") {
+    val docs = Seq(("a", 100L), ("b", 300L)).toDF("lang", "n")
+    val got = Sampling.temperatureMixture(docs, "lang", col("n"), 1000L, 1.0)
+      .select("lang", "weight_micro", "target_tokens")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // weights rel to max: a=1/3 → 333333, b=1e6
+    assert(got("a") == (("a", 333333L, 1000L * 333333L / 1333333L)))
+    assert(got("b") == (("b", 1000000L, 1000L * 1000000L / 1333333L)))
+  }
+
+  test("small alpha flattens the head toward uniform") {
+    val docs = Seq(("a", 100L), ("b", 10000L)).toDF("lang", "n")
+    def share(alpha: Double) = {
+      val m = Sampling.temperatureMixture(docs, "lang", col("n"), 1000L, alpha)
+        .select("lang", "target_tokens").as[(String, Long)].collect().toMap
+      m("a").toDouble / (m("a") + m("b"))
+    }
+    assert(share(0.2) > share(0.7) && share(0.7) > 0.0)
+  }
+}
+
+class CurriculumInterleaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-robin by rank: round r takes each domain's r-th best") {
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 90L), (3L, "b", 10L), (4L, "b", 70L),
+      (5L, "b", 30L)).toDF("id", "dom", "score")
+    val got = Sampling.curriculumInterleave(docs, "id", "dom", col("score"))
+      .select("id", "round", "domain_idx", "global_pos")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // a: 2 (90) rank1, 1 (50) rank2; b: 4 (70) rank1, 5 (30) rank2, 3 rank3
+    assert(got(2L) == ((2L, 1L, 1L, 1L)) && got(4L) == ((4L, 1L, 2L, 2L)))
+    assert(got(1L) == ((1L, 2L, 1L, 3L)) && got(5L) == ((5L, 2L, 2L, 4L)))
+    assert(got(3L) == ((3L, 3L, 2L, 6L))) // gap at pos 5: domain a exhausted
+  }
+
+  test("score ties break by id — deterministic across runs") {
+    val docs = Seq((7L, "a", 5L), (3L, "a", 5L)).toDF("id", "dom", "score")
+    val got = Sampling.curriculumInterleave(docs, "id", "dom", col("score"))
+      .select("id", "round").as[(Long, Long)].collect().toMap
+    assert(got(3L) == 1L && got(7L) == 2L)
+  }
+}
+
+class PiiReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-source doc and span counts; clean sources report zeros") {
+    val docs = Seq(
+      ("a", "mail me at x@y.org or z@w.io thanks"),
+      ("a", "call +1 555-0100 now"),
+      ("a", "nothing here"),
+      ("b", "clean text")).toDF("source", "text")
+    val got = graft.ops.Cleaning.piiReport(docs, "source", "text")
+      .select("source", "n_docs", "docs_with_email", "docs_with_phone",
+        "n_emails", "n_phones")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 1L, 1L, 2L, 1L)))
+    assert(got("b") == (("b", 1L, 0L, 0L, 0L, 0L)))
+  }
+}
+
+class BoilerplateIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a", "unique one\nshared banner line"),
+    (2L, "a", "unique two\nshared banner line"),
+    (3L, "a", "unique three\nshared banner line"),
+    (4L, "b", "unique four\nother chrome line"),
+    (5L, "b", "unique five\nother chrome line")).toDF("id", "source", "text")
+
+  test("blind-append fold over batches equals a full rebuild") {
+    val h0 = docs.where(col("id") % 2 === 0)
+    val h1 = docs.where(col("id") % 2 === 1)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Cleaning.boilerplateCounts(df, "id", "text", "source",
+        minLineLen = 5, buckets = 4)
+    val stored = counts(h0).unionByName(counts(h1))
+    val storedN = graft.ops.Cleaning.sourceDocCounts(h0, "source", 0L)
+      .unionByName(graft.ops.Cleaning.sourceDocCounts(h1, "source", 1L))
+    val folded = graft.ops.Cleaning.boilerplateFold(stored, storedN,
+        "source", minFrac = 0.6, minDocs = 2L)
+      .select("source", "line", "df", "n_docs")
+      .as[(String, String, Long, Long)].collect().toSet
+    val rebuilt = graft.ops.Cleaning.boilerplateLines(docs, "id", "text",
+        "source", minFrac = 0.6, minDocs = 2L, minLineLen = 5)
+      .select("source", "line", "df", "n_docs")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(folded == rebuilt && folded.nonEmpty)
+    assert(folded == Set(("a", "shared banner line", 3L, 3L),
+                         ("b", "other chrome line", 2L, 2L)))
+  }
+}
