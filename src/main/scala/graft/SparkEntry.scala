@@ -1346,6 +1346,113 @@ object SparkEntry {
       ApproxDedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: SimHash near-dup PAIRS (Manku WWW'07) — Hamming ≤ 3
+    // via a 4-band (16/16/16/15-bit) pigeonhole equi-join, EXACT at that
+    // radius, never all-pairs; verify = one codegen'd bit_count(xor).
+    // Guaranteed signal: every 41st doc gains a doubled-text twin — simhash
+    // is scale-invariant under repetition (every bit sum doubles, no sign
+    // change), so the twin sits at Hamming 0 while exact dedup misses it.
+    "q_simhash_near_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val doubled = docs.where(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+      ApproxDedup.simhashNearDups(docs.unionByName(doubled),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ── LLM-pipeline: asymmetric shingle-CONTAINMENT pairs — near-superset
+    // detection (quotes/aggregators/excerpts whose symmetric Jaccard stays
+    // low). Boilerplate shingles (> 20 docs) drop before the self-join;
+    // score = exact integer micro-units. Guaranteed signal: every 23rd doc
+    // gains a 12-token-prefix excerpt, fully contained in its parent.
+    "q_containment_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val excerpts = docs.where(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 12)).as("text"))
+      ApproxDedup.containmentPairs(docs.unionByName(excerpts),
+          "doc_id", "text", n = 3, thresholdMicro = 800000L,
+          maxDocsPerShingle = 20)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ── LLM-pipeline: HTML → text extraction (the C4/CommonCrawl step) —
+    // script/style/comment spans drop, tags strip, common entities decode
+    // (&amp; last: single-pass semantics), whitespace collapses. Documents
+    // are wrapped in a deterministic HTML template in-query; the oracle
+    // renders the IDENTICAL chain via TextFns.htmlToTextSqlExpr.
+    "q_html_extract" -> ((s, d) => {
+      val html = concat(
+        lit("<html><head><title>T</title><style type=\"text/css\">p { color: red; }</style></head><body><!-- header nav --><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1> <p>"), col("text"),
+        lit("</p> <script>if (a &amp;&amp; b) { run(); }</script><div class=\"footer\">&quot;Fin&quot; &amp; &lt;end&gt;&nbsp;&#39;ok&#39;</div></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.htmlToText(html).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: exact ROC AUC of a quality signal against a binary
+    // label (Mann-Whitney with average-rank ties, doubled-rank integer
+    // arithmetic) — here the en-stopword-hit signal scored as an English
+    // detector. Corpus collapses to |distinct score| rows before the one
+    // tiny rank window; single-row output.
+    "q_signal_auc" -> ((s, d) =>
+      graft.ops.Evaluation.signalAuc(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("int").as("lbl"),
+          TextFns.stopwordHits(col("text"), "en").as("score")),
+        "lbl", "score")),
+
+    // ── LLM-pipeline: reliability-diagram calibration bins — per-bin count,
+    // mean predicted micro-score, observed positive rate; ONE map-combined
+    // aggregate, all integer columns.
+    "q_calibration_bins" -> ((s, d) =>
+      graft.ops.Evaluation.calibrationBins(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("int").as("lbl"),
+          (TextFns.qualityScore(col("text")) * 1000000).cast("long")
+            .as("score_micro")),
+        "lbl", "score_micro", nBins = 5)
+        .orderBy(col("bin"))),
+
+    // ── LLM-pipeline: per-document language-consistency audit (the
+    // code-switching filter): per-line langId → majority language +
+    // fraction + distinct-language count. Docs gain one English line
+    // always and one Spanish line for every 5th id, so mixed and
+    // consistent branches both exercise.
+    "q_lang_mix" -> ((s, d) => {
+      val docsML = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nthe quick brown fox is on the hill and it is fine"),
+          when(col("doc_id") % 5 === 0,
+            lit("\nel perro es un animal y la casa es de madera"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Cleaning.langMix(docsML, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: tracking-parameter strip (utm_*/gclid/fbclid/…) —
+    // the second URL-canonicalization step before URL-keyed crawl dedup;
+    // backreference-free (literal ? → ?& anchoring) so Java regex and RE2
+    // run the identical rewrite. URLs synthesized deterministically with
+    // kept params, all-tracking queries, and fragments to exercise every
+    // separator-cleanup branch.
+    "q_url_strip_tracking" -> ((s, d) => {
+      val raw = concat(
+        lit("https://www."), col("source"), lit(".example.com/a/"),
+        col("doc_id").cast("string"),
+        lit("?utm_source=news&utm_campaign="), col("source"),
+        when(col("doc_id") % 2 === 0, lit("&page=2")).otherwise(lit("")),
+        lit("&fbclid=IwAR12345"),
+        when(col("doc_id") % 3 === 0, lit("#Frag")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.stripTrackingParams(raw).as("url_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup: SRP band buckets → equi-join candidates →
     // exact cosine verify; oracle replays the whole pipeline from the same
     // hyperplanes.
@@ -3432,6 +3539,76 @@ object SparkEntry {
 
     "q_simhash_signatures" ->
       ApproxDedup.simhashOracleSql("documents", "doc_id", "text"),
+
+    "q_simhash_near_dups" ->
+      ApproxDedup.simhashNearDupsOracleSql(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text || ' ' || text AS text
+           FROM documents WHERE doc_id % 41 = 0) AS d2""",
+        "doc_id", "text", maxHamming = 3),
+
+    "q_containment_pairs" ->
+      ApproxDedup.containmentPairsOracleSql(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id,
+             array_to_string((string_split_regex(trim(text), '\s+'))[1:12], ' ') AS text
+           FROM documents WHERE doc_id % 23 = 0) AS d2""",
+        "doc_id", "text", n = 3, thresholdMicro = 800000L,
+        maxDocsPerShingle = 20),
+
+    "q_html_extract" -> {
+      val htmlExpr =
+        """'<html><head><title>T</title><style type="text/css">p { color: red; }</style></head><body><!-- header nav --><h1>Doc '
+           || CAST(doc_id AS VARCHAR) || '</h1> <p>' || text ||
+           '</p> <script>if (a &amp;&amp; b) { run(); }</script><div class="footer">&quot;Fin&quot; &amp; &lt;end&gt;&nbsp;&#39;ok&#39;</div></body></html>'"""
+          .linesIterator.map(_.trim).mkString(" ")
+      s"""SELECT doc_id, ${TextFns.htmlToTextSqlExpr(s"($htmlExpr)")} AS text_clean
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q_signal_auc" ->
+      graft.ops.Evaluation.signalAucOracleSql("documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        """len(list_intersect(string_split_regex(trim(lower(text)), '\s+'),
+           ['the','a','of','and','to','in','is','it','that','for']))"""
+          .linesIterator.map(_.trim).mkString(" ")),
+
+    "q_calibration_bins" ->
+      graft.ops.Evaluation.calibrationBinsOracleSql("documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        """(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 250000 ELSE 0 END
+          + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                  AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                 THEN 250000 ELSE 0 END
+          + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                      / greatest(length(text),1)::DOUBLE <= 0.1 THEN 250000 ELSE 0 END
+          + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                     ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                 THEN 250000 ELSE 0 END)"""
+          .linesIterator.map(_.trim).mkString(" "),
+        nBins = 5),
+
+    "q_lang_mix" ->
+      graft.ops.Cleaning.langMixOracleSql("documents", "doc_id",
+        """(text || chr(10) || 'the quick brown fox is on the hill and it is fine'
+           || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'el perro es un animal y la casa es de madera'
+              ELSE '' END)"""
+          .linesIterator.map(_.trim).mkString(" ")),
+
+    "q_url_strip_tracking" -> {
+      val urlExpr =
+        """('https://www.' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=news&utm_campaign=' || source
+           || CASE WHEN doc_id % 2 = 0 THEN '&page=2' ELSE '' END
+           || '&fbclid=IwAR12345'
+           || CASE WHEN doc_id % 3 = 0 THEN '#Frag' ELSE '' END)"""
+          .linesIterator.map(_.trim).mkString(" ")
+      s"""SELECT doc_id, ${TextFns.stripTrackingParamsSqlExpr(urlExpr)} AS url_clean
+         FROM documents ORDER BY doc_id"""
+    },
 
     "q_embedding_near_dups" ->
       ApproxDedup.embeddingNearDupsOracleSql("embeddings", "vec_id", "embedding",

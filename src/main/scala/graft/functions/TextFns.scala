@@ -138,6 +138,79 @@ object TextFns {
       }
     }
 
+  /** Tracking-parameter names stripped by [[stripTrackingParams]] — the
+    * usual analytics/click identifiers that fragment URL-keyed dedup (the
+    * same crawl page appears under thousands of distinct `utm_` URLs). */
+  val trackingParamPattern: String =
+    "utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid"
+
+  /** Strip tracking query parameters (`utm_*`, `gclid`, `fbclid`, …) —
+    * the second canonicalization step after [[normalizeUrl]] for URL-keyed
+    * crawl dedup. Backreference-free by construction so the identical
+    * rewrite runs under Java regex and RE2: the literal `?` → `?&` rewrite
+    * gives every parameter an explicit `&` anchor (no lookbehind needed),
+    * anchored params are dropped, and the separators tidy back up with
+    * literal replaces. Assumes one `?` per URL (the RFC 3986 shape). */
+  def stripTrackingParams(url: Column): Column = {
+    val anchored = call_function("replace", url, lit("?"), lit("?&"))
+    val dropped  = regexp_replace(anchored,
+      s"&($trackingParamPattern)=[^&#]*", "")
+    val restored = call_function("replace", dropped, lit("?&"), lit("?"))
+    val noEmptyQ = call_function("replace", restored, lit("?#"), lit("#"))
+    regexp_replace(noEmptyQ, "\\?$", "")
+  }
+
+  /** HTML → text extraction (the C4/CommonCrawl preprocessing step): drop
+    * `<script>`/`<style>` payloads and comments, strip the remaining tags,
+    * decode the common character entities, collapse whitespace. A pure
+    * codegen'd regexp pipeline on the scan — Java∩RE2-portable syntax
+    * (non-greedy spans, inline `(?is)` flags; no backrefs/lookaround), so
+    * an ANSI oracle replays the rewrite verbatim. Entity order matters:
+    * `&amp;` decodes LAST so `&amp;lt;` yields literal `&lt;` (single-pass
+    * decode), never `<`. */
+  def htmlToText(html: Column): Column = {
+    val noScript  = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags    = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Renders [[stripTrackingParams]] as an ANSI SQL expression over
+    * `inner` — the oracle side of the rewrite, kept NEXT to the Spark side
+    * so the two chains cannot drift apart. */
+  def stripTrackingParamsSqlExpr(inner: String): String = {
+    val anchored = s"replace($inner, '?', '?&')"
+    val dropped =
+      s"regexp_replace($anchored, '&($trackingParamPattern)=[^&#]*', '', 'g')"
+    val restored = s"replace($dropped, '?&', '?')"
+    val noEmptyQ = s"replace($restored, '?#', '#')"
+    s"regexp_replace($noEmptyQ, '\\?$$', '', 'g')"
+  }
+
+  /** Renders [[htmlToText]] as an ANSI SQL expression over `inner` — the
+    * identical regexp/replace chain (entity order included), colocated so
+    * oracle parity is structural. */
+  def htmlToTextSqlExpr(inner: String): String = {
+    val noScript =
+      s"regexp_replace($inner, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    val noStyle =
+      s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '<[^>]*>', ' ', 'g')"
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        s"replace($c, '$from', '$to')"
+      }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
   /** Host part of a (normalized or raw) URL, lowercased. */
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "://([^/:?#]+)", 1))

@@ -696,20 +696,154 @@ object ApproxDedup {
 
   /** DuckDB oracle reproducing [[simhash]] bit-for-bit from md5 digests. */
   def simhashOracleSql(table: String, idCol: String, textCol: String,
-                       bits: Int = 63): String = {
+                       bits: Int = 63): String =
+    s"""WITH ${simhashSigCtes(table, idCol, textCol, bits)}
+       SELECT $idCol, simhash FROM sig ORDER BY $idCol"""
+
+  /** The [[simhash]] signature as a CTE chain ending in
+    * `sig(idCol, simhash)` — shared by the signature and near-dup oracles
+    * so the bit formula lives in exactly one place. */
+  private def simhashSigCtes(table: String, idCol: String, textCol: String,
+                             bits: Int): String = {
     val bitSums = (0 until bits).map { j =>
       s"""SUM(CASE WHEN (instr('0123456789abcdef', substring(h, ${j / 4 + 1}, 1)) - 1) & ${1 << (j % 4)} != 0 THEN 1 ELSE -1 END) AS b$j"""
     }.mkString(", ")
-    val sig = (0 until bits).map { j =>
+    val sigExpr = (0 until bits).map { j =>
       s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
          SELECT $idCol, unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS t
          FROM $table),
        h AS (SELECT $idCol, md5(t) AS h FROM tok),
-       b AS (SELECT $idCol, $bitSums FROM h GROUP BY $idCol)
-       SELECT $idCol, $sig AS simhash FROM b ORDER BY $idCol"""
+       b AS (SELECT $idCol, $bitSums FROM h GROUP BY $idCol),
+       sig AS (SELECT $idCol, $sigExpr AS simhash FROM b)"""
   }
+
+  /** SimHash near-dup pairs: documents whose 63-bit [[simhash]] signatures
+    * differ in at most `maxHamming` bits — the web-crawl near-dup detector
+    * of Manku, Jain & Das Sarma (WWW '07). Candidates come from an
+    * equi-join on FOUR signature bands (16+16+16+15 bits): by pigeonhole,
+    * any pair within Hamming distance 3 agrees exactly on at least one
+    * band, so the banded join is EXACT for maxHamming ≤ 3 — zero misses,
+    * never all-pairs. The verify is one codegen'd `bit_count(xor)` per
+    * candidate.
+    *
+    * Scale: the only corpus-sized work is [[simhash]]'s single keyed
+    * shuffle; the band join then moves 4 narrow rows per document. A
+    * template-heavy corpus can make a band bucket hot, but those
+    * collisions already agree on ≥15 signature bits — overwhelmingly true
+    * near-dups — and the MinHash path's hot-bucket cap pattern applies
+    * unchanged if a pathological corpus needs it. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming in [0, 3]: 4 bands over 63 bits guarantee exactness only there")
+    val sig = simhash(docs, idCol, textCol)
+    val bandVals = array(
+      col("simhash").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("simhash"), 48).bitwiseAND(lit(0x7FFFL)))
+    val banded = sig.select(col(idCol), col("simhash"),
+      posexplode(bandVals).as(Seq("band", "bv")))
+    val l = banded.select(col(idCol).as("id1"), col("simhash").as("h1"),
+      col("band"), col("bv"))
+    val r = banded.select(col(idCol).as("id2"), col("simhash").as("h2"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB oracle replaying [[simhashNearDups]] — the shared signature
+    * CTEs, the same 16/16/16/15 band split, `bit_count(xor)` verify. */
+  def simhashNearDupsOracleSql(table: String, idCol: String, textCol: String,
+                               maxHamming: Int): String =
+    s"""WITH ${simhashSigCtes(table, idCol, textCol, 63)},
+       band AS (
+         SELECT $idCol, simhash, bb,
+           CASE WHEN bb = 3 THEN (simhash >> 48) & 32767
+                ELSE (simhash >> (16 * bb)) & 65535 END AS bv
+         FROM sig, (SELECT unnest(generate_series(0, 3)) AS bb)),
+       cand AS (
+         SELECT DISTINCT l.$idCol AS id1, r.$idCol AS id2,
+           l.simhash AS h1, r.simhash AS h2
+         FROM band l JOIN band r ON l.bb = r.bb AND l.bv = r.bv
+         WHERE l.$idCol < r.$idCol)
+       SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+       FROM cand
+       WHERE bit_count(xor(h1, h2)) <= $maxHamming
+       ORDER BY id1, id2"""
+
+  /** Asymmetric shingle-CONTAINMENT pairs — near-superset detection
+    * (Broder '97's containment c(A,B) = |S(A)∩S(B)| / |S(A)|): ordered
+    * document pairs where at least `thresholdMicro` millionths of A's
+    * word n-gram shingles also occur in B. Catches what symmetric Jaccard
+    * misses: quoted articles, aggregator pages, and boilerplate-expanded
+    * copies where the smaller document is swallowed whole but the pair's
+    * union is large.
+    *
+    * Containment is computed over the INFORMATIVE shingle space: shingles
+    * occurring in more than `maxDocsPerShingle` documents (corpus
+    * boilerplate) drop before the self-join. That bounds the per-shingle
+    * join fanout at maxDocsPerShingle² (configuration, not data — the
+    * winnowing-pairs discipline) and keeps ubiquitous phrases from
+    * inflating every pair's overlap; scores are containment within the
+    * informative space, a documented semantic, not an approximation of
+    * the raw ratio. Shingles travel as 60-bit md5 keys; the score is an
+    * exact integer micro-unit division, so the SQL oracle replays it
+    * bit-for-bit. Output one row PER DIRECTION (id1 contained in id2). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, thresholdMicro: Long,
+                       maxDocsPerShingle: Int): DataFrame = {
+    require(n >= 1 && thresholdMicro >= 0 && maxDocsPerShingle >= 2,
+      "bad containment parameters")
+    val sh = docs.select(col(idCol),
+        explode(array_distinct(
+          TextFns.wordShingles(lower(col(textCol)), n))).as("s"))
+      .select(col(idCol), TextFns.md5Long60(col("s")).as("h"))
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxDocsPerShingle).select(col("h"))
+    val pruned = sh.join(rare, Seq("h"))
+    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pruned.select(col("h"), col(idCol).as("id1"))
+      .join(pruned.select(col("h"), col(idCol).as("id2")), Seq("h"))
+      .where(col("id1") =!= col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter.join(sizes.withColumnRenamed(idCol, "id1"), Seq("id1"))
+      .withColumn("containment_micro", expr("inter * 1000000L div sz"))
+      .where(col("containment_micro") >= thresholdMicro)
+      .select(col("id1"), col("id2"), col("containment_micro"))
+  }
+
+  /** DuckDB oracle replaying [[containmentPairs]] — identical shingle
+    * hashing, boilerplate prune, and integer micro-unit division. */
+  def containmentPairsOracleSql(table: String, idCol: String, textCol: String,
+                                n: Int, thresholdMicro: Long,
+                                maxDocsPerShingle: Int): String =
+    s"""WITH tok AS (
+         SELECT $idCol AS id, string_split_regex(trim(lower($textCol)), '\\s+') AS t
+         FROM $table),
+       u AS (
+         SELECT DISTINCT id,
+           CAST(('0x' || substring(md5(array_to_string(t[j:j+${n - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+         FROM tok, unnest(generate_series(1, len(t) - ${n - 1})) AS s(j)
+         WHERE len(t) >= $n),
+       rare AS (SELECT h FROM u GROUP BY h HAVING count(*) <= $maxDocsPerShingle),
+       p AS (SELECT id, h FROM u JOIN rare USING (h)),
+       sz AS (SELECT id, count(*) AS sz FROM p GROUP BY id),
+       i AS (
+         SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+         FROM p a JOIN p b ON a.h = b.h AND a.id <> b.id
+         GROUP BY 1, 2)
+       SELECT id1, id2,
+         CAST(inter AS BIGINT) * 1000000 // CAST(sz AS BIGINT) AS containment_micro
+       FROM i JOIN sz ON sz.id = i.id1
+       WHERE CAST(inter AS BIGINT) * 1000000 // CAST(sz AS BIGINT) >= $thresholdMicro
+       ORDER BY id1, id2"""
 
   /** Embedding-cosine near-dup pairs: SRP signatures (shared hyperplanes
     * with [[SimilaritySearch]]) banded into `bands` buckets; candidates

@@ -287,4 +287,77 @@ object Cleaning {
          CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
          CAST(n.n_lines - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
        FROM n LEFT JOIN reb USING ($idCol) ORDER BY n.$idCol"""
+
+  /** Per-document language-consistency audit — the code-switching filter
+    * multilingual pipelines run before language-bucketed curation (CCNet
+    * splits by page-level LID; a page whose LINES disagree is navigation
+    * chrome, a boilerplate sandwich, or genuine code-switching, and gets
+    * routed to review rather than poisoning one language's bucket).
+    *
+    * Per non-blank line: [[TextFns.langId]]. Per document: line count,
+    * distinct predicted languages, the majority language (ties broken by
+    * the lexicographically LARGEST code via a zero-padded count∥lang max
+    * key — one string max, engine-portable), and the majority fraction in
+    * exact micro-units.
+    *
+    * Scale: one explode ∝ lines + two map-side-combined aggregates keyed
+    * by (id, lang) then id; text leaves the scan only as (id, lang) pairs.
+    */
+  def langMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("line"))
+      .where(length(trim(col("line"))) > 0)
+      .select(col(idCol), TextFns.langId(col("line")).as("lang"))
+    val perLang = lines.groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    perLang.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_lines"),
+        count(lit(1)).as("n_langs"),
+        max(concat(lpad(col("c").cast("string"), 9, "0"), col("lang")))
+          .as("mk"))
+      .select(col(idCol), col("n_lines"), col("n_langs"),
+        col("mk").substr(lit(10), lit(8)).as("majority_lang"),
+        expr("CAST(substring(mk, 1, 9) AS LONG) * 1000000L div n_lines")
+          .as("majority_micro"))
+  }
+
+  /** The [[TextFns.langId]] CASE chain as a SQL expression over a line
+    * column named `line` — shared by the [[langMix]] oracle (and kept in
+    * sync with the stopword tables in TextFns). */
+  private def langIdCaseSql: String = {
+    val langs = TextFns.stopwords.toSeq.sortBy(_._1)
+    val hits = langs.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect(string_split_regex(trim(lower(line)), '\\s+'), [$arr])) AS h_$l"
+    }.mkString(",\n             ")
+    val codes = langs.map(_._1)
+    val best = codes.init.zipWithIndex.map { case (l, i) =>
+      val rest = codes.drop(i + 1).map(r => s"h_$l >= h_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n             ")
+    s"""(SELECT CASE
+             WHEN greatest(${codes.map("h_" + _).mkString(", ")}) = 0 THEN 'und'
+             $best
+             ELSE '${codes.last}' END
+           FROM (SELECT $hits) AS __h)"""
+  }
+
+  /** DuckDB oracle replaying [[langMix]] over `textExpr`. */
+  def langMixOracleSql(table: String, idCol: String, textExpr: String): String =
+    s"""WITH lines AS (
+         SELECT $idCol, trim(l) AS lt, l AS line
+         FROM (SELECT $idCol, unnest(string_split($textExpr, chr(10))) AS l
+               FROM $table) x
+         WHERE length(trim(l)) > 0),
+       lid AS (SELECT $idCol, $langIdCaseSql AS lang FROM lines),
+       pl AS (SELECT $idCol, lang, count(*) AS c FROM lid GROUP BY 1, 2),
+       agg AS (SELECT $idCol,
+                 CAST(sum(c) AS BIGINT) AS n_lines,
+                 count(*) AS n_langs,
+                 max(lpad(CAST(c AS VARCHAR), 9, '0') || lang) AS mk
+               FROM pl GROUP BY 1)
+       SELECT $idCol, n_lines, n_langs,
+         substring(mk, 10, 8) AS majority_lang,
+         CAST(substring(mk, 1, 9) AS BIGINT) * 1000000 // n_lines AS majority_micro
+       FROM agg ORDER BY $idCol"""
 }

@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.ops.ApproxDedup
+
+/** Round-12 operators: SimHash Hamming-ball near-dup pairs, asymmetric
+  * shingle containment, HTML text extraction, tracking-param stripping. */
+class SimhashNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical docs pair at hamming 0; unrelated docs do not pair") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "entirely different subject matter about spark catalyst planning optimizer rules"
+    ).toDF("id", "text")
+    val pairs = ApproxDedup.simhashNearDups(docs, "id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash is scale-invariant under full-text repetition (doc vs doc∥doc)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(1L -> base, 2L -> s"$base $base").toDF("id", "text")
+    val pairs = ApproxDedup.simhashNearDups(docs, "id", "text", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("pairs found via multiple bands emit once") {
+    val docs = Seq(1L -> "x y z", 2L -> "x y z").toDF("id", "text")
+    val pairs = ApproxDedup.simhashNearDups(docs, "id", "text").collect()
+    assert(pairs.length == 1)
+  }
+
+  test("maxHamming outside the pigeonhole-exact radius is rejected") {
+    val docs = Seq(1L -> "a").toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      ApproxDedup.simhashNearDups(docs, "id", "text", maxHamming = 4)
+    }
+  }
+}
+
+class ContainmentPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val parent =
+    "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+
+  test("a prefix excerpt is fully contained in its parent, not vice versa") {
+    val excerpt = "one two three four five six seven"
+    val docs = Seq(1L -> parent, 2L -> excerpt).toDF("id", "text")
+    val got = ApproxDedup.containmentPairs(docs, "id", "text",
+        n = 3, thresholdMicro = 0L, maxDocsPerShingle = 10)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // excerpt(7 tokens) has 5 trigrams, all in parent
+    assert(got((2L, 1L)) == 1000000L)
+    // parent(14 tokens) has 12 trigrams, 5 shared: 5*1e6 div 12
+    assert(got((1L, 2L)) == 5000000L / 12L)
+  }
+
+  test("threshold keeps only the contained direction") {
+    val docs = Seq(1L -> parent, 2L -> "one two three four five six seven")
+      .toDF("id", "text")
+    val got = ApproxDedup.containmentPairs(docs, "id", "text",
+        n = 3, thresholdMicro = 900000L, maxDocsPerShingle = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq.map(r => (r._1, r._2)) == Seq((2L, 1L)))
+  }
+
+  test("boilerplate shingles (over maxDocsPerShingle docs) do not create pairs") {
+    // the same 3-gram in every doc; otherwise disjoint texts
+    val docs = (1L to 5L).map(i =>
+      i -> s"call now today uniq${i}a uniq${i}b uniq${i}c uniq${i}d").toDF("id", "text")
+    val got = ApproxDedup.containmentPairs(docs, "id", "text",
+        n = 3, thresholdMicro = 1L, maxDocsPerShingle = 4)
+      .collect()
+    assert(got.isEmpty)
+  }
+}
+
+class HtmlToTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(TextFns.htmlToText(col("h")).as("t"))
+      .as[String].head()
+
+  test("tags strip, script/style/comment payloads drop, whitespace collapses") {
+    val got = extract(
+      """<html><head><style>p { color: red }</style></head>
+        |<body><!-- nav --><h1>Title</h1>
+        |<p>Hello   <b>world</b>.</p><script>var x = 1 < 2;</script></body></html>""".stripMargin)
+    // tags are replaced by a space, so `</b>.` leaves a space before the dot
+    assert(got == "Title Hello world .")
+  }
+
+  test("entities decode once, &amp; last (no double decode)") {
+    assert(extract("a &amp;lt; b") == "a &lt; b")
+    assert(extract("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp; y &amp; z") ==
+      "x <tag> \"q\" 's' y & z")
+  }
+
+  test("case-insensitive script/style with attributes") {
+    assert(extract("""A<SCRIPT type="a">ignore
+      |me</SCRIPT>B<Style media="x">s</Style>C""".stripMargin) == "A B C")
+  }
+}
+
+class StripTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(url: String): String =
+    Seq(url).toDF("u").select(TextFns.stripTrackingParams(col("u")).as("t"))
+      .as[String].head()
+
+  test("tracking params drop, kept params and fragment survive") {
+    assert(strip("https://x.com/p?utm_source=a&q=1&fbclid=z#f") ==
+      "https://x.com/p?q=1#f")
+    assert(strip("https://x.com/p?q=1&utm_campaign=c") == "https://x.com/p?q=1")
+  }
+
+  test("all-tracking query strings leave no dangling separators") {
+    assert(strip("https://x.com/p?utm_source=a&utm_medium=b") == "https://x.com/p")
+    assert(strip("https://x.com/p?gclid=1#sec") == "https://x.com/p#sec")
+  }
+
+  test("params merely containing a tracking-name substring are kept") {
+    assert(strip("https://x.com/p?xutm_source=a&q=1") ==
+      "https://x.com/p?xutm_source=a&q=1")
+  }
+
+  test("untouched URLs round-trip") {
+    assert(strip("https://x.com/p?a=1&b=2#frag") == "https://x.com/p?a=1&b=2#frag")
+    assert(strip("https://x.com/p") == "https://x.com/p")
+  }
+}
+
+class SignalAucSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  private def auc(rows: (Int, Long)*): Option[Long] = {
+    val df = rows.toDF("lbl", "score")
+    Evaluation.signalAuc(df, "lbl", "score")
+      .select("auc_micro").as[Option[Long]].head()
+  }
+
+  test("perfect separation scores 1.0; reversed scores 0.0") {
+    assert(auc(1 -> 10L, 1 -> 9L, 0 -> 2L, 0 -> 1L).contains(1000000L))
+    assert(auc(0 -> 10L, 0 -> 9L, 1 -> 2L, 1 -> 1L).contains(0L))
+  }
+
+  test("a constant score ties everything at 0.5") {
+    assert(auc(1 -> 5L, 0 -> 5L, 1 -> 5L, 0 -> 5L).contains(500000L))
+  }
+
+  test("average-rank tie handling matches the closed form") {
+    // pos scores {3, 1}, neg scores {3, 2}: pairs = (3v3 tie=0.5) + (3v2
+    // win=1) + (1v3 lose=0) + (1v2 lose=0) → 1.5/4 = 0.375
+    assert(auc(1 -> 3L, 1 -> 1L, 0 -> 3L, 0 -> 2L).contains(375000L))
+  }
+
+  test("single-class input yields null AUC") {
+    assert(auc(1 -> 3L, 1 -> 1L).isEmpty)
+  }
+}
+
+class CalibrationBinsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  test("bins partition the micro-score axis; 1e6 lands in the top bin") {
+    val df = Seq((1, 100000L), (0, 150000L), (1, 900000L), (1, 1000000L))
+      .toDF("lbl", "score_micro")
+    val got = Evaluation.calibrationBins(df, "lbl", "score_micro", nBins = 5)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 2L, 125000L, 500000L)))
+    assert(got(4) == ((4, 2L, 950000L, 1000000L)))
+    assert(got.size == 2)
+  }
+}
+
+class LangMixSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Cleaning
+
+  test("majority language, fraction, and distinct-language count") {
+    val docs = Seq(
+      1L -> "the cat is in the hat and it is fine\nthe dog is of the house\nel perro es un animal y la casa",
+      2L -> "the cat is in the hat and it is fine\n\n  \nthe dog is of the house"
+    ).toDF("id", "text")
+    val got = Cleaning.langMix(docs, "id", "text")
+      .as[(Long, Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, "en", 2000000L / 3L)))
+    // blank lines drop; doc 2 is pure English
+    assert(got(2L) == ((2L, 2L, 1L, "en", 1000000L)))
+  }
+
+  test("majority ties break to the lexicographically largest code") {
+    val docs = Seq(
+      1L -> "the cat is in the hat and it is fine\nel perro es un animal y la casa")
+      .toDF("id", "text")
+    val got = Cleaning.langMix(docs, "id", "text")
+      .as[(Long, Long, Long, String, Long)].head()
+    assert(got == ((1L, 2L, 2L, "es", 500000L)))
+  }
+}
