@@ -1418,6 +1418,31 @@ object SparkEntry {
         "lbl", "score_micro", nBins = 5)
         .orderBy(col("bin"))),
 
+    // ── LLM-pipeline: precision/recall/F1 threshold sweep — the operating
+    // point picker after AUC ranks the signal. ONE CASE-ladder aggregate
+    // pass for all thresholds; row explode happens on the single
+    // aggregated row; micro-unit ratios, null when undefined.
+    "q_pr_curve" -> ((s, d) =>
+      graft.ops.Evaluation.prCurve(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("int").as("lbl"),
+          TextFns.stopwordHits(col("text"), "en").as("score")),
+        "lbl", "score", thresholds = Seq(1L, 2L, 3L, 4L))
+        .orderBy(col("threshold"))),
+
+    // ── LLM-pipeline: embedding-corpus QA gate — dimension consistency,
+    // zero-norm vectors, norm² range per observed dim; floor-micro-units
+    // over double arithmetic in array order (engine-identical).
+    "q_embedding_qa" -> ((s, d) =>
+      graft.ops.Evaluation.embeddingQa(Tables.embeddings(s, d),
+        "vec_id", "embedding").orderBy(col("dim"))),
+
+    // ── LLM-pipeline: token frequency spectrum (count-of-counts) — the
+    // Good-Turing / vocabulary-sizing report; two map-combined aggregates.
+    "q_freq_spectrum" -> ((s, d) =>
+      graft.ops.Evaluation.freqSpectrum(Tables.documents(s, d), "text")
+        .orderBy(col("freq"))),
+
     // ── LLM-pipeline: per-document language-consistency audit (the
     // code-switching filter): per-line langId → majority language +
     // fraction + distinct-language count. Docs gain one English line
@@ -3589,6 +3614,21 @@ object SparkEntry {
                  THEN 250000 ELSE 0 END)"""
           .linesIterator.map(_.trim).mkString(" "),
         nBins = 5),
+
+    "q_pr_curve" ->
+      graft.ops.Evaluation.prCurveOracleSql("documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        """len(list_intersect(string_split_regex(trim(lower(text)), '\s+'),
+           ['the','a','of','and','to','in','is','it','that','for']))"""
+          .linesIterator.map(_.trim).mkString(" "),
+        thresholds = Seq(1L, 2L, 3L, 4L)),
+
+    "q_embedding_qa" ->
+      graft.ops.Evaluation.embeddingQaOracleSql("embeddings", "vec_id",
+        "embedding"),
+
+    "q_freq_spectrum" ->
+      graft.ops.Evaluation.freqSpectrumOracleSql("documents", "text"),
 
     "q_lang_mix" ->
       graft.ops.Cleaning.langMixOracleSql("documents", "doc_id",

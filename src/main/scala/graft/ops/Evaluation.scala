@@ -105,4 +105,135 @@ object Evaluation {
          CAST(sum(s) AS BIGINT) // count(*) AS mean_score_micro,
          CAST(sum(lbl) AS BIGINT) * 1000000 // count(*) AS pos_rate_micro
        FROM b GROUP BY bin ORDER BY bin"""
+
+  /** Precision / recall / F1 at each candidate threshold — the
+    * operating-point sweep that picks a quality gate's cutoff after
+    * [[signalAuc]] says the signal ranks and [[calibrationBins]] says the
+    * scores mean something. Predicted positive = score ≥ threshold.
+    *
+    * Scale: ONE CASE-ladder aggregate pass over the corpus produces every
+    * threshold's (tp, fp, fn) — |thresholds| longs per reducer, no
+    * per-candidate re-scan (the quality-sweep discipline); the row
+    * explode happens on the single aggregated row. All ratios are exact
+    * integer micro-units; null when undefined (no predicted positives). */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String,
+              thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val lbl = col(labelCol).cast("long")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      val pred = col(scoreCol) >= t
+      Seq(
+        sum(when(pred && lbl === 1L, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(pred && lbl === 0L, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(!pred && lbl === 1L, 1L).otherwise(0L)).as(s"fn_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"tp_$i").as("tp"),
+        col(s"fp_$i").as("fp"), col(s"fn_$i").as("fn"))
+    }: _*)
+    one.select(explode(rows).as("r")).select(col("r.*"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000L div (tp + fp)")).as("precision_micro"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000L div (tp + fn)")).as("recall_micro"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000L div (2 * tp + fp + fn)")).as("f1_micro"))
+  }
+
+  /** DuckDB oracle replaying [[prCurve]] — one aggregate pass, the same
+    * CASE ladder, per-threshold rows via UNION ALL over the single
+    * aggregated row. */
+  def prCurveOracleSql(table: String, labelExpr: String, scoreExpr: String,
+                       thresholds: Seq[Long]): String = {
+    val sums = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        s"CAST(sum(CASE WHEN score >= $t AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp_$i",
+        s"CAST(sum(CASE WHEN score >= $t AND lbl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp_$i",
+        s"CAST(sum(CASE WHEN NOT (score >= $t) AND lbl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn_$i")
+    }.mkString(",\n           ")
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      s"SELECT CAST($t AS BIGINT) AS threshold, tp_$i AS tp, fp_$i AS fp, fn_$i AS fn FROM one"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH src AS (SELECT CAST($labelExpr AS BIGINT) AS lbl,
+           $scoreExpr AS score FROM $table),
+       one AS (SELECT $sums FROM src),
+       r AS ($rows)
+       SELECT threshold, tp, fp, fn,
+         CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_micro,
+         CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END AS recall_micro,
+         CASE WHEN 2 * tp + fp + fn > 0 THEN 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micro
+       FROM r ORDER BY threshold"""
+  }
+
+  /** Embedding-corpus QA report — the sanity gate before any ANN/near-dup
+    * run over a vector column: dimension consistency, null / zero-norm
+    * vectors (cosine against a zero vector is undefined and IVF assigns
+    * them arbitrarily), and the squared-norm range. One row per observed
+    * dimensionality (a healthy corpus has exactly one).
+    *
+    * norm² is computed in double over the float-widened elements in array
+    * order — identical sequential arithmetic on any engine — and reported
+    * as floor-micro-units (floor on BOTH sides: CAST in some engines
+    * rounds, floor never does). Scale: one scan, one map-side-combined
+    * aggregate to |dims| rows; vectors never shuffle. */
+  def embeddingQa(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    emb.select(
+        when(col(vecCol).isNull, lit(-1)).otherwise(size(col(vecCol)))
+          .as("dim"),
+        when(col(vecCol).isNull, lit(null).cast("long"))
+          .otherwise(floor(norm2 * lit(1000000.0)).cast("long"))
+          .as("n2"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("n2")).as("min_norm2_micro"),
+        max(col("n2")).as("max_norm2_micro"))
+  }
+
+  /** DuckDB oracle replaying [[embeddingQa]]. */
+  def embeddingQaOracleSql(table: String, idCol: String,
+                           vecCol: String): String =
+    s"""WITH src AS (
+         SELECT CASE WHEN $vecCol IS NULL THEN -1 ELSE len($vecCol) END AS dim,
+           CASE WHEN $vecCol IS NULL THEN NULL
+             ELSE CAST(floor(list_sum(list_transform($vecCol,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1000000.0) AS BIGINT)
+           END AS n2
+         FROM $table),
+       g AS (SELECT dim, count(*) AS n_vecs,
+               CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+               min(n2) AS min_norm2_micro, max(n2) AS max_norm2_micro
+             FROM src GROUP BY dim)
+       SELECT CAST(dim AS INTEGER) AS dim, n_vecs, n_zero_norm,
+         min_norm2_micro, max_norm2_micro
+       FROM g ORDER BY dim"""
+
+  /** Token frequency SPECTRUM (count-of-counts): for each corpus frequency
+    * f, how many distinct token types occur exactly f times — the input to
+    * Good-Turing smoothing, the hapax/dis-legomena counts behind vocabulary
+    * sizing, and the quick visual check that the corpus follows Zipf
+    * (complementing the fitted slope in the Zipf report).
+    *
+    * Scale: two map-side-combined hash aggregates (corpus → |vocab| rows →
+    * |distinct frequencies| rows, which is O(√tokens) under Zipf). */
+  def freqSpectrum(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    docs.select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+  }
+
+  /** DuckDB oracle replaying [[freqSpectrum]]. */
+  def freqSpectrumOracleSql(table: String, textCol: String): String =
+    s"""WITH tok AS (
+         SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+         FROM $table),
+       v AS (SELECT token, count(*) AS freq FROM tok
+             WHERE length(token) > 0 GROUP BY token)
+       SELECT freq, count(*) AS n_types FROM v GROUP BY freq ORDER BY freq"""
 }

@@ -209,3 +209,52 @@ class LangMixSpec extends SparkSpec {
     assert(got == ((1L, 2L, 2L, "es", 500000L)))
   }
 }
+
+class PrCurveSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  test("confusion counts and micro ratios per threshold; undefined → null") {
+    // labels: pos scores {3, 1}, neg scores {2, 0}
+    val df = Seq((1, 3L), (1, 1L), (0, 2L), (0, 0L)).toDF("lbl", "score")
+    val got = Evaluation.prCurve(df, "lbl", "score", Seq(2L, 5L))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // t=2: tp=1 fp=1 fn=1 → p=.5 r=.5 f1=.5
+    assert(got(2L) == ((2L, 1L, 1L, 1L,
+      Some(500000L), Some(500000L), Some(500000L))))
+    // t=5: nothing predicted positive → precision null, recall 0
+    assert(got(5L) == ((5L, 0L, 0L, 2L, None, Some(0L), Some(0L))))
+  }
+}
+
+class EmbeddingQaSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  test("dim groups, zero-norm counting, floored micro norms") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),          // norm² = 25
+      (2L, Seq(0.0f, 0.0f)),          // zero vector
+      (3L, Seq(1.0f, 0.0f, 0.0f))     // odd dimension out
+    ).toDF("vec_id", "embedding")
+    val got = Evaluation.embeddingQa(df, "vec_id", "embedding")
+      .as[(Int, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(2) == ((2, 2L, 1L, Some(0L), Some(25000000L))))
+    assert(got(3) == ((3, 1L, 0L, Some(1000000L), Some(1000000L))))
+  }
+}
+
+class FreqSpectrumSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  test("count-of-counts over the lowercased vocabulary") {
+    val df = Seq(1L -> "a a a b b C c d").toDF("id", "text")
+    // a:3, b:2, c:2 (C lowercases), d:1 → freq 1×1, 2×2, 3×1
+    val got = Evaluation.freqSpectrum(df, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+}
