@@ -101,7 +101,18 @@ object PlanAudit {
       ("Zipf fit: the corpus appears ONCE as the token-count hash aggregate " +
        "(map-side combined); the regression runs over the V-row head — " +
        "TakeOrdered, a bounded single-partition window, one final " +
-       "single-row aggregate."))
+       "single-row aggregate."),
+    "q_simhash_near_dups" ->
+      ("SimHash Hamming-ball join: the 63-bit signature is ONE map-side- " +
+       "combined hash aggregate; candidates come from an equi-join on " +
+       "(band, bucket) over a 4-rows-per-doc band table — no cross join " +
+       "anywhere; the Hamming verify is a codegen'd bit_count(xor) " +
+       "projection on the joined rows."),
+    "q_signal_auc" ->
+      ("Exact AUC: the corpus collapses to |distinct score| rows via a " +
+       "partial hash aggregate BEFORE the single bounded rank window; the " +
+       "output is one row — nothing corpus-sized crosses an exchange " +
+       "except the score-domain aggregate itself."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

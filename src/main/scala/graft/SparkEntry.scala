@@ -65,6 +65,25 @@ object SparkEntry {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Documents plus doubled-text twins (doc_id + 1e6 for every 41st doc) —
+    * the guaranteed-signal corpus for the SimHash queries: simhash is
+    * scale-invariant under full-text repetition (every bit sum doubles, no
+    * sign change), so each twin sits at Hamming 0 from its parent while
+    * exact dedup misses it. [[simhashCorpusSql]] is the oracle-side
+    * rendering of the same union. */
+  private def simhashCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.where(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+  }
+
+  private val simhashCorpusSql: String =
+    """(SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id, text || ' ' || text AS text
+       FROM documents WHERE doc_id % 41 = 0) AS d2"""
+
   /** Synthesized multi-line pages for the boilerplate queries: each page =
     * its unique text + a per-source cookie banner (on every page of the
     * source), an even-id newsletter line (~half the pages), and a short
@@ -272,6 +291,48 @@ object SparkEntry {
            eng.getData(cSpec), eng.getData(nSpec), "source",
            minFrac = 0.6, minDocs = 2L)
          .orderBy(col("source"), col("line")))
+    }),
+
+    // Stored SimHash signature index, maintained incrementally: band rows
+    // (id, simhash, band, bv, bucket) blind-append into a bucket-clustered
+    // pipe; the probe reads ≤ 4 bucket partition dirs and verifies Hamming
+    // distance FROM THE INDEX (signatures ride in the rows — text is never
+    // re-read). Pigeonhole-exact at Hamming ≤ 3, so the oracle is the
+    // direct bit_count formula over all documents.
+    "q_simhash_index_sync" -> ((s, d) => {
+      val buckets = 16
+      val all = simhashCorpus(s, d)
+      val qid = 1000000L // the doubled-text twin of doc 0: Hamming 0 from it
+      def index(df: DataFrame) =
+        ApproxDedup.simhashBands(df, "doc_id", "text", buckets)
+      val root = java.nio.file.Files.createTempDirectory("graft_sh_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "simhash_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val store = eng.storage(spec)
+      (() => {
+        eng.sync(spec, index(all.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, index(all.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => {
+        val qRows = index(all.where(col("doc_id") === qid))
+          .select("band", "bv", "bucket", "simhash").collect()
+        val qSig = qRows.head.getAs[Long]("simhash")
+        val hit = qRows.toSeq.map(r =>
+            col("band") === r.getAs[Int]("band") && col("bv") === r.getAs[Long]("bv"))
+          .reduce(_ || _)
+        store.readIn(qRows.toSeq.map(_.getAs[Long]("bucket")).distinct)
+          .where(hit && col("doc_id") =!= qid)
+          .select(col("doc_id"),
+            bit_count(col("simhash").bitwiseXOR(lit(qSig))).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .select(least(col("doc_id"), lit(qid)).as("id1"),
+            greatest(col("doc_id"), lit(qid)).as("id2"), col("hamming"))
+          .orderBy(col("id1"), col("id2"))
+       })
     }),
 
     "q_bm25_index_sync" -> ((s, d) => {
@@ -1352,15 +1413,15 @@ object SparkEntry {
     // Guaranteed signal: every 41st doc gains a doubled-text twin — simhash
     // is scale-invariant under repetition (every bit sum doubles, no sign
     // change), so the twin sits at Hamming 0 while exact dedup misses it.
-    "q_simhash_near_dups" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val doubled = docs.where(col("doc_id") % 41 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" "), col("text")).as("text"))
-      ApproxDedup.simhashNearDups(docs.unionByName(doubled),
+    "q_simhash_near_dups" -> ((s, d) =>
+      ApproxDedup.simhashNearDups(simhashCorpus(s, d),
           "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id1"), col("id2"))
-    }),
+        .orderBy(col("id1"), col("id2"))),
+
+    // ── LLM-pipeline: the SimHash index maintained INCREMENTALLY as a
+    // stored pipe — blind-append band rows, bucket-pruned probe, Hamming
+    // verify from the index alone (see `staged`).
+    "q_simhash_index_sync" -> composed("q_simhash_index_sync"),
 
     // ── LLM-pipeline: asymmetric shingle-CONTAINMENT pairs — near-superset
     // detection (quotes/aggregators/excerpts whose symmetric Jaccard stays
@@ -3566,12 +3627,12 @@ object SparkEntry {
       ApproxDedup.simhashOracleSql("documents", "doc_id", "text"),
 
     "q_simhash_near_dups" ->
-      ApproxDedup.simhashNearDupsOracleSql(
-        """(SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, text || ' ' || text AS text
-           FROM documents WHERE doc_id % 41 = 0) AS d2""",
+      ApproxDedup.simhashNearDupsOracleSql(simhashCorpusSql,
         "doc_id", "text", maxHamming = 3),
+
+    "q_simhash_index_sync" ->
+      ApproxDedup.simhashProbeOracleSql(simhashCorpusSql,
+        "doc_id", "text", qid = 1000000L, maxHamming = 3),
 
     "q_containment_pairs" ->
       ApproxDedup.containmentPairsOracleSql(

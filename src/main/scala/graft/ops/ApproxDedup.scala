@@ -739,13 +739,8 @@ object ApproxDedup {
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming in [0, 3]: 4 bands over 63 bits guarantee exactness only there")
     val sig = simhash(docs, idCol, textCol)
-    val bandVals = array(
-      col("simhash").bitwiseAND(lit(0xFFFFL)),
-      shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)),
-      shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)),
-      shiftright(col("simhash"), 48).bitwiseAND(lit(0x7FFFL)))
     val banded = sig.select(col(idCol), col("simhash"),
-      posexplode(bandVals).as(Seq("band", "bv")))
+      posexplode(simhashBandCols(col("simhash"))).as(Seq("band", "bv")))
     val l = banded.select(col(idCol).as("id1"), col("simhash").as("h1"),
       col("band"), col("bv"))
     val r = banded.select(col(idCol).as("id2"), col("simhash").as("h2"),
@@ -757,6 +752,48 @@ object ApproxDedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** The 16/16/16/15-bit band values of a 63-bit simhash signature —
+    * shared by the pair join and the stored index so the pigeonhole split
+    * lives in one place. */
+  private def simhashBandCols(sig: Column): Column = array(
+    sig.bitwiseAND(lit(0xFFFFL)),
+    shiftright(sig, 16).bitwiseAND(lit(0xFFFFL)),
+    shiftright(sig, 32).bitwiseAND(lit(0xFFFFL)),
+    shiftright(sig, 48).bitwiseAND(lit(0x7FFFL)))
+
+  /** SimHash STORED-index rows: (id, simhash, band, bv, bucket) — four
+    * narrow rows per document, bucket = band·buckets + (bv mod buckets) so
+    * a bucket-clustered pipe has 4·buckets partition directories and a
+    * probe reads at most 4 of them. The signature rides along, so probes
+    * verify Hamming distance from the INDEX alone — text is never
+    * re-read. Folding bv into buckets only enlarges a probe's candidate
+    * set (the exact (band, bv) filter runs after the partition-pruned
+    * read), so the maxHamming ≤ 3 exactness guarantee survives storage. */
+  def simhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    simhash(docs, idCol, textCol)
+      .select(col(idCol), col("simhash"),
+        posexplode(simhashBandCols(col("simhash"))).as(Seq("band", "bv")))
+      .withColumn("bucket",
+        col("band").cast("long") * lit(buckets.toLong) +
+          pmod(col("bv"), lit(buckets.toLong)))
+  }
+
+  /** DuckDB oracle for a stored-simhash-index PROBE of one query document:
+    * because the banded probe is pigeonhole-exact at Hamming ≤ 3, the
+    * oracle is the DIRECT formula — every other document whose signature
+    * sits within `maxHamming` bits of the query's. */
+  def simhashProbeOracleSql(table: String, idCol: String, textCol: String,
+                            qid: Long, maxHamming: Int): String =
+    s"""WITH ${simhashSigCtes(table, idCol, textCol, 63)}
+       SELECT least(a.$idCol, $qid) AS id1, greatest(a.$idCol, $qid) AS id2,
+         CAST(bit_count(xor(a.simhash, q.simhash)) AS INTEGER) AS hamming
+       FROM sig a, (SELECT simhash FROM sig WHERE $idCol = $qid) q
+       WHERE a.$idCol <> $qid
+         AND bit_count(xor(a.simhash, q.simhash)) <= $maxHamming
+       ORDER BY id1, id2"""
 
   /** DuckDB oracle replaying [[simhashNearDups]] — the shared signature
     * CTEs, the same 16/16/16/15 band split, `bit_count(xor)` verify. */

@@ -258,3 +258,78 @@ class FreqSpectrumSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 }
+
+/** Plan-shape asserts for the round-12 ops — the scale claims in SURVEY
+  * §2.12, tested rather than narrated. */
+class Round12PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhashNearDups: band equi-join, never a cartesian/nested-loop join") {
+    val docs = Seq(1L -> "a b c", 2L -> "a b c", 3L -> "d e f").toDF("id", "text")
+    val plan = graft.ops.ApproxDedup.simhashNearDups(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (band, bucket) equi-join")
+  }
+
+  test("containmentPairs: shingle equi-join only, no cartesian product") {
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c").toDF("id", "text")
+    val plan = graft.ops.ApproxDedup.containmentPairs(docs, "id", "text",
+        n = 3, thresholdMicro = 0L, maxDocsPerShingle = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("htmlToText and stripTrackingParams are exchange-free scan projections") {
+    val df = Seq((1L, "<p>x</p>", "https://x.com/?utm_a=1")).toDF("id", "h", "u")
+    val plan = df.select(
+        graft.functions.TextFns.htmlToText(col("h")),
+        graft.functions.TextFns.stripTrackingParams(col("u")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
+
+/** Executional proof for the stored SimHash index: the probe reads only the
+  * query doc's ≤ 4 bucket dirs (the StoredIndexPruningSpec discipline). */
+class SimhashIndexPruningSpec extends SparkSpec {
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import graft.sync.SyncEngine
+
+  test("stored simhash band probe reads only the query doc's bucket dirs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def index(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.ApproxDedup.simhashBands(df, "doc_id", "text", buckets = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_prune_sh").toString
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("ann", "sh_prune"),
+      columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+      epochUnit = Some("minute"), chunkMinutes = 1)
+    val store = eng.storage(spec)
+    store.create(index(docs))
+    val qBuckets = index(docs.where(col("doc_id") === 45L))
+      .select(col("bucket")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(qBuckets.nonEmpty && qBuckets.size <= 4)
+    val storedDirs = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__graft_chunk="))
+        .map(_.getFileName.toString.stripPrefix("__graft_chunk=")).toSet
+    }
+    val read = store.readIn(qBuckets)
+      .select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0))
+      .map { f =>
+        val m = "__graft_chunk=([^/]+)/".r.findFirstMatchIn(f)
+        assert(m.isDefined, s"probe read a file outside any chunk dir: $f")
+        m.get.group(1)
+      }.toSet
+    assert(read == qBuckets.map(_.toString).toSet,
+      s"probe read $read, requested ${qBuckets.toSet}")
+    assert(read.size < storedDirs.size,
+      s"pruning is vacuous: index holds only ${storedDirs.size} chunk dirs")
+  }
+}
