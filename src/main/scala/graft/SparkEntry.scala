@@ -1479,6 +1479,54 @@ object SparkEntry {
         "lbl", "score_micro", nBins = 5)
         .orderBy(col("bin"))),
 
+    // ── relational: interval × interval OVERLAP join — both sides explode
+    // onto a 30-day grid, hash equi-join on the bucket id, each pair
+    // emitted exactly once (residual keeps the overlap-start bucket only).
+    // Intervals derive deterministically from orders; overlap reported as
+    // exact epoch-micro length.
+    "q_interval_overlap" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def iv(m: Int, p: String) = o.where(col("o_orderkey") % m === 0)
+        .select(col("o_orderkey").as(s"${p}_id"),
+          col("o_orderdate").as(s"${p}_lo"),
+          expr("timestampadd(DAY, CAST(o_orderkey % 60 + 1 AS INT), o_orderdate)")
+            .as(s"${p}_hi"))
+      val us = RoundTime.epochMicros _
+      graft.ops.Relational.intervalOverlapJoin(
+          iv(997, "a"), iv(991, "b"), "a_lo", "a_hi", "b_lo", "b_hi",
+          bucketWidthUs = 30L * 86400L * 1000000L)
+        .select(col("a_id"), col("b_id"),
+          (least(us(col("a_hi")), us(col("b_hi"))) -
+           greatest(us(col("a_lo")), us(col("b_lo")))).as("overlap_us"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── relational: first/last-touch attribution — per purchase, the
+    // earliest and latest click/view by the same user within 2 h before
+    // it. One entity-keyed join (window bound IN the join condition) +
+    // one min/max-struct hash aggregate; no window function.
+    "q_attribution" -> ((s, d) =>
+      graft.ops.Relational.touchAttribution(Tables.events(s, d),
+          "user_id", "ts", "event_type", "event_id",
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          windowUs = 2L * 3600L * 1000000L)
+        .orderBy(col("conv_id"))),
+
+    // ── maintenance: data-quality assertion report (expectations-suite
+    // shape) — named violation predicates in ONE aggregate pass plus the
+    // primary-key uniqueness check; per-rule counts and micro rates.
+    "q_dq_checks" -> ((s, d) =>
+      graft.ops.Maintenance.dqChecks(Tables.events(s, d),
+        Seq(
+          "value_null" -> col("value").isNull,
+          "value_negative" -> (col("value") < 0),
+          "unknown_event_type" -> !col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"),
+          "ts_out_of_range" -> (col("ts") < lit(ts("2020-01-01 00:00:00")) ||
+            col("ts") > lit(ts("2030-01-01 00:00:00")))),
+        uniqueKey = Some(Seq("event_id")))
+        .orderBy(col("rule"))),
+
     // ── LLM-pipeline: precision/recall/F1 threshold sweep — the operating
     // point picker after AUC ranks the signal. ONE CASE-ladder aggregate
     // pass for all thresholds; row explode happens on the single
@@ -3675,6 +3723,48 @@ object SparkEntry {
                  THEN 250000 ELSE 0 END)"""
           .linesIterator.map(_.trim).mkString(" "),
         nBins = 5),
+
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_id, o_orderdate AS a_lo,
+           o_orderdate + INTERVAL (o_orderkey % 60 + 1) DAY AS a_hi
+           FROM orders WHERE o_orderkey % 997 = 0),
+         b AS (SELECT o_orderkey AS b_id, o_orderdate AS b_lo,
+           o_orderdate + INTERVAL (o_orderkey % 60 + 1) DAY AS b_hi
+           FROM orders WHERE o_orderkey % 991 = 0)
+         SELECT a_id, b_id,
+           epoch_us(least(a_hi, b_hi)) - epoch_us(greatest(a_lo, b_lo)) AS overlap_us
+         FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+         ORDER BY a_id, b_id""",
+
+    "q_attribution" ->
+      """WITH conv AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+           FROM events WHERE event_type = 'purchase'),
+         tch AS (SELECT user_id, event_id AS touch_id, epoch_us(ts) AS touch_us,
+           event_type AS touch_type FROM events WHERE event_type IN ('click','view')),
+         j AS (SELECT c.user_id, c.conv_id, c.conv_us, t.touch_id, t.touch_us, t.touch_type
+           FROM conv c LEFT JOIN tch t ON c.user_id = t.user_id
+             AND t.touch_us <= c.conv_us AND t.touch_us >= c.conv_us - 7200000000),
+         j2 AS (SELECT *,
+           row_number() OVER (PARTITION BY conv_id ORDER BY touch_us ASC NULLS LAST, touch_id ASC) AS rf,
+           row_number() OVER (PARTITION BY conv_id ORDER BY touch_us DESC NULLS LAST, touch_id DESC) AS rl
+           FROM j)
+         SELECT user_id, conv_id, conv_us,
+           max(CASE WHEN rf = 1 THEN touch_id END) AS first_touch_id,
+           max(CASE WHEN rf = 1 THEN touch_type END) AS first_touch_type,
+           max(CASE WHEN rl = 1 THEN touch_id END) AS last_touch_id,
+           max(CASE WHEN rl = 1 THEN touch_type END) AS last_touch_type
+         FROM j2 GROUP BY 1, 2, 3 ORDER BY conv_id""",
+
+    "q_dq_checks" ->
+      graft.ops.Maintenance.dqChecksOracleSql("events",
+        Seq(
+          "value_null" -> "value IS NULL",
+          "value_negative" -> "value < 0",
+          "unknown_event_type" ->
+            "event_type NOT IN ('click','error','purchase','signup','view')",
+          "ts_out_of_range" ->
+            "(ts < TIMESTAMP '2020-01-01 00:00:00' OR ts > TIMESTAMP '2030-01-01 00:00:00')"),
+        uniqueKey = Some(Seq("event_id"))),
 
     "q_pr_curve" ->
       graft.ops.Evaluation.prCurveOracleSql("documents",

@@ -429,4 +429,60 @@ object Maintenance {
          $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
          FROM $table"""
     }.mkString(" UNION ALL ") + " ORDER BY col_name"
+
+  /** Data-quality assertion report (the expectations-suite shape): each
+    * rule is a named VIOLATION predicate evaluated on the scan; the report
+    * is one row per rule — violation count and exact micro-unit rate.
+    * Pass `uniqueKey` to add a `duplicate_key:<cols>` rule counting rows
+    * in excess of the distinct key count (the primary-key check, which a
+    * scan predicate cannot express).
+    *
+    * Scale: ONE aggregate pass for every scan rule (|rules| longs per
+    * reducer); the optional uniqueness rule adds the count-distinct
+    * expand. The per-rule rows explode from the single aggregated row.
+    * The release gate before a corpus ships: every count integral, rates
+    * one division at the end. */
+  def dqChecks(df: DataFrame, rules: Seq[(String, Column)],
+               uniqueKey: Option[Seq[String]] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty, "at least one rule")
+    val aggs = (count(lit(1)).as("__n") +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"__v$i")
+      }) ++ uniqueKey.map(ks =>
+        (count(lit(1)) - countDistinct(col(ks.head), ks.tail.map(col): _*))
+          .as("__vdup")).toSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val ruleRows = rules.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("rule"), col(s"__v$i").as("n_violations"))
+    } ++ uniqueKey.map(ks =>
+      struct(lit(s"duplicate_key:${ks.mkString(",")}").as("rule"),
+        col("__vdup").as("n_violations"))).toSeq
+    one.select(col("__n"), explode(array(ruleRows: _*)).as("r"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"),
+        col("__n").as("n_rows"),
+        when(col("__n") > 0,
+          expr("r.n_violations * 1000000L div __n"))
+          .otherwise(lit(null).cast("long")).as("violation_micro"))
+  }
+
+  /** DuckDB oracle replaying [[dqChecks]] — the same single-pass sums,
+    * per-rule rows via UNION ALL. Each rule is (name, SQL predicate). */
+  def dqChecksOracleSql(table: String, rules: Seq[(String, String)],
+                        uniqueKey: Option[Seq[String]] = None): String = {
+    val sums = (s"CAST(count(*) AS BIGINT) AS __n" +:
+      rules.zipWithIndex.map { case ((_, pred), i) =>
+        s"CAST(sum(CASE WHEN $pred THEN 1 ELSE 0 END) AS BIGINT) AS __v$i"
+      }) ++ uniqueKey.map(ks =>
+        s"CAST(count(*) - count(DISTINCT (${ks.mkString(", ")})) AS BIGINT) AS __vdup").toSeq
+    val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+      s"SELECT '${name.replace("'", "''")}' AS rule, __v$i AS n_violations, __n AS n_rows FROM one"
+    } ++ uniqueKey.map(ks =>
+      s"SELECT 'duplicate_key:${ks.mkString(",")}' AS rule, __vdup AS n_violations, __n AS n_rows FROM one").toSeq
+    s"""WITH one AS (SELECT ${sums.mkString(",\n         ")} FROM $table),
+       r AS (${rows.mkString("\n         UNION ALL ")})
+       SELECT rule, n_violations, n_rows,
+         CASE WHEN n_rows > 0 THEN n_violations * 1000000 // n_rows END AS violation_micro
+       FROM r ORDER BY rule"""
+  }
 }

@@ -428,4 +428,80 @@ object Relational {
       .agg(min(col(timeCol)).as("session_start"),
            max(col(timeCol)).as("session_end"),
            count(lit(1)).as("n_events"))
+
+  /** Interval × interval OVERLAP join (closed intervals: a and b overlap
+    * iff loA ≤ hiB AND loB ≤ hiA) — the time-alignment workhorse behind
+    * "which maintenance windows intersected which incident windows" /
+    * session-vs-campaign overlap questions. Spark plans the raw range
+    * predicate as a nested-loop join; here BOTH sides explode onto a
+    * `bucketWidthUs` grid, the join is a hash equi-join on the bucket id,
+    * and each overlapping pair is emitted EXACTLY once — the residual
+    * keeps only the bucket containing the overlap's START
+    * (max(loA, loB)), which both sides of a true overlap always span, so
+    * no distinct pass is needed. Explode factor = interval length /
+    * bucket width (configuration); the shuffle carries grid-keyed rows.
+    * Left/right columns must be disjoint (alias before calling). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          loA: String, hiA: String,
+                          loB: String, hiB: String,
+                          bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    val us = graft.dsl.RoundTime.epochMicros _
+    def gridded(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bucket",
+        explode(sequence(
+          floor(us(col(lo)) / bucketWidthUs).cast("long"),
+          floor(us(col(hi)) / bucketWidthUs).cast("long"))))
+    val overlapStartBucket =
+      floor(greatest(us(col(loA)), us(col(loB))) / bucketWidthUs).cast("long")
+    gridded(a, loA, hiA).join(gridded(b, loB, hiB), Seq("__bucket"))
+      .where(us(col(loA)) <= us(col(hiB)) && us(col(loB)) <= us(col(hiA)) &&
+        col("__bucket") === overlapStartBucket)
+      .drop("__bucket")
+  }
+
+  /** First- and last-touch ATTRIBUTION: for every conversion event, the
+    * earliest and latest qualifying touch event by the same entity within
+    * `windowUs` BEFORE (or at) the conversion — the standard marketing /
+    * funnel-credit model, and the provenance question ("which crawl
+    * snapshot fed this training doc") in pipeline form.
+    *
+    * Scale: ONE entity-keyed equi-join (conversions × touches per entity,
+    * bounded by per-entity history like the funnel family) feeding one
+    * hash aggregate: first = min(struct(ts, id, type)), last = max —
+    * deterministic under ties, no window, map-side combined. Conversions
+    * with no in-window touch keep nulls (left join). */
+  def touchAttribution(events: DataFrame, entityCol: String, tsCol: String,
+                       typeCol: String, idCol: String,
+                       touchTypes: Seq[String], convType: String,
+                       windowUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty && windowUs > 0, "bad attribution parameters")
+    val us = graft.dsl.RoundTime.epochMicros _
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(entityCol), col(idCol).as("conv_id"),
+        us(col(tsCol)).as("conv_us"))
+    val touch = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(entityCol).as("__touch_entity"), col(idCol).as("touch_id"),
+        us(col(tsCol)).as("touch_us"), col(typeCol).as("touch_type"))
+    // the window bound lives IN the join condition: a LEFT join with a
+    // post-join filter would drop conversions whose touches all fall
+    // outside the window instead of keeping them with nulls
+    val joined = conv.join(touch,
+      col(entityCol) === col("__touch_entity") &&
+        col("touch_us") <= col("conv_us") &&
+        col("touch_us") >= col("conv_us") - windowUs, "left")
+    joined.groupBy(col(entityCol), col("conv_id"), col("conv_us"))
+      .agg(
+        min(when(col("touch_us").isNotNull,
+          struct(col("touch_us"), col("touch_id"), col("touch_type"))))
+          .as("ft"),
+        max(when(col("touch_us").isNotNull,
+          struct(col("touch_us"), col("touch_id"), col("touch_type"))))
+          .as("lt"))
+      .select(col(entityCol), col("conv_id"), col("conv_us"),
+        col("ft.touch_id").as("first_touch_id"),
+        col("ft.touch_type").as("first_touch_type"),
+        col("lt.touch_id").as("last_touch_id"),
+        col("lt.touch_type").as("last_touch_type"))
+  }
 }

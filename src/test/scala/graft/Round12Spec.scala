@@ -333,3 +333,75 @@ class SimhashIndexPruningSpec extends SparkSpec {
       s"pruning is vacuous: index holds only ${storedDirs.size} chunk dirs")
   }
 }
+
+class IntervalOverlapSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Relational
+
+  private val H = 3600L * 1000000L // one hour in micros
+  private def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("overlapping pairs emit exactly once, even across many buckets") {
+    val a = Seq((1L, t(0), t(10))).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((7L, t(2), t(3)), (8L, t(11), t(12))).toDF("b_id", "b_lo", "b_hi")
+    // bucket = 1h: the pair (1,7) shares buckets 2 and 3 — must emit once
+    val got = Relational.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidthUs = H)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 7L)))
+  }
+
+  test("closed intervals: touching endpoints overlap") {
+    val a = Seq((1L, t(0), t(5))).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((2L, t(5), t(8))).toDF("b_id", "b_lo", "b_hi")
+    val got = Relational.intervalOverlapJoin(a, b,
+        "a_lo", "a_hi", "b_lo", "b_hi", bucketWidthUs = H).count()
+    assert(got == 1L)
+  }
+}
+
+class AttributionSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Relational
+
+  private def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("first/last touch within the window; out-of-window and no-touch keep nulls") {
+    val events = Seq(
+      (1L, ts(0),  100L, "view"),     // in window (conv at 10:30, 30 min)
+      (1L, ts(20), 101L, "click"),    // in window
+      (1L, ts(30), 102L, "purchase"),
+      (2L, ts(0),  200L, "click"),    // OUTSIDE window for conv at 10:59
+      (2L, ts(59), 201L, "purchase"),
+      (3L, ts(10), 300L, "purchase")  // no touches at all
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Relational.touchAttribution(events, "user_id", "ts",
+        "event_type", "event_id", Seq("click", "view"), "purchase",
+        windowUs = 30L * 60L * 1000000L)
+      .select("conv_id", "first_touch_id", "last_touch_id")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(102L) == ((Some(100L), Some(101L))))
+    assert(got(201L) == ((None, None))) // touch exists but out of window
+    assert(got(300L) == ((None, None))) // no touches
+  }
+}
+
+class DqChecksSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Maintenance
+
+  test("per-rule violation counts, micro rates, and the duplicate-key rule") {
+    val df = Seq(
+      (1L, Some(5.0)), (2L, None), (3L, Some(-1.0)), (3L, Some(2.0))
+    ).toDF("id", "v")
+    val got = Maintenance.dqChecks(df,
+        Seq("v_null" -> col("v").isNull, "v_negative" -> (col("v") < 0)),
+        uniqueKey = Some(Seq("id")))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("v_null") == (("v_null", 1L, 4L, Some(250000L))))
+    assert(got("v_negative") == (("v_negative", 1L, 4L, Some(250000L))))
+    assert(got("duplicate_key:id") == (("duplicate_key:id", 1L, 4L, Some(250000L))))
+  }
+}
