@@ -1160,6 +1160,59 @@ object SparkEntry {
         .distinct().orderBy(col("sid"), col("hist_id"))
     }),
 
+    // ── LLM-pipeline: STREAMING simhash probe — arriving docs stamp their
+    // signature with the per-row kernel (zero shuffle: legal in a stream
+    // projection, the right ingest shape), band-join the STORED simhash
+    // index (stream-static), and Hamming-verify from the index alone.
+    // Doubled-text twins arrive with a file redelivered twice; the sink
+    // dedups, so at-least-once delivery yields exactly-once hits. The
+    // oracle is the direct cross-set bit_count formula.
+    "q_streaming_simhash_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_ssh").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      val idxSpec = PipeSpec(PipeKeys("stream", "sh_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(idxSpec).create(
+        ApproxDedup.simhashBands(docs, "doc_id", "text", buckets))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sigs = stream.select(col("doc_id").as("sid"),
+        ApproxDedup.simhashRow(col("text")).as("sig"))
+      val bands = ApproxDedup.simhashBandsFromSig(sigs, "sid", "sig", buckets)
+      val idx = eng.storage(idxSpec).read
+        .select(col("doc_id").as("hist_id"), col("simhash").as("hist_sig"),
+          col("band"), col("bv"))
+      val hits = bands.join(idx, Seq("band", "bv"))
+        .select(col("sid"), col("hist_id"),
+          bit_count(col("simhash").bitwiseXOR(col("hist_sig"))).as("hamming"),
+          timestamp_micros((col("sid") * lit(60L) + lit(86400L)) * lit(1000000L))
+            .as("ts"))
+        .where(col("hamming") <= 3)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "sh_hits"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, hits,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("sid"), col("hist_id"), col("hamming"))
+        .distinct().orderBy(col("sid"), col("hist_id"))
+    }),
+
     // ── §2.9 streaming sessionization e2e: Spark `session_window` + water-
     // mark, drained with AvailableNow. Two far-future sentinel batches
     // (maxFilesPerTrigger=1) advance the watermark past every real
@@ -3681,6 +3734,16 @@ object SparkEntry {
     "q_simhash_index_sync" ->
       ApproxDedup.simhashProbeOracleSql(simhashCorpusSql,
         "doc_id", "text", qid = 1000000L, maxHamming = 3),
+
+    "q_streaming_simhash_probe" ->
+      ApproxDedup.simhashCrossOracleSql(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000 AS doc_id, text || ' ' || text AS text
+           FROM documents WHERE doc_id % 3 = 0) AS d2""",
+        "doc_id", "text",
+        leftPred = "a.doc_id >= 10000", rightPred = "h.doc_id < 10000",
+        maxHamming = 3),
 
     "q_containment_pairs" ->
       ApproxDedup.containmentPairsOracleSql(

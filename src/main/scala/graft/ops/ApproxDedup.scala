@@ -753,6 +753,56 @@ object ApproxDedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Per-ROW simhash signature — the [[simhash]] formula as a pure column
+    * expression (array folds over the token list, md5 bound once per
+    * token): bit-identical to the explode+groupBy kernel, but ZERO
+    * shuffle, which makes it legal inside a streaming projection and the
+    * right shape for stamping signatures at ingest. The batch kernel
+    * stays the default for corpus-wide runs (its aggregate is map-side
+    * combined across rows); parity between the two is unit-asserted. */
+  def simhashRow(text: Column, bits: Int = 63): Column = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    val nibsArr = transform(TextFns.tokens(lower(text)), t =>
+      bindOnce(md5(t)) { h =>
+        transform(sequence(lit(0), lit((bits - 1) / 4)),
+          i => conv(h.substr(i + lit(1), lit(1)), 16, 10).cast("int"))
+      })
+    bindOnce(nibsArr) { arr =>
+      (0 until bits).map { j =>
+        val fold = aggregate(arr, lit(0), (acc, nibs) =>
+          acc + when(element_at(nibs, j / 4 + 1)
+            .bitwiseAND(lit(1 << (j % 4))) =!= 0, 1).otherwise(-1))
+        when(fold > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+  }
+
+  /** Stored-index band rows from a PRE-COMPUTED signature column — the
+    * streaming/ingest-side counterpart of [[simhashBands]] (which fits the
+    * signature itself). */
+  def simhashBandsFromSig(df: DataFrame, idCol: String, sigCol: String,
+                          buckets: Int): DataFrame =
+    df.select(col(idCol), col(sigCol).as("simhash"),
+        posexplode(simhashBandCols(col(sigCol))).as(Seq("band", "bv")))
+      .withColumn("bucket",
+        col("band").cast("long") * lit(buckets.toLong) +
+          pmod(col("bv"), lit(buckets.toLong)))
+
+  /** DuckDB oracle for a CROSS-SET simhash near-dup probe (arriving set ×
+    * history): `leftPred` / `rightPred` are SQL predicates over aliases
+    * `a` (arriving) and `h` (history) selecting the two sides from the
+    * shared signature table. */
+  def simhashCrossOracleSql(table: String, idCol: String, textCol: String,
+                            leftPred: String, rightPred: String,
+                            maxHamming: Int): String =
+    s"""WITH ${simhashSigCtes(table, idCol, textCol, 63)}
+       SELECT a.$idCol AS sid, h.$idCol AS hist_id,
+         CAST(bit_count(xor(a.simhash, h.simhash)) AS INTEGER) AS hamming
+       FROM sig a JOIN sig h
+         ON bit_count(xor(a.simhash, h.simhash)) <= $maxHamming
+       WHERE ($leftPred) AND ($rightPred)
+       ORDER BY sid, hist_id"""
+
   /** The 16/16/16/15-bit band values of a 63-bit simhash signature —
     * shared by the pair join and the stored index so the pigeonhole split
     * lives in one place. */

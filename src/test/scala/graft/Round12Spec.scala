@@ -405,3 +405,24 @@ class DqChecksSpec extends SparkSpec {
     assert(got("duplicate_key:id") == (("duplicate_key:id", 1L, 4L, Some(250000L))))
   }
 }
+
+class SimhashRowParitySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.ApproxDedup
+
+  test("per-row kernel is bit-identical to the batch explode+groupBy kernel") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val batch = ApproxDedup.simhash(docs, "doc_id", "text")
+    val row = docs.select(col("doc_id"),
+      ApproxDedup.simhashRow(col("text")).as("simhash"))
+    assert(batch.exceptAll(row).isEmpty && row.exceptAll(batch).isEmpty)
+  }
+
+  test("row kernel is shuffle-free (no Exchange in the plan)") {
+    val docs = Seq(1L -> "a b c").toDF("id", "text")
+    val plan = docs.select(graft.ops.ApproxDedup.simhashRow(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
