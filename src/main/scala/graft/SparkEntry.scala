@@ -78,6 +78,31 @@ object SparkEntry {
         concat(col("text"), lit(" "), col("text")).as("text")))
   }
 
+  /** The data-card replay SQL — shared by the one-pass and stored-card
+    * queries (incremental fold ≡ full rebuild). */
+  private val dataCardOracle: String =
+    """WITH b AS (
+         SELECT source, lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+           CAST((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+                      AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+                     THEN 1.0 ELSE 0.0 END
+              + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                          / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                         ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+                     THEN 1.0 ELSE 0.0 END) / 4.0 * 1000000.0 AS BIGINT) AS qm,
+           md5(lower(trim(text))) AS fp
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS total_tokens,
+         min(toks) AS min_tokens, max(toks) AS max_tokens,
+         CAST(sum(qm) AS BIGINT) AS sum_quality_micro,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs
+       FROM b GROUP BY source ORDER BY source"""
+
   private val simhashCorpusSql: String =
     """(SELECT doc_id, text FROM documents
        UNION ALL
@@ -333,6 +358,38 @@ object SparkEntry {
             greatest(col("doc_id"), lit(qid)).as("id2"), col("hamming"))
           .orderBy(col("id1"), col("id2"))
        })
+    }),
+
+    // Stored data card: per-batch additive summary rows + a fingerprint
+    // pipe carrying the non-additive unique-doc count; fold ≡ rebuild, so
+    // the oracle is the plain corpus card. The release dashboard updates
+    // per sync without ever re-reading corpus text.
+    "q_data_card_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_card_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val cSpec = PipeSpec(PipeKeys("idx", "card_batches"),
+        columns = ColumnRoles(Map("datetime" -> "batch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val fSpec = PipeSpec(PipeKeys("idx", "card_fps"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val half0 = docs.where(col("doc_id") % 2 === 0)
+      val half1 = docs.where(col("doc_id") % 2 === 1)
+      (() => {
+        eng.sync(cSpec, graft.ops.Corpus.dataCardBatch(
+          half0, "source", "lang", "text", 0L), checkExisting = false)
+        eng.sync(fSpec, graft.ops.Corpus.dataCardFps(half0, "source", "text"),
+          checkExisting = false)
+        eng.sync(cSpec, graft.ops.Corpus.dataCardBatch(
+          half1, "source", "lang", "text", 1L), checkExisting = false)
+        eng.sync(fSpec, graft.ops.Corpus.dataCardFps(half1, "source", "text"),
+          checkExisting = false)
+        ()
+       },
+       () => graft.ops.Corpus.dataCardFold(
+           eng.getData(cSpec), eng.getData(fSpec), "source")
+         .orderBy(col("source")))
     }),
 
     "q_bm25_index_sync" -> ((s, d) => {
@@ -2241,6 +2298,11 @@ object SparkEntry {
     "q_data_card" -> ((s, d) =>
       graft.ops.Corpus.dataCard(Tables.documents(s, d),
         "source", "lang", "text").orderBy(col("source"))),
+
+    // ── LLM-pipeline: the data card maintained INCREMENTALLY as stored
+    // pipes (additive batch summaries + a fingerprint pipe for the
+    // non-additive unique count); fold ≡ rebuild (see `staged`).
+    "q_data_card_sync" -> composed("q_data_card_sync"),
 
     // ── LLM-pipeline: BPE pair counting — the tokenizer-training kernel
     // (one merge iteration = this op). The only corpus-sized pass is the
@@ -4923,28 +4985,11 @@ object SparkEntry {
         threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),
 
-    "q_data_card" ->
-      """WITH b AS (
-           SELECT source, lang,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
-             CAST((CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.0 END
-                + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
-                        AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
-                       THEN 1.0 ELSE 0.0 END
-                + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
-                            / greatest(length(text),1)::DOUBLE <= 0.1 THEN 1.0 ELSE 0.0 END
-                + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
-                           ['the','a','of','and','to','in','is','it','that','for'])) >= 2
-                       THEN 1.0 ELSE 0.0 END) / 4.0 * 1000000.0 AS BIGINT) AS qm,
-             md5(lower(trim(text))) AS fp
-           FROM documents)
-         SELECT source, count(*) AS n_docs,
-           CAST(sum(toks) AS BIGINT) AS total_tokens,
-           min(toks) AS min_tokens, max(toks) AS max_tokens,
-           CAST(sum(qm) AS BIGINT) AS sum_quality_micro,
-           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_english,
-           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs
-         FROM b GROUP BY source ORDER BY source""",
+    "q_data_card" -> dataCardOracle,
+
+    // incremental card fold == full rebuild, so the stored-card probe
+    // replays as the plain corpus data card
+    "q_data_card_sync" -> dataCardOracle,
 
     "q_bm25_topk" ->
       graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",

@@ -1172,6 +1172,57 @@ object Corpus {
         sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_english"),
         countDistinct(col("__fp")).as("n_unique_docs"))
 
+  /** Per-batch ADDITIVE data-card rows for the STORED card
+    * ([[dataCardFold]]): everything in [[dataCard]] except the unique-doc
+    * count folds with sums/min/max, so batches blind-append. The
+    * non-additive piece — exact unique docs — lives in the companion
+    * fingerprint pipe ([[dataCardFps]]). */
+  def dataCardBatch(docs: DataFrame, sourceCol: String, langCol: String,
+                    textCol: String, batch: Long): DataFrame =
+    docs.select(col(sourceCol), col(langCol),
+        TextFns.tokenCount(col(textCol)).cast("long").as("__toks"),
+        (TextFns.qualityScore(col(textCol)) * lit(1e6)).cast("long").as("__qm"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        min(col("__toks")).as("min_tokens"),
+        max(col("__toks")).as("max_tokens"),
+        sum(col("__qm")).as("sum_quality_micro"),
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_english"))
+      .withColumn("batch", lit(batch))
+
+  /** Per-batch (bucket, source, fingerprint, cnt) rows — the additive
+    * unique-doc side of the stored card. Counting is additive, so the
+    * fold's distinct-fingerprint count over appended batches equals a full
+    * rebuild; `buckets` clusters the pipe so fold reads stay parallel. */
+  def dataCardFps(docs: DataFrame, sourceCol: String, textCol: String,
+                  buckets: Int = 16): DataFrame =
+    docs.select(col(sourceCol), TextFns.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col(sourceCol), col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bucket",
+        pmod(conv(substring(col("fp"), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+
+  /** Fold stored [[dataCardBatch]] + [[dataCardFps]] pipes into the full
+    * [[dataCard]] — sums/min/max over the card rows, distinct fingerprints
+    * over the fp rows, one |sources|-row join. Fold ≡ rebuild, so the
+    * oracle is the plain corpus data card. */
+  def dataCardFold(cards: DataFrame, fps: DataFrame,
+                   sourceCol: String): DataFrame = {
+    val agg = cards.groupBy(col(sourceCol)).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("total_tokens")).as("total_tokens"),
+      min(col("min_tokens")).as("min_tokens"),
+      max(col("max_tokens")).as("max_tokens"),
+      sum(col("sum_quality_micro")).as("sum_quality_micro"),
+      sum(col("n_english")).as("n_english"))
+    val uq = fps.select(col(sourceCol), col("fp")).distinct()
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_unique_docs"))
+    agg.join(uq, Seq(sourceCol))
+  }
+
   /** BM25 top-k retrieval (Robertson/Sparck Jones; the Okapi BM25 scoring
     * function): rank documents against a bag-of-words query using
     * tf·idf with saturation (k1) and length normalization (b). The

@@ -426,3 +426,20 @@ class SimhashRowParitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 }
+
+class DataCardSyncSpec extends SparkSpec {
+  import graft.ops.Corpus
+
+  test("blind-append fold over batches equals a full dataCard rebuild") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val h0 = docs.where(col("doc_id") % 2 === 0)
+    val h1 = docs.where(col("doc_id") % 2 === 1)
+    val cards = Corpus.dataCardBatch(h0, "source", "lang", "text", 0L)
+      .unionByName(Corpus.dataCardBatch(h1, "source", "lang", "text", 1L))
+    val fps = Corpus.dataCardFps(h0, "source", "text")
+      .unionByName(Corpus.dataCardFps(h1, "source", "text"))
+    val folded = Corpus.dataCardFold(cards, fps, "source")
+    val full = Corpus.dataCard(docs, "source", "lang", "text")
+    assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty)
+  }
+}
