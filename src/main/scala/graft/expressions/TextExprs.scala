@@ -204,3 +204,71 @@ case class UnicodeNormalize(child: Expression, formName: String)
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Call target for [[SimHashRow]]'s generated code — shared with
+  * interpreted eval so the two paths cannot drift.
+  *
+  * Computes the Charikar simhash over whitespace tokens of the lowercased,
+  * trimmed text: bit j of the signature carries the sign of the sum over
+  * tokens of (±1 by hex nibble j/4, bit j%4 of the token's md5) — the
+  * EXACT formula of the relational kernel and the SQL oracle
+  * (`ApproxDedup.simhashOracleSql`), evaluated in one primitive-array pass
+  * per row: no explode, no 63 interpreted higher-order folds, no shuffle.
+  * Tokenization mirrors `split(trim(lower(text)), "\s+")` including the
+  * single-empty-token result on blank text. */
+object SimHashKernel {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String, bits: Int): Long = {
+    val toks = s.toLowerCase.trim().toString.split("\\s+", -1)
+    val md = md5Local.get()
+    val sums = new Array[Int](bits)
+    var ti = 0
+    while (ti < toks.length) {
+      md.reset()
+      val dig = md.digest(UTF8String.fromString(toks(ti)).getBytes)
+      var j = 0
+      while (j < bits) {
+        val k = j >> 2 // hex-digit index of the digest, high nibble first
+        val b = dig(k >> 1) & 0xff
+        val nib = if ((k & 1) == 0) b >>> 4 else b & 0xf
+        sums(j) += (if ((nib & (1 << (j & 3))) != 0) 1 else -1)
+        j += 1
+      }
+      ti += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Per-row simhash signature as ONE generated pass — the ingest-time
+  * stamping kernel: zero shuffle (legal in streaming projections), bit-
+  * identical to the explode+groupBy relational form (parity unit-asserted)
+  * and to the ANSI SQL oracle. */
+case class SimHashRow(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash expects a string, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.compute(v.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.SimHashKernel.compute($v, $bits);")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -667,32 +667,21 @@ object ApproxDedup {
 
   /** SimHash (Charikar '02): bit j of the signature carries the sign of the
     * sum over tokens of (±1 by bit j of the token's hash). Near-dups = small
-    * Hamming distance. Computed with explode + conditional sums — one hash
-    * shuffle on the doc id, no cross join, map-side partial aggregation.
+    * Hamming distance. Computed as a pure PROJECTION — one native generated
+    * pass per row ([[simhashRow]]), no explode, no shuffle: a signature is
+    * a per-document property, so the relational explode + 63-conditional-
+    * sum aggregate form (the first implementation) paid a corpus-wide
+    * shuffle for grouping that the row kernel gets for free. One signature
+    * per input ROW — ids are assumed unique (the pipe contract); the
+    * parity spec pins the projection to the relational form bit-for-bit.
     *
     * Token bits come from md5 (not xxhash64) so ANSI SQL engines reproduce
     * the signature exactly: bit j = nibble (j div 4) of the hex digest,
     * masked by 1 << (j mod 4). 63 bits, keeping the signature a positive
     * signed 64-bit integer on both sides. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 63): DataFrame = {
-    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
-    val tok = docs.select(col(idCol),
-        explode(TextFns.tokens(lower(col(textCol)))).as("tok"))
-      .withColumn("nibs", bindOnce(md5(col("tok"))) { h =>
-        transform(sequence(lit(0), lit((bits - 1) / 4)),
-          i => conv(h.substr(i + lit(1), lit(1)), 16, 10).cast("int"))
-      })
-    val bitSums = (0 until bits).map { j =>
-      val nib = element_at(col("nibs"), j / 4 + 1)
-      sum(when(nib.bitwiseAND(lit(1 << (j % 4))) =!= 0, 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until bits).map { j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col(idCol), sig.as("simhash"))
-  }
+              bits: Int = 63): DataFrame =
+    docs.select(col(idCol), simhashRow(col(textCol), bits).as("simhash"))
 
   /** DuckDB oracle reproducing [[simhash]] bit-for-bit from md5 digests. */
   def simhashOracleSql(table: String, idCol: String, textCol: String,
@@ -753,28 +742,19 @@ object ApproxDedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Per-ROW simhash signature — the [[simhash]] formula as a pure column
-    * expression (array folds over the token list, md5 bound once per
-    * token): bit-identical to the explode+groupBy kernel, but ZERO
+  /** Per-ROW simhash signature — the [[simhash]] formula as ONE native
+    * generated expression ([[graft.expressions.SimHashRow]]): a single
+    * primitive-array pass per row inside whole-stage codegen, ZERO
     * shuffle, which makes it legal inside a streaming projection and the
-    * right shape for stamping signatures at ingest. The batch kernel
-    * stays the default for corpus-wide runs (its aggregate is map-side
-    * combined across rows); parity between the two is unit-asserted. */
+    * right shape for stamping signatures at ingest. (The first cut
+    * composed 63 higher-order `aggregate` folds — Spark evaluates HOF
+    * lambdas interpreted, the same trap the MinHash kernel hit; the
+    * native kernel is the fix, bit-identical by the parity spec.) */
   def simhashRow(text: Column, bits: Int = 63): Column = {
     require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
-    val nibsArr = transform(TextFns.tokens(lower(text)), t =>
-      bindOnce(md5(t)) { h =>
-        transform(sequence(lit(0), lit((bits - 1) / 4)),
-          i => conv(h.substr(i + lit(1), lit(1)), 16, 10).cast("int"))
-      })
-    bindOnce(nibsArr) { arr =>
-      (0 until bits).map { j =>
-        val fold = aggregate(arr, lit(0), (acc, nibs) =>
-          acc + when(element_at(nibs, j / 4 + 1)
-            .bitwiseAND(lit(1 << (j % 4))) =!= 0, 1).otherwise(-1))
-        when(fold > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SimHashRow(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), bits))
   }
 
   /** Stored-index band rows from a PRE-COMPUTED signature column — the

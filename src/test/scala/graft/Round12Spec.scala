@@ -410,13 +410,27 @@ class SimhashRowParitySpec extends SparkSpec {
   import spark.implicits._
   import graft.ops.ApproxDedup
 
-  test("per-row kernel is bit-identical to the batch explode+groupBy kernel") {
+  test("native kernel is bit-identical to the relational explode+groupBy form") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
-    val batch = ApproxDedup.simhash(docs, "doc_id", "text")
-    val row = docs.select(col("doc_id"),
-      ApproxDedup.simhashRow(col("text")).as("simhash"))
-    assert(batch.exceptAll(row).isEmpty && row.exceptAll(batch).isEmpty)
+    val bits = 63
+    // the original relational formulation, rebuilt here as the reference:
+    // explode tokens, md5-nibble conditional sums per bit, sign → bit
+    val tok = docs.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until bits).map { j =>
+      val nib = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(nib.bitwiseAND(lit(1 << (j % 4))) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val sigExpr = (0 until bits).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val relational = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sigExpr.as("simhash"))
+    val native = ApproxDedup.simhash(docs, "doc_id", "text")
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty)
   }
 
   test("row kernel is shuffle-free (no Exchange in the plan)") {
