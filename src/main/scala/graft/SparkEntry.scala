@@ -78,6 +78,30 @@ object SparkEntry {
         concat(col("text"), lit(" "), col("text")).as("text")))
   }
 
+  /** Deterministic JSON conversation synthesized from a document row —
+    * always user→assistant, plus an adjacent-assistant violation on every
+    * 7th id and an empty user turn on every 5th. [[chatJsonSql]] renders
+    * the identical string for the oracle (document text is [a-z0-9 ]
+    * word salad, so no JSON escaping is needed on either side). */
+  private def chatJson: Column = concat(
+    lit("""[{"role":"user","content":""""), col("text"),
+    lit(""""},{"role":"assistant","content":"reply about """), col("source"),
+    lit("\"}"),
+    when(col("doc_id") % 7 === 0,
+      lit(""",{"role":"assistant","content":"followup"}""")).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      lit(""",{"role":"user","content":""}""")).otherwise(lit("")),
+    lit("]"))
+
+  private val chatJsonSql: String =
+    """('[{"role":"user","content":"' || text ||
+       '"},{"role":"assistant","content":"reply about ' || source || '"}' ||
+       CASE WHEN doc_id % 7 = 0
+         THEN ',{"role":"assistant","content":"followup"}' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+         THEN ',{"role":"user","content":""}' ELSE '' END || ']')"""
+      .linesIterator.map(_.trim).mkString(" ")
+
   /** The data-card replay SQL — shared by the one-pass and stored-card
     * queries (incremental fold ≡ full rebuild). */
   private val dataCardOracle: String =
@@ -1270,6 +1294,56 @@ object SparkEntry {
         .distinct().orderBy(col("sid"), col("hist_id"))
     }),
 
+    // ── maintenance/streaming: DQ monitoring as a STREAM — every arriving
+    // micro-batch runs the expectations suite (dqChecks inside the batch
+    // transform) and appends its per-rule report to a monitoring pipe;
+    // the batch label derives from the DATA (event-id parity), so the
+    // report is deterministic under any file arrival order. The violation
+    // dashboard updates at ingest without a second corpus pass.
+    "q_streaming_dq_monitor" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_sdq").toString
+      val eng  = new SyncEngine(s, root)
+      val ev = Tables.events(s, d)
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      for (h <- 0 to 1) {
+        val tmp = s"$root/h$h"
+        ev.where(pmod(col("event_id"), lit(2)) === h)
+          .coalesce(1).write.parquet(tmp)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/half_$h.parquet"))
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(
+        s, srcDir, schema, maxFilesPerTrigger = Some(1))
+      val spec = PipeSpec(PipeKeys("stream", "dq_monitor"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val rules = Seq(
+        "value_null" -> col("value").isNull,
+        "value_over_100" -> (col("value") > 100),
+        "unknown_event_type" -> !col("event_type").isin(
+          "click", "error", "purchase", "signup", "view"))
+      val q = graft.streaming.StreamingSync.run(eng, spec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = b => {
+          val label = b.agg(
+            coalesce(pmod(min(col("event_id")), lit(2)), lit(-1L))
+              .cast("long")).head().getLong(0)
+          graft.ops.Maintenance.dqChecks(b, rules,
+              uniqueKey = Some(Seq("event_id")))
+            .withColumn("bucket", lit(label))
+            .where(col("n_rows") > 0) // empty flush ticks produce no report
+        })
+      q.awaitTermination()
+      eng.getData(spec)
+        .select(col("bucket"), col("rule"), col("n_violations"),
+          col("n_rows"), col("violation_micro"))
+        .distinct().orderBy(col("bucket"), col("rule"))
+    }),
+
     // ── §2.9 streaming sessionization e2e: Spark `session_window` + water-
     // mark, drained with AvailableNow. Two far-future sentinel batches
     // (maxFilesPerTrigger=1) advance the watermark past every real
@@ -1636,6 +1710,33 @@ object SparkEntry {
             col("ts") > lit(ts("2030-01-01 00:00:00")))),
         uniqueKey = Some(Seq("event_id")))
         .orderBy(col("rule"))),
+
+    // ── LLM-pipeline: SFT conversation flattening — JSON turn arrays
+    // (the de-facto chat interchange shape) parse on the scan and explode
+    // to one row per turn. Conversations synthesized deterministically
+    // with alternation violations (every 7th) and empty turns (every 5th).
+    "q_chat_turns" -> ((s, d) =>
+      graft.ops.Chat.chatTurns(
+          Tables.documents(s, d).select(col("doc_id"), chatJson.as("conv")),
+          "doc_id", "conv")
+        .orderBy(col("doc_id"), col("turn_idx"))),
+
+    // ── LLM-pipeline: SFT structural validation gate — role alternation,
+    // empty turns, per-role token budgets, as a PURE projection (per-row
+    // array folds, zero shuffle): the ingest-speed gate before templates.
+    "q_chat_validate" -> ((s, d) =>
+      graft.ops.Chat.chatValidate(
+          Tables.documents(s, d).select(col("doc_id"), chatJson.as("conv")),
+          "doc_id", "conv")
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: vocabulary coverage curve — fraction of corpus token
+    // occurrences covered by the top-V types for candidate vocab sizes;
+    // corpus collapses to |vocab| rows before the one bounded rank window.
+    "q_vocab_coverage" -> ((s, d) =>
+      graft.ops.Evaluation.vocabCoverage(Tables.documents(s, d), "text",
+        sizes = Seq(5, 10, 20, 40, 100000))
+        .orderBy(col("v"))),
 
     // ── LLM-pipeline: precision/recall/F1 threshold sweep — the operating
     // point picker after AUC ranks the signal. ONE CASE-ladder aggregate
@@ -3890,6 +3991,43 @@ object SparkEntry {
           "ts_out_of_range" ->
             "(ts < TIMESTAMP '2020-01-01 00:00:00' OR ts > TIMESTAMP '2030-01-01 00:00:00')"),
         uniqueKey = Some(Seq("event_id"))),
+
+    "q_chat_turns" ->
+      graft.ops.Chat.chatTurnsOracleSql("documents", "doc_id", chatJsonSql),
+
+    "q_chat_validate" ->
+      graft.ops.Chat.chatValidateOracleSql("documents", "doc_id", chatJsonSql),
+
+    "q_vocab_coverage" ->
+      graft.ops.Evaluation.vocabCoverageOracleSql("documents", "text",
+        sizes = Seq(5, 10, 20, 40, 100000)),
+
+    "q_streaming_dq_monitor" -> {
+      val rules = Seq(
+        "value_null" -> "value IS NULL",
+        "value_over_100" -> "value > 100",
+        "unknown_event_type" ->
+          "event_type NOT IN ('click','error','purchase','signup','view')")
+      val ones = (0 to 1).map { h =>
+        val sums = rules.zipWithIndex.map { case ((_, p), i) =>
+          s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+        }.mkString(", ")
+        s"""one$h AS (SELECT CAST(count(*) AS BIGINT) AS n, $sums,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS vd
+           FROM events WHERE event_id % 2 = $h)"""
+      }.mkString(",\n         ")
+      val rows = (0 to 1).flatMap { h =>
+        rules.zipWithIndex.map { case ((name, _), i) =>
+          s"SELECT $h AS bucket, '$name' AS rule, v$i AS n_violations, n AS n_rows FROM one$h"
+        } :+ s"SELECT $h, 'duplicate_key:event_id', vd, n FROM one$h"
+      }.mkString("\n         UNION ALL ")
+      s"""WITH $ones,
+         r AS ($rows)
+         SELECT CAST(bucket AS BIGINT) AS bucket, rule, n_violations, n_rows,
+           CASE WHEN n_rows > 0 THEN n_violations * 1000000 // n_rows END
+             AS violation_micro
+         FROM r ORDER BY bucket, rule"""
+    },
 
     "q_pr_curve" ->
       graft.ops.Evaluation.prCurveOracleSql("documents",

@@ -236,4 +236,60 @@ object Evaluation {
        v AS (SELECT token, count(*) AS freq FROM tok
              WHERE length(token) > 0 GROUP BY token)
        SELECT freq, count(*) AS n_types FROM v GROUP BY freq ORDER BY freq"""
+
+  /** Vocabulary COVERAGE curve: for each candidate vocabulary size V, the
+    * fraction of corpus token occurrences covered by the top-V most
+    * frequent types — the plot that picks a tokenizer/vocab size before a
+    * 100 TB tokenization run (the complement of [[freqSpectrum]]'s tail
+    * view). Candidates larger than the vocabulary saturate at full
+    * coverage.
+    *
+    * Scale: one map-side-combined token count collapses the corpus to
+    * |vocab| rows; the rank/cumsum window runs over that bounded table
+    * (the Zipf-fit discipline) and candidates join by rank. Exact longs,
+    * one micro-division per candidate. */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), "sizes must be positive")
+    import graft.functions.TextFns
+    val counts = docs
+      .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("freq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.agg(sum(col("freq")).as("total"))
+    tot.select(col("total"),
+        explode(typedlit(sizes.map(_.toLong))).as("v"))
+      .join(ranked.select(col("rank").as("v"), col("cum")), Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("cum"), col("total")).as("covered_tokens"),
+        col("total").as("total_tokens"),
+        expr("coalesce(cum, total) * 1000000L div total").as("coverage_micro"))
+  }
+
+  /** DuckDB oracle replaying [[vocabCoverage]]. */
+  def vocabCoverageOracleSql(table: String, textCol: String,
+                             sizes: Seq[Int]): String =
+    s"""WITH tok AS (
+         SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+         FROM $table),
+       vv AS (SELECT token, count(*) AS freq FROM tok
+              WHERE length(token) > 0 GROUP BY token),
+       r AS (SELECT row_number() OVER (ORDER BY freq DESC, token) AS rank,
+               sum(freq) OVER (ORDER BY freq DESC, token
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM vv),
+       t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM vv),
+       c AS (SELECT unnest([${sizes.mkString(", ")}]) AS v)
+       SELECT CAST(c.v AS BIGINT) AS v,
+         CAST(coalesce(r.cum, t.total) AS BIGINT) AS covered_tokens,
+         t.total AS total_tokens,
+         CAST(coalesce(r.cum, t.total) AS BIGINT) * 1000000 // t.total
+           AS coverage_micro
+       FROM c CROSS JOIN t LEFT JOIN r ON r.rank = c.v
+       ORDER BY v"""
 }

@@ -457,3 +457,54 @@ class DataCardSyncSpec extends SparkSpec {
     assert(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty)
   }
 }
+
+class ChatOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Chat
+
+  private val good =
+    """[{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""
+  private val bad =
+    """[{"role":"user","content":"q"},{"role":"user","content":"again"},{"role":"assistant","content":"  "}]"""
+
+  test("chatTurns explodes with 1-based indices and token counts") {
+    val got = Chat.chatTurns(Seq(1L -> good).toDF("id", "conv"), "id", "conv")
+      .as[(Long, Int, String, String, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1, "user", "hi there", 2L), (1L, 2, "assistant", "hello", 1L)))
+  }
+
+  test("chatValidate flags role violations and empty turns; counts per-role tokens") {
+    val got = Chat.chatValidate(
+        Seq(1L -> good, 2L -> bad, 3L -> "not json").toDF("id", "conv"),
+        "id", "conv")
+      .as[(Long, Boolean, Long, Boolean, Boolean, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, 2L, true, true, 0L, 0L, 2L, 1L)))
+    // bad: user,user adjacent → 1 violation; whitespace-only turn → 1 empty;
+    // user tokens 1+1, assistant tokens: trim("  ") splits to 1 empty token
+    assert(got(2L) == ((2L, true, 3L, true, true, 1L, 1L, 2L, 1L)))
+    assert(got(3L) == ((3L, false, 0L, false, false, 0L, 0L, 0L, 0L)))
+  }
+
+  test("chatValidate is a zero-shuffle projection") {
+    val plan = Chat.chatValidate(Seq(1L -> good).toDF("id", "conv"), "id", "conv")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
+
+class VocabCoverageSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  test("coverage at candidate sizes; oversize candidates saturate") {
+    // freqs: a:4, b:2, c:1, d:1 → total 8; top-1 = 4, top-2 = 6
+    val df = Seq(1L -> "a a a a b b c d").toDF("id", "text")
+    val got = Evaluation.vocabCoverage(df, "text", Seq(1, 2, 10))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 8L, 500000L)))
+    assert(got(2L) == ((2L, 6L, 8L, 750000L)))
+    assert(got(10L) == ((10L, 8L, 8L, 1000000L)))
+  }
+}
