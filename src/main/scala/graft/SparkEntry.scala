@@ -1730,6 +1730,45 @@ object SparkEntry {
           "doc_id", "conv")
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: chat template rendering — turns become
+    // `<|role|>`-tagged blocks joined by newlines, with the token count
+    // packing needs; pure projection, zero shuffle.
+    "q_chat_render" -> ((s, d) =>
+      graft.ops.Chat.chatRender(
+          Tables.documents(s, d).select(col("doc_id"), chatJson.as("conv")),
+          "doc_id", "conv")
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: turn-level dedup composition — assistant replies
+    // repeated across conversations (every doc of a source shares one
+    // synthesized reply) collapse to first id + copy count: the SFT-side
+    // "templated answer" detector.
+    "q_chat_turn_dedup" -> ((s, d) =>
+      graft.ops.Chat.chatTurns(
+          Tables.documents(s, d).select(col("doc_id"), chatJson.as("conv")),
+          "doc_id", "conv")
+        .where(col("role") === "assistant")
+        .groupBy(col("content"))
+        .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("content"))),
+
+    // ── LLM-pipeline: preference-pair (DPO) QA — degenerate same-response
+    // pairs, chosen:rejected length-bias ratio, and prompt duplication
+    // counts; per-pair projection + ONE fp-keyed aggregate.
+    "q_preference_checks" -> ((s, d) => {
+      val pairs = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, lit("common prompt about things"))
+          .otherwise(concat_ws(" ", slice(TextFns.tokens(col("text")), 1, 10)))
+          .as("prompt"),
+        concat(lit("reply about "), col("source")).as("chosen"),
+        when(col("doc_id") % 11 === 0,
+            concat(lit("reply about "), col("source")))
+          .otherwise(col("text")).as("rejected"))
+      graft.ops.Chat.preferenceChecks(pairs, "doc_id",
+          "prompt", "chosen", "rejected")
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: vocabulary coverage curve — fraction of corpus token
     // occurrences covered by the top-V types for candidate vocab sizes;
     // corpus collapses to |vocab| rows before the one bounded rank window.
@@ -4001,6 +4040,22 @@ object SparkEntry {
     "q_vocab_coverage" ->
       graft.ops.Evaluation.vocabCoverageOracleSql("documents", "text",
         sizes = Seq(5, 10, 20, 40, 100000)),
+
+    "q_chat_render" ->
+      graft.ops.Chat.chatRenderOracleSql("documents", "doc_id", chatJsonSql),
+
+    "q_chat_turn_dedup" ->
+      graft.ops.Chat.chatTurnDedupOracleSql("documents", "doc_id",
+        chatJsonSql, role = "assistant"),
+
+    "q_preference_checks" ->
+      graft.ops.Chat.preferenceChecksOracleSql("documents", "doc_id",
+        promptExpr = """CASE WHEN doc_id % 9 = 0 THEN 'common prompt about things'
+          ELSE array_to_string((string_split_regex(trim(text), '\s+'))[1:10], ' ')
+          END""".linesIterator.map(_.trim).mkString(" "),
+        chosenExpr = "('reply about ' || source)",
+        rejectedExpr =
+          "CASE WHEN doc_id % 11 = 0 THEN 'reply about ' || source ELSE text END"),
 
     "q_streaming_dq_monitor" -> {
       val rules = Seq(

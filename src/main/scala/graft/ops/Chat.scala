@@ -78,6 +78,83 @@ object Chat {
       .select(col(idCol), col("r.*"))
   }
 
+  /** Render conversations to the training string: every turn becomes
+    * `<|role|>` + newline + content, turns joined by newlines — the
+    * template step between validation and packing. Pure projection (one
+    * transform + concat per row, zero shuffle); output
+    * (id, rendered, n_tokens) feeds [[Corpus.chunkDocs]]/packing
+    * unchanged. */
+  def chatRender(docs: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val t = parsed(col(jsonCol))
+    val rendered = concat_ws("\n",
+      transform(t, x => concat(lit("<|"), x.getField("role"), lit("|>\n"),
+        x.getField("content"))))
+    docs.select(col(idCol), rendered.as("rendered"),
+      TextFns.tokenCount(rendered).cast("long").as("n_tokens"))
+  }
+
+  /** DuckDB oracle replaying [[chatRender]] over `jsonExpr`. */
+  def chatRenderOracleSql(table: String, idCol: String,
+                          jsonExpr: String): String =
+    s"""WITH p AS (
+         SELECT $idCol, CAST(json_extract($jsonExpr, '$$') AS JSON[]) AS l
+         FROM $table),
+       r AS (
+         SELECT $idCol, array_to_string(list_transform(l, x ->
+           '<|' || json_extract_string(x, '$$.role') || '|>' || chr(10) ||
+           json_extract_string(x, '$$.content')), chr(10)) AS rendered
+         FROM p)
+       SELECT $idCol, rendered,
+         CAST(len(string_split_regex(trim(rendered), '\\s+')) AS BIGINT)
+           AS n_tokens
+       FROM r ORDER BY $idCol"""
+
+  /** Preference-pair (DPO/RLHF) QA report, one row per pair:
+    * chosen/rejected token counts, `same_response` (the degenerate pair
+    * every preference pipeline must drop), the chosen:rejected length
+    * ratio in micro-units (length-bias audit — reward models overfit to
+    * "longer wins"), and `n_prompt_dups` (pairs sharing this prompt —
+    * near-duplicate prompts leak preference signal across splits).
+    *
+    * Scale: per-pair columns are a pure projection; the prompt-dup count
+    * is ONE md5-keyed aggregate joined back — the only shuffle, carrying
+    * (fp, count) pairs. */
+  def preferenceChecks(pairs: DataFrame, idCol: String, promptCol: String,
+                       chosenCol: String, rejectedCol: String): DataFrame = {
+    val base = pairs.select(col(idCol),
+      md5(col(promptCol)).as("__fp"),
+      TextFns.tokenCount(col(chosenCol)).cast("long").as("chosen_tokens"),
+      TextFns.tokenCount(col(rejectedCol)).cast("long").as("rejected_tokens"),
+      (col(chosenCol) === col(rejectedCol)).as("same_response"))
+    val dups = base.groupBy(col("__fp")).agg(count(lit(1)).as("n_prompt_dups"))
+    base.join(dups, Seq("__fp"))
+      .select(col(idCol), col("chosen_tokens"), col("rejected_tokens"),
+        col("same_response"),
+        expr("chosen_tokens * 1000000L div greatest(rejected_tokens, 1L)")
+          .as("len_ratio_micro"),
+        col("n_prompt_dups"))
+  }
+
+  /** DuckDB oracle replaying [[preferenceChecks]] — `promptExpr` /
+    * `chosenExpr` / `rejectedExpr` are SQL expressions over `table`. */
+  def preferenceChecksOracleSql(table: String, idCol: String,
+                                promptExpr: String, chosenExpr: String,
+                                rejectedExpr: String): String =
+    s"""WITH b AS (
+         SELECT $idCol, md5($promptExpr) AS fp,
+           CAST(len(string_split_regex(trim($chosenExpr), '\\s+')) AS BIGINT)
+             AS chosen_tokens,
+           CAST(len(string_split_regex(trim($rejectedExpr), '\\s+')) AS BIGINT)
+             AS rejected_tokens,
+           $chosenExpr = $rejectedExpr AS same_response
+         FROM $table),
+       d AS (SELECT fp, count(*) AS n_prompt_dups FROM b GROUP BY fp)
+       SELECT b.$idCol, chosen_tokens, rejected_tokens, same_response,
+         chosen_tokens * 1000000 // greatest(rejected_tokens, 1)
+           AS len_ratio_micro,
+         CAST(n_prompt_dups AS BIGINT) AS n_prompt_dups
+       FROM b JOIN d USING (fp) ORDER BY b.$idCol"""
+
   /** DuckDB oracle replaying [[chatTurns]] over `jsonExpr`. */
   def chatTurnsOracleSql(table: String, idCol: String,
                          jsonExpr: String): String =
@@ -92,6 +169,25 @@ object Chat {
        SELECT $idCol, CAST(turn_idx AS INTEGER) AS turn_idx, role, content,
          CAST(len(string_split_regex(trim(content), '\\s+')) AS BIGINT) AS n_tokens
        FROM t ORDER BY $idCol, turn_idx"""
+
+  /** DuckDB oracle for the turn-level-dedup COMPOSITION
+    * ([[chatTurns]] → role filter → keep-first per content): duplicated
+    * assistant replies across conversations collapse to their first
+    * conversation id plus a copy count. */
+  def chatTurnDedupOracleSql(table: String, idCol: String, jsonExpr: String,
+                             role: String): String =
+    s"""WITH p AS (
+         SELECT $idCol, CAST(json_extract($jsonExpr, '$$') AS JSON[]) AS l
+         FROM $table),
+       t AS (
+         SELECT $idCol,
+           json_extract_string(l[j], '$$.role') AS role,
+           json_extract_string(l[j], '$$.content') AS content
+         FROM p, unnest(generate_series(1, len(l))) AS u(j))
+       SELECT content, min($idCol) AS first_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+       FROM t WHERE role = '$role'
+       GROUP BY content ORDER BY content"""
 
   /** DuckDB oracle replaying [[chatValidate]] over `jsonExpr` (inputs are
     * well-formed by construction in the driver queries, so the parse-fail

@@ -508,3 +508,31 @@ class VocabCoverageSpec extends SparkSpec {
     assert(got(10L) == ((10L, 8L, 8L, 1000000L)))
   }
 }
+
+class ChatRenderPrefSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Chat
+
+  test("chatRender produces role-tagged blocks and token counts") {
+    val conv = """[{"role":"user","content":"hi there"},{"role":"assistant","content":"hello"}]"""
+    val got = Chat.chatRender(Seq(1L -> conv).toDF("id", "conv"), "id", "conv")
+      .as[(Long, String, Long)].head()
+    assert(got._2 == "<|user|>\nhi there\n<|assistant|>\nhello")
+    // tokens: <|user|> hi there <|assistant|> hello
+    assert(got._3 == 5L)
+  }
+
+  test("preferenceChecks flags degenerate pairs, length bias, prompt dups") {
+    val pairs = Seq(
+      (1L, "p one", "good answer here", "bad"),
+      (2L, "p one", "same", "same"),
+      (3L, "p two", "a b", "c d e f")
+    ).toDF("id", "prompt", "chosen", "rejected")
+    val got = Chat.preferenceChecks(pairs, "id", "prompt", "chosen", "rejected")
+      .as[(Long, Long, Long, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, false, 3000000L, 2L)))
+    assert(got(2L) == ((2L, 1L, 1L, true, 1000000L, 2L)))
+    assert(got(3L) == ((3L, 2L, 4L, false, 500000L, 1L)))
+  }
+}
