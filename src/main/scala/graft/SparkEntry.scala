@@ -1769,6 +1769,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── LLM-pipeline: the composed SFT pipeline — structural gate
+    // (parse_ok, clean alternation, no empty turns, assistant-terminated)
+    // semi-joins the rendered training strings; survivors carry the token
+    // counts packing needs. One lazy plan: both sides are projections
+    // over the same scan, the semi join is the only shuffle.
+    "q_sft_pipeline" -> ((s, d) => {
+      val docsConv = Tables.documents(s, d)
+        .select(col("doc_id"), chatJson.as("conv"))
+      val keep = graft.ops.Chat.chatValidate(docsConv, "doc_id", "conv")
+        .where(col("parse_ok") && col("n_role_violations") === 0 &&
+          col("n_empty_turns") === 0 && col("ends_assistant"))
+        .select("doc_id")
+      graft.ops.Chat.chatRender(docsConv, "doc_id", "conv")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: URL-keyed dedup composition — normalize (case,
+    // default port, fragment, trailing slash) then strip tracking params,
+    // then collapse: the crawl-frontier dedup that folds every tracking
+    // variant of a page onto one canonical key. Scan-local
+    // canonicalization + ONE url-keyed aggregate.
+    "q_url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = concat(lit("https://www."), col("source"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val variant = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".EXAMPLE.COM:443/p/"), col("doc_id").cast("string"),
+        lit("?utm_source=x&gclid=z#frag"))
+      docs.select(col("doc_id"), base.as("raw"))
+        .unionByName(docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), variant.as("raw")))
+        .select(col("doc_id"),
+          TextFns.stripTrackingParams(TextFns.normalizeUrl(col("raw")))
+            .as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("first_id"),
+          count(lit(1)).as("n_variants"))
+        .orderBy(col("url"))
+    }),
+
     // ── LLM-pipeline: vocabulary coverage curve — fraction of corpus token
     // occurrences covered by the top-V types for candidate vocab sizes;
     // corpus collapses to |vocab| rows before the one bounded rank window.
@@ -4043,6 +4084,45 @@ object SparkEntry {
 
     "q_chat_render" ->
       graft.ops.Chat.chatRenderOracleSql("documents", "doc_id", chatJsonSql),
+
+    "q_sft_pipeline" ->
+      s"""SELECT * FROM (
+           ${graft.ops.Chat.chatRenderOracleSql("documents", "doc_id", chatJsonSql)}
+         ) rend
+         WHERE doc_id IN (
+           SELECT doc_id FROM (
+             ${graft.ops.Chat.chatValidateOracleSql("documents", "doc_id", chatJsonSql)}
+           ) v
+           WHERE parse_ok AND n_role_violations = 0 AND n_empty_turns = 0
+             AND ends_assistant)
+         ORDER BY doc_id""",
+
+    "q_url_dedup" -> {
+      val canonExpr = TextFns.stripTrackingParamsSqlExpr("url_norm")
+      s"""WITH u AS (
+           SELECT doc_id,
+             'https://www.' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS raw
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             'HTTPS://WWW.' || source || '.EXAMPLE.COM:443/p/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=x&gclid=z#frag' AS raw
+           FROM documents WHERE doc_id % 2 = 0),
+         a AS (
+           SELECT doc_id, regexp_replace(raw, '#.*', '') AS nofrag,
+             regexp_extract(regexp_replace(raw, '#.*', ''),
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+           FROM u),
+         norm AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(lower(auth), '^(http://.*):80$$', '\\1'),
+                            '^(https://.*):443$$', '\\1') ||
+             regexp_replace(substring(nofrag, length(auth) + 1), '/+$$', '') AS url_norm
+           FROM a),
+         canon AS (SELECT doc_id, $canonExpr AS url FROM norm)
+         SELECT url, min(doc_id) AS first_id, CAST(count(*) AS BIGINT) AS n_variants
+         FROM canon GROUP BY url ORDER BY url"""
+    },
 
     "q_chat_turn_dedup" ->
       graft.ops.Chat.chatTurnDedupOracleSql("documents", "doc_id",

@@ -287,4 +287,41 @@ class UnicodeNormalizePropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("SimHashKernel matches an independent md5-nibble reference on random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: hex-string md5 per token, parse nibbles from
+    // the rendered digits (a different code path than the kernel's byte math)
+    def reference(s: String, bits: Int): Long = {
+      val toks = UTF8String.fromString(s).toLowerCase.trim().toString
+        .split("\\s+", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Int](bits)
+      toks.foreach { t =>
+        md.reset()
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        var j = 0
+        while (j < bits) {
+          val nib = Integer.parseInt(hex.charAt(j / 4).toString, 16)
+          sums(j) += (if ((nib & (1 << (j % 4))) != 0) 1 else -1)
+          j += 1
+        }
+      }
+      (0 until bits).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+    }
+    val tokenGen = Gen.frequency(
+      5 -> Gen.alphaNumStr,
+      2 -> Gen.oneOf("the", "a", "spark", "h\u00e9llo", "\u65e5\u672c\u8a9e", "ABC"),
+      1 -> Gen.const(""))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      toks <- Gen.listOf(tokenGen)
+      seps <- Gen.listOfN(math.max(toks.size - 1, 0), sepGen)
+    } yield toks.zipAll(seps :+ "", "", "").map { case (t, x) => t + x }.mkString
+    check(forAll(textGen, Gen.oneOf(1, 16, 63)) { (s, bits) =>
+      graft.expressions.SimHashKernel.compute(UTF8String.fromString(s), bits) ==
+        reference(s, bits)
+    })
+  }
 }
