@@ -3501,7 +3501,11 @@ object SparkEntry {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_docs")
       s.sql("""SELECT doc_id, CAST(graft_token_count(text) AS BIGINT) AS n_tokens,
-               graft_fingerprint(text) AS fp, graft_langid(text) AS pred_lang
+               graft_fingerprint(text) AS fp, graft_langid(text) AS pred_lang,
+               graft_html_to_text('<p>' || text || '</p>') AS text_clean,
+               graft_strip_tracking(
+                 'https://x.example.com/p?utm_source=a&q=' || CAST(doc_id AS STRING))
+                 AS url_clean
                FROM graft_docs ORDER BY doc_id""")
     }),
 
@@ -5110,7 +5114,7 @@ object SparkEntry {
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
 
     "q_sql_functions" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
          md5(lower(trim(text))) AS fp,
          CASE
@@ -5137,8 +5141,13 @@ object SparkEntry {
                   len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人']))) THEN 'es'
            WHEN len(list_intersect(string_split_regex(lower(text),'\s+'), ['le','la','de','et','un','une','est','pour','que','dans'])) >=
                 len(list_intersect(string_split_regex(lower(text),'\s+'), ['的','了','是','在','我','有','和','就','不','人'])) THEN 'fr'
-           ELSE 'zh' END AS pred_lang
-         FROM documents ORDER BY doc_id""",
+           ELSE 'zh' END AS pred_lang,
+         """ + TextFns.htmlToTextSqlExpr("('<p>' || text || '</p>')") +
+      """ AS text_clean,
+         """ + TextFns.stripTrackingParamsSqlExpr(
+        "('https://x.example.com/p?utm_source=a&q=' || CAST(doc_id AS VARCHAR))") +
+      """ AS url_clean
+         FROM documents ORDER BY doc_id"""),
 
     "q_train_split" ->
       """WITH b AS (

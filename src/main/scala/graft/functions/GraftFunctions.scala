@@ -77,7 +77,12 @@ object GraftFunctions {
       val te = intArg(args, 3, "graft_split_label")
       e(graft.ops.Sampling.splitLabel(c(args(0)),
         Seq("train" -> tr, "val" -> va, "test" -> te)))
-    })
+    },
+    "graft_simhash" -> (args => graft.expressions.SimHashRow(args(0), 63)),
+    "graft_html_to_text" -> (args => e(TextFns.htmlToText(c(args(0))))),
+    "graft_strip_tracking" ->
+      (args => e(TextFns.stripTrackingParams(c(args(0))))),
+    "graft_normalize_url" -> (args => e(TextFns.normalizeUrl(c(args(0))))))
 
   /** Register into a live session (temp functions, this session only). */
   def register(spark: SparkSession): Unit =

@@ -536,3 +536,24 @@ class ChatRenderPrefSpec extends SparkSpec {
     assert(got(3L) == ((3L, 2L, 4L, false, 500000L, 1L)))
   }
 }
+
+class SqlSurfaceRound12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("new kernels are SQL-callable through the registry") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, "a b", "<p>Hi &amp; bye</p>",
+        "https://x.com/p?utm_source=a&q=1"))
+      .toDF("id", "t", "h", "u").createOrReplaceTempView("r12")
+    val got = spark.sql(
+      """SELECT graft_simhash(t) AS sig, graft_html_to_text(h) AS txt,
+         graft_strip_tracking(u) AS u2, graft_normalize_url(u) AS u3
+         FROM r12""").head()
+    assert(got.getLong(0) ==
+      graft.expressions.SimHashKernel.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b"), 63))
+    assert(got.getString(1) == "Hi & bye")
+    assert(got.getString(2) == "https://x.com/p?q=1")
+    assert(got.getString(3) == "https://x.com/p?utm_source=a&q=1")
+  }
+}
