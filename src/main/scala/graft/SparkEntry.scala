@@ -384,6 +384,35 @@ object SparkEntry {
        })
     }),
 
+    // Stored BPE tokenizer artifact: the merge table trains on HALF the
+    // corpus, persists as a pipe, and the probe re-reads it (k driver
+    // rows, configuration-bounded) to segment the FULL corpus — including
+    // words the trainer never saw (standard BPE OOV: they stop merging).
+    // The deployment shape bpeSegmentCounts cannot cover (it retrains on
+    // its own input); the oracle derives the merges from the train half
+    // and replays the identical literal-replace chain on the full corpus.
+    "q_bpe_stored_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_bpe_store").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "bpe_merges"),
+        columns = ColumnRoles(Map("datetime" -> "step")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, graft.ops.Corpus.bpeTrain(
+          docs.where(col("doc_id") % 2 === 0), "text", nMerges = 8),
+          checkExisting = false)
+        ()
+       },
+       () => {
+        val merges = eng.getData(spec).orderBy(col("step"))
+          .select(col("pair")).collect().map(_.getString(0)).toSeq
+        graft.ops.Corpus.bpeSegmentCountsFromMerges(docs, "doc_id", "text",
+            merges)
+          .orderBy(col("doc_id"))
+       })
+    }),
+
     // Stored data card: per-batch additive summary rows + a fingerprint
     // pipe carrying the non-additive unique-doc count; fold ≡ rebuild, so
     // the oracle is the plain corpus card. The release dashboard updates
@@ -2484,6 +2513,11 @@ object SparkEntry {
     // pipes (additive batch summaries + a fingerprint pipe for the
     // non-additive unique count); fold ≡ rebuild (see `staged`).
     "q_data_card_sync" -> composed("q_data_card_sync"),
+
+    // ── LLM-pipeline: the BPE tokenizer as a STORED artifact — train on
+    // half, persist merges as a pipe, apply to the full corpus (see
+    // `staged`).
+    "q_bpe_stored_apply" -> composed("q_bpe_stored_apply"),
 
     // ── LLM-pipeline: BPE pair counting — the tokenizer-training kernel
     // (one merge iteration = this op). The only corpus-sized pass is the
@@ -5272,6 +5306,11 @@ object SparkEntry {
     // incremental card fold == full rebuild, so the stored-card probe
     // replays as the plain corpus data card
     "q_data_card_sync" -> dataCardOracle,
+
+    "q_bpe_stored_apply" ->
+      graft.ops.Corpus.bpeCrossApplyOracleSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS dtr",
+        "documents", "doc_id", "text", nMerges = 8),
 
     "q_bm25_topk" ->
       graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",

@@ -1346,6 +1346,97 @@ object Corpus {
     (merges.toSeq.toDF("step", "pair", "pair_freq"), v)
   }
 
+  /** Apply a STORED merge list (the trained-tokenizer artifact — e.g. the
+    * merge table read back from a pipe) to a possibly DIFFERENT corpus:
+    * per-document subword counts under the given merges, in training
+    * order. This is the deployment shape [[bpeSegmentCounts]] cannot
+    * cover — it retrains on its own input; here the tokenizer was fit
+    * once (on yesterday's corpus, or a sample) and is replayed on new
+    * data, including words the trainer never saw (they simply stop
+    * merging where no rule applies — standard BPE OOV behavior).
+    *
+    * Scale: identical to the trainer's apply loop — each merge is one
+    * literal private-delimiter replace over the |vocab|-row table
+    * (corpus-size-INDEPENDENT, checkpointed per step), and the corpus is
+    * touched once by the token equi-join. `merges` is the k-row driver
+    * artifact (configuration, not data). */
+  def bpeSegmentCountsFromMerges(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 merges: Seq[String]): DataFrame = {
+    var v = vocab(docs, textCol)
+      .select(col("token"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+    merges.foreach { pair =>
+      val merged = pair.replace(" ", "")
+      val doubled = call_function("replace", col("sym"), lit(" "), lit("  "))
+      val pairD = pair.replace(" ", "  ")
+      val next = v.select(col("token"),
+          trim(call_function("replace",
+            call_function("replace",
+              concat(lit(" "), doubled, lit(" ")),
+              lit(s" $pairD "), lit(s" $merged ")),
+            lit("  "), lit(" "))).as("sym"),
+          col("freq"))
+        .localCheckpoint(true)
+      graft.ops.ApproxDedup.freeCheckpoint(v)
+      v = next
+    }
+    val segLen = v.select(col("token"),
+      size(split(col("sym"), " ")).cast("long").as("n_sub"))
+    val out = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(segLen, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+      .localCheckpoint(true)
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    out
+  }
+
+  /** DuckDB oracle for the stored-tokenizer CROSS application: the merge
+    * table derives from the TRAIN table's argmax chain, and each step
+    * then replays as the identical literal replace over the APPLY table's
+    * vocabulary — two CTE tracks sharing the per-step best-pair rows. */
+  def bpeCrossApplyOracleSql(trainTable: String, applyTable: String,
+                             idCol: String, textCol: String,
+                             nMerges: Int): String = {
+    val applySteps = (1 to nMerges).map { i =>
+      s"""av$i AS MATERIALIZED (
+           SELECT token, trim(replace(replace(
+             ' ' || replace(sym, ' ', '  ') || ' ',
+             ' ' || (SELECT replace(pair, ' ', '  ') FROM b$i) || ' ',
+             ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' '),
+             '  ', ' ')) AS sym,
+             freq
+           FROM av${i - 1})"""
+    }.mkString(",\n         ")
+    s"""WITH ${bpeChainCtes(trainTable, textCol, nMerges)},
+       awords AS (
+         SELECT token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $applyTable) t
+         WHERE length(token) > 0 GROUP BY 1),
+       av0 AS MATERIALIZED (
+         SELECT token, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS sym, freq
+         FROM awords),
+       $applySteps,
+       aseg AS (SELECT token, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+                FROM av$nMerges),
+       atok AS (SELECT $idCol, token FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $applyTable) t
+         WHERE length(token) > 0)
+       SELECT atok.$idCol,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(aseg.n_sub) AS BIGINT) AS n_subwords
+       FROM atok JOIN aseg USING (token)
+       GROUP BY 1 ORDER BY atok.$idCol"""
+  }
+
   /** APPLY a trained BPE tokenizer at corpus scale: per-document subword
     * counts under `nMerges` trained merges. The segmentation is computed
     * once per DISTINCT word (the trainer's vocab-sized loop, corpus-size-

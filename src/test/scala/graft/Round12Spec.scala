@@ -557,3 +557,32 @@ class SqlSurfaceRound12Spec extends SparkSpec {
     assert(got.getString(3) == "https://x.com/p?utm_source=a&q=1")
   }
 }
+
+class BpeStoredApplySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Corpus
+
+  test("apply-from-stored merges on the same corpus equals the in-process trainer") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(50).cache()
+    val merges = Corpus.bpeTrain(docs, "text", nMerges = 4)
+      .orderBy(col("step")).select(col("pair")).as[String].collect().toSeq
+    val fromStored =
+      Corpus.bpeSegmentCountsFromMerges(docs, "doc_id", "text", merges)
+    val inProcess = Corpus.bpeSegmentCounts(docs, "doc_id", "text", nMerges = 4)
+    assert(fromStored.exceptAll(inProcess).isEmpty &&
+      inProcess.exceptAll(fromStored).isEmpty)
+  }
+
+  test("unseen words stop merging where no rule applies (BPE OOV)") {
+    val train = Seq(1L -> "banana banana banana").toDF("id", "text")
+    val merges = Corpus.bpeTrain(train, "text", nMerges = 2)
+      .orderBy(col("step")).select(col("pair")).as[String].collect().toSeq
+    // merges learned on 'banana' only; 'bandana' shares 'an' but not all
+    val apply = Seq(1L -> "banana bandana xyz").toDF("id", "text")
+    val got = Corpus.bpeSegmentCountsFromMerges(apply, "id", "text", merges)
+      .as[(Long, Long, Long)].head()
+    // sanity: 3 words, subwords strictly fewer than characters, more than words
+    assert(got._2 == 3L && got._3 > 3L && got._3 < 17L)
+  }
+}
