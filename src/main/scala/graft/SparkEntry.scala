@@ -384,6 +384,46 @@ object SparkEntry {
        })
     }),
 
+    // Stored PERCEPTUAL media index: aHash band rows blind-append into a
+    // bucket-clustered pipe; a re-upload probe hashes ONE payload, reads
+    // ≤ 4 bucket dirs, and Hamming-verifies from the stored hashes —
+    // payload bytes never leave their original scan. Pigeonhole-exact at
+    // Hamming ≤ 3, so the oracle is the direct formula.
+    "q_media_index_sync" -> ((s, d) => {
+      val buckets = 16
+      val docs = Tables.documents(s, d)
+      def index(df: DataFrame) =
+        Media.perceptualBands(Media.fromDocuments(s, df), buckets)
+      val root = java.nio.file.Files.createTempDirectory("graft_med_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "media_ahash"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val store = eng.storage(spec)
+      (() => {
+        eng.sync(spec, index(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, index(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => {
+        val qid = 1000040L // re-upload of doc 40's payload under a new id
+        val qRows = index(docs.where(col("doc_id") === 40)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+          .select("band", "bv", "bucket", "ahash").collect()
+        val qSig = qRows.head.getAs[Long]("ahash")
+        val hit = qRows.toSeq.map(r =>
+            col("band") === r.getAs[Int]("band") && col("bv") === r.getAs[Long]("bv"))
+          .reduce(_ || _)
+        store.readIn(qRows.toSeq.map(_.getAs[Long]("bucket")).distinct)
+          .where(hit)
+          .select(lit(qid).as("sid"), col("media_id").as("hist_id"),
+            bit_count(col("ahash").bitwiseXOR(lit(qSig))).as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 3)
+          .orderBy(col("hist_id"))
+       })
+    }),
+
     // Stored BPE tokenizer artifact: the merge table trains on HALF the
     // corpus, persists as a pipe, and the probe re-reads it (k driver
     // rows, configuration-bounded) to segment the FULL corpus — including
@@ -2518,6 +2558,11 @@ object SparkEntry {
     // half, persist merges as a pipe, apply to the full corpus (see
     // `staged`).
     "q_bpe_stored_apply" -> composed("q_bpe_stored_apply"),
+
+    // ── LLM-pipeline: the perceptual media index maintained as a stored
+    // pipe — re-upload probes read ≤ 4 bucket dirs and verify from stored
+    // hashes; payload bytes never leave their scan (see `staged`).
+    "q_media_index_sync" -> composed("q_media_index_sync"),
 
     // ── LLM-pipeline: BPE pair counting — the tokenizer-training kernel
     // (one merge iteration = this op). The only corpus-sized pass is the
@@ -5311,6 +5356,14 @@ object SparkEntry {
       graft.ops.Corpus.bpeCrossApplyOracleSql(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS dtr",
         "documents", "doc_id", "text", nMerges = 8),
+
+    "q_media_index_sync" ->
+      Media.perceptualProbeOracleSql(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+           WHERE doc_id = 40)""",
+        "doc_id", "text", qid = 1000040L, maxHamming = 3),
 
     "q_bm25_topk" ->
       graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",

@@ -174,11 +174,11 @@ object Media {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** DuckDB oracle replaying [[aHash]]+[[perceptualNearDups]] over payloads
-    * that are UTF-8 text (`textExpr` must reproduce the payload bytes). */
-  def perceptualNearDupsOracleSql(table: String, idCol: String,
-                                  textExpr: String, maxHamming: Int): String =
-    s"""WITH lum AS (
+  /** The [[aHash]] replay as a CTE chain ending in `h(id, ahash)` —
+    * shared by the pair-join and stored-probe oracles. */
+  private def aHashCtes(table: String, idCol: String,
+                        textExpr: String): String =
+    s"""lum AS (
          SELECT $idCol AS id,
            flatten(list_transform(generate_series(0, 3), d ->
              list_transform(generate_series(0, 15), k ->
@@ -192,7 +192,13 @@ object Media {
                THEN (CASE WHEN j = 64 THEN -9223372036854775807 - 1
                      ELSE (CAST(1 AS BIGINT) << (j - 1)) END)
                ELSE 0 END)) AS BIGINT) AS ahash
-         FROM lum),
+         FROM lum)"""
+
+  /** DuckDB oracle replaying [[aHash]]+[[perceptualNearDups]] over payloads
+    * that are UTF-8 text (`textExpr` must reproduce the payload bytes). */
+  def perceptualNearDupsOracleSql(table: String, idCol: String,
+                                  textExpr: String, maxHamming: Int): String =
+    s"""WITH ${aHashCtes(table, idCol, textExpr)},
        band AS (
          SELECT id, ahash, b, (ahash >> (16 * b)) & 65535 AS bv
          FROM h, (SELECT unnest(generate_series(0, 3)) AS b)),
@@ -202,6 +208,38 @@ object Media {
        SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
        FROM cand WHERE bit_count(xor(h1, h2)) <= $maxHamming
        ORDER BY id1, id2"""
+
+  /** Stored perceptual-index rows: (media_id, ahash, band, bv, bucket) —
+    * four narrow rows per media object, bucket = band·buckets +
+    * (bv mod buckets), the [[graft.ops.ApproxDedup.simhashBands]] layout
+    * applied to the perceptual hash: a bucket-clustered pipe keeps probes
+    * to ≤ 4 partition directories and the hash rides in the row, so
+    * re-upload probes never touch payload bytes. The bucket fold only
+    * widens candidates (exact (band, bv) filter after the pruned read),
+    * so pigeonhole exactness at Hamming ≤ 3 survives storage. */
+  def perceptualBands(media: Dataset[MediaRow], buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    aHash(media).select(col("media_id"), col("ahash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bv")))
+      .withColumn("bucket",
+        col("band").cast("long") * lit(buckets.toLong) +
+          pmod(col("bv"), lit(buckets.toLong)))
+  }
+
+  /** DuckDB oracle for a stored-perceptual-index PROBE of one arriving
+    * media object: pigeonhole-exact at Hamming ≤ 3, so the oracle is the
+    * direct formula against every stored object. */
+  def perceptualProbeOracleSql(table: String, idCol: String, textExpr: String,
+                               qid: Long, maxHamming: Int): String =
+    s"""WITH ${aHashCtes(table, idCol, textExpr)}
+       SELECT CAST($qid AS BIGINT) AS sid, a.id AS hist_id,
+         CAST(bit_count(xor(a.ahash, q.ahash)) AS INT) AS hamming
+       FROM h a, (SELECT ahash FROM h WHERE id = $qid) q
+       WHERE a.id <> $qid
+         AND bit_count(xor(a.ahash, q.ahash)) <= $maxHamming
+       ORDER BY hist_id"""
 
   /** Build a deterministic media table from the documents table — payload =
     * utf-8 bytes of the text (stand-in for image bytes), metadata derived
