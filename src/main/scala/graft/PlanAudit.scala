@@ -103,8 +103,9 @@ object PlanAudit {
        "TakeOrdered, a bounded single-partition window, one final " +
        "single-row aggregate."),
     "q_simhash_near_dups" ->
-      ("SimHash Hamming-ball join: the 63-bit signature is ONE map-side- " +
-       "combined hash aggregate; candidates come from an equi-join on " +
+      ("SimHash Hamming-ball join: the 63-bit signature is a native " +
+       "generated per-row expression — a pure projection inside the scan, " +
+       "NO signature shuffle at all; candidates come from an equi-join on " +
        "(band, bucket) over a 4-rows-per-doc band table — no cross join " +
        "anywhere; the Hamming verify is a codegen'd bit_count(xor) " +
        "projection on the joined rows."),
