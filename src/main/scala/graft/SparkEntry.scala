@@ -1363,6 +1363,40 @@ object SparkEntry {
         .distinct().orderBy(col("sid"), col("hist_id"))
     }),
 
+    // ── maintenance: derived-index STALENESS report — corpus ids missing
+    // from a stored index (a sync that never ran) and orphaned index ids
+    // (source rows cleared after indexing). The index here is a REAL
+    // stored band pipe built over half the corpus plus one synthetic
+    // orphan row, so both anti-join directions exercise against storage.
+    "q_index_staleness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_stale").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "stale_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val indexed = docs.where(col("doc_id") % 2 === 0)
+        .unionByName(docs.where(col("doc_id") === 1)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars")))
+      eng.storage(spec).create(
+        ApproxDedup.simhashBands(indexed, "doc_id", "text", buckets = 16))
+      graft.ops.Maintenance.indexStaleness(
+          docs.select(col("doc_id")),
+          eng.getData(spec).select(col("doc_id")), "doc_id")
+        .orderBy(col("status"), col("doc_id"))
+    }),
+
+    // ── relational: double-fire detection — events whose same-key
+    // predecessor arrived within the tolerance (client retries, duplicate
+    // webhooks); one keyed window, exact integer micro gaps, the SECOND
+    // of each close pair flagged.
+    "q_event_double_fire" -> ((s, d) =>
+      graft.ops.Relational.doubleFires(Tables.events(s, d),
+          keyCols = Seq("user_id", "event_type"), tsCol = "ts",
+          idCol = "event_id", toleranceUs = 12L * 3600L * 1000000L)
+        .orderBy(col("event_id"))),
+
     // ── maintenance/streaming: DQ monitoring as a STREAM — every arriving
     // micro-batch runs the expectations suite (dqChecks inside the batch
     // transform) and appends its per-rule report to a monitoring pipe;
@@ -4219,6 +4253,30 @@ object SparkEntry {
         chosenExpr = "('reply about ' || source)",
         rejectedExpr =
           "CASE WHEN doc_id % 11 = 0 THEN 'reply about ' || source ELSE text END"),
+
+    "q_index_staleness" ->
+      """WITH idx AS (
+           SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id + 5000000 AS doc_id FROM documents WHERE doc_id = 1),
+         c AS (SELECT doc_id FROM documents)
+         SELECT doc_id, 'missing' AS status FROM c
+         WHERE doc_id NOT IN (SELECT doc_id FROM idx)
+         UNION ALL
+         SELECT doc_id, 'orphaned' AS status FROM idx
+         WHERE doc_id NOT IN (SELECT doc_id FROM c)
+         ORDER BY status, doc_id""",
+
+    "q_event_double_fire" ->
+      """WITH g AS (
+           SELECT event_id, user_id, event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS gap_us
+           FROM events)
+         SELECT event_id, user_id, event_type, gap_us FROM g
+         WHERE gap_us IS NOT NULL AND gap_us <= 43200000000
+         ORDER BY event_id""",
 
     "q_streaming_dq_monitor" -> {
       val rules = Seq(

@@ -874,7 +874,12 @@ object ApproxDedup {
       .select(col(idCol), TextFns.md5Long60(col("s")).as("h"))
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxDocsPerShingle).select(col("h"))
+    // read three times (sizes + both self-join sides) — cache so the
+    // shingle explode and boilerplate prune run once; MEMORY_AND_DISK,
+    // footprint ∝ informative (id, hash) pairs, LRU lifecycle (the
+    // verifyExact discipline)
     val pruned = sh.join(rare, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = pruned.select(col("h"), col(idCol).as("id1"))
       .join(pruned.select(col("h"), col(idCol).as("id2")), Seq("h"))

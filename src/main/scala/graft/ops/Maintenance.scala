@@ -466,6 +466,24 @@ object Maintenance {
           .otherwise(lit(null).cast("long")).as("violation_micro"))
   }
 
+  /** Derived-index STALENESS report — the ops check for every stored
+    * index (band/cell/postings pipes): which corpus ids are MISSING from
+    * the index (a sync that never ran), and which index ids are ORPHANED
+    * (their source rows were cleared/dropped after indexing). Two
+    * anti-joins on the id; both sides reduce to distinct ids before the
+    * join, so the report costs id-column scans regardless of index width.
+    * The empty report is the precondition for trusting any stored-probe
+    * answer. */
+  def indexStaleness(corpusIds: DataFrame, indexIds: DataFrame,
+                     idCol: String): DataFrame = {
+    val c = corpusIds.select(col(idCol)).distinct()
+    val i = indexIds.select(col(idCol)).distinct()
+    c.join(i, Seq(idCol), "left_anti")
+      .select(col(idCol), lit("missing").as("status"))
+      .unionByName(i.join(c, Seq(idCol), "left_anti")
+        .select(col(idCol), lit("orphaned").as("status")))
+  }
+
   /** DuckDB oracle replaying [[dqChecks]] — the same single-pass sums,
     * per-rule rows via UNION ALL. Each rule is (name, SQL predicate). */
   def dqChecksOracleSql(table: String, rules: Seq[(String, String)],

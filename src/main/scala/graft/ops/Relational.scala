@@ -460,6 +460,24 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Double-fire detection — telemetry events whose predecessor with the
+    * SAME key arrived within `toleranceUs` (client retries, duplicate
+    * webhooks, at-least-once collectors firing twice). One keyed window
+    * with a deterministic (ts, id) order; the emitted `gap_us` is exact
+    * integer micros, so the dedup decision replays on any engine. The
+    * SECOND of each close pair is flagged (drop it, keep the first). */
+  def doubleFires(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  idCol: String, toleranceUs: Long): DataFrame = {
+    require(keyCols.nonEmpty && toleranceUs >= 0, "bad double-fire parameters")
+    val us = graft.dsl.RoundTime.epochMicros _
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(us(col(tsCol)).asc, col(idCol).asc)
+    val gap = us(col(tsCol)) - lag(us(col(tsCol)), 1).over(w)
+    df.withColumn("gap_us", gap)
+      .where(col("gap_us").isNotNull && col("gap_us") <= toleranceUs)
+      .select((col(idCol) +: keyCols.map(col)) :+ col("gap_us"): _*)
+  }
+
   /** First- and last-touch ATTRIBUTION: for every conversion event, the
     * earliest and latest qualifying touch event by the same entity within
     * `windowUs` BEFORE (or at) the conversion — the standard marketing /

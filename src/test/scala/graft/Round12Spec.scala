@@ -586,3 +586,31 @@ class BpeStoredApplySpec extends SparkSpec {
     assert(got._2 == 3L && got._3 > 3L && got._3 < 17L)
   }
 }
+
+class StalenessDoubleFireSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("indexStaleness reports missing and orphaned ids; clean index is empty") {
+    val corpus = Seq(1L, 2L, 3L).toDF("id")
+    val index  = Seq(1L, 3L, 9L).toDF("id")
+    val got = graft.ops.Maintenance.indexStaleness(corpus, index, "id")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "missing"), (9L, "orphaned")))
+    assert(graft.ops.Maintenance.indexStaleness(corpus, corpus, "id").count() == 0)
+  }
+
+  test("doubleFires flags the SECOND of each close same-key pair only") {
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val ev = Seq(
+      (1L, 7L, "click", ts(0)),
+      (2L, 7L, "click", ts(2)),   // 2s after #1 → flagged
+      (3L, 7L, "click", ts(40)),  // 38s after #2 → fine
+      (4L, 7L, "view",  ts(1)),   // different key
+      (5L, 8L, "click", ts(3))    // different key
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.Relational.doubleFires(ev,
+        Seq("user_id", "event_type"), "ts", "event_id", toleranceUs = 5000000L)
+      .select("event_id", "gap_us").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((2L, 2000000L)))
+  }
+}
