@@ -1387,6 +1387,28 @@ object SparkEntry {
         .orderBy(col("status"), col("doc_id"))
     }),
 
+    // ── maintenance: per-group exact percentile report — the ANALYZE
+    // distribution keyed by event type; Spark's exact percentile uses the
+    // same linear interpolation as quantile_cont, so the report replays
+    // bit-for-bit. One grouped aggregate.
+    "q_group_percentiles" -> ((s, d) =>
+      graft.ops.Maintenance.groupPercentiles(Tables.events(s, d),
+          "event_type", "value", ps = Seq(0.25, 0.5, 0.9))
+        .orderBy(col("event_type"))),
+
+    // ── relational: latest-N retention per key — materialize "keep each
+    // user's newest 5 events" via the salted two-stage top-n (no
+    // whole-user single-task funnel; composition equals one window
+    // exactly — the same kernel as the per-group quota cap, ordered by
+    // recency instead of quality).
+    "q_retain_latest" -> ((s, d) =>
+      graft.ops.Sampling.capPerGroup(
+          Tables.events(s, d).select(col("event_id"), col("user_id"),
+            RoundTime.epochMicros(col("ts")).as("ts_us")),
+          "user_id", Seq(col("ts_us").desc, col("event_id").desc), n = 5,
+          saltOn = col("event_id"), salts = 8)
+        .orderBy(col("event_id"))),
+
     // ── relational: double-fire detection — events whose same-key
     // predecessor arrived within the tolerance (client retries, duplicate
     // webhooks); one keyed window, exact integer micro gaps, the SECOND
@@ -4253,6 +4275,19 @@ object SparkEntry {
         chosenExpr = "('reply about ' || source)",
         rejectedExpr =
           "CASE WHEN doc_id % 11 = 0 THEN 'reply about ' || source ELSE text END"),
+
+    "q_group_percentiles" ->
+      graft.ops.Maintenance.groupPercentilesOracleSql("events",
+        "event_type", "value", ps = Seq(0.25, 0.5, 0.9)),
+
+    "q_retain_latest" ->
+      """WITH r AS (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
+           FROM events)
+         SELECT event_id, user_id, ts_us, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5 ORDER BY event_id""",
 
     "q_index_staleness" ->
       """WITH idx AS (

@@ -466,6 +466,36 @@ object Maintenance {
           .otherwise(lit(null).cast("long")).as("violation_micro"))
   }
 
+  /** Per-GROUP exact percentile report — the ANALYZE distribution surface
+    * keyed by a dimension (the global [[histogram]] bins one column; this
+    * answers "what does value p50/p90 look like per event type / per
+    * source"). Spark's exact `percentile` aggregate uses the same linear
+    * interpolation as ANSI `quantile_cont`/`percentile_cont`, so the
+    * report replays bit-for-bit. ONE grouped aggregate; output |groups|
+    * rows. At 100 TB swap in `approx_percentile` per the documented
+    * profile() convention. */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "ps in [0,1]")
+    val aggs = Seq(
+      count(col(valueCol)).as("n"),
+      min(col(valueCol)).as("min_v"),
+      max(col(valueCol)).as("max_v")) ++
+      ps.map(p => percentile(col(valueCol), lit(p))
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB oracle replaying [[groupPercentiles]]. */
+  def groupPercentilesOracleSql(table: String, groupCol: String,
+                                valueCol: String, ps: Seq[Double]): String = {
+    val qs = ps.map(p =>
+      s"quantile_cont($valueCol, $p) AS p${(p * 100).round}").mkString(", ")
+    s"""SELECT $groupCol, CAST(count($valueCol) AS BIGINT) AS n,
+       min($valueCol) AS min_v, max($valueCol) AS max_v, $qs
+       FROM $table GROUP BY $groupCol ORDER BY $groupCol"""
+  }
+
   /** Derived-index STALENESS report — the ops check for every stored
     * index (band/cell/postings pipes): which corpus ids are MISSING from
     * the index (a sync that never ran), and which index ids are ORPHANED

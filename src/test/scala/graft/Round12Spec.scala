@@ -614,3 +614,16 @@ class StalenessDoubleFireSpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 2000000L)))
   }
 }
+
+class GroupPercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact interpolated percentiles per group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v")
+    val got = graft.ops.Maintenance.groupPercentiles(df, "g", "v", Seq(0.5))
+      .as[(String, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 4L, 1.0, 4.0, 2.5))) // p50 of 1..4 = 2.5
+    assert(got("b") == (("b", 1L, 10.0, 10.0, 10.0)))
+  }
+}
