@@ -1387,6 +1387,25 @@ object SparkEntry {
         .orderBy(col("status"), col("doc_id"))
     }),
 
+    // ── LLM-pipeline: pairwise Pearson correlation between quality
+    // signals — the redundancy check before stacking signals into a
+    // composite gate. Exact long moment sums in ONE aggregate pass; the
+    // final r computes in double from those integers, floor-micro.
+    "q_signal_correlation" -> ((s, d) =>
+      graft.ops.Evaluation.signalCorrelation(
+        Tables.documents(s, d).select(
+          col("n_chars").cast("long").as("nc"),
+          TextFns.tokenCount(col("text")).cast("long").as("nt"),
+          TextFns.stopwordHits(col("text"), "en").cast("long").as("sw")),
+        signals = Seq("nc", "nt", "sw"))
+        .orderBy(col("sig_a"), col("sig_b"))),
+
+    // ── LLM-pipeline: source-concentration Gini — the one-number
+    // inequality check of the corpus's source mix; |sources|-row window,
+    // exact integer arithmetic, floor-micro.
+    "q_source_gini" -> ((s, d) =>
+      graft.ops.Evaluation.sourceGini(Tables.documents(s, d), "source")),
+
     // ── maintenance: per-group exact percentile report — the ANALYZE
     // distribution keyed by event type; Spark's exact percentile uses the
     // same linear interpolation as quantile_cont, so the report replays
@@ -4279,6 +4298,18 @@ object SparkEntry {
     "q_group_percentiles" ->
       graft.ops.Maintenance.groupPercentilesOracleSql("events",
         "event_type", "value", ps = Seq(0.25, 0.5, 0.9)),
+
+    "q_signal_correlation" ->
+      graft.ops.Evaluation.signalCorrelationOracleSql("documents",
+        signals = Seq(
+          "nc" -> "n_chars",
+          "nt" -> "len(string_split_regex(trim(text), '\\s+'))",
+          "sw" -> """len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','a','of','and','to','in','is','it','that','for']))"""
+            .linesIterator.map(_.trim).mkString(" "))),
+
+    "q_source_gini" ->
+      graft.ops.Evaluation.sourceGiniOracleSql("documents", "source"),
 
     "q_retain_latest" ->
       """WITH r AS (

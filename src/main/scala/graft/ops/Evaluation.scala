@@ -237,6 +237,94 @@ object Evaluation {
              WHERE length(token) > 0 GROUP BY token)
        SELECT freq, count(*) AS n_types FROM v GROUP BY freq ORDER BY freq"""
 
+  /** Pairwise Pearson CORRELATION between integer quality signals — the
+    * redundancy check before stacking signals into a composite gate (two
+    * signals at r ≈ 1 are one signal counted twice). All moment sums
+    * (Σx, Σy, Σxy, Σx², Σy², n) accumulate as exact longs in ONE
+    * map-side-combined aggregate pass; the final r computes in double
+    * from those exact integers (identical IEEE arithmetic on any engine)
+    * and reports as floor-micro-units. Signals must be integral and
+    * small enough that n·x·y stays in a long — quality signals are.
+    * Output: one row per unordered signal pair. */
+  def signalCorrelation(df: DataFrame, signals: Seq[String]): DataFrame = {
+    require(signals.size >= 2, "need at least two signals")
+    val aggs = (count(lit(1)).as("n") +: signals.flatMap { s =>
+      Seq(sum(col(s)).as(s"s_$s"), sum(col(s) * col(s)).as(s"q_$s"))
+    }) ++ signals.combinations(2).toSeq.map { case Seq(a, b) =>
+      sum(col(a) * col(b)).as(s"x_${a}_$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = signals.combinations(2).toSeq.map { case Seq(a, b) =>
+      val num = col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val da = col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a")
+      val db = col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b")
+      struct(lit(a).as("sig_a"), lit(b).as("sig_b"),
+        when(da > 0 && db > 0,
+          floor(num.cast("double") / sqrt(da.cast("double") * db.cast("double"))
+            * 1000000.0).cast("long"))
+          .otherwise(lit(null).cast("long")).as("r_micro"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** DuckDB oracle replaying [[signalCorrelation]]. `signals` maps output
+    * signal name → SQL expression. */
+  def signalCorrelationOracleSql(table: String,
+                                 signals: Seq[(String, String)]): String = {
+    val src = signals.map { case (n, e) => s"CAST($e AS BIGINT) AS $n" }
+      .mkString(", ")
+    val sums = (s"CAST(count(*) AS BIGINT) AS n" +:
+      signals.flatMap { case (s, _) =>
+        Seq(s"CAST(sum($s) AS BIGINT) AS s_$s",
+          s"CAST(sum($s * $s) AS BIGINT) AS q_$s")
+      }) ++ signals.map(_._1).combinations(2).toSeq.map { case Seq(a, b) =>
+        s"CAST(sum($a * $b) AS BIGINT) AS x_${a}_$b"
+      }
+    val rows = signals.map(_._1).combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS sig_a, '$b' AS sig_b,
+         CASE WHEN n * q_$a - s_$a * s_$a > 0 AND n * q_$b - s_$b * s_$b > 0
+           THEN CAST(floor(CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE) *
+                  CAST(n * q_$b - s_$b * s_$b AS DOUBLE)) * 1000000.0) AS BIGINT)
+         END AS r_micro FROM one"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH src AS (SELECT $src FROM $table),
+       one AS (SELECT ${sums.mkString(", ")} FROM src)
+       $rows ORDER BY sig_a, sig_b"""
+  }
+
+  /** Source-concentration GINI coefficient — the inequality measure of a
+    * corpus's source mix (0 = perfectly balanced crawl, → 1 = one domain
+    * dominates): Gini = Σᵢ (2i − n − 1)·xᵢ / (n·Σx) over sources sorted
+    * by ascending share. The one-number health check next to the full
+    * [[graft.ops.Corpus.dataCard]]. Exact: corpus collapses to |sources|
+    * counts, the rank window runs over that bounded table, and the single
+    * division reports floor-micro-units. */
+  def sourceGini(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c"), col(groupCol))
+    val ranked = counts.withColumn("i", row_number().over(w).cast("long"))
+    ranked.agg(
+        sum(col("c")).as("tot"), count(lit(1)).as("ng"),
+        sum((lit(2) * col("i")) * col("c")).as("wsum"))
+      .select(col("ng").as("n_groups"), col("tot").as("n_rows"),
+        expr("(wsum - (ng + 1) * tot) * 1000000L div (ng * tot)")
+          .as("gini_micro"))
+  }
+
+  /** DuckDB oracle replaying [[sourceGini]]. */
+  def sourceGiniOracleSql(table: String, groupCol: String): String =
+    s"""WITH g AS (SELECT $groupCol AS grp, count(*) AS c FROM $table GROUP BY 1),
+       r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, grp) AS BIGINT) AS i
+             FROM g),
+       t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(2 * i * c) AS BIGINT) AS wsum
+             FROM r)
+       SELECT ng AS n_groups, tot AS n_rows,
+         (wsum - (ng + 1) * tot) * 1000000 // (ng * tot) AS gini_micro
+       FROM t"""
+
   /** Vocabulary COVERAGE curve: for each candidate vocabulary size V, the
     * fraction of corpus token occurrences covered by the top-V most
     * frequent types — the plot that picks a tokenizer/vocab size before a

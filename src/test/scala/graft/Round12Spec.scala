@@ -627,3 +627,37 @@ class GroupPercentilesSpec extends SparkSpec {
     assert(got("b") == (("b", 1L, 10.0, 10.0, 10.0)))
   }
 }
+
+class CorrelationGiniSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Evaluation
+
+  test("perfect linear signals give r = 1; anti-correlated give r = -1") {
+    val df = Seq((1L, 2L, 9L), (2L, 4L, 8L), (3L, 6L, 7L))
+      .toDF("a", "b", "c")
+    val got = Evaluation.signalCorrelation(df, Seq("a", "b", "c"))
+      .as[(String, String, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("a", "b")).contains(1000000L))
+    assert(got(("a", "c")).contains(-1000000L))
+  }
+
+  test("constant signal yields null correlation") {
+    val df = Seq((1L, 5L), (2L, 5L)).toDF("a", "b")
+    val got = Evaluation.signalCorrelation(df, Seq("a", "b"))
+      .as[(String, String, Option[Long])].head()
+    assert(got._3.isEmpty)
+  }
+
+  test("gini: balanced groups score 0, concentrated groups score high") {
+    val balanced = Seq("a", "a", "b", "b", "c", "c").toDF("g")
+    val gotB = Evaluation.sourceGini(balanced, "g")
+      .as[(Long, Long, Long)].head()
+    assert(gotB == ((3L, 6L, 0L)))
+    // one group holds 8 of 10 rows: G = (2*1*1 + 2*2*1 + 2*3*8 - 4*10) / (3*10)
+    val skewed = (Seq.fill(8)("big") ++ Seq("s1", "s2")).toDF("g")
+    val gotS = Evaluation.sourceGini(skewed, "g")
+      .as[(Long, Long, Long)].head()
+    assert(gotS == ((3L, 10L, (14L * 1000000L) / 30L)))
+  }
+}
