@@ -661,3 +661,36 @@ class CorrelationGiniSpec extends SparkSpec {
     assert(gotS == ((3L, 10L, (14L * 1000000L) / 30L)))
   }
 }
+
+/** Storage-layout health: `create()` with clustering writes ONE parquet
+  * file per chunk directory (the claim behind "probe reads ≤ k dirs" —
+  * a dir holding (tasks × buckets) shards would still prune but pay a
+  * per-file open cost the layout is supposed to avoid). */
+class ChunkClusteringSpec extends SparkSpec {
+  import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+  import graft.sync.SyncEngine
+
+  test("clustered create leaves exactly one data file per chunk dir") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val root = java.nio.file.Files.createTempDirectory("graft_onefile").toString
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("ann", "onefile"),
+      columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+      epochUnit = Some("minute"), chunkMinutes = 1)
+    eng.storage(spec).create(
+      graft.ops.ApproxDedup.simhashBands(docs, "doc_id", "text", buckets = 8))
+    import scala.jdk.CollectionConverters._
+    val chunkDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__graft_chunk="))
+      .toSeq
+    assert(chunkDirs.nonEmpty)
+    chunkDirs.foreach { d =>
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1,
+        s"${d.getFileName} holds ${files.size} parquet files, expected 1")
+    }
+  }
+}
