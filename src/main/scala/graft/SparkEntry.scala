@@ -1251,6 +1251,60 @@ object SparkEntry {
       eng.getData(spec).select(col("content_sha256")).orderBy(col("content_sha256"))
     }),
 
+    // ── LLM-pipeline: STREAMING perceptual media probe — arriving
+    // payloads hash per-partition IN-STREAM (mapPartitions, payloads
+    // never shuffle), band-join the STORED perceptual index
+    // (stream-static), and Hamming-verify from the stored hashes.
+    // Re-uploads of every 3rd payload arrive under new ids, redelivered
+    // twice; the sink dedups. Pigeonhole-exact at Hamming ≤ 3, so the
+    // oracle is the direct cross-set formula.
+    "q_streaming_media_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_smp").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      val idxSpec = PipeSpec(PipeKeys("stream", "media_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(idxSpec).create(
+        Media.perceptualBands(Media.fromDocuments(s, docs), buckets))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val bands = Media.perceptualBands(Media.fromDocuments(s, stream), buckets)
+        .withColumnRenamed("media_id", "sid")
+        .withColumnRenamed("ahash", "sig")
+        .drop("bucket")
+      val idx = eng.storage(idxSpec).read
+        .select(col("media_id").as("hist_id"), col("ahash").as("hist_sig"),
+          col("band"), col("bv"))
+      val hits = bands.join(idx, Seq("band", "bv"))
+        .select(col("sid"), col("hist_id"),
+          bit_count(col("sig").bitwiseXOR(col("hist_sig"))).as("hamming"),
+          timestamp_micros((col("sid") * lit(60L) + lit(86400L)) * lit(1000000L))
+            .as("ts"))
+        .where(col("hamming") <= 3)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "media_hits"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, hits,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("sid"), col("hist_id"), col("hamming"))
+        .distinct().orderBy(col("sid"), col("hist_id"))
+    }),
+
     // ── §2.9 streaming near-dup probe AGAINST HISTORY e2e: arriving docs
     // stamp their MinHash bands IN-STREAM and stream-static join the
     // STORED band index of the corpus synced so far (the complement of
@@ -5480,6 +5534,16 @@ object SparkEntry {
       graft.ops.Corpus.bpeCrossApplyOracleSql(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS dtr",
         "documents", "doc_id", "text", nMerges = 8),
+
+    "q_streaming_media_probe" ->
+      Media.perceptualCrossOracleSql(
+        """(SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 20000 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0)""",
+        "doc_id", "text",
+        leftPred = "a.id >= 20000", rightPred = "hh.id < 20000",
+        maxHamming = 3),
 
     "q_media_index_sync" ->
       Media.perceptualProbeOracleSql(

@@ -241,6 +241,20 @@ object Media {
          AND bit_count(xor(a.ahash, q.ahash)) <= $maxHamming
        ORDER BY hist_id"""
 
+  /** DuckDB oracle for a CROSS-SET perceptual probe (arriving set ×
+    * history): `leftPred`/`rightPred` select the two sides over aliases
+    * `a` (arriving) and `hh` (history) from the shared hash table. */
+  def perceptualCrossOracleSql(table: String, idCol: String, textExpr: String,
+                               leftPred: String, rightPred: String,
+                               maxHamming: Int): String =
+    s"""WITH ${aHashCtes(table, idCol, textExpr)}
+       SELECT a.id AS sid, hh.id AS hist_id,
+         CAST(bit_count(xor(a.ahash, hh.ahash)) AS INT) AS hamming
+       FROM h a JOIN h hh
+         ON bit_count(xor(a.ahash, hh.ahash)) <= $maxHamming
+       WHERE ($leftPred) AND ($rightPred)
+       ORDER BY sid, hist_id"""
+
   /** Build a deterministic media table from the documents table — payload =
     * utf-8 bytes of the text (stand-in for image bytes), metadata derived
     * from doc fields. Real pipelines read these from object storage. */
