@@ -1251,6 +1251,72 @@ object SparkEntry {
       eng.getData(spec).select(col("content_sha256")).orderBy(col("content_sha256"))
     }),
 
+    // ── LLM-pipeline: STREAMING embedding probe — arriving vectors stamp
+    // their SRP signature in-stream (native projection, zero shuffle),
+    // band-join the STORED SRP index (stream-static), and exact-cosine
+    // verify against the static vector table (second stream-static join).
+    // Re-embeds of every 5th vector arrive under new ids, redelivered
+    // twice; the sink dedups. The semantic-decontamination machinery run
+    // AT INGEST against an index built once.
+    "q_streaming_embedding_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_sep").toString
+      val eng  = new SyncEngine(s, root)
+      val emb = Tables.embeddings(s, d)
+      val planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 24)
+      val bands = 6; val rBits = 4; val mask = (1L << rBits) - 1
+      val buckets = 16
+      def withBands(df: DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+            col("embedding").cast("array<double>").as("__v"),
+            VectorFns.srpSignaturePlanes(col("embedding"), planes).as("sig"))
+          .select(col(idAs), col("__v"), col("sig"),
+            posexplode(array((0 until bands).map(b =>
+              shiftright(col("sig"), b * rBits).bitwiseAND(lit(mask))): _*))
+              .as(Seq("band", "bv")))
+          .withColumn("bucket",
+            col("band").cast("long") * lit(buckets.toLong) +
+              pmod(col("bv"), lit(buckets.toLong)))
+      val idxSpec = PipeSpec(PipeKeys("stream", "srp_bands"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(idxSpec).create(
+        withBands(emb, "vec_id").drop("__v"))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      emb.where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sbands = withBands(stream, "sid").drop("bucket", "sig")
+      val idx = eng.storage(idxSpec).read
+        .select(col("vec_id").as("hist_id"), col("band"), col("bv"))
+      val hist = emb.select(col("vec_id").as("hist_id"),
+        col("embedding").cast("array<double>").as("__h"))
+      val hits = sbands.join(idx, Seq("band", "bv"))
+        .join(hist, Seq("hist_id"))
+        .withColumn("cosine", VectorFns.cosine(col("__v"), col("__h")))
+        .where(col("cosine") >= 0.99)
+        .select(col("hist_id").as("corpus_id"), col("sid").as("bench_id"),
+          col("cosine"),
+          timestamp_micros((col("sid") * lit(60L) + lit(86400L)) * lit(1000000L))
+            .as("ts"))
+      val sinkSpec = PipeSpec(PipeKeys("stream", "srp_hits"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, hits,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("corpus_id"), col("bench_id"), col("cosine"))
+        .distinct().orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
     // ── LLM-pipeline: STREAMING perceptual media probe — arriving
     // payloads hash per-partition IN-STREAM (mapPartitions, payloads
     // never shuffle), band-join the STORED perceptual index
@@ -5534,6 +5600,17 @@ object SparkEntry {
       graft.ops.Corpus.bpeCrossApplyOracleSql(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS dtr",
         "documents", "doc_id", "text", nMerges = 8),
+
+    "q_streaming_embedding_probe" ->
+      ApproxDedup.embeddingCrossNearDupsOracleSql(
+        """(SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id % 5 = 0) AS e2""",
+        "vec_id", "embedding",
+        planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 24),
+        bands = 6, threshold = 0.99,
+        corpusPred = "vec_id < 100000", benchPred = "vec_id >= 100000"),
 
     "q_streaming_media_probe" ->
       Media.perceptualCrossOracleSql(
