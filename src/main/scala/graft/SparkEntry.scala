@@ -517,6 +517,57 @@ object SparkEntry {
           eng.storage(pSpec).readIn(qBuckets),
           eng.getData(sSpec), "doc_id", q, k = 12)
        })
+    }),
+
+    // Stored HLL sketch maintained incrementally: per-batch (register,
+    // rank) rows blind-append into a register-keyed pipe; registers fold
+    // by max (idempotent + commutative), so the estimate over the STORE
+    // equals a full-corpus rebuild — distinct-shingle cardinality tracked
+    // across syncs in O(2^p) stored rows without re-reading any text.
+    "q_hll_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val p = 8
+      def regs(df: DataFrame) = graft.ops.Sketches.hllRegisters(
+        graft.ops.Sketches.shingleValues(df, "text", 3), p)
+      val root = java.nio.file.Files.createTempDirectory("graft_hll_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "hll_registers"),
+        columns = ColumnRoles(Map("datetime" -> "register")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, regs(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, regs(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => graft.ops.Sketches.hllEstimate(
+         graft.ops.Sketches.hllFold(eng.getData(spec)), p))
+    }),
+
+    // Stored count-min sketch maintained incrementally: per-batch
+    // (row, counter, cnt) cells blind-append; counters are additive, so
+    // the folded point-estimates equal a full rebuild. The monitoring
+    // story: token-frequency point queries against O(d·w) stored rows,
+    // corpus text touched once per batch.
+    "q_cms_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (dd, ww) = (4, 512)
+      def cells(df: DataFrame) = graft.ops.Sketches.cmsCounters(
+        graft.ops.Sketches.tokenValues(df, "text"), dd, ww)
+      val root = java.nio.file.Files.createTempDirectory("graft_cms_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "cms_counters"),
+        columns = ColumnRoles(Map("datetime" -> "row")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, cells(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, cells(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => graft.ops.Sketches.cmsPointReport(
+           graft.ops.Sketches.cmsFold(eng.getData(spec)),
+           graft.ops.Sketches.tokenValues(docs, "text"),
+           Seq("scan", "join", "window", "batch", "zzz_absent_term"), dd, ww)
+         .orderBy(col("term")))
     }))
 
   /** Compose a staged entry back into the single-DataFrame query form used
@@ -3168,6 +3219,53 @@ object SparkEntry {
     // term's frequency reads its ONE md5 bucket dir; this query rolls up
     // the stored index to the top-30 — oracle = the full-corpus count.
     "q_vocab_index_sync" -> composed("q_vocab_index_sync"),
+
+    // ── LLM-pipeline: HyperLogLog distinct-shingle estimate — sizes the
+    // MinHash band store before a corpus-wide dedup run. Deterministic
+    // md5 registers, ONE map-combined aggregate to 2^p rows; the oracle
+    // replays every register bit-for-bit.
+    "q_hll_distinct" -> ((s, d) =>
+      graft.ops.Sketches.hllDistinct(
+        graft.ops.Sketches.shingleValues(Tables.documents(s, d), "text", 3),
+        p = 8)),
+
+    // ── LLM-pipeline: KMV / bottom-k distinct estimate — the cross-check
+    // estimator next to HLL (different failure modes, same one-pass cost).
+    "q_kmv_distinct" -> ((s, d) =>
+      graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvSketch(
+          graft.ops.Sketches.shingleValues(Tables.documents(s, d), "text", 3),
+          k = 256), k = 256)),
+
+    // ── LLM-pipeline: count-min point estimates vs exact counts — the
+    // sketch-bias calibration report (est ≥ exact always; the gap is the
+    // collision bias being measured). Probe list includes an absent term.
+    "q_cms_heavy" -> ((s, d) => {
+      val vals = graft.ops.Sketches.tokenValues(Tables.documents(s, d), "text")
+      graft.ops.Sketches.cmsPointReport(
+        graft.ops.Sketches.cmsCounters(vals, d = 4, w = 512), vals,
+        Seq("scan", "join", "window", "batch", "zzz_absent_term"),
+        d = 4, w = 512)
+        .orderBy(col("term"))
+    }),
+
+    // ── LLM-pipeline: exact φ-heavy hitters — the ground truth a count-min
+    // deployment calibrates against. Docs gain a skew injector (5×"spark"
+    // on every 3rd id) so exactly one token crosses the 1/20 threshold.
+    "q_heavy_hitters" -> ((s, d) => {
+      val skewed = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0,
+          lit(" spark spark spark spark spark")).otherwise(lit(""))).as("text"))
+      graft.ops.Sketches.heavyHitters(
+        graft.ops.Sketches.tokenValues(skewed, "text"), k = 20)
+        .orderBy(col("v"))
+    }),
+
+    // ── LLM-pipeline: STORED sketches maintained incrementally — HLL
+    // registers fold by max, CMS counters by sum; fold ≡ rebuild, so the
+    // oracle for each is the full-corpus sketch.
+    "q_hll_index_sync" -> composed("q_hll_index_sync"),
+    "q_cms_index_sync" -> composed("q_cms_index_sync"),
 
     // ── LLM-pipeline: quality-threshold sweep — the calibration table a
     // curation run reads before picking its gate: docs/tokens surviving
@@ -5860,6 +5958,39 @@ object SparkEntry {
                 WHEN n > 0 AND n_json = n THEN 'json'
                 ELSE 'str' END AS dtype
          FROM stats ORDER BY col_name""",
+
+    // ── sketches: DuckDB replays every register / hash / counter from the
+    // same md5 hex digits; the *_index_sync oracles are the full-corpus
+    // sketches (fold ≡ rebuild is exactly what they verify).
+    "q_hll_distinct" ->
+      graft.ops.Sketches.hllDistinctOracleSql(
+        graft.ops.Sketches.shingleValuesSql("documents", "text", 3), p = 8),
+
+    "q_kmv_distinct" ->
+      graft.ops.Sketches.kmvDistinctOracleSql(
+        graft.ops.Sketches.shingleValuesSql("documents", "text", 3), k = 256),
+
+    "q_cms_heavy" ->
+      graft.ops.Sketches.cmsPointReportOracleSql(
+        graft.ops.Sketches.tokenValuesSql("documents", "text"),
+        Seq("scan", "join", "window", "batch", "zzz_absent_term"),
+        d = 4, w = 512),
+
+    "q_heavy_hitters" ->
+      graft.ops.Sketches.heavyHittersOracleSql(
+        graft.ops.Sketches.tokenValuesSql("documents",
+          "(text || CASE WHEN doc_id % 3 = 0 THEN ' spark spark spark spark spark' ELSE '' END)"),
+        k = 20),
+
+    "q_hll_index_sync" ->
+      graft.ops.Sketches.hllDistinctOracleSql(
+        graft.ops.Sketches.shingleValuesSql("documents", "text", 3), p = 8),
+
+    "q_cms_index_sync" ->
+      graft.ops.Sketches.cmsPointReportOracleSql(
+        graft.ops.Sketches.tokenValuesSql("documents", "text"),
+        Seq("scan", "join", "window", "batch", "zzz_absent_term"),
+        d = 4, w = 512),
 
     // independent closed-form Web Mercator; operation order mirrors
     // GeoWkb.Crs.to3857 so x is bit-exact, y rounds (libm tan/ln)

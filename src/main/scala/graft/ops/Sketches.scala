@@ -1,0 +1,326 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality / frequency SKETCHES — the bounded-state summaries a 100 TB
+  * monitoring plane runs on: HyperLogLog distinct estimation (Flajolet et
+  * al. 2007), KMV / bottom-k distinct estimation (Bar-Yossef et al. 2002),
+  * count-min frequency sketching (Cormode & Muthukrishnan 2005), and the
+  * exact heavy-hitter baseline they calibrate against. The motivating
+  * questions: "how many distinct shingles will the MinHash index hold?"
+  * (sizes the band store before a corpus-wide dedup), "how hot is this
+  * token?" (without a |vocab| table per monitoring tick).
+  *
+  * Every sketch is DETERMINISTIC — all randomness comes from the shared
+  * truncated-md5 hash ([[graft.functions.TextFns.md5Long60]]'s discipline) —
+  * so a DuckDB oracle replays each register/counter bit-for-bit. And every
+  * sketch is MERGEABLE (HLL registers fold by max, KMV by union∘bottom-k,
+  * CMS counters by sum), so each doubles as a STORED derived pipe: batches
+  * blind-append their own sketch rows and the fold over the store equals a
+  * full-corpus rebuild without re-reading text. That additivity is the 100
+  * TB story: the corpus is touched once per batch, the stored state is
+  * O(m), O(k), or O(d·w) rows — configuration, not data.
+  *
+  * All operators take a prepared one-column relation `vals(v: string)` —
+  * see [[tokenValues]] / [[shingleValues]] — so the same sketch runs over
+  * tokens, shingles, URLs, or ids without re-plumbing.
+  *
+  * Reference connection: Meerschaum's monitoring surface stops at exact
+  * rowcounts (`meerschaum/core/Pipe/_data.py` get_rowcount); these are the
+  * sublinear-state equivalents its scale never needed.
+  */
+object Sketches {
+
+  /** Rank cap: leading-zero ranks clamp to [1, 40] so the fold-side
+    * 2^(40−rank) terms stay exact longs (Σ ≤ m·2^40 « 2^63). Clamping is
+    * part of the sketch definition — both engines apply it identically —
+    * and rank 40 needs 39 leading zero bits in a 60-bit hash: unreachable
+    * below ~2^39 distinct values, i.e. never binding at these estimands. */
+  private val RankCap = 40
+  private val Two60 = "1152921504606846976.0" // 2^60 as an exact double literal
+
+  private def hexDigits(p: Int): Int = {
+    require(p % 4 == 0 && p >= 4 && p <= 16, "p must be a multiple of 4 in [4,16]")
+    p / 4
+  }
+
+  // ── value preparers (Spark side + the DuckDB CTE replaying each) ──────
+
+  /** Lowercased whitespace tokens — the unit shared with the vocab / Zipf /
+    * frequency-spectrum pipelines. */
+  def tokenValues(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    docs.select(explode(TextFns.tokens(lower(col(textCol)))).as("v"))
+      .where(length(col("v")) > 0)
+  }
+
+  /** DuckDB CTE chain defining `vals(v)` as [[tokenValues]]. */
+  def tokenValuesSql(table: String, textCol: String): String =
+    s"""tok AS (
+         SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS v
+         FROM $table),
+       vals AS (SELECT v FROM tok WHERE length(v) > 0)"""
+
+  /** Word n-gram shingles (trimmed, case-preserving) — the MinHash unit,
+    * so an HLL/KMV estimate over these sizes the band index a dedup run
+    * is about to build. */
+  def shingleValues(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    import graft.functions.TextFns
+    docs.select(explode(TextFns.wordShingles(trim(col(textCol)), n)).as("v"))
+  }
+
+  /** DuckDB CTE chain defining `vals(v)` as [[shingleValues]] — the same
+    * generate_series slice-join the MinHash oracles use. */
+  def shingleValuesSql(table: String, textCol: String, n: Int): String =
+    s"""tok AS (SELECT string_split_regex(trim($textCol), '\\s+') AS t FROM $table),
+       vals AS (SELECT unnest(CASE WHEN len(t) < $n THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+                         i -> array_to_string(t[i:i+${n - 1}], ' ')) END) AS v
+                FROM tok)"""
+
+  // ── HyperLogLog ───────────────────────────────────────────────────────
+
+  /** HLL register rows for one batch: (register, rank), ≤ m = 2^p rows.
+    * register = first p bits of md5(v); rank = leading-zeros+1 of the NEXT
+    * 60 bits, capped at [[RankCap]]. Duplicates need no distinct pass:
+    * rank is a pure function of the value and registers keep the max, so
+    * ONE map-side-combined aggregate collapses the input directly. */
+  def hllRegisters(vals: DataFrame, p: Int): DataFrame = {
+    val hx = hexDigits(p)
+    val reg = conv(substring(md5(col("v")), 1, hx), 16, 10).cast("int")
+    // 15 hex chars = 60 bits of rank material, disjoint from the register bits
+    val w = conv(substring(md5(col("v")), hx + 1, 15), 16, 10).cast("long")
+    vals.select(reg.as("register"), w.as("w"))
+      // the rank ladder is the SAME generated CASE text the oracle runs
+      .select(col("register"), expr(rankCaseSql).cast("int").as("rank"))
+      .groupBy(col("register")).agg(max(col("rank")).as("rank"))
+  }
+
+  /** Fold stored per-batch register rows back to one register table —
+    * max is idempotent and commutative, so fold ≡ rebuild. */
+  def hllFold(registers: DataFrame): DataFrame =
+    registers.groupBy(col("register")).agg(max(col("rank")).as("rank"))
+
+  /** One-row HLL estimate from a register table: m, zero-register count V,
+    * the EXACT integer harmonic-sum numerator S40 = Σ_j 2^(40−M_j)
+    * (empty registers contribute 2^40), the raw estimate
+    * E = α_m·m²·2^40/S40 (floor-micro; pure arithmetic over exact longs —
+    * bit-portable), the linear-counting estimate m·ln(m/V) (round-micro;
+    * the one transcendental, quantized like every micro-nat in this repo),
+    * and the standard corrected choice (linear when E ≤ 2.5m and V > 0). */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val base = registers.agg(
+      count(lit(1)).as("filled"),
+      sum(expr(s"shiftleft(1L, $RankCap - rank)")).as("sfill"))
+    base.select(
+        lit(m).cast("long").as("m"),
+        (lit(m.toLong) - col("filled")).as("v_zero"),
+        (coalesce(col("sfill"), lit(0L))
+          + (lit(m.toLong) - col("filled")) * (1L << RankCap)).as("s40"))
+      .withColumn("raw_est_micro", expr(
+        s"CAST(FLOOR((0.7213D / (1.0D + 1.079D / $m.0D)) * $m.0D * $m.0D" +
+          s" * ${1L << RankCap}.0D / CAST(s40 AS DOUBLE) * 1000000.0D) AS BIGINT)"))
+      .withColumn("lin_est_micro", expr(
+        s"CASE WHEN v_zero > 0 THEN CAST(ROUND($m.0D * LN($m.0D / CAST(v_zero AS DOUBLE))" +
+          s" * 1000000.0D) AS BIGINT) END"))
+      .withColumn("est_micro", expr(
+        s"CASE WHEN v_zero > 0 AND raw_est_micro <= ${(2.5 * m * 1e6).toLong}L" +
+          s" THEN lin_est_micro ELSE raw_est_micro END"))
+  }
+
+  /** HLL end-to-end over a prepared values relation: registers → estimate. */
+  def hllDistinct(vals: DataFrame, p: Int): DataFrame =
+    hllEstimate(hllRegisters(vals, p), p)
+
+  private def rankCaseSql: String =
+    (1 until RankCap).map(k => s"WHEN w >= ${1L << (60 - k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $RankCap END")
+
+  /** DuckDB oracle replaying [[hllDistinct]] — identical register/rank
+    * extraction from the same md5 hex digits, identical ladder, identical
+    * floor/round micro arithmetic. `valsSql` is a CTE chain defining
+    * `vals(v)` ([[tokenValuesSql]] / [[shingleValuesSql]]). */
+  def hllDistinctOracleSql(valsSql: String, p: Int): String = {
+    val hx = hexDigits(p)
+    val m  = 1 << p
+    s"""WITH $valsSql,
+       h AS (SELECT CAST(('0x' || substring(md5(v), 1, $hx)) AS BIGINT) AS register,
+               CAST(('0x' || substring(md5(v), ${hx + 1}, 15)) AS BIGINT) AS w
+             FROM vals),
+       regs AS (SELECT register, max($rankCaseSql) AS rank FROM h GROUP BY register),
+       base AS (SELECT CAST(count(*) AS BIGINT) AS filled,
+                  CAST(sum(CAST(1 AS BIGINT) << ($RankCap - rank)) AS BIGINT) AS sfill
+                FROM regs),
+       est AS (SELECT CAST($m AS BIGINT) AS m,
+                 $m - filled AS v_zero,
+                 coalesce(sfill, 0) + ($m - filled) * ${1L << RankCap} AS s40
+               FROM base),
+       r AS (SELECT m, v_zero, s40,
+               CAST(FLOOR((0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
+                 * ${1L << RankCap}.0 / CAST(s40 AS DOUBLE) * 1000000.0) AS BIGINT)
+                 AS raw_est_micro,
+               CASE WHEN v_zero > 0
+                 THEN CAST(ROUND($m.0 * LN($m.0 / CAST(v_zero AS DOUBLE))
+                   * 1000000.0) AS BIGINT) END AS lin_est_micro
+             FROM est)
+       SELECT m, v_zero, s40, raw_est_micro, lin_est_micro,
+         CASE WHEN v_zero > 0 AND raw_est_micro <= ${(2.5 * m * 1e6).toLong}
+           THEN lin_est_micro ELSE raw_est_micro END AS est_micro
+       FROM r"""
+  }
+
+  // ── KMV / bottom-k ────────────────────────────────────────────────────
+
+  /** KMV sketch for one batch: the k smallest DISTINCT 60-bit value
+    * hashes. Scale: one |distinct|-sized map-side-combined distinct, then
+    * TakeOrdered — no global sort ever materializes. */
+  def kmvSketch(vals: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TextFns
+    require(k >= 2, "k must be at least 2")
+    vals.select(TextFns.md5Long60(col("v")).as("hash"))
+      .distinct()
+      .orderBy(col("hash")).limit(k)
+  }
+
+  /** Fold stored per-batch KMV rows: union → distinct → bottom-k. The
+    * bottom-k of a union equals the bottom-k of the full corpus whenever
+    * each batch contributed ITS bottom-k — fold ≡ rebuild. */
+  def kmvFold(sketch: DataFrame, k: Int): DataFrame =
+    sketch.select(col("hash")).distinct().orderBy(col("hash")).limit(k)
+
+  /** One-row KMV estimate: with n = |sketch| hashes and h_k the largest,
+    * the distinct-count estimate is (k−1)·2^60/h_k when the sketch is full
+    * (n = k), and exactly n when the input had fewer than k distinct
+    * values. Deterministic double arithmetic over exact longs, floor-micro. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_hashes"), max(col("hash")).as("kth_hash"))
+      .select(lit(k).cast("long").as("k"), col("n_hashes"), col("kth_hash"),
+        expr(s"CASE WHEN n_hashes < $k THEN n_hashes * 1000000L" +
+          s" ELSE CAST(FLOOR(${k - 1}.0D * $Two60 / CAST(kth_hash AS DOUBLE)" +
+          s" * 1000000.0D) AS BIGINT) END").as("est_micro"))
+
+  /** DuckDB oracle replaying [[kmvEstimate]]∘[[kmvSketch]]. */
+  def kmvDistinctOracleSql(valsSql: String, k: Int): String =
+    s"""WITH $valsSql,
+       h AS (SELECT DISTINCT CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS hash
+             FROM vals),
+       sk AS (SELECT hash FROM h ORDER BY hash LIMIT $k),
+       a AS (SELECT CAST(count(*) AS BIGINT) AS n_hashes, max(hash) AS kth_hash FROM sk)
+       SELECT CAST($k AS BIGINT) AS k, n_hashes, kth_hash,
+         CASE WHEN n_hashes < $k THEN n_hashes * 1000000
+           ELSE CAST(FLOOR(${k - 1}.0 * $Two60 / CAST(kth_hash AS DOUBLE)
+             * 1000000.0) AS BIGINT) END AS est_micro
+       FROM a"""
+
+  // ── count-min sketch ──────────────────────────────────────────────────
+
+  /** Count-min counter rows for one batch: (row, counter, cnt) over d
+    * hash rows × w counters. Hash row i uses md5("i:" ++ v) — the
+    * seeded-md5 family every banded pipeline here draws from. Scale: the
+    * value explode fans out ×d, then ONE map-side-combined aggregate
+    * collapses to ≤ d·w rows (configuration, not data). */
+  def cmsCounters(vals: DataFrame, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2, "need d >= 1 hash rows and w >= 2 counters")
+    val cells = (0 until d).map { i =>
+      struct(lit(i).as("row"),
+        (conv(substring(md5(concat(lit(s"$i:"), col("v"))), 1, 15), 16, 10)
+          .cast("long") % w).as("counter"))
+    }
+    vals.select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.row").as("row"), col("c.counter").as("counter"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold stored per-batch counters: counts are additive — fold ≡ rebuild. */
+  def cmsFold(counters: DataFrame): DataFrame =
+    counters.groupBy(col("row"), col("counter")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query a counter table for literal probe terms: the count-min
+    * estimate is min over the d rows (each an upward-biased counter), with
+    * the exact count from `vals` joined alongside so the report shows the
+    * sketch's overestimate directly. Probe terms ride as one array
+    * literal; untouched counters read as 0 (a term the sketch never saw
+    * can still collide upward — that is the bias being measured). */
+  def cmsPointReport(counters: DataFrame, vals: DataFrame,
+                     terms: Seq[String], d: Int, w: Int): DataFrame = {
+    require(terms.nonEmpty, "at least one probe term")
+    val spark = counters.sparkSession
+    val probe = spark.range(1).select(explode(typedlit(terms)).as("term"))
+    val cells = (0 until d).map { i =>
+      struct(lit(i).as("row"),
+        (conv(substring(md5(concat(lit(s"$i:"), col("term"))), 1, 15), 16, 10)
+          .cast("long") % w).as("counter"))
+    }
+    val probeCells = probe.select(col("term"), explode(array(cells: _*)).as("c"))
+      .select(col("term"), col("c.row").as("row"), col("c.counter").as("counter"))
+    // both sides are bounded: |terms|·d probe rows against ≤ d·w counter
+    // rows — broadcast the counter table (right side of the left join)
+    val est = probeCells.join(broadcast(counters), Seq("row", "counter"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = vals.groupBy(col("v")).agg(count(lit(1)).as("exact"))
+    est.join(exact.withColumnRenamed("v", "term"), Seq("term"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overestimate"))
+  }
+
+  /** DuckDB oracle replaying [[cmsPointReport]] over [[cmsCounters]]. */
+  def cmsPointReportOracleSql(valsSql: String, terms: Seq[String],
+                              d: Int, w: Int): String = {
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val rowIdx = (0 until d).map(i => s"SELECT $i AS row").mkString(" UNION ALL ")
+    s"""WITH $valsSql,
+       rows_ AS ($rowIdx),
+       cells AS (SELECT rows_.row AS row,
+                   CAST(('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || vals.v), 1, 15)) AS BIGINT) % $w AS counter
+                 FROM vals CROSS JOIN rows_),
+       counters AS (SELECT row, counter, CAST(count(*) AS BIGINT) AS cnt
+                    FROM cells GROUP BY row, counter),
+       probe AS (SELECT unnest([$termList]) AS term),
+       pc AS (SELECT probe.term, rows_.row AS row,
+                CAST(('0x' || substring(md5(CAST(rows_.row AS VARCHAR) || ':' || probe.term), 1, 15)) AS BIGINT) % $w AS counter
+              FROM probe CROSS JOIN rows_),
+       est AS (SELECT pc.term, min(coalesce(counters.cnt, 0)) AS est
+               FROM pc LEFT JOIN counters
+                 ON counters.row = pc.row AND counters.counter = pc.counter
+               GROUP BY pc.term),
+       exact AS (SELECT v AS term, CAST(count(*) AS BIGINT) AS exact
+                 FROM vals GROUP BY v)
+       SELECT est.term, est.est, coalesce(exact.exact, 0) AS exact,
+         est.est - coalesce(exact.exact, 0) AS overestimate
+       FROM est LEFT JOIN exact ON exact.term = est.term
+       ORDER BY est.term"""
+  }
+
+  // ── exact heavy hitters ───────────────────────────────────────────────
+
+  /** Exact φ-heavy hitters: values with frequency ≥ total/k — the ground
+    * truth a count-min deployment is calibrated against (and a corpus-mix
+    * red flag on its own: a token above 1/k of a 100 TB corpus is
+    * boilerplate). Scale: ONE map-side-combined count; the 1-row total
+    * broadcasts into the threshold filter. Integer threshold test
+    * (cnt·k ≥ total) — no division, no float. */
+  def heavyHitters(vals: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val counts = vals.groupBy(col("v")).agg(count(lit(1)).as("freq"))
+    val total = counts.agg(sum(col("freq")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("freq") * k >= col("total"))
+      .select(col("v"), col("freq"), col("total").as("total_values"),
+        expr("freq * 1000000L div total").as("freq_ppm"))
+  }
+
+  /** DuckDB oracle replaying [[heavyHitters]]. */
+  def heavyHittersOracleSql(valsSql: String, k: Int): String =
+    s"""WITH $valsSql,
+       c AS (SELECT v, CAST(count(*) AS BIGINT) AS freq FROM vals GROUP BY v),
+       t AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM c)
+       SELECT c.v, c.freq, t.total AS total_values,
+         c.freq * 1000000 // t.total AS freq_ppm
+       FROM c CROSS JOIN t
+       WHERE c.freq * $k >= t.total
+       ORDER BY c.v"""
+}
