@@ -3267,6 +3267,59 @@ object SparkEntry {
     "q_hll_index_sync" -> composed("q_hll_index_sync"),
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
 
+    // ── LLM-pipeline: Flesch readability per doc — three codegen'd regex
+    // counts on the scan, zero shuffle; integer products, truncating div.
+    "q_readability" -> ((s, d) =>
+      graft.ops.TextStats.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: lexical-diversity profile (TTR + hapax share) —
+    // repetition loops sit near TTR 0, word salad near hapax 1.
+    "q_lexical_diversity" -> ((s, d) =>
+      graft.ops.TextStats.lexicalDiversity(Tables.documents(s, d),
+        "doc_id", "text").orderBy(col("id"))),
+
+    // ── LLM-pipeline: per-doc shingle NOVELTY vs a reference corpus —
+    // "is this crawl batch new text?" (odd ids probe against even ids).
+    "q_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TextStats.ngramNovelty(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: length-bucketed BATCH PLAN — the data-loader
+    // materialization after the padding-waste report picks boundaries;
+    // md5 shards keep the plan shards-way parallel (no per-bucket global
+    // sort funnel at 100 TB).
+    "q_length_batches" -> ((s, d) =>
+      graft.ops.Sampling.lengthBatchPlan(Tables.documents(s, d), "doc_id",
+        col("n_chars"), boundaries = Seq(128, 256, 512), batchSize = 8,
+        shards = 4)
+        .orderBy(col("bucket"), col("shard"), col("batch_id"))),
+
+    // ── LLM-pipeline: per-group reward z-normalization (advantage-style
+    // whitening before preference-pair construction) — exact long moments,
+    // one IEEE division per row, floor-micro. Output thinned by id for the
+    // dump; the statistics are over the FULL table.
+    "q_reward_zscore" -> ((s, d) =>
+      graft.ops.Rlhf.rewardZScore(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("reward_centi")),
+        "event_type", "event_id", "reward_centi")
+        .where(col("event_id") % 13 === 0)
+        .orderBy(col("event_id"))),
+
+    // ── LLM-pipeline: best-of-n selection per group (rejection sampling /
+    // BoN distillation) — one skew-proof max-struct hash aggregate.
+    "q_best_of_n" -> ((s, d) =>
+      graft.ops.Rlhf.bestOfN(
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("reward_centi")),
+        "event_type", "event_id", "reward_centi")
+        .orderBy(col("event_type"))),
+
     // ── LLM-pipeline: quality-threshold sweep — the calibration table a
     // curation run reads before picking its gate: docs/tokens surviving
     // each candidate threshold, one CASE-ladder aggregate pass.
@@ -5991,6 +6044,34 @@ object SparkEntry {
         graft.ops.Sketches.tokenValuesSql("documents", "text"),
         Seq("scan", "join", "window", "batch", "zzz_absent_term"),
         d = 4, w = 512),
+
+    "q_readability" ->
+      graft.ops.TextStats.readabilityOracleSql("documents", "doc_id", "text"),
+
+    "q_lexical_diversity" ->
+      graft.ops.TextStats.lexicalDiversityOracleSql("documents", "doc_id",
+        "text"),
+
+    "q_ngram_novelty" ->
+      graft.ops.TextStats.ngramNoveltyOracleSql("documents", "doc_id", "text",
+        n = 3, candWhere = "doc_id % 2 = 1", refWhere = "doc_id % 2 = 0"),
+
+    "q_length_batches" ->
+      graft.ops.Sampling.lengthBatchPlanOracleSql("documents", "doc_id",
+        "n_chars", boundaries = Seq(128, 256, 512), batchSize = 8,
+        shards = 4),
+
+    "q_reward_zscore" -> (
+      graft.ops.Rlhf.rewardZScoreOracleSql(
+        "(SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS reward_centi FROM events)",
+        "event_type", "event_id", "reward_centi", "reward_centi")
+        .replace("ORDER BY event_id",
+          "WHERE id % 13 = 0 ORDER BY event_id")),
+
+    "q_best_of_n" ->
+      graft.ops.Rlhf.bestOfNOracleSql(
+        "(SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS reward_centi FROM events)",
+        "event_type", "event_id", "reward_centi", "reward_centi"),
 
     // independent closed-form Web Mercator; operation order mirrors
     // GeoWkb.Crs.to3857 so x is bit-exact, y rounds (libm tan/ln)

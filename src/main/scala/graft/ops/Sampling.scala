@@ -670,4 +670,66 @@ object Sampling {
               ELSE ($budget - cap_mass) // n_uncapped END AS BIGINT)
            * 1000000 // supply AS epochs_micro
        FROM m ORDER BY $langCol"""
+
+  /** Length-bucketed BATCH PLAN — the data-loader materialization after
+    * [[graft.ops.Corpus.paddingWaste]] picks the boundaries: rows bucket to
+    * the smallest boundary ≥ length (overflow truncates to the top
+    * boundary, the paddingWaste discipline), and batches of `batchSize`
+    * form inside each (bucket, shard) in descending-length order. Per
+    * batch: rows, the batch's max length (its dynamic padding width), the
+    * exact token sum, and the padding waste n·max − sum.
+    *
+    * Scale: the md5 shard bins make the plan SHARDS-way parallel — each
+    * data-loader worker batches its own shard, so no bucket ever needs a
+    * global total order (a per-bucket row_number would funnel 100 TB
+    * through one task per bucket). One keyed window per (bucket, shard);
+    * the plan is append-stable in the id hash, not arrival order. */
+  def lengthBatchPlan(docs: DataFrame, idCol: String, lenCol: Column,
+                      boundaries: Seq[Int], batchSize: Int,
+                      shards: Int): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.forall(_ >= 1), "boundaries must be ascending positives")
+    require(batchSize >= 1 && shards >= 1, "batchSize and shards must be positive")
+    val top = boundaries.last
+    val bucket = boundaries.init.reverse
+      .foldLeft(lit(top): Column) { (acc, b) => when(lenCol <= b, b).otherwise(acc) }
+    val len = least(lenCol.cast("long"), lit(top.toLong))
+    docs.select(col(idCol), bucket.cast("int").as("bucket"),
+        hashBucket(col(idCol), shards).cast("int").as("shard"), len.as("len"))
+      .withColumn("batch_id", expr(s"CAST((row_number() OVER (PARTITION BY bucket, shard ORDER BY len DESC, $idCol) - 1) div $batchSize AS INT)"))
+      .groupBy(col("bucket"), col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .select(col("bucket"), col("shard"), col("batch_id"), col("n_rows"),
+        col("max_len"), col("sum_len"),
+        (col("n_rows") * col("max_len") - col("sum_len")).as("pad_waste"),
+        expr("(n_rows * max_len - sum_len) * 1000000L div (n_rows * max_len)")
+          .as("waste_micro"))
+  }
+
+  /** DuckDB oracle replaying [[lengthBatchPlan]]. */
+  def lengthBatchPlanOracleSql(table: String, idCol: String, lenExpr: String,
+                               boundaries: Seq[Int], batchSize: Int,
+                               shards: Int): String = {
+    val top = boundaries.last
+    val bucketCase = boundaries.init.map(b => s"WHEN l <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE $top END")
+    s"""WITH src AS (SELECT $idCol AS id, CAST($lenExpr AS BIGINT) AS l FROM $table),
+       b AS (SELECT id, CAST($bucketCase AS INTEGER) AS bucket,
+               CAST(CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % $shards AS INTEGER) AS shard,
+               least(l, $top) AS len
+             FROM src),
+       r AS (SELECT bucket, shard, len,
+               CAST((row_number() OVER (PARTITION BY bucket, shard
+                 ORDER BY len DESC, id) - 1) // $batchSize AS INTEGER) AS batch_id
+             FROM b),
+       g AS (SELECT bucket, shard, batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+               max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len
+             FROM r GROUP BY bucket, shard, batch_id)
+       SELECT bucket, shard, batch_id, n_rows, max_len, sum_len,
+         n_rows * max_len - sum_len AS pad_waste,
+         (n_rows * max_len - sum_len) * 1000000 // (n_rows * max_len) AS waste_micro
+       FROM g ORDER BY bucket, shard, batch_id"""
+  }
 }
