@@ -717,8 +717,9 @@ object ApproxDedup {
     * never all-pairs. The verify is one codegen'd `bit_count(xor)` per
     * candidate.
     *
-    * Scale: the only corpus-sized work is [[simhash]]'s single keyed
-    * shuffle; the band join then moves 4 narrow rows per document. A
+    * Scale: the corpus-sized work is [[simhash]]'s scan-side signature
+    * projection (a zero-shuffle native kernel per row) plus the band
+    * shuffle of 4 narrow rows per document for the equi-join. A
     * template-heavy corpus can make a band bucket hot, but those
     * collisions already agree on ≥15 signature bits — overwhelmingly true
     * near-dups — and the MinHash path's hot-bucket cap pattern applies
@@ -855,14 +856,24 @@ object ApproxDedup {
     *
     * Containment is computed over the INFORMATIVE shingle space: shingles
     * occurring in more than `maxDocsPerShingle` documents (corpus
-    * boilerplate) drop before the self-join. That bounds the per-shingle
-    * join fanout at maxDocsPerShingle² (configuration, not data — the
-    * winnowing-pairs discipline) and keeps ubiquitous phrases from
-    * inflating every pair's overlap; scores are containment within the
-    * informative space, a documented semantic, not an approximation of
-    * the raw ratio. Shingles travel as 60-bit md5 keys; the score is an
-    * exact integer micro-unit division, so the SQL oracle replays it
-    * bit-for-bit. Output one row PER DIRECTION (id1 contained in id2). */
+    * boilerplate) drop right after the one shingle-keyed aggregate. That
+    * bounds the per-shingle pair fanout at maxDocsPerShingle²
+    * (configuration, not data — the winnowing-pairs discipline) and keeps
+    * ubiquitous phrases from inflating every pair's overlap; scores are
+    * containment within the informative space, a documented semantic, not
+    * an approximation of the raw ratio. Shingles travel as 60-bit md5
+    * keys; the score is an exact integer micro-unit division, so the SQL
+    * oracle replays it bit-for-bit. Output one row PER DIRECTION (id1
+    * contained in id2).
+    *
+    * Shape: ONE corpus-sized aggregate (shingle → id list, capped at
+    * maxDocsPerShingle entries), then a double explode emits every
+    * ordered pair INCLUDING the (id, id) diagonal — the diagonal's count
+    * is exactly the doc's informative-shingle size, so pair overlaps and
+    * sizes fall out of the SAME groupBy, read once through a window
+    * partitioned by id1. No persist, no self-join, no second pass over
+    * the corpus — the three-read cache sensitivity of the join
+    * formulation is structurally gone. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, thresholdMicro: Long,
                        maxDocsPerShingle: Int): DataFrame = {
@@ -872,20 +883,18 @@ object ApproxDedup {
         explode(array_distinct(
           TextFns.wordShingles(lower(col(textCol)), n))).as("s"))
       .select(col(idCol), TextFns.md5Long60(col("s")).as("h"))
-    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxDocsPerShingle).select(col("h"))
-    // read three times (sizes + both self-join sides) — cache so the
-    // shingle explode and boilerplate prune run once; MEMORY_AND_DISK,
-    // footprint ∝ informative (id, hash) pairs, LRU lifecycle (the
-    // verifyExact discipline)
-    val pruned = sh.join(rare, Seq("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pruned.select(col("h"), col(idCol).as("id1"))
-      .join(pruned.select(col("h"), col(idCol).as("id2")), Seq("h"))
-      .where(col("id1") =!= col("id2"))
+    val lists = sh.groupBy(col("h"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) <= maxDocsPerShingle)
+    val pairs = lists
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-    inter.join(sizes.withColumnRenamed(idCol, "id1"), Seq("id1"))
+    val w = Window.partitionBy(col("id1"))
+    pairs
+      .withColumn("sz",
+        max(when(col("id1") === col("id2"), col("inter"))).over(w))
+      .where(col("id1") =!= col("id2"))
       .withColumn("containment_micro", expr("inter * 1000000L div sz"))
       .where(col("containment_micro") >= thresholdMicro)
       .select(col("id1"), col("id2"), col("containment_micro"))

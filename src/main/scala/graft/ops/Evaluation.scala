@@ -24,8 +24,11 @@ object Evaluation {
     * |distinct score| rows; the rank window runs over that score-domain
     * table (bounded by the signal's quantization, e.g. ≤ 1e6+1 rows for a
     * micro-unit score — configuration, not data). Intended for labeled
-    * EVALUATION sets (≲ 1e9 rows): doubled rank sums stay inside a Long
-    * there; a corpus-sized AUC would quantize the score first anyway.
+    * EVALUATION sets (≲ 1e9 rows): doubled rank sums are accumulated as
+    * DECIMAL(38,0) and the ×1e6 micro-scaling happens in decimal too, so
+    * neither the rank sum nor the scaled numerator can wrap a Long even
+    * when p·n exceeds ~4.6e12 (the old Long envelope); a corpus-sized AUC
+    * would quantize the score first anyway.
     * Output: ONE row (p, n, auc_micro); auc_micro is null when either
     * class is absent. */
   def signalAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
@@ -37,12 +40,13 @@ object Evaluation {
     val ranked = g.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("rank2", lit(2) * col("cumb") + col("cnt") + lit(1))
     ranked.agg(
-        sum(col("pos") * col("rank2")).as("sr2"),
+        sum((col("pos") * col("rank2")).cast("decimal(38,0)")).as("sr2"),
         sum(col("pos")).as("p"),
         sum(col("cnt") - col("pos")).as("n"))
       .select(col("p"), col("n"),
         when(col("p") > 0 && col("n") > 0,
-          expr("(sr2 - p * (p + 1)) * 1000000L div (2 * p * n)"))
+          expr("(sr2 - CAST(p AS DECIMAL(38,0)) * (p + 1)) * 1000000" +
+            " div (CAST(2 AS DECIMAL(38,0)) * p * n)"))
           .otherwise(lit(null).cast("long")).as("auc_micro"))
   }
 
@@ -59,13 +63,14 @@ object Evaluation {
                coalesce(sum(cnt) OVER (ORDER BY score
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
              FROM g),
-       t AS (SELECT CAST(sum(pos * (2 * cumb + cnt + 1)) AS BIGINT) AS sr2,
+       t AS (SELECT sum(pos * (2 * cumb + cnt + 1)) AS sr2,
                CAST(sum(pos) AS BIGINT) AS p,
                CAST(sum(cnt - pos) AS BIGINT) AS n
              FROM w)
        SELECT p, n,
          CASE WHEN p > 0 AND n > 0
-           THEN (sr2 - p * (p + 1)) * 1000000 // (2 * p * n)
+           THEN CAST((sr2 - CAST(p AS HUGEINT) * (p + 1)) * 1000000
+             // (CAST(2 AS HUGEINT) * p * n) AS BIGINT)
            ELSE NULL END AS auc_micro
        FROM t"""
 
@@ -299,16 +304,20 @@ object Evaluation {
     * by ascending share. The one-number health check next to the full
     * [[graft.ops.Corpus.dataCard]]. Exact: corpus collapses to |sources|
     * counts, the rank window runs over that bounded table, and the single
-    * division reports floor-micro-units. */
+    * division reports floor-micro-units. The rank-weighted sum and its
+    * ×1e6 micro-scaling run in DECIMAL(38,0) so n_groups·n_rows beyond
+    * the Long envelope (~9.2e12, reachable at corpus scale) can't wrap. */
   def sourceGini(df: DataFrame, groupCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c"), col(groupCol))
     val ranked = counts.withColumn("i", row_number().over(w).cast("long"))
     ranked.agg(
         sum(col("c")).as("tot"), count(lit(1)).as("ng"),
-        sum((lit(2) * col("i")) * col("c")).as("wsum"))
+        sum(((lit(2) * col("i")) * col("c")).cast("decimal(38,0)"))
+          .as("wsum"))
       .select(col("ng").as("n_groups"), col("tot").as("n_rows"),
-        expr("(wsum - (ng + 1) * tot) * 1000000L div (ng * tot)")
+        expr("(wsum - (CAST(ng AS DECIMAL(38,0)) + 1) * tot) * 1000000" +
+          " div (CAST(ng AS DECIMAL(38,0)) * tot)")
           .as("gini_micro"))
   }
 
@@ -319,10 +328,11 @@ object Evaluation {
              FROM g),
        t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
                CAST(count(*) AS BIGINT) AS ng,
-               CAST(sum(2 * i * c) AS BIGINT) AS wsum
+               sum(2 * i * c) AS wsum
              FROM r)
        SELECT ng AS n_groups, tot AS n_rows,
-         (wsum - (ng + 1) * tot) * 1000000 // (ng * tot) AS gini_micro
+         CAST((wsum - (CAST(ng AS HUGEINT) + 1) * tot) * 1000000
+           // (CAST(ng AS HUGEINT) * tot) AS BIGINT) AS gini_micro
        FROM t"""
 
   /** Vocabulary COVERAGE curve: for each candidate vocabulary size V, the

@@ -25,15 +25,19 @@ object Rlhf {
     * intermediate an exact long (μ, σ never materialize as floats).
     * Groups with n < 2 or zero variance report null (no whitening basis).
     *
-    * Scale: ONE map-side-combined aggregate to |groups| rows, broadcast
-    * back into a scan-side projection — rewards shuffle once, as longs. */
+    * Scale: ONE map-side-combined aggregate to |groups| rows, joined back
+    * on the group key. Groups are per-PROMPT in RLHF data, so the moments
+    * relation is corpus-proportional — no broadcast hint: AQE broadcasts
+    * when the group domain happens to be small and falls back to a
+    * shuffle-hash join when it isn't (a forced broadcast of millions of
+    * prompt groups would OOM the driver). */
   def rewardZScore(df: DataFrame, groupCol: String, idCol: String,
                    rewardCol: String): DataFrame = {
     val moments = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col(rewardCol)).as("s"),
         sum(col(rewardCol) * col(rewardCol)).as("q"))
     df.select(col(groupCol), col(idCol), col(rewardCol))
-      .join(broadcast(moments), Seq(groupCol))
+      .join(moments, Seq(groupCol))
       .select(col(groupCol), col(idCol), col(rewardCol),
         expr(s"CASE WHEN n >= 2 AND n * q - s * s > 0" +
           s" THEN CAST(FLOOR(CAST(n * $rewardCol - s AS DOUBLE)" +

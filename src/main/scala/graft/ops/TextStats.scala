@@ -110,7 +110,8 @@ object TextStats {
     * collapses to its distinct grams BEFORE the one gram-keyed left join
     * (reference text never re-shuffles per candidate), and per-doc counts
     * aggregate after. Output ∝ candidate docs; docs too short to shingle
-    * report 0 grams and null novelty. */
+    * produce no rows (an empty shingle array explodes to nothing), so
+    * they are OMITTED from the report rather than emitted as (0, null). */
   def ngramNovelty(candidates: DataFrame, reference: DataFrame, idCol: String,
                    textCol: String, n: Int): DataFrame = {
     import graft.functions.TextFns
