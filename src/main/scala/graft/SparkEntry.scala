@@ -527,13 +527,24 @@ object SparkEntry {
     "q_hll_index_sync" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val p = 8
-      def regs(df: DataFrame) = graft.ops.Sketches.hllRegisters(
-        graft.ops.Sketches.shingleValues(df, "text", 3), p)
+      // native single-pass kernel: bit-identical to
+      // hllRegisters(shingleValues(df, "text", 3), p) — parity-asserted.
+      // The ≤2^p-row batch is eagerly materialized BEFORE sync: the sync
+      // pipeline legitimately runs several actions over a batch (envelope,
+      // write, inference) — fine when the batch is the expensive thing,
+      // but a derived sketch batch is 256 rows whose LINEAGE is a corpus
+      // scan, so the caller truncates it to pay that scan exactly once.
+      def regs(df: DataFrame) =
+        graft.ops.Sketches.hllShingleRegisters(df, "text", 3, p)
+          .localCheckpoint(true)
       val root = java.nio.file.Files.createTempDirectory("graft_hll_sync").toString
       val eng  = new SyncEngine(s, root)
+      // 64 registers per chunk: 2^p=256 registers land in 4 chunk dirs —
+      // one-register-per-chunk (chunkMinutes=1) measured 12s of pure
+      // tiny-file write overhead for a 256-row table, 8x the whole build
       val spec = PipeSpec(PipeKeys("idx", "hll_registers"),
         columns = ColumnRoles(Map("datetime" -> "register")),
-        epochUnit = Some("minute"), chunkMinutes = 1)
+        epochUnit = Some("minute"), chunkMinutes = 64)
       (() => {
         eng.sync(spec, regs(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
         eng.sync(spec, regs(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)

@@ -97,6 +97,30 @@ object Sketches {
       .groupBy(col("register")).agg(max(col("rank")).as("rank"))
   }
 
+  /** [[hllRegisters]] over word n-gram shingles as ONE generated scan
+    * pass — the incremental-index build path, where each batch pays a
+    * full shingle explode + md5 per shingle just to feed 2^p registers.
+    * The native kernel ([[graft.expressions.HllRegRanks]]) md5s each
+    * shingle once from raw digest bytes (no hex string, no decimal
+    * `conv`), keeps the per-DOCUMENT max rank per register in a byte
+    * table, and emits ≤ min(shingles, 2^p) packed rows per doc — so the
+    * explode and the register shuffle shrink together. Bit-identical to
+    * `hllRegisters(shingleValues(docs, textCol, n), p)` (parity
+    * unit-asserted) and replayed by the same oracle. */
+  def hllShingleRegisters(docs: DataFrame, textCol: String, n: Int,
+                          p: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val _ = hexDigits(p) // validate p
+    val packed = GraftColumnBridge.column(graft.expressions.HllRegRanks(
+      GraftColumnBridge.expression(
+        graft.functions.TextFns.tokens(col(textCol))),
+      n, p, RankCap))
+    docs.select(explode(packed).as("pk"))
+      .select(shiftright(col("pk"), 6).cast("int").as("register"),
+        col("pk").bitwiseAND(lit(63L)).cast("int").as("rank"))
+      .groupBy(col("register")).agg(max(col("rank")).as("rank"))
+  }
+
   /** Fold stored per-batch register rows back to one register table —
     * max is idempotent and commutative, so fold ≡ rebuild. */
   def hllFold(registers: DataFrame): DataFrame =

@@ -33,6 +33,29 @@ class SketchesSpec extends SparkSpec {
     assert(folded == whole)
   }
 
+  test("hllShingleRegisters (native kernel) ≡ hllRegisters ∘ shingleValues, bit-for-bit") {
+    // varied shapes: normal docs, repeated shingles, <n tokens, empty,
+    // extra whitespace — every edge the composed relational form defines
+    val docs = (
+      (1 to 150).map(i => s"tok${i % 17} tok${i % 31} tok${i % 7} tok$i common end") ++
+      Seq("", "one two", "  padded   spacing   a b c  ", "x x x x x x")
+    ).toDF("text")
+    for (p <- Seq(4, 8, 12)) {
+      val composed = Sketches.hllRegisters(
+          Sketches.shingleValues(docs, "text", 3), p)
+        .as[(Int, Int)].collect().toSet
+      val native = Sketches.hllShingleRegisters(docs, "text", 3, p)
+        .as[(Int, Int)].collect().toSet
+      assert(native == composed, s"parity broke at p=$p")
+    }
+    // n=1 degenerate: shingles ARE the tokens (incl. the empty-string token)
+    val c1 = Sketches.hllRegisters(Sketches.shingleValues(docs, "text", 1), 8)
+      .as[(Int, Int)].collect().toSet
+    val n1 = Sketches.hllShingleRegisters(docs, "text", 1, 8)
+      .as[(Int, Int)].collect().toSet
+    assert(n1 == c1)
+  }
+
   test("HLL small-range correction: tiny distinct set takes the linear-counting branch") {
     val r = Sketches.hllDistinct(syntheticVals(31), p = 8)
       .select(col("v_zero"), col("lin_est_micro"), col("est_micro"))
