@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
@@ -179,6 +179,81 @@ case class SrpSignature(child: Expression, planes: Array[Array[Double]])
          |  }
          |}
          |${ev.value} = sig;
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Shared kernel for [[PqAdcTable]] — the generated code's call target. */
+object PqAdcKernel {
+  /** m×ks ADC term table for one query vector:
+    * term(j, c) = cnorm(j)(c) − 2·Σ_i qv[j·d+i]·cb(j)(c)(i), the i-ascending
+    * accumulation of `lit(dotSeq(c,c)) - lit(2.0) * dot(slice(qv), lit(c))`
+    * — bit-identical to the composed column form it replaces. Returns null
+    * on a dim mismatch or a null element (the composed form nulls the
+    * affected entries; a malformed vector is malformed everywhere, so the
+    * whole-table null is the same downstream "no candidates" outcome). */
+  def compute(qv: ArrayData, cb: Array[Array[Array[Double]]],
+              cnorms: Array[Array[Double]]): GenericArrayData = {
+    val m = cb.length
+    val d = if (m == 0) 0 else cb(0)(0).length
+    val n = qv.numElements()
+    if (n != m * d) return null
+    var i = 0
+    while (i < n) { if (qv.isNullAt(i)) return null; i += 1 }
+    val q = qv.toDoubleArray()
+    val outer = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val cbj = cb(j); val nj = cnorms(j)
+      val terms = new Array[Double](cbj.length)
+      var c = 0
+      while (c < cbj.length) {
+        val cw = cbj(c)
+        var dot = 0.0
+        var t = 0
+        while (t < d) { dot += q(j * d + t) * cw(t); t += 1 }
+        terms(c) = nj(c) - 2.0 * dot
+        c += 1
+      }
+      outer(j) = new GenericArrayData(terms)
+      j += 1
+    }
+    new GenericArrayData(outer)
+  }
+}
+
+/** The full m×ks PQ asymmetric-distance-computation table as ONE expression
+  * node. The composed form — `array(array(lit − 2·dot(slice(qv), lit)))`
+  * over m·ks codewords — builds a 64+-node tree whose whole-stage codegen
+  * source is large enough that Janino compilation dominated the batched
+  * IVF+PQ probe's wall time (measured ~4.5 s of a 6 s query at sf0.1;
+  * 1.6 s with codegen disabled). One reference-object call keeps the
+  * generated source O(1) in m·ks. */
+case class PqAdcTable(child: Expression, cb: Array[Array[Array[Double]]],
+                      cnorms: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() = {
+    val ok = child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pqAdcTable expects an array<double> query vector, got ${child.dataType}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqAdcKernel.compute(v.asInstanceOf[ArrayData], cb, cnorms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("cb", cb, "double[][][]")
+    val nRef = ctx.addReferenceObj("cnorms", cnorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""
+         |${ev.value} = graft.expressions.PqAdcKernel.compute($v, $cbRef, $nRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
          |""".stripMargin)
   }
 

@@ -383,17 +383,18 @@ object SimilaritySearch {
                      qidCol: String, qvecCol: String,
                      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
                      k: Int, nProbe: Int, rerank: Int): DataFrame = {
-    val d = codebooks.head.head.length
     val probed = batchProbeCells(queries, qidCol, qvecCol, centroids, nProbe, cellCol)
     // per-query ADC table as an m×ks array column: term(j, c) = |c|² − 2·q_j·c
-    // (|c|² precomputed driver-side, same accumulation order — bit-identical)
-    val qv = col("__qv")
-    val adcCol = array(codebooks.zipWithIndex.map { case (cb, j) =>
-      val sub = slice(qv, j * d + 1, d)
-      array(cb.map { c =>
-        lit(dotSeq(c, c)) - lit(2.0) * VectorFns.dot(sub, typedLit(c.toArray))
-      }: _*)
-    }: _*)
+    // (|c|² precomputed driver-side, same accumulation order — bit-identical).
+    // ONE expression node: the composed array(array(lit − 2·dot(...))) tree
+    // made Janino compilation dominate the query (see PqAdcTable scaladoc)
+    val adcCol = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(graft.expressions.PqAdcTable(
+        GraftColumnBridge.expression(col("__qv")),
+        codebooks.map(_.map(_.toArray).toArray).toArray,
+        codebooks.map(cb => cb.map(c => dotSeq(c, c)).toArray).toArray))
+    }
     val cand = probed.withColumn("__adc", adcCol)
       .join(indexed.select(col(idCol), col(cellCol), col(codeCol)), Seq(cellCol))
     val adist = codebooks.indices.map { j =>

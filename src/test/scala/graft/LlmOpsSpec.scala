@@ -196,6 +196,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PqAdcTable (one-node kernel) ≡ composed array(lit − 2·dot(slice)) form") {
+    val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", m = 2, ks = 4)
+    val d = cbs.head.head.length
+    val qv = col("__qv")
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val composed = array(cbs.zipWithIndex.map { case (cb, j) =>
+      val sub = slice(qv, j * d + 1, d)
+      array(cb.map { c =>
+        lit(dotSeq(c, c)) - lit(2.0) * graft.functions.VectorFns.dot(sub, typedLit(c.toArray))
+      }: _*)
+    }: _*)
+    val native = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.PqAdcTable(
+        org.apache.spark.sql.GraftColumnBridge.expression(qv),
+        cbs.map(_.map(_.toArray).toArray).toArray,
+        cbs.map(cb => cb.map(c => dotSeq(c, c)).toArray).toArray))
+    val rows = emb.select(col("embedding").cast("array<double>").as("__qv"))
+      .select(composed.as("a"), native.as("b"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Seq[Double]](0); val b = r.getSeq[Seq[Double]](1)
+      assert(a == b, s"ADC tables diverge: $a vs $b")
+    }
+  }
+
+  test("batched IVF+PQ ranks on narrow rows: the arank shuffle carries only (qid, id, adist)") {
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", m = 2, ks = 4)
+    val indexed = SimilaritySearch.withPqCodes(
+      SimilaritySearch.withIvfCell(emb, "embedding", cents), "embedding", cbs)
+    val queries = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan0 = SimilaritySearch.ivfPqBatchTopK(indexed, queries,
+        "vec_id", "embedding", "cell", "pq", "qid", "qvec",
+        cents, cbs, k = 3, nProbe = 2, rerank = 4)
+      .queryExecution.executedPlan
+    // AdaptiveSparkPlanExec hides its subtree from collect — unwrap it
+    val plan = plan0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val aw = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.output.exists(_.name == "arank") => w
+      }
+    assert(aw.nonEmpty, s"no arank window in:\n$plan")
+    val inAttrs = aw.head.child.output.map(_.name)
+    assert(inAttrs.length == 3 && inAttrs.contains("adist"),
+      s"arank window input must be the 3-column (qid, id, adist) rows, got $inAttrs")
+    assert(!inAttrs.exists(n => n == "__qv" || n == "__adc" || n == "qvec" || n == "embedding"),
+      s"wide columns leaked into the rank shuffle: $inAttrs")
+  }
+
   test("batched IVF+PQ candidate stage never loads float vectors") {
     val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
     val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", m = 2, ks = 4)
