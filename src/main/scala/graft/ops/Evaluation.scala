@@ -342,10 +342,20 @@ object Evaluation {
     * view). Candidates larger than the vocabulary saturate at full
     * coverage.
     *
-    * Scale: one map-side-combined token count collapses the corpus to
-    * |vocab| rows; the rank/cumsum window runs over that bounded table
-    * (the Zipf-fit discipline) and candidates join by rank. Exact longs,
-    * one micro-division per candidate. */
+    * Scale: coverage at rank V is the sum of the top-V frequencies — a
+    * function of the frequency MULTISET only (ties by token change which
+    * token holds rank V, never the sum) — so no per-token rank window
+    * exists at all. One map-side-combined token count collapses the
+    * corpus to |vocab| rows, a second tiny aggregate collapses those to
+    * the |distinct freq| HISTOGRAM (sublinear in vocab: distinct counts
+    * of N occurrences number O(√N)), exclusive cum-counts/cum-sums run in
+    * windows PARTITIONED by the ⌊log2 freq⌋ class (≤ 64 partitions,
+    * order-consistent because the class is monotone in freq) with a
+    * ≤ 64-row offsets window on top — a web-scale vocab never funnels
+    * through one task. covered(V) = S(f) + (V − C(f))·f where f is the
+    * class at rank V, C/S the exclusive cums; candidates range-join the
+    * histogram. Exact: micro-scaling in DECIMAL(38,0) so total×1e6
+    * can't wrap a Long at 100 TB token counts. */
   def vocabCoverage(docs: DataFrame, textCol: String,
                     sizes: Seq[Int]): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ >= 1), "sizes must be positive")
@@ -354,19 +364,37 @@ object Evaluation {
       .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-    val w = Window.orderBy(col("freq").desc, col("token"))
-    val ranked = counts
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("freq"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = counts.agg(sum(col("freq")).as("total"))
-    tot.select(col("total"),
-        explode(typedlit(sizes.map(_.toLong))).as("v"))
-      .join(ranked.select(col("rank").as("v"), col("cum")), Seq("v"), "left")
+    val hist = counts.groupBy(col("freq")).agg(count(lit(1)).as("cnt"))
+      // ⌊log2 freq⌋ via the binary-digit count — bit-exact on both
+      // engines (float log2 of exact powers of two misrounds in IEEE)
+      .withColumn("fb", (length(bin(col("freq"))) - 1).cast("int"))
+    val wLoc = Window.partitionBy(col("fb")).orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val loc = hist
+      .withColumn("lc", coalesce(sum(col("cnt")).over(wLoc), lit(0L)))
+      .withColumn("ls", coalesce(sum(col("cnt") * col("freq")).over(wLoc), lit(0L)))
+    val wOff = Window.orderBy(col("fb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = hist.groupBy(col("fb"))
+      .agg(sum(col("cnt")).as("tc"), sum(col("cnt") * col("freq")).as("ts"))
+      // ≤ 64 rows by construction (fb ∈ [0, 63]) — bounded, not corpus-sized
+      .withColumn("oc", coalesce(sum(col("tc")).over(wOff), lit(0L)))
+      .withColumn("os", coalesce(sum(col("ts")).over(wOff), lit(0L)))
+      .select(col("fb"), col("oc"), col("os"))
+    val ranked = loc.join(offs, Seq("fb"))
+      .select(col("freq"), col("cnt"),
+        (col("oc") + col("lc")).as("cex"),  // #tokens strictly more frequent
+        (col("os") + col("ls")).as("sex"))  // their occurrence sum
+    val tot = hist.agg(sum(col("cnt") * col("freq")).as("total"))
+    tot.select(col("total"), explode(typedlit(sizes.map(_.toLong))).as("v"))
+      .join(ranked,
+        col("cex") < col("v") && col("v") <= col("cex") + col("cnt"), "left")
       .select(col("v"),
-        coalesce(col("cum"), col("total")).as("covered_tokens"),
+        coalesce(col("sex") + (col("v") - col("cex")) * col("freq"),
+          col("total")).as("covered_tokens"),
         col("total").as("total_tokens"),
-        expr("coalesce(cum, total) * 1000000L div total").as("coverage_micro"))
+        expr("CAST(coalesce(sex + (v - cex) * freq, total) AS DECIMAL(38,0))" +
+          " * 1000000 div total").as("coverage_micro"))
   }
 
   /** DuckDB oracle replaying [[vocabCoverage]]. */
