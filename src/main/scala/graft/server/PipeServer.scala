@@ -179,6 +179,7 @@ final class PipeServer(
         respond(x, 200, "ok")
 
       case ("POST", "commit") =>
+        val t0 = System.nanoTime()
         val (spec, st) = store(root, target)
         val wid = q("wid")
         val schema = StructType.fromDDL(q("schema"))
@@ -192,7 +193,7 @@ final class PipeServer(
           case "create"    => st.create(df)
           case "overwrite" => st.overwrite(df)
           case "append"    => st.append(df)
-          case "upsert"    =>
+          case "upsert" | "delta" =>
             val keys = q("keys").split(",").toSeq
             val stray = q.getOrElse("stray", "full") match {
               case "off"  => StrayScan.Off
@@ -202,12 +203,22 @@ final class PipeServer(
             }
             val kc = q.get("kc").filter(_.nonEmpty)
               .map(_.split("\n").toSeq.filter(_.nonEmpty))
-            st.upsert(df, keys, kc, stray)
+            if (q("mode") == "upsert") st.upsert(df, keys, kc, stray)
+            else {
+              // one staged patch carrying BOTH diff halves (client
+              // applyDelta): split on the tag, local merge + append
+              val flag = "__graft_upd"
+              st.upsert(df.where(col(flag)).drop(flag), keys, kc, stray)
+              st.append(df.where(!col(flag)).drop(flag))
+            }
           case m => throw new IllegalArgumentException(s"unknown mode: $m")
         } finally {
           val d = stagingDir(wid)
           d.listFiles().foreach(_.delete()); d.delete(); ()
         }
+        if (sys.env.contains("GRAFT_API_TRACE"))
+          println(f"[srv] commit mode=${q("mode")} files=${files.size} " +
+            f"${(System.nanoTime() - t0) / 1e6}%8.1f ms")
         val _ = spec
         respond(x, 200, "ok")
 

@@ -278,6 +278,28 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
     upload(patch, "upsert", Seq("keys" -> keys.mkString(",")) ++ strayQ ++ kcQ)
   }
 
+  /** Both diff halves in ONE staged upload + ONE commit: rows ride tagged
+    * (`__graft_upd`), the server splits and runs its local merge + append.
+    * Halves the write round trips of a mixed diff — for a remote store the
+    * second staging pass + commit costs more than the local split saves. */
+  override def applyDelta(updates: DataFrame, inserts: DataFrame,
+                          keys: Seq[String], knownChunks: Option[Seq[String]],
+                          strayScan: StrayScan): Unit = {
+    require(keys.nonEmpty, "applyDelta requires key columns")
+    val strayQ = strayScan match {
+      case StrayScan.Full => Seq("stray" -> "full")
+      case StrayScan.Off  => Seq("stray" -> "off")
+      case StrayScan.Bounded(lo, hi) =>
+        val (lk, lv) = encodeAny(lo); val (hk, hv) = encodeAny(hi)
+        Seq("stray" -> "bounded", "sLo" -> lv, "sLoK" -> lk,
+            "sHi" -> hv, "sHiK" -> hk)
+    }
+    val kcQ = knownChunks.map(c => Seq("kc" -> c.mkString("\n"))).getOrElse(Seq.empty)
+    val tagged = updates.withColumn("__graft_upd", lit(true))
+      .unionByName(inserts.withColumn("__graft_upd", lit(false)))
+    upload(tagged, "delta", Seq("keys" -> keys.mkString(",")) ++ strayQ ++ kcQ)
+  }
+
   // ── deletion / maintenance ─────────────────────────────────────────────
 
   override def clear(predicate: Column, boundLo: Option[Any],

@@ -51,6 +51,19 @@ trait InstanceStore {
              knownChunks: Option[Seq[String]] = None,
              strayScan: StrayScan = StrayScan.Full): Unit
 
+  /** Apply one diff's BOTH halves — update rows (chunk-scoped merge) and
+    * insert rows (append). Default: two calls, the local fast path (an
+    * append never pays a merge). REMOTE backends override to ship the
+    * tagged patch in ONE staged upload + ONE commit and split server-side:
+    * for a store a network away, the second round trip costs more than the
+    * split saves. Either half may be empty (callers skip all-empty calls). */
+  def applyDelta(updates: DataFrame, inserts: DataFrame, keys: Seq[String],
+                 knownChunks: Option[Seq[String]] = None,
+                 strayScan: StrayScan = StrayScan.Full): Unit = {
+    upsert(updates, keys, knownChunks, strayScan)
+    append(inserts)
+  }
+
   // ── deletion / maintenance ───────────────────────────────────────────
   def clear(predicate: Column, boundLo: Option[Any] = None,
             boundHi: Option[Any] = None): Unit

@@ -405,9 +405,11 @@ final class SyncEngine(spark: SparkSession, root: String,
         val (nIns, nUpd, chunks) = countsAndChunks(store, tagged, allRows = false)
         val stray = envelope.map { case (lo, hi) => StrayScan.Bounded(lo, hi): StrayScan }
           .getOrElse(StrayScan.Full)
-        if (nUpd > 0)
-          store.upsert(tagged.where(col(UpdFlag)).drop(UpdFlag), keys, chunks, stray)
-        if (nIns > 0) store.append(tagged.where(!col(UpdFlag)).drop(UpdFlag))
+        val upd = tagged.where(col(UpdFlag)).drop(UpdFlag)
+        val ins = tagged.where(!col(UpdFlag)).drop(UpdFlag)
+        if (nUpd > 0 && nIns > 0) store.applyDelta(upd, ins, keys, chunks, stray)
+        else if (nUpd > 0) store.upsert(upd, keys, chunks, stray)
+        else if (nIns > 0) store.append(ins)
         commitMark()
         SyncResult(nIns, nUpd)
       } finally tagged.unpersist()
