@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -866,25 +866,41 @@ object ApproxDedup {
     * oracle replays it bit-for-bit. Output one row PER DIRECTION (id1
     * contained in id2).
     *
-    * Shape: ONE corpus-sized aggregate (shingle → id list, capped at
-    * maxDocsPerShingle entries), then a double explode emits every
-    * ordered pair INCLUDING the (id, id) diagonal — the diagonal's count
-    * is exactly the doc's informative-shingle size, so pair overlaps and
-    * sizes fall out of the SAME groupBy, read once through a window
-    * partitioned by id1. No persist, no self-join, no second pass over
-    * the corpus — the three-read cache sensitivity of the join
-    * formulation is structurally gone. */
+    * Shape: ONE corpus-sized aggregate (shingle → id list), then a double
+    * explode emits every ordered pair INCLUDING the (id, id) diagonal —
+    * the diagonal's count is exactly the doc's informative-shingle size,
+    * so pair overlaps and sizes fall out of the SAME groupBy, read once
+    * through a window partitioned by id1. No persist, no self-join, no
+    * second pass over the corpus — the three-read cache sensitivity of
+    * the join formulation is structurally gone.
+    *
+    * Hot-key memory bound: the id list is accumulated by
+    * [[graft.expressions.CappedLongList]], which STOPS at
+    * `maxDocsPerShingle + 1` elements inside the aggregation buffer
+    * itself (map-side partials included). A corpus-ubiquitous shingle
+    * ("terms of service…" in 10⁸ documents) therefore never materializes
+    * its full id list anywhere — it costs `cap + 1` longs per buffer and
+    * is dropped by the `size <= cap` filter, whose semantics are
+    * unchanged because any list that WOULD have exceeded the cap arrives
+    * truncated to the sentinel length `cap + 1`. Aggregate state is
+    * configuration-bounded, not data-bounded. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, thresholdMicro: Long,
                        maxDocsPerShingle: Int): DataFrame = {
     require(n >= 1 && thresholdMicro >= 0 && maxDocsPerShingle >= 2,
       "bad containment parameters")
+    require(docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"containmentPairs needs a BIGINT id column, got ${docs.schema(idCol).dataType}")
     val sh = docs.select(col(idCol),
         explode(array_distinct(
           TextFns.wordShingles(lower(col(textCol)), n))).as("s"))
       .select(col(idCol), TextFns.md5Long60(col("s")).as("h"))
+    val cappedIds = GraftColumnBridge.column(
+      graft.expressions.CappedLongList(
+        GraftColumnBridge.expression(col(idCol)),
+        maxDocsPerShingle).toAggregateExpression())
     val lists = sh.groupBy(col("h"))
-      .agg(collect_list(col(idCol)).as("ids"))
+      .agg(cappedIds.as("ids"))
       .where(size(col("ids")) <= maxDocsPerShingle)
     val pairs = lists
       .select(explode(col("ids")).as("id1"), col("ids"))

@@ -39,8 +39,12 @@ object Evaluation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranked = g.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("rank2", lit(2) * col("cumb") + col("cnt") + lit(1))
+    // operand-first widening: cast pos BEFORE the product so the multiply
+    // itself runs in decimal — a post-product cast would let pos·rank2
+    // silently wrap Long first (rank2 ~ 2n, so p·2n > 9.2e18 is reachable
+    // past ~2e9 eval rows)
     ranked.agg(
-        sum((col("pos") * col("rank2")).cast("decimal(38,0)")).as("sr2"),
+        sum(col("pos").cast("decimal(38,0)") * col("rank2")).as("sr2"),
         sum(col("pos")).as("p"),
         sum(col("cnt") - col("pos")).as("n"))
       .select(col("p"), col("n"),
@@ -63,7 +67,7 @@ object Evaluation {
                coalesce(sum(cnt) OVER (ORDER BY score
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
              FROM g),
-       t AS (SELECT sum(pos * (2 * cumb + cnt + 1)) AS sr2,
+       t AS (SELECT sum(CAST(pos AS HUGEINT) * (2 * cumb + cnt + 1)) AS sr2,
                CAST(sum(pos) AS BIGINT) AS p,
                CAST(sum(cnt - pos) AS BIGINT) AS n
              FROM w)
@@ -311,9 +315,12 @@ object Evaluation {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("c"))
     val w = Window.orderBy(col("c"), col(groupCol))
     val ranked = counts.withColumn("i", row_number().over(w).cast("long"))
+    // operand-first widening: cast the rank BEFORE multiplying so 2·i·c is
+    // computed in decimal — a post-product cast would let a ~1e6 rank times
+    // a ~5e12-row dominant source wrap Long (>9.2e18) before widening
     ranked.agg(
         sum(col("c")).as("tot"), count(lit(1)).as("ng"),
-        sum(((lit(2) * col("i")) * col("c")).cast("decimal(38,0)"))
+        sum(col("i").cast("decimal(38,0)") * lit(2) * col("c"))
           .as("wsum"))
       .select(col("ng").as("n_groups"), col("tot").as("n_rows"),
         expr("(wsum - (CAST(ng AS DECIMAL(38,0)) + 1) * tot) * 1000000" +
@@ -328,7 +335,7 @@ object Evaluation {
              FROM g),
        t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
                CAST(count(*) AS BIGINT) AS ng,
-               sum(2 * i * c) AS wsum
+               sum(CAST(i AS HUGEINT) * 2 * c) AS wsum
              FROM r)
        SELECT ng AS n_groups, tot AS n_rows,
          CAST((wsum - (CAST(ng AS HUGEINT) + 1) * tot) * 1000000
