@@ -92,7 +92,8 @@ object Bench {
     // deterministic name order: map-order iteration made round-over-round
     // per-query comparisons noisy (whichever query ran after a heavy one
     // inherited its GC shadow; the slot changed every build)
-    val results = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    def runPass(): Seq[(String, (Double, String))] =
+      selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // stored-index queries: time build (once-per-corpus-sync cost) and
       // probe (per-query cost) separately — `name` reports the PROBE, the
       // build lands as `<name>_build`, so the total stays the end-to-end
@@ -123,6 +124,29 @@ object Bench {
       label -> (elapsed, err)
       }
     }
+    // MEASUREMENT PROTOCOL (r8 verdict item 1): the suite runs `reps` full
+    // passes and each query reports its elementwise MIN across passes. One
+    // pass conflated real regressions with environment load — r8 saw +23%
+    // uniform drift on entries whose code no commit touched, and the round's
+    // perf verdict degenerated into guesswork. The min is the right
+    // estimator here: every source of error in a wall-clock measurement on
+    // a shared box (GC shadow, page-cache eviction, CPU contention from the
+    // driver's own processes) is strictly ADDITIVE noise, so the smallest
+    // observation is the closest to the query's true cost. Queries run in
+    // suite order within each pass (not back-to-back reps) so a transient
+    // load spike cannot poison both observations of the same query. A query
+    // that fails in ANY pass surfaces as failed — never as a fast success.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.trim.toInt)
+      .filter(_ >= 1).getOrElse(2)
+    val passes = (1 to reps).map(_ => runPass())
+    val protocol = if (reps == 1) "single-pass" else s"min-of-$reps"
+    val results: Seq[(String, (Double, String))] = passes.head.map(_._1).map { label =>
+      val runs = passes.flatMap(_.collectFirst { case (`label`, r) => r })
+      val firstErr = runs.collectFirst { case (_, e) if e != null => e }
+      val ok = runs.collect { case (t, null) => t }
+      val t = if (ok.nonEmpty) ok.min else runs.map(_._1).min
+      label -> (t, firstErr.orNull)
+    }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -151,10 +175,15 @@ object Bench {
       val nFailed = results.count(_._2._2 != null)
       val total = results.map(_._2._1).sum
       val omitSum = omitted.map(_._2._1).sum
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
+    // subset runs (SPARK_GRAFT_ONLY) land in /tmp — they must never clobber
+    // the committed full-suite baseline that round-over-round regression
+    // grading compares against (r8 advice: a 1-query profiling run did)
+    val outPath =
+      if (only.isEmpty) "BENCH_LOCAL.json" else "/tmp/BENCH_SUBSET.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(outPath),
       (line(3, 0) + "\n").getBytes("UTF-8"))
     println(line(2, 40))
     spark.stop()
