@@ -206,10 +206,18 @@ final class PipeServer(
             if (q("mode") == "upsert") st.upsert(df, keys, kc, stray)
             else {
               // one staged patch carrying BOTH diff halves (client
-              // applyDelta): split on the tag, local merge + append
+              // applyDelta): split on the tag, local merge + append (each
+              // half parses the staged JSON once — upsert caches its patch
+              // internally, so a shared checkpoint would only add a
+              // materialization job, measured net-negative)
               val flag = "__graft_upd"
-              st.upsert(df.where(col(flag)).drop(flag), keys, kc, stray)
-              st.append(df.where(!col(flag)).drop(flag))
+              def half(ms: Long)(body: => Unit): Unit = {
+                val t = System.nanoTime(); body
+                if (sys.env.contains("GRAFT_API_TRACE"))
+                  println(f"[srv]   delta-$ms%d ${(System.nanoTime() - t) / 1e6}%8.1f ms")
+              }
+              half(1)(st.upsert(df.where(col(flag)).drop(flag), keys, kc, stray))
+              half(2)(st.append(df.where(!col(flag)).drop(flag)))
             }
           case m => throw new IllegalArgumentException(s"unknown mode: $m")
         } finally {

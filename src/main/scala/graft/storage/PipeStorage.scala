@@ -606,32 +606,43 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
         val strayVals: Array[String] =
           if (dtCol.exists(keys.contains) || strayScan == StrayScan.Off) Array.empty
           else {
-            val all0 = spark.read.option("mergeSchema", "true").parquet(dataPath)
-            val bounded = strayScan match {
+            // Candidate stray chunks from ONE driver-side directory listing
+            // (a metadata call, size-independent): chunks inside the stray
+            // bound that the patch is not already rewriting. The common
+            // diff-sync case — the backtrack envelope covers exactly the
+            // patch's own chunks — yields NO candidates and skips the key
+            // scan (and its mergeSchema footer pass) entirely; otherwise
+            // the scan is partition-pruned to the candidate dirs, never
+            // the table.
+            val onDisk = diskChunkLabels
+            val inBound = strayScan match {
               case StrayScan.Bounded(lo, hi) =>
-                val partC = if (spec.epochUnit.isDefined) col(PartCol).cast("long")
-                            else col(PartCol)
-                def lbl(v: Any): Column =
-                  if (spec.epochUnit.isDefined) lit(chunkLabelOf(v).toLong)
-                  else lit(chunkLabelOf(v))
-                all0.where(partC >= lbl(lo) && partC <= lbl(hi))
-              case _ => all0
+                if (spec.epochUnit.isDefined) {
+                  val (l, h) = (chunkLabelOf(lo).toLong, chunkLabelOf(hi).toLong)
+                  onDisk.filter { s => val v = s.toLong; v >= l && v <= h }
+                } else {
+                  val (l, h) = (chunkLabelOf(lo), chunkLabelOf(hi))
+                  onDisk.filter(s => s >= l && s <= h)
+                }
+              case _ => onDisk
             }
-            val inPatch = {
-              val in = if (patchOnly._2.nonEmpty) col(PartCol).isin(patchOnly._2: _*)
-                       else lit(false)
-              if (patchOnly._1) in || col(PartCol).isNull else in
+            val candidates = inBound.filterNot(patchOnly._2.contains)
+            // null-axis rows can hold stray keys only under a Full scan
+            // (Bounded's range predicate excluded them before this rewrite
+            // too) and only when the patch has no null-chunk rows of its own
+            val nullCand = strayScan == StrayScan.Full && !patchOnly._1 &&
+              fs.exists(new Path(s"$dataPath/$PartCol=__HIVE_DEFAULT_PARTITION__"))
+            if (candidates.isEmpty && !nullCand) Array.empty
+            else {
+              val all = readChunks(candidates, nullCand)
+                .select(keys.map(col) :+ col(PartCol): _*)
+              val pk  = p.select(keys.map(col): _*).distinct()
+              val kc  = keys.map { k =>
+                if (spec.nullIndices) all(k) <=> pk(k) else all(k) === pk(k)
+              }.reduce(_ && _)
+              all.join(pk, kc, "left_semi")
+                .select(PartCol).distinct().collect().map(_.getString(0))
             }
-            // partition-column predicate BEFORE the join: patch chunks are
-            // being rewritten anyway, so their directories never scan
-            val all = bounded.where(!coalesce(inPatch, lit(false)))
-              .select(keys.map(col) :+ col(PartCol): _*)
-            val pk  = p.select(keys.map(col): _*).distinct()
-            val kc  = keys.map { k =>
-              if (spec.nullIndices) all(k) <=> pk(k) else all(k) === pk(k)
-            }.reduce(_ && _)
-            all.join(pk, kc, "left_semi")
-              .select(PartCol).distinct().collect().map(_.getString(0))
           }
         val merged = (chunkVals ++ strayVals).distinct
         val (nullChunk, vals) = (merged.contains(null), merged.filter(_ != null).toSeq)
