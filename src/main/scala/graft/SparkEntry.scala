@@ -290,6 +290,44 @@ object SparkEntry {
        })
     }),
 
+    // Stored IVF+PQ index (FAISS's production IVFPQ shape, persisted): the
+    // coarse cell AND the m-byte PQ code are stamped at ingest — two stacked
+    // shuffle-free projections — and halves blind-append into a
+    // cell-partitioned pipe. The probe touches ONLY the nProbe cells' chunk
+    // directories; inside them the ADC candidate pass reads (vec_id, pq)
+    // alone, and float vectors load for the `rerank` survivors only. Codes
+    // are row-local, so incremental build == full rebuild and the oracle
+    // replays the whole IVF+PQ pipeline (centroids + codebooks re-derived).
+    "q_ivfpq_index_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      lazy val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      lazy val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      lazy val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
+      def index(df: DataFrame) =
+        SimilaritySearch.withPqCodes(
+            SimilaritySearch.withIvfCell(df, "embedding", cents), "embedding", cbs)
+          .select(col("vec_id"), col("embedding"), col("pq"),
+            col("cell").cast("long").as("cell"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "ivfpq_cells_sync"),
+        columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => {
+        val probe = SimilaritySearch.ivfProbeCells(cents, q, nProbe = 8)
+        SimilaritySearch.pqTopK(eng.storage(spec).readIn(probe.map(_.toLong)),
+          "vec_id", "embedding", "pq", q, cbs, k = 10, rerank = 50)
+       })
+    }),
+
     "q_vocab_index_sync" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val buckets = 16
@@ -3015,6 +3053,17 @@ object SparkEntry {
       graft.ops.Corpus.bigramLogProb(Tables.documents(s, d),
         "doc_id", "text", lambda = 0.7).orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: interpolated-TRIGRAM LM cross-entropy — the next
+    // KenLM rung (position ≥3 under λ₃·tri + λ₂·bg + (1−λ₃−λ₂)·uni;
+    // position 2 backs the conditional mass onto the bigram; position 1
+    // unigram floor). Catches short-range templating the bigram smooths
+    // over. ONE corpus scan: persisted token arrays feed the unigram /
+    // pair / triple explodes; all model tables type-level equi-joins.
+    "q_trigram_logprob" -> ((s, d) =>
+      graft.ops.Corpus.trigramLogProb(Tables.documents(s, d),
+        "doc_id", "text", lambda3 = 0.5, lambda2 = 0.3)
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: epoch materialization — the upsampling step after
     // the token-budget plan: each doc repeats floor(rate) times plus a
     // deterministic md5-coin fractional epoch. Broadcast rate table +
@@ -3330,6 +3379,19 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("reward_centi")),
         "event_type", "event_id", "reward_centi")
         .orderBy(col("event_type"))),
+
+    // ── LLM-pipeline: reward-model CALIBRATION report (r7 ask) — the
+    // reliability diagram of the group-whitened reward against an outcome
+    // label: exact-long z-moments per prompt group, integer min–max rescale
+    // to micro-units, ≤ nBins-row calibration aggregate. pos_rate rising
+    // with mean_score = the reward ordering carries signal.
+    "q_reward_calibration" -> ((s, d) =>
+      graft.ops.Rlhf.rewardCalibration(
+        Tables.events(s, d).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("reward_centi"),
+          (col("value") > lit(50.0d)).cast("int").as("lbl")),
+        "event_type", "reward_centi", "lbl", nBins = 8)
+        .orderBy(col("bin"))),
 
     // ── LLM-pipeline: quality-threshold sweep — the calibration table a
     // curation run reads before picking its gate: docs/tokens surviving
@@ -3833,6 +3895,14 @@ object SparkEntry {
     // partition directories. Incremental build == full rebuild, so the
     // oracle is the standard IVF replay.
     "q_ivf_index_sync" -> composed("q_ivf_index_sync"),
+
+    // ── LLM-pipeline: the stored IVF+PQ index (FAISS's production IVFPQ,
+    // persisted + incrementally synced): cell and m-byte PQ code stamped at
+    // ingest, halves blind-append into a cell-partitioned pipe, probe reads
+    // ONLY the nProbe cells' chunk dirs — ADC candidates on (id, codes),
+    // floats touch the rerank set alone. Incremental == rebuild; oracle
+    // replays the full IVF+PQ pipeline.
+    "q_ivfpq_index_sync" -> composed("q_ivfpq_index_sync"),
 
     // ── §2.4 column profile (the ANALYZE surface): non-null / exact
     // distinct / min / max per column in ONE aggregate pass.
@@ -4761,6 +4831,10 @@ object SparkEntry {
       graft.ops.Corpus.bigramLogProbOracleSql("documents", "doc_id", "text",
         lambda = 0.7),
 
+    "q_trigram_logprob" ->
+      graft.ops.Corpus.trigramLogProbOracleSql("documents", "doc_id", "text",
+        lambda3 = 0.5, lambda2 = 0.3),
+
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(
         "embeddings", "vec_id", "embedding"),
@@ -5512,6 +5586,11 @@ object SparkEntry {
       SimilaritySearch.ivfOracleSql("embeddings", "vec_id", "embedding",
         nCentroids = 16, nProbe = 4, queryId = 0L, k = 10),
 
+    "q_ivfpq_index_sync" ->
+      SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
+        queryId = 0, k = 10, rerank = 50),
+
     "q_profile_stats" ->
       graft.ops.Maintenance.profileOracleSql("events",
         Seq(("event_id", true), ("user_id", true), ("value", true),
@@ -6083,6 +6162,11 @@ object SparkEntry {
       graft.ops.Rlhf.bestOfNOracleSql(
         "(SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS reward_centi FROM events)",
         "event_type", "event_id", "reward_centi", "reward_centi"),
+
+    "q_reward_calibration" ->
+      graft.ops.Rlhf.rewardCalibrationOracleSql(
+        "(SELECT event_type, CAST(round(value * 100) AS BIGINT) AS reward_centi, CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS lbl FROM events)",
+        "event_type", "reward_centi", "lbl", nBins = 8),
 
     // independent closed-form Web Mercator; operation order mirrors
     // GeoWkb.Crs.to3857 so x is bit-exact, y rounds (libm tan/ln)

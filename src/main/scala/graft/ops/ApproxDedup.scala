@@ -889,9 +889,18 @@ object ApproxDedup {
                        maxDocsPerShingle: Int): DataFrame = {
     require(n >= 1 && thresholdMicro >= 0 && maxDocsPerShingle >= 2,
       "bad containment parameters")
-    require(docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
-      s"containmentPairs needs a BIGINT id column, got ${docs.schema(idCol).dataType}")
-    val sh = docs.select(col(idCol),
+    // any integral id works — CappedLongList's buffer is Array[Long], so
+    // narrower types widen losslessly; only non-integral ids are rejected
+    val idType = docs.schema(idCol).dataType
+    require(Seq[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"containmentPairs needs an integral id column, got $idType")
+    val docsWide =
+      if (idType == org.apache.spark.sql.types.LongType) docs
+      else docs.withColumn(idCol, col(idCol).cast("long"))
+    val sh = docsWide.select(col(idCol),
         explode(array_distinct(
           TextFns.wordShingles(lower(col(textCol)), n))).as("s"))
       .select(col(idCol), TextFns.md5Long60(col("s")).as("h"))

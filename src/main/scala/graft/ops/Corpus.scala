@@ -602,6 +602,205 @@ object Corpus {
        FROM nt JOIN fi USING ($idCol) LEFT JOIN bs USING ($idCol)
        ORDER BY $idCol"""
 
+  /** Per-document log-probability under a corpus-fit INTERPOLATED TRIGRAM
+    * language model — the next KenLM rung above [[bigramLogProb]] (Wenzek
+    * et al. 2020 §3 run a 5-gram; Jelinek–Mercer fixed-weight
+    * interpolation): positions ≥ 3 score under
+    * P(w|u,v) = λ₃·c(u,v,w)/c(u,v,·) + λ₂·c(v,w)/c(v,·) + (1−λ₃−λ₂)·P_uni(w),
+    * position 2 under the bigram interpolation with the conditional mass
+    * λ₃+λ₂ backed onto the bigram term, and position 1 under the add-one
+    * unigram floor — so every document's token sequence is fully scored
+    * and a 1-token document degrades exactly to [[unigramLogProb]]'s term.
+    * Catches short-range templating (copied clause pairs) that the bigram
+    * model smooths over.
+    *
+    * Exactness: the THREE interpolation scalars (λ₃, λ₂, λ₃+λ₂, 1−λ₃−λ₂)
+    * resolve to driver-side doubles serialized verbatim into the oracle, so
+    * both engines run bit-identical float shapes; per-TYPE log-probs
+    * quantize to integer micro-nats before the integer multiply by in-doc
+    * counts and the per-doc LONG sums (order-independent at any
+    * parallelism).
+    *
+    * Scale: ONE corpus scan — the persisted token arrays feed the unigram,
+    * pair, and triple explodes; all model tables are TYPE-level (vocab /
+    * bigram-type / trigram-type sized) and join back by token equi-joins,
+    * so document text never shuffles. The trigram-type table is the big
+    * one (~tokens-in-corpus rows worst case) but it is 3 strings + 1 long
+    * wide and its joins are plain shuffles on short keys; totals ride as
+    * broadcast 1-row cross joins. Reference scope: Meerschaum has no LM
+    * scoring; this is §2.12 beyond-reference surface
+    * (cf. `/root/reference/meerschaum/utils/dataframe.py` limits to frame
+    * diff/filter utilities). */
+  def trigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     lambda3: Double = 0.5, lambda2: Double = 0.3): DataFrame = {
+    require(lambda3 > 0.0 && lambda2 > 0.0 && lambda3 + lambda2 < 1.0,
+      "need lambda3, lambda2 > 0 with lambda3 + lambda2 < 1")
+    // resolve every interpolation scalar ONCE driver-side; the oracle
+    // serializes these exact doubles so both engines fold identical literals
+    val lam23 = lambda3 + lambda2
+    val lamU  = 1.0d - lambda3 - lambda2
+    val toks = docs.select(col(idCol),
+        filter(TextFns.tokens(lower(col(textCol))),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
+    def uniTerm = (col("cf") + lit(1.0d)) /
+      (col("tot_t") + col("tot_v")).cast("double")
+    val lwUni = cf.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log(uniTerm) * lit(1e6)).cast("long").as("lw0_micro"))
+    // corpus bigram model off the cached arrays (all adjacent positions)
+    val pairs = when(size(col("toks")) < 2,
+        array().cast("array<struct<v:string,w:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - lit(1)),
+        i => struct(element_at(col("toks"), i).as("v"),
+                    element_at(col("toks"), i + lit(1)).as("w"))))
+    val cvw = toks.select(explode(pairs).as("p"))
+      .groupBy(col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c_vw"))
+    val cv = cvw.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
+    // corpus trigram model: adjacent triples, positions 1..n−2
+    val triples = when(size(col("toks")) < 3,
+        array().cast("array<struct<u:string,v:string,w:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("toks")) - lit(2)),
+        i => struct(element_at(col("toks"), i).as("u"),
+                    element_at(col("toks"), i + lit(1)).as("v"),
+                    element_at(col("toks"), i + lit(2)).as("w"))))
+    val tg = toks.select(col(idCol), explode(triples).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val cuvw = tg.groupBy(col("u"), col("v"), col("w"))
+      .agg(sum(col("tf")).as("c_uvw"))
+    val cuv = cuvw.groupBy(col("u"), col("v")).agg(sum(col("c_uvw")).as("c_uv"))
+    // per-type micro-nat tables: position-2 bigram (mass λ₃+λ₂ on the
+    // conditional) and position-≥3 trigram
+    val lwBi2 = cvw.join(cv, Seq("v"))
+      .join(cf.withColumnRenamed("token", "w"), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("v"), col("w"),
+        round(log(
+          lit(lam23) * (col("c_vw").cast("double") / col("c_v").cast("double")) +
+          lit(lamU) * uniTerm) * lit(1e6))
+          .cast("long").as("lw2_micro"))
+    val lwTri = cuvw.join(cuv, Seq("u", "v"))
+      .join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .join(cf.withColumnRenamed("token", "w"), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .select(col("u"), col("v"), col("w"),
+        round(log(
+          lit(lambda3) * (col("c_uvw").cast("double") / col("c_uv").cast("double")) +
+          lit(lambda2) * (col("c_vw").cast("double") / col("c_v").cast("double")) +
+          lit(lamU) * uniTerm) * lit(1e6))
+          .cast("long").as("lw3_micro"))
+    val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
+    val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
+      .join(lwUni, Seq("token"))
+      .select(col(idCol), col("lw0_micro"))
+    val second = toks.where(size(col("toks")) >= 2)
+      .select(col(idCol), element_at(col("toks"), 1).as("v"),
+        element_at(col("toks"), 2).as("w"))
+      .join(lwBi2, Seq("v", "w"))
+      .select(col(idCol), col("lw2_micro"))
+    val tsum = tg.join(lwTri, Seq("u", "v", "w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("lw3_micro")).as("tri_micro"))
+    val out = nt.join(first, Seq(idCol))
+      .join(second, Seq(idCol), "left")
+      .join(tsum, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("lw0_micro") + coalesce(col("lw2_micro"), lit(0L)) +
+          coalesce(col("tri_micro"), lit(0L)))
+          .as("logprob_micro"))
+      .withColumn("xent",
+        (-col("logprob_micro")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** DuckDB oracle replaying [[trigramLogProb]] — same tokenization, the
+    * same per-type micro-nat quantization, and interpolation scalars
+    * serialized from the SAME driver-side doubles the Spark plan folds, so
+    * both engines run bit-identical float shapes. */
+  def trigramLogProbOracleSql(table: String, idCol: String, textCol: String,
+                              lambda3: Double = 0.5,
+                              lambda2: Double = 0.3): String = {
+    val lam23 = lambda3 + lambda2
+    val lamU  = 1.0d - lambda3 - lambda2
+    s"""WITH toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tf AS (SELECT $idCol, token, count(*) AS tf FROM (
+           SELECT $idCol, unnest(toks) AS token FROM t2) u GROUP BY 1, 2),
+       cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot_t, count(*) AS tot_v FROM cf),
+       lwu AS (SELECT token,
+           CAST(round(ln((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS lw0_micro
+         FROM cf, tot),
+       cvw AS (SELECT v, w, count(*) AS c_vw FROM (
+           SELECT toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t2 WHERE len(toks) >= 2) g) p
+         GROUP BY 1, 2),
+       cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cvw GROUP BY 1),
+       tg AS (SELECT $idCol, u, v, w, count(*) AS tf FROM (
+           SELECT $idCol, toks[CAST(i AS INT)] AS u,
+             toks[CAST(i AS INT) + 1] AS v, toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT $idCol, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM t2 WHERE len(toks) >= 3) g) p
+         GROUP BY 1, 2, 3, 4),
+       cuvw AS (SELECT u, v, w, CAST(sum(tf) AS BIGINT) AS c_uvw
+         FROM tg GROUP BY 1, 2, 3),
+       cuv AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv
+         FROM cuvw GROUP BY 1, 2),
+       lw2 AS (SELECT cvw.v, cvw.w,
+           CAST(round(ln($lam23 * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
+             $lamU * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS lw2_micro
+         FROM cvw JOIN cv USING (v) JOIN cf ON cf.token = cvw.w CROSS JOIN tot),
+       lw3 AS (SELECT cuvw.u, cuvw.v, cuvw.w,
+           CAST(round(ln(
+             $lambda3 * (CAST(c_uvw AS DOUBLE) / CAST(c_uv AS DOUBLE)) +
+             $lambda2 * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
+             $lamU * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS lw3_micro
+         FROM cuvw JOIN cuv USING (u, v) JOIN cvw USING (v, w)
+              JOIN cv USING (v) JOIN cf ON cf.token = cuvw.w CROSS JOIN tot),
+       nt AS (SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+       fi AS (SELECT t2.$idCol, lwu.lw0_micro
+              FROM t2 JOIN lwu ON lwu.token = t2.toks[1]),
+       se AS (SELECT t2.$idCol, lw2.lw2_micro
+              FROM t2 JOIN lw2 ON lw2.v = t2.toks[1] AND lw2.w = t2.toks[2]
+              WHERE len(toks) >= 2),
+       ts AS (SELECT tg.$idCol,
+                CAST(sum(tg.tf * lw3.lw3_micro) AS BIGINT) AS tri_micro
+              FROM tg JOIN lw3 USING (u, v, w) GROUP BY 1)
+       SELECT nt.$idCol, nt.n_tokens,
+         CAST(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0) AS BIGINT) AS logprob_micro,
+         CAST(-(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0)) AS DOUBLE) /
+           (CAST(nt.n_tokens AS DOUBLE) * 1000000.0) AS xent
+       FROM nt JOIN fi USING ($idCol) LEFT JOIN se USING ($idCol)
+            LEFT JOIN ts USING ($idCol)
+       ORDER BY $idCol"""
+  }
+
   /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
   def unigramLogProbOracleSql(table: String, idCol: String,
                               textCol: String): String =

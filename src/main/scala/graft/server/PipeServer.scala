@@ -211,10 +211,10 @@ final class PipeServer(
               // internally, so a shared checkpoint would only add a
               // materialization job, measured net-negative)
               val flag = "__graft_upd"
-              def half(ms: Long)(body: => Unit): Unit = {
+              def half(idx: Int)(body: => Unit): Unit = {
                 val t = System.nanoTime(); body
                 if (sys.env.contains("GRAFT_API_TRACE"))
-                  println(f"[srv]   delta-$ms%d ${(System.nanoTime() - t) / 1e6}%8.1f ms")
+                  println(f"[srv]   delta-$idx%d ${(System.nanoTime() - t) / 1e6}%8.1f ms")
               }
               half(1)(st.upsert(df.where(col(flag)).drop(flag), keys, kc, stray))
               half(2)(st.append(df.where(!col(flag)).drop(flag)))

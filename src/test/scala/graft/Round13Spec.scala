@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+import graft.ops.{ApproxDedup, Corpus, Rlhf, SimilaritySearch}
+import graft.sync.SyncEngine
+
+/** Round-13 operators: interpolated trigram LM, reward-model calibration
+  * report, stored IVF+PQ index sync, containmentPairs integral-id widening. */
+class TrigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word order: scrambled doc scores higher xent than the corpus phrase") {
+    // corpus dominated by one ordered phrase; doc 20 carries the SAME token
+    // multiset scrambled — unigram terms identical, so any xent gap is pure
+    // n-gram order signal
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 10L).map(i => i -> phrase) :+
+      (20L -> "dog the over quick lazy fox brown jumps the")).toDF("doc_id", "text")
+    val out = Corpus.trigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(20L),
+      s"ordered ${out(1L)} should beat scrambled ${out(20L)}")
+  }
+
+  test("1-token doc degrades exactly to the unigram score") {
+    val docs = Seq(1L -> "alpha beta gamma", 2L -> "alpha").toDF("doc_id", "text")
+    val tri = Corpus.trigramLogProb(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).select("n_tokens", "logprob_micro")
+      .as[(Long, Long)].head()
+    val uni = Corpus.unigramLogProb(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).select("n_tokens", "logprob_micro")
+      .as[(Long, Long)].head()
+    assert(tri == uni, s"trigram $tri vs unigram $uni")
+  }
+
+  test("2-token doc has no trigram term and all docs emit one finite row") {
+    val docs = Seq(1L -> "a b c d", 2L -> "a b", 3L -> "c").toDF("doc_id", "text")
+    val out = Corpus.trigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "logprob_micro", "xent")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq == Seq(1L -> 4L, 2L -> 2L, 3L -> 1L))
+    assert(out.forall(r => r._3 < 0L && !r._4.isNaN && r._4 > 0.0))
+  }
+
+  test("lambda weights outside the simplex are rejected") {
+    val docs = Seq(1L -> "a b").toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Corpus.trigramLogProb(docs, "doc_id", "text", lambda3 = 0.8, lambda2 = 0.3)
+    }
+  }
+}
+
+class RewardCalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two clean groups land in the extreme bins with exact pos rates") {
+    // per group: rewards {0, 10} → z = ∓1 exactly; min–max puts them at
+    // micro 0 and 1e6 → bins 0 and nBins−1. Labels follow the reward.
+    val df = Seq(
+      ("g1", 1L, 0L, 0), ("g1", 2L, 10L, 1),
+      ("g2", 3L, 0L, 0), ("g2", 4L, 10L, 1),
+      // degenerate groups must DROP: singleton (no n≥2), zero variance
+      ("g3", 5L, 7L, 1),
+      ("g4", 6L, 5L, 0), ("g4", 7L, 5L, 1)
+    ).toDF("grp", "id", "r", "lbl")
+    val out = Rlhf.rewardCalibration(df, "grp", "r", "lbl", nBins = 4)
+      .select("bin", "cnt", "mean_score_micro", "pos_rate_micro")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((0, 2L, 0L, 0L), (3, 2L, 1000000L, 1000000L)))
+  }
+
+  test("bin count is bounded and counts cover exactly the whitenable rows") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001").select(
+      col("event_type"),
+      round(col("value") * 100).cast("long").as("r"),
+      (col("value") > lit(50.0d)).cast("int").as("lbl"))
+    val out = Rlhf.rewardCalibration(ev, "event_type", "r", "lbl", nBins = 8)
+      .select("bin", "cnt").as[(Int, Long)].collect()
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.forall(b => b._1 >= 0 && b._1 < 8))
+    // every event_type group at sf0.001 has n ≥ 2 and nonzero variance, so
+    // no rows drop and the bins partition the corpus
+    assert(out.map(_._2).sum == ev.count())
+  }
+}
+
+class IvfPqIndexSyncSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("incrementally-synced IVF+PQ probe == in-process ivfPqTopK, pruned") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding", m = 4, ks = 16)
+    def index(df: DataFrame) =
+      SimilaritySearch.withPqCodes(
+          SimilaritySearch.withIvfCell(df, "embedding", cents), "embedding", cbs)
+        .select(col("vec_id"), col("embedding"), col("pq"),
+          col("cell").cast("long").as("cell"))
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_spec").toString
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("ann", "ivfpq_spec"),
+      columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
+      epochUnit = Some("minute"), chunkMinutes = 1)
+    eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
+    eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+    val probe = SimilaritySearch.ivfProbeCells(cents, q, nProbe = 8)
+    val stored = eng.storage(spec).readIn(probe.map(_.toLong))
+    // pruning is real: the probe slice holds fewer rows than the corpus
+    assert(stored.count() < emb.count())
+    val viaStore = SimilaritySearch.pqTopK(stored, "vec_id", "embedding", "pq",
+        q, cbs, k = 10, rerank = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val inProc = SimilaritySearch.ivfPqTopK(index(emb), "vec_id", "embedding",
+        "cell", "pq", q, cents, cbs, k = 10, nProbe = 8, rerank = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaStore == inProc && viaStore.size == 10)
+  }
+}
+
+class ContainmentIdWideningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("integer ids widen to long and match the long-id result") {
+    val rows = Seq(
+      1 -> "shared prefix tokens one two three alpha",
+      2 -> "shared prefix tokens one two three beta",
+      3 -> "completely unrelated content words here now")
+    val intDocs = rows.toDF("id", "text")
+    val longDocs = rows.map { case (i, t) => (i.toLong, t) }.toDF("id", "text")
+    def run(df: DataFrame) = ApproxDedup.containmentPairs(df, "id", "text",
+        n = 3, thresholdMicro = 500000L, maxDocsPerShingle = 8)
+      .select("id1", "id2", "containment_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaInt = run(intDocs)
+    assert(viaInt == run(longDocs) && viaInt.nonEmpty)
+  }
+
+  test("non-integral id column is still rejected") {
+    val docs = Seq(("a", "x y z")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      ApproxDedup.containmentPairs(docs, "id", "text", 3, 0L, 4)
+    }
+  }
+}
