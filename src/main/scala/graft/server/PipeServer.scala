@@ -205,24 +205,30 @@ final class PipeServer(
               .map(_.split("\n").toSeq.filter(_.nonEmpty))
             if (q("mode") == "upsert") st.upsert(df, keys, kc, stray)
             else {
-              // one staged patch carrying BOTH diff halves (client
-              // applyDelta): split on the tag, local merge + append (each
-              // half parses the staged JSON once — upsert caches its patch
-              // internally, so a shared checkpoint would only add a
-              // materialization job, measured net-negative)
-              val flag = "__graft_upd"
+              // each diff half arrives under its OWN write id (client
+              // applyDelta): `wid` carries the inserts, `widU` the updates,
+              // so each half's ND-JSON parses exactly once and the (small)
+              // update half never scans the (large) insert half
+              val filesU = selectStaged(q("widU"))
+              val dfU: DataFrame =
+                if (filesU.nonEmpty) spark.read.schema(schema).options(jsonOpts)
+                  .json(filesU.map(_.getAbsolutePath): _*)
+                else spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
               def half(idx: Int)(body: => Unit): Unit = {
                 val t = System.nanoTime(); body
                 if (sys.env.contains("GRAFT_API_TRACE"))
                   println(f"[srv]   delta-$idx%d ${(System.nanoTime() - t) / 1e6}%8.1f ms")
               }
-              half(1)(st.upsert(df.where(col(flag)).drop(flag), keys, kc, stray))
-              half(2)(st.append(df.where(!col(flag)).drop(flag)))
+              half(1)(st.upsert(dfU, keys, kc, stray))
+              half(2)(st.append(df))
             }
           case m => throw new IllegalArgumentException(s"unknown mode: $m")
         } finally {
-          val d = stagingDir(wid)
-          d.listFiles().foreach(_.delete()); d.delete(); ()
+          (Seq(wid) ++ q.get("widU")).foreach { w =>
+            val d = stagingDir(w)
+            d.listFiles().foreach(_.delete()); d.delete(); ()
+          }
         }
         if (sys.env.contains("GRAFT_API_TRACE"))
           println(f"[srv] commit mode=${q("mode")} files=${files.size} " +

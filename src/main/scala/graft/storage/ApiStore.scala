@@ -225,6 +225,14 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
   private def upload(df: DataFrame, mode: String,
                      extra: Seq[(String, String)] = Seq.empty): Unit = {
     val wid = java.util.UUID.randomUUID().toString
+    stage(df, wid)
+    call("POST", u("commit", (Seq("wid" -> wid, "mode" -> mode,
+      "schema" -> df.schema.toDDL) ++ extra): _*))
+    invalidateSchema()
+  }
+
+  /** Stage one DataFrame's rows under `wid` (no commit). */
+  private def stage(df: DataFrame, wid: String): Unit = {
     val stageBase  = u("stage", "wid" -> wid)
     val doneBase   = u("stage_done", "wid" -> wid)
     val cols = df.columns
@@ -252,9 +260,6 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
         // completed with no rows" from "this attempt died mid-stage"
         HttpFetch.post(s"$doneBase&pid=$pid&att=$att&n=$n", "")
       }
-    call("POST", u("commit", (Seq("wid" -> wid, "mode" -> mode,
-      "schema" -> df.schema.toDDL) ++ extra): _*))
-    invalidateSchema()
   }
 
   override def create(df: DataFrame, cluster: Boolean): Unit =
@@ -278,10 +283,14 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
     upload(patch, "upsert", Seq("keys" -> keys.mkString(",")) ++ strayQ ++ kcQ)
   }
 
-  /** Both diff halves in ONE staged upload + ONE commit: rows ride tagged
-    * (`__graft_upd`), the server splits and runs its local merge + append.
-    * Halves the write round trips of a mixed diff — for a remote store the
-    * second staging pass + commit costs more than the local split saves. */
+  /** Both diff halves staged under ONE commit, each under its OWN write
+    * id: the server reads each half's ND-JSON exactly once. (The previous
+    * design rode both halves in one staging tagged by a `__graft_upd`
+    * column; the server then parsed the FULL patch once per half just to
+    * filter it — for the typical blind-heavy diff, the small update half
+    * paid a full-patch scan. Two stagings keep the single commit round
+    * trip while the update half's staging job is proportional to ITS
+    * rows.) */
   override def applyDelta(updates: DataFrame, inserts: DataFrame,
                           keys: Seq[String], knownChunks: Option[Seq[String]],
                           strayScan: StrayScan): Unit = {
@@ -295,9 +304,14 @@ final class ApiStore(spark: SparkSession, baseUrl: String, root: String,
             "sHi" -> hv, "sHiK" -> hk)
     }
     val kcQ = knownChunks.map(c => Seq("kc" -> c.mkString("\n"))).getOrElse(Seq.empty)
-    val tagged = updates.withColumn("__graft_upd", lit(true))
-      .unionByName(inserts.withColumn("__graft_upd", lit(false)))
-    upload(tagged, "delta", Seq("keys" -> keys.mkString(",")) ++ strayQ ++ kcQ)
+    val widU = java.util.UUID.randomUUID().toString
+    val widI = java.util.UUID.randomUUID().toString
+    stage(updates, widU)
+    stage(inserts, widI)
+    call("POST", u("commit", (Seq("wid" -> widI, "widU" -> widU,
+      "mode" -> "delta", "schema" -> inserts.schema.toDDL,
+      "keys" -> keys.mkString(",")) ++ strayQ ++ kcQ): _*))
+    invalidateSchema()
   }
 
   // ── deletion / maintenance ─────────────────────────────────────────────

@@ -920,7 +920,52 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   }
 
 
-  override def rowCount: Long = if (exists) read.count() else 0L
+  /** Exact row count from parquet FOOTER metadata — driver-side listing +
+    * footer tail reads, no Spark job. The engine (and the API server's
+    * `/count` route) asks for counts repeatedly per sync, and a full
+    * `count()` job was a measured ~170 ms fixed tax per call; footers give
+    * the same number in ~10 ms for typical chunk populations. The serial
+    * driver loop caps at 256 files — beyond that (a genuinely large pipe)
+    * the distributed count both amortizes its job overhead and avoids a
+    * driver-side listing bottleneck. Hidden-path filtering mirrors Spark's
+    * file index (`_`/`.` prefixes skipped unless the component is a
+    * `col=value` partition dir), so the footer sum counts exactly the
+    * files `read` would scan. */
+  override def rowCount: Long = {
+    if (!exists) return 0L
+    ensureRecovered()
+    val roots = (if (partitioned) Seq(dataPath) else segDirs).map(new Path(_))
+    def hiddenUnder(p: Path, root: Path): Boolean = {
+      var cur = p.getParent
+      while (cur != null && cur != root) {
+        val n = cur.getName
+        if ((n.startsWith("_") || n.startsWith(".")) && !n.contains("=")) return true
+        cur = cur.getParent
+      }
+      val leaf = p.getName
+      leaf.startsWith("_") || leaf.startsWith(".")
+    }
+    val files = roots.filter(fs.exists(_)).flatMap { r =>
+      val it = fs.listFiles(r, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
+            !hiddenUnder(s.getPath, r))
+          buf += s.getPath
+      }
+      buf
+    }
+    if (files.size > 256) read.count()
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map { p =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    }
+  }
 
   // ── autoincrement high-water mark ──────────────────────────────────────
   // The id generator's base must not cost a full-table max(pk) scan per
