@@ -1483,6 +1483,9 @@ object ApproxDedup {
       .agg(min(col("start")).as("start"), max(col("end")).as("end"))
     val withPrev = merged.withColumn("pe",
       lag(col("end"), 1, 0L).over(Window.partitionBy(col(idCol)).orderBy(col("start"))))
+    // collect_list state ≤ merged islands per doc ≤ the doc's own span
+    // count — a per-doc interval regroup whose buffer caps at the single
+    // largest document, never the corpus
     val perDoc = withPrev.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("start"), col("pe")))).as("ivs"),
         max(col("end")).as("last_e"),

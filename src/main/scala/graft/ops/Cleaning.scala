@@ -135,6 +135,10 @@ object Cleaning {
     val pos = docs.select(col(idCol), col(sourceCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val kept = pos.join(broadcast(flagged), Seq(sourceCol, "line"), "left_anti")
+    // collect_list state ≤ the doc's own line count — the regroup only ever
+    // rebuilds ONE document's text, so the buffer is bounded by the largest
+    // single document (the same bound the doc's original text row already
+    // imposes on the pipeline), never by the corpus
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(transform(
              array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -347,6 +347,9 @@ object Corpus {
     val w = Window.partitionBy(md5(col("line"))).orderBy(col(idCol), col("pos"))
     val kept = lines.withColumn("rn", row_number().over(w))
       .where(length(col("line")) < minLineLength || col("rn") === 1)
+    // collect_list state ≤ the doc's own line count (per-doc regroup): the
+    // buffer is bounded by the largest single document, same as its
+    // original text row — never corpus-proportional
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(transform(
              array_sort(collect_list(struct(col("pos"), col("line")))),

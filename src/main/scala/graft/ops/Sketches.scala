@@ -86,15 +86,21 @@ object Sketches {
     * 60 bits, capped at [[RankCap]]. Duplicates need no distinct pass:
     * rank is a pure function of the value and registers keep the max, so
     * ONE map-side-combined aggregate collapses the input directly. */
-  def hllRegisters(vals: DataFrame, p: Int): DataFrame = {
+  def hllRegisters(vals: DataFrame, p: Int,
+                   extraKeys: Seq[String] = Seq.empty): DataFrame = {
     val hx = hexDigits(p)
     val reg = conv(substring(md5(col("v")), 1, hx), 16, 10).cast("int")
     // 15 hex chars = 60 bits of rank material, disjoint from the register bits
     val w = conv(substring(md5(col("v")), hx + 1, 15), 16, 10).cast("long")
-    vals.select(reg.as("register"), w.as("w"))
+    // extraKeys: optional leading group columns — one call builds the
+    // register tables of MANY sketches (per pipe, per batch, per test case)
+    // in the same map-side-combined pass
+    vals.select(extraKeys.map(col) ++ Seq(reg.as("register"), w.as("w")): _*)
       // the rank ladder is the SAME generated CASE text the oracle runs
-      .select(col("register"), expr(rankCaseSql).cast("int").as("rank"))
-      .groupBy(col("register")).agg(max(col("rank")).as("rank"))
+      .select(extraKeys.map(col) ++
+        Seq(col("register"), expr(rankCaseSql).cast("int").as("rank")): _*)
+      .groupBy((extraKeys :+ "register").map(col): _*)
+      .agg(max(col("rank")).as("rank"))
   }
 
   /** [[hllRegisters]] over word n-gram shingles as ONE generated scan
@@ -123,8 +129,10 @@ object Sketches {
 
   /** Fold stored per-batch register rows back to one register table —
     * max is idempotent and commutative, so fold ≡ rebuild. */
-  def hllFold(registers: DataFrame): DataFrame =
-    registers.groupBy(col("register")).agg(max(col("rank")).as("rank"))
+  def hllFold(registers: DataFrame,
+              extraKeys: Seq[String] = Seq.empty): DataFrame =
+    registers.groupBy((extraKeys :+ "register").map(col): _*)
+      .agg(max(col("rank")).as("rank"))
 
   /** One-row HLL estimate from a register table: m, zero-register count V,
     * the EXACT integer harmonic-sum numerator S40 = Σ_j 2^(40−M_j)
@@ -245,21 +253,25 @@ object Sketches {
     * seeded-md5 family every banded pipeline here draws from. Scale: the
     * value explode fans out ×d, then ONE map-side-combined aggregate
     * collapses to ≤ d·w rows (configuration, not data). */
-  def cmsCounters(vals: DataFrame, d: Int, w: Int): DataFrame = {
+  def cmsCounters(vals: DataFrame, d: Int, w: Int,
+                  extraKeys: Seq[String] = Seq.empty): DataFrame = {
     require(d >= 1 && w >= 2, "need d >= 1 hash rows and w >= 2 counters")
     val cells = (0 until d).map { i =>
       struct(lit(i).as("row"),
         (conv(substring(md5(concat(lit(s"$i:"), col("v"))), 1, 15), 16, 10)
           .cast("long") % w).as("counter"))
     }
-    vals.select(explode(array(cells: _*)).as("c"))
-      .groupBy(col("c.row").as("row"), col("c.counter").as("counter"))
+    vals.select(extraKeys.map(col) :+ explode(array(cells: _*)).as("c"): _*)
+      .groupBy(extraKeys.map(col) ++
+        Seq(col("c.row").as("row"), col("c.counter").as("counter")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
   /** Fold stored per-batch counters: counts are additive — fold ≡ rebuild. */
-  def cmsFold(counters: DataFrame): DataFrame =
-    counters.groupBy(col("row"), col("counter")).agg(sum(col("cnt")).as("cnt"))
+  def cmsFold(counters: DataFrame,
+              extraKeys: Seq[String] = Seq.empty): DataFrame =
+    counters.groupBy((extraKeys ++ Seq("row", "counter")).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
 
   /** Point-query a counter table for literal probe terms: the count-min
     * estimate is min over the d rows (each an upward-biased counter), with

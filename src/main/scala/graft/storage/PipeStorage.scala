@@ -787,6 +787,9 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       // full rows. Every chunk containing any row of a duplicated key lands
       // in the affected set, so the full-row window below sees ALL rows of
       // every multi-row key even when they span chunks.
+      // collect_set state ≤ |chunks| per key (then ≤ |chunks| total after
+      // the flatten): chunk labels are configuration-bounded (the reference
+      // caps partitions per sync at 10k), never data-proportional
       val dup = df.select((keys :+ PartCol).map(col): _*)
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n"),

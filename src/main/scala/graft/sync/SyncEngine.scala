@@ -495,6 +495,8 @@ final class SyncEngine(spark: SparkSession, root: String,
       count(lit(1)).as("n"),
       sum(when(col(UpdFlag), 1L).otherwise(0L)).as("nUpd")) ++
       chunkOf.toSeq.flatMap { c => Seq(
+        // collect_set state ≤ |distinct chunk labels| — configuration-
+        // bounded (≤10k per the reference's partitions-per-sync cap)
         collect_set(when(relevant, c)).as("chunks"),
         max(when(relevant && c.isNull, 1).otherwise(0)).as("hasNullChunk"))
       }

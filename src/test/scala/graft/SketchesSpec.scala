@@ -135,4 +135,56 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(r == Seq(("hot", 6L, 8L, 750000L)))
   }
+
+  // ── randomized fold laws (r8 verdict carry): 1000 random batch splits,
+  // each an independent case, all evaluated in a HANDFUL of Spark jobs by
+  // threading case_id through the kernels' extraKeys grouping — the fixed
+  // half/half splits above cannot catch a fold bug that only bites on
+  // overlapping batches, empty batches, or skewed assignment.
+
+  test("HLL max-fold over 1000 random (overlapping) splits == full rebuild, and re-fold is idempotent") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val rows = (0 until 1000).flatMap { c =>
+      val nVals = 5 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(5)
+      (0 until nVals).flatMap { _ =>
+        val v = s"val_${rnd.nextInt(500)}"
+        // a value may land in SEVERAL batches (overlap) — legal for the
+        // max-fold because rank is a pure function of the value
+        val bs = (0 until k).filter(_ => rnd.nextBoolean())
+        (if (bs.isEmpty) Seq(rnd.nextInt(k)) else bs).map(b => (c, b, v))
+      }
+    }
+    val df = rows.toDF("case_id", "batch", "v")
+    val perBatch = Sketches.hllRegisters(df, p = 8,
+      extraKeys = Seq("case_id", "batch")).drop("batch")
+    val folded = Sketches.hllFold(perBatch, extraKeys = Seq("case_id"))
+    val whole = Sketches.hllRegisters(
+      df.select("case_id", "v").distinct(), p = 8, extraKeys = Seq("case_id"))
+    val fSet = folded.as[(Int, Int, Int)].collect().toSet
+    assert(fSet == whole.as[(Int, Int, Int)].collect().toSet)
+    // idempotency: folding the folded table together with itself (in any
+    // duplication) changes nothing
+    val refolded = Sketches.hllFold(folded.union(folded),
+      extraKeys = Seq("case_id"))
+    assert(refolded.as[(Int, Int, Int)].collect().toSet == fSet)
+  }
+
+  test("CMS add-fold over 1000 random disjoint splits == full rebuild") {
+    val rnd = new scala.util.Random(0xBEEF)
+    val rows = (0 until 1000).flatMap { c =>
+      val nVals = 5 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(5)
+      // duplicates matter for an additive fold: draw from a SMALL domain
+      (0 until nVals).map(_ => (c, rnd.nextInt(k), s"val_${rnd.nextInt(20)}"))
+    }
+    val df = rows.toDF("case_id", "batch", "v")
+    val perBatch = Sketches.cmsCounters(df, d = 3, w = 16,
+      extraKeys = Seq("case_id", "batch")).drop("batch")
+    val folded = Sketches.cmsFold(perBatch, extraKeys = Seq("case_id"))
+    val whole = Sketches.cmsCounters(df, d = 3, w = 16,
+      extraKeys = Seq("case_id"))
+    assert(folded.as[(Int, Int, Long, Long)].collect().toSet ==
+      whole.as[(Int, Int, Long, Long)].collect().toSet)
+  }
 }
