@@ -328,6 +328,40 @@ object SparkEntry {
        })
     }),
 
+    // Stored trigram-LM model pipes (the KenLM production shape: train =
+    // count, incrementally): per-batch unigram/bigram/trigram type counts
+    // blind-append into three hash-bucketed pipes; counts are ADDITIVE, so
+    // the fold (groupBy-sum at read) equals a full-corpus rebuild and
+    // scoring against the stored model is bit-identical to the self-model
+    // q_trigram_logprob — which is therefore the oracle.
+    "q_lm_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      val root = java.nio.file.Files.createTempDirectory("graft_lm_sync").toString
+      val eng  = new SyncEngine(s, root)
+      def spec(name: String) = PipeSpec(PipeKeys("idx", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (sU, sB, sT) = (spec("lm_uni"), spec("lm_bi"), spec("lm_tri"))
+      (() => {
+        Seq(docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1)).foreach { half =>
+          val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
+            half, "doc_id", "text", buckets)
+          eng.sync(sU, u, checkExisting = false)
+          eng.sync(sB, b, checkExisting = false)
+          eng.sync(sT, t, checkExisting = false)
+        }
+        ()
+       },
+       () => graft.ops.Corpus.trigramScoreWithModel(docs, "doc_id", "text",
+          graft.ops.Corpus.lmFoldUni(eng.getData(sU)),
+          graft.ops.Corpus.lmFoldBi(eng.getData(sB)),
+          graft.ops.Corpus.lmFoldTri(eng.getData(sT)),
+          lambda3 = 0.5, lambda2 = 0.3)
+        .orderBy(col("doc_id")))
+    }),
+
     "q_vocab_index_sync" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val buckets = 16
@@ -3393,6 +3427,21 @@ object SparkEntry {
         "event_type", "reward_centi", "lbl", nBins = 8)
         .orderBy(col("bin"))),
 
+    // ── LLM-pipeline: filter-ablation matrix — which quality gates bite
+    // and which are redundant: pairwise kill-set sizes + integer-micro
+    // Jaccard overlap from ONE CASE-ladder aggregate pass (k·(k+1)/2
+    // longs per reducer; pair rows explode from the single aggregated row).
+    "q_filter_ablation" -> ((s, d) => {
+      import graft.functions.TextFns
+      graft.ops.Evaluation.filterAblation(Tables.documents(s, d), Seq(
+          "few_words" -> (size(filter(TextFns.tokens(col("text")),
+            t => length(t) > 0)) < 50),
+          "low_stopword" -> (TextFns.stopwordHits(col("text"), "en") < 2),
+          "too_long" -> (length(col("text")) > 20000),
+          "too_short" -> (length(col("text")) < 200)))
+        .orderBy(col("filter_a"), col("filter_b"))
+    }),
+
     // ── LLM-pipeline: quality-threshold sweep — the calibration table a
     // curation run reads before picking its gate: docs/tokens surviving
     // each candidate threshold, one CASE-ladder aggregate pass.
@@ -3903,6 +3952,12 @@ object SparkEntry {
     // floats touch the rerank set alone. Incremental == rebuild; oracle
     // replays the full IVF+PQ pipeline.
     "q_ivfpq_index_sync" -> composed("q_ivfpq_index_sync"),
+
+    // ── LLM-pipeline: the trigram LM model maintained INCREMENTALLY as
+    // three hash-bucketed count pipes (train = count, additive fold at
+    // read == full rebuild); probing = scoring the corpus against the
+    // STORED model — bit-identical to the self-model q_trigram_logprob.
+    "q_lm_index_sync" -> composed("q_lm_index_sync"),
 
     // ── §2.4 column profile (the ANALYZE surface): non-null / exact
     // distinct / min / max per column in ONE aggregate pass.
@@ -4832,6 +4887,12 @@ object SparkEntry {
         lambda = 0.7),
 
     "q_trigram_logprob" ->
+      graft.ops.Corpus.trigramLogProbOracleSql("documents", "doc_id", "text",
+        lambda3 = 0.5, lambda2 = 0.3),
+
+    // stored-model fold ≡ full rebuild (additive counts), so the stored
+    // LM scores replay the exact self-model oracle
+    "q_lm_index_sync" ->
       graft.ops.Corpus.trigramLogProbOracleSql("documents", "doc_id", "text",
         lambda3 = 0.5, lambda2 = 0.3),
 
@@ -6162,6 +6223,18 @@ object SparkEntry {
       graft.ops.Rlhf.bestOfNOracleSql(
         "(SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS reward_centi FROM events)",
         "event_type", "event_id", "reward_centi", "reward_centi"),
+
+    "q_filter_ablation" ->
+      graft.ops.Evaluation.filterAblationOracleSql("documents", Seq(
+        "few_words" ->
+          """len(list_filter(string_split_regex(trim(text), '\s+'),
+             t -> length(t) > 0)) < 50""".linesIterator.map(_.trim).mkString(" "),
+        "low_stopword" ->
+          """len(list_intersect(string_split_regex(trim(lower(text)), '\s+'),
+             ['the','a','of','and','to','in','is','it','that','for'])) < 2"""
+            .linesIterator.map(_.trim).mkString(" "),
+        "too_long" -> "length(text) > 20000",
+        "too_short" -> "length(text) < 200")),
 
     "q_reward_calibration" ->
       graft.ops.Rlhf.rewardCalibrationOracleSql(

@@ -636,53 +636,125 @@ object Corpus {
     * diff/filter utilities). */
   def trigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                      lambda3: Double = 0.5, lambda2: Double = 0.3): DataFrame = {
-    require(lambda3 > 0.0 && lambda2 > 0.0 && lambda3 + lambda2 < 1.0,
-      "need lambda3, lambda2 > 0 with lambda3 + lambda2 < 1")
-    // resolve every interpolation scalar ONCE driver-side; the oracle
-    // serializes these exact doubles so both engines fold identical literals
-    val lam23 = lambda3 + lambda2
-    val lamU  = 1.0d - lambda3 - lambda2
-    val toks = docs.select(col(idCol),
+    val toks = lmToks(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // self-model: type counts from the same cached arrays the scorer reads
+    val cf = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val cvw = toks.select(explode(lmPairs).as("p"))
+      .groupBy(col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c_vw"))
+    val cuvw = toks.select(explode(lmTriples).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c_uvw"))
+    val out = trigramScoreFromToks(toks, idCol, cf, cvw, cuvw, lambda3, lambda2)
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** Filtered token arrays shared by the LM builders and scorers. */
+  private def lmToks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
         filter(TextFns.tokens(lower(col(textCol))),
           t => length(t) > 0).as("toks"))
       .where(size(col("toks")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
-    val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
-    def uniTerm = (col("cf") + lit(1.0d)) /
-      (col("tot_t") + col("tot_v")).cast("double")
-    val lwUni = cf.crossJoin(broadcast(totals))
-      .select(col("token"),
-        round(log(uniTerm) * lit(1e6)).cast("long").as("lw0_micro"))
-    // corpus bigram model off the cached arrays (all adjacent positions)
-    val pairs = when(size(col("toks")) < 2,
+
+  /** Adjacent (v, w) pairs off a `toks` array column (guarded — Spark's
+    * sequence(1, 0) is DESCENDING, not empty). */
+  private def lmPairs: Column =
+    when(size(col("toks")) < 2,
         array().cast("array<struct<v:string,w:string>>"))
       .otherwise(transform(
         sequence(lit(1), size(col("toks")) - lit(1)),
         i => struct(element_at(col("toks"), i).as("v"),
                     element_at(col("toks"), i + lit(1)).as("w"))))
-    val cvw = toks.select(explode(pairs).as("p"))
-      .groupBy(col("p.v").as("v"), col("p.w").as("w"))
-      .agg(count(lit(1)).as("c_vw"))
-    val cv = cvw.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
-    // corpus trigram model: adjacent triples, positions 1..n−2
-    val triples = when(size(col("toks")) < 3,
+
+  /** Adjacent (u, v, w) triples off a `toks` array column. */
+  private def lmTriples: Column =
+    when(size(col("toks")) < 3,
         array().cast("array<struct<u:string,v:string,w:string>>"))
       .otherwise(transform(
         sequence(lit(1), size(col("toks")) - lit(2)),
         i => struct(element_at(col("toks"), i).as("u"),
                     element_at(col("toks"), i + lit(1)).as("v"),
                     element_at(col("toks"), i + lit(2)).as("w"))))
-    val tg = toks.select(col(idCol), explode(triples).as("p"))
-      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
-      .groupBy(col(idCol), col("u"), col("v"), col("w"))
-      .agg(count(lit(1)).as("tf"))
-    val cuvw = tg.groupBy(col("u"), col("v"), col("w"))
-      .agg(sum(col("tf")).as("c_uvw"))
+
+  /** Per-batch ADDITIVE model counts for the STORED trigram LM — the
+    * KenLM production shape: train (count) once per batch, blind-append
+    * into hash-bucketed pipes, fold (sum) at read. Returns (unigram,
+    * bigram, trigram) count tables, each with a `bucket` chunk axis so
+    * the model lives as ordinary pipes. Counts are additive over disjoint
+    * doc batches, so fold ≡ full-corpus rebuild — the stored-model score
+    * is bit-identical to [[trigramLogProb]]'s self-model score. */
+  def trigramModelCounts(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(buckets >= 1, "need at least one bucket")
+    val toks = lmToks(docs, idCol, textCol)
+    def bucketOf(key: Column) =
+      pmod(TextFns.md5Long60(key), lit(buckets.toLong)).as("bucket")
+    val uni = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(bucketOf(col("token")), col("token"), col("cnt"))
+    val bi = toks.select(explode(lmPairs).as("p"))
+      .groupBy(col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(bucketOf(concat_ws(" ", col("v"), col("w"))),
+        col("v"), col("w"), col("cnt"))
+    val tri = toks.select(explode(lmTriples).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(bucketOf(concat_ws(" ", col("u"), col("v"), col("w"))),
+        col("u"), col("v"), col("w"), col("cnt"))
+    (uni, bi, tri)
+  }
+
+  /** Fold stored per-batch LM counts back into model tables. */
+  def lmFoldUni(df: DataFrame): DataFrame =
+    df.groupBy(col("token")).agg(sum(col("cnt")).as("cf"))
+  def lmFoldBi(df: DataFrame): DataFrame =
+    df.groupBy(col("v"), col("w")).agg(sum(col("cnt")).as("c_vw"))
+  def lmFoldTri(df: DataFrame): DataFrame =
+    df.groupBy(col("u"), col("v"), col("w")).agg(sum(col("cnt")).as("c_uvw"))
+
+  /** Score documents under a GIVEN trigram model — stored-model inference
+    * (model tables from [[lmFoldUni]]/[[lmFoldBi]]/[[lmFoldTri]] over a
+    * synced pipe, or any externally trained counts with the same schema).
+    * Same plan shape and quantization as [[trigramLogProb]]. */
+  def trigramScoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+                            cf: DataFrame, cvw: DataFrame, cuvw: DataFrame,
+                            lambda3: Double = 0.5,
+                            lambda2: Double = 0.3): DataFrame = {
+    val toks = lmToks(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = trigramScoreFromToks(toks, idCol, cf, cvw, cuvw, lambda3, lambda2)
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** Shared scorer: per-type micro-nat tables from the model counts,
+    * per-doc occurrence tables from the cached token arrays, exact LONG
+    * per-doc sums. Context counts c(v,·) / c(u,v,·) derive from the pair /
+    * triple tables by summation, so callers only ship three tables. */
+  private def trigramScoreFromToks(toks: DataFrame, idCol: String,
+                                   cf: DataFrame, cvw: DataFrame,
+                                   cuvw: DataFrame, lambda3: Double,
+                                   lambda2: Double): DataFrame = {
+    require(lambda3 > 0.0 && lambda2 > 0.0 && lambda3 + lambda2 < 1.0,
+      "need lambda3, lambda2 > 0 with lambda3 + lambda2 < 1")
+    // resolve every interpolation scalar ONCE driver-side; the oracle
+    // serializes these exact doubles so both engines fold identical literals
+    val lam23 = lambda3 + lambda2
+    val lamU  = 1.0d - lambda3 - lambda2
+    val cv  = cvw.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
     val cuv = cuvw.groupBy(col("u"), col("v")).agg(sum(col("c_uvw")).as("c_uv"))
+    val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
+    def uniTerm = (col("cf") + lit(1.0d)) /
+      (col("tot_t") + col("tot_v")).cast("double")
+    val lwUni = cf.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log(uniTerm) * lit(1e6)).cast("long").as("lw0_micro"))
     // per-type micro-nat tables: position-2 bigram (mass λ₃+λ₂ on the
     // conditional) and position-≥3 trigram
     val lwBi2 = cvw.join(cv, Seq("v"))
@@ -704,6 +776,13 @@ object Corpus {
           lit(lambda2) * (col("c_vw").cast("double") / col("c_v").cast("double")) +
           lit(lamU) * uniTerm) * lit(1e6))
           .cast("long").as("lw3_micro"))
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val tg = toks.select(col(idCol), explode(lmTriples).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
     val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
     val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
       .join(lwUni, Seq("token"))
@@ -716,7 +795,7 @@ object Corpus {
     val tsum = tg.join(lwTri, Seq("u", "v", "w"))
       .groupBy(col(idCol))
       .agg(sum(col("tf") * col("lw3_micro")).as("tri_micro"))
-    val out = nt.join(first, Seq(idCol))
+    nt.join(first, Seq(idCol))
       .join(second, Seq(idCol), "left")
       .join(tsum, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -726,9 +805,6 @@ object Corpus {
       .withColumn("xent",
         (-col("logprob_micro")).cast("double") /
           (col("n_tokens").cast("double") * lit(1e6)))
-    val materialized = out.localCheckpoint(true)
-    toks.unpersist()
-    materialized
   }
 
   /** DuckDB oracle replaying [[trigramLogProb]] — same tokenization, the

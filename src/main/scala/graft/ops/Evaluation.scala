@@ -425,4 +425,63 @@ object Evaluation {
            AS coverage_micro
        FROM c CROSS JOIN t LEFT JOIN r ON r.rank = c.v
        ORDER BY v"""
+
+  /** Filter-ablation matrix — before committing a curation config, which
+    * quality gates actually bite and which are redundant: for every pair
+    * of named kill predicates, the docs killed by each, by both, and the
+    * integer-micro Jaccard overlap of their kill sets (diagonal rows are
+    * the per-filter kill counts). A filter whose kill set is ⊂ another's
+    * (overlap ≈ its own count) adds latency, not quality.
+    *
+    * Scale: the [[prCurve]] discipline — ONE CASE-ladder aggregate pass
+    * produces every pairwise intersection (k·(k+1)/2 longs per reducer,
+    * configuration not data); the pair rows explode from the single
+    * aggregated row. No per-filter re-scan, no doc-level fanout. */
+  def filterAblation(df: DataFrame,
+                     filters: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(filters.nonEmpty, "at least one filter")
+    val n = filters.size
+    val flags = df.select(filters.zipWithIndex.map {
+      case ((_, c), i) => c.cast("long").as(s"f_$i") }: _*)
+    val idx = for { i <- 0 until n; j <- i until n } yield (i, j)
+    val aggs = idx.map { case (i, j) =>
+      sum(col(s"f_$i") * col(s"f_$j")).as(s"b_${i}_$j") } :+
+      count(lit(1)).as("n_docs")
+    val one = flags.agg(aggs.head, aggs.tail: _*)
+    val rows = array(idx.map { case (i, j) =>
+      struct(lit(filters(i)._1).as("filter_a"), lit(filters(j)._1).as("filter_b"),
+        col(s"b_${i}_$i").as("killed_a"), col(s"b_${j}_$j").as("killed_b"),
+        col(s"b_${i}_$j").as("killed_both"), col("n_docs"))
+    }: _*)
+    one.select(explode(rows).as("r")).select(col("r.*"))
+      .withColumn("overlap_micro",
+        when(col("killed_a") + col("killed_b") - col("killed_both") > 0,
+          expr("killed_both * 1000000L div (killed_a + killed_b - killed_both)")))
+  }
+
+  /** DuckDB oracle replaying [[filterAblation]]: `filters` as (name,
+    * predicate SQL) — the SQL must mirror the Spark predicate exactly. */
+  def filterAblationOracleSql(table: String,
+                              filters: Seq[(String, String)]): String = {
+    val n = filters.size
+    val idx = for { i <- 0 until n; j <- i until n } yield (i, j)
+    val flagCols = filters.zipWithIndex.map { case ((_, e), i) =>
+      s"CASE WHEN $e THEN 1 ELSE 0 END AS f_$i" }.mkString(",\n           ")
+    val sums = (idx.map { case (i, j) =>
+      s"CAST(sum(f_$i * f_$j) AS BIGINT) AS b_${i}_$j" } :+
+      "count(*) AS n_docs").mkString(",\n           ")
+    val rows = idx.map { case (i, j) =>
+      s"SELECT '${filters(i)._1}' AS filter_a, '${filters(j)._1}' AS filter_b, " +
+        s"b_${i}_$i AS killed_a, b_${j}_$j AS killed_b, " +
+        s"b_${i}_$j AS killed_both, n_docs FROM one"
+    }.mkString("\n         UNION ALL ")
+    s"""WITH src AS (SELECT $flagCols FROM $table),
+       one AS (SELECT $sums FROM src),
+       r AS ($rows)
+       SELECT filter_a, filter_b, killed_a, killed_b, killed_both, n_docs,
+         CASE WHEN killed_a + killed_b - killed_both > 0
+           THEN killed_both * 1000000 // (killed_a + killed_b - killed_both)
+         END AS overlap_micro
+       FROM r ORDER BY filter_a, filter_b"""
+  }
 }

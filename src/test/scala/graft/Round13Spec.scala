@@ -123,6 +123,54 @@ class IvfPqIndexSyncSpec extends SparkSpec {
   }
 }
 
+class FilterAblationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pairwise kill matrix is exact on a constructed corpus") {
+    // doc1 killed by A only; doc2 by B only; doc3 by both; doc4 by neither
+    val df = Seq((1L, true, false), (2L, false, true),
+      (3L, true, true), (4L, false, false)).toDF("id", "a", "b")
+    val out = graft.ops.Evaluation.filterAblation(df,
+        Seq("A" -> col("a"), "B" -> col("b")))
+      .select("filter_a", "filter_b", "killed_a", "killed_b", "killed_both",
+        "n_docs", "overlap_micro")
+      .as[(String, String, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("A", "A", 2L, 2L, 2L, 4L, Some(1000000L)),
+      ("A", "B", 2L, 2L, 1L, 4L, Some(333333L)),
+      ("B", "B", 2L, 2L, 2L, 4L, Some(1000000L))))
+  }
+
+  test("a filter that kills nothing reports null overlap (undefined Jaccard)") {
+    val df = Seq((1L, true, false)).toDF("id", "a", "b")
+    val out = graft.ops.Evaluation.filterAblation(df,
+        Seq("A" -> col("a"), "B" -> col("b")))
+      .where(col("filter_a") === "B" && col("filter_b") === "B")
+      .select("overlap_micro").as[Option[Long]].head()
+    assert(out.isEmpty)
+  }
+}
+
+class LmIndexSyncSpec extends SparkSpec {
+
+  test("stored-model score (two-batch additive fold) == self-model trigramLogProb") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val self = Corpus.trigramLogProb(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val halves = Seq(docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1))
+    val counts = halves.map(h =>
+      Corpus.trigramModelCounts(h, "doc_id", "text", buckets = 8))
+    val stored = Corpus.trigramScoreWithModel(docs, "doc_id", "text",
+        Corpus.lmFoldUni(counts(0)._1.union(counts(1)._1)),
+        Corpus.lmFoldBi(counts(0)._2.union(counts(1)._2)),
+        Corpus.lmFoldTri(counts(0)._3.union(counts(1)._3)))
+      .collect().map(_.toSeq).toSet
+    assert(stored == self && self.size == 500)
+  }
+}
+
 class ContainmentIdWideningSpec extends SparkSpec {
   import spark.implicits._
 
