@@ -1392,6 +1392,59 @@ object SparkEntry {
     // Re-embeds of every 5th vector arrive under new ids, redelivered
     // twice; the sink dedups. The semantic-decontamination machinery run
     // AT INGEST against an index built once.
+    // ── LLM-pipeline: STREAMING LM-quality probe — arriving docs score
+    // IN-STREAM against the STORED trigram model (model pipes trained on
+    // the historical corpus, folded once, checkpointed; each micro-batch
+    // runs the batch scorer via foreachBatch's transform). Re-deliveries
+    // dedup in-batch (dropDuplicates) and at the sink (distinct) — the
+    // score is deterministic, so replays are exact duplicates. Oracle:
+    // cross-table trigram score (model = corpus, scored = arrivals).
+    "q_streaming_lm_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_slm").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      def mSpec(name: String) = PipeSpec(PipeKeys("stream", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (sU, sB, sT) = (mSpec("lm_uni"), mSpec("lm_bi"), mSpec("lm_tri"))
+      val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
+        docs, "doc_id", "text", buckets)
+      eng.storage(sU).create(u)
+      eng.storage(sB).create(b)
+      eng.storage(sT).create(t)
+      val cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true)
+      val cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true)
+      val cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true)
+      // arriving docs: every 5th doc re-enters under a new id, delivered twice
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "lm_scores"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.Corpus.trigramScoreWithModel(
+            batch.dropDuplicates("doc_id"), "doc_id", "text", cf, cvw, cuvw,
+            lambda3 = 0.5, lambda2 = 0.3)
+          .withColumn("ts", timestamp_micros(
+            (col("doc_id") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("doc_id"), col("n_tokens"), col("logprob_micro"), col("xent"))
+        .distinct().orderBy(col("doc_id"))
+    }),
+
     "q_streaming_embedding_probe" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_sep").toString
       val eng  = new SyncEngine(s, root)
@@ -4895,6 +4948,12 @@ object SparkEntry {
     "q_lm_index_sync" ->
       graft.ops.Corpus.trigramLogProbOracleSql("documents", "doc_id", "text",
         lambda3 = 0.5, lambda2 = 0.3),
+
+    "q_streaming_lm_probe" ->
+      graft.ops.Corpus.trigramScoreOracleSql(
+        "documents",
+        "(SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text", lambda3 = 0.5, lambda2 = 0.3),
 
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(

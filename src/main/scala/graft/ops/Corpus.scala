@@ -880,6 +880,92 @@ object Corpus {
        ORDER BY $idCol"""
   }
 
+  /** DuckDB oracle replaying [[trigramScoreWithModel]] with the model
+    * trained on `modelTable` and the documents of `scoreTable` scored —
+    * the cross-table form of [[trigramLogProbOracleSql]] (which is the
+    * special case modelTable == scoreTable). Score-side documents whose
+    * first token is absent from the model vocabulary drop (inner join on
+    * the unigram table — mirroring the Spark plan). */
+  def trigramScoreOracleSql(modelTable: String, scoreTable: String,
+                            idCol: String, textCol: String,
+                            lambda3: Double = 0.5,
+                            lambda2: Double = 0.3): String = {
+    val lam23 = lambda3 + lambda2
+    val lamU  = 1.0d - lambda3 - lambda2
+    s"""WITH mt AS (
+         SELECT list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $modelTable),
+       m2 AS (SELECT toks FROM mt WHERE len(toks) > 0),
+       cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM (
+           SELECT unnest(toks) AS token FROM m2) u GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot_t, count(*) AS tot_v FROM cf),
+       lwu AS (SELECT token,
+           CAST(round(ln((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE))
+             * 1000000.0) AS BIGINT) AS lw0_micro
+         FROM cf, tot),
+       cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM (
+           SELECT toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM m2 WHERE len(toks) >= 2) g) p
+         GROUP BY 1, 2),
+       cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v FROM cvw GROUP BY 1),
+       cuvw AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS c_uvw FROM (
+           SELECT toks[CAST(i AS INT)] AS u,
+             toks[CAST(i AS INT) + 1] AS v, toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM m2 WHERE len(toks) >= 3) g) p
+         GROUP BY 1, 2, 3),
+       cuv AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv
+         FROM cuvw GROUP BY 1, 2),
+       lw2 AS (SELECT cvw.v, cvw.w,
+           CAST(round(ln($lam23 * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
+             $lamU * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS lw2_micro
+         FROM cvw JOIN cv USING (v) JOIN cf ON cf.token = cvw.w CROSS JOIN tot),
+       lw3 AS (SELECT cuvw.u, cuvw.v, cuvw.w,
+           CAST(round(ln(
+             $lambda3 * (CAST(c_uvw AS DOUBLE) / CAST(c_uv AS DOUBLE)) +
+             $lambda2 * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
+             $lamU * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
+             * 1000000.0) AS BIGINT) AS lw3_micro
+         FROM cuvw JOIN cuv USING (u, v) JOIN cvw USING (v, w)
+              JOIN cv USING (v) JOIN cf ON cf.token = cuvw.w CROSS JOIN tot),
+       st AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $scoreTable),
+       s2 AS (SELECT $idCol, toks FROM st WHERE len(toks) > 0),
+       tf AS (SELECT $idCol, token, count(*) AS tf FROM (
+           SELECT $idCol, unnest(toks) AS token FROM s2) u GROUP BY 1, 2),
+       tg AS (SELECT $idCol, u, v, w, count(*) AS tf FROM (
+           SELECT $idCol, toks[CAST(i AS INT)] AS u,
+             toks[CAST(i AS INT) + 1] AS v, toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT $idCol, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM s2 WHERE len(toks) >= 3) g) p
+         GROUP BY 1, 2, 3, 4),
+       nt AS (SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
+       fi AS (SELECT s2.$idCol, lwu.lw0_micro
+              FROM s2 JOIN lwu ON lwu.token = s2.toks[1]),
+       se AS (SELECT s2.$idCol, lw2.lw2_micro
+              FROM s2 JOIN lw2 ON lw2.v = s2.toks[1] AND lw2.w = s2.toks[2]
+              WHERE len(toks) >= 2),
+       ts AS (SELECT tg.$idCol,
+                CAST(sum(tg.tf * lw3.lw3_micro) AS BIGINT) AS tri_micro
+              FROM tg JOIN lw3 USING (u, v, w) GROUP BY 1)
+       SELECT nt.$idCol, nt.n_tokens,
+         CAST(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0) AS BIGINT) AS logprob_micro,
+         CAST(-(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0)) AS DOUBLE) /
+           (CAST(nt.n_tokens AS DOUBLE) * 1000000.0) AS xent
+       FROM nt JOIN fi USING ($idCol) LEFT JOIN se USING ($idCol)
+            LEFT JOIN ts USING ($idCol)
+       ORDER BY $idCol"""
+  }
+
   /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
   def unigramLogProbOracleSql(table: String, idCol: String,
                               textCol: String): String =

@@ -171,6 +171,21 @@ class LmIndexSyncSpec extends SparkSpec {
   }
 }
 
+class TrigramModelScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("docs whose first token is outside the model vocabulary drop (documented edge)") {
+    val model = Seq(1L -> "alpha beta gamma alpha beta").toDF("doc_id", "text")
+    val (u, b, t) = Corpus.trigramModelCounts(model, "doc_id", "text", buckets = 4)
+    val score = Seq(10L -> "alpha beta gamma", 11L -> "zzz unknown words")
+      .toDF("doc_id", "text")
+    val out = Corpus.trigramScoreWithModel(score, "doc_id", "text",
+        Corpus.lmFoldUni(u), Corpus.lmFoldBi(b), Corpus.lmFoldTri(t))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L))
+  }
+}
+
 class ContainmentIdWideningSpec extends SparkSpec {
   import spark.implicits._
 
