@@ -3151,6 +3151,22 @@ object SparkEntry {
         "doc_id", "text", lambda3 = 0.5, lambda2 = 0.3)
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: Moore–Lewis cross-entropy difference selection
+    // (ACL 2010) — rank candidates by H_in − H_out under an in-domain vs
+    // a general trigram LM; the classic data-selection signal. Two scorer
+    // passes + one id equi-join; exact LONG micro-nats, one IEEE division.
+    "q_moore_lewis_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val C = graft.ops.Corpus
+      val (iu, ib, it) = C.trigramModelCounts(
+        docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1)
+      val (ou, ob, ot) = C.trigramModelCounts(docs, "doc_id", "text", buckets = 1)
+      C.crossEntropySelect(docs, "doc_id", "text",
+          C.lmFoldUni(iu), C.lmFoldBi(ib), C.lmFoldTri(it),
+          C.lmFoldUni(ou), C.lmFoldBi(ob), C.lmFoldTri(ot))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: epoch materialization — the upsampling step after
     // the token-budget plan: each doc repeats floor(rate) times plus a
     // deterministic md5-coin fractional epoch. Broadcast rate table +
@@ -4948,6 +4964,11 @@ object SparkEntry {
     "q_lm_index_sync" ->
       graft.ops.Corpus.trigramLogProbOracleSql("documents", "doc_id", "text",
         lambda3 = 0.5, lambda2 = 0.3),
+
+    "q_moore_lewis_select" ->
+      graft.ops.Corpus.crossEntropySelectOracleSql(
+        "(SELECT doc_id, text FROM documents WHERE lang = 'en')",
+        "documents", "documents", "doc_id", "text"),
 
     "q_streaming_lm_probe" ->
       graft.ops.Corpus.trigramScoreOracleSql(

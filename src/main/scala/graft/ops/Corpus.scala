@@ -733,10 +733,18 @@ object Corpus {
     materialized
   }
 
-  /** Shared scorer: per-type micro-nat tables from the model counts,
-    * per-doc occurrence tables from the cached token arrays, exact LONG
-    * per-doc sums. Context counts c(v,·) / c(u,v,·) derive from the pair /
-    * triple tables by summation, so callers only ship three tables. */
+  /** Shared scorer, in the GENERALIZED smoothed form: every scored
+    * position looks its n-gram up with LEFT joins and absent counts read
+    * 0, so unseen types fall onto the lower interpolation orders and
+    * finally the add-one unigram floor (an OOV token scores
+    * 1/(T+V), never probability 1). For fully in-model data — the
+    * self-model queries — every lookup hits and the values are
+    * bit-identical to the per-model-type tables the committed oracles
+    * replay; the generalization only changes CROSS-model scoring
+    * ([[crossEntropySelect]]), where silent-zero contributions would have
+    * made out-of-domain text look MORE likely. Context counts c(v,·) /
+    * c(u,v,·) derive from the pair / triple tables by summation, so
+    * callers only ship three tables. */
   private def trigramScoreFromToks(toks: DataFrame, idCol: String,
                                    cf: DataFrame, cvw: DataFrame,
                                    cuvw: DataFrame, lambda3: Double,
@@ -750,51 +758,51 @@ object Corpus {
     val cv  = cvw.groupBy(col("v")).agg(sum(col("c_vw")).as("c_v"))
     val cuv = cuvw.groupBy(col("u"), col("v")).agg(sum(col("c_uvw")).as("c_uv"))
     val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
-    def uniTerm = (col("cf") + lit(1.0d)) /
+    val cfW = cf.withColumnRenamed("token", "w")
+    // smoothed terms over LEFT-joined counts: a null numerator reads 0
+    // (the SAME double as the seen-case division when the count is there)
+    def floorTerm = (coalesce(col("cf"), lit(0L)) + lit(1.0d)) /
       (col("tot_t") + col("tot_v")).cast("double")
-    val lwUni = cf.crossJoin(broadcast(totals))
-      .select(col("token"),
-        round(log(uniTerm) * lit(1e6)).cast("long").as("lw0_micro"))
-    // per-type micro-nat tables: position-2 bigram (mass λ₃+λ₂ on the
-    // conditional) and position-≥3 trigram
-    val lwBi2 = cvw.join(cv, Seq("v"))
-      .join(cf.withColumnRenamed("token", "w"), Seq("w"))
-      .crossJoin(broadcast(totals))
-      .select(col("v"), col("w"),
-        round(log(
-          lit(lam23) * (col("c_vw").cast("double") / col("c_v").cast("double")) +
-          lit(lamU) * uniTerm) * lit(1e6))
-          .cast("long").as("lw2_micro"))
-    val lwTri = cuvw.join(cuv, Seq("u", "v"))
-      .join(cvw, Seq("v", "w"))
-      .join(cv, Seq("v"))
-      .join(cf.withColumnRenamed("token", "w"), Seq("w"))
-      .crossJoin(broadcast(totals))
-      .select(col("u"), col("v"), col("w"),
-        round(log(
-          lit(lambda3) * (col("c_uvw").cast("double") / col("c_uv").cast("double")) +
-          lit(lambda2) * (col("c_vw").cast("double") / col("c_v").cast("double")) +
-          lit(lamU) * uniTerm) * lit(1e6))
-          .cast("long").as("lw3_micro"))
+    def bgTerm = coalesce(
+      col("c_vw").cast("double") / col("c_v").cast("double"), lit(0.0d))
+    def triTerm = coalesce(
+      col("c_uvw").cast("double") / col("c_uv").cast("double"), lit(0.0d))
     val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
+    val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
+      .join(cf, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log(floorTerm) * lit(1e6)).cast("long").as("lw0_micro"))
+    val second = toks.where(size(col("toks")) >= 2)
+      .select(col(idCol), element_at(col("toks"), 1).as("v"),
+        element_at(col("toks"), 2).as("w"))
+      .join(cvw, Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(cfW, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log(lit(lam23) * bgTerm + lit(lamU) * floorTerm) * lit(1e6))
+          .cast("long").as("lw2_micro"))
     val tg = toks.select(col(idCol), explode(lmTriples).as("p"))
       .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
       .groupBy(col(idCol), col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("tf"))
-    val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
-    val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
-      .join(lwUni, Seq("token"))
-      .select(col(idCol), col("lw0_micro"))
-    val second = toks.where(size(col("toks")) >= 2)
-      .select(col(idCol), element_at(col("toks"), 1).as("v"),
-        element_at(col("toks"), 2).as("w"))
-      .join(lwBi2, Seq("v", "w"))
-      .select(col(idCol), col("lw2_micro"))
-    val tsum = tg.join(lwTri, Seq("u", "v", "w"))
+    val tsum = tg
+      .join(cuvw, Seq("u", "v", "w"), "left")
+      .join(cuv, Seq("u", "v"), "left")
+      .join(cvw, Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(cfW, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), (col("tf") *
+        round(log(
+          lit(lambda3) * triTerm + lit(lambda2) * bgTerm +
+          lit(lamU) * floorTerm) * lit(1e6)).cast("long")).as("c_micro"))
       .groupBy(col(idCol))
-      .agg(sum(col("tf") * col("lw3_micro")).as("tri_micro"))
+      .agg(sum(col("c_micro")).as("tri_micro"))
     nt.join(first, Seq(idCol))
       .join(second, Seq(idCol), "left")
       .join(tsum, Seq(idCol), "left")
@@ -882,16 +890,20 @@ object Corpus {
 
   /** DuckDB oracle replaying [[trigramScoreWithModel]] with the model
     * trained on `modelTable` and the documents of `scoreTable` scored —
-    * the cross-table form of [[trigramLogProbOracleSql]] (which is the
-    * special case modelTable == scoreTable). Score-side documents whose
-    * first token is absent from the model vocabulary drop (inner join on
-    * the unigram table — mirroring the Spark plan). */
+    * the generalized smoothed form: every scored position LEFT-joins its
+    * n-gram counts (absent reads 0), so OOV types fall through the
+    * interpolation orders onto the add-one floor, exactly like the Spark
+    * scorer. [[trigramLogProbOracleSql]] remains the (equivalent)
+    * per-model-type special case for modelTable == scoreTable. */
   def trigramScoreOracleSql(modelTable: String, scoreTable: String,
                             idCol: String, textCol: String,
                             lambda3: Double = 0.5,
                             lambda2: Double = 0.3): String = {
     val lam23 = lambda3 + lambda2
     val lamU  = 1.0d - lambda3 - lambda2
+    val floor = "((coalesce(cf.cf, 0) + 1.0) / CAST(tot_t + tot_v AS DOUBLE))"
+    val bg    = "coalesce(CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE), 0.0)"
+    val tri   = "coalesce(CAST(c_uvw AS DOUBLE) / CAST(c_uv AS DOUBLE), 0.0)"
     s"""WITH mt AS (
          SELECT list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
              t -> length(t) > 0) AS toks
@@ -900,10 +912,6 @@ object Corpus {
        cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM (
            SELECT unnest(toks) AS token FROM m2) u GROUP BY 1),
        tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot_t, count(*) AS tot_v FROM cf),
-       lwu AS (SELECT token,
-           CAST(round(ln((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE))
-             * 1000000.0) AS BIGINT) AS lw0_micro
-         FROM cf, tot),
        cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM (
            SELECT toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
            FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
@@ -918,19 +926,6 @@ object Corpus {
          GROUP BY 1, 2, 3),
        cuv AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv
          FROM cuvw GROUP BY 1, 2),
-       lw2 AS (SELECT cvw.v, cvw.w,
-           CAST(round(ln($lam23 * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
-             $lamU * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
-             * 1000000.0) AS BIGINT) AS lw2_micro
-         FROM cvw JOIN cv USING (v) JOIN cf ON cf.token = cvw.w CROSS JOIN tot),
-       lw3 AS (SELECT cuvw.u, cuvw.v, cuvw.w,
-           CAST(round(ln(
-             $lambda3 * (CAST(c_uvw AS DOUBLE) / CAST(c_uv AS DOUBLE)) +
-             $lambda2 * (CAST(c_vw AS DOUBLE) / CAST(c_v AS DOUBLE)) +
-             $lamU * ((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE)))
-             * 1000000.0) AS BIGINT) AS lw3_micro
-         FROM cuvw JOIN cuv USING (u, v) JOIN cvw USING (v, w)
-              JOIN cv USING (v) JOIN cf ON cf.token = cuvw.w CROSS JOIN tot),
        st AS (
          SELECT $idCol,
            list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
@@ -947,14 +942,29 @@ object Corpus {
                  FROM s2 WHERE len(toks) >= 3) g) p
          GROUP BY 1, 2, 3, 4),
        nt AS (SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
-       fi AS (SELECT s2.$idCol, lwu.lw0_micro
-              FROM s2 JOIN lwu ON lwu.token = s2.toks[1]),
-       se AS (SELECT s2.$idCol, lw2.lw2_micro
-              FROM s2 JOIN lw2 ON lw2.v = s2.toks[1] AND lw2.w = s2.toks[2]
-              WHERE len(toks) >= 2),
-       ts AS (SELECT tg.$idCol,
-                CAST(sum(tg.tf * lw3.lw3_micro) AS BIGINT) AS tri_micro
-              FROM tg JOIN lw3 USING (u, v, w) GROUP BY 1)
+       fi AS (SELECT s2.$idCol,
+                CAST(round(ln($floor) * 1000000.0) AS BIGINT) AS lw0_micro
+              FROM s2 LEFT JOIN cf ON cf.token = s2.toks[1] CROSS JOIN tot),
+       se AS (SELECT s2.$idCol,
+                CAST(round(ln($lam23 * $bg + $lamU * $floor)
+                  * 1000000.0) AS BIGINT) AS lw2_micro
+              FROM s2
+              LEFT JOIN cvw ON cvw.v = s2.toks[1] AND cvw.w = s2.toks[2]
+              LEFT JOIN cv ON cv.v = s2.toks[1]
+              LEFT JOIN cf ON cf.token = s2.toks[2]
+              CROSS JOIN tot
+              WHERE len(s2.toks) >= 2),
+       ts AS (SELECT tg.$idCol, CAST(sum(tg.tf *
+                CAST(round(ln($lambda3 * $tri + $lambda2 * $bg + $lamU * $floor)
+                  * 1000000.0) AS BIGINT)) AS BIGINT) AS tri_micro
+              FROM tg
+              LEFT JOIN cuvw USING (u, v, w)
+              LEFT JOIN cuv USING (u, v)
+              LEFT JOIN cvw USING (v, w)
+              LEFT JOIN cv USING (v)
+              LEFT JOIN cf ON cf.token = tg.w
+              CROSS JOIN tot
+              GROUP BY 1)
        SELECT nt.$idCol, nt.n_tokens,
          CAST(fi.lw0_micro + coalesce(se.lw2_micro, 0)
            + coalesce(ts.tri_micro, 0) AS BIGINT) AS logprob_micro,
@@ -965,6 +975,61 @@ object Corpus {
             LEFT JOIN ts USING ($idCol)
        ORDER BY $idCol"""
   }
+
+  /** Moore–Lewis cross-entropy difference selection (Moore & Lewis, ACL
+    * 2010) — THE classic data-selection signal: score every candidate
+    * document under an IN-DOMAIN LM and a GENERAL LM and rank by
+    * H_in − H_out; low values read "looks like the target domain, not
+    * just easy text". Composed from two [[trigramScoreWithModel]] passes
+    * over the same candidates (each model a stored count-pipe triple),
+    * joined on the id — so the selection runs against incrementally
+    * maintained models without retraining. `ce_delta` is one IEEE
+    * division over exact LONG micro-nats (bit-portable). OOV types score
+    * at the interpolation's add-one floor on BOTH sides (the scorer's
+    * generalized smoothed form), so out-of-domain text pays the full
+    * unseen-n-gram penalty under the in-domain model instead of silently
+    * contributing nothing.
+    *
+    * Scale: two scoring passes (each ONE corpus scan + type-level model
+    * joins) and one id equi-join; no new shuffle classes beyond the
+    * scorer's. */
+  def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
+                         inCf: DataFrame, inCvw: DataFrame, inCuvw: DataFrame,
+                         outCf: DataFrame, outCvw: DataFrame,
+                         outCuvw: DataFrame,
+                         lambda3: Double = 0.5,
+                         lambda2: Double = 0.3): DataFrame = {
+    val a = trigramScoreWithModel(docs, idCol, textCol,
+        inCf, inCvw, inCuvw, lambda3, lambda2)
+      .select(col(idCol), col("n_tokens"),
+        col("logprob_micro").as("lp_in_micro"))
+    val b = trigramScoreWithModel(docs, idCol, textCol,
+        outCf, outCvw, outCuvw, lambda3, lambda2)
+      .select(col(idCol), col("logprob_micro").as("lp_out_micro"))
+    a.join(b, Seq(idCol))
+      .withColumn("ce_delta",
+        (col("lp_out_micro") - col("lp_in_micro")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+  }
+
+  /** DuckDB oracle replaying [[crossEntropySelect]] — the two
+    * [[trigramScoreOracleSql]] stacks nested as subqueries (DuckDB
+    * supports CTEs inside subqueries), joined on the id. */
+  def crossEntropySelectOracleSql(inModelTable: String, outModelTable: String,
+                                  scoreTable: String, idCol: String,
+                                  textCol: String,
+                                  lambda3: Double = 0.5,
+                                  lambda2: Double = 0.3): String =
+    s"""SELECT a.$idCol, a.n_tokens,
+         a.logprob_micro AS lp_in_micro,
+         b.logprob_micro AS lp_out_micro,
+         CAST(b.logprob_micro - a.logprob_micro AS DOUBLE) /
+           (CAST(a.n_tokens AS DOUBLE) * 1000000.0) AS ce_delta
+       FROM (${trigramScoreOracleSql(inModelTable, scoreTable, idCol, textCol,
+               lambda3, lambda2)}) a
+       JOIN (${trigramScoreOracleSql(outModelTable, scoreTable, idCol, textCol,
+               lambda3, lambda2)}) b USING ($idCol)
+       ORDER BY a.$idCol"""
 
   /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
   def unigramLogProbOracleSql(table: String, idCol: String,

@@ -174,15 +174,45 @@ class LmIndexSyncSpec extends SparkSpec {
 class TrigramModelScoreSpec extends SparkSpec {
   import spark.implicits._
 
-  test("docs whose first token is outside the model vocabulary drop (documented edge)") {
+  test("OOV docs score at the smoothed floor, never probability 1") {
     val model = Seq(1L -> "alpha beta gamma alpha beta").toDF("doc_id", "text")
     val (u, b, t) = Corpus.trigramModelCounts(model, "doc_id", "text", buckets = 4)
     val score = Seq(10L -> "alpha beta gamma", 11L -> "zzz unknown words")
       .toDF("doc_id", "text")
     val out = Corpus.trigramScoreWithModel(score, "doc_id", "text",
         Corpus.lmFoldUni(u), Corpus.lmFoldBi(b), Corpus.lmFoldTri(t))
-      .select("doc_id").as[Long].collect().toSet
-    assert(out == Set(10L))
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    // both docs emit; the fully-OOV doc pays the add-one floor at every
+    // position and must score strictly worse than the in-model doc
+    assert(out.keySet == Set(10L, 11L))
+    assert(out(11L) > out(10L), s"oov ${out(11L)} vs in-model ${out(10L)}")
+  }
+}
+
+class MooreLewisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("in-domain candidates rank below out-of-domain ones (lower H_in − H_out)") {
+    val inDomain = (1L to 8L).map(i =>
+      (i, "spark catalyst optimizes the physical plan for the query engine", "tech"))
+    val general = (11L to 18L).map(i =>
+      (i, "the cat sat on the mat and watched the quiet garden grow", "misc"))
+    val docs = (inDomain ++ general).toDF("doc_id", "text", "lang")
+    val C = graft.ops.Corpus
+    val (iu, ib, it) = C.trigramModelCounts(
+      docs.where($"lang" === "tech"), "doc_id", "text", buckets = 1)
+    val (ou, ob, ot) = C.trigramModelCounts(docs, "doc_id", "text", buckets = 1)
+    val out = C.crossEntropySelect(docs, "doc_id", "text",
+        C.lmFoldUni(iu), C.lmFoldBi(ib), C.lmFoldTri(it),
+        C.lmFoldUni(ou), C.lmFoldBi(ob), C.lmFoldTri(ot))
+      .select("doc_id", "ce_delta").as[(Long, Double)].collect().toMap
+    // the in-domain doc scores STRICTLY lower delta than any general doc
+    // that survived the in-domain vocabulary gate
+    val inScores  = (1L to 8L).flatMap(out.get)
+    val outScores = (11L to 18L).flatMap(out.get)
+    assert(inScores.nonEmpty)
+    assert(outScores.isEmpty || inScores.max < outScores.min,
+      s"in=$inScores out=$outScores")
   }
 }
 
