@@ -2453,6 +2453,20 @@ object SparkEntry {
     // (argsort over typedLit centroid scores — zero per-query driver work),
     // the cell equi-join prunes the corpus, and one qid-keyed window ranks.
     // Scales to millions of query vectors; oracle replays cells + ranking.
+    // ── LLM-pipeline: margin-based bitext mining (Artetxe & Schwenk 2019,
+    // the CCMatrix alignment step) — source vectors pair with the target
+    // vector maximizing cos/(mean kNN cos both ways); both directions'
+    // kNN run the batched IVF probe, averages and margin in exact integer
+    // micro-units, argmax via max-struct.
+    "q_bitext_margin" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("side", (col("label") % 2 === 1).cast("int"))
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      SimilaritySearch.bitextMarginMine(emb, "vec_id", "embedding", "side",
+          cents, k = 4, nProbe = 8, thresholdMicro = 1000000L)
+        .orderBy(col("x_id"))
+    }),
+
     "q_embedding_ann_batch" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
@@ -4932,6 +4946,11 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
+
+    "q_bitext_margin" ->
+      graft.ops.SimilaritySearch.bitextMarginOracleSql("embeddings", "vec_id",
+        "embedding", sideExpr = "CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END",
+        nCentroids = 16, k = 4, nProbe = 8, thresholdMicro = 1000000L),
 
     "q_embedding_ann_batch" ->
       graft.ops.SimilaritySearch.ivfBatchOracleSql("embeddings", "vec_id",

@@ -302,6 +302,110 @@ object SimilaritySearch {
       .select(col(qidCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * CCMatrix/LASER alignment step): source-side vectors pair with the
+    * target-side vector maximizing
+    * margin(x,y) = cos(x,y) / ((avgNNk(x) + avgNNk(y)) / 2), the ratio
+    * that separates true translations from merely-dense hub regions.
+    * Both directions' k-NN run through the batched IVF probe (per-query
+    * cells resolve IN-PLAN, the cell equi-join prunes each side), so the
+    * same approximation FAISS-based production miners make. Non-positive
+    * cosines drop before the averages — margin is only meaningful among
+    * positive similarities, and it keeps every integer division
+    * non-negative (micro-quantized cosines, exact LONG sums, one
+    * integer-div margin — engine-portable, no float averages).
+    *
+    * Scale: two [[ivfBatchTopK]] passes (each one cell-pruned join + one
+    * qid-keyed bounded window) + two ≤|side|-row average aggregates + one
+    * max-struct argmax per source vector. No all-pairs anywhere. */
+  def bitextMarginMine(emb: DataFrame, idCol: String, vecCol: String,
+                       sideCol: String, centroids: Seq[Seq[Double]],
+                       k: Int, nProbe: Int, thresholdMicro: Long): DataFrame = {
+    require(k >= 1 && thresholdMicro >= 0, "bad mining parameters")
+    val src = emb.where(col(sideCol) === 0)
+    val tgt = emb.where(col(sideCol) === 1)
+    def knn(corpus: DataFrame, queries: DataFrame) =
+      ivfBatchTopK(withIvfCell(corpus, vecCol, centroids), queries
+          .select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+          idCol, vecCol, "cell", "qid", "qvec", centroids, k, nProbe)
+        .where(col("cosine") > 0)
+    val fwd = knn(tgt, src)
+      .select(col("qid").as("x_id"), col(idCol).as("y_id"),
+        round(col("cosine") * lit(1e6)).cast("long").as("cos_micro"))
+    val bwd = knn(src, tgt)
+      .select(col("qid").as("y_id"),
+        round(col("cosine") * lit(1e6)).cast("long").as("cos_micro"))
+    val aF = fwd.groupBy(col("x_id"))
+      .agg(expr("sum(cos_micro) div count(1)").as("avg_f_micro"))
+    val aB = bwd.groupBy(col("y_id"))
+      .agg(expr("sum(cos_micro) div count(1)").as("avg_b_micro"))
+    fwd.join(aF, Seq("x_id")).join(aB, Seq("y_id"))
+      .where(col("avg_f_micro") + col("avg_b_micro") > 0)
+      .withColumn("margin_micro",
+        expr("cos_micro * 2000000L div (avg_f_micro + avg_b_micro)"))
+      .groupBy(col("x_id"))
+      .agg(max(struct(col("margin_micro"), col("y_id"), col("cos_micro"))).as("b"))
+      .select(col("x_id"), col("b.y_id").as("y_id"),
+        col("b.cos_micro").as("cos_micro"),
+        col("b.margin_micro").as("margin_micro"))
+      .where(col("margin_micro") >= thresholdMicro)
+  }
+
+  /** DuckDB oracle replaying [[bitextMarginMine]] — the
+    * [[ivfBatchOracleSql]] chain in both directions, the same micro
+    * quantization, integer averages, and the argmax tie-break of the
+    * max-struct (margin, then larger y_id). */
+  def bitextMarginOracleSql(table: String, idCol: String, vecCol: String,
+                            sideExpr: String, nCentroids: Int,
+                            k: Int, nProbe: Int,
+                            thresholdMicro: Long): String =
+    s"""WITH e AS (SELECT $idCol, CAST(($sideExpr) AS INTEGER) AS side,
+           CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, side, ccid AS cell FROM (
+           SELECT e.$idCol, e.side, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qc AS (
+         SELECT qid, qside, qv, ccid AS cell FROM (
+           SELECT q.$idCol AS qid, q.side AS qside, q.ev AS qv, c.ccid,
+             row_number() OVER (PARTITION BY q.$idCol
+               ORDER BY list_dot_product(q.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e q, cents c) WHERE rn <= $nProbe),
+       cand AS (
+         SELECT qc.qid, qc.qside, e.$idCol AS nid,
+           list_dot_product(e.ev, qc.qv) /
+             (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(qc.qv, qc.qv))) AS cosine
+         FROM qc JOIN asg a ON a.cell = qc.cell AND a.side <> qc.qside
+                 JOIN e ON e.$idCol = a.$idCol),
+       ranked AS (
+         SELECT qid, qside, nid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+         FROM cand),
+       kept AS (
+         SELECT qid, qside, nid,
+           CAST(round(cosine * 1000000.0) AS BIGINT) AS cos_micro
+         FROM ranked WHERE rank <= $k AND cosine > 0),
+       fwd AS (SELECT qid AS x_id, nid AS y_id, cos_micro FROM kept WHERE qside = 0),
+       bwd AS (SELECT qid AS y_id, cos_micro FROM kept WHERE qside = 1),
+       af AS (SELECT x_id, CAST(sum(cos_micro) AS BIGINT) // count(*) AS avg_f
+              FROM fwd GROUP BY 1),
+       ab AS (SELECT y_id, CAST(sum(cos_micro) AS BIGINT) // count(*) AS avg_b
+              FROM bwd GROUP BY 1),
+       m AS (SELECT f.x_id, f.y_id, f.cos_micro,
+               f.cos_micro * 2000000 // (af.avg_f + ab.avg_b) AS margin_micro
+             FROM fwd f JOIN af USING (x_id) JOIN ab USING (y_id)
+             WHERE af.avg_f + ab.avg_b > 0),
+       best AS (SELECT x_id, y_id, cos_micro, margin_micro,
+               row_number() OVER (PARTITION BY x_id
+                 ORDER BY margin_micro DESC, y_id DESC, cos_micro DESC) AS rn
+             FROM m)
+       SELECT x_id, y_id, cos_micro, margin_micro
+       FROM best WHERE rn = 1 AND margin_micro >= $thresholdMicro
+       ORDER BY x_id"""
+
   /** Hard-negative mining for contrastive/embedding-model training (the
     * DPR/E5/GTE fine-tuning data step, Karpukhin et al. 2020 §4.2): for
     * every query vector, the k nearest corpus vectors carrying a DIFFERENT

@@ -216,6 +216,27 @@ class MooreLewisSpec extends SparkSpec {
   }
 }
 
+class BitextMarginSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mined pairs respect sides, are unique per source, and clear the threshold") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("side", (col("label") % 2 === 1).cast("int"))
+    val cents = graft.ops.SimilaritySearch.sampleCentroids(
+      emb, "vec_id", "embedding", 16)
+    val out = graft.ops.SimilaritySearch.bitextMarginMine(
+        emb, "vec_id", "embedding", "side", cents,
+        k = 4, nProbe = 8, thresholdMicro = 1000000L)
+      .select("x_id", "y_id", "margin_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length, "one pair per source")
+    assert(out.forall(_._3 >= 1000000L))
+    val sideOf = emb.select($"vec_id", $"side").as[(Long, Int)].collect().toMap
+    assert(out.forall(p => sideOf(p._1) == 0 && sideOf(p._2) == 1))
+  }
+}
+
 class ContainmentIdWideningSpec extends SparkSpec {
   import spark.implicits._
 
