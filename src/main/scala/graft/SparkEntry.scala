@@ -2453,6 +2453,20 @@ object SparkEntry {
     // (argsort over typedLit centroid scores — zero per-query driver work),
     // the cell equi-join prunes the corpus, and one qid-keyed window ranks.
     // Scales to millions of query vectors; oracle replays cells + ranking.
+    // ── LLM-pipeline: ANN recall@k QA — the tuning gate before committing
+    // an (nCentroids, nProbe) config: per sampled query, |ANN ∩ exact
+    // top-k| / k with the exact side bounded by the query sample. Integer
+    // micro recall; run it before trusting any stored-probe answer.
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.annRecallReport(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", cents, k = 10, nProbe = 4)
+        .orderBy(col("qid"))
+    }),
+
     // ── LLM-pipeline: margin-based bitext mining (Artetxe & Schwenk 2019,
     // the CCMatrix alignment step) — source vectors pair with the target
     // vector maximizing cos/(mean kNN cos both ways); both directions'
@@ -4946,6 +4960,11 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
+
+    "q_ann_recall" ->
+      graft.ops.SimilaritySearch.annRecallOracleSql("embeddings", "vec_id",
+        "embedding", nCentroids = 16, queryFilter = "vec_id % 100 = 0",
+        k = 10, nProbe = 4),
 
     "q_bitext_margin" ->
       graft.ops.SimilaritySearch.bitextMarginOracleSql("embeddings", "vec_id",

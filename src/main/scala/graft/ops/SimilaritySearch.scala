@@ -406,6 +406,93 @@ object SimilaritySearch {
        FROM best WHERE rn = 1 AND margin_micro >= $thresholdMicro
        ORDER BY x_id"""
 
+  /** ANN recall\@k QA report — the tuning gate before committing an
+    * (nCentroids, nProbe) configuration to a 100 TB index: for each query
+    * in a SAMPLE, the fraction of the exact top-k the cell-pruned probe
+    * actually returned. Exact side = per-query full ranking (the sample
+    * bounds the quadratic: |sample|·|corpus| scored rows — the standard
+    * recall harness shape, run on ~1% of queries); ANN side =
+    * [[ivfBatchTopK]]. Both rank by (cosine desc, id), so the
+    * intersection is well-defined; recall is an integer micro-division.
+    * Read the report before trusting any stored-probe answer — a recall
+    * cliff means nProbe (or the centroid count) is wrong for this
+    * embedding distribution. */
+  def annRecallReport(emb: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qidCol: String, qvecCol: String,
+                      centroids: Seq[Seq[Double]],
+                      k: Int, nProbe: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    val exact = queries.select(col(qidCol), col(qvecCol))
+      .crossJoin(emb.select(col(idCol), col(vecCol)))
+      .select(col(qidCol), col(idCol),
+        VectorFns.cosine(col(vecCol), col(qvecCol).cast("array<double>"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col(idCol))
+    val ann = ivfBatchTopK(withIvfCell(emb, vecCol, centroids),
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("qvec")),
+        idCol, vecCol, "cell", "qid", "qvec", centroids, k, nProbe)
+      .select(col("qid").as(qidCol), col(idCol))
+    exact.join(ann, Seq(qidCol, idCol), "left_semi")
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("hits"))
+      .join(exact.groupBy(col(qidCol)).agg(count(lit(1)).as("k_exact")),
+        Seq(qidCol), "right")
+      .select(col(qidCol), coalesce(col("hits"), lit(0L)).as("hits"),
+        col("k_exact"),
+        expr("coalesce(hits, 0) * 1000000L div k_exact").as("recall_micro"))
+  }
+
+  /** DuckDB oracle replaying [[annRecallReport]]. */
+  def annRecallOracleSql(table: String, idCol: String, vecCol: String,
+                         nCentroids: Int, queryFilter: String,
+                         k: Int, nProbe: Int): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ccid AS cell FROM (
+           SELECT e.$idCol, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qs AS (SELECT $idCol AS qid, ev AS qv FROM e WHERE $queryFilter),
+       exact AS (
+         SELECT qid, $idCol FROM (
+           SELECT q.qid, e.$idCol,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.ev, q.qv) /
+                 (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                 e.$idCol) AS rank
+           FROM qs q CROSS JOIN e) WHERE rank <= $k),
+       qcell AS (
+         SELECT qid, qv, ccid AS cell FROM (
+           SELECT q.qid, q.qv, c.ccid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM qs q, cents c) WHERE rn <= $nProbe),
+       ann AS (
+         SELECT qid, $idCol FROM (
+           SELECT qc.qid, e.$idCol,
+             row_number() OVER (PARTITION BY qc.qid
+               ORDER BY list_dot_product(e.ev, qc.qv) /
+                 (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(qc.qv, qc.qv))) DESC,
+                 e.$idCol) AS rank
+           FROM qcell qc JOIN asg a ON a.cell = qc.cell
+                         JOIN e ON e.$idCol = a.$idCol) WHERE rank <= $k),
+       hits AS (
+         SELECT exact.qid, count(*) AS hits
+         FROM exact JOIN ann ON ann.qid = exact.qid AND ann.$idCol = exact.$idCol
+         GROUP BY 1),
+       ke AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_exact FROM exact GROUP BY 1)
+       SELECT ke.qid, CAST(coalesce(hits.hits, 0) AS BIGINT) AS hits,
+         ke.k_exact,
+         CAST(coalesce(hits.hits, 0) AS BIGINT) * 1000000 // ke.k_exact AS recall_micro
+       FROM ke LEFT JOIN hits USING (qid)
+       ORDER BY qid"""
+
   /** Hard-negative mining for contrastive/embedding-model training (the
     * DPR/E5/GTE fine-tuning data step, Karpukhin et al. 2020 §4.2): for
     * every query vector, the k nearest corpus vectors carrying a DIFFERENT

@@ -237,6 +237,27 @@ class BitextMarginSpec extends SparkSpec {
   }
 }
 
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("probing every cell recovers exact recall 1.0; fewer probes never exceed it") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = graft.ops.SimilaritySearch.sampleCentroids(
+      emb, "vec_id", "embedding", 16)
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def recall(nProbe: Int): Map[Long, Long] =
+      graft.ops.SimilaritySearch.annRecallReport(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", cents, k = 10, nProbe = nProbe)
+        .select("qid", "recall_micro").as[(Long, Long)].collect().toMap
+    val full = recall(16)
+    assert(full.nonEmpty && full.values.forall(_ == 1000000L),
+      s"full probe must be exact: $full")
+    val partial = recall(2)
+    assert(partial.forall { case (q, r) => r <= full(q) })
+  }
+}
+
 class ContainmentIdWideningSpec extends SparkSpec {
   import spark.implicits._
 
