@@ -4214,6 +4214,61 @@ object SparkEntry {
         autoincrement = true)
       eng.sync(spec, Tables.events(s, d).select(col("ts"), col("user_id")))
       eng.getData(spec).select(col("row_id")).orderBy(col("row_id"))
+    }),
+
+    // ── LLM-pipeline: k-anonymity violation worklist — QI equivalence
+    // classes under k, smallest (most identifying) first; ONE hash
+    // aggregate on the QI tuple, capped under a total order.
+    "q_k_anonymity" -> ((s, d) =>
+      graft.ops.Privacy.kAnonymityViolations(
+        Tables.events(s, d).select(col("event_type"),
+          round(col("value") * 10).cast("long").as("value_deci")),
+        Seq("event_type", "value_deci"), k = 5L, cap = 40)),
+
+    // ── LLM-pipeline: k-anonymity one-row summary — totals, violating
+    // classes, rows at risk, min class size, at-risk fraction micro.
+    "q_k_anon_summary" -> ((s, d) =>
+      graft.ops.Privacy.kAnonymitySummary(
+        Tables.events(s, d).select(col("event_type"),
+          round(col("value") * 10).cast("long").as("value_deci")),
+        Seq("event_type", "value_deci"), k = 5L)),
+
+    // ── LLM-pipeline: l-diversity violations — QI classes whose sensitive
+    // attribute shows fewer than l distinct values (leaks it even at
+    // size ≥ k); exact distinct via the (QI, sensitive) shuffle key.
+    "q_l_diversity" -> ((s, d) =>
+      graft.ops.Privacy.lDiversityViolations(
+        Tables.events(s, d).select(col("event_type"),
+          round(col("value") * 10).cast("long").as("value_deci"),
+          pmod(col("user_id"), lit(3L)).as("cohort")),
+        Seq("event_type", "value_deci"), "cohort", l = 3L, cap = 40)),
+
+    // ── LLM-pipeline: reward length-bias audit — corpus Pearson
+    // corr(length, reward) + an 8-bin mean-reward profile across the
+    // length range; the check that keeps RLHF from becoming length
+    // optimization. Stopword hits stand in for the integral reward.
+    "q_reward_length_bias" -> ((s, d) =>
+      graft.ops.Rlhf.lengthBiasAudit(
+        Tables.documents(s, d).select(
+          TextFns.stopwordHits(col("text"), "en").cast("long").as("reward"),
+          col("n_chars").cast("long").as("len")),
+        "reward", "len", nBins = 8)),
+
+    // ── LLM-pipeline: inter-annotator agreement — pairwise Cohen's κ over
+    // a (item, rater, label) frame; contingency counts make κ a pure
+    // integer rational. Rater = user cohort, label = value quartile,
+    // (item, rater) deduped by smallest event id (max-struct kernel).
+    "q_annotator_kappa" -> ((s, d) => {
+      val rated = Tables.events(s, d).select(
+          pmod(col("event_id"), lit(997L)).as("item"),
+          pmod(col("user_id"), lit(5L)).as("rater"),
+          col("event_id"),
+          expr("CAST(round(value) AS BIGINT) * 4 div 491").as("lbl"))
+        .groupBy(col("item"), col("rater"))
+        .agg(min(struct(col("event_id"), col("lbl"))).as("p"))
+        .select(col("item"), col("rater"), col("p.lbl").as("lbl"))
+      graft.ops.Evaluation.annotatorAgreement(rated, "item", "rater", "lbl")
+        .orderBy(col("ra"), col("rb"))
     })
   )
 
@@ -6370,6 +6425,43 @@ object SparkEntry {
          SELECT c_custkey,
            round(lon / 180.0 * pi() * 6378137.0, 3) AS x3857,
            round(ln(tan(lat / 180.0 * pi() / 2.0 + pi() / 4.0)) * 6378137.0, 2) AS y3857
-         FROM p ORDER BY c_custkey"""
+         FROM p ORDER BY c_custkey""",
+
+    "q_k_anonymity" ->
+      graft.ops.Privacy.kAnonymityViolationsOracleSql("events", Seq(
+        "event_type" -> "event_type",
+        "value_deci" -> "CAST(round(value * 10) AS BIGINT)"), k = 5L, cap = 40),
+
+    "q_k_anon_summary" ->
+      graft.ops.Privacy.kAnonymitySummaryOracleSql("events", Seq(
+        "event_type" -> "event_type",
+        "value_deci" -> "CAST(round(value * 10) AS BIGINT)"), k = 5L),
+
+    "q_l_diversity" ->
+      graft.ops.Privacy.lDiversityViolationsOracleSql("events", Seq(
+        "event_type" -> "event_type",
+        "value_deci" -> "CAST(round(value * 10) AS BIGINT)"),
+        sensitiveExpr = "user_id % 3", l = 3L, cap = 40),
+
+    "q_reward_length_bias" ->
+      graft.ops.Rlhf.lengthBiasAuditOracleSql("documents",
+        rewardExpr =
+          """len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','a','of','and','to','in','is','it','that','for']))"""
+            .linesIterator.map(_.trim).mkString(" "),
+        lenExpr = "n_chars", nBins = 8),
+
+    "q_annotator_kappa" ->
+      graft.ops.Evaluation.annotatorAgreementOracleSql(
+        """(WITH d AS (SELECT event_id % 997 AS item, user_id % 5 AS rater,
+             event_id, CAST(round(value) AS BIGINT) * 4 // 491 AS lbl
+             FROM events),
+           pick AS (SELECT item, rater, min(event_id) AS eid
+                    FROM d GROUP BY 1, 2)
+           SELECT d.item, d.rater, d.lbl
+           FROM d JOIN pick ON pick.item = d.item AND pick.rater = d.rater
+                           AND pick.eid = d.event_id)"""
+          .linesIterator.map(_.trim).mkString(" "),
+        itemExpr = "item", raterExpr = "rater", labelExpr = "lbl")
   )
 }

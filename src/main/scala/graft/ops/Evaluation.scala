@@ -484,4 +484,92 @@ object Evaluation {
          END AS overlap_micro
        FROM r ORDER BY filter_a, filter_b"""
   }
+
+  /** Inter-annotator agreement — pairwise Cohen's κ (Cohen 1960) over a
+    * (item, rater, label) table, the QA gate for human preference /
+    * labeling campaigns before the labels train a reward model: raw
+    * percent-agreement overstates consensus when the label marginals are
+    * skewed; κ subtracts the agreement two raters would reach by chance
+    * from their own marginals. One row per unordered rater pair that
+    * co-annotated ≥ 1 item: n_items, n_agree, observed/expected agreement
+    * and κ, all in floor-micro-units.
+    *
+    * Exactness: κ is a RATIONAL in the contingency counts —
+    * po = agree/n, pe = Σₖ cAₖ·cBₖ/n², so
+    * κ = (agree·n − Σₖ cAₖ·cBₖ) / (n² − Σₖ cAₖ·cBₖ) — and every
+    * numerator/denominator accumulates as an exact long (widened to
+    * DECIMAL(38,0) at the ×1e6 step), so no float enters at all.
+    *
+    * Input must be unique per (item, rater) — dedupe upstream (the
+    * max-struct kernel). Scale: the item self-join fans out as
+    * raters-per-item², the contingency aggregate collapses that to
+    * |rater pairs|·|labels|² rows, and every later join runs on that
+    * bounded table. Raters-per-item is a campaign constant (2–5), so the
+    * fanout is linear in items. */
+  def annotatorAgreement(df: DataFrame, itemCol: String, raterCol: String,
+                         labelCol: String): DataFrame = {
+    val r = df.select(col(itemCol).as("item"), col(raterCol).as("rater"),
+      col(labelCol).as("lbl"))
+    val ct = r.as("a").join(r.as("b"),
+        col("a.item") === col("b.item") && col("a.rater") < col("b.rater"))
+      .select(col("a.rater").as("ra"), col("b.rater").as("rb"),
+        col("a.lbl").as("la"), col("b.lbl").as("lb"))
+      .groupBy(col("ra"), col("rb"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ct.groupBy(col("ra"), col("rb"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("la") === col("lb"), col("c")).otherwise(lit(0L)))
+          .as("agree"))
+    val chance = ct.groupBy(col("ra"), col("rb"), col("la"))
+      .agg(sum(col("c")).as("ca"))
+      .join(ct.groupBy(col("ra"), col("rb"), col("lb")).agg(sum(col("c")).as("cb")),
+        Seq("ra", "rb")) // all-pairs of the two marginals, then prune k==k
+      .where(col("la") === col("lb"))
+      .groupBy(col("ra"), col("rb"))
+      .agg(sum(col("ca") * col("cb")).as("e"))
+    totals.join(chance, Seq("ra", "rb"), "left")
+      .select(col("ra"), col("rb"), col("n").as("n_items"),
+        col("agree").as("n_agree"),
+        expr("CAST(agree AS DECIMAL(38,0)) * 1000000 div n").cast("long")
+          .as("po_micro"),
+        expr("CAST(coalesce(e, 0) AS DECIMAL(38,0)) * 1000000 div (n * n)")
+          .cast("long").as("pe_micro"),
+        expr("CASE WHEN CAST(n AS DECIMAL(38,0)) * n - coalesce(e, 0) > 0 THEN" +
+          " CAST((CAST(agree AS DECIMAL(38,0)) * n - coalesce(e, 0))" +
+          " * 1000000 div (CAST(n AS DECIMAL(38,0)) * n - coalesce(e, 0))" +
+          " AS BIGINT) END").as("kappa_micro"))
+  }
+
+  /** DuckDB oracle replaying [[annotatorAgreement]]. */
+  def annotatorAgreementOracleSql(table: String, itemExpr: String,
+                                  raterExpr: String,
+                                  labelExpr: String): String =
+    s"""WITH r AS (SELECT $itemExpr AS item, $raterExpr AS rater,
+           $labelExpr AS lbl FROM $table),
+       j AS (SELECT a.rater AS ra, b.rater AS rb, a.lbl AS la, b.lbl AS lb
+             FROM r a JOIN r b ON a.item = b.item AND a.rater < b.rater),
+       ct AS (SELECT ra, rb, la, lb, CAST(count(*) AS BIGINT) AS c
+              FROM j GROUP BY 1, 2, 3, 4),
+       t AS (SELECT ra, rb, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN la = lb THEN c ELSE 0 END) AS BIGINT)
+                 AS agree
+             FROM ct GROUP BY 1, 2),
+       ma AS (SELECT ra, rb, la, CAST(sum(c) AS BIGINT) AS ca
+              FROM ct GROUP BY 1, 2, 3),
+       mb AS (SELECT ra, rb, lb, CAST(sum(c) AS BIGINT) AS cb
+              FROM ct GROUP BY 1, 2, 3),
+       e AS (SELECT ma.ra, ma.rb, CAST(sum(ca * cb) AS BIGINT) AS e
+             FROM ma JOIN mb ON ma.ra = mb.ra AND ma.rb = mb.rb
+                            AND ma.la = mb.lb
+             GROUP BY 1, 2)
+       SELECT t.ra, t.rb, t.n AS n_items, t.agree AS n_agree,
+         CAST(CAST(agree AS HUGEINT) * 1000000 // n AS BIGINT) AS po_micro,
+         CAST(CAST(coalesce(e, 0) AS HUGEINT) * 1000000 // (n * n)
+           AS BIGINT) AS pe_micro,
+         CASE WHEN CAST(n AS HUGEINT) * n - coalesce(e, 0) > 0 THEN
+           CAST((CAST(agree AS HUGEINT) * n - coalesce(e, 0)) * 1000000
+             // (CAST(n AS HUGEINT) * n - coalesce(e, 0)) AS BIGINT)
+         END AS kappa_micro
+       FROM t LEFT JOIN e ON e.ra = t.ra AND e.rb = t.rb
+       ORDER BY t.ra, t.rb"""
 }

@@ -147,4 +147,185 @@ object Rlhf {
                 GROUP BY src.grp, best.r)
        SELECT grp AS $groupCol, id AS $idCol, r AS $rewardName
        FROM pick ORDER BY $groupCol"""
+
+  /** LENGTH-BIAS audit of a reward signal — reward models notoriously
+    * reward verbosity (Singhal et al. 2023, "A Long Way to Go"), and a
+    * biased reward silently turns RLHF into length optimization. Two
+    * reads in one result: the corpus Pearson corr(length, reward) in
+    * floor-micro-units (repeated on every row), and an nBins profile of
+    * mean reward across the length range (fixed integer min–max binning,
+    * the [[Evaluation.calibrationBins]] grid) — the profile catches
+    * non-linear bias a single r misses.
+    *
+    * Exactness: all six moments accumulate as exact longs in ONE
+    * map-side-combined pass ([[Evaluation.signalCorrelation]]'s
+    * discipline — length·reward must stay in a Long, which centi/micro
+    * rewards and character/token lengths do); r computes in IEEE double
+    * from those integers; per-bin means widen to DECIMAL(38,0) before
+    * the ×1e6 micro-scaling so corpus-scale sums cannot wrap.
+    *
+    * Scale: one 1-row moments aggregate (broadcast back), one ≤ nBins-row
+    * aggregate — two corpus scans, zero shuffles wider than nBins rows. */
+  def lengthBiasAudit(df: DataFrame, rewardCol: String, lenCol: String,
+                      nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val m = df.agg(count(lit(1)).as("n"),
+      sum(col(lenCol)).as("sx"), sum(col(rewardCol)).as("sy"),
+      sum(col(lenCol) * col(lenCol)).as("qx"),
+      sum(col(rewardCol) * col(rewardCol)).as("qy"),
+      sum(col(lenCol) * col(rewardCol)).as("xy"),
+      min(col(lenCol)).as("lmin"), max(col(lenCol)).as("lmax"))
+    val dx = col("n") * col("qx") - col("sx") * col("sx")
+    val dy = col("n") * col("qy") - col("sy") * col("sy")
+    val stats = m.select(col("lmin"), col("lmax"),
+      when(dx > 0 && dy > 0,
+        floor((col("n") * col("xy") - col("sx") * col("sy")).cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")) * lit(1e6))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("corr_micro"))
+    df.select(col(rewardCol), col(lenCol))
+      .crossJoin(broadcast(stats))
+      .where(col("lmax") > col("lmin"))
+      .select(col(rewardCol), col("corr_micro"),
+        expr(s"CAST(least(($lenCol - lmin) * 1000000L div (lmax - lmin)" +
+          s" * ${nBins}L div 1000000, ${nBins - 1}) AS INT)").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("corr_micro")).as("corr_micro"),
+        sum(col(rewardCol)).as("sr"))
+      .select(col("bin"), col("cnt"),
+        expr("CAST(sr AS DECIMAL(38,0)) * 1000000 div cnt").cast("long")
+          .as("mean_reward_micro"),
+        col("corr_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** Bradley–Terry strength fit over pairwise battle outcomes — the
+    * Chatbot-Arena / RLHF-evaluation aggregation step: given (winner,
+    * loser) rows, estimate per-item strengths πᵢ with P(i beats j) =
+    * πᵢ/(πᵢ+πⱼ), via `iters` steps of Hunter (2004)'s MM update
+    * πᵢ′ = wᵢ / Σⱼ nᵢⱼ/(πᵢ+πⱼ), renormalized to mean 10⁶ each step.
+    *
+    * Determinism (the [[graft.ops.Graph.pageRankMicro]] discipline):
+    * strengths live as integer micro-units; each per-opponent term
+    * quantizes via integer division BEFORE the per-item LONG sum, so
+    * every iteration is order-independent at any parallelism and the
+    * oracle unrolls the same steps in SQL. The one float op per item per
+    * iteration — the renormalization — divides two exact longs in IEEE
+    * double. Items that never win pull toward strength 0 (no pseudo-win
+    * smoothing — callers wanting it can append synthetic battles).
+    * Battle counts must keep nᵢⱼ·10¹² and wᵢ·10¹² in a Long (nᵢⱼ,
+    * wᵢ ≤ ~9·10⁶ per pair/item — aggregate upstream if a single pair
+    * exceeds that).
+    *
+    * Scale per iteration: one join of the strengths table to the
+    * aggregated symmetric pair-count list + one hash aggregate keyed on
+    * the item — PageRank's shape; strength tables localCheckpoint each
+    * pass so plan depth stays constant. `iters` is a fixed budget, not a
+    * convergence loop. */
+  def bradleyTerryMicro(battles: DataFrame, winnerCol: String,
+                        loserCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val pc = battles.select(
+        least(col(winnerCol), col(loserCol)).as("i"),
+        greatest(col(winnerCol), col(loserCol)).as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+    val ed = pc.select(col("i").as("a"), col("j").as("b"), col("n"))
+      .union(pc.select(col("j").as("a"), col("i").as("b"), col("n")))
+      .localCheckpoint(true)
+    val items = ed.select(col("a").as("item")).distinct()
+    val wins = battles.groupBy(col(winnerCol).as("item"))
+      .agg(count(lit(1)).as("wins"))
+    val w0 = items.join(wins, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint(true)
+    val nn = w0.agg(count(lit(1)).cast("double").as("n"))
+    var p = w0.select(col("item"), lit(1000000L).as("p")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val d = ed
+        .join(p.select(col("item").as("a"), col("p").as("pa")), Seq("a"))
+        .join(p.select(col("item").as("b"), col("p").as("pb")), Seq("b"))
+        .select(col("a").as("item"),
+          expr("n * 1000000000000L div greatest(pa + pb, 1)").as("t"))
+        .groupBy(col("item")).agg(sum(col("t")).as("d"))
+      val raw = w0.join(d, Seq("item"))
+        .select(col("item"),
+          expr("wins * 1000000000000L div greatest(d, 1)").as("raw"))
+      val s = raw.agg(sum(col("raw")).cast("double").as("s"))
+      p = raw.crossJoin(broadcast(s)).crossJoin(broadcast(nn))
+        .select(col("item"),
+          round(col("raw").cast("double") * col("n") * lit(1e6) / col("s"))
+            .cast("long").as("p"))
+        .localCheckpoint(true)
+    }
+    p.select(col("item"), col("p").as("strength_micro"))
+  }
+
+  /** DuckDB oracle replaying [[bradleyTerryMicro]] — the same `iters` MM
+    * steps unrolled as CTEs with identical integer quantization. */
+  def bradleyTerryOracleSql(table: String, winnerExpr: String,
+                            loserExpr: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""d$k AS (SELECT e.a AS item,
+             CAST(sum(e.n * 1000000000000 // greatest(pa.p + pb.p, 1))
+               AS BIGINT) AS d
+           FROM ed e JOIN p${k - 1} pa ON pa.item = e.a
+                     JOIN p${k - 1} pb ON pb.item = e.b
+           GROUP BY 1),
+         r$k AS (SELECT w0.item,
+             CAST(w0.wins * 1000000000000 // greatest(d$k.d, 1) AS BIGINT)
+               AS raw
+           FROM w0 JOIN d$k USING (item)),
+         s$k AS (SELECT CAST(sum(raw) AS BIGINT) AS s FROM r$k),
+         p$k AS (SELECT item,
+             CAST(round(CAST(raw AS DOUBLE) * nn.n * 1000000.0
+               / CAST(s$k.s AS DOUBLE)) AS BIGINT) AS p
+           FROM r$k, s$k, nn)"""
+    }.mkString(",\n       ")
+    s"""WITH src AS (SELECT $winnerExpr AS w, $loserExpr AS l FROM $table),
+       pc AS (SELECT least(w, l) AS i, greatest(w, l) AS j,
+                CAST(count(*) AS BIGINT) AS n
+              FROM src GROUP BY 1, 2),
+       ed AS (SELECT i AS a, j AS b, n FROM pc
+              UNION ALL SELECT j, i, n FROM pc),
+       it AS (SELECT DISTINCT a AS item FROM ed),
+       wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+              FROM src GROUP BY 1),
+       w0 AS (SELECT it.item, coalesce(wn.wins, 0) AS wins
+              FROM it LEFT JOIN wn USING (item)),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM it),
+       p0 AS (SELECT item, CAST(1000000 AS BIGINT) AS p FROM w0),
+       $iterCtes
+       SELECT item, p AS strength_micro FROM p$iters ORDER BY item"""
+  }
+
+  /** DuckDB oracle replaying [[lengthBiasAudit]]. */
+  def lengthBiasAuditOracleSql(table: String, rewardExpr: String,
+                               lenExpr: String, nBins: Int): String =
+    s"""WITH src AS (SELECT CAST($rewardExpr AS BIGINT) AS r,
+           CAST($lenExpr AS BIGINT) AS x FROM $table),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(r) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS qx,
+               CAST(sum(r * r) AS BIGINT) AS qy,
+               CAST(sum(x * r) AS BIGINT) AS xy,
+               min(x) AS lmin, max(x) AS lmax
+             FROM src),
+       st AS (SELECT lmin, lmax,
+               CASE WHEN n * qx - sx * sx > 0 AND n * qy - sy * sy > 0
+                 THEN CAST(floor(CAST(n * xy - sx * sy AS DOUBLE) /
+                   sqrt(CAST(n * qx - sx * sx AS DOUBLE) *
+                        CAST(n * qy - sy * sy AS DOUBLE)) * 1000000.0)
+                   AS BIGINT)
+               END AS corr_micro
+             FROM m),
+       b AS (SELECT r, corr_micro,
+               CAST(least((x - lmin) * 1000000 // (lmax - lmin) * $nBins
+                 // 1000000, ${nBins - 1}) AS INTEGER) AS bin
+             FROM src, st WHERE lmax > lmin)
+       SELECT bin, count(*) AS cnt,
+         CAST(CAST(sum(r) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+           AS mean_reward_micro,
+         max(corr_micro) AS corr_micro
+       FROM b GROUP BY bin ORDER BY bin"""
 }

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Evaluation, Privacy, Rlhf}
+
+/** Round-14 operators: privacy audits (k-anonymity / l-diversity),
+  * reward length-bias audit, inter-annotator agreement (Cohen's κ). */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Seq(
+    // (zip, age_band, cohort) — class (z1, a1) has 3 rows, (z1, a2) 1 row,
+    // (z2, a1) 2 rows
+    ("z1", "a1", 0L), ("z1", "a1", 1L), ("z1", "a1", 2L),
+    ("z1", "a2", 0L),
+    ("z2", "a1", 1L), ("z2", "a1", 1L)
+  ).toDF("zip", "age", "cohort")
+
+  test("kAnonymityViolations lists exactly the under-k classes, smallest first") {
+    val v = Privacy.kAnonymityViolations(people, Seq("zip", "age"), k = 3L,
+        cap = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(v == Seq(("z1", "a2", 1L), ("z2", "a1", 2L)))
+  }
+
+  test("kAnonymityViolations cap keeps the most identifying classes") {
+    val v = Privacy.kAnonymityViolations(people, Seq("zip", "age"), k = 4L,
+        cap = 1)
+      .as[(String, String, Long)].collect().toSeq
+    assert(v == Seq(("z1", "a2", 1L))) // size-1 outranks sizes 2 and 3
+  }
+
+  test("kAnonymitySummary totals and at-risk fraction") {
+    val s = Privacy.kAnonymitySummary(people, Seq("zip", "age"), k = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // 6 rows, 3 classes, 2 violating holding 3 rows, min size 1, 3/6 micro
+    assert(s == ((6L, 3L, 2L, 3L, 1L, 500000L)))
+  }
+
+  test("lDiversityViolations flags low-diversity classes regardless of size") {
+    val v = Privacy.lDiversityViolations(people, Seq("zip", "age"), "cohort",
+        l = 2L, cap = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // (z1, a2): 1 row 1 cohort; (z2, a1): 2 rows but a single cohort value
+    assert(v == Seq(("z1", "a2", 1L, 1L), ("z2", "a1", 2L, 1L)))
+  }
+}
+
+class LengthBiasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfectly length-correlated reward reports corr_micro 1e6") {
+    // reward = len/2 exactly; all moment products stay within 2^53 and
+    // the sqrt argument is a perfect square, so r computes to exactly 1.0
+    val df = (1L to 20L).map(i => (i, i * 2L)).toDF("reward", "len")
+    val out = Rlhf.lengthBiasAudit(df, "reward", "len", nBins = 4)
+      .select("bin", "cnt", "mean_reward_micro", "corr_micro")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._4).distinct == Seq(1000000L))
+    assert(out.map(_._1) == Seq(0, 1, 2, 3))
+    assert(out.map(_._2).sum == 20L)
+    // per-bin mean reward strictly rises with the length bin
+    assert(out.map(_._3) == out.map(_._3).sorted)
+  }
+
+  test("anti-correlated reward reports corr_micro -1e6") {
+    val df = (1L to 10L).map(i => (-i * 3L, i * 7L)).toDF("reward", "len")
+    val corr = Rlhf.lengthBiasAudit(df, "reward", "len", nBins = 2)
+      .select("corr_micro").as[Long].collect().toSeq.distinct
+    assert(corr == Seq(-1000000L))
+  }
+
+  test("constant length yields empty profile (no binning range)") {
+    val df = Seq((5L, 100L), (9L, 100L)).toDF("reward", "len")
+    assert(Rlhf.lengthBiasAudit(df, "reward", "len", nBins = 4).count() == 0L)
+  }
+
+  test("constant reward has null corr but a flat profile") {
+    val df = (1L to 8L).map(i => (42L, i * 50L)).toDF("reward", "len")
+    val out = Rlhf.lengthBiasAudit(df, "reward", "len", nBins = 2)
+      .select("mean_reward_micro", "corr_micro")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(out.nonEmpty && out.forall(_ == ((42000000L, None))))
+  }
+}
+
+class AnnotatorAgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect agreement gives kappa_micro 1e6") {
+    val rated = Seq(
+      (1L, "a", 0L), (1L, "b", 0L),
+      (2L, "a", 1L), (2L, "b", 1L),
+      (3L, "a", 0L), (3L, "b", 0L)
+    ).toDF("item", "rater", "lbl")
+    val out = Evaluation.annotatorAgreement(rated, "item", "rater", "lbl")
+      .select("ra", "rb", "n_items", "n_agree", "po_micro", "kappa_micro")
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(out == (("a", "b", 3L, 3L, 1000000L, 1000000L)))
+  }
+
+  test("hand-computed 2x2 contingency matches the closed form") {
+    // a/b over 10 items: contingency [[4,1],[2,3]] (rows=a's label)
+    val labels = Seq((0L, 0L), (0L, 0L), (0L, 0L), (0L, 0L), (0L, 1L),
+      (1L, 0L), (1L, 0L), (1L, 1L), (1L, 1L), (1L, 1L))
+    val rated = labels.zipWithIndex.flatMap { case ((la, lb), i) =>
+      Seq((i.toLong, "a", la), (i.toLong, "b", lb)) }
+      .toDF("item", "rater", "lbl")
+    val out = Evaluation.annotatorAgreement(rated, "item", "rater", "lbl")
+      .select("n_items", "n_agree", "po_micro", "pe_micro", "kappa_micro")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // po = 7/10; pe = (5*6 + 5*4)/100 = 1/2; kappa = (7*10-50)/(100-50) = 2/5
+    assert(out == ((10L, 7L, 700000L, 500000L, 400000L)))
+  }
+
+  test("agreement no better than chance gives kappa_micro <= 0") {
+    // b always answers 0 regardless of a: po equals b's marginal hit rate
+    val rated = (0L until 8L).flatMap(i =>
+      Seq((i, "a", i % 2), (i, "b", 0L))).toDF("item", "rater", "lbl")
+    val k = Evaluation.annotatorAgreement(rated, "item", "rater", "lbl")
+      .select("kappa_micro").as[Long].head()
+    assert(k == 0L) // independent marginals: po == pe exactly
+  }
+
+  test("three raters produce all three pairs") {
+    val rated = (0L until 6L).flatMap(i => Seq(
+      (i, "a", i % 3), (i, "b", (i + 1) % 3), (i, "c", i % 3)))
+      .toDF("item", "rater", "lbl")
+    val pairs = Evaluation.annotatorAgreement(rated, "item", "rater", "lbl")
+      .select("ra", "rb").as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+}
