@@ -4269,7 +4269,35 @@ object SparkEntry {
         .select(col("item"), col("rater"), col("p.lbl").as("lbl"))
       graft.ops.Evaluation.annotatorAgreement(rated, "item", "rater", "lbl")
         .orderBy(col("ra"), col("rb"))
-    })
+    }),
+
+    // ── LLM-pipeline: Bradley–Terry strength fit (Chatbot-Arena
+    // aggregation) — consecutive events of different types "battle", the
+    // higher value wins; 4 MM iterations with per-opponent terms
+    // integer-quantized before the item sum (order-independent; the
+    // oracle unrolls the same steps).
+    "q_bradley_terry" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val battles = e.as("x")
+        .join(e.as("y"), expr("y.event_id = x.event_id + 1"))
+        .where(col("x.event_type") =!= col("y.event_type") &&
+          col("x.value") =!= col("y.value"))
+        .select(
+          when(col("x.value") > col("y.value"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("w"),
+          when(col("x.value") > col("y.value"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("l"))
+      graft.ops.Rlhf.bradleyTerryMicro(battles, "w", "l", iters = 4)
+        .orderBy(col("item"))
+    }),
+
+    // ── LLM-pipeline: TextRank keywords — PageRank over the adjacent-token
+    // co-occurrence graph pruned to the top-60 vocabulary (graph bounded
+    // by vocabK² before any iteration); 3 integer-quantized steps, top-25.
+    "q_textrank" -> ((s, d) =>
+      graft.ops.Corpus.textRankKeywords(Tables.documents(s, d),
+        "doc_id", "text", vocabK = 60, iters = 3, k = 25))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -6462,6 +6490,21 @@ object SparkEntry {
            FROM d JOIN pick ON pick.item = d.item AND pick.rater = d.rater
                            AND pick.eid = d.event_id)"""
           .linesIterator.map(_.trim).mkString(" "),
-        itemExpr = "item", raterExpr = "rater", labelExpr = "lbl")
+        itemExpr = "item", raterExpr = "rater", labelExpr = "lbl"),
+
+    "q_bradley_terry" ->
+      graft.ops.Rlhf.bradleyTerryOracleSql(
+        """(SELECT CASE WHEN x.value > y.value THEN x.event_type
+             ELSE y.event_type END AS w,
+           CASE WHEN x.value > y.value THEN y.event_type
+             ELSE x.event_type END AS l
+           FROM events x JOIN events y ON y.event_id = x.event_id + 1
+           WHERE x.event_type <> y.event_type AND x.value <> y.value)"""
+          .linesIterator.map(_.trim).mkString(" "),
+        winnerExpr = "w", loserExpr = "l", iters = 4),
+
+    "q_textrank" ->
+      graft.ops.Corpus.textRankOracleSql("documents", "doc_id", "text",
+        vocabK = 60, iters = 3, k = 25)
   )
 }

@@ -1031,6 +1031,91 @@ object Corpus {
                lambda3, lambda2)}) b USING ($idCol)
        ORDER BY a.$idCol"""
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
+    * the token co-occurrence graph: adjacent-token pairs (both endpoints
+    * in the top-`vocabK` corpus vocabulary) form undirected edges, the
+    * fixed-iteration integer-quantized [[graft.ops.Graph.pageRankMicro]]
+    * ranks the vertices, and the top `k` tokens by rank are the corpus
+    * keyword list — the unsupervised tagger a curation run uses to label
+    * shards without a model.
+    *
+    * Scale: vocabulary prune FIRST — the edge list semi-joins both
+    * endpoints against the broadcast ≤ vocabK-row vocab before the
+    * distinct, so the graph is bounded by vocabK² regardless of corpus
+    * size, and each PageRank pass is one bounded join + one hash
+    * aggregate. Determinism: vocab ties break token-ascending; per-edge
+    * rank contributions quantize to micro before the sum (the PageRank
+    * discipline), so the oracle unrolls identical steps. */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       vocabK: Int, iters: Int, k: Int,
+                       damping: Double = 0.85): DataFrame = {
+    require(vocabK >= 2 && k >= 1, "bad TextRank parameters")
+    val toks = lmToks(docs, idCol, textCol)
+    val vocab = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabK)
+      .select(col("token"))
+    val pairs = toks.select(explode(lmPairs).as("p"))
+      .select(col("p.v").as("a"), col("p.w").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"))
+      .join(broadcast(vocab.select(col("token").as("id1"))),
+        Seq("id1"), "left_semi")
+      .join(broadcast(vocab.select(col("token").as("id2"))),
+        Seq("id2"), "left_semi")
+      .distinct()
+    Graph.pageRankMicro(pairs, "id1", "id2", iters, damping)
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("token"), col("rank_micro"))
+  }
+
+  /** DuckDB oracle replaying [[textRankKeywords]] — the same vocab prune,
+    * edge construction, and `iters` unrolled PageRank steps with
+    * identical integer quantization. */
+  def textRankOracleSql(table: String, idCol: String, textCol: String,
+                        vocabK: Int, iters: Int, k: Int,
+                        damping: Double = 0.85): String = {
+    val d = damping.toString
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT e.dst AS node,
+             CAST(round((1.0 - $d) * 1000000.0 / nn.n) AS BIGINT)
+               + CAST(sum(CAST(round($d * r.r / dg.deg) AS BIGINT)) AS BIGINT) AS r
+           FROM ed e JOIN r${i - 1} r ON e.src = r.node
+                     JOIN dg ON e.src = dg.src
+                     CROSS JOIN nn
+           GROUP BY e.dst, nn.n)"""
+    }.mkString(",\n       ")
+    s"""WITH toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tokc AS (SELECT token, count(*) AS c FROM (
+           SELECT unnest(toks) AS token FROM t2) u GROUP BY 1),
+       vocab AS (SELECT token FROM (
+           SELECT token, c FROM tokc ORDER BY c DESC, token LIMIT $vocabK)),
+       bg AS (SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+              FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t2 WHERE len(toks) >= 2) g),
+       pr AS (SELECT DISTINCT least(a, b) AS id1, greatest(a, b) AS id2
+              FROM bg WHERE a <> b
+                AND least(a, b) IN (SELECT token FROM vocab)
+                AND greatest(a, b) IN (SELECT token FROM vocab)),
+       ed AS (SELECT id1 AS src, id2 AS dst FROM pr
+              UNION SELECT id2, id1 FROM pr),
+       dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM ed),
+       r0 AS (SELECT s.src AS node, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+              FROM (SELECT DISTINCT src FROM ed) s CROSS JOIN nn),
+       $iterCtes
+       SELECT node AS token, r AS rank_micro FROM r$iters
+       ORDER BY rank_micro DESC, token LIMIT $k"""
+  }
+
   /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
   def unigramLogProbOracleSql(table: String, idCol: String,
                               textCol: String): String =

@@ -132,3 +132,73 @@ class AnnotatorAgreementSpec extends SparkSpec {
     assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 }
+
+class BradleyTerrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("undefeated item absorbs all strength; winless item goes to zero") {
+    val b = Seq(("A", "B"), ("A", "B"), ("A", "B")).toDF("w", "l")
+    val out = graft.ops.Rlhf.bradleyTerryMicro(b, "w", "l", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 2000000L, "B" -> 0L))
+  }
+
+  test("symmetric record gives equal strengths at the mean") {
+    val b = Seq(("A", "B"), ("B", "A"), ("A", "B"), ("B", "A")).toDF("w", "l")
+    val out = graft.ops.Rlhf.bradleyTerryMicro(b, "w", "l", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 1000000L, "B" -> 1000000L))
+  }
+
+  test("transitive dominance orders strengths") {
+    val b = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"), ("A", "C"))
+      .toDF("w", "l")
+    val out = graft.ops.Rlhf.bradleyTerryMicro(b, "w", "l", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(out("A") > out("B") && out("B") > out("C"))
+    // renormalization keeps total mass at N * 1e6 up to per-item rounding
+    assert(math.abs(out.values.sum - 3000000L) <= 3L)
+  }
+
+  test("disconnected components are each renormalized on the shared mean") {
+    val b = Seq(("A", "B"), ("C", "D"), ("C", "D")).toDF("w", "l")
+    val out = graft.ops.Rlhf.bradleyTerryMicro(b, "w", "l", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("A", "B", "C", "D"))
+    assert(out("A") > out("B") && out("C") > out("D"))
+  }
+}
+
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hub token connected to everything outranks the periphery") {
+    // star graph: "hub" co-occurs with every spoke; spokes only with hub
+    val docs = (1L to 6L).map(i => (i, s"hub spoke$i")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.textRankKeywords(docs, "doc_id", "text",
+        vocabK = 10, iters = 3, k = 10)
+      .as[(String, Long)].collect()
+    assert(out.head._1 == "hub")
+    assert(out.head._2 > out.last._2)
+  }
+
+  test("vocab prune drops edges touching out-of-vocab tokens") {
+    // rare3 appears once; with vocabK=3 only {a b c} survive (freq then
+    // token tiebreak), so the graph is the a-b-c path
+    val docs = Seq((1L, "a b c a b"), (2L, "a b rare3 c"))
+      .toDF("doc_id", "text")
+    val ranked = graft.ops.Corpus.textRankKeywords(docs, "doc_id", "text",
+        vocabK = 3, iters = 2, k = 10)
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(ranked == Set("a", "b", "c"))
+  }
+
+  test("top-k limit and rank-desc token-asc order") {
+    val docs = Seq((1L, "x y z x y z w x")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.textRankKeywords(docs, "doc_id", "text",
+        vocabK = 4, iters = 2, k = 2)
+      .as[(String, Long)].collect()
+    assert(out.length == 2)
+    assert(out(0)._2 >= out(1)._2)
+  }
+}
