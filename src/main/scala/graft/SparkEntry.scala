@@ -4297,7 +4297,18 @@ object SparkEntry {
     // by vocabK² before any iteration); 3 integer-quantized steps, top-25.
     "q_textrank" -> ((s, d) =>
       graft.ops.Corpus.textRankKeywords(Tables.documents(s, d),
-        "doc_id", "text", vocabK = 60, iters = 3, k = 25))
+        "doc_id", "text", vocabK = 60, iters = 3, k = 25)),
+
+    // ── LLM-pipeline: KNESER–NEY trigram cross-entropy — the smoothing
+    // KenLM defaults to: lower orders back off onto CONTINUATION counts
+    // (distinct-context types), so collocation-bound tokens stop
+    // inflating the backoff mass. Same one-scan, type-table plan shape
+    // as q_trigram_logprob; one discount double, micro-nat exact.
+    "q_kn_trigram" -> ((s, d) =>
+      graft.ops.Corpus.knTrigramLogProb(Tables.documents(s, d),
+        "doc_id", "text", discount = 0.75)
+        .where(col("doc_id") % 7 === 0)
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -6505,6 +6516,11 @@ object SparkEntry {
 
     "q_textrank" ->
       graft.ops.Corpus.textRankOracleSql("documents", "doc_id", "text",
-        vocabK = 60, iters = 3, k = 25)
+        vocabK = 60, iters = 3, k = 25),
+
+    "q_kn_trigram" ->
+      graft.ops.Corpus.knTrigramLogProbOracleSql("documents", "doc_id",
+        "text", discount = 0.75)
+        .replace("ORDER BY doc_id", "WHERE nt.doc_id % 7 = 0 ORDER BY doc_id")
   )
 }

@@ -888,6 +888,207 @@ object Corpus {
        ORDER BY $idCol"""
   }
 
+  /** Per-document log-probability under an interpolated KNESER–NEY
+    * trigram model — the smoothing KenLM actually defaults to (Kneser &
+    * Ney 1995; Chen & Goodman 1999 eq. 20): lower orders use CONTINUATION
+    * counts ("how many distinct contexts precede this n-gram"), not raw
+    * frequencies, so a token frequent only inside one collocation
+    * ("francisco") stops inflating its unigram backoff. With absolute
+    * discount D:
+    *
+    *   P₁(w)     = N₁₊(·w) / N₁₊(··)                      (bigram types)
+    *   P₂ᶜ(w|v)  = (N₁₊(·vw) − D + D·N₂(v)·P₁(w)) / N₁₊(·v·)
+    *   P₃(w|u,v) = (c(uvw) − D + D·N₃(uv)·P₂ᶜ(w|v)) / c(uv·)
+    *
+    * Position 2 scores under the REAL-count order-2 model
+    * (c(vw) − D + D·N₂ʳ(v)·P₁(w)) / c(v·), and position 1 under the
+    * family's add-one unigram floor, so every document is fully scored
+    * and a 1-token document degrades exactly to [[unigramLogProb]].
+    *
+    * Exactness: every count is an exact long; D is ONE driver-side
+    * double serialized verbatim into the oracle, each per-TYPE log-prob
+    * computes the identical IEEE expression tree on both engines and
+    * quantizes to integer micro-nats before the per-doc LONG sums.
+    * Self-model scoring means every lookup hits (all inner joins). All
+    * counts ≥ 1 and 0 < D < 1 keep every numerator positive.
+    *
+    * Scale: identical shape to [[trigramLogProb]] — ONE corpus scan
+    * through the persisted token arrays; continuation tables derive from
+    * the trigram/bigram TYPE tables by short-key aggregates (they are
+    * strictly smaller than their sources); totals ride as broadcast
+    * 1-row frames. */
+  def knTrigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                       discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val dD = discount
+    val toks = lmToks(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cf = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cf"))
+    val cvw = toks.select(explode(lmPairs).as("p"))
+      .groupBy(col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c_vw"))
+    val cuvw = toks.select(explode(lmTriples).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .agg(count(lit(1)).as("c_uvw"))
+    // context/continuation tables — all bounded by their type sources
+    val cuv = cuvw.groupBy(col("u"), col("v"))
+      .agg(sum(col("c_uvw")).as("c_uv"), count(lit(1)).as("n3_uv"))
+    val mid = cuvw.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("n1l_vw"))
+    val midv = mid.groupBy(col("v"))
+      .agg(sum(col("n1l_vw")).as("n1l_v"), count(lit(1)).as("n2_v"))
+    val cv = cvw.groupBy(col("v"))
+      .agg(sum(col("c_vw")).as("c_v"), count(lit(1)).as("n2r_v"))
+    val uniC = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1l_w"))
+    val nB = cvw.agg(count(lit(1)).as("nb"))
+    val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
+    // the continuation-unigram term shared by both smoothed orders
+    def p1 = col("n1l_w").cast("double") / col("nb").cast("double")
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
+    val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
+      .join(cf, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round(log((col("cf") + lit(1.0d)) /
+          (col("tot_t") + col("tot_v")).cast("double")) * lit(1e6))
+          .cast("long").as("lw0_micro"))
+    val second = toks.where(size(col("toks")) >= 2)
+      .select(col(idCol), element_at(col("toks"), 1).as("v"),
+        element_at(col("toks"), 2).as("w"))
+      .join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .join(uniC, Seq("w"))
+      .crossJoin(broadcast(nB))
+      .select(col(idCol),
+        round(log((col("c_vw").cast("double") - lit(dD) +
+            lit(dD) * col("n2r_v").cast("double") * p1) /
+          col("c_v").cast("double")) * lit(1e6))
+          .cast("long").as("lw2_micro"))
+    val tg = toks.select(col(idCol), explode(lmTriples).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"),
+        col("p.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val tsum = tg
+      .join(cuvw, Seq("u", "v", "w"))
+      .join(cuv, Seq("u", "v"))
+      .join(mid, Seq("v", "w"))
+      .join(midv, Seq("v"))
+      .join(uniC, Seq("w"))
+      .crossJoin(broadcast(nB))
+      .select(col(idCol), (col("tf") *
+        round(log((col("c_uvw").cast("double") - lit(dD) +
+            lit(dD) * col("n3_uv").cast("double") *
+            ((col("n1l_vw").cast("double") - lit(dD) +
+              lit(dD) * col("n2_v").cast("double") * p1) /
+              col("n1l_v").cast("double"))) /
+          col("c_uv").cast("double")) * lit(1e6)).cast("long"))
+        .as("c_micro"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_micro")).as("tri_micro"))
+    val out = nt.join(first, Seq(idCol))
+      .join(second, Seq(idCol), "left")
+      .join(tsum, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("lw0_micro") + coalesce(col("lw2_micro"), lit(0L)) +
+          coalesce(col("tri_micro"), lit(0L))).as("logprob_micro"))
+      .withColumn("xent",
+        (-col("logprob_micro")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** DuckDB oracle replaying [[knTrigramLogProb]] — the same count /
+    * continuation tables and the identical IEEE expression tree per
+    * type, with the one discount double serialized verbatim. */
+  def knTrigramLogProbOracleSql(table: String, idCol: String,
+                                textCol: String,
+                                discount: Double = 0.75): String = {
+    val dD = discount
+    s"""WITH toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tf AS (SELECT $idCol, token, count(*) AS tf FROM (
+           SELECT $idCol, unnest(toks) AS token FROM t2) u GROUP BY 1, 2),
+       cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot_t, count(*) AS tot_v FROM cf),
+       cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM (
+           SELECT toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t2 WHERE len(toks) >= 2) g) p
+         GROUP BY 1, 2),
+       cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+                CAST(count(*) AS BIGINT) AS n2r_v
+              FROM cvw GROUP BY 1),
+       unic AS (SELECT w, CAST(count(*) AS BIGINT) AS n1l_w
+                FROM cvw GROUP BY 1),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cvw),
+       tg AS (SELECT $idCol, u, v, w, count(*) AS tf FROM (
+           SELECT $idCol, toks[CAST(i AS INT)] AS u,
+             toks[CAST(i AS INT) + 1] AS v, toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT $idCol, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM t2 WHERE len(toks) >= 3) g) p
+         GROUP BY 1, 2, 3, 4),
+       cuvw AS (SELECT u, v, w, CAST(sum(tf) AS BIGINT) AS c_uvw
+         FROM tg GROUP BY 1, 2, 3),
+       cuv AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv,
+                 CAST(count(*) AS BIGINT) AS n3_uv
+               FROM cuvw GROUP BY 1, 2),
+       mid AS (SELECT v, w, CAST(count(*) AS BIGINT) AS n1l_vw
+               FROM cuvw GROUP BY 1, 2),
+       midv AS (SELECT v, CAST(sum(n1l_vw) AS BIGINT) AS n1l_v,
+                  CAST(count(*) AS BIGINT) AS n2_v
+                FROM mid GROUP BY 1),
+       lw2 AS (SELECT cvw.v, cvw.w,
+           CAST(round(ln((CAST(c_vw AS DOUBLE) - $dD +
+               $dD * CAST(n2r_v AS DOUBLE) *
+               (CAST(n1l_w AS DOUBLE) / CAST(nb AS DOUBLE))) /
+             CAST(c_v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lw2_micro
+         FROM cvw JOIN cv USING (v) JOIN unic ON unic.w = cvw.w
+              CROSS JOIN nb),
+       lw3 AS (SELECT cuvw.u, cuvw.v, cuvw.w,
+           CAST(round(ln((CAST(c_uvw AS DOUBLE) - $dD +
+               $dD * CAST(n3_uv AS DOUBLE) *
+               ((CAST(n1l_vw AS DOUBLE) - $dD +
+                 $dD * CAST(n2_v AS DOUBLE) *
+                 (CAST(n1l_w AS DOUBLE) / CAST(nb AS DOUBLE))) /
+                 CAST(n1l_v AS DOUBLE))) /
+             CAST(c_uv AS DOUBLE)) * 1000000.0) AS BIGINT) AS lw3_micro
+         FROM cuvw JOIN cuv USING (u, v) JOIN mid USING (v, w)
+              JOIN midv USING (v) JOIN unic ON unic.w = cuvw.w
+              CROSS JOIN nb),
+       nt AS (SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_tokens
+              FROM tf GROUP BY 1),
+       fi AS (SELECT t2.$idCol,
+                CAST(round(ln((cf + 1.0) / CAST(tot_t + tot_v AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS lw0_micro
+              FROM t2 JOIN cf ON cf.token = t2.toks[1] CROSS JOIN tot),
+       se AS (SELECT t2.$idCol, lw2.lw2_micro
+              FROM t2 JOIN lw2 ON lw2.v = t2.toks[1] AND lw2.w = t2.toks[2]
+              WHERE len(toks) >= 2),
+       ts AS (SELECT tg.$idCol,
+                CAST(sum(tg.tf * lw3.lw3_micro) AS BIGINT) AS tri_micro
+              FROM tg JOIN lw3 USING (u, v, w) GROUP BY 1)
+       SELECT nt.$idCol, nt.n_tokens,
+         CAST(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0) AS BIGINT) AS logprob_micro,
+         CAST(-(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0)) AS DOUBLE) /
+           (CAST(nt.n_tokens AS DOUBLE) * 1000000.0) AS xent
+       FROM nt JOIN fi USING ($idCol) LEFT JOIN se USING ($idCol)
+            LEFT JOIN ts USING ($idCol)
+       ORDER BY $idCol"""
+  }
+
   /** DuckDB oracle replaying [[trigramScoreWithModel]] with the model
     * trained on `modelTable` and the documents of `scoreTable` scored —
     * the generalized smoothed form: every scored position LEFT-joins its

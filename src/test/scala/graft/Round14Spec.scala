@@ -202,3 +202,51 @@ class TextRankSpec extends SparkSpec {
     assert(out(0)._2 >= out(1)._2)
   }
 }
+
+class KneserNeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed tiny corpus matches the KN formula exactly") {
+    val docs = Seq(1L -> "a b c", 2L -> "a b c", 3L -> "a b d")
+      .toDF("doc_id", "text")
+    val out = graft.ops.Corpus.knTrigramLogProb(docs, "doc_id", "text",
+        discount = 0.75)
+      .select("doc_id", "logprob_micro").as[(Long, Long)].collect().toMap
+    // counts: cf a3 b3 c2 d1 (T=9, V=4); bigram types (a,b)3 (b,c)2 (b,d)1
+    // (nb=3); trigrams (a,b,c)2 (a,b,d)1; c_uv(a,b)=3, N3=2; N1+(.b c)=1,
+    // N1+(.b .)=2, N2(b)=2; P1 = n1l_w/nb = 1/3 for b, c, d
+    val lw0 = math.round(math.log(4.0 / 13.0) * 1e6) // first token "a"
+    val lw2 = math.round(math.log(
+      (3.0 - 0.75 + 0.75 * 1.0 * (1.0 / 3.0)) / 3.0) * 1e6) // (a,b) real KN
+    def p2c = (1.0 - 0.75 + 0.75 * 2.0 * (1.0 / 3.0)) / 2.0 // cont. order 2
+    val lw3c = math.round(math.log(
+      (2.0 - 0.75 + 0.75 * 2.0 * p2c) / 3.0) * 1e6) // (a,b,c)
+    val lw3d = math.round(math.log(
+      (1.0 - 0.75 + 0.75 * 2.0 * p2c) / 3.0) * 1e6) // (a,b,d)
+    assert(out(1L) == lw0 + lw2 + lw3c)
+    assert(out(3L) == lw0 + lw2 + lw3d)
+  }
+
+  test("1-token doc degrades exactly to the unigram score") {
+    val docs = Seq(1L -> "alpha beta gamma", 2L -> "alpha")
+      .toDF("doc_id", "text")
+    val kn = graft.ops.Corpus.knTrigramLogProb(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).select("n_tokens", "logprob_micro")
+      .as[(Long, Long)].head()
+    val uni = graft.ops.Corpus.unigramLogProb(docs, "doc_id", "text")
+      .where($"doc_id" === 2L).select("n_tokens", "logprob_micro")
+      .as[(Long, Long)].head()
+    assert(kn == uni, s"KN $kn vs unigram $uni")
+  }
+
+  test("word order: scrambled doc scores higher xent than the corpus phrase") {
+    val phrase = "the quick brown fox jumps over the lazy dog"
+    val docs = ((1L to 10L).map(i => i -> phrase) :+
+      (20L -> "dog the over quick lazy fox brown jumps the"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Corpus.knTrigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(out(1L) < out(20L),
+      s"ordered ${out(1L)} should beat scrambled ${out(20L)}")
+  }
+}
