@@ -4308,7 +4308,45 @@ object SparkEntry {
       graft.ops.Corpus.knTrigramLogProb(Tables.documents(s, d),
         "doc_id", "text", discount = 0.75)
         .where(col("doc_id") % 7 === 0)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: DoReMi excess-loss reweighting — the multiplicative-
+    // weights update that closes the loop over the static mixture
+    // planners: per-domain w' ∝ prior·exp(η·max(loss−ref, 0)), integer
+    // micro in/out, one exp per DOMAIN (never per row). Mean chars per
+    // doc stands in for the per-domain proxy loss.
+    "q_domain_reweight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tot = docs.agg(count(lit(1)).as("nt"), sum("n_chars").as("st"))
+      val dom = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("c"), sum("n_chars").as("sc"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("c * 1000000L div nt").as("prior_micro"),
+          expr("CAST(sc AS DECIMAL(38,0)) * 1000000 div c").cast("long")
+            .as("loss_micro"),
+          expr("CAST(st AS DECIMAL(38,0)) * 1000000 div nt").cast("long")
+            .as("ref_micro"))
+      graft.ops.Sampling.domainExcessReweight(dom, "source",
+          "prior_micro", "loss_micro", "ref_micro", etaMicro = 20000L)
+        .orderBy(col("source"))
+    }),
+
+    // ── LLM-pipeline: KN stored-model scoring with OOV backoff — the
+    // KenLM production path: the model (three count tables, the same
+    // shapes the LM pipes persist) trains on the even half of the corpus
+    // and scores the odd half; out-of-model n-grams walk the KN backoff
+    // cascade down to the add-one floor instead of being dropped.
+    "q_kn_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (uni, bi, tri) = graft.ops.Corpus.trigramModelCounts(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", buckets = 8)
+      graft.ops.Corpus.knScoreWithModel(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          graft.ops.Corpus.lmFoldUni(uni), graft.ops.Corpus.lmFoldBi(bi),
+          graft.ops.Corpus.lmFoldTri(tri), discount = 0.75)
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -6521,6 +6559,27 @@ object SparkEntry {
     "q_kn_trigram" ->
       graft.ops.Corpus.knTrigramLogProbOracleSql("documents", "doc_id",
         "text", discount = 0.75)
-        .replace("ORDER BY doc_id", "WHERE nt.doc_id % 7 = 0 ORDER BY doc_id")
+        .replace("ORDER BY doc_id", "WHERE nt.doc_id % 7 = 0 ORDER BY doc_id"),
+
+    "q_domain_reweight" ->
+      graft.ops.Sampling.domainExcessReweightOracleSql(
+        """(SELECT source,
+             CAST(count(*) * 1000000 //
+               (SELECT count(*) FROM documents) AS BIGINT) AS prior_micro,
+             CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000 // count(*)
+               AS BIGINT) AS loss_micro,
+             (SELECT CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT) FROM documents) AS ref_micro
+           FROM documents GROUP BY source)"""
+          .linesIterator.map(_.trim).mkString(" "),
+        domainCol = "source", priorMicroCol = "prior_micro",
+        lossMicroCol = "loss_micro", refMicroCol = "ref_micro",
+        etaMicro = 20000L),
+
+    "q_kn_stored" ->
+      graft.ops.Corpus.knScoreOracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "doc_id", "text", discount = 0.75)
   )
 }

@@ -919,8 +919,6 @@ object Corpus {
     * 1-row frames. */
   def knTrigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                        discount: Double = 0.75): DataFrame = {
-    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
-    val dD = discount
     val toks = lmToks(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cf = toks.select(explode(col("toks")).as("token"))
@@ -931,6 +929,43 @@ object Corpus {
     val cuvw = toks.select(explode(lmTriples).as("p"))
       .groupBy(col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
       .agg(count(lit(1)).as("c_uvw"))
+    val out = knScoreFromToks(toks, idCol, cf, cvw, cuvw, discount)
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** Score documents under a GIVEN Kneser–Ney trigram model — stored-model
+    * inference over the same three count tables the LM pipes persist
+    * ([[lmFoldUni]]/[[lmFoldBi]]/[[lmFoldTri]] outputs): the KenLM
+    * production path of shipping one model and scoring arbitrary text
+    * against it. Out-of-model n-grams walk the KN BACKOFF CASCADE —
+    * unseen trigram type keeps the context's continuation mass
+    * (numerator D·N₃(uv)·P₂ᶜ), unseen context falls to the next order,
+    * and a fully-OOV token lands on the add-one unigram floor — so
+    * out-of-domain text pays its real penalty instead of being dropped.
+    * For fully in-model text every branch takes the seen arm and the
+    * score is bit-identical to [[knTrigramLogProb]]'s self-model value
+    * (greatest(c−D, 0) ≡ c−D when c ≥ 1). */
+  def knScoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+                       cf: DataFrame, cvw: DataFrame, cuvw: DataFrame,
+                       discount: Double = 0.75): DataFrame = {
+    val toks = lmToks(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = knScoreFromToks(toks, idCol, cf, cvw, cuvw, discount)
+    val materialized = out.localCheckpoint(true)
+    toks.unpersist()
+    materialized
+  }
+
+  /** Shared KN scorer over prepared token arrays: LEFT-joined count
+    * lookups with the backoff cascade, identical IEEE tree per type,
+    * micro-nat quantization before the per-doc LONG sums. */
+  private def knScoreFromToks(toks: DataFrame, idCol: String,
+                              cf: DataFrame, cvw: DataFrame,
+                              cuvw: DataFrame, discount: Double): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount must be in (0, 1)")
+    val dD = discount
     // context/continuation tables — all bounded by their type sources
     val cuv = cuvw.groupBy(col("u"), col("v"))
       .agg(sum(col("c_uvw")).as("c_uv"), count(lit(1)).as("n3_uv"))
@@ -943,53 +978,67 @@ object Corpus {
     val uniC = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1l_w"))
     val nB = cvw.agg(count(lit(1)).as("nb"))
     val totals = cf.agg(sum(col("cf")).as("tot_t"), count(lit(1)).as("tot_v"))
-    // the continuation-unigram term shared by both smoothed orders
-    def p1 = col("n1l_w").cast("double") / col("nb").cast("double")
+    val cfW = cf.withColumnRenamed("token", "w")
+    // backoff cascade terms: each order falls through when its context is
+    // absent; the seen branches compute the exact self-model expressions
+    def floorTerm = (coalesce(col("cf"), lit(0L)) + lit(1.0d)) /
+      (col("tot_t") + col("tot_v")).cast("double")
+    def p1 = when(col("n1l_w").isNotNull,
+        col("n1l_w").cast("double") / col("nb").cast("double"))
+      .otherwise(floorTerm)
+    def p2c = when(col("n1l_v").isNotNull,
+        (greatest(coalesce(col("n1l_vw"), lit(0L)).cast("double") - lit(dD),
+          lit(0.0d)) + lit(dD) * col("n2_v").cast("double") * p1) /
+          col("n1l_v").cast("double"))
+      .otherwise(p1)
+    def p2r = when(col("c_v").isNotNull,
+        (greatest(coalesce(col("c_vw"), lit(0L)).cast("double") - lit(dD),
+          lit(0.0d)) + lit(dD) * col("n2r_v").cast("double") * p1) /
+          col("c_v").cast("double"))
+      .otherwise(p1)
+    def p3 = when(col("c_uv").isNotNull,
+        (greatest(coalesce(col("c_uvw"), lit(0L)).cast("double") - lit(dD),
+          lit(0.0d)) + lit(dD) * col("n3_uv").cast("double") * p2c) /
+          col("c_uv").cast("double"))
+      .otherwise(p2c)
     val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
     val first = toks.select(col(idCol), element_at(col("toks"), 1).as("token"))
-      .join(cf, Seq("token"))
+      .join(cf, Seq("token"), "left")
       .crossJoin(broadcast(totals))
       .select(col(idCol),
-        round(log((col("cf") + lit(1.0d)) /
-          (col("tot_t") + col("tot_v")).cast("double")) * lit(1e6))
-          .cast("long").as("lw0_micro"))
+        round(log(floorTerm) * lit(1e6)).cast("long").as("lw0_micro"))
     val second = toks.where(size(col("toks")) >= 2)
       .select(col(idCol), element_at(col("toks"), 1).as("v"),
         element_at(col("toks"), 2).as("w"))
-      .join(cvw, Seq("v", "w"))
-      .join(cv, Seq("v"))
-      .join(uniC, Seq("w"))
+      .join(cvw, Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(uniC, Seq("w"), "left")
+      .join(cfW, Seq("w"), "left")
       .crossJoin(broadcast(nB))
+      .crossJoin(broadcast(totals))
       .select(col(idCol),
-        round(log((col("c_vw").cast("double") - lit(dD) +
-            lit(dD) * col("n2r_v").cast("double") * p1) /
-          col("c_v").cast("double")) * lit(1e6))
-          .cast("long").as("lw2_micro"))
+        round(log(p2r) * lit(1e6)).cast("long").as("lw2_micro"))
     val tg = toks.select(col(idCol), explode(lmTriples).as("p"))
       .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"),
         col("p.w").as("w"))
       .groupBy(col(idCol), col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("tf"))
     val tsum = tg
-      .join(cuvw, Seq("u", "v", "w"))
-      .join(cuv, Seq("u", "v"))
-      .join(mid, Seq("v", "w"))
-      .join(midv, Seq("v"))
-      .join(uniC, Seq("w"))
+      .join(cuvw, Seq("u", "v", "w"), "left")
+      .join(cuv, Seq("u", "v"), "left")
+      .join(mid, Seq("v", "w"), "left")
+      .join(midv, Seq("v"), "left")
+      .join(uniC, Seq("w"), "left")
+      .join(cfW, Seq("w"), "left")
       .crossJoin(broadcast(nB))
+      .crossJoin(broadcast(totals))
       .select(col(idCol), (col("tf") *
-        round(log((col("c_uvw").cast("double") - lit(dD) +
-            lit(dD) * col("n3_uv").cast("double") *
-            ((col("n1l_vw").cast("double") - lit(dD) +
-              lit(dD) * col("n2_v").cast("double") * p1) /
-              col("n1l_v").cast("double"))) /
-          col("c_uv").cast("double")) * lit(1e6)).cast("long"))
-        .as("c_micro"))
+        round(log(p3) * lit(1e6)).cast("long")).as("c_micro"))
       .groupBy(col(idCol))
       .agg(sum(col("c_micro")).as("tri_micro"))
-    val out = nt.join(first, Seq(idCol))
+    nt.join(first, Seq(idCol))
       .join(second, Seq(idCol), "left")
       .join(tsum, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -998,9 +1047,6 @@ object Corpus {
       .withColumn("xent",
         (-col("logprob_micro")).cast("double") /
           (col("n_tokens").cast("double") * lit(1e6)))
-    val materialized = out.localCheckpoint(true)
-    toks.unpersist()
-    materialized
   }
 
   /** DuckDB oracle replaying [[knTrigramLogProb]] — the same count /
@@ -1078,6 +1124,143 @@ object Corpus {
        ts AS (SELECT tg.$idCol,
                 CAST(sum(tg.tf * lw3.lw3_micro) AS BIGINT) AS tri_micro
               FROM tg JOIN lw3 USING (u, v, w) GROUP BY 1)
+       SELECT nt.$idCol, nt.n_tokens,
+         CAST(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0) AS BIGINT) AS logprob_micro,
+         CAST(-(fi.lw0_micro + coalesce(se.lw2_micro, 0)
+           + coalesce(ts.tri_micro, 0)) AS DOUBLE) /
+           (CAST(nt.n_tokens AS DOUBLE) * 1000000.0) AS xent
+       FROM nt JOIN fi USING ($idCol) LEFT JOIN se USING ($idCol)
+            LEFT JOIN ts USING ($idCol)
+       ORDER BY $idCol"""
+  }
+
+  /** DuckDB oracle replaying [[knScoreWithModel]] with the model trained
+    * on `modelTable` and the documents of `scoreTable` scored — LEFT
+    * joins with the same KN backoff cascade (unseen type → continuation
+    * mass; unseen context → next order; OOV token → add-one floor),
+    * identical IEEE expression trees per branch. */
+  def knScoreOracleSql(modelTable: String, scoreTable: String,
+                       idCol: String, textCol: String,
+                       discount: Double = 0.75): String = {
+    val dD = discount
+    s"""WITH mtoks AS (
+         SELECT list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $modelTable),
+       mt2 AS (SELECT toks FROM mtoks WHERE len(toks) > 0),
+       cf AS (SELECT token, CAST(count(*) AS BIGINT) AS cf FROM (
+           SELECT unnest(toks) AS token FROM mt2) u GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS tot_t, count(*) AS tot_v FROM cf),
+       cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM (
+           SELECT toks[CAST(i AS INT)] AS v, toks[CAST(i AS INT) + 1] AS w
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM mt2 WHERE len(toks) >= 2) g) p
+         GROUP BY 1, 2),
+       cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+                CAST(count(*) AS BIGINT) AS n2r_v
+              FROM cvw GROUP BY 1),
+       unic AS (SELECT w, CAST(count(*) AS BIGINT) AS n1l_w
+                FROM cvw GROUP BY 1),
+       nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cvw),
+       cuvw AS (SELECT u, v, w, CAST(count(*) AS BIGINT) AS c_uvw FROM (
+           SELECT toks[CAST(i AS INT)] AS u,
+             toks[CAST(i AS INT) + 1] AS v, toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM mt2 WHERE len(toks) >= 3) g) p
+         GROUP BY 1, 2, 3),
+       cuv AS (SELECT u, v, CAST(sum(c_uvw) AS BIGINT) AS c_uv,
+                 CAST(count(*) AS BIGINT) AS n3_uv
+               FROM cuvw GROUP BY 1, 2),
+       mid AS (SELECT v, w, CAST(count(*) AS BIGINT) AS n1l_vw
+               FROM cuvw GROUP BY 1, 2),
+       midv AS (SELECT v, CAST(sum(n1l_vw) AS BIGINT) AS n1l_v,
+                  CAST(count(*) AS BIGINT) AS n2_v
+                FROM mid GROUP BY 1),
+       stoks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $scoreTable),
+       st2 AS (SELECT $idCol, toks FROM stoks WHERE len(toks) > 0),
+       stf AS (SELECT $idCol, token, count(*) AS tf FROM (
+           SELECT $idCol, unnest(toks) AS token FROM st2) u GROUP BY 1, 2),
+       nt AS (SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_tokens
+              FROM stf GROUP BY 1),
+       fi AS (SELECT st2.$idCol,
+                CAST(round(ln((coalesce(cf, 0) + 1.0)
+                  / CAST(tot_t + tot_v AS DOUBLE)) * 1000000.0) AS BIGINT)
+                  AS lw0_micro
+              FROM st2 LEFT JOIN cf ON cf.token = st2.toks[1] CROSS JOIN tot),
+       se AS (SELECT s.$idCol,
+                CAST(round(ln(
+                  CASE WHEN cv.c_v IS NOT NULL THEN
+                    (greatest(CAST(coalesce(cvw.c_vw, 0) AS DOUBLE) - $dD, 0.0)
+                      + $dD * CAST(cv.n2r_v AS DOUBLE) *
+                      (CASE WHEN unic.n1l_w IS NOT NULL
+                         THEN CAST(unic.n1l_w AS DOUBLE) / CAST(nb AS DOUBLE)
+                         ELSE (coalesce(cf.cf, 0) + 1.0)
+                           / CAST(tot_t + tot_v AS DOUBLE) END))
+                      / CAST(cv.c_v AS DOUBLE)
+                  ELSE CASE WHEN unic.n1l_w IS NOT NULL
+                         THEN CAST(unic.n1l_w AS DOUBLE) / CAST(nb AS DOUBLE)
+                         ELSE (coalesce(cf.cf, 0) + 1.0)
+                           / CAST(tot_t + tot_v AS DOUBLE) END
+                  END) * 1000000.0) AS BIGINT) AS lw2_micro
+              FROM (SELECT $idCol, toks[1] AS v, toks[2] AS w
+                    FROM st2 WHERE len(toks) >= 2) s
+              LEFT JOIN cvw ON cvw.v = s.v AND cvw.w = s.w
+              LEFT JOIN cv ON cv.v = s.v
+              LEFT JOIN unic ON unic.w = s.w
+              LEFT JOIN cf ON cf.token = s.w
+              CROSS JOIN nb CROSS JOIN tot),
+       stg AS (SELECT $idCol, u, v, w, count(*) AS tf FROM (
+           SELECT $idCol, toks[CAST(i AS INT)] AS u,
+             toks[CAST(i AS INT) + 1] AS v, toks[CAST(i AS INT) + 2] AS w
+           FROM (SELECT $idCol, toks,
+                   unnest(generate_series(1, len(toks) - 2)) AS i
+                 FROM st2 WHERE len(toks) >= 3) g) p
+         GROUP BY 1, 2, 3, 4),
+       ts AS (SELECT s.$idCol,
+                CAST(sum(s.tf * CAST(round(ln(
+                  CASE WHEN cuv.c_uv IS NOT NULL THEN
+                    (greatest(CAST(coalesce(cuvw.c_uvw, 0) AS DOUBLE) - $dD, 0.0)
+                      + $dD * CAST(cuv.n3_uv AS DOUBLE) *
+                      (CASE WHEN midv.n1l_v IS NOT NULL THEN
+                         (greatest(CAST(coalesce(mid.n1l_vw, 0) AS DOUBLE) - $dD, 0.0)
+                           + $dD * CAST(midv.n2_v AS DOUBLE) *
+                           (CASE WHEN unic.n1l_w IS NOT NULL
+                              THEN CAST(unic.n1l_w AS DOUBLE) / CAST(nb AS DOUBLE)
+                              ELSE (coalesce(cf.cf, 0) + 1.0)
+                                / CAST(tot_t + tot_v AS DOUBLE) END))
+                           / CAST(midv.n1l_v AS DOUBLE)
+                       ELSE CASE WHEN unic.n1l_w IS NOT NULL
+                              THEN CAST(unic.n1l_w AS DOUBLE) / CAST(nb AS DOUBLE)
+                              ELSE (coalesce(cf.cf, 0) + 1.0)
+                                / CAST(tot_t + tot_v AS DOUBLE) END END))
+                      / CAST(cuv.c_uv AS DOUBLE)
+                  ELSE CASE WHEN midv.n1l_v IS NOT NULL THEN
+                         (greatest(CAST(coalesce(mid.n1l_vw, 0) AS DOUBLE) - $dD, 0.0)
+                           + $dD * CAST(midv.n2_v AS DOUBLE) *
+                           (CASE WHEN unic.n1l_w IS NOT NULL
+                              THEN CAST(unic.n1l_w AS DOUBLE) / CAST(nb AS DOUBLE)
+                              ELSE (coalesce(cf.cf, 0) + 1.0)
+                                / CAST(tot_t + tot_v AS DOUBLE) END))
+                           / CAST(midv.n1l_v AS DOUBLE)
+                       ELSE CASE WHEN unic.n1l_w IS NOT NULL
+                              THEN CAST(unic.n1l_w AS DOUBLE) / CAST(nb AS DOUBLE)
+                              ELSE (coalesce(cf.cf, 0) + 1.0)
+                                / CAST(tot_t + tot_v AS DOUBLE) END END
+                  END) * 1000000.0) AS BIGINT)) AS BIGINT) AS tri_micro
+              FROM stg s
+              LEFT JOIN cuvw ON cuvw.u = s.u AND cuvw.v = s.v AND cuvw.w = s.w
+              LEFT JOIN cuv ON cuv.u = s.u AND cuv.v = s.v
+              LEFT JOIN mid ON mid.v = s.v AND mid.w = s.w
+              LEFT JOIN midv ON midv.v = s.v
+              LEFT JOIN unic ON unic.w = s.w
+              LEFT JOIN cf ON cf.token = s.w
+              CROSS JOIN nb CROSS JOIN tot
+              GROUP BY 1)
        SELECT nt.$idCol, nt.n_tokens,
          CAST(fi.lw0_micro + coalesce(se.lw2_micro, 0)
            + coalesce(ts.tri_micro, 0) AS BIGINT) AS logprob_micro,

@@ -732,4 +732,62 @@ object Sampling {
          (n_rows * max_len - sum_len) * 1000000 // (n_rows * max_len) AS waste_micro
        FROM g ORDER BY bucket, shard, batch_id"""
   }
+
+  /** DoReMi-style excess-loss domain reweighting — the multiplicative-
+    * weights UPDATE step (Xie et al. 2023 §3.2): each domain's mixture
+    * weight moves up by how much its proxy loss EXCEEDS the reference
+    * model's, wᵢ′ ∝ priorᵢ·exp(η·max(lossᵢ−refᵢ, 0)), renormalized to
+    * Σ = 10⁶. The static-mixture planners ([[tokenBudgetPlan]],
+    * [[temperatureMixture]], [[unimaxAllocation]]) consume the result;
+    * this is the feedback edge that turns them into a DoReMi loop.
+    *
+    * Exactness: losses/priors arrive as integer micro-units; the one
+    * transcendental per domain evaluates exp on a double derived from
+    * exact longs (identical IEEE input on both engines — the ln
+    * discipline of the LM family), floors back to micro, and the
+    * renormalization is integer division over an exact long total
+    * (DECIMAL(38,0)-widened).
+    *
+    * Scale: the input is already per-DOMAIN (bounded — domains number
+    * tens to thousands); one 1-row total broadcast back. The corpus-side
+    * work (computing per-domain losses) happens upstream in whatever
+    * scorer feeds this. */
+  def domainExcessReweight(df: DataFrame, domainCol: String,
+                           priorMicroCol: String, lossMicroCol: String,
+                           refMicroCol: String, etaMicro: Long): DataFrame = {
+    require(etaMicro >= 0L, "etaMicro must be non-negative")
+    val raw = df.select(col(domainCol), col(priorMicroCol),
+        greatest(col(lossMicroCol) - col(refMicroCol), lit(0L))
+          .as("excess_micro"))
+      .select(col(domainCol), col(priorMicroCol), col("excess_micro"),
+        floor(col(priorMicroCol).cast("double") *
+          exp((lit(etaMicro) * col("excess_micro")).cast("double") /
+            lit(1e12))).cast("long").as("w_raw"))
+    val tot = raw.agg(sum(col("w_raw")).as("tot"))
+    raw.crossJoin(broadcast(tot))
+      .select(col(domainCol), col(priorMicroCol), col("excess_micro"),
+        expr("CAST(w_raw AS DECIMAL(38,0)) * 1000000 div tot").cast("long")
+          .as("weight_micro"))
+  }
+
+  /** DuckDB oracle replaying [[domainExcessReweight]] over a per-domain
+    * subquery providing (domain, prior_micro, loss_micro, ref_micro). */
+  def domainExcessReweightOracleSql(table: String, domainCol: String,
+                                    priorMicroCol: String,
+                                    lossMicroCol: String,
+                                    refMicroCol: String,
+                                    etaMicro: Long): String =
+    s"""WITH src AS (SELECT $domainCol, $priorMicroCol,
+           greatest($lossMicroCol - $refMicroCol, 0) AS excess_micro
+         FROM $table),
+       raw AS (SELECT $domainCol, $priorMicroCol, excess_micro,
+           CAST(floor(CAST($priorMicroCol AS DOUBLE) *
+             exp(CAST($etaMicro * excess_micro AS DOUBLE) / 1e12))
+             AS BIGINT) AS w_raw
+         FROM src),
+       t AS (SELECT CAST(sum(w_raw) AS BIGINT) AS tot FROM raw)
+       SELECT $domainCol, $priorMicroCol, excess_micro,
+         CAST(CAST(w_raw AS HUGEINT) * 1000000 // tot AS BIGINT)
+           AS weight_micro
+       FROM raw, t ORDER BY $domainCol"""
 }

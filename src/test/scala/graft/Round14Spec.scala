@@ -250,3 +250,89 @@ class KneserNeySpec extends SparkSpec {
       s"ordered ${out(1L)} should beat scrambled ${out(20L)}")
   }
 }
+
+class DomainReweightSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domains above the reference gain weight; at-or-below lose it") {
+    val dom = Seq(
+      ("hot", 250000L, 2000000L, 1000000L),  // excess 1e6
+      ("ref", 250000L, 1000000L, 1000000L),  // excess 0
+      ("cold", 500000L, 400000L, 1000000L)   // clamped to 0
+    ).toDF("domain", "prior_micro", "loss_micro", "ref_micro")
+    val out = graft.ops.Sampling.domainExcessReweight(dom, "domain",
+        "prior_micro", "loss_micro", "ref_micro", etaMicro = 1000000L)
+      .select("domain", "weight_micro").as[(String, Long)].collect().toMap
+    // hot multiplier exp(1e6*1e6/1e12)=e; others 1.0
+    assert(out("hot") > 250000L)
+    assert(out("cold") < 500000L && out("ref") < 250000L)
+    assert(math.abs(out.values.sum - 1000000L) <= 3L)
+    // zero-excess domains keep their relative ratio (both x1.0)
+    assert(math.abs(out("cold") - 2L * out("ref")) <= 2L)
+  }
+
+  test("eta 0 reproduces the prior mixture") {
+    val dom = Seq(("a", 300000L, 9999999L, 0L), ("b", 700000L, 5L, 0L))
+      .toDF("domain", "prior_micro", "loss_micro", "ref_micro")
+    val out = graft.ops.Sampling.domainExcessReweight(dom, "domain",
+        "prior_micro", "loss_micro", "ref_micro", etaMicro = 0L)
+      .select("domain", "weight_micro").as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 300000L, "b" -> 700000L))
+  }
+}
+
+class KnStoredModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fully in-model text scores bit-identical to the self-model") {
+    val docs = Seq(1L -> "a b c d", 2L -> "a b c", 3L -> "a b d c")
+      .toDF("doc_id", "text")
+    val self = graft.ops.Corpus.knTrigramLogProb(docs, "doc_id", "text")
+      .select("doc_id", "logprob_micro").as[(Long, Long)].collect().toMap
+    // model == score corpus: every branch takes the seen arm
+    val (uni, bi, tri) = graft.ops.Corpus.trigramModelCounts(
+      docs, "doc_id", "text", buckets = 4)
+    val stored = graft.ops.Corpus.knScoreWithModel(docs, "doc_id", "text",
+        graft.ops.Corpus.lmFoldUni(uni), graft.ops.Corpus.lmFoldBi(bi),
+        graft.ops.Corpus.lmFoldTri(tri))
+      .select("doc_id", "logprob_micro").as[(Long, Long)].collect().toMap
+    assert(stored == self)
+  }
+
+  test("OOV token lands on the add-one floor, not a crash or a drop") {
+    val model = Seq(1L -> "a b c a b c").toDF("doc_id", "text")
+    val (uni, bi, tri) = graft.ops.Corpus.trigramModelCounts(
+      model, "doc_id", "text", buckets = 2)
+    val out = graft.ops.Corpus.knScoreWithModel(
+        Seq(10L -> "zzz").toDF("doc_id", "text"), "doc_id", "text",
+        graft.ops.Corpus.lmFoldUni(uni), graft.ops.Corpus.lmFoldBi(bi),
+        graft.ops.Corpus.lmFoldTri(tri))
+      .select("n_tokens", "logprob_micro").as[(Long, Long)].head()
+    // model: T=6 tokens, V=3 types -> floor ln(1/9)
+    assert(out == ((1L, math.round(math.log(1.0 / 9.0) * 1e6))))
+  }
+
+  test("unseen trigram with seen context keeps the continuation mass") {
+    // model has trigrams (a,b,c) x2; scoring "a b d": (a,b) context seen,
+    // type (a,b,d) unseen -> numerator D*N3(ab)*P2c(d|b); d IS a model
+    // token (appears as bigram right in "c d") so P1(d) = n1l/nb
+    val model = Seq(1L -> "a b c d", 2L -> "a b c").toDF("doc_id", "text")
+    val (uni, bi, tri) = graft.ops.Corpus.trigramModelCounts(
+      model, "doc_id", "text", buckets = 2)
+    val out = graft.ops.Corpus.knScoreWithModel(
+        Seq(10L -> "a b d").toDF("doc_id", "text"), "doc_id", "text",
+        graft.ops.Corpus.lmFoldUni(uni), graft.ops.Corpus.lmFoldBi(bi),
+        graft.ops.Corpus.lmFoldTri(tri))
+      .select("logprob_micro").as[Long].head()
+    // counts: cf a2 b2 c2 d1 (T=7 V=4); bigrams (a,b)2 (b,c)2 (c,d)1, nb=3
+    // cv: a c_v=2 n2r=1; unic: b1 c1 d1; trigrams (a,b,c)2 -> cuv(a,b)=2 N3=1
+    // mid (b,c)=1; midv b: n1l_v=1 n2_v=1
+    val lw0 = math.log(3.0 / 11.0) // first "a": (2+1)/(7+4)
+    val lw2 = math.log((2.0 - 0.75 + 0.75 * 1.0 * (1.0 / 3.0)) / 2.0) // (a,b)
+    val p2cD = (math.max(0.0 - 0.75, 0.0) + 0.75 * 1.0 * (1.0 / 3.0)) / 1.0
+    val lw3 = math.log((0.0 + 0.75 * 1.0 * p2cD) / 2.0) // (a,b,d) unseen type
+    val expected = math.round(lw0 * 1e6) + math.round(lw2 * 1e6) +
+      math.round(lw3 * 1e6)
+    assert(out == expected, s"got $out expected $expected")
+  }
+}
