@@ -4346,6 +4346,34 @@ object SparkEntry {
           graft.ops.Corpus.lmFoldUni(uni), graft.ops.Corpus.lmFoldBi(bi),
           graft.ops.Corpus.lmFoldTri(tri), discount = 0.75)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: Fleiss' κ — one agreement number for the whole
+    // campaign (items rated by exactly 5 raters); pure integer rational
+    // in DECIMAL(38,0), no float anywhere.
+    "q_fleiss_kappa" -> ((s, d) => {
+      val rated = Tables.events(s, d).select(
+          pmod(col("event_id"), lit(997L)).as("item"),
+          pmod(col("user_id"), lit(5L)).as("rater"),
+          col("event_id"),
+          expr("CAST(round(value) AS BIGINT) * 4 div 491").as("lbl"))
+        .groupBy(col("item"), col("rater"))
+        .agg(min(struct(col("event_id"), col("lbl"))).as("p"))
+        .select(col("item"), col("rater"), col("p.lbl").as("lbl"))
+      graft.ops.Evaluation.fleissKappa(rated, "item", "rater", "lbl",
+        raters = 5)
+    }),
+
+    // ── LLM-pipeline: mergeable log-histogram quantile sketch (the
+    // DDSketch idea with EXACT integer bucket boundaries via bit length):
+    // ≤ 63·16+1 rows regardless of input size, counts additive (fold ≡
+    // rebuild), ≤ 1/16 relative error on every estimate.
+    "q_dd_quantiles" -> ((s, d) => {
+      val hist = graft.ops.Sketches.ddSketchHistogram(
+        Tables.documents(s, d).select(col("n_chars").as("v")), "v")
+      graft.ops.Sketches.ddQuantiles(hist,
+          qsMicro = Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+        .orderBy(col("q_micro"))
     })
   )
 
@@ -6580,6 +6608,25 @@ object SparkEntry {
       graft.ops.Corpus.knScoreOracleSql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
-        "doc_id", "text", discount = 0.75)
+        "doc_id", "text", discount = 0.75),
+
+    "q_fleiss_kappa" ->
+      graft.ops.Evaluation.fleissKappaOracleSql(
+        """(WITH d AS (SELECT event_id % 997 AS item, user_id % 5 AS rater,
+             event_id, CAST(round(value) AS BIGINT) * 4 // 491 AS lbl
+             FROM events),
+           pick AS (SELECT item, rater, min(event_id) AS eid
+                    FROM d GROUP BY 1, 2)
+           SELECT d.item, d.rater, d.lbl
+           FROM d JOIN pick ON pick.item = d.item AND pick.rater = d.rater
+                           AND pick.eid = d.event_id)"""
+          .linesIterator.map(_.trim).mkString(" "),
+        itemExpr = "item", raterExpr = "rater", labelExpr = "lbl",
+        raters = 5),
+
+    "q_dd_quantiles" ->
+      graft.ops.Sketches.ddQuantilesOracleSql(
+        "SELECT n_chars AS v FROM documents",
+        qsMicro = Seq(10000L, 250000L, 500000L, 750000L, 990000L))
   )
 }

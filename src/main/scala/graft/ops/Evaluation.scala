@@ -540,6 +540,79 @@ object Evaluation {
           " AS BIGINT) END").as("kappa_micro"))
   }
 
+  /** FLEISS' κ (Fleiss 1971) — the multi-rater generalization of
+    * [[annotatorAgreement]]: one number for a whole labeling campaign
+    * where each item is rated by exactly `raters` annotators (items with
+    * a different rating count are excluded, as the statistic requires).
+    * Like Cohen's κ, the value is a pure RATIONAL in integer counts:
+    * with S = Σᵢ Σₖ n²ᵢₖ, A = S − N·n, B = N·n·(n−1), C = Σₖ M²ₖ,
+    * E = (N·n)², κ = (A·E − C·B) / (B·(E − C)) — every product runs in
+    * DECIMAL(38,0) (E alone overflows a Long at ~10⁹·n items), no float
+    * anywhere.
+    *
+    * Scale: one (item, label) aggregate, one per-item rollup, one
+    * |labels|-row marginal — the corpus collapses before any math. */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String, raters: Int): DataFrame = {
+    require(raters >= 2, "need at least two raters per item")
+    val counts = df.select(col(itemCol).as("item"), col(labelCol).as("lbl"))
+      .groupBy(col("item"), col("lbl")).agg(count(lit(1)).as("nik"))
+    val perItem = counts.groupBy(col("item"))
+      .agg(sum(col("nik")).as("ni"),
+        sum(col("nik") * col("nik")).as("si"))
+      .where(col("ni") === raters)
+    val kept = perItem.select(col("item"))
+    val tot = perItem.agg(count(lit(1)).as("nitems"), sum(col("si")).as("s"))
+    val marg = counts.join(kept, Seq("item"), "left_semi")
+      .groupBy(col("lbl")).agg(sum(col("nik")).as("mk"))
+      .agg(sum(col("mk").cast("decimal(38,0)") * col("mk")).as("c"))
+    tot.crossJoin(marg)
+      .select(col("nitems"), lit(raters).cast("long").as("n_raters"),
+        expr(s"CAST(s AS DECIMAL(38,0)) - nitems * ${raters}L").as("a"),
+        expr(s"CAST(nitems AS DECIMAL(38,0)) * ${raters}L * ${raters - 1}L")
+          .as("b"),
+        col("c"),
+        expr(s"CAST(nitems AS DECIMAL(38,0)) * nitems" +
+          s" * ${raters.toLong * raters}L").as("e"))
+      .select(col("nitems").as("n_items"), col("n_raters"),
+        expr("CAST(a * 1000000 div b AS BIGINT)").as("p_bar_micro"),
+        expr("CAST(c * 1000000 div e AS BIGINT)").as("p_e_micro"),
+        expr("CASE WHEN e > c THEN" +
+          " CAST((a * e - c * b) * 1000000 div (b * (e - c)) AS BIGINT)" +
+          " END").as("kappa_micro"))
+  }
+
+  /** DuckDB oracle replaying [[fleissKappa]]. */
+  def fleissKappaOracleSql(table: String, itemExpr: String, raterExpr: String,
+                           labelExpr: String, raters: Int): String =
+    s"""WITH r AS (SELECT $itemExpr AS item, $raterExpr AS rater,
+           $labelExpr AS lbl FROM $table),
+       ct AS (SELECT item, lbl, CAST(count(*) AS BIGINT) AS nik
+              FROM r GROUP BY 1, 2),
+       pi AS (SELECT item, CAST(sum(nik) AS BIGINT) AS ni,
+                CAST(sum(nik * nik) AS BIGINT) AS si
+              FROM ct GROUP BY 1),
+       keep AS (SELECT item, si FROM pi WHERE ni = $raters),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS nitems,
+                 CAST(sum(si) AS BIGINT) AS s FROM keep),
+       mg AS (SELECT CAST(sum(CAST(mk AS HUGEINT) * mk) AS HUGEINT) AS c
+              FROM (SELECT ct.lbl, CAST(sum(ct.nik) AS BIGINT) AS mk
+                    FROM ct JOIN keep USING (item) GROUP BY 1) m),
+       x AS (SELECT nitems,
+               CAST(s AS HUGEINT) - nitems * $raters AS a,
+               CAST(nitems AS HUGEINT) * $raters * ${raters - 1} AS b,
+               c,
+               CAST(nitems AS HUGEINT) * nitems
+                 * ${raters.toLong * raters} AS e
+             FROM tot, mg)
+       SELECT nitems AS n_items, CAST($raters AS BIGINT) AS n_raters,
+         CAST(a * 1000000 // b AS BIGINT) AS p_bar_micro,
+         CAST(c * 1000000 // e AS BIGINT) AS p_e_micro,
+         CASE WHEN e > c THEN
+           CAST((a * e - c * b) * 1000000 // (b * (e - c)) AS BIGINT)
+         END AS kappa_micro
+       FROM x"""
+
   /** DuckDB oracle replaying [[annotatorAgreement]]. */
   def annotatorAgreementOracleSql(table: String, itemExpr: String,
                                   raterExpr: String,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cardinality / frequency SKETCHES — the bounded-state summaries a 100 TB
@@ -359,4 +360,97 @@ object Sketches {
        FROM c CROSS JOIN t
        WHERE c.freq * $k >= t.total
        ORDER BY c.v"""
+
+  // ── base-2 log-histogram quantile sketch ──────────────────────────────
+  //
+  // The DDSketch idea (Masson et al., VLDB 2019) with EXACT integer bucket
+  // boundaries: a non-negative long lands in (octave, sub) where octave =
+  // ⌊log₂ v⌋ + 1 (the BIT LENGTH — pure integer arithmetic, no float
+  // boundary ambiguity between engines) and sub splits each octave into 16
+  // equal integer slices. Relative error of any quantile estimate is
+  // ≤ 1/16 of the value; the histogram is ≤ 63·16+1 rows no matter how
+  // many values went in, and counts are ADDITIVE — per-batch histograms
+  // fold by (octave, sub) sum, fold ≡ rebuild, so the sketch lives as
+  // ordinary stored pipes like the HLL/KMV/CMS families above.
+
+  /** Per-(octave, sub) counts of a non-negative long column. ONE
+    * map-side-combined aggregate; the bucket math is integer-only
+    * (bit length via `length(bin(v))`, powers of two via shiftleft), so
+    * both engines agree at every boundary. */
+  def ddSketchHistogram(df: DataFrame, valueCol: String): DataFrame =
+    df.select(
+        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
+          s" ELSE length(bin($valueCol)) END").as("octave"),
+        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
+          s" ELSE $valueCol * 16 div shiftleft(CAST(1 AS BIGINT)," +
+          s" length(bin($valueCol)) - 1) - 16 END").as("sub"))
+      .groupBy(col("octave"), col("sub"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold stored per-batch histograms — additive, fold ≡ rebuild. */
+  def ddSketchFold(hist: DataFrame): DataFrame =
+    hist.groupBy(col("octave"), col("sub")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates off a histogram: for each requested quantile
+    * (micro-units) the estimate is the LOWER BOUND of the bucket holding
+    * rank ⌈q·n⌉ — integer reconstruction lo = 2^(octave−1)·(16+sub)/16,
+    * so the reported value is exact arithmetic with ≤ 1/16 relative
+    * error. The cumulative window runs over the ≤ 63·16+1-row histogram,
+    * never over data. */
+  def ddQuantiles(hist: DataFrame, qsMicro: Seq[Long]): DataFrame = {
+    require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0L && q <= 1000000L),
+      "quantiles must be micro-units in [0, 1e6]")
+    val w = Window.orderBy(col("octave"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("lo", expr("CASE WHEN octave = 0 THEN 0 ELSE" +
+        " shiftleft(CAST(1 AS BIGINT), octave - 1) + sub *" +
+        " shiftleft(CAST(1 AS BIGINT), octave - 1) div 16 END"))
+    val n1 = hist.agg(sum(col("cnt")).as("n"))
+    val qs = hist.sparkSession.createDataFrame(
+      hist.sparkSession.sparkContext.parallelize(
+        qsMicro.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_micro",
+          org.apache.spark.sql.types.LongType))))
+    qs.crossJoin(broadcast(n1))
+      .select(col("q_micro"), col("n"),
+        expr("least(n, greatest(1, (q_micro * n + 999999) div 1000000))")
+          .as("rank"))
+      .join(cum, col("cum") >= col("rank"))
+      .groupBy(col("q_micro"), col("n"), col("rank"))
+      .agg(min(col("lo")).as("estimate"))
+  }
+
+  /** DuckDB oracle replaying [[ddSketchHistogram]] → [[ddQuantiles]] over
+    * a value subquery. */
+  def ddQuantilesOracleSql(valsSql: String, qsMicro: Seq[Long]): String = {
+    val qrows = qsMicro.map(q => s"($q)").mkString(", ")
+    s"""WITH vals AS ($valsSql),
+       b AS (SELECT CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS octave,
+               CASE WHEN v = 0 THEN 0
+                 ELSE v * 16 // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 16
+               END AS sub
+             FROM vals),
+       h AS (SELECT octave, sub, CAST(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY 1, 2),
+       c AS (SELECT octave, sub, cnt,
+               CAST(sum(cnt) OVER (ORDER BY octave, sub
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum,
+               CASE WHEN octave = 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << (octave - 1)) + sub *
+                   (CAST(1 AS BIGINT) << (octave - 1)) // 16 END AS lo
+             FROM h),
+       n1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+       q AS (SELECT CAST(q_micro AS BIGINT) AS q_micro, n,
+               least(n, greatest(1, (CAST(q_micro AS BIGINT) * n + 999999)
+                 // 1000000)) AS rank
+             FROM (VALUES $qrows) AS t(q_micro) CROSS JOIN n1)
+       SELECT q.q_micro, q.n, q.rank, min(c.lo) AS estimate
+       FROM q JOIN c ON c.cum >= q.rank
+       GROUP BY q.q_micro, q.n, q.rank
+       ORDER BY q.q_micro"""
+  }
 }

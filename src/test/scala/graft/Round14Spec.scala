@@ -336,3 +336,107 @@ class KnStoredModelSpec extends SparkSpec {
     assert(out == expected, s"got $out expected $expected")
   }
 }
+
+class FleissKappaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect agreement gives kappa_micro 1e6") {
+    val rated = (0L until 4L).flatMap(i => Seq(
+      (i, "a", i % 2), (i, "b", i % 2))).toDF("item", "rater", "lbl")
+    val out = graft.ops.Evaluation.fleissKappa(rated, "item", "rater", "lbl",
+        raters = 2)
+      .select("n_items", "kappa_micro").as[(Long, Long)].head()
+    assert(out == ((4L, 1000000L)))
+  }
+
+  test("Fleiss 1971 worked shape: hand-computed rational") {
+    // 3 items, 3 raters, 2 labels; n_ik rows: item0 (3,0) item1 (2,1)
+    // item2 (1,2) -> S = 9 + 5 + 5 = 19; A = 19-9=10; B = 3*3*2=18
+    // M = (6, 3) -> C = 45; E = 81
+    // kappa = (10*81 - 45*18) / (18*(81-45)) = 0/648 = 0
+    val rated = Seq(
+      (0L, "a", 0L), (0L, "b", 0L), (0L, "c", 0L),
+      (1L, "a", 0L), (1L, "b", 0L), (1L, "c", 1L),
+      (2L, "a", 0L), (2L, "b", 1L), (2L, "c", 1L)
+    ).toDF("item", "rater", "lbl")
+    val out = graft.ops.Evaluation.fleissKappa(rated, "item", "rater", "lbl",
+        raters = 3)
+      .select("n_items", "p_bar_micro", "p_e_micro", "kappa_micro")
+      .as[(Long, Long, Long, Long)].head()
+    // P_bar = 10/18 = 0.5555.., P_e = 45/81 = 0.5555.., kappa = 0
+    assert(out == ((3L, 555555L, 555555L, 0L)))
+  }
+
+  test("below-chance agreement yields a NEGATIVE kappa (division parity)") {
+    // 2 raters always disagree on a 2-label task with even marginals:
+    // P_bar = 0, P_e = 1/2, kappa = -1
+    val rated = (0L until 6L).flatMap(i => Seq(
+      (i, "a", i % 2), (i, "b", (i + 1) % 2))).toDF("item", "rater", "lbl")
+    val out = graft.ops.Evaluation.fleissKappa(rated, "item", "rater", "lbl",
+        raters = 2)
+      .select("p_bar_micro", "p_e_micro", "kappa_micro")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((0L, 500000L, -1000000L)))
+  }
+
+  test("items with the wrong rating count are excluded") {
+    val rated = (Seq((0L, "a", 0L), (0L, "b", 0L), (1L, "a", 1L)) ++
+      Seq((2L, "a", 0L), (2L, "b", 0L), (2L, "c", 1L)))
+      .toDF("item", "rater", "lbl")
+    val n = graft.ops.Evaluation.fleissKappa(rated, "item", "rater", "lbl",
+        raters = 2)
+      .select("n_items").as[Long].head()
+    assert(n == 1L) // only item 0 has exactly 2 ratings
+  }
+}
+
+class DdSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("estimates carry at most 1/16 relative error on a known spread") {
+    val vals = (1L to 10000L).toDF("v")
+    val hist = graft.ops.Sketches.ddSketchHistogram(vals, "v")
+    val out = graft.ops.Sketches.ddQuantiles(hist,
+        Seq(500000L, 900000L, 990000L))
+      .select("q_micro", "estimate").as[(Long, Long)].collect().toMap
+    def check(q: Long, exact: Double): Unit = {
+      val est = out(q).toDouble
+      assert(math.abs(est - exact) / exact <= 1.0 / 16.0 + 1e-9,
+        s"q=$q est=$est exact=$exact")
+    }
+    check(500000L, 5000.0); check(900000L, 9000.0); check(990000L, 9900.0)
+  }
+
+  test("histogram stays bounded and zeros land in the zero bucket") {
+    val vals = (Seq.fill(5)(0L) ++ (1L to 100000L by 7L)).toDF("v")
+    val hist = graft.ops.Sketches.ddSketchHistogram(vals, "v").collect()
+    assert(hist.length <= 63 * 16 + 1)
+    val zero = hist.find(r => r.getInt(0) == 0)
+    assert(zero.exists(_.getLong(2) == 5L))
+  }
+
+  test("fold of per-batch histograms equals the full-corpus rebuild") {
+    val a = (1L to 3000L).toDF("v")
+    val b = (2000L to 9000L).toDF("v")
+    val whole = (1L to 3000L).union(2000L to 9000L).toDF("v")
+    val folded = graft.ops.Sketches.ddSketchFold(
+        graft.ops.Sketches.ddSketchHistogram(a, "v")
+          .union(graft.ops.Sketches.ddSketchHistogram(b, "v")))
+      .orderBy("octave", "sub").collect().toSeq
+    val rebuilt = graft.ops.Sketches.ddSketchHistogram(whole, "v")
+      .orderBy("octave", "sub").collect().toSeq
+    assert(folded == rebuilt)
+  }
+
+  test("q=0 and q=1e6 clamp to the extreme buckets") {
+    val vals = Seq(7L, 900L, 31L).toDF("v")
+    val hist = graft.ops.Sketches.ddSketchHistogram(vals, "v")
+    val out = graft.ops.Sketches.ddQuantiles(hist, Seq(0L, 1000000L))
+      .select("q_micro", "rank", "estimate")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, r, e) => q -> ((r, e)) }.toMap
+    assert(out(0L)._1 == 1L)      // rank clamps up to 1
+    assert(out(1000000L)._1 == 3L)
+    assert(out(0L)._2 <= 7L && out(1000000L)._2 <= 900L)
+  }
+}
