@@ -4374,7 +4374,32 @@ object SparkEntry {
       graft.ops.Sketches.ddQuantiles(hist,
           qsMicro = Seq(10000L, 250000L, 500000L, 750000L, 990000L))
         .orderBy(col("q_micro"))
-    })
+    }),
+
+    // ── LLM-pipeline: per-GROUP quantile sketches — per-event-type value
+    // quantiles off grouped log-histograms; the cumulative window
+    // partitions by group over ≤ 1009 rows each, never over data.
+    "q_dd_quantiles_grouped" -> ((s, d) => {
+      val hist = graft.ops.Sketches.ddSketchHistogramByGroup(
+        Tables.events(s, d).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("v")),
+        "event_type", "v")
+      graft.ops.Sketches.ddQuantilesByGroup(hist,
+          qsMicro = Seq(500000L, 950000L))
+        .orderBy(col("grp"), col("q_micro"))
+    }),
+
+    // ── LLM-pipeline: length-DEBIASED reward — subtract each length bin's
+    // mean reward (non-parametric length penalty); two broadcast
+    // aggregates then a pure projection, exact longs end to end.
+    "q_length_debiased_reward" -> ((s, d) =>
+      graft.ops.Rlhf.lengthDebiasedReward(
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFns.stopwordHits(col("text"), "en").cast("long").as("reward"),
+          col("n_chars").cast("long").as("len")),
+        "doc_id", "reward", "len", nBins = 8)
+        .where(col("doc_id") % 5 === 0)
+        .orderBy(col("doc_id")))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -6627,6 +6652,21 @@ object SparkEntry {
     "q_dd_quantiles" ->
       graft.ops.Sketches.ddQuantilesOracleSql(
         "SELECT n_chars AS v FROM documents",
-        qsMicro = Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+        qsMicro = Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
+
+    "q_dd_quantiles_grouped" ->
+      graft.ops.Sketches.ddQuantilesByGroupOracleSql(
+        "SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        qsMicro = Seq(500000L, 950000L)),
+
+    "q_length_debiased_reward" ->
+      graft.ops.Rlhf.lengthDebiasedRewardOracleSql("documents",
+        idCol = "doc_id",
+        rewardExpr =
+          """len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','a','of','and','to','in','is','it','that','for']))"""
+            .linesIterator.map(_.trim).mkString(" "),
+        rewardName = "reward", lenExpr = "n_chars", nBins = 8)
+        .replace("ORDER BY doc_id", "WHERE b.id % 5 = 0 ORDER BY doc_id")
   )
 }

@@ -299,6 +299,57 @@ object Rlhf {
        SELECT item, p AS strength_micro FROM p$iters ORDER BY item"""
   }
 
+  /** Length-DEBIASED reward — the fix that pairs with
+    * [[lengthBiasAudit]]: subtract the mean reward of each row's length
+    * bin, so preference pairs and best-of-n selections stop favoring
+    * verbosity (per-bin centering is the non-parametric version of the
+    * linear length penalty in Singhal et al. 2023). Output keeps the raw
+    * reward, the bin, and debiased_micro = reward·10⁶ − bin mean (exact
+    * longs end to end).
+    *
+    * Scale: one 1-row min–max aggregate (broadcast), one ≤ nBins-row
+    * mean aggregate (broadcast), then a pure projection over the corpus
+    * — per-row work never shuffles. */
+  def lengthDebiasedReward(df: DataFrame, idCol: String, rewardCol: String,
+                           lenCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins must be positive")
+    val ext = df.agg(min(col(lenCol)).as("lmin"), max(col(lenCol)).as("lmax"))
+    val binned = df.select(col(idCol), col(rewardCol), col(lenCol))
+      .crossJoin(broadcast(ext))
+      .where(col("lmax") > col("lmin"))
+      .select(col(idCol), col(rewardCol),
+        expr(s"CAST(least(($lenCol - lmin) * 1000000L div (lmax - lmin)" +
+          s" * ${nBins}L div 1000000, ${nBins - 1}) AS INT)").as("bin"))
+    val means = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), sum(col(rewardCol)).as("sr"))
+      .select(col("bin"),
+        expr("CAST(sr AS DECIMAL(38,0)) * 1000000 div cnt").cast("long")
+          .as("bin_mean_micro"))
+    binned.join(broadcast(means), Seq("bin"))
+      .select(col(idCol), col(rewardCol), col("bin"),
+        (col(rewardCol) * lit(1000000L) - col("bin_mean_micro"))
+          .as("debiased_micro"))
+  }
+
+  /** DuckDB oracle replaying [[lengthDebiasedReward]]. */
+  def lengthDebiasedRewardOracleSql(table: String, idCol: String,
+                                    rewardExpr: String, rewardName: String,
+                                    lenExpr: String, nBins: Int): String =
+    s"""WITH src AS (SELECT $idCol AS id, CAST($rewardExpr AS BIGINT) AS r,
+           CAST($lenExpr AS BIGINT) AS x FROM $table),
+       ext AS (SELECT min(x) AS lmin, max(x) AS lmax FROM src),
+       b AS (SELECT id, r,
+               CAST(least((x - lmin) * 1000000 // (lmax - lmin) * $nBins
+                 // 1000000, ${nBins - 1}) AS INTEGER) AS bin
+             FROM src, ext WHERE lmax > lmin),
+       m AS (SELECT bin,
+               CAST(CAST(sum(r) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+                 AS bin_mean_micro
+             FROM b GROUP BY bin)
+       SELECT b.id AS $idCol, b.r AS $rewardName, b.bin,
+         b.r * 1000000 - m.bin_mean_micro AS debiased_micro
+       FROM b JOIN m USING (bin) ORDER BY $idCol"""
+
   /** DuckDB oracle replaying [[lengthBiasAudit]]. */
   def lengthBiasAuditOracleSql(table: String, rewardExpr: String,
                                lenExpr: String, nBins: Int): String =

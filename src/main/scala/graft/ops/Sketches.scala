@@ -423,6 +423,90 @@ object Sketches {
       .agg(min(col("lo")).as("estimate"))
   }
 
+  /** Per-GROUP histogram — the per-domain production shape (latency /
+    * length quantiles keyed by source, event type, language…). Same
+    * integer bucket math; one aggregate keyed (group, octave, sub), so
+    * each group's histogram stays ≤ 63·16+1 rows. */
+  def ddSketchHistogramByGroup(df: DataFrame, groupCol: String,
+                               valueCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
+          s" ELSE length(bin($valueCol)) END").as("octave"),
+        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
+          s" ELSE $valueCol * 16 div shiftleft(CAST(1 AS BIGINT)," +
+          s" length(bin($valueCol)) - 1) - 16 END").as("sub"))
+      .groupBy(col("grp"), col("octave"), col("sub"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Fold stored per-batch grouped histograms — additive per group. */
+  def ddSketchFoldByGroup(hist: DataFrame): DataFrame =
+    hist.groupBy(col("grp"), col("octave"), col("sub"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-group quantile estimates off a grouped histogram: the cumulative
+    * window PARTITIONS by the group (≤ 63·16+1 rows per partition — a
+    * bounded window, never corpus-wide), and the rank probe joins on the
+    * group key. */
+  def ddQuantilesByGroup(hist: DataFrame, qsMicro: Seq[Long]): DataFrame = {
+    require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0L && q <= 1000000L),
+      "quantiles must be micro-units in [0, 1e6]")
+    val w = Window.partitionBy(col("grp")).orderBy(col("octave"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("lo", expr("CASE WHEN octave = 0 THEN 0 ELSE" +
+        " shiftleft(CAST(1 AS BIGINT), octave - 1) + sub *" +
+        " shiftleft(CAST(1 AS BIGINT), octave - 1) div 16 END"))
+    val n1 = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val qs = hist.sparkSession.createDataFrame(
+      hist.sparkSession.sparkContext.parallelize(
+        qsMicro.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_micro",
+          org.apache.spark.sql.types.LongType))))
+    n1.crossJoin(broadcast(qs))
+      .select(col("grp"), col("q_micro"), col("n"),
+        expr("least(n, greatest(1, (q_micro * n + 999999) div 1000000))")
+          .as("rank"))
+      .join(cum, Seq("grp"))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("grp"), col("q_micro"), col("n"), col("rank"))
+      .agg(min(col("lo")).as("estimate"))
+  }
+
+  /** DuckDB oracle replaying the grouped build → [[ddQuantilesByGroup]]
+    * over a (grp, v) subquery. */
+  def ddQuantilesByGroupOracleSql(valsSql: String,
+                                  qsMicro: Seq[Long]): String = {
+    val qrows = qsMicro.map(q => s"($q)").mkString(", ")
+    s"""WITH vals AS ($valsSql),
+       b AS (SELECT grp,
+               CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS octave,
+               CASE WHEN v = 0 THEN 0
+                 ELSE v * 16 // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 16
+               END AS sub
+             FROM vals),
+       h AS (SELECT grp, octave, sub, CAST(count(*) AS BIGINT) AS cnt
+             FROM b GROUP BY 1, 2, 3),
+       c AS (SELECT grp, octave, sub, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY octave, sub
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum,
+               CASE WHEN octave = 0 THEN 0
+                 ELSE (CAST(1 AS BIGINT) << (octave - 1)) + sub *
+                   (CAST(1 AS BIGINT) << (octave - 1)) // 16 END AS lo
+             FROM h),
+       n1 AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+       q AS (SELECT grp, CAST(q_micro AS BIGINT) AS q_micro, n,
+               least(n, greatest(1, (CAST(q_micro AS BIGINT) * n + 999999)
+                 // 1000000)) AS rank
+             FROM (VALUES $qrows) AS t(q_micro) CROSS JOIN n1)
+       SELECT q.grp, q.q_micro, q.n, q.rank, min(c.lo) AS estimate
+       FROM q JOIN c ON c.grp = q.grp AND c.cum >= q.rank
+       GROUP BY q.grp, q.q_micro, q.n, q.rank
+       ORDER BY q.grp, q.q_micro"""
+  }
+
   /** DuckDB oracle replaying [[ddSketchHistogram]] → [[ddQuantiles]] over
     * a value subquery. */
   def ddQuantilesOracleSql(valsSql: String, qsMicro: Seq[Long]): String = {

@@ -440,3 +440,54 @@ class DdSketchSpec extends SparkSpec {
     assert(out(0L)._2 <= 7L && out(1000000L)._2 <= 900L)
   }
 }
+
+class DdGroupedAndDebiasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grouped quantiles are independent per group") {
+    val vals = ((1L to 1000L).map(v => ("small", v)) ++
+      (1L to 1000L).map(v => ("big", v * 1000L))).toDF("g", "v")
+    val hist = graft.ops.Sketches.ddSketchHistogramByGroup(vals, "g", "v")
+    val out = graft.ops.Sketches.ddQuantilesByGroup(hist, Seq(500000L))
+      .select("grp", "estimate").as[(String, Long)].collect().toMap
+    assert(math.abs(out("small") - 500.0) / 500.0 <= 1.0 / 16.0 + 1e-9)
+    assert(math.abs(out("big") - 500000.0) / 500000.0 <= 1.0 / 16.0 + 1e-9)
+  }
+
+  test("grouped fold equals rebuild per group") {
+    val a = Seq(("x", 5L), ("x", 9L), ("y", 100L)).toDF("g", "v")
+    val b = Seq(("x", 5L), ("y", 7L)).toDF("g", "v")
+    val folded = graft.ops.Sketches.ddSketchFoldByGroup(
+        graft.ops.Sketches.ddSketchHistogramByGroup(a, "g", "v")
+          .union(graft.ops.Sketches.ddSketchHistogramByGroup(b, "g", "v")))
+      .orderBy("grp", "octave", "sub").collect().toSeq
+    val rebuilt = graft.ops.Sketches.ddSketchHistogramByGroup(
+        a.union(b), "g", "v")
+      .orderBy("grp", "octave", "sub").collect().toSeq
+    assert(folded == rebuilt)
+  }
+
+  test("debiased reward centers every length bin at ~zero mean") {
+    val df = (1L to 64L).map(i => (i, i % 7L, i * 30L))
+      .toDF("doc_id", "reward", "len")
+    val out = graft.ops.Rlhf.lengthDebiasedReward(df, "doc_id", "reward",
+        "len", nBins = 4)
+      .select("bin", "debiased_micro").as[(Int, Long)].collect().toSeq
+    val byBin = out.groupBy(_._1).view.mapValues(_.map(_._2))
+    byBin.foreach { case (bin, vs) =>
+      // floor-micro bin means leave at most cnt micro of residue
+      assert(math.abs(vs.sum) < vs.length + 1,
+        s"bin $bin residue ${vs.sum}")
+    }
+  }
+
+  test("debiasing is a pure shift within each bin (ordering preserved)") {
+    val df = Seq((1L, 10L, 100L), (2L, 30L, 110L), (3L, 20L, 105L))
+      .toDF("doc_id", "reward", "len") // all land in bin 0 window
+    val out = graft.ops.Rlhf.lengthDebiasedReward(df, "doc_id", "reward",
+        "len", nBins = 1)
+      .select("doc_id", "debiased_micro").as[(Long, Long)].collect().toMap
+    assert(out(2L) > out(3L) && out(3L) > out(1L))
+    assert(out(2L) - out(1L) == 20000000L)
+  }
+}
