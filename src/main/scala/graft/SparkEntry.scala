@@ -651,6 +651,33 @@ object SparkEntry {
            graft.ops.Sketches.tokenValues(docs, "text"),
            Seq("scan", "join", "window", "batch", "zzz_absent_term"), dd, ww)
          .orderBy(col("term")))
+    }),
+
+    // Stored quantile sketch maintained incrementally: per-batch
+    // (octave, sub, cnt) histogram rows blind-append into an
+    // octave-clustered pipe; counts are ADDITIVE, so quantiles over the
+    // folded store equal a full-corpus rebuild — length/latency
+    // percentiles tracked across syncs in ≤ 1009 stored rows per batch
+    // without re-reading any data.
+    "q_dd_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def hist(df: DataFrame) = graft.ops.Sketches.ddSketchHistogram(
+          df.select(col("n_chars").as("v")), "v")
+        .localCheckpoint(true) // ≤1009 rows whose lineage is a corpus scan
+      val root = java.nio.file.Files.createTempDirectory("graft_dd_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "dd_hist"),
+        columns = ColumnRoles(Map("datetime" -> "octave")),
+        epochUnit = Some("minute"), chunkMinutes = 16)
+      (() => {
+        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => graft.ops.Sketches.ddQuantiles(
+           graft.ops.Sketches.ddSketchFold(eng.getData(spec)),
+           qsMicro = Seq(250000L, 500000L, 750000L, 990000L))
+         .orderBy(col("q_micro")))
     }))
 
   /** Compose a staged entry back into the single-DataFrame query form used
@@ -3456,6 +3483,7 @@ object SparkEntry {
     // registers fold by max, CMS counters by sum; fold ≡ rebuild, so the
     // oracle for each is the full-corpus sketch.
     "q_hll_index_sync" -> composed("q_hll_index_sync"),
+    "q_dd_index_sync" -> composed("q_dd_index_sync"),
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
 
     // ── LLM-pipeline: Flesch readability per doc — three codegen'd regex
@@ -6492,6 +6520,13 @@ object SparkEntry {
     "q_hll_index_sync" ->
       graft.ops.Sketches.hllDistinctOracleSql(
         graft.ops.Sketches.shingleValuesSql("documents", "text", 3), p = 8),
+
+    // additive fold ≡ rebuild: the stored-pipe quantiles match the
+    // full-corpus oracle bit-for-bit
+    "q_dd_index_sync" ->
+      graft.ops.Sketches.ddQuantilesOracleSql(
+        "SELECT n_chars AS v FROM documents",
+        qsMicro = Seq(250000L, 500000L, 750000L, 990000L)),
 
     "q_cms_index_sync" ->
       graft.ops.Sketches.cmsPointReportOracleSql(
