@@ -4427,7 +4427,27 @@ object SparkEntry {
           col("n_chars").cast("long").as("len")),
         "doc_id", "reward", "len", nBins = 8)
         .where(col("doc_id") % 5 === 0)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: operating point from a target FPR — the loosest
+    // stopword-hit threshold whose English-detector false-positive rate
+    // stays under 5%; |distinct score| domain table, min-struct pick.
+    "q_fpr_threshold" -> ((s, d) =>
+      graft.ops.Evaluation.fprThreshold(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("long").as("lbl"),
+          TextFns.stopwordHits(col("text"), "en").cast("long").as("score")),
+        "lbl", "score", alphaMicro = 50000L)),
+
+    // ── LLM-pipeline: Brier score — single-number calibration of a
+    // micro-unit probability against a binary label; exact integers.
+    "q_brier" -> ((s, d) =>
+      graft.ops.Evaluation.brierScore(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("long").as("lbl"),
+          least(TextFns.stopwordHits(col("text"), "en").cast("long")
+            * lit(100000L), lit(1000000L)).as("score_micro")),
+        "lbl", "score_micro"))
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, bare names). */
@@ -6702,6 +6722,24 @@ object SparkEntry {
             ['the','a','of','and','to','in','is','it','that','for']))"""
             .linesIterator.map(_.trim).mkString(" "),
         rewardName = "reward", lenExpr = "n_chars", nBins = 8)
-        .replace("ORDER BY doc_id", "WHERE b.id % 5 = 0 ORDER BY doc_id")
+        .replace("ORDER BY doc_id", "WHERE b.id % 5 = 0 ORDER BY doc_id"),
+
+    "q_fpr_threshold" ->
+      graft.ops.Evaluation.fprThresholdOracleSql("documents",
+        labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        scoreExpr =
+          """len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','a','of','and','to','in','is','it','that','for']))"""
+            .linesIterator.map(_.trim).mkString(" "),
+        alphaMicro = 50000L),
+
+    "q_brier" ->
+      graft.ops.Evaluation.brierScoreOracleSql("documents",
+        labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        scoreMicroExpr =
+          """least(len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','a','of','and','to','in','is','it','that','for']))
+            * 100000, 1000000)"""
+            .linesIterator.map(_.trim).mkString(" "))
   )
 }

@@ -540,6 +540,105 @@ object Evaluation {
           " AS BIGINT) END").as("kappa_micro"))
   }
 
+  /** Operating point from a TARGET false-positive rate — the inverse of
+    * [[prCurve]]'s sweep: given labeled scores and a budget α, return the
+    * loosest threshold t (predicted positive = score ≥ t) whose FPR stays
+    * ≤ α, plus the achieved FPR/TPR there. This is how a quality gate /
+    * safety filter is actually tuned: the budget comes first, the
+    * threshold falls out. Null threshold when no score in the domain
+    * meets the budget.
+    *
+    * Scale: the corpus collapses to the |distinct score| domain
+    * ([[signalAuc]]'s discipline — bounded by the signal's quantization),
+    * the descending cumulative window runs on that domain table, and the
+    * pick is one min-struct aggregate. DECIMAL(38,0) at every ×1e6. */
+  def fprThreshold(df: DataFrame, labelCol: String, scoreCol: String,
+                   alphaMicro: Long): DataFrame = {
+    require(alphaMicro >= 0L && alphaMicro <= 1000000L,
+      "alphaMicro must be in [0, 1e6]")
+    val g = df.groupBy(col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col(labelCol).cast("long")).as("pos"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = g
+      .withColumn("cpos", sum(col("pos")).over(w))
+      .withColumn("cneg", sum(col("cnt") - col("pos")).over(w))
+    val tot = g.agg(sum(col("pos")).as("p"),
+      sum(col("cnt") - col("pos")).as("n"))
+    val cand = cums.crossJoin(broadcast(tot))
+      .where(col("n") > 0 &&
+        expr(s"CAST(cneg AS DECIMAL(38,0)) * 1000000" +
+          s" <= ${alphaMicro}L * CAST(n AS DECIMAL(38,0))"))
+    cand.agg(min(struct(col("score"), col("cneg"), col("cpos"))).as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("p"), col("n"), lit(alphaMicro).as("alpha_micro"),
+        col("b.score").as("threshold"),
+        expr("CAST(CAST(b.cneg AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)")
+          .as("fpr_micro"),
+        when(col("p") > 0,
+          expr("CAST(CAST(b.cpos AS DECIMAL(38,0)) * 1000000 div p" +
+            " AS BIGINT)")).as("tpr_micro"))
+  }
+
+  /** DuckDB oracle replaying [[fprThreshold]]. */
+  def fprThresholdOracleSql(table: String, labelExpr: String,
+                            scoreExpr: String, alphaMicro: Long): String =
+    s"""WITH src AS (SELECT CAST($labelExpr AS BIGINT) AS lbl,
+           $scoreExpr AS score FROM $table),
+       g AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(lbl) AS BIGINT) AS pos
+             FROM src GROUP BY score),
+       c AS (SELECT score,
+               CAST(sum(pos) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cpos,
+               CAST(sum(cnt - pos) OVER (ORDER BY score DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cneg
+             FROM g),
+       t AS (SELECT CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(cnt - pos) AS BIGINT) AS n FROM g),
+       pick AS (SELECT score, cneg, cpos FROM c, t
+                WHERE n > 0 AND CAST(cneg AS HUGEINT) * 1000000
+                  <= $alphaMicro * CAST(n AS HUGEINT)
+                ORDER BY score LIMIT 1)
+       SELECT t.p, t.n, CAST($alphaMicro AS BIGINT) AS alpha_micro,
+         pick.score AS threshold,
+         CAST(CAST(pick.cneg AS HUGEINT) * 1000000 // t.n AS BIGINT)
+           AS fpr_micro,
+         CASE WHEN t.p > 0 THEN
+           CAST(CAST(pick.cpos AS HUGEINT) * 1000000 // t.p AS BIGINT)
+         END AS tpr_micro
+       FROM t LEFT JOIN pick ON TRUE"""
+
+  /** BRIER score of a micro-unit probability score against a binary
+    * label — the single-number calibration companion to
+    * [[calibrationBins]]: mean squared error of the probability, exact
+    * integer arithmetic (per-row squared diff ≤ 10¹², summed in
+    * DECIMAL(38,0), one integer division). ONE map-side-combined
+    * aggregate. */
+  def brierScore(df: DataFrame, labelCol: String,
+                 scoreMicroCol: String): DataFrame =
+    df.select(
+        (col(scoreMicroCol) - col(labelCol).cast("long") * lit(1000000L))
+          .as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)") * col("d")).as("sq"))
+      .select(col("n"),
+        expr("CAST(sq div (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("brier_micro"))
+
+  /** DuckDB oracle replaying [[brierScore]]. */
+  def brierScoreOracleSql(table: String, labelExpr: String,
+                          scoreMicroExpr: String): String =
+    s"""WITH src AS (SELECT CAST($scoreMicroExpr AS BIGINT)
+           - CAST($labelExpr AS BIGINT) * 1000000 AS d FROM $table),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(d AS HUGEINT) * d) AS sq FROM src)
+       SELECT n,
+         CAST(sq // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS brier_micro
+       FROM t"""
+
   /** FLEISS' κ (Fleiss 1971) — the multi-rater generalization of
     * [[annotatorAgreement]]: one number for a whole labeling campaign
     * where each item is rated by exactly `raters` annotators (items with

@@ -491,3 +491,51 @@ class DdGroupedAndDebiasSpec extends SparkSpec {
     assert(out(2L) - out(1L) == 20000000L)
   }
 }
+
+class OperatingPointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scored = Seq(
+    // (lbl, score): negatives at scores 1,1,2,3; positives at 2,3,4,4
+    (0L, 1L), (0L, 1L), (0L, 2L), (0L, 3L),
+    (1L, 2L), (1L, 3L), (1L, 4L), (1L, 4L)
+  ).toDF("lbl", "score")
+
+  test("threshold is the loosest cut meeting the FPR budget") {
+    // t=4: fpr 0/4;  t=3: 1/4;  t=2: 2/4;  budget 25% -> pick t=3
+    val out = graft.ops.Evaluation.fprThreshold(scored, "lbl", "score",
+        alphaMicro = 250000L)
+      .select("threshold", "fpr_micro", "tpr_micro")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((3L, 250000L, 750000L)))
+  }
+
+  test("zero budget forces the clean threshold") {
+    val out = graft.ops.Evaluation.fprThreshold(scored, "lbl", "score",
+        alphaMicro = 0L)
+      .select("threshold", "fpr_micro", "tpr_micro")
+      .as[(Long, Long, Long)].head()
+    assert(out == ((4L, 0L, 500000L)))
+  }
+
+  test("impossible budget returns null threshold") {
+    // every score value contains a negative -> no cut has FPR 0
+    val df = Seq((0L, 5L), (1L, 5L)).toDF("lbl", "score")
+    val out = graft.ops.Evaluation.fprThreshold(df, "lbl", "score",
+        alphaMicro = 0L)
+      .select("threshold").as[Option[Long]].head()
+    assert(out.isEmpty)
+  }
+
+  test("brier score: perfect, worst, and half-sure predictions") {
+    val perfect = Seq((1L, 1000000L), (0L, 0L)).toDF("lbl", "s")
+    val worst = Seq((1L, 0L), (0L, 1000000L)).toDF("lbl", "s")
+    val half = Seq((1L, 500000L), (0L, 500000L)).toDF("lbl", "s")
+    def b(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Evaluation.brierScore(df, "lbl", "s")
+        .select("brier_micro").as[Long].head()
+    assert(b(perfect) == 0L)
+    assert(b(worst) == 1000000L)
+    assert(b(half) == 250000L)
+  }
+}
