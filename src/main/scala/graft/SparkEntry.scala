@@ -4439,6 +4439,18 @@ object SparkEntry {
           TextFns.stopwordHits(col("text"), "en").cast("long").as("score")),
         "lbl", "score", alphaMicro = 50000L)),
 
+    // ── LLM-pipeline: Matryoshka truncation QA — recall of truncated-dim
+    // cosine rankings against the full-dim exact top-k, per candidate
+    // prefix length; picks the serving dimension before a re-index.
+    "q_truncation_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      SimilaritySearch.truncationRecall(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", dims = Seq(8, 16, 32), k = 10)
+        .orderBy(col("dim"))
+    }),
+
     // ── LLM-pipeline: Brier score — single-number calibration of a
     // micro-unit probability against a binary label; exact integers.
     "q_brier" -> ((s, d) =>
@@ -6732,6 +6744,11 @@ object SparkEntry {
             ['the','a','of','and','to','in','is','it','that','for']))"""
             .linesIterator.map(_.trim).mkString(" "),
         alphaMicro = 50000L),
+
+    "q_truncation_recall" ->
+      SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",
+        "embedding", queryFilter = "vec_id % 100 = 0",
+        dims = Seq(8, 16, 32), k = 10),
 
     "q_brier" ->
       graft.ops.Evaluation.brierScoreOracleSql("documents",

@@ -446,6 +446,94 @@ object SimilaritySearch {
         expr("coalesce(hits, 0) * 1000000L div k_exact").as("recall_micro"))
   }
 
+  /** Dimension-TRUNCATION recall — the Matryoshka QA gate (Kusupati et
+    * al. 2022): for each candidate prefix length d, how much of the
+    * full-dimension exact top-k survives when ranking by cosine over only
+    * the first d components. This is the table that picks the serving
+    * dimension before a fleet-wide re-index: storage/compute scale
+    * linearly in d, recall does not. One summary row per d:
+    * query-weighted mean recall (Σhits·10⁶ / Σk) and the worst single
+    * query's recall.
+    *
+    * Scale: the exact side is bounded by the query SAMPLE
+    * (|sample|·|corpus| scored rows — the [[annRecallReport]] harness);
+    * each truncated ranking is the same crossJoin with a narrower native
+    * cosine; per-query windows partition by the query id. Truncation is
+    * array slicing BEFORE the double cast on the Spark side and list
+    * slicing after it in the oracle — identical element values either
+    * way. */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, qidCol: String, qvecCol: String,
+                       dims: Seq[Int], k: Int): DataFrame = {
+    require(k >= 1 && dims.nonEmpty && dims.forall(_ >= 1),
+      "bad truncation parameters")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    def topK(qv: Column, ev: Column) =
+      queries.select(col(qidCol), qv.as("__qv"))
+        .crossJoin(emb.select(col(idCol), ev.as("__ev")))
+        .select(col(qidCol), col(idCol),
+          VectorFns.cosine(col("__ev"), col("__qv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col(qidCol), col(idCol))
+    val full = topK(col(qvecCol), col(vecCol)).localCheckpoint(true)
+    val kExact = full.groupBy(col(qidCol)).agg(count(lit(1)).as("k_exact"))
+    dims.map { dd =>
+      val tr = topK(slice(col(qvecCol), 1, dd), slice(col(vecCol), 1, dd))
+      full.join(tr, Seq(qidCol, idCol), "left_semi")
+        .groupBy(col(qidCol)).agg(count(lit(1)).as("hits"))
+        .join(kExact, Seq(qidCol), "right")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"), col("k_exact"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("sh"),
+          sum(col("k_exact")).as("sk"),
+          min(expr("hits * 1000000L div k_exact")).as("min_recall_micro"))
+        .select(lit(dd).as("dim"), col("n_queries"),
+          expr("sh * 1000000L div sk").as("recall_micro"),
+          col("min_recall_micro"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** DuckDB oracle replaying [[truncationRecall]] with queries selected
+    * by `queryFilter` over the same table. */
+  def truncationRecallOracleSql(table: String, idCol: String, vecCol: String,
+                                queryFilter: String, dims: Seq[Int],
+                                k: Int): String = {
+    def cosRank(qv: String, ev: String) =
+      s"""row_number() OVER (PARTITION BY q.qid
+           ORDER BY list_dot_product($ev, $qv) /
+             (sqrt(list_dot_product($ev, $ev)) * sqrt(list_dot_product($qv, $qv))) DESC,
+             e.$idCol)"""
+    val perDim = dims.map { dd =>
+      s"""SELECT $dd AS dim, n_queries, recall_micro, min_recall_micro FROM (
+           WITH tr AS (
+             SELECT qid, $idCol FROM (
+               SELECT q.qid, e.$idCol, ${cosRank(s"q.qv[1:$dd]", s"e.ev[1:$dd]")} AS rank
+               FROM qs q CROSS JOIN e) WHERE rank <= $k),
+           h AS (SELECT f.qid, count(*) AS hits
+                 FROM full_tk f JOIN tr ON tr.qid = f.qid AND tr.$idCol = f.$idCol
+                 GROUP BY 1),
+           pq AS (SELECT ke.qid, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                    ke.k_exact
+                  FROM ke LEFT JOIN h USING (qid))
+           SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(hits) AS BIGINT) * 1000000 // CAST(sum(k_exact) AS BIGINT)
+               AS recall_micro,
+             CAST(min(hits * 1000000 // k_exact) AS BIGINT) AS min_recall_micro
+           FROM pq)"""
+    }.mkString("\n         UNION ALL ")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       qs AS (SELECT $idCol AS qid, ev AS qv FROM e WHERE $queryFilter),
+       full_tk AS (
+         SELECT qid, $idCol FROM (
+           SELECT q.qid, e.$idCol, ${cosRank("q.qv", "e.ev")} AS rank
+           FROM qs q CROSS JOIN e) WHERE rank <= $k),
+       ke AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_exact
+              FROM full_tk GROUP BY 1)
+       $perDim ORDER BY dim"""
+  }
+
   /** DuckDB oracle replaying [[annRecallReport]]. */
   def annRecallOracleSql(table: String, idCol: String, vecCol: String,
                          nCentroids: Int, queryFilter: String,

@@ -539,3 +539,48 @@ class OperatingPointSpec extends SparkSpec {
     assert(b(half) == 250000L)
   }
 }
+
+class TruncationRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full-width truncation is a self-comparison with recall 1") {
+    val emb = (1L to 30L).map(i =>
+      (i, Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = graft.ops.SimilaritySearch.truncationRecall(emb, "vec_id",
+        "embedding", q, "qid", "qvec", dims = Seq(4), k = 5)
+      .select("dim", "n_queries", "recall_micro", "min_recall_micro")
+      .as[(Int, Long, Long, Long)].head()
+    assert(out == ((4, 3L, 1000000L, 1000000L)))
+  }
+
+  test("an adversarial tail dimension degrades truncated recall") {
+    // first dim identical everywhere; the last dims carry all signal ->
+    // ranking by dim-1 prefix is noise, full ranking is exact
+    val emb = (1L to 40L).map(i =>
+      (i, Array(1f, i.toFloat, (i * i % 97).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" === 1L)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = graft.ops.SimilaritySearch.truncationRecall(emb, "vec_id",
+        "embedding", q, "qid", "qvec", dims = Seq(1, 3), k = 5)
+      .select("dim", "recall_micro").as[(Int, Long)].collect().toMap
+    assert(out(3) == 1000000L)
+    assert(out(1) < 1000000L) // dim-1 cosine is constant 1.0 -> id-order ties
+  }
+
+  test("monotone signal concentration: more dims never hurt on this corpus") {
+    val emb = (1L to 50L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * (j + 3)) % 11).toFloat + 1f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.where($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = graft.ops.SimilaritySearch.truncationRecall(emb, "vec_id",
+        "embedding", q, "qid", "qvec", dims = Seq(2, 8), k = 8)
+      .select("dim", "recall_micro").as[(Int, Long)].collect().toMap
+    assert(out(8) == 1000000L)
+    assert(out(2) <= out(8))
+  }
+}
