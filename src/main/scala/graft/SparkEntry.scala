@@ -1472,6 +1472,51 @@ object SparkEntry {
         .distinct().orderBy(col("doc_id"))
     }),
 
+    // Streaming quantile-sketch maintenance: the base corpus's histogram
+    // pipe is extended by per-micro-batch histograms of arriving docs
+    // (re-deliveries dedup in-batch + at the sink — identical rows);
+    // quantiles over the fold equal the full-corpus oracle because the
+    // sketch is additive.
+    "q_streaming_dd_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_sdd").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val baseSpec = PipeSpec(PipeKeys("stream", "dd_base"),
+        columns = ColumnRoles(Map("datetime" -> "octave")),
+        epochUnit = Some("minute"), chunkMinutes = 16)
+      eng.storage(baseSpec).create(graft.ops.Sketches.ddSketchHistogram(
+        docs.where(col("doc_id") % 2 === 0).select(col("n_chars").as("v")), "v")
+        .localCheckpoint(true))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "dd_batches"),
+        columns = ColumnRoles(Map("datetime" -> "octave")),
+        epochUnit = Some("minute"), chunkMinutes = 16)
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.Sketches.ddSketchHistogram(
+          batch.dropDuplicates("doc_id").select(col("n_chars").as("v")), "v"))
+      q.awaitTermination()
+      val folded = graft.ops.Sketches.ddSketchFold(
+        eng.getData(baseSpec).select("octave", "sub", "cnt")
+          .unionByName(eng.getData(sinkSpec)
+            .select("octave", "sub", "cnt").distinct()))
+      graft.ops.Sketches.ddQuantiles(folded,
+          qsMicro = Seq(250000L, 500000L, 750000L, 990000L))
+        .orderBy(col("q_micro"))
+    }),
+
     "q_streaming_embedding_probe" -> ((s, d) => withStatePartitions(s, 8) {
       val root = java.nio.file.Files.createTempDirectory("graft_sep").toString
       val eng  = new SyncEngine(s, root)
@@ -4439,6 +4484,14 @@ object SparkEntry {
           TextFns.stopwordHits(col("text"), "en").cast("long").as("score")),
         "lbl", "score", alphaMicro = 50000L)),
 
+    // ── LLM-pipeline: token burstiness (Church–Gale VMR) — across-doc
+    // dispersion of per-doc counts: ≈1e6 = Poisson function word (the
+    // data-driven stopword list), ≫1e6 = clumping content word. Pure
+    // integer rational over the broadcast top-80 vocabulary.
+    "q_burstiness" -> ((s, d) =>
+      graft.ops.Corpus.tokenBurstiness(Tables.documents(s, d),
+        "doc_id", "text", vocabK = 80, k = 30)),
+
     // ── LLM-pipeline: Matryoshka truncation QA — recall of truncated-dim
     // cosine rankings against the full-dim exact top-k, per candidate
     // prefix length; picks the serving dimension before a re-index.
@@ -6560,6 +6613,13 @@ object SparkEntry {
         "SELECT n_chars AS v FROM documents",
         qsMicro = Seq(250000L, 500000L, 750000L, 990000L)),
 
+    // base histogram + streamed-batch histograms fold to the same
+    // full-corpus quantiles (additive sketch, dedup at both layers)
+    "q_streaming_dd_probe" ->
+      graft.ops.Sketches.ddQuantilesOracleSql(
+        "SELECT n_chars AS v FROM documents",
+        qsMicro = Seq(250000L, 500000L, 750000L, 990000L)),
+
     "q_cms_index_sync" ->
       graft.ops.Sketches.cmsPointReportOracleSql(
         graft.ops.Sketches.tokenValuesSql("documents", "text"),
@@ -6744,6 +6804,10 @@ object SparkEntry {
             ['the','a','of','and','to','in','is','it','that','for']))"""
             .linesIterator.map(_.trim).mkString(" "),
         alphaMicro = 50000L),
+
+    "q_burstiness" ->
+      graft.ops.Corpus.tokenBurstinessOracleSql("documents", "doc_id",
+        "text", vocabK = 80, k = 30),
 
     "q_truncation_recall" ->
       SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",

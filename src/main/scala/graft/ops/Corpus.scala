@@ -1415,6 +1415,68 @@ object Corpus {
                lambda3, lambda2)}) b USING ($idCol)
        ORDER BY a.$idCol"""
 
+  /** Token BURSTINESS (Church & Gale 1995): variance-to-mean ratio of a
+    * token's per-document count across the corpus. A Poisson-scattered
+    * token has VMR ≈ 1 (function words — the data-driven stopword list);
+    * content words clump into few documents and score ≫ 1. The
+    * complement of [[pmiPairs]]' within-doc view: burstiness is the
+    * across-doc dispersion that frequency alone cannot see.
+    *
+    * Exact: VMR = ((n·Σtf² − (Σtf)²)) / (n·Σtf) over per-doc counts tf
+    * (absent = 0 contributes nothing to either sum) — a pure integer
+    * rational, reported floor-micro with DECIMAL(38,0) widening.
+    *
+    * Scale: one (doc, token) count collapse, one token-keyed rollup
+    * restricted to the broadcast top-vocabK vocabulary, a 1-row doc
+    * count broadcast — text never shuffles; output capped at top-k by
+    * (vmr, token). */
+  def tokenBurstiness(docs: DataFrame, idCol: String, textCol: String,
+                      vocabK: Int, k: Int): DataFrame = {
+    require(vocabK >= 1 && k >= 1, "bad burstiness parameters")
+    val toks = lmToks(docs, idCol, textCol)
+    val tf = toks.select(col(idCol), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+      .orderBy(col("cf").desc, col("token")).limit(vocabK)
+      .select(col("token"))
+    val nd = toks.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(vocab), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("s"),
+        sum(col("tf") * col("tf")).as("q"))
+      .crossJoin(broadcast(nd))
+      .select(col("token"), col("df"), col("s").as("tf_total"),
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * q - CAST(s AS DECIMAL(38,0))" +
+          " * s) * 1000000 div (CAST(n AS DECIMAL(38,0)) * s) AS BIGINT)")
+          .as("vmr_micro"))
+      .orderBy(col("vmr_micro").desc, col("token"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle replaying [[tokenBurstiness]]. */
+  def tokenBurstinessOracleSql(table: String, idCol: String, textCol: String,
+                               vocabK: Int, k: Int): String =
+    s"""WITH toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tf AS (SELECT $idCol, token, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT $idCol, unnest(toks) AS token FROM t2) u GROUP BY 1, 2),
+       vocab AS (SELECT token FROM (
+           SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+           ORDER BY cf DESC, token LIMIT $vocabK)),
+       nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2),
+       r AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS s, CAST(sum(tf * tf) AS BIGINT) AS q
+             FROM tf WHERE token IN (SELECT token FROM vocab) GROUP BY 1)
+       SELECT token, df, s AS tf_total,
+         CAST((CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 1000000
+           // (CAST(n AS HUGEINT) * s) AS BIGINT) AS vmr_micro
+       FROM r, nd
+       ORDER BY vmr_micro DESC, token LIMIT $k"""
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank over
     * the token co-occurrence graph: adjacent-token pairs (both endpoints
     * in the top-`vocabK` corpus vocabulary) form undirected edges, the

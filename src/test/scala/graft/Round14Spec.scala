@@ -584,3 +584,36 @@ class TruncationRecallSpec extends SparkSpec {
     assert(out(2) <= out(8))
   }
 }
+
+class BurstinessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clumping token outranks the uniformly scattered one") {
+    // "filler" once per doc (Poisson-ish, VMR ~ <1e6 here since constant);
+    // "burst" all 8 occurrences inside one doc
+    val docs = ((1L to 7L).map(i => (i, "filler")) :+
+      (8L, "filler burst burst burst burst burst burst burst burst"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Corpus.tokenBurstiness(docs, "doc_id", "text",
+        vocabK = 10, k = 10)
+      .select("token", "df", "tf_total", "vmr_micro")
+      .as[(String, Long, Long, Long)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(out.head._1 == "burst")
+    // burst: n=8 docs, df=1, s=8, q=64 -> (8*64-64)/(8*8) = 7
+    assert(m("burst") == (("burst", 1L, 8L, 7000000L)))
+    // filler: s=8, q=8 -> (64-64)/64 = 0 (constant count = no dispersion)
+    assert(m("filler") == (("filler", 8L, 8L, 0L)))
+  }
+
+  test("poisson-like scatter sits near 1e6") {
+    // token appears 0 or 2 times alternately: n=10, s=10, q=20
+    // VMR = (10*20 - 100)/(10*10) = 1.0
+    val docs = (1L to 10L).map(i =>
+      (i, if (i % 2 == 0) "tok tok pad" else "pad")).toDF("doc_id", "text")
+    val vmr = graft.ops.Corpus.tokenBurstiness(docs, "doc_id", "text",
+        vocabK = 5, k = 5)
+      .where($"token" === "tok").select("vmr_micro").as[Long].head()
+    assert(vmr == 1000000L)
+  }
+}
