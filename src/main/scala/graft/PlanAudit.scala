@@ -113,7 +113,20 @@ object PlanAudit {
       ("Exact AUC: the corpus collapses to |distinct score| rows via a " +
        "partial hash aggregate BEFORE the single bounded rank window; the " +
        "output is one row — nothing corpus-sized crosses an exchange " +
-       "except the score-domain aggregate itself."))
+       "except the score-domain aggregate itself."),
+    "q_dd_quantiles" ->
+      ("Quantile sketch: the corpus collapses to the ≤ 1009-row (octave, " +
+       "sub) histogram via ONE partial hash aggregate with pure-integer " +
+       "bucket math inside the scan; the cumulative window and the rank " +
+       "probe run on that bounded table only."),
+    "q_fpr_threshold" ->
+      ("Budget-first operating point: partial aggregate to the |distinct " +
+       "score| domain, ONE descending cumulative window on that bounded " +
+       "table, min-struct pick — output is a single row."),
+    "q_burstiness" ->
+      ("Token burstiness: (doc, token) partial-aggregate collapse, " +
+       "left-semi against the BROADCAST top-vocabK vocabulary before the " +
+       "token rollup, 1-row doc-count broadcast — text never shuffles."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -560,9 +560,10 @@ object Evaluation {
       .agg(count(lit(1)).as("cnt"), sum(col(labelCol).cast("long")).as("pos"))
     val w = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cums = g
-      .withColumn("cpos", sum(col("pos")).over(w))
-      .withColumn("cneg", sum(col("cnt") - col("pos")).over(w))
+    // both cumulatives in ONE select so they plan as a single WindowExec
+    val cums = g.select(col("score"),
+      sum(col("pos")).over(w).as("cpos"),
+      sum(col("cnt") - col("pos")).over(w).as("cneg"))
     val tot = g.agg(sum(col("pos")).as("p"),
       sum(col("cnt") - col("pos")).as("n"))
     val cand = cums.crossJoin(broadcast(tot))

@@ -47,7 +47,9 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q_temperature_mixture"   -> 2, // |languages| mixture rows
     "q_unimax_alloc"          -> 5, // |languages| water-filling ladder
     "q_vocab_coverage"        -> 1, // ≤64-row ⌊log2 freq⌋ class offsets
-    "q_zipf_fit"              -> 1) // topV ≤ 200 TakeOrdered head
+    "q_zipf_fit"              -> 1, // topV ≤ 200 TakeOrdered head
+    "q_dd_quantiles"          -> 1, // ≤63·16+1-row sketch histogram (Sketches.scala)
+    "q_fpr_threshold"         -> 1) // |distinct score| domain (signalAuc's bound)
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val tree = p match {
