@@ -400,14 +400,18 @@ object Sketches {
   def ddQuantiles(hist: DataFrame, qsMicro: Seq[Long]): DataFrame = {
     require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0L && q <= 1000000L),
       "quantiles must be micro-units in [0, 1e6]")
+    // the histogram is consumed twice (cumulative walk + totals); it is
+    // ≤ 1009 rows but its LINEAGE may be a full corpus scan — materialize
+    // once so the caller pays that scan exactly once
+    val h = hist.localCheckpoint(true)
     val w = Window.orderBy(col("octave"), col("sub"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
+    val cum = h
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("lo", expr("CASE WHEN octave = 0 THEN 0 ELSE" +
         " shiftleft(CAST(1 AS BIGINT), octave - 1) + sub *" +
         " shiftleft(CAST(1 AS BIGINT), octave - 1) div 16 END"))
-    val n1 = hist.agg(sum(col("cnt")).as("n"))
+    val n1 = h.agg(sum(col("cnt")).as("n"))
     val qs = hist.sparkSession.createDataFrame(
       hist.sparkSession.sparkContext.parallelize(
         qsMicro.map(org.apache.spark.sql.Row(_)), 1),
@@ -450,14 +454,17 @@ object Sketches {
   def ddQuantilesByGroup(hist: DataFrame, qsMicro: Seq[Long]): DataFrame = {
     require(qsMicro.nonEmpty && qsMicro.forall(q => q >= 0L && q <= 1000000L),
       "quantiles must be micro-units in [0, 1e6]")
+    // consumed twice (per-group cum + per-group totals) — pay the
+    // upstream scan once ([[ddQuantiles]]'s rationale)
+    val h = hist.localCheckpoint(true)
     val w = Window.partitionBy(col("grp")).orderBy(col("octave"), col("sub"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
+    val cum = h
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("lo", expr("CASE WHEN octave = 0 THEN 0 ELSE" +
         " shiftleft(CAST(1 AS BIGINT), octave - 1) + sub *" +
         " shiftleft(CAST(1 AS BIGINT), octave - 1) div 16 END"))
-    val n1 = hist.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val n1 = h.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
     val qs = hist.sparkSession.createDataFrame(
       hist.sparkSession.sparkContext.parallelize(
         qsMicro.map(org.apache.spark.sql.Row(_)), 1),
