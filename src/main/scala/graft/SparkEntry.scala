@@ -678,6 +678,44 @@ object SparkEntry {
            graft.ops.Sketches.ddSketchFold(eng.getData(spec)),
            qsMicro = Seq(250000L, 500000L, 750000L, 990000L))
          .orderBy(col("q_micro")))
+    }),
+
+    // Stored Bradley–Terry leaderboard maintained incrementally: per-batch
+    // pair/win counts blind-append into hash-bucketed pipes; both counts
+    // are ADDITIVE, so the MM refit over the folded store equals a
+    // full-history rebuild — the Chatbot-Arena shape where battles arrive
+    // forever and the leaderboard refits from O(|pairs|) stored rows.
+    "q_bt_index_sync" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val battles = e.as("x")
+        .join(e.as("y"), expr("y.event_id = x.event_id + 1"))
+        .where(col("x.event_type") =!= col("y.event_type") &&
+          col("x.value") =!= col("y.value"))
+        .select(col("x.event_id").as("bid"),
+          when(col("x.value") > col("y.value"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("w"),
+          when(col("x.value") > col("y.value"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("l"))
+      val root = java.nio.file.Files.createTempDirectory("graft_bt_sync").toString
+      val eng  = new SyncEngine(s, root)
+      def mSpec(name: String) = PipeSpec(PipeKeys("idx", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (pSpec, wSpec) = (mSpec("bt_pairs"), mSpec("bt_wins"))
+      (() => {
+        Seq(0, 1).foreach { half =>
+          val (pc, w) = graft.ops.Rlhf.btBattleCounts(
+            battles.where(col("bid") % 2 === half), "w", "l", buckets = 8)
+          eng.sync(pSpec, pc.localCheckpoint(true), checkExisting = false)
+          eng.sync(wSpec, w.localCheckpoint(true), checkExisting = false)
+        }
+        ()
+       },
+       () => graft.ops.Rlhf.bradleyTerryFromCounts(
+           graft.ops.Rlhf.btFoldPairs(eng.getData(pSpec)),
+           graft.ops.Rlhf.btFoldWins(eng.getData(wSpec)), iters = 4)
+         .orderBy(col("item")))
     }))
 
   /** Compose a staged entry back into the single-DataFrame query form used
@@ -1515,6 +1553,55 @@ object SparkEntry {
       graft.ops.Sketches.ddQuantiles(folded,
           qsMicro = Seq(250000L, 500000L, 750000L, 990000L))
         .orderBy(col("q_micro"))
+    }),
+
+    // Streaming KN-quality probe: arriving docs score against the stored
+    // Kneser-Ney model (the KenLM inference path inside foreachBatch);
+    // model pipes fold once and checkpoint, re-deliveries dedup in-batch
+    // + at the sink (deterministic scores => exact duplicate rows).
+    "q_streaming_kn_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_skn").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      def mSpec(name: String) = PipeSpec(PipeKeys("stream", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (sU, sB, sT) = (mSpec("kn_uni"), mSpec("kn_bi"), mSpec("kn_tri"))
+      val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
+        docs, "doc_id", "text", buckets)
+      eng.storage(sU).create(u)
+      eng.storage(sB).create(b)
+      eng.storage(sT).create(t)
+      val cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true)
+      val cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true)
+      val cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true)
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "kn_scores"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.Corpus.knScoreWithModel(
+            batch.dropDuplicates("doc_id"), "doc_id", "text", cf, cvw, cuvw,
+            discount = 0.75)
+          .withColumn("ts", timestamp_micros(
+            (col("doc_id") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("doc_id"), col("n_tokens"), col("logprob_micro"), col("xent"))
+        .distinct().orderBy(col("doc_id"))
     }),
 
     "q_streaming_embedding_probe" -> ((s, d) => withStatePartitions(s, 8) {
@@ -3529,6 +3616,7 @@ object SparkEntry {
     // oracle for each is the full-corpus sketch.
     "q_hll_index_sync" -> composed("q_hll_index_sync"),
     "q_dd_index_sync" -> composed("q_dd_index_sync"),
+    "q_bt_index_sync" -> composed("q_bt_index_sync"),
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
 
     // ── LLM-pipeline: Flesch readability per doc — three codegen'd regex
@@ -5311,6 +5399,25 @@ object SparkEntry {
         "documents",
         "(SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)",
         "doc_id", "text", lambda3 = 0.5, lambda2 = 0.3),
+
+    "q_streaming_kn_probe" ->
+      graft.ops.Corpus.knScoreOracleSql(
+        "documents",
+        "(SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text", discount = 0.75),
+
+    // additive pair/win counts: the folded-store MM refit equals the
+    // full-history fit, so the oracle is q_bradley_terry's replay
+    "q_bt_index_sync" ->
+      graft.ops.Rlhf.bradleyTerryOracleSql(
+        """(SELECT CASE WHEN x.value > y.value THEN x.event_type
+             ELSE y.event_type END AS w,
+           CASE WHEN x.value > y.value THEN y.event_type
+             ELSE x.event_type END AS l
+           FROM events x JOIN events y ON y.event_id = x.event_id + 1
+           WHERE x.event_type <> y.event_type AND x.value <> y.value)"""
+          .linesIterator.map(_.trim).mkString(" "),
+        winnerExpr = "w", loserExpr = "l", iters = 4),
 
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(

@@ -224,18 +224,28 @@ object Rlhf {
     * pass so plan depth stays constant. `iters` is a fixed budget, not a
     * convergence loop. */
   def bradleyTerryMicro(battles: DataFrame, winnerCol: String,
-                        loserCol: String, iters: Int): DataFrame = {
+                        loserCol: String, iters: Int): DataFrame =
+    bradleyTerryFromCounts(
+      battles.select(
+          least(col(winnerCol), col(loserCol)).as("i"),
+          greatest(col(winnerCol), col(loserCol)).as("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n")),
+      battles.groupBy(col(winnerCol).as("item"))
+        .agg(count(lit(1)).as("wins")),
+      iters)
+
+  /** The MM fit over PRE-AGGREGATED battle counts — the stored-pipe form:
+    * unordered pair counts `pc(i, j, n)` and per-item `wins(item, wins)`
+    * are both ADDITIVE over battle batches, so folded pipes refit to the
+    * exact same strengths as a full-history rebuild. Items appearing only
+    * as losers need no wins row (read 0). */
+  def bradleyTerryFromCounts(pc: DataFrame, wins: DataFrame,
+                             iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
-    val pc = battles.select(
-        least(col(winnerCol), col(loserCol)).as("i"),
-        greatest(col(winnerCol), col(loserCol)).as("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
     val ed = pc.select(col("i").as("a"), col("j").as("b"), col("n"))
       .union(pc.select(col("j").as("a"), col("i").as("b"), col("n")))
       .localCheckpoint(true)
     val items = ed.select(col("a").as("item")).distinct()
-    val wins = battles.groupBy(col(winnerCol).as("item"))
-      .agg(count(lit(1)).as("wins"))
     val w0 = items.join(wins, Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"))
       .localCheckpoint(true)
@@ -260,6 +270,35 @@ object Rlhf {
     }
     p.select(col("item"), col("p").as("strength_micro"))
   }
+
+  /** Per-batch ADDITIVE battle counts for the STORED Bradley–Terry
+    * leaderboard — the Chatbot-Arena production shape: count once per
+    * batch, blind-append into hash-bucketed pipes, fold (sum) + refit at
+    * read. Returns (pair counts, win counts), each with a `bucket` chunk
+    * axis so the leaderboard lives as ordinary pipes. */
+  def btBattleCounts(battles: DataFrame, winnerCol: String,
+                     loserCol: String, buckets: Int): (DataFrame, DataFrame) = {
+    require(buckets >= 1, "need at least one bucket")
+    import graft.functions.TextFns
+    def bucketOf(key: org.apache.spark.sql.Column) =
+      pmod(TextFns.md5Long60(key), lit(buckets.toLong)).as("bucket")
+    val pc = battles.select(
+        least(col(winnerCol), col(loserCol)).as("i"),
+        greatest(col(winnerCol), col(loserCol)).as("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      .select(bucketOf(concat_ws(" ", col("i"), col("j"))),
+        col("i"), col("j"), col("n"))
+    val w = battles.groupBy(col(winnerCol).as("item"))
+      .agg(count(lit(1)).as("wins"))
+      .select(bucketOf(col("item").cast("string")), col("item"), col("wins"))
+    (pc, w)
+  }
+
+  /** Fold stored per-batch battle counts back into fit inputs. */
+  def btFoldPairs(df: DataFrame): DataFrame =
+    df.groupBy(col("i"), col("j")).agg(sum(col("n")).as("n"))
+  def btFoldWins(df: DataFrame): DataFrame =
+    df.groupBy(col("item")).agg(sum(col("wins")).as("wins"))
 
   /** DuckDB oracle replaying [[bradleyTerryMicro]] — the same `iters` MM
     * steps unrolled as CTEs with identical integer quantization. */

@@ -617,3 +617,44 @@ class BurstinessSpec extends SparkSpec {
     assert(vmr == 1000000L)
   }
 }
+
+class StoredFoldParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BT: folded per-batch counts refit bit-identical to full history") {
+    val battles = (1L to 60L).map { i =>
+      val a = s"m${i % 5}"; val b = s"m${(i * 3 + 1) % 5}"
+      if (a == b) (s"m${i % 5}", s"m${(i + 1) % 5}", i)
+      else if (i % 3 == 0) (a, b, i) else (b, a, i)
+    }.toDF("w", "l", "bid").where($"w" =!= $"l")
+    val full = graft.ops.Rlhf.bradleyTerryMicro(battles, "w", "l", iters = 4)
+      .as[(String, Long)].collect().toMap
+    val parts = Seq(0L, 1L, 2L).map(r => battles.where($"bid" % 3 === r))
+    val counted = parts.map(p =>
+      graft.ops.Rlhf.btBattleCounts(p, "w", "l", buckets = 4))
+    val folded = graft.ops.Rlhf.bradleyTerryFromCounts(
+        graft.ops.Rlhf.btFoldPairs(counted.map(_._1).reduce(_ union _)),
+        graft.ops.Rlhf.btFoldWins(counted.map(_._2).reduce(_ union _)),
+        iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(folded == full)
+  }
+
+  test("DD: randomized batch splits always fold to the rebuild") {
+    val rng = new scala.util.Random(20260815L)
+    val vals = Seq.fill(800)(math.abs(rng.nextLong()) % 1000000L)
+    (1 to 5).foreach { trial =>
+      val marks = vals.map(_ => rng.nextInt(4))
+      val batches = (0 until 4).map(b =>
+        vals.zip(marks).collect { case (v, m) if m == b => v })
+      val folded = graft.ops.Sketches.ddSketchFold(
+          batches.filter(_.nonEmpty)
+            .map(b => graft.ops.Sketches.ddSketchHistogram(b.toDF("v"), "v"))
+            .reduce(_ union _))
+        .orderBy("octave", "sub").as[(Int, Long, Long)].collect().toSeq
+      val rebuilt = graft.ops.Sketches.ddSketchHistogram(vals.toDF("v"), "v")
+        .orderBy("octave", "sub").as[(Int, Long, Long)].collect().toSeq
+      assert(folded == rebuilt, s"trial $trial diverged")
+    }
+  }
+}
