@@ -4592,6 +4592,16 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ── maintenance: robust MAD outlier worklist — |x − median| > k·MAD
+    // per event type (median/MAD resist the contamination that inflates
+    // a z-score's sigma); exact percentile ≡ quantile_cont parity.
+    "q_mad_outliers" -> ((s, d) =>
+      graft.ops.Maintenance.madOutliers(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("value_centi")),
+        "event_type", "event_id", "value_centi",
+        kMicro = 2500000L, cap = 40)),
+
     // ── LLM-pipeline: Brier score — single-number calibration of a
     // micro-unit probability against a binary label; exact integers.
     "q_brier" -> ((s, d) =>
@@ -6920,6 +6930,12 @@ object SparkEntry {
       SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",
         "embedding", queryFilter = "vec_id % 100 = 0",
         dims = Seq(8, 16, 32), k = 10),
+
+    "q_mad_outliers" ->
+      graft.ops.Maintenance.madOutliersOracleSql("events",
+        groupCol = "event_type", idCol = "event_id",
+        valueExpr = "round(value * 100)", valueName = "value_centi",
+        kMicro = 2500000L, cap = 40),
 
     "q_brier" ->
       graft.ops.Evaluation.brierScoreOracleSql("documents",

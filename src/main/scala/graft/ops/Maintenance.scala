@@ -496,6 +496,58 @@ object Maintenance {
        FROM $table GROUP BY $groupCol ORDER BY $groupCol"""
   }
 
+  /** Robust per-group OUTLIER worklist — median/MAD (Hampel): flag rows
+    * with |x − median| > k·MAD of their group. The mean/σ z-score breaks
+    * down exactly when outliers are present (they inflate σ); the median
+    * absolute deviation resists up to 50% contamination, making this the
+    * ANALYZE-grade gate for reward spikes, latency anomalies, and sensor
+    * glitches. MAD = 0 (a majority-constant group) flags ANY deviation —
+    * strict `>` keeps the constant rows themselves clean.
+    *
+    * Exactness: Spark's exact `percentile` ≡ ANSI `quantile_cont`
+    * ([[groupPercentiles]]'s parity), deviations are |long − double| with
+    * identical IEEE results, and the worklist caps under the
+    * (deviation DESC, group, id) total order. Scale: two grouped exact
+    * percentiles + one join back (AQE broadcasts the |groups|-row medians
+    * when small); at 100 TB swap `approx_percentile` per the documented
+    * profile() convention. */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+                  valueCol: String, kMicro: Long, cap: Int): DataFrame = {
+    require(kMicro >= 0L && cap >= 1, "bad MAD parameters")
+    val kD = kMicro.toDouble / 1e6
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = df.select(col(groupCol), col(idCol), col(valueCol))
+      .join(med, Seq(groupCol))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    dev.join(mad, Seq(groupCol))
+      .where(col("dev") > lit(kD) * col("mad"))
+      .select(col(groupCol), col(idCol), col(valueCol), col("med"),
+        col("mad"), col("dev"))
+      .orderBy(col("dev").desc, col(groupCol), col(idCol))
+      .limit(cap)
+  }
+
+  /** DuckDB oracle replaying [[madOutliers]]. */
+  def madOutliersOracleSql(table: String, groupCol: String, idCol: String,
+                           valueExpr: String, valueName: String,
+                           kMicro: Long, cap: Int): String = {
+    val kD = kMicro.toDouble / 1e6
+    s"""WITH src AS (SELECT $groupCol AS grp, $idCol AS id,
+           CAST($valueExpr AS BIGINT) AS v FROM $table),
+       m AS (SELECT grp, quantile_cont(v, 0.5) AS med FROM src GROUP BY 1),
+       d AS (SELECT src.grp, src.id, src.v, m.med, abs(src.v - m.med) AS dev
+             FROM src JOIN m USING (grp)),
+       md AS (SELECT grp, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+       SELECT d.grp AS $groupCol, d.id AS $idCol, d.v AS $valueName,
+         d.med, md.mad, d.dev
+       FROM d JOIN md USING (grp)
+       WHERE d.dev > $kD * md.mad
+       ORDER BY d.dev DESC, d.grp, d.id LIMIT $cap"""
+  }
+
   /** Derived-index STALENESS report — the ops check for every stored
     * index (band/cell/postings pipes): which corpus ids are MISSING from
     * the index (a sync that never ran), and which index ids are ORPHANED

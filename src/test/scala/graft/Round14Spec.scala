@@ -658,3 +658,39 @@ class StoredFoldParitySpec extends SparkSpec {
     }
   }
 }
+
+class MadOutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single spike flagged; median/MAD ignore it") {
+    // group g: values 10x100 plus one 900 -> med=100, MAD=0? devs: ten 0s
+    // and one 800 -> MAD = 0 -> strict > flags only the spike
+    val df = ((1L to 10L).map(i => ("g", i, 100L)) :+ (("g", 11L, 900L)))
+      .toDF("grp", "id", "v")
+    val out = graft.ops.Maintenance.madOutliers(df, "grp", "id", "v",
+        kMicro = 3000000L, cap = 10)
+      .select("id", "v").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((11L, 900L)))
+  }
+
+  test("z-score-breaking contamination: MAD still isolates the far tail") {
+    // 3 huge outliers would drag a mean/sigma gate; median stays at the body
+    val body = (1L to 20L).map(i => ("g", i, 50L + (i % 5)))
+    val tail = Seq(("g", 101L, 5000L), ("g", 102L, 6000L), ("g", 103L, 7000L))
+    val out = graft.ops.Maintenance.madOutliers(
+        (body ++ tail).toDF("grp", "id", "v"), "grp", "id", "v",
+        kMicro = 3000000L, cap = 10)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(101L, 102L, 103L))
+  }
+
+  test("groups are independent and the cap orders by deviation") {
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 1000L),
+      ("b", 5L, 10L), ("b", 6L, 10L), ("b", 7L, 10L), ("b", 8L, 99999L))
+      .toDF("grp", "id", "v")
+    val out = graft.ops.Maintenance.madOutliers(df, "grp", "id", "v",
+        kMicro = 2000000L, cap = 1)
+      .select("grp", "id").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("b", 8L))) // largest deviation wins the cap
+  }
+}
