@@ -4592,6 +4592,18 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ── LLM-pipeline: t-closeness violations — classes whose sensitive
+    // distribution drifts more than t (total variation) from the corpus:
+    // the leak l-diversity misses (many distinct values, still 95% one).
+    // Pure integer rational incl. the absent-value term; no zero-fill.
+    "q_t_closeness" -> ((s, d) =>
+      graft.ops.Privacy.tClosenessViolations(
+        Tables.events(s, d).select(col("event_type"),
+          expr("CAST(value AS BIGINT) div 50").as("value_band"),
+          pmod(col("user_id"), lit(4L)).as("cohort")),
+        Seq("event_type", "value_band"), "cohort",
+        tMicro = 100000L, cap = 40)),
+
     // ── maintenance: robust MAD outlier worklist — |x − median| > k·MAD
     // per event type (median/MAD resist the contamination that inflates
     // a z-score's sigma); exact percentile ≡ quantile_cont parity.
@@ -6930,6 +6942,12 @@ object SparkEntry {
       SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",
         "embedding", queryFilter = "vec_id % 100 = 0",
         dims = Seq(8, 16, 32), k = 10),
+
+    "q_t_closeness" ->
+      graft.ops.Privacy.tClosenessViolationsOracleSql("events", Seq(
+        "event_type" -> "event_type",
+        "value_band" -> "CAST(trunc(value) AS BIGINT) // 50"),
+        sensitiveExpr = "user_id % 4", tMicro = 100000L, cap = 40),
 
     "q_mad_outliers" ->
       graft.ops.Maintenance.madOutliersOracleSql("events",

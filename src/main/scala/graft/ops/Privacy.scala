@@ -108,6 +108,82 @@ object Privacy {
       .limit(cap)
   }
 
+  /** Equivalence classes violating t-CLOSENESS (Li et al. 2007 — the
+    * third rung above k-anonymity/l-diversity): a class passes only if
+    * its sensitive-attribute distribution stays within `t` of the
+    * corpus-wide distribution, here in TOTAL-VARIATION distance
+    * TV = ½·Σₛ |p_class(s) − p_corpus(s)| — l-diversity misses the class
+    * that has many distinct values but is still 95% one diagnosis.
+    *
+    * Exactness: TV is a pure integer rational —
+    * Σₛ |c_cs·N − g_s·n_c| / (2·n_c·N) — including the absent-value term
+    * Σ_{s∉class} g_s·n_c = (N − Σ_{s∈class} g_s)·n_c, so no per-class
+    * zero-fill against the sensitive domain ever materializes. Products
+    * widen to DECIMAL(38,0) (c·N reaches 10²⁴ at corpus scale).
+    *
+    * Scale: one (QI, sensitive) aggregate, a join against the
+    * |sensitive-domain|-row global table (broadcast — the domain is
+    * bounded), one class rollup; worklist capped most-leaking-first
+    * under a (TV DESC, QI…) total order. */
+  def tClosenessViolations(df: DataFrame, qiCols: Seq[String],
+                           sensitiveCol: String, tMicro: Long,
+                           cap: Int): DataFrame = {
+    require(qiCols.nonEmpty && tMicro >= 0L && tMicro <= 1000000L && cap >= 1,
+      "bad t-closeness parameters")
+    val qi = qiCols.map(col)
+    val cs = df.groupBy((qi :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("c_cs"))
+    val nc = cs.groupBy(qi: _*).agg(sum(col("c_cs")).as("class_size"))
+    val g = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("g_s"))
+    val tot = df.agg(count(lit(1)).as("nn"))
+    cs.join(broadcast(g), Seq(sensitiveCol))
+      .join(nc, qiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qi: _*)
+      .agg(max(col("class_size")).as("class_size"),
+        sum(expr("abs(CAST(c_cs AS DECIMAL(38,0)) * nn" +
+          " - CAST(g_s AS DECIMAL(38,0)) * class_size)")).as("a"),
+        sum(col("g_s")).as("g_present"), max(col("nn")).as("nn"))
+      .select((qi :+ col("class_size") :+
+        expr("CAST((a + (CAST(nn AS DECIMAL(38,0)) - g_present) * class_size)" +
+          " * 1000000 div (CAST(2 AS DECIMAL(38,0)) * class_size * nn)" +
+          " AS BIGINT)").as("tv_micro")): _*)
+      .where(col("tv_micro") > tMicro)
+      .orderBy((col("tv_micro").desc +: qi): _*)
+      .limit(cap)
+  }
+
+  /** DuckDB oracle replaying [[tClosenessViolations]]. */
+  def tClosenessViolationsOracleSql(table: String,
+                                    qiExprs: Seq[(String, String)],
+                                    sensitiveExpr: String, tMicro: Long,
+                                    cap: Int): String = {
+    val qi = qiExprs.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    val names = qiExprs.map(_._1).mkString(", ")
+    s"""WITH src AS (SELECT $qi, $sensitiveExpr AS sens FROM $table),
+       cs AS (SELECT $names, sens, CAST(count(*) AS BIGINT) AS c_cs
+              FROM src GROUP BY $names, sens),
+       nc AS (SELECT $names, CAST(sum(c_cs) AS BIGINT) AS class_size
+              FROM cs GROUP BY $names),
+       g AS (SELECT sens, CAST(count(*) AS BIGINT) AS g_s
+             FROM src GROUP BY sens),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM src),
+       r AS (SELECT $names, max(class_size) AS class_size,
+               sum(abs(CAST(c_cs AS HUGEINT) * nn
+                 - CAST(g_s AS HUGEINT) * class_size)) AS a,
+               CAST(sum(g_s) AS BIGINT) AS g_present, max(nn) AS nn
+             FROM cs JOIN g USING (sens) JOIN nc USING ($names), t
+             GROUP BY $names),
+       v AS (SELECT $names, class_size,
+               CAST((a + (CAST(nn AS HUGEINT) - g_present) * class_size)
+                 * 1000000 // (CAST(2 AS HUGEINT) * class_size * nn)
+                 AS BIGINT) AS tv_micro
+             FROM r)
+       SELECT $names, class_size, tv_micro FROM v
+       WHERE tv_micro > $tMicro
+       ORDER BY tv_micro DESC, $names LIMIT $cap"""
+  }
+
   /** DuckDB oracle replaying [[lDiversityViolations]]. */
   def lDiversityViolationsOracleSql(table: String,
                                     qiExprs: Seq[(String, String)],

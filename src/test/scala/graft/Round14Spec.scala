@@ -694,3 +694,49 @@ class MadOutliersSpec extends SparkSpec {
     assert(out == Seq(("b", 8L))) // largest deviation wins the cap
   }
 }
+
+class TClosenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed TV: skewed classes flagged, balanced class clean") {
+    // corpus: 12 rows, global 0/1 split 6/6; class A all 0 and class C
+    // all 1 -> TV = 1/2 each; class B 2/2 mirrors the corpus -> TV = 0
+    val df = (Seq.fill(4)(("A", 0L)) ++ Seq(("B", 0L), ("B", 0L),
+      ("B", 1L), ("B", 1L)) ++ Seq.fill(4)(("C", 1L))).zipWithIndex
+      .map { case ((z, s), i) => (z, s, i) }.toDF("zip", "sens", "i")
+    val out = graft.ops.Privacy.tClosenessViolations(df, Seq("zip"), "sens",
+        tMicro = 100000L, cap = 10)
+      .select("zip", "class_size", "tv_micro")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", 4L, 500000L), ("C", 4L, 500000L)))
+  }
+
+  test("absent-value mass counts: single-value class vs 3-way corpus") {
+    // global: 0/1/2 each 3 of 9 rows; class A (3 rows) all value 0:
+    // TV = (|3*9-3*3| + absent (3+3)*3) / (2*3*9) = (18+18)/54 = 2/3;
+    // class B (6 rows, 1/2 split 3/3, no 0s):
+    // TV = (absent 3*6 + |3*9-3*6|*2) / (2*6*9) = 36/108 = 1/3
+    val rows = (0L until 3L).map(i => ("A", 0L, i)) ++
+      (3L until 9L).map(i => ("B", i % 2 + 1L, i))
+    val out = graft.ops.Privacy.tClosenessViolations(
+        rows.toDF("zip", "sens", "i"), Seq("zip"), "sens",
+        tMicro = 0L, cap = 10)
+      .select("zip", "tv_micro").as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 666666L, "B" -> 333333L))
+  }
+
+  test("the l-diversity blind spot: diverse but 90 percent one value") {
+    // class has all 3 distinct values (passes l=3) but is 10/1/1 skewed
+    val corpus = (0L until 36L).map(i => ("bg", i % 3, i)) ++
+      ((0L until 10L).map(i => ("leak", 0L, 100 + i)) ++
+        Seq(("leak", 1L, 111L), ("leak", 2L, 112L)))
+    val df = corpus.toDF("zip", "sens", "i")
+    val ldiv = graft.ops.Privacy.lDiversityViolations(df, Seq("zip"), "sens",
+      l = 3L, cap = 10)
+    assert(ldiv.count() == 0L) // l-diversity sees nothing
+    val tc = graft.ops.Privacy.tClosenessViolations(df, Seq("zip"), "sens",
+        tMicro = 200000L, cap = 10)
+      .select("zip").as[String].collect().toSeq
+    assert(tc == Seq("leak")) // t-closeness catches the skew
+  }
+}
