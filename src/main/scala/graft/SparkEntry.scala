@@ -3466,6 +3466,14 @@ object SparkEntry {
       graft.ops.Relational.dailyBursts(Tables.events(s, d), "ts",
         sigma = 3.0, window = 7)),
 
+    // ── events: change-point per event type — the best-split mean-shift
+    // day (level shift a local burst detector normalizes away); windows
+    // partition by type over |days| rows, exact integer rational gap.
+    "q_changepoint" -> ((s, d) =>
+      graft.ops.Relational.changepointSplit(Tables.events(s, d),
+        "event_type", "ts")
+        .orderBy(col("event_type"))),
+
     // ── funnel step latencies — "median time to purchase": the funnel
     // fixpoint keeping per-user completion times; per transition the
     // converter count and exact interpolated p50/p90 gap seconds.
@@ -6942,6 +6950,10 @@ object SparkEntry {
       SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",
         "embedding", queryFilter = "vec_id % 100 = 0",
         dims = Seq(8, 16, 32), k = 10),
+
+    "q_changepoint" ->
+      graft.ops.Relational.changepointSplitOracleSql("events",
+        groupCol = "event_type", timeCol = "ts"),
 
     "q_t_closeness" ->
       graft.ops.Privacy.tClosenessViolationsOracleSql("events", Seq(

@@ -212,6 +212,79 @@ object Relational {
        FROM t ORDER BY day"""
   }
 
+  /** CHANGE-POINT detection per group — the best-split mean-shift
+    * statistic (the CUSUM-family two-sample form): for every candidate
+    * split day t, the scaled gap between the mean daily volume before
+    * and after, |S_t·(n−t) − (S_n−S_t)·t| / (t·(n−t)); the argmax day is
+    * where the regime changed (a deploy, an ingestion break, a bot wave).
+    * [[dailyBursts]] finds spikes against a local baseline; this finds
+    * the LEVEL SHIFT a spike detector normalizes away.
+    *
+    * Exactness: prefix sums over the day grid are exact longs, the gap
+    * is a pure integer rational (DECIMAL(38,0) products), and max-day
+    * ties break to the earliest day. Scale: one grouped day-count
+    * aggregate; windows PARTITION by the group over |days| rows each —
+    * never over events. Output one row per group: (group, n_days,
+    * split_day, diff_micro = mean gap in events/day micro-units). */
+  def changepointSplit(events: DataFrame, groupCol: String,
+                       timeCol: String): DataFrame = {
+    val daily = events.groupBy(col(groupCol).as("grp"),
+        date_trunc("day", col(timeCol)).cast("timestamp_ntz").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val wSum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("t", row_number().over(wRank).cast("long"))
+      .withColumn("st", sum(col("cnt")).over(wSum))
+    val tot = daily.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("sn"), count(lit(1)).as("nd"))
+    val diffs = pre.join(tot, Seq("grp"))
+      .where(col("t") < col("nd"))
+      .select(col("grp"), col("day"), col("nd"),
+        // greatest(…, 1) never changes a kept row (the filter above pins
+        // t < nd) — it only keeps ANSI division alive if the engine
+        // evaluates the projection speculatively
+        expr("CAST(abs(CAST(st AS DECIMAL(38,0)) * (nd - t)" +
+          " - (CAST(sn AS DECIMAL(38,0)) - st) * t) * 1000000" +
+          " div greatest(CAST(t AS DECIMAL(38,0)) * (nd - t), 1) AS BIGINT)")
+          .as("diff_micro"))
+    val best = diffs.groupBy(col("grp"))
+      .agg(max(col("diff_micro")).as("diff_micro"))
+    diffs.join(best, Seq("grp", "diff_micro"))
+      .groupBy(col("grp"), col("diff_micro"))
+      .agg(max(col("nd")).as("n_days"), min(col("day")).as("split_day"))
+      .select(col("grp").as(groupCol), col("n_days"), col("split_day"),
+        col("diff_micro"))
+  }
+
+  /** DuckDB oracle replaying [[changepointSplit]]. */
+  def changepointSplitOracleSql(table: String, groupCol: String,
+                                timeCol: String): String =
+    s"""WITH d AS (SELECT $groupCol AS grp, date_trunc('day', $timeCol) AS day,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM $table GROUP BY 1, 2),
+       p AS (SELECT grp, day,
+               CAST(row_number() OVER win AS BIGINT) AS t,
+               CAST(sum(cnt) OVER win2 AS BIGINT) AS st
+             FROM d
+             WINDOW win AS (PARTITION BY grp ORDER BY day),
+                    win2 AS (PARTITION BY grp ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       tt AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS sn,
+                CAST(count(*) AS BIGINT) AS nd
+              FROM d GROUP BY 1),
+       df AS (SELECT p.grp, p.day, tt.nd,
+                CAST(abs(CAST(st AS HUGEINT) * (nd - t)
+                  - (CAST(sn AS HUGEINT) - st) * t) * 1000000
+                  // greatest(CAST(t AS HUGEINT) * (nd - t), 1) AS BIGINT)
+                  AS diff_micro
+              FROM p JOIN tt USING (grp) WHERE p.t < tt.nd),
+       b AS (SELECT grp, max(diff_micro) AS diff_micro FROM df GROUP BY 1)
+       SELECT df.grp AS $groupCol, max(df.nd) AS n_days,
+         min(df.day) AS split_day, b.diff_micro
+       FROM df JOIN b ON b.grp = df.grp AND b.diff_micro = df.diff_micro
+       GROUP BY df.grp, b.diff_micro ORDER BY $groupCol"""
+
   /** Funnel step LATENCIES — how long converting entities take between
     * consecutive steps (the "median time to purchase" product metric):
     * the same first-qualifying-occurrence fixpoint as [[funnel]], but

@@ -740,3 +740,46 @@ class TClosenessSpec extends SparkSpec {
     assert(tc == Seq("leak")) // t-closeness catches the skew
   }
 }
+
+class ChangepointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(day: Int, i: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d 0${i % 9}:00:00")
+
+  test("clean level shift is found at the shift day") {
+    // type g: 2 events/day for days 1-5, 10/day for days 6-10 ->
+    // best split after day 5: |10*5 - 50*5| / (5*5) = wait, exact below
+    val rows = (1 to 5).flatMap(dd => (0 until 2).map(i => ("g", at(dd, i)))) ++
+      (6 to 10).flatMap(dd => (0 until 10).map(i => ("g", at(dd, i))))
+    val out = graft.ops.Relational.changepointSplit(
+        rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select("n_days", "split_day", "diff_micro")
+      .as[(Long, java.sql.Timestamp, Long)].head()
+    // at t=5: S_t=10, Sn=60, gap = |10*5 - 50*5|/(5*5) = 200/25 = 8.0
+    assert(out._1 == 10L)
+    assert(out._2.toString.startsWith("2024-01-05"))
+    assert(out._3 == 8000000L)
+  }
+
+  test("constant series has zero gap everywhere") {
+    val rows = (1 to 6).flatMap(dd => (0 until 3).map(i => ("g", at(dd, i))))
+    val out = graft.ops.Relational.changepointSplit(
+        rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select("diff_micro").as[Long].head()
+    assert(out == 0L)
+  }
+
+  test("groups split independently") {
+    val rows = (1 to 4).flatMap(dd => Seq(("a", at(dd, 0)))) ++
+      (5 to 8).flatMap(dd => (0 until 5).map(i => ("a", at(dd, i)))) ++
+      (1 to 8).map(dd => ("b", at(dd, 0)))
+    val out = graft.ops.Relational.changepointSplit(
+        rows.toDF("event_type", "ts"), "event_type", "ts")
+      .select("event_type", "split_day", "diff_micro")
+      .as[(String, java.sql.Timestamp, Long)].collect()
+      .map(r => r._1 -> ((r._2.toString.take(10), r._3))).toMap
+    assert(out("a") == (("2024-01-04", 4000000L))) // 1/day -> 5/day
+    assert(out("b")._2 == 0L)
+  }
+}
