@@ -4588,6 +4588,18 @@ object SparkEntry {
       graft.ops.Corpus.tokenBurstiness(Tables.documents(s, d),
         "doc_id", "text", vocabK = 80, k = 30)),
 
+    // ── LLM-pipeline: IVF cell-scatter report — per-cell tightness (mean
+    // cosine distance to the assigned centroid) vs separation (nearest
+    // other centroid): the retrain-or-add-centroids gate. One codegen'd
+    // projection per row into a ≤ k-row aggregate.
+    "q_cell_scatter" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+        "embedding", 16)
+      SimilaritySearch.cellScatterReport(emb, "vec_id", "embedding", cents)
+        .orderBy(col("cell"))
+    }),
+
     // ── LLM-pipeline: Matryoshka truncation QA — recall of truncated-dim
     // cosine rankings against the full-dim exact top-k, per candidate
     // prefix length; picks the serving dimension before a re-index.
@@ -6945,6 +6957,10 @@ object SparkEntry {
     "q_burstiness" ->
       graft.ops.Corpus.tokenBurstinessOracleSql("documents", "doc_id",
         "text", vocabK = 80, k = 30),
+
+    "q_cell_scatter" ->
+      SimilaritySearch.cellScatterOracleSql("embeddings", "vec_id",
+        "embedding", nCentroids = 16),
 
     "q_truncation_recall" ->
       SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",

@@ -446,6 +446,79 @@ object SimilaritySearch {
         expr("coalesce(hits, 0) * 1000000L div k_exact").as("recall_micro"))
   }
 
+  /** IVF cell-SCATTER report — the clustering-QA gate for a centroid set
+    * before it becomes a stored index: per cell, the population, the mean
+    * cosine distance of members to their centroid (tightness), and the
+    * distance to the nearest OTHER centroid (separation). Fat loose cells
+    * next to close centroids are where probe recall dies; this is the
+    * table that says whether to retrain or add centroids.
+    *
+    * Exactness: per-row distances quantize to micro BEFORE the per-cell
+    * LONG sums (order-independent); assignment argmax ties break to the
+    * lowest cell id on both engines; centroid separations are driver-side
+    * constants computed with the same array-order IEEE arithmetic the
+    * oracle's `list_dot_product` runs.
+    *
+    * Scale: ONE projection per row (k native codegen'd cosines + an
+    * argmax — no join, no window) into a ≤ k-row aggregate; separations
+    * are a k² driver loop on literals. */
+  def cellScatterReport(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    val k = centroids.size
+    require(k >= 2, "need at least two centroids")
+    def cosSeq(a: Seq[Double], b: Seq[Double]): Double =
+      dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
+    val seps: Seq[Long] = centroids.indices.map { i =>
+      centroids.indices.filter(_ != i).map { j =>
+        math.floor((1.0 - cosSeq(centroids(i), centroids(j))) * 1e6).toLong
+      }.min
+    }
+    val coss = array(centroids.map(c =>
+      VectorFns.cosine(col(vecCol), typedLit(c.toArray))): _*)
+    emb.select(
+        element_at(transform(array(coss), s =>
+          array_position(s, array_max(s)) - 1), 1).cast("int").as("cell"),
+        floor((lit(1.0d) - array_max(coss)) * lit(1e6)).cast("long")
+          .as("d_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sd"))
+      .select(col("cell"), col("n"),
+        expr("sd div n").as("mean_dist_micro"),
+        element_at(typedLit(seps.toArray), col("cell") + lit(1))
+          .as("min_sep_micro"))
+  }
+
+  /** DuckDB oracle replaying [[cellScatterReport]] with centroids
+    * re-derived by the deterministic `id < nCentroids` rule. */
+  def cellScatterOracleSql(table: String, idCol: String, vecCol: String,
+                           nCentroids: Int): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS cid, ev AS cv FROM e
+                 WHERE $idCol < $nCentroids),
+       sc AS (SELECT e.$idCol, c.cid,
+                list_dot_product(e.ev, c.cv) /
+                  (sqrt(list_dot_product(e.ev, e.ev)) *
+                   sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM e, cents c),
+       asg AS (SELECT $idCol, CAST(cid AS INTEGER) AS cell,
+                 CAST(floor((1.0 - cos) * 1000000.0) AS BIGINT) AS d_micro
+               FROM (SELECT $idCol, cid, cos,
+                       row_number() OVER (PARTITION BY $idCol
+                         ORDER BY cos DESC, cid) AS rn
+                     FROM sc) WHERE rn = 1),
+       r AS (SELECT cell, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d_micro) AS BIGINT) AS sd
+             FROM asg GROUP BY 1),
+       sep AS (SELECT a.cid AS cell,
+                 min(CAST(floor((1.0 - list_dot_product(a.cv, b.cv) /
+                   (sqrt(list_dot_product(a.cv, a.cv)) *
+                    sqrt(list_dot_product(b.cv, b.cv)))) * 1000000.0)
+                   AS BIGINT)) AS min_sep_micro
+               FROM cents a JOIN cents b ON a.cid <> b.cid GROUP BY 1)
+       SELECT r.cell, r.n, r.sd // r.n AS mean_dist_micro, sep.min_sep_micro
+       FROM r JOIN sep ON sep.cell = r.cell
+       ORDER BY r.cell"""
+
   /** Dimension-TRUNCATION recall — the Matryoshka QA gate (Kusupati et
     * al. 2022): for each candidate prefix length d, how much of the
     * full-dimension exact top-k survives when ranking by cosine over only

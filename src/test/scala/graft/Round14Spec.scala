@@ -783,3 +783,43 @@ class ChangepointSpec extends SparkSpec {
     assert(out("b")._2 == 0L)
   }
 }
+
+class CellScatterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tight vs loose cluster: tightness and separation read correctly") {
+    // two orthogonal-ish centroids (ids 0, 1); members of 0 hug it,
+    // members of 1 wobble
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (10L, Array(10f, 0.1f, 0f, 0f)), (11L, Array(8f, 0.2f, 0f, 0f)),
+      (20L, Array(0.5f, 1f, 0f, 0f)), (21L, Array(1f, 2f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = graft.ops.SimilaritySearch.sampleCentroids(
+      emb, "vec_id", "embedding", 2)
+    val out = graft.ops.SimilaritySearch.cellScatterReport(
+        emb, "vec_id", "embedding", cents)
+      .orderBy($"cell")
+      .select("cell", "n", "mean_dist_micro", "min_sep_micro")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(0, 1))
+    assert(out.map(_._2).toSeq == Seq(3L, 3L)) // centroid rows assign home
+    // orthogonal centroids: separation = 1.0 on both sides
+    assert(out.forall(_._4 == 1000000L))
+    // cell 0's members hug the axis; cell 1's wobble more
+    assert(out(0)._3 < out(1)._3)
+  }
+
+  test("a row exactly on a centroid contributes zero distance") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (5L, Array(2f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.ops.SimilaritySearch.sampleCentroids(
+      emb, "vec_id", "embedding", 2)
+    val cell0 = graft.ops.SimilaritySearch.cellScatterReport(
+        emb, "vec_id", "embedding", cents)
+      .where($"cell" === 0).select("n", "mean_dist_micro")
+      .as[(Long, Long)].head()
+    assert(cell0 == ((2L, 0L))) // id 0 and the colinear id 5
+  }
+}
