@@ -680,6 +680,36 @@ object SparkEntry {
          .orderBy(col("q_micro")))
     }),
 
+    // Stored per-GROUP quantile sketches maintained incrementally: grouped
+    // histograms blind-append into a group-bucketed pipe; additive per
+    // (group, octave, sub), so per-source quantiles over the folded store
+    // equal a full rebuild — length percentiles per source tracked across
+    // syncs without re-reading any text.
+    "q_dd_grouped_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def hist(df: DataFrame) = graft.ops.Sketches.ddSketchHistogramByGroup(
+          df.select(col("source").as("grp"), col("n_chars").as("v")),
+          "grp", "v")
+        .select(pmod(graft.functions.TextFns.md5Long60(col("grp")), lit(8L))
+          .as("bucket"), col("grp"), col("octave"), col("sub"), col("cnt"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_ddg_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "dd_grouped"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => graft.ops.Sketches.ddQuantilesByGroup(
+           graft.ops.Sketches.ddSketchFoldByGroup(
+             eng.getData(spec).select("grp", "octave", "sub", "cnt")),
+           qsMicro = Seq(500000L, 950000L))
+         .orderBy(col("grp"), col("q_micro")))
+    }),
+
     // Stored Bradley–Terry leaderboard maintained incrementally: per-batch
     // pair/win counts blind-append into hash-bucketed pipes; both counts
     // are ADDITIVE, so the MM refit over the folded store equals a
@@ -3624,6 +3654,7 @@ object SparkEntry {
     // oracle for each is the full-corpus sketch.
     "q_hll_index_sync" -> composed("q_hll_index_sync"),
     "q_dd_index_sync" -> composed("q_dd_index_sync"),
+    "q_dd_grouped_index_sync" -> composed("q_dd_grouped_index_sync"),
     "q_bt_index_sync" -> composed("q_bt_index_sync"),
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
 
@@ -6933,6 +6964,13 @@ object SparkEntry {
     "q_dd_quantiles_grouped" ->
       graft.ops.Sketches.ddQuantilesByGroupOracleSql(
         "SELECT event_type AS grp, CAST(round(value * 100) AS BIGINT) AS v FROM events",
+        qsMicro = Seq(500000L, 950000L)),
+
+    // grouped additive fold ≡ rebuild: stored-pipe per-source quantiles
+    // match the full-corpus oracle bit-for-bit
+    "q_dd_grouped_index_sync" ->
+      graft.ops.Sketches.ddQuantilesByGroupOracleSql(
+        "SELECT source AS grp, n_chars AS v FROM documents",
         qsMicro = Seq(500000L, 950000L)),
 
     "q_length_debiased_reward" ->
