@@ -3496,6 +3496,14 @@ object SparkEntry {
       graft.ops.Relational.dailyBursts(Tables.events(s, d), "ts",
         sigma = 3.0, window = 7)),
 
+    // ── events: Markov stationary distribution of the event-type chain —
+    // where user journeys spend their long-run time; 4 quantized power
+    // iterations, dangling mass redistributed, renormalized each step.
+    "q_markov_stationary" -> ((s, d) =>
+      graft.ops.Relational.markovStationaryMicro(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", iters = 4)
+        .orderBy(col("state"))),
+
     // ── events: change-point per event type — the best-split mean-shift
     // day (level shift a local burst detector normalizes away); windows
     // partition by type over |days| rows, exact integer rational gap.
@@ -4497,6 +4505,13 @@ object SparkEntry {
     // by vocabK² before any iteration); 3 integer-quantized steps, top-25.
     "q_textrank" -> ((s, d) =>
       graft.ops.Corpus.textRankKeywords(Tables.documents(s, d),
+        "doc_id", "text", vocabK = 60, iters = 3, k = 25)),
+
+    // ── LLM-pipeline: WEIGHTED TextRank — edges carry co-occurrence
+    // counts (the paper's §2.2 form); same vocabK² bound, contributions
+    // proportional to weight share, quantized before the sum.
+    "q_textrank_weighted" -> ((s, d) =>
+      graft.ops.Corpus.textRankKeywordsWeighted(Tables.documents(s, d),
         "doc_id", "text", vocabK = 60, iters = 3, k = 25)),
 
     // ── LLM-pipeline: KNESER–NEY trigram cross-entropy — the smoothing
@@ -6916,6 +6931,10 @@ object SparkEntry {
       graft.ops.Corpus.textRankOracleSql("documents", "doc_id", "text",
         vocabK = 60, iters = 3, k = 25),
 
+    "q_textrank_weighted" ->
+      graft.ops.Corpus.textRankWeightedOracleSql("documents", "doc_id",
+        "text", vocabK = 60, iters = 3, k = 25),
+
     "q_kn_trigram" ->
       graft.ops.Corpus.knTrigramLogProbOracleSql("documents", "doc_id",
         "text", discount = 0.75)
@@ -7008,6 +7027,11 @@ object SparkEntry {
     "q_changepoint" ->
       graft.ops.Relational.changepointSplitOracleSql("events",
         groupCol = "event_type", timeCol = "ts"),
+
+    "q_markov_stationary" ->
+      graft.ops.Relational.markovStationaryOracleSql("events",
+        entityCol = "user_id", typeCol = "event_type", timeCol = "ts",
+        tieCol = "event_id", iters = 4),
 
     "q_t_closeness" ->
       graft.ops.Privacy.tClosenessViolationsOracleSql("events", Seq(

@@ -1562,6 +1562,84 @@ object Corpus {
        ORDER BY rank_micro DESC, token LIMIT $k"""
   }
 
+  /** WEIGHTED TextRank — the paper's actual §2.2 form: edges carry the
+    * adjacent-pair CO-OCCURRENCE COUNT and each neighbor contributes in
+    * proportion to its weight share ([[graft.ops.Graph.pageRankWeightedMicro]]).
+    * The unweighted [[textRankKeywords]] treats one collocation and a
+    * hundred as the same edge; this one doesn't. Same vocabK² graph
+    * bound, same quantize-before-sum determinism. */
+  def textRankKeywordsWeighted(docs: DataFrame, idCol: String,
+                               textCol: String, vocabK: Int, iters: Int,
+                               k: Int, damping: Double = 0.85): DataFrame = {
+    require(vocabK >= 2 && k >= 1, "bad TextRank parameters")
+    val toks = lmToks(docs, idCol, textCol)
+    val vocab = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabK)
+      .select(col("token"))
+    val pairs = toks.select(explode(lmPairs).as("p"))
+      .select(col("p.v").as("a"), col("p.w").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("id1"),
+        greatest(col("a"), col("b")).as("id2"))
+      .join(broadcast(vocab.select(col("token").as("id1"))),
+        Seq("id1"), "left_semi")
+      .join(broadcast(vocab.select(col("token").as("id2"))),
+        Seq("id2"), "left_semi")
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("w"))
+    Graph.pageRankWeightedMicro(pairs, "id1", "id2", "w", iters, damping)
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("token"), col("rank_micro"))
+  }
+
+  /** DuckDB oracle replaying [[textRankKeywordsWeighted]]. */
+  def textRankWeightedOracleSql(table: String, idCol: String,
+                                textCol: String, vocabK: Int, iters: Int,
+                                k: Int, damping: Double = 0.85): String = {
+    val d = damping.toString
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+           SELECT e.dst AS node,
+             CAST(round((1.0 - $d) * 1000000.0 / nn.n) AS BIGINT)
+               + CAST(sum(CAST(round($d * r.r * e.w / ws.wt) AS BIGINT)) AS BIGINT) AS r
+           FROM e2 e JOIN r${i - 1} r ON e.src = r.node
+                     JOIN ws ON e.src = ws.src
+                     CROSS JOIN nn
+           GROUP BY e.dst, nn.n)"""
+    }.mkString(",\n       ")
+    s"""WITH toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tokc AS (SELECT token, count(*) AS c FROM (
+           SELECT unnest(toks) AS token FROM t2) u GROUP BY 1),
+       vocab AS (SELECT token FROM (
+           SELECT token, c FROM tokc ORDER BY c DESC, token LIMIT $vocabK)),
+       bg AS (SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+              FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t2 WHERE len(toks) >= 2) g),
+       prw AS (SELECT least(a, b) AS id1, greatest(a, b) AS id2,
+                 CAST(count(*) AS BIGINT) AS w
+               FROM bg WHERE a <> b
+                 AND least(a, b) IN (SELECT token FROM vocab)
+                 AND greatest(a, b) IN (SELECT token FROM vocab)
+               GROUP BY 1, 2),
+       ed AS (SELECT id1 AS src, id2 AS dst, w FROM prw
+              UNION ALL SELECT id2, id1, w FROM prw),
+       e2 AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+              FROM ed GROUP BY 1, 2),
+       ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wt FROM e2 GROUP BY 1),
+       nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM e2),
+       r0 AS (SELECT s.src AS node, CAST(round(1000000.0 / nn.n) AS BIGINT) AS r
+              FROM (SELECT DISTINCT src FROM e2) s CROSS JOIN nn),
+       $iterCtes
+       SELECT node AS token, r AS rank_micro FROM r$iters
+       ORDER BY rank_micro DESC, token LIMIT $k"""
+  }
+
   /** DuckDB oracle replaying [[unigramLogProb]] bit-for-bit. */
   def unigramLogProbOracleSql(table: String, idCol: String,
                               textCol: String): String =

@@ -30,6 +30,50 @@ object Graph {
     * every node of the graph therefore has degree ≥ 1 and no dangling-mass
     * term is needed.
     */
+  /** WEIGHTED PageRank — the form TextRank's paper actually specifies
+    * (Mihalcea & Tarau 2004 §2.2): each neighbor's contribution scales by
+    * the edge weight's share of the source's total weight,
+    * round(damping·rᵏ(u)·w(u,v)/W(u)). Same quantize-before-sum
+    * discipline and per-iteration shape as [[pageRankMicro]] (which is
+    * the w ≡ 1 special case); parallel edges aggregate their weights
+    * before any iteration. */
+  def pageRankWeightedMicro(pairs: DataFrame, id1: String, id2: String,
+                            wCol: String, iters: Int = 3,
+                            damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    require(damping > 0.0 && damping < 1.0, "damping must be in (0, 1)")
+    val edges = pairs.select(col(id1).as("src"), col(id2).as("dst"),
+        col(wCol).as("w"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst"),
+        col(wCol).as("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val wsum = edges.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(n))
+      .select(col("node"),
+        round(lit(1e6) / col("n")).cast("long").as("rank_micro"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(wsum, "src")
+        .select(col("dst").as("node"),
+          round(lit(damping) * col("rank_micro").cast("double") *
+            col("w").cast("double") / col("wt").cast("double"))
+            .cast("long").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_micro"))
+      ranks = contribs.crossJoin(broadcast(n))
+        .select(col("node"),
+          (round(lit(1.0 - damping) * lit(1e6) / col("n")).cast("long") +
+            col("in_micro")).as("rank_micro"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank_micro"))
+  }
+
   def pageRankMicro(pairs: DataFrame, id1: String = "id1",
                     id2: String = "id2", iters: Int = 3,
                     damping: Double = 0.85): DataFrame = {

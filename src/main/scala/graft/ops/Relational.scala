@@ -212,6 +212,110 @@ object Relational {
        FROM t ORDER BY day"""
   }
 
+  /** MARKOV stationary distribution of the event-type transition chain —
+    * the long-run behavioral mix ("where do user journeys spend their
+    * time"): consecutive events per entity define the transition counts,
+    * and `iters` power-iteration steps π′(s) = Σᵤ π(u)·n(u,s)/W(u) give
+    * the stationary vector. Dangling states (no outgoing transitions)
+    * redistribute their mass uniformly (the PageRank fix at damping 1);
+    * each step renormalizes to Σ = |states|·10⁶ so rounding drift cannot
+    * accumulate.
+    *
+    * Determinism (the [[graft.ops.Graph.pageRankMicro]] discipline):
+    * per-edge contributions quantize to micro BEFORE the state sums;
+    * transition extraction orders by (time, tie) inside each entity, so
+    * simultaneous events are deterministic; the oracle unrolls the same
+    * steps. Scale per iteration: one join of the |states|-row vector to
+    * the aggregated transition matrix + one state-keyed aggregate; the
+    * transition window partitions by ENTITY — never a global sort. */
+  def markovStationaryMicro(events: DataFrame, entityCol: String,
+                            typeCol: String, timeCol: String,
+                            tieCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(timeCol), col(tieCol))
+    val tr = events.select(col(entityCol), col(typeCol), col(timeCol),
+        col(tieCol))
+      .withColumn("__nxt", lead(col(typeCol), 1).over(w))
+      .where(col("__nxt").isNotNull)
+      .groupBy(col(typeCol).as("from"), col("__nxt").as("to"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val wt = tr.groupBy(col("from")).agg(sum(col("n")).as("wt"))
+      .localCheckpoint(true)
+    val states = tr.select(col("from").as("state"))
+      .union(tr.select(col("to").as("state"))).distinct()
+      .localCheckpoint(true)
+    val n = states.agg(count(lit(1)).cast("double").as("n"))
+    var pi = states.crossJoin(broadcast(n))
+      .select(col("state"), round(lit(1e6) / col("n")).cast("long").as("pi"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contribs = tr
+        .join(pi.select(col("state").as("from"), col("pi")), "from")
+        .join(wt, "from")
+        .select(col("to").as("state"),
+          round(col("pi").cast("double") * col("n").cast("double") /
+            col("wt").cast("double")).cast("long").as("c"))
+        .groupBy(col("state")).agg(sum(col("c")).as("in_micro"))
+      val dang = pi
+        .join(wt.select(col("from").as("state")), Seq("state"), "left_anti")
+        .agg(coalesce(sum(col("pi")), lit(0L)).cast("double").as("dmass"))
+      val raw = states.join(contribs, Seq("state"), "left")
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(n))
+        .select(col("state"),
+          (coalesce(col("in_micro"), lit(0L)) +
+            round(col("dmass") / col("n")).cast("long")).as("raw"))
+      val tot = raw.agg(sum(col("raw")).cast("double").as("tot"))
+      pi = raw.crossJoin(broadcast(tot)).crossJoin(broadcast(n))
+        .select(col("state"),
+          round(col("raw").cast("double") * col("n") * lit(1e6) /
+            col("tot")).cast("long").as("pi"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), col("pi").as("pi_micro"))
+  }
+
+  /** DuckDB oracle replaying [[markovStationaryMicro]] — transition
+    * extraction via the same (time, tie)-ordered lead and the identical
+    * `iters` unrolled quantized steps. */
+  def markovStationaryOracleSql(table: String, entityCol: String,
+                                typeCol: String, timeCol: String,
+                                tieCol: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (SELECT tr.t AS state,
+             CAST(sum(CAST(round(CAST(p.pi AS DOUBLE) * tr.n / wt.wt)
+               AS BIGINT)) AS BIGINT) AS in_micro
+           FROM tr JOIN p${i - 1} p ON p.state = tr.f
+                   JOIN wt ON wt.f = tr.f
+           GROUP BY tr.t),
+         g$i AS (SELECT CAST(coalesce(sum(pi), 0) AS DOUBLE) AS dmass
+                 FROM p${i - 1} WHERE state NOT IN (SELECT f FROM wt)),
+         w$i AS (SELECT st.state,
+                   coalesce(c$i.in_micro, 0)
+                     + CAST(round(g$i.dmass / nn.n) AS BIGINT) AS raw
+                 FROM st LEFT JOIN c$i ON c$i.state = st.state, g$i, nn),
+         t$i AS (SELECT CAST(sum(raw) AS DOUBLE) AS tot FROM w$i),
+         p$i AS (SELECT state,
+                   CAST(round(CAST(raw AS DOUBLE) * nn.n * 1000000.0
+                     / t$i.tot) AS BIGINT) AS pi
+                 FROM w$i, t$i, nn)"""
+    }.mkString(",\n       ")
+    s"""WITH seq AS (SELECT $typeCol AS ty,
+           lead($typeCol) OVER (PARTITION BY $entityCol
+             ORDER BY $timeCol, $tieCol) AS nxt
+         FROM $table),
+       tr AS (SELECT ty AS f, nxt AS t, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       wt AS (SELECT f, CAST(sum(n) AS BIGINT) AS wt FROM tr GROUP BY 1),
+       st AS (SELECT f AS state FROM tr UNION SELECT t FROM tr),
+       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM st),
+       p0 AS (SELECT state, CAST(round(1000000.0 / nn.n) AS BIGINT) AS pi
+              FROM st, nn),
+       $iterCtes
+       SELECT state, pi AS pi_micro FROM p$iters ORDER BY state"""
+  }
+
   /** CHANGE-POINT detection per group — the best-split mean-shift
     * statistic (the CUSUM-family two-sample form): for every candidate
     * split day t, the scaled gap between the mean daily volume before

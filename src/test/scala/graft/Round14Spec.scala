@@ -823,3 +823,89 @@ class CellScatterSpec extends SparkSpec {
     assert(cell0 == ((2L, 0L))) // id 0 and the colinear id 5
   }
 }
+
+class WeightedTextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heavy collocation outranks the same graph's light edges") {
+    // hub-x repeated 9 times; hub-y once: weighted rank(x) > rank(y);
+    // the unweighted form sees identical edges
+    val docs = ((1L to 9L).map(i => (i, "hub x")) :+ (10L, "hub y"))
+      .toDF("doc_id", "text")
+    val wtd = graft.ops.Corpus.textRankKeywordsWeighted(docs, "doc_id",
+        "text", vocabK = 5, iters = 3, k = 5)
+      .as[(String, Long)].collect().toMap
+    assert(wtd("x") > wtd("y"))
+    val unw = graft.ops.Corpus.textRankKeywords(docs, "doc_id",
+        "text", vocabK = 5, iters = 3, k = 5)
+      .as[(String, Long)].collect().toMap
+    assert(unw("x") == unw("y"))
+  }
+
+  test("uniform weights reproduce the unweighted ranking order") {
+    val docs = Seq((1L, "a b c d e a b c")).toDF("doc_id", "text")
+    val wtd = graft.ops.Corpus.textRankKeywordsWeighted(docs, "doc_id",
+        "text", vocabK = 5, iters = 2, k = 5)
+      .as[(String, Long)].collect().map(_._1).toSeq
+    val unw = graft.ops.Corpus.textRankKeywords(docs, "doc_id",
+        "text", vocabK = 5, iters = 2, k = 5)
+      .as[(String, Long)].collect().map(_._1).toSeq
+    // a-b and b-c edges carry weight 2, others 1 -> order may differ from
+    // unweighted, but both must rank the same vertex set
+    assert(wtd.toSet == unw.toSet)
+  }
+}
+
+class MarkovStationarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(i: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00")
+
+  test("absorbing-ish state accumulates stationary mass") {
+    // one user: A -> B -> A -> B -> B -> B -> B (B dominates transitions)
+    val seq = Seq("A", "B", "A", "B", "B", "B", "B")
+    val rows = seq.zipWithIndex.map { case (t, i) => (1L, t, ts(i), i.toLong) }
+    val out = graft.ops.Relational.markovStationaryMicro(
+        rows.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id", iters = 6)
+      .as[(String, Long)].collect().toMap
+    assert(out("B") > out("A"))
+    assert(math.abs(out.values.sum - 2000000L) <= 2L)
+  }
+
+  test("symmetric two-state chain converges to the uniform vector") {
+    // strict alternation A,B,A,B...: doubly stochastic -> uniform
+    val rows = (0 until 10).map(i =>
+      (1L, if (i % 2 == 0) "A" else "B", ts(i), i.toLong))
+    val out = graft.ops.Relational.markovStationaryMicro(
+        rows.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 1000000L, "B" -> 1000000L))
+  }
+
+  test("dangling state redistributes instead of leaking mass") {
+    // C receives but never emits (each user's trace ends at C)
+    val rows = Seq((1L, "A", ts(0), 0L), (1L, "C", ts(1), 1L),
+      (2L, "A", ts(0), 2L), (2L, "C", ts(1), 3L))
+    val out = graft.ops.Relational.markovStationaryMicro(
+        rows.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(out.keySet == Set("A", "C"))
+    assert(math.abs(out.values.sum - 2000000L) <= 2L) // no mass lost
+    assert(out("C") > out("A")) // everything flows into C; C leaks back half
+  }
+
+  test("entities are independent: transitions never cross users") {
+    // user 1 only emits A->A; user 2 only B->B; no A<->B edge exists
+    val rows = (0 until 4).map(i => (1L, "A", ts(i), i.toLong)) ++
+      (0 until 4).map(i => (2L, "B", ts(i), (10 + i).toLong))
+    val out = graft.ops.Relational.markovStationaryMicro(
+        rows.toDF("user_id", "event_type", "ts", "event_id"),
+        "user_id", "event_type", "ts", "event_id", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 1000000L, "B" -> 1000000L))
+  }
+}
