@@ -4507,6 +4507,19 @@ object SparkEntry {
       graft.ops.Corpus.textRankKeywords(Tables.documents(s, d),
         "doc_id", "text", vocabK = 60, iters = 3, k = 25)),
 
+    // ── LLM-pipeline: edit-distance verify of near-dup candidates — the
+    // character-level second opinion after shingle Jaccard (catches the
+    // in-word edits word shingles are blind to); Levenshtein runs only
+    // on the candidate sliver, codegen'd on both engines.
+    "q_editdist_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.editDistanceVerify(docs, "doc_id", "text", pairs)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ── LLM-pipeline: WEIGHTED TextRank — edges carry co-occurrence
     // counts (the paper's §2.2 form); same vocabK² bound, contributions
     // proportional to weight share, quantized before the sum.
@@ -6934,6 +6947,11 @@ object SparkEntry {
     "q_textrank_weighted" ->
       graft.ops.Corpus.textRankWeightedOracleSql("documents", "doc_id",
         "text", vocabK = 60, iters = 3, k = 25),
+
+    "q_editdist_verify" ->
+      ApproxDedup.editDistanceVerifyOracleSql("documents", "doc_id",
+        "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
 
     "q_kn_trigram" ->
       graft.ops.Corpus.knTrigramLogProbOracleSql("documents", "doc_id",

@@ -354,6 +354,55 @@ object ApproxDedup {
        SELECT id1, id2, jaccard FROM p WHERE jaccard >= $threshold
        ORDER BY id1, id2"""
 
+  /** EDIT-DISTANCE verification of candidate near-dup pairs — the
+    * character-level second opinion after the shingle-Jaccard verify:
+    * Jaccard on word shingles is blind to small in-word edits (OCR noise,
+    * diacritics, truncation), Levenshtein is exactly what they change.
+    * sim = (maxlen − lev)/maxlen in exact integer micro-units.
+    *
+    * Scale: the candidate PAIR LIST drives everything — two id equi-joins
+    * pull the texts (the near-dup verify discipline: candidates are a
+    * sliver of the corpus), and the O(len²) Levenshtein kernel runs only
+    * on those joined rows, codegen'd on both engines. */
+  def editDistanceVerify(docs: DataFrame, idCol: String, textCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val t = docs.select(col(idCol), col(textCol))
+    pairs.select(col("id1"), col("id2"))
+      .join(t.select(col(idCol).as("id1"), col(textCol).as("__t1")),
+        Seq("id1"))
+      .join(t.select(col(idCol).as("id2"), col(textCol).as("__t2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("__t1"), col("__t2")).cast("long").as("lev"),
+        greatest(length(col("__t1")), length(col("__t2"))).cast("long")
+          .as("maxlen"))
+      .select(col("id1"), col("id2"), col("lev"),
+        expr("CASE WHEN maxlen > 0 THEN (maxlen - lev) * 1000000L" +
+          " div maxlen ELSE 1000000L END").as("sim_micro"))
+  }
+
+  /** DuckDB oracle replaying [[editDistanceVerify]] over the fast-path
+    * candidate pairs. */
+  def editDistanceVerifyOracleSql(table: String, idCol: String,
+                                  textCol: String, threshold: Double,
+                                  shingleSize: Int = 3, k: Int = 24,
+                                  bands: Int = 6, estSlack: Double = 0.25,
+                                  maxBucket: Int = 0,
+                                  seed: Long = 7L): String =
+    s"""WITH ${minhashFastCtes(table, idCol, textCol, threshold, shingleSize,
+                               k, bands, estSlack, maxBucket, seed)},
+       vpair AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+       j AS (SELECT c.id1, c.id2,
+               CAST(levenshtein(a.$textCol, b.$textCol) AS BIGINT) AS lev,
+               CAST(greatest(length(a.$textCol), length(b.$textCol))
+                 AS BIGINT) AS maxlen
+             FROM vpair c JOIN $table a ON a.$idCol = c.id1
+                          JOIN $table b ON b.$idCol = c.id2)
+       SELECT id1, id2, lev,
+         CASE WHEN maxlen > 0 THEN (maxlen - lev) * 1000000 // maxlen
+           ELSE 1000000 END AS sim_micro
+       FROM j ORDER BY id1, id2"""
+
   /** Near-dup SOURCE matrix — dedup diagnostics: how near-dup pairs
     * distribute within and across sources ("is crawl B mostly a re-crawl
     * of A?"). Pairs carry only ids, so the matrix is two id equi-joins to

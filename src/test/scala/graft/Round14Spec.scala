@@ -909,3 +909,29 @@ class MarkovStationarySpec extends SparkSpec {
     assert(out == Map("A" -> 1000000L, "B" -> 1000000L))
   }
 }
+
+class EditDistanceVerifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical, near, and disjoint pairs score 1e6 / high / low") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "the quick brewn fox"), (4L, "zzzz")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id1", "id2")
+    val out = graft.ops.ApproxDedup.editDistanceVerify(
+        docs, "doc_id", "text", pairs)
+      .select("id2", "lev", "sim_micro").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((0L, 1000000L)))
+    assert(out(3L)._1 == 1L && out(3L)._2 > 900000L)
+    assert(out(4L)._2 < 200000L)
+  }
+
+  test("empty-text pair defines similarity 1 (both empty)") {
+    val docs = Seq((1L, ""), (2L, "")).toDF("doc_id", "text")
+    val out = graft.ops.ApproxDedup.editDistanceVerify(
+        docs, "doc_id", "text", Seq((1L, 2L)).toDF("id1", "id2"))
+      .select("sim_micro").as[Long].head()
+    assert(out == 1000000L)
+  }
+}
