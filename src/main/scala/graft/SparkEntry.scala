@@ -3496,6 +3496,16 @@ object SparkEntry {
       graft.ops.Relational.dailyBursts(Tables.events(s, d), "ts",
         sigma = 3.0, window = 7)),
 
+    // ── events: HITS authorities over the user × event-type bipartite
+    // graph — 3 mutually-recursive half-steps, exact-long sums, one IEEE
+    // L1 renormalization per half-step.
+    "q_hits" -> ((s, d) =>
+      graft.ops.Graph.hitsAuthoritiesMicro(
+        Tables.events(s, d).select(col("user_id").as("u"),
+          col("event_type").as("t"), lit(1L).as("w")),
+        "u", "t", "w", iters = 3)
+        .orderBy(col("t"))),
+
     // ── events: Markov stationary distribution of the event-type chain —
     // where user journeys spend their long-run time; 4 quantized power
     // iterations, dangling mass redistributed, renormalized each step.
@@ -7045,6 +7055,11 @@ object SparkEntry {
     "q_changepoint" ->
       graft.ops.Relational.changepointSplitOracleSql("events",
         groupCol = "event_type", timeCol = "ts"),
+
+    "q_hits" ->
+      graft.ops.Graph.hitsAuthoritiesOracleSql(
+        "SELECT user_id AS u, event_type AS t, 1 AS w FROM events",
+        iters = 3),
 
     "q_markov_stationary" ->
       graft.ops.Relational.markovStationaryOracleSql("events",

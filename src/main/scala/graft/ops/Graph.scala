@@ -30,6 +30,86 @@ object Graph {
     * every node of the graph therefore has degree ≥ 1 and no dangling-mass
     * term is needed.
     */
+  /** HITS authorities (Kleinberg 1999) over a weighted BIPARTITE edge
+    * list (u, t, w) — e.g. users × event types: a type is authoritative
+    * when heavy hubs hit it, a user is a hub when they hit authoritative
+    * types. `iters` mutually-recursive half-steps
+    * h(u) = Σₜ w·a(t), a(t) = Σᵤ w·h(u), each L1-renormalized to
+    * |side|·10⁶ (same eigenvector direction as the L2 form, but the
+    * normalization is ONE IEEE division over exact-long sums — no sqrt).
+    *
+    * Determinism: the half-step sums are EXACT integer products (no
+    * per-edge quantization needed at all); only the renormalization
+    * rounds, identically on both engines. Totals widen to DECIMAL(38,0)
+    * before the double cast (corpus-scale Σ w·h can pass 9.2·10¹⁸).
+    *
+    * Scale per half-step: one equi-join of the current vector to the
+    * aggregated edge list + one keyed aggregate — the hub vector is
+    * |users|-sized and stays distributed; vectors localCheckpoint per
+    * step. Output: the authority side (bounded by |types|). */
+  def hitsAuthoritiesMicro(edges: DataFrame, uCol: String, tCol: String,
+                           wCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters must be in [1, 20]")
+    val e = edges.select(col(uCol).as("u"), col(tCol).as("t"),
+        col(wCol).as("w"))
+      .groupBy(col("u"), col("t")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(true)
+    val nU = e.select(col("u")).distinct()
+      .agg(count(lit(1)).cast("double").as("nu"))
+    val nT = e.select(col("t")).distinct()
+      .agg(count(lit(1)).cast("double").as("nt"))
+    var a = e.select(col("t")).distinct()
+      .select(col("t"), lit(1000000L).as("a")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val hraw = e.join(a, "t")
+        .groupBy(col("u")).agg(sum(col("w") * col("a")).as("raw"))
+      val htot = hraw.agg(sum(col("raw").cast("decimal(38,0)"))
+        .cast("double").as("tot"))
+      val h = hraw.crossJoin(broadcast(htot)).crossJoin(broadcast(nU))
+        .select(col("u"),
+          round(col("raw").cast("double") * col("nu") * lit(1e6) /
+            col("tot")).cast("long").as("h"))
+        .localCheckpoint(true)
+      val araw = e.join(h, "u")
+        .groupBy(col("t")).agg(sum(col("w") * col("h")).as("raw"))
+      val atot = araw.agg(sum(col("raw").cast("decimal(38,0)"))
+        .cast("double").as("tot"))
+      a = araw.crossJoin(broadcast(atot)).crossJoin(broadcast(nT))
+        .select(col("t"),
+          round(col("raw").cast("double") * col("nt") * lit(1e6) /
+            col("tot")).cast("long").as("a"))
+        .localCheckpoint(true)
+    }
+    a.select(col("t"), col("a").as("authority_micro"))
+  }
+
+  /** DuckDB oracle replaying [[hitsAuthoritiesMicro]]. */
+  def hitsAuthoritiesOracleSql(edgesSql: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""hr$i AS (SELECT e.u, CAST(sum(e.w * a.a) AS BIGINT) AS raw
+           FROM e JOIN a${i - 1} a ON a.t = e.t GROUP BY e.u),
+         ht$i AS (SELECT CAST(sum(CAST(raw AS HUGEINT)) AS DOUBLE) AS tot
+                  FROM hr$i),
+         h$i AS (SELECT u, CAST(round(CAST(raw AS DOUBLE) * nu.nu
+                   * 1000000.0 / ht$i.tot) AS BIGINT) AS h
+                 FROM hr$i, ht$i, nu),
+         ar$i AS (SELECT e.t, CAST(sum(e.w * h.h) AS BIGINT) AS raw
+           FROM e JOIN h$i h ON h.u = e.u GROUP BY e.t),
+         at$i AS (SELECT CAST(sum(CAST(raw AS HUGEINT)) AS DOUBLE) AS tot
+                  FROM ar$i),
+         a$i AS (SELECT t, CAST(round(CAST(raw AS DOUBLE) * nt.nt
+                   * 1000000.0 / at$i.tot) AS BIGINT) AS a
+                 FROM ar$i, at$i, nt)"""
+    }.mkString(",\n       ")
+    s"""WITH e0 AS ($edgesSql),
+       e AS (SELECT u, t, CAST(sum(w) AS BIGINT) AS w FROM e0 GROUP BY 1, 2),
+       nu AS (SELECT CAST(count(DISTINCT u) AS DOUBLE) AS nu FROM e),
+       nt AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS nt FROM e),
+       a0 AS (SELECT DISTINCT t, CAST(1000000 AS BIGINT) AS a FROM e),
+       $iterCtes
+       SELECT t, a AS authority_micro FROM a$iters ORDER BY t"""
+  }
+
   /** WEIGHTED PageRank — the form TextRank's paper actually specifies
     * (Mihalcea & Tarau 2004 §2.2): each neighbor's contribution scales by
     * the edge weight's share of the source's total weight,

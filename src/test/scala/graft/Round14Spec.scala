@@ -935,3 +935,37 @@ class EditDistanceVerifySpec extends SparkSpec {
     assert(out == 1000000L)
   }
 }
+
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the type every heavy hub hits is the top authority") {
+    // users 1-4 all hit "hot" many times; "cold" is hit once by user 5
+    val edges = (1L to 4L).flatMap(u => Seq((u, "hot", 5L))) ++
+      Seq((5L, "cold", 1L), (5L, "hot", 1L))
+    val out = graft.ops.Graph.hitsAuthoritiesMicro(
+        edges.toDF("u", "t", "w"), "u", "t", "w", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out("hot") > out("cold"))
+    assert(math.abs(out.values.sum - 2000000L) <= 2L) // L1 = |types|*1e6
+  }
+
+  test("symmetric bipartite graph is uniform") {
+    val edges = for (u <- 1L to 3L; t <- Seq("x", "y")) yield (u, t, 2L)
+    val out = graft.ops.Graph.hitsAuthoritiesMicro(
+        edges.toDF("u", "t", "w"), "u", "t", "w", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("x" -> 1000000L, "y" -> 1000000L))
+  }
+
+  test("parallel edges pre-aggregate: duplicates equal summed weight") {
+    val dup = Seq((1L, "a", 1L), (1L, "a", 2L), (2L, "b", 3L))
+      .toDF("u", "t", "w")
+    val agg = Seq((1L, "a", 3L), (2L, "b", 3L)).toDF("u", "t", "w")
+    val r1 = graft.ops.Graph.hitsAuthoritiesMicro(dup, "u", "t", "w", 2)
+      .as[(String, Long)].collect().toMap
+    val r2 = graft.ops.Graph.hitsAuthoritiesMicro(agg, "u", "t", "w", 2)
+      .as[(String, Long)].collect().toMap
+    assert(r1 == r2)
+  }
+}
