@@ -969,3 +969,34 @@ class HitsSpec extends SparkSpec {
     assert(r1 == r2)
   }
 }
+
+class RandomizedBtFoldSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BT fold == full-history refit under randomized batch splits") {
+    val rng = new scala.util.Random(20260815L)
+    val battles = (1L to 80L).map { i =>
+      val a = rng.nextInt(6); var b = rng.nextInt(6)
+      if (b == a) b = (a + 1) % 6
+      (s"m$a", s"m$b", i)
+    }
+    (1 to 3).foreach { trial =>
+      val marks = battles.map(_ => rng.nextInt(4))
+      val df = battles.toDF("w", "l", "bid")
+      val full = graft.ops.Rlhf.bradleyTerryMicro(df, "w", "l", iters = 4)
+        .as[(String, Long)].collect().toMap
+      val counted = (0 until 4).flatMap { m =>
+        val part = battles.zip(marks).collect { case (b, mm) if mm == m => b }
+        if (part.isEmpty) None
+        else Some(graft.ops.Rlhf.btBattleCounts(
+          part.toDF("w", "l", "bid"), "w", "l", buckets = 4))
+      }
+      val folded = graft.ops.Rlhf.bradleyTerryFromCounts(
+          graft.ops.Rlhf.btFoldPairs(counted.map(_._1).reduce(_ union _)),
+          graft.ops.Rlhf.btFoldWins(counted.map(_._2).reduce(_ union _)),
+          iters = 4)
+        .as[(String, Long)].collect().toMap
+      assert(folded == full, s"trial $trial diverged")
+    }
+  }
+}
