@@ -4669,6 +4669,18 @@ object SparkEntry {
         .orderBy(col("cell"))
     }),
 
+    // ── LLM-pipeline: quantile normalization across sources — map each
+    // source's length distribution onto the corpus distribution via the
+    // log-histogram sketch (no data sort anywhere); cross-source
+    // comparability for per-vendor scores.
+    "q_quantile_normalize" -> ((s, d) =>
+      graft.ops.Sketches.quantileNormalize(
+        Tables.documents(s, d).select(col("source").as("grp"),
+          col("doc_id").as("id"), col("n_chars").as("v")),
+        "grp", "id", "v")
+        .where(col("id") % 5 === 0)
+        .orderBy(col("id"))),
+
     // ── LLM-pipeline: Matryoshka truncation QA — recall of truncated-dim
     // cosine rankings against the full-dim exact top-k, per candidate
     // prefix length; picks the serving dimension before a re-index.
@@ -7046,6 +7058,12 @@ object SparkEntry {
     "q_cell_scatter" ->
       SimilaritySearch.cellScatterOracleSql("embeddings", "vec_id",
         "embedding", nCentroids = 16),
+
+    "q_quantile_normalize" ->
+      graft.ops.Sketches.quantileNormalizeOracleSql(
+        "SELECT source AS grp, doc_id AS id, n_chars AS v FROM documents",
+        groupCol = "grp", idCol = "id", valueCol = "v")
+        .replace("ORDER BY id", "WHERE r.id % 5 = 0 ORDER BY id"),
 
     "q_truncation_recall" ->
       SimilaritySearch.truncationRecallOracleSql("embeddings", "vec_id",

@@ -514,6 +514,106 @@ object Sketches {
        ORDER BY q.grp, q.q_micro"""
   }
 
+  /** QUANTILE NORMALIZATION across groups via the log-histogram sketch —
+    * batch-effect correction for scores that live on per-source scales
+    * (one reward model per vendor, one quality classifier per crawl):
+    * each row maps to its GROUP percentile and then to the CORPUS value
+    * at that percentile, so thresholds and rankings compare across
+    * sources. The classic exact form sorts every group; this one never
+    * sorts data — rows join a ≤ |groups|·1009-row bucket→percentile
+    * table and the corpus inverse walks the ≤ 1009-row global histogram,
+    * at the sketch's ≤ 1/16 relative error.
+    *
+    * Exactness: percentile = inclusive bucket cum ÷ group size and the
+    * corpus inverse = the [[ddQuantiles]] rank walk — all integer
+    * arithmetic, both engines identical. Rows in the same (group,
+    * bucket) normalize identically by construction. */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+                        valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(valueCol).as("v"),
+      expr(s"CASE WHEN $valueCol = 0 THEN 0" +
+        s" ELSE length(bin($valueCol)) END").as("octave"),
+      expr(s"CASE WHEN $valueCol = 0 THEN 0" +
+        s" ELSE $valueCol * 16 div shiftleft(CAST(1 AS BIGINT)," +
+        s" length(bin($valueCol)) - 1) - 16 END").as("sub"))
+    val gh = rows.groupBy(col("grp"), col("octave"), col("sub"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumed thrice; ≤ |groups|·1009 rows
+    val wg = Window.partitionBy(col("grp")).orderBy(col("octave"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ng = gh.groupBy(col("grp")).agg(sum(col("cnt")).as("n_g"))
+    val bucketPct = gh.withColumn("cum", sum(col("cnt")).over(wg))
+      .join(ng, Seq("grp"))
+      .select(col("grp"), col("octave"), col("sub"),
+        expr("cum * 1000000L div n_g").as("pct_micro"))
+    val ch = gh.groupBy(col("octave"), col("sub"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wc = Window.orderBy(col("octave"), col("sub"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ccum = ch.withColumn("ccum", sum(col("cnt")).over(wc))
+      .withColumn("lo", expr("CASE WHEN octave = 0 THEN 0 ELSE" +
+        " shiftleft(CAST(1 AS BIGINT), octave - 1) + sub *" +
+        " shiftleft(CAST(1 AS BIGINT), octave - 1) div 16 END"))
+      .localCheckpoint(true) // ≤ 1009 rows
+    val nc = ccum.agg(max(col("ccum")).as("n_c"))
+    val mapping = bucketPct.crossJoin(broadcast(nc))
+      .select(col("grp"), col("octave"), col("sub"), col("pct_micro"),
+        expr("least(n_c, greatest(1, (pct_micro * n_c + 999999)" +
+          " div 1000000))").as("rank"))
+      .join(broadcast(ccum.select(col("ccum"), col("lo"))),
+        col("ccum") >= col("rank"))
+      .groupBy(col("grp"), col("octave"), col("sub"), col("pct_micro"))
+      .agg(min(col("lo")).as("norm_v"))
+    rows.join(mapping, Seq("grp", "octave", "sub"))
+      .select(col("id").as(idCol), col("grp").as(groupCol),
+        col("v").as(valueCol), col("pct_micro"), col("norm_v"))
+  }
+
+  /** DuckDB oracle replaying [[quantileNormalize]] over a (grp, id, v)
+    * subquery. */
+  def quantileNormalizeOracleSql(valsSql: String, groupCol: String,
+                                 idCol: String, valueCol: String): String =
+    s"""WITH src AS ($valsSql),
+       rows_ AS (SELECT grp, id, v,
+           CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS octave,
+           CASE WHEN v = 0 THEN 0
+             ELSE v * 16 // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 16
+           END AS sub
+         FROM src),
+       gh AS (SELECT grp, octave, sub, CAST(count(*) AS BIGINT) AS cnt
+              FROM rows_ GROUP BY 1, 2, 3),
+       ng AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g
+              FROM gh GROUP BY 1),
+       bp AS (SELECT gh.grp, gh.octave, gh.sub,
+                CAST(sum(cnt) OVER (PARTITION BY gh.grp
+                  ORDER BY gh.octave, gh.sub
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) * 1000000 // ng.n_g AS pct_micro
+              FROM gh JOIN ng ON ng.grp = gh.grp),
+       ch AS (SELECT octave, sub, CAST(sum(cnt) AS BIGINT) AS cnt
+              FROM gh GROUP BY 1, 2),
+       cc AS (SELECT octave, sub,
+                CAST(sum(cnt) OVER (ORDER BY octave, sub
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ccum,
+                CASE WHEN octave = 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << (octave - 1)) + sub *
+                    (CAST(1 AS BIGINT) << (octave - 1)) // 16 END AS lo
+              FROM ch),
+       nc AS (SELECT max(ccum) AS n_c FROM cc),
+       mp AS (SELECT bp.grp, bp.octave, bp.sub, bp.pct_micro,
+                min(cc.lo) AS norm_v
+              FROM bp CROSS JOIN nc
+              JOIN cc ON cc.ccum >= least(nc.n_c, greatest(1,
+                (bp.pct_micro * nc.n_c + 999999) // 1000000))
+              GROUP BY 1, 2, 3, 4)
+       SELECT r.id AS $idCol, r.grp AS $groupCol, r.v AS $valueCol,
+         mp.pct_micro, mp.norm_v
+       FROM rows_ r JOIN mp ON mp.grp = r.grp AND mp.octave = r.octave
+                            AND mp.sub = r.sub
+       ORDER BY $idCol"""
+
   /** DuckDB oracle replaying [[ddSketchHistogram]] → [[ddQuantiles]] over
     * a value subquery. */
   def ddQuantilesOracleSql(valsSql: String, qsMicro: Seq[Long]): String = {

@@ -1000,3 +1000,46 @@ class RandomizedBtFoldSpec extends SparkSpec {
     }
   }
 }
+
+class QuantileNormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scaled source maps onto the corpus value range") {
+    // source A in [1, 100]; source B = A * 1000: after normalization B's
+    // rows land on corpus-range values, comparable to A's
+    val rows = (1L to 100L).map(i => ("A", i, i)) ++
+      (1L to 100L).map(i => ("B", 100 + i, i * 1000L))
+    val out = graft.ops.Sketches.quantileNormalize(
+        rows.toDF("grp", "id", "v"), "grp", "id", "v")
+      .select("grp", "id", "pct_micro", "norm_v")
+      .as[(String, Long, Long, Long)].collect()
+    val a = out.filter(_._1 == "A"); val b = out.filter(_._1 == "B")
+    // equal group sizes: the same within-group rank gets the same
+    // percentile, hence the SAME corpus value for A's i and B's i*1000
+    val aByPct = a.map(r => r._3 -> r._4).toMap
+    assert(b.forall(r => aByPct.get(r._3).forall(_ == r._4)))
+    // normalized values live in the pooled corpus bucket range
+    assert(b.map(_._4).max <= 100000L && b.map(_._4).min >= 1L)
+  }
+
+  test("identical distributions are (bucket-level) fixed points") {
+    // one source only: normalization maps each bucket to a corpus value
+    // inside itself (lower bound), so norm_v <= v < next bucket
+    val rows = (1L to 200L).map(i => ("only", i, i * 7L))
+    val out = graft.ops.Sketches.quantileNormalize(
+        rows.toDF("grp", "id", "v"), "grp", "id", "v")
+      .select("v", "norm_v").as[(Long, Long)].collect()
+    out.foreach { case (v, nv) =>
+      assert(nv <= v && v.toDouble / nv.toDouble <= 1.0 + 1.0 / 16 + 1e-9,
+        s"v=$v norm=$nv")
+    }
+  }
+
+  test("rows sharing a (group, bucket) normalize identically") {
+    val rows = Seq(("g", 1L, 33L), ("g", 2L, 33L), ("g", 3L, 900L))
+    val out = graft.ops.Sketches.quantileNormalize(
+        rows.toDF("grp", "id", "v"), "grp", "id", "v")
+      .select("id", "norm_v").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+  }
+}
