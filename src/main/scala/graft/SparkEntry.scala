@@ -4675,6 +4675,17 @@ object SparkEntry {
         .orderBy(col("cell"))
     }),
 
+    // ── LLM-pipeline: per-source exact AUC — does the English-stopword
+    // signal still rank inside each source, or only pooled (Simpson's
+    // flip)? Rank windows partition by source over its score domain.
+    "q_auc_by_source" -> ((s, d) =>
+      graft.ops.Evaluation.signalAucByGroup(
+        Tables.documents(s, d).select(col("source").as("grp"),
+          (col("lang") === "en").cast("long").as("lbl"),
+          TextFns.stopwordHits(col("text"), "en").cast("long").as("score")),
+        "grp", "lbl", "score")
+        .orderBy(col("grp"))),
+
     // ── LLM-pipeline: quantile normalization across sources — map each
     // source's length distribution onto the corpus distribution via the
     // log-histogram sketch (no data sort anywhere); cross-source
@@ -7064,6 +7075,15 @@ object SparkEntry {
     "q_cell_scatter" ->
       SimilaritySearch.cellScatterOracleSql("embeddings", "vec_id",
         "embedding", nCentroids = 16),
+
+    "q_auc_by_source" ->
+      graft.ops.Evaluation.signalAucByGroupOracleSql("documents",
+        groupExpr = "source",
+        labelExpr = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        scoreExpr =
+          """len(list_intersect(string_split_regex(lower(text), '\s+'),
+            ['the','a','of','and','to','in','is','it','that','for']))"""
+            .linesIterator.map(_.trim).mkString(" ")),
 
     "q_quantile_normalize" ->
       graft.ops.Sketches.quantileNormalizeOracleSql(

@@ -78,6 +78,57 @@ object Evaluation {
            ELSE NULL END AS auc_micro
        FROM t"""
 
+  /** Per-GROUP exact AUC — [[signalAuc]] keyed by a dimension: a quality
+    * signal that ranks well on the pooled corpus can be pure noise inside
+    * one source (Simpson's flip); this is the per-source health row the
+    * pooled number hides. Same doubled-rank Mann–Whitney arithmetic, the
+    * rank window PARTITIONS by the group over each group's |distinct
+    * score| rows; DECIMAL(38,0) everywhere the pooled form widens.
+    * Output one row per group; auc_micro null where a class is absent. */
+  def signalAucByGroup(df: DataFrame, groupCol: String, labelCol: String,
+                       scoreCol: String): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("grp"), col(scoreCol).as("score"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(labelCol).cast("long")).as("pos"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("rank2", lit(2) * col("cumb") + col("cnt") + lit(1))
+    ranked.groupBy(col("grp"))
+      .agg(sum(col("pos").cast("decimal(38,0)") * col("rank2")).as("sr2"),
+        sum(col("pos")).as("p"),
+        sum(col("cnt") - col("pos")).as("n"))
+      .select(col("grp").as(groupCol), col("p"), col("n"),
+        when(col("p") > 0 && col("n") > 0,
+          expr("(sr2 - CAST(p AS DECIMAL(38,0)) * (p + 1)) * 1000000" +
+            " div (CAST(2 AS DECIMAL(38,0)) * p * n)").cast("long"))
+          .otherwise(lit(null).cast("long")).as("auc_micro"))
+  }
+
+  /** DuckDB oracle replaying [[signalAucByGroup]]. */
+  def signalAucByGroupOracleSql(table: String, groupExpr: String,
+                                labelExpr: String,
+                                scoreExpr: String): String =
+    s"""WITH src AS (SELECT $groupExpr AS grp, CAST($labelExpr AS BIGINT) AS lbl,
+           $scoreExpr AS score FROM $table),
+       g AS (SELECT grp, score, count(*) AS cnt, sum(lbl) AS pos
+             FROM src GROUP BY grp, score),
+       w AS (SELECT grp, score, cnt, pos,
+               coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+             FROM g),
+       t AS (SELECT grp,
+               sum(CAST(pos AS HUGEINT) * (2 * cumb + cnt + 1)) AS sr2,
+               CAST(sum(pos) AS BIGINT) AS p,
+               CAST(sum(cnt - pos) AS BIGINT) AS n
+             FROM w GROUP BY grp)
+       SELECT grp, p, n,
+         CASE WHEN p > 0 AND n > 0
+           THEN CAST((sr2 - CAST(p AS HUGEINT) * (p + 1)) * 1000000
+             // (CAST(2 AS HUGEINT) * p * n) AS BIGINT)
+           ELSE NULL END AS auc_micro
+       FROM t ORDER BY grp"""
+
   /** Reliability-diagram bins: bucket a micro-unit score ([0, 1e6]) into
     * `nBins` equal-width bins and report, per bin, the count, mean
     * predicted score, and observed positive rate — the calibration check

@@ -1043,3 +1043,36 @@ class QuantileNormalizeSpec extends SparkSpec {
     assert(out(1L) == out(2L))
   }
 }
+
+class AucByGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-group AUC separates a good group from an inverted one") {
+    // group g1: score ranks positives perfectly (AUC 1); g2 inverted (0)
+    val df = Seq(
+      ("g1", 0L, 1L), ("g1", 0L, 2L), ("g1", 1L, 3L), ("g1", 1L, 4L),
+      ("g2", 1L, 1L), ("g2", 1L, 2L), ("g2", 0L, 3L), ("g2", 0L, 4L))
+      .toDF("grp", "lbl", "score")
+    val out = graft.ops.Evaluation.signalAucByGroup(df, "grp", "lbl", "score")
+      .select("grp", "auc_micro").as[(String, Long)].collect().toMap
+    assert(out == Map("g1" -> 1000000L, "g2" -> 0L))
+  }
+
+  test("matches the pooled signalAuc when there is one group") {
+    val df = (1L to 30L).map(i => ("only", (i % 3 == 0).compare(false).toLong,
+      (i * 7) % 11)).toDF("grp", "lbl", "score")
+    val pooled = graft.ops.Evaluation.signalAuc(df, "lbl", "score")
+      .select("auc_micro").as[Long].head()
+    val grouped = graft.ops.Evaluation.signalAucByGroup(df, "grp", "lbl",
+        "score")
+      .select("auc_micro").as[Long].head()
+    assert(grouped == pooled)
+  }
+
+  test("single-class group reports null") {
+    val df = Seq(("g", 1L, 5L), ("g", 1L, 6L)).toDF("grp", "lbl", "score")
+    val out = graft.ops.Evaluation.signalAucByGroup(df, "grp", "lbl", "score")
+      .select("auc_micro").as[Option[Long]].head()
+    assert(out.isEmpty)
+  }
+}
