@@ -40,8 +40,11 @@ object Graph {
     *
     * Determinism: the half-step sums are EXACT integer products (no
     * per-edge quantization needed at all); only the renormalization
-    * rounds, identically on both engines. Totals widen to DECIMAL(38,0)
-    * before the double cast (corpus-scale Σ w·h can pass 9.2·10¹⁸).
+    * rounds, identically on both engines. The per-edge product widens to
+    * DECIMAL(38,0) INSIDE the per-node aggregate (mirroring the oracle's
+    * HUGEINT sum) — a corpus-scale per-node Σ w·h can pass 9.2·10¹⁸
+    * before the total is ever formed, so widening only the total would
+    * still wrap.
     *
     * Scale per half-step: one equi-join of the current vector to the
     * aggregated edge list + one keyed aggregate — the hub vector is
@@ -62,18 +65,18 @@ object Graph {
       .select(col("t"), lit(1000000L).as("a")).localCheckpoint(true)
     (1 to iters).foreach { _ =>
       val hraw = e.join(a, "t")
-        .groupBy(col("u")).agg(sum(col("w") * col("a")).as("raw"))
-      val htot = hraw.agg(sum(col("raw").cast("decimal(38,0)"))
-        .cast("double").as("tot"))
+        .groupBy(col("u"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("a")).as("raw"))
+      val htot = hraw.agg(sum(col("raw")).cast("double").as("tot"))
       val h = hraw.crossJoin(broadcast(htot)).crossJoin(broadcast(nU))
         .select(col("u"),
           round(col("raw").cast("double") * col("nu") * lit(1e6) /
             col("tot")).cast("long").as("h"))
         .localCheckpoint(true)
       val araw = e.join(h, "u")
-        .groupBy(col("t")).agg(sum(col("w") * col("h")).as("raw"))
-      val atot = araw.agg(sum(col("raw").cast("decimal(38,0)"))
-        .cast("double").as("tot"))
+        .groupBy(col("t"))
+        .agg(sum(col("w").cast("decimal(38,0)") * col("h")).as("raw"))
+      val atot = araw.agg(sum(col("raw")).cast("double").as("tot"))
       a = araw.crossJoin(broadcast(atot)).crossJoin(broadcast(nT))
         .select(col("t"),
           round(col("raw").cast("double") * col("nt") * lit(1e6) /
@@ -86,16 +89,16 @@ object Graph {
   /** DuckDB oracle replaying [[hitsAuthoritiesMicro]]. */
   def hitsAuthoritiesOracleSql(edgesSql: String, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
-      s"""hr$i AS (SELECT e.u, CAST(sum(e.w * a.a) AS BIGINT) AS raw
+      s"""hr$i AS (SELECT e.u, sum(CAST(e.w AS HUGEINT) * a.a) AS raw
            FROM e JOIN a${i - 1} a ON a.t = e.t GROUP BY e.u),
-         ht$i AS (SELECT CAST(sum(CAST(raw AS HUGEINT)) AS DOUBLE) AS tot
+         ht$i AS (SELECT CAST(sum(raw) AS DOUBLE) AS tot
                   FROM hr$i),
          h$i AS (SELECT u, CAST(round(CAST(raw AS DOUBLE) * nu.nu
                    * 1000000.0 / ht$i.tot) AS BIGINT) AS h
                  FROM hr$i, ht$i, nu),
-         ar$i AS (SELECT e.t, CAST(sum(e.w * h.h) AS BIGINT) AS raw
+         ar$i AS (SELECT e.t, sum(CAST(e.w AS HUGEINT) * h.h) AS raw
            FROM e JOIN h$i h ON h.u = e.u GROUP BY e.t),
-         at$i AS (SELECT CAST(sum(CAST(raw AS HUGEINT)) AS DOUBLE) AS tot
+         at$i AS (SELECT CAST(sum(raw) AS DOUBLE) AS tot
                   FROM ar$i),
          a$i AS (SELECT t, CAST(round(CAST(raw AS DOUBLE) * nt.nt
                    * 1000000.0 / at$i.tot) AS BIGINT) AS a

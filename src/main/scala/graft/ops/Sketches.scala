@@ -373,17 +373,39 @@ object Sketches {
   // fold by (octave, sub) sum, fold ≡ rebuild, so the sketch lives as
   // ordinary stored pipes like the HLL/KMV/CMS families above.
 
+  /** Octave (bit length) bucket of a non-negative long — shared by every
+    * DD-sketch entry point. */
+  private def octaveSql(v: String): String =
+    s"CASE WHEN $v = 0 THEN 0 ELSE length(bin($v)) END"
+
+  /** Sub-bucket (16 slices per octave). For octave ≥ 5 the naive
+    * `v·16 div 2^(octave−1)` wraps a Long at v ≥ 2^59, so we shift DOWN
+    * instead: `v div 2^(octave−5) − 16` is the identical value
+    * (16/2^(octave−1) = 1/2^(octave−5)) and overflow-free over the FULL
+    * non-negative long domain — so both engines agree at every boundary
+    * with no domain caveat. */
+  private def subSql(v: String): String =
+    s"CASE WHEN $v = 0 THEN 0" +
+      s" WHEN length(bin($v)) <= 4 THEN $v * 16" +
+      s" div shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1) - 16" +
+      s" ELSE $v div shiftleft(CAST(1 AS BIGINT)," +
+      s" length(bin($v)) - 5) - 16 END"
+
+  /** DuckDB spelling of [[subSql]] (`//` and `<<`). */
+  private def subSqlDuck(v: String): String =
+    s"CASE WHEN $v = 0 THEN 0" +
+      s" WHEN length(bin($v)) <= 4 THEN $v * 16" +
+      s" // (CAST(1 AS BIGINT) << (length(bin($v)) - 1)) - 16" +
+      s" ELSE $v // (CAST(1 AS BIGINT) << (length(bin($v)) - 5)) - 16 END"
+
   /** Per-(octave, sub) counts of a non-negative long column. ONE
     * map-side-combined aggregate; the bucket math is integer-only
     * (bit length via `length(bin(v))`, powers of two via shiftleft), so
     * both engines agree at every boundary. */
   def ddSketchHistogram(df: DataFrame, valueCol: String): DataFrame =
     df.select(
-        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
-          s" ELSE length(bin($valueCol)) END").as("octave"),
-        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
-          s" ELSE $valueCol * 16 div shiftleft(CAST(1 AS BIGINT)," +
-          s" length(bin($valueCol)) - 1) - 16 END").as("sub"))
+        expr(octaveSql(valueCol)).as("octave"),
+        expr(subSql(valueCol)).as("sub"))
       .groupBy(col("octave"), col("sub"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -420,8 +442,10 @@ object Sketches {
           org.apache.spark.sql.types.LongType))))
     qs.crossJoin(broadcast(n1))
       .select(col("q_micro"), col("n"),
-        expr("least(n, greatest(1, (q_micro * n + 999999) div 1000000))")
-          .as("rank"))
+        // widen the q·n product to DECIMAL(38,0) — Long wraps past ~9.2e12
+        // rows (`div` returns BIGINT, so rank stays a Long ≤ n)
+        expr("least(n, greatest(1, (CAST(q_micro AS DECIMAL(38,0)) * n" +
+          " + 999999) div 1000000))").as("rank"))
       .join(cum, col("cum") >= col("rank"))
       .groupBy(col("q_micro"), col("n"), col("rank"))
       .agg(min(col("lo")).as("estimate"))
@@ -434,11 +458,8 @@ object Sketches {
   def ddSketchHistogramByGroup(df: DataFrame, groupCol: String,
                                valueCol: String): DataFrame =
     df.select(col(groupCol).as("grp"),
-        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
-          s" ELSE length(bin($valueCol)) END").as("octave"),
-        expr(s"CASE WHEN $valueCol = 0 THEN 0" +
-          s" ELSE $valueCol * 16 div shiftleft(CAST(1 AS BIGINT)," +
-          s" length(bin($valueCol)) - 1) - 16 END").as("sub"))
+        expr(octaveSql(valueCol)).as("octave"),
+        expr(subSql(valueCol)).as("sub"))
       .groupBy(col("grp"), col("octave"), col("sub"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -473,8 +494,10 @@ object Sketches {
           org.apache.spark.sql.types.LongType))))
     n1.crossJoin(broadcast(qs))
       .select(col("grp"), col("q_micro"), col("n"),
-        expr("least(n, greatest(1, (q_micro * n + 999999) div 1000000))")
-          .as("rank"))
+        // widen the q·n product to DECIMAL(38,0) — Long wraps past ~9.2e12
+        // rows (`div` returns BIGINT, so rank stays a Long ≤ n)
+        expr("least(n, greatest(1, (CAST(q_micro AS DECIMAL(38,0)) * n" +
+          " + 999999) div 1000000))").as("rank"))
       .join(cum, Seq("grp"))
       .where(col("cum") >= col("rank"))
       .groupBy(col("grp"), col("q_micro"), col("n"), col("rank"))
@@ -489,9 +512,7 @@ object Sketches {
     s"""WITH vals AS ($valsSql),
        b AS (SELECT grp,
                CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS octave,
-               CASE WHEN v = 0 THEN 0
-                 ELSE v * 16 // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 16
-               END AS sub
+               ${subSqlDuck("v")} AS sub
              FROM vals),
        h AS (SELECT grp, octave, sub, CAST(count(*) AS BIGINT) AS cnt
              FROM b GROUP BY 1, 2, 3),
@@ -505,8 +526,8 @@ object Sketches {
              FROM h),
        n1 AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
        q AS (SELECT grp, CAST(q_micro AS BIGINT) AS q_micro, n,
-               least(n, greatest(1, (CAST(q_micro AS BIGINT) * n + 999999)
-                 // 1000000)) AS rank
+               CAST(least(n, greatest(1, (CAST(q_micro AS HUGEINT) * n
+                 + 999999) // 1000000)) AS BIGINT) AS rank
              FROM (VALUES $qrows) AS t(q_micro) CROSS JOIN n1)
        SELECT q.grp, q.q_micro, q.n, q.rank, min(c.lo) AS estimate
        FROM q JOIN c ON c.grp = q.grp AND c.cum >= q.rank
@@ -532,11 +553,8 @@ object Sketches {
                         valueCol: String): DataFrame = {
     val rows = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
       col(valueCol).as("v"),
-      expr(s"CASE WHEN $valueCol = 0 THEN 0" +
-        s" ELSE length(bin($valueCol)) END").as("octave"),
-      expr(s"CASE WHEN $valueCol = 0 THEN 0" +
-        s" ELSE $valueCol * 16 div shiftleft(CAST(1 AS BIGINT)," +
-        s" length(bin($valueCol)) - 1) - 16 END").as("sub"))
+      expr(octaveSql(valueCol)).as("octave"),
+      expr(subSql(valueCol)).as("sub"))
     val gh = rows.groupBy(col("grp"), col("octave"), col("sub"))
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // consumed thrice; ≤ |groups|·1009 rows
@@ -546,7 +564,9 @@ object Sketches {
     val bucketPct = gh.withColumn("cum", sum(col("cnt")).over(wg))
       .join(ng, Seq("grp"))
       .select(col("grp"), col("octave"), col("sub"),
-        expr("cum * 1000000L div n_g").as("pct_micro"))
+        // DECIMAL(38,0) product — cum·1e6 wraps a Long past ~9.2e12 rows
+        expr("CAST(cum AS DECIMAL(38,0)) * 1000000 div n_g")
+          .as("pct_micro"))
     val ch = gh.groupBy(col("octave"), col("sub"))
       .agg(sum(col("cnt")).as("cnt"))
     val wc = Window.orderBy(col("octave"), col("sub"))
@@ -559,8 +579,8 @@ object Sketches {
     val nc = ccum.agg(max(col("ccum")).as("n_c"))
     val mapping = bucketPct.crossJoin(broadcast(nc))
       .select(col("grp"), col("octave"), col("sub"), col("pct_micro"),
-        expr("least(n_c, greatest(1, (pct_micro * n_c + 999999)" +
-          " div 1000000))").as("rank"))
+        expr("least(n_c, greatest(1, (CAST(pct_micro AS DECIMAL(38,0))" +
+          " * n_c + 999999) div 1000000))").as("rank"))
       .join(broadcast(ccum.select(col("ccum"), col("lo"))),
         col("ccum") >= col("rank"))
       .groupBy(col("grp"), col("octave"), col("sub"), col("pct_micro"))
@@ -577,19 +597,17 @@ object Sketches {
     s"""WITH src AS ($valsSql),
        rows_ AS (SELECT grp, id, v,
            CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS octave,
-           CASE WHEN v = 0 THEN 0
-             ELSE v * 16 // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 16
-           END AS sub
+           ${subSqlDuck("v")} AS sub
          FROM src),
        gh AS (SELECT grp, octave, sub, CAST(count(*) AS BIGINT) AS cnt
               FROM rows_ GROUP BY 1, 2, 3),
        ng AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_g
               FROM gh GROUP BY 1),
        bp AS (SELECT gh.grp, gh.octave, gh.sub,
-                CAST(sum(cnt) OVER (PARTITION BY gh.grp
+                CAST(CAST(sum(cnt) OVER (PARTITION BY gh.grp
                   ORDER BY gh.octave, gh.sub
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  AS BIGINT) * 1000000 // ng.n_g AS pct_micro
+                  AS HUGEINT) * 1000000 // ng.n_g AS BIGINT) AS pct_micro
               FROM gh JOIN ng ON ng.grp = gh.grp),
        ch AS (SELECT octave, sub, CAST(sum(cnt) AS BIGINT) AS cnt
               FROM gh GROUP BY 1, 2),
@@ -606,7 +624,8 @@ object Sketches {
                 min(cc.lo) AS norm_v
               FROM bp CROSS JOIN nc
               JOIN cc ON cc.ccum >= least(nc.n_c, greatest(1,
-                (bp.pct_micro * nc.n_c + 999999) // 1000000))
+                (CAST(bp.pct_micro AS HUGEINT) * nc.n_c + 999999)
+                  // 1000000))
               GROUP BY 1, 2, 3, 4)
        SELECT r.id AS $idCol, r.grp AS $groupCol, r.v AS $valueCol,
          mp.pct_micro, mp.norm_v
@@ -620,9 +639,7 @@ object Sketches {
     val qrows = qsMicro.map(q => s"($q)").mkString(", ")
     s"""WITH vals AS ($valsSql),
        b AS (SELECT CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS octave,
-               CASE WHEN v = 0 THEN 0
-                 ELSE v * 16 // (CAST(1 AS BIGINT) << (length(bin(v)) - 1)) - 16
-               END AS sub
+               ${subSqlDuck("v")} AS sub
              FROM vals),
        h AS (SELECT octave, sub, CAST(count(*) AS BIGINT) AS cnt
              FROM b GROUP BY 1, 2),
@@ -636,8 +653,8 @@ object Sketches {
              FROM h),
        n1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
        q AS (SELECT CAST(q_micro AS BIGINT) AS q_micro, n,
-               least(n, greatest(1, (CAST(q_micro AS BIGINT) * n + 999999)
-                 // 1000000)) AS rank
+               CAST(least(n, greatest(1, (CAST(q_micro AS HUGEINT) * n
+                 + 999999) // 1000000)) AS BIGINT) AS rank
              FROM (VALUES $qrows) AS t(q_micro) CROSS JOIN n1)
        SELECT q.q_micro, q.n, q.rank, min(c.lo) AS estimate
        FROM q JOIN c ON c.cum >= q.rank

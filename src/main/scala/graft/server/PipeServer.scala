@@ -209,7 +209,9 @@ final class PipeServer(
               // applyDelta): `wid` carries the inserts, `widU` the updates,
               // so each half's ND-JSON parses exactly once and the (small)
               // update half never scans the (large) insert half
-              val filesU = selectStaged(q("widU"))
+              val widU = q.getOrElse("widU", throw new IllegalArgumentException(
+                "delta mode requires widU (separate staged write id for the update half)"))
+              val filesU = selectStaged(widU)
               val dfU: DataFrame =
                 if (filesU.nonEmpty) spark.read.schema(schema).options(jsonOpts)
                   .json(filesU.map(_.getAbsolutePath): _*)
