@@ -188,6 +188,26 @@ object Bench {
       val t = if (ok.nonEmpty) ok.min else runs.map(_._1).min
       label -> (t, firstErr.orNull)
     }
+    // REGRESSION GUARDS (r10 verdict item 7): bars that took rounds to meet
+    // fail LOUDLY in the bench run itself instead of waiting for a judge
+    // diff. Full-suite runs only — subsets lack the guarded entries' warmup
+    // context. A guard trips only on a SUCCESSFUL measurement (a failed
+    // query already surfaces via `failed`), and the canary bounds are wide
+    // (observed 2.25-3.40 s across same-code runs) so only a genuinely
+    // broken box or canary trips them.
+    val guardFailures: Seq[String] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val apiBar = results.collectFirst {
+          case ("q_api_instance_e2e", (t, null)) if t > 6.0 =>
+            f"q_api_instance_e2e $t%.2f s exceeds its 6 s bar"
+        }
+        val canaryBar =
+          if (calibrationSec < 0.5 || calibrationSec > 12.0)
+            Some(f"calibration_sec $calibrationSec%.2f s outside sanity bounds [0.5, 12]")
+          else None
+        (apiBar ++ canaryBar).toSeq
+      }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -216,7 +236,8 @@ object Bench {
       val nFailed = results.count(_._2._2 != null)
       val total = results.map(_._2._1).sum
       val omitSum = omitted.map(_._2._1).sum
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      val guards = guardFailures.map(jstr).mkString("[", ",", "]")
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
     // subset runs (SPARK_GRAFT_ONLY) land in /tmp — they must never clobber
     // the committed full-suite baseline that round-over-round regression
@@ -228,5 +249,11 @@ object Bench {
       (line(3, 0) + "\n").getBytes("UTF-8"))
     println(line(2, 40))
     spark.stop()
+    // exit AFTER the JSON lands on stdout and disk so the diagnostics
+    // survive the loud failure
+    if (guardFailures.nonEmpty) {
+      guardFailures.foreach(g => System.err.println(s"[bench] GUARD FAILED: $g"))
+      sys.exit(3)
+    }
   }
 }
