@@ -39,6 +39,34 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  // OPQ family configuration — equal (m, ks) on both arms of the A/B gate
+  private val OpqM  = 8
+  private val OpqKs = 128
+
+  /** OPQ model artifact: the trained rotation, memoized per sfDir by the
+    * q_opq_* queries and read back by their oracle generators. The matrix
+    * is a DETERMINISTIC function of the corpus (fixed lowest-id sample,
+    * fixed iteration budget, sequential arithmetic), so injecting it into
+    * the oracle as literals is the same move every ANN oracle makes with
+    * its SRP planes / codebook coefficients — and Verify always runs every
+    * query before dumping oracle_sql.json, so the artifact is present when
+    * the oracle is rendered. */
+  private object OpqModel {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+    @volatile private var last: Option[Seq[Seq[Double]]] = None
+    def rotationFor(s: SparkSession, d: String): Seq[Seq[Double]] = {
+      val r = cache.computeIfAbsent(d, dir =>
+        SimilaritySearch.opqRotation(Tables.embeddings(s, dir),
+          "vec_id", "embedding", m = OpqM, ks = OpqKs,
+          nSample = 256, iters = 10))
+      last = Some(r)
+      r
+    }
+    /** The rotation for oracle rendering (the run's single sfDir). */
+    def forOracle: Option[Seq[Seq[Double]]] = last
+  }
+
   /** Probe a STORED minhash band index for one document's near-dup pairs:
     * collect the query doc's ≤ bands (band, bandHash, bucket) rows, read
     * ONLY those bucket directories (partition-pruned `readIn`), apply the
@@ -325,6 +353,70 @@ object SparkEntry {
         val probe = SimilaritySearch.ivfProbeCells(cents, q, nProbe = 8)
         SimilaritySearch.pqTopK(eng.storage(spec).readIn(probe.map(_.toLong)),
           "vec_id", "embedding", "pq", q, cbs, k = 10, rerank = 50)
+       })
+    }),
+
+    // Stored OPQ index (FAISS's OPQ..,IVF..,PQ.. composition; Ge et al.,
+    // CVPR 2013): the trained rotation R persists as a 64-row model pipe
+    // NEXT TO the cell-partitioned coded pipe, and the PROBE reads R back
+    // from the store — query rotation, coarse centroids, and codebooks all
+    // derive from the SHIPPED artifact, not the trainer. Build stamps
+    // rotation, cell, and m-byte code in stacked shuffle-free projections;
+    // halves blind-append (codes row-local ⇒ incremental == rebuild); the
+    // probe touches only the nProbe cells' chunk dirs and floats load for
+    // the rerank set alone. Cosine is rotation-invariant, so the oracle
+    // replays IVF+PQ in the rotated space with the same persisted R.
+    "q_opq_index_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val rot = OpqModel.rotationFor(s, d)
+      lazy val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      lazy val rcents = SimilaritySearch
+        .sampleCentroids(emb, "vec_id", "embedding", 16)
+        .map(v => SimilaritySearch.rotateQuery(v, rot))
+      lazy val rcbs = SimilaritySearch.opqCodebooks(
+        emb, "vec_id", "embedding", rot, m = OpqM, ks = OpqKs)
+      def index(df: DataFrame) =
+        SimilaritySearch.withPqCodes(
+            SimilaritySearch.withIvfCell(
+              SimilaritySearch.withRotation(df, "embedding", rot, "rvec"),
+              "rvec", rcents), "rvec", rcbs)
+          .select(col("vec_id"), col("rvec"), col("pq"),
+            col("cell").cast("long").as("cell"))
+      val root = java.nio.file.Files.createTempDirectory("graft_opq_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "opq_cells_sync"),
+        columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val rspec = PipeSpec(PipeKeys("ann", "opq_rotation"),
+        columns = ColumnRoles(Map("datetime" -> "i", "id" -> "i")),
+        epochUnit = Some("minute"), chunkMinutes = 64)
+      (() => {
+        val rotDf = s.createDataFrame(
+          s.sparkContext.parallelize(rot.zipWithIndex.map { case (row, i) =>
+            org.apache.spark.sql.Row(i.toLong, row) }.toList, 1),
+          StructType(Seq(StructField("i", LongType),
+            StructField("coeffs", ArrayType(DoubleType)))))
+        eng.sync(rspec, rotDf, checkExisting = false)
+        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => {
+        // the SHIPPED model: R read back from the store (parquet double
+        // round-trip is exact, so this is bit-equal to the trainer's R)
+        val rStored = eng.getData(rspec).orderBy(col("i"))
+          .select(col("coeffs")).collect().map(_.getSeq[Double](0)).toSeq
+        val rq = SimilaritySearch.rotateQuery(q, rStored)
+        val storedCents = SimilaritySearch
+          .sampleCentroids(emb, "vec_id", "embedding", 16)
+          .map(v => SimilaritySearch.rotateQuery(v, rStored))
+        val storedCbs = SimilaritySearch.opqCodebooks(
+          emb, "vec_id", "embedding", rStored, m = OpqM, ks = OpqKs)
+        val probe = SimilaritySearch.ivfProbeCells(storedCents, rq, nProbe = 8)
+        SimilaritySearch.pqTopK(eng.storage(spec).readIn(probe.map(_.toLong)),
+          "vec_id", "rvec", "pq", rq, storedCbs, k = 10, rerank = 50)
        })
     }),
 
@@ -2643,6 +2735,19 @@ object SparkEntry {
         q, cents, cbs, k = 10, nProbe = 8, rerank = 50)
     }),
 
+    // ── LLM-pipeline: OPQ rotation ship gate (Ge et al., CVPR 2013) — the
+    // one FAISS production step between plain PQ and state-of-the-art
+    // stored ANN: train the orthonormal rotation driver-side on the same
+    // bounded sample that fits the codebooks, stamp plain-PQ and OPQ codes
+    // in ONE scan, and report each method's mean reconstruction error at
+    // EQUAL (m, ks) plus the per-row win count. OPQ must come in strictly
+    // below plain PQ (OpqSpec pins it). Oracle replays the full dual
+    // pipeline with the persisted R injected as literals.
+    "q_opq_recon" -> ((s, d) =>
+      SimilaritySearch.pqVsOpqRecon(Tables.embeddings(s, d),
+        "vec_id", "embedding", m = OpqM, ks = OpqKs,
+        OpqModel.rotationFor(s, d))),
+
     // ── LLM-pipeline: BATCHED IVF ANN — the production probe shape: every
     // 100th vector queries at once, per-query probe cells resolve IN-PLAN
     // (argsort over typedLit centroid scores — zero per-query driver work),
@@ -4273,6 +4378,7 @@ object SparkEntry {
     // floats touch the rerank set alone. Incremental == rebuild; oracle
     // replays the full IVF+PQ pipeline.
     "q_ivfpq_index_sync" -> composed("q_ivfpq_index_sync"),
+    "q_opq_index_sync" -> composed("q_opq_index_sync"),
 
     // ── LLM-pipeline: the trigram LM model maintained INCREMENTALLY as
     // three hash-bucketed count pipes (train = count, additive fold at
@@ -5486,6 +5592,20 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
+
+    // The OPQ oracles inject the TRAINED rotation (a deterministic model
+    // artifact of the corpus) as literals; Verify runs every query before
+    // dumping oracle_sql.json, so the artifact is always present here.
+    "q_opq_recon" -> OpqModel.forOracle.map(r =>
+        graft.ops.SimilaritySearch.opqReconOracleSql("embeddings", "vec_id",
+          "embedding", dim = 64, m = OpqM, ks = OpqKs, r))
+      .getOrElse("SELECT CAST(NULL AS BIGINT) AS opq_rotation_not_trained"),
+
+    "q_opq_index_sync" -> OpqModel.forOracle.map(r =>
+        graft.ops.SimilaritySearch.opqIvfPqOracleSql("embeddings", "vec_id",
+          "embedding", dim = 64, m = OpqM, ks = OpqKs, nCentroids = 16,
+          nProbe = 8, queryId = 0, k = 10, rerank = 50, r))
+      .getOrElse("SELECT CAST(NULL AS BIGINT) AS opq_rotation_not_trained"),
 
     "q_ann_recall" ->
       graft.ops.SimilaritySearch.annRecallOracleSql("embeddings", "vec_id",

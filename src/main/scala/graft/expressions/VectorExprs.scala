@@ -63,18 +63,25 @@ case class DotProduct(left: Expression, right: Expression)
     if (acc == null) null else acc(0)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // fresh local names: many dot nodes can share ONE generated scope (a
+  // rotation projection is 64 of them in a single CreateArray) — fixed
+  // names made Janino fail with "Redefinition of local variable" and drop
+  // the whole stage to interpreted eval
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val bad = ctx.freshName("bad")
+    val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = $a.numElements();
-         |boolean bad = n != $b.numElements();
-         |double dot = 0.0;
-         |for (int i = 0; !bad && i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { bad = true; break; }
-         |  dot += $a.getDouble(i) * $b.getDouble(i);
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $dot = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |if (bad) { ${ev.isNull} = true; } else { ${ev.value} = dot; }
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
          |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -101,20 +108,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else acc(0) / (math.sqrt(acc(1)) * math.sqrt(acc(2)))
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // fresh local names — see DotProduct.doGenCode
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n = ctx.freshName("n"); val bad = ctx.freshName("bad")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = $a.numElements();
-         |boolean bad = n != $b.numElements();
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; !bad && i < n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { bad = true; break; }
-         |  double x = $a.getDouble(i); double y = $b.getDouble(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |if (bad) { ${ev.isNull} = true; }
-         |else { ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb)); }
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
@@ -160,25 +173,30 @@ case class SrpSignature(child: Expression, planes: Array[Array[Double]])
     sig
   }
 
+  // fresh local names — see DotProduct.doGenCode
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val n = ctx.freshName("n"); val sig = ctx.freshName("sig")
+    val ok = ctx.freshName("ok"); val i = ctx.freshName("i")
+    val b = ctx.freshName("b"); val p = ctx.freshName("p")
+    val proj = ctx.freshName("proj"); val j = ctx.freshName("j")
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |int n = $v.numElements();
-         |long sig = 0L;
-         |if ($planesRef.length > 0 && n == $planesRef[0].length) {
-         |  boolean ok = true;
-         |  for (int i = 0; ok && i < n; i++) { if ($v.isNullAt(i)) ok = false; }
-         |  if (ok) {
-         |    for (int b = 0; b < $planesRef.length; b++) {
-         |      double[] p = $planesRef[b];
-         |      double proj = 0.0;
-         |      for (int j = 0; j < n; j++) { proj += $v.getDouble(j) * p[j]; }
-         |      if (proj >= 0) sig |= (1L << b);
+         |int $n = $v.numElements();
+         |long $sig = 0L;
+         |if ($planesRef.length > 0 && $n == $planesRef[0].length) {
+         |  boolean $ok = true;
+         |  for (int $i = 0; $ok && $i < $n; $i++) { if ($v.isNullAt($i)) $ok = false; }
+         |  if ($ok) {
+         |    for (int $b = 0; $b < $planesRef.length; $b++) {
+         |      double[] $p = $planesRef[$b];
+         |      double $proj = 0.0;
+         |      for (int $j = 0; $j < $n; $j++) { $proj += $v.getDouble($j) * $p[$j]; }
+         |      if ($proj >= 0) $sig |= (1L << $b);
          |    }
          |  }
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
          |""".stripMargin)
   }
 

@@ -1217,4 +1217,381 @@ object SimilaritySearch {
          (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
        FROM a, q WHERE a.cid IN (SELECT cid FROM probe)
        ORDER BY cosine DESC, a.$idCol LIMIT $k"""
+
+  // ── Optimized Product Quantization (OPQ — Ge et al., CVPR 2013) ───────
+  //
+  // PQ quantizes each subspace independently, so its reconstruction error
+  // is dominated by whatever variance/correlation structure straddles the
+  // subspace cuts. OPQ learns ONE d×d orthonormal rotation R and runs PQ
+  // in the rotated space (encode R·x); cosine/L2 are rotation-invariant,
+  // so ranking and reconstruction error are measured in the rotated space
+  // directly and R⁻¹ is never applied in the hot path. Training is the
+  // paper's non-parametric alternation (Alg. 1): fix R → codebooks +
+  // assignments on the rotated sample (the SAME deterministic first-ks
+  // rule as [[pqCodebooks]]); fix assignments → orthogonal Procrustes
+  // R* = polar(X̂ᵀX), solved by Newton's polar iteration (the same unique
+  // orthogonal factor an SVD U·Vᵀ would give, for nonsingular input).
+  //
+  // Scale shape: training is DRIVER-side on the bounded lowest-id sample
+  // (nSample·dim doubles — the same collect bound as [[sampleCentroids]]);
+  // applying R is ONE shuffle-free projection (dim codegen'd literal dot
+  // products) stacked under [[withIvfCell]]/[[withPqCodes]] exactly like
+  // the un-rotated family, so the 100 TB build cost is unchanged:
+  // scan → project → write. R is a model artifact persisted with the
+  // codebooks (64×64 doubles — 32 KB); the trained matrix is a
+  // deterministic function of the corpus (fixed sample, fixed iteration
+  // budget, sequential arithmetic), so the oracle replays the pipeline
+  // with the SAME matrix as literals — the SRP-plane / PQ-codebook
+  // literal-injection pattern every other ANN oracle here uses.
+
+  private type Mat = Array[Array[Double]]
+
+  private def matIdentity(n: Int): Mat =
+    Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+
+  /** Gauss–Jordan inverse with partial pivoting — deterministic, throws
+    * loudly on a (practically impossible for a Procrustes target of real
+    * data) singular input rather than returning garbage. */
+  private def matInv(a0: Mat): Mat = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val inv = matIdentity(n)
+    var col = 0
+    while (col < n) {
+      var piv = col; var best = math.abs(a(col)(col)); var r = col + 1
+      while (r < n) {
+        val v = math.abs(a(r)(col)); if (v > best) { best = v; piv = r }; r += 1
+      }
+      if (!(best > 1e-300))
+        throw new IllegalStateException(
+          "singular matrix in OPQ Procrustes step — widen nSample")
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val u = inv(piv); inv(piv) = inv(col); inv(col) = u
+      }
+      val p = a(col)(col)
+      var j = 0
+      while (j < n) { a(col)(j) /= p; inv(col)(j) /= p; j += 1 }
+      r = 0
+      while (r < n) {
+        if (r != col) {
+          val f = a(r)(col)
+          if (f != 0.0) {
+            var k = 0
+            while (k < n) {
+              a(r)(k) -= f * a(col)(k); inv(r)(k) -= f * inv(col)(k); k += 1
+            }
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    inv
+  }
+
+  /** Orthogonal polar factor of a nonsingular square matrix via Newton's
+    * iteration Q ← (Q + Q⁻ᵀ)/2 — converges quadratically to the same
+    * U·Vᵀ an SVD would give, which is exactly the orthogonal Procrustes
+    * maximizer of tr(RᵀM). */
+  private def polarOrthogonal(m0: Mat): Mat = {
+    val n = m0.length
+    var q = m0.map(_.clone())
+    var it = 0
+    var converged = false
+    while (it < 100 && !converged) {
+      val invT = matInv(q)
+      val next = Array.tabulate(n, n)((i, j) => 0.5 * (q(i)(j) + invT(j)(i)))
+      var diff = 0.0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          val dv = math.abs(next(i)(j) - q(i)(j)); if (dv > diff) diff = dv
+          j += 1
+        }
+        i += 1
+      }
+      q = next; it += 1
+      if (diff < 1e-14) converged = true
+    }
+    q
+  }
+
+  /** Train the OPQ rotation on the `nSample` lowest-id vectors (the same
+    * driver-side sample bound that fits [[pqCodebooks]]). Deterministic:
+    * fixed sample, fixed `iters`, sequential arithmetic — the returned
+    * matrix is a pure function of the corpus. */
+  def opqRotation(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ks: Int, nSample: Int = 256,
+                  iters: Int = 10): Seq[Seq[Double]] = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val sample = sampleCentroids(emb, idCol, vecCol, nSample)
+      .map(_.toArray).toArray
+    require(sample.nonEmpty, "empty OPQ training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(ks <= sample.length,
+      s"sample (${sample.length}) must cover the $ks codebook rows")
+    val d = dim / m
+    var rot: Mat = matIdentity(dim)
+    def rotate(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < dim) { s += rot(i)(j) * x(j); j += 1 }
+        y(i) = s; i += 1
+      }
+      y
+    }
+    for (_ <- 1 to iters) {
+      val y = sample.map(rotate)
+      // codebooks: first-ks rotated rows, per-subspace slices (withPqCodes'
+      // deterministic rule); encode by the same monotone-L2 argmin with
+      // ties to the lowest centroid id
+      val recon = y.map { yv =>
+        val out = new Array[Double](dim)
+        var j = 0
+        while (j < m) {
+          var bestC = 0; var bestS = Double.PositiveInfinity
+          var c = 0
+          while (c < ks) {
+            var cc = 0.0; var yc = 0.0; var i = 0
+            while (i < d) {
+              val cv = y(c)(j * d + i)
+              cc += cv * cv; yc += yv(j * d + i) * cv; i += 1
+            }
+            val s = cc - 2.0 * yc
+            if (s < bestS) { bestS = s; bestC = c }
+            c += 1
+          }
+          System.arraycopy(y(bestC), j * d, out, j * d, d)
+          j += 1
+        }
+        out
+      }
+      // Procrustes target M = Σᵢ x̂ᵢ·xᵢᵀ (X̂ᵀX with rows as observations);
+      // the orthogonal maximizer of tr(RᵀM) is M's polar factor
+      val tgt: Mat = Array.ofDim[Double](dim, dim)
+      var i = 0
+      while (i < sample.length) {
+        val xh = recon(i); val x = sample(i)
+        var r = 0
+        while (r < dim) {
+          val xr = xh(r)
+          if (xr != 0.0) {
+            var c = 0
+            while (c < dim) { tgt(r)(c) += xr * x(c); c += 1 }
+          }
+          r += 1
+        }
+        i += 1
+      }
+      rot = polarOrthogonal(tgt)
+    }
+    val out = rot.map(_.toSeq).toSeq
+    require(out.forall(_.forall(v => !v.isNaN && !v.isInfinite)),
+      "OPQ rotation contains non-finite entries")
+    out
+  }
+
+  /** Apply the rotation as ONE shuffle-free projection:
+    * `out[i] = dot(Rᵢ, vec)` — dim codegen'd literal dot products, the
+    * same Literal-node discipline as [[centroidScores]]. */
+  def withRotation(emb: DataFrame, vecCol: String,
+                   rotation: Seq[Seq[Double]],
+                   outCol: String = "rvec"): DataFrame = {
+    val ev = col(vecCol).cast("array<double>")
+    emb.withColumn(outCol,
+      array(rotation.map(ri => VectorFns.dot(ev, typedLit(ri.toArray))): _*))
+  }
+
+  /** Driver-side rotation of one vector — the same left-to-right
+    * accumulation as the codegen'd projection and DuckDB's
+    * list_dot_product, so codebooks/queries rotated here are
+    * bit-identical to rows rotated in-plan or in the oracle. */
+  def rotateQuery(query: Seq[Double], rotation: Seq[Seq[Double]]): Seq[Double] =
+    rotation.map(ri => dotSeq(ri, query))
+
+  /** OPQ codebooks: [[pqCodebooks]]' first-ks rule applied to the ROTATED
+    * sample (rotated driver-side — bit-identical to reading rotated rows
+    * back, see [[rotateQuery]]). */
+  def opqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                   rotation: Seq[Seq[Double]],
+                   m: Int, ks: Int): Seq[Seq[Seq[Double]]] = {
+    require(ks >= 1 && ks <= 128,
+      s"ks must be in [1, 128] for tinyint PQ codes, got $ks")
+    val base = sampleCentroids(emb, idCol, vecCol, ks)
+      .map(v => rotateQuery(v, rotation))
+    val dim = base.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val d = dim / m
+    Seq.tabulate(m)(j => base.map(_.slice(j * d, (j + 1) * d)))
+  }
+
+  /** Per-row PQ reconstruction error in exact micro-units:
+    * `err = 10⁶ − round(cos(vec, x̂)·10⁶)` where x̂ concatenates the coded
+    * centroids — the [[sqReconstructionError]] shape for the PQ family.
+    * Scan-local, zero shuffles. */
+  def pqReconErrMicro(vec: Column, codeCol: Column,
+                      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val recon = concat(codebooks.zipWithIndex.map { case (cb, j) =>
+      element_at(typedLit(cb.map(_.toArray).toArray),
+        element_at(codeCol, j + 1).cast("int") + 1)
+    }: _*)
+    lit(1000000L) - round(VectorFns.cosine(vec, recon) * lit(1e6)).cast("long")
+  }
+
+  /** The OPQ ship gate — A/B reconstruction-error report at EQUAL (m, ks):
+    * ONE scan stamps both the plain-PQ and the OPQ code per row and
+    * aggregates each method's mean reconstruction error (micro) plus the
+    * per-row win count. Internal sums widen to DECIMAL(38,0) (the
+    * 9.2e12-row Long discipline); outputs are bounded BIGINTs. */
+  def pqVsOpqRecon(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int, ks: Int, rotation: Seq[Seq[Double]]): DataFrame = {
+    val cbs  = pqCodebooks(emb, idCol, vecCol, m, ks)
+    val rcbs = opqCodebooks(emb, idCol, vecCol, rotation, m, ks)
+    val coded = withPqCodes(
+      withPqCodes(withRotation(emb, vecCol, rotation, "__rv"),
+        vecCol, cbs, "__pq"),
+      "__rv", rcbs, "__opq")
+    coded.select(
+        pqReconErrMicro(col(vecCol).cast("array<double>"), col("__pq"), cbs)
+          .as("pq_err"),
+        pqReconErrMicro(col("__rv"), col("__opq"), rcbs).as("opq_err"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        expr("CAST(sum(CAST(pq_err AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("pq_mean_err_micro"),
+        expr("CAST(sum(CAST(opq_err AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+          .as("opq_mean_err_micro"),
+        sum(when(col("opq_err") < col("pq_err"), 1L).otherwise(0L))
+          .as("opq_win_rows"))
+  }
+
+  /** DuckDB nested-list literal for the rotation matrix. Double.toString
+    * is shortest-unique-round-trip; every element is forced into
+    * E-notation because DuckDB types a PLAIN decimal literal as DECIMAL
+    * and unifies all list elements to one (precision, scale) — measured to
+    * round ~17% of a 64×64 matrix's entries by one ulp — whereas an
+    * exponent literal parses as DOUBLE directly (bit-exact). */
+  def rotationSqlLit(rotation: Seq[Seq[Double]]): String = {
+    def d(v: Double): String = {
+      val s = v.toString
+      if (s.contains('E') || s.contains('e')) s else s + "E0"
+    }
+    rotation.map(_.map(d).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  }
+
+  /** DuckDB oracle replaying [[pqVsOpqRecon]] end-to-end with the trained
+    * rotation injected as a literal: rotate, re-derive BOTH codebook sets
+    * by the `$idCol < ks` rule, encode, reconstruct (order-preserving
+    * flatten), and aggregate the same two means + win count. */
+  def opqReconOracleSql(table: String, idCol: String, vecCol: String,
+                        dim: Int, m: Int, ks: Int,
+                        rotation: Seq[Seq[Double]]): String = {
+    val d = dim / m
+    val rl = rotationSqlLit(rotation)
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       r AS (SELECT $idCol, ev,
+               list_transform(CAST($rl AS DOUBLE[][]),
+                 rr -> list_dot_product(ev, rr)) AS rv
+             FROM e),
+       js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       sub AS (SELECT $idCol, j, ev[(j*$d+1):(j*$d+$d)] AS sv,
+                      rv[(j*$d+1):(j*$d+$d)] AS rsv FROM r, js),
+       cb  AS (SELECT j, $idCol AS cid, sv  AS cv FROM sub WHERE $idCol < $ks),
+       rcb AS (SELECT j, $idCol AS cid, rsv AS cv FROM sub WHERE $idCol < $ks),
+       enc AS (SELECT $idCol, j, cid FROM (
+           SELECT s.$idCol, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.$idCol, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+       renc AS (SELECT $idCol, j, cid FROM (
+           SELECT s.$idCol, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.$idCol, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.rsv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN rcb c USING (j)) WHERE rn = 1),
+       rec AS (SELECT enc.$idCol, flatten(list(c.cv ORDER BY enc.j)) AS xr
+               FROM enc JOIN cb c ON c.j = enc.j AND c.cid = enc.cid
+               GROUP BY enc.$idCol),
+       rrec AS (SELECT renc.$idCol, flatten(list(c.cv ORDER BY renc.j)) AS xr
+                FROM renc JOIN rcb c ON c.j = renc.j AND c.cid = renc.cid
+                GROUP BY renc.$idCol),
+       per AS (SELECT r.$idCol,
+                 1000000 - CAST(round(list_dot_product(r.ev, rec.xr) /
+                   (sqrt(list_dot_product(r.ev, r.ev)) *
+                    sqrt(list_dot_product(rec.xr, rec.xr)))
+                   * 1000000.0) AS BIGINT) AS pq_err,
+                 1000000 - CAST(round(list_dot_product(r.rv, rrec.xr) /
+                   (sqrt(list_dot_product(r.rv, r.rv)) *
+                    sqrt(list_dot_product(rrec.xr, rrec.xr)))
+                   * 1000000.0) AS BIGINT) AS opq_err
+               FROM r JOIN rec USING ($idCol) JOIN rrec USING ($idCol))
+       SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(sum(CAST(pq_err AS HUGEINT)) // count(*) AS BIGINT) AS pq_mean_err_micro,
+         CAST(sum(CAST(opq_err AS HUGEINT)) // count(*) AS BIGINT) AS opq_mean_err_micro,
+         CAST(sum(CASE WHEN opq_err < pq_err THEN 1 ELSE 0 END) AS BIGINT) AS opq_win_rows
+       FROM per"""
+  }
+
+  /** DuckDB oracle reproducing the ENTIRE stored-OPQ pipeline — the
+    * [[ivfPqOracleSql]] replay lifted into the rotated space: rotate with
+    * the persisted R (literal), re-derive coarse centroids and codebooks
+    * from the ROTATED data by the same `$idCol < n` rules, then cell
+    * assign / probe / encode / ADC / rerank exactly as IVF+PQ. */
+  def opqIvfPqOracleSql(table: String, idCol: String, vecCol: String,
+                        dim: Int, m: Int, ks: Int, nCentroids: Int,
+                        nProbe: Int, queryId: Long, k: Int, rerank: Int,
+                        rotation: Seq[Seq[Double]]): String = {
+    val d = dim / m
+    val rl = rotationSqlLit(rotation)
+    val chain = (1 until m).foldLeft("s0") { (acc, j) => s"($acc + s$j)" }
+    val pivots = (0 until m)
+      .map(j => s"max(CASE WHEN j = $j THEN t END) AS s$j").mkString(", ")
+    s"""WITH e0 AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev0 FROM $table),
+       e AS (SELECT $idCol,
+               list_transform(CAST($rl AS DOUBLE[][]),
+                 rr -> list_dot_product(ev0, rr)) AS ev
+             FROM e0),
+       cents AS (SELECT $idCol AS ccid, ev AS cvec FROM e WHERE $idCol < $nCentroids),
+       asg AS (
+         SELECT $idCol, ccid FROM (
+           SELECT e.$idCol, c.ccid,
+             row_number() OVER (PARTITION BY e.$idCol
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qv0 AS (SELECT ev AS qv FROM e WHERE $idCol = $queryId),
+       probe AS (
+         SELECT ccid FROM cents, qv0
+         ORDER BY list_dot_product(cvec, qv) / sqrt(list_dot_product(cvec, cvec)) DESC, ccid
+         LIMIT $nProbe),
+       keep AS (SELECT $idCol FROM asg WHERE ccid IN (SELECT ccid FROM probe)),
+       js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       sub AS (SELECT $idCol, j, ev[(j*$d+1):(j*$d+$d)] AS sv FROM e, js),
+       cb AS (SELECT j, $idCol AS cid, sv AS cv FROM sub WHERE $idCol < $ks),
+       enc AS (
+         SELECT $idCol, j, cid FROM (
+           SELECT s.$idCol, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.$idCol, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)
+           WHERE s.$idCol IN (SELECT $idCol FROM keep)) WHERE rn = 1),
+       q AS (SELECT j, sv AS qsv FROM sub WHERE $idCol = $queryId),
+       term AS (
+         SELECT enc.$idCol, enc.j,
+           list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qsv, c.cv) AS t
+         FROM enc JOIN cb c ON enc.j = c.j AND enc.cid = c.cid
+                  JOIN q ON q.j = enc.j),
+       adc AS (SELECT $idCol, $chain AS adist FROM (
+         SELECT $idCol, $pivots FROM term GROUP BY $idCol)),
+       cand AS (SELECT a.$idCol, e.ev FROM adc a JOIN e USING ($idCol)
+         ORDER BY a.adist ASC, a.$idCol LIMIT $rerank),
+       qe AS (SELECT ev AS qv FROM e WHERE $idCol = $queryId)
+       SELECT $idCol,
+         list_dot_product(ev, qv) /
+         (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
+       FROM cand, qe ORDER BY cosine DESC, $idCol LIMIT $k"""
+  }
 }
