@@ -2315,6 +2315,17 @@ object SparkEntry {
       ApproxDedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
 
+    // Same components via alternating large-star/small-star (Kiveris et
+    // al. 2014) — O(log n) rounds regardless of component diameter, the
+    // variant for adversarial transitive-chain pair graphs where hash-min
+    // needs diameter passes. Identical output contract, same oracle.
+    "q_neardup_clusters_star" -> ((s, d) => {
+      val pairs = ApproxDedup.minhashNearDupsFast(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.nearDupClustersStar(pairs).orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: cross-document duplicated 5-gram statistics — the
     // Gopher/RefinedWeb "fraction of tokens in duplicated n-grams" signal.
     // Only duplicated grams fan out into positions; the sole table-wide
@@ -5220,6 +5231,11 @@ object SparkEntry {
          SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
 
     "q_neardup_clusters" ->
+      ApproxDedup.nearDupClustersFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    "q_neardup_clusters_star" ->
       ApproxDedup.nearDupClustersFastOracleSql("documents", "doc_id", "text",
         threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),

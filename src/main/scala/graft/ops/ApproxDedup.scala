@@ -1658,6 +1658,101 @@ object ApproxDedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Near-duplicate clusters by the alternating large-star/small-star
+    * connected-components algorithm (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond") — the adversarial-graph
+    * counterpart of [[nearDupClusters]]. Hash-min propagation needs one
+    * pass per hop of component diameter, which is fine for near-dup
+    * graphs (near-cliques) but O(n) passes on a chain; the star
+    * operations contract components to stars in O(log n) rounds
+    * REGARDLESS of diameter, so this is the variant to reach for when the
+    * pair graph can be a long path (transitive near-dup chains, e.g.
+    * overlapping crawl snapshots where doc k only matches doc k±1).
+    *
+    * Each round is two grouped min-aggregates + two joins over the edge
+    * list; edges stay canonical (big, small) so every intermediate is a
+    * plain shuffled hash-aggregate — no windows, no driver state beyond
+    * one convergence counter. Same output contract as
+    * [[nearDupClusters]]: (doc_id, cluster_id = min reachable id).
+    */
+  def nearDupClustersStar(pairs: DataFrame, id1: String = "id1",
+                          id2: String = "id2", maxRounds: Int = 32): DataFrame = {
+    // canonical undirected edge list, self-loops dropped
+    var edges = pairs.select(
+        greatest(col(id1), col(id2)).as("big"),
+        least(col(id1), col(id2)).as("small"))
+      .where(col("big") =!= col("small"))
+      .distinct().localCheckpoint(true)
+    // every node up front (from the RAW pairs, so self-loop-only nodes
+    // keep their singleton cluster) — the loop contracts edges away
+    val nodes = pairs.select(col(id1).as("node"))
+      .union(pairs.select(col(id2).as("node")))
+      .distinct().localCheckpoint(true)
+    var converged = edges.isEmpty
+    var i = 0
+    try {
+      while (!converged && i < maxRounds) {
+        // large-star(u): every neighbor v > u re-attaches to
+        // m(u) = min(Γ(u) ∪ {u}). Processing each undirected edge from its
+        // smaller endpoint, the directed view of u's neighborhood is the
+        // union of both orientations.
+        val dir = edges.select(col("big").as("u"), col("small").as("v"))
+          .union(edges.select(col("small").as("u"), col("big").as("v")))
+        val mU = dir.groupBy("u").agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val ls = dir.join(mU, "u").where(col("v") > col("u"))
+          .select(col("v").as("big"), col("m").as("small"))
+          .where(col("big") =!= col("small"))
+          .distinct().localCheckpoint(true)
+        // small-star(u): u and its strictly-smaller neighbors all attach
+        // to the minimum of that set. ls is already (big, small) with
+        // big > small, so the smaller-neighbor view is ls itself keyed big.
+        val mS = ls.groupBy(col("big").as("u")).agg(min(col("small")).as("m"))
+        val ss = ls.join(mS, ls("big") === mS("u"))
+          .where(col("small") =!= col("m"))
+          .select(col("small").as("big"), col("m").as("small"))
+          .union(mS.select(col("u").as("big"), col("m").as("small")))
+          .distinct().localCheckpoint(true)
+        freeCheckpoint(ls)
+        // converged once the FULL round is the identity on the edge set.
+        // Comparing ss to ls would be wrong: any one-parent forest is a
+        // fixed point of small-star alone (ss == ls at non-star states),
+        // while round-start == round-end only holds at star forests —
+        // both ops map stars to themselves and the paper's potential
+        // argument rules out any other composite fixed point.
+        converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+        freeCheckpoint(edges)
+        edges = ss
+        i += 1
+      }
+    } catch { case t: Throwable => freeCheckpoint(nodes); throw t }
+    if (!converged && i >= maxRounds) {
+      freeCheckpoint(nodes); freeCheckpoint(edges)
+      // O(log n) convergence means hitting this cap signals a broken input
+      // (maxRounds=32 covers any component a real cluster could hold)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $maxRounds rounds")
+    }
+    // the fixed point must be a star forest — roots never appear as
+    // children and every child has exactly one root; anything else would
+    // silently emit wrong labels below, so verify rather than assume
+    val nonStar =
+      !edges.select(col("small")).intersect(edges.select(col("big"))).isEmpty ||
+      !edges.groupBy(col("big")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).isEmpty
+    if (nonStar) {
+      freeCheckpoint(nodes); freeCheckpoint(edges)
+      throw new IllegalStateException(
+        "star contraction reached a non-star fixed point")
+    }
+    val out = nodes
+      .join(edges.select(col("big").as("node"), col("small").as("root")),
+        Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("root"), col("node")).as("cluster_id"))
+    out
+  }
+
   /** Release the storage blocks of a localCheckpointed frame that has been
     * superseded. `df.rdd.unpersist` would NOT work — `.rdd` wraps the
     * internal checkpoint RDD in a fresh deserializing RDD — so walk the
