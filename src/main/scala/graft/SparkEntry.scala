@@ -43,6 +43,12 @@ object SparkEntry {
   private val OpqM  = 8
   private val OpqKs = 128
 
+  // Aho–Corasick query patterns: nested ("scan" ⊃ "can" ⊃ "an") and
+  // overlapping entries so the automaton's every-end-position semantics
+  // are exercised, plus corpus words and never-hit strings
+  private val AcPatterns = Seq("scan", "can", "an", "merge", "erg", "order",
+    "rde", "sort", "table", "row", "a b", "spark", "zzznever", "qqq")
+
   /** OPQ model artifact: the trained rotation, memoized per sfDir by the
     * q_opq_* queries and read back by their oracle generators. The matrix
     * is a DETERMINISTIC function of the corpus (fixed lowest-id sample,
@@ -3344,6 +3350,22 @@ object SparkEntry {
           "doc_id", "text", words = Seq("table", "scan", "fast"), maxHits = 1L)
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: Aho–Corasick multi-pattern blocklist — ONE automaton
+    // pass per doc (O(len + hits) at ANY pattern count, vs the array
+    // literal's O(len · patterns)); overlapping + nested patterns counted
+    // at every end position ("scan"/"can"/"an" all hit inside "scan").
+    "q_ac_blocklist" -> ((s, d) =>
+      graft.ops.Corpus.acBlocklistFilter(Tables.documents(s, d),
+          "doc_id", "text", patterns = AcPatterns, maxHits = 2L)
+        .orderBy(col("doc_id"))),
+
+    // Blocklist audit report: which patterns fire, in how many docs, how
+    // often — one explode + one |patterns|-bounded hash aggregate.
+    "q_ac_pattern_stats" -> ((s, d) =>
+      graft.ops.Corpus.acPatternStats(Tables.documents(s, d),
+          "doc_id", "text", patterns = AcPatterns)
+        .orderBy(col("pattern"))),
+
     // ── LLM-pipeline: near-dup cluster SIZE distribution — the dedup-rate
     // diagnostic a release report publishes ("how big are the duplicate
     // families"): cluster sizes → size histogram, two tiny aggregates over
@@ -5702,6 +5724,14 @@ object SparkEntry {
     "q_blocklist_filter" ->
       graft.ops.Corpus.blocklistFilterOracleSql("documents", "doc_id", "text",
         words = Seq("table", "scan", "fast"), maxHits = 1L),
+
+    "q_ac_blocklist" ->
+      graft.ops.Corpus.acBlocklistFilterOracleSql("documents", "doc_id", "text",
+        patterns = AcPatterns, maxHits = 2L),
+
+    "q_ac_pattern_stats" ->
+      graft.ops.Corpus.acPatternStatsOracleSql("documents", "doc_id", "text",
+        patterns = AcPatterns),
 
     "q_bpe_train" ->
       graft.ops.Corpus.bpeTrainOracleSql("documents", "text", nMerges = 8),

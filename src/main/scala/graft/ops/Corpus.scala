@@ -2744,6 +2744,90 @@ object Corpus {
        FROM $table ORDER BY $idCol"""
   }
 
+  /** Per-pattern overlapping occurrence counts under ONE Aho–Corasick
+    * automaton pass ([[graft.expressions.AcAutomaton]]) — the scale path
+    * for large blocklists: [[blocklistFilter]]'s array-literal scan is
+    * O(len · patterns) per doc, the automaton is O(len + hits) no matter
+    * whether the list has 40 entries or 100k. Raw-substring semantics
+    * (every end position counts, overlaps and nested patterns included),
+    * case-folded on both sides.
+    *
+    * Scale: automaton built once driver-side (O(Σ|pattern|)), shipped
+    * inside the stage's task binary (broadcast once per executor); the
+    * operator is a pure scan projection + explode of the per-doc sparse
+    * hit array — zero shuffles, stays in whole-stage codegen via the
+    * kernel reference object. */
+  def acMatches(docs: DataFrame, idCol: String, textCol: String,
+                patterns: Seq[String]): DataFrame = {
+    val ac = graft.expressions.AcAutomaton.build(patterns.map(_.toLowerCase))
+    val arr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.AcMatchCounts(
+        org.apache.spark.sql.GraftColumnBridge.expression(lower(col(textCol))), ac))
+    val pats = typedLit(ac.patterns)
+    docs.select(col(idCol), explode(arr).as("m"))
+      .select(col(idCol),
+        element_at(pats, col("m.pid") + 1).as("pattern"),
+        col("m.cnt").as("cnt"))
+  }
+
+  /** Blocklist gate over [[acMatches]]' kernel: per doc, total overlapping
+    * hits + distinct patterns hit + thresholded keep — every doc emits a
+    * row (zero-hit docs keep), so the gate composes like
+    * [[blocklistFilter]] while scaling to production-size lists. */
+  def acBlocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                        patterns: Seq[String], maxHits: Long = 0L): DataFrame = {
+    val ac = graft.expressions.AcAutomaton.build(patterns.map(_.toLowerCase))
+    val arr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.AcMatchCounts(
+        org.apache.spark.sql.GraftColumnBridge.expression(lower(col(textCol))), ac))
+    docs.select(col(idCol),
+        aggregate(arr, lit(0L), (acc, m) => acc + m.getField("cnt")).as("n_hits"),
+        size(arr).cast("long").as("n_patterns"))
+      .withColumn("keep", col("n_hits") <= lit(maxHits))
+  }
+
+  /** Blocklist audit: which patterns fire, in how many docs, how often —
+    * the report that tells a curation team which entries actually carry
+    * the gate. One explode + one |patterns|-bounded hash aggregate. */
+  def acPatternStats(docs: DataFrame, idCol: String, textCol: String,
+                     patterns: Seq[String]): DataFrame =
+    acMatches(docs, idCol, textCol, patterns)
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_hits"))
+
+  private def acOracleCtes(table: String, idCol: String, textCol: String,
+                           patterns: Seq[String]): String = {
+    val list = patterns.map(_.toLowerCase).distinct.sorted
+      .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+    s"""pats AS (SELECT unnest($list) AS pat),
+       d AS (SELECT $idCol AS id, lower($textCol) AS t FROM $table),
+       m AS (SELECT d.id, p.pat,
+               CAST(len(list_filter(generate_series(1, len(d.t) - len(p.pat) + 1),
+                 i -> substring(d.t, CAST(i AS INT), len(p.pat)) = p.pat)) AS BIGINT) AS cnt
+             FROM d, pats p WHERE contains(d.t, p.pat))"""
+  }
+
+  /** DuckDB oracle replaying [[acBlocklistFilter]] — overlapping counts
+    * via every-position slice equality (quadratic per doc·pattern, the
+    * point: the oracle is the semantics, the automaton is the plan). */
+  def acBlocklistFilterOracleSql(table: String, idCol: String, textCol: String,
+                                 patterns: Seq[String], maxHits: Long = 0L): String =
+    s"""WITH ${acOracleCtes(table, idCol, textCol, patterns)},
+         g AS (SELECT id, CAST(sum(cnt) AS BIGINT) AS n_hits,
+                 CAST(count(*) AS BIGINT) AS n_patterns FROM m GROUP BY 1)
+       SELECT d.id AS $idCol, coalesce(g.n_hits, 0) AS n_hits,
+         coalesce(g.n_patterns, 0) AS n_patterns,
+         coalesce(g.n_hits, 0) <= $maxHits AS keep
+       FROM d LEFT JOIN g USING (id) ORDER BY $idCol"""
+
+  /** DuckDB oracle replaying [[acPatternStats]]. */
+  def acPatternStatsOracleSql(table: String, idCol: String, textCol: String,
+                              patterns: Seq[String]): String =
+    s"""WITH ${acOracleCtes(table, idCol, textCol, patterns)}
+       SELECT pat AS pattern, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(cnt) AS BIGINT) AS n_hits
+       FROM m GROUP BY 1 ORDER BY pattern"""
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: fuse N independent rankings
     * (BM25 lexical, embedding-cosine semantic, …) by summing
