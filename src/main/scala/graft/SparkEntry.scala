@@ -814,6 +814,33 @@ object SparkEntry {
          .orderBy(col("grp"), col("q_micro")))
     }),
 
+    // Stored reference-GRAM index maintained incrementally: each reference
+    // batch blind-appends its distinct shingle hashes into a hash-bucketed
+    // pipe; distinct(∪ batch-distincts) = distinct(corpus grams), so
+    // novelty probed against the folded store equals the full-reference
+    // rebuild — and candidate batches score without ever re-reading the
+    // reference text (the acquisition-side novelty signal as a pipe).
+    "q_novelty_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref  = docs.where(col("doc_id") % 2 === 0)
+      def batch(df: DataFrame) = graft.ops.TextStats.gramIndexBatch(
+        df, "doc_id", "text", n = 3, buckets = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft_ng_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "ref_grams"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, batch(ref.where(col("doc_id") % 4 === 0)), checkExisting = false)
+        eng.sync(spec, batch(ref.where(col("doc_id") % 4 === 2)), checkExisting = false)
+        ()
+       },
+       () => graft.ops.TextStats.ngramNoveltyAgainstIndex(
+           docs.where(col("doc_id") % 2 === 1), "doc_id", "text", n = 3,
+           storedGrams = eng.getData(spec).select(col("h")))
+         .orderBy(col("doc_id")))
+    }),
+
     // Stored Bradley–Terry leaderboard maintained incrementally: per-batch
     // pair/win counts blind-append into hash-bucketed pipes; both counts
     // are ADDITIVE, so the MM refit over the folded store equals a
@@ -1641,6 +1668,51 @@ object SparkEntry {
       q.awaitTermination()
       eng.getData(sinkSpec)
         .select(col("doc_id"), col("n_tokens"), col("logprob_micro"), col("xent"))
+        .distinct().orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: STREAMING novelty probe — arriving docs score their
+    // shingle novelty IN-STREAM against the STORED reference-gram index
+    // (gram pipe built once from the historical even-id corpus, fold
+    // checkpointed; each micro-batch runs the index probe via
+    // foreachBatch's transform). Re-deliveries dedup in-batch + at the
+    // sink — the score is deterministic, so replays are exact duplicates.
+    "q_streaming_novelty_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_snov").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val gSpec = PipeSpec(PipeKeys("stream", "ref_grams"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(gSpec).create(graft.ops.TextStats.gramIndexBatch(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3, buckets = 8))
+      val grams = eng.getData(gSpec).select(col("h")).distinct()
+        .localCheckpoint(true)
+      // arrivals: every 5th doc re-enters under a new id, delivered twice
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "novelty_scores"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.TextStats.ngramNoveltyAgainstIndex(
+            batch.dropDuplicates("doc_id"), "doc_id", "text", n = 3, grams)
+          .withColumn("ts", timestamp_micros(
+            (col("doc_id") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty_micro"))
         .distinct().orderBy(col("doc_id"))
     }),
 
@@ -3819,6 +3891,7 @@ object SparkEntry {
     "q_dd_grouped_index_sync" -> composed("q_dd_grouped_index_sync"),
     "q_bt_index_sync" -> composed("q_bt_index_sync"),
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
+    "q_novelty_index_sync" -> composed("q_novelty_index_sync"),
 
     // ── LLM-pipeline: Flesch readability per doc — three codegen'd regex
     // counts on the scan, zero shuffle; integer products, truncating div.
@@ -7049,6 +7122,19 @@ object SparkEntry {
     "q_ngram_novelty" ->
       graft.ops.TextStats.ngramNoveltyOracleSql("documents", "doc_id", "text",
         n = 3, candWhere = "doc_id % 2 = 1", refWhere = "doc_id % 2 = 0"),
+
+    // fold(store) ≡ full-reference rebuild, so the stored-index probe
+    // replays as the plain novelty query
+    "q_novelty_index_sync" ->
+      graft.ops.TextStats.ngramNoveltyOracleSql("documents", "doc_id", "text",
+        n = 3, candWhere = "doc_id % 2 = 1", refWhere = "doc_id % 2 = 0"),
+
+    "q_streaming_novelty_probe" ->
+      s"""SELECT doc_id + 20000 AS doc_id, n_grams, n_novel, novelty_micro
+         FROM (${graft.ops.TextStats.ngramNoveltyOracleSql(
+               "documents", "doc_id", "text", n = 3,
+               candWhere = "doc_id % 5 = 0", refWhere = "doc_id % 2 = 0")})
+         ORDER BY doc_id""",
 
     "q_length_batches" ->
       graft.ops.Sampling.lengthBatchPlanOracleSql("documents", "doc_id",

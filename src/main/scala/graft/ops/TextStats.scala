@@ -113,15 +113,42 @@ object TextStats {
     * produce no rows (an empty shingle array explodes to nothing), so
     * they are OMITTED from the report rather than emitted as (0, null). */
   def ngramNovelty(candidates: DataFrame, reference: DataFrame, idCol: String,
-                   textCol: String, n: Int): DataFrame = {
+                   textCol: String, n: Int): DataFrame =
+    ngramNoveltyAgainstIndex(candidates, idCol, textCol, n,
+      ngramHashes(reference, idCol, textCol, n).select(col("h")))
+
+  /** Per-doc DISTINCT word-shingle 60-bit hashes — the shared gram kernel
+    * of the novelty family: (id, h) rows, one per distinct gram per doc. */
+  def ngramHashes(df: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame = {
     import graft.functions.TextFns
-    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         explode(array_distinct(TextFns.wordShingles(trim(col(textCol)), n)))
           .as("g"))
       .select(col("id"), TextFns.md5Long60(col("g")).as("h"))
-    val refGrams = grams(reference).select(col("h")).distinct()
+  }
+
+  /** Per-batch rows for the STORED reference-gram index: the batch's
+    * distinct gram hashes, hash-bucketed for pipe clustering. Blind-append
+    * per sync; grams shared across batches appear once per batch, so the
+    * probe folds the store with a distinct — fold ≡ rebuild because
+    * distinct(∪ batch-distinct grams) = distinct(corpus grams). */
+  def gramIndexBatch(reference: DataFrame, idCol: String, textCol: String,
+                     n: Int, buckets: Int = 8): DataFrame =
+    ngramHashes(reference, idCol, textCol, n).select(col("h")).distinct()
+      .select(pmod(col("h"), lit(buckets.toLong)).as("bucket"), col("h"))
+
+  /** [[ngramNovelty]] scored against a STORED gram index instead of the
+    * reference corpus — the probe side of the stored shape: the reference
+    * text is never re-read, the candidate batch joins |distinct grams|
+    * narrow rows. `storedGrams` is the gram pipe's `h` column (per-batch
+    * duplicates folded here). */
+  def ngramNoveltyAgainstIndex(candidates: DataFrame, idCol: String,
+                               textCol: String, n: Int,
+                               storedGrams: DataFrame): DataFrame = {
+    val refGrams = storedGrams.select(col("h")).distinct()
       .withColumn("seen", lit(1))
-    grams(candidates)
+    ngramHashes(candidates, idCol, textCol, n)
       .join(refGrams, Seq("h"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
