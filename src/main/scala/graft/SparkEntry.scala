@@ -841,6 +841,34 @@ object SparkEntry {
          .orderBy(col("doc_id")))
     }),
 
+    // Stored IVF centroid-DRIFT monitor: per-batch (epoch, cell, n, sd)
+    // stats blind-append (two sub-batches per epoch prove additivity);
+    // the retrain trigger reads ONLY the ≤ k·|epochs| stored rows —
+    // occupancy-share PSI between epochs + per-cell tightness creep,
+    // either firing flags the cell. The corpora collapse at sync time
+    // and are never re-read.
+    "q_centroid_drift_index_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+        "embedding", 16)
+      def batch(df: DataFrame, epoch: Long) =
+        SimilaritySearch.cellStatsBatch(df, "embedding", cents, epoch)
+      val root = java.nio.file.Files.createTempDirectory("graft_cd_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "cell_stats"),
+        columns = ColumnRoles(Map("datetime" -> "epoch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, batch(emb.where(col("vec_id") % 4 === 0), 0L), checkExisting = false)
+        eng.sync(spec, batch(emb.where(col("vec_id") % 4 === 2), 0L), checkExisting = false)
+        eng.sync(spec, batch(emb.where(col("vec_id") % 2 === 1), 1L), checkExisting = false)
+        ()
+       },
+       () => SimilaritySearch.centroidDriftFromStats(
+         eng.getData(spec).select("epoch", "cell", "n", "sd"),
+         k = 16, baseEpoch = 0L, curEpoch = 1L))
+    }),
+
     // Stored Bradley–Terry leaderboard maintained incrementally: per-batch
     // pair/win counts blind-append into hash-bucketed pipes; both counts
     // are ADDITIVE, so the MM refit over the folded store equals a
@@ -3892,6 +3920,7 @@ object SparkEntry {
     "q_bt_index_sync" -> composed("q_bt_index_sync"),
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
     "q_novelty_index_sync" -> composed("q_novelty_index_sync"),
+    "q_centroid_drift_index_sync" -> composed("q_centroid_drift_index_sync"),
 
     // ── LLM-pipeline: Flesch readability per doc — three codegen'd regex
     // counts on the scan, zero shuffle; integer products, truncating div.
@@ -7135,6 +7164,13 @@ object SparkEntry {
                "documents", "doc_id", "text", n = 3,
                candWhere = "doc_id % 5 = 0", refWhere = "doc_id % 2 = 0")})
          ORDER BY doc_id""",
+
+    // fold ≡ rebuild (stat sums are additive), so the stored drift
+    // monitor replays from the raw vectors with the epoch predicates
+    "q_centroid_drift_index_sync" ->
+      graft.ops.SimilaritySearch.centroidDriftOracleSql(
+        "embeddings", "vec_id", "embedding", k = 16,
+        baseWhere = "vec_id % 2 = 0", curWhere = "vec_id % 2 = 1"),
 
     "q_length_batches" ->
       graft.ops.Sampling.lengthBatchPlanOracleSql("documents", "doc_id",

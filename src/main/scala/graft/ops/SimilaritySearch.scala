@@ -519,6 +519,126 @@ object SimilaritySearch {
        FROM r JOIN sep ON sep.cell = r.cell
        ORDER BY r.cell"""
 
+  /** Per-batch ADDITIVE cell statistics for the STORED centroid-drift
+    * monitor: each vector assigns to its nearest stored centroid (same
+    * argmax + micro-distance quantization as [[cellScatterReport]]) and
+    * collapses to ≤ k rows (epoch, cell, n, sd) that blind-append into a
+    * pipe under an integer epoch axis. n and sd are sums, so any number
+    * of syncs per epoch fold to the epoch's exact stats. */
+  def cellStatsBatch(emb: DataFrame, vecCol: String,
+                     centroids: Seq[Seq[Double]], epoch: Long): DataFrame = {
+    val coss = array(centroids.map(c =>
+      VectorFns.cosine(col(vecCol), typedLit(c.toArray))): _*)
+    emb.select(
+        element_at(transform(array(coss), s =>
+          array_position(s, array_max(s)) - 1), 1).cast("int").as("cell"),
+        floor((lit(1.0d) - array_max(coss)) * lit(1e6)).cast("long")
+          .as("d_micro"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sd"))
+      .select(lit(epoch).as("epoch"), col("cell"), col("n"), col("sd"))
+  }
+
+  /** Retrain trigger from STORED cell stats ([[cellStatsBatch]] rows read
+    * back from the pipe): per cell, occupancy-share PSI term between the
+    * baseline and current epochs (the [[semanticDrift]] signal — did the
+    * population move BETWEEN cells?) plus tightness CREEP (did the mean
+    * member–centroid distance grow WITHIN the cell — the
+    * [[cellScatterReport]] signal over time). Either firing flags the
+    * cell for retrain: share drift says the centroid set no longer spans
+    * the data, creep says a cell is absorbing vectors it doesn't fit.
+    *
+    * Scale: input is the stored ≤ k·|epochs| stat rows — the corpora
+    * themselves were collapsed at sync time and are never re-read; the
+    * unpartitioned share window runs over the k-row grid (audit-exempt
+    * via the index_sync skip, same bound class as q_semantic_drift). */
+  def centroidDriftFromStats(stats: DataFrame, k: Int,
+                             baseEpoch: Long, curEpoch: Long,
+                             psiThreshMicro: Long = 10000L,
+                             creepThreshMicro: Long = 50000L): DataFrame = {
+    require(k > 0, "need at least one cell")
+    val folded = stats.groupBy(col("epoch"), col("cell"))
+      .agg(sum(col("n")).as("n"), sum(col("sd")).as("sd"))
+    def epochSide(e: Long, n: String, sd: String) =
+      folded.where(col("epoch") === e)
+        .select(col("cell"), col("n").as(n), col("sd").as(sd))
+    val grid = stats.sparkSession.range(k)
+      .select(col("id").cast("int").as("cell"))
+      .join(epochSide(baseEpoch, "nb", "sdb"), Seq("cell"), "left")
+      .join(epochSide(curEpoch, "nc", "sdc"), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"),
+        col("sdb"), col("sdc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pa = (col("n_base") + lit(1.0d)) /
+      (sum(col("n_base")).over(w) + lit(k.toLong)).cast("double")
+    val pb = (col("n_cur") + lit(1.0d)) /
+      (sum(col("n_cur")).over(w) + lit(k.toLong)).cast("double")
+    grid.select(col("cell"), col("n_base"), col("n_cur"),
+        round((pa - pb) * log(pa / pb) * lit(1e6)).cast("long").as("term_micro"),
+        when(col("n_base") > 0, expr("sdb div n_base")).as("mean_base_micro"),
+        when(col("n_cur") > 0, expr("sdc div n_cur")).as("mean_cur_micro"))
+      .withColumn("creep_micro", col("mean_cur_micro") - col("mean_base_micro"))
+      .withColumn("retrain",
+        col("term_micro") > lit(psiThreshMicro) ||
+        coalesce(col("creep_micro"), lit(0L)) > lit(creepThreshMicro))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB oracle replaying the stored drift monitor end-to-end:
+    * centroids re-derived by the deterministic `id < k` rule, the same
+    * argmax assignment + micro quantization as [[cellScatterOracleSql]],
+    * epochs split by predicate, PSI tail + creep identical. Fold ≡
+    * rebuild (stat sums are additive), so the oracle replays from the
+    * raw vectors. */
+  def centroidDriftOracleSql(table: String, idCol: String, vecCol: String,
+                             k: Int, baseWhere: String, curWhere: String,
+                             psiThreshMicro: Long = 10000L,
+                             creepThreshMicro: Long = 50000L): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS cid, ev AS cv FROM e WHERE $idCol < $k),
+       sc AS (SELECT e.$idCol, c.cid,
+                list_dot_product(e.ev, c.cv) /
+                  (sqrt(list_dot_product(e.ev, e.ev)) *
+                   sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM e, cents c),
+       asg AS (SELECT $idCol, CAST(cid AS INTEGER) AS cell,
+                 CAST(floor((1.0 - cos) * 1000000.0) AS BIGINT) AS d_micro
+               FROM (SELECT $idCol, cid, cos,
+                       row_number() OVER (PARTITION BY $idCol
+                         ORDER BY cos DESC, cid) AS rn
+                     FROM sc) WHERE rn = 1),
+       b AS (SELECT cell, CAST(count(*) AS BIGINT) AS nb,
+               CAST(sum(d_micro) AS BIGINT) AS sdb
+             FROM asg WHERE $baseWhere GROUP BY 1),
+       c AS (SELECT cell, CAST(count(*) AS BIGINT) AS nc,
+               CAST(sum(d_micro) AS BIGINT) AS sdc
+             FROM asg WHERE $curWhere GROUP BY 1),
+       grid AS (SELECT CAST(g.i AS INT) AS cell,
+           CAST(coalesce(b.nb, 0) AS BIGINT) AS n_base,
+           CAST(coalesce(c.nc, 0) AS BIGINT) AS n_cur,
+           b.sdb, c.sdc
+         FROM (SELECT unnest(generate_series(0, ${k - 1})) AS i) g
+         LEFT JOIN b ON b.cell = g.i LEFT JOIN c ON c.cell = g.i),
+       t AS (SELECT *,
+           (n_base + 1.0) / CAST(sum(n_base) OVER () + $k AS DOUBLE) AS pa,
+           (n_cur + 1.0) / CAST(sum(n_cur) OVER () + $k AS DOUBLE) AS pb
+         FROM grid),
+       r AS (SELECT cell, n_base, n_cur,
+           CAST(round((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT) AS term_micro,
+           CASE WHEN n_base > 0 THEN sdb // n_base END AS mean_base_micro,
+           CASE WHEN n_cur > 0 THEN sdc // n_cur END AS mean_cur_micro
+         FROM t)
+       SELECT cell, n_base, n_cur, term_micro, mean_base_micro, mean_cur_micro,
+         mean_cur_micro - mean_base_micro AS creep_micro,
+         (term_micro > $psiThreshMicro OR
+          coalesce(mean_cur_micro - mean_base_micro, 0) > $creepThreshMicro) AS retrain
+       FROM r ORDER BY cell"""
+
   /** Dimension-TRUNCATION recall — the Matryoshka QA gate (Kusupati et
     * al. 2022): for each candidate prefix length d, how much of the
     * full-dimension exact top-k survives when ranking by cosine over only
