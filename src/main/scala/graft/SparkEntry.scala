@@ -841,6 +841,29 @@ object SparkEntry {
          .orderBy(col("doc_id")))
     }),
 
+    // Stored blocklist-AUDIT pipe: per-batch Aho–Corasick pattern stats
+    // blind-append (disjoint doc batches ⇒ additive n_docs/n_hits);
+    // fold ≡ rebuild, so the dashboard reads |patterns| stored rows, not
+    // the corpus.
+    "q_ac_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def batch(df: DataFrame) = graft.ops.Corpus.acPatternStatsBatch(
+        df, "doc_id", "text", AcPatterns, buckets = 8)
+      val root = java.nio.file.Files.createTempDirectory("graft_ac_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "ac_stats"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, batch(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
+        eng.sync(spec, batch(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        ()
+       },
+       () => graft.ops.Corpus.acPatternStatsFold(
+           eng.getData(spec).select("pattern", "n_docs", "n_hits"))
+         .orderBy(col("pattern")))
+    }),
+
     // Stored IVF centroid-DRIFT monitor: per-batch (epoch, cell, n, sd)
     // stats blind-append (two sub-batches per epoch prove additivity);
     // the retrain trigger reads ONLY the ≤ k·|epochs| stored rows —
@@ -3879,6 +3902,17 @@ object SparkEntry {
         graft.ops.Sketches.shingleValues(Tables.documents(s, d), "text", 3),
         p = 8)),
 
+    // ── LLM-pipeline: per-GROUP HLL — distinct vocabulary per source in
+    // one map-combined pass (|groups|·2^p register rows, fold-by-max
+    // stored shape unchanged); the "distinct per key" production staple.
+    "q_hll_by_source" -> ((s, d) =>
+      graft.ops.Sketches.hllEstimateByGroup(
+        graft.ops.Sketches.hllRegisters(
+          graft.ops.Sketches.tokenValuesByGroup(
+            Tables.documents(s, d), "source", "text"),
+          p = 8, extraKeys = Seq("grp")),
+        p = 8).orderBy(col("grp"))),
+
     // ── LLM-pipeline: KMV / bottom-k distinct estimate — the cross-check
     // estimator next to HLL (different failure modes, same one-pass cost).
     "q_kmv_distinct" -> ((s, d) =>
@@ -3921,6 +3955,7 @@ object SparkEntry {
     "q_cms_index_sync" -> composed("q_cms_index_sync"),
     "q_novelty_index_sync" -> composed("q_novelty_index_sync"),
     "q_centroid_drift_index_sync" -> composed("q_centroid_drift_index_sync"),
+    "q_ac_index_sync" -> composed("q_ac_index_sync"),
 
     // ── LLM-pipeline: Flesch readability per doc — three codegen'd regex
     // counts on the scan, zero shuffle; integer products, truncating div.
@@ -3934,6 +3969,19 @@ object SparkEntry {
       graft.ops.TextStats.lexicalDiversity(Tables.documents(s, d),
         "doc_id", "text").orderBy(col("id"))),
 
+    // ── LLM-pipeline: distinct-n diversity per source (Li et al. 2016) —
+    // templated/mode-collapsed sources crater distinct-2 before any
+    // per-doc signal moves. One grams pass per n, |sources| rows out.
+    "q_distinct_n" -> ((s, d) =>
+      graft.ops.TextStats.distinctN(Tables.documents(s, d), "source", "text")
+        .orderBy(col("grp"), col("n"))),
+
+    // ── LLM-pipeline: Heaps'-law vocabulary-growth fit — exact
+    // (tokens_seen, types) at doc-prefix checkpoints from ONE corpus
+    // pass, log-log least squares over micro-quantized points.
+    "q_heaps_law" -> ((s, d) =>
+      graft.ops.TextStats.heapsLaw(Tables.documents(s, d), "doc_id", "text")),
+
     // ── LLM-pipeline: per-doc shingle NOVELTY vs a reference corpus —
     // "is this crawl batch new text?" (odd ids probe against even ids).
     "q_ngram_novelty" -> ((s, d) => {
@@ -3942,6 +3990,31 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 1),
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: sentence-level BLEU-4 (generation eval) — each odd
+    // doc as candidate against its preceding even doc as reference;
+    // clipped n-gram matches + brevity penalty, add-one smoothing on the
+    // n ≥ 2 precisions. Counts exact; ONE float stage at the end.
+    "q_bleu_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Evaluation.bleuPairs(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1L).as("doc_id"), col("text")),
+        "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: chrF₂ (Popović 2015) on the same pairing — the
+    // tokenizer-free metric (char 1..6-grams, both-direction clipped
+    // matches, effective-order macro P/R, recall-weighted F₂).
+    "q_chrf_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Evaluation.chrfPairs(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1L).as("doc_id"), col("text")),
+        "doc_id", "text").orderBy(col("doc_id"))
     }),
 
     // ── LLM-pipeline: length-bucketed BATCH PLAN — the data-loader
@@ -3953,6 +4026,17 @@ object SparkEntry {
         col("n_chars"), boundaries = Seq(128, 256, 512), batchSize = 8,
         shards = 4)
         .orderBy(col("bucket"), col("shard"), col("batch_id"))),
+
+    // ── LLM-pipeline: DPO preference-pair construction — per prompt
+    // group, chosen = best completion, rejected = worst, kept only past
+    // the reward margin gate (Rafailov et al. 2023's data shape). One
+    // max-struct + min-struct hash aggregate, |groups| rows out.
+    "q_preference_pairs" -> ((s, d) =>
+      graft.ops.Rlhf.preferencePairs(
+        Tables.events(s, d).select(expr("event_id div 8").as("grp"),
+          col("event_id"), round(col("value") * 100).cast("long").as("reward_centi")),
+        "grp", "event_id", "reward_centi", minMargin = 50L)
+        .orderBy(col("grp"))),
 
     // ── LLM-pipeline: per-group reward z-normalization (advantage-style
     // whitening before preference-pair construction) — exact long moments,
@@ -5835,6 +5919,11 @@ object SparkEntry {
       graft.ops.Corpus.acPatternStatsOracleSql("documents", "doc_id", "text",
         patterns = AcPatterns),
 
+    // fold ≡ rebuild (disjoint batches, additive counts)
+    "q_ac_index_sync" ->
+      graft.ops.Corpus.acPatternStatsOracleSql("documents", "doc_id", "text",
+        patterns = AcPatterns),
+
     "q_bpe_train" ->
       graft.ops.Corpus.bpeTrainOracleSql("documents", "text", nMerges = 8),
 
@@ -7101,6 +7190,11 @@ object SparkEntry {
       graft.ops.Sketches.hllDistinctOracleSql(
         graft.ops.Sketches.shingleValuesSql("documents", "text", 3), p = 8),
 
+    "q_hll_by_source" ->
+      graft.ops.Sketches.hllByGroupOracleSql(
+        graft.ops.Sketches.tokenValuesByGroupSql("documents", "source", "text"),
+        p = 8),
+
     "q_kmv_distinct" ->
       graft.ops.Sketches.kmvDistinctOracleSql(
         graft.ops.Sketches.shingleValuesSql("documents", "text", 3), k = 256),
@@ -7152,6 +7246,24 @@ object SparkEntry {
       graft.ops.TextStats.ngramNoveltyOracleSql("documents", "doc_id", "text",
         n = 3, candWhere = "doc_id % 2 = 1", refWhere = "doc_id % 2 = 0"),
 
+    "q_bleu_pairs" ->
+      graft.ops.Evaluation.bleuPairsOracleSql(
+        "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT doc_id + 1 AS id, text FROM documents WHERE doc_id % 2 = 0"),
+
+    "q_chrf_pairs" ->
+      graft.ops.Evaluation.chrfPairsOracleSql(
+        "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT doc_id + 1 AS id, text FROM documents WHERE doc_id % 2 = 0"),
+
+    "q_distinct_n" ->
+      graft.ops.TextStats.distinctNOracleSql("documents", "source", "text",
+        ns = Seq(1, 2)),
+
+    "q_heaps_law" ->
+      graft.ops.TextStats.heapsLawOracleSql("documents", "doc_id", "text",
+        fracsMicro = Seq(62500L, 125000L, 250000L, 500000L, 1000000L)),
+
     // fold(store) ≡ full-reference rebuild, so the stored-index probe
     // replays as the plain novelty query
     "q_novelty_index_sync" ->
@@ -7183,6 +7295,10 @@ object SparkEntry {
         "event_type", "event_id", "reward_centi", "reward_centi")
         .replace("ORDER BY event_id",
           "WHERE id % 13 = 0 ORDER BY event_id")),
+
+    "q_preference_pairs" ->
+      graft.ops.Rlhf.preferencePairsOracleSql("events", "event_id // 8",
+        "event_id", "round(value * 100)", minMargin = 50L),
 
     "q_best_of_n" ->
       graft.ops.Rlhf.bestOfNOracleSql(

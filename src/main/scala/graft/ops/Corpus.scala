@@ -2795,6 +2795,22 @@ object Corpus {
       .groupBy(col("pattern"))
       .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_hits"))
 
+  /** Per-batch rows for the STORED blocklist-audit pipe: the batch's
+    * [[acPatternStats]] rows, hash-bucketed for pipe clustering. Doc
+    * batches are disjoint, so n_docs/n_hits are ADDITIVE — blind-append
+    * per sync, fold by sum ≡ full-corpus rebuild. */
+  def acPatternStatsBatch(docs: DataFrame, idCol: String, textCol: String,
+                          patterns: Seq[String], buckets: Int = 8): DataFrame =
+    acPatternStats(docs, idCol, textCol, patterns)
+      .select(pmod(graft.functions.TextFns.md5Long60(col("pattern")),
+        lit(buckets.toLong)).as("bucket"),
+        col("pattern"), col("n_docs"), col("n_hits"))
+
+  /** Fold stored [[acPatternStatsBatch]] rows — additive sums. */
+  def acPatternStatsFold(rows: DataFrame): DataFrame =
+    rows.groupBy(col("pattern"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_hits")).as("n_hits"))
+
   private def acOracleCtes(table: String, idCol: String, textCol: String,
                            patterns: Seq[String]): String = {
     val list = patterns.map(_.toLowerCase).distinct.sorted

@@ -796,4 +796,238 @@ object Evaluation {
          END AS kappa_micro
        FROM t LEFT JOIN e ON e.ra = t.ra AND e.rb = t.rb
        ORDER BY t.ra, t.rb"""
+
+  /** Sentence-level BLEU-4 per (candidate, reference) pair (Papineni et
+    * al. 2002), with Lin & Och 2004 add-one smoothing on the n ≥ 2
+    * precisions — the generation-eval staple run over paired columns
+    * (candidate = model output, reference = gold): clipped n-gram matches
+    * `Σ_g min(cnt_cand, cnt_ref)` for n = 1..4, brevity penalty
+    * `min(1, e^(1−r/c))`, geometric mean of the precisions. All counts
+    * exact longs; the single float stage is the final BP·geomean,
+    * micro-rounded with the same IEEE ln/exp/round the PSI ops replay.
+    * BLEU = 0 when the candidate has no unigram match (the unsmoothed
+    * p₁ = 0 case) or no tokens.
+    *
+    * Scale: grams shuffle keyed (id, n, gram) — rows ∝ 4·tokens per side,
+    * the same envelope as every shingle op; one inner-join against the
+    * reference side (equal keys, no fanout) and two |pairs|-row
+    * aggregates. No windows, no driver state.
+    */
+  def bleuPairs(cands: DataFrame, refs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    def grams(df: DataFrame, cnt: String) = (1 to 4).map { n =>
+      df.select(col(idCol).as("id"),
+          explode(TextFns.wordShingles(trim(col(textCol)), n)).as("g"))
+        .groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as(cnt))
+        .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
+    }.reduce(_ unionByName _)
+    def len(df: DataFrame, name: String) = df.select(col(idCol).as("id"),
+      size(TextFns.tokens(trim(col(textCol)))).cast("long").as(name))
+    val joined = grams(cands, "cc")
+      .join(grams(refs, "rc"), Seq("id", "n", "g"), "left")
+      .groupBy(col("id"), col("n"))
+      .agg(sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"),
+        sum(col("cc")).as("t"))
+    def at(i: Int, c: String) =
+      coalesce(sum(when(col("n") === i, col(c))), lit(0L)).as(s"$c$i")
+    val pern = joined.groupBy(col("id"))
+      .agg(at(1, "m"), at(1, "t"), at(2, "m"), at(2, "t"),
+        at(3, "m"), at(3, "t"), at(4, "m"), at(4, "t"))
+    def p(i: Int) =
+      if (i == 1) col("m1").cast("double") / col("t1")
+      else (col(s"m$i") + lit(1L)).cast("double") / (col(s"t$i") + lit(1L))
+    val bp = least(lit(1.0d),
+      exp(lit(1.0d) - col("ref_len").cast("double") / col("cand_len")))
+    len(cands, "cand_len")
+      .join(len(refs, "ref_len"), Seq("id"))
+      .join(pern, Seq("id"), "left")
+      .select((Seq(col("id").as(idCol), col("cand_len"), col("ref_len")) ++
+        (1 to 4).flatMap(i => Seq(
+          coalesce(col(s"m$i"), lit(0L)).as(s"m$i"),
+          coalesce(col(s"t$i"), lit(0L)).as(s"t$i")))): _*)
+      .withColumn("bleu_micro",
+        when(col("m1") === 0 || col("t1") === 0 || col("cand_len") === 0, 0L)
+          .otherwise(round(bp * exp((log(p(1)) + log(p(2)) + log(p(3)) +
+            log(p(4))) / lit(4.0d)) * lit(1e6)).cast("long")))
+  }
+
+  /** DuckDB oracle replaying [[bleuPairs]]: `candSql`/`refSql` are table
+    * expressions yielding (id, text); gram/len/precision/BP arithmetic
+    * mirrors the Spark plan operation-for-operation. */
+  def bleuPairsOracleSql(candSql: String, refSql: String,
+                         idCol: String = "doc_id"): String = {
+    def gramCte(src: String, name: String, cnt: String) =
+      s"""${name}_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS t
+             FROM $src),
+         $name AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS $cnt FROM (
+             SELECT id, ns.n AS n,
+               unnest(list_transform(generate_series(1, len(t) - ns.n + 1),
+                 i -> array_to_string(t[i:i+ns.n-1], ' '))) AS g
+             FROM ${name}_t, (SELECT unnest([1, 2, 3, 4]) AS n) ns)
+           GROUP BY 1, 2, 3)"""
+    s"""WITH cand AS ($candSql), ref AS ($refSql),
+       ${gramCte("cand", "cg", "cc")},
+       ${gramCte("ref", "rg", "rc")},
+       j AS (SELECT cg.id, cg.n,
+               CAST(sum(least(cg.cc, coalesce(rg.rc, 0))) AS BIGINT) AS m,
+               CAST(sum(cg.cc) AS BIGINT) AS t
+             FROM cg LEFT JOIN rg ON rg.id = cg.id AND rg.n = cg.n AND rg.g = cg.g
+             GROUP BY 1, 2),
+       pern AS (SELECT id,
+           CAST(coalesce(sum(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+           CAST(coalesce(sum(CASE WHEN n = 1 THEN t END), 0) AS BIGINT) AS t1,
+           CAST(coalesce(sum(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+           CAST(coalesce(sum(CASE WHEN n = 2 THEN t END), 0) AS BIGINT) AS t2,
+           CAST(coalesce(sum(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+           CAST(coalesce(sum(CASE WHEN n = 3 THEN t END), 0) AS BIGINT) AS t3,
+           CAST(coalesce(sum(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4,
+           CAST(coalesce(sum(CASE WHEN n = 4 THEN t END), 0) AS BIGINT) AS t4
+         FROM j GROUP BY 1),
+       lens AS (SELECT c.id,
+           CAST(len(string_split_regex(trim(c.text), '\\s+')) AS BIGINT) AS cand_len,
+           CAST(len(string_split_regex(trim(r.text), '\\s+')) AS BIGINT) AS ref_len
+         FROM cand c JOIN ref r ON r.id = c.id),
+       f AS (SELECT lens.id, cand_len, ref_len,
+           coalesce(m1, 0) AS m1, coalesce(t1, 0) AS t1,
+           coalesce(m2, 0) AS m2, coalesce(t2, 0) AS t2,
+           coalesce(m3, 0) AS m3, coalesce(t3, 0) AS t3,
+           coalesce(m4, 0) AS m4, coalesce(t4, 0) AS t4
+         FROM lens LEFT JOIN pern ON pern.id = lens.id)
+       SELECT id AS $idCol, cand_len, ref_len, m1, t1, m2, t2, m3, t3, m4, t4,
+         CASE WHEN m1 = 0 OR t1 = 0 OR cand_len = 0 THEN 0
+           ELSE CAST(round(least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len)) *
+             exp((ln(CAST(m1 AS DOUBLE) / t1) +
+                  ln(CAST(m2 + 1 AS DOUBLE) / (t2 + 1)) +
+                  ln(CAST(m3 + 1 AS DOUBLE) / (t3 + 1)) +
+                  ln(CAST(m4 + 1 AS DOUBLE) / (t4 + 1))) / 4.0) * 1000000.0)
+             AS BIGINT) END AS bleu_micro
+       FROM f ORDER BY id"""
+  }
+
+  private val ChrfMaxN = 6
+
+  /** chrF-β per (candidate, reference) pair (Popović 2015) — the
+    * tokenizer-free generation metric that survives morphology and
+    * whitespace noise where BLEU's word n-grams shatter: character
+    * n-grams (n = 1..6) over the case-folded, whitespace-stripped texts,
+    * clipped matches in both directions, macro-averaged precision and
+    * recall over the EFFECTIVE orders (both sides have grams), and
+    * F_β = (1+β²)PR / (β²P + R) with the standard recall-weighted β = 2.
+    * Counts exact longs; one float stage at the end (micro-rounded,
+    * identical operation order in the oracle).
+    *
+    * Scale: same envelope as [[bleuPairs]] with char grams — rows ∝
+    * 6·chars per side keyed (id, n, gram), one equi-join, no windows. */
+  def chrfPairs(cands: DataFrame, refs: DataFrame, idCol: String,
+                textCol: String, beta: Double = 2.0): DataFrame = {
+    import graft.functions.TextFns
+    def stripped(c: org.apache.spark.sql.Column) =
+      regexp_replace(trim(c), "\\s+", "")
+    def grams(df: DataFrame, cnt: String) = (1 to ChrfMaxN).map { n =>
+      df.select(col(idCol).as("id"),
+          explode(TextFns.charNgrams(stripped(col(textCol)), n)).as("g"))
+        .groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as(cnt))
+        .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
+    }.reduce(_ unionByName _)
+    val cg = grams(cands, "cc")
+    val rg = grams(refs, "rc")
+    val m = cg.join(rg, Seq("id", "n", "g"), "inner")
+      .groupBy(col("id"), col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val ct = cg.groupBy(col("id"), col("n")).agg(sum(col("cc")).as("ct"))
+    val rt = rg.groupBy(col("id"), col("n")).agg(sum(col("rc")).as("rt"))
+    val joined = ct.join(rt, Seq("id", "n"), "full")
+      .join(m, Seq("id", "n"), "left")
+      .select(col("id"), col("n"),
+        coalesce(col("m"), lit(0L)).as("m"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("rt"), lit(0L)).as("rt"))
+    def at(i: Int, c: String) =
+      coalesce(sum(when(col("n") === i, col(c))), lit(0L)).as(s"$c$i")
+    val aggCols = (1 to ChrfMaxN).flatMap(i =>
+      Seq(at(i, "m"), at(i, "ct"), at(i, "rt")))
+    val pern = joined.groupBy(col("id")).agg(aggCols.head, aggCols.tail: _*)
+    def effOrd(i: Int) = col(s"ct$i") > 0 && col(s"rt$i") > 0
+    val eff = (1 to ChrfMaxN).map(i => when(effOrd(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    def avg(tot: String) = (1 to ChrfMaxN).map(i =>
+        when(effOrd(i), col(s"m$i").cast("double") / col(s"$tot$i"))
+          .otherwise(lit(0.0d)))
+      .reduce(_ + _) / col("eff_orders").cast("double")
+    val b2 = beta * beta
+    pern.withColumn("eff_orders", eff)
+      .withColumn("chrf_micro", {
+        val p = avg("ct")
+        val r = avg("rt")
+        when(col("eff_orders") === 0, 0L)
+          .otherwise(when(p + r === 0.0d, 0L)
+            .otherwise(round(lit(1.0d + b2) * p * r / (lit(b2) * p + r) *
+              lit(1e6)).cast("long")))
+      })
+      .select((Seq(col("id").as(idCol)) ++
+        (1 to ChrfMaxN).flatMap(i => Seq(col(s"m$i"), col(s"ct$i"), col(s"rt$i"))) ++
+        Seq(col("eff_orders"), col("chrf_micro"))): _*)
+  }
+
+  /** DuckDB oracle replaying [[chrfPairs]]: identical gram extraction
+    * (lowercase, whitespace stripped), identical effective-order
+    * macro-average and F_β arithmetic, term order preserved. */
+  def chrfPairsOracleSql(candSql: String, refSql: String,
+                         idCol: String = "doc_id",
+                         beta: Double = 2.0): String = {
+    val ns = 1 to ChrfMaxN
+    def gramCte(src: String, name: String, cnt: String) =
+      s"""${name}_t AS (SELECT id,
+             regexp_replace(lower(trim(text)), '\\s+', '', 'g') AS t FROM $src),
+         $name AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS $cnt FROM (
+             SELECT id, ns.n AS n,
+               unnest(list_transform(generate_series(1, length(t) - ns.n + 1),
+                 i -> substring(t, CAST(i AS INT), ns.n))) AS g
+             FROM ${name}_t, (SELECT unnest([${ns.mkString(", ")}]) AS n) ns)
+           GROUP BY 1, 2, 3)"""
+    val pernCols = ns.map(i =>
+      s"""CAST(coalesce(sum(CASE WHEN n = $i THEN m END), 0) AS BIGINT) AS m$i,
+         CAST(coalesce(sum(CASE WHEN n = $i THEN ct END), 0) AS BIGINT) AS ct$i,
+         CAST(coalesce(sum(CASE WHEN n = $i THEN rt END), 0) AS BIGINT) AS rt$i""")
+      .mkString(",\n           ")
+    val effSql = ns.map(i =>
+      s"CASE WHEN ct$i > 0 AND rt$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    def avgSql(tot: String) = ns.map(i =>
+      s"CASE WHEN ct$i > 0 AND rt$i > 0 THEN CAST(m$i AS DOUBLE) / $tot$i ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val b2 = beta * beta
+    s"""WITH cand AS ($candSql), ref AS ($refSql),
+       ${gramCte("cand", "cg", "cc")},
+       ${gramCte("ref", "rg", "rc")},
+       mm AS (SELECT cg.id, cg.n, CAST(sum(least(cg.cc, rg.rc)) AS BIGINT) AS m
+              FROM cg JOIN rg ON rg.id = cg.id AND rg.n = cg.n AND rg.g = cg.g
+              GROUP BY 1, 2),
+       ctt AS (SELECT id, n, CAST(sum(cc) AS BIGINT) AS ct FROM cg GROUP BY 1, 2),
+       rtt AS (SELECT id, n, CAST(sum(rc) AS BIGINT) AS rt FROM rg GROUP BY 1, 2),
+       j AS (SELECT coalesce(ctt.id, rtt.id) AS id, coalesce(ctt.n, rtt.n) AS n,
+               coalesce(mm.m, 0) AS m, coalesce(ctt.ct, 0) AS ct,
+               coalesce(rtt.rt, 0) AS rt
+             FROM ctt FULL JOIN rtt ON rtt.id = ctt.id AND rtt.n = ctt.n
+             LEFT JOIN mm ON mm.id = coalesce(ctt.id, rtt.id)
+                         AND mm.n = coalesce(ctt.n, rtt.n)),
+       pern AS (SELECT id,
+           $pernCols
+         FROM j GROUP BY 1),
+       f AS (SELECT *, CAST($effSql AS BIGINT) AS eff_orders FROM pern)
+       SELECT id AS $idCol,
+         ${ns.map(i => s"m$i, ct$i, rt$i").mkString(", ")},
+         eff_orders,
+         CASE WHEN eff_orders = 0 THEN 0
+           WHEN ${avgSql("ct")} / CAST(eff_orders AS DOUBLE) +
+                ${avgSql("rt")} / CAST(eff_orders AS DOUBLE) = 0.0 THEN 0
+           ELSE CAST(round(${1.0 + b2} * (${avgSql("ct")} / CAST(eff_orders AS DOUBLE)) *
+             (${avgSql("rt")} / CAST(eff_orders AS DOUBLE)) /
+             ($b2 * (${avgSql("ct")} / CAST(eff_orders AS DOUBLE)) +
+              (${avgSql("rt")} / CAST(eff_orders AS DOUBLE))) * 1000000.0) AS BIGINT)
+         END AS chrf_micro
+       FROM f ORDER BY id"""
+  }
 }

@@ -148,6 +148,55 @@ object Rlhf {
        SELECT grp AS $groupCol, id AS $idCol, r AS $rewardName
        FROM pick ORDER BY $groupCol"""
 
+  /** DPO/RLHF preference-PAIR construction (Rafailov et al. 2023's data
+    * shape): per prompt group, chosen = highest-reward completion (ties →
+    * larger id), rejected = lowest (ties → smaller id), kept only when
+    * the reward margin clears `minMargin` — the standard quality gate
+    * that drops ambiguous pairs before DPO training. Composes downstream
+    * of [[rewardZScore]]/[[lengthDebiasedReward]] (pass the whitened
+    * reward) exactly like [[bestOfN]].
+    *
+    * Scale: ONE max-struct + min-struct hash aggregate (map-side
+    * combined, skew-proof — no window, no per-group funnel); output is
+    * |groups| rows. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      rewardCol: String, minMargin: Long = 1L): DataFrame = {
+    require(minMargin >= 0L, "minMargin must be non-negative")
+    df.groupBy(col(groupCol))
+      .agg(max(struct(col(rewardCol), col(idCol))).as("c"),
+        min(struct(col(rewardCol), col(idCol))).as("r"),
+        count(lit(1)).as("n"))
+      .where(col("n") >= 2 &&
+        col(s"c.$rewardCol") - col(s"r.$rewardCol") >= minMargin)
+      .select(col(groupCol),
+        col(s"c.$idCol").as("chosen_id"),
+        col(s"r.$idCol").as("rejected_id"),
+        col(s"c.$rewardCol").as("chosen_reward"),
+        col(s"r.$rewardCol").as("rejected_reward"),
+        (col(s"c.$rewardCol") - col(s"r.$rewardCol")).as("margin"))
+  }
+
+  /** DuckDB oracle replaying [[preferencePairs]]. */
+  def preferencePairsOracleSql(table: String, groupExpr: String,
+                               idCol: String, rewardExpr: String,
+                               minMargin: Long): String =
+    s"""WITH src AS (SELECT $groupExpr AS grp, $idCol AS id,
+           CAST($rewardExpr AS BIGINT) AS r FROM $table),
+       agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               max(r) AS rc, min(r) AS rr FROM src GROUP BY 1),
+       cho AS (SELECT src.grp, max(src.id) AS cid
+               FROM src JOIN agg ON agg.grp = src.grp AND src.r = agg.rc
+               GROUP BY 1),
+       rej AS (SELECT src.grp, min(src.id) AS rid
+               FROM src JOIN agg ON agg.grp = src.grp AND src.r = agg.rr
+               GROUP BY 1)
+       SELECT agg.grp, cho.cid AS chosen_id, rej.rid AS rejected_id,
+         agg.rc AS chosen_reward, agg.rr AS rejected_reward,
+         agg.rc - agg.rr AS margin
+       FROM agg JOIN cho ON cho.grp = agg.grp JOIN rej ON rej.grp = agg.grp
+       WHERE agg.n >= 2 AND agg.rc - agg.rr >= $minMargin
+       ORDER BY agg.grp"""
+
   /** LENGTH-BIAS audit of a reward signal — reward models notoriously
     * reward verbosity (Singhal et al. 2023, "A Long Way to Go"), and a
     * biased reward silently turns RLHF into length optimization. Two

@@ -167,6 +167,88 @@ object Sketches {
   def hllDistinct(vals: DataFrame, p: Int): DataFrame =
     hllEstimate(hllRegisters(vals, p), p)
 
+  /** [[tokenValues]] keyed by a group column — `vals(grp, v)` for the
+    * per-group sketches (distinct vocabulary per source/language/day). */
+  def tokenValuesByGroup(docs: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    docs.select(col(groupCol).as("grp"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("v"))
+      .where(length(col("v")) > 0)
+  }
+
+  /** DuckDB CTE chain defining `vals(grp, v)` as [[tokenValuesByGroup]]. */
+  def tokenValuesByGroupSql(table: String, groupExpr: String,
+                            textCol: String): String =
+    s"""tok AS (
+         SELECT $groupExpr AS grp,
+           unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS v
+         FROM $table),
+       vals AS (SELECT grp, v FROM tok WHERE length(v) > 0)"""
+
+  /** Per-GROUP HLL estimates from a grouped register table
+    * ([[hllRegisters]] with `extraKeys = Seq(groupCol)`) — one sketch per
+    * group in one pass, the "distinct users/vocab per source" production
+    * staple. Same estimator arithmetic as [[hllEstimate]] per group;
+    * output is |groups| rows, state |groups|·2^p register rows (stored
+    * shape: the grouped registers fold by max exactly like the global
+    * ones — [[hllFold]] with the same extraKeys). */
+  def hllEstimateByGroup(registers: DataFrame, p: Int,
+                         groupCol: String = "grp"): DataFrame = {
+    val m = 1 << p
+    registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("filled"),
+        sum(expr(s"shiftleft(1L, $RankCap - rank)")).as("sfill"))
+      .select(col(groupCol),
+        lit(m).cast("long").as("m"),
+        (lit(m.toLong) - col("filled")).as("v_zero"),
+        (coalesce(col("sfill"), lit(0L))
+          + (lit(m.toLong) - col("filled")) * (1L << RankCap)).as("s40"))
+      .withColumn("raw_est_micro", expr(
+        s"CAST(FLOOR((0.7213D / (1.0D + 1.079D / $m.0D)) * $m.0D * $m.0D" +
+          s" * ${1L << RankCap}.0D / CAST(s40 AS DOUBLE) * 1000000.0D) AS BIGINT)"))
+      .withColumn("lin_est_micro", expr(
+        s"CASE WHEN v_zero > 0 THEN CAST(ROUND($m.0D * LN($m.0D / CAST(v_zero AS DOUBLE))" +
+          s" * 1000000.0D) AS BIGINT) END"))
+      .withColumn("est_micro", expr(
+        s"CASE WHEN v_zero > 0 AND raw_est_micro <= ${(2.5 * m * 1e6).toLong}L" +
+          s" THEN lin_est_micro ELSE raw_est_micro END"))
+  }
+
+  /** DuckDB oracle replaying the grouped build →
+    * [[hllEstimateByGroup]]. `valsSql` defines `vals(grp, v)`
+    * ([[tokenValuesByGroupSql]]). */
+  def hllByGroupOracleSql(valsSql: String, p: Int): String = {
+    val hx = hexDigits(p)
+    val m  = 1 << p
+    s"""WITH $valsSql,
+       h AS (SELECT grp,
+               CAST(('0x' || substring(md5(v), 1, $hx)) AS BIGINT) AS register,
+               CAST(('0x' || substring(md5(v), ${hx + 1}, 15)) AS BIGINT) AS w
+             FROM vals),
+       regs AS (SELECT grp, register, max($rankCaseSql) AS rank
+                FROM h GROUP BY grp, register),
+       base AS (SELECT grp, CAST(count(*) AS BIGINT) AS filled,
+                  CAST(sum(CAST(1 AS BIGINT) << ($RankCap - rank)) AS BIGINT) AS sfill
+                FROM regs GROUP BY grp),
+       est AS (SELECT grp, CAST($m AS BIGINT) AS m,
+                 $m - filled AS v_zero,
+                 coalesce(sfill, 0) + ($m - filled) * ${1L << RankCap} AS s40
+               FROM base),
+       r AS (SELECT grp, m, v_zero, s40,
+               CAST(FLOOR((0.7213 / (1.0 + 1.079 / $m.0)) * $m.0 * $m.0
+                 * ${1L << RankCap}.0 / CAST(s40 AS DOUBLE) * 1000000.0) AS BIGINT)
+                 AS raw_est_micro,
+               CASE WHEN v_zero > 0
+                 THEN CAST(ROUND($m.0 * LN($m.0 / CAST(v_zero AS DOUBLE))
+                   * 1000000.0) AS BIGINT) END AS lin_est_micro
+             FROM est)
+       SELECT grp, m, v_zero, s40, raw_est_micro, lin_est_micro,
+         CASE WHEN v_zero > 0 AND raw_est_micro <= ${(2.5 * m * 1e6).toLong}
+           THEN lin_est_micro ELSE raw_est_micro END AS est_micro
+       FROM r ORDER BY grp"""
+  }
+
   private def rankCaseSql: String =
     (1 until RankCap).map(k => s"WHEN w >= ${1L << (60 - k)} THEN $k")
       .mkString("CASE ", " ", s" ELSE $RankCap END")

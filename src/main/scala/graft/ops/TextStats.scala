@@ -157,6 +157,147 @@ object TextStats {
         expr("n_novel * 1000000L div n_grams").as("novelty_micro"))
   }
 
+  /** Distinct-n diversity per group (Li et al. 2016 — the generation-set
+    * diversity report): for each n, the group's distinct n-gram count over
+    * its total n-gram count. Near-duplicate generations (mode collapse,
+    * templated spam sources) crater distinct-2 long before any per-doc
+    * signal moves. One grams pass per n into a (group, gram) aggregate,
+    * then a |groups|-row rollup — integer micro ratio at the end. */
+  def distinctN(docs: DataFrame, groupCol: String, textCol: String,
+                ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    import graft.functions.TextFns
+    require(ns.nonEmpty, "need at least one n")
+    ns.map { n =>
+      docs.select(col(groupCol).as("grp"),
+          explode(TextFns.wordShingles(trim(col(textCol)), n)).as("g"))
+        .groupBy(col("grp"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("grp"))
+        .agg(sum(col("cnt")).as("total_grams"),
+          count(lit(1)).as("distinct_grams"))
+        .select(col("grp"), lit(n).as("n"), col("total_grams"),
+          col("distinct_grams"),
+          expr("distinct_grams * 1000000L div total_grams").as("distinct_micro"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle replaying [[distinctN]]. */
+  def distinctNOracleSql(table: String, groupExpr: String, textCol: String,
+                         ns: Seq[Int]): String = {
+    def one(n: Int) =
+      s"""SELECT grp, $n AS n,
+           CAST(sum(cnt) AS BIGINT) AS total_grams,
+           CAST(count(*) AS BIGINT) AS distinct_grams,
+           CAST(count(*) AS BIGINT) * 1000000
+             // CAST(sum(cnt) AS BIGINT) AS distinct_micro
+         FROM (
+           SELECT grp, g, count(*) AS cnt FROM (
+             SELECT $groupExpr AS grp,
+               unnest(CASE WHEN len(t) < $n THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
+                        i -> array_to_string(t[i:i+${n - 1}], ' ')) END) AS g
+             FROM (SELECT *, string_split_regex(trim($textCol), '\\s+') AS t
+                   FROM $table))
+           GROUP BY 1, 2)
+         GROUP BY grp"""
+    ns.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY grp, n")
+  }
+
+  /** Vocabulary-growth checkpoints + Heaps'-law fit (Heaps 1978;
+    * types ≈ K·tokens^β) — the tokenizer-budget planner: how fast does
+    * this corpus mint new types as it grows? Checkpoints are doc-id
+    * prefixes at the given fractions of the max id; each checkpoint
+    * reports exact (tokens_seen, types) via the token table's
+    * min-first-doc — the corpus is scanned ONCE into (token, min_id,
+    * per-doc counts), checkpoints are |fracs| conditional sums over that
+    * table, never re-scans. The log-log least-squares fit runs over the
+    * |fracs|-row checkpoint table (one 1-row aggregate crossed back — no
+    * window), β and ln K micro-rounded.
+    */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+               fracsMicro: Seq[Long] = Seq(62500L, 125000L, 250000L,
+                 500000L, 1000000L)): DataFrame = {
+    import graft.functions.TextFns
+    require(fracsMicro.nonEmpty && fracsMicro.forall(f => f > 0 && f <= 1000000L),
+      "fractions must be in (0, 1e6] micro")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(TextFns.tokens(lower(trim(col(textCol))))).as("v"))
+      .where(length(col("v")) > 0)
+    val maxId = toks.agg(max(col("id")).as("max_id"))
+    // ONE corpus pass into the (token, id, cnt) table; the checkpoint
+    // sums re-read this (far narrower) table, never the corpus —
+    // persisted so |fracs| conditional aggregates don't replay the explode
+    val perId = toks.groupBy(col("v"), col("id")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cps = fracsMicro.map { f =>
+      perId.crossJoin(broadcast(maxId))
+        .select(expr(s"max_id * $f div 1000000").as("cp_id"),
+          col("v"), col("id"), col("cnt"))
+        .where(col("id") <= col("cp_id"))
+        .groupBy(col("cp_id"))
+        .agg(sum(col("cnt")).as("tokens_seen"),
+          countDistinct(col("v")).as("types"))
+        .select(lit(f).as("frac_micro"), col("cp_id"), col("tokens_seen"),
+          col("types"))
+    }.reduce(_ unionByName _)
+      .localCheckpoint(true) // |fracs| rows; fit + final both read it
+    perId.unpersist(false)
+    // least squares on micro-quantized (x = ln tokens, y = ln types): the
+    // log points round to exact longs BEFORE the sums, so the fit inputs
+    // are order-independent integers and the only doubles are divisions
+    // of exact longs — bit-replayable whatever partition order summed them
+    val fit = cps.select(
+        round(log(col("tokens_seen").cast("double")) * lit(1e6)).cast("long").as("x"),
+        round(log(col("types").cast("double")) * lit(1e6)).cast("long").as("y"))
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")) * lit(1e6))
+          .cast("long").as("beta_micro"),
+        round((col("sy") - (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("k")).cast("long").as("ln_k_micro"))
+    cps.crossJoin(broadcast(fit)).orderBy(col("frac_micro"))
+  }
+
+  /** DuckDB oracle replaying [[heapsLaw]] — same one-pass token table,
+    * same conditional checkpoint sums, same closed-form fit. */
+  def heapsLawOracleSql(table: String, idCol: String, textCol: String,
+                        fracsMicro: Seq[Long]): String = {
+    val fracRows = fracsMicro.mkString("[", ", ", "]")
+    s"""WITH toks AS (
+         SELECT CAST($idCol AS BIGINT) AS id, v FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS v
+           FROM $table) WHERE length(v) > 0),
+       mx AS (SELECT max(id) AS max_id FROM toks),
+       per_id AS (SELECT v, id, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks GROUP BY 1, 2),
+       fr AS (SELECT unnest(CAST($fracRows AS BIGINT[])) AS frac_micro),
+       cps AS (SELECT fr.frac_micro,
+                 mx.max_id * fr.frac_micro // 1000000 AS cp_id,
+                 CAST(sum(p.cnt) AS BIGINT) AS tokens_seen,
+                 CAST(count(DISTINCT p.v) AS BIGINT) AS types
+               FROM fr, mx, per_id p
+               WHERE p.id <= mx.max_id * fr.frac_micro // 1000000
+               GROUP BY 1, 2),
+       pts AS (SELECT
+                 CAST(round(ln(CAST(tokens_seen AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                 CAST(round(ln(CAST(types AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+               FROM cps),
+       fit AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx FROM pts)
+       SELECT cps.frac_micro, cps.cp_id, cps.tokens_seen, cps.types,
+         CAST(round((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1000000.0)
+           AS BIGINT) AS beta_micro,
+         CAST(round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k)
+           AS BIGINT) AS ln_k_micro
+       FROM cps, fit ORDER BY cps.frac_micro"""
+  }
+
   /** DuckDB oracle replaying [[ngramNovelty]]. `candWhere`/`refWhere` are
     * predicates over `table` splitting candidates from reference. */
   def ngramNoveltyOracleSql(table: String, idCol: String, textCol: String,

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Evaluation, Rlhf, TextStats}
+
+/** Generation-eval metrics + DPO pair construction + corpus-growth stats:
+  * hand-computed fixtures for the formulas, invariants for the rest. */
+class GenEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BLEU: identical pair scores 1e6; short candidate pays exp(1 - r/c)") {
+    val cands = Seq((1L, "the cat sat"), (2L, "the cat")).toDF("doc_id", "text")
+    val refs = Seq((1L, "the cat sat"), (2L, "the cat sat on mat"))
+      .toDF("doc_id", "text")
+    val out = Evaluation.bleuPairs(cands, refs, "doc_id", "text")
+      .select("doc_id", "bleu_micro").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1000000L)
+    // pair 2: all (smoothed) precisions are 1, BP = e^(1 - 5/2)
+    assert(out(2L) == math.round(math.exp(-1.5) * 1e6))
+  }
+
+  test("BLEU: zero unigram overlap scores 0") {
+    val out = Evaluation.bleuPairs(
+        Seq((1L, "aa bb")).toDF("doc_id", "text"),
+        Seq((1L, "cc dd")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("bleu_micro").as[Long].head()
+    assert(out == 0L)
+  }
+
+  test("chrF: identical pair scores 1e6 and ranks above a partial match") {
+    val cands = Seq((1L, "abcdef"), (2L, "abcxyz")).toDF("doc_id", "text")
+    val refs = Seq((1L, "abcdef"), (2L, "abcdef")).toDF("doc_id", "text")
+    val out = Evaluation.chrfPairs(cands, refs, "doc_id", "text")
+      .select("doc_id", "chrf_micro").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1000000L)
+    assert(out(2L) > 0L && out(2L) < out(1L))
+  }
+
+  test("preference pairs: margin gate, tie-breaks, singleton groups drop") {
+    val df = Seq(
+      ("g1", 1L, 10L), ("g1", 2L, 90L), ("g1", 3L, 90L), // tie on max -> id 3
+      ("g2", 4L, 50L), ("g2", 5L, 60L),                  // margin 10 < 30 gate
+      ("g3", 6L, 40L)                                    // singleton
+    ).toDF("grp", "id", "r")
+    val out = Rlhf.preferencePairs(df, "grp", "id", "r", minMargin = 30L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("g1", 3L, 1L, 90L, 10L, 80L)))
+  }
+
+  test("distinct-n: all-identical docs crater distinct-2") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "c d e f"))
+      .toDF("doc_id", "text")
+      .withColumn("src", when(col("doc_id") < 3, "dup").otherwise("var"))
+    val out = TextStats.distinctN(docs, "src", "text")
+      .select("grp", "n", "distinct_micro").as[(String, Int, Long)]
+      .collect().map { case (g, n, m) => (g, n) -> m }.toMap
+    // dup source: 8 unigram tokens, 2 distinct -> 250000
+    assert(out(("dup", 1)) == 250000L)
+    // var source: all grams distinct
+    assert(out(("var", 1)) == 1000000L && out(("var", 2)) == 1000000L)
+  }
+
+  test("Heaps checkpoints are monotone; saturated vocab fits beta ~ 0") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextStats.heapsLaw(docs, "doc_id", "text")
+      .select("frac_micro", "tokens_seen", "types", "beta_micro")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 5)
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 })
+    // the synthetic corpus mints its whole ~40-word vocab in the first
+    // few docs — types are flat across checkpoints, so the slope is ~0
+    val beta = out.head._4
+    assert(beta >= 0L && beta < 100000L, s"beta=$beta")
+    assert(out.map(_._4).distinct.length == 1) // fit repeated on every row
+  }
+
+  test("Heaps fit recovers sublinear growth on a sqrt-vocab corpus") {
+    // doc i mints a new type only at perfect squares -> types ~ 3 + sqrt(n)
+    val docs = (1 to 100).map { i =>
+      val sq = math.sqrt(i).toInt
+      val mint = if (sq * sq == i) s" n$i" else ""
+      (i.toLong, s"c0 c1 c2$mint")
+    }.toDF("doc_id", "text")
+    val beta = TextStats.heapsLaw(docs, "doc_id", "text")
+      .select("beta_micro").as[Long].head()
+    assert(beta > 100000L && beta < 900000L, s"beta=$beta")
+  }
+}
