@@ -4005,6 +4005,18 @@ object SparkEntry {
         "doc_id", "text").orderBy(col("doc_id"))
     }),
 
+    // ── LLM-pipeline: ROUGE-1/2 on the same pairing (Lin 2004) —
+    // summarization-eval recall/precision/F1 as PURE integer rationals
+    // (no float stage anywhere).
+    "q_rouge_n" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Evaluation.rougeN(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1L).as("doc_id"), col("text")),
+        "doc_id", "text").orderBy(col("doc_id"), col("n"))
+    }),
+
     // ── LLM-pipeline: chrF₂ (Popović 2015) on the same pairing — the
     // tokenizer-free metric (char 1..6-grams, both-direction clipped
     // matches, effective-order macro P/R, recall-weighted F₂).
@@ -7255,6 +7267,12 @@ object SparkEntry {
       graft.ops.Evaluation.chrfPairsOracleSql(
         "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
         "SELECT doc_id + 1 AS id, text FROM documents WHERE doc_id % 2 = 0"),
+
+    "q_rouge_n" ->
+      graft.ops.Evaluation.rougeNOracleSql(
+        "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT doc_id + 1 AS id, text FROM documents WHERE doc_id % 2 = 0",
+        ns = Seq(1, 2)),
 
     "q_distinct_n" ->
       graft.ops.TextStats.distinctNOracleSql("documents", "source", "text",

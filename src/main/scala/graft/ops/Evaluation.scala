@@ -906,6 +906,79 @@ object Evaluation {
        FROM f ORDER BY id"""
   }
 
+  /** ROUGE-N per (candidate, reference) pair (Lin 2004) — the
+    * summarization-eval staple: clipped n-gram matches scored as recall
+    * (ROUGE's defining direction), precision, and F1, one row per (pair,
+    * n). PURE integer rationals end to end — p = m·1e6 div ct,
+    * r = m·1e6 div rt, f1 = 2pr div (p+r) — no float stage anywhere, so
+    * the oracle replay is bit-exact by construction.
+    *
+    * Scale: the same (id, n, gram) envelope as [[bleuPairs]]; one
+    * equi-join, two bounded aggregates, no windows. */
+  def rougeN(cands: DataFrame, refs: DataFrame, idCol: String,
+             textCol: String, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    import graft.functions.TextFns
+    require(ns.nonEmpty, "need at least one n")
+    def grams(df: DataFrame, cnt: String) = ns.map { n =>
+      df.select(col(idCol).as("id"),
+          explode(TextFns.wordShingles(trim(col(textCol)), n)).as("g"))
+        .groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as(cnt))
+        .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
+    }.reduce(_ unionByName _)
+    val cg = grams(cands, "cc")
+    val rg = grams(refs, "rc")
+    val m = cg.join(rg, Seq("id", "n", "g"), "inner")
+      .groupBy(col("id"), col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val ct = cg.groupBy(col("id"), col("n")).agg(sum(col("cc")).as("cand_total"))
+    val rt = rg.groupBy(col("id"), col("n")).agg(sum(col("rc")).as("ref_total"))
+    ct.join(rt, Seq("id", "n"), "inner")
+      .join(m, Seq("id", "n"), "left")
+      .select(col("id").as(idCol), col("n"),
+        coalesce(col("m"), lit(0L)).as("m"),
+        col("cand_total"), col("ref_total"))
+      .withColumn("p_micro", expr("m * 1000000L div cand_total"))
+      .withColumn("r_micro", expr("m * 1000000L div ref_total"))
+      .withColumn("f1_micro",
+        when(col("p_micro") + col("r_micro") === 0, 0L)
+          .otherwise(expr("2L * p_micro * r_micro div (p_micro + r_micro)")))
+  }
+
+  /** DuckDB oracle replaying [[rougeN]]. */
+  def rougeNOracleSql(candSql: String, refSql: String, ns: Seq[Int],
+                      idCol: String = "doc_id"): String = {
+    def gramCte(src: String, name: String, cnt: String) =
+      s"""${name}_t AS (SELECT id, string_split_regex(trim(text), '\\s+') AS t
+             FROM $src),
+         $name AS (SELECT id, n, g, CAST(count(*) AS BIGINT) AS $cnt FROM (
+             SELECT id, ns.n AS n,
+               unnest(list_transform(generate_series(1, len(t) - ns.n + 1),
+                 i -> array_to_string(t[i:i+ns.n-1], ' '))) AS g
+             FROM ${name}_t, (SELECT unnest([${ns.mkString(", ")}]) AS n) ns)
+           GROUP BY 1, 2, 3)"""
+    s"""WITH cand AS ($candSql), ref AS ($refSql),
+       ${gramCte("cand", "cg", "cc")},
+       ${gramCte("ref", "rg", "rc")},
+       mm AS (SELECT cg.id, cg.n, CAST(sum(least(cg.cc, rg.rc)) AS BIGINT) AS m
+              FROM cg JOIN rg ON rg.id = cg.id AND rg.n = cg.n AND rg.g = cg.g
+              GROUP BY 1, 2),
+       ctt AS (SELECT id, n, CAST(sum(cc) AS BIGINT) AS cand_total
+               FROM cg GROUP BY 1, 2),
+       rtt AS (SELECT id, n, CAST(sum(rc) AS BIGINT) AS ref_total
+               FROM rg GROUP BY 1, 2),
+       f AS (SELECT ctt.id, CAST(ctt.n AS INT) AS n, coalesce(mm.m, 0) AS m,
+               cand_total, ref_total,
+               coalesce(mm.m, 0) * 1000000 // cand_total AS p_micro,
+               coalesce(mm.m, 0) * 1000000 // ref_total AS r_micro
+             FROM ctt JOIN rtt ON rtt.id = ctt.id AND rtt.n = ctt.n
+             LEFT JOIN mm ON mm.id = ctt.id AND mm.n = ctt.n)
+       SELECT id AS $idCol, n, m, cand_total, ref_total, p_micro, r_micro,
+         CASE WHEN p_micro + r_micro = 0 THEN 0
+           ELSE 2 * p_micro * r_micro // (p_micro + r_micro) END AS f1_micro
+       FROM f ORDER BY id, n"""
+  }
+
   private val ChrfMaxN = 6
 
   /** chrF-β per (candidate, reference) pair (Popović 2015) — the

@@ -37,6 +37,16 @@ class GenEvalSpec extends SparkSpec {
     assert(out(2L) > 0L && out(2L) < out(1L))
   }
 
+  test("ROUGE-N: exact integer P/R/F1 on a hand-computed pair") {
+    val out = Evaluation.rougeN(
+        Seq((1L, "a b c")).toDF("doc_id", "text"),
+        Seq((1L, "a b d")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n", "m", "p_micro", "r_micro", "f1_micro")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1, 2L, 666666L, 666666L, 666666L)))
+    assert(out(1) == ((2, 1L, 500000L, 500000L, 500000L)))
+  }
+
   test("preference pairs: margin gate, tie-breaks, singleton groups drop") {
     val df = Seq(
       ("g1", 1L, 10L), ("g1", 2L, 90L), ("g1", 3L, 90L), // tie on max -> id 3
