@@ -126,7 +126,27 @@ object PlanAudit {
     "q_burstiness" ->
       ("Token burstiness: (doc, token) partial-aggregate collapse, " +
        "left-semi against the BROADCAST top-vocabK vocabulary before the " +
-       "token rollup, 1-row doc-count broadcast — text never shuffles."))
+       "token rollup, 1-row doc-count broadcast — text never shuffles."),
+    "q_ac_blocklist" ->
+      ("Aho–Corasick blocklist gate: the whole operator is ONE " +
+       "WholeStageCodegen projection over the scan (automaton rides as a " +
+       "codegen reference object) — zero Exchange operators; per-doc cost " +
+       "O(len + hits) at any pattern count."),
+    "q_bleu_pairs" ->
+      ("BLEU-4: grams shuffle keyed (id, n, gram) into partial hash " +
+       "aggregates, ONE equi-join against the reference grams, |pairs|-row " +
+       "rollups — no window, no cartesian product, no driver state."),
+    "q_hll_by_source" ->
+      ("Grouped HLL: one map-side-combined aggregate collapses the corpus " +
+       "to |groups|·2^p register rows; the estimator is a |groups|-row " +
+       "aggregate on top — the only corpus-sized exchange carries " +
+       "(grp, register, rank) triples."),
+    "q_heaps_law" ->
+      ("Heaps'-law fit: the corpus explodes ONCE into the persisted " +
+       "(token, id, cnt) table (InMemoryTableScan feeds every checkpoint " +
+       "branch); checkpoints are conditional aggregates over that table; " +
+       "the fit is a 1-row aggregate crossed back via broadcast — no " +
+       "window anywhere."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

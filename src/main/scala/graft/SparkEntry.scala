@@ -49,6 +49,20 @@ object SparkEntry {
   private val AcPatterns = Seq("scan", "can", "an", "merge", "erg", "order",
     "rde", "sort", "table", "row", "a b", "spark", "zzznever", "qqq")
 
+  /** DuckDB replay of TextFns.qualityScore × 1e6 — shared by the
+    * calibration-bins and ECE oracles. */
+  private val qualityMicroSql: String =
+    """(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 250000 ELSE 0 END
+      + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
+              AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
+             THEN 250000 ELSE 0 END
+      + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
+                  / greatest(length(text),1)::DOUBLE <= 0.1 THEN 250000 ELSE 0 END
+      + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
+                 ['the','a','of','and','to','in','is','it','that','for'])) >= 2
+             THEN 250000 ELSE 0 END)"""
+      .linesIterator.map(_.trim).mkString(" ")
+
   /** OPQ model artifact: the trained rotation, memoized per sfDir by the
     * q_opq_* queries and read back by their oracle generators. The matrix
     * is a DETERMINISTIC function of the corpus (fixed lowest-id sample,
@@ -2540,6 +2554,24 @@ object SparkEntry {
             .as("score_micro")),
         "lbl", "score_micro", nBins = 5)
         .orderBy(col("bin"))),
+
+    // ── LLM-pipeline: Expected Calibration Error (Guo et al. 2017) — the
+    // one-number rollup of the reliability bins, DECIMAL(38,0)-widened
+    // weighted sum.
+    "q_ece" -> ((s, d) =>
+      graft.ops.Evaluation.ece(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("int").as("lbl"),
+          (TextFns.qualityScore(col("text")) * 1000000).cast("long")
+            .as("score_micro")),
+        "lbl", "score_micro", nBins = 5)),
+
+    // ── LLM-pipeline: Jensen–Shannon divergence matrix between source
+    // unigram distributions (domain-mix planning); per-token terms
+    // micro-quantized before the pair sums, text never shuffles.
+    "q_source_js" -> ((s, d) =>
+      graft.ops.TextStats.sourceJsMatrix(Tables.documents(s, d),
+        "source", "text").orderBy(col("src_a"), col("src_b"))),
 
     // ── relational: interval × interval OVERLAP join — both sides explode
     // onto a 30-day grid, hash equi-join on the bucket id, each pair
@@ -5547,18 +5579,17 @@ object SparkEntry {
 
     "q_calibration_bins" ->
       graft.ops.Evaluation.calibrationBinsOracleSql("documents",
-        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
-        """(CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 250000 ELSE 0 END
-          + CASE WHEN length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE >= 3
-                  AND length(text)::DOUBLE / greatest(len(string_split_regex(trim(text),'\s+')), 1)::DOUBLE <= 12
-                 THEN 250000 ELSE 0 END
-          + CASE WHEN (length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))::DOUBLE
-                      / greatest(length(text),1)::DOUBLE <= 0.1 THEN 250000 ELSE 0 END
-          + CASE WHEN len(list_intersect(string_split_regex(lower(text),'\s+'),
-                     ['the','a','of','and','to','in','is','it','that','for'])) >= 2
-                 THEN 250000 ELSE 0 END)"""
-          .linesIterator.map(_.trim).mkString(" "),
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", qualityMicroSql,
         nBins = 5),
+
+    "q_ece" ->
+      graft.ops.Evaluation.eceOracleSql("documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", qualityMicroSql,
+        nBins = 5),
+
+    "q_source_js" ->
+      graft.ops.TextStats.sourceJsMatrixOracleSql("documents", "source",
+        "text"),
 
     "q_interval_overlap" ->
       """WITH a AS (SELECT o_orderkey AS a_id, o_orderdate AS a_lo,

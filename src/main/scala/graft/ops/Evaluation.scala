@@ -166,6 +166,29 @@ object Evaluation {
          CAST(sum(lbl) AS BIGINT) * 1000000 // count(*) AS pos_rate_micro
        FROM b GROUP BY bin ORDER BY bin"""
 
+  /** Expected Calibration Error (Guo et al. 2017) — the one-number
+    * rollup of [[calibrationBins]]: ECE = Σ_b (n_b/N)·|pos_rate_b −
+    * mean_score_b|, computed from the bins' integral micro columns with
+    * the weighted sum widened to DECIMAL(38,0) (Σ cnt·micro passes a
+    * Long at corpus scale). One ≤ nBins-row aggregate on top. */
+  def ece(df: DataFrame, labelCol: String, scoreMicroCol: String,
+          nBins: Int): DataFrame =
+    calibrationBins(df, labelCol, scoreMicroCol, nBins)
+      .agg(sum(col("cnt")).as("n"),
+        sum(expr("CAST(cnt AS DECIMAL(38,0))" +
+          " * abs(pos_rate_micro - mean_score_micro)")).as("w"))
+      .select(col("n"), expr("CAST(w div n AS BIGINT)").as("ece_micro"))
+
+  /** DuckDB oracle replaying [[ece]]. */
+  def eceOracleSql(table: String, labelExpr: String, scoreMicroExpr: String,
+                   nBins: Int): String =
+    s"""WITH bins AS (
+         ${calibrationBinsOracleSql(table, labelExpr, scoreMicroExpr, nBins)})
+       SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(CAST(cnt AS HUGEINT) * abs(pos_rate_micro - mean_score_micro))
+           // CAST(sum(cnt) AS HUGEINT) AS BIGINT) AS ece_micro
+       FROM bins"""
+
   /** Precision / recall / F1 at each candidate threshold — the
     * operating-point sweep that picks a quality gate's cutoff after
     * [[signalAuc]] says the signal ranks and [[calibrationBins]] says the

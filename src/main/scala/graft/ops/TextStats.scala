@@ -203,6 +203,75 @@ object TextStats {
     ns.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY grp, n")
   }
 
+  /** Jensen–Shannon divergence between the unigram distributions of
+    * every source pair (Lin 1991) — the domain-mix planning matrix:
+    * JS(a,b) = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)), symmetric, finite
+    * even on disjoint vocabularies (bounded by ln 2), the standard
+    * "how different are these two crawls" number next to
+    * [[graft.ops.Corpus]]'s shingle-Jaccard source overlap. Per-token
+    * terms micro-quantize BEFORE the pair sums (order-independent longs);
+    * the only doubles are count ratios of exact longs.
+    *
+    * Scale: the corpus collapses ONCE to (source, token, cnt); the pair
+    * expansion fans each count row out |sources|−1 ways (sources are a
+    * bounded dimension — tens, not data) and joins the counts back
+    * token-keyed; output is |sources|²/2 rows. Text never shuffles. */
+  def sourceJsMatrix(docs: DataFrame, sourceCol: String,
+                     textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    val counts = docs.select(col(sourceCol).as("src"),
+        explode(TextFns.tokens(lower(trim(col(textCol))))).as("v"))
+      .where(length(col("v")) > 0)
+      .groupBy(col("src"), col("v")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = counts.groupBy(col("src")).agg(sum(col("cnt")).as("n"))
+    val pairs = counts
+      .join(totals.select(col("src"), col("n").as("na")), Seq("src"))
+      .crossJoin(broadcast(totals.select(col("src").as("sb"), col("n").as("nb"))))
+      .where(col("sb") =!= col("src"))
+    val joined = pairs.join(
+        counts.select(col("src").as("sb"), col("v"), col("cnt").as("cb")),
+        Seq("sb", "v"), "left")
+      .select(col("src").as("sa"), col("sb"), col("na"), col("nb"),
+        col("cnt").as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    joined
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        round(lit(0.5d) * p * log(lit(2.0d) * p / (p + q)) * lit(1e6))
+          .cast("long").as("tm"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("tm")).as("js_micro"))
+  }
+
+  /** DuckDB oracle replaying [[sourceJsMatrix]]. */
+  def sourceJsMatrixOracleSql(table: String, sourceCol: String,
+                              textCol: String): String =
+    s"""WITH toks AS (
+         SELECT $sourceCol AS src,
+           unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS v
+         FROM $table),
+       counts AS (SELECT src, v, CAST(count(*) AS BIGINT) AS cnt
+                  FROM toks WHERE length(v) > 0 GROUP BY 1, 2),
+       totals AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n
+                  FROM counts GROUP BY 1),
+       pairs AS (SELECT c.src AS sa, t2.src AS sb, c.v, c.cnt AS ca,
+                   t1.n AS na, t2.n AS nb
+                 FROM counts c
+                 JOIN totals t1 ON t1.src = c.src
+                 JOIN totals t2 ON t2.src <> c.src),
+       j AS (SELECT p.sa, p.sb, p.na, p.nb, p.ca, coalesce(c2.cnt, 0) AS cb
+             FROM pairs p LEFT JOIN counts c2 ON c2.src = p.sb AND c2.v = p.v),
+       terms AS (SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+                   CAST(round(0.5 * (CAST(ca AS DOUBLE) / na)
+                     * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+                          / ((CAST(ca AS DOUBLE) / na) + (CAST(cb AS DOUBLE) / nb)))
+                     * 1000000.0) AS BIGINT) AS tm
+                 FROM j)
+       SELECT src_a, src_b, CAST(sum(tm) AS BIGINT) AS js_micro
+       FROM terms GROUP BY 1, 2 ORDER BY 1, 2"""
+
   /** Vocabulary-growth checkpoints + Heaps'-law fit (Heaps 1978;
     * types ≈ K·tokens^β) — the tokenizer-budget planner: how fast does
     * this corpus mint new types as it grows? Checkpoints are doc-id

@@ -71,6 +71,34 @@ class GenEvalSpec extends SparkSpec {
     assert(out(("var", 1)) == 1000000L && out(("var", 2)) == 1000000L)
   }
 
+  test("ECE: perfectly calibrated bins score 0; constant-score miss scores the gap") {
+    // every row scores 500000 and half are positive -> one bin with
+    // mean 500000 and pos rate 500000 -> ECE 0
+    val calib = (1L to 10L).map(i => ((i % 2).toInt, 500000L))
+      .toDF("lbl", "score_micro")
+    val z = Evaluation.ece(calib, "lbl", "score_micro", nBins = 5)
+      .select("ece_micro").as[Long].head()
+    assert(z == 0L)
+    // same scores, all positive -> |1e6 - 5e5| = 5e5
+    val off = (1L to 10L).map(_ => (1, 500000L)).toDF("lbl", "score_micro")
+    val e = Evaluation.ece(off, "lbl", "score_micro", nBins = 5)
+      .select("ece_micro").as[Long].head()
+    assert(e == 500000L)
+  }
+
+  test("JS matrix: identical sources diverge 0, disjoint vocabularies ln 2") {
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s2", "a b c"), (3L, "s3", "x y z"))
+      .toDF("doc_id", "src", "text")
+    val out = TextStats.sourceJsMatrix(docs, "src", "text")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out(("s1", "s2")) == 0L)
+    val ln2 = math.round(math.log(2.0) * 1e6 / 2.0) * 2 // two half-terms per token
+    assert(math.abs(out(("s1", "s3")) - 693147L) <= 3L,
+      s"got ${out(("s1", "s3"))}, ln2 ref $ln2")
+  }
+
   test("Heaps checkpoints are monotone; saturated vocab fits beta ~ 0") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextStats.heapsLaw(docs, "doc_id", "text")
