@@ -128,9 +128,10 @@ object PlanAudit {
        "left-semi against the BROADCAST top-vocabK vocabulary before the " +
        "token rollup, 1-row doc-count broadcast — text never shuffles."),
     "q_ac_blocklist" ->
-      ("Aho–Corasick blocklist gate: the whole operator is ONE " +
-       "WholeStageCodegen projection over the scan (automaton rides as a " +
-       "codegen reference object) — zero Exchange operators; per-doc cost " +
+      ("Aho–Corasick blocklist gate: the operator is a staged projection " +
+       "over the scan — the automaton pass appears ONCE (aliased, then " +
+       "referenced by the hits/patterns columns) inside WholeStageCodegen; " +
+       "the only Exchange is the dump's final orderBy; per-doc cost " +
        "O(len + hits) at any pattern count."),
     "q_bleu_pairs" ->
       ("BLEU-4: grams shuffle keyed (id, n, gram) into partial hash " +

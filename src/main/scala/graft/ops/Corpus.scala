@@ -2780,9 +2780,15 @@ object Corpus {
     val arr = org.apache.spark.sql.GraftColumnBridge.column(
       graft.expressions.AcMatchCounts(
         org.apache.spark.sql.GraftColumnBridge.expression(lower(col(textCol))), ac))
-    docs.select(col(idCol),
-        aggregate(arr, lit(0L), (acc, m) => acc + m.getField("cnt")).as("n_hits"),
-        size(arr).cast("long").as("n_patterns"))
+    // staged projection: the automaton pass lands behind ONE alias that
+    // the hits/patterns projections reference — CollapseProject keeps a
+    // multiply-referenced non-cheap alias staged, so the text is scanned
+    // once per row, not once per output column
+    docs.select(col(idCol), arr.as("__m"))
+      .select(col(idCol),
+        aggregate(col("__m"), lit(0L),
+          (acc, m) => acc + m.getField("cnt")).as("n_hits"),
+        size(col("__m")).cast("long").as("n_patterns"))
       .withColumn("keep", col("n_hits") <= lit(maxHits))
   }
 
