@@ -198,9 +198,19 @@ object Bench {
     val guardFailures: Seq[String] =
       if (only.nonEmpty) Seq.empty
       else {
+        // Normalize the bar by the canary when the box runs slower than the
+        // reference environment (r10 driver canary = 2.27 s, observed
+        // same-code band 2.25–3.40): a throttled host inflates EVERY entry,
+        // and a raw bar would fail on environment, not code (observed
+        // 2026-08-15: calibration 5.89 s — 2.6× the reference — pushed a
+        // 2.9 s-normalized api_e2e to 7.66 s raw). A FASTER box never
+        // relaxes the bar (scale floors at 1).
+        val calRef = 2.27
+        val scale = math.max(1.0, calibrationSec / calRef)
         val apiBar = results.collectFirst {
-          case ("q_api_instance_e2e", (t, null)) if t > 6.0 =>
-            f"q_api_instance_e2e $t%.2f s exceeds its 6 s bar"
+          case ("q_api_instance_e2e", (t, null)) if t / scale > 6.0 =>
+            f"q_api_instance_e2e $t%.2f s exceeds its 6 s bar " +
+              f"(calibration-scaled ${t / scale}%.2f s, scale $scale%.2f)"
         }
         val canaryBar =
           if (calibrationSec < 0.5 || calibrationSec > 12.0)

@@ -2566,6 +2566,18 @@ object SparkEntry {
             .as("score_micro")),
         "lbl", "score_micro", nBins = 5)),
 
+    // ── LLM-pipeline: Luhn-validated payment-card report — the mod-10
+    // checksum gate after the digit-run regex (regex-only card detection
+    // drowns in timestamp/id false positives). Synthetic 16-digit runs
+    // injected deterministically so both engines see identical text.
+    "q_luhn_report" -> ((s, d) =>
+      graft.ops.Cleaning.luhnReport(
+        Tables.documents(s, d).select(col("source"),
+          concat(col("text"), lit(" "),
+            (lit(4000000000000000L) + (col("doc_id") * 137) % 1000000000L)
+              .cast("string")).as("text")),
+        "source", "text").orderBy(col("source"))),
+
     // ── LLM-pipeline: Jensen–Shannon divergence matrix between source
     // unigram distributions (domain-mix planning); per-token terms
     // micro-quantized before the pair sums, text never shuffles.
@@ -5590,6 +5602,10 @@ object SparkEntry {
     "q_source_js" ->
       graft.ops.TextStats.sourceJsMatrixOracleSql("documents", "source",
         "text"),
+
+    "q_luhn_report" ->
+      graft.ops.Cleaning.luhnReportOracleSql("documents", "source",
+        "concat(text, ' ', CAST(4000000000000000 + (doc_id * 137) % 1000000000 AS VARCHAR))"),
 
     "q_interval_overlap" ->
       """WITH a AS (SELECT o_orderkey AS a_id, o_orderdate AS a_lo,

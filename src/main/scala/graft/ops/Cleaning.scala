@@ -201,6 +201,66 @@ object Cleaning {
        FROM d GROUP BY 1 ORDER BY $sourceCol"""
   }
 
+  /** Checksum-validated payment-card detection (the Luhn mod-10 gate a
+    * production PII scrubber runs AFTER the digit-run regex — presidio's
+    * CreditCardRecognizer shape): 13–19-digit runs with optional single
+    * space/dash separators are candidates; a candidate is a FINDING only
+    * if its digits pass Luhn. The checksum cuts the false-positive flood
+    * (timestamps, ids, phone numbers) that makes regex-only card
+    * detection unusable at corpus scale.
+    *
+    * Scale: pure scan work — regexp extraction + a per-candidate integer
+    * fold (higher-order functions, codegen'd); ONE |sources|-row
+    * aggregate; text never shuffles. Exactness: the Luhn sum is integer
+    * arithmetic over the digit chars, identical in the oracle. */
+  def luhnReport(docs: DataFrame, sourceCol: String,
+                 textCol: String): DataFrame = {
+    // doubled digit maps to 2d or 2d-9; odd positions (from the right,
+    // 1-based) stay as-is — the textbook mod-10 checksum
+    def luhnSum(d: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(1), length(d)), lit(0L), (acc, i) => {
+        val ch = reverse(d).substr(i, lit(1)).cast("long")
+        acc + when(i % 2 === 1, ch)
+          .otherwise(when(ch * 2 > 9, ch * 2 - 9).otherwise(ch * 2))
+      })
+    val cands = transform(
+      regexp_extract_all(col(textCol), lit("(?:\\d[ -]?){12,18}\\d"), lit(0)),
+      c => regexp_replace(c, "[ -]", ""))
+    docs.select(col(sourceCol), cands.as("__cands"))
+      .select(col(sourceCol), size(col("__cands")).cast("long").as("__n"),
+        size(filter(col("__cands"), d => luhnSum(d) % 10 === 0))
+          .cast("long").as("__v"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_candidates"),
+        sum(col("__v")).as("n_valid"),
+        sum(when(col("__v") > 0, 1L).otherwise(0L)).as("docs_with_card"))
+  }
+
+  /** DuckDB oracle replaying [[luhnReport]] over `textExpr`. */
+  def luhnReportOracleSql(table: String, sourceCol: String,
+                          textExpr: String): String =
+    s"""WITH d AS (SELECT $sourceCol,
+           list_transform(regexp_extract_all($textExpr, '(?:\\d[ -]?){12,18}\\d'),
+             c -> regexp_replace(c, '[ -]', '', 'g')) AS cands
+         FROM $table),
+       v AS (SELECT $sourceCol, len(cands) AS n,
+           len(list_filter(cands, dd ->
+             list_sum(list_transform(generate_series(1, length(dd)), i ->
+               CASE WHEN i % 2 = 1
+                 THEN CAST(substring(reverse(dd), CAST(i AS INT), 1) AS BIGINT)
+                 ELSE CASE WHEN CAST(substring(reverse(dd), CAST(i AS INT), 1) AS BIGINT) * 2 > 9
+                   THEN CAST(substring(reverse(dd), CAST(i AS INT), 1) AS BIGINT) * 2 - 9
+                   ELSE CAST(substring(reverse(dd), CAST(i AS INT), 1) AS BIGINT) * 2 END END))
+             % 10 = 0)) AS nv
+         FROM d)
+       SELECT $sourceCol,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n) AS BIGINT) AS n_candidates,
+         CAST(sum(nv) AS BIGINT) AS n_valid,
+         CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_card
+       FROM v GROUP BY 1 ORDER BY $sourceCol"""
+
   /** Per-batch template-line counts for the STORED boilerplate index —
     * the incremental form of [[boilerplateLines]]: each ingest batch
     * appends its own (bucket, source, line, df) rows (distinct-per-doc

@@ -949,8 +949,13 @@ object Evaluation {
         .agg(count(lit(1)).as(cnt))
         .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
     }.reduce(_ unionByName _)
-    val cg = grams(cands, "cc")
-    val rg = grams(refs, "rc")
+    // each gram table feeds TWO consumers (the clipped-match join and its
+    // side's totals): materialize once and cut lineage, so neither branch
+    // re-explodes the corpus and the suite's GC shadow can't land on a
+    // twice-built 10M-row sort (observed: 1.7 s isolated vs 25 s late in
+    // a full bench pass before this checkpoint)
+    val cg = grams(cands, "cc").localCheckpoint(true)
+    val rg = grams(refs, "rc").localCheckpoint(true)
     val m = cg.join(rg, Seq("id", "n", "g"), "inner")
       .groupBy(col("id"), col("n"))
       .agg(sum(least(col("cc"), col("rc"))).as("m"))
@@ -1028,8 +1033,10 @@ object Evaluation {
         .agg(count(lit(1)).as(cnt))
         .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
     }.reduce(_ unionByName _)
-    val cg = grams(cands, "cc")
-    val rg = grams(refs, "rc")
+    // same two-consumer materialization as rougeN: build each side's char
+    // gram counts once, cut lineage
+    val cg = grams(cands, "cc").localCheckpoint(true)
+    val rg = grams(refs, "rc").localCheckpoint(true)
     val m = cg.join(rg, Seq("id", "n", "g"), "inner")
       .groupBy(col("id"), col("n"))
       .agg(sum(least(col("cc"), col("rc"))).as("m"))

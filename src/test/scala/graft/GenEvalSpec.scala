@@ -99,6 +99,20 @@ class GenEvalSpec extends SparkSpec {
       s"got ${out(("s1", "s3"))}, ln2 ref $ln2")
   }
 
+  test("Luhn report: checksum separates valid cards from near-miss digit runs") {
+    val docs = Seq(
+      ("s1", "pay with 4111111111111111 now"),          // valid Visa test number
+      ("s1", "ref 4111111111111112 is not a card"),     // checksum off by one
+      ("s2", "card 4111-1111-1111-1111 with dashes"),   // separators stripped
+      ("s2", "no digits here at all")
+    ).toDF("source", "text")
+    val out = graft.ops.Cleaning.luhnReport(docs, "source", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(out("s1") == ((2L, 2L, 1L, 1L))) // 2 candidates, 1 valid
+    assert(out("s2") == ((2L, 1L, 1L, 1L)))
+  }
+
   test("Heaps checkpoints are monotone; saturated vocab fits beta ~ 0") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = TextStats.heapsLaw(docs, "doc_id", "text")
