@@ -1781,6 +1781,43 @@ object SparkEntry {
         .distinct().orderBy(col("doc_id"))
     }),
 
+    // ── LLM-pipeline: STREAMING blocklist gate — arriving docs pass the
+    // Aho–Corasick automaton IN-STREAM (scan-local projection, the
+    // automaton rides once per executor in the task binary): the C4-style
+    // safety gate run AT INGEST instead of as a backfill. Re-deliveries
+    // dedup in-batch + at the sink (the gate is deterministic).
+    "q_streaming_ac_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_sac").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "ac_gate"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.Corpus.acBlocklistFilter(
+            batch.dropDuplicates("doc_id"), "doc_id", "text", AcPatterns,
+            maxHits = 2L)
+          .withColumn("ts", timestamp_micros(
+            (col("doc_id") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("doc_id"), col("n_hits"), col("n_patterns"), col("keep"))
+        .distinct().orderBy(col("doc_id"))
+    }),
+
     // Streaming quantile-sketch maintenance: the base corpus's histogram
     // pipe is extended by per-micro-batch histograms of arriving docs
     // (re-deliveries dedup in-batch + at the sink — identical rows);
@@ -2416,6 +2453,17 @@ object SparkEntry {
       ApproxDedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           bucketCol = "source", window = 50, n = 1, threshold = 0.5)
         .orderBy(col("id1"), col("id2"))),
+
+    // ── LLM-pipeline: dedup-rate sweep — docs removed by keep-first dedup
+    // at each candidate threshold, all thresholds from ONE pass over the
+    // pair table (distinct larger endpoints of surviving pairs — exact
+    // for the id-ordered greedy policy, no clustering).
+    "q_dedup_sweep" -> ((s, d) =>
+      ApproxDedup.dedupThresholdSweep(
+        ApproxDedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          bucketCol = "source", window = 50, n = 1, threshold = 0.3),
+        "id1", "id2", "jaccard", thresholds = Seq(0.3, 0.5, 0.7, 0.9))
+        .orderBy(col("threshold_micro"))),
 
     // MinHash-LSH near-dup: scale path (band join, never a cross join).
     // The exact-Jaccard verify stage removes LSH false positives; r=1
@@ -4013,6 +4061,22 @@ object SparkEntry {
       graft.ops.TextStats.lexicalDiversity(Tables.documents(s, d),
         "doc_id", "text").orderBy(col("id"))),
 
+    // ── LLM-pipeline: composed RELEASE REPORT — the per-source dataset
+    // nutrition label a release publishes in one table: the data card
+    // (counts/tokens/quality/uniques) ⋈ the PII exposure fraction ⋈ the
+    // distinct-2 diversity. One scan per signal family, joined on the
+    // |sources|-row axis.
+    "q_release_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Corpus.dataCard(docs, "source", "lang", "text")
+        .join(graft.ops.Cleaning.piiReport(docs, "source", "text")
+          .select(col("source"), col("pii_doc_frac_micro")), Seq("source"))
+        .join(graft.ops.TextStats.distinctN(docs, "source", "text", Seq(2))
+          .select(col("grp").as("source"),
+            col("distinct_micro").as("distinct2_micro")), Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // ── LLM-pipeline: distinct-n diversity per source (Li et al. 2016) —
     // templated/mode-collapsed sources crater distinct-2 before any
     // per-doc signal moves. One grams pass per n, |sources| rows out.
@@ -5504,6 +5568,19 @@ object SparkEntry {
         threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),
 
+    "q_dedup_sweep" ->
+      ApproxDedup.dedupThresholdSweepOracleSql(
+        """WITH sh AS (
+             SELECT source AS bucket, doc_id,
+               list_distinct(string_split_regex(trim(text), '\s+')) AS sh
+             FROM documents),
+           pr AS (
+             SELECT a.doc_id AS id1, b.doc_id AS id2,
+               len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+             FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50)
+           SELECT id1, id2, jaccard FROM pr WHERE jaccard >= 0.3""",
+        "jaccard", thresholds = Seq(0.3, 0.5, 0.7, 0.9)),
+
     "q_dup_ngram_stats" ->
       """WITH toks AS (
            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -5982,6 +6059,11 @@ object SparkEntry {
     "q_ac_index_sync" ->
       graft.ops.Corpus.acPatternStatsOracleSql("documents", "doc_id", "text",
         patterns = AcPatterns),
+
+    "q_streaming_ac_probe" ->
+      graft.ops.Corpus.acBlocklistFilterOracleSql(
+        "(SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        "doc_id", "text", patterns = AcPatterns, maxHits = 2L),
 
     "q_bpe_train" ->
       graft.ops.Corpus.bpeTrainOracleSql("documents", "text", nMerges = 8),
@@ -7324,6 +7406,14 @@ object SparkEntry {
     "q_distinct_n" ->
       graft.ops.TextStats.distinctNOracleSql("documents", "source", "text",
         ns = Seq(1, 2)),
+
+    "q_release_report" ->
+      s"""WITH card AS ($dataCardOracle),
+         pii AS (${graft.ops.Cleaning.piiReportOracleSql("documents", "source", "text")}),
+         dv AS (${graft.ops.TextStats.distinctNOracleSql("documents", "source", "text", Seq(2))})
+       SELECT card.*, pii.pii_doc_frac_micro, dv.distinct_micro AS distinct2_micro
+       FROM card JOIN pii USING (source) JOIN dv ON dv.grp = card.source
+       ORDER BY source""",
 
     "q_heaps_law" ->
       graft.ops.TextStats.heapsLawOracleSql("documents", "doc_id", "text",

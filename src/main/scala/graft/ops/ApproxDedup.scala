@@ -1598,6 +1598,44 @@ object ApproxDedup {
        FROM $table d LEFT JOIN heads h USING ($idCol) LEFT JOIN tails t USING ($idCol)
        ORDER BY d.$idCol"""
 
+  /** Dedup-rate sweep over similarity thresholds — the threshold-tuning
+    * curve a curation run reads BEFORE committing to a cutoff: for each
+    * candidate threshold, how many documents would the keep-first policy
+    * remove (a doc drops iff it pairs with ANY lower-id doc at ≥ t, i.e.
+    * the distinct larger endpoints of the surviving pairs — exact for the
+    * id-ordered greedy dedup, no clustering needed). ONE pass over the
+    * pair table computes every threshold's count (|thresholds|
+    * conditional count-distincts); the row explode happens on the single
+    * aggregated row. Pair mining cost stays upstream.
+    */
+  def dedupThresholdSweep(pairs: DataFrame, id1: String, id2: String,
+                          simCol: String, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "at least one threshold")
+    val aggs = thresholds.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col(simCol) >= t,
+        greatest(col(id1), col(id2)))).as(s"__r$i")
+    }
+    val row = pairs.agg(aggs.head, aggs.tail: _*)
+    thresholds.zipWithIndex.map { case (t, i) =>
+      row.select(lit(math.round(t * 1e6)).as("threshold_micro"),
+        col(s"__r$i").as("docs_removed"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle replaying [[dedupThresholdSweep]] over `pairsSql`
+    * (a table expression yielding (id1, id2, sim)). */
+  def dedupThresholdSweepOracleSql(pairsSql: String, simCol: String,
+                                   thresholds: Seq[Double]): String = {
+    val arms = thresholds.map { t =>
+      s"""SELECT CAST(${math.round(t * 1e6)} AS BIGINT) AS threshold_micro,
+           CAST(count(DISTINCT CASE WHEN $simCol >= $t
+             THEN greatest(id1, id2) END) AS BIGINT) AS docs_removed
+         FROM p"""
+    }
+    s"""WITH p AS ($pairsSql)
+       ${arms.mkString("", "\nUNION ALL\n", "\nORDER BY threshold_micro")}"""
+  }
+
   /** Near-duplicate CLUSTERS from a pair list: connected components by
     * iterative min-label propagation (the hash-min variant of
     * large-star/small-star, Kiveris et al. 2014) — every document's label
