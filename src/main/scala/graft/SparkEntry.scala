@@ -1818,6 +1818,55 @@ object SparkEntry {
         .distinct().orderBy(col("doc_id"))
     }),
 
+    // ── LLM-pipeline: STREAMING centroid-drift probe — arriving vectors
+    // stamp their (cell, d_micro) assignment IN-STREAM (scan-local argmax
+    // over the broadcast centroids); per-vector rows are deterministic,
+    // so redelivery dedups with a distinct, and the drift trigger folds
+    // the deduped rows into the same additive stats the batch pipe
+    // stores. The retrain monitor fed AT INGEST.
+    "q_streaming_drift_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_sdrift").toString
+      val eng  = new SyncEngine(s, root)
+      val emb  = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+        "embedding", 16)
+      val statsSpec = PipeSpec(PipeKeys("stream", "cell_stats"),
+        columns = ColumnRoles(Map("datetime" -> "epoch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(statsSpec).create(SimilaritySearch.cellStatsBatch(
+        emb.where(col("vec_id") % 2 === 0), "embedding", cents, 0L))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      emb.where(col("vec_id") % 2 === 1)
+        .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "cell_assigns"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => SimilaritySearch.cellAssignRows(
+            batch.dropDuplicates("vec_id"), "vec_id", "embedding", cents, 1L)
+          .withColumn("ts", timestamp_micros(
+            (col("vec_id") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      val streamedStats = SimilaritySearch.cellStatsFromAssigns(
+        eng.getData(sinkSpec)
+          .select(col("epoch"), col("vec_id"), col("cell"), col("d_micro"))
+          .distinct())
+      SimilaritySearch.centroidDriftFromStats(
+        eng.getData(statsSpec).select("epoch", "cell", "n", "sd")
+          .unionByName(streamedStats.select("epoch", "cell", "n", "sd")),
+        k = 16, baseEpoch = 0L, curEpoch = 1L)
+    }),
+
     // Streaming quantile-sketch maintenance: the base corpus's histogram
     // pipe is extended by per-micro-batch histograms of arriving docs
     // (re-deliveries dedup in-batch + at the sink — identical rows);
@@ -7435,6 +7484,13 @@ object SparkEntry {
     // fold ≡ rebuild (stat sums are additive), so the stored drift
     // monitor replays from the raw vectors with the epoch predicates
     "q_centroid_drift_index_sync" ->
+      graft.ops.SimilaritySearch.centroidDriftOracleSql(
+        "embeddings", "vec_id", "embedding", k = 16,
+        baseWhere = "vec_id % 2 = 0", curWhere = "vec_id % 2 = 1"),
+
+    // re-keyed arrivals are the same vectors, so the streamed drift
+    // replays with the identical epoch predicates
+    "q_streaming_drift_probe" ->
       graft.ops.SimilaritySearch.centroidDriftOracleSql(
         "embeddings", "vec_id", "embedding", k = 16,
         baseWhere = "vec_id % 2 = 0", curWhere = "vec_id % 2 = 1"),

@@ -526,18 +526,40 @@ object SimilaritySearch {
     * pipe under an integer epoch axis. n and sd are sums, so any number
     * of syncs per epoch fold to the epoch's exact stats. */
   def cellStatsBatch(emb: DataFrame, vecCol: String,
+                     centroids: Seq[Seq[Double]], epoch: Long): DataFrame =
+    cellAssignRows(emb, null, vecCol, centroids, epoch)
+      .groupBy(col("epoch"), col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sd"))
+      .select(col("epoch"), col("cell"), col("n"), col("sd"))
+
+  /** Per-VECTOR assignment rows (epoch, [id,] cell, d_micro) — the
+    * streaming-ingest form of [[cellStatsBatch]]: rows are a
+    * deterministic function of the vector, so at-least-once redelivery
+    * dedups with a plain distinct (per-batch AGGREGATES would
+    * double-count across redelivered micro-batches);
+    * [[cellStatsFromAssigns]] folds the deduped rows into the same
+    * additive stats the batch path stores. Pass `idCol = null` to omit
+    * the id column (the batch path aggregates immediately and needs no
+    * dedup key). */
+  def cellAssignRows(emb: DataFrame, idCol: String, vecCol: String,
                      centroids: Seq[Seq[Double]], epoch: Long): DataFrame = {
     val coss = array(centroids.map(c =>
       VectorFns.cosine(col(vecCol), typedLit(c.toArray))): _*)
-    emb.select(
+    val idCols = Option(idCol).map(col).toSeq
+    emb.select(idCols ++ Seq(
         element_at(transform(array(coss), s =>
           array_position(s, array_max(s)) - 1), 1).cast("int").as("cell"),
         floor((lit(1.0d) - array_max(coss)) * lit(1e6)).cast("long")
-          .as("d_micro"))
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sd"))
-      .select(lit(epoch).as("epoch"), col("cell"), col("n"), col("sd"))
+          .as("d_micro")): _*)
+      .select((lit(epoch).as("epoch") +: (idCols ++
+        Seq(col("cell"), col("d_micro")))): _*)
   }
+
+  /** Fold deduped per-vector assignment rows into the (epoch, cell, n,
+    * sd) stats [[centroidDriftFromStats]] reads. */
+  def cellStatsFromAssigns(rows: DataFrame): DataFrame =
+    rows.groupBy(col("epoch"), col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d_micro")).as("sd"))
 
   /** Retrain trigger from STORED cell stats ([[cellStatsBatch]] rows read
     * back from the pipe): per cell, occupancy-share PSI term between the
