@@ -4110,6 +4110,20 @@ object SparkEntry {
       graft.ops.TextStats.lexicalDiversity(Tables.documents(s, d),
         "doc_id", "text").orderBy(col("id"))),
 
+    // ── LLM-pipeline: fill-in-the-middle transform (Bavarian et al.
+    // 2022) — deterministic md5 cut points, PSM re-serialization; pure
+    // scan projection, zero shuffles.
+    "q_fim_transform" -> ((s, d) =>
+      graft.ops.Corpus.fimTransform(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: T5 span corruption (Raffel et al. 2020 §3.1.4) —
+    // deterministic per-position masking, runs merge into sentinel spans;
+    // the only window is per-document.
+    "q_span_corruption" -> ((s, d) =>
+      graft.ops.Corpus.spanCorruption(Tables.documents(s, d), "doc_id",
+        "text", pct = 15).orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: composed RELEASE REPORT — the per-source dataset
     // nutrition label a release publishes in one table: the data card
     // (counts/tokens/quality/uniques) ⋈ the PII exposure fraction ⋈ the
@@ -7455,6 +7469,13 @@ object SparkEntry {
     "q_distinct_n" ->
       graft.ops.TextStats.distinctNOracleSql("documents", "source", "text",
         ns = Seq(1, 2)),
+
+    "q_fim_transform" ->
+      graft.ops.Corpus.fimTransformOracleSql("documents", "doc_id", "text"),
+
+    "q_span_corruption" ->
+      graft.ops.Corpus.spanCorruptionOracleSql("documents", "doc_id", "text",
+        pct = 15),
 
     "q_release_report" ->
       s"""WITH card AS ($dataCardOracle),

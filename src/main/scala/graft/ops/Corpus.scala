@@ -2744,6 +2744,144 @@ object Corpus {
        FROM $table ORDER BY $idCol"""
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022) — the data prep
+    * behind infilling-capable code/text models: each document splits at
+    * two DETERMINISTIC pseudo-random token positions (md5 of the doc id —
+    * reproducible across engines and re-runs, the repo's standard
+    * hash-randomness) into prefix/middle/suffix and re-serializes in PSM
+    * order `<PRE> prefix <SUF> suffix <MID> middle`. Pure scan
+    * projection — array slices over the token array, zero shuffles at
+    * any corpus size; output feeds chunking/packing unchanged.
+    * Documents with < 3 tokens pass through unsplit (i = j = L). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFns
+    val toks = TextFns.tokens(trim(col(textCol)))
+    val out = docs.select(col(idCol), toks.as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
+      .select(col(idCol), col("__t"), col("__n").cast("long").as("n_tokens"),
+        // i in [1, L-2], j in [i, L-1] for L >= 3: both cut points interior
+        when(col("__n") >= 3,
+          lit(1) + pmod(TextFns.md5Long60(concat(col(idCol).cast("string"),
+            lit("|p"))), (col("__n") - 2).cast("long")).cast("int"))
+          .otherwise(col("__n")).as("__i"))
+      .select(col(idCol), col("__t"), col("n_tokens"), col("__i"),
+        when(col("n_tokens") >= 3,
+          col("__i") + pmod(TextFns.md5Long60(concat(col(idCol).cast("string"),
+            lit("|s"))), (col("n_tokens").cast("int") - col("__i")).cast("long"))
+            .cast("int"))
+          .otherwise(col("__i")).as("__j"))
+    out.select(col(idCol), col("n_tokens"),
+      col("__i").cast("long").as("cut_i"), col("__j").cast("long").as("cut_j"),
+      concat(lit("<PRE> "),
+        array_join(slice(col("__t"), lit(1), col("__i")), " "),
+        lit(" <SUF> "),
+        array_join(slice(col("__t"), col("__j") + 1,
+          greatest(col("n_tokens").cast("int") - col("__j"), lit(0))), " "),
+        lit(" <MID> "),
+        array_join(slice(col("__t"), col("__i") + 1,
+          col("__j") - col("__i")), " ")).as("fim_text"))
+  }
+
+  /** DuckDB oracle replaying [[fimTransform]]. */
+  def fimTransformOracleSql(table: String, idCol: String,
+                            textCol: String): String =
+    s"""WITH t AS (SELECT $idCol AS id,
+           string_split_regex(trim($textCol), '\\s+') AS tk FROM $table),
+       n AS (SELECT id, tk, CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+       ci AS (SELECT *, CASE WHEN n_tokens >= 3
+               THEN 1 + CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || '|p'), 1, 15)) AS BIGINT) % (n_tokens - 2)
+               ELSE n_tokens END AS i FROM n),
+       cj AS (SELECT *, CASE WHEN n_tokens >= 3
+               THEN i + CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || '|s'), 1, 15)) AS BIGINT) % (n_tokens - i)
+               ELSE i END AS j FROM ci)
+       SELECT id AS $idCol, n_tokens, i AS cut_i, j AS cut_j,
+         '<PRE> ' || coalesce(array_to_string(tk[1:CAST(i AS INT)], ' '), '') ||
+         ' <SUF> ' || coalesce(array_to_string(tk[CAST(j + 1 AS INT):CAST(n_tokens AS INT)], ' '), '') ||
+         ' <MID> ' || coalesce(array_to_string(tk[CAST(i + 1 AS INT):CAST(j AS INT)], ' '), '')
+           AS fim_text
+       FROM cj ORDER BY id"""
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective data prep: each token position masks with a
+    * DETERMINISTIC pseudo-random rate (md5(id|pos) mod 100 < `pct`),
+    * consecutive masked positions merge into one span, the input
+    * replaces each span with a sentinel `<Xk>` and the target lists each
+    * sentinel followed by its span's tokens. Deterministic ⇒ replayable
+    * and redelivery-safe (the streaming-dedup property every transform
+    * in this repo keeps).
+    *
+    * Scale: positions explode per token; the only window is PER-DOCUMENT
+    * (partitioned by id, ordered by position — the running span count),
+    * then one per-doc aggregate reassembles both strings with
+    * order-pinned joins. Rows ∝ tokens, no global state. */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     pct: Int = 15): DataFrame = {
+    import graft.functions.TextFns
+    require(pct > 0 && pct < 100, "pct in (0, 100)")
+    val pos = docs.select(col(idCol), posexplode(TextFns.tokens(trim(col(textCol))))
+        .as(Seq("pos", "tok")))
+      .withColumn("mask",
+        pmod(TextFns.md5Long60(concat(col(idCol).cast("string"), lit("|"),
+          col("pos").cast("string"))), lit(100L)) < pct)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = pos
+      .withColumn("new_span",
+        col("mask") && !coalesce(lag(col("mask"), 1).over(w), lit(false)))
+      .withColumn("span_id",
+        sum(col("new_span").cast("long")).over(w) - 1L)
+      .select(col(idCol), col("pos"), col("tok"), col("mask"), col("new_span"),
+        when(!col("mask"), col("tok"))
+          .otherwise(when(col("new_span"),
+            concat(lit("<X"), col("span_id"), lit(">")))).as("in_piece"),
+        when(col("mask"),
+          when(col("new_span"),
+            concat(lit("<X"), col("span_id"), lit("> "), col("tok")))
+            .otherwise(col("tok"))).as("tgt_piece"))
+    def joined(piece: String) = array_join(transform(filter(
+        array_sort(collect_list(struct(col("pos"), col(piece).as("p")))),
+        x => x.getField("p").isNotNull), x => x.getField("p")), " ")
+    spans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("mask").cast("long")).as("n_masked"),
+        sum(col("new_span").cast("long")).as("n_spans"),
+        joined("in_piece").as("input"),
+        joined("tgt_piece").as("target"))
+  }
+
+  /** DuckDB oracle replaying [[spanCorruption]]. */
+  def spanCorruptionOracleSql(table: String, idCol: String, textCol: String,
+                              pct: Int = 15): String =
+    s"""WITH p AS (
+         SELECT id, unnest(list_transform(generate_series(1, len(tk)),
+             i -> {'pos': CAST(i - 1 AS BIGINT), 'tok': tk[i]}),
+           recursive := true)
+         FROM (SELECT $idCol AS id,
+                 string_split_regex(trim($textCol), '\\s+') AS tk
+               FROM $table)),
+       m AS (SELECT *, (CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || '|' || CAST(pos AS VARCHAR)), 1, 15)) AS BIGINT) % 100) < $pct AS mask
+             FROM p),
+       s AS (SELECT *,
+               mask AND NOT coalesce(lag(mask) OVER (PARTITION BY id ORDER BY pos), false) AS new_span
+             FROM m),
+       sp AS (SELECT *,
+               sum(CASE WHEN new_span THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY id ORDER BY pos) - 1 AS span_id
+              FROM s),
+       pieces AS (SELECT id, pos, mask, new_span,
+               CASE WHEN NOT mask THEN tok
+                 WHEN new_span THEN '<X' || CAST(span_id AS VARCHAR) || '>' END AS in_piece,
+               CASE WHEN mask THEN
+                 CASE WHEN new_span THEN '<X' || CAST(span_id AS VARCHAR) || '> ' || tok
+                   ELSE tok END END AS tgt_piece
+             FROM sp)
+       SELECT id AS $idCol, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN mask THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         CAST(sum(CASE WHEN new_span THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input,
+         coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
+       FROM pieces GROUP BY id ORDER BY id"""
+
   /** Per-pattern overlapping occurrence counts under ONE Aho–Corasick
     * automaton pass ([[graft.expressions.AcAutomaton]]) — the scale path
     * for large blocklists: [[blocklistFilter]]'s array-literal scan is

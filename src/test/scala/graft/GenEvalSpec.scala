@@ -99,6 +99,42 @@ class GenEvalSpec extends SparkSpec {
       s"got ${out(("s1", "s3"))}, ln2 ref $ln2")
   }
 
+  test("FIM transform preserves every token and keeps cut points ordered") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val out = graft.ops.Corpus.fimTransform(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    out.foreach { case (_, n, i, j, fim, text) =>
+      assert(1L <= i && i <= j && j <= n)
+      val orig = text.trim.split("\\s+").toSeq.sorted
+      val re = fim.split("\\s+").filterNot(
+        Set("<PRE>", "<SUF>", "<MID>").contains).toSeq.sorted
+      assert(re == orig)
+    }
+  }
+
+  test("span corruption: sentinels align and input+target rebuild the doc") {
+    val docs = Seq((1L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val (nTok, nMasked, nSpans, input, target) =
+      graft.ops.Corpus.spanCorruption(docs, "doc_id", "text", pct = 40)
+        .select("n_tokens", "n_masked", "n_spans", "input", "target")
+        .as[(Long, Long, Long, String, String)].head()
+    assert(nTok == 16L && nMasked > 0L && nSpans > 0L)
+    // input holds exactly n_spans sentinels in order; target opens with <X0>
+    val sentinels = "<X\\d+>".r.findAllIn(input).toSeq
+    assert(sentinels == (0L until nSpans).map(k => s"<X$k>"))
+    // splicing each target span back over its sentinel rebuilds the doc
+    val tgtSpans = target.split("(?=<X\\d+>)").filter(_.nonEmpty)
+      .map { s => val p = s.trim.split(" ", 2); p(0) -> (if (p.length > 1) p(1) else "") }
+      .toMap
+    val rebuilt = input.split(" ").toSeq.flatMap { t =>
+      if (t.matches("<X\\d+>")) tgtSpans(t).split(" ").filter(_.nonEmpty).toSeq
+      else Seq(t)
+    }.mkString(" ")
+    assert(rebuilt == "a b c d e f g h i j k l m n o p", rebuilt)
+  }
+
   test("Luhn report: checksum separates valid cards from near-miss digit runs") {
     val docs = Seq(
       ("s1", "pay with 4111111111111111 now"),          // valid Visa test number
