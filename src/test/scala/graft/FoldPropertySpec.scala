@@ -104,6 +104,77 @@ class FoldPropertySpec extends SparkSpec {
     })
   }
 
+  // ---- round-11 folds: AC pattern stats, cell stats, gram index ----------
+
+  private val acDocs: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(19L)
+    val words = Array("scan", "merge", "order", "plain", "xyz")
+    (1L to 12L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(5))(words(rng.nextInt(words.length))).mkString(" ")))
+  }
+  private val acPats = Seq("scan", "can", "an", "merge", "erg", "zzz")
+
+  test("AC pattern-stats fold == full rebuild over 50 generated batch splits") {
+    import graft.ops.Corpus
+    val full = Corpus.acPatternStats(acDocs.toDF("doc_id", "text"),
+        "doc_id", "text", acPats)
+      .as[(String, Long, Long)].collect().toSet
+    check(forAll(splitGen(acDocs.size)) { marks =>
+      val folded = Corpus.acPatternStatsFold(
+          batches(acDocs, marks).map(p => Corpus.acPatternStatsBatch(
+            p.toDF("doc_id", "text"), "doc_id", "text", acPats, buckets = 4))
+            .reduce(_ unionByName _)
+            .select("pattern", "n_docs", "n_hits"))
+        .as[(String, Long, Long)].collect().toSet
+      folded == full
+    })
+  }
+
+  private val cellVecs: Seq[(Long, Array[Double])] = {
+    val rng = new scala.util.Random(23L)
+    (0L to 19L).map(i => (i, Array.fill(4)(rng.nextDouble() - 0.3)))
+  }
+  private val cellCents: Seq[Seq[Double]] =
+    cellVecs.take(4).map(_._2.toSeq)
+
+  test("cell-stats fold == full rebuild over 50 generated batch splits") {
+    import graft.ops.SimilaritySearch
+    def stats(rows: Seq[(Long, Array[Double])]) =
+      SimilaritySearch.cellStatsBatch(rows.toDF("vec_id", "embedding"),
+        "embedding", cellCents, epoch = 0L)
+    val full = stats(cellVecs).as[(Long, Int, Long, Long)].collect().toSet
+    check(forAll(splitGen(cellVecs.size)) { marks =>
+      // blind-appended per-batch stats fold by sum within the epoch
+      val folded = batches(cellVecs, marks).map(stats)
+        .reduce(_ unionByName _)
+        .groupBy(col("epoch"), col("cell"))
+        .agg(sum(col("n")).as("n"), sum(col("sd")).as("sd"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      folded == full
+    })
+  }
+
+  private val gramDocs: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(29L)
+    val words = Array("a", "b", "c", "d")
+    (1L to 12L).map(i =>
+      (i, Seq.fill(3 + rng.nextInt(5))(words(rng.nextInt(words.length))).mkString(" ")))
+  }
+
+  test("gram-index fold (distinct of unioned batch-distincts) == rebuild over 50 splits") {
+    import graft.ops.TextStats
+    def idx(rows: Seq[(Long, String)]) = TextStats.gramIndexBatch(
+      rows.toDF("doc_id", "text"), "doc_id", "text", n = 2, buckets = 4)
+    val full = idx(gramDocs).select("h").distinct()
+      .as[Long].collect().toSet
+    check(forAll(splitGen(gramDocs.size)) { marks =>
+      val folded = batches(gramDocs, marks).map(idx)
+        .reduce(_ unionByName _)
+        .select("h").distinct().as[Long].collect().toSet
+      folded == full
+    })
+  }
+
   // ---- data-card fold -----------------------------------------------------
 
   private val cardDocs: Seq[(Long, String, String, String)] = {
