@@ -49,6 +49,11 @@ object SparkEntry {
   private val AcPatterns = Seq("scan", "can", "an", "merge", "erg", "order",
     "rde", "sort", "table", "row", "a b", "spark", "zzznever", "qqq")
 
+  // URL deny-prefixes for the prefix-blocklist queries: nested entries
+  // ("https://src1" ⊂ "https://src1.example/en") prove multi-emit walks
+  private val UrlDenyPrefixes = Seq("https://src1", "https://src1.example/en",
+    "https://src3.example", "https://src7.example/de", "https://nomatch")
+
   /** DuckDB replay of TextFns.qualityScore × 1e6 — shared by the
     * calibration-bins and ECE oracles. */
   private val qualityMicroSql: String =
@@ -4110,6 +4115,18 @@ object SparkEntry {
       graft.ops.TextStats.lexicalDiversity(Tables.documents(s, d),
         "doc_id", "text").orderBy(col("id"))),
 
+    // ── LLM-pipeline: URL deny-list — prefix matching under the pure
+    // trie walk (O(min(|url|, max prefix)) at ANY list size, where a
+    // startsWith OR-chain is O(url · prefixes)); synthetic URLs derive
+    // deterministically from (source, lang, doc_id) on both engines.
+    "q_prefix_blocklist" -> ((s, d) =>
+      graft.ops.Corpus.prefixBlocklist(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example/"),
+            col("lang"), lit("/"), col("doc_id")).as("url")),
+        "doc_id", "url", prefixes = UrlDenyPrefixes)
+        .orderBy(col("doc_id"))),
+
     // ── LLM-pipeline: fill-in-the-middle transform (Bavarian et al.
     // 2022) — deterministic md5 cut points, PSM re-serialization; pure
     // scan projection, zero shuffles.
@@ -7469,6 +7486,11 @@ object SparkEntry {
     "q_distinct_n" ->
       graft.ops.TextStats.distinctNOracleSql("documents", "source", "text",
         ns = Seq(1, 2)),
+
+    "q_prefix_blocklist" ->
+      graft.ops.Corpus.prefixBlocklistOracleSql("documents", "doc_id",
+        "concat('https://', source, '.example/', lang, '/', CAST(doc_id AS VARCHAR))",
+        prefixes = UrlDenyPrefixes),
 
     "q_fim_transform" ->
       graft.ops.Corpus.fimTransformOracleSql("documents", "doc_id", "text"),

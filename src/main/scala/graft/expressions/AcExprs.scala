@@ -53,6 +53,28 @@ final class AcAutomaton private (
     0 // unreachable
   }
 
+  /** PREFIX matches: pattern ids whose full pattern is a prefix of
+    * `text` — the pure trie walk from the root (failure links unused),
+    * the URL deny-list / robots-rule semantics. O(min(|text|, max
+    * pattern length)) per value at ANY pattern count. Sorted by id. */
+  def prefixMatches(text: String): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var state = 0
+    var i = 0
+    val n = text.length
+    var live = true
+    while (live && i < n) {
+      val idx = java.util.Arrays.binarySearch(chars(state), text.charAt(i))
+      if (idx < 0) live = false
+      else {
+        state = targets(state)(idx)
+        out ++= emit(state)
+        i += 1
+      }
+    }
+    out.sorted.toArray
+  }
+
   /** Per-pattern occurrence counts over `text`, sorted by pattern id. */
   def matchCounts(text: String): Array[(Int, Long)] = {
     val counts = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -130,6 +152,9 @@ object AcAutomaton {
 /** Call target for [[AcMatchCounts]]'s generated code — shared with
   * interpreted eval so the two paths cannot drift. */
 object AcKernel {
+  def prefixArray(text: UTF8String, ac: AcAutomaton): ArrayData =
+    new GenericArrayData(ac.prefixMatches(text.toString))
+
   def compute(text: UTF8String, ac: AcAutomaton): ArrayData = {
     val hits = ac.matchCounts(text.toString)
     val rows = new Array[Any](hits.length)
@@ -140,6 +165,31 @@ object AcKernel {
     }
     new GenericArrayData(rows)
   }
+}
+
+/** `array<int>` of pattern ids that are PREFIXES of the input — the
+  * deny-list trie walk ([[AcAutomaton.prefixMatches]]), codegen'd via
+  * the same reference-object idiom as [[AcMatchCounts]]. */
+case class AcPrefixMatches(child: Expression, ac: AcAutomaton)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ac_prefix_matches expects string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    AcKernel.prefixArray(v.asInstanceOf[UTF8String], ac)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expressions.AcKernel.prefixArray($v, $acRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** `array<struct<pid int, cnt bigint>>` of per-pattern overlapping

@@ -2955,6 +2955,43 @@ object Corpus {
     rows.groupBy(col("pattern"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_hits")).as("n_hits"))
 
+  /** URL/prefix deny-list under the same automaton's pure TRIE walk
+    * ([[graft.expressions.AcAutomaton.prefixMatches]] — failure links
+    * unused): a row is blocked when ANY deny-prefix is a prefix of its
+    * (case-folded) value. O(min(|value|, max prefix length)) per row at
+    * ANY list size — the robots-rule / URL-blocklist scale path where a
+    * `startsWith` OR-chain is O(value · prefixes). Matched prefixes are
+    * reported in deterministic (lexicographic) order. */
+  def prefixBlocklist(docs: DataFrame, idCol: String, valueCol: String,
+                      prefixes: Seq[String]): DataFrame = {
+    val ac = graft.expressions.AcAutomaton.build(prefixes.map(_.toLowerCase))
+    val arr = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.AcPrefixMatches(
+        org.apache.spark.sql.GraftColumnBridge.expression(lower(col(valueCol))), ac))
+    val pats = typedLit(ac.patterns)
+    // matched prefixes serialize to one comma-joined string (array columns
+    // don't survive the driver's sort-rows-by-all-columns compare)
+    docs.select(col(idCol), arr.as("__p"))
+      .select(col(idCol),
+        size(col("__p")).cast("long").as("n_matched"),
+        array_join(transform(col("__p"), i => element_at(pats, i + 1)), ",")
+          .as("matched"))
+      .withColumn("keep", col("n_matched") === 0L)
+  }
+
+  /** DuckDB oracle replaying [[prefixBlocklist]] over `valueExpr`. */
+  def prefixBlocklistOracleSql(table: String, idCol: String, valueExpr: String,
+                               prefixes: Seq[String]): String = {
+    val list = prefixes.map(_.toLowerCase).distinct.sorted
+      .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT $idCol AS id,
+           list_filter($list, p -> starts_with(lower($valueExpr), p)) AS lf
+         FROM $table)
+       SELECT id AS $idCol, CAST(len(lf) AS BIGINT) AS n_matched,
+         coalesce(array_to_string(lf, ','), '') AS matched, len(lf) = 0 AS keep
+       FROM d ORDER BY id"""
+  }
+
   private def acOracleCtes(table: String, idCol: String, textCol: String,
                            patterns: Seq[String]): String = {
     val list = patterns.map(_.toLowerCase).distinct.sorted

@@ -51,6 +51,29 @@ class AcSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("prefix walk matches nested prefixes, never mid-string occurrences") {
+    val ac = AcAutomaton.build(Seq("ab", "abc", "bc", "zz"))
+    def names(t: String) = ac.prefixMatches(t).map(ac.patterns(_)).toSeq
+    assert(names("abcd") == Seq("ab", "abc")) // "bc" occurs mid-string: NOT a prefix
+    assert(names("ab") == Seq("ab"))
+    assert(names("a") == Seq())
+    assert(names("") == Seq())
+    assert(names("bcde") == Seq("bc"))
+  }
+
+  test("prefixBlocklist blocks on any deny-prefix, reports matches in order") {
+    val rows = Seq((1L, "https://bad.example/x"), (2L, "https://ok.example"),
+      (3L, "HTTPS://BAD.example"))
+      .toDF("doc_id", "url")
+    val out = Corpus.prefixBlocklist(rows, "doc_id", "url",
+        Seq("https://bad", "https://bad.example", "https://worse"))
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(out(1L) == ((2L, "https://bad,https://bad.example", false)))
+    assert(out(2L) == ((0L, "", true)))
+    assert(out(3L)._1 == 2L) // case-folded
+  }
+
   test("acBlocklistFilter keeps zero-hit docs and thresholds totals") {
     val docs = Seq((1L, "Scan the table"), (2L, "nothing here"), (3L, "a b a b"))
       .toDF("doc_id", "text")
