@@ -4141,6 +4141,14 @@ object SparkEntry {
       graft.ops.Corpus.spanCorruption(Tables.documents(s, d), "doc_id",
         "text", pct = 15).orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: UL2 mixture-of-denoisers (Tay et al. 2022) — the
+    // corpus under R (15%) and X (45%) denoiser configs with mode tokens,
+    // unioned into one training mixture.
+    "q_ul2_mixture" -> ((s, d) =>
+      graft.ops.Corpus.ul2Mixture(Tables.documents(s, d), "doc_id", "text",
+        configs = Seq("R" -> 15, "X" -> 45))
+        .orderBy(col("doc_id"), col("denoiser"))),
+
     // ── LLM-pipeline: composed RELEASE REPORT — the per-source dataset
     // nutrition label a release publishes in one table: the data card
     // (counts/tokens/quality/uniques) ⋈ the PII exposure fraction ⋈ the
@@ -7498,6 +7506,10 @@ object SparkEntry {
     "q_span_corruption" ->
       graft.ops.Corpus.spanCorruptionOracleSql("documents", "doc_id", "text",
         pct = 15),
+
+    "q_ul2_mixture" ->
+      graft.ops.Corpus.ul2MixtureOracleSql("documents", "doc_id", "text",
+        configs = Seq("R" -> 15, "X" -> 45)),
 
     "q_release_report" ->
       s"""WITH card AS ($dataCardOracle),

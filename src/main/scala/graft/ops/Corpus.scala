@@ -2882,6 +2882,32 @@ object Corpus {
          coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS target
        FROM pieces GROUP BY id ORDER BY id"""
 
+  /** UL2 mixture-of-denoisers prep (Tay et al. 2022): the same corpus
+    * serialized under SEVERAL denoiser configs — each (tag, pct) runs
+    * [[spanCorruption]] at its corruption rate with the tag prepended to
+    * the input (the UL2 mode token, e.g. [R]/[X]) — and the union is the
+    * training mixture. Per-config determinism is inherited; rows =
+    * |configs| · |docs|. */
+  def ul2Mixture(docs: DataFrame, idCol: String, textCol: String,
+                 configs: Seq[(String, Int)]): DataFrame = {
+    require(configs.nonEmpty, "at least one denoiser config")
+    configs.map { case (tag, pct) =>
+      spanCorruption(docs, idCol, textCol, pct)
+        .select(col(idCol), lit(tag).as("denoiser"), col("n_tokens"),
+          col("n_masked"), col("n_spans"),
+          concat(lit(s"[$tag] "), col("input")).as("input"), col("target"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB oracle replaying [[ul2Mixture]]. */
+  def ul2MixtureOracleSql(table: String, idCol: String, textCol: String,
+                          configs: Seq[(String, Int)]): String =
+    configs.map { case (tag, pct) =>
+      s"""SELECT $idCol, '$tag' AS denoiser, n_tokens, n_masked, n_spans,
+           '[$tag] ' || input AS input, target
+         FROM (${spanCorruptionOracleSql(table, idCol, textCol, pct)})"""
+    }.mkString("", "\nUNION ALL\n", s"\nORDER BY $idCol, denoiser")
+
   /** Per-pattern overlapping occurrence counts under ONE Aho–Corasick
     * automaton pass ([[graft.expressions.AcAutomaton]]) — the scale path
     * for large blocklists: [[blocklistFilter]]'s array-literal scan is
