@@ -177,8 +177,74 @@ object Bench {
       rm(dir.toFile)
       sec
     }
-    val passes = (1 to reps).map { _ => val c = calibrationPass(); (c, runPass()) }
-    val calibrationSec = passes.map(_._1).min
+    // IO-COHORT CANARY (r11 verdict item 3): the CPU canary provably cannot
+    // adjudicate streaming/HTTP entries — same-code same-day runs moved a
+    // streaming entry 7.6 → 12.3 s while the CPU canary sat still, and
+    // q_api_instance_e2e lives in the same blind spot (SCALE.md "canary
+    // blind spot"). This probe measures the two floors those entries stand
+    // on, again with ZERO repo code so it times the BOX: (a) a 3-micro-batch
+    // no-op foreachBatch ladder through a file stream (per-batch planning +
+    // offset-log/commit-log fsyncs on the tmp filesystem), (b) 40 no-op
+    // loopback HTTP round trips through the same JDK HttpServer/HttpClient
+    // stack the api pipes use. Emitted as `io_calibration_sec`; SCALE.md
+    // keys streaming/api deltas to THIS number, not to `calibration_sec`.
+    def ioCalibrationPass(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_iocanary")
+      val src = dir.resolve("src").toString
+      // 3 parquet files -> 3 micro-batches with maxFilesPerTrigger=1
+      (0 until 3).foreach { i =>
+        spark.range(i * 100L, i * 100L + 100L, 1L, 1)
+          .write.mode("append").parquet(src)
+      }
+      val t0 = System.nanoTime()
+      locally {
+        val q = spark.readStream
+          .schema(spark.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .writeStream
+          .option("checkpointLocation", dir.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.count(); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      locally {
+        val srv = com.sun.net.httpserver.HttpServer.create(
+          new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+        srv.createContext("/ping", (ex: com.sun.net.httpserver.HttpExchange) => {
+          val b = "ok".getBytes("UTF-8")
+          ex.sendResponseHeaders(200, b.length.toLong)
+          ex.getResponseBody.write(b)
+          ex.close()
+        })
+        srv.start()
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          val uri = java.net.URI.create(
+            s"http://127.0.0.1:${srv.getAddress.getPort}/ping")
+          (1 to 40).foreach { _ =>
+            client.send(java.net.http.HttpRequest.newBuilder(uri).GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            ()
+          }
+        } finally srv.stop(0)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+      sec
+    }
+    val passes = (1 to reps).map { _ =>
+      val c = calibrationPass(); val io = ioCalibrationPass(); ((c, io), runPass())
+    }
+    val calibrationSec = passes.map(_._1._1).min
+    val ioCalibrationSec = passes.map(_._1._2).min
     val protocol = if (reps == 1) "single-pass" else s"min-of-$reps"
     val queryPasses = passes.map(_._2)
     val results: Seq[(String, (Double, String))] = queryPasses.head.map(_._1).map { label =>
@@ -205,8 +271,15 @@ object Bench {
         // 2026-08-15: calibration 5.89 s — 2.6× the reference — pushed a
         // 2.9 s-normalized api_e2e to 7.66 s raw). A FASTER box never
         // relaxes the bar (scale floors at 1).
+        // Cap the normalization at 2.5×: beyond that a "slow canary" is as
+        // likely a shared code/config regression (session options, JVM
+        // flags) that slows canary and query together, and an uncapped
+        // scale would normalize it away entirely (ADVICE r11: with the
+        // 12 s canary sanity bound the effective raw bar could stretch to
+        // ~31.7 s). 2.5 covers every observed honest throttle (max 2.6×
+        // was itself flagged); past it the raw bar reasserts itself.
         val calRef = 2.27
-        val scale = math.max(1.0, calibrationSec / calRef)
+        val scale = math.min(2.5, math.max(1.0, calibrationSec / calRef))
         val apiBar = results.collectFirst {
           case ("q_api_instance_e2e", (t, null)) if t / scale > 6.0 =>
             f"q_api_instance_e2e $t%.2f s exceeds its 6 s bar " +
@@ -247,7 +320,7 @@ object Bench {
       val total = results.map(_._2._1).sum
       val omitSum = omitted.map(_._2._1).sum
       val guards = guardFailures.map(jstr).mkString("[", ",", "]")
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"io_calibration_sec":${fmt(ioCalibrationSec, dec)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
     // subset runs (SPARK_GRAFT_ONLY) land in /tmp — they must never clobber
     // the committed full-suite baseline that round-over-round regression

@@ -1602,8 +1602,10 @@ object ApproxDedup {
     * curve a curation run reads BEFORE committing to a cutoff: for each
     * candidate threshold, how many documents would the keep-first policy
     * remove (a doc drops iff it pairs with ANY lower-id doc at ≥ t, i.e.
-    * the distinct larger endpoints of the surviving pairs — exact for the
-    * id-ordered greedy dedup, no clustering needed). ONE pass over the
+    * the distinct larger endpoints of the surviving pairs — exact for
+    * THAT policy, and an upper bound on the greedy-against-KEPT-docs
+    * variant, which re-keeps a doc whose only lower-id matches were
+    * themselves dropped; no clustering needed). ONE pass over the
     * pair table computes every threshold's count (|thresholds|
     * conditional count-distincts); the row explode happens on the single
     * aggregated row. Pair mining cost stays upstream.
@@ -1728,6 +1730,14 @@ object ApproxDedup {
       .distinct().localCheckpoint(true)
     var converged = edges.isEmpty
     var i = 0
+    // every live checkpoint, so ANY failure path (including mid-round, where
+    // `ls` is live) releases all blocks — the r11 version freed only `nodes`
+    // on exception and leaked `edges` + a mid-round `ls`
+    val live = scala.collection.mutable.LinkedHashSet[DataFrame](edges, nodes)
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); live += c; c
+    }
+    def free(df: DataFrame): Unit = { freeCheckpoint(df); live -= df; () }
     try {
       while (!converged && i < maxRounds) {
         // large-star(u): every neighbor v > u re-attaches to
@@ -1738,20 +1748,20 @@ object ApproxDedup {
           .union(edges.select(col("small").as("u"), col("big").as("v")))
         val mU = dir.groupBy("u").agg(min(col("v")).as("mn"))
           .select(col("u"), least(col("u"), col("mn")).as("m"))
-        val ls = dir.join(mU, "u").where(col("v") > col("u"))
+        val ls = ckpt(dir.join(mU, "u").where(col("v") > col("u"))
           .select(col("v").as("big"), col("m").as("small"))
           .where(col("big") =!= col("small"))
-          .distinct().localCheckpoint(true)
+          .distinct())
         // small-star(u): u and its strictly-smaller neighbors all attach
         // to the minimum of that set. ls is already (big, small) with
         // big > small, so the smaller-neighbor view is ls itself keyed big.
         val mS = ls.groupBy(col("big").as("u")).agg(min(col("small")).as("m"))
-        val ss = ls.join(mS, ls("big") === mS("u"))
+        val ss = ckpt(ls.join(mS, ls("big") === mS("u"))
           .where(col("small") =!= col("m"))
           .select(col("small").as("big"), col("m").as("small"))
           .union(mS.select(col("u").as("big"), col("m").as("small")))
-          .distinct().localCheckpoint(true)
-        freeCheckpoint(ls)
+          .distinct())
+        free(ls)
         // converged once the FULL round is the identity on the edge set.
         // Comparing ss to ls would be wrong: any one-parent forest is a
         // fixed point of small-star alone (ss == ls at non-star states),
@@ -1759,36 +1769,33 @@ object ApproxDedup {
         // both ops map stars to themselves and the paper's potential
         // argument rules out any other composite fixed point.
         converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
-        freeCheckpoint(edges)
+        free(edges)
         edges = ss
         i += 1
       }
-    } catch { case t: Throwable => freeCheckpoint(nodes); throw t }
-    if (!converged && i >= maxRounds) {
-      freeCheckpoint(nodes); freeCheckpoint(edges)
-      // O(log n) convergence means hitting this cap signals a broken input
-      // (maxRounds=32 covers any component a real cluster could hold)
-      throw new IllegalStateException(
-        s"star contraction did not converge within $maxRounds rounds")
+      if (!converged && i >= maxRounds)
+        // O(log n) convergence means hitting this cap signals a broken input
+        // (maxRounds=32 covers any component a real cluster could hold)
+        throw new IllegalStateException(
+          s"star contraction did not converge within $maxRounds rounds")
+      // the fixed point must be a star forest — roots never appear as
+      // children and every child has exactly one root; anything else would
+      // silently emit wrong labels below, so verify rather than assume
+      val nonStar =
+        !edges.select(col("small")).intersect(edges.select(col("big"))).isEmpty ||
+        !edges.groupBy(col("big")).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).isEmpty
+      if (nonStar)
+        throw new IllegalStateException(
+          "star contraction reached a non-star fixed point")
+      nodes
+        .join(edges.select(col("big").as("node"), col("small").as("root")),
+          Seq("node"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("root"), col("node")).as("cluster_id"))
+    } catch {
+      case t: Throwable => live.foreach(freeCheckpoint); throw t
     }
-    // the fixed point must be a star forest — roots never appear as
-    // children and every child has exactly one root; anything else would
-    // silently emit wrong labels below, so verify rather than assume
-    val nonStar =
-      !edges.select(col("small")).intersect(edges.select(col("big"))).isEmpty ||
-      !edges.groupBy(col("big")).agg(count(lit(1)).as("c"))
-        .where(col("c") > 1).isEmpty
-    if (nonStar) {
-      freeCheckpoint(nodes); freeCheckpoint(edges)
-      throw new IllegalStateException(
-        "star contraction reached a non-star fixed point")
-    }
-    val out = nodes
-      .join(edges.select(col("big").as("node"), col("small").as("root")),
-        Seq("node"), "left")
-      .select(col("node").as("doc_id"),
-        coalesce(col("root"), col("node")).as("cluster_id"))
-    out
   }
 
   /** Release the storage blocks of a localCheckpointed frame that has been

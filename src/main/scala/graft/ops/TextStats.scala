@@ -236,13 +236,19 @@ object TextStats {
         col("cnt").as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
     val p = col("ca").cast("double") / col("na")
     val q = col("cb").cast("double") / col("nb")
-    joined
+    // the matrix is |sources|²/2 rows — checkpoint it eagerly so `counts`
+    // can unpersist HERE instead of leaking cache in long-lived sessions
+    // (heapsLaw's localCheckpoint+unpersist pattern)
+    val out = joined
       .select(least(col("sa"), col("sb")).as("src_a"),
         greatest(col("sa"), col("sb")).as("src_b"),
         round(lit(0.5d) * p * log(lit(2.0d) * p / (p + q)) * lit(1e6))
           .cast("long").as("tm"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("tm")).as("js_micro"))
+      .localCheckpoint(true)
+    counts.unpersist(false)
+    out
   }
 
   /** DuckDB oracle replaying [[sourceJsMatrix]]. */
