@@ -382,15 +382,20 @@ object SparkEntry {
     }),
 
     // Stored OPQ index (FAISS's OPQ..,IVF..,PQ.. composition; Ge et al.,
-    // CVPR 2013): the trained rotation R persists as a 64-row model pipe
-    // NEXT TO the cell-partitioned coded pipe, and the PROBE reads R back
-    // from the store — query rotation, coarse centroids, and codebooks all
-    // derive from the SHIPPED artifact, not the trainer. Build stamps
-    // rotation, cell, and m-byte code in stacked shuffle-free projections;
-    // halves blind-append (codes row-local ⇒ incremental == rebuild); the
-    // probe touches only the nProbe cells' chunk dirs and floats load for
-    // the rerank set alone. Cosine is rotation-invariant, so the oracle
-    // replays IVF+PQ in the rotated space with the same persisted R.
+    // CVPR 2013): the COMPLETE artifact set — trained rotation R, rotated
+    // coarse centroids, and rotated-space PQ codebooks — persists as ONE
+    // model pipe NEXT TO the cell-partitioned coded pipe (exactly what
+    // faiss.write_index ships), and the PROBE reads everything back from
+    // the store: query rotation, probe-cell selection, and the ADC table
+    // all derive from SHIPPED artifacts. The r11 shape persisted only R
+    // and re-derived centroids/codebooks from the corpus per probe (two
+    // bounded but corpus-touching jobs); now the probe's only data reads
+    // are the model pipe (~1.1k rows) and the nProbe cells' chunk dirs —
+    // zero corpus files (StoredIndexPruningSpec asserts it executionally).
+    // Build stamps rotation, cell, and m-byte code in stacked shuffle-free
+    // projections; halves blind-append (codes row-local ⇒ incremental ==
+    // rebuild). Cosine is rotation-invariant, so the oracle replays IVF+PQ
+    // in the rotated space with the same persisted R.
     "q_opq_index_sync" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val rot = OpqModel.rotationFor(s, d)
@@ -414,31 +419,46 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("ann", "opq_cells_sync"),
         columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      val rspec = PipeSpec(PipeKeys("ann", "opq_rotation"),
-        columns = ColumnRoles(Map("datetime" -> "i", "id" -> "i")),
-        epochUnit = Some("minute"), chunkMinutes = 64)
+      // one model pipe, three artifact kinds keyed (kind, i):
+      // kind 0 = rotation row i; kind 1 = rotated centroid of cell i;
+      // kind 2 = codebook entry i = j·ks + c. row_id = kind·2048 + i keeps
+      // every row in one chunk (max row_id < 3·2048 ≪ chunkMinutes).
+      val mspec = PipeSpec(PipeKeys("ann", "opq_model"),
+        columns = ColumnRoles(Map("datetime" -> "row_id", "id" -> "row_id")),
+        epochUnit = Some("minute"), chunkMinutes = 8192)
       (() => {
-        val rotDf = s.createDataFrame(
-          s.sparkContext.parallelize(rot.zipWithIndex.map { case (row, i) =>
-            org.apache.spark.sql.Row(i.toLong, row) }.toList, 1),
-          StructType(Seq(StructField("i", LongType),
+        val modelRows =
+          rot.zipWithIndex.map { case (v, i) => (0L, i.toLong, v) } ++
+          rcents.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) } ++
+          rcbs.zipWithIndex.flatMap { case (cb, j) =>
+            cb.zipWithIndex.map { case (v, c) =>
+              (2L, (j * OpqKs + c).toLong, v) } }
+        val modelDf = s.createDataFrame(
+          s.sparkContext.parallelize(modelRows.map { case (k, i, v) =>
+            org.apache.spark.sql.Row(k * 2048L + i, k, i, v) }.toList, 1),
+          StructType(Seq(StructField("row_id", LongType),
+            StructField("kind", LongType), StructField("i", LongType),
             StructField("coeffs", ArrayType(DoubleType)))))
-        eng.sync(rspec, rotDf, checkExisting = false)
+        eng.sync(mspec, modelDf, checkExisting = false)
         eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
         eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
         ()
        },
        () => {
-        // the SHIPPED model: R read back from the store (parquet double
-        // round-trip is exact, so this is bit-equal to the trainer's R)
-        val rStored = eng.getData(rspec).orderBy(col("i"))
-          .select(col("coeffs")).collect().map(_.getSeq[Double](0)).toSeq
+        // the SHIPPED model: R, centroids, codebooks ALL read back from the
+        // store in one bounded collect (parquet double round-trip is exact,
+        // so these are bit-equal to the trainer's artifacts)
+        val m = eng.getData(mspec)
+          .select(col("kind"), col("i"), col("coeffs")).collect()
+        def part(kind: Long): Seq[Seq[Double]] =
+          m.filter(_.getLong(0) == kind).sortBy(_.getLong(1))
+            .map(_.getSeq[Double](2)).toSeq
+        val rStored     = part(0L)
+        val storedCents = part(1L)
+        val cbRows      = part(2L)
+        val storedCbs = Seq.tabulate(OpqM)(j =>
+          cbRows.slice(j * OpqKs, (j + 1) * OpqKs))
         val rq = SimilaritySearch.rotateQuery(q, rStored)
-        val storedCents = SimilaritySearch
-          .sampleCentroids(emb, "vec_id", "embedding", 16)
-          .map(v => SimilaritySearch.rotateQuery(v, rStored))
-        val storedCbs = SimilaritySearch.opqCodebooks(
-          emb, "vec_id", "embedding", rStored, m = OpqM, ks = OpqKs)
         val probe = SimilaritySearch.ivfProbeCells(storedCents, rq, nProbe = 8)
         SimilaritySearch.pqTopK(eng.storage(spec).readIn(probe.map(_.toLong)),
           "vec_id", "rvec", "pq", rq, storedCbs, k = 10, rerank = 50)
