@@ -92,6 +92,33 @@ object SparkEntry {
     def forOracle: Option[Seq[Seq[Double]]] = last
   }
 
+  // SentencePiece-unigram family configuration (Kudo 2018; ops/SpUnigram)
+  private val SpSeed = 48
+  private val SpP    = 4
+  private val SpIters = 2
+  private val SpV    = 24
+  private val SpCap  = 16
+
+  /** SP-unigram model memo, per (sfDir, training scope) — the OpqModel
+    * move: training is a DETERMINISTIC function of the corpus (fixed seed
+    * rule, integer-micro Viterbi, fixed iteration budget), so the model is
+    * shared across the q_sp_* family instead of retrained per query; the
+    * oracles re-derive it from the tables, never from this memo. */
+  private object SpModel {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (String, String), graft.ops.SpUnigram.Model]()
+    def forScope(s: SparkSession, d: String, scope: String): graft.ops.SpUnigram.Model =
+      cache.computeIfAbsent((d, scope), { _ =>
+        val docs = Tables.documents(s, d)
+        val base =
+          if (scope == "even") docs.where(col("doc_id") % 2 === 0) else docs
+        graft.ops.SpUnigram.trainModel(base, "text",
+          SpSeed, SpP, SpIters, SpV, SpCap)
+      })
+    def scores(m: graft.ops.SpUnigram.Model): Map[String, Long] =
+      m.map { case (p, _, lp) => p -> lp }.toMap
+  }
+
   /** Probe a STORED minhash band index for one document's near-dup pairs:
     * collect the query doc's ≤ bands (band, bandHash, bucket) rows, read
     * ONLY those bucket directories (partition-pruned `readIn`), apply the
@@ -664,6 +691,41 @@ object SparkEntry {
           .select(col("pair")).collect().map(_.getString(0)).toSeq
         graft.ops.Corpus.bpeSegmentCountsFromMerges(docs, "doc_id", "text",
             merges)
+          .orderBy(col("doc_id"))
+       })
+    }),
+
+    // Stored SentencePiece-unigram tokenizer artifact (Kudo 2018): the
+    // (piece, cnt, logp_micro) model trains on HALF the corpus, persists
+    // as a pipe, and the probe re-reads it (≤ seed+alphabet driver rows,
+    // configuration-bounded) to segment the FULL corpus — unknown
+    // characters fall back to the UNK floor. String/long round-trips are
+    // exact, so the stored-model apply is bit-equal to the trainer's and
+    // the oracle replays train-on-even → apply-to-all from the tables.
+    "q_sp_stored_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_sp_store").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "sp_model"),
+        columns = ColumnRoles(Map("datetime" -> "row_id")),
+        epochUnit = Some("minute"), chunkMinutes = 4096)
+      (() => {
+        val model = SpModel.forScope(s, d, "even")
+        val rows = model.zipWithIndex.map { case ((p, c, lp), i) =>
+          org.apache.spark.sql.Row(i.toLong, p, c, lp) }
+        eng.sync(spec, s.createDataFrame(
+          s.sparkContext.parallelize(rows.toList, 1),
+          StructType(Seq(StructField("row_id", LongType),
+            StructField("piece", StringType), StructField("cnt", LongType),
+            StructField("logp_micro", LongType)))), checkExisting = false)
+        ()
+       },
+       () => {
+        val stored = eng.getData(spec)
+          .select(col("piece"), col("logp_micro")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.ops.SpUnigram.subwordCounts(docs, "doc_id", "text",
+            stored, SpP, SpCap)
           .orderBy(col("doc_id"))
        })
     }),
@@ -3601,6 +3663,41 @@ object SparkEntry {
     // identical greedy semantics in Spark and the oracle's CTE chain.
     "q_bpe_train" -> ((s, d) =>
       graft.ops.Corpus.bpeTrain(Tables.documents(s, d), "text", nMerges = 8)),
+
+    // ── LLM-pipeline: SentencePiece-style UNIGRAM-LM tokenizer TRAINING
+    // (Kudo 2018) — the production tokenizer family next to BPE. Seed
+    // vocab = top frequent substrings + all chars; 2 Viterbi-EM rounds
+    // over the |vocab|-row word table (corpus touched once, the bpeTrain
+    // discipline); final top-V prune. Integer-micro log-probs end to end;
+    // the oracle replays the identical seed → DP-ladder → backtrace →
+    // re-estimate chain in SQL.
+    "q_sp_unigram_train" -> ((s, d) =>
+      graft.ops.SpUnigram.modelDf(s, SpModel.forScope(s, d, "full"))
+        .orderBy(col("cnt").desc, col("piece"))),
+
+    // ── LLM-pipeline: unigram-tokenizer APPLICATION at corpus scale —
+    // Viterbi segmentation computed once per DISTINCT word under the
+    // trained model, stamped by ONE token equi-join (the bpeSegmentCounts
+    // shape); per-doc token/subword counts.
+    "q_sp_unigram_apply" -> ((s, d) =>
+      graft.ops.SpUnigram.subwordCounts(Tables.documents(s, d),
+          "doc_id", "text",
+          SpModel.scores(SpModel.forScope(s, d, "full")), SpP, SpCap)
+        .orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: the SP-unigram tokenizer as a STORED artifact —
+    // train on half, persist the model pipe, segment the full corpus from
+    // the stored pieces (see `staged`).
+    "q_sp_stored_apply" -> composed("q_sp_stored_apply"),
+
+    // ── LLM-pipeline: tokenizer fertility under the SP-unigram family —
+    // row-for-row comparable with q_fertility_report's BPE numbers (same
+    // schema, same integer micro ratios), the A/B a tokenizer choice reads.
+    "q_sp_fertility" -> ((s, d) =>
+      graft.ops.SpUnigram.fertilityReport(Tables.documents(s, d),
+          "text", "lang",
+          SpModel.scores(SpModel.forScope(s, d, "full")), SpP, SpCap)
+        .orderBy(col("lang"))),
 
     // ── LLM-pipeline: APPLY the trained BPE tokenizer at corpus scale —
     // per-doc subword counts: segmentation computed once per DISTINCT
@@ -7171,6 +7268,25 @@ object SparkEntry {
       graft.ops.Corpus.bpeCrossApplyOracleSql(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS dtr",
         "documents", "doc_id", "text", nMerges = 8),
+
+    "q_sp_unigram_train" ->
+      graft.ops.SpUnigram.trainOracleSql("documents", "text",
+        SpSeed, SpP, SpIters, SpV, SpCap),
+
+    "q_sp_unigram_apply" ->
+      graft.ops.SpUnigram.applyOracleSql("documents", "documents",
+        "doc_id", "text", SpSeed, SpP, SpIters, SpV, SpCap),
+
+    // stored-model round trip is exact (strings + longs), so the stored
+    // apply replays as train-on-even → segment-the-full-corpus
+    "q_sp_stored_apply" ->
+      graft.ops.SpUnigram.applyOracleSql(
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS str",
+        "documents", "doc_id", "text", SpSeed, SpP, SpIters, SpV, SpCap),
+
+    "q_sp_fertility" ->
+      graft.ops.SpUnigram.fertilityOracleSql("documents", "text", "lang",
+        SpSeed, SpP, SpIters, SpV, SpCap),
 
     "q_streaming_embedding_probe" ->
       ApproxDedup.embeddingCrossNearDupsOracleSql(
