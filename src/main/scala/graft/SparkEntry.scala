@@ -730,6 +730,86 @@ object SparkEntry {
        })
     }),
 
+    // Incremental CONNECTED COMPONENTS as stored pipes: near-dup cluster
+    // labels maintained per batch (touched buckets + merged-roots buckets
+    // only — batch-proportional reads) instead of recomputed from the full
+    // pair graph every run. Labels are monotone decreasing, so blind-append
+    // + min-fold ≡ full rebuild and the oracle is the plain full-graph CC
+    // (q_neardup_clusters' recursive-CTE replay).
+    "q_cc_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val buckets = 8
+      val root = java.nio.file.Files.createTempDirectory("graft_cc_sync").toString
+      val eng  = new SyncEngine(s, root)
+      def spec(name: String) = PipeSpec(PipeKeys("idx", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (lSpec, mSpec) = (spec("cc_labels"), spec("cc_members"))
+      val (lStore, mStore) = (eng.storage(lSpec), eng.storage(mSpec))
+      def appendRows(rows: DataFrame, create: Boolean): Unit = {
+        val l = rows.select(col("node_bucket").as("bucket"), col("node"), col("root"))
+        val m = rows.select(col("root_bucket").as("bucket"), col("root"), col("node"))
+        if (create) { lStore.create(l); mStore.create(m) }
+        else { lStore.append(l); mStore.append(m) }
+      }
+      (() => {
+        val pairs = ApproxDedup.minhashNearDupsFast(docs,
+          "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24,
+          bands = 6, estSlack = 0.25, maxBucket = 200, md5Base = true)
+          .localCheckpoint(true)
+        val bothEven = col("id1") % 2 === 0 && col("id2") % 2 === 0
+        appendRows(ApproxDedup.ccIncrementRows(pairs.where(bothEven),
+          "id1", "id2", buckets, history = None), create = true)
+        appendRows(ApproxDedup.ccIncrementRows(pairs.where(!bothEven),
+          "id1", "id2", buckets,
+          history = Some((bs => lStore.readIn(bs), bs => mStore.readIn(bs)))),
+          create = false)
+        ApproxDedup.freeCheckpoint(pairs)
+        ()
+       },
+       () => ApproxDedup.ccFold(lStore.read.select(col("node"), col("root")))
+         .orderBy(col("doc_id")))
+    }),
+
+    // The leakage-safe split RE-POINTED at the stored CC labels: the split
+    // reads the incrementally-maintained label pipe (one min-fold) instead
+    // of re-propagating the pair graph; fold ≡ rebuild makes the plain
+    // full-pipeline split SQL the oracle.
+    "q_leakage_split_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val buckets = 8
+      val root = java.nio.file.Files.createTempDirectory("graft_ccsplit").toString
+      val eng  = new SyncEngine(s, root)
+      def spec(name: String) = PipeSpec(PipeKeys("idx", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (lSpec, mSpec) = (spec("ccs_labels"), spec("ccs_members"))
+      val (lStore, mStore) = (eng.storage(lSpec), eng.storage(mSpec))
+      (() => {
+        val pairs = ApproxDedup.minhashNearDupsFast(docs,
+          "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24,
+          bands = 6, estSlack = 0.25, maxBucket = 200, md5Base = true)
+          .localCheckpoint(true)
+        val bothEven = col("id1") % 2 === 0 && col("id2") % 2 === 0
+        val r1 = ApproxDedup.ccIncrementRows(pairs.where(bothEven),
+          "id1", "id2", buckets, history = None)
+        lStore.create(r1.select(col("node_bucket").as("bucket"), col("node"), col("root")))
+        mStore.create(r1.select(col("root_bucket").as("bucket"), col("root"), col("node")))
+        val r2 = ApproxDedup.ccIncrementRows(pairs.where(!bothEven),
+          "id1", "id2", buckets,
+          history = Some((bs => lStore.readIn(bs), bs => mStore.readIn(bs))))
+        lStore.append(r2.select(col("node_bucket").as("bucket"), col("node"), col("root")))
+        mStore.append(r2.select(col("root_bucket").as("bucket"), col("root"), col("node")))
+        ApproxDedup.freeCheckpoint(pairs)
+        ()
+       },
+       () => graft.ops.Sampling.leakageSafeSplitFromClusters(docs,
+           ApproxDedup.ccFold(lStore.read.select(col("node"), col("root"))),
+           "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+         .select(col("doc_id"), col("group_id"), col("split"))
+         .orderBy(col("doc_id")))
+    }),
+
     // Stored data card: per-batch additive summary rows + a fingerprint
     // pipe carrying the non-additive unique-doc count; fold ≡ rebuild, so
     // the oracle is the plain corpus card. The release dashboard updates
@@ -2641,6 +2721,16 @@ object SparkEntry {
         estSlack = 0.25, maxBucket = 200, md5Base = true)
       ApproxDedup.nearDupClusters(pairs).orderBy(col("doc_id"))
     }),
+
+    // ── LLM-pipeline: connected components maintained INCREMENTALLY as
+    // stored pipes — batch-proportional label updates, min-fold read;
+    // fold ≡ rebuild, so the full-graph CC replay is the oracle (see
+    // `staged`).
+    "q_cc_index_sync" -> composed("q_cc_index_sync"),
+
+    // ── LLM-pipeline: the leakage-safe split driven by the STORED CC
+    // labels instead of a fresh propagation (see `staged`).
+    "q_leakage_split_stored" -> composed("q_leakage_split_stored"),
 
     // Same components via alternating large-star/small-star (Kiveris et
     // al. 2014) — O(log n) rounds regardless of component diameter, the
@@ -5770,6 +5860,18 @@ object SparkEntry {
 
     "q_neardup_clusters_star" ->
       ApproxDedup.nearDupClustersFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    // incremental label fold == full rebuild (monotone-min labels), so the
+    // stored-pipe CC replays as the plain full-graph CC
+    "q_cc_index_sync" ->
+      ApproxDedup.nearDupClustersFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    "q_leakage_split_stored" ->
+      ApproxDedup.leakageSafeSplitOracleSql("documents", "doc_id", "text",
         threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),
 

@@ -1798,6 +1798,101 @@ object ApproxDedup {
     }
   }
 
+  /** Fold of the incremental CC label pipe: cluster labels only DECREASE
+    * (cluster_id = min reachable id, and merging clusters takes the min of
+    * the mins), so the per-node minimum over all blind-appended
+    * (node, root) rows IS the current label — one hash aggregate, no
+    * pointer chasing at read. */
+  def ccFold(labelRows: DataFrame): DataFrame =
+    labelRows.groupBy(col("node")).agg(min(col("root")).as("cluster_id"))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+
+  /** One INCREMENTAL connected-components step over stored label pipes —
+    * near-dup cluster labels maintained as a derived pipe instead of
+    * recomputed from the full pair graph every run (the missing sibling
+    * of the band/cell/model/sketch index-sync family).
+    *
+    * State is TWO narrow pipes holding the SAME (node, root) rows under
+    * two bucketings (the secondary-index move): by `node % buckets` for
+    * current-label lookups, and by `root % buckets` for member scans when
+    * a cluster merges away. A batch step reads only the touched nodes'
+    * buckets and the merged-away roots' buckets — batch-proportional,
+    * never the corpus:
+    *
+    *   1. current roots of the batch's nodes = min-fold of the touched
+    *      node-buckets (absent ⇒ fresh node, its own root);
+    *   2. lift each new pair to its endpoints' CURRENT roots → the
+    *      frontier graph (batch-sized, roots and fresh ids only) and
+    *      star-contract it ([[nearDupClustersStar]], O(log n) rounds);
+    *   3. merged-away roots' MEMBERS relabel to the new root (read from
+    *      the root-bucketed pipe; a root that merged away never recurs as
+    *      a current root, so its stale member rows are never consulted
+    *      again), and every touched node gets its new label row.
+    *
+    * Returned rows carry both bucket columns; the caller appends the
+    * node-bucket projection to the label pipe and the root-bucket
+    * projection to the member pipe. Because labels are monotone
+    * decreasing, blind-append + [[ccFold]] ≡ full rebuild
+    * ([[nearDupClusters]] over the union of all batches' pairs) — pinned
+    * by FoldPropertySpec over randomized batch splits.
+    *
+    * Driver state: the two bucket-id collects (≤ `buckets` longs each);
+    * the root mapping and member relabels stay distributed. */
+  def ccIncrementRows(newPairs: DataFrame, id1: String, id2: String,
+                      buckets: Int,
+                      history: Option[(Seq[Long] => DataFrame,
+                                       Seq[Long] => DataFrame)]): DataFrame = {
+    val touched = newPairs.select(col(id1).as("node"))
+      .union(newPairs.select(col(id2).as("node")))
+      .distinct().localCheckpoint(true)
+    val cur = (history match {
+      case None => touched.select(col("node"), col("node").as("root"))
+        .where(lit(false))
+      case Some((readNodeBuckets, _)) =>
+        val tb = touched.select(pmod(col("node"), lit(buckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        readNodeBuckets(tb)
+          .join(touched, Seq("node"), "left_semi")
+          .groupBy(col("node")).agg(min(col("root")).as("root"))
+    }).localCheckpoint(true)
+    val e = newPairs
+      .join(cur.select(col("node").as(id1), col("root").as("__r1")), Seq(id1), "left")
+      .join(cur.select(col("node").as(id2), col("root").as("__r2")), Seq(id2), "left")
+      .select(coalesce(col("__r1"), col(id1)).as("fa"),
+              coalesce(col("__r2"), col(id2)).as("fb"))
+      .where(col("fa") =!= col("fb"))
+    // star-contract the ROOT frontier only (batch-sized, never the corpus)
+    val mapping = nearDupClustersStar(e, "fa", "fb").localCheckpoint(true)
+    val merged = mapping.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
+      .localCheckpoint(true)
+    val memberRows = history match {
+      case Some((_, readRootBuckets)) if !merged.isEmpty =>
+        val ab = merged.select(pmod(col("root"), lit(buckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        readRootBuckets(ab)
+          .join(merged, Seq("root"))
+          .select(col("node"), col("new_root").as("root"))
+      case _ => cur.where(lit(false)).select(col("node"), col("root"))
+    }
+    val storedTouched = cur
+      .join(merged, Seq("root"), "left")
+      .select(col("node"), coalesce(col("new_root"), col("root")).as("root"))
+    val freshTouched = touched.join(cur, Seq("node"), "left_anti")
+      .join(mapping.select(col("doc_id").as("node"), col("cluster_id")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("root"))
+    val out = memberRows.unionByName(storedTouched).unionByName(freshTouched)
+      .distinct()
+      .select(pmod(col("node"), lit(buckets.toLong)).as("node_bucket"),
+              pmod(col("root"), lit(buckets.toLong)).as("root_bucket"),
+              col("node"), col("root"))
+      .localCheckpoint(true)
+    freeCheckpoint(touched); freeCheckpoint(cur)
+    freeCheckpoint(mapping); freeCheckpoint(merged)
+    out
+  }
+
   /** Release the storage blocks of a localCheckpointed frame that has been
     * superseded. `df.rdd.unpersist` would NOT work — `.rdd` wraps the
     * internal checkpoint RDD in a fresh deserializing RDD — so walk the

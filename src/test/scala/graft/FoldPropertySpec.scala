@@ -192,6 +192,45 @@ class FoldPropertySpec extends SparkSpec {
     }
   }
 
+  // ---- round-12 fold: incremental connected components --------------------
+
+  test("incremental CC fold == full-graph rebuild over 50 generated batch splits") {
+    import graft.ops.ApproxDedup
+    val rng = new scala.util.Random(23L)
+    // random sparse graph over 12 nodes: chains, merges, repeated edges
+    val allPairs: Seq[(Long, Long)] = (1 to 14).map { _ =>
+      (1L + rng.nextInt(12), 1L + rng.nextInt(12))
+    }.filter(p => p._1 != p._2).distinct
+    val full = ApproxDedup.nearDupClusters(allPairs.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toSet
+    check(forAll(splitGen(allPairs.size)) { marks =>
+      var labels = Seq.empty[(Long, Long, Long)].toDF("bucket", "node", "root")
+      var members = Seq.empty[(Long, Long, Long)].toDF("bucket", "root", "node")
+      var first = true
+      batches(allPairs, marks).foreach { b =>
+        val lSnap = labels; val mSnap = members
+        val rows = ApproxDedup.ccIncrementRows(b.toDF("id1", "id2"),
+          "id1", "id2", buckets = 4,
+          history = if (first) None else Some((
+            bs => lSnap.where(col("bucket").isin(bs: _*)),
+            bs => mSnap.where(col("bucket").isin(bs: _*)))))
+        val nl = labels.unionByName(rows.select(
+          col("node_bucket").as("bucket"), col("node"), col("root")))
+          .localCheckpoint(true)
+        val nm = members.unionByName(rows.select(
+          col("root_bucket").as("bucket"), col("root"), col("node")))
+          .localCheckpoint(true)
+        ApproxDedup.freeCheckpoint(labels); ApproxDedup.freeCheckpoint(members)
+        ApproxDedup.freeCheckpoint(rows)
+        labels = nl; members = nm; first = false
+      }
+      val folded = ApproxDedup.ccFold(labels.select(col("node"), col("root")))
+        .as[(Long, Long)].collect().toSet
+      ApproxDedup.freeCheckpoint(labels); ApproxDedup.freeCheckpoint(members)
+      folded == full
+    })
+  }
+
   test("data-card fold == full rebuild over 50 generated batch splits") {
     val cols = Seq("source", "n_docs", "total_tokens", "min_tokens", "max_tokens",
       "sum_quality_micro", "n_english", "n_unique_docs")
