@@ -119,6 +119,26 @@ object SparkEntry {
       m.map { case (p, _, lp) => p -> lp }.toMap
   }
 
+  // exact-k-means family configuration (ops/SimilaritySearch.kmeansTrainExact)
+  private val KmK = 8
+  private val KmIters = 3
+
+  // temperature-scaling grid: 0.25 … 4.0 step 0.25 (all exact binary
+  // fractions, so T rides identically through both engines)
+  private val TempGridMicro: Seq[Long] = (1 to 16).map(_ * 250000L)
+
+  /** Exact k-means state memo per sfDir (the OpqModel move — deterministic
+    * function of the corpus, shared across the q_kmeans_train and
+    * q_ann_ivf_kmeans queries; oracles re-derive it from the tables). */
+  private object KmState {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[Seq[(Long, Long)]]]()
+    def forDir(s: SparkSession, d: String): Seq[Seq[(Long, Long)]] =
+      cache.computeIfAbsent(d, _ =>
+        SimilaritySearch.kmeansTrainExact(Tables.embeddings(s, d),
+          "vec_id", "embedding", KmK, KmIters))
+  }
+
   /** Probe a STORED minhash band index for one document's near-dup pairs:
     * collect the query doc's ≤ bands (band, bandHash, bucket) rows, read
     * ONLY those bucket directories (partition-pruned `readIn`), apply the
@@ -691,6 +711,43 @@ object SparkEntry {
           .select(col("pair")).collect().map(_.getString(0)).toSeq
         graft.ops.Corpus.bpeSegmentCountsFromMerges(docs, "doc_id", "text",
             merges)
+          .orderBy(col("doc_id"))
+       })
+    }),
+
+    // Stored Naive-Bayes model pipes: per-batch (batch, label, n_docs) and
+    // (bucket, label, token, cnt) counts blind-append; counting is
+    // additive, so the fold ≡ a full retrain and scoring against the
+    // stored model is bit-identical to the self-trained q_nb_classify —
+    // which is therefore the oracle.
+    "q_nb_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_nb_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val cSpec = PipeSpec(PipeKeys("idx", "nb_classes"),
+        columns = ColumnRoles(Map("datetime" -> "batch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val tSpec = PipeSpec(PipeKeys("idx", "nb_tokens"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        Seq(0, 1).foreach { h =>
+          val (cls, toks) = graft.ops.Classify.nbCounts(
+            docs.where(col("doc_id") % 2 === h), "source", "text", 16)
+          eng.sync(cSpec, cls.withColumn("batch", lit(h.toLong)),
+            checkExisting = false)
+          eng.sync(tSpec, toks, checkExisting = false)
+        }
+        ()
+       },
+       () => {
+        val cls = graft.ops.Classify.nbFoldClasses(
+          eng.getData(cSpec).select(col("label"), col("n_docs")))
+        val toks = graft.ops.Classify.nbFoldTokens(eng.getData(tSpec))
+          .localCheckpoint(true) // three consumers: vocab count, totals, model
+        val v = toks.select(col("token")).distinct().count()
+        graft.ops.Classify.nbClassify(docs, "doc_id", "source", "text",
+            cls, toks, v)
           .orderBy(col("doc_id"))
        })
     }),
@@ -2840,6 +2897,30 @@ object SparkEntry {
             .as("score_micro")),
         "lbl", "score_micro", nBins = 5)),
 
+    // ── LLM-pipeline: temperature-scaling fit (Guo et al. 2017 §4.2) —
+    // the post-hoc calibrator next to the ECE report: NLL grid search
+    // over T, per-row micro-quantized terms, argmin with smallest-T ties.
+    "q_temperature_fit" -> ((s, d) =>
+      graft.ops.Evaluation.temperatureFit(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("int").as("lbl"),
+          (TextFns.qualityScore(col("text")) * 1000000).cast("long")
+            .as("score_micro")),
+        "lbl", "score_micro", TempGridMicro)),
+
+    // ── LLM-pipeline: unbiased pass@k (Chen et al. 2021, HumanEval App. A)
+    // — the eval-harness estimator: per problem group with n samples and c
+    // passes, 1 − C(n−c,k)/C(n,k) via the numerically-stable product,
+    // statically unrolled, micro-rounded.
+    "q_pass_at_k" -> ((s, d) =>
+      graft.ops.Evaluation.passAtK(
+        Tables.documents(s, d).select(
+          pmod(col("doc_id"), lit(37L)).as("grp"),
+          (TextFns.qualityScore(col("text")) * 1000000 >= 500000)
+            .cast("int").as("p")),
+        "grp", "p", ks = Seq(1, 5))
+        .orderBy(col("grp"))),
+
     // ── LLM-pipeline: Luhn-validated payment-card report — the mod-10
     // checksum gate after the digit-run regex (regex-only card detection
     // drowns in timestamp/id false positives). Synthetic 16-digit runs
@@ -3139,6 +3220,31 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0)
       val cents   = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+      SimilaritySearch.ivfTopK(indexed, "vec_id", "embedding", "cell",
+        q, cents, k = 10, nProbe = 4)
+    }),
+
+    // ── LLM-pipeline: Lloyd k-means TRAINING with exact rational centroids
+    // — the production coarse-quantizer trainer every IVF oracle's
+    // lowest-id sample stands in for. Per-dim coordinate sums are
+    // micro-quantized LONGS (order-independent), assignment is the
+    // bit-exact cosine argmax, empty cells carry forward; the oracle
+    // replays every iteration. Output = the exact (cell, dim, Σmicro, n)
+    // model artifact.
+    "q_kmeans_train" -> ((s, d) =>
+      SimilaritySearch.kmeansModelDf(s, KmState.forDir(s, d))
+        .orderBy(col("cell"), col("dim_idx"))),
+
+    // ── LLM-pipeline: the IVF probe over TRAINED (k-means) centroids —
+    // the FAISS `IVF8,Flat` production shape with a real trainer instead
+    // of the sampled stand-in; same pruned-scan plan as q_embedding_ann_ivf.
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val cents = SimilaritySearch.kmeansCents(KmState.forDir(s, d))
       val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
       SimilaritySearch.ivfTopK(indexed, "vec_id", "embedding", "cell",
         q, cents, k = 10, nProbe = 4)
@@ -3754,6 +3860,45 @@ object SparkEntry {
     "q_bpe_train" -> ((s, d) =>
       graft.ops.Corpus.bpeTrain(Tables.documents(s, d), "text", nMerges = 8)),
 
+    // ── LLM-pipeline: WordPiece tokenizer TRAINING (Schuster & Nakajima
+    // 2012 — the BERT family): the BPE merge loop scored by likelihood
+    // gain freq(ab)/(freq(a)·freq(b)) as an EXACT integer rational
+    // (DECIMAL(38,0) products, integral divide) — no float decides a
+    // merge; ties lexicographic; same |vocab|-row iteration cost.
+    "q_wordpiece_train" -> ((s, d) =>
+      graft.ops.Corpus.wordPieceTrain(Tables.documents(s, d), "text",
+        nMerges = 8)),
+
+    // ── LLM-pipeline: multinomial Naive Bayes TRAINING (McCallum & Nigam
+    // 1998 — the fastText/CCNet shallow-classifier shape): the model IS
+    // additive counts, so training is one map-side-combined scan and the
+    // smoothed per-(label, token) log-likelihoods are micro-quantized
+    // types. Output = the model artifact.
+    "q_nb_train" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, toks) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
+      val v = toks.select(col("token")).distinct().count()
+      graft.ops.Classify.nbModel(toks, v)
+        .orderBy(col("label"), col("token"))
+    }),
+
+    // ── LLM-pipeline: NB classification at corpus scale — doc-token counts
+    // fan |labels| ways, one broadcast model join, per-doc argmax window
+    // (partitioned by doc, never global). Self-trained on the corpus, so
+    // the oracle replays train + classify end-to-end.
+    "q_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (cls, toks) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
+      val v = toks.select(col("token")).distinct().count()
+      graft.ops.Classify.nbClassify(docs, "doc_id", "source", "text",
+          cls, toks, v)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: the NB model maintained INCREMENTALLY as stored
+    // pipes — counts are additive, fold ≡ retrain (see `staged`).
+    "q_nb_index_sync" -> composed("q_nb_index_sync"),
+
     // ── LLM-pipeline: SentencePiece-style UNIGRAM-LM tokenizer TRAINING
     // (Kudo 2018) — the production tokenizer family next to BPE. Seed
     // vocab = top frequent substrings + all chars; 2 Viterbi-EM rounds
@@ -4273,6 +4418,15 @@ object SparkEntry {
         graft.ops.Sketches.kmvSketch(
           graft.ops.Sketches.shingleValues(Tables.documents(s, d), "text", 3),
           k = 256), k = 256)),
+
+    // ── LLM-pipeline: KMV SET OPERATIONS — pairwise cross-source
+    // distinct-overlap/Jaccard/intersection estimates from bottom-k
+    // sketches (the theta-sketch move): "how many unique shingles do
+    // these two crawls share" from |sources|·k longs, text never joined.
+    "q_kmv_overlap" -> ((s, d) =>
+      graft.ops.Sketches.kmvOverlap(Tables.documents(s, d),
+          "source", "text", shingleSize = 3, k = 64)
+        .orderBy(col("s1"), col("s2"))),
 
     // ── LLM-pipeline: count-min point estimates vs exact counts — the
     // sketch-bias calibration report (est ≥ exact always; the gap is the
@@ -6247,6 +6401,14 @@ object SparkEntry {
          FROM embeddings, q
          ORDER BY cosine DESC, vec_id LIMIT 10""",
 
+    "q_kmeans_train" ->
+      graft.ops.SimilaritySearch.kmeansTrainOracleSql("embeddings", "vec_id",
+        "embedding", KmK, KmIters),
+
+    "q_ann_ivf_kmeans" ->
+      graft.ops.SimilaritySearch.ivfKmeansOracleSql("embeddings", "vec_id",
+        "embedding", KmK, KmIters, nProbe = 4, queryId = 0, topK = 10),
+
     "q_embedding_ann_sq" ->
       graft.ops.SimilaritySearch.sqOracleSql("embeddings", "vec_id", "embedding",
         queryId = 0, k = 10, rerank = 50),
@@ -7370,6 +7532,40 @@ object SparkEntry {
       graft.ops.Corpus.bpeCrossApplyOracleSql(
         "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0) AS dtr",
         "documents", "doc_id", "text", nMerges = 8),
+
+    "q_temperature_fit" ->
+      graft.ops.Evaluation.temperatureFitOracleSql(
+        s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+            CAST($qualityMicroSql AS BIGINT) AS s FROM documents""",
+        TempGridMicro),
+
+    "q_pass_at_k" ->
+      graft.ops.Evaluation.passAtKOracleSql(
+        s"""SELECT doc_id % 37 AS grp,
+            CASE WHEN $qualityMicroSql >= 500000 THEN 1 ELSE 0 END AS p
+            FROM documents""",
+        ks = Seq(1, 5)),
+
+    "q_kmv_overlap" ->
+      graft.ops.Sketches.kmvOverlapOracleSql("documents", "source", "text",
+        shingleSize = 3, k = 64),
+
+    "q_nb_train" ->
+      graft.ops.Classify.nbModelOracleSql("documents", "source", "text"),
+
+    "q_nb_classify" ->
+      graft.ops.Classify.nbClassifyOracleSql("documents", "doc_id",
+        "source", "text"),
+
+    // additive counts: fold == retrain, so the stored-model scoring
+    // replays as the self-trained classify
+    "q_nb_index_sync" ->
+      graft.ops.Classify.nbClassifyOracleSql("documents", "doc_id",
+        "source", "text"),
+
+    "q_wordpiece_train" ->
+      graft.ops.Corpus.wordPieceTrainOracleSql("documents", "text",
+        nMerges = 8),
 
     "q_sp_unigram_train" ->
       graft.ops.SpUnigram.trainOracleSql("documents", "text",

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes at corpus scale (McCallum & Nigam 1998, the
+  * event model behind fastText-style shallow doc classifiers and the
+  * CCNet quality-scoring shape) — classifier TRAINING as pure counting:
+  * the model is (per-label doc counts, per-(label, token) occurrence
+  * counts), which are ADDITIVE, so the trained model inherits the
+  * engine's whole stored-pipe discipline for free: per-batch counts
+  * blind-append into hash-bucketed pipes and one groupBy-sum fold ≡ a
+  * full-corpus retrain (the lm_index_sync pattern — this is the
+  * classifier sibling of the KenLM family).
+  *
+  * Scoring is add-one-smoothed log-likelihood, micro-quantized per
+  * (label, token) TYPE before any sum (order-independent longs — the
+  * unigramLogProb discipline): score(d, ℓ) = prior_micro(ℓ) +
+  * Σ_t c(d,t)·lp_micro(ℓ,t), missing (ℓ,t) falling back to the label's
+  * smoothing floor. The prediction is the argmax label, ties to the
+  * lexicographically smallest — deterministic cross-engine.
+  *
+  * Scale: training = one scan into (label, token) counts (map-side
+  * combined). Scoring = doc-token counts fanned |labels| ways (labels
+  * are a bounded dimension), one broadcast-sized model join, one
+  * (doc, label) aggregate, one doc-partitioned argmax window. Text never
+  * shuffles; the window partitions by doc id, never globally. */
+object Classify {
+
+  /** Per-batch model counts: (label, n_docs) and (bucket, label, token,
+    * cnt) — both additive (blind-append + fold ≡ rebuild). `buckets`
+    * hash-partitions the token table for stored-pipe pruning. */
+  def nbCounts(docs: DataFrame, labelCol: String, textCol: String,
+               buckets: Int): (DataFrame, DataFrame) = {
+    val cls = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col(labelCol).as("label"),
+        explode(graft.functions.TextFns.tokens(lower(trim(col(textCol))))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(Sampling.hashBucket(col("token"), buckets).as("bucket"),
+        col("label"), col("token"), col("cnt"))
+    (cls, toks)
+  }
+
+  /** Fold of blind-appended class-count batches. */
+  def nbFoldClasses(stored: DataFrame): DataFrame =
+    stored.groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Fold of blind-appended token-count batches. */
+  def nbFoldTokens(stored: DataFrame): DataFrame =
+    stored.groupBy(col("bucket"), col("label"), col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** The smoothed model table: (label, token, cnt, lp_micro) with
+    * lp_micro = round(ln((cnt+1)/(tot_label+V))·1e6). `vocabSize` is the
+    * distinct-token count across labels (one bounded driver long). */
+  def nbModel(tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
+    val tot = tokenCounts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    tokenCounts.join(broadcast(tot), Seq("label"))
+      .select(col("label"), col("token"), col("cnt"),
+        round(log((col("cnt").cast("double") + lit(1.0)) /
+          (col("tot") + lit(vocabSize)).cast("double")) * lit(1e6))
+          .cast("long").as("lp_micro"))
+  }
+
+  /** Per-document classification against a trained model: (id, actual
+    * label, predicted label, score_micro of the prediction). */
+  def nbClassify(docs: DataFrame, idCol: String, labelCol: String,
+                 textCol: String, classCounts: DataFrame,
+                 tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = tokenCounts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    val labels = classCounts.crossJoin(
+        classCounts.agg(sum(col("n_docs")).as("n_all")))
+      .join(tot, Seq("label"))
+      .select(col("label"),
+        round(log(col("n_docs").cast("double") / col("n_all").cast("double"))
+          * lit(1e6)).cast("long").as("prior_micro"),
+        round(log(lit(1.0) / (col("tot") + lit(vocabSize)).cast("double"))
+          * lit(1e6)).cast("long").as("floor_micro"))
+    val model = nbModel(tokenCounts, vocabSize)
+      .select(col("label"), col("token"), col("lp_micro"))
+    val docToks = docs.select(col(idCol), col(labelCol).as("actual"),
+        explode(graft.functions.TextFns.tokens(lower(trim(col(textCol))))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("actual"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val scored = docToks
+      .join(broadcast(labels), lit(true))
+      .join(broadcast(model), Seq("label", "token"), "left")
+      .groupBy(col(idCol), col("actual"), col("label"))
+      .agg((max(col("prior_micro")) +
+        sum(col("c") * coalesce(col("lp_micro"), col("floor_micro"))))
+        .as("score_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("actual"), col("label").as("predicted"),
+        col("score_micro"))
+  }
+
+  // ── DuckDB oracle ───────────────────────────────────────────────────────
+
+  /** The shared training CTEs: `cls` (label, n_docs), `tc` (label, token,
+    * cnt), `tot`, `vs` (vocab size). */
+  private def chain(table: String, labelCol: String, textCol: String): String =
+    s"""cls AS (SELECT $labelCol AS label, CAST(count(*) AS BIGINT) AS n_docs
+         FROM $table GROUP BY 1),
+       tk AS (SELECT doc_id, $labelCol AS label, token FROM (
+           SELECT doc_id, $labelCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0),
+       tc AS (SELECT label, token, CAST(count(*) AS BIGINT) AS cnt
+              FROM tk GROUP BY 1, 2),
+       tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM tc GROUP BY 1),
+       vs AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tc)"""
+
+  /** Oracle replaying [[nbModel]] over a self-trained corpus. */
+  def nbModelOracleSql(table: String, labelCol: String, textCol: String): String =
+    s"""WITH ${chain(table, labelCol, textCol)}
+       SELECT tc.label, tc.token, tc.cnt,
+         CAST(round(ln((CAST(tc.cnt AS DOUBLE) + 1.0) /
+           CAST(tot.tot + vs.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_micro
+       FROM tc JOIN tot USING (label), vs
+       ORDER BY tc.label, tc.token"""
+
+  /** Oracle replaying [[nbClassify]] (self-trained). */
+  def nbClassifyOracleSql(table: String, idCol: String, labelCol: String,
+                          textCol: String): String =
+    s"""WITH ${chain(table, labelCol, textCol)},
+       model AS (SELECT tc.label, tc.token,
+           CAST(round(ln((CAST(tc.cnt AS DOUBLE) + 1.0) /
+             CAST(tot.tot + vs.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+         FROM tc JOIN tot USING (label), vs),
+       lbl AS (SELECT cls.label,
+           CAST(round(ln(CAST(cls.n_docs AS DOUBLE) /
+             CAST((SELECT sum(n_docs) FROM cls) AS DOUBLE)) * 1000000.0)
+             AS BIGINT) AS prior,
+           CAST(round(ln(1.0 / CAST(tot.tot + vs.v AS DOUBLE)) * 1000000.0)
+             AS BIGINT) AS floor_lp
+         FROM cls JOIN tot USING (label), vs),
+       dt AS (SELECT doc_id, label AS actual, token,
+                CAST(count(*) AS BIGINT) AS c
+              FROM tk GROUP BY 1, 2, 3),
+       sc AS (SELECT dt.doc_id, dt.actual, l.label,
+           max(l.prior) + CAST(sum(dt.c * coalesce(m.lp, l.floor_lp)) AS BIGINT)
+             AS score_micro
+         FROM dt CROSS JOIN lbl l
+         LEFT JOIN model m ON m.label = l.label AND m.token = dt.token
+         GROUP BY 1, 2, 3)
+       SELECT doc_id, actual, label AS predicted, score_micro FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id
+           ORDER BY score_micro DESC, label) AS rn FROM sc)
+       WHERE rn = 1 ORDER BY doc_id"""
+}

@@ -2384,6 +2384,123 @@ object Corpus {
     (merges.toSeq.toDF("step", "pair", "pair_freq"), v)
   }
 
+  /** WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the
+    * BERT-family tokenizer): the same greedy-merge loop as [[bpeTrain]]
+    * but scored by LIKELIHOOD GAIN instead of raw pair frequency — the
+    * pair maximizing freq(ab) / (freq(a)·freq(b)), i.e. the merge that
+    * most increases the unigram-LM likelihood of the corpus. The score is
+    * an EXACT integer rational: f·10¹⁸ div (fa·fb) in DECIMAL(38,0)
+    * (fa·fb ≥ f², so the quotient ≤ 10¹⁸/f fits a long) — no float
+    * comparison decides a merge, ties break lexicographically, identical
+    * on both engines. Segmentation state and the private-delimiter
+    * literal replace are [[bpeTrainState]]'s (see its scaladoc for the
+    * adjacency proof).
+    *
+    * Scale: identical to BPE — ONE corpus pass (the vocab fit), then
+    * every iteration runs two |vocab|-row aggregates (pair and symbol
+    * frequencies) and one literal replace; corpus-size-independent.
+    * Returns the merge table (step, pair, score). */
+  def wordPieceTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var v = vocab(docs, textCol)
+      .select(col("token"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val pairF = v.select(
+          explode(TextFns.wordShingles(col("sym"), 2)).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+      val symF = v.select(explode(split(col("sym"), " ")).as("s"), col("freq"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("sf"))
+      val best = pairF
+        .withColumn("l", element_at(split(col("pair"), " "), 1))
+        .withColumn("r", element_at(split(col("pair"), " "), 2))
+        .join(symF.select(col("s").as("l"), col("sf").as("fl")), Seq("l"))
+        .join(symF.select(col("s").as("r"), col("sf").as("fr")), Seq("r"))
+        .select(col("pair"),
+          expr("CAST(CAST(f AS DECIMAL(38,0)) * 1000000000000000000 div " +
+            "(CAST(fl AS DECIMAL(38,0)) * fr) AS BIGINT)").as("score"))
+        .orderBy(col("score").desc, col("pair")).limit(1)
+        .as[(String, Long)].collect()
+      if (best.isEmpty) done = true
+      else {
+        val (pair, sc) = best.head
+        merges += ((step, pair, sc))
+        val merged = pair.replace(" ", "")
+        val doubled = call_function("replace", col("sym"), lit(" "), lit("  "))
+        val pairD = pair.replace(" ", "  ")
+        val next = v.select(col("token"),
+            trim(call_function("replace",
+              call_function("replace",
+                concat(lit(" "), doubled, lit(" ")),
+                lit(s" $pairD "), lit(s" $merged ")),
+              lit("  "), lit(" "))).as("sym"),
+            col("freq"))
+          .localCheckpoint(true)
+        graft.ops.ApproxDedup.freeCheckpoint(v)
+        v = next
+        step += 1
+      }
+    }
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    merges.toSeq.toDF("step", "pair", "score")
+  }
+
+  /** DuckDB oracle replaying [[wordPieceTrain]] — the BPE chain with the
+    * likelihood-gain argmax (HUGEINT exact rational) per step. */
+  def wordPieceTrainOracleSql(table: String, textCol: String,
+                              nMerges: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      s"""wp$i AS MATERIALIZED (
+           SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM (
+             SELECT array_to_string(t[j:j+1], ' ') AS pair, freq FROM (
+               SELECT string_split(sym, ' ') AS t, freq FROM wv${i - 1}) w,
+               unnest(generate_series(1, len(t) - 1)) AS u(j)
+             WHERE len(t) >= 2) g
+           GROUP BY 1),
+         ws$i AS MATERIALIZED (
+           SELECT s, CAST(sum(freq) AS BIGINT) AS sf FROM (
+             SELECT unnest(string_split(sym, ' ')) AS s, freq FROM wv${i - 1}) g
+           GROUP BY 1),
+         wb$i AS MATERIALIZED (
+           SELECT pair, score FROM (
+             SELECT p.pair,
+               CAST((CAST(p.f AS HUGEINT) * 1000000000000000000) //
+                 (CAST(l.sf AS HUGEINT) * r.sf) AS BIGINT) AS score
+             FROM wp$i p
+             JOIN ws$i l ON l.s = string_split(p.pair, ' ')[1]
+             JOIN ws$i r ON r.s = string_split(p.pair, ' ')[2]) q
+           ORDER BY score DESC, pair LIMIT 1),
+         wv$i AS MATERIALIZED (
+           SELECT token, trim(replace(replace(
+             ' ' || replace(sym, ' ', '  ') || ' ',
+             ' ' || (SELECT replace(pair, ' ', '  ') FROM wb$i) || ' ',
+             ' ' || (SELECT replace(pair, ' ', '') FROM wb$i) || ' '),
+             '  ', ' ')) AS sym,
+             freq
+           FROM wv${i - 1})"""
+    }.mkString(",\n       ")
+    val out = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, pair, score FROM wb$i").mkString("\n       UNION ALL ")
+    s"""WITH words AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1),
+       wv0 AS MATERIALIZED (
+         SELECT token, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS sym, freq
+         FROM words),
+       $stages
+       SELECT CAST(step AS INT) AS step, pair, score FROM (
+       $out) z ORDER BY step"""
+  }
+
   /** Apply a STORED merge list (the trained-tokenizer artifact — e.g. the
     * merge table read back from a pipe) to a possibly DIFFERENT corpus:
     * per-document subword counts under the given merges, in training

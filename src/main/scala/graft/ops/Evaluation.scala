@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1132,5 +1132,111 @@ object Evaluation {
               (${avgSql("rt")} / CAST(eff_orders AS DOUBLE))) * 1000000.0) AS BIGINT)
          END AS chrf_micro
        FROM f ORDER BY id"""
+  }
+
+  // ── pass@k (Chen et al. 2021, "Evaluating LLMs Trained on Code") ───────
+
+  /** Unbiased pass@k per problem group: with n samples of which c pass,
+    * pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0..k−1} (n−c−i)/(n−i) —
+    * the HumanEval estimator (App. A numerically-stable product form),
+    * statically unrolled per k with factors clamped at 0 (n−c < k ⇒ the
+    * product hits an exact 0 ⇒ pass@k = 1) and ascending-i FP order, so
+    * both engines multiply identically. Groups with n < k report NULL
+    * (the estimator is undefined there). ONE map-side-combined aggregate;
+    * micro-rounded doubles of exact longs. */
+  def passAtK(samples: DataFrame, groupCol: String, passCol: String,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val base = samples.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(passCol).cast("long")).as("c"))
+    val cols = ks.map { k =>
+      val prod = (0 until k).map { i =>
+        greatest(col("n") - col("c") - lit(i.toLong), lit(0L)).cast("double") /
+          (col("n") - lit(i.toLong)).cast("double")
+      }.reduceLeft(_ * _)
+      when(col("n") >= k,
+        round((lit(1.0) - prod) * lit(1e6)).cast("long"))
+        .as(s"pass_at_${k}_micro")
+    }
+    base.select(col(groupCol) +: col("n") +: col("c") +: cols: _*)
+  }
+
+  /** DuckDB oracle replaying [[passAtK]]; `samplesSql` must yield
+    * (grp, p) with p ∈ {0, 1}. */
+  def passAtKOracleSql(samplesSql: String, ks: Seq[Int]): String = {
+    val cols = ks.map { k =>
+      val prod = (0 until k).map(i =>
+        s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+        .mkString(" * ")
+      s"""CASE WHEN n >= $k
+           THEN CAST(round((1.0 - $prod) * 1000000.0) AS BIGINT)
+         END AS pass_at_${k}_micro"""
+    }.mkString(",\n         ")
+    s"""WITH s AS ($samplesSql),
+       g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS c
+             FROM s GROUP BY 1)
+       SELECT grp, n, c,
+         $cols
+       FROM g ORDER BY grp"""
+  }
+
+  // ── temperature scaling (Guo et al. 2017 §4.2) ─────────────────────────
+
+  /** Fit the temperature-scaling calibrator by NLL grid search — THE
+    * standard post-hoc calibration next to the ECE report: scores become
+    * logits z = ln((s+1)/(1e6+1−s)) (add-one clamp keeps the 0/1e6
+    * endpoints finite), and for each grid temperature the binary NLL term
+    * is micro-quantized PER ROW before the sum (order-independent longs).
+    * Argmin over the grid, ties to the smallest temperature (array_min
+    * over (nll, t) structs). One scan, |grid| sum-aggregates, one output
+    * row: (t_micro, nll_t1_micro, nll_best_micro). */
+  def temperatureFit(scored: DataFrame, labelCol: String, scoreMicroCol: String,
+                     gridMicro: Seq[Long]): DataFrame = {
+    require(gridMicro.nonEmpty && gridMicro.forall(_ > 0), "positive temps")
+    require(gridMicro.contains(1000000L), "grid must include T=1 for the baseline")
+    val y = col(labelCol).cast("int")
+    val s = col(scoreMicroCol).cast("double")
+    val z = log((s + lit(1.0)) / (lit(1000001.0) - s))
+    def nllTerm(tMicro: Long): Column = {
+      val zt = z / lit(tMicro.toDouble / 1e6)
+      round((when(y === 1, log(lit(1.0) + exp(-zt)))
+        .otherwise(-zt + log(lit(1.0) + exp(-zt)))) * lit(1e6)).cast("long")
+    }
+    val aggs = gridMicro.zipWithIndex.map { case (t, i) =>
+      sum(nllTerm(t)).as(s"__n$i") }
+    val row = scored.agg(aggs.head, aggs.tail: _*)
+    val cands = gridMicro.zipWithIndex.map { case (t, i) =>
+      struct(col(s"__n$i").as("nll"), lit(t).as("t")) }
+    val best = array_min(array(cands: _*))
+    val t1 = gridMicro.indexOf(1000000L)
+    row.select(best.getField("t").as("t_micro"),
+      col(s"__n$t1").as("nll_t1_micro"),
+      best.getField("nll").as("nll_best_micro"))
+  }
+
+  /** DuckDB oracle replaying [[temperatureFit]]; `scoredSql` must yield
+    * (y, s) with y ∈ {0,1} and s the micro score. */
+  def temperatureFitOracleSql(scoredSql: String, gridMicro: Seq[Long]): String = {
+    val terms = gridMicro.zipWithIndex.map { case (t, i) =>
+      val tD = s"${t.toDouble / 1e6}"
+      s"""CAST(sum(CAST(round((CASE WHEN y = 1
+             THEN ln(1.0 + exp(-(z / $tD)))
+             ELSE -(z / $tD) + ln(1.0 + exp(-(z / $tD))) END) * 1000000.0)
+           AS BIGINT)) AS BIGINT) AS n$i"""
+    }.mkString(",\n         ")
+    val pick = gridMicro.zipWithIndex.map { case (t, i) =>
+      s"{'nll': n$i, 't': CAST($t AS BIGINT)}" }.mkString("[", ", ", "]")
+    val t1 = gridMicro.indexOf(1000000L)
+    s"""WITH s AS ($scoredSql),
+       zt AS (SELECT y,
+           ln((CAST(s AS DOUBLE) + 1.0) / (1000001.0 - CAST(s AS DOUBLE))) AS z
+         FROM s),
+       a AS (SELECT
+         $terms
+         FROM zt),
+       b AS (SELECT *, list_min($pick) AS best FROM a)
+       SELECT best.t AS t_micro, n$t1 AS nll_t1_micro, best.nll AS nll_best_micro
+       FROM b"""
   }
 }

@@ -233,6 +233,152 @@ object SimilaritySearch {
     cents
   }
 
+  /** Lloyd k-means with EXACT rational centroids — the oracle-replayable
+    * trainer [[kmeansCentroids]] cannot be (its float `avg` is partition-
+    * order-dependent): every centroid coordinate is carried as the exact
+    * rational (Σ round(v·1e6), n) — per-dim micro-quantized coordinate
+    * sums are order-independent LONGS, and the only double is the final
+    * (sum/n)/1e6 division, identical in both engines. Assignment is the
+    * same cosine argmax as [[withIvfCell]] (ties → lowest cell; dot
+    * products accumulate left-to-right on both sides, so the argmax is
+    * bit-exact cross-engine). Empty cells carry their previous rational
+    * unchanged (the deterministic degenerate-case rule; init vectors are
+    * rationals with n = 1).
+    *
+    * Scale: each iteration is ONE argmax projection + ONE k-row hash
+    * aggregate carrying dim sum-columns (map-side combined — vectors never
+    * shuffle, no posexplode row blow-up), collecting k×(dim+1) longs.
+    * `iterations` corpus passes total, each reduction-shaped — the plan a
+    * 1000-executor cluster absorbs by adding partitions.
+    *
+    * Returns (cell, dim) → (sumMicro, n): centroid coordinate =
+    * (sumMicro.toDouble / n) / 1e6. */
+  def kmeansTrainExact(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iterations: Int): Seq[(Seq[(Long, Long)])] = {
+    require(k > 0 && iterations >= 1, "need k > 0 and at least one iteration")
+    val init = sampleCentroids(emb, idCol, vecCol, k)
+    val dim = init.head.length
+    var state: Seq[Seq[(Long, Long)]] =
+      init.map(_.map(v => (math.round(v * 1e6), 1L)))
+    def cents: Seq[Seq[Double]] =
+      state.map(_.map { case (s, n) => (s.toDouble / n) / 1e6 })
+    val ev = col(vecCol).cast("array<double>")
+    for (_ <- 1 to iterations) {
+      val sums = (0 until dim).map(i =>
+        sum(round(element_at(col("__v"), i + 1) * lit(1e6)).cast("long")).as(s"s$i"))
+      val rows = withIvfCell(emb.select(ev.as("__v")), "__v", cents, "__cell")
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
+      state = state.zipWithIndex.map { case (prev, c) =>
+        byCell.get(c) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (0 until dim).map(i => (r.getLong(2 + i), n))
+          case None => prev
+        }
+      }
+    }
+    state
+  }
+
+  /** Centroid doubles from [[kmeansTrainExact]] state — the exact division
+    * both engines perform. */
+  def kmeansCents(state: Seq[Seq[(Long, Long)]]): Seq[Seq[Double]] =
+    state.map(_.map { case (s, n) => (s.toDouble / n) / 1e6 })
+
+  /** [[kmeansTrainExact]] state as a DataFrame of exact longs
+    * (cell, dim_idx, c_sum_micro, n_div) — the persistable/oracle-checkable
+    * model artifact. */
+  def kmeansModelDf(spark: org.apache.spark.sql.SparkSession,
+                    state: Seq[Seq[(Long, Long)]]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = state.zipWithIndex.flatMap { case (dims, c) =>
+      dims.zipWithIndex.map { case ((s, n), i) =>
+        org.apache.spark.sql.Row(c.toLong, i.toLong, s, n) }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1),
+      StructType(Seq(StructField("cell", LongType), StructField("dim_idx", LongType),
+        StructField("c_sum_micro", LongType), StructField("n_div", LongType))))
+  }
+
+  /** The k-means training chain as DuckDB CTEs ending in `km$iterations`
+    * (cell, dim, s, n) — init = the k lowest-id vectors as (round(v·1e6), 1)
+    * rationals, per-iteration argmax assignment (score DESC, cell ASC) and
+    * exact micro-sum update with empty cells carrying forward. */
+  private[graft] def kmeansChainCtes(table: String, idCol: String,
+                                     vecCol: String, k: Int,
+                                     iterations: Int): String = {
+    val init =
+      s"""e AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       km0 AS (
+         SELECT cell, CAST(u.d.i - 1 AS BIGINT) AS dim,
+           CAST(round(u.d.v * 1000000.0) AS BIGINT) AS s, CAST(1 AS BIGINT) AS n
+         FROM (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, ev
+               FROM e WHERE id < $k) c,
+           unnest(list_transform(generate_series(1, len(c.ev)),
+             i -> {'i': i, 'v': c.ev[i]})) AS u(d))"""
+    val steps = (1 to iterations).map { t =>
+      s"""cl$t AS (
+           SELECT cell, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cvec
+           FROM km${t - 1} GROUP BY cell),
+         asg$t AS (
+           SELECT id, ev, cell FROM (
+             SELECT e.id, e.ev, c.cell,
+               row_number() OVER (PARTITION BY e.id
+                 ORDER BY list_dot_product(e.ev, c.cvec)
+                   / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.cell) AS rn
+             FROM e, cl$t c) WHERE rn = 1),
+         agg$t AS (
+           SELECT cell, CAST(u.d.i - 1 AS BIGINT) AS dim,
+             CAST(sum(round(u.d.v * 1000000.0)) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM asg$t a, unnest(list_transform(generate_series(1, len(a.ev)),
+             i -> {'i': i, 'v': a.ev[i]})) AS u(d)
+           GROUP BY 1, 2),
+         km$t AS (
+           SELECT cell, dim, s, n FROM agg$t
+           UNION ALL
+           SELECT p.cell, p.dim, p.s, p.n FROM km${t - 1} p
+           WHERE p.cell NOT IN (SELECT DISTINCT cell FROM agg$t))"""
+    }.mkString(",\n       ")
+    s"$init,\n       $steps"
+  }
+
+  /** Oracle for the exact k-means TRAIN query. */
+  def kmeansTrainOracleSql(table: String, idCol: String, vecCol: String,
+                           k: Int, iterations: Int): String =
+    s"""WITH ${kmeansChainCtes(table, idCol, vecCol, k, iterations)}
+       SELECT cell, dim AS dim_idx, s AS c_sum_micro, n AS n_div
+       FROM km$iterations ORDER BY cell, dim"""
+
+  /** Oracle for the IVF top-k probe over TRAINED (k-means) centroids —
+    * [[ivfOracleSql]] with the sampled `cents` replaced by the training
+    * chain's final centroids. */
+  def ivfKmeansOracleSql(table: String, idCol: String, vecCol: String,
+                         k: Int, iterations: Int, nProbe: Int, queryId: Long,
+                         topK: Int): String =
+    s"""WITH ${kmeansChainCtes(table, idCol, vecCol, k, iterations)},
+       cents AS (
+         SELECT cell AS cid, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS cvec
+         FROM km$iterations GROUP BY cell),
+       a AS (
+         SELECT e.id, e.ev, c.cid,
+           list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) AS score
+         FROM e, cents c
+         QUALIFY row_number() OVER (PARTITION BY e.id ORDER BY score DESC, c.cid) = 1),
+       q AS (SELECT ev AS qv FROM e WHERE id = $queryId),
+       probe AS (
+         SELECT cid FROM cents, q
+         ORDER BY list_dot_product(cvec, qv) / sqrt(list_dot_product(cvec, cvec)) DESC, cid
+         LIMIT $nProbe)
+       SELECT a.id AS $idCol,
+         list_dot_product(a.ev, q.qv) /
+         (sqrt(list_dot_product(a.ev, a.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+       FROM a, q WHERE a.cid IN (SELECT cid FROM probe)
+       ORDER BY cosine DESC, a.id LIMIT $topK"""
+
   /** Driver-side probe-cell selection: the nProbe centroids nearest to the
     * query (same score formula as the build side). */
   def ivfProbeCells(centroids: Seq[Seq[Double]], query: Seq[Double], nProbe: Int): Seq[Int] =

@@ -743,4 +743,113 @@ object Sketches {
        GROUP BY q.q_micro, q.n, q.rank
        ORDER BY q.q_micro"""
   }
+
+  // ── KMV set operations (theta-sketch style; Beyer et al. 2007,
+  //    Dasgupta et al. 2016 / Apache DataSketches) ────────────────────────
+
+  /** Pairwise cross-source distinct-overlap estimates from bottom-k (KMV)
+    * signatures — the sketch SET-OPERATION move: each source keeps its k
+    * smallest 60-bit element hashes (word `shingleSize`-shingles, so the
+    * element space is corpus-sized, not the tiny vocab); for a pair, the
+    * k smallest of the UNION of the two sketches are a uniform sample of
+    * the union's distinct elements, so the fraction of them present in
+    * BOTH sketches estimates Jaccard, and × the union's KMV
+    * distinct-estimate gives the intersection size ("how many unique
+    * shingles do these two crawls share" without ever joining text).
+    *
+    * Scale: one scan collapses to |sources|·k longs (per-source window,
+    * partitioned); every pair stage runs on that broadcast-sized sketch
+    * table — |sources|²·k rows worst case, corpus-independent. All
+    * arithmetic is exact longs + the two fixed-order double estimates. */
+  def kmvOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                 shingleSize: Int, k: Int): DataFrame = {
+    import graft.functions.TextFns
+    require(k >= 2, "k must be at least 2")
+    val bk = docs.select(col(groupCol).as("src"),
+        explode(TextFns.wordShingles(lower(trim(col(textCol))), shingleSize)).as("v"))
+      .where(length(col("v")) > 0)
+      .select(col("src"), TextFns.md5Long60(col("v")).as("hash"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("hash"))))
+      .where(col("rk") <= k)
+      .localCheckpoint(true) // |sources|·k rows; read by every pair stage
+    val pairs = bk.select(col("src").as("s1")).distinct()
+      .crossJoin(bk.select(col("src").as("s2")).distinct())
+      .where(col("s1") < col("s2"))
+    val u = pairs.join(bk.select(col("src").as("s1"), col("hash")), Seq("s1"))
+        .select(col("s1"), col("s2"), col("hash"),
+          lit(1).as("ia"), lit(0).as("ib"))
+      .unionByName(
+        pairs.join(bk.select(col("src").as("s2"), col("hash")), Seq("s2"))
+          .select(col("s1"), col("s2"), col("hash"),
+            lit(0).as("ia"), lit(1).as("ib")))
+      .groupBy(col("s1"), col("s2"), col("hash"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val ranked = u.withColumn("rk", row_number().over(
+        Window.partitionBy(col("s1"), col("s2")).orderBy(col("hash"))))
+      .where(col("rk") <= k)
+    val out = ranked.groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_union"), max(col("hash")).as("kth_hash"),
+        sum((col("ia") * col("ib")).cast("long")).as("c_both"))
+      .select(col("s1"), col("s2"), col("n_union"), col("c_both"),
+        expr(s"CASE WHEN n_union < $k THEN n_union * 1000000L" +
+          s" ELSE CAST(FLOOR(${k - 1}.0D * $Two60 / CAST(kth_hash AS DOUBLE)" +
+          s" * 1000000.0D) AS BIGINT) END").as("est_union_micro"))
+      .withColumn("jaccard_micro",
+        expr("c_both * 1000000L div n_union"))
+      .withColumn("est_intersection_micro",
+        floor(col("c_both").cast("double") / col("n_union").cast("double") *
+          col("est_union_micro").cast("double")).cast("long"))
+      .localCheckpoint(true) // |sources|²/2 rows — materialize BEFORE freeing bk
+    graft.ops.ApproxDedup.freeCheckpoint(bk)
+    out
+  }
+
+  /** DuckDB oracle replaying [[kmvOverlap]]. */
+  def kmvOverlapOracleSql(table: String, groupCol: String, textCol: String,
+                          shingleSize: Int, k: Int): String =
+    s"""WITH sv AS (
+         SELECT $groupCol AS src,
+           array_to_string(t[j:j+${shingleSize - 1}], ' ') AS v
+         FROM (SELECT $groupCol,
+                 string_split_regex(trim(lower($textCol)), '\\s+') AS t
+               FROM $table) w,
+           unnest(CASE WHEN len(t) < $shingleSize THEN CAST([] AS BIGINT[])
+             ELSE generate_series(1, len(t) - ${shingleSize - 1}) END) AS u(j)),
+       h AS (SELECT DISTINCT src,
+               CAST(('0x' || substring(md5(v), 1, 15)) AS BIGINT) AS hash
+             FROM sv WHERE length(v) > 0),
+       bk AS (SELECT src, hash FROM (
+           SELECT src, hash,
+             row_number() OVER (PARTITION BY src ORDER BY hash) AS rk
+           FROM h) WHERE rk <= $k),
+       pr AS (SELECT a.src AS s1, b.src AS s2
+              FROM (SELECT DISTINCT src FROM bk) a,
+                   (SELECT DISTINCT src FROM bk) b
+              WHERE a.src < b.src),
+       uu AS (SELECT s1, s2, hash, max(ia) AS ia, max(ib) AS ib FROM (
+           SELECT pr.s1, pr.s2, bk.hash, 1 AS ia, 0 AS ib
+           FROM pr JOIN bk ON bk.src = pr.s1
+           UNION ALL
+           SELECT pr.s1, pr.s2, bk.hash, 0 AS ia, 1 AS ib
+           FROM pr JOIN bk ON bk.src = pr.s2) g
+         GROUP BY 1, 2, 3),
+       rk AS (SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY hash) AS rk
+           FROM uu) WHERE rk <= $k),
+       ag AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_union,
+                max(hash) AS kth_hash,
+                CAST(sum(ia * ib) AS BIGINT) AS c_both
+              FROM rk GROUP BY 1, 2),
+       es AS (SELECT s1, s2, n_union, c_both,
+                CASE WHEN n_union < $k THEN n_union * 1000000
+                  ELSE CAST(FLOOR(${k - 1}.0 * $Two60 / CAST(kth_hash AS DOUBLE)
+                    * 1000000.0) AS BIGINT) END AS est_union_micro
+              FROM ag)
+       SELECT s1, s2, n_union, c_both, est_union_micro,
+         c_both * 1000000 // n_union AS jaccard_micro,
+         CAST(FLOOR(CAST(c_both AS DOUBLE) / CAST(n_union AS DOUBLE)
+           * CAST(est_union_micro AS DOUBLE)) AS BIGINT) AS est_intersection_micro
+       FROM es ORDER BY s1, s2"""
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Classify, Corpus, Evaluation, Sketches, SimilaritySearch}
+
+/** Edge-case properties of the round-12 trainer/estimator family —
+  * exact k-means, WordPiece, Naive Bayes, pass@k, temperature fit, KMV
+  * overlap. DuckDB hash parity lives in their oracles; these pin the
+  * behaviors the oracles cannot see (empty-cell carry, tie rules,
+  * out-of-range ks, degenerate labels). */
+class TrainerOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact k-means: empty cells carry their previous rational unchanged") {
+    // two far clusters + k=3 with an init centroid that captures nothing
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(-0.9f, -0.1f)),
+      (4L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val st = SimilaritySearch.kmeansTrainExact(rows, "vec_id", "embedding",
+      k = 3, iterations = 2)
+    assert(st.size == 3)
+    // every coordinate is a valid rational with positive denominator
+    st.foreach(_.foreach { case (_, n) => assert(n >= 1L) })
+    // determinism: retrain gives the identical state
+    val st2 = SimilaritySearch.kmeansTrainExact(rows, "vec_id", "embedding",
+      k = 3, iterations = 2)
+    assert(st == st2)
+  }
+
+  test("exact k-means moves centroids toward cluster means") {
+    val emb = Tables.embeddings(spark, sf)
+    val st = SimilaritySearch.kmeansTrainExact(emb, "vec_id", "embedding",
+      k = 4, iterations = 2)
+    val cents = SimilaritySearch.kmeansCents(st)
+    // trained centroids differ from the raw init sample
+    val init = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 4)
+    assert(cents != init, "two Lloyd iterations should move the centroids")
+    // and every cell is non-degenerate on this corpus
+    assert(st.forall(_.head._2 >= 1L))
+  }
+
+  test("wordpiece argmax differs from BPE's on a likelihood-gain corpus") {
+    // "a b" is the most FREQUENT pair, but "x y" has far rarer symbols so
+    // its likelihood gain is higher: freq/(fa*fb) = 3/(3*3) vs 10/(13*13)
+    val docs = (1 to 10).map(i => (i.toLong, "ab ab2"))
+      .union(Seq((11L, "xy"), (12L, "xy"), (13L, "xy")))
+      .toDF("doc_id", "text")
+    val wp = Corpus.wordPieceTrain(docs, "text", nMerges = 1)
+      .select("pair").as[String].collect()
+    val bpe = Corpus.bpeTrain(docs, "text", nMerges = 1)
+      .select("pair").as[String].collect()
+    assert(wp.head == "x y", s"wordpiece picked ${wp.head}")
+    assert(bpe.head == "a b", s"bpe picked ${bpe.head}")
+  }
+
+  test("naive bayes separates trivially separable labels") {
+    val docs = (1 to 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha", "foo foo bar")
+      else (i.toLong, "beta", "baz qux qux")
+    }.toDF("doc_id", "source", "text")
+    val (cls, toks) = Classify.nbCounts(docs, "source", "text", 4)
+    val v = toks.select(col("token")).distinct().count()
+    val out = Classify.nbClassify(docs, "doc_id", "source", "text", cls, toks, v)
+    assert(out.where(col("actual") =!= col("predicted")).count() == 0)
+  }
+
+  test("pass@k: c=n gives 1e6, c=0 gives 0, n<k gives null") {
+    val df = Seq(
+      ("all", 1), ("all", 1), ("all", 1), ("all", 1), ("all", 1),
+      ("none", 0), ("none", 0), ("none", 0), ("none", 0), ("none", 0),
+      ("tiny", 1), ("tiny", 0)).toDF("grp", "p")
+    val out = Evaluation.passAtK(df, "grp", "p", Seq(1, 5))
+      .collect().map(r => r.getString(0) ->
+        (r.get(3), r.get(4))).toMap
+    assert(out("all") == ((1000000L, 1000000L)))
+    assert(out("none") == ((0L, 0L)))
+    assert(out("tiny")._1 == 500000L) // 1 - (1/2)
+    assert(out("tiny")._2 == null)    // n=2 < k=5: undefined
+  }
+
+  test("temperature fit lowers or matches the T=1 NLL and prefers small T on ties") {
+    val docs = Tables.documents(spark, sf)
+    val scored = docs.select((col("lang") === "en").cast("int").as("y"),
+      (graft.functions.TextFns.qualityScore(col("text")) * 1000000)
+        .cast("long").as("s"))
+    val grid = (1 to 16).map(_ * 250000L)
+    val row = Evaluation.temperatureFit(scored, "y", "s", grid).head()
+    assert(row.getLong(2) <= row.getLong(1),
+      "best NLL must be <= the T=1 baseline")
+    assert(grid.contains(row.getLong(0)))
+  }
+
+  test("kmv overlap: identical sources estimate full jaccard, disjoint zero") {
+    val docs = Seq(
+      (1L, "s1", "w1 w2 w3 w4 w5 w6"), (2L, "s2", "w1 w2 w3 w4 w5 w6"),
+      (3L, "s3", "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "source", "text")
+    val out = Sketches.kmvOverlap(docs, "source", "text",
+        shingleSize = 3, k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("s1", "s2")).getLong(5) == 1000000L) // identical: jaccard 1
+    assert(out(("s1", "s3")).getLong(5) == 0L)       // disjoint: jaccard 0
+  }
+}
