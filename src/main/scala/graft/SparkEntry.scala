@@ -127,6 +127,23 @@ object SparkEntry {
   // fractions, so T rides identically through both engines)
   private val TempGridMicro: Seq[Long] = (1 to 16).map(_ * 250000L)
 
+  /** PCA model memo per sfDir (components, eigenvalues, sample mean) —
+    * trained once on the bounded lowest-id sample; the oracle injects the
+    * artifacts as literals (the OpqModel move). */
+  private object PcaModel {
+    type M = (Seq[Seq[Double]], Seq[Double], Seq[Double])
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, M]()
+    @volatile private var last: Option[M] = None
+    def forDir(s: SparkSession, d: String): M = {
+      val r = cache.computeIfAbsent(d, _ =>
+        SimilaritySearch.pcaComponents(Tables.embeddings(s, d),
+          "vec_id", "embedding", nSample = 256, p = 8))
+      last = Some(r)
+      r
+    }
+    def forOracle: Option[M] = last
+  }
+
   /** Exact k-means state memo per sfDir (the OpqModel move — deterministic
     * function of the corpus, shared across the q_kmeans_train and
     * q_ann_ivf_kmeans queries; oracles re-derive it from the tables). */
@@ -1957,6 +1974,61 @@ object SparkEntry {
       q.awaitTermination()
       eng.getData(sinkSpec)
         .select(col("doc_id"), col("n_tokens"), col("logprob_micro"), col("xent"))
+        .distinct().orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: STREAMING NB-classifier gate — arriving docs are
+    // classified IN-STREAM against the STORED Naive-Bayes model (count
+    // pipes trained on the historical corpus, folded once, checkpointed;
+    // each micro-batch runs the batch classifier via foreachBatch's
+    // transform). Re-deliveries dedup in-batch + at the sink — the
+    // prediction is deterministic, so replays are exact duplicates.
+    // Oracle: cross-table NB (model = corpus, scored = arrivals).
+    "q_streaming_nb_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_snb").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val cSpec = PipeSpec(PipeKeys("stream", "nb_classes"),
+        columns = ColumnRoles(Map("datetime" -> "batch")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val tSpec = PipeSpec(PipeKeys("stream", "nb_tokens"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (cls0, toks0) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
+      eng.storage(cSpec).create(cls0.withColumn("batch", lit(0L)))
+      eng.storage(tSpec).create(toks0)
+      val cls = graft.ops.Classify.nbFoldClasses(
+        eng.getData(cSpec).select(col("label"), col("n_docs")))
+        .localCheckpoint(true)
+      val toks = graft.ops.Classify.nbFoldTokens(eng.getData(tSpec))
+        .localCheckpoint(true)
+      val v = toks.select(col("token")).distinct().count()
+      // arriving docs: every 5th doc re-enters under a new id, delivered twice
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000L).as("doc_id"), col("source"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "nb_preds"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.Classify.nbClassify(
+            batch.dropDuplicates("doc_id"), "doc_id", "source", "text",
+            cls, toks, v)
+          .withColumn("ts", timestamp_micros(
+            (col("doc_id") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("doc_id"), col("actual"), col("predicted"), col("score_micro"))
         .distinct().orderBy(col("doc_id"))
     }),
 
@@ -4094,6 +4166,61 @@ object SparkEntry {
         Seq(lex.select(col("doc_id"), col("rank")),
             sem.select(col("doc_id"), col("rank"))),
         "doc_id", "rank", k = 10)
+    }),
+
+    // ── LLM-pipeline: rank-biased overlap (Webber et al. 2010) between
+    // the lexical (BM25) and semantic (cosine) top-20 lists — the
+    // retrieval-A/B ranking-similarity number next to the RRF fusion.
+    // Per-depth weights are driver doubles shared verbatim with the
+    // oracle; overlaps are exact counts over two ≤20-row rank lists.
+    "q_rbo" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val lex = graft.ops.Corpus.bm25TopK(docs, "doc_id", "text",
+          query = Seq("table", "scan", "fast", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      val sem = emb.select(col("vec_id").as("doc_id"),
+          graft.functions.VectorFns.cosineToQuery(col("embedding"), qv).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cosine").desc, col("doc_id"))))
+      graft.ops.Evaluation.rbo(lex.select(col("doc_id"), col("rank")),
+        sem.select(col("doc_id"), col("rank")),
+        "doc_id", "rank", depth = 20, p = 0.9)
+    }),
+
+    // ── LLM-pipeline: Krippendorff's α (nominal, missing-tolerant) — the
+    // agreement statistic for incomplete rating panels, completing the
+    // Cohen-κ / Fleiss-κ family. Exact integer numerator/denominator via
+    // the lcm-scaled coincidence weights; items keep any ≥2-rater subset.
+    "q_krippendorff" -> ((s, d) => {
+      val rated = Tables.events(s, d).select(
+          pmod(col("event_id"), lit(997L)).as("item"),
+          pmod(col("user_id"), lit(5L)).as("rater"),
+          col("event_id"),
+          expr("CAST(round(value) AS BIGINT) * 4 div 491").as("lbl"))
+        .groupBy(col("item"), col("rater"))
+        .agg(min(struct(col("event_id"), col("lbl"))).as("p"))
+        .select(col("item"), col("rater"), col("p.lbl").as("lbl"))
+        // missingness is the point: drop a deterministic slice of ratings
+        .where(pmod(col("item") + col("rater"), lit(7L)) =!= 0)
+      graft.ops.Evaluation.krippendorffAlpha(rated, "item", "lbl",
+        maxRaters = 5)
+    }),
+
+    // ── LLM-pipeline: PCA variance-explained report (the FAISS PCAMatrix
+    // preprocessing gate): components trained driver-side on the bounded
+    // lowest-id sample (Jacobi, fixed sweeps — the OPQ training bound),
+    // variance measured over the FULL corpus in ONE scan with
+    // milli-quantized centered projections and DECIMAL(38,0) square sums.
+    "q_pca_variance" -> ((s, d) => {
+      val (comps, eigs, mean) = PcaModel.forDir(s, d)
+      SimilaritySearch.pcaVarianceReport(Tables.embeddings(s, d),
+        "embedding", comps, eigs, mean)
     }),
 
     // ── LLM-pipeline: exact-substring duplicate REMOVAL (Lee et al. 2021's
@@ -6702,6 +6829,46 @@ object SparkEntry {
          FROM u GROUP BY 1 ORDER BY rrf_micro DESC, doc_id LIMIT 10"""
     },
 
+    "q_rbo" -> {
+      val bm25 = graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
+        terms = Seq("table", "scan", "fast", "vector"), k = 20)
+      graft.ops.Evaluation.rboOracleSql(
+        s"""SELECT doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+           FROM ($bm25) lex""",
+        """SELECT doc_id,
+             row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank
+           FROM (
+             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id = 0)
+             SELECT vec_id AS doc_id,
+               list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+               (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(qv, qv))) AS cosine
+             FROM embeddings, q
+             ORDER BY cosine DESC, vec_id LIMIT 20) sem""",
+        depth = 20, p = 0.9)
+    },
+
+    "q_krippendorff" ->
+      graft.ops.Evaluation.krippendorffOracleSql(
+        """WITH d0 AS (SELECT event_id % 997 AS item, user_id % 5 AS rater,
+             event_id, CAST(round(value) AS BIGINT) * 4 // 491 AS lbl
+             FROM events),
+           pick AS (SELECT item, rater, min(event_id) AS eid
+                    FROM d0 GROUP BY 1, 2)
+           SELECT d0.item, d0.lbl
+           FROM d0 JOIN pick ON pick.item = d0.item AND pick.rater = d0.rater
+                            AND pick.eid = d0.event_id
+           WHERE (d0.item + d0.rater) % 7 <> 0"""
+          .linesIterator.map(_.trim).mkString(" "),
+        maxRaters = 5),
+
+    "q_pca_variance" -> PcaModel.forOracle.map { case (comps, eigs, mean) =>
+        graft.ops.SimilaritySearch.pcaVarianceOracleSql("embeddings",
+          "embedding", comps, eigs, mean)
+      }.getOrElse("SELECT CAST(NULL AS BIGINT) AS pca_not_trained"),
+
     "q_remove_dup_spans" ->
       ApproxDedup.removeDupSpansOracleSql(
         """(SELECT doc_id, text FROM documents
@@ -7562,6 +7729,12 @@ object SparkEntry {
     "q_nb_index_sync" ->
       graft.ops.Classify.nbClassifyOracleSql("documents", "doc_id",
         "source", "text"),
+
+    "q_streaming_nb_probe" ->
+      graft.ops.Classify.nbClassifyCrossOracleSql("documents",
+        """(SELECT doc_id + 20000 AS doc_id, source, text
+           FROM documents WHERE doc_id % 5 = 0)""",
+        "doc_id", "source", "text"),
 
     "q_wordpiece_train" ->
       graft.ops.Corpus.wordPieceTrainOracleSql("documents", "text",

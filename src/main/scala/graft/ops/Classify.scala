@@ -131,7 +131,19 @@ object Classify {
   /** Oracle replaying [[nbClassify]] (self-trained). */
   def nbClassifyOracleSql(table: String, idCol: String, labelCol: String,
                           textCol: String): String =
-    s"""WITH ${chain(table, labelCol, textCol)},
+    nbClassifyCrossOracleSql(table, table, idCol, labelCol, textCol)
+
+  /** Oracle replaying [[nbClassify]] with the model trained on
+    * `trainTable` and scoring `scoreTable` (the stored/streaming shape). */
+  def nbClassifyCrossOracleSql(trainTable: String, scoreTable: String,
+                               idCol: String, labelCol: String,
+                               textCol: String): String =
+    s"""WITH ${chain(trainTable, labelCol, textCol)},
+       tk2 AS (SELECT $idCol AS doc_id, $labelCol AS label, token FROM (
+           SELECT $idCol, $labelCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $scoreTable) t
+         WHERE length(token) > 0),
        model AS (SELECT tc.label, tc.token,
            CAST(round(ln((CAST(tc.cnt AS DOUBLE) + 1.0) /
              CAST(tot.tot + vs.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
@@ -145,7 +157,7 @@ object Classify {
          FROM cls JOIN tot USING (label), vs),
        dt AS (SELECT doc_id, label AS actual, token,
                 CAST(count(*) AS BIGINT) AS c
-              FROM tk GROUP BY 1, 2, 3),
+              FROM tk2 GROUP BY 1, 2, 3),
        sc AS (SELECT dt.doc_id, dt.actual, l.label,
            max(l.prior) + CAST(sum(dt.c * coalesce(m.lp, l.floor_lp)) AS BIGINT)
              AS score_micro

@@ -1181,6 +1181,131 @@ object Evaluation {
        FROM g ORDER BY grp"""
   }
 
+  // ── Krippendorff's α (Krippendorff 1970; nominal data) ────────────────
+
+  /** Krippendorff's α for nominal labels with MISSING ratings — the
+    * agreement statistic that handles exactly what Cohen's κ (pairwise)
+    * and Fleiss' κ (complete panels) cannot: any item rated by any ≥2
+    * subset of raters. α = 1 − D_o/D_e over the coincidence matrix;
+    * the per-item 1/(m_i−1) weights become INTEGERS by scaling with
+    * L = lcm(1..maxRaters−1), so both numerator and denominator are exact
+    * longs and the only double is the final ratio (fixed op order,
+    * micro-rounded).
+    *
+    * Scale: one hash aggregate to (item, label) counts, one to per-item
+    * moments, two 1-row rollups — no windows, no self-joins; label and
+    * rater cardinalities are campaign constants. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String, labelCol: String,
+                        maxRaters: Int): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 13, "2..13 raters supported")
+    val L = (1 until maxRaters).foldLeft(1L)((a, b) =>
+      a * b / BigInt(a).gcd(BigInt(b)).toLong)
+    val mic = ratings.groupBy(col(itemCol).as("item"), col(labelCol).as("lbl"))
+      .agg(count(lit(1)).as("m_ic"))
+    val perItem = mic.groupBy(col("item"))
+      .agg(sum(col("m_ic")).as("m_i"), sum(col("m_ic") * col("m_ic")).as("sq"))
+      .where(col("m_i") >= 2) // unpairable single-rating items drop (the def.)
+    val numRow = perItem.agg(
+      sum(col("m_i")).as("n"),
+      // L div (m_i−1) is exact by construction ((m_i−1) | L); `div` keeps
+      // the arithmetic integral (Spark's `/` on longs returns double)
+      sum((col("m_i") * col("m_i") - col("sq")) *
+        expr(s"${L}L div (m_i - 1)")).as("num_scaled"))
+    val pairable = mic.join(perItem.select(col("item")), Seq("item"), "left_semi")
+    val denRow = pairable.groupBy(col("lbl")).agg(sum(col("m_ic")).as("n_c"))
+      .agg(sum(col("n_c") * col("n_c")).as("sq_c"))
+    numRow.crossJoin(denRow)
+      .select(col("n"), col("num_scaled"),
+        (col("n") * col("n") - col("sq_c")).as("den"),
+        round((lit(1.0) -
+          ((col("n") - lit(1L)) * col("num_scaled")).cast("double") /
+            (lit(L) * (col("n") * col("n") - col("sq_c"))).cast("double"))
+          * lit(1e6)).cast("long").as("alpha_micro"))
+  }
+
+  /** DuckDB oracle replaying [[krippendorffAlpha]]; `ratingsSql` must
+    * yield (item, lbl). */
+  def krippendorffOracleSql(ratingsSql: String, maxRaters: Int): String = {
+    val L = (1 until maxRaters).foldLeft(1L)((a, b) =>
+      a * b / BigInt(a).gcd(BigInt(b)).toLong)
+    s"""WITH r AS ($ratingsSql),
+       mic AS (SELECT item, lbl, CAST(count(*) AS BIGINT) AS m_ic
+               FROM r GROUP BY 1, 2),
+       pi AS (SELECT item, CAST(sum(m_ic) AS BIGINT) AS m_i,
+                CAST(sum(m_ic * m_ic) AS BIGINT) AS sq
+              FROM mic GROUP BY 1 HAVING sum(m_ic) >= 2),
+       nr AS (SELECT CAST(sum(m_i) AS BIGINT) AS n,
+                CAST(sum((m_i * m_i - sq) * ($L // (m_i - 1))) AS BIGINT)
+                  AS num_scaled
+              FROM pi),
+       nc AS (SELECT lbl, CAST(sum(m_ic) AS BIGINT) AS n_c
+              FROM mic JOIN pi USING (item) GROUP BY 1),
+       dr AS (SELECT CAST(sum(n_c * n_c) AS BIGINT) AS sq_c FROM nc)
+       SELECT n, num_scaled, n * n - sq_c AS den,
+         CAST(round((1.0 - CAST((n - 1) * num_scaled AS DOUBLE) /
+           CAST($L * (n * n - sq_c) AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS alpha_micro
+       FROM nr, dr"""
+  }
+
+  // ── rank-biased overlap (Webber et al. 2010) ──────────────────────────
+
+  /** Truncated RBO@d between two rankings — "how similar are these two
+    * top-k lists, weighting the head" (the ranking-comparison metric a
+    * retrieval A/B reads; p ≈ 0.9 puts ~86% of the weight in the top 10).
+    * RBO@d = Σ_{i≤d} (1−p)·p^{i−1}·|A_{1..i} ∩ B_{1..i}|/i. The per-depth
+    * weights are driver-computed double LITERALS shared verbatim with the
+    * oracle (cross-libm pow never runs in-plan), overlaps are exact
+    * conditional counts over the FULL OUTER join of two ≤d-row rank
+    * lists, and the weighted sum unrolls ascending — identical FP order
+    * both sides. */
+  def rbo(rankA: DataFrame, rankB: DataFrame, idCol: String, rankCol: String,
+          depth: Int, p: Double): DataFrame = {
+    require(depth >= 1 && p > 0 && p < 1, "need depth >= 1 and p in (0,1)")
+    val j = rankA.select(col(idCol), col(rankCol).as("__ra"))
+      .join(rankB.select(col(idCol), col(rankCol).as("__rb")),
+        Seq(idCol), "full")
+    val xs = (1 to depth).map(i =>
+      sum(when(col("__ra") <= i && col("__rb") <= i, 1L).otherwise(0L))
+        .as(s"__x$i"))
+    val row = j.agg(xs.head, xs.tail: _*)
+    val terms = (1 to depth).map { i =>
+      lit(rboWeight(p, i)) * col(s"__x$i").cast("double")
+    }.reduceLeft(_ + _)
+    row.select(lit(depth).as("depth"),
+      lit(math.round(p * 1e6)).as("p_micro"),
+      col(s"__x$depth").as("overlap_at_depth"),
+      round(terms * lit(1e6)).cast("long").as("rbo_micro"))
+  }
+
+  /** (1−p)·p^{i−1}/i — computed ONCE driver-side; both engines consume the
+    * identical double literal. */
+  private def rboWeight(p: Double, i: Int): Double =
+    (1 - p) * math.pow(p, i - 1) / i
+
+  /** DuckDB oracle replaying [[rbo]]; rank CTE sqls must yield
+    * (doc_id, rank). */
+  def rboOracleSql(rankASql: String, rankBSql: String, depth: Int,
+                   p: Double): String = {
+    val xs = (1 to depth).map(i =>
+      s"CAST(sum(CASE WHEN ra <= $i AND rb <= $i THEN 1 ELSE 0 END) AS BIGINT) AS x$i")
+      .mkString(",\n           ")
+    val terms = (1 to depth).map(i =>
+      s"${java.lang.Double.toString(rboWeight(p, i))} * CAST(x$i AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH ra0 AS ($rankASql), rb0 AS ($rankBSql),
+       j AS (SELECT coalesce(ra0.doc_id, rb0.doc_id) AS doc_id,
+               ra0.rank AS ra, rb0.rank AS rb
+             FROM ra0 FULL JOIN rb0 ON rb0.doc_id = ra0.doc_id),
+       agg AS (SELECT
+           $xs
+         FROM j)
+       SELECT $depth AS depth, CAST(${math.round(p * 1e6)} AS BIGINT) AS p_micro,
+         x$depth AS overlap_at_depth,
+         CAST(round(($terms) * 1000000.0) AS BIGINT) AS rbo_micro
+       FROM agg"""
+  }
+
   // ── temperature scaling (Guo et al. 2017 §4.2) ─────────────────────────
 
   /** Fit the temperature-scaling calibrator by NLL grid search — THE

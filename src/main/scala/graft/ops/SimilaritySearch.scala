@@ -379,6 +379,119 @@ object SimilaritySearch {
        FROM a, q WHERE a.cid IN (SELECT cid FROM probe)
        ORDER BY cosine DESC, a.id LIMIT $topK"""
 
+  // ── PCA whitening (Pearson 1901; the embedding-preprocessing step in
+  //    front of SQ/PQ — FAISS's PCAMatrix) ─────────────────────────────────
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — fixed sweep
+    * order and count, pure sequential double arithmetic ⇒ deterministic
+    * across runs (the OPQ Newton-iteration discipline). Returns
+    * (eigenvalues, eigenvector COLUMNS). Driver-side only — dim×dim
+    * doubles, never data-sized. */
+  private[graft] def jacobiEig(a0: Array[Array[Double]],
+                               sweeps: Int): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    for (_ <- 1 to sweeps; i <- 0 until n; j <- (i + 1) until n) {
+      val aij = a(i)(j)
+      if (math.abs(aij) > 1e-18) {
+        val theta = 0.5 * math.atan2(2.0 * aij, a(i)(i) - a(j)(j))
+        val c = math.cos(theta); val s = math.sin(theta)
+        for (k <- 0 until n) {
+          val aik = a(i)(k); val ajk = a(j)(k)
+          a(i)(k) = c * aik + s * ajk
+          a(j)(k) = -s * aik + c * ajk
+        }
+        for (k <- 0 until n) {
+          val aki = a(k)(i); val akj = a(k)(j)
+          a(k)(i) = c * aki + s * akj
+          a(k)(j) = -s * aki + c * akj
+        }
+        for (k <- 0 until n) {
+          val vki = v(k)(i); val vkj = v(k)(j)
+          v(k)(i) = c * vki + s * vkj
+          v(k)(j) = -s * vki + c * vkj
+        }
+      }
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** PCA components trained driver-side on the bounded lowest-id sample
+    * (the [[opqRotation]] training bound — nSample·dim doubles collected
+    * once): sample mean, sample covariance, Jacobi eigendecomposition,
+    * top-`p` components by (eigenvalue desc, index asc) with the
+    * largest-|coefficient| coordinate made positive (deterministic sign).
+    * Returns (components p×dim, eigenvalues p, sample mean dim).
+    * Applying the transform to the corpus is [[withRotation]] with the
+    * component matrix — ONE shuffle-free projection. */
+  def pcaComponents(emb: DataFrame, idCol: String, vecCol: String,
+                    nSample: Int, p: Int,
+                    sweeps: Int = 12): (Seq[Seq[Double]], Seq[Double], Seq[Double]) = {
+    val sample = sampleCentroids(emb, idCol, vecCol, nSample)
+    val n = sample.size
+    require(n >= 2 && p >= 1, "need >= 2 sample vectors and p >= 1")
+    val dim = sample.head.length
+    val mean = (0 until dim).map(i => sample.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      sample.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+    }
+    val (eigs, vecs) = jacobiEig(cov, sweeps)
+    val order = eigs.indices.sortBy(i => (-eigs(i), i)).take(p)
+    val comps = order.map { c =>
+      val col0 = (0 until dim).map(k => vecs(k)(c))
+      val m = col0.indices.maxBy(k => (math.abs(col0(k)), -k))
+      if (col0(m) < 0) col0.map(-_) else col0
+    }
+    (comps.map(_.toSeq), order.map(eigs), mean)
+  }
+
+  /** Corpus-scale variance-explained report for trained PCA components:
+    * per component, Σ (round((⟨v, comp⟩ − ⟨mean, comp⟩)·1e3))² over the
+    * FULL corpus — centered projections milli-quantized per row
+    * (order-independent longs), squares summed in DECIMAL(38,0) (the
+    * 100 TB overflow discipline). ONE scan, |p| sum columns, |p|-row
+    * output — the ship gate before committing a serving dimension. */
+  def pcaVarianceReport(emb: DataFrame, vecCol: String,
+                        comps: Seq[Seq[Double]], eigs: Seq[Double],
+                        mean: Seq[Double]): DataFrame = {
+    val ev = col(vecCol).cast("array<double>")
+    val aggs = comps.zipWithIndex.map { case (c, i) =>
+      val mc = dotSeq(mean, c)
+      val pr = round((VectorFns.dot(ev, typedLit(c.toArray)) - lit(mc)) *
+        lit(1e3)).cast("long")
+      sum((pr * pr).cast("decimal(38,0)")).as(s"__ss$i")
+    }
+    val row = emb.agg(aggs.head, aggs.tail: _*)
+    val out = comps.indices.map { i =>
+      struct(lit(i).cast("long").as("component"),
+        lit(math.round(eigs(i) * 1e6)).as("eigval_micro"),
+        col(s"__ss$i").cast("long").as("proj_ss_milli2"))
+    }
+    row.select(explode(array(out: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** DuckDB oracle replaying [[pcaVarianceReport]] with the trained
+    * components/mean INJECTED as literals (the OPQ-rotation oracle move —
+    * the artifact is a deterministic function of the corpus). */
+  def pcaVarianceOracleSql(table: String, vecCol: String,
+                           comps: Seq[Seq[Double]], eigs: Seq[Double],
+                           mean: Seq[Double]): String = {
+    def dlist(v: Seq[Double]): String =
+      v.map(java.lang.Double.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+    val arms = comps.zipWithIndex.map { case (c, i) =>
+      val mc = java.lang.Double.toString(dotSeq(mean, c))
+      s"""SELECT CAST($i AS BIGINT) AS component,
+           CAST(${math.round(eigs(i) * 1e6)} AS BIGINT) AS eigval_micro,
+           CAST(sum(CAST(pr AS HUGEINT) * pr) AS BIGINT) AS proj_ss_milli2
+         FROM (SELECT CAST(round((list_dot_product(CAST($vecCol AS DOUBLE[]),
+             ${dlist(c)}) - $mc) * 1000.0) AS BIGINT) AS pr
+           FROM $table) t$i"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""SELECT component, eigval_micro, proj_ss_milli2 FROM (
+       $arms) z ORDER BY component"""
+  }
+
   /** Driver-side probe-cell selection: the nProbe centroids nearest to the
     * query (same score formula as the build side). */
   def ivfProbeCells(centroids: Seq[Seq[Double]], query: Seq[Double], nProbe: Int): Seq[Int] =

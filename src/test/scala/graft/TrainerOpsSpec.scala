@@ -93,6 +93,62 @@ class TrainerOpsSpec extends SparkSpec {
     assert(grid.contains(row.getLong(0)))
   }
 
+  test("pca: components orthonormal, eigenvalues descending, variance follows") {
+    val emb = Tables.embeddings(spark, sf)
+    val (comps, eigs, _) = SimilaritySearch.pcaComponents(emb,
+      "vec_id", "embedding", nSample = 128, p = 4)
+    // eigenvalues sorted descending
+    assert(eigs == eigs.sortBy(-_))
+    // orthonormal within 1e-9
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for (i <- comps.indices; j <- comps.indices) {
+      val d = dot(comps(i), comps(j))
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"<c$i, c$j> = $d")
+    }
+    // corpus variance-explained follows the component order on real data
+    val rep = SimilaritySearch.pcaVarianceReport(emb, "embedding",
+        comps, eigs, SimilaritySearch.pcaComponents(emb,
+          "vec_id", "embedding", nSample = 128, p = 4)._3)
+      .orderBy(col("component")).collect().map(_.getLong(2))
+    assert(rep.head >= rep.last,
+      "first component should explain at least as much corpus variance as the last")
+  }
+
+  test("krippendorff: perfect agreement gives alpha = 1e6, known case matches") {
+    val perfect = Seq(
+      (1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L), (3L, 0L), (3L, 0L))
+      .toDF("item", "lbl")
+    val a = Evaluation.krippendorffAlpha(perfect, "item", "lbl", maxRaters = 3)
+      .head().getLong(3)
+    assert(a == 1000000L)
+    // hand-computed nominal case (2 coders, 12 items, 2 disagreements):
+    // n=24, Num=4, n_c=(3,9,5,7) ⇒ De-den=576−164=412,
+    // α = 1 − 23·4/412 = 320/412 = 0.776699…
+    val known = Seq(
+      (1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "b"), (4L, "b"), (5L, "b"), (5L, "b"), (6L, "c"), (6L, "c"),
+      (7L, "c"), (7L, "c"), (8L, "c"), (8L, "b"), (9L, "d"), (9L, "d"),
+      (10L, "d"), (10L, "d"), (11L, "d"), (11L, "d"), (12L, "a"), (12L, "d"))
+      .toDF("item", "lbl")
+    val a2 = Evaluation.krippendorffAlpha(known, "item", "lbl", maxRaters = 2)
+      .head().getLong(3)
+    assert(a2 == 776699L, s"alpha_micro = $a2")
+  }
+
+  test("rbo: identical rankings give 1 - p^d, disjoint give 0") {
+    val a = (1 to 10).map(i => (i.toLong, i)).toDF("doc_id", "rank")
+    val b = (1 to 10).map(i => (i.toLong + 100L, i)).toDF("doc_id", "rank")
+    val same = Evaluation.rbo(a, a, "doc_id", "rank", depth = 10, p = 0.9)
+      .head().getLong(3)
+    val want = math.round((1.0 - math.pow(0.9, 10)) * 1e6)
+    assert(math.abs(same - want) <= 1, s"rbo(same) = $same, want ~$want")
+    val disj = Evaluation.rbo(a, b, "doc_id", "rank", depth = 10, p = 0.9)
+      .head().getLong(3)
+    assert(disj == 0L)
+  }
+
   test("kmv overlap: identical sources estimate full jaccard, disjoint zero") {
     val docs = Seq(
       (1L, "s1", "w1 w2 w3 w4 w5 w6"), (2L, "s2", "w1 w2 w3 w4 w5 w6"),
