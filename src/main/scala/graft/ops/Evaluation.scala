@@ -1181,6 +1181,112 @@ object Evaluation {
        FROM g ORDER BY grp"""
   }
 
+  // ── deterministic Poisson bootstrap (Efron 1979; Poisson form per
+  //    Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+  //    Streams" — the bootstrap that needs no resample pass) ─────────────
+
+  /** Per-replicate Poisson(1) weight thresholds: c_k = e⁻¹·Σ_{j≤k} 1/j!.
+    * Driver-computed once; both engines consume the identical double
+    * literals, so the inverse-CDF ladder is bit-identical. */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    (0 to 7).scanLeft(0.0) { (acc, k) =>
+      acc + e1 / (1 to k).foldLeft(1.0)(_ * _)
+    }.tail
+  }
+
+  /** Percentile-bootstrap CI for per-group mean of a micro-unit metric —
+    * ships uncertainty with every data-card stat. Replicate b weights each
+    * row by Poisson(1) drawn from the deterministic md5 coin (u from
+    * md5("b:" ++ id), inverse-CDF ladder over [[PoissonCdf]], capped at 8),
+    * so the resample is reproducible across engines, reruns, and reshards.
+    * CI bounds are the nearest-rank ⌈0.05B⌉-th and ⌈0.95B⌉-th order
+    * statistics of the B replicate means (ties in the sort break on the
+    * replicate id — total order).
+    *
+    * Scale: ONE scan fans each row ×B (explode of a B-literal array) into
+    * a map-side-combined (group, b) aggregate of |groups|·B rows; the
+    * percentile window partitions by group over B rows. Weighted sums stay
+    * exact longs (w ≤ 8, metric micro-bounded); widen to DECIMAL(38,0)
+    * before 10¹²-row corpora. */
+  def bootstrapCi(rows: DataFrame, groupCol: String, idCol: String,
+                  metricMicroCol: String, b: Int): DataFrame = {
+    require(b >= 4, "need at least 4 replicates")
+    import org.apache.spark.sql.expressions.Window
+    def w(rep: Int): Column = {
+      val u = (conv(substring(md5(concat(lit(s"$rep:"),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      PoissonCdf.zipWithIndex.foldRight(lit(8): Column) { case ((c, k), e) =>
+        when(u < lit(c), lit(k)).otherwise(e)
+      }
+    }
+    val reps = rows.select(col(groupCol).as("grp"),
+        col(metricMicroCol).as("q"),
+        explode(array((0 until b).map(r =>
+          struct(lit(r).as("b"), w(r).as("w"))): _*)).as("r"))
+      .select(col("grp"), col("q"), col("r.b").as("b"), col("r.w").as("w"))
+      .groupBy(col("grp"), col("b"))
+      .agg(sum(col("w").cast("long") * col("q")).as("wq"),
+        sum(col("w").cast("long")).as("wsum"))
+      .where(col("wsum") > 0) // an all-zero-weight replicate carries no mean
+      .select(col("grp"), col("b"),
+        round(col("wq").cast("double") / col("wsum").cast("double"))
+          .cast("long").as("m"))
+    val win = Window.partitionBy(col("grp")).orderBy(col("m").asc, col("b").asc)
+    val ranked = reps.withColumn("rk", row_number().over(win))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val kLo = ceil(col("nb") * lit(0.05)).cast("int")
+    val kHi = ceil(col("nb") * lit(0.95)).cast("int")
+    val ci = ranked
+      .select(col("grp"), col("m"), col("rk"), kLo.as("klo"), kHi.as("khi"))
+      .groupBy(col("grp"))
+      .agg(max(when(col("rk") === col("klo"), col("m"))).as("ci_lo_micro"),
+        max(when(col("rk") === col("khi"), col("m"))).as("ci_hi_micro"))
+    val point = rows.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col(metricMicroCol)).cast("double") / count(lit(1)))
+          .cast("long").as("mean_micro"))
+    point.join(ci, Seq("grp"))
+      .select(col("grp"), col("n"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
+  /** DuckDB oracle replaying [[bootstrapCi]]; `rowsSql` must yield
+    * (grp, id, q). */
+  def bootstrapCiOracleSql(rowsSql: String, b: Int): String = {
+    val ladder = PoissonCdf.zipWithIndex.reverse.foldLeft("8") {
+      case (e, (c, k)) =>
+        s"CASE WHEN u < ${java.lang.Double.toString(c)} THEN $k ELSE $e END"
+    }
+    s"""WITH r0 AS ($rowsSql),
+       fan AS (SELECT grp, q, b,
+           (CAST(('0x' || substring(md5(CAST(b AS VARCHAR) || ':' ||
+             CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u
+         FROM r0, unnest(generate_series(0, ${b - 1})) AS g(b)),
+       wts AS (SELECT grp, b, CAST($ladder AS BIGINT) AS w, q FROM fan),
+       reps AS (SELECT grp, b,
+           CAST(round(CAST(sum(w * q) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+             AS BIGINT) AS m
+         FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+       rk AS (SELECT grp, b, m,
+           row_number() OVER (PARTITION BY grp ORDER BY m, b) AS rk,
+           count(*) OVER (PARTITION BY grp) AS nb
+         FROM reps),
+       ci AS (SELECT grp,
+           max(CASE WHEN rk = CAST(ceil(nb * 0.05) AS INT) THEN m END)
+             AS ci_lo_micro,
+           max(CASE WHEN rk = CAST(ceil(nb * 0.95) AS INT) THEN m END)
+             AS ci_hi_micro
+         FROM rk GROUP BY 1),
+       pt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_micro
+         FROM r0 GROUP BY 1)
+       SELECT pt.grp, pt.n, pt.mean_micro, ci.ci_lo_micro, ci.ci_hi_micro
+       FROM pt JOIN ci USING (grp) ORDER BY pt.grp"""
+  }
+
   // ── Krippendorff's α (Krippendorff 1970; nominal data) ────────────────
 
   /** Krippendorff's α for nominal labels with MISSING ratings — the
