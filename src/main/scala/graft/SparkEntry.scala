@@ -2980,6 +2980,38 @@ object SparkEntry {
             .as("score_micro")),
         "lbl", "score_micro", TempGridMicro)),
 
+    // ── LLM-pipeline: min-K% prob membership signal (Shi et al., ICLR
+    // 2024) — "has the model seen this doc?": mean log-prob of each doc's
+    // lowest 20% of token occurrences under the corpus LM; memorized text
+    // lacks low-prob outliers. Type-level selection, doc-partitioned
+    // window, integer budget math.
+    "q_min_k_prob" -> ((s, d) =>
+      graft.ops.Corpus.minKProb(Tables.documents(s, d), "doc_id", "text",
+        fracMicro = 200000L).orderBy(col("doc_id"))),
+
+    // ── LLM-pipeline: split-conformal quality gate (Vovk; Angelopoulos &
+    // Bates 2021) — the distribution-free threshold pick: τ from the
+    // even-doc calibration split at α = 0.1, coverage measured on the
+    // odd-doc eval split. TakeOrdered head, no global window.
+    "q_conformal_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def scored(df: DataFrame) = df.select(
+        (lit(1000000L) - (TextFns.qualityScore(col("text")) * 1000000)
+          .cast("long")).as("s"))
+      graft.ops.Evaluation.conformalGate(
+        scored(docs.where(col("doc_id") % 2 === 0)),
+        scored(docs.where(col("doc_id") % 2 === 1)),
+        "s", alphaMicro = 100000L)
+    }),
+
+    // ── LLM-pipeline: greedy k-center selection (Gonzalez 1985; Sener &
+    // Savarese 2018) — the core-set diversity-first selection baseline:
+    // k−1 scans, each one min-distance projection against ≤k literal
+    // centers + a TakeOrdered(1); the recorded radii are the budget curve.
+    "q_kcenter_select" -> ((s, d) =>
+      graft.ops.Sampling.kCenterSelect(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = 8)),
+
     // ── LLM-pipeline: deterministic Poisson-bootstrap CI (Efron 1979;
     // Chamandy et al. 2012's massive-data form) — every data-card mean
     // ships with uncertainty: B=32 md5-seeded Poisson(1) replicates in ONE
@@ -7728,6 +7760,20 @@ object SparkEntry {
         s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
             CAST($qualityMicroSql AS BIGINT) AS s FROM documents""",
         TempGridMicro),
+
+    "q_min_k_prob" ->
+      graft.ops.Corpus.minKProbOracleSql("documents", "doc_id", "text",
+        fracMicro = 200000L),
+
+    "q_conformal_gate" ->
+      graft.ops.Evaluation.conformalGateOracleSql(
+        s"SELECT 1000000 - CAST($qualityMicroSql AS BIGINT) AS s FROM documents WHERE doc_id % 2 = 0",
+        s"SELECT 1000000 - CAST($qualityMicroSql AS BIGINT) AS s FROM documents WHERE doc_id % 2 = 1",
+        alphaMicro = 100000L),
+
+    "q_kcenter_select" ->
+      graft.ops.Sampling.kCenterOracleSql("embeddings", "vec_id",
+        "embedding", k = 8),
 
     "q_bootstrap_ci" ->
       graft.ops.Evaluation.bootstrapCiOracleSql(

@@ -468,6 +468,94 @@ object Corpus {
           (col("n_tokens").cast("double") * lit(1e6)))
   }
 
+  /** Min-K% prob membership signal (Shi et al., ICLR 2024 "Detecting
+    * Pretraining Data from Large Language Models"): the mean log-prob of
+    * each document's LOWEST `fracMicro` fraction of token occurrences
+    * under the corpus LM — memorized/contaminated text has no
+    * low-probability outlier tokens, so a HIGH min-k% score flags "the
+    * model has seen this". Scored here under the add-one unigram
+    * surrogate ([[unigramLogProb]]'s model — swap the stored KenLM pipes
+    * in freely, the selection math is model-agnostic).
+    *
+    * The lowest-k selection works on TYPE rows: types sort by
+    * (logprob, token) per doc, a cumulative-count window takes whole
+    * types until the occurrence budget k = ⌈frac·n⌉ fills and a partial
+    * count at the boundary — all integer arithmetic (integer ceil; ties
+    * are value-ties so any boundary choice yields the same sum), the
+    * final mean one rounded double division of exact longs.
+    *
+    * Scale: the corpus collapses to (doc, type, tf); the window
+    * partitions BY DOC over its type rows, never globally. */
+  def minKProb(docs: DataFrame, idCol: String, textCol: String,
+               fracMicro: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fracMicro > 0 && fracMicro <= 1000000L, "frac in (0, 1e6]")
+    val tf = docs.select(col(idCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("t"), count(lit(1)).as("v"))
+    val lw = cf.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round(log((col("cf") + lit(1.0d)) /
+          (col("t") + col("v")).cast("double")) * lit(1e6))
+          .cast("long").as("lw_micro"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("lw_micro").asc, col("token").asc)
+    val scored = tf.join(lw, Seq("token"))
+      .withColumn("cb", coalesce(sum(col("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("tf")).over(
+        Window.partitionBy(col(idCol))))
+    // integer ceil: k = ⌈n·frac/1e6⌉, floored at 1 (positive operands, so
+    // truncating div == floor on both engines)
+    val k = greatest(lit(1L),
+      expr(s"(n * $fracMicro + 999999) div 1000000"))
+    scored
+      .withColumn("k", k)
+      .withColumn("take",
+        greatest(lit(0L), least(col("tf"), col("k") - col("cb"))))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_tokens"), max(col("k")).as("k_lowest"),
+        round(sum(col("take") * col("lw_micro")).cast("double") /
+          max(col("k")).cast("double")).cast("long").as("min_k_mean_micro"))
+  }
+
+  /** DuckDB oracle replaying [[minKProb]]. */
+  def minKProbOracleSql(table: String, idCol: String, textCol: String,
+                        fracMicro: Long): String =
+    s"""WITH tf AS (SELECT $idCol, token, CAST(count(*) AS BIGINT) AS tf FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1, 2),
+       cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+       tot AS (SELECT CAST(sum(cf) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+               FROM cf),
+       lw AS (SELECT token,
+                CAST(round(ln((cf + 1.0) / CAST(t + v AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS lw
+              FROM cf, tot),
+       sc AS (SELECT tf.$idCol, tf.token, tf.tf, lw.lw,
+                coalesce(sum(tf.tf) OVER (PARTITION BY tf.$idCol
+                  ORDER BY lw.lw, tf.token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+                sum(tf.tf) OVER (PARTITION BY tf.$idCol) AS n
+              FROM tf JOIN lw USING (token)),
+       tk AS (SELECT $idCol, n,
+                greatest(1, (n * $fracMicro + 999999) // 1000000) AS k,
+                greatest(0, least(tf,
+                  greatest(1, (n * $fracMicro + 999999) // 1000000) - cb)) AS take,
+                lw
+              FROM sc)
+       SELECT $idCol, CAST(max(n) AS BIGINT) AS n_tokens,
+         CAST(max(k) AS BIGINT) AS k_lowest,
+         CAST(round(CAST(sum(take * lw) AS DOUBLE) / CAST(max(k) AS DOUBLE))
+           AS BIGINT) AS min_k_mean_micro
+       FROM tk GROUP BY 1 ORDER BY 1"""
+
   /** Per-document log-probability under a corpus-fit INTERPOLATED BIGRAM
     * language model — one modeling step up from [[unigramLogProb]] toward
     * CCNet's 5-gram KenLM (Wenzek et al. 2020 §3; Jelinek–Mercer

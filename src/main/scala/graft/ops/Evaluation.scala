@@ -1181,6 +1181,57 @@ object Evaluation {
        FROM g ORDER BY grp"""
   }
 
+  // ── split-conformal gating (Vovk et al.; Angelopoulos & Bates 2021) ────
+
+  /** Split-conformal quality gate: the calibration split's nonconformity
+    * scores pin the threshold τ at the ⌈(n_cal+1)(1−α)⌉-th smallest score
+    * — gating NEW data at s ≤ τ then guarantees ≥ 1−α coverage under
+    * exchangeability, the distribution-free version of the quality-sweep
+    * threshold pick. Output: one row (n_cal, k_rank, tau, n_eval, covered,
+    * coverage_micro) with the empirical eval-split coverage alongside τ.
+    *
+    * Scale: τ is a TakeOrdered(k) head (no global window) after one
+    * bounded driver long (n_cal); coverage is one aggregate over the eval
+    * split. */
+  def conformalGate(cal: DataFrame, eval: DataFrame, scoreCol: String,
+                    alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L, "alpha in (0, 1e6)")
+    val nCal = cal.count()
+    // integer ceil of (n+1)(1−α), capped at n (α smaller than 1/(n+1)
+    // would demand a rank beyond the sample — the standard cap)
+    val k = math.min(nCal,
+      ((nCal + 1) * (1000000L - alphaMicro) + 999999L) / 1000000L)
+    val tau = cal.select(col(scoreCol).as("s"))
+      .orderBy(col("s").asc).limit(k.toInt)
+      .agg(max(col("s"))).head().getLong(0)
+    eval.agg(count(lit(1)).as("n_eval"),
+        sum(when(col(scoreCol) <= tau, 1L).otherwise(0L)).as("covered"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k_rank"),
+        lit(tau).as("tau"), col("n_eval"), col("covered"),
+        expr("covered * 1000000L div n_eval").as("coverage_micro"))
+  }
+
+  /** DuckDB oracle replaying [[conformalGate]]; the cal/eval SQL must
+    * yield a column `s`. */
+  def conformalGateOracleSql(calSql: String, evalSql: String,
+                             alphaMicro: Long): String =
+    s"""WITH cal AS ($calSql), ev AS ($evalSql),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+       kk AS (SELECT n_cal,
+                least(n_cal, ((n_cal + 1) * ${1000000L - alphaMicro}
+                  + 999999) // 1000000) AS k
+              FROM nc),
+       tau AS (SELECT max(s) AS tau FROM
+           (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal) q, kk
+         WHERE q.rn <= kk.k),
+       cov AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                CAST(sum(CASE WHEN ev.s <= tau.tau THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+              FROM ev, tau)
+       SELECT kk.n_cal, kk.k AS k_rank, tau.tau, cov.n_eval, cov.covered,
+         cov.covered * 1000000 // cov.n_eval AS coverage_micro
+       FROM kk, tau, cov"""
+
   // ── deterministic Poisson bootstrap (Efron 1979; Poisson form per
   //    Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
   //    Streams" — the bootstrap that needs no resample pass) ─────────────

@@ -790,4 +790,91 @@ object Sampling {
          CAST(CAST(w_raw AS HUGEINT) * 1000000 // tot AS BIGINT)
            AS weight_micro
        FROM raw, t ORDER BY $domainCol"""
+
+  // ── k-center greedy selection (Gonzalez 1985; Sener & Savarese, ICLR
+  //    2018 "Active Learning for CNNs: A Core-Set Approach") ─────────────
+
+  /** Greedy k-center selection over an embedding corpus — the core-set
+    * baseline for diversity-first data selection: start from the lowest
+    * id, then repeatedly pick the vector FARTHEST from the selected set
+    * (2-approximation of the k-center cover). Every distance is an exact
+    * IEEE composition of left-to-right dot products (bit-equal in the
+    * oracle), ties break to the lowest id, so the greedy trajectory is
+    * deterministic cross-engine. The recorded distance of pick i is the
+    * covering radius before that pick — the curve a selection budget is
+    * read off of.
+    *
+    * Scale: k−1 scans, each ONE projection computing min-distance to ≤ k
+    * literal centers + a TakeOrdered(1) — no joins, no windows, no
+    * shuffles beyond the argmax reduce; driver state is k vectors. */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = emb.sparkSession
+    val ev = col(vecCol).cast("array<double>")
+    def d2(center: Seq[Double]): Column = {
+      val c = graft.functions.VectorFns
+      val cl = typedLit(center.toArray)
+      c.dot(ev, ev) - lit(2.0) * c.dot(ev, cl) +
+        lit(center.zip(center).foldLeft(0.0) { case (a, (x, y)) => a + x * y })
+    }
+    def vecOf(id: Long): Seq[Double] =
+      emb.where(col(idCol) === id).select(ev).head().getSeq[Double](0)
+    val firstId = emb.agg(min(col(idCol))).head().getLong(0)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      (firstId, 0L))
+    var centers = Seq(vecOf(firstId))
+    var i = 1
+    while (i < k) {
+      val md =
+        if (centers.size == 1) d2(centers.head)
+        else least(centers.map(d2): _*)
+      val row = emb.select(col(idCol).cast("long").as("id"), md.as("md"))
+        .orderBy(col("md").desc, col("id").asc).limit(1).head()
+      val (id, dist) = (row.getLong(0), row.getDouble(1))
+      picks += ((id, math.round(dist * 1e6)))
+      centers = centers :+ vecOf(id)
+      i += 1
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picks.toList.zipWithIndex.map {
+        case ((id, dm), o) =>
+          org.apache.spark.sql.Row((o + 1).toLong, id, dm) }, 1),
+      StructType(Seq(StructField("pick_order", LongType),
+        StructField("vec_id", LongType),
+        StructField("min_dist_micro", LongType))))
+  }
+
+  /** DuckDB oracle replaying [[kCenterSelect]] — one pair of CTEs per
+    * pick (running-min distance update, then the argmax), the same exact
+    * double arithmetic. */
+  def kCenterOracleSql(table: String, idCol: String, vecCol: String,
+                       k: Int): String = {
+    def d2(evExpr: String, pvExpr: String) =
+      s"""list_dot_product($evExpr, $evExpr)
+          - 2.0 * list_dot_product($evExpr, $pvExpr)
+          + list_dot_product($pvExpr, $pvExpr)"""
+    val steps = (2 to k).map { i =>
+      val prevM =
+        if (i == 2) s"SELECT e.id, e.ev, ${d2("e.ev", "p1.ev")} AS md FROM e, p1"
+        else s"SELECT m${i - 1}.id, m${i - 1}.ev, least(m${i - 1}.md, ${d2(s"m${i - 1}.ev", s"p${i - 1}.ev")}) AS md FROM m${i - 1}, p${i - 1}"
+      s"""m$i AS MATERIALIZED ($prevM),
+         s$i AS (SELECT id, md FROM m$i ORDER BY md DESC, id LIMIT 1),
+         p$i AS (SELECT e.id, e.ev FROM e JOIN s$i ON s$i.id = e.id)"""
+    }.mkString(",\n       ")
+    val out = (2 to k).map(i =>
+      s"SELECT $i AS pick_order, id, CAST(round(md * 1000000.0) AS BIGINT) AS min_dist_micro FROM s$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH e AS (SELECT CAST($idCol AS BIGINT) AS id,
+           CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       p1 AS (SELECT id, ev FROM e WHERE id = (SELECT min(id) FROM e)),
+       $steps
+       SELECT CAST(pick_order AS BIGINT) AS pick_order, id AS vec_id,
+         min_dist_micro
+       FROM (
+       SELECT 1 AS pick_order, id, CAST(0 AS BIGINT) AS min_dist_micro FROM p1
+       UNION ALL $out) z
+       ORDER BY pick_order"""
+  }
 }

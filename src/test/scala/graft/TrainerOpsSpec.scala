@@ -149,6 +149,47 @@ class TrainerOpsSpec extends SparkSpec {
     assert(disj == 0L)
   }
 
+  test("k-center: first pick is min id, radii non-increasing, picks distinct") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = graft.ops.Sampling.kCenterSelect(emb, "vec_id", "embedding", 6)
+      .orderBy(col("pick_order")).collect()
+    assert(out.head.getLong(1) ==
+      emb.agg(min(col("vec_id"))).head().getLong(0))
+    val radii = out.drop(1).map(_.getLong(2))
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => a >= b },
+      s"covering radii must be non-increasing: ${radii.toSeq}")
+    assert(out.map(_.getLong(1)).distinct.length == 6)
+  }
+
+  test("conformal gate: tau rank honors alpha and eval coverage is near 1-alpha") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def scored(df: org.apache.spark.sql.DataFrame) = df.select(
+      (lit(1000000L) - (graft.functions.TextFns.qualityScore(col("text"))
+        * 1000000).cast("long")).as("s"))
+    val row = Evaluation.conformalGate(
+      scored(docs.where(col("doc_id") % 2 === 0)),
+      scored(docs.where(col("doc_id") % 2 === 1)),
+      "s", alphaMicro = 100000L).head()
+    val (nCal, k) = (row.getLong(0), row.getLong(1))
+    assert(k == math.min(nCal, ((nCal + 1) * 900000L + 999999L) / 1000000L))
+    val cov = row.getLong(5)
+    // even/odd splits of one corpus are exchangeable: coverage within a
+    // loose band of 1-alpha (quality is coarsely quantized, so overshoot
+    // toward 1.0 is expected; undershoot below ~0.85 would be a bug)
+    assert(cov >= 850000L && cov <= 1000000L, s"coverage_micro = $cov")
+  }
+
+  test("min-k% prob: a repeated (memorized) doc scores above a rare-token doc") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, "the common words appear here again and again")) ++
+      Seq((100L, "zqx vnm wkj rareword onlyonce"))
+    val out = Corpus.minKProb(docs.toDF("doc_id", "text"), "doc_id", "text",
+        fracMicro = 200000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(0L) > out(100L),
+      s"memorized ${out(0L)} should beat rare ${out(100L)}")
+  }
+
   test("kmv overlap: identical sources estimate full jaccard, disjoint zero") {
     val docs = Seq(
       (1L, "s1", "w1 w2 w3 w4 w5 w6"), (2L, "s2", "w1 w2 w3 w4 w5 w6"),
