@@ -127,6 +127,26 @@ object SparkEntry {
   // fractions, so T rides identically through both engines)
   private val TempGridMicro: Seq[Long] = (1 to 16).map(_ * 250000L)
 
+  // ITQ family configuration (ops/SimilaritySearch.itqModel)
+  private val ItqBits = 16
+  private val ItqQids = Seq(0L, 1L, 2L, 3L)
+
+  /** ITQ model memo per sfDir (W hyperplanes, offsets) — trained once on
+    * the bounded sample; the oracle injects the artifacts as literals. */
+  private object ItqModel {
+    type M = (Seq[Seq[Double]], Seq[Double])
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, M]()
+    @volatile private var last: Option[M] = None
+    def forDir(s: SparkSession, d: String): M = {
+      val r = cache.computeIfAbsent(d, _ =>
+        SimilaritySearch.itqModel(Tables.embeddings(s, d),
+          "vec_id", "embedding", nBits = ItqBits))
+      last = Some(r)
+      r
+    }
+    def forOracle: Option[M] = last
+  }
+
   /** PCA model memo per sfDir (components, eigenvalues, sample mean) —
     * trained once on the bounded lowest-id sample; the oracle injects the
     * artifacts as literals (the OpqModel move). */
@@ -2980,6 +3000,39 @@ object SparkEntry {
             .as("score_micro")),
         "lbl", "score_micro", TempGridMicro)),
 
+    // ── LLM-pipeline: NDCG@10 (Järvelin & Kekäläinen 2002) — the graded
+    // retrieval-eval metric over the BM25 ranking, relevance = quality
+    // buckets; position gains are ONE driver array literal (no in-plan
+    // log2), ideal ranking from the judged pool.
+    "q_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val ranked = graft.ops.Corpus.bm25TopK(docs, "doc_id", "text",
+          query = Seq("table", "scan", "fast", "vector"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_micro").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val judged = docs
+        .withColumn("__qm",
+          (TextFns.qualityScore(col("text")) * 1000000).cast("long"))
+        .select(col("doc_id").as("id"),
+          expr("CAST(__qm * 4 div 1000000 AS BIGINT)").as("rel"))
+      graft.ops.Evaluation.ndcgAtK(ranked, judged, "id", "rank", "rel", k = 10)
+    }),
+
+    // ── LLM-pipeline: binned mutual information between two quality
+    // signals — the redundancy audit beyond linear correlation: one hash
+    // aggregate to ≤|bins|² cells, pointwise-MI micro terms per cell.
+    "q_signal_mi" -> ((s, d) =>
+      graft.ops.Evaluation.signalMi(
+        Tables.documents(s, d)
+          .withColumn("__qm",
+            (TextFns.qualityScore(col("text")) * 1000000).cast("long"))
+          .select(expr("CAST(__qm div 250000 AS BIGINT)").as("xb"),
+            expr("CAST(least(n_chars div 200, 4) AS BIGINT)").as("yb")),
+        "xb", "yb")
+        .orderBy(col("x_bin"), col("y_bin"))),
+
     // ── LLM-pipeline: min-K% prob membership signal (Shi et al., ICLR
     // 2024) — "has the model seen this doc?": mean log-prob of each doc's
     // lowest 20% of token occurrences under the corpus LM; memorized text
@@ -4265,6 +4318,23 @@ object SparkEntry {
         .where(pmod(col("item") + col("rater"), lit(7L)) =!= 0)
       graft.ops.Evaluation.krippendorffAlpha(rated, "item", "lbl",
         maxRaters = 5)
+    }),
+
+    // ── LLM-pipeline: ITQ binary hashing A/B (Gong & Lazebnik 2011) —
+    // data-adaptive binary codes vs SRP-LSH at EQUAL bits, graded by
+    // recall@10 of Hamming-ranked candidates against exact cosine top-10
+    // per query (the q_opq_recon ship-gate shape for the binary family).
+    "q_itq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (w, o) = ItqModel.forDir(s, d)
+      val planes = SimilaritySearch.srpPlanes(dim = 64, nBits = ItqBits)
+      val itq = SimilaritySearch.hammingRecallReport(
+        SimilaritySearch.withAffineSignature(emb, "embedding", w, o),
+        "vec_id", "embedding", "sig", ItqQids, k = 10, cand = 50, "itq")
+      val srp = SimilaritySearch.hammingRecallReport(
+        SimilaritySearch.withSrpSignature(emb, "embedding", planes),
+        "vec_id", "embedding", "sig", ItqQids, k = 10, cand = 50, "srp")
+      itq.unionByName(srp).orderBy(col("method"), col("qid"))
     }),
 
     // ── LLM-pipeline: PCA variance-explained report (the FAISS PCAMatrix
@@ -6919,6 +6989,13 @@ object SparkEntry {
           .linesIterator.map(_.trim).mkString(" "),
         maxRaters = 5),
 
+    "q_itq_recall" -> ItqModel.forOracle.map { case (w, o) =>
+        graft.ops.SimilaritySearch.itqVsSrpRecallOracleSql("embeddings",
+          "vec_id", "embedding", w, o,
+          SimilaritySearch.srpPlanes(dim = 64, nBits = ItqBits),
+          ItqQids, k = 10, cand = 50)
+      }.getOrElse("SELECT CAST(NULL AS BIGINT) AS itq_not_trained"),
+
     "q_pca_variance" -> PcaModel.forOracle.map { case (comps, eigs, mean) =>
         graft.ops.SimilaritySearch.pcaVarianceOracleSql("embeddings",
           "embedding", comps, eigs, mean)
@@ -7760,6 +7837,24 @@ object SparkEntry {
         s"""SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
             CAST($qualityMicroSql AS BIGINT) AS s FROM documents""",
         TempGridMicro),
+
+    "q_ndcg" -> {
+      val bm25 = graft.ops.Corpus.bm25OracleSql("documents", "doc_id", "text",
+        terms = Seq("table", "scan", "fast", "vector"), k = 20)
+      graft.ops.Evaluation.ndcgOracleSql(
+        s"""SELECT doc_id AS id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+           FROM ($bm25) lex""",
+        s"""SELECT doc_id AS id,
+             CAST(CAST($qualityMicroSql AS BIGINT) * 4 // 1000000 AS BIGINT) AS rel
+           FROM documents""",
+        k = 10)
+    },
+
+    "q_signal_mi" ->
+      graft.ops.Evaluation.signalMiOracleSql(
+        s"""SELECT CAST(CAST($qualityMicroSql AS BIGINT) // 250000 AS BIGINT) AS x,
+            CAST(least(n_chars // 200, 4) AS BIGINT) AS y FROM documents"""),
 
     "q_min_k_prob" ->
       graft.ops.Corpus.minKProbOracleSql("documents", "doc_id", "text",

@@ -1181,6 +1181,102 @@ object Evaluation {
        FROM g ORDER BY grp"""
   }
 
+  // ── NDCG (Järvelin & Kekäläinen 2002) ──────────────────────────────────
+
+  /** NDCG@k of a ranking against graded relevance: DCG = Σ (2^rel−1)·g_i
+    * with the position gains g_i = 1/log2(i+1) precomputed driver-side and
+    * shared with the oracle as one array literal (no in-plan log2);
+    * IDCG re-ranks the judged pool ideally ((rel desc, id) — deterministic)
+    * and the two ≤k-row lists roll up in one pass. `ranked` must carry
+    * (idCol, rankCol ∈ 1..k); `judged` carries (idCol, relCol ∈ 0..relMax).
+    * Output: one row (k, dcg_micro, idcg_micro, ndcg_micro). */
+  def ndcgAtK(ranked: DataFrame, judged: DataFrame, idCol: String,
+              rankCol: String, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val gains = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val gLit = typedLit(gains.toArray)
+    def gained(df: DataFrame) = df.select(
+      ((expr(s"shiftleft(1L, CAST($relCol AS INT))") - lit(1L)).cast("double") *
+        element_at(gLit, col("__pos").cast("int"))).as("g"))
+    val dcg = gained(ranked.where(col(rankCol) <= k)
+        .join(judged, Seq(idCol))
+        .withColumn("__pos", col(rankCol)))
+      .agg(round(sum(col("g")) * lit(1e6)).cast("long").as("dcg_micro"))
+    val wIdeal = Window.orderBy(col(relCol).desc, col(idCol).asc)
+    val ideal = gained(judged
+        .orderBy(col(relCol).desc, col(idCol).asc).limit(k)
+        .withColumn("__pos", row_number().over(wIdeal)))
+      .agg(round(sum(col("g")) * lit(1e6)).cast("long").as("idcg_micro"))
+    dcg.crossJoin(ideal).select(lit(k.toLong).as("k"),
+      col("dcg_micro"), col("idcg_micro"),
+      round(col("dcg_micro").cast("double") / col("idcg_micro")
+        .cast("double") * lit(1e6)).cast("long").as("ndcg_micro"))
+  }
+
+  /** DuckDB oracle tail for [[ndcgAtK]]: `rankedSql` yields (id, rank),
+    * `judgedSql` yields (id, rel). */
+  def ndcgOracleSql(rankedSql: String, judgedSql: String, k: Int): String = {
+    val gains = (1 to k).map(i =>
+      java.lang.Double.toString(1.0 / (math.log(i + 1.0) / math.log(2.0))))
+      .mkString("[", ",", "]")
+    s"""WITH rk AS ($rankedSql), jd AS ($judgedSql),
+       gl AS (SELECT CAST($gains AS DOUBLE[]) AS g),
+       d AS (SELECT CAST(round(sum(((1 << rel) - 1) *
+               gl.g[CAST(rank AS INT)]) * 1000000.0) AS BIGINT) AS dcg_micro
+             FROM rk JOIN jd USING (id), gl WHERE rank <= $k),
+       i AS (SELECT CAST(round(sum(((1 << rel) - 1) *
+               gl.g[CAST(pos AS INT)]) * 1000000.0) AS BIGINT) AS idcg_micro
+             FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, id) AS pos
+                   FROM jd) z, gl
+             WHERE pos <= $k)
+       SELECT CAST($k AS BIGINT) AS k, d.dcg_micro, i.idcg_micro,
+         CAST(round(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE)
+           * 1000000.0) AS BIGINT) AS ndcg_micro
+       FROM d, i"""
+  }
+
+  // ── binned mutual information (plug-in estimator) ──────────────────────
+
+  /** Plug-in mutual information between two BINNED per-row signals — the
+    * redundancy check beyond [[q_signal_correlation]]'s linear view: per
+    * cell, count + pointwise MI in micro-nats (ln of exact count ratios,
+    * rounded per CELL) + the count-weighted contribution; Σ contrib / n =
+    * MI. ONE hash aggregate to ≤ |bins|² cells; every downstream row is
+    * grid-sized. Products n·c stay in longs here; widen to DECIMAL(38,0)
+    * before 10¹²-row corpora. */
+  def signalMi(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x_bin"), col(yCol).as("y_bin"))
+      .agg(count(lit(1)).as("c_xy"))
+    val cx = cells.groupBy(col("x_bin")).agg(sum(col("c_xy")).as("c_x"))
+    val cy = cells.groupBy(col("y_bin")).agg(sum(col("c_xy")).as("c_y"))
+    val n = cells.agg(sum(col("c_xy")).as("n"))
+    cells.join(broadcast(cx), Seq("x_bin")).join(broadcast(cy), Seq("y_bin"))
+      .crossJoin(broadcast(n))
+      .select(col("x_bin"), col("y_bin"), col("c_xy"),
+        round(log((col("n") * col("c_xy")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")) * lit(1e6))
+          .cast("long").as("pmi_micro"))
+      .withColumn("contrib_micro", col("pmi_micro") * col("c_xy"))
+  }
+
+  /** DuckDB oracle replaying [[signalMi]]; `rowsSql` yields (x, y). */
+  def signalMiOracleSql(rowsSql: String): String =
+    s"""WITH r AS ($rowsSql),
+       cells AS (SELECT x AS x_bin, y AS y_bin, CAST(count(*) AS BIGINT) AS c_xy
+                 FROM r GROUP BY 1, 2),
+       cx AS (SELECT x_bin, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY 1),
+       cy AS (SELECT y_bin, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY 1),
+       n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells)
+       SELECT c.x_bin, c.y_bin, c.c_xy,
+         CAST(round(ln(CAST(n.n * c.c_xy AS DOUBLE) /
+           CAST(cx.c_x * cy.c_y AS DOUBLE)) * 1000000.0) AS BIGINT) AS pmi_micro,
+         CAST(round(ln(CAST(n.n * c.c_xy AS DOUBLE) /
+           CAST(cx.c_x * cy.c_y AS DOUBLE)) * 1000000.0) AS BIGINT) * c.c_xy
+           AS contrib_micro
+       FROM cells c JOIN cx USING (x_bin) JOIN cy USING (y_bin), n
+       ORDER BY c.x_bin, c.y_bin"""
+
   // ── split-conformal gating (Vovk et al.; Angelopoulos & Bates 2021) ────
 
   /** Split-conformal quality gate: the calibration split's nonconformity

@@ -379,6 +379,155 @@ object SimilaritySearch {
        FROM a, q WHERE a.cid IN (SELECT cid FROM probe)
        ORDER BY cosine DESC, a.id LIMIT $topK"""
 
+  // ── ITQ binary hashing (Gong & Lazebnik, CVPR 2011) ────────────────────
+
+  /** ITQ model, collapsed to deployment form: ONE affine hyperplane set —
+    * bit_k(v) = [⟨v, W_k⟩ − o_k ≥ 0] where W = (PCA components)·R and
+    * o_k = ⟨mean, W_k⟩. Training is the paper's alternation on the bounded
+    * lowest-id sample: project to the top-nBits PCA dims (centered),
+    * then iterate binarize → orthogonal Procrustes (the polar factor —
+    * the OPQ machinery), all driver-side deterministic. Data-adaptive
+    * binary codes: same storage as SRP-LSH, measurably better recall —
+    * the A/B is [[hammingRecallReport]]'s job. */
+  def itqModel(emb: DataFrame, idCol: String, vecCol: String, nBits: Int,
+               nSample: Int = 256,
+               iters: Int = 10): (Seq[Seq[Double]], Seq[Double]) = {
+    require(nBits >= 2 && nBits <= 48, "nBits in [2, 48]")
+    val (comps, _, mean) = pcaComponents(emb, idCol, vecCol, nSample, nBits)
+    val sample = sampleCentroids(emb, idCol, vecCol, nSample)
+    val v = sample.map(x => Array.tabulate(nBits)(j =>
+      dotSeq(comps(j), x) - dotSeq(comps(j), mean))).toArray
+    var r: Mat = matIdentity(nBits)
+    for (_ <- 1 to iters) {
+      val b = v.map { row =>
+        Array.tabulate(nBits) { k =>
+          var s = 0.0; var j = 0
+          while (j < nBits) { s += row(j) * r(j)(k); j += 1 }
+          if (s >= 0) 1.0 else -1.0
+        }
+      }
+      val m: Mat = Array.ofDim[Double](nBits, nBits)
+      var i = 0
+      while (i < v.length) {
+        var a = 0
+        while (a < nBits) {
+          val va = v(i)(a)
+          if (va != 0.0) {
+            var c = 0
+            while (c < nBits) { m(a)(c) += va * b(i)(c); c += 1 }
+          }
+          a += 1
+        }
+        i += 1
+      }
+      r = polarOrthogonal(m)
+    }
+    val dim = comps.head.length
+    val w = (0 until nBits).map(k =>
+      (0 until dim).map(i => (0 until nBits).map(j => r(j)(k) * comps(j)(i)).sum))
+    val offsets = w.map(wk => dotSeq(mean, wk))
+    (w.map(_.toSeq), offsets.toSeq)
+  }
+
+  /** Stamp the affine binary code — one codegen'd projection, same
+    * Literal-node discipline as every signature here. sign(0) = 1. */
+  def withAffineSignature(emb: DataFrame, vecCol: String,
+                          w: Seq[Seq[Double]], offsets: Seq[Double],
+                          sigCol: String = "sig"): DataFrame = {
+    val ev = col(vecCol).cast("array<double>")
+    val bits = w.zip(offsets).zipWithIndex.map { case ((wk, o), k) =>
+      when(VectorFns.dot(ev, typedLit(wk.toArray)) - lit(o) >= 0,
+        lit(1L << k)).otherwise(lit(0L))
+    }
+    emb.withColumn(sigCol, bits.reduceLeft(_ + _))
+  }
+
+  /** Recall@k of Hamming-`cand` candidate lists against exact cosine
+    * top-k, per query — the binary-code ship gate ([[annRecallReport]]'s
+    * shape for signature indexes). `indexed` must already carry `sigCol`;
+    * query codes come from the SAME in-plan expression (the query rows are
+    * corpus rows). Windows partition BY QUERY over the bounded query fan. */
+  def hammingRecallReport(indexed: DataFrame, idCol: String, vecCol: String,
+                          sigCol: String, qids: Seq[Long], k: Int, cand: Int,
+                          method: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qids.nonEmpty && k >= 1 && cand >= k, "need qids and cand >= k")
+    val queries = indexed.where(col(idCol).isin(qids: _*))
+      .select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"), col(sigCol).as("qsig"))
+    val joined = indexed.select(col(idCol), col(vecCol), col(sigCol))
+      .crossJoin(broadcast(queries))
+    val wEx = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+    val exact = joined.select(col("qid"), col(idCol),
+        VectorFns.cosine(col(vecCol).cast("array<double>"), col("qv"))
+          .as("cosine"))
+      .withColumn("rk", row_number().over(wEx)).where(col("rk") <= k)
+      .select(col("qid"), col(idCol))
+    val wHd = Window.partitionBy(col("qid"))
+      .orderBy(col("hd").asc, col(idCol).asc)
+    val candf = joined.select(col("qid"), col(idCol),
+        VectorFns.hamming64(col(sigCol), col("qsig")).as("hd"))
+      .withColumn("rk", row_number().over(wHd)).where(col("rk") <= cand)
+      .select(col("qid"), col(idCol))
+    exact.join(candf, Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+      .join(queries.select(col("qid")), Seq("qid"), "right")
+      .select(lit(method).as("method"), col("qid"),
+        coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"),
+        expr(s"coalesce(hits, 0) * 1000000L div ${k}L").as("recall_micro"))
+  }
+
+  /** DuckDB oracle replaying the ITQ-vs-SRP [[hammingRecallReport]] A/B
+    * with the trained W/offsets injected as literals and the SRP planes
+    * from the shared deterministic generator. */
+  def itqVsSrpRecallOracleSql(table: String, idCol: String, vecCol: String,
+                              w: Seq[Seq[Double]], offsets: Seq[Double],
+                              planes: Seq[Seq[Double]], qids: Seq[Long],
+                              k: Int, cand: Int): String = {
+    def dl(v: Seq[Double]): String =
+      v.map(java.lang.Double.toString).mkString("[", ",", "]")
+    val itqSig = w.zip(offsets).zipWithIndex.map { case ((wk, o), b) =>
+      s"(CASE WHEN list_dot_product(ev, ${dl(wk)}) - " +
+        s"${java.lang.Double.toString(o)} >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val srpSig = planes.zipWithIndex.map { case (p, b) =>
+      s"(CASE WHEN list_dot_product(ev, ${dl(p)}) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    val qlist = qids.mkString("(", ", ", ")")
+    def arm(name: String, sigExpr: String) =
+      s"""s_$name AS MATERIALIZED (
+           SELECT $idCol AS id, ev, $sigExpr AS sig FROM e),
+         q_$name AS (SELECT id AS qid, ev AS qv, sig AS qsig
+                     FROM s_$name WHERE id IN $qlist),
+         ex_$name AS (SELECT qid, id FROM (
+             SELECT q.qid, s.id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(s.ev, q.qv) /
+                 (sqrt(list_dot_product(s.ev, s.ev)) *
+                  sqrt(list_dot_product(q.qv, q.qv))) DESC, s.id) AS rk
+             FROM s_$name s, q_$name q) z WHERE rk <= $k),
+         cd_$name AS (SELECT qid, id FROM (
+             SELECT q.qid, s.id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 bit_count(xor(s.sig, q.qsig)) ASC, s.id) AS rk
+             FROM s_$name s, q_$name q) z WHERE rk <= $cand),
+         h_$name AS (
+           SELECT '$name' AS method, g.qid,
+             CAST(coalesce(hh.hits, 0) AS BIGINT) AS hits
+           FROM (SELECT qid FROM q_$name) g
+           LEFT JOIN (SELECT ex.qid, count(*) AS hits
+                      FROM ex_$name ex JOIN cd_$name cd USING (qid, id)
+                      GROUP BY 1) hh USING (qid))"""
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       ${arm("itq", itqSig)},
+       ${arm("srp", srpSig)}
+       SELECT method, qid, hits, CAST($k AS BIGINT) AS k,
+         hits * 1000000 // $k AS recall_micro
+       FROM (SELECT * FROM h_itq UNION ALL SELECT * FROM h_srp) u
+       ORDER BY method, qid"""
+  }
+
   // ── PCA whitening (Pearson 1901; the embedding-preprocessing step in
   //    front of SQ/PQ — FAISS's PCAMatrix) ─────────────────────────────────
 

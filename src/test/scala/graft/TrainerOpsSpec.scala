@@ -190,6 +190,48 @@ class TrainerOpsSpec extends SparkSpec {
       s"memorized ${out(0L)} should beat rare ${out(100L)}")
   }
 
+  test("itq beats srp on aggregate recall at equal bits (the ship gate)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (w, o) = SimilaritySearch.itqModel(emb, "vec_id", "embedding", nBits = 16)
+    val planes = SimilaritySearch.srpPlanes(dim = 64, nBits = 16)
+    def arm(df: org.apache.spark.sql.DataFrame, m: String) =
+      SimilaritySearch.hammingRecallReport(df, "vec_id", "embedding", "sig",
+          Seq(0L, 1L, 2L, 3L), k = 10, cand = 50, m)
+        .agg(sum(col("hits"))).head().getLong(0)
+    val itq = arm(SimilaritySearch.withAffineSignature(emb, "embedding", w, o), "itq")
+    val srp = arm(SimilaritySearch.withSrpSignature(emb, "embedding", planes), "srp")
+    assert(itq > srp, s"itq hits $itq should beat srp hits $srp")
+  }
+
+  test("ndcg: the ideal ranking scores exactly 1e6") {
+    val judged = Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L), (5L, 3L))
+      .toDF("id", "rel")
+    // ideal order: rel desc, id asc -> 1, 5, 2, 3, 4
+    val ranked = Seq((1L, 1), (5L, 2), (2L, 3), (3L, 4), (4L, 5))
+      .toDF("id", "rank")
+    val row = Evaluation.ndcgAtK(ranked, judged, "id", "rank", "rel", k = 5).head()
+    assert(row.getLong(3) == 1000000L, s"ideal ndcg = ${row.getLong(3)}")
+    // a reversed ranking scores strictly less
+    val rev = Seq((4L, 1), (3L, 2), (2L, 3), (5L, 4), (1L, 5)).toDF("id", "rank")
+    val worse = Evaluation.ndcgAtK(rev, judged, "id", "rank", "rel", k = 5)
+      .head().getLong(3)
+    assert(worse < 1000000L)
+  }
+
+  test("signal MI: independent signals near zero, identical signals positive") {
+    val rng = new scala.util.Random(7L)
+    val ind = (1 to 4000).map(_ => (rng.nextInt(3).toLong, rng.nextInt(3).toLong))
+      .toDF("x", "y")
+    def mi(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = Evaluation.signalMi(df, "x", "y")
+        .agg(sum(col("contrib_micro")), sum(col("c_xy"))).head()
+      rows.getLong(0).toDouble / rows.getLong(1)
+    }
+    assert(math.abs(mi(ind)) < 20000, "independent signals: MI ~ 0")
+    val same = (1 to 300).map(i => ((i % 3).toLong, (i % 3).toLong)).toDF("x", "y")
+    assert(mi(same) > 1000000, "identical 3-way signals: MI = ln 3 ~ 1.0986e6")
+  }
+
   test("kmv overlap: identical sources estimate full jaccard, disjoint zero") {
     val docs = Seq(
       (1L, "s1", "w1 w2 w3 w4 w5 w6"), (2L, "s2", "w1 w2 w3 w4 w5 w6"),
