@@ -4105,6 +4105,27 @@ object SparkEntry {
     // the stored pieces (see `staged`).
     "q_sp_stored_apply" -> composed("q_sp_stored_apply"),
 
+    // ── LLM-pipeline: the TOKENIZER A/B TABLE — BPE vs WordPiece vs
+    // SP-unigram fertility on the same corpus in one report (the
+    // pick-your-tokenizer capstone of the three trainer families); each
+    // arm is its own vocab-bounded trainer + one token equi-join.
+    "q_tokenizer_ab" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bpe = graft.ops.Corpus.fertilityReport(
+        docs.withColumn("__fam", lit("bpe")), "text", "__fam", nMerges = 8)
+      val wpMerges = graft.ops.Corpus.wordPieceTrain(docs, "text", 8)
+        .orderBy(col("step")).select(col("pair"))
+        .collect().map(_.getString(0)).toSeq
+      val wp = graft.ops.Corpus.fertilityFromMerges(
+        docs.withColumn("__fam", lit("wordpiece")), "text", "__fam", wpMerges)
+      val sp = graft.ops.SpUnigram.fertilityReport(
+        docs.withColumn("__fam", lit("sp_unigram")), "text", "__fam",
+        SpModel.scores(SpModel.forScope(s, d, "full")), SpP, SpCap)
+      bpe.unionByName(wp).unionByName(sp)
+        .withColumnRenamed("__fam", "family")
+        .orderBy(col("family"))
+    }),
+
     // ── LLM-pipeline: tokenizer fertility under the SP-unigram family —
     // row-for-row comparable with q_fertility_report's BPE numbers (same
     // schema, same integer micro ratios), the A/B a tokenizer choice reads.
@@ -7909,6 +7930,26 @@ object SparkEntry {
     "q_wordpiece_train" ->
       graft.ops.Corpus.wordPieceTrainOracleSql("documents", "text",
         nMerges = 8),
+
+    // three self-contained trainer replays, one per arm, unioned
+    "q_tokenizer_ab" -> {
+      val bpe = graft.ops.Corpus.fertilityReportOracleSql(
+        "(SELECT 'bpe' AS fam, text FROM documents) bz", "text", "fam",
+        nMerges = 8)
+      val wp = graft.ops.Corpus.wordPieceFertilityOracleSql(
+        "(SELECT 'wordpiece' AS fam, text FROM documents) wz", "text", "fam",
+        nMerges = 8)
+      val sp = graft.ops.SpUnigram.fertilityOracleSql(
+        "(SELECT 'sp_unigram' AS fam, text FROM documents) sz", "text", "fam",
+        SpSeed, SpP, SpIters, SpV, SpCap)
+      s"""SELECT fam AS family, n_words, n_subwords, n_chars,
+           fertility_micro, chars_per_subword_micro
+         FROM (
+           SELECT * FROM ($bpe) a
+           UNION ALL SELECT * FROM ($wp) b
+           UNION ALL SELECT * FROM ($sp) c) u
+         ORDER BY family"""
+    },
 
     "q_sp_unigram_train" ->
       graft.ops.SpUnigram.trainOracleSql("documents", "text",

@@ -2540,10 +2540,53 @@ object Corpus {
     merges.toSeq.toDF("step", "pair", "score")
   }
 
-  /** DuckDB oracle replaying [[wordPieceTrain]] — the BPE chain with the
-    * likelihood-gain argmax (HUGEINT exact rational) per step. */
-  def wordPieceTrainOracleSql(table: String, textCol: String,
-                              nMerges: Int): String = {
+  /** [[fertilityReport]] under a PRECOMPUTED merge list (WordPiece or any
+    * stored merge artifact): same per-group integer micro ratios, the
+    * segmentation loop from [[bpeSegmentCountsFromMerges]]. */
+  def fertilityFromMerges(docs: DataFrame, textCol: String, groupCol: String,
+                          merges: Seq[String]): DataFrame = {
+    var v = vocab(docs, textCol)
+      .select(col("token"),
+        trim(regexp_replace(col("token"), "(.)", "$1 ")).as("sym"),
+        col("freq"))
+      .localCheckpoint(true)
+    merges.foreach { pair =>
+      val merged = pair.replace(" ", "")
+      val doubled = call_function("replace", col("sym"), lit(" "), lit("  "))
+      val pairD = pair.replace(" ", "  ")
+      val next = v.select(col("token"),
+          trim(call_function("replace",
+            call_function("replace",
+              concat(lit(" "), doubled, lit(" ")),
+              lit(s" $pairD "), lit(s" $merged ")),
+            lit("  "), lit(" "))).as("sym"),
+          col("freq"))
+        .localCheckpoint(true)
+      graft.ops.ApproxDedup.freeCheckpoint(v)
+      v = next
+    }
+    val segLen = v.select(col("token"),
+      size(split(col("sym"), " ")).cast("long").as("n_sub"),
+      length(col("token")).cast("long").as("n_ch"))
+    val out = docs.select(col(groupCol),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .where(length(col("token")) > 0)
+      .join(segLen, Seq("token"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_ch")).as("n_chars"))
+      .withColumn("fertility_micro", expr("n_subwords * 1000000L div n_words"))
+      .withColumn("chars_per_subword_micro",
+        expr("n_chars * 1000000L div n_subwords"))
+      .localCheckpoint(true)
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    out
+  }
+
+  /** The WordPiece trainer's CTE chain (words → wv0 → wp/ws/wb/wv per
+    * step) — shared by the train oracle and the fertility/apply replays. */
+  private def wordPieceChainCtes(table: String, textCol: String,
+                                 nMerges: Int): String = {
     val stages = (1 to nMerges).map { i =>
       s"""wp$i AS MATERIALIZED (
            SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM (
@@ -2574,9 +2617,7 @@ object Corpus {
              freq
            FROM wv${i - 1})"""
     }.mkString(",\n       ")
-    val out = (1 to nMerges).map(i =>
-      s"SELECT $i AS step, pair, score FROM wb$i").mkString("\n       UNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
          SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
            SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
            FROM $table) t
@@ -2584,10 +2625,44 @@ object Corpus {
        wv0 AS MATERIALIZED (
          SELECT token, trim(regexp_replace(token, '(.)', '\\1 ', 'g')) AS sym, freq
          FROM words),
-       $stages
+       $stages"""
+  }
+
+  /** DuckDB oracle replaying [[wordPieceTrain]] — the BPE chain with the
+    * likelihood-gain argmax (HUGEINT exact rational) per step. */
+  def wordPieceTrainOracleSql(table: String, textCol: String,
+                              nMerges: Int): String = {
+    val out = (1 to nMerges).map(i =>
+      s"SELECT $i AS step, pair, score FROM wb$i").mkString("\n       UNION ALL ")
+    s"""WITH ${wordPieceChainCtes(table, textCol, nMerges)}
        SELECT CAST(step AS INT) AS step, pair, score FROM (
        $out) z ORDER BY step"""
   }
+
+  /** DuckDB oracle replaying [[fertilityFromMerges]] under the WordPiece
+    * trainer's merges (self-trained): the chain's final wv table IS the
+    * segmented vocabulary, joined back by token. */
+  def wordPieceFertilityOracleSql(table: String, textCol: String,
+                                  groupCol: String, nMerges: Int): String =
+    s"""WITH ${wordPieceChainCtes(table, textCol, nMerges)},
+       seg AS (SELECT token, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub,
+                 CAST(length(token) AS BIGINT) AS n_ch
+               FROM wv$nMerges),
+       tok AS (SELECT $groupCol, token FROM (
+           SELECT $groupCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0)
+       SELECT tok.$groupCol,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords,
+         CAST(sum(seg.n_ch) AS BIGINT) AS n_chars,
+         CAST(sum(seg.n_sub) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+           AS fertility_micro,
+         CAST(sum(seg.n_ch) AS BIGINT) * 1000000 // CAST(sum(seg.n_sub) AS BIGINT)
+           AS chars_per_subword_micro
+       FROM tok JOIN seg USING (token)
+       GROUP BY 1 ORDER BY tok.$groupCol"""
 
   /** Apply a STORED merge list (the trained-tokenizer artifact — e.g. the
     * merge table read back from a pipe) to a possibly DIFFERENT corpus:
