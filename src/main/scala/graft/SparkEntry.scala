@@ -4105,6 +4105,16 @@ object SparkEntry {
     // the stored pieces (see `staged`).
     "q_sp_stored_apply" -> composed("q_sp_stored_apply"),
 
+    // ── LLM-pipeline: skip-gram pairs with ¾-power negative sampling
+    // (Mikolov et al. 2013) — embedding-training data prep: positive
+    // (center, context) types from ±2 offsets (pure array projections),
+    // 2 md5-deterministic negatives per positive from the capped noise
+    // table; reproducible across engines and reshards.
+    "q_skipgram_pairs" -> ((s, d) =>
+      graft.ops.Corpus.skipgramPairs(Tables.documents(s, d), "doc_id",
+          "text", window = 2, negK = 2, negVocab = 1000)
+        .orderBy(col("center"), col("context"), col("label"), col("n"))),
+
     // ── LLM-pipeline: the TOKENIZER A/B TABLE — BPE vs WordPiece vs
     // SP-unigram fertility on the same corpus in one report (the
     // pick-your-tokenizer capstone of the three trainer families); each
@@ -7930,6 +7940,10 @@ object SparkEntry {
     "q_wordpiece_train" ->
       graft.ops.Corpus.wordPieceTrainOracleSql("documents", "text",
         nMerges = 8),
+
+    "q_skipgram_pairs" ->
+      graft.ops.Corpus.skipgramOracleSql("documents", "text",
+        window = 2, negK = 2, negVocab = 1000),
 
     // three self-contained trainer replays, one per arm, unioned
     "q_tokenizer_ab" -> {

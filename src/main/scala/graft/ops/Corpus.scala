@@ -2472,6 +2472,129 @@ object Corpus {
     (merges.toSeq.toDF("step", "pair", "pair_freq"), v)
   }
 
+  /** Skip-gram training pairs with negative sampling (Mikolov et al.
+    * 2013) — the word2vec/StarSpace data-prep step: positive
+    * (center, context) pairs from ±`window` offsets (pure array
+    * projections, zero joins on the corpus side), plus `negK`
+    * deterministic negatives per positive TYPE drawn ∝ freq^0.75 from the
+    * top-`negVocab` noise table (production word2vec caps the table; the
+    * rare tail's ¾-power mass is negligible). The draw is the md5 coin —
+    * u = md5(center:context:j) mod Σw — so resamples are reproducible
+    * across engines and reshards; ¾-power weights are milli-rounded
+    * exp(0.75·ln f) (the ln-micro discipline).
+    *
+    * Scale: positives collapse to (center, context) TYPE counts before
+    * negatives fan ×negK; the noise table is ≤ negVocab rows
+    * (TakeOrdered'd, its cumsum window bounded by construction) and
+    * broadcast-range-joined. Output: (center, context, label, n) with
+    * n = pair count for positives, the draw index for negatives. */
+  def skipgramPairs(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, negK: Int, negVocab: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    require(window >= 1 && negK >= 1 && negVocab >= 2, "bad config")
+    val toks = docs.select(col(idCol),
+      TextFns.tokens(lower(trim(col(textCol)))).as("__t"))
+    val pos = (1 to window).flatMap { o =>
+      Seq(
+        expr(s"transform(sequence(1, greatest(size(__t) - $o, 0)), " +
+          s"i -> struct(element_at(__t, i) AS c, element_at(__t, i + $o) AS x))"),
+        expr(s"transform(sequence(1, greatest(size(__t) - $o, 0)), " +
+          s"i -> struct(element_at(__t, i + $o) AS c, element_at(__t, i) AS x))"))
+    }.map(e => toks.select(explode(e).as("p"))
+      .select(col("p.c").as("center"), col("p.x").as("context")))
+      .reduce(_ unionByName _)
+      .where(length(col("center")) > 0 && length(col("context")) > 0)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // read twice: as positives and as the neg fan
+    // ¾-power noise table over the top-V vocabulary; cum windows run on
+    // the ≤V-row TakeOrdered head (bounded by construction)
+    val noise = vocabTopK(docs, textCol, negVocab)
+      .withColumn("w",
+        round(exp(lit(0.75) * log(col("freq").cast("double"))) * lit(1e3))
+          .cast("long"))
+      .withColumn("cum_hi", sum(col("w")).over(
+        W.orderBy(col("freq").desc, col("token"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cum_lo", col("cum_hi") - col("w"))
+      .select(col("token").as("neg"), col("cum_lo"), col("cum_hi"))
+      .localCheckpoint(true)
+    val total = noise.agg(max(col("cum_hi"))).head().getLong(0)
+    val negs = (1 to negK).map { j =>
+      pos.select(col("center"), col("context"),
+        pmod(TextFns.md5Long60(concat(col("center"), lit(":"),
+          col("context"), lit(s":$j"))), lit(total)).as("u"),
+        lit(j.toLong).as("n"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(noise),
+        col("u") >= col("cum_lo") && col("u") < col("cum_hi"))
+      .select(col("center"), col("neg").as("context"),
+        lit(0L).as("label"), col("n"))
+    val out = pos.select(col("center"), col("context"),
+        lit(1L).as("label"), col("n"))
+      .unionByName(negs)
+      .localCheckpoint(true)
+    graft.ops.ApproxDedup.freeCheckpoint(pos)
+    graft.ops.ApproxDedup.freeCheckpoint(noise)
+    out
+  }
+
+  /** DuckDB oracle replaying [[skipgramPairs]]. */
+  def skipgramOracleSql(table: String, textCol: String, window: Int,
+                        negK: Int, negVocab: Int): String = {
+    val posArms = (1 to window).flatMap { o =>
+      Seq(
+        s"""SELECT t[j] AS center, t[j + $o] AS context, 1 AS side
+           FROM tk, unnest(CASE WHEN len(t) <= $o THEN CAST([] AS BIGINT[])
+             ELSE generate_series(1, len(t) - $o) END) AS u(j)""",
+        s"""SELECT t[j + $o] AS center, t[j] AS context, 1 AS side
+           FROM tk, unnest(CASE WHEN len(t) <= $o THEN CAST([] AS BIGINT[])
+             ELSE generate_series(1, len(t) - $o) END) AS u(j)""")
+    }.mkString("\n         UNION ALL\n         ")
+    val negArms = (1 to negK).map { j =>
+      s"""SELECT center, context,
+           CAST(('0x' || substring(md5(center || ':' || context || ':$j'), 1, 15))
+             AS BIGINT) % (SELECT max(cum_hi) FROM noise) AS u,
+           CAST($j AS BIGINT) AS n
+         FROM pos"""
+    }.mkString("\n         UNION ALL\n         ")
+    s"""WITH tk AS (SELECT string_split_regex(trim(lower($textCol)), '\\s+') AS t
+                    FROM $table),
+       rawp AS (
+         $posArms),
+       pos AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
+               FROM rawp
+               WHERE length(center) > 0 AND length(context) > 0
+               GROUP BY 1, 2),
+       vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 GROUP BY 1
+         ORDER BY freq DESC, token LIMIT $negVocab),
+       wt AS (SELECT token,
+                CAST(round(exp(0.75 * ln(CAST(freq AS DOUBLE))) * 1000.0)
+                  AS BIGINT) AS w,
+                freq
+              FROM vocab),
+       noise AS (SELECT token AS neg,
+                   sum(w) OVER (ORDER BY freq DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w
+                     AS cum_lo,
+                   sum(w) OVER (ORDER BY freq DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi
+                 FROM wt),
+       draws AS (
+         $negArms),
+       negs AS (SELECT d.center, noise.neg AS context, CAST(0 AS BIGINT) AS label,
+                  d.n
+                FROM draws d JOIN noise
+                  ON d.u >= noise.cum_lo AND d.u < noise.cum_hi)
+       SELECT center, context, label, n FROM (
+         SELECT center, context, CAST(1 AS BIGINT) AS label, n FROM pos
+         UNION ALL SELECT * FROM negs) z
+       ORDER BY center, context, label, n"""
+  }
+
   /** WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the
     * BERT-family tokenizer): the same greedy-merge loop as [[bpeTrain]]
     * but scored by LIKELIHOOD GAIN instead of raw pair frequency — the

@@ -42,6 +42,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q_hybrid_rrf"            -> 2, // two k-row rank lists (k = config)
     "q_rbo"                   -> 2, // the same two k-row rank lists
     "q_ndcg"                  -> 2, // k-row BM25 rank + k-row ideal rank
+    "q_skipgram_pairs"        -> 2, // noise-table cumsum over the ≤negVocab TakeOrdered head
     "q_itq_recall"            -> 0, // windows partition by qid (bounded fan)
     "q_psi_drift"             -> 1, // |bins| histogram grid
     "q_semantic_drift"        -> 1, // k-row k-means cell grid
