@@ -1862,7 +1862,12 @@ object ApproxDedup {
               coalesce(col("__r2"), col(id2)).as("fb"))
       .where(col("fa") =!= col("fb"))
     // star-contract the ROOT frontier only (batch-sized, never the corpus)
-    val mapping = nearDupClustersStar(e, "fa", "fb").localCheckpoint(true)
+    val starOut = nearDupClustersStar(e, "fa", "fb")
+    val mapping = starOut.localCheckpoint(true)
+    // the star output's plan still pins the contraction's final
+    // nodes/edges checkpoint blocks — release them now that `mapping` is
+    // snapped (the r11-ADVICE leak class: blocks nothing can reach)
+    freeCheckpoint(starOut)
     val merged = mapping.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("root"), col("cluster_id").as("new_root"))
       .localCheckpoint(true)
