@@ -57,8 +57,12 @@ object Classify {
     * lp_micro = round(ln((cnt+1)/(tot_label+V))·1e6). `vocabSize` is the
     * distinct-token count across labels (one bounded driver long). */
   def nbModel(tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
-    val tot = tokenCounts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
-    tokenCounts.join(broadcast(tot), Seq("label"))
+    // eager-snap the type-level count table (|labels|·|vocab| rows): the
+    // totals aggregate and the smoothing join both read it — without the
+    // snap each consumer replays the corpus-scan lineage
+    val tc = tokenCounts.localCheckpoint(true)
+    val tot = tc.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    tc.join(broadcast(tot), Seq("label"))
       .select(col("label"), col("token"), col("cnt"),
         round(log((col("cnt").cast("double") + lit(1.0)) /
           (col("tot") + lit(vocabSize)).cast("double")) * lit(1e6))
@@ -71,7 +75,10 @@ object Classify {
                  textCol: String, classCounts: DataFrame,
                  tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tot = tokenCounts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
+    // eager-snap the model-count table once — totals, floor, and the
+    // smoothed model all read it (type-level rows, bounded)
+    val tcs = tokenCounts.localCheckpoint(true)
+    val tot = tcs.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
     val labels = classCounts.crossJoin(
         classCounts.agg(sum(col("n_docs")).as("n_all")))
       .join(tot, Seq("label"))
@@ -80,7 +87,7 @@ object Classify {
           * lit(1e6)).cast("long").as("prior_micro"),
         round(log(lit(1.0) / (col("tot") + lit(vocabSize)).cast("double"))
           * lit(1e6)).cast("long").as("floor_micro"))
-    val model = nbModel(tokenCounts, vocabSize)
+    val model = nbModel(tcs, vocabSize)
       .select(col("label"), col("token"), col("lp_micro"))
     val docToks = docs.select(col(idCol), col(labelCol).as("actual"),
         explode(graft.functions.TextFns.tokens(lower(trim(col(textCol))))).as("token"))

@@ -1246,8 +1246,11 @@ object Evaluation {
     * grid-sized. Products n·c stay in longs here; widen to DECIMAL(38,0)
     * before 10¹²-row corpora. */
   def signalMi(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // eager-snap the grid: four consumers (marginals ×2, total, join) would
+    // otherwise each replay the corpus aggregate
     val cells = df.groupBy(col(xCol).as("x_bin"), col(yCol).as("y_bin"))
       .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(true)
     val cx = cells.groupBy(col("x_bin")).agg(sum(col("c_xy")).as("c_x"))
     val cy = cells.groupBy(col("y_bin")).agg(sum(col("c_xy")).as("c_y"))
     val n = cells.agg(sum(col("c_xy")).as("n"))
@@ -1355,7 +1358,8 @@ object Evaluation {
     * a map-side-combined (group, b) aggregate of |groups|·B rows; the
     * percentile window partitions by group over B rows. Weighted sums stay
     * exact longs (w ≤ 8, metric micro-bounded); widen to DECIMAL(38,0)
-    * before 10¹²-row corpora. */
+    * before 10¹²-row corpora. Two corpus scans total: the replicate fan
+    * and the point-estimate aggregate. */
   def bootstrapCi(rows: DataFrame, groupCol: String, idCol: String,
                   metricMicroCol: String, b: Int): DataFrame = {
     require(b >= 4, "need at least 4 replicates")
@@ -1453,8 +1457,11 @@ object Evaluation {
     require(maxRaters >= 2 && maxRaters <= 13, "2..13 raters supported")
     val L = (1 until maxRaters).foldLeft(1L)((a, b) =>
       a * b / BigInt(a).gcd(BigInt(b)).toLong)
+    // eager-snap the (item, label) grid: three consumers (per-item moments,
+    // the pairable semi-join, label totals) must not replay the corpus scan
     val mic = ratings.groupBy(col(itemCol).as("item"), col(labelCol).as("lbl"))
       .agg(count(lit(1)).as("m_ic"))
+      .localCheckpoint(true)
     val perItem = mic.groupBy(col("item"))
       .agg(sum(col("m_ic")).as("m_i"), sum(col("m_ic") * col("m_ic")).as("sq"))
       .where(col("m_i") >= 2) // unpairable single-rating items drop (the def.)
