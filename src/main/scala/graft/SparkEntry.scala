@@ -2989,6 +2989,19 @@ object SparkEntry {
             .as("score_micro")),
         "lbl", "score_micro", nBins = 5)),
 
+    // ── LLM-pipeline: isotonic (PAV) calibration — the non-parametric
+    // FIX after the bins diagnose miscalibration, via the distributable
+    // minimax closed form max_{j≤i} min_{k≥i} rate(j..k); everything
+    // after the one corpus aggregate is interval-sized.
+    "q_isotonic_calibration" -> ((s, d) =>
+      graft.ops.Evaluation.isotonicCalibration(
+        Tables.documents(s, d).select(
+          (col("lang") === "en").cast("int").as("lbl"),
+          (TextFns.qualityScore(col("text")) * 1000000).cast("long")
+            .as("score_micro")),
+        "lbl", "score_micro", nBins = 5)
+        .orderBy(col("bin"))),
+
     // ── LLM-pipeline: temperature-scaling fit (Guo et al. 2017 §4.2) —
     // the post-hoc calibrator next to the ECE report: NLL grid search
     // over T, per-row micro-quantized terms, argmin with smallest-T ties.
@@ -3032,6 +3045,19 @@ object SparkEntry {
             expr("CAST(least(n_chars div 200, 4) AS BIGINT)").as("yb")),
         "xb", "yb")
         .orderBy(col("x_bin"), col("y_bin"))),
+
+    // ── LLM-pipeline: binned Kendall τ-b between the same two signals —
+    // the rank-agreement view next to q_signal_mi's information view and
+    // q_signal_correlation's linear view; tie-corrected because binning
+    // manufactures ties. Grid-sized cross join, corpus touched once.
+    "q_kendall_tau" -> ((s, d) =>
+      graft.ops.Evaluation.kendallTauBinned(
+        Tables.documents(s, d)
+          .withColumn("__qm",
+            (TextFns.qualityScore(col("text")) * 1000000).cast("long"))
+          .select(expr("CAST(__qm div 250000 AS BIGINT)").as("xb"),
+            expr("CAST(least(n_chars div 200, 4) AS BIGINT)").as("yb")),
+        "xb", "yb")),
 
     // ── LLM-pipeline: min-K% prob membership signal (Shi et al., ICLR
     // 2024) — "has the model seen this doc?": mean log-prob of each doc's
@@ -3367,6 +3393,15 @@ object SparkEntry {
         .getSeq[Double](0)
       SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+
+    // ── LLM-pipeline: per-label embedding CENTROID cosine matrix — the
+    // semantic domain-similarity planner next to q_source_js's token
+    // view. cos(mean,mean)=cos(sum,sum), so only exact integer sums
+    // shuffle; the pair grid is |labels|²·dim broadcast rows.
+    "q_label_centroid_sim" -> ((s, d) =>
+      SimilaritySearch.groupCentroidSimilarity(
+        Tables.embeddings(s, d), "label", "embedding")
+        .orderBy(col("g1"), col("g2"))),
 
     // ANN with a persisted-index shape: build stamps the signature/cell
     // column in one codegen'd projection (no join/window/shuffle of the
@@ -3945,6 +3980,18 @@ object SparkEntry {
       graft.ops.Graph.pageRankMicro(pairs, iters = 3).orderBy(col("node"))
     }),
 
+    // ── LLM-pipeline: triangles + local clustering coefficient on the
+    // near-dup graph — transitive near-dup mass (templates) vs LCC≈0 hubs
+    // (degenerate docs the banding over-matches). Degree-ordered
+    // orientation (Suri & Vassilvitskii 2011) bounds wedge fanout at
+    // O(√E) per node regardless of skew.
+    "q_triangle_count" -> ((s, d) => {
+      val pairs = ApproxDedup.minhashNearDupsFast(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      graft.ops.Graph.triangleStats(pairs).orderBy(col("node"))
+    }),
+
     // ── LLM-pipeline: PMI collocations — top within-doc co-occurring pairs
     // among the top-40 vocabulary, ln(n_ab·N/(n_a·n_b)) in micro-units.
     // Tokens prune to the broadcast vocab BEFORE the shuffle; self-join
@@ -4067,6 +4114,22 @@ object SparkEntry {
       graft.ops.Classify.nbClassify(docs, "doc_id", "source", "text",
           cls, toks, v)
         .orderBy(col("doc_id"))
+    }),
+
+    // ── LLM-pipeline: confident-learning label-noise audit (Northcutt
+    // et al., JAIR 2021) — the confident joint C[given ỹ, confident y*]
+    // over the NB score table: per-class self-confidence thresholds,
+    // threshold-cleared argmax, |labels|² cells; off-diagonal mass =
+    // estimated label noise. Softmax terms quantize per (doc, label)
+    // TYPE before any sum — no order-dependent float reduction.
+    "q_confident_learning" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (cls, toks) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
+      val v = toks.select(col("token")).distinct().count()
+      val scores = graft.ops.Classify.nbScores(docs, "doc_id", "source",
+        "text", cls, toks, v)
+      graft.ops.Classify.confidentLearning(scores, "doc_id")
+        .orderBy(col("given_label"), col("star_label"))
     }),
 
     // ── LLM-pipeline: the NB model maintained INCREMENTALLY as stored
@@ -4244,6 +4307,18 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1),
         col("n_chars"), lo = 0.0, hi = 4000.0, bins = 20)
+    }),
+
+    // ── LLM-pipeline: EXACT two-sample Kolmogorov–Smirnov drift between
+    // the same snapshots — binning-free (catches tail shifts PSI's bins
+    // wash out): type-level distinct-value collapse, one allowlisted
+    // bounded window, integer micro ECDFs, TakeOrdered(1) head.
+    "q_ks_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Maintenance.ksDrift(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        col("n_chars"))
     }),
 
     // ── LLM-pipeline: PSI against a STORED baseline — monitoring as a
@@ -5852,6 +5927,19 @@ object SparkEntry {
         .orderBy(col("cell"))
     }),
 
+    // ── LLM-pipeline: simplified silhouette per cell (Rousseeuw 1987 /
+    // Hruschka et al. 2004) — the per-POINT quality gate next to
+    // q_cell_scatter's per-centroid view: runner-up-centroid margins
+    // catch boundary subpopulations the cell means hide. One codegen'd
+    // k-cosine projection, top-2 by value sort, one k-row aggregate.
+    "q_silhouette" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+        "embedding", 16)
+      SimilaritySearch.silhouetteReport(emb, "embedding", cents)
+        .orderBy(col("cell"))
+    }),
+
     // ── LLM-pipeline: per-source exact AUC — does the English-stopword
     // signal still rank inside each source, or only pooled (Simpson's
     // flip)? Rank windows partition by source over its score domain.
@@ -6420,6 +6508,11 @@ object SparkEntry {
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", qualityMicroSql,
         nBins = 5),
 
+    "q_isotonic_calibration" ->
+      graft.ops.Evaluation.isotonicCalibrationOracleSql("documents",
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END", qualityMicroSql,
+        nBins = 5),
+
     "q_source_js" ->
       graft.ops.TextStats.sourceJsMatrixOracleSql("documents", "source",
         "text"),
@@ -6860,6 +6953,12 @@ object SparkEntry {
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
         "n_chars", lo = 0.0, hi = 4000.0, bins = 20),
+
+    "q_ks_drift" ->
+      graft.ops.Maintenance.ksDriftOracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars"),
 
     "q_psi_drift_stored" ->
       graft.ops.Maintenance.psiBinsOracleSql(
@@ -7788,6 +7887,15 @@ object SparkEntry {
         threshold = 0.5, iters = 3, shingleSize = 3, k = 24, bands = 6,
         estSlack = 0.25, maxBucket = 200),
 
+    "q_triangle_count" ->
+      ApproxDedup.triangleStatsFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
+    "q_label_centroid_sim" ->
+      SimilaritySearch.groupCentroidSimilarityOracleSql("embeddings",
+        "label", "embedding"),
+
     "q_pmi_pairs" ->
       """WITH alltok AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -7887,6 +7995,11 @@ object SparkEntry {
         s"""SELECT CAST(CAST($qualityMicroSql AS BIGINT) // 250000 AS BIGINT) AS x,
             CAST(least(n_chars // 200, 4) AS BIGINT) AS y FROM documents"""),
 
+    "q_kendall_tau" ->
+      graft.ops.Evaluation.kendallTauBinnedOracleSql(
+        s"""SELECT CAST(CAST($qualityMicroSql AS BIGINT) // 250000 AS BIGINT) AS x,
+            CAST(least(n_chars // 200, 4) AS BIGINT) AS y FROM documents"""),
+
     "q_min_k_prob" ->
       graft.ops.Corpus.minKProbOracleSql("documents", "doc_id", "text",
         fracMicro = 200000L),
@@ -7923,6 +8036,10 @@ object SparkEntry {
 
     "q_nb_classify" ->
       graft.ops.Classify.nbClassifyOracleSql("documents", "doc_id",
+        "source", "text"),
+
+    "q_confident_learning" ->
+      graft.ops.Classify.confidentLearningOracleSql("documents", "doc_id",
         "source", "text"),
 
     // additive counts: fold == retrain, so the stored-model scoring
@@ -8576,6 +8693,10 @@ object SparkEntry {
 
     "q_cell_scatter" ->
       SimilaritySearch.cellScatterOracleSql("embeddings", "vec_id",
+        "embedding", nCentroids = 16),
+
+    "q_silhouette" ->
+      SimilaritySearch.silhouetteOracleSql("embeddings", "vec_id",
         "embedding", nCentroids = 16),
 
     "q_auc_by_source" ->

@@ -684,6 +684,40 @@ object ApproxDedup {
        SELECT node, r AS rank_micro FROM r$iters ORDER BY node"""
   }
 
+  /** DuckDB oracle replaying [[Graph.triangleStats]] over the
+    * [[minhashNearDupsFast]] pair graph. The triangle SET is
+    * orientation-invariant, so the oracle enumerates by the simple
+    * id-canonical order (a < b < c) — Spark's degree-ordered orientation
+    * must produce the identical per-node counts. */
+  def triangleStatsFastOracleSql(table: String, idCol: String,
+                                 textCol: String, threshold: Double,
+                                 shingleSize: Int = 3, k: Int = 24,
+                                 bands: Int = 6, estSlack: Double = 0.25,
+                                 maxBucket: Int = 0,
+                                 seed: Long = 7L): String =
+    s"""WITH ${minhashFastCtes(table, idCol, textCol, threshold, shingleSize,
+                               k, bands, estSlack, maxBucket, seed)},
+       prr AS (SELECT id1, id2 FROM p WHERE jaccard >= $threshold),
+       ed AS (SELECT least(id1, id2) AS a, greatest(id1, id2) AS b
+              FROM prr WHERE id1 <> id2 GROUP BY 1, 2),
+       tr AS (SELECT e1.a, e1.b, e2.b AS c
+              FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+                         JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+       tn AS (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+              UNION ALL SELECT c FROM tr),
+       tc AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+              FROM tn GROUP BY 1),
+       dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+                (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)
+              GROUP BY 1)
+       SELECT dg.node, dg.degree,
+         COALESCE(tc.triangles, 0) AS triangles,
+         CASE WHEN dg.degree < 2 THEN 0
+              ELSE CAST(round(2000000.0 * COALESCE(tc.triangles, 0) /
+                (dg.degree * (dg.degree - 1))) AS BIGINT)
+         END AS lcc_micro
+       FROM dg LEFT JOIN tc USING (node) ORDER BY dg.node"""
+
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
     * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle

@@ -69,12 +69,13 @@ object Classify {
           .cast("long").as("lp_micro"))
   }
 
-  /** Per-document classification against a trained model: (id, actual
-    * label, predicted label, score_micro of the prediction). */
-  def nbClassify(docs: DataFrame, idCol: String, labelCol: String,
-                 textCol: String, classCounts: DataFrame,
-                 tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The full per-(doc, label) score table behind [[nbClassify]]:
+    * (id, actual, label, score_micro) — |labels| rows per doc. Exposed so
+    * probability-consuming audits ([[confidentLearning]]) read EVERY
+    * class's score, not just the argmax. */
+  def nbScores(docs: DataFrame, idCol: String, labelCol: String,
+               textCol: String, classCounts: DataFrame,
+               tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
     // eager-snap the model-count table once — totals, floor, and the
     // smoothed model all read it (type-level rows, bounded)
     val tcs = tokenCounts.localCheckpoint(true)
@@ -94,19 +95,78 @@ object Classify {
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("actual"), col("token"))
       .agg(count(lit(1)).as("c"))
-    val scored = docToks
+    docToks
       .join(broadcast(labels), lit(true))
       .join(broadcast(model), Seq("label", "token"), "left")
       .groupBy(col(idCol), col("actual"), col("label"))
       .agg((max(col("prior_micro")) +
         sum(col("c") * coalesce(col("lp_micro"), col("floor_micro"))))
         .as("score_micro"))
+  }
+
+  /** Per-document classification against a trained model: (id, actual
+    * label, predicted label, score_micro of the prediction). */
+  def nbClassify(docs: DataFrame, idCol: String, labelCol: String,
+                 textCol: String, classCounts: DataFrame,
+                 tokenCounts: DataFrame, vocabSize: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = nbScores(docs, idCol, labelCol, textCol, classCounts,
+      tokenCounts, vocabSize)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_micro").desc, col("label").asc)
     scored.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col(idCol), col("actual"), col("label").as("predicted"),
         col("score_micro"))
+  }
+
+  // ── confident-learning label-noise audit (Northcutt et al., JAIR 2021) ──
+
+  /** The confident joint C[given ỹ, confident y*] over a score table from
+    * [[nbScores]] — the label-noise estimator: per-class self-confidence
+    * thresholds t_j = mean p̂(j | x over docs GIVEN label j), then each doc
+    * counts into cell (ỹ, argmax over classes whose p̂ clears t_j); docs
+    * clearing no threshold abstain. Off-diagonal mass = estimated label
+    * noise; the worklist for relabeling is the off-diagonal cells.
+    *
+    * Probabilities from log scores with NO order-dependent float sum: the
+    * softmax terms quantize per (doc, label) TYPE — e = round(1e6·
+    * exp((s − s_max)/1e6)) (exact-int inputs, one float op each) — and
+    * everything after is integer: p = e·1e6 div Σe, thresholds are floor
+    * means, the argmax ties to the smallest label.
+    *
+    * Scale shape: |labels|-bounded fanout per doc, one doc-keyed max +
+    * one doc-keyed sum + a broadcast threshold join + one doc-partitioned
+    * argmax window; output is the |labels|² joint. */
+  def confidentLearning(scores: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sm = scores.groupBy(col(idCol))
+      .agg(max(col("score_micro")).as("smax"))
+    val em = scores.join(sm, Seq(idCol))
+      .select(col(idCol), col("actual"), col("label"),
+        round(lit(1e6) * exp((col("score_micro") - col("smax"))
+          .cast("double") / lit(1e6))).cast("long").as("e"))
+    val es = em.groupBy(col(idCol)).agg(sum(col("e")).as("et"))
+    val pm = em.join(es, Seq(idCol))
+      .select(col(idCol), col("actual"), col("label"),
+        expr("e * 1000000L div et").as("p"))
+      .localCheckpoint(true)
+    val th = pm.where(col("actual") === col("label"))
+      .groupBy(col("label"))
+      .agg(expr("sum(p) div count(1)").as("t"))
+    val cand = pm.join(broadcast(th), Seq("label"))
+      .where(col("p") >= col("t"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("p").desc, col("label").asc)
+    val star = cand.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("actual").as("given_label"), col("label").as("star_label"))
+    val cj = star.groupBy(col("given_label"), col("star_label"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cj.agg(sum(col("cnt")).as("n"))
+    cj.crossJoin(broadcast(tot))
+      .select(col("given_label"), col("star_label"), col("cnt"),
+        expr("cnt * 1000000L div n").as("frac_micro"))
   }
 
   // ── DuckDB oracle ───────────────────────────────────────────────────────
@@ -140,12 +200,12 @@ object Classify {
                           textCol: String): String =
     nbClassifyCrossOracleSql(table, table, idCol, labelCol, textCol)
 
-  /** Oracle replaying [[nbClassify]] with the model trained on
-    * `trainTable` and scoring `scoreTable` (the stored/streaming shape). */
-  def nbClassifyCrossOracleSql(trainTable: String, scoreTable: String,
-                               idCol: String, labelCol: String,
-                               textCol: String): String =
-    s"""WITH ${chain(trainTable, labelCol, textCol)},
+  /** Shared CTEs through the full per-(doc, label) score table `sc` —
+    * the SQL twin of [[nbScores]]. */
+  private def scoreChain(trainTable: String, scoreTable: String,
+                         idCol: String, labelCol: String,
+                         textCol: String): String =
+    s"""${chain(trainTable, labelCol, textCol)},
        tk2 AS (SELECT $idCol AS doc_id, $labelCol AS label, token FROM (
            SELECT $idCol, $labelCol,
              unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
@@ -170,9 +230,45 @@ object Classify {
              AS score_micro
          FROM dt CROSS JOIN lbl l
          LEFT JOIN model m ON m.label = l.label AND m.token = dt.token
-         GROUP BY 1, 2, 3)
+         GROUP BY 1, 2, 3)"""
+
+  /** Oracle replaying [[nbClassify]] with the model trained on
+    * `trainTable` and scoring `scoreTable` (the stored/streaming shape). */
+  def nbClassifyCrossOracleSql(trainTable: String, scoreTable: String,
+                               idCol: String, labelCol: String,
+                               textCol: String): String =
+    s"""WITH ${scoreChain(trainTable, scoreTable, idCol, labelCol, textCol)}
        SELECT doc_id, actual, label AS predicted, score_micro FROM (
          SELECT *, row_number() OVER (PARTITION BY doc_id
            ORDER BY score_micro DESC, label) AS rn FROM sc)
        WHERE rn = 1 ORDER BY doc_id"""
+
+  /** Oracle replaying [[confidentLearning]] over a self-trained
+    * [[nbScores]] table. */
+  def confidentLearningOracleSql(table: String, idCol: String,
+                                 labelCol: String, textCol: String): String =
+    s"""WITH ${scoreChain(table, table, idCol, labelCol, textCol)},
+       sm AS (SELECT doc_id, max(score_micro) AS smax FROM sc GROUP BY 1),
+       em AS (SELECT sc.doc_id, sc.actual, sc.label,
+           CAST(round(1000000.0 * exp(CAST(sc.score_micro - sm.smax AS DOUBLE)
+             / 1000000.0)) AS BIGINT) AS e
+         FROM sc JOIN sm USING (doc_id)),
+       es AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS et FROM em GROUP BY 1),
+       pm AS (SELECT em.doc_id, em.actual, em.label,
+                em.e * 1000000 // es.et AS p
+              FROM em JOIN es USING (doc_id)),
+       th AS (SELECT label, CAST(sum(p) AS HUGEINT) // count(*) AS t
+              FROM pm WHERE actual = label GROUP BY 1),
+       cand AS (SELECT pm.* FROM pm JOIN th ON th.label = pm.label
+                WHERE pm.p >= th.t),
+       star AS (SELECT actual AS given_label, label AS star_label FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY p DESC, label) AS rn FROM cand)
+         WHERE rn = 1),
+       cj AS (SELECT given_label, star_label, CAST(count(*) AS BIGINT) AS cnt
+              FROM star GROUP BY 1, 2),
+       tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cj)
+       SELECT cj.given_label, cj.star_label, cj.cnt,
+         cj.cnt * 1000000 // tt.n AS frac_micro
+       FROM cj, tt ORDER BY cj.given_label, cj.star_label"""
 }

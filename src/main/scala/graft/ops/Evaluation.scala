@@ -189,6 +189,73 @@ object Evaluation {
            // CAST(sum(cnt) AS HUGEINT) AS BIGINT) AS ece_micro
        FROM bins"""
 
+  /** Isotonic (PAV) calibration over the reliability bins (Zadrozny &
+    * Elkan, KDD 2002; Barlow et al. 1972) — the non-parametric fix after
+    * [[calibrationBins]] DIAGNOSES miscalibration and next to
+    * q_temperature_fit's parametric one: the monotone-nondecreasing map
+    * score-bin → calibrated rate minimizing squared error, via the
+    * minimax identity f(i) = max_{j≤i} min_{k≥i} rate(j..k) (the closed
+    * form of pool-adjacent-violators — no sequential pooling loop, so it
+    * distributes). Interval rates quantize to floor micro-units BEFORE
+    * the minimax — identical on both engines, within 1 micro of the
+    * rational optimum.
+    *
+    * Scale shape: ONE corpus aggregate to ≤ nBins rows, then every
+    * downstream table is interval-sized (≤ nBins³ rows, broadcast
+    * joins) — corpus size never appears again. Output per bin: counts,
+    * raw rate, isotonic rate. */
+  def isotonicCalibration(df: DataFrame, labelCol: String,
+                          scoreMicroCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1 && nBins <= 64, "nBins in [1, 64]")
+    val bin = least(expr(s"$scoreMicroCol * $nBins div 1000000L"),
+      lit((nBins - 1).toLong)).cast("int")
+    val bins = df.select(bin.as("bin"), col(labelCol).cast("long").as("lbl"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"), sum(col("lbl")).as("pos"))
+      .localCheckpoint(true)
+    // interval table (j, k, rate_micro): Σ over member bins, floor micro
+    val ivals = bins.select(col("bin").as("j"))
+      .crossJoin(broadcast(bins.select(col("bin").as("k"))))
+      .where(col("j") <= col("k"))
+      .join(broadcast(bins.select(col("bin").as("m"), col("cnt"), col("pos"))),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(expr("sum(pos) * 1000000L div sum(cnt)").as("rate"))
+    // f(i) = max_{j≤i} min_{k≥i} rate(j, k)
+    val inner = bins.select(col("bin").as("i"))
+      .join(broadcast(ivals), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate")).as("mn"))
+    val fit = inner.groupBy(col("i")).agg(max(col("mn")).as("iso_rate_micro"))
+    bins.join(broadcast(fit), col("bin") === col("i"))
+      .select(col("bin"), col("cnt"), col("pos"),
+        expr("pos * 1000000L div cnt").as("raw_rate_micro"),
+        col("iso_rate_micro"))
+  }
+
+  /** DuckDB oracle replaying [[isotonicCalibration]]. */
+  def isotonicCalibrationOracleSql(table: String, labelExpr: String,
+                                   scoreMicroExpr: String,
+                                   nBins: Int): String =
+    s"""WITH src AS (SELECT CAST($labelExpr AS BIGINT) AS lbl,
+           CAST($scoreMicroExpr AS BIGINT) AS s FROM $table),
+       bins AS (SELECT CAST(least(s * $nBins // 1000000, ${nBins - 1})
+                  AS INTEGER) AS bin,
+                CAST(count(*) AS BIGINT) AS cnt, CAST(sum(lbl) AS BIGINT) AS pos
+              FROM src GROUP BY 1),
+       ivals AS (SELECT j.bin AS j, k.bin AS k,
+                   sum(m.pos) * 1000000 // sum(m.cnt) AS rate
+                 FROM bins j, bins k, bins m
+                 WHERE j.bin <= k.bin AND m.bin >= j.bin AND m.bin <= k.bin
+                 GROUP BY 1, 2),
+       inn AS (SELECT i.bin AS i, v.j, min(v.rate) AS mn
+               FROM bins i JOIN ivals v ON v.j <= i.bin AND v.k >= i.bin
+               GROUP BY 1, 2),
+       fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS iso_rate_micro
+               FROM inn GROUP BY 1)
+       SELECT b.bin, b.cnt, b.pos,
+         b.pos * 1000000 // b.cnt AS raw_rate_micro, f.iso_rate_micro
+       FROM bins b JOIN fit f ON f.i = b.bin ORDER BY b.bin"""
+
   /** Precision / recall / F1 at each candidate threshold — the
     * operating-point sweep that picks a quality gate's cutoff after
     * [[signalAuc]] says the signal ranks and [[calibrationBins]] says the
@@ -1279,6 +1346,97 @@ object Evaluation {
            AS contrib_micro
        FROM cells c JOIN cx USING (x_bin) JOIN cy USING (y_bin), n
        ORDER BY c.x_bin, c.y_bin"""
+
+  // ── binned Kendall τ-b (Kendall 1945; Agresti 2010 §2.4.3) ─────────────
+
+  /** Kendall τ-b between two BINNED per-row signals — the RANK-agreement
+    * sibling of [[signalMi]] (association beyond linear r, direction
+    * beyond MI): from the same ≤|bins|² contingency grid, concordant /
+    * discordant / tied pair counts are exact integer cell-product sums,
+    * and τ-b = (C − D)/√((n₀−n₁)(n₀−n₂)) handles the ties binning
+    * creates (plain τ-a would deflate toward 0 as bins coarsen).
+    *
+    * Scale shape: ONE hash aggregate collapses the corpus to the grid;
+    * the grid×grid cross join is bins⁴ BROADCAST rows (≤ tens of
+    * thousands), independent of corpus size. Cell products widen to
+    * DECIMAL(38,0) inside the sums (two cells of a 10¹²-row corpus can
+    * pass 9.2·10¹⁸ alone); τ itself is the ONE float stage, floored in
+    * micro-units. Output: one row (n, concordant, discordant,
+    * tied_x_pairs, tied_y_pairs, tau_b_micro). */
+  def kendallTauBinned(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // unordered cross-cell pairs counted once via lexicographic (x, y) order
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("c").cast("decimal(38,0)").as("c1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("c").cast("decimal(38,0)").as("c2"))
+    val cross = a.crossJoin(broadcast(b))
+      .where(col("x1") < col("x2") ||
+        (col("x1") === col("x2") && col("y1") < col("y2")))
+    val cd = cross.agg(
+      sum(when(col("x1") < col("x2") && col("y1") < col("y2"),
+        col("c1") * col("c2")).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("concordant"),
+      sum(when(col("x1") < col("x2") && col("y1") > col("y2"),
+        col("c1") * col("c2")).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("discordant"))
+    // tie-pair totals: Σ over marginal groups of (m choose 2); the
+    // within-cell pairs (tied in BOTH) are counted inside n1 AND n2, as
+    // τ-b's denominator requires
+    val n = cells.agg(sum(col("c")).cast("decimal(38,0)").as("n"))
+    val tx = cells.groupBy(col("x"))
+      .agg(sum(col("c")).cast("decimal(38,0)").as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast("decimal(38,0)")
+        .as("tied_x_pairs"))
+    val ty = cells.groupBy(col("y"))
+      .agg(sum(col("c")).cast("decimal(38,0)").as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast("decimal(38,0)")
+        .as("tied_y_pairs"))
+    cd.crossJoin(broadcast(n)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        col("tied_x_pairs").cast("long").as("tied_x_pairs"),
+        col("tied_y_pairs").cast("long").as("tied_y_pairs"),
+        floor((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n") * (col("n") - 1) / 2 - col("tied_x_pairs"))
+            .cast("double") *
+            (col("n") * (col("n") - 1) / 2 - col("tied_y_pairs"))
+              .cast("double")) * lit(1e6))
+          .cast("long").as("tau_b_micro"))
+  }
+
+  /** DuckDB oracle replaying [[kendallTauBinned]]; `rowsSql` yields
+    * (x, y). */
+  def kendallTauBinnedOracleSql(rowsSql: String): String =
+    s"""WITH r AS ($rowsSql),
+       cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+                 FROM r GROUP BY 1, 2),
+       cd AS (SELECT
+           sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c * b.c
+                    ELSE 0 END) AS concordant,
+           sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c * b.c
+                    ELSE 0 END) AS discordant
+         FROM cells a, cells b
+         WHERE a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+       nn AS (SELECT sum(c) AS n FROM cells),
+       tx AS (SELECT sum(m * (m - 1) // 2) AS tied_x_pairs FROM
+                (SELECT sum(c) AS m FROM cells GROUP BY x)),
+       ty AS (SELECT sum(m * (m - 1) // 2) AS tied_y_pairs FROM
+                (SELECT sum(c) AS m FROM cells GROUP BY y))
+       SELECT CAST(nn.n AS BIGINT) AS n,
+         CAST(cd.concordant AS BIGINT) AS concordant,
+         CAST(cd.discordant AS BIGINT) AS discordant,
+         CAST(tx.tied_x_pairs AS BIGINT) AS tied_x_pairs,
+         CAST(ty.tied_y_pairs AS BIGINT) AS tied_y_pairs,
+         CAST(floor(CAST(cd.concordant - cd.discordant AS DOUBLE) /
+           sqrt(CAST(nn.n * (nn.n - 1) // 2 - tx.tied_x_pairs AS DOUBLE) *
+                CAST(nn.n * (nn.n - 1) // 2 - ty.tied_y_pairs AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS tau_b_micro
+       FROM cd, nn, tx, ty"""
 
   // ── split-conformal gating (Vovk et al.; Angelopoulos & Bates 2021) ────
 

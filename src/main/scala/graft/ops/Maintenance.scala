@@ -376,6 +376,67 @@ object Maintenance {
        FROM t ORDER BY bin"""
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between two corpus
+    * snapshots — the distribution-free drift monitor next to [[psiBins]]:
+    * PSI needs a binning choice and washes out tail shifts narrower than
+    * a bin; KS = max_v |F̂_a(v) − F̂_b(v)| is binning-free and exact over
+    * the signal's ACTUAL value domain. One row out: (n_a, n_b, at_value,
+    * ks_micro) — at_value locates the shift for the drill-down.
+    *
+    * Scale shape: both snapshots collapse to per-DISTINCT-VALUE counts
+    * (a type-level table — the signalAuc bound: a monitored scalar's
+    * domain is ≤ thousands of values, corpus-independent), full-outer
+    * merge, ONE running-sum window over that bounded grid (allowlisted),
+    * then a TakeOrdered(1) head. ECDFs are exact integer micro-units
+    * (cum·10⁶ div n); no float anywhere. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = a.select(valueCol.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+    val cb = b.select(valueCol.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cb"))
+    val grid = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true)
+    val tot = grid.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .select(col("v"), sum(col("ca")).over(w).as("cuma"),
+        sum(col("cb")).over(w).as("cumb"))
+      .crossJoin(broadcast(tot))
+      .select(col("v").as("at_value"), col("na").as("n_a"),
+        col("nb").as("n_b"),
+        abs(expr("cuma * 1000000L div na") -
+          expr("cumb * 1000000L div nb")).as("ks_micro"))
+      .orderBy(col("ks_micro").desc, col("at_value").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("at_value"), col("ks_micro"))
+  }
+
+  /** DuckDB oracle replaying [[ksDrift]]. */
+  def ksDriftOracleSql(tableA: String, tableB: String,
+                       valueExpr: String): String =
+    s"""WITH ca AS (SELECT CAST($valueExpr AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS ca FROM $tableA GROUP BY 1),
+       cb AS (SELECT CAST($valueExpr AS BIGINT) AS v,
+           CAST(count(*) AS BIGINT) AS cb FROM $tableB GROUP BY 1),
+       grid AS (SELECT coalesce(ca.v, cb.v) AS v,
+           coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+         FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+       tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+       cum AS (SELECT v,
+           CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+           CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+         FROM grid)
+       SELECT tot.na AS n_a, tot.nb AS n_b, cum.v AS at_value,
+         abs(cum.cuma * 1000000 // tot.na -
+             cum.cumb * 1000000 // tot.nb) AS ks_micro
+       FROM cum, tot
+       ORDER BY ks_micro DESC, at_value ASC LIMIT 1"""
+
   /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
     * integer keys — the multi-dimensional clustering key behind
     * data-layout optimization: sorting/range-partitioning a table by

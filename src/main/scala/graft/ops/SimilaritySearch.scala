@@ -2144,4 +2144,144 @@ object SimilaritySearch {
          (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) AS cosine
        FROM cand, qe ORDER BY cosine DESC, $idCol LIMIT $k"""
   }
+
+  // ── simplified silhouette (Rousseeuw 1987; Hruschka et al. 2004) ──────
+
+  /** SIMPLIFIED silhouette per cell — the per-POINT clustering-quality
+    * gate next to [[cellScatterReport]]'s per-centroid view: for each
+    * vector, a = cosine distance to its own (nearest) centroid, b =
+    * distance to the runner-up centroid, s = (b − a)/max(a, b) ∈ [0, 1e6]
+    * micro. Cell-scatter can look healthy (tight mean, separated
+    * centroids) while a boundary SUBPOPULATION sits at s ≈ 0 — this
+    * catches it, and a low-silhouette cell is the "split this cell /
+    * retrain k" trigger. Simplified = centroid distances stand in for
+    * the O(n²) pairwise form (the Hruschka et al. reduction — the only
+    * form that scales).
+    *
+    * Determinism: distances quantize to floor micro BEFORE the ratio;
+    * s = (b − a)·10⁶ div max(a, b) is pure integer math (b ≥ a by
+    * argmax), with s = 0 when max(a, b) = 0 (duplicate centroids).
+    *
+    * Scale shape: one codegen'd k-cosine projection per vector (the
+    * [[withIvfCell]] kernel), top-2 via one value-sort of the k-array,
+    * then ONE k-row hash aggregate. Vectors never shuffle. */
+  def silhouetteReport(emb: DataFrame, vecCol: String,
+                       centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.size >= 2, "need at least two centroids")
+    // stage the k-cosine array behind one alias so the argmax and the two
+    // top-2 reads share a single evaluation of the kernel
+    val staged = emb.select(col(vecCol).as("__v"))
+      .select(array(centroids.map(c =>
+        VectorFns.cosine(col("__v"), typedLit(c.toArray))): _*).as("__c"))
+    val ab = staged.select(
+      element_at(transform(array(col("__c")), s =>
+        array_position(s, array_max(s)) - 1), 1).cast("int").as("cell"),
+      floor((lit(1.0d) - element_at(sort_array(col("__c"), asc = false), 1))
+        * lit(1e6)).cast("long").as("a"),
+      floor((lit(1.0d) - element_at(sort_array(col("__c"), asc = false), 2))
+        * lit(1e6)).cast("long").as("b"))
+    ab.select(col("cell"),
+        when(greatest(col("a"), col("b")) === 0L, lit(0L))
+          .otherwise(expr("(b - a) * 1000000L div greatest(a, b)")).as("s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"))
+      .select(col("cell"), col("n"),
+        expr("ss div n").as("mean_silhouette_micro"))
+  }
+
+  /** DuckDB oracle replaying [[silhouetteReport]] with centroids
+    * re-derived by the deterministic `id < nCentroids` rule. */
+  def silhouetteOracleSql(table: String, idCol: String, vecCol: String,
+                          nCentroids: Int): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT $idCol AS cid, ev AS cv FROM e
+                 WHERE $idCol < $nCentroids),
+       sc AS (SELECT e.$idCol, c.cid,
+                list_dot_product(e.ev, c.cv) /
+                  (sqrt(list_dot_product(e.ev, e.ev)) *
+                   sqrt(list_dot_product(c.cv, c.cv))) AS cos
+              FROM e, cents c),
+       rk AS (SELECT $idCol, cid, cos,
+                row_number() OVER (PARTITION BY $idCol
+                  ORDER BY cos DESC, cid) AS rn
+              FROM sc),
+       ab AS (SELECT r1.$idCol, CAST(r1.cid AS INTEGER) AS cell,
+                CAST(floor((1.0 - r1.cos) * 1000000.0) AS BIGINT) AS a,
+                CAST(floor((1.0 - r2.cos) * 1000000.0) AS BIGINT) AS b
+              FROM rk r1 JOIN rk r2 ON r1.$idCol = r2.$idCol
+              WHERE r1.rn = 1 AND r2.rn = 2),
+       sil AS (SELECT cell,
+                CASE WHEN greatest(a, b) = 0 THEN 0
+                     ELSE (b - a) * 1000000 // greatest(a, b) END AS s
+              FROM ab)
+       SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) // count(*) AS mean_silhouette_micro
+       FROM sil GROUP BY cell ORDER BY cell"""
+
+  // ── per-group centroid similarity (domain-mix planning) ────────────────
+
+  /** Pairwise cosine similarity between per-group embedding CENTROIDS —
+    * the semantic sibling of q_source_js's token-level divergence matrix:
+    * which domains/labels occupy nearby regions of embedding space (merge
+    * candidates for mixture planning; a near-1 off-diagonal pair is two
+    * sources of the same content under different names).
+    *
+    * Determinism: cos(mean_a, mean_b) = cos(sum_a, sum_b) — the 1/n
+    * scalars cancel — so the centroid division never happens: per-(group,
+    * dim) SUMS of micro-quantized elements are exact longs, the cross-
+    * group dot/norm products widen to DECIMAL(38,0), and the final
+    * cosine is the ONE float stage (floored micro).
+    *
+    * Scale shape: posexplode to (group, dim) then ONE hash aggregate —
+    * |groups|·dim rows out of the corpus; the pair join is grid×grid on
+    * dim (broadcast, corpus-independent). */
+  def groupCentroidSimilarity(emb: DataFrame, groupCol: String,
+                              vecCol: String): DataFrame = {
+    val sums = emb
+      .select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(round(col("e").cast("double") * lit(1e6)).cast("long"))
+        .cast("decimal(38,0)").as("s"))
+      .localCheckpoint(true)
+    val a = sums.select(col("g").as("g1"), col("pos"), col("s").as("s1"))
+    val b = sums.select(col("g").as("g2"), col("pos"), col("s").as("s2"))
+    val prods = a.join(b, Seq("pos"))
+      .where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(col("s1") * col("s2")).as("dot"))
+    val norms = sums.groupBy(col("g"))
+      .agg(sum(col("s") * col("s")).as("nrm"))
+      .localCheckpoint(true)
+    prods
+      .join(broadcast(norms.select(col("g").as("g1"), col("nrm").as("n1"))),
+        "g1")
+      .join(broadcast(norms.select(col("g").as("g2"), col("nrm").as("n2"))),
+        "g2")
+      .select(col("g1"), col("g2"),
+        floor(col("dot").cast("double") /
+          sqrt(col("n1").cast("double") * col("n2").cast("double")) *
+          lit(1e6)).cast("long").as("cosine_micro"))
+  }
+
+  /** DuckDB oracle replaying [[groupCentroidSimilarity]]. */
+  def groupCentroidSimilarityOracleSql(table: String, groupCol: String,
+                                       vecCol: String): String =
+    s"""WITH el AS (SELECT $groupCol AS g,
+           generate_subscripts($vecCol, 1) AS pos,
+           CAST(round(CAST(unnest($vecCol) AS DOUBLE) * 1000000.0) AS BIGINT)
+             AS em
+         FROM $table),
+       sums AS (SELECT g, pos, CAST(sum(em) AS HUGEINT) AS s
+                FROM el GROUP BY 1, 2),
+       prods AS (SELECT a.g AS g1, b.g AS g2, sum(a.s * b.s) AS dot
+                 FROM sums a JOIN sums b ON a.pos = b.pos AND a.g < b.g
+                 GROUP BY 1, 2),
+       norms AS (SELECT g, sum(s * s) AS nrm FROM sums GROUP BY 1)
+       SELECT p.g1, p.g2,
+         CAST(floor(CAST(p.dot AS DOUBLE) /
+           sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE)) *
+           1000000.0) AS BIGINT) AS cosine_micro
+       FROM prods p JOIN norms n1 ON n1.g = p.g1
+                    JOIN norms n2 ON n2.g = p.g2
+       ORDER BY p.g1, p.g2"""
 }

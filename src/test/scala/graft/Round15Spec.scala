@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Classify, Evaluation, Graph, Maintenance, SimilaritySearch}
+
+/** Round-15 operators: triangle/LCC graph QA, binned Kendall τ-b,
+  * isotonic (PAV) calibration, exact two-sample KS drift, per-group
+  * centroid similarity, simplified silhouette, confident-learning
+  * label-noise audit. */
+class TriangleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleStats counts a known graph and is orientation-invariant") {
+    // K4 on {1,2,3,4} plus pendant 5–1: K4 has 4 triangles, every K4
+    // node sits in 3 of them; node 1 has degree 4
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("id1", "id2")
+    val out = Graph.triangleStats(edges)
+      .orderBy("node").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 4L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L),
+        (5L, 1L, 0L)))
+    // node 2: deg 3, 3 triangles → lcc = 2·3/(3·2) = 1.0
+    assert(out.find(_._1 == 2L).get._4 == 1000000L)
+    // node 1: deg 4, 3 triangles → 2·3/(4·3) = 0.5
+    assert(out.find(_._1 == 1L).get._4 == 500000L)
+    // flipped/duplicated pair directions change nothing
+    val flipped = edges.select(col("id2").as("id1"), col("id1").as("id2"))
+      .union(edges)
+    val out2 = Graph.triangleStats(flipped)
+      .orderBy("node").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out2 == out)
+  }
+
+  test("triangleStats: triangle-free graph yields all zeros") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val out = Graph.triangleStats(path)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.forall(r => r._3 == 0L && r._4 == 0L))
+  }
+}
+
+class KendallTauSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect agreement gives τ-b ≈ 1, reversal gives ≈ −1") {
+    val up = (1L to 40L).map(i => (i % 5, i % 5)).toDF("xb", "yb")
+    val t1 = Evaluation.kendallTauBinned(up, "xb", "yb")
+      .select("tau_b_micro").as[Long].head()
+    assert(t1 >= 999999L && t1 <= 1000000L)
+    val down = (1L to 40L).map(i => (i % 5, 4 - i % 5)).toDF("xb", "yb")
+    val t2 = Evaluation.kendallTauBinned(down, "xb", "yb")
+      .select("tau_b_micro").as[Long].head()
+    assert(t2 <= -999999L)
+  }
+
+  test("matches the brute-force pair count on a small sample") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(60)((rng.nextInt(4).toLong, rng.nextInt(3).toLong))
+    val out = Evaluation.kendallTauBinned(rows.toDF("xb", "yb"), "xb", "yb")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+    for (i <- rows.indices; j <- rows.indices if i < j) {
+      val ((x1, y1), (x2, y2)) = (rows(i), rows(j))
+      if (x1 == x2) tx += 1
+      if (y1 == y2) ty += 1
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) c += 1 else d += 1
+      }
+    }
+    val n = rows.size.toLong
+    assert(out._1 == n && out._2 == c && out._3 == d &&
+      out._4 == tx && out._5 == ty)
+    val n0 = n * (n - 1) / 2
+    val expect = math.floor((c - d).toDouble /
+      math.sqrt((n0 - tx).toDouble * (n0 - ty).toDouble) * 1e6).toLong
+    assert(out._6 == expect)
+  }
+}
+
+class IsotonicSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit is monotone nondecreasing and matches sequential PAV") {
+    val rng = new scala.util.Random(11)
+    // scores deliberately anti-calibrated in the middle bins
+    val rows = Seq.tabulate(400) { i =>
+      val s = rng.nextInt(1000000).toLong
+      val p = if (s < 300000) 0.7 else if (s < 600000) 0.2 else 0.8
+      (if (rng.nextDouble() < p) 1 else 0, s)
+    }
+    val out = Evaluation.isotonicCalibration(rows.toDF("lbl", "score_micro"),
+        "lbl", "score_micro", nBins = 8)
+      .orderBy("bin").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    val iso = out.map(_._5)
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    // sequential pool-adjacent-violators over the same bins, exact
+    // rational pooling (cross-multiplied comparisons)
+    case class Pool(pos: Long, cnt: Long, bins: Int)
+    val pools = collection.mutable.ArrayBuffer[Pool]()
+    for ((_, cnt, pos, _, _) <- out) {
+      pools += Pool(pos, cnt, 1)
+      while (pools.size > 1 &&
+        pools(pools.size - 2).pos * pools.last.cnt >=
+          pools.last.pos * pools(pools.size - 2).cnt) {
+        val b = pools.remove(pools.size - 1)
+        val a = pools.remove(pools.size - 1)
+        pools += Pool(a.pos + b.pos, a.cnt + b.cnt, a.bins + b.bins)
+      }
+    }
+    val seqRates = pools.toSeq.flatMap(p =>
+      Seq.fill(p.bins)(p.pos * 1000000L / p.cnt))
+    // minimax-with-floored-interval-rates can differ from the exact
+    // rational PAV by quantization only — allow 1 micro per bin
+    out.map(_._5).zip(seqRates).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 1L, s"got $got want $want")
+    }
+  }
+}
+
+class KsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical snapshots → 0; disjoint supports → 1e6") {
+    val a = (1L to 100L).toDF("v")
+    val same = Maintenance.ksDrift(a, a, col("v"))
+      .select("ks_micro").as[Long].head()
+    assert(same == 0L)
+    val b = (101L to 200L).toDF("v")
+    val far = Maintenance.ksDrift(a, b, col("v"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(far == ((100L, 100L, 100L, 1000000L)))
+  }
+
+  test("matches the classic statistic on a small two-sample case") {
+    val a = Seq(1L, 2L, 2L, 3L, 9L).toDF("v")
+    val b = Seq(2L, 4L, 4L, 9L).toDF("v")
+    // F_a: 1→1/5, 2→3/5, 3→4/5, 4→4/5, 9→1
+    // F_b: 1→0, 2→1/4, 3→1/4, 4→3/4, 9→1
+    // diffs (micro, floored): 200000, 350000, 550000, 50000, 0 → max at v=3
+    val out = Maintenance.ksDrift(a, b, col("v"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((5L, 4L, 3L, 550000L)))
+  }
+}
+
+class CentroidSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical groups → 1e6 (within a floor micro); orthogonal → 0") {
+    val rows = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(1.0f, 0.0f)),
+      (2, Array(0.0f, 2.0f))
+    ).toDF("label", "embedding")
+    val out = SimilaritySearch.groupCentroidSimilarity(rows, "label",
+        "embedding")
+      .orderBy("g1", "g2").as[(Int, Int, Long)].collect().toSeq
+    assert(out.size == 3)
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((0, 1)) >= 999999L)
+    assert(m((0, 2)) == 0L && m((1, 2)) == 0L)
+  }
+}
+
+class SilhouetteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tight well-separated cells score high; boundary points ≈ 0") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.99f, 0.01f)), (3L, Array(0.02f, 0.98f)),
+      (4L, Array(0.7f, 0.7f)) // equidistant from both centroids
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = SimilaritySearch.silhouetteReport(emb, "embedding", cents)
+      .orderBy("cell").as[(Int, Long, Long)].collect().toSeq
+    assert(out.map(_._2).sum == 5L)
+    // the diagonal point lands in cell 0 (tie → lowest) with s = 0,
+    // dragging cell 0's mean below cell 1's near-1 score
+    val c0 = out.find(_._1 == 0).get._3
+    val c1 = out.find(_._1 == 1).get._3
+    assert(c1 > 900000L)
+    assert(c0 < c1)
+  }
+}
+
+class ConfidentLearningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanly separable labels produce a diagonal confident joint") {
+    val docs = (0L until 30L).map { i =>
+      val lbl = if (i % 2 == 0) "a" else "b"
+      val txt = if (lbl == "a") "apple apple orchard fruit"
+                else "binary binary compiler code"
+      (i, lbl, txt)
+    }.toDF("doc_id", "source", "text")
+    val (cls, toks) = Classify.nbCounts(docs, "source", "text", 4)
+    val v = toks.select(col("token")).distinct().count()
+    val scores = Classify.nbScores(docs, "doc_id", "source", "text",
+      cls, toks, v)
+    val cj = Classify.confidentLearning(scores, "doc_id")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(cj.forall(r => r._1 == r._2), s"off-diagonal noise in $cj")
+    assert(cj.map(_._3).sum == 30L)
+    assert(cj.map(_._4).sum >= 999999L) // fracs sum to ~1e6
+  }
+
+  test("a mislabeled block shows up off-diagonal") {
+    val docs = (0L until 40L).map { i =>
+      val truthA = i % 2 == 0
+      val txt = if (truthA) "apple apple orchard fruit grove"
+                else "binary binary compiler code linker"
+      // 4 docs whose TEXT is a-like carry label b — label noise
+      val lbl = if (truthA && i < 8) "b" else if (truthA) "a" else "b"
+      (i, lbl, txt)
+    }.toDF("doc_id", "source", "text")
+    val (cls, toks) = Classify.nbCounts(docs, "source", "text", 4)
+    val v = toks.select(col("token")).distinct().count()
+    val scores = Classify.nbScores(docs, "doc_id", "source", "text",
+      cls, toks, v)
+    val cj = Classify.confidentLearning(scores, "doc_id")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val offDiag = cj.filter(r => r._1 != r._2).map(_._3).sum
+    assert(offDiag >= 4L, s"expected the planted noise flagged, got $cj")
+  }
+}
