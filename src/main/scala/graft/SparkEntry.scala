@@ -3980,6 +3980,19 @@ object SparkEntry {
       graft.ops.Graph.pageRankMicro(pairs, iters = 3).orderBy(col("node"))
     }),
 
+    // ── LLM-pipeline: self-instruct pool dedup by ROUGE-L (Wang et al.,
+    // ACL 2023 §3.2 — the Alpaca gate): drop on F1 ≥ 0.7 vs ANY lower-id
+    // member; LCS kernel runs only on banded candidate pairs.
+    "q_instruction_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.35, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+      ApproxDedup.instructionDedupRougeL(docs, "doc_id", "text", pairs,
+        thresholdMicro = 700000L, maxTokens = 32)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: triangles + local clustering coefficient on the
     // near-dup graph — transitive near-dup mass (templates) vs LCC≈0 hubs
     // (degenerate docs the banding over-matches). Degree-ordered
@@ -4930,6 +4943,19 @@ object SparkEntry {
         docs.where(col("doc_id") % 2 === 0)
           .select((col("doc_id") + 1L).as("doc_id"), col("text")),
         "doc_id", "text").orderBy(col("doc_id"), col("n"))
+    }),
+
+    // ── LLM-pipeline: ROUGE-L (Lin 2004 §3.2) on the same pairing — the
+    // LCS metric (order-sensitive, non-consecutive) via ONE generated
+    // static DP call per pair; P/R/F1 are exact integer rationals, the
+    // oracle replays the DP as an anti-diagonal recursive CTE.
+    "q_rouge_l" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.Evaluation.rougeL(
+        docs.where(col("doc_id") % 2 === 1),
+        docs.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 1L).as("doc_id"), col("text")),
+        "doc_id", "text", maxTokens = 32).orderBy(col("doc_id"))
     }),
 
     // ── LLM-pipeline: chrF₂ (Popović 2015) on the same pairing — the
@@ -7896,6 +7922,12 @@ object SparkEntry {
       SimilaritySearch.groupCentroidSimilarityOracleSql("embeddings",
         "label", "embedding"),
 
+    "q_instruction_dedup" ->
+      ApproxDedup.instructionDedupOracleSql("documents", "doc_id", "text",
+        jaccardThreshold = 0.35, rougeThresholdMicro = 700000L,
+        maxTokens = 32, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
+
     "q_pmi_pairs" ->
       """WITH alltok AS (
            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
@@ -8439,6 +8471,12 @@ object SparkEntry {
         "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
         "SELECT doc_id + 1 AS id, text FROM documents WHERE doc_id % 2 = 0",
         ns = Seq(1, 2)),
+
+    "q_rouge_l" ->
+      graft.ops.Evaluation.rougeLOracleSql(
+        "SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT doc_id + 1 AS id, text FROM documents WHERE doc_id % 2 = 0",
+        maxTokens = 32),
 
     "q_distinct_n" ->
       graft.ops.TextStats.distinctNOracleSql("documents", "source", "text",

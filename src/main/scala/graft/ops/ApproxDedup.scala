@@ -718,6 +718,71 @@ object ApproxDedup {
          END AS lcc_micro
        FROM dg LEFT JOIN tc USING (node) ORDER BY dg.node"""
 
+  /** Self-instruct pool dedup by ROUGE-L (Wang et al., ACL 2023 §3.2 —
+    * the Alpaca gate): an instruction drops when its ROUGE-L F1 against
+    * ANY lower-id pool member reaches `thresholdMicro` (the engine's
+    * standard drop-on-lower-id-pair policy, same as the dedup sweep).
+    * The O(m·n) LCS kernel runs ONLY on banded candidate pairs — MinHash
+    * gives recall at corpus scale, the character-order-aware F1 gives the
+    * precision word-shingle Jaccard lacks on short imperative texts
+    * (shared phrasing, different order). Token lists slice to
+    * `maxTokens`, so per-pair cost is a configured budget.
+    *
+    * Scale: tokens join the pair list (pair-bounded, not corpus-bounded),
+    * one generated DP call per pair, one id2-keyed max, one left join
+    * back to the pool. */
+  def instructionDedupRougeL(docs: DataFrame, idCol: String, textCol: String,
+                             pairs: DataFrame, thresholdMicro: Long,
+                             maxTokens: Int = 32): DataFrame = {
+    import graft.functions.TextFns
+    val toks = docs.select(col(idCol).as("__id"),
+      slice(TextFns.tokens(col(textCol)), 1, maxTokens).as("__t"))
+    val scored = pairs.select(col("id1"), col("id2"))
+      .join(toks.select(col("__id").as("id1"), col("__t").as("__ta")), "id1")
+      .join(toks.select(col("__id").as("id2"), col("__t").as("__tb")), "id2")
+      .select(col("id1"), col("id2"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.LcsLength(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__ta")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__tb"))))
+          .as("lcs"),
+        size(col("__ta")).cast("long").as("m"),
+        size(col("__tb")).cast("long").as("n"))
+      .select(col("id1"), col("id2"),
+        expr("2L * lcs * 1000000L div (m + n)").as("f1_micro"))
+    val worst = scored.groupBy(col("id2").as(idCol))
+      .agg(max(col("f1_micro")).as("mx"))
+    docs.select(col(idCol))
+      .join(worst, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("mx"), lit(0L)).as("max_f1_lower_micro"),
+        (coalesce(col("mx"), lit(0L)) < thresholdMicro).as("kept"))
+  }
+
+  /** DuckDB oracle replaying [[instructionDedupRougeL]] over the
+    * [[minhashNearDupsFast]] candidate pairs. */
+  def instructionDedupOracleSql(table: String, idCol: String,
+                                textCol: String, jaccardThreshold: Double,
+                                rougeThresholdMicro: Long, maxTokens: Int,
+                                shingleSize: Int = 3, k: Int = 24,
+                                bands: Int = 6, estSlack: Double = 0.25,
+                                maxBucket: Int = 0, seed: Long = 7L): String =
+    s"""WITH RECURSIVE ${minhashFastCtes(table, idCol, textCol,
+          jaccardThreshold, shingleSize, k, bands, estSlack, maxBucket, seed)},
+       prr AS (SELECT id1, id2 FROM p WHERE jaccard >= $jaccardThreshold),
+       ldims AS (SELECT pr.id1 AS k1, pr.id2 AS k2,
+           (string_split_regex(trim(a.$textCol), '\\s+'))[1:$maxTokens] AS ta,
+           (string_split_regex(trim(b.$textCol), '\\s+'))[1:$maxTokens] AS tb
+         FROM prr pr JOIN $table a ON a.$idCol = pr.id1
+                     JOIN $table b ON b.$idCol = pr.id2),
+       ${Evaluation.lcsRecursiveCtes},
+       mx AS (SELECT k2 AS id, max(2 * lcs * 1000000 // (m + n)) AS mx
+              FROM lcsv GROUP BY 1)
+       SELECT d.$idCol, coalesce(mx.mx, 0) AS max_f1_lower_micro,
+         coalesce(mx.mx, 0) < $rougeThresholdMicro AS kept
+       FROM $table d LEFT JOIN mx ON mx.id = d.$idCol
+       ORDER BY d.$idCol"""
+
   /** Exact-Jaccard verification of candidate pairs. Shingles are compared as
     * 64-bit hashes, not strings: identical Jaccard (collisions are
     * birthday-bounded below ~1e-9 at web scale) at a fraction of the shuffle

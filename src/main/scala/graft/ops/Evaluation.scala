@@ -1074,6 +1074,90 @@ object Evaluation {
        FROM f ORDER BY id, n"""
   }
 
+  // ── ROUGE-L (Lin 2004 §3.2) ─────────────────────────────────────────────
+
+  /** Sentence-level ROUGE-L per (candidate, reference) pair — the
+    * LCS-based metric next to [[rougeN]]'s n-gram form: order-sensitive
+    * without demanding consecutiveness (the property that makes it the
+    * self-instruct dedup gate). LCS runs as ONE generated static call per
+    * pair ([[graft.expressions.LcsKernel]] — Spark HOFs cannot express
+    * the O(m·n) recurrence without interpreted per-cell dispatch); both
+    * token lists slice to `maxTokens`, so the DP cost is a configured
+    * budget, not data-dependent. P = LCS/m, R = LCS/n and
+    * F1 = 2·LCS/(m+n) are EXACT integer rationals — zero float stages,
+    * bit-replayable by the oracle's anti-diagonal recursive-CTE DP.
+    *
+    * Scale: one equi-join of the two sides on the pair key, one codegen'd
+    * projection per pair; no shuffle beyond the join, no windows. */
+  def rougeL(cands: DataFrame, refs: DataFrame, idCol: String,
+             textCol: String, maxTokens: Int = 32): DataFrame = {
+    import graft.functions.TextFns
+    require(maxTokens >= 1 && maxTokens <= 256, "maxTokens in [1, 256]")
+    val ct = cands.select(col(idCol).as("id"),
+      slice(TextFns.tokens(col(textCol)), 1, maxTokens).as("__ta"))
+    val rt = refs.select(col(idCol).as("id"),
+      slice(TextFns.tokens(col(textCol)), 1, maxTokens).as("__tb"))
+    ct.join(rt, Seq("id"))
+      .select(col("id").as(idCol),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.LcsLength(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__ta")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("__tb"))))
+          .as("lcs"),
+        size(col("__ta")).cast("long").as("cand_len"),
+        size(col("__tb")).cast("long").as("ref_len"))
+      .withColumn("p_micro", expr("lcs * 1000000L div cand_len"))
+      .withColumn("r_micro", expr("lcs * 1000000L div ref_len"))
+      .withColumn("f1_micro",
+        expr("2L * lcs * 1000000L div (cand_len + ref_len)"))
+  }
+
+  /** The anti-diagonal LCS recursion as reusable CTEs: expects a CTE
+    * `ldims(k1, k2, ta, tb)` (VARCHAR[] token lists, already truncated)
+    * and yields `lcsv(k1, k2, lcs, m, n)`. One row per pair per diagonal,
+    * state = the previous two diagonals as BIGINT lists — cell (i, j) on
+    * diagonal d = i+j depends only on diagonals d−1, d−2, so each
+    * diagonal is one elementwise list_transform (no sequential row DP). */
+  private[ops] def lcsRecursiveCtes: String =
+    s"""ld2 AS (SELECT k1, k2, ta, tb, len(ta) AS m, len(tb) AS n FROM ldims),
+       dp AS (
+         SELECT k1, k2, ta, tb, m, n, 0 AS d,
+                CAST([] AS BIGINT[]) AS prev,
+                [CAST(0 AS BIGINT)] AS cur
+         FROM ld2
+         UNION ALL
+         SELECT k1, k2, ta, tb, m, n, d + 1,
+           cur AS prev,
+           list_transform(range(greatest(0, d + 1 - n), least(m, d + 1) + 1),
+             i ->
+             CASE WHEN i = 0 OR d + 1 - i = 0 THEN CAST(0 AS BIGINT)
+                  WHEN list_extract(ta, i) = list_extract(tb, d + 1 - i)
+                    THEN list_extract(prev, i - greatest(0, d - 1 - n)) + 1
+                  ELSE greatest(
+                    list_extract(cur, i - greatest(0, d - n)),
+                    list_extract(cur, i + 1 - greatest(0, d - n)))
+             END) AS cur
+         FROM dp WHERE d + 1 <= m + n),
+       lcsv AS (SELECT k1, k2, list_extract(cur, 1) AS lcs,
+                  CAST(m AS BIGINT) AS m, CAST(n AS BIGINT) AS n
+                FROM dp WHERE d = m + n)"""
+
+  /** DuckDB oracle replaying [[rougeL]]; cand/ref SQL must yield
+    * (id, text). */
+  def rougeLOracleSql(candSql: String, refSql: String, maxTokens: Int,
+                      idCol: String = "doc_id"): String =
+    s"""WITH RECURSIVE cand AS ($candSql), ref AS ($refSql),
+       ldims AS (SELECT c.id AS k1, CAST(0 AS BIGINT) AS k2,
+           (string_split_regex(trim(c.text), '\\s+'))[1:$maxTokens] AS ta,
+           (string_split_regex(trim(r.text), '\\s+'))[1:$maxTokens] AS tb
+         FROM cand c JOIN ref r ON r.id = c.id),
+       $lcsRecursiveCtes
+       SELECT k1 AS $idCol, lcs, m AS cand_len, n AS ref_len,
+         lcs * 1000000 // m AS p_micro,
+         lcs * 1000000 // n AS r_micro,
+         2 * lcs * 1000000 // (m + n) AS f1_micro
+       FROM lcsv ORDER BY k1"""
+
   private val ChrfMaxN = 6
 
   /** chrF-β per (candidate, reference) pair (Popović 2015) — the

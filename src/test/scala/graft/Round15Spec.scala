@@ -186,6 +186,71 @@ class SilhouetteSpec extends SparkSpec {
   }
 }
 
+class RougeLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lcs kernel matches brute force on random token pairs") {
+    val rng = new scala.util.Random(5)
+    def lcsBrute(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.size + 1, b.size + 1)
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.size)(b.size).toLong
+    }
+    val vocab = Seq("a", "b", "c", "d")
+    val cases = Seq.tabulate(30) { i =>
+      (i.toLong,
+        Seq.fill(rng.nextInt(12) + 1)(vocab(rng.nextInt(4))),
+        Seq.fill(rng.nextInt(12) + 1)(vocab(rng.nextInt(4))))
+    }
+    val df = cases.toDF("id", "ta", "tb")
+    val got = df.select(col("id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.LcsLength(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("ta")),
+            org.apache.spark.sql.GraftColumnBridge.expression(col("tb"))))
+          .as("lcs"))
+      .as[(Long, Long)].collect().toMap
+    cases.foreach { case (id, a, b) =>
+      assert(got(id) == lcsBrute(a, b), s"id=$id a=$a b=$b")
+    }
+  }
+
+  test("rougeL: identical texts score F1 = 1e6, disjoint score 0") {
+    val cands = Seq((1L, "the quick brown fox"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val refs = Seq((1L, "the quick brown fox"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Evaluation.rougeL(cands, refs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "lcs", "f1_micro").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq((1L, 4L, 1000000L), (2L, 0L, 0L)))
+  }
+
+  test("instruction dedup drops the higher-id near-copy, keeps originals") {
+    import graft.ops.ApproxDedup
+    val base = "please summarize the following article in three sentences " +
+      "focusing on the key findings and overall conclusions of the study"
+    val docs = Seq(
+      (10L, base),
+      (20L, base + " thanks"), // near-copy of 10 → must drop
+      (30L, "translate the sentence into french preserving formal tone " +
+        "and idiomatic phrasing wherever that is possible today")
+    ).toDF("doc_id", "text")
+    val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+      threshold = 0.35, shingleSize = 3, k = 24, bands = 6,
+      estSlack = 0.25, maxBucket = 0, md5Base = true)
+    val out = ApproxDedup.instructionDedupRougeL(docs, "doc_id", "text",
+        pairs, thresholdMicro = 700000L, maxTokens = 32)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) ==
+      Seq((10L, true), (20L, false), (30L, true)))
+    assert(out(1)._2 >= 700000L)
+  }
+}
+
 class ConfidentLearningSpec extends SparkSpec {
   import spark.implicits._
 
