@@ -5794,6 +5794,29 @@ object SparkEntry {
         .orderBy(col("item"))
     }),
 
+    // ── LLM-pipeline: epoch-batched Elo leaderboard (Elo 1978) over the
+    // same consecutive-event battles — the TRAJECTORY view next to BT's
+    // static MM fit (arenas report Elo because it absorbs drift): weekly
+    // epochs score vs start-of-epoch ratings, per-match deltas quantize
+    // before exact per-player sums, epochs apply sequentially (bounded
+    // calendar axis, 5 rounds).
+    "q_elo" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val battles = e.as("x")
+        .join(e.as("y"), expr("y.event_id = x.event_id + 1"))
+        .where(col("x.event_type") =!= col("y.event_type") &&
+          col("x.value") =!= col("y.value"))
+        .select(
+          expr("least((dayofyear(x.ts) - 1) div 7, 4)").as("ep"),
+          when(col("x.value") > col("y.value"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("w"),
+          when(col("x.value") > col("y.value"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("l"))
+      graft.ops.Rlhf.eloBatchedMicro(battles, "ep", "w", "l", numEpochs = 5)
+        .orderBy(col("item"))
+    }),
+
     // ── LLM-pipeline: TextRank keywords — PageRank over the adjacent-token
     // co-occurrence graph pruned to the top-60 vocabulary (graph bounded
     // by vocabK² before any iteration); 3 integer-quantized steps, top-25.
@@ -6909,6 +6932,18 @@ object SparkEntry {
            WHERE x.event_type <> y.event_type AND x.value <> y.value)"""
           .linesIterator.map(_.trim).mkString(" "),
         winnerExpr = "w", loserExpr = "l", iters = 4),
+
+    "q_elo" ->
+      graft.ops.Rlhf.eloBatchedOracleSql(
+        """SELECT least((dayofyear(x.ts) - 1) // 7, 4) AS ep,
+           CASE WHEN x.value > y.value THEN x.event_type
+             ELSE y.event_type END AS w,
+           CASE WHEN x.value > y.value THEN y.event_type
+             ELSE x.event_type END AS l
+           FROM events x JOIN events y ON y.event_id = x.event_id + 1
+           WHERE x.event_type <> y.event_type AND x.value <> y.value"""
+          .linesIterator.map(_.trim).mkString(" "),
+        numEpochs = 5),
 
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(

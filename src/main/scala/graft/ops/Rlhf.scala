@@ -467,4 +467,102 @@ object Rlhf {
            AS mean_reward_micro,
          max(corr_micro) AS corr_micro
        FROM b GROUP BY bin ORDER BY bin"""
+
+  // ── batched Elo leaderboard (Elo 1978; the online arena aggregation) ───
+
+  /** EPOCH-BATCHED Elo ratings — the sequential-update leaderboard next
+    * to [[bradleyTerryMicro]]'s order-free MM fit: BT estimates one static
+    * strength from all battles jointly; Elo tracks a TRAJECTORY, and
+    * arenas report it because it absorbs drift (model swaps mid-stream).
+    * A strictly per-match sequential chain cannot distribute, so this is
+    * the standard production compromise: within an epoch every match
+    * scores against START-of-epoch ratings, per-player deltas sum
+    * exactly, and epochs apply sequentially (`numEpochs` is a bounded
+    * calendar axis — weeks — not a data-proportional loop).
+    *
+    * Determinism: ratings are exact micro longs; each match's delta
+    * d = round(K·(1 − 1/(1 + 10^((r_l − r_w)/400·10⁶)))) quantizes per
+    * MATCH before the per-player sum (order-independent longs), winner
+    * +d / loser −d (zero-sum). One float stage per match per epoch.
+    *
+    * Scale per epoch: one broadcast join of the |items|-row rating table
+    * to the epoch's matches + one keyed delta sum — matches never
+    * re-read across epochs (the match table snaps once). */
+  def eloBatchedMicro(matches: DataFrame, epochCol: String,
+                      winnerCol: String, loserCol: String, numEpochs: Int,
+                      kMicro: Long = 32000000L,
+                      initMicro: Long = 1500000000L): DataFrame = {
+    require(numEpochs >= 1 && numEpochs <= 64, "numEpochs in [1, 64]")
+    val m = matches.select(col(epochCol).cast("int").as("ep"),
+        col(winnerCol).as("w"), col(loserCol).as("l"))
+      .localCheckpoint(true)
+    val items = m.select(col("w").as("item"))
+      .union(m.select(col("l").as("item"))).distinct()
+    var r = items.select(col("item"), lit(initMicro).as("r"))
+      .localCheckpoint(true)
+    for (e <- 0 until numEpochs) {
+      val scored = m.where(col("ep") === e)
+        .join(broadcast(r.select(col("item").as("w"), col("r").as("rw"))),
+          "w")
+        .join(broadcast(r.select(col("item").as("l"), col("r").as("rl"))),
+          "l")
+        .select(col("w"), col("l"),
+          round(lit(kMicro.toDouble) * (lit(1.0) - lit(1.0) /
+            (lit(1.0) + pow(lit(10.0),
+              (col("rl") - col("rw")).cast("double") / lit(400e6)))))
+            .cast("long").as("d"))
+      val deltas = scored.select(col("w").as("item"), col("d"))
+        .union(scored.select(col("l").as("item"), (-col("d")).as("d")))
+        .groupBy(col("item")).agg(sum(col("d")).as("dd"))
+      r = r.join(deltas, Seq("item"), "left")
+        .select(col("item"),
+          (col("r") + coalesce(col("dd"), lit(0L))).as("r"))
+        .localCheckpoint(true)
+    }
+    val wins = m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val losses = m.groupBy(col("l").as("item"))
+      .agg(count(lit(1)).as("losses"))
+    r.join(wins, Seq("item"), "left")
+      .join(losses, Seq("item"), "left")
+      .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),
+        coalesce(col("losses"), lit(0L)).as("losses"),
+        col("r").as("rating_micro"))
+  }
+
+  /** DuckDB oracle replaying [[eloBatchedMicro]]; `matchesSql` yields
+    * (ep, w, l). */
+  def eloBatchedOracleSql(matchesSql: String, numEpochs: Int,
+                          kMicro: Long = 32000000L,
+                          initMicro: Long = 1500000000L): String = {
+    val epochCtes = (0 until numEpochs).map { e =>
+      s"""sc$e AS (SELECT m.w, m.l,
+             CAST(round($kMicro.0 * (1.0 - 1.0 /
+               (1.0 + pow(10.0, CAST(rl.r - rw.r AS DOUBLE) / 400000000.0))))
+               AS BIGINT) AS d
+           FROM m JOIN r$e rw ON rw.item = m.w
+                  JOIN r$e rl ON rl.item = m.l
+           WHERE m.ep = $e),
+         dl$e AS (SELECT item, CAST(sum(d) AS BIGINT) AS dd FROM (
+             SELECT w AS item, d FROM sc$e
+             UNION ALL SELECT l, -d FROM sc$e)
+           GROUP BY 1),
+         r${e + 1} AS (SELECT r.item, r.r + coalesce(d.dd, 0) AS r
+           FROM r$e r LEFT JOIN dl$e d USING (item))"""
+    }.mkString(",\n       ")
+    s"""WITH m AS (SELECT CAST(ep AS INTEGER) AS ep, w, l
+           FROM ($matchesSql)),
+       it AS (SELECT DISTINCT w AS item FROM m
+              UNION SELECT DISTINCT l FROM m),
+       r0 AS (SELECT item, CAST($initMicro AS BIGINT) AS r FROM it),
+       $epochCtes,
+       wn AS (SELECT w AS item, CAST(count(*) AS BIGINT) AS wins
+              FROM m GROUP BY 1),
+       ls AS (SELECT l AS item, CAST(count(*) AS BIGINT) AS losses
+              FROM m GROUP BY 1)
+       SELECT r.item, coalesce(wn.wins, 0) AS wins,
+         coalesce(ls.losses, 0) AS losses, r.r AS rating_micro
+       FROM r$numEpochs r LEFT JOIN wn USING (item)
+                          LEFT JOIN ls USING (item)
+       ORDER BY r.item"""
+  }
 }

@@ -186,6 +186,39 @@ class SilhouetteSpec extends SparkSpec {
   }
 }
 
+class EloSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-player trajectory matches the hand-computed updates; zero-sum") {
+    val matches = Seq((0, "a", "b"), (1, "b", "a"))
+      .toDF("ep", "w", "l")
+    val out = graft.ops.Rlhf.eloBatchedMicro(matches, "ep", "w", "l",
+        numEpochs = 2)
+      .orderBy("item").as[(String, Long, Long, Long)].collect().toSeq
+    // epoch 0: equal ratings → E = 1/2 → d = K/2 = 16e6
+    val ra1 = 1500000000L + 16000000L
+    val rb1 = 1500000000L - 16000000L
+    // epoch 1: b (lower-rated) beats a
+    val d2 = math.round(32e6 * (1.0 - 1.0 /
+      (1.0 + math.pow(10.0, (ra1 - rb1).toDouble / 400e6))))
+    val expect = Seq(("a", 1L, 1L, ra1 - d2), ("b", 1L, 1L, rb1 + d2))
+    assert(out == expect)
+    assert(out.map(_._4).sum == 2L * 1500000000L) // zero-sum invariant
+  }
+
+  test("an undefeated player ends strictly above an all-losing one") {
+    val matches = (0 until 10).map(i => (i % 3, "champ", "chump"))
+      .toDF("ep", "w", "l")
+    val out = graft.ops.Rlhf.eloBatchedMicro(matches, "ep", "w", "l",
+        numEpochs = 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("champ") > 1500000000L && out("chump") < 1500000000L)
+    // diminishing gains: the favourite earns less per win as the gap grows
+    assert(out("champ") < 1500000000L + 10L * 16000000L)
+  }
+}
+
 class RougeLSpec extends SparkSpec {
   import spark.implicits._
 
