@@ -1203,6 +1203,43 @@ object SparkEntry {
            graft.ops.Rlhf.btFoldPairs(eng.getData(pSpec)),
            graft.ops.Rlhf.btFoldWins(eng.getData(wSpec)), iters = 4)
          .orderBy(col("item")))
+    }),
+
+    // STORED Elo leaderboard: per-batch (ep, w, l, n) counts blind-append
+    // under the epoch axis (one chunk per epoch → the replay's per-epoch
+    // reads partition-prune); counts additive AND within-epoch deltas are
+    // n·d exactly, so fold ≡ match-level replay and the oracle is
+    // q_elo's. Two halves by battle id simulate two arena ingest syncs.
+    "q_elo_index_sync" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val battles = e.as("x")
+        .join(e.as("y"), expr("y.event_id = x.event_id + 1"))
+        .where(col("x.event_type") =!= col("y.event_type") &&
+          col("x.value") =!= col("y.value"))
+        .select(col("x.event_id").as("bid"),
+          expr("least((dayofyear(x.ts) - 1) div 7, 4)").as("ep"),
+          when(col("x.value") > col("y.value"), col("x.event_type"))
+            .otherwise(col("y.event_type")).as("w"),
+          when(col("x.value") > col("y.value"), col("y.event_type"))
+            .otherwise(col("x.event_type")).as("l"))
+      val root = java.nio.file.Files.createTempDirectory("graft_elo_sync")
+        .toString
+      val eng = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("idx", "elo_counts"),
+        columns = ColumnRoles(Map("datetime" -> "ep")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        Seq(0, 1).foreach { half =>
+          val c = graft.ops.Rlhf.eloBattleCounts(
+            battles.where(col("bid") % 2 === half), "ep", "w", "l")
+          eng.sync(spec, c.localCheckpoint(true), checkExisting = false)
+        }
+        ()
+       },
+       () => graft.ops.Rlhf.eloFromCounts(
+           graft.ops.Rlhf.eloFoldCounts(eng.getData(spec)), numEpochs = 5)
+         .orderBy(col("item")))
     }))
 
   /** Compose a staged entry back into the single-DataFrame query form used
@@ -3045,6 +3082,31 @@ object SparkEntry {
             expr("CAST(least(n_chars div 200, 4) AS BIGINT)").as("yb")),
         "xb", "yb")
         .orderBy(col("x_bin"), col("y_bin"))),
+
+    // ── LLM-pipeline: Pearson χ² contingency (source × quality-gate
+    // pass) — the significance companion to q_signal_mi's effect size:
+    // is the gate behaving differently per source beyond sampling noise?
+    // One grid aggregate; the (o−e)²/e term is the one float stage.
+    "q_chi_square" -> ((s, d) =>
+      graft.ops.Evaluation.chiSquare(
+        Tables.documents(s, d)
+          .withColumn("__qm",
+            (TextFns.qualityScore(col("text")) * 1000000).cast("long"))
+          .select(col("source").as("xb"),
+            (col("__qm") >= 500000L).cast("int").as("yb")),
+        "xb", "yb")
+        .orderBy(col("x"), col("y"))),
+
+    // ── LLM-pipeline: UCB1 source-exploration scores (Auer et al. 2002)
+    // — which domain gets the next crawl/annotation budget: mean quality
+    // + √(2·ln N/n) bonus, the bandit view of the mixture planners.
+    "q_ucb_sources" -> ((s, d) =>
+      graft.ops.Sampling.ucbSourceScores(
+        Tables.documents(s, d)
+          .withColumn("score_micro",
+            (TextFns.qualityScore(col("text")) * 1000000).cast("long")),
+        "source", "score_micro")
+        .orderBy(col("src"))),
 
     // ── LLM-pipeline: binned Kendall τ-b between the same two signals —
     // the rank-agreement view next to q_signal_mi's information view and
@@ -5794,6 +5856,12 @@ object SparkEntry {
         .orderBy(col("item"))
     }),
 
+    // ── LLM-pipeline: the Elo leaderboard maintained INCREMENTALLY as a
+    // stored pipe — (ep, w, l, n) counts are additive and within-epoch
+    // deltas are n·d exactly, so the stored fold replays to the same
+    // ratings as match-level Elo (oracle = q_elo's).
+    "q_elo_index_sync" -> composed("q_elo_index_sync"),
+
     // ── LLM-pipeline: epoch-batched Elo leaderboard (Elo 1978) over the
     // same consecutive-event battles — the TRAJECTORY view next to BT's
     // static MM fit (arenas report Elo because it absorbs drift): weekly
@@ -6945,6 +7013,20 @@ object SparkEntry {
           .linesIterator.map(_.trim).mkString(" "),
         numEpochs = 5),
 
+    // additive epoch counts: fold == match-level replay, so the stored
+    // leaderboard's oracle is q_elo's
+    "q_elo_index_sync" ->
+      graft.ops.Rlhf.eloBatchedOracleSql(
+        """SELECT least((dayofyear(x.ts) - 1) // 7, 4) AS ep,
+           CASE WHEN x.value > y.value THEN x.event_type
+             ELSE y.event_type END AS w,
+           CASE WHEN x.value > y.value THEN y.event_type
+             ELSE x.event_type END AS l
+           FROM events x JOIN events y ON y.event_id = x.event_id + 1
+           WHERE x.event_type <> y.event_type AND x.value <> y.value"""
+          .linesIterator.map(_.trim).mkString(" "),
+        numEpochs = 5),
+
     "q_sq_recon_error" ->
       graft.ops.SimilaritySearch.sqReconstructionErrorOracleSql(
         "embeddings", "vec_id", "embedding"),
@@ -8066,6 +8148,17 @@ object SparkEntry {
       graft.ops.Evaluation.kendallTauBinnedOracleSql(
         s"""SELECT CAST(CAST($qualityMicroSql AS BIGINT) // 250000 AS BIGINT) AS x,
             CAST(least(n_chars // 200, 4) AS BIGINT) AS y FROM documents"""),
+
+    "q_chi_square" ->
+      graft.ops.Evaluation.chiSquareOracleSql(
+        s"""SELECT source AS x,
+            CAST(CASE WHEN CAST($qualityMicroSql AS BIGINT) >= 500000
+              THEN 1 ELSE 0 END AS INTEGER) AS y FROM documents"""),
+
+    "q_ucb_sources" ->
+      graft.ops.Sampling.ucbSourceScoresOracleSql(
+        s"""SELECT source AS src, CAST($qualityMicroSql AS BIGINT) AS s
+            FROM documents"""),
 
     "q_min_k_prob" ->
       graft.ops.Corpus.minKProbOracleSql("documents", "doc_id", "text",

@@ -1522,6 +1522,67 @@ object Evaluation {
            * 1000000.0) AS BIGINT) AS tau_b_micro
        FROM cd, nn, tx, ty"""
 
+  // ── χ² independence test (Pearson 1900) ────────────────────────────────
+
+  /** Pearson χ² contingency table between two bounded categorical
+    * signals (source × gate-pass, lang × flag …) — the significance
+    * companion to [[signalMi]]'s effect-size view: per cell the observed
+    * count, expected count (row·col/N, floor micro), and the χ²
+    * contribution (o − e)²/e in micro-units; Σ term_micro/10⁶ against a
+    * χ² table with (R−1)(C−1) dof answers "is the gate behaving
+    * differently per source beyond sampling noise".
+    *
+    * Scale: ONE hash aggregate to the ≤ R·C grid; marginals broadcast.
+    * (o·N − row·col)² overflows any fixed decimal at corpus scale, so the
+    * term is the ONE float stage — computed from exact integer inputs in
+    * the same operation order on both engines. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val rx = cells.groupBy(col("x")).agg(sum(col("o")).as("rt"))
+    val cy = cells.groupBy(col("y")).agg(sum(col("o")).as("ct"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells.join(broadcast(rx), Seq("x")).join(broadcast(cy), Seq("y"))
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("o"),
+        expr("CAST(CAST(rt AS DECIMAL(38,0)) * ct * 1000000 div n AS BIGINT)")
+          .as("e_micro"),
+        round(
+          (col("o").cast("double") -
+            col("rt").cast("double") * col("ct").cast("double") /
+              col("n").cast("double")) *
+          (col("o").cast("double") -
+            col("rt").cast("double") * col("ct").cast("double") /
+              col("n").cast("double")) /
+          (col("rt").cast("double") * col("ct").cast("double") /
+            col("n").cast("double")) * lit(1e6))
+          .cast("long").as("term_micro"))
+  }
+
+  /** DuckDB oracle replaying [[chiSquare]]; `rowsSql` yields (x, y). */
+  def chiSquareOracleSql(rowsSql: String): String =
+    s"""WITH r AS ($rowsSql),
+       cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o
+                 FROM r GROUP BY 1, 2),
+       rx AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+       SELECT c.x, c.y, c.o,
+         CAST(CAST(rx.rt AS HUGEINT) * cy.ct * 1000000 // nn.n AS BIGINT)
+           AS e_micro,
+         CAST(round(
+           (CAST(c.o AS DOUBLE) -
+             CAST(rx.rt AS DOUBLE) * CAST(cy.ct AS DOUBLE)
+               / CAST(nn.n AS DOUBLE)) *
+           (CAST(c.o AS DOUBLE) -
+             CAST(rx.rt AS DOUBLE) * CAST(cy.ct AS DOUBLE)
+               / CAST(nn.n AS DOUBLE)) /
+           (CAST(rx.rt AS DOUBLE) * CAST(cy.ct AS DOUBLE)
+             / CAST(nn.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS term_micro
+       FROM cells c JOIN rx USING (x) JOIN cy USING (y), nn
+       ORDER BY c.x, c.y"""
+
   // ── split-conformal gating (Vovk et al.; Angelopoulos & Bates 2021) ────
 
   /** Split-conformal quality gate: the calibration split's nonconformity

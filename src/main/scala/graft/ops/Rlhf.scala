@@ -491,10 +491,37 @@ object Rlhf {
   def eloBatchedMicro(matches: DataFrame, epochCol: String,
                       winnerCol: String, loserCol: String, numEpochs: Int,
                       kMicro: Long = 32000000L,
-                      initMicro: Long = 1500000000L): DataFrame = {
-    require(numEpochs >= 1 && numEpochs <= 64, "numEpochs in [1, 64]")
-    val m = matches.select(col(epochCol).cast("int").as("ep"),
+                      initMicro: Long = 1500000000L): DataFrame =
+    eloFromCounts(eloBattleCounts(matches, epochCol, winnerCol, loserCol),
+      numEpochs, kMicro, initMicro)
+
+  /** Per-batch ADDITIVE Elo inputs: (ep, w, l, n) — within an epoch every
+    * identical pairing shares one delta (ratings are fixed at epoch
+    * start), so n matches contribute exactly n·d and the collapsed count
+    * table loses NOTHING: Elo-from-counts ≡ Elo-over-matches. Counts are
+    * additive ⇒ blind-append + fold ≡ rebuild (the bt_index_sync
+    * discipline), giving the leaderboard its stored-pipe variant for
+    * free. */
+  def eloBattleCounts(matches: DataFrame, epochCol: String,
+                      winnerCol: String, loserCol: String): DataFrame =
+    matches.select(col(epochCol).cast("int").as("ep"),
         col(winnerCol).as("w"), col(loserCol).as("l"))
+      .groupBy(col("ep"), col("w"), col("l"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold of blind-appended [[eloBattleCounts]] batches. */
+  def eloFoldCounts(stored: DataFrame): DataFrame =
+    stored.groupBy(col("ep"), col("w"), col("l"))
+      .agg(sum(col("n")).as("n"))
+
+  /** The epoch ladder over an (ep, w, l, n) count table — the shared
+    * kernel behind [[eloBatchedMicro]] and the stored-pipe probe. */
+  def eloFromCounts(counts: DataFrame, numEpochs: Int,
+                    kMicro: Long = 32000000L,
+                    initMicro: Long = 1500000000L): DataFrame = {
+    require(numEpochs >= 1 && numEpochs <= 64, "numEpochs in [1, 64]")
+    val m = counts.select(col("ep").cast("int").as("ep"), col("w"),
+        col("l"), col("n").cast("long").as("n"))
       .localCheckpoint(true)
     val items = m.select(col("w").as("item"))
       .union(m.select(col("l").as("item"))).distinct()
@@ -507,10 +534,10 @@ object Rlhf {
         .join(broadcast(r.select(col("item").as("l"), col("r").as("rl"))),
           "l")
         .select(col("w"), col("l"),
-          round(lit(kMicro.toDouble) * (lit(1.0) - lit(1.0) /
+          (round(lit(kMicro.toDouble) * (lit(1.0) - lit(1.0) /
             (lit(1.0) + pow(lit(10.0),
               (col("rl") - col("rw")).cast("double") / lit(400e6)))))
-            .cast("long").as("d"))
+            .cast("long") * col("n")).as("d"))
       val deltas = scored.select(col("w").as("item"), col("d"))
         .union(scored.select(col("l").as("item"), (-col("d")).as("d")))
         .groupBy(col("item")).agg(sum(col("d")).as("dd"))
@@ -519,9 +546,9 @@ object Rlhf {
           (col("r") + coalesce(col("dd"), lit(0L))).as("r"))
         .localCheckpoint(true)
     }
-    val wins = m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wins"))
+    val wins = m.groupBy(col("w").as("item")).agg(sum(col("n")).as("wins"))
     val losses = m.groupBy(col("l").as("item"))
-      .agg(count(lit(1)).as("losses"))
+      .agg(sum(col("n")).as("losses"))
     r.join(wins, Seq("item"), "left")
       .join(losses, Seq("item"), "left")
       .select(col("item"), coalesce(col("wins"), lit(0L)).as("wins"),

@@ -877,4 +877,53 @@ object Sampling {
        UNION ALL $out) z
        ORDER BY pick_order"""
   }
+
+  // ── UCB1 source-exploration scores (Auer et al., ML 2002) ──────────────
+
+  /** UCB1 scores per source — the exploration-aware ranking for "which
+    * domain should the next crawl/annotation budget go to": a source's
+    * priority is its mean observed quality PLUS the √(2·ln N / n) bonus
+    * that decays as the source accumulates observations, so an
+    * under-sampled domain with mediocre mean outranks a well-measured
+    * equal one (the bandit view of the [[sourceCap]]/mixture planners —
+    * exploit quality, but pay for certainty).
+    *
+    * Determinism: mean is exact integer division of exact sums; the
+    * bonus is the ONE float stage (√/ln over two exact longs, micro-
+    * rounded); ucb = mean + bonus in longs.
+    *
+    * Scale: ONE map-side-combined aggregate to the |sources| grid; N
+    * broadcast. */
+  def ucbSourceScores(df: DataFrame, groupCol: String,
+                      scoreMicroCol: String): DataFrame = {
+    val g = df.select(col(groupCol).as("src"),
+        col(scoreMicroCol).cast("long").as("s"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("ss"))
+      .localCheckpoint(true)
+    val tot = g.agg(sum(col("n")).as("nn"))
+    g.crossJoin(broadcast(tot))
+      .select(col("src"), col("n"),
+        expr("ss div n").as("mean_micro"),
+        round(sqrt(lit(2.0) * log(col("nn").cast("double")) /
+          col("n").cast("double")) * lit(1e6)).cast("long")
+          .as("bonus_micro"))
+      .withColumn("ucb_micro", col("mean_micro") + col("bonus_micro"))
+  }
+
+  /** DuckDB oracle replaying [[ucbSourceScores]]; `rowsSql` yields
+    * (src, s). */
+  def ucbSourceScoresOracleSql(rowsSql: String): String =
+    s"""WITH r AS ($rowsSql),
+       g AS (SELECT src, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS ss
+             FROM r GROUP BY 1),
+       nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g)
+       SELECT g.src, g.n, g.ss // g.n AS mean_micro,
+         CAST(round(sqrt(2.0 * ln(CAST(nn.nn AS DOUBLE)) /
+           CAST(g.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS bonus_micro,
+         g.ss // g.n +
+           CAST(round(sqrt(2.0 * ln(CAST(nn.nn AS DOUBLE)) /
+             CAST(g.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS ucb_micro
+       FROM g, nn ORDER BY g.src"""
 }

@@ -206,6 +206,30 @@ class EloSpec extends SparkSpec {
     assert(out.map(_._4).sum == 2L * 1500000000L) // zero-sum invariant
   }
 
+  test("stored count fold over random splits == match-level replay") {
+    val rng = new scala.util.Random(13)
+    val players = Seq("a", "b", "c", "d")
+    val battles = Seq.tabulate(120) { i =>
+      val w = players(rng.nextInt(4))
+      var l = players(rng.nextInt(4))
+      while (l == w) l = players(rng.nextInt(4))
+      (i.toLong, rng.nextInt(4), w, l)
+    }
+    val df = battles.toDF("bid", "ep", "w", "l")
+    val direct = graft.ops.Rlhf.eloBatchedMicro(df, "ep", "w", "l",
+        numEpochs = 4)
+      .orderBy("item").as[(String, Long, Long, Long)].collect().toSeq
+    // three blind-append batches by random bid split, folded
+    val batches = (0 until 3).map(k =>
+      graft.ops.Rlhf.eloBattleCounts(df.where(pmod(col("bid"), lit(3)) === k),
+        "ep", "w", "l"))
+    val folded = graft.ops.Rlhf.eloFromCounts(
+        graft.ops.Rlhf.eloFoldCounts(batches.reduce(_ unionByName _)),
+        numEpochs = 4)
+      .orderBy("item").as[(String, Long, Long, Long)].collect().toSeq
+    assert(folded == direct)
+  }
+
   test("an undefeated player ends strictly above an all-losing one") {
     val matches = (0 until 10).map(i => (i % 3, "champ", "chump"))
       .toDF("ep", "w", "l")
