@@ -4678,6 +4678,20 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("week_offset"))
     }),
 
+    // ── analytics: Kaplan–Meier survival with right-censoring (Kaplan &
+    // Meier 1958) — feature-subscription lifetime: subject = (user,
+    // event type), duration = first→last activity; subjects active in
+    // the trailing 3 days are censored. The product runs in log space
+    // with per-term micro quantization over the bounded duration grid
+    // (two allowlisted windows).
+    "q_kaplan_meier" -> ((s, d) =>
+      graft.ops.Relational.kaplanMeier(
+        Tables.events(s, d).select(
+          concat_ws("#", col("user_id"), col("event_type")).as("subj"),
+          col("ts")),
+        "subj", "ts", censorTailDays = 3)
+        .orderBy(col("duration_days"))),
+
     // ── analytics: strictly-ordered event funnel — step k counts only
     // strictly after step k−1's first completion. One pre-filtered
     // id-keyed aggregate per step; |steps| output rows.
@@ -8329,6 +8343,11 @@ object SparkEntry {
            FROM events e JOIN f USING (user_id))
          SELECT cohort_day, week_offset, count(DISTINCT user_id) AS n_users
          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_kaplan_meier" ->
+      graft.ops.Relational.kaplanMeierOracleSql("events",
+        "CAST(user_id AS VARCHAR) || '#' || event_type", "ts",
+        censorTailDays = 3),
 
     // DuckDB sha256 over VARCHAR hashes the UTF-8 bytes — the same bytes
     // Spark's string→binary cast feeds sha2

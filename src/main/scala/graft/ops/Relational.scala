@@ -699,4 +699,108 @@ object Relational {
         col("lt.touch_id").as("last_touch_id"),
         col("lt.touch_type").as("last_touch_type"))
   }
+
+  // ── Kaplan–Meier survival (Kaplan & Meier, JASA 1958) ──────────────────
+
+  /** Kaplan–Meier user-lifetime survival curve with right-censoring — the
+    * churn view next to [[q_cohort_retention]]'s grid: duration = days
+    * between a user's first and last activity; users still active in the
+    * trailing `censorTailDays` of the corpus are CENSORED (their true
+    * lifetime is unobserved — dropping them would bias survival down,
+    * counting them as churn would bias it up; KM is the estimator that
+    * uses them correctly until their observed duration). Per duration d:
+    * at-risk r_d (observed duration ≥ d), churned e_d, and
+    * Ŝ(d) = Π_{d'≤d} (1 − e_{d'}/r_{d'}).
+    *
+    * Determinism: per-duration hazard factors quantize to micro FIRST
+    * (f = 10⁶ − e·10⁶ div r); the product runs in log space with
+    * per-TERM micro quantization (round(10⁶·ln(f/10⁶)) — the
+    * char-entropy discipline), one running-sum window over the bounded
+    * duration grid (≤ corpus calendar span, allowlisted), exp at the
+    * end. An f = 0 step (everyone churns) pins survival to exactly 0
+    * from that duration on via a parallel running min — ln(0) never
+    * evaluates.
+    *
+    * Scale: corpus collapses to per-user (first, last) in ONE aggregate,
+    * then to the ≤|days| duration grid; everything after is grid-sized. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  censorTailDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // integer day index via datediff — epochMicros/86400e6 would round-trip
+    // through a double (micros exceed 2^53) and lose exactness
+    val day = datediff(date_trunc("day", col(tsCol)).cast("date"),
+      to_date(lit("1970-01-01"))).cast("long")
+    val spans = events.select(col(userCol).as("u"), day.as("d"))
+      .groupBy(col("u"))
+      .agg(min(col("d")).as("fd"), max(col("d")).as("ld"))
+      .localCheckpoint(true)
+    val maxDay = spans.agg(max(col("ld")).as("mx"))
+    val users = spans.crossJoin(broadcast(maxDay))
+      .select((col("ld") - col("fd")).as("dur"),
+        (col("ld") <= col("mx") - lit(censorTailDays.toLong)).as("churn"))
+    val grid = users.groupBy(col("dur"))
+      .agg(count(lit(1)).as("all_cnt"),
+        sum(when(col("churn"), 1L).otherwise(0L)).as("churned"))
+      .localCheckpoint(true)
+    val tot = grid.agg(sum(col("all_cnt")).as("n"))
+    val w = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(tot))
+      .withColumn("at_risk",
+        col("n") - (sum(col("all_cnt")).over(w) - col("all_cnt")))
+      .withColumn("f",
+        lit(1000000L) - expr("churned * 1000000L div at_risk"))
+      .withColumn("term",
+        when(col("f") === 0L, lit(0L))
+          .otherwise(round(log(col("f").cast("double") / lit(1e6)) *
+            lit(1e6)).cast("long")))
+      .withColumn("cum_term", sum(col("term")).over(w))
+      .withColumn("min_f", min(col("f")).over(w))
+      .select(col("dur").as("duration_days"), col("at_risk"),
+        col("churned"), (col("all_cnt") - col("churned")).as("censored"),
+        when(col("min_f") === 0L, lit(0L))
+          .otherwise(round(exp(col("cum_term").cast("double") / lit(1e6)) *
+            lit(1e6)).cast("long")).as("surv_micro"))
+  }
+
+  /** DuckDB oracle replaying [[kaplanMeier]]. */
+  def kaplanMeierOracleSql(table: String, userExpr: String, tsExpr: String,
+                           censorTailDays: Int = 3): String =
+    s"""WITH spans AS (
+         SELECT $userExpr AS u,
+           CAST(min(date_diff('day', DATE '1970-01-01',
+             CAST(date_trunc('day', $tsExpr) AS DATE))) AS BIGINT) AS fd,
+           CAST(max(date_diff('day', DATE '1970-01-01',
+             CAST(date_trunc('day', $tsExpr) AS DATE))) AS BIGINT) AS ld
+         FROM $table GROUP BY 1),
+       mx AS (SELECT max(ld) AS mx FROM spans),
+       users AS (SELECT ld - fd AS dur,
+           ld <= mx.mx - $censorTailDays AS churn
+         FROM spans, mx),
+       grid AS (SELECT dur, CAST(count(*) AS BIGINT) AS all_cnt,
+           CAST(sum(CASE WHEN churn THEN 1 ELSE 0 END) AS BIGINT) AS churned
+         FROM users GROUP BY 1),
+       tot AS (SELECT CAST(sum(all_cnt) AS BIGINT) AS n FROM grid),
+       km AS (SELECT dur, all_cnt, churned,
+           tot.n - (CAST(sum(all_cnt) OVER (ORDER BY dur) AS BIGINT)
+             - all_cnt) AS at_risk
+         FROM grid, tot),
+       kf AS (SELECT *,
+           1000000 - churned * 1000000 // at_risk AS f
+         FROM km),
+       kt AS (SELECT *,
+           CASE WHEN f = 0 THEN 0
+                ELSE CAST(round(ln(CAST(f AS DOUBLE) / 1000000.0)
+                  * 1000000.0) AS BIGINT) END AS term
+         FROM kf),
+       kc AS (SELECT *,
+           CAST(sum(term) OVER (ORDER BY dur) AS BIGINT) AS cum_term,
+           min(f) OVER (ORDER BY dur) AS min_f
+         FROM kt)
+       SELECT dur AS duration_days, at_risk, churned,
+         all_cnt - churned AS censored,
+         CASE WHEN min_f = 0 THEN 0
+              ELSE CAST(round(exp(CAST(cum_term AS DOUBLE) / 1000000.0)
+                * 1000000.0) AS BIGINT) END AS surv_micro
+       FROM kc ORDER BY duration_days"""
 }

@@ -54,6 +54,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q_zipf_fit"              -> 1, // topV ≤ 200 TakeOrdered head
     "q_dd_quantiles"          -> 1, // ≤63·16+1-row sketch histogram (Sketches.scala)
     "q_ks_drift"              -> 1, // |distinct value| domain (signalAuc's bound)
+    "q_kaplan_meier"          -> 2, // |days| duration grid (calendar bound)
     "q_fpr_threshold"         -> 1, // |distinct score| domain (signalAuc's bound)
     "q_quantile_normalize"    -> 1) // corpus-cum over the ≤1009-row sketch histogram
 

@@ -145,6 +145,32 @@ class KsDriftSpec extends SparkSpec {
   }
 }
 
+class KaplanMeierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed curve: censoring holds subjects at risk, not churned") {
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // max day = 10, tail 3 → censored iff last day > 7
+    val ev = Seq(
+      ("s1", t(1)), ("s1", t(2)),             // dur 1, churned
+      ("s2", t(8)), ("s2", t(9)),             // dur 1, censored
+      ("s3", t(1)), ("s3", t(3)),             // dur 2, churned
+      ("s4", t(7)), ("s4", t(10))             // dur 3, censored
+    ).toDF("subj", "ts")
+    val out = graft.ops.Relational.kaplanMeier(ev, "subj", "ts",
+        censorTailDays = 3)
+      .orderBy("duration_days")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) ==
+      Seq((1L, 4L, 1L, 1L), (2L, 2L, 1L, 0L), (3L, 1L, 0L, 1L)))
+    // S(1) = 3/4, S(2) = 3/8, S(3) unchanged (no churn at 3)
+    val surv = out.map(_._5)
+    assert(math.abs(surv(0) - 750000L) <= 2L)
+    assert(math.abs(surv(1) - 375000L) <= 2L)
+    assert(surv(2) == surv(1))
+  }
+}
+
 class CentroidSimSpec extends SparkSpec {
   import spark.implicits._
 
