@@ -1240,6 +1240,50 @@ object SparkEntry {
        () => graft.ops.Rlhf.eloFromCounts(
            graft.ops.Rlhf.eloFoldCounts(eng.getData(spec)), numEpochs = 5)
          .orderBy(col("item")))
+    }),
+
+    // INCREMENTAL triangle/LCC maintenance: canonical edges and per-node
+    // (d_deg, d_tri) deltas blind-append as pipes; each triangle is
+    // charged to the batch where its LAST edge arrives (common-neighbor
+    // join against the merged adjacency, sorted-triple dedup), so stat
+    // rows are additive and fold ≡ the full-graph q_triangle_count
+    // rebuild — which is exactly what the oracle replays.
+    "q_triangle_index_sync" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = ApproxDedup.minhashNearDupsFast(docs, "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200, md5Base = true)
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft_tri_sync")
+        .toString
+      val eng = new SyncEngine(s, root)
+      def mSpec(name: String) = PipeSpec(PipeKeys("idx", name),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val (eSpec, sSpec) = (mSpec("tri_edges"), mSpec("tri_stats"))
+      def bucketOf(c: org.apache.spark.sql.Column) =
+        pmod(TextFns.md5Long60(c.cast("string")), lit(8L)).as("bucket")
+      (() => {
+        Seq(0, 1).foreach { half =>
+          val stored =
+            if (half == 0)
+              s.range(0).select(col("id").as("a"), col("id").as("b"))
+            else eng.getData(eSpec).select(col("a"), col("b"))
+          val (newE, stats) = graft.ops.Graph.triangleBatchDelta(stored,
+            pairs.where(col("id1") % 2 === half))
+          eng.sync(eSpec, newE
+              .select(bucketOf(concat_ws("#", col("a"), col("b"))),
+                col("a"), col("b")).localCheckpoint(true),
+            checkExisting = false)
+          eng.sync(sSpec, stats
+              .select(bucketOf(col("node")), col("node"), col("d_deg"),
+                col("d_tri")).localCheckpoint(true),
+            checkExisting = false)
+        }
+        ()
+       },
+       () => graft.ops.Graph.triangleFoldStats(eng.getData(sSpec))
+         .orderBy(col("node")))
     }))
 
   /** Compose a staged entry back into the single-DataFrame query form used
@@ -4066,6 +4110,11 @@ object SparkEntry {
         estSlack = 0.25, maxBucket = 200, md5Base = true)
       graft.ops.Graph.triangleStats(pairs).orderBy(col("node"))
     }),
+
+    // ── LLM-pipeline: triangle/LCC stats maintained INCREMENTALLY as
+    // stored pipes — each triangle charged to the batch of its last edge,
+    // per-node deltas additive, fold ≡ full-graph rebuild (see `staged`).
+    "q_triangle_index_sync" -> composed("q_triangle_index_sync"),
 
     // ── LLM-pipeline: PMI collocations — top within-doc co-occurring pairs
     // among the top-40 vocabulary, ln(n_ab·N/(n_a·n_b)) in micro-units.
@@ -8052,6 +8101,13 @@ object SparkEntry {
     "q_label_centroid_sim" ->
       SimilaritySearch.groupCentroidSimilarityOracleSql("embeddings",
         "label", "embedding"),
+
+    // additive per-node deltas: fold == full-graph rebuild, so the stored
+    // triangle stats' oracle is q_triangle_count's replay
+    "q_triangle_index_sync" ->
+      ApproxDedup.triangleStatsFastOracleSql("documents", "doc_id", "text",
+        threshold = 0.5, shingleSize = 3, k = 24, bands = 6,
+        estSlack = 0.25, maxBucket = 200),
 
     "q_instruction_dedup" ->
       ApproxDedup.instructionDedupOracleSql("documents", "doc_id", "text",

@@ -261,4 +261,69 @@ object Graph {
             (col("degree") * (col("degree") - lit(1L))).cast("double"))
             .cast("long")).as("lcc_micro"))
   }
+
+  // ── incremental triangle maintenance (stored-pipe variant) ────────────
+
+  /** Per-batch DELTAS for incrementally-maintained triangle stats: given
+    * the stored canonical edge set and a new pair batch, returns
+    * (newEdges to append, per-node (node, d_deg, d_tri) stat deltas).
+    * A triangle is charged to the batch where its LAST edge arrives —
+    * enumerate triangles touching ≥1 new edge via a common-neighbor join
+    * against the merged adjacency, dedup the sorted triple (a triangle
+    * whose 2–3 edges arrive together would otherwise count once per new
+    * edge) — so every triangle lands in EXACTLY one batch and the stat
+    * rows are ADDITIVE: blind-append + fold ≡ full rebuild, the same
+    * contract as every other stored index.
+    *
+    * Scale per batch: one anti-join (dedup vs stored), one common-
+    * neighbor join whose fanout is Σ_(a,b)∈new (deg a + deg b) — the
+    * standard incremental triangle-counting shape (new edges are the
+    * sliver; the stored graph is read once, never recomputed). */
+  def triangleBatchDelta(stored: DataFrame,
+                         batch: DataFrame): (DataFrame, DataFrame) = {
+    val b0 = batch
+      .select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val newE = b0.join(stored.select(col("a"), col("b")),
+        Seq("a", "b"), "left_anti")
+      .localCheckpoint(true)
+    val unionE = stored.select(col("a"), col("b")).union(newE)
+    val adj = unionE.select(col("a").as("x"), col("b").as("y"))
+      .union(unionE.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    val tri = newE
+      .join(adj.select(col("x").as("a"), col("y").as("c")), "a")
+      .join(adj.select(col("x").as("b"), col("y").as("c")), Seq("b", "c"))
+      .where(col("c") =!= col("a") && col("c") =!= col("b"))
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"))
+      .select(element_at(col("t"), 1).as("n1"),
+        element_at(col("t"), 2).as("n2"), element_at(col("t"), 3).as("n3"))
+      .distinct()
+    val triNodes = tri.select(col("n1").as("node"))
+      .union(tri.select(col("n2").as("node")))
+      .union(tri.select(col("n3").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d_tri"))
+    val degNodes = newE.select(col("a").as("node"))
+      .union(newE.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d_deg"))
+    val stats = degNodes.join(triNodes, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("d_deg"), lit(0L)).as("d_deg"),
+        coalesce(col("d_tri"), lit(0L)).as("d_tri"))
+    (newE, stats)
+  }
+
+  /** Fold blind-appended [[triangleBatchDelta]] stat rows back into the
+    * [[triangleStats]] output shape (node, degree, triangles,
+    * lcc_micro). */
+  def triangleFoldStats(stored: DataFrame): DataFrame =
+    stored.groupBy(col("node"))
+      .agg(sum(col("d_deg")).as("degree"), sum(col("d_tri")).as("triangles"))
+      .where(col("degree") > 0)
+      .select(col("node"), col("degree"), col("triangles"),
+        when(col("degree") < 2, lit(0L)).otherwise(
+          round(lit(2e6) * col("triangles").cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double"))
+            .cast("long")).as("lcc_micro"))
 }

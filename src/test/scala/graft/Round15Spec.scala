@@ -33,6 +33,36 @@ class TriangleSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("incremental deltas over random batch splits fold to the full rebuild") {
+    val rng = new scala.util.Random(3)
+    // random graph on 12 nodes, ~40 distinct edges
+    val edges = Seq.fill(60) {
+      val a = rng.nextInt(12).toLong; var b = rng.nextInt(12).toLong
+      while (b == a) b = rng.nextInt(12).toLong
+      (math.min(a, b), math.max(a, b))
+    }.distinct
+    val full = edges.toDF("id1", "id2")
+    val want = Graph.triangleStats(full)
+      .orderBy("node").as[(Long, Long, Long, Long)].collect().toSeq
+    for (nBatches <- Seq(2, 3)) {
+      var stored = spark.range(0).select(col("id").as("a"), col("id").as("b"))
+      var stats = Seq.empty[org.apache.spark.sql.DataFrame]
+      val shuffled = rng.shuffle(edges)
+      val batches = shuffled.grouped(
+        math.ceil(shuffled.size.toDouble / nBatches).toInt).toSeq
+      batches.foreach { b =>
+        val (newE, st) = Graph.triangleBatchDelta(stored,
+          b.toDF("id1", "id2"))
+        stored = stored.union(newE.select(col("a"), col("b")))
+          .localCheckpoint(true)
+        stats = stats :+ st.localCheckpoint(true)
+      }
+      val folded = Graph.triangleFoldStats(stats.reduce(_ unionByName _))
+        .orderBy("node").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(folded == want, s"nBatches=$nBatches")
+    }
+  }
+
   test("triangleStats: triangle-free graph yields all zeros") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
     val out = Graph.triangleStats(path)
