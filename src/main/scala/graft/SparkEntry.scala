@@ -2530,6 +2530,64 @@ object SparkEntry {
         .distinct().orderBy(col("sid"), col("hist_id"))
     }),
 
+    // ── LLM-pipeline: STREAMING triangle probe — arriving co-occurrence
+    // EDGES (top-vocab token graph, the TextRank edge list — dense where
+    // the near-dup graph is triangle-sparse) close triangles against the
+    // STORED adjacency at ingest (two stream-static joins, no state): the
+    // live "does this edge confirm a clique" signal next to the batch
+    // q_triangle_index_sync. A file redelivered twice dedups at the sink
+    // read (rows are a deterministic function of the edge). Oracle
+    // enumerates the same arriving×stored² closure in SQL.
+    "q_streaming_triangle_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_stri").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val canon = graft.ops.Corpus.tokenCoocEdges(docs, "doc_id", "text",
+          vocabK = 60)
+        .select(col("id1").as("a"), col("id2").as("b"),
+          pmod(TextFns.md5Long60(concat_ws("#", col("id1"), col("id2"))),
+            lit(2L)).as("par"))
+        .localCheckpoint(true)
+      val eSpec = PipeSpec(PipeKeys("stream", "tri_hist"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(eSpec).create(canon.where(col("par") === 0L)
+        .select(pmod(TextFns.md5Long60(
+            concat_ws("#", col("a"), col("b"))), lit(8L)).as("bucket"),
+          col("a"), col("b")))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      canon.where(col("par") === 1L).select(col("a"), col("b"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val hist = eng.storage(eSpec).read.select(col("a"), col("b"))
+      val adj = hist.select(col("a").as("x"), col("b").as("y"))
+        .union(hist.select(col("b").as("x"), col("a").as("y")))
+      val closed = stream
+        .join(adj.select(col("x").as("a"), col("y").as("c")), Seq("a"))
+        .join(adj.select(col("x").as("b"), col("y").as("c")), Seq("b", "c"))
+        .where(col("c") =!= col("a") && col("c") =!= col("b"))
+        .select(col("a"), col("b"), col("c"),
+          timestamp_micros((pmod(TextFns.md5Long60(
+              concat_ws("#", col("a"), col("b"), col("c"))), lit(1000L)) *
+            lit(60L) + lit(86400L)) * lit(1000000L)).as("ts"))
+      val sinkSpec = PipeSpec(PipeKeys("stream", "tri_hits"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, closed,
+        s"$root/ckpt", checkExisting = false)
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("a"), col("b"), col("c"))
+        .distinct().orderBy(col("a"), col("b"), col("c"))
+    }),
+
     // ── LLM-pipeline: STREAMING simhash probe — arriving docs stamp their
     // signature with the per-row kernel (zero shuffle: legal in a stream
     // projection, the right ingest shape), band-join the STORED simhash
@@ -8101,6 +8159,10 @@ object SparkEntry {
     "q_label_centroid_sim" ->
       SimilaritySearch.groupCentroidSimilarityOracleSql("embeddings",
         "label", "embedding"),
+
+    "q_streaming_triangle_probe" ->
+      graft.ops.Corpus.streamingTriangleProbeOracleSql("documents",
+        "doc_id", "text", vocabK = 60),
 
     // additive per-node deltas: fold == full-graph rebuild, so the stored
     // triangle stats' oracle is q_triangle_count's replay

@@ -1580,16 +1580,21 @@ object Corpus {
     * aggregate. Determinism: vocab ties break token-ascending; per-edge
     * rank contributions quantize to micro before the sum (the PageRank
     * discipline), so the oracle unrolls identical steps. */
-  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
-                       vocabK: Int, iters: Int, k: Int,
-                       damping: Double = 0.85): DataFrame = {
-    require(vocabK >= 2 && k >= 1, "bad TextRank parameters")
+  /** The adjacent-token co-occurrence edge list pruned to the top-`vocabK`
+    * vocabulary — TextRank's graph, exposed for the graph-analytics
+    * entries that want a DENSE deterministic token graph (triangle
+    * probes) next to the sparse near-dup one. Tokens prune to the
+    * broadcast vocab BEFORE the distinct, so the edge set is ≤ vocabK²/2
+    * regardless of corpus size. */
+  def tokenCoocEdges(docs: DataFrame, idCol: String, textCol: String,
+                     vocabK: Int): DataFrame = {
+    require(vocabK >= 2, "need at least two vocabulary entries")
     val toks = lmToks(docs, idCol, textCol)
     val vocab = toks.select(explode(col("toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token")).limit(vocabK)
       .select(col("token"))
-    val pairs = toks.select(explode(lmPairs).as("p"))
+    toks.select(explode(lmPairs).as("p"))
       .select(col("p.v").as("a"), col("p.w").as("b"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("id1"),
@@ -1599,11 +1604,59 @@ object Corpus {
       .join(broadcast(vocab.select(col("token").as("id2"))),
         Seq("id2"), "left_semi")
       .distinct()
+  }
+
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       vocabK: Int, iters: Int, k: Int,
+                       damping: Double = 0.85): DataFrame = {
+    require(vocabK >= 2 && k >= 1, "bad TextRank parameters")
+    val pairs = tokenCoocEdges(docs, idCol, textCol, vocabK)
     Graph.pageRankMicro(pairs, "id1", "id2", iters, damping)
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(k)
       .select(col("node").as("token"), col("rank_micro"))
   }
+
+  /** The shared token-graph CTEs (→ `pr(id1, id2)`), the SQL twin of
+    * [[tokenCoocEdges]]. */
+  private def tokenCoocCtes(table: String, idCol: String, textCol: String,
+                            vocabK: Int): String =
+    s"""toks AS (
+         SELECT $idCol,
+           list_filter(string_split_regex(trim(lower($textCol)), '\\s+'),
+             t -> length(t) > 0) AS toks
+         FROM $table),
+       t2 AS (SELECT $idCol, toks FROM toks WHERE len(toks) > 0),
+       tokc AS (SELECT token, count(*) AS c FROM (
+           SELECT unnest(toks) AS token FROM t2) u GROUP BY 1),
+       vocab AS (SELECT token FROM (
+           SELECT token, c FROM tokc ORDER BY c DESC, token LIMIT $vocabK)),
+       bg AS (SELECT toks[CAST(i AS INT)] AS a, toks[CAST(i AS INT) + 1] AS b
+              FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t2 WHERE len(toks) >= 2) g),
+       pr AS (SELECT DISTINCT least(a, b) AS id1, greatest(a, b) AS id2
+              FROM bg WHERE a <> b
+                AND least(a, b) IN (SELECT token FROM vocab)
+                AND greatest(a, b) IN (SELECT token FROM vocab))"""
+
+  /** DuckDB oracle replaying the STREAMING token-graph triangle probe:
+    * edges split stored/arriving by md5-hash parity; arriving edges close
+    * triangles against the stored adjacency only. */
+  def streamingTriangleProbeOracleSql(table: String, idCol: String,
+                                      textCol: String, vocabK: Int): String =
+    s"""WITH ${tokenCoocCtes(table, idCol, textCol, vocabK)},
+       hs AS (SELECT id1, id2,
+           CAST('0x' || substring(md5(id1 || '#' || id2), 1, 15) AS BIGINT)
+             % 2 AS par
+         FROM pr),
+       st AS (SELECT id1 AS a, id2 AS b FROM hs WHERE par = 0),
+       arr AS (SELECT id1 AS a, id2 AS b FROM hs WHERE par = 1),
+       ad AS (SELECT a AS x, b AS y FROM st UNION ALL SELECT b, a FROM st)
+       SELECT r.a, r.b, d1.y AS c
+       FROM arr r JOIN ad d1 ON d1.x = r.a
+                  JOIN ad d2 ON d2.x = r.b AND d2.y = d1.y
+       WHERE d1.y <> r.a AND d1.y <> r.b
+       ORDER BY r.a, r.b, c"""
 
   /** DuckDB oracle replaying [[textRankKeywords]] — the same vocab prune,
     * edge construction, and `iters` unrolled PageRank steps with
