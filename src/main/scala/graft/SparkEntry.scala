@@ -3730,6 +3730,31 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ── LLM-pipeline: retrieval MRR / success@k (Voorhees, TREC-8) over
+    // the batched IVF ANN — per query: first same-label hit position,
+    // exact integer reciprocal rank, hit flags. The RAG-lookup view next
+    // to q_ndcg's graded gains and q_ann_recall's tuning gate.
+    "q_retrieval_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id",
+        "embedding", 16)
+      val indexed = SimilaritySearch.withIvfCell(emb, "embedding", cents)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val ranked = SimilaritySearch.ivfBatchTopK(indexed, queries,
+          "vec_id", "embedding", "cell", "qid", "qvec",
+          cents, k = 5, nProbe = 4)
+        .select(col("qid"), col("vec_id").as("id"), col("rank"))
+      val rel = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlbl"))
+        .join(emb.select(col("vec_id").as("id"), col("label").as("qlbl")),
+          Seq("qlbl"))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"))
+      graft.ops.Evaluation.retrievalMetrics(ranked, rel, Seq(1, 5))
+        .orderBy(col("qid"))
+    }),
+
     // ── LLM-pipeline: BATCHED IVF+PQ ANN — the full production composition
     // for N queries at once: per-query probe cells AND ADC term tables
     // resolve in-plan, candidates rank on (id, cell, m-byte codes) with
@@ -4784,6 +4809,18 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("week_offset"))
     }),
+
+    // ── analytics: Mann–Kendall monotonic-trend test over daily ingest
+    // counts (Mann 1945) — "is the monitor drifting or wiggling":
+    // distribution-free S over the bounded day grid, tie-corrected
+    // Var(S), continuity-corrected z. Complements q_daily_bursts (spikes)
+    // and q_changepoint (level shifts) with the TREND verdict.
+    "q_mann_kendall" -> ((s, d) =>
+      graft.ops.Evaluation.mannKendall(
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).as("t"))
+          .agg(count(lit(1)).as("v")),
+        "t", "v")),
 
     // ── analytics: Kaplan–Meier survival with right-censoring (Kaplan &
     // Meier 1958) — feature-subscription lifetime: subject = (user,
@@ -7064,6 +7101,23 @@ object SparkEntry {
       graft.ops.SimilaritySearch.ivfBatchOracleSql("embeddings", "vec_id",
         "embedding", nCentroids = 16, queryFilter = "vec_id % 100 = 0",
         k = 5, nProbe = 4),
+
+    "q_retrieval_metrics" ->
+      graft.ops.Evaluation.retrievalMetricsOracleSql(
+        "SELECT qid, vec_id AS id, rank FROM (" +
+          graft.ops.SimilaritySearch.ivfBatchOracleSql("embeddings",
+            "vec_id", "embedding", nCentroids = 16,
+            queryFilter = "vec_id % 100 = 0", k = 5, nProbe = 4) + ")",
+        """SELECT q.vec_id AS qid, e.vec_id AS id
+           FROM embeddings q JOIN embeddings e
+             ON e.label = q.label AND e.vec_id <> q.vec_id
+           WHERE q.vec_id % 100 = 0""",
+        ks = Seq(1, 5)),
+
+    "q_mann_kendall" ->
+      graft.ops.Evaluation.mannKendallOracleSql(
+        """SELECT date_trunc('day', ts) AS t, CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1"""),
 
     "q_embedding_ann_ivfpq_batch" ->
       graft.ops.SimilaritySearch.ivfPqBatchOracleSql("embeddings", "vec_id",

@@ -1522,6 +1522,114 @@ object Evaluation {
            * 1000000.0) AS BIGINT) AS tau_b_micro
        FROM cd, nn, tx, ty"""
 
+  // ── retrieval metrics: MRR / success@k (Voorhees, TREC-8 1999) ─────────
+
+  /** Per-query MRR and success@k over a ranked retrieval result — the
+    * first-relevant-position view next to [[ndcgAtK]]'s graded-gain one
+    * (RAG lookups care about "did anything relevant make the context
+    * window", not the full gain profile). `ranked` = (qid, id, rank),
+    * `rel` = (qid, id) relevant pairs; per query: first relevant rank
+    * (0 = none), reciprocal rank in EXACT integer micro (10⁶ div rank —
+    * no float anywhere), and a hit flag per configured k.
+    *
+    * Scale: one semi-join + one qid-keyed min — both sides pruned to the
+    * rank lists (k·|queries| rows), corpus never touched. */
+  def retrievalMetrics(ranked: DataFrame, rel: DataFrame,
+                       ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "need at least one k")
+    val hits = ranked.join(rel, Seq("qid", "id"), "left_semi")
+      .groupBy(col("qid")).agg(min(col("rank")).cast("long").as("frk"))
+    val base = ranked.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+    val flagCols = ks.map(k =>
+      when(col("frk").isNotNull && col("frk") <= k, 1L).otherwise(0L)
+        .as(s"hit_at_$k"))
+    base.select(Seq(col("qid"),
+      coalesce(col("frk"), lit(0L)).as("first_rel_rank"),
+      when(col("frk").isNull, 0L).otherwise(expr("1000000L div frk"))
+        .as("rr_micro")) ++ flagCols: _*)
+  }
+
+  /** DuckDB oracle replaying [[retrievalMetrics]]; `rankedSql` yields
+    * (qid, id, rank), `relSql` yields (qid, id). */
+  def retrievalMetricsOracleSql(rankedSql: String, relSql: String,
+                                ks: Seq[Int]): String = {
+    val flags = ks.map(k =>
+      s"CAST(CASE WHEN h.frk IS NOT NULL AND h.frk <= $k THEN 1 ELSE 0 END" +
+        s" AS BIGINT) AS hit_at_$k")
+      .mkString(",\n         ")
+    s"""WITH ranked AS ($rankedSql), rel AS ($relSql),
+       hits AS (SELECT r.qid, CAST(min(r.rank) AS BIGINT) AS frk
+                FROM ranked r JOIN rel ON rel.qid = r.qid AND rel.id = r.id
+                GROUP BY 1),
+       qids AS (SELECT DISTINCT qid FROM ranked)
+       SELECT q.qid, coalesce(h.frk, 0) AS first_rel_rank,
+         CASE WHEN h.frk IS NULL THEN 0 ELSE 1000000 // h.frk END AS rr_micro,
+         $flags
+       FROM qids q LEFT JOIN hits h ON h.qid = q.qid
+       ORDER BY q.qid"""
+  }
+
+  // ── Mann–Kendall trend test (Mann 1945; Kendall 1975) ──────────────────
+
+  /** Mann–Kendall monotonic-trend test over a BOUNDED ordered series
+    * (daily ingest counts, weekly quality means) — the significance test
+    * behind "is this monitor drifting or wiggling": S = Σ_{i<j}
+    * sgn(v_j − v_i), tie-corrected Var(S), and the continuity-corrected
+    * z in micro-units. Distribution-free (no normality assumption — the
+    * right default for count series with bursts).
+    *
+    * Scale: the series is a bounded calendar grid (the daily-bursts
+    * bound), so the i<j cross join is |days|² broadcast rows; S and the
+    * tie terms are exact integers; z is the ONE float stage. */
+  def mannKendall(series: DataFrame, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val g = series.select(col(orderCol).as("t"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    val pairs = g.select(col("t").as("t1"), col("v").as("v1"))
+      .crossJoin(broadcast(g.select(col("t").as("t2"), col("v").as("v2"))))
+      .where(col("t1") < col("t2"))
+    val sAgg = pairs.agg(
+      sum(signum(col("v2") - col("v1")).cast("long")).as("s_stat"))
+    val n = g.agg(count(lit(1)).as("n"))
+    val ties = g.groupBy(col("v")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) * (2 * m + 5)")), lit(0L))
+        .as("tie_term"))
+    sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s_stat"),
+        expr("(n * (n - 1) * (2 * n + 5) - tie_term) div 18").as("var_s"),
+        when(col("s_stat") === 0L, lit(0L))
+          .otherwise(round(
+            (col("s_stat").cast("double") -
+              signum(col("s_stat").cast("double"))) /
+            sqrt(((col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+              col("tie_term")).cast("double")) / lit(18.0)) * lit(1e6))
+            .cast("long")).as("z_micro"))
+  }
+
+  /** DuckDB oracle replaying [[mannKendall]]; `seriesSql` yields
+    * (t, v). */
+  def mannKendallOracleSql(seriesSql: String): String =
+    s"""WITH g AS ($seriesSql),
+       pairs AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                      WHEN b.v < a.v THEN -1
+                                      ELSE 0 END) AS BIGINT) AS s_stat
+                 FROM g a JOIN g b ON a.t < b.t),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+       ties AS (SELECT CAST(coalesce(sum(m * (m - 1) * (2 * m + 5)), 0)
+                  AS BIGINT) AS tie_term
+                FROM (SELECT CAST(count(*) AS BIGINT) AS m
+                      FROM g GROUP BY v))
+       SELECT nn.n, p.s_stat,
+         (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term) // 18 AS var_s,
+         CASE WHEN p.s_stat = 0 THEN 0
+              ELSE CAST(round(
+                (CAST(p.s_stat AS DOUBLE) - sign(CAST(p.s_stat AS DOUBLE))) /
+                sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                  AS DOUBLE) / 18.0) * 1000000.0) AS BIGINT) END AS z_micro
+       FROM pairs p, nn, ties"""
+
   // ── χ² independence test (Pearson 1900) ────────────────────────────────
 
   /** Pearson χ² contingency table between two bounded categorical
