@@ -4822,6 +4822,28 @@ object SparkEntry {
           .agg(count(lit(1)).as("v")),
         "t", "v")),
 
+    // ── analytics: Theil–Sen slope of daily ingest counts — the robust
+    // trend MAGNITUDE next to q_mann_kendall's direction verdict: median
+    // of all pairwise slopes over the bounded day grid.
+    "q_sen_slope" -> ((s, d) =>
+      graft.ops.Evaluation.senSlope(
+        Tables.events(s, d)
+          .groupBy(datediff(date_trunc("day", col("ts")).cast("date"),
+            to_date(lit("1970-01-01"))).as("t"))
+          .agg(count(lit(1)).as("v")),
+        "t", "v")),
+
+    // ── analytics: pairwise association rules (Agrawal & Srikant 1994)
+    // over (user, event-type) baskets — support/confidence/lift as exact
+    // integer micro-rationals; the market-basket view next to
+    // q_event_trigrams' sequential patterns.
+    "q_association_rules" -> ((s, d) =>
+      graft.ops.Relational.associationRules(
+        Tables.events(s, d).select(col("user_id").as("b"),
+          col("event_type").as("i")),
+        "b", "i")
+        .orderBy(col("antecedent"), col("consequent"))),
+
     // ── analytics: Kaplan–Meier survival with right-censoring (Kaplan &
     // Meier 1958) — feature-subscription lifetime: subject = (user,
     // event type), duration = first→last activity; subjects active in
@@ -7118,6 +7140,17 @@ object SparkEntry {
       graft.ops.Evaluation.mannKendallOracleSql(
         """SELECT date_trunc('day', ts) AS t, CAST(count(*) AS BIGINT) AS v
            FROM events GROUP BY 1"""),
+
+    "q_sen_slope" ->
+      graft.ops.Evaluation.senSlopeOracleSql(
+        """SELECT date_diff('day', DATE '1970-01-01',
+             CAST(date_trunc('day', ts) AS DATE)) AS t,
+           CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1"""),
+
+    "q_association_rules" ->
+      graft.ops.Relational.associationRulesOracleSql(
+        "SELECT user_id AS b, event_type AS i FROM events"),
 
     "q_embedding_ann_ivfpq_batch" ->
       graft.ops.SimilaritySearch.ivfPqBatchOracleSql("embeddings", "vec_id",

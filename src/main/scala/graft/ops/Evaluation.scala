@@ -1630,6 +1630,65 @@ object Evaluation {
                   AS DOUBLE) / 18.0) * 1000000.0) AS BIGINT) END AS z_micro
        FROM pairs p, nn, ties"""
 
+  // ── Sen's slope (Theil 1950; Sen 1968) ─────────────────────────────────
+
+  /** Theil–Sen slope of a BOUNDED ordered series — the magnitude
+    * companion to [[mannKendall]]'s direction verdict: the median of all
+    * pairwise slopes (v_j − v_i)/(t_j − t_i), robust to the burst
+    * outliers that wreck a least-squares fit on ingest counts. Output:
+    * one row (n_points, n_pairs, sen_slope_micro).
+    *
+    * Determinism: each pairwise slope quantizes to floor micro via ONE
+    * double division (inputs are small exact integers — |v|·10⁶ and the
+    * day gap both sit far below 2⁵³, so the division is the only rounding
+    * point and floors identically on both engines; integer `div` would
+    * NOT work here — Spark truncates toward zero, DuckDB floors, and
+    * slopes go negative). The median of the ≤ n²/2 slope list uses one
+    * allowlisted bounded window; even counts average the two middles in
+    * the same floored-double form. */
+  def senSlope(series: DataFrame, orderCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = series.select(col(orderCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true)
+    val slopes = g.select(col("t").as("t1"), col("v").as("v1"))
+      .crossJoin(broadcast(g.select(col("t").as("t2"), col("v").as("v2"))))
+      .where(col("t1") < col("t2"))
+      .select(floor((col("v2") - col("v1")).cast("double") * lit(1e6) /
+        (col("t2") - col("t1")).cast("double")).cast("long").as("s"))
+    val n = g.agg(count(lit(1)).as("n_points"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(Window.orderBy(col("s"))))
+      .localCheckpoint(true)
+    val np = ranked.agg(max(col("rn")).cast("long").as("n_pairs"))
+    val med = ranked.crossJoin(broadcast(np))
+      .where(col("rn") === expr("(n_pairs + 1) div 2") ||
+        col("rn") === expr("(n_pairs + 2) div 2"))
+      .agg(floor(sum(col("s")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("sen_slope_micro"))
+    n.crossJoin(broadcast(np)).crossJoin(broadcast(med))
+      .select(col("n_points"), col("n_pairs"), col("sen_slope_micro"))
+  }
+
+  /** DuckDB oracle replaying [[senSlope]]; `seriesSql` yields (t, v). */
+  def senSlopeOracleSql(seriesSql: String): String =
+    s"""WITH g AS (SELECT CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v
+           FROM ($seriesSql)),
+       slopes AS (SELECT CAST(floor(CAST(b.v - a.v AS DOUBLE) * 1000000.0 /
+             CAST(b.t - a.t AS DOUBLE)) AS BIGINT) AS s
+           FROM g a JOIN g b ON a.t < b.t),
+       ranked AS (SELECT s, row_number() OVER (ORDER BY s) AS rn
+                  FROM slopes),
+       np AS (SELECT CAST(max(rn) AS BIGINT) AS n_pairs FROM ranked),
+       med AS (SELECT CAST(floor(CAST(sum(s) AS DOUBLE) / count(*))
+                 AS BIGINT) AS sen_slope_micro
+               FROM ranked, np
+               WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM g)
+       SELECT nn.n_points, np.n_pairs, med.sen_slope_micro
+       FROM nn, np, med"""
+
   // ── χ² independence test (Pearson 1900) ────────────────────────────────
 
   /** Pearson χ² contingency table between two bounded categorical

@@ -700,6 +700,60 @@ object Relational {
         col("lt.touch_type").as("last_touch_type"))
   }
 
+  // ── association rules (Agrawal & Srikant, VLDB 1994) ───────────────────
+
+  /** Pairwise association rules over (basket, item) facts — "users who
+    * fire A also fire B": support, confidence and lift for every ordered
+    * item pair, the classic market-basket view of the event log next to
+    * [[q_event_trigrams]]' sequential one. All three measures are exact
+    * integer micro-rationals in the basket counts (lift's n·supp product
+    * widens to DECIMAL(38,0)).
+    *
+    * Scale: baskets collapse to DISTINCT (basket, item) in one
+    * aggregate; the per-basket self-join fans at ≤ |items|² per basket
+    * (items are a bounded dimension — event types, sources); outputs are
+    * |items|²-sized. */
+  def associationRules(facts: DataFrame, basketCol: String,
+                       itemCol: String): DataFrame = {
+    val bi = facts.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().localCheckpoint(true)
+    val n = bi.select(col("b")).distinct().agg(count(lit(1)).as("n"))
+    val supp = bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
+    val pairs = bi.join(bi.select(col("b"), col("i").as("j")), Seq("b"))
+      .where(col("i") =!= col("j"))
+      .groupBy(col("i").as("antecedent"), col("j").as("consequent"))
+      .agg(count(lit(1)).as("support_ab"))
+    pairs
+      .join(broadcast(supp.select(col("i").as("antecedent"),
+        col("s").as("sa"))), "antecedent")
+      .join(broadcast(supp.select(col("i").as("consequent"),
+        col("s").as("sc"))), "consequent")
+      .crossJoin(broadcast(n))
+      .select(col("antecedent"), col("consequent"), col("support_ab"),
+        expr("support_ab * 1000000L div sa").as("confidence_micro"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * support_ab * 1000000" +
+          " div (CAST(sa AS DECIMAL(38,0)) * sc) AS BIGINT)")
+          .as("lift_micro"))
+  }
+
+  /** DuckDB oracle replaying [[associationRules]]; `factsSql` yields
+    * (b, i). */
+  def associationRulesOracleSql(factsSql: String): String =
+    s"""WITH bi AS (SELECT DISTINCT b, i FROM ($factsSql)),
+       nn AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+       supp AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM bi GROUP BY 1),
+       pairs AS (SELECT a.i AS antecedent, c.i AS consequent,
+           CAST(count(*) AS BIGINT) AS support_ab
+         FROM bi a JOIN bi c ON c.b = a.b AND a.i <> c.i
+         GROUP BY 1, 2)
+       SELECT p.antecedent, p.consequent, p.support_ab,
+         p.support_ab * 1000000 // sa.s AS confidence_micro,
+         CAST(CAST(nn.n AS HUGEINT) * p.support_ab * 1000000
+           // (CAST(sa.s AS HUGEINT) * sc.s) AS BIGINT) AS lift_micro
+       FROM pairs p JOIN supp sa ON sa.i = p.antecedent
+                    JOIN supp sc ON sc.i = p.consequent, nn
+       ORDER BY p.antecedent, p.consequent"""
+
   // ── Kaplan–Meier survival (Kaplan & Meier, JASA 1958) ──────────────────
 
   /** Kaplan–Meier user-lifetime survival curve with right-censoring — the
