@@ -147,6 +147,36 @@ object SparkEntry {
     def forOracle: Option[M] = last
   }
 
+  /** The linear-probe label (long-doc detector over the SAME filtered
+    * tokenization the features use) and its SQL twin. */
+  private val RidgeLabelSql: String =
+    """CASE WHEN len(list_filter(string_split_regex(trim(lower(text)),
+       '\s+'), t -> length(t) > 0)) >= 56
+       THEN 1 ELSE -1 END""".linesIterator.map(_.trim).mkString(" ")
+
+  /** Ridge-probe memo per sfDir: (feature table, shipped micro weights).
+    * Trained once per corpus; the oracle injects the weights as literals
+    * (the ItqModel move). */
+  private object RidgeModel {
+    type M = (DataFrame, Seq[(Long, Long)])
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, M]()
+    @volatile private var last: Option[M] = None
+    def forDir(s: SparkSession, d: String): M = {
+      val r = cache.computeIfAbsent(d, _ => {
+        val feats = graft.ops.Classify.hashedDocFeatures(
+          Tables.documents(s, d)
+            .withColumn("__y", when(size(filter(
+                TextFns.tokens(lower(trim(col("text")))),
+                t => length(t) > 0)) >= 56, 1).otherwise(-1)),
+          "doc_id", "__y", "text", buckets = 64).localCheckpoint(true)
+        (feats, graft.ops.Classify.ridgeProbeFit(feats, lambda = 1.0))
+      })
+      last = Some(r)
+      r
+    }
+    def forOracleWeights: Option[Seq[(Long, Long)]] = last.map(_._2)
+  }
+
   /** PCA model memo per sfDir (components, eigenvalues, sample mean) —
     * trained once on the bounded lowest-id sample; the oracle injects the
     * artifacts as literals (the OpqModel move). */
@@ -4323,6 +4353,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ── LLM-pipeline: ridge LINEAR PROBE (Hoerl & Kennard 1970) — the
+    // closed-form trained linear classifier next to NB: exact integer
+    // Gram/moment aggregates (one corpus scan, per-doc fanout <= dims^2),
+    // a bounded dims^3 driver solve with nothing to oscillate, micro-long
+    // shipped weights, exact integer application. Eval = confusion over
+    // the long-doc label; the oracle replays application from the
+    // inlined artifact, the solve is residual-pinned in RidgeProbeSpec.
+    "q_linear_probe_eval" -> ((s, d) => {
+      val (feats, w) = RidgeModel.forDir(s, d)
+      graft.ops.Classify.ridgeProbeEval(feats, w)
+    }),
+
     // ── LLM-pipeline: confident-learning label-noise audit (Northcutt
     // et al., JAIR 2021) — the confident joint C[given ỹ, confident y*]
     // over the NB score table: per-class self-confidence thresholds,
@@ -8420,6 +8462,11 @@ object SparkEntry {
     "q_confident_learning" ->
       graft.ops.Classify.confidentLearningOracleSql("documents", "doc_id",
         "source", "text"),
+
+    "q_linear_probe_eval" -> RidgeModel.forOracleWeights.map { w =>
+        graft.ops.Classify.ridgeProbeEvalOracleSql("documents", "doc_id",
+          RidgeLabelSql, "text", buckets = 64, weights = w)
+      }.getOrElse("SELECT CAST(NULL AS BIGINT) AS probe_not_trained"),
 
     // additive counts: fold == retrain, so the stored-model scoring
     // replays as the self-trained classify

@@ -169,6 +169,157 @@ object Classify {
         expr("cnt * 1000000L div n").as("frac_micro"))
   }
 
+  // ── batch-synchronous perceptron (Rosenblatt 1958) ─────────────────────
+
+  /** Hashed-feature doc representation for linear models: per (doc,
+    * bucket) token counts over `buckets` md5-hash buckets plus one bias
+    * feature (bucket −1, x = 1) per doc — the fastText hashing trick, so
+    * the weight vector is a bounded `buckets`+1-row table regardless of
+    * vocabulary size. */
+  def hashedDocFeatures(docs: DataFrame, idCol: String, labelCol: String,
+                         textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, "buckets in [2, 65536]")
+    val toks = docs.select(col(idCol).as("doc"),
+        col(labelCol).cast("int").as("y"),
+        explode(graft.functions.TextFns.tokens(lower(trim(col(textCol)))))
+          .as("token"))
+      .where(length(col("token")) > 0)
+    val feat = toks.select(col("doc"), col("y"),
+        pmod(graft.functions.TextFns.md5Long60(col("token")),
+          lit(buckets.toLong)).as("f"))
+      .groupBy(col("doc"), col("y"), col("f"))
+      .agg(count(lit(1)).as("x"))
+    val bias = docs.select(col(idCol).as("doc"),
+      col(labelCol).cast("int").as("y"), lit(-1L).as("f"), lit(1L).as("x"))
+    feat.unionByName(bias)
+  }
+
+  /** RIDGE LINEAR PROBE fit (Hoerl & Kennard 1970; the "linear probe"
+    * everywhere in data-quality classifier distillation) — the
+    * closed-form trained linear classifier next to the NB counter: the
+    * normal equations (XᵀX + λI)w = Xᵀy are solved EXACTLY once, so
+    * unlike any gradient/perceptron iteration there is nothing to
+    * oscillate, no learning rate, and the fit is a pure function of two
+    * EXACT INTEGER corpus aggregates: the Gram matrix XᵀX (per-doc
+    * feature self-join, fanout ≤ dims² per doc — dims is the hash-bucket
+    * count, a config constant) and Xᵀy. Both collect as bounded driver
+    * state (≤ (dims+1)² longs — the k-means envelope); the dense solve is
+    * a dims³ driver flop. Weights ship as micro longs, so APPLICATION is
+    * exact integer math and the oracle replays it from the inlined
+    * artifact (the ItqModel/OPQ shipped-model pattern).
+    *
+    * Returns the sorted (f, w_micro) model. */
+  def ridgeProbeFit(features: DataFrame, lambda: Double): Seq[(Long, Long)] = {
+    require(lambda >= 0, "lambda must be non-negative")
+    val feat = features.localCheckpoint(true)
+    val fs = feat.select(col("f")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = fs.zipWithIndex.toMap
+    val n = fs.length
+    val gRows = feat
+      .join(feat.select(col("doc"), col("f").as("f2"), col("x").as("x2")),
+        Seq("doc"))
+      .groupBy(col("f"), col("f2"))
+      .agg(sum(col("x") * col("x2")).as("g"))
+      .collect()
+    val bRows = feat.groupBy(col("f"))
+      .agg(sum(col("x") * col("y")).as("b"))
+      .collect()
+    val a = Array.ofDim[Double](n, n + 1)
+    gRows.foreach { r =>
+      a(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getLong(2).toDouble
+    }
+    (0 until n).foreach(i => a(i)(i) += lambda)
+    bRows.foreach(r => a(idx(r.getLong(0)))(n) = r.getLong(1).toDouble)
+    // Gaussian elimination with partial pivoting — deterministic given
+    // the exact integer inputs
+    for (c <- 0 until n) {
+      val p = (c until n).maxBy(r => math.abs(a(r)(c)))
+      val t = a(c); a(c) = a(p); a(p) = t
+      require(math.abs(a(c)(c)) > 1e-12, "singular Gram matrix")
+      for (r <- 0 until n if r != c) {
+        val m = a(r)(c) / a(c)(c)
+        for (k <- c to n) a(r)(k) -= m * a(c)(k)
+      }
+    }
+    fs.zipWithIndex.map { case (f, i) =>
+      (f, math.round(a(i)(n) / a(i)(i) * 1e6))
+    }.toSeq
+  }
+
+  /** Confusion counts of a shipped linear-probe model over a feature
+    * table: one row (tp, fp, fn, tn, accuracy_micro). Scores are exact
+    * longs (micro weights × integer counts); score 0 predicts −1. */
+  def ridgeProbeEval(features: DataFrame,
+                     weights: Seq[(Long, Long)]): DataFrame = {
+    val s = features.sparkSession
+    val wdf = s.createDataFrame(weights).toDF("f", "w")
+    features.join(broadcast(wdf), Seq("f"))
+      .groupBy(col("doc"), col("y"))
+      .agg(sum(col("x") * col("w")).as("s"))
+      .select(col("y"), when(col("s") > 0, 1).otherwise(-1).as("p"))
+      .agg(
+        sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") === -1 && col("p") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1 && col("p") === -1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") === -1 && col("p") === -1, 1L).otherwise(0L)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000L div (tp + fp + fn + tn)")
+          .as("accuracy_micro"))
+  }
+
+  /** Shared SQL CTEs → `feat(doc, y, f, x)`, the twin of
+    * [[hashedDocFeatures]]. */
+  private def hashedDocFeatCtes(table: String, idCol: String,
+                                 labelExpr: String, textCol: String,
+                                 buckets: Int): String =
+    s"""tk AS (SELECT doc, CAST(__y AS INTEGER) AS y, token
+         FROM (SELECT $idCol AS doc, $labelExpr AS __y,
+                 unnest(string_split_regex(trim(lower($textCol)), '\\s+'))
+                   AS token
+               FROM $table) t
+         WHERE length(token) > 0),
+       hfeat AS (SELECT doc, y,
+           CAST('0x' || substring(md5(token), 1, 15) AS BIGINT) % $buckets
+             AS f,
+           CAST(count(*) AS BIGINT) AS x
+         FROM tk GROUP BY 1, 2, 3),
+       feat AS (SELECT doc, y, f, x FROM hfeat
+              UNION ALL
+              SELECT $idCol, CAST($labelExpr AS INTEGER),
+                CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+              FROM $table)"""
+
+  /** DuckDB oracle replaying [[ridgeProbeEval]] with the SHIPPED weight
+    * artifact inlined as literals (the ItqModel/OPQ stored-model
+    * pattern): the oracle exercises the distributed APPLICATION path —
+    * hashing, feature counts, the model join, exact integer scores,
+    * the confusion rollup — end to end; the driver-side dims³ solve is
+    * pinned by the normal-equation residual spec instead. */
+  def ridgeProbeEvalOracleSql(table: String, idCol: String,
+                              labelExpr: String, textCol: String,
+                              buckets: Int,
+                              weights: Seq[(Long, Long)]): String = {
+    val values = weights.map { case (f, w) =>
+      s"(CAST($f AS BIGINT), CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH ${hashedDocFeatCtes(table, idCol, labelExpr, textCol, buckets)},
+       w (f, w) AS (VALUES $values),
+       fs AS (SELECT feat.doc, feat.y,
+           CAST(sum(feat.x * w.w) AS BIGINT) AS s
+         FROM feat JOIN w ON w.f = feat.f
+         GROUP BY 1, 2),
+       pr AS (SELECT y, CASE WHEN s > 0 THEN 1 ELSE -1 END AS p FROM fs),
+       cm AS (SELECT
+           CAST(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN y = -1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN y = 1 AND p = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN y = -1 AND p = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         FROM pr)
+       SELECT tp, fp, fn, tn,
+         (tp + tn) * 1000000 // (tp + fp + fn + tn) AS accuracy_micro
+       FROM cm"""
+  }
+
   // ── DuckDB oracle ───────────────────────────────────────────────────────
 
   /** The shared training CTEs: `cls` (label, n_docs), `tc` (label, token,

@@ -364,6 +364,54 @@ class RougeLSpec extends SparkSpec {
   }
 }
 
+class RidgeProbeSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Classify
+
+  private def toyDocs = (0L until 40L).map { i =>
+    val long = i % 2 == 0
+    val base = if (long) "alpha beta gamma delta epsilon zeta eta theta"
+               else "alpha beta"
+    (i, if (long) 1 else -1, base)
+  }.toDF("doc_id", "y", "text")
+
+  test("closed-form fit satisfies the normal equations (residual pinned)") {
+    val feats = Classify.hashedDocFeatures(toyDocs, "doc_id", "y", "text",
+      buckets = 16).localCheckpoint(true)
+    val w = Classify.ridgeProbeFit(feats, lambda = 1.0)
+    val wm = w.toMap
+    // rebuild G and b locally and check (G + I)·(w/1e6) ≈ b per feature
+    val rows = feats.as[(Long, Int, Long, Long)].collect() // doc, y, f, x
+    val byDoc = rows.groupBy(_._1)
+    val fs = w.map(_._1)
+    val g = collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    val b = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    byDoc.values.foreach { rs =>
+      for ((_, y, f1, x1) <- rs) {
+        b(f1) += x1 * y
+        for ((_, _, f2, x2) <- rs) g((f1, f2)) += x1 * x2
+      }
+    }
+    fs.foreach { f1 =>
+      val lhs = fs.map(f2 => g((f1, f2)) * (wm(f2).toDouble / 1e6)).sum +
+        1.0 * (wm(f1).toDouble / 1e6)
+      assert(math.abs(lhs - b(f1)) < 0.01 * math.max(1.0, math.abs(b(f1))),
+        s"normal-equation residual at f=$f1: $lhs vs ${b(f1)}")
+    }
+  }
+
+  test("the shipped model separates the toy task exactly; fit is deterministic") {
+    val feats = Classify.hashedDocFeatures(toyDocs, "doc_id", "y", "text",
+      buckets = 16).localCheckpoint(true)
+    val w1 = Classify.ridgeProbeFit(feats, lambda = 1.0)
+    val w2 = Classify.ridgeProbeFit(feats, lambda = 1.0)
+    assert(w1 == w2)
+    val out = Classify.ridgeProbeEval(feats, w1)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((20L, 0L, 0L, 20L, 1000000L)), s"confusion $out")
+  }
+}
+
 class ConfidentLearningSpec extends SparkSpec {
   import spark.implicits._
 
