@@ -147,7 +147,24 @@ object PlanAudit {
        "(token, id, cnt) table (InMemoryTableScan feeds every checkpoint " +
        "branch); checkpoints are conditional aggregates over that table; " +
        "the fit is a 1-row aggregate crossed back via broadcast — no " +
-       "window anywhere."))
+       "window anywhere."),
+    "q_triangle_count" ->
+      ("Degree-ordered triangle counting: TWO equi-joins (wedge build on " +
+       "the shared source, closure on the (v, w) pair) — no cartesian " +
+       "product, no window; the orientation join against the broadcastable " +
+       "degree table caps per-node wedge fanout at O(√E) under any skew."),
+    "q_rouge_l" ->
+      ("ROUGE-L: one equi-join pairs the two sides, then the O(m·n) LCS " +
+       "dynamic program is a SINGLE generated expression inside " +
+       "WholeStageCodegen (one static kernel call per pair) — no per-cell " +
+       "lambda dispatch, no shuffle beyond the pair join, and the " +
+       "P/R/F1 rationals are pure integer projections."),
+    "q_linear_probe_eval" ->
+      ("Ridge-probe application: the shipped micro-weight model joins via " +
+       "BroadcastExchange, scores are map-side-combined integer hash " +
+       "aggregates keyed on doc, and the confusion rollup is one final " +
+       "single-row aggregate — the corpus crosses exactly one exchange " +
+       "as (doc, y, partial-score) triples."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
