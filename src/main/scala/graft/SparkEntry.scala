@@ -4864,6 +4864,20 @@ object SparkEntry {
           .agg(count(lit(1)).as("v")),
         "t", "v")),
 
+    // ── analytics: EWMA control chart (Roberts 1959) over daily ingest
+    // counts — the small-persistent-shift monitor next to q_daily_bursts'
+    // spike rule: per-term nano-quantized coefficient unroll (exact
+    // integer weighted sums), k-dependent limits from the same shipped
+    // coefficient table; σ is the one float stage.
+    "q_ewma_chart" -> ((s, d) =>
+      graft.ops.Maintenance.ewmaChart(
+        Tables.events(s, d)
+          .groupBy(datediff(date_trunc("day", col("ts")).cast("date"),
+            to_date(lit("1970-01-01"))).as("t"))
+          .agg(count(lit(1)).as("v")),
+        "t", "v", alpha = 0.3, l = 3, baselineK = 15)
+        .orderBy(col("t"))),
+
     // ── analytics: Theil–Sen slope of daily ingest counts — the robust
     // trend MAGNITUDE next to q_mann_kendall's direction verdict: median
     // of all pairwise slopes over the bounded day grid.
@@ -7182,6 +7196,14 @@ object SparkEntry {
       graft.ops.Evaluation.mannKendallOracleSql(
         """SELECT date_trunc('day', ts) AS t, CAST(count(*) AS BIGINT) AS v
            FROM events GROUP BY 1"""),
+
+    "q_ewma_chart" ->
+      graft.ops.Maintenance.ewmaChartOracleSql(
+        """SELECT date_diff('day', DATE '1970-01-01',
+             CAST(date_trunc('day', ts) AS DATE)) AS t,
+           CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1""",
+        alpha = 0.3, l = 3, baselineK = 15),
 
     "q_sen_slope" ->
       graft.ops.Evaluation.senSlopeOracleSql(

@@ -437,6 +437,123 @@ object Maintenance {
        FROM cum, tot
        ORDER BY ks_micro DESC, at_value ASC LIMIT 1"""
 
+  /** EWMA coefficient tables for [[ewmaChart]] — a pure function of
+    * (α, maxLag), shared verbatim by the Spark projection and the
+    * oracle's VALUES table so the per-term quantization cannot drift:
+    * (lag j → c_j = round(10⁹·α(1−α)ʲ), cz_j = round(10⁹·(1−α)ʲ),
+    * f_j = round(10⁶·√(α/(2−α)·(1−(1−α)²ʲ)))). */
+  def ewmaCoefficients(alpha: Double,
+                       maxLag: Int): Seq[(Int, Long, Long, Long)] =
+    (0 to maxLag).map { j =>
+      val d = math.pow(1.0 - alpha, j.toDouble)
+      (j, math.round(1e9 * alpha * d), math.round(1e9 * d),
+        math.round(1e6 * math.sqrt(alpha / (2.0 - alpha) *
+          (1.0 - math.pow(1.0 - alpha, 2.0 * j)))))
+    }
+
+  /** EWMA control chart (Roberts 1959) over a BOUNDED daily series — the
+    * small-persistent-shift monitor next to the spike detector
+    * (q_daily_bursts reacts to one bad day; the EWMA accumulates a 1σ
+    * drift the ±3σ rule never trips on): z_k = α·v_k + (1−α)·z_{k−1}
+    * unrolled to an exact integer weighted sum over nano-quantized
+    * coefficients (per-TERM quantization — order-independent longs, the
+    * char-entropy discipline), with the k-dependent control-limit factor
+    * precomputed in the same table. σ is the sample std of the series —
+    * ONE float stage; everything k-varying is integer arithmetic.
+    *
+    * Scale: the series is a calendar-bounded grid (≤ maxLag rows —
+    * enforced); the i ≤ k unroll is a grid² broadcast join; one
+    * allowlisted rank window indexes the grid. */
+  def ewmaChart(series: DataFrame, orderCol: String, valueCol: String,
+                alpha: Double = 0.3, l: Int = 3, baselineK: Int = 10,
+                maxLag: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, "alpha in (0, 1)")
+    val coefs = ewmaCoefficients(alpha, maxLag)
+    val cArr = typedLit(coefs.map(_._2).toArray)
+    val czArr = typedLit(coefs.map(_._3).toArray)
+    val fArr = typedLit(coefs.map(_._4).toArray)
+    val g = series.select(col(orderCol).cast("long").as("t"),
+        col(valueCol).cast("long").as("v"))
+      .withColumn("k", row_number().over(Window.orderBy(col("t"))))
+      .localCheckpoint(true)
+    // Phase-I limits: mu and sigma from the first `baselineK` IN-CONTROL
+    // points — estimating them from the monitored series itself would let
+    // a large sustained shift inflate sigma and swallow its own alarm
+    val n = g.where(col("k") <= baselineK)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("sq"))
+    // z_k (nano) = Σ_{i≤k} c_{k−i}·v_i + cz_k·v_1  (z_0 = first obs)
+    val first = g.where(col("k") === 1).select(col("v").as("v1"))
+    val zs = g.select(col("k").as("kk"))
+      .join(broadcast(g.select(col("k").as("i"), col("v").as("vi"))),
+        col("i") <= col("kk"))
+      .select(col("kk"),
+        (element_at(cArr, col("kk") - col("i") + 1) * col("vi")).as("term"))
+      .groupBy(col("kk")).agg(sum(col("term")).as("zsum"))
+    g.join(zs, col("k") === col("kk"))
+      .crossJoin(broadcast(first))
+      .crossJoin(broadcast(n))
+      .withColumn("__cz", element_at(czArr, col("k") + 1))
+      .withColumn("__f", element_at(fArr, col("k") + 1))
+      .withColumn("z_micro", expr("(zsum + __cz * v1) div 1000"))
+      .withColumn("mean_micro", expr("sv * 1000000L div n"))
+      .withColumn("sigma_micro",
+        round(sqrt((col("n") * col("sq") - col("sv") * col("sv"))
+          .cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")) * lit(1e6))
+          .cast("long"))
+      .withColumn("half",
+        expr(s"$l * sigma_micro * __f div 1000000L"))
+      .select(col("t"), col("v"), col("z_micro").as("ewma_micro"),
+        (col("mean_micro") + col("half")).as("ucl_micro"),
+        (col("mean_micro") - col("half")).as("lcl_micro"),
+        (col("z_micro") > col("mean_micro") + col("half") ||
+          col("z_micro") < col("mean_micro") - col("half")).as("flag"))
+  }
+
+  /** DuckDB oracle replaying [[ewmaChart]]; `seriesSql` yields (t, v).
+    * The coefficient table inlines the SAME [[ewmaCoefficients]] values
+    * the Spark projection carries. */
+  def ewmaChartOracleSql(seriesSql: String, alpha: Double = 0.3,
+                         l: Int = 3, baselineK: Int = 10,
+                         maxLag: Int = 128): String = {
+    val values = ewmaCoefficients(alpha, maxLag).map { case (j, c, cz, f) =>
+      s"($j, CAST($c AS BIGINT), CAST($cz AS BIGINT), CAST($f AS BIGINT))"
+    }.mkString(", ")
+    s"""WITH g0 AS ($seriesSql),
+       g AS (SELECT CAST(t AS BIGINT) AS t, CAST(v AS BIGINT) AS v,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS k
+             FROM g0),
+       co (j, c, cz, f) AS (VALUES $values),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(v) AS BIGINT) AS sv,
+                CAST(sum(v * v) AS BIGINT) AS sq
+              FROM g WHERE k <= $baselineK),
+       v1 AS (SELECT v AS v1 FROM g WHERE k = 1),
+       zs AS (SELECT gk.k, CAST(sum(co.c * gi.v) AS BIGINT) AS zsum
+              FROM g gk JOIN g gi ON gi.k <= gk.k
+                        JOIN co ON co.j = gk.k - gi.k
+              GROUP BY 1),
+       base AS (SELECT g.t, g.v, g.k, zs.zsum, ck.cz, ck.f, v1.v1,
+                  nn.n, nn.sv, nn.sq,
+                  (zs.zsum + ck.cz * v1.v1) // 1000 AS z_micro,
+                  sv * 1000000 // n AS mean_micro,
+                  CAST(round(sqrt(CAST(nn.n * nn.sq - nn.sv * nn.sv
+                      AS DOUBLE) / (nn.n * (nn.n - 1))) * 1000000.0)
+                    AS BIGINT) AS sigma_micro
+                FROM g JOIN zs ON zs.k = g.k
+                       JOIN co ck ON ck.j = g.k, v1, nn)
+       SELECT t, v, CAST(z_micro AS BIGINT) AS ewma_micro,
+         CAST(mean_micro + $l * sigma_micro * f // 1000000 AS BIGINT)
+           AS ucl_micro,
+         CAST(mean_micro - $l * sigma_micro * f // 1000000 AS BIGINT)
+           AS lcl_micro,
+         (z_micro > mean_micro + $l * sigma_micro * f // 1000000 OR
+          z_micro < mean_micro - $l * sigma_micro * f // 1000000) AS flag
+       FROM base ORDER BY t"""
+  }
+
   /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
     * integer keys — the multi-dimensional clustering key behind
     * data-layout optimization: sorting/range-partitioning a table by

@@ -175,6 +175,30 @@ class KsDriftSpec extends SparkSpec {
   }
 }
 
+class EwmaChartSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tracks the recursive EWMA and flags the sustained shift") {
+    val vs = Seq.fill(10)(100L) ++ Seq.fill(6)(300L) // persistent 3× shift
+    val series = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("t", "v")
+    val out = Maintenance.ewmaChart(series, "t", "v", alpha = 0.3, l = 3)
+      .orderBy("t").as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    // reference recursion in doubles (z0 = first obs)
+    var z = vs.head.toDouble
+    vs.zip(out).foreach { case (v, row) =>
+      z = 0.3 * v + 0.7 * z
+      assert(math.abs(row._3 - math.round(z * 1e6)) <= vs.size + 1,
+        s"t=${row._1}: ${row._3} vs ${math.round(z * 1e6)}")
+    }
+    // the shift must eventually trip the EWMA limit
+    assert(out.takeRight(3).exists(_._6), s"no flag fired: $out")
+    // and the stable prefix must not
+    assert(out.take(10).forall(!_._6))
+  }
+}
+
 class KaplanMeierSpec extends SparkSpec {
   import spark.implicits._
 
