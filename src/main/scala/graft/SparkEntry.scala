@@ -3509,6 +3509,14 @@ object SparkEntry {
       graft.ops.Evaluation.freqSpectrum(Tables.documents(s, d), "text")
         .orderBy(col("freq"))),
 
+    // ── LLM-pipeline: Good-Turing smoothed estimates (Good 1953; Gale &
+    // Sampson 1995 simple form) on the spectrum — r* mass reassignment +
+    // the unseen mass p0 = N1/N; exact integer micro-rationals over the
+    // bounded counts-of-counts grid.
+    "q_good_turing" -> ((s, d) =>
+      graft.ops.Evaluation.goodTuring(Tables.documents(s, d), "text")
+        .orderBy(col("r"))),
+
     // ── LLM-pipeline: per-document language-consistency audit (the
     // code-switching filter): per-line langId → majority language +
     // fraction + distinct-language count. Docs gain one English line
@@ -4592,6 +4600,26 @@ object SparkEntry {
       graft.ops.Maintenance.psiBinsFromCounts(stored,
         docs.where(col("doc_id") % 2 === 1), col("n_chars"),
         lo = 0.0, hi = 4000.0, bins = 20)
+    }),
+
+    // ── LLM-pipeline: exact KS vs a STORED baseline — the binning-free
+    // drift monitor as a materialized pipeline: the baseline's additive
+    // per-distinct-value counts persist as a pipe (value-bucketed) and
+    // later snapshots compare against the STORE without re-reading the
+    // baseline corpus; values equal q_ks_drift's by construction.
+    "q_ks_drift_stored" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = graft.ops.Maintenance.ksValueCounts(
+        docs.where(col("doc_id") % 2 === 0), col("n_chars"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ks").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("monitor", "ks_base"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(spec).create(base.withColumn("bucket", pmod(col("v"), lit(16L))))
+      val stored = eng.storage(spec).read.select(col("v"), col("ca"))
+      graft.ops.Maintenance.ksDriftFromCounts(stored,
+        docs.where(col("doc_id") % 2 === 1), col("n_chars"))
     }),
 
     // ── LLM-pipeline: SQ8 reconstruction-error QA — cosine between every
@@ -7072,6 +7100,9 @@ object SparkEntry {
     "q_freq_spectrum" ->
       graft.ops.Evaluation.freqSpectrumOracleSql("documents", "text"),
 
+    "q_good_turing" ->
+      graft.ops.Evaluation.goodTuringOracleSql("documents", "text"),
+
     "q_lang_mix" ->
       graft.ops.Cleaning.langMixOracleSql("documents", "doc_id",
         """(text || chr(10) || 'the quick brown fox is on the hill and it is fine'
@@ -7370,6 +7401,14 @@ object SparkEntry {
         "n_chars", lo = 0.0, hi = 4000.0, bins = 20),
 
     "q_ks_drift" ->
+      graft.ops.Maintenance.ksDriftOracleSql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "n_chars"),
+
+    // additive value counts: store-read == recount, so the stored
+    // baseline's oracle is q_ks_drift's replay
+    "q_ks_drift_stored" ->
       graft.ops.Maintenance.ksDriftOracleSql(
         "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
         "(SELECT * FROM documents WHERE doc_id % 2 = 1)",

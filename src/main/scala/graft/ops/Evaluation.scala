@@ -387,6 +387,52 @@ object Evaluation {
              WHERE length(token) > 0 GROUP BY token)
        SELECT freq, count(*) AS n_types FROM v GROUP BY freq ORDER BY freq"""
 
+  /** Good–Turing smoothed frequency estimates (Good 1953; the Gale &
+    * Sampson 1995 simple form) — the probability-mass view on top of
+    * [[freqSpectrum]]'s raw counts-of-counts: r* = (r+1)·N_{r+1}/N_r
+    * reassigns mass from each frequency class to the one below, the
+    * correction every n-gram LM family here ultimately rests on (and the
+    * direct estimate of UNSEEN mass, p₀ = N₁/N — "how much probability
+    * do tokens we never saw deserve"). r* is an exact integer
+    * micro-rational; classes with no successor (the spectrum's ragged
+    * top) carry NULL, the standard simple-GT cutover point.
+    *
+    * Scale: the corpus collapses through (token, freq) →
+    * (freq, N_freq) — the grid is ≤ |distinct frequency| rows; the
+    * successor lookup is a self-join on r+1 over that bounded grid; p₀
+    * rides every row from a broadcast 1-row total. */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val spec = freqSpectrum(docs, textCol).localCheckpoint(true)
+    val tot = spec.agg(
+      sum(col("freq").cast("decimal(38,0)") * col("n_types")).as("n_tokens"))
+    val nxt = spec.select((col("freq") - 1).as("freq"),
+      col("n_types").as("next_n_types"))
+    spec.join(nxt, Seq("freq"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("freq").as("r"), col("n_types").as("n_r"),
+        col("next_n_types").as("n_r1"),
+        expr("CAST(CAST(freq + 1 AS DECIMAL(38,0)) * next_n_types * 1000000" +
+          " div n_types AS BIGINT)").as("r_star_micro"),
+        when(col("freq") === 1L,
+          expr("CAST(CAST(n_types AS DECIMAL(38,0)) * 1000000 div n_tokens" +
+            " AS BIGINT)")).as("p0_micro"))
+  }
+
+  /** DuckDB oracle replaying [[goodTuring]]. */
+  def goodTuringOracleSql(table: String, textCol: String): String =
+    s"""WITH spec AS (${freqSpectrumOracleSql(table, textCol)}),
+       tot AS (SELECT CAST(sum(CAST(freq AS HUGEINT) * n_types) AS HUGEINT)
+                 AS n_tokens FROM spec)
+       SELECT s.freq AS r, CAST(s.n_types AS BIGINT) AS n_r,
+         CAST(nx.n_types AS BIGINT) AS n_r1,
+         CAST(CAST(s.freq + 1 AS HUGEINT) * nx.n_types * 1000000
+           // s.n_types AS BIGINT) AS r_star_micro,
+         CASE WHEN s.freq = 1 THEN
+           CAST(CAST(s.n_types AS HUGEINT) * 1000000 // tot.n_tokens
+             AS BIGINT) END AS p0_micro
+       FROM spec s LEFT JOIN spec nx ON nx.freq = s.freq + 1, tot
+       ORDER BY r"""
+
   /** Pairwise Pearson CORRELATION between integer quality signals — the
     * redundancy check before stacking signals into a composite gate (two
     * signals at r ≈ 1 are one signal counted twice). All moment sums

@@ -389,10 +389,23 @@ object Maintenance {
     * merge, ONE running-sum window over that bounded grid (allowlisted),
     * then a TakeOrdered(1) head. ECDFs are exact integer micro-units
     * (cum·10⁶ div n); no float anywhere. */
-  def ksDrift(a: DataFrame, b: DataFrame, valueCol: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ca = a.select(valueCol.cast("long").as("v"))
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: Column): DataFrame =
+    ksDriftFromCounts(ksValueCounts(a, valueCol), b, valueCol)
+
+  /** Per-distinct-value counts — the KS baseline artifact: additive
+    * (blind-append + one sum-fold ≡ recount), so a baseline snapshot can
+    * persist as a pipe and later snapshots compare against the STORE
+    * without re-reading the baseline corpus (the psi_drift_stored
+    * shape). */
+  def ksValueCounts(a: DataFrame, valueCol: Column): DataFrame =
+    a.select(valueCol.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+
+  /** [[ksDrift]] against a STORED baseline count table (v, ca). */
+  def ksDriftFromCounts(baselineCounts: DataFrame, b: DataFrame,
+                        valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = baselineCounts.select(col("v"), col("ca"))
     val cb = b.select(valueCol.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cb"))
     val grid = ca.join(cb, Seq("v"), "full_outer")
