@@ -3215,17 +3215,15 @@ object SparkEntry {
         "xb", "yb")
         .orderBy(col("x_bin"), col("y_bin"))),
 
-    // ── LLM-pipeline: Pearson χ² contingency (source × quality-gate
-    // pass) — the significance companion to q_signal_mi's effect size:
-    // is the gate behaving differently per source beyond sampling noise?
-    // One grid aggregate; the (o−e)²/e term is the one float stage.
+    // ── LLM-pipeline: Pearson χ² contingency (source × language) — the
+    // significance companion to q_signal_mi's effect size and q_domain_kl's
+    // divergence: is the language mix independent of the source beyond
+    // sampling noise? Full R×C grid (absent cells still contribute e);
+    // one grid aggregate; the (o−e)²/e term is the one float stage.
     "q_chi_square" -> ((s, d) =>
       graft.ops.Evaluation.chiSquare(
         Tables.documents(s, d)
-          .withColumn("__qm",
-            (TextFns.qualityScore(col("text")) * 1000000).cast("long"))
-          .select(col("source").as("xb"),
-            (col("__qm") >= 500000L).cast("int").as("yb")),
+          .select(col("source").as("xb"), col("lang").as("yb")),
         "xb", "yb")
         .orderBy(col("x"), col("y"))),
 
@@ -8473,9 +8471,7 @@ object SparkEntry {
 
     "q_chi_square" ->
       graft.ops.Evaluation.chiSquareOracleSql(
-        s"""SELECT source AS x,
-            CAST(CASE WHEN CAST($qualityMicroSql AS BIGINT) >= 500000
-              THEN 1 ELSE 0 END AS INTEGER) AS y FROM documents"""),
+        "SELECT source AS x, lang AS y FROM documents"),
 
     "q_ucb_sources" ->
       graft.ops.Sampling.ucbSourceScoresOracleSql(

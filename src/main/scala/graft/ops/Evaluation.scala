@@ -1756,7 +1756,12 @@ object Evaluation {
     val rx = cells.groupBy(col("x")).agg(sum(col("o")).as("rt"))
     val cy = cells.groupBy(col("y")).agg(sum(col("o")).as("ct"))
     val n = cells.agg(sum(col("o")).as("n"))
-    cells.join(broadcast(rx), Seq("x")).join(broadcast(cy), Seq("y"))
+    // the FULL R×C grid — an absent cell (o = 0, e > 0) still contributes
+    // e to χ²; emitting only observed cells would understate dependence
+    // exactly where it is strongest
+    rx.crossJoin(broadcast(cy))
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(n))
       .select(col("x"), col("y"), col("o"),
         expr("CAST(CAST(rt AS DECIMAL(38,0)) * ct * 1000000 div n AS BIGINT)")
@@ -1780,7 +1785,10 @@ object Evaluation {
                  FROM r GROUP BY 1, 2),
        rx AS (SELECT x, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
        cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
-       nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+       nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       c AS (SELECT rx.x, cy.y, coalesce(cells.o, 0) AS o
+             FROM rx CROSS JOIN cy
+             LEFT JOIN cells ON cells.x = rx.x AND cells.y = cy.y)
        SELECT c.x, c.y, c.o,
          CAST(CAST(rx.rt AS HUGEINT) * cy.ct * 1000000 // nn.n AS BIGINT)
            AS e_micro,
@@ -1793,7 +1801,7 @@ object Evaluation {
                / CAST(nn.n AS DOUBLE)) /
            (CAST(rx.rt AS DOUBLE) * CAST(cy.ct AS DOUBLE)
              / CAST(nn.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS term_micro
-       FROM cells c JOIN rx USING (x) JOIN cy USING (y), nn
+       FROM c JOIN rx USING (x) JOIN cy USING (y), nn
        ORDER BY c.x, c.y"""
 
   // ── split-conformal gating (Vovk et al.; Angelopoulos & Bates 2021) ────

@@ -175,6 +175,69 @@ class KsDriftSpec extends SparkSpec {
   }
 }
 
+class StatTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chi-square: independent margins give near-zero terms, a planted association does not") {
+    // perfectly dependent 2×2: x == y
+    val dep = (1 to 80).map(i => (i % 2, i % 2)).toDF("xb", "yb")
+    val depSum = Evaluation.chiSquare(dep, "xb", "yb")
+      .agg(sum("term_micro")).as[Long].head()
+    assert(depSum == 80_000_000L) // χ² = n for a perfect 2×2 association
+    // independent: x alternates within each y block
+    val ind = (0 until 80).map(i => (i % 2, (i / 2) % 2)).toDF("xb", "yb")
+    val indSum = Evaluation.chiSquare(ind, "xb", "yb")
+      .agg(sum("term_micro")).as[Long].head()
+    assert(indSum == 0L)
+  }
+
+  test("mann-kendall: strictly increasing series maxes S; constant series is all ties") {
+    val up = (1L to 10L).map(i => (i, i * 100)).toDF("t", "v")
+    val o1 = Evaluation.mannKendall(up, "t", "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(o1._2 == 45L && o1._4 > 0) // S = n(n−1)/2, positive z
+    val flat = (1L to 10L).map(i => (i, 7L)).toDF("t", "v")
+    val o2 = Evaluation.mannKendall(flat, "t", "v")
+      .as[(Long, Long, Long, Long)].head()
+    assert(o2._2 == 0L && o2._3 == 0L && o2._4 == 0L)
+  }
+
+  test("sen slope recovers a clean linear trend exactly") {
+    val up = (0L until 12L).map(i => (i, 50L + 7L * i)).toDF("t", "v")
+    val o = Evaluation.senSlope(up, "t", "v")
+      .as[(Long, Long, Long)].head()
+    assert(o == ((12L, 66L, 7000000L)))
+  }
+
+  test("association rules: a planted implication gets confidence 1 and lift > 1") {
+    // every basket with A also has B; B appears alone too
+    val facts = (0L until 30L).flatMap { b =>
+      if (b < 10) Seq((b, "A"), (b, "B"))
+      else if (b < 20) Seq((b, "B"))
+      else Seq((b, "C"))
+    }.toDF("b", "i")
+    val out = graft.ops.Relational.associationRules(facts, "b", "i")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab._3 == 10L && ab._4 == 1000000L) // support 10, confidence 1.0
+    assert(ab._5 == 1500000L) // lift = 30·10/(10·20) = 1.5
+  }
+
+  test("good-turing: the oracle identity r* N_r = (r+1) N_{r+1} holds") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d e"), (3L, "f g a"))
+      .toDF("doc_id", "text")
+    val out = Evaluation.goodTuring(docs, "text")
+      .orderBy("r")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    // vocab freqs: a=5, b=3, c=1, d=1, e=1, f=1, g=1 → N1=5, N3=1, N5=1
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 5L), (3L, 1L), (5L, 1L)))
+    // r=1 has no N2 → NULL r*; p0 = N1/N = 5/13
+    assert(out.head._4.isEmpty && out.head._5.contains(5000000L / 13L))
+  }
+}
+
 class EwmaChartSpec extends SparkSpec {
   import spark.implicits._
 
