@@ -154,27 +154,31 @@ object SparkEntry {
        '\s+'), t -> length(t) > 0)) >= 56
        THEN 1 ELSE -1 END""".linesIterator.map(_.trim).mkString(" ")
 
-  /** Ridge-probe memo per sfDir: (feature table, shipped micro weights).
-    * Trained once per corpus; the oracle injects the weights as literals
-    * (the ItqModel move). */
+  /** Ridge-probe memo per sfDir: the shipped micro weights ONLY — plain
+    * Scala data, never a cached/checkpointed DataFrame (the bench clears
+    * storage blocks between entries, so a memoized checkpoint would lose
+    * its blocks before a second read). Trained once per corpus; the
+    * oracle injects the weights as literals (the ItqModel move). */
   private object RidgeModel {
-    type M = (DataFrame, Seq[(Long, Long)])
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, M]()
-    @volatile private var last: Option[M] = None
-    def forDir(s: SparkSession, d: String): M = {
-      val r = cache.computeIfAbsent(d, _ => {
-        val feats = graft.ops.Classify.hashedDocFeatures(
-          Tables.documents(s, d)
-            .withColumn("__y", when(size(filter(
-                TextFns.tokens(lower(trim(col("text")))),
-                t => length(t) > 0)) >= 56, 1).otherwise(-1)),
-          "doc_id", "__y", "text", buckets = 64).localCheckpoint(true)
-        (feats, graft.ops.Classify.ridgeProbeFit(feats, lambda = 1.0))
-      })
-      last = Some(r)
-      r
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, Seq[(Long, Long)]]()
+    @volatile private var last: Option[Seq[(Long, Long)]] = None
+    def features(s: SparkSession, d: String): DataFrame =
+      graft.ops.Classify.hashedDocFeatures(
+        Tables.documents(s, d)
+          .withColumn("__y", when(size(filter(
+              TextFns.tokens(lower(trim(col("text")))),
+              t => length(t) > 0)) >= 56, 1).otherwise(-1)),
+        "doc_id", "__y", "text", buckets = 64)
+    def forDir(s: SparkSession, d: String): (DataFrame, Seq[(Long, Long)]) = {
+      val feats = features(s, d)
+      val w = cache.computeIfAbsent(d, _ =>
+        graft.ops.Classify.ridgeProbeFit(feats.localCheckpoint(true),
+          lambda = 1.0))
+      last = Some(w)
+      (feats, w)
     }
-    def forOracleWeights: Option[Seq[(Long, Long)]] = last.map(_._2)
+    def forOracleWeights: Option[Seq[(Long, Long)]] = last
   }
 
   /** PCA model memo per sfDir (components, eigenvalues, sample mean) —

@@ -39,7 +39,10 @@ class EngineWindowAuditSpec extends SparkSpec {
     // the quantile probe's cumulative window runs on the ≤ 63·16+1-row
     // sketch histogram (Sketches.scala ddQuantiles) — never on data
     "q_dd_index_sync"      -> 1,
-    "q_streaming_dd_probe" -> 1)
+    "q_streaming_dd_probe" -> 1,
+    // the KS cumulative window runs on the bounded distinct-value grid
+    // (the q_ks_drift/signalAuc bound) — never on data
+    "q_ks_drift_stored"    -> 1)
 
   private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
     val tree = p match {
