@@ -3242,6 +3242,19 @@ object SparkEntry {
         "source", "score_micro")
         .orderBy(col("src"))),
 
+    // ── LLM-pipeline: Spearman ρ between the quality signal and doc
+    // length — completing the association trio (Pearson/Kendall/ρ):
+    // average-rank ties via bounded value-domain windows (the signalAuc
+    // bound), exact half-unit rank moments in DECIMAL(38,0), one float
+    // stage.
+    "q_spearman_rho" -> ((s, d) =>
+      graft.ops.Evaluation.spearmanRho(
+        Tables.documents(s, d)
+          .withColumn("__qm",
+            (TextFns.qualityScore(col("text")) * 1000000).cast("long"))
+          .select(col("__qm").as("xs"), col("n_chars").as("ys")),
+        "xs", "ys")),
+
     // ── LLM-pipeline: binned Kendall τ-b between the same two signals —
     // the rank-agreement view next to q_signal_mi's information view and
     // q_signal_correlation's linear view; tie-corrected because binning
@@ -3597,6 +3610,16 @@ object SparkEntry {
         .getSeq[Double](0)
       SimilaritySearch.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
     }),
+
+    // ── LLM-pipeline: embedding ANISOTROPY report (Ethayarajh 2019) —
+    // the geometry health check before trusting cosine thresholds:
+    // random-pair cosine histogram via the deterministic disjoint
+    // matching (i ↔ i+⌊N/2⌋), per-pair floor-micro quantization, one
+    // equi-join + one |bins|-row aggregate.
+    "q_anisotropy" -> ((s, d) =>
+      SimilaritySearch.anisotropyReport(Tables.embeddings(s, d),
+        "vec_id", "embedding", bins = 20)
+        .orderBy(col("bin"))),
 
     // ── LLM-pipeline: per-label embedding CENTROID cosine matrix — the
     // semantic domain-similarity planner next to q_source_js's token
@@ -8472,6 +8495,15 @@ object SparkEntry {
       graft.ops.Evaluation.kendallTauBinnedOracleSql(
         s"""SELECT CAST(CAST($qualityMicroSql AS BIGINT) // 250000 AS BIGINT) AS x,
             CAST(least(n_chars // 200, 4) AS BIGINT) AS y FROM documents"""),
+
+    "q_spearman_rho" ->
+      graft.ops.Evaluation.spearmanRhoOracleSql(
+        s"""SELECT CAST($qualityMicroSql AS BIGINT) AS x,
+            n_chars AS y FROM documents"""),
+
+    "q_anisotropy" ->
+      SimilaritySearch.anisotropyOracleSql("embeddings", "vec_id",
+        "embedding", bins = 20),
 
     "q_chi_square" ->
       graft.ops.Evaluation.chiSquareOracleSql(

@@ -1676,6 +1676,79 @@ object Evaluation {
                   AS DOUBLE) / 18.0) * 1000000.0) AS BIGINT) END AS z_micro
        FROM pairs p, nn, ties"""
 
+  // ── Spearman ρ (Spearman 1904) ─────────────────────────────────────────
+
+  /** Spearman rank correlation with average-rank ties — completing the
+    * association trio (Pearson `q_signal_correlation` / Kendall
+    * `q_kendall_tau` / Spearman): Pearson on the rank transforms, robust
+    * to monotone rescaling of either signal. Ranks use the AVERAGE-rank
+    * tie convention computed WITHOUT a per-row window: each signal
+    * collapses to its distinct-value domain (the signalAuc bound), one
+    * bounded cumulative window derives avg_rank(v) = cum_before +
+    * (cnt+1)/2 per VALUE, and rows join their rank back by value. Rank
+    * sums are exact integer HALF-UNITS (2·rank is integral); the ρ
+    * moments accumulate as DECIMAL(38,0); the final ρ is the ONE float
+    * stage, floor-micro.
+    *
+    * Scale: two value-domain aggregates + two broadcast rank joins + one
+    * moment aggregate; windows touch only the bounded value grids. */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y")).localCheckpoint(true)
+    def rankTable(c: String) = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        // 2·avg_rank = 2·cum_before + cnt + 1  (exact integer half-units)
+        .withColumn("r2",
+          (sum(col("cnt")).over(w) - col("cnt")) * 2 + col("cnt") + 1)
+        .select(col("v").as(c), col("r2").as(s"r2_$c"))
+    }
+    val ranked = rows
+      .join(broadcast(rankTable("x")), Seq("x"))
+      .join(broadcast(rankTable("y")), Seq("y"))
+      .select(col("r2_x").cast("decimal(38,0)").as("a"),
+        col("r2_y").cast("decimal(38,0)").as("b"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("a") * col("a")).as("qa"),
+        sum(col("b") * col("b")).as("qb"),
+        sum(col("a") * col("b")).as("ab"))
+      .select(col("n"),
+        floor((col("n") * col("ab") - col("sa") * col("sb")).cast("double") /
+          sqrt((col("n") * col("qa") - col("sa") * col("sa")).cast("double") *
+            (col("n") * col("qb") - col("sb") * col("sb")).cast("double")) *
+          lit(1e6)).cast("long").as("rho_micro"))
+  }
+
+  /** DuckDB oracle replaying [[spearmanRho]]; `rowsSql` yields (x, y). */
+  def spearmanRhoOracleSql(rowsSql: String): String =
+    s"""WITH r AS (SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+           FROM ($rowsSql)),
+       rx AS (SELECT v AS x,
+                (CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) * 2
+                  + cnt + 1 AS r2x
+              FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM r GROUP BY 1)),
+       ry AS (SELECT v AS y,
+                (CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) - cnt) * 2
+                  + cnt + 1 AS r2y
+              FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+                    FROM r GROUP BY 1)),
+       j AS (SELECT CAST(r2x AS HUGEINT) AS a, CAST(r2y AS HUGEINT) AS b
+             FROM r JOIN rx USING (x) JOIN ry USING (y)),
+       m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(a) AS sa,
+               sum(b) AS sb, sum(a * a) AS qa, sum(b * b) AS qb,
+               sum(a * b) AS ab
+             FROM j)
+       SELECT CAST(n AS BIGINT) AS n,
+         CAST(floor(CAST(n * ab - sa * sb AS DOUBLE) /
+           sqrt(CAST(n * qa - sa * sa AS DOUBLE) *
+                CAST(n * qb - sb * sb AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS rho_micro
+       FROM m"""
+
   // ── Sen's slope (Theil 1950; Sen 1968) ─────────────────────────────────
 
   /** Theil–Sen slope of a BOUNDED ordered series — the magnitude

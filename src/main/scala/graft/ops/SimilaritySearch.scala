@@ -2218,6 +2218,68 @@ object SimilaritySearch {
          CAST(sum(s) AS BIGINT) // count(*) AS mean_silhouette_micro
        FROM sil GROUP BY cell ORDER BY cell"""
 
+  // ── embedding anisotropy report (Ethayarajh, EMNLP 2019) ───────────────
+
+  /** Embedding-space ANISOTROPY report — the geometry health check before
+    * any cosine-based op is trusted: contextual/encoder embeddings often
+    * occupy a narrow cone (random-pair cosine ≫ 0), which silently
+    * compresses every cosine threshold in the dedup/ANN families. Pairs
+    * are the DETERMINISTIC disjoint matching (id i ↔ id i + ⌊N/2⌋ —
+    * every vector in at most one pair, no sampling RNG, replayable);
+    * output is the cosine histogram over [−1, 1] with per-bin counts and
+    * means. A healthy isotropic space centers near 0; mass near 1 means
+    * cone collapse.
+    *
+    * Determinism: per-pair cosines floor-quantize to micro BEFORE the
+    * bin/mean aggregation (quantize-per-pair, integer sums after).
+    * Scale: one self equi-join on the shifted id + one |bins|-row
+    * aggregate; vectors cross the join once. */
+  def anisotropyReport(emb: DataFrame, idCol: String, vecCol: String,
+                       bins: Int = 20): DataFrame = {
+    require(bins >= 2 && bins <= 1000, "bins in [2, 1000]")
+    val half = emb.agg(expr("count(1) div 2").as("half"))
+    val a = emb.select(col(idCol).as("aid"), col(vecCol).as("av"))
+      .crossJoin(broadcast(half))
+      .where(col("aid") < col("half"))
+      .withColumn("bid", col("aid") + col("half"))
+    val pairs = a.join(
+      emb.select(col(idCol).as("bid"), col(vecCol).as("bv")), Seq("bid"))
+    val cosMicro = floor(VectorFns.cosine(col("av"), col("bv")) * lit(1e6))
+      .cast("long")
+    pairs.select(cosMicro.as("c"))
+      .select(least(greatest(
+          expr(s"CAST((c + 1000000) * $bins div 2000000 AS INT)"), lit(0)),
+          lit(bins - 1)).as("bin"),
+        col("c"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"),
+        // both engines TRUNCATE integer division toward zero (Spark
+        // `div` ≡ DuckDB `//` on integers — verified on negatives), so
+        // the plain quotient is parity-safe even for negative bin sums
+        expr("CAST(sum(c) div count(1) AS BIGINT)").as("mean_cos_micro"))
+  }
+
+  /** DuckDB oracle replaying [[anisotropyReport]]. */
+  def anisotropyOracleSql(table: String, idCol: String, vecCol: String,
+                          bins: Int = 20): String =
+    s"""WITH h AS (SELECT CAST(count(*) // 2 AS BIGINT) AS half FROM $table),
+       a AS (SELECT $idCol AS aid, CAST($vecCol AS DOUBLE[]) AS av
+             FROM $table, h WHERE $idCol < h.half),
+       bt AS (SELECT $idCol AS bid, CAST($vecCol AS DOUBLE[]) AS ev
+              FROM $table),
+       p AS (SELECT a.aid, a.av, bt.ev AS bv
+             FROM a, h, bt WHERE bt.bid = a.aid + h.half),
+       c AS (SELECT CAST(floor(list_dot_product(av, bv) /
+               (sqrt(list_dot_product(av, av)) *
+                sqrt(list_dot_product(bv, bv))) * 1000000.0) AS BIGINT) AS c
+             FROM p)
+       SELECT CAST(least(greatest((c + 1000000) * $bins // 2000000, 0),
+           ${bins - 1}) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(CAST(sum(c) AS HUGEINT) // count(*) AS BIGINT)
+           AS mean_cos_micro
+       FROM c GROUP BY 1 ORDER BY bin"""
+
   // ── per-group centroid similarity (domain-mix planning) ────────────────
 
   /** Pairwise cosine similarity between per-group embedding CENTROIDS —

@@ -57,6 +57,7 @@ class GlobalWindowAuditSpec extends SparkSpec {
     "q_kaplan_meier"          -> 2, // |days| duration grid (calendar bound)
     "q_sen_slope"             -> 1, // ≤|days|²/2 slope list (calendar bound)
     "q_ewma_chart"            -> 1, // |days| calendar grid rank index
+    "q_spearman_rho"          -> 2, // two |distinct value| rank domains (signalAuc's bound)
     "q_fpr_threshold"         -> 1, // |distinct score| domain (signalAuc's bound)
     "q_quantile_normalize"    -> 1) // corpus-cum over the ≤1009-row sketch histogram
 
