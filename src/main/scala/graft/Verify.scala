@@ -1,12 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * PARTIAL-FAILURE-PROOF (r12 verdict item 1): CORRECTNESS_r12 was `{}`
+  * because oracle_sql.json landed only after ALL queries completed — one
+  * driver-side cap mid-run zeroed 366 green queries. Now the oracle file
+  * is atomically rewritten after every batch, restricted to the queries
+  * whose parquet already landed, so a truncated run yields a PARTIAL
+  * report (memo-backed oracles — OPQ/ITQ/PCA/ridge — are rendered only
+  * after their own query populated the memo, which the completed-set
+  * filter guarantees).
+  *
+  * WALL-CLOCK (same item): queries run cheapest-tier-first and K at a
+  * time, each on its own `spark.newSession()` (private SQLConf + temp-view
+  * namespace, so the session-scoped mutations in SparkEntry —
+  * withStatePartitions, nanosAsLong, graft_docs — cannot cross-talk).
+  * Storage sweeps happen at batch barriers only: unpersisting a live
+  * query's localCheckpoint blocks would make it unrecomputable, so no
+  * sweep runs while any query is in flight. Any failure is retried once,
+  * serially, against a quiet JVM before it is reported.
+  */
 object Verify {
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = scala.util.Try(cpusRaw.trim.toInt).toOption.filter(_ >= 1).getOrElse(4)
     // pin the JVM default zone too: embedded-JDBC (Derby) timestamp
     // round-trips render wall-clock in the JVM zone, not the session zone
     java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
@@ -17,6 +51,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Silence the per-sweep "was locally checkpointed, its lineage has been
+    // truncated" WARN flood (r12 verdict: 318 lines/run): it fires when the
+    // batch-boundary sweep unpersists blocks of ALREADY-FINISHED queries —
+    // pure noise that drowns real warnings in the driver's captured tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
     // The driver sets no env, so its run always dumps everything.
@@ -37,33 +77,92 @@ object Verify {
         }
         SparkEntry.queries.view.filterKeys(only).toMap
       }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+
+    // Cheapest-tier-first order: under a driver-side cap the partial report
+    // should hold as MANY green rows as possible, so the fixed-overhead-heavy
+    // families (streaming micro-batch ladders, live-server e2e, stored-index
+    // sync envelopes) run LAST. Within a tier, name order keeps runs
+    // deterministic and comparable.
+    def heavy(name: String): Boolean =
+      name.startsWith("q_streaming_") || name.endsWith("_e2e") ||
+      name.contains("_index_sync") || name.endsWith("_sync") ||
+      name.startsWith("q_sync_") || name.startsWith("q_verify_") ||
+      Set("q_pipe_dag", "q_fleet_sync", "q_join_fetch_incremental",
+          "q_schedule_fires", "q_curation_v3", "q_leakage_split_stored",
+          "q_copy_pipe", "q_backtrack_window", "q_deduplicate_pipe")(name)
+    val ordered = selected.toSeq.sortBy { case (n, _) => (heavy(n), n) }
+
+    val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+    // Atomic rewrite (tmp + move): a cap mid-write must never leave a
+    // truncated — unparseable — oracle file behind. Restricted to landed
+    // queries so memo-backed oracle SQL is always rendered post-run.
+    def rewriteOracle(): Unit = {
+      val doneNow = completed
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => doneNow.contains(k) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      val tmp = Paths.get(s"$outDir/oracle_sql.json.tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, Paths.get(s"$outDir/oracle_sql.json"),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val sess = spark.newSession()
+      SparkSession.setActiveSession(sess)
+      val t0 = System.nanoTime()
+      try {
+        fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        completed.add(name)
+        errors.remove(name)
+        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } catch { case e: Throwable =>
+        errors.put(name, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // same per-query storage isolation as Bench: without it, 140+
-      // queries of pinned cache/localCheckpoint blocks in one JVM build
-      // into GC pressure on the later queries
+    }
+
+    // Batch-boundary storage sweep (the same per-query isolation the
+    // sequential dump had): without it, 140+ queries of pinned cache/
+    // localCheckpoint blocks in one JVM build into GC pressure on the
+    // later queries. Runs ONLY with no query in flight.
+    def sweep(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val k = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
+      .getOrElse(math.max(1, math.min(6, cpus / 2)))
+    ordered.grouped(k).foreach { batch =>
+      val threads = batch.map { case (name, fn) =>
+        val t = new Thread(() => runOne(name, fn), s"verify-$name")
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      sweep()
+      rewriteOracle()
+    }
+
+    // One serial retry for anything that failed: a concurrency flake
+    // (shared-JVM resource contention) must cost seconds, not the round's
+    // green row. A query that fails twice is a real failure and stays red.
+    val failedOnce = ordered.filter { case (n, _) => errors.containsKey(n) }
+    if (failedOnce.nonEmpty) {
+      System.err.println(s"[verify] retrying ${failedOnce.size} failed serially")
+      failedOnce.foreach { case (name, fn) =>
+        runOne(name, fn)
+        sweep()
+      }
+      rewriteOracle()
+    }
+    // Always exit 0: the per-query record (parquet present/absent) IS the
+    // signal; a non-zero exit could make the driver discard the whole
+    // partial report — the exact zeroing this rewrite exists to prevent.
+    System.err.println(s"[verify] done: ${completed.size}/${ordered.size} ok, ${errors.size} failed")
     spark.stop()
   }
 }

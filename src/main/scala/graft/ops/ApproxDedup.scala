@@ -722,6 +722,18 @@ object ApproxDedup {
     * the Alpaca gate): an instruction drops when its ROUGE-L F1 against
     * ANY lower-id pool member reaches `thresholdMicro` (the engine's
     * standard drop-on-lower-id-pair policy, same as the dedup sweep).
+    *
+    * DELIBERATE divergence from the paper: Wang et al. compare each
+    * candidate only against the KEPT pool, so a chain a~b~c keeps c when
+    * b was dropped; this operator compares against ALL lower-id members
+    * (b's drop does not resurrect c), which can over-drop near-duplicate
+    * chains. The kept-pool semantics is inherently sequential (each
+    * verdict depends on every earlier verdict — a driver-side loop at
+    * corpus scale); the lower-id policy is one distributed max and, on
+    * near-dup CHAINS, closer to the connected-component resolution the
+    * rest of the dedup family uses. Oracle parity is unaffected (both
+    * engines implement the same policy).
+    *
     * The O(m·n) LCS kernel runs ONLY on banded candidate pairs — MinHash
     * gives recall at corpus scale, the character-order-aware F1 gives the
     * precision word-shingle Jaccard lacks on short imperative texts

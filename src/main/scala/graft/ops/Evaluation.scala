@@ -1761,10 +1761,13 @@ object Evaluation {
     * double division (inputs are small exact integers — |v|·10⁶ and the
     * day gap both sit far below 2⁵³, so the division is the only rounding
     * point and floors identically on both engines; integer `div` would
-    * NOT work here — Spark truncates toward zero, DuckDB floors, and
-    * slopes go negative). The median of the ≤ n²/2 slope list uses one
-    * allowlisted bounded window; even counts average the two middles in
-    * the same floored-double form. */
+    * NOT work here — BOTH engines truncate toward zero (verified for
+    * Spark and the bundled DuckDB 1.0.0, same behavior
+    * anisotropyReport documents), which rounds the negative slopes
+    * toward zero instead of −∞ and breaks the floor contract the median
+    * averaging step assumes). The median of the ≤ n²/2 slope list uses
+    * one allowlisted bounded window; even counts average the two middles
+    * in the same floored-double form. */
   def senSlope(series: DataFrame, orderCol: String,
                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

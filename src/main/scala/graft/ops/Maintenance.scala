@@ -475,8 +475,11 @@ object Maintenance {
     * ONE float stage; everything k-varying is integer arithmetic.
     *
     * Scale: the series is a calendar-bounded grid (≤ maxLag rows —
-    * enforced); the i ≤ k unroll is a grid² broadcast join; one
-    * allowlisted rank window indexes the grid. */
+    * enforced by a distributed raise_error guard on the rank column: a
+    * longer series would otherwise silently diverge between engines,
+    * Spark's element_at returning NULL z while the oracle's coefficient
+    * join drops the term); the i ≤ k unroll is a grid² broadcast join;
+    * one allowlisted rank window indexes the grid. */
   def ewmaChart(series: DataFrame, orderCol: String, valueCol: String,
                 alpha: Double = 0.3, l: Int = 3, baselineK: Int = 10,
                 maxLag: Int = 128): DataFrame = {
@@ -489,6 +492,12 @@ object Maintenance {
     val g = series.select(col(orderCol).cast("long").as("t"),
         col(valueCol).cast("long").as("v"))
       .withColumn("k", row_number().over(Window.orderBy(col("t"))))
+      // enforce the coefficient-table bound IN the plan (no extra job):
+      // rank beyond maxLag means element_at would read past the table
+      .withColumn("k", when(col("k") > lit(maxLag),
+          raise_error(concat(lit(s"ewmaChart: series longer than maxLag=$maxLag rows (row "),
+            col("k").cast("string"), lit(")"))))
+        .otherwise(col("k")))
       .localCheckpoint(true)
     // Phase-I limits: mu and sigma from the first `baselineK` IN-CONTROL
     // points — estimating them from the monitored series itself would let
