@@ -331,8 +331,10 @@ object SparkEntry {
     * this conf at the query's first batch — production sizes it to key
     * cardinality (here ~150 users / ~120 windows), not to the CPU count; at
     * 32 the toy streams pay ~100 near-empty state-store file commits per
-    * run. Queries execute sequentially in Verify/Bench, so the scoped
-    * mutation cannot race another entry. */
+    * run. The mutation is SESSION-scoped: Bench runs queries sequentially
+    * on one session, and Verify runs each query on its own
+    * `spark.newSession()` (private SQLConf), so it cannot race another
+    * entry in either harness. */
   private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -424,8 +426,10 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, index(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, index(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        // two ingest batches, ONE envelope (syncBlindAll: append-law equal)
+        eng.syncBlindAll(spec, Seq(
+          index(docs.where(col("doc_id") % 2 === 0)),
+          index(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => probeStoredBandIndex(eng.storage(spec), docs, qid, index))
@@ -448,8 +452,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          index(emb.where(col("vec_id") % 2 === 0)),
+          index(emb.where(col("vec_id") % 2 === 1))))
         ()
        },
        () => {
@@ -488,8 +493,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          index(emb.where(col("vec_id") % 2 === 0)),
+          index(emb.where(col("vec_id") % 2 === 1))))
         ()
        },
        () => {
@@ -558,8 +564,9 @@ object SparkEntry {
             StructField("kind", LongType), StructField("i", LongType),
             StructField("coeffs", ArrayType(DoubleType)))))
         eng.sync(mspec, modelDf, checkExisting = false)
-        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, index(emb.where(col("vec_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          index(emb.where(col("vec_id") % 2 === 0)),
+          index(emb.where(col("vec_id") % 2 === 1))))
         ()
        },
        () => {
@@ -599,20 +606,23 @@ object SparkEntry {
         epochUnit = Some("minute"), chunkMinutes = 1)
       val (sU, sB, sT) = (spec("lm_uni"), spec("lm_bi"), spec("lm_tri"))
       (() => {
-        Seq(docs.where(col("doc_id") % 2 === 0),
-            docs.where(col("doc_id") % 2 === 1)).foreach { half =>
+        // TYPE-level count batches with corpus-scan lineage: truncate
+        // each ONCE so the sync pipeline's several actions (envelope,
+        // write, inference) don't re-tokenize the half per action — the
+        // hll/dd index-sync discipline. The two ingest halves then ship
+        // through ONE envelope per model pipe (syncBlindAll: counts are
+        // additive, so union-append ≡ sequential appends) — three
+        // job-ladders instead of six for the same stored rows.
+        val halves = Seq(docs.where(col("doc_id") % 2 === 0),
+            docs.where(col("doc_id") % 2 === 1)).map { half =>
           val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
             half, "doc_id", "text", buckets)
-          // TYPE-level count batches with corpus-scan lineage: truncate
-          // each ONCE so the sync pipeline's several actions (envelope,
-          // write, inference) don't re-tokenize the half per action — the
-          // hll/dd index-sync discipline (8.9 → 8.0 s at sf0.1; the rest
-          // of the entry's cost is six syncs' fixed ~1.3 s/job-ladder
-          // overhead, not data work — flat at any corpus size)
-          eng.sync(sU, u.localCheckpoint(true), checkExisting = false)
-          eng.sync(sB, b.localCheckpoint(true), checkExisting = false)
-          eng.sync(sT, t.localCheckpoint(true), checkExisting = false)
+          (u.localCheckpoint(true), b.localCheckpoint(true),
+            t.localCheckpoint(true))
         }
+        eng.syncBlindAll(sU, halves.map(_._1))
+        eng.syncBlindAll(sB, halves.map(_._2))
+        eng.syncBlindAll(sT, halves.map(_._3))
         ()
        },
        () => graft.ops.Corpus.trigramScoreWithModel(docs, "doc_id", "text",
@@ -632,10 +642,11 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, graft.ops.Corpus.vocabPostings(
-          docs.where(col("doc_id") % 2 === 0), "text", buckets), checkExisting = false)
-        eng.sync(spec, graft.ops.Corpus.vocabPostings(
-          docs.where(col("doc_id") % 2 === 1), "text", buckets), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          graft.ops.Corpus.vocabPostings(
+            docs.where(col("doc_id") % 2 === 0), "text", buckets),
+          graft.ops.Corpus.vocabPostings(
+            docs.where(col("doc_id") % 2 === 1), "text", buckets)))
         ()
        },
        () => graft.ops.Corpus.vocabFold(eng.getData(spec))
@@ -659,14 +670,12 @@ object SparkEntry {
       val half0 = pages.where(col("doc_id") % 2 === 0)
       val half1 = pages.where(col("doc_id") % 2 === 1)
       (() => {
-        eng.sync(cSpec, graft.ops.Cleaning.boilerplateCounts(
-          half0, "doc_id", "text", "source"), checkExisting = false)
-        eng.sync(nSpec, graft.ops.Cleaning.sourceDocCounts(half0, "source", 0L),
-          checkExisting = false)
-        eng.sync(cSpec, graft.ops.Cleaning.boilerplateCounts(
-          half1, "doc_id", "text", "source"), checkExisting = false)
-        eng.sync(nSpec, graft.ops.Cleaning.sourceDocCounts(half1, "source", 1L),
-          checkExisting = false)
+        eng.syncBlindAll(cSpec, Seq(
+          graft.ops.Cleaning.boilerplateCounts(half0, "doc_id", "text", "source"),
+          graft.ops.Cleaning.boilerplateCounts(half1, "doc_id", "text", "source")))
+        eng.syncBlindAll(nSpec, Seq(
+          graft.ops.Cleaning.sourceDocCounts(half0, "source", 0L),
+          graft.ops.Cleaning.sourceDocCounts(half1, "source", 1L)))
         ()
        },
        () => graft.ops.Cleaning.boilerplateFold(
@@ -694,8 +703,9 @@ object SparkEntry {
         epochUnit = Some("minute"), chunkMinutes = 1)
       val store = eng.storage(spec)
       (() => {
-        eng.sync(spec, index(all.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, index(all.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          index(all.where(col("doc_id") % 2 === 0)),
+          index(all.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => {
@@ -734,8 +744,9 @@ object SparkEntry {
         epochUnit = Some("minute"), chunkMinutes = 1)
       val store = eng.storage(spec)
       (() => {
-        eng.sync(spec, index(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, index(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          index(docs.where(col("doc_id") % 2 === 0)),
+          index(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => {
@@ -802,13 +813,13 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        Seq(0, 1).foreach { h =>
+        val halves = Seq(0, 1).map { h =>
           val (cls, toks) = graft.ops.Classify.nbCounts(
             docs.where(col("doc_id") % 2 === h), "source", "text", 16)
-          eng.sync(cSpec, cls.withColumn("batch", lit(h.toLong)),
-            checkExisting = false)
-          eng.sync(tSpec, toks, checkExisting = false)
+          (cls.withColumn("batch", lit(h.toLong)), toks)
         }
+        eng.syncBlindAll(cSpec, halves.map(_._1))
+        eng.syncBlindAll(tSpec, halves.map(_._2))
         ()
        },
        () => {
@@ -955,14 +966,12 @@ object SparkEntry {
       val half0 = docs.where(col("doc_id") % 2 === 0)
       val half1 = docs.where(col("doc_id") % 2 === 1)
       (() => {
-        eng.sync(cSpec, graft.ops.Corpus.dataCardBatch(
-          half0, "source", "lang", "text", 0L), checkExisting = false)
-        eng.sync(fSpec, graft.ops.Corpus.dataCardFps(half0, "source", "text"),
-          checkExisting = false)
-        eng.sync(cSpec, graft.ops.Corpus.dataCardBatch(
-          half1, "source", "lang", "text", 1L), checkExisting = false)
-        eng.sync(fSpec, graft.ops.Corpus.dataCardFps(half1, "source", "text"),
-          checkExisting = false)
+        eng.syncBlindAll(cSpec, Seq(
+          graft.ops.Corpus.dataCardBatch(half0, "source", "lang", "text", 0L),
+          graft.ops.Corpus.dataCardBatch(half1, "source", "lang", "text", 1L)))
+        eng.syncBlindAll(fSpec, Seq(
+          graft.ops.Corpus.dataCardFps(half0, "source", "text"),
+          graft.ops.Corpus.dataCardFps(half1, "source", "text")))
         ()
        },
        () => graft.ops.Corpus.dataCardFold(
@@ -987,12 +996,10 @@ object SparkEntry {
       val half0 = docs.where(col("doc_id") % 2 === 0)
       val half1 = docs.where(col("doc_id") % 2 === 1)
       (() => {
-        eng.sync(pSpec, postings(half0), checkExisting = false)
-        eng.sync(sSpec, graft.ops.Corpus.bm25BatchStats(half0, "text", 0L),
-          checkExisting = false)
-        eng.sync(pSpec, postings(half1), checkExisting = false)
-        eng.sync(sSpec, graft.ops.Corpus.bm25BatchStats(half1, "text", 1L),
-          checkExisting = false)
+        eng.syncBlindAll(pSpec, Seq(postings(half0), postings(half1)))
+        eng.syncBlindAll(sSpec, Seq(
+          graft.ops.Corpus.bm25BatchStats(half0, "text", 0L),
+          graft.ops.Corpus.bm25BatchStats(half1, "text", 1L)))
         ()
        },
        () => {
@@ -1031,8 +1038,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "register")),
         epochUnit = Some("minute"), chunkMinutes = 64)
       (() => {
-        eng.sync(spec, regs(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, regs(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          regs(docs.where(col("doc_id") % 2 === 0)),
+          regs(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => graft.ops.Sketches.hllEstimate(
@@ -1055,8 +1063,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "row")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, cells(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, cells(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          cells(docs.where(col("doc_id") % 2 === 0)),
+          cells(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => graft.ops.Sketches.cmsPointReport(
@@ -1083,8 +1092,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "octave")),
         epochUnit = Some("minute"), chunkMinutes = 16)
       (() => {
-        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          hist(docs.where(col("doc_id") % 2 === 0)),
+          hist(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => graft.ops.Sketches.ddQuantiles(
@@ -1112,8 +1122,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, hist(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          hist(docs.where(col("doc_id") % 2 === 0)),
+          hist(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => graft.ops.Sketches.ddQuantilesByGroup(
@@ -1140,8 +1151,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, batch(ref.where(col("doc_id") % 4 === 0)), checkExisting = false)
-        eng.sync(spec, batch(ref.where(col("doc_id") % 4 === 2)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          batch(ref.where(col("doc_id") % 4 === 0)),
+          batch(ref.where(col("doc_id") % 4 === 2))))
         ()
        },
        () => graft.ops.TextStats.ngramNoveltyAgainstIndex(
@@ -1164,8 +1176,9 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, batch(docs.where(col("doc_id") % 2 === 0)), checkExisting = false)
-        eng.sync(spec, batch(docs.where(col("doc_id") % 2 === 1)), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          batch(docs.where(col("doc_id") % 2 === 0)),
+          batch(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
        () => graft.ops.Corpus.acPatternStatsFold(
@@ -1191,9 +1204,10 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "epoch")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        eng.sync(spec, batch(emb.where(col("vec_id") % 4 === 0), 0L), checkExisting = false)
-        eng.sync(spec, batch(emb.where(col("vec_id") % 4 === 2), 0L), checkExisting = false)
-        eng.sync(spec, batch(emb.where(col("vec_id") % 2 === 1), 1L), checkExisting = false)
+        eng.syncBlindAll(spec, Seq(
+          batch(emb.where(col("vec_id") % 4 === 0), 0L),
+          batch(emb.where(col("vec_id") % 4 === 2), 0L),
+          batch(emb.where(col("vec_id") % 2 === 1), 1L)))
         ()
        },
        () => SimilaritySearch.centroidDriftFromStats(
@@ -1225,12 +1239,13 @@ object SparkEntry {
         epochUnit = Some("minute"), chunkMinutes = 1)
       val (pSpec, wSpec) = (mSpec("bt_pairs"), mSpec("bt_wins"))
       (() => {
-        Seq(0, 1).foreach { half =>
+        val halves = Seq(0, 1).map { half =>
           val (pc, w) = graft.ops.Rlhf.btBattleCounts(
             battles.where(col("bid") % 2 === half), "w", "l", buckets = 8)
-          eng.sync(pSpec, pc.localCheckpoint(true), checkExisting = false)
-          eng.sync(wSpec, w.localCheckpoint(true), checkExisting = false)
+          (pc.localCheckpoint(true), w.localCheckpoint(true))
         }
+        eng.syncBlindAll(pSpec, halves.map(_._1))
+        eng.syncBlindAll(wSpec, halves.map(_._2))
         ()
        },
        () => graft.ops.Rlhf.bradleyTerryFromCounts(
@@ -1264,11 +1279,11 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "ep")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
-        Seq(0, 1).foreach { half =>
-          val c = graft.ops.Rlhf.eloBattleCounts(
+        eng.syncBlindAll(spec, Seq(0, 1).map { half =>
+          graft.ops.Rlhf.eloBattleCounts(
             battles.where(col("bid") % 2 === half), "ep", "w", "l")
-          eng.sync(spec, c.localCheckpoint(true), checkExisting = false)
-        }
+            .localCheckpoint(true)
+        })
         ()
        },
        () => graft.ops.Rlhf.eloFromCounts(

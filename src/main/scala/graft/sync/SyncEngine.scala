@@ -284,6 +284,28 @@ final class SyncEngine(spark: SparkSession, root: String,
     mintScope(spec, store, batch0) { syncBlindBody(spec, store, batch0) }
   }
 
+  /** Blind-append MANY ready batches through ONE storage envelope — the
+    * multi-batch form of `sync(check_existing=False)` (the reference's
+    * chunked sync loops the same insert path per chunk batch,
+    * core/Pipe/_sync.py:54,93). Blind appends are row-additive and
+    * order-independent, so the stored rows equal a sequential
+    * `syncBlind` per batch; what changes is the COST: the fixed
+    * job-ladder overhead (exists/schema/append/bookkeeping, ~1.3 s
+    * measured per envelope regardless of batch size) is paid once
+    * instead of `batches.size` times — the same ONE-job move that fixed
+    * the staged API upload. Batches of drifting width union by name
+    * (missing columns null-fill), mirroring what sequential appends
+    * would produce via schema evolution. NOT for diff/upsert syncs —
+    * those tag against the store between batches — nor for batches
+    * whose CONSTRUCTION reads this pipe's stored state (incremental CC,
+    * triangle deltas): those depend on the previous batch being applied
+    * and must stay sequential. */
+  def syncBlindAll(spec: PipeSpec, batches: Seq[DataFrame]): SyncResult = {
+    require(batches.nonEmpty, "syncBlindAll requires at least one batch")
+    sync(spec, batches.reduce(_.unionByName(_, allowMissingColumns = true)),
+      checkExisting = false)
+  }
+
   private def syncBlindBody(spec: PipeSpec, store: graft.storage.InstanceStore,
                             batch0: DataFrame): SyncResult = {
     val (batch, pendingMaxId) = prepareBatch(spec, store, batch0)
