@@ -43,6 +43,19 @@ object SparkEntry {
   private val OpqM  = 8
   private val OpqKs = 128
 
+  // graph-ANN (NSW/DiskANN shape, ops/GraphAnn) family configuration:
+  // 16 coarse cells seed build cohorts (2 cells/vector), degree cap 6,
+  // 8 src-hash buckets, beam = 4 entry points × ef 8 × 3 hops, top-10.
+  private val HnswCents   = 16
+  private val HnswNpBuild = 2
+  private val HnswM       = 6
+  private val HnswBuckets = 8
+  private val HnswEntries = 4
+  private val HnswEf      = 8
+  private val HnswHops    = 3
+  private val HnswK       = 10
+  private val HnswQids    = Seq(40L, 41L, 42L, 43L)
+
   // Aho–Corasick query patterns: nested ("scan" ⊃ "can" ⊃ "an") and
   // overlapping entries so the automaton's every-end-position semantics
   // are exercised, plus corpus words and never-hit strings
@@ -587,6 +600,61 @@ object SparkEntry {
         val probe = SimilaritySearch.ivfProbeCells(storedCents, rq, nProbe = 8)
         SimilaritySearch.pqTopK(eng.storage(spec).readIn(probe.map(_.toLong)),
           "vec_id", "rvec", "pq", rq, storedCbs, k = 10, rerank = 50)
+       })
+    }),
+
+    // Stored GRAPH-ANN index (the HNSW/DiskANN family, ops/GraphAnn) —
+    // completes the ANN story beyond the quantization ladder: a bounded-
+    // degree neighbor graph persists as a bucket-partitioned pipe (row =
+    // src → dst edge CARRYING dst's vector — DiskANN's co-located layout —
+    // plus a self-edge per node), and the probe is best-first beam search
+    // reading ONLY the frontier's bucket dirs per hop (≤ ef·(m+1) index
+    // rows, zero corpus files — GraphAnnSpec asserts it executionally).
+    // Incrementality: per-batch top-m lists are MERGEABLE (top-m(A∪B) =
+    // top-m(top-m(A)∪top-m(B))), so batch 2 appends its candidate lists —
+    // including BOTH directions of new↔old pairs, computed against vectors
+    // read back from the STORE's self-edges, never the corpus — and the
+    // per-src fold at read ≡ a full rebuild, which is exactly what the
+    // oracle replays (build + frontier evolution, hop by hop).
+    "q_hnsw_index_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
+        HnswCents)
+      def cellsOf(df: DataFrame) = graft.ops.GraphAnn.withBuildCells(
+        df, "vec_id", "embedding", cents, HnswNpBuild)
+      val root = java.nio.file.Files.createTempDirectory("graft_hnsw_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "hnsw_edges"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
+          cellsOf(emb.where(col("vec_id") % 2 === 0)), None,
+          HnswM, HnswBuckets), checkExisting = false)
+        // batch 2's old-side vectors come from the STORE (self-edges) —
+        // sequential by design: the increment reads batch 1's stored state
+        val oldCells = cellsOf(eng.getData(spec)
+          .where(col("src") === col("dst"))
+          .select(col("src").as("vec_id"), col("dvec").as("embedding")))
+        eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
+          cellsOf(emb.where(col("vec_id") % 2 === 1)), Some(oldCells),
+          HnswM, HnswBuckets), checkExisting = false)
+        ()
+       },
+       () => {
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head()
+          .getSeq[Double](0)
+        val store = eng.storage(spec)
+        def expand(frontier: Seq[Long]): Seq[(Long, Double)] = {
+          val rows = store.readIn(frontier.map(_ % HnswBuckets).distinct)
+            .where(col("src").isin(frontier: _*))
+          graft.ops.GraphAnn.expandFrom(
+            graft.ops.GraphAnn.foldAdjacency(rows, HnswM), q)(frontier)
+        }
+        val top = graft.ops.GraphAnn.beamSearch(expand,
+          (0L until HnswEntries.toLong).toSeq, HnswEf, HnswHops, HnswK)
+        s.createDataFrame(top).toDF("vec_id", "cosine")
        })
     }),
 
@@ -1994,6 +2062,76 @@ object SparkEntry {
       val q = graft.streaming.StreamingSync.run(eng, spec, stream, s"$root/ckpt",
         transform = df => Tables.naiveTimestamps(Tables.normalizeEventsTs(df)))
       q.awaitTermination()
+      eng.getData(spec)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("value"), col("props"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── §2.9 RESTART-RECOVERY e2e — the streaming failure mode a 100 TB
+    // ingest hits weekly (the reference's daemons restart jobs routinely,
+    // meerschaum/jobs/_Job.py:69+): a streaming sync KILLED mid-run must
+    // resume from its checkpoint — same query id, offset log continued —
+    // not reprocess from batch 0, and a file redelivered after the restart
+    // must dedup through the diff sink. Phase 1 drains a partial backlog
+    // (2 of 4 quarter files, one file per micro-batch) and is stopped from
+    // a SEPARATE thread as soon as its first batch commits — an in-flight
+    // kill raced against batch 2, not a clean drain. Phase 2 reuses the
+    // SAME checkpoint dir over a source that gained the remaining quarters
+    // PLUS a byte-identical re-upload of a phase-1 file under a new name
+    // (FileStreamSource tracks file NAMES, so the copy IS reprocessed).
+    // Whatever the kill landed on — batch 1 only, or both — the final
+    // table must equal the events table EXACTLY once. The checkpoint
+    // query-id/offset-log continuity is asserted in StreamingRestartSpec.
+    "q_streaming_restart_e2e" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("stream", "restart_e2e"),
+        columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "event_id")))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val ev = Tables.events(s, d) // ts already normalized to NTZ
+      def stageQuarter(i: Int, name: String): Unit = {
+        val tmp = s"$root/stage$i"
+        ev.where(pmod(col("event_id"), lit(4)) === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val f = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(s"$srcDir/$name"))
+      }
+      stageQuarter(0, "q0.parquet"); stageQuarter(1, "q1.parquet")
+      val schema = s.read.parquet(srcDir).schema
+      val ckpt = s"$root/ckpt"
+      def mkStream = graft.streaming.StreamingSync.parquetStream(
+        s, srcDir, schema, maxFilesPerTrigger = Some(1))
+      // phase 1: kill posted from a separate thread after the FIRST commit
+      val qRef = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.streaming.StreamingQuery]()
+      val stopOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q1 = graft.streaming.StreamingSync.run(eng, spec, mkStream, ckpt,
+        onBatch = _ => if (stopOnce.compareAndSet(false, true)) {
+          val t = new Thread(() => {
+            var q = qRef.get()
+            while (q == null) { Thread.sleep(5); q = qRef.get() }
+            q.stop()
+          }, "graft-restart-killer")
+          t.setDaemon(true); t.start()
+        })
+      qRef.set(q1)
+      // stop() surfaces as normal termination; a kill that catches batch 2
+      // mid-write may surface as a StreamingQueryException — both are the
+      // crash being simulated, so both fall through to the restart
+      try q1.awaitTermination()
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      // phase 2: the rest of the backlog + a redelivered phase-1 file,
+      // resumed from the SAME checkpoint dir
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$srcDir/q1.parquet"),
+        java.nio.file.Paths.get(s"$srcDir/q1_redelivered.parquet"))
+      stageQuarter(2, "q2.parquet"); stageQuarter(3, "q3.parquet")
+      val q2 = graft.streaming.StreamingSync.run(eng, spec, mkStream, ckpt)
+      q2.awaitTermination()
       eng.getData(spec)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
                 col("value"), col("props"))
@@ -5917,6 +6055,19 @@ object SparkEntry {
     // replays the full IVF+PQ pipeline.
     "q_ivfpq_index_sync" -> composed("q_ivfpq_index_sync"),
     "q_opq_index_sync" -> composed("q_opq_index_sync"),
+    "q_hnsw_index_sync" -> composed("q_hnsw_index_sync"),
+
+    // ── graph-ANN recall A/B: beam-search probe vs the IVF probe at
+    // comparable probe cost, both against the exact top-k — the
+    // (ef, hops, m) tuning gate for the stored graph index.
+    "q_hnsw_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
+        HnswCents)
+      graft.ops.GraphAnn.recallReport(emb, "vec_id", "embedding",
+        HnswQids, cents, HnswNpBuild, HnswM, HnswBuckets,
+        HnswEntries, HnswEf, HnswHops, HnswK, nProbeIvf = 2)
+    }),
 
     // ── LLM-pipeline: the trigram LM model maintained INCREMENTALLY as
     // three hash-bucketed count pipes (train = count, additive fold at
@@ -6696,6 +6847,12 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props
          FROM events ORDER BY event_id""",
 
+    // exactly-once across the kill/restart/redelivery: the final table is
+    // the events table, each row once — same oracle as the clean run
+    "q_streaming_restart_e2e" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+         FROM events ORDER BY event_id""",
+
     "q_streaming_dedup_e2e" ->
       """SELECT DISTINCT md5(lower(trim(text))) AS fp
          FROM documents ORDER BY fp""",
@@ -7235,6 +7392,19 @@ object SparkEntry {
           "embedding", dim = 64, m = OpqM, ks = OpqKs, nCentroids = 16,
           nProbe = 8, queryId = 0, k = 10, rerank = 50, r))
       .getOrElse("SELECT CAST(NULL AS BIGINT) AS opq_rotation_not_trained"),
+
+    "q_hnsw_index_sync" ->
+      graft.ops.GraphAnn.beamProbeOracleSql("embeddings", "vec_id",
+        "embedding", queryId = 0L, nCentroids = HnswCents,
+        nProbeBuild = HnswNpBuild, m = HnswM, nEntries = HnswEntries,
+        ef = HnswEf, hops = HnswHops, k = HnswK),
+
+    "q_hnsw_recall" ->
+      graft.ops.GraphAnn.recallOracleSql("embeddings", "vec_id", "embedding",
+        queryFilter = s"id IN (${HnswQids.mkString(", ")})",
+        nCentroids = HnswCents, nProbeBuild = HnswNpBuild, m = HnswM,
+        nEntries = HnswEntries, ef = HnswEf, hops = HnswHops, k = HnswK,
+        nProbeIvf = 2),
 
     "q_ann_recall" ->
       graft.ops.SimilaritySearch.annRecallOracleSql("embeddings", "vec_id",

@@ -1,0 +1,324 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Graph-based ANN — the navigable-neighbor-graph family (HNSW, Malkov &
+  * Yashunin 2018; DiskANN/Vamana, Subramanya et al. 2019) re-expressed for
+  * a shared-nothing engine, completing the ANN story next to the
+  * quantization ladder (IVF/SQ8/PQ/IVF+PQ/OPQ/ITQ in
+  * [[SimilaritySearch]]).
+  *
+  * The sequential-insertion hierarchy of the papers does not distribute;
+  * what does is the part production systems actually serve from — a
+  * bounded-degree neighbor graph probed by best-first beam search:
+  *
+  *   - **Build**: candidate pairs come from IVF cell COHORTS (each vector
+  *     joins its `nProbeBuild` nearest cells — the FAISS coarse quantizer
+  *     reused as the NN-descent seed), scored by exact cosine, and pruned
+  *     to each node's top-`m` neighbors. A SELF-edge per node co-locates
+  *     the node's own vector with its adjacency — DiskANN's layout trick,
+  *     which makes the probe read index rows ONLY.
+  *   - **Additive under blind-append**: per-batch top-`m` lists are
+  *     mergeable (top-m(A ∪ B) = top-m(top-m(A) ∪ top-m(B))), so
+  *     incremental batches append their candidate lists and the fold —
+  *     per-src top-`m` at read — equals a full rebuild. Cross-batch
+  *     navigability comes from emitting BOTH directions of new↔old pairs
+  *     (old nodes gain edges into the new region by append, never by
+  *     rewrite).
+  *   - **Probe**: best-first beam search — `hops` expansion rounds, each
+  *     reading ONLY the frontier's adjacency buckets (≤ ef·(m+1) index
+  *     rows per hop, partition-pruned `readIn`), exact cosine on carried
+  *     vectors (rerank is inherent — no quantization error to undo).
+  *     Driver state is the visited list: ≤ (entries + hops·ef)·(m+1)
+  *     (id, cosine) scalars, the bounded-collect discipline every stored
+  *     probe in this engine follows.
+  *
+  * Determinism: cosines are left-to-right double accumulation
+  * ([[VectorFns.cosine]] ≡ DuckDB `list_dot_product`), ties break to the
+  * lower id everywhere, and the frontier/visited evolution is a pure
+  * function of those — the DuckDB oracle replays build AND probe exactly.
+  */
+object GraphAnn {
+
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (id, __vec, cell) with one row per (vector, nearest-`nProbeBuild`
+    * cell) — the build-side cohort assignment, resolved IN-PLAN (argsort
+    * over typedLit centroid scores; no join, no per-row driver work).
+    * struct(-score, cell) under array_sort's lexicographic order ties to
+    * the lowest cell id, mirroring the IVF probes. */
+  def withBuildCells(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[Seq[Double]], nProbeBuild: Int): DataFrame = {
+    require(nProbeBuild >= 1 && nProbeBuild <= centroids.length)
+    val v = col(vecCol).cast("array<double>")
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-(VectorFns.dot(v, typedLit(c.toArray)) /
+        lit(math.sqrt(dotSeq(c, c))))).as("ns"), lit(i).as("cell"))
+    }: _*)
+    emb.select(col(idCol).cast("long").as("id"), v.as("__vec"),
+      explode(transform(slice(array_sort(scored), 1, nProbeBuild),
+        s => s.getField("cell").cast("long"))).as("cell"))
+  }
+
+  /** Directed candidate edges src→dst for every cohort pair with src in
+    * `a` and dst in `b` (call twice for both directions of a cross-batch
+    * increment). Pairs sharing several cells dedup BEFORE the cosine is
+    * computed. Output: (src, dst, dvec, cosine). */
+  def edgeCandidates(a: DataFrame, b: DataFrame): DataFrame = {
+    val x = a.select(col("id").as("src"), col("__vec").as("__sv"), col("cell"))
+    val y = b.select(col("id").as("dst"), col("__vec").as("dvec"), col("cell"))
+    x.join(y, Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("__sv"), col("dvec"))
+      .distinct()
+      .select(col("src"), col("dst"), col("dvec"),
+        VectorFns.cosine(col("__sv"), col("dvec")).as("cosine"))
+  }
+
+  /** Per-src top-`m` neighbor pruning (cosine desc, dst asc — the merge
+    * step of the additive index). The window is src-partitioned: key
+    * cardinality = |nodes|, per-key rows ≤ cohort size. */
+  def topM(cands: DataFrame, m: Int): DataFrame =
+    cands.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cosine").desc, col("dst"))))
+      .where(col("__rn") <= m).drop("__rn")
+
+  /** Self-edges (id→id carrying the node's own vector, cosine pinned to
+    * 1.0): the probe's vector storage AND every node's reachability seed. */
+  def selfEdges(cells: DataFrame): DataFrame =
+    cells.select(col("id").as("src"), col("id").as("dst"),
+      col("__vec").as("dvec"), lit(1.0).as("cosine")).distinct()
+
+  /** One build/increment batch of index rows: top-`m` candidates from the
+    * supplied direction pairs + self-edges for the batch's own nodes,
+    * bucketed by `src % buckets` for partition-pruned frontier reads. */
+  def edgeBatch(batchCells: DataFrame, otherCells: Option[DataFrame],
+                m: Int, buckets: Int): DataFrame = {
+    val cands = otherCells match {
+      case None => edgeCandidates(batchCells, batchCells)
+      case Some(old) =>
+        edgeCandidates(batchCells, batchCells)
+          .unionByName(edgeCandidates(batchCells, old))
+          .unionByName(edgeCandidates(old, batchCells))
+    }
+    topM(cands, m).unionByName(selfEdges(batchCells))
+      .withColumn("bucket", pmod(col("src"), lit(buckets.toLong)))
+  }
+
+  /** The read-side fold: per-src top-`m` among non-self rows (append-merge
+    * of per-batch lists) + the self rows. Fold ≡ rebuild by top-m
+    * mergeability — pinned in GraphAnnSpec. */
+  def foldAdjacency(rows: DataFrame, m: Int): DataFrame =
+    topM(rows.where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), col("dvec"), col("cosine")), m)
+      .unionByName(rows.where(col("src") === col("dst"))
+        .select(col("src"), col("dst"), col("dvec"), col("cosine"))
+        .distinct())
+
+  /** Best-first beam search over an adjacency accessor. `expand(frontier)`
+    * returns the DISTINCT (dst, cosine-to-query) rows of the frontier's
+    * folded adjacency — the stored probe backs it with a bucket-pruned
+    * `readIn`; in-memory callers back it with a filter. `hops` expansion
+    * rounds: round 1 expands the entry points, each later round the top-`ef`
+    * not-yet-expanded visited nodes. Returns the visited top-`k`
+    * (cosine desc, id asc). */
+  def beamSearch(expand: Seq[Long] => Seq[(Long, Double)],
+                 entries: Seq[Long], ef: Int, hops: Int,
+                 k: Int): Seq[(Long, Double)] = {
+    require(hops >= 1 && ef >= 1 && k >= 1)
+    val visited = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    var expanded = entries.toSet
+    var frontier = entries
+    for (_ <- 1 to hops) {
+      if (frontier.nonEmpty)
+        expand(frontier).foreach { case (id, c) =>
+          if (!visited.contains(id)) visited.put(id, c) else ()
+        }
+      val next = visited.toSeq
+        .sortBy { case (id, c) => (-c, id) }
+        .iterator.map(_._1).filterNot(expanded.contains).take(ef).toSeq
+      expanded ++= next
+      frontier = next
+    }
+    visited.toSeq.sortBy { case (id, c) => (-c, id) }.take(k)
+  }
+
+  /** Frontier expansion against a folded adjacency frame: score each dst
+    * once against the query. Bounded: |frontier|·(m+1) rows in, ≤ that
+    * many (dst, cosine) scalars out. */
+  def expandFrom(adj: DataFrame, query: Seq[Double])(frontier: Seq[Long]): Seq[(Long, Double)] =
+    adj.where(col("src").isin(frontier: _*))
+      .select(col("dst"), col("dvec")).distinct()
+      .select(col("dst"), VectorFns.cosineToQuery(col("dvec"), query).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** DuckDB CTEs shared by the probe and recall oracles: `e` (vectors),
+    * `cents` (the lowest-`nCentroids` ids — [[SimilaritySearch.sampleCentroids]]),
+    * `asg` (top-`nProbeBuild` cells per vector), `adj` (the REBUILT
+    * top-`m`+self adjacency — ≡ the engine's fold of appended batches). */
+  private def adjacencyCtes(table: String, idCol: String, vecCol: String,
+                            nCentroids: Int, nProbeBuild: Int,
+                            m: Int): String =
+    s"""e AS (SELECT CAST($idCol AS BIGINT) AS id, CAST($vecCol AS DOUBLE[]) AS ev FROM $table),
+       cents AS (SELECT id AS ccid, ev AS cvec FROM e WHERE id < $nCentroids),
+       asg AS (
+         SELECT id, ev, ccid AS cell FROM (
+           SELECT e.id, e.ev, c.ccid,
+             row_number() OVER (PARTITION BY e.id
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn <= $nProbeBuild),
+       pairs AS (
+         SELECT DISTINCT x.id AS src, y.id AS dst, x.ev AS sv, y.ev AS dv
+         FROM asg x JOIN asg y USING (cell) WHERE x.id <> y.id),
+       scored AS (
+         SELECT src, dst, dv,
+           list_dot_product(sv, dv) /
+             (sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(dv, dv))) AS cosine
+         FROM pairs),
+       adj AS (
+         SELECT src, dst, dv FROM (
+           SELECT src, dst, dv,
+             row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+           FROM scored) WHERE rn <= $m
+         UNION ALL
+         SELECT DISTINCT id AS src, id AS dst, ev AS dv FROM e)"""
+
+  /** Beam-search CTEs for queries in `qs(qid, qv)`: per-qid frontier
+    * evolution with `hops` expansion rounds (hops ∈ {2, 3} supported — the
+    * unrolled-CTE form the oracle needs). Terminal relation `vis` holds
+    * (qid, dst, c) for every visited node. */
+  private def beamCtes(nEntries: Int, ef: Int, hops: Int): String = {
+    require(hops == 2 || hops == 3, "oracle unrolls 2 or 3 hops")
+    val sq = """sc AS (
+         SELECT q.qid, a.src, a.dst,
+           list_dot_product(a.dv, q.qv) /
+             (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
+         FROM adj a, qs q)"""
+    val hop23 = s"""
+       v1 AS (SELECT DISTINCT qid, dst, c FROM sc WHERE src < $nEntries),
+       x1 AS (SELECT qid, dst FROM (
+           SELECT qid, dst, row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS rn
+           FROM v1 WHERE dst >= $nEntries) WHERE rn <= $ef),
+       v2 AS (SELECT DISTINCT qid, dst, c FROM (
+           SELECT qid, dst, c FROM v1
+           UNION ALL
+           SELECT s.qid, s.dst, s.c FROM sc s JOIN x1 ON x1.qid = s.qid AND x1.dst = s.src))"""
+    val hop3 = s"""
+       x2 AS (SELECT qid, dst FROM (
+           SELECT v2.qid, v2.dst, row_number() OVER (PARTITION BY v2.qid ORDER BY v2.c DESC, v2.dst) AS rn
+           FROM v2
+           WHERE v2.dst >= $nEntries
+             AND NOT EXISTS (SELECT 1 FROM x1 WHERE x1.qid = v2.qid AND x1.dst = v2.dst))
+         WHERE rn <= $ef),
+       v3 AS (SELECT DISTINCT qid, dst, c FROM (
+           SELECT qid, dst, c FROM v2
+           UNION ALL
+           SELECT s.qid, s.dst, s.c FROM sc s JOIN x2 ON x2.qid = s.qid AND x2.dst = s.src))"""
+    if (hops == 2) s"$sq, $hop23, vis AS (SELECT qid, dst, c FROM v2)"
+    else s"$sq, $hop23, $hop3, vis AS (SELECT qid, dst, c FROM v3)"
+  }
+
+  /** Oracle for a stored-graph beam probe of ONE query id: full rebuild of
+    * the adjacency + the exact frontier replay. */
+  def beamProbeOracleSql(table: String, idCol: String, vecCol: String,
+                         queryId: Long, nCentroids: Int, nProbeBuild: Int,
+                         m: Int, nEntries: Int, ef: Int, hops: Int,
+                         k: Int): String =
+    s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m)},
+       qs AS (SELECT id AS qid, ev AS qv FROM e WHERE id = $queryId),
+       ${beamCtes(nEntries, ef, hops)}
+       SELECT dst AS $idCol, c AS cosine FROM vis
+       ORDER BY c DESC, dst LIMIT $k"""
+
+  /** Recall@k A/B — the graph probe vs the IVF probe at comparable probe
+    * cost, both against the exact top-k (the (ef, hops, m) tuning gate,
+    * mirroring [[SimilaritySearch.annRecallReport]]). One row per query:
+    * (qid, k_exact, hnsw_hits, hnsw_recall_micro, ivf_hits,
+    * ivf_recall_micro). */
+  def recallReport(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], centroids: Seq[Seq[Double]],
+                   nProbeBuild: Int, m: Int, buckets: Int,
+                   nEntries: Int, ef: Int, hops: Int,
+                   k: Int, nProbeIvf: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val cells = withBuildCells(emb, idCol, vecCol, centroids, nProbeBuild)
+    val adj = foldAdjacency(edgeBatch(cells, None, m, buckets), m)
+      .localCheckpoint(true) // expanded `hops` times per query
+    val entries = (0L until nEntries.toLong).toSeq
+    val rows = queryIds.sorted.map { qid =>
+      val q = emb.where(col(idCol) === qid)
+        .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
+      val beam = beamSearch(expandFrom(adj, q), entries, ef, hops, k)
+        .map(_._1).toSet
+      val exact = SimilaritySearch.bruteForceTopK(emb, idCol, vecCol, q, k)
+        .select(col(idCol)).collect().map(_.getLong(0)).toSeq
+      val ivf = SimilaritySearch.ivfTopK(
+          SimilaritySearch.withIvfCell(emb, vecCol, centroids, "cell"),
+          idCol, vecCol, "cell", q, centroids, k, nProbeIvf)
+        .select(col(idCol)).collect().map(_.getLong(0)).toSet
+      val hHits = exact.count(beam.contains).toLong
+      val iHits = exact.count(ivf.contains).toLong
+      (qid, exact.size.toLong, hHits, hHits * 1000000L / exact.size,
+        iHits, iHits * 1000000L / exact.size)
+    }
+    import spark.implicits._
+    rows.toDF("qid", "k_exact", "hnsw_hits", "hnsw_recall_micro",
+      "ivf_hits", "ivf_recall_micro")
+  }
+
+  /** Oracle replaying [[recallReport]]: exact top-k, the IVF probe, and the
+    * beam replay, per query id in `queryFilter`. */
+  def recallOracleSql(table: String, idCol: String, vecCol: String,
+                      queryFilter: String, nCentroids: Int, nProbeBuild: Int,
+                      m: Int, nEntries: Int, ef: Int, hops: Int,
+                      k: Int, nProbeIvf: Int): String =
+    s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m)},
+       qs AS (SELECT id AS qid, ev AS qv FROM e WHERE $queryFilter),
+       ${beamCtes(nEntries, ef, hops)},
+       beam AS (SELECT qid, dst FROM (
+           SELECT qid, dst, row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS rn
+           FROM vis) WHERE rn <= $k),
+       exact AS (SELECT qid, id FROM (
+           SELECT q.qid, e.id,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(e.ev, q.qv) /
+                 (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.id) AS rn
+           FROM e, qs q) WHERE rn <= $k),
+       icell AS (SELECT id, ccid AS cell FROM (
+           SELECT e.id, c.ccid,
+             row_number() OVER (PARTITION BY e.id
+               ORDER BY list_dot_product(e.ev, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM e, cents c) WHERE rn = 1),
+       qcell AS (SELECT qid, qv, ccid AS cell FROM (
+           SELECT q.qid, q.qv, c.ccid,
+             row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qv, c.cvec) / sqrt(list_dot_product(c.cvec, c.cvec)) DESC, c.ccid) AS rn
+           FROM qs q, cents c) WHERE rn <= $nProbeIvf),
+       ivf AS (SELECT qid, id FROM (
+           SELECT qc.qid, e.id,
+             row_number() OVER (PARTITION BY qc.qid
+               ORDER BY list_dot_product(e.ev, qc.qv) /
+                 (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(qc.qv, qc.qv))) DESC, e.id) AS rn
+           FROM qcell qc JOIN icell a USING (cell) JOIN e ON e.id = a.id) WHERE rn <= $k),
+       hh AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS hnsw_hits
+              FROM exact x JOIN beam b ON b.qid = x.qid AND b.dst = x.id GROUP BY 1),
+       ih AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS ivf_hits
+              FROM exact x JOIN ivf v ON v.qid = x.qid AND v.id = x.id GROUP BY 1),
+       ke AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_exact FROM exact GROUP BY 1)
+       SELECT ke.qid, ke.k_exact,
+         COALESCE(hh.hnsw_hits, 0) AS hnsw_hits,
+         COALESCE(hh.hnsw_hits, 0) * 1000000 // ke.k_exact AS hnsw_recall_micro,
+         COALESCE(ih.ivf_hits, 0) AS ivf_hits,
+         COALESCE(ih.ivf_hits, 0) * 1000000 // ke.k_exact AS ivf_recall_micro
+       FROM ke LEFT JOIN hh USING (qid) LEFT JOIN ih USING (qid)
+       ORDER BY ke.qid"""
+}
