@@ -14,6 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation {
 
+  /** Boundary guard for the |distinct value| window family (AUC / FPR
+    * threshold / Spearman / KS): their single allowlisted rank window is
+    * bounded ONLY because the signal is discrete (micro-quantized
+    * integers throughout this engine). A CONTINUOUS double signal would
+    * make |distinct| ≈ N and collapse that window to one partition at
+    * scale — or, where the operator casts to long, silently truncate the
+    * signal to garbage. Fail LOUDLY at the boundary instead: schema-only
+    * check, no extra job. */
+  private[ops] def requireDiscrete(df: DataFrame, valueCol: Column,
+                                   op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val t = df.select(valueCol).schema.head.dataType
+    val ok = t match {
+      case ByteType | ShortType | IntegerType | LongType
+         | BooleanType | DateType | StringType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(ok, s"$op: signal column has continuous type $t — the rank " +
+      "window is bounded by the signal's |distinct| domain, which a " +
+      "continuous signal collapses to one partition at scale. " +
+      "Micro-quantize first (e.g. floor(x * 1e6) cast to LONG).")
+  }
+
   /** Exact ROC AUC of an integer-valued score against a binary label, with
     * the standard average-rank tie treatment (equivalent to the
     * Mann-Whitney U statistic): AUC = (Σ_pos rank − P(P+1)/2) / (P·N).
@@ -32,6 +56,7 @@ object Evaluation {
     * Output: ONE row (p, n, auc_micro); auc_micro is null when either
     * class is absent. */
   def signalAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    requireDiscrete(df, col(scoreCol), "signalAuc")
     val g = df.groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("cnt"),
         sum(col(labelCol).cast("long")).as("pos"))
@@ -87,6 +112,7 @@ object Evaluation {
     * Output one row per group; auc_micro null where a class is absent. */
   def signalAucByGroup(df: DataFrame, groupCol: String, labelCol: String,
                        scoreCol: String): DataFrame = {
+    requireDiscrete(df, col(scoreCol), "signalAucByGroup")
     val g = df.groupBy(col(groupCol).as("grp"), col(scoreCol).as("score"))
       .agg(count(lit(1)).as("cnt"),
         sum(col(labelCol).cast("long")).as("pos"))
@@ -743,6 +769,7 @@ object Evaluation {
                    alphaMicro: Long): DataFrame = {
     require(alphaMicro >= 0L && alphaMicro <= 1000000L,
       "alphaMicro must be in [0, 1e6]")
+    requireDiscrete(df, col(scoreCol), "fprThreshold")
     val g = df.groupBy(col(scoreCol).as("score"))
       .agg(count(lit(1)).as("cnt"), sum(col(labelCol).cast("long")).as("pos"))
     val w = Window.orderBy(col("score").desc)
@@ -1694,6 +1721,8 @@ object Evaluation {
     * moment aggregate; windows touch only the bounded value grids. */
   def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireDiscrete(df, col(xCol), "spearmanRho(x)")
+    requireDiscrete(df, col(yCol), "spearmanRho(y)")
     val rows = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y")).localCheckpoint(true)
     def rankTable(c: String) = {

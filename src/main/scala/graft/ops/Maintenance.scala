@@ -397,14 +397,17 @@ object Maintenance {
     * persist as a pipe and later snapshots compare against the STORE
     * without re-reading the baseline corpus (the psi_drift_stored
     * shape). */
-  def ksValueCounts(a: DataFrame, valueCol: Column): DataFrame =
+  def ksValueCounts(a: DataFrame, valueCol: Column): DataFrame = {
+    Evaluation.requireDiscrete(a, valueCol, "ksValueCounts")
     a.select(valueCol.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("ca"))
+  }
 
   /** [[ksDrift]] against a STORED baseline count table (v, ca). */
   def ksDriftFromCounts(baselineCounts: DataFrame, b: DataFrame,
                         valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Evaluation.requireDiscrete(b, valueCol, "ksDriftFromCounts")
     val ca = baselineCounts.select(col("v"), col("ca"))
     val cb = b.select(valueCol.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cb"))

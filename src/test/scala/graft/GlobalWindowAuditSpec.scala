@@ -83,4 +83,27 @@ class GlobalWindowAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       "unpartitioned windows on analytic paths:\n" + offenders.mkString("\n"))
   }
+
+  // The |distinct value| allowlist entries above hold ONLY because the
+  // engine's signals are discrete (micro-quantized integers). A continuous
+  // double signal would make |distinct| ≈ N and collapse those windows to
+  // one partition at scale — the boundary guard must reject it LOUDLY.
+  test("continuous double signals are rejected at the window-family boundary") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 100).select(col("id"),
+      (col("id") % 2).cast("int").as("label"),
+      (col("id").cast("double") / 7.0).as("score"))
+    def rejects(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("Micro-quantize"), e.getMessage)
+    }
+    rejects(graft.ops.Evaluation.signalAuc(df, "label", "score"))
+    rejects(graft.ops.Evaluation.signalAucByGroup(df, "label", "label", "score"))
+    rejects(graft.ops.Evaluation.fprThreshold(df, "label", "score", 100000L))
+    rejects(graft.ops.Evaluation.spearmanRho(df, "id", "score"))
+    rejects(graft.ops.Maintenance.ksValueCounts(df, col("score")))
+    // the quantized form passes the boundary
+    val q = df.withColumn("score", floor(col("score") * 1e6).cast("long"))
+    assert(graft.ops.Evaluation.signalAuc(q, "label", "score").count() == 1L)
+  }
 }
