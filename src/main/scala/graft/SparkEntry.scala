@@ -6057,6 +6057,24 @@ object SparkEntry {
     "q_opq_index_sync" -> composed("q_opq_index_sync"),
     "q_hnsw_index_sync" -> composed("q_hnsw_index_sync"),
 
+    // ── BATCHED graph-ANN probe — the production shape: N query vectors
+    // advance their beam frontiers together, one equi-join + one qid-keyed
+    // rank window per hop (never a per-query driver loop), exact cosine
+    // inherent. The oracle replays the per-qid frontier evolution.
+    "q_hnsw_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
+        HnswCents)
+      val cells = graft.ops.GraphAnn.withBuildCells(emb, "vec_id", "embedding",
+        cents, HnswNpBuild)
+      val adj = graft.ops.GraphAnn.foldAdjacency(
+        graft.ops.GraphAnn.edgeBatch(cells, None, HnswM, HnswBuckets), HnswM)
+      graft.ops.GraphAnn.beamSearchBatch(adj,
+          emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          HnswEntries, HnswEf, HnswHops, HnswK)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ── graph-ANN recall A/B: beam-search probe vs the IVF probe at
     // comparable probe cost, both against the exact top-k — the
     // (ef, hops, m) tuning gate for the stored graph index.
@@ -7396,6 +7414,12 @@ object SparkEntry {
     "q_hnsw_index_sync" ->
       graft.ops.GraphAnn.beamProbeOracleSql("embeddings", "vec_id",
         "embedding", queryId = 0L, nCentroids = HnswCents,
+        nProbeBuild = HnswNpBuild, m = HnswM, nEntries = HnswEntries,
+        ef = HnswEf, hops = HnswHops, k = HnswK),
+
+    "q_hnsw_batch" ->
+      graft.ops.GraphAnn.beamBatchOracleSql("embeddings", "vec_id",
+        "embedding", queryFilter = "id % 100 = 0", nCentroids = HnswCents,
         nProbeBuild = HnswNpBuild, m = HnswM, nEntries = HnswEntries,
         ef = HnswEf, hops = HnswHops, k = HnswK),
 

@@ -161,6 +161,74 @@ object GraphAnn {
       .select(col("dst"), VectorFns.cosineToQuery(col("dvec"), query).as("c"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  /** BATCHED beam search — the production probe shape: N query vectors
+    * advance their frontiers together, one distributed plan per hop (equi-
+    * join frontier⋈adjacency on the node id, broadcast query side, one
+    * qid-keyed rank window per round — never a per-query driver loop, so
+    * the query side scales to millions of rows). Frontier evolution is the
+    * EXACT batch form of [[beamSearch]]: round 1 expands the entry points,
+    * each later round the per-query top-`ef` visited nodes not yet
+    * expanded; entry ids are 0..nEntries-1 by convention (the `dst >=
+    * nEntries` filter is the expanded-set seed, mirroring the oracle).
+    * Each round's visited set localCheckpoints — `hops` is small and the
+    * lineage would otherwise double per round. Output: (qid, id, cosine,
+    * rank ≤ k). */
+  def beamSearchBatch(adj: DataFrame, queries: DataFrame,
+                      qidCol: String, qvecCol: String,
+                      nEntries: Int, ef: Int, hops: Int, k: Int): DataFrame = {
+    val qs = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv"))
+    val edges = adj.select(col("src"), col("dst"), col("dvec"))
+    def expand(frontier: DataFrame): DataFrame =
+      frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("qid"), col("dst")).distinct()
+        .join(broadcast(qs), Seq("qid"))
+        .join(edges.select(col("dst"), col("dvec")).distinct(), Seq("dst"))
+        .select(col("qid"), col("dst"),
+          VectorFns.cosine(col("dvec"), col("__qv")).as("c"))
+    def topEf(visited: DataFrame, expanded: DataFrame): DataFrame =
+      visited.where(col("dst") >= nEntries)
+        .join(expanded, Seq("qid", "dst"), "left_anti")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("c").desc, col("dst"))))
+        .where(col("__rn") <= ef)
+        .select(col("qid"), col("dst").as("node"))
+    var frontier = qs.select(col("qid"))
+      .crossJoin(broadcast(
+        adj.sparkSession.range(0, nEntries.toLong).select(col("id").as("node"))))
+    var visited = expand(frontier).localCheckpoint(true)
+    var expanded = frontier.select(col("qid"), col("node").as("dst"))
+    for (_ <- 2 to hops) {
+      frontier = topEf(visited, expanded)
+      expanded = expanded.unionByName(
+        frontier.select(col("qid"), col("node").as("dst")))
+      visited = visited.unionByName(expand(frontier))
+        .groupBy(col("qid"), col("dst")).agg(max(col("c")).as("c"))
+        .localCheckpoint(true)
+    }
+    visited.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("c").desc, col("dst"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("dst").as("id"), col("c").as("cosine"),
+        col("rank"))
+  }
+
+  /** Oracle replaying [[beamSearchBatch]] for all queries in `queryFilter`
+    * (the beam CTEs are already per-qid). */
+  def beamBatchOracleSql(table: String, idCol: String, vecCol: String,
+                         queryFilter: String, nCentroids: Int,
+                         nProbeBuild: Int, m: Int, nEntries: Int, ef: Int,
+                         hops: Int, k: Int): String =
+    s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m)},
+       qs AS (SELECT id AS qid, ev AS qv FROM e WHERE $queryFilter),
+       ${beamCtes(nEntries, ef, hops)}
+       SELECT qid, dst AS id, c AS cosine,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS INT) AS rank
+       FROM vis
+       QUALIFY rank <= $k
+       ORDER BY qid, rank"""
+
   /** DuckDB CTEs shared by the probe and recall oracles: `e` (vectors),
     * `cents` (the lowest-`nCentroids` ids — [[SimilaritySearch.sampleCentroids]]),
     * `asg` (top-`nProbeBuild` cells per vector), `adj` (the REBUILT

@@ -411,17 +411,62 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   private def withChunk(df: DataFrame): DataFrame =
     if (partitioned) df.withColumn(PartCol, chunkExpr) else df
 
+  // ── schema-cache plumbing (see companion Scaladoc) ─────────────────────
+
+  private def stripPart(s: org.apache.spark.sql.types.StructType) =
+    // file sources treat every column as nullable on read; mirror that in
+    // the cached schema (asNullable is private[sql])
+    org.apache.spark.sql.types.StructType(
+      s.filterNot(_.name == PartCol).map(_.copy(nullable = true)))
+
+  /** Open table parquet: explicit cached schema when known (NO footer-merge
+    * job), mergeSchema inference otherwise. `cacheable` marks opens that
+    * span the WHOLE table (dataPath / all segments) — only those may
+    * populate the cache, a subset's inferred schema could miss columns
+    * that live in other chunks. With an explicit schema, Spark's partition
+    * discovery still appends `__graft_chunk` for partitioned layouts, so
+    * downstream drop/filter code is unchanged. */
+  private def openData(paths: Seq[String], cacheable: Boolean): DataFrame =
+    PipeStorage.schemaCacheGet(basePath) match {
+      case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
+      case None =>
+        val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        if (cacheable) PipeStorage.schemaCachePut(basePath, stripPart(df.schema))
+        df
+    }
+
+  /** Post-write cache maintenance: `replace` for full rewrites, merge for
+    * row additions — a batch may ADD columns (schema evolution appends
+    * typed nulls); a same-name TYPE change out-of-band invalidates so the
+    * next read re-infers (engine-level promotion goes through overwrite,
+    * which replaces). */
+  private def recordWrittenSchema(s: org.apache.spark.sql.types.StructType,
+                                  replace: Boolean): Unit = {
+    val incoming = stripPart(s)
+    if (replace) PipeStorage.schemaCachePut(basePath, incoming)
+    else PipeStorage.schemaCacheGet(basePath).foreach { cur =>
+      val conflict = incoming.exists(f =>
+        cur.find(_.name == f.name).exists(_.dataType != f.dataType))
+      if (conflict) PipeStorage.invalidateSchema(basePath)
+      else {
+        val added = incoming.filterNot(f => cur.exists(_.name == f.name))
+        if (added.nonEmpty) PipeStorage.schemaCachePut(basePath,
+          org.apache.spark.sql.types.StructType(cur.fields ++ added))
+      }
+    }
+  }
+
   /** Current table contents (partition column dropped). mergeSchema tolerates
     * files written before a schema-evolution step and across snapshot
     * segments of different widths. */
   override def read: DataFrame = {
     ensureRecovered()
     if (partitioned)
-      spark.read.option("mergeSchema", "true").parquet(dataPath).drop(PartCol)
+      openData(Seq(dataPath), cacheable = true).drop(PartCol)
     else {
       val dirs = segDirs
       require(dirs.nonEmpty, s"pipe ${spec.targetName} does not exist")
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      openData(dirs, cacheable = true)
     }
   }
 
@@ -464,7 +509,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       end.foreach(e => df = df.where(if (endInclusive) col(dt) <= lit(e) else col(dt) < lit(e)))
       return df
     }
-    val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val df = openData(Seq(dataPath), cacheable = true)
     val partC: Column =
       if (spec.epochUnit.isDefined) col(PartCol).cast("long") else col(PartCol)
     def labelLit(v: Any): Column =
@@ -490,7 +535,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     val dt = dtCol.getOrElse(
       throw new IllegalArgumentException("readIn requires a datetime axis"))
     if (values.isEmpty) return read.where(lit(false))
-    val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val df = openData(Seq(dataPath), cacheable = true)
     val labels = values.map(chunkLabelOf).distinct
     val pred =
       if (spec.epochUnit.isDefined)
@@ -502,7 +547,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   /** Read only the partitions matching a chunk-value list — parquet partition
     * pruning keeps this proportional to the window, not the table. */
   private def readChunks(chunks: Seq[String], includeNullChunk: Boolean): DataFrame = {
-    val df   = spark.read.option("mergeSchema", "true").parquet(dataPath)
+    val df   = openData(Seq(dataPath), cacheable = true)
     val pred = {
       val in = if (chunks.nonEmpty) col(PartCol).isin(chunks: _*) else lit(false)
       if (includeNullChunk) in || col(PartCol).isNull else in
@@ -530,6 +575,13 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     withWriteLease { write(df, firstVersion = false, cluster = true) }
 
   private def write(df: DataFrame, firstVersion: Boolean, cluster: Boolean): Unit = {
+    writeBody(df, firstVersion, cluster)
+    // AFTER the data lands: a failed promotion rewrite must not leave a
+    // cache entry whose types disagree with the (recovered) old files
+    recordWrittenSchema(df.schema, replace = true)
+  }
+
+  private def writeBody(df: DataFrame, firstVersion: Boolean, cluster: Boolean): Unit = {
     if (partitioned) {
       // Write to a temp dir first, then swap: the incoming plan may lazily
       // read the files being replaced (e.g. a schema-evolution rewrite), and
@@ -562,6 +614,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   }
 
   override def append(df: DataFrame): Unit = { withWriteLease {
+    recordWrittenSchema(df.schema, replace = false)
     if (partitioned)
       withChunk(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(s"$basePath/data")
     else {
@@ -589,6 +642,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
              strayScan: StrayScan = StrayScan.Full): Unit = { withWriteLease {
     require(keys.nonEmpty, "upsert requires key columns")
     if (!exists) { create(patch); return }
+    recordWrittenSchema(patch.schema, replace = false)
     if (partitioned) {
       val p = withChunk(patch).cache()
       try {
@@ -670,7 +724,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       // rewrites the few segments its keys live in.
       val segs = segDirs
       val pk   = patch.select(keys.map(col): _*).distinct()
-      val withSeg = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+      val withSeg = openData(segs, cacheable = true)
         .withColumn("__seg", regexp_extract(input_file_name(), "/(seg_[0-9]+)/[^/]+$", 1))
       val kcScan = keys.map { k =>
         if (spec.nullIndices) withSeg(k) <=> pk(k) else withSeg(k) === pk(k)
@@ -682,8 +736,8 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       val merged =
         if (affected.isEmpty) patch
         else {
-          val cur = spark.read.option("mergeSchema", "true")
-            .parquet(affected.toSeq.map(n => s"$basePath/$n"): _*)
+          val cur = openData(affected.toSeq.map(n => s"$basePath/$n"),
+            cacheable = false)
           val cond = keys.map { k =>
             if (spec.nullIndices) cur(k) <=> patch(k) else cur(k) === patch(k)
           }.reduce(_ && _)
@@ -722,7 +776,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
             boundHi: Option[Any] = None): Unit = { withWriteLease {
     if (!exists) return
     if (partitioned) {
-      val df = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
+      val df = openData(Seq(s"$basePath/data"), cacheable = true)
       val partC: Column =
         if (spec.epochUnit.isDefined) col(PartCol).cast("long") else col(PartCol)
       def labelLit(v: Any): Column =
@@ -748,14 +802,14 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       // segment-pruned clear: only the segments holding matching rows
       // rewrite (minus the cleared rows); the rest carry over untouched
       val segs = segDirs
-      val withSeg = spark.read.option("mergeSchema", "true").parquet(segs: _*)
+      val withSeg = openData(segs, cacheable = true)
         .withColumn("__seg", regexp_extract(input_file_name(), "/(seg_[0-9]+)/[^/]+$", 1))
       val affected = withSeg.where(predicate)
         .select("__seg").distinct().collect().map(_.getString(0)).toSet
       if (affected.isEmpty) return
       val untouched = segs.map(_.split('/').last).filterNot(affected.contains)
-      val kept = spark.read.option("mergeSchema", "true")
-        .parquet(affected.toSeq.map(n => s"$basePath/$n"): _*)
+      val kept = openData(affected.toSeq.map(n => s"$basePath/$n"),
+          cacheable = false)
         .where(!(predicate <=> lit(true))) // NULL-evaluating rows are KEPT
       appendSegment(kept, untouched)
     }
@@ -780,7 +834,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     if (!exists) return 0L
     val order = if (orderBy.nonEmpty) orderBy else keys
     if (partitioned) {
-      val df = spark.read.option("mergeSchema", "true").parquet(dataPath)
+      val df = openData(Seq(dataPath), cacheable = true)
       // narrow pre-pass: find duplicate KEYS and the chunks holding their
       // rows with a keys+chunk-label projection (column-pruned scan, map-side
       // combined hash agg) — the table-wide shuffle carries key columns, not
@@ -840,6 +894,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * then removes the lock, and the empty basePath goes last (best-effort —
     * a racing re-create simply wins). */
   override def drop(): Unit = {
+    PipeStorage.invalidateSchema(basePath)
     val base = new Path(basePath)
     if (!fs.exists(base)) return
     withWriteLease {
@@ -860,7 +915,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   override def compact(): Unit = { withWriteLease {
     if (!exists) return
     if (partitioned) {
-      val df  = spark.read.option("mergeSchema", "true").parquet(s"$basePath/data")
+      val df  = openData(Seq(s"$basePath/data"), cacheable = true)
       val tmp = new Path(s"$basePath/.compact_tmp")
       df.repartition(col(PartCol))
         .write.mode(SaveMode.Overwrite).partitionBy(PartCol).parquet(tmp.toString)
@@ -1015,7 +1070,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       if (spec.epochUnit.isDefined) Ordering.by((s: String) => s.toLong)
       else Ordering.String
     val pick = if (newest) labels.max(ord) else labels.min(ord)
-    Some(spark.read.option("mergeSchema", "true").parquet(dataPath)
+    Some(openData(Seq(dataPath), cacheable = true)
       .where(col(PartCol) === pick))
   }
 
@@ -1046,6 +1101,27 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
 object PipeStorage {
   /** Identifies this JVM in lease files (diagnostics only). */
   private[graft] val ownerId = java.util.UUID.randomUUID().toString
+
+  /** Process-wide DATA-file schema per table root (no partition column) —
+    * the ApiStore move applied to the parquet backend. Every
+    * `mergeSchema=true` open runs a footer-merge Spark job at DataFrame
+    * CREATION time; with 3-6 table opens per sync envelope that job was
+    * most of the measured ~1.3 s fixed per-sync cost (and it recurs per
+    * STREAMING micro-batch). The cache turns those opens into
+    * `spark.read.schema(...)` — zero jobs. Coherence: every mutation
+    * through this class updates or invalidates the entry (create/
+    * overwrite replace, append/upsert merge-or-invalidate, drop removes);
+    * a writer in ANOTHER process is already outside the single-writer
+    * lease model, and a reader that must see foreign schema changes calls
+    * [[invalidateSchema]] — the `REFRESH TABLE` analog. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  def invalidateSchema(basePath: String): Unit = { schemaCache.remove(basePath); () }
+  private[storage] def schemaCacheGet(basePath: String): Option[org.apache.spark.sql.types.StructType] =
+    Option(schemaCache.get(basePath))
+  private[storage] def schemaCachePut(basePath: String, s: org.apache.spark.sql.types.StructType): Unit = {
+    schemaCache.put(basePath, s); ()
+  }
   /** How long acquire spins before failing loudly / when a lease counts as
     * abandoned. Test-adjustable. */
   @volatile private[graft] var leaseAcquireTimeoutMs: Long = 60000L
