@@ -628,9 +628,12 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       (() => {
+        // truncate each edge batch ONCE: the sync envelope legitimately
+        // runs several actions over a batch (envelope, write, inference)
+        // and would otherwise re-run the cohort join + top-m per action
         eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
           cellsOf(emb.where(col("vec_id") % 2 === 0)), None,
-          HnswM, HnswBuckets), checkExisting = false)
+          HnswM, HnswBuckets).localCheckpoint(true), checkExisting = false)
         // batch 2's old-side vectors come from the STORE (self-edges) —
         // sequential by design: the increment reads batch 1's stored state
         val oldCells = cellsOf(eng.getData(spec)
@@ -638,7 +641,7 @@ object SparkEntry {
           .select(col("src").as("vec_id"), col("dvec").as("embedding")))
         eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
           cellsOf(emb.where(col("vec_id") % 2 === 1)), Some(oldCells),
-          HnswM, HnswBuckets), checkExisting = false)
+          HnswM, HnswBuckets).localCheckpoint(true), checkExisting = false)
         ()
        },
        () => {
@@ -655,6 +658,67 @@ object SparkEntry {
         val top = graft.ops.GraphAnn.beamSearch(expand,
           (0L until HnswEntries.toLong).toSeq, HnswEf, HnswHops, HnswK)
         s.createDataFrame(top).toDF("vec_id", "cosine")
+       })
+    }),
+
+    // Stored PQ-compressed graph index — DiskANN's ACTUAL serving layout
+    // (Subramanya et al. 2019 §3): edges carry the dst's m-byte PQ code
+    // instead of its float vector (~128× smaller per edge at 64-dim — the
+    // reason a billion-node graph fits one box), self-edges keep code AND
+    // vector (traversal + rerank store + incremental old side). The graph
+    // is BUILT with exact cosines (per the paper); only SERVING runs on
+    // ADC. Probe: beam on negated ADC distances reading frontier buckets,
+    // then the top-`rerank` survivors' self-edges (bucket-pruned) finish
+    // with exact cosine. Same append/fold law as q_hnsw_index_sync.
+    "q_hnsw_pq_index_sync" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
+        HnswCents)
+      val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
+      def cellsOf(df: DataFrame) = graft.ops.GraphAnn.withBuildCells(
+        df, "vec_id", "embedding", cents, HnswNpBuild)
+      val root = java.nio.file.Files.createTempDirectory("graft_hnswpq").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "hnsw_pq_edges"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      (() => {
+        // localCheckpoint: see q_hnsw_index_sync — one cohort join per
+        // batch, not one per sync-envelope action
+        eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
+          cellsOf(emb.where(col("vec_id") % 2 === 0)), None,
+          HnswM, HnswBuckets, cbs).localCheckpoint(true), checkExisting = false)
+        val oldCells = cellsOf(eng.getData(spec)
+          .where(col("src") === col("dst"))
+          .select(col("src").as("vec_id"), col("dvec").as("embedding")))
+        eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
+          cellsOf(emb.where(col("vec_id") % 2 === 1)), Some(oldCells),
+          HnswM, HnswBuckets, cbs).localCheckpoint(true), checkExisting = false)
+        ()
+       },
+       () => {
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head()
+          .getSeq[Double](0)
+        val adcTable = SimilaritySearch.pqAdcTable(q, cbs)
+        val store = eng.storage(spec)
+        def expand(frontier: Seq[Long]): Seq[(Long, Double)] = {
+          val rows = store.readIn(frontier.map(_ % HnswBuckets).distinct)
+            .where(col("src").isin(frontier: _*))
+          graft.ops.GraphAnn.expandPqFrom(
+            graft.ops.GraphAnn.foldAdjacency(rows, HnswM), adcTable)(frontier)
+        }
+        val rerank = 24
+        val cands = graft.ops.GraphAnn.beamSearch(expand,
+          (0L until HnswEntries.toLong).toSeq, HnswEf, HnswHops, rerank)
+          .map(_._1)
+        store.readIn(cands.map(_ % HnswBuckets).distinct)
+          .where(col("src") === col("dst") && col("src").isin(cands: _*))
+          .select(col("src").as("vec_id"),
+            VectorFns.cosineToQuery(col("dvec"), q).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(HnswK)
        })
     }),
 
@@ -2543,6 +2607,54 @@ object SparkEntry {
       eng.getData(sinkSpec)
         .select(col("doc_id"), col("n_tokens"), col("logprob_micro"), col("xent"))
         .distinct().orderBy(col("doc_id"))
+    }),
+
+    // ── STREAMING graph-ANN probe: arriving query vectors (re-embeds under
+    // shifted ids, delivered twice) run the BATCHED beam search against the
+    // STORED neighbor graph inside foreachBatch — the ingest-time serving
+    // path for the q_hnsw family. Redelivered rows are deterministic
+    // (frontier evolution is a pure function of the stored graph), so the
+    // blind-append sink dedups by distinct at read; the oracle replays the
+    // per-qid frontier evolution with the id shift.
+    "q_streaming_hnsw_probe" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_shp").toString
+      val eng  = new SyncEngine(s, root)
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
+        HnswCents)
+      val idxSpec = PipeSpec(PipeKeys("stream", "hnsw_edges"),
+        columns = ColumnRoles(Map("datetime" -> "bucket")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(idxSpec).create(graft.ops.GraphAnn.edgeBatch(
+        graft.ops.GraphAnn.withBuildCells(emb, "vec_id", "embedding",
+          cents, HnswNpBuild), None, HnswM, HnswBuckets))
+      val adj = graft.ops.GraphAnn.foldAdjacency(
+        eng.storage(idxSpec).read, HnswM).localCheckpoint(true)
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      emb.where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sinkSpec = PipeSpec(PipeKeys("stream", "hnsw_hits"),
+        columns = ColumnRoles(Map("datetime" -> "ts")))
+      val q = graft.streaming.StreamingSync.run(eng, sinkSpec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => graft.ops.GraphAnn.beamSearchBatch(adj, batch,
+            "vec_id", "embedding", HnswEntries, HnswEf, HnswHops, HnswK)
+          .withColumn("ts", timestamp_micros(
+            (col("qid") * lit(60L) + lit(86400L)) * lit(1000000L))))
+      q.awaitTermination()
+      eng.getData(sinkSpec)
+        .select(col("qid"), col("id"), col("cosine"), col("rank"))
+        .distinct().orderBy(col("qid"), col("rank"))
     }),
 
     "q_streaming_embedding_probe" -> ((s, d) => withStatePartitions(s, 8) {
@@ -6056,6 +6168,7 @@ object SparkEntry {
     "q_ivfpq_index_sync" -> composed("q_ivfpq_index_sync"),
     "q_opq_index_sync" -> composed("q_opq_index_sync"),
     "q_hnsw_index_sync" -> composed("q_hnsw_index_sync"),
+    "q_hnsw_pq_index_sync" -> composed("q_hnsw_pq_index_sync"),
 
     // ── BATCHED graph-ANN probe — the production shape: N query vectors
     // advance their beam frontiers together, one equi-join + one qid-keyed
@@ -6067,8 +6180,11 @@ object SparkEntry {
         HnswCents)
       val cells = graft.ops.GraphAnn.withBuildCells(emb, "vec_id", "embedding",
         cents, HnswNpBuild)
+      // the beam expands this adjacency once per hop — truncate the
+      // cohort-join + top-m lineage so the build runs ONCE, not per hop
       val adj = graft.ops.GraphAnn.foldAdjacency(
         graft.ops.GraphAnn.edgeBatch(cells, None, HnswM, HnswBuckets), HnswM)
+        .localCheckpoint(true)
       graft.ops.GraphAnn.beamSearchBatch(adj,
           emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
           HnswEntries, HnswEf, HnswHops, HnswK)
@@ -7422,6 +7538,13 @@ object SparkEntry {
         "embedding", queryFilter = "id % 100 = 0", nCentroids = HnswCents,
         nProbeBuild = HnswNpBuild, m = HnswM, nEntries = HnswEntries,
         ef = HnswEf, hops = HnswHops, k = HnswK),
+
+    "q_hnsw_pq_index_sync" ->
+      graft.ops.GraphAnn.pqBeamProbeOracleSql("embeddings", "vec_id",
+        "embedding", queryId = 0L, nCentroids = HnswCents,
+        nProbeBuild = HnswNpBuild, m = HnswM, nEntries = HnswEntries,
+        ef = HnswEf, hops = HnswHops, dim = 64, pqM = 4, ks = 16,
+        rerank = 24, k = HnswK),
 
     "q_hnsw_recall" ->
       graft.ops.GraphAnn.recallOracleSql("embeddings", "vec_id", "embedding",
@@ -8828,6 +8951,12 @@ object SparkEntry {
     "q_sp_fertility" ->
       graft.ops.SpUnigram.fertilityOracleSql("documents", "text", "lang",
         SpSeed, SpP, SpIters, SpV, SpCap),
+
+    "q_streaming_hnsw_probe" ->
+      graft.ops.GraphAnn.beamBatchOracleSql("embeddings", "vec_id",
+        "embedding", queryFilter = "id % 100 = 0", nCentroids = HnswCents,
+        nProbeBuild = HnswNpBuild, m = HnswM, nEntries = HnswEntries,
+        ef = HnswEf, hops = HnswHops, k = HnswK, qidShift = 100000L),
 
     "q_streaming_embedding_probe" ->
       ApproxDedup.embeddingCrossNearDupsOracleSql(

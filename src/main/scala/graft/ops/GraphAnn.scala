@@ -70,18 +70,31 @@ object GraphAnn {
 
   /** Directed candidate edges src→dst for every cohort pair with src in
     * `a` and dst in `b` (call twice for both directions of a cross-batch
-    * increment). Pairs sharing several cells dedup BEFORE the cosine is
-    * computed. Output: (src, dst, dvec, cosine). */
+    * increment). Output is SLIM — (src, dst, cosine) — so the pair
+    * dedup's shuffle and the downstream top-m window move 24-byte rows,
+    * never the 64-dim vectors (the vector-fat variant measured ~1 GB of
+    * shuffle per build at sf0.1); vectors attach AFTER the prune, via
+    * N-row side tables Catalyst broadcast-joins at test scale and
+    * shuffle-joins past the broadcast threshold. */
   def edgeCandidates(a: DataFrame, b: DataFrame): DataFrame = {
-    val x = a.select(col("id").as("src"), col("__vec").as("__sv"), col("cell"))
-    val y = b.select(col("id").as("dst"), col("__vec").as("dvec"), col("cell"))
-    x.join(y, Seq("cell"))
+    val pairs = a.select(col("id").as("src"), col("cell"))
+      .join(b.select(col("id").as("dst"), col("cell")), Seq("cell"))
       .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), col("__sv"), col("dvec"))
+      .select(col("src"), col("dst"))
       .distinct()
-      .select(col("src"), col("dst"), col("dvec"),
-        VectorFns.cosine(col("__sv"), col("dvec")).as("cosine"))
+    pairs
+      .join(vectorsOf(a).select(col("id").as("src"), col("__vec").as("__sv")),
+        Seq("src"))
+      .join(vectorsOf(b).select(col("id").as("dst"), col("__vec").as("__dv")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        VectorFns.cosine(col("__sv"), col("__dv")).as("cosine"))
   }
+
+  /** One (id, __vec) row per node from a cohort-assignment frame (which
+    * carries `nProbeBuild` rows per id). */
+  private def vectorsOf(cells: DataFrame): DataFrame =
+    cells.select(col("id"), col("__vec")).distinct()
 
   /** Per-src top-`m` neighbor pruning (cosine desc, dst asc — the merge
     * step of the additive index). The window is src-partitioned: key
@@ -101,28 +114,44 @@ object GraphAnn {
   /** One build/increment batch of index rows: top-`m` candidates from the
     * supplied direction pairs + self-edges for the batch's own nodes,
     * bucketed by `src % buckets` for partition-pruned frontier reads. */
-  def edgeBatch(batchCells: DataFrame, otherCells: Option[DataFrame],
-                m: Int, buckets: Int): DataFrame = {
-    val cands = otherCells match {
+  private def allCandidates(batchCells: DataFrame,
+                            otherCells: Option[DataFrame]): DataFrame =
+    otherCells match {
       case None => edgeCandidates(batchCells, batchCells)
       case Some(old) =>
         edgeCandidates(batchCells, batchCells)
           .unionByName(edgeCandidates(batchCells, old))
           .unionByName(edgeCandidates(old, batchCells))
     }
-    topM(cands, m).unionByName(selfEdges(batchCells))
+
+  /** dst vectors for the PRUNED edge list: ≤ m·|nodes| rows join an
+    * |nodes|-row side — nothing vector-sized ever crosses the top-m
+    * shuffle. */
+  private def attachDvec(slimEdges: DataFrame, batchCells: DataFrame,
+                         otherCells: Option[DataFrame]): DataFrame = {
+    val vs = otherCells.map(vectorsOf(_).unionByName(vectorsOf(batchCells)).distinct())
+      .getOrElse(vectorsOf(batchCells))
+      .select(col("id").as("dst"), col("__vec").as("dvec"))
+    slimEdges.join(vs, Seq("dst"))
+      .select(col("src"), col("dst"), col("dvec"), col("cosine"))
+  }
+
+  def edgeBatch(batchCells: DataFrame, otherCells: Option[DataFrame],
+                m: Int, buckets: Int): DataFrame = {
+    val pruned = topM(allCandidates(batchCells, otherCells), m)
+    attachDvec(pruned, batchCells, otherCells)
+      .unionByName(selfEdges(batchCells))
       .withColumn("bucket", pmod(col("src"), lit(buckets.toLong)))
   }
 
   /** The read-side fold: per-src top-`m` among non-self rows (append-merge
     * of per-batch lists) + the self rows. Fold ≡ rebuild by top-m
-    * mergeability — pinned in GraphAnnSpec. */
+    * mergeability — pinned in GraphAnnSpec. Schema-generic (the PQ layout
+    * carries `dpq` instead of / next to `dvec`); ranking only needs
+    * src/dst/cosine. */
   def foldAdjacency(rows: DataFrame, m: Int): DataFrame =
-    topM(rows.where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"), col("dvec"), col("cosine")), m)
-      .unionByName(rows.where(col("src") === col("dst"))
-        .select(col("src"), col("dst"), col("dvec"), col("cosine"))
-        .distinct())
+    topM(rows.where(col("src") =!= col("dst")), m)
+      .unionByName(rows.where(col("src") === col("dst")).distinct())
 
   /** Best-first beam search over an adjacency accessor. `expand(frontier)`
     * returns the DISTINCT (dst, cosine-to-query) rows of the frontier's
@@ -171,13 +200,18 @@ object GraphAnn {
     * expanded; entry ids are 0..nEntries-1 by convention (the `dst >=
     * nEntries` filter is the expanded-set seed, mirroring the oracle).
     * Each round's visited set localCheckpoints — `hops` is small and the
-    * lineage would otherwise double per round. Output: (qid, id, cosine,
-    * rank ≤ k). */
+    * lineage would otherwise double per round. Pass a MATERIALIZED `adj`
+    * (checkpointed fold or a store read): it is joined once per hop, and
+    * an unmaterialized cohort-join lineage would re-run the whole build
+    * each time. Output: (qid, id, cosine, rank ≤ k). */
   def beamSearchBatch(adj: DataFrame, queries: DataFrame,
                       qidCol: String, qvecCol: String,
                       nEntries: Int, ef: Int, hops: Int, k: Int): DataFrame = {
+    // distinct: a redelivered query batch (same qid twice — the streaming
+    // probe's double-delivery) would otherwise duplicate (qid, dst, c)
+    // rows and let duplicates consume beam slots in the rank windows
     val qs = queries.select(col(qidCol).cast("long").as("qid"),
-      col(qvecCol).cast("array<double>").as("__qv"))
+      col(qvecCol).cast("array<double>").as("__qv")).distinct()
     val edges = adj.select(col("src"), col("dst"), col("dvec"))
     def expand(frontier: DataFrame): DataFrame =
       frontier.join(edges, frontier("node") === edges("src"))
@@ -219,15 +253,18 @@ object GraphAnn {
   def beamBatchOracleSql(table: String, idCol: String, vecCol: String,
                          queryFilter: String, nCentroids: Int,
                          nProbeBuild: Int, m: Int, nEntries: Int, ef: Int,
-                         hops: Int, k: Int): String =
+                         hops: Int, k: Int,
+                         qidShift: Long = 0L): String = {
+    val qid = if (qidShift == 0L) "id" else s"id + $qidShift"
     s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m)},
-       qs AS (SELECT id AS qid, ev AS qv FROM e WHERE $queryFilter),
+       qs AS (SELECT $qid AS qid, ev AS qv FROM e WHERE $queryFilter),
        ${beamCtes(nEntries, ef, hops)}
        SELECT qid, dst AS id, c AS cosine,
          CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS INT) AS rank
        FROM vis
        QUALIFY rank <= $k
        ORDER BY qid, rank"""
+  }
 
   /** DuckDB CTEs shared by the probe and recall oracles: `e` (vectors),
     * `cents` (the lowest-`nCentroids` ids — [[SimilaritySearch.sampleCentroids]]),
@@ -265,12 +302,19 @@ object GraphAnn {
     * unrolled-CTE form the oracle needs). Terminal relation `vis` holds
     * (qid, dst, c) for every visited node. */
   private def beamCtes(nEntries: Int, ef: Int, hops: Int): String = {
-    require(hops == 2 || hops == 3, "oracle unrolls 2 or 3 hops")
     val sq = """sc AS (
          SELECT q.qid, a.src, a.dst,
            list_dot_product(a.dv, q.qv) /
              (sqrt(list_dot_product(a.dv, a.dv)) * sqrt(list_dot_product(q.qv, q.qv))) AS c
          FROM adj a, qs q)"""
+    s"$sq, ${frontierCtes(nEntries, ef, hops)}"
+  }
+
+  /** The frontier-evolution CTEs alone, over an existing `sc(qid, src,
+    * dst, c)` relation (higher c = better — the PQ oracle feeds negated
+    * ADC distances). */
+  private def frontierCtes(nEntries: Int, ef: Int, hops: Int): String = {
+    require(hops == 2 || hops == 3, "oracle unrolls 2 or 3 hops")
     val hop23 = s"""
        v1 AS (SELECT DISTINCT qid, dst, c FROM sc WHERE src < $nEntries),
        x1 AS (SELECT qid, dst FROM (
@@ -291,8 +335,8 @@ object GraphAnn {
            SELECT qid, dst, c FROM v2
            UNION ALL
            SELECT s.qid, s.dst, s.c FROM sc s JOIN x2 ON x2.qid = s.qid AND x2.dst = s.src))"""
-    if (hops == 2) s"$sq, $hop23, vis AS (SELECT qid, dst, c FROM v2)"
-    else s"$sq, $hop23, $hop3, vis AS (SELECT qid, dst, c FROM v3)"
+    if (hops == 2) s"$hop23, vis AS (SELECT qid, dst, c FROM v2)"
+    else s"$hop23, $hop3, vis AS (SELECT qid, dst, c FROM v3)"
   }
 
   /** Oracle for a stored-graph beam probe of ONE query id: full rebuild of
@@ -306,6 +350,101 @@ object GraphAnn {
        ${beamCtes(nEntries, ef, hops)}
        SELECT dst AS $idCol, c AS cosine FROM vis
        ORDER BY c DESC, dst LIMIT $k"""
+
+  // ── PQ-compressed graph — DiskANN's ACTUAL serving layout ──────────────
+  // (Subramanya et al. 2019 §3: traversal distances from compressed codes,
+  // full-precision vectors only for the final rerank.) Edge rows carry the
+  // dst's m-byte PQ code instead of its float vector — the index shrinks
+  // ~dim·8/m per edge (64-dim doubles → 4 bytes is 128×), which is what
+  // makes a billion-node graph fit on one box's SSD. Self-edges keep BOTH
+  // the code (so traversal can score them) and the full vector (the rerank
+  // store + the incremental build's old-side source). The beam runs on
+  // NEGATED ADC distances through the same frontier evolution; the top-
+  // `rerank` survivors read their self-edge rows (bucket-pruned) for the
+  // exact-cosine finish.
+
+  /** One build/increment batch in the PQ layout: same candidates/top-m as
+    * [[edgeBatch]], codes stamped from the full vectors at build time
+    * (exactly DiskANN: the GRAPH is built with exact distances, only
+    * SERVING uses the compression). */
+  def pqEdgeBatch(batchCells: DataFrame, otherCells: Option[DataFrame],
+                  m: Int, buckets: Int,
+                  codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val pruned = attachDvec(topM(allCandidates(batchCells, otherCells), m),
+      batchCells, otherCells)
+    val nonSelf = SimilaritySearch
+      .withPqCodes(pruned, "dvec", codebooks)
+      .select(col("src"), col("dst"), col("pq").as("dpq"),
+        lit(null).cast("array<double>").as("dvec"), col("cosine"))
+    val self = SimilaritySearch
+      .withPqCodes(selfEdges(batchCells), "dvec", codebooks)
+      .select(col("src"), col("dst"), col("pq").as("dpq"),
+        col("dvec"), col("cosine"))
+    nonSelf.unionByName(self)
+      .withColumn("bucket", pmod(col("src"), lit(buckets.toLong)))
+  }
+
+  /** Negated ADC distance of a code column against a query's lookup table
+    * — m literal table lookups summed left-to-right then negated (IEEE
+    * negation is exact), so [[beamSearch]]'s higher-is-better ordering
+    * needs no special case. */
+  def negAdc(codeCol: Column, adcTable: Seq[Seq[Double]]): Column =
+    -adcTable.zipWithIndex.map { case (t, j) =>
+      element_at(typedLit(t.toArray),
+        element_at(codeCol, j + 1).cast("int") + 1)
+    }.reduceLeft(_ + _)
+
+  /** Frontier expansion in the PQ layout: score each dst ONCE by negated
+    * ADC over its stored code — float vectors untouched during traversal. */
+  def expandPqFrom(adj: DataFrame, adcTable: Seq[Seq[Double]])(frontier: Seq[Long]): Seq[(Long, Double)] =
+    adj.where(col("src").isin(frontier: _*))
+      .select(col("dst"), col("dpq")).distinct()
+      .select(col("dst"), negAdc(col("dpq"), adcTable).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** Oracle for the stored PQ-graph probe of ONE query id: adjacency
+    * rebuild (exact-cosine edges), PQ encode of every node from the same
+    * `id < ks` codebook rule, the frontier replay on negated ADC, exact-
+    * cosine rerank of the top-`rerank` survivors. */
+  def pqBeamProbeOracleSql(table: String, idCol: String, vecCol: String,
+                           queryId: Long, nCentroids: Int, nProbeBuild: Int,
+                           m: Int, nEntries: Int, ef: Int, hops: Int,
+                           dim: Int, pqM: Int, ks: Int,
+                           rerank: Int, k: Int): String = {
+    val d = dim / pqM
+    val chain = (1 until pqM).foldLeft("s0") { (acc, j) => s"($acc + s$j)" }
+    val pivots = (0 until pqM)
+      .map(j => s"max(CASE WHEN j = $j THEN t END) AS s$j").mkString(", ")
+    s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m)},
+       qs AS (SELECT id AS qid, ev AS qv FROM e WHERE id = $queryId),
+       js AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS j),
+       sub AS (SELECT id, j, ev[(j*$d+1):(j*$d+$d)] AS sv FROM e, js),
+       cb AS (SELECT j, id AS cid, sv AS cv FROM sub WHERE id < $ks),
+       enc AS (
+         SELECT id, j, cid FROM (
+           SELECT s.id, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+       qsub AS (SELECT j, sv AS qsv FROM sub WHERE id = $queryId),
+       term AS (
+         SELECT enc.id, enc.j,
+           list_dot_product(c.cv, c.cv) - 2*list_dot_product(q.qsv, c.cv) AS t
+         FROM enc JOIN cb c ON enc.j = c.j AND enc.cid = c.cid
+                  JOIN qsub q ON q.j = enc.j),
+       adc AS (SELECT id, $chain AS adist FROM (
+         SELECT id, $pivots FROM term GROUP BY id)),
+       sc AS (SELECT CAST($queryId AS BIGINT) AS qid, a.src, a.dst,
+                -(adc.adist) AS c
+              FROM adj a JOIN adc ON adc.id = a.dst),
+       ${frontierCtes(nEntries, ef, hops)},
+       cand AS (SELECT dst FROM vis ORDER BY c DESC, dst LIMIT $rerank)
+       SELECT cand.dst AS $idCol,
+         list_dot_product(e.ev, q.qv) /
+         (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+       FROM cand JOIN e ON e.id = cand.dst, qs q
+       ORDER BY cosine DESC, cand.dst LIMIT $k"""
+  }
 
   /** Recall@k A/B — the graph probe vs the IVF probe at comparable probe
     * cost, both against the exact top-k (the (ef, hops, m) tuning gate,
