@@ -4434,6 +4434,16 @@ object SparkEntry {
     // assignment, reproduced bit-for-bit by the oracle (no RNG/seed drift;
     // append-stable membership). A pure projection: no shuffle until the
     // reporting aggregate.
+    // ── LLM-pipeline: per-epoch seeded training-order shuffle — each epoch
+    // reads the corpus in a different deterministic pseudo-random order,
+    // materialized with NO global sort (shard = seeded hash bucket, pos =
+    // rank within shard via a partitioned window; trainer ranks consume
+    // shard files independently).
+    "q_epoch_shuffle" -> ((s, d) =>
+      graft.ops.Sampling.epochShuffle(Tables.documents(s, d), "doc_id",
+          seeds = Seq(7L, 13L), shards = 8)
+        .orderBy(col("epoch"), col("shard"), col("pos"))),
+
     "q_train_split" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       docs.withColumn("split", graft.ops.Sampling.splitLabel(col("doc_id"),
@@ -8643,6 +8653,10 @@ object SparkEntry {
         "('https://x.example.com/p?utm_source=a&q=' || CAST(doc_id AS VARCHAR))") +
       """ AS url_clean
          FROM documents ORDER BY doc_id"""),
+
+    "q_epoch_shuffle" ->
+      graft.ops.Sampling.epochShuffleOracleSql("documents", "doc_id",
+        seeds = Seq(7L, 13L), shards = 8),
 
     "q_train_split" ->
       """WITH b AS (

@@ -926,4 +926,52 @@ object Sampling {
            CAST(round(sqrt(2.0 * ln(CAST(nn.nn AS DOUBLE)) /
              CAST(g.n AS DOUBLE)) * 1000000.0) AS BIGINT) AS ucb_micro
        FROM g, nn ORDER BY g.src"""
+
+  // ── per-epoch seeded training-order shuffle ──────────────────────────
+
+  /** The trainer-facing global shuffle: each epoch reads the corpus in a
+    * DIFFERENT pseudo-random order, materialized WITHOUT a global sort —
+    * a row's shard is its seeded hash bucket and its position the rank
+    * WITHIN that shard (one partitioned window per epoch; readers consume
+    * shard files independently, the standard distributed-trainer layout).
+    * The order is a pure function of (seed, id): no RNG state, stable
+    * under reshards and reruns, replayable by the oracle bit-for-bit —
+    * and epoch orders are decorrelated because the seed participates in
+    * the hash, which is exactly why trainers reseed per epoch (Ott et
+    * al. 2019-style epoch seeding) instead of reusing one permutation. */
+  def epochShuffle(df: DataFrame, idCol: String,
+                   seeds: Seq[Long], shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seeds.nonEmpty && shards >= 1)
+    val byEpoch = seeds.zipWithIndex.map { case (seed, e) =>
+      df.select(lit(e.toLong).as("epoch"), col(idCol),
+        graft.functions.TextFns.md5Long60(
+          concat_ws("_", lit(seed), col(idCol))).as("__k"))
+    }.reduce(_.unionByName(_))
+    byEpoch
+      .withColumn("shard", pmod(col("__k"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__k"), col(idCol))))
+      .select(col("epoch"), col("shard"), col("pos").cast("long").as("pos"),
+        col(idCol))
+  }
+
+  /** DuckDB oracle replaying [[epochShuffle]]. */
+  def epochShuffleOracleSql(table: String, idCol: String,
+                            seeds: Seq[Long], shards: Int): String = {
+    val epochs = seeds.zipWithIndex
+      .map { case (seed, e) => s"($e, $seed)" }.mkString(", ")
+    s"""WITH ep(epoch, seed) AS (VALUES $epochs),
+       k AS (SELECT ep.epoch, d.$idCol,
+               CAST(('0x' || substring(md5(CAST(ep.seed AS VARCHAR) || '_' ||
+                 CAST(d.$idCol AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+             FROM $table d, ep)
+       SELECT CAST(epoch AS BIGINT) AS epoch,
+         k % $shards AS shard,
+         CAST(row_number() OVER (PARTITION BY epoch, k % $shards
+           ORDER BY k, $idCol) AS BIGINT) AS pos,
+         $idCol
+       FROM k ORDER BY epoch, shard, pos"""
+  }
 }
