@@ -111,6 +111,9 @@ object SparkEntry {
   private val SpIters = 2
   private val SpV    = 24
   private val SpCap  = 16
+  // vocab-shrink A/B: only the top-K multi-char pieces survive the prune
+  // (rank-based so the rule bites at any sf; single chars never drop)
+  private val SpPruneKeep = 6
 
   /** SP-unigram model memo, per (sfDir, training scope) — the OpqModel
     * move: training is a DETERMINISTIC function of the corpus (fixed seed
@@ -4720,6 +4723,27 @@ object SparkEntry {
           SpModel.scores(SpModel.forScope(s, d, "full")), SpP, SpCap)
         .orderBy(col("doc_id"))),
 
+    // ── LLM-pipeline: tokenizer VOCAB PRUNING A/B — the shipping step for
+    // a trained vocab (drop the long tail, shrink the embedding table):
+    // multi-char pieces under minCnt drop, single chars never (coverage),
+    // log-probs renormalize, and the per-doc subword counts land side by
+    // side with the unpruned model's — the fertility cost of the smaller
+    // table, measured on this corpus.
+    "q_sp_prune_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m = SpModel.forScope(s, d, "full")
+      val pruned = graft.ops.SpUnigram.pruneModel(m, SpPruneKeep)
+      val base = graft.ops.SpUnigram.subwordCounts(docs, "doc_id", "text",
+        SpModel.scores(m), SpP, SpCap)
+      val pr = graft.ops.SpUnigram.subwordCounts(docs, "doc_id", "text",
+        pruned.map { case (p, _, lp) => p -> lp }.toMap, SpP, SpCap)
+      base.select(col("doc_id"), col("n_tokens"),
+          col("n_subwords").as("n_sub_base"))
+        .join(pr.select(col("doc_id"),
+          col("n_subwords").as("n_sub_pruned")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── LLM-pipeline: the SP-unigram tokenizer as a STORED artifact —
     // train on half, persist the model pipe, segment the full corpus from
     // the stored pieces (see `staged`).
@@ -8954,6 +8978,10 @@ object SparkEntry {
     "q_sp_unigram_apply" ->
       graft.ops.SpUnigram.applyOracleSql("documents", "documents",
         "doc_id", "text", SpSeed, SpP, SpIters, SpV, SpCap),
+
+    "q_sp_prune_apply" ->
+      graft.ops.SpUnigram.pruneApplyOracleSql("documents", "doc_id", "text",
+        SpSeed, SpP, SpIters, SpV, SpCap, SpPruneKeep),
 
     // stored-model round trip is exact (strings + longs), so the stored
     // apply replays as train-on-even → segment-the-full-corpus

@@ -174,6 +174,58 @@ object SpUnigram {
     } finally ApproxDedup.freeCheckpoint(words)
   }
 
+  /** Vocabulary PRUNING of a trained model — the tokenizer-maintenance
+    * step every production vocab goes through before shipping (shrink the
+    * embedding table to a smaller V′): keep only the top-`keepMulti`
+    * multi-character pieces by (viterbiCount desc, piece asc) — RANK
+    * based, so the rule bites identically at any corpus scale where an
+    * absolute count threshold would not — while single-character pieces
+    * NEVER drop (SentencePiece's required-character rule: segmentation
+    * coverage of unseen words must survive the prune). Log-probs
+    * renormalize over the surviving counts with the training ln(c/Σc)
+    * micro rule, so the pruned model is exactly what training would have
+    * scored over that piece set. */
+  def pruneModel(model: Model, keepMulti: Int): Model = {
+    val multi = model.filter(_._1.length > 1)
+      .sortBy { case (p, c, _) => (-c, p) }.take(keepMulti)
+    val kept = model.filter(_._1.length == 1) ++ multi
+    val lp = logpMicro(kept.map { case (p, c, _) => p -> c }.toMap)
+    kept.map { case (p, c, _) => (p, c, lp(p)) }
+      .sortBy { case (p, c, _) => (-c, p) }
+  }
+
+  /** Oracle for the prune A/B query: train, segment under the full model
+    * AND under the pruned+renormalized model, per-doc subword counts side
+    * by side. */
+  def pruneApplyOracleSql(table: String, idCol: String, textCol: String,
+                          seedSize: Int, pieceMaxLen: Int, emIters: Int,
+                          vocabSize: Int, maxTokenLen: Int,
+                          keepMulti: Int): String =
+    s"""WITH RECURSIVE ${trainChain(table, textCol, "t", seedSize,
+        pieceMaxLen, emIters, vocabSize, maxTokenLen)},
+       awords AS MATERIALIZED (SELECT token, freq FROM twords),
+       ${applyChain("a", "tmodel", pieceMaxLen, maxTokenLen)},
+       pwords AS MATERIALIZED (SELECT token, freq FROM twords),
+       pm0 AS (SELECT piece, cnt FROM tmodel WHERE length(piece) = 1
+               UNION ALL
+               SELECT piece, cnt FROM (
+                 SELECT piece, cnt FROM tmodel WHERE length(piece) > 1
+                 ORDER BY cnt DESC, piece LIMIT $keepMulti) km),
+       ${scoresCte("pmodel", "pm0")},
+       ${applyChain("p", "pmodel", pieceMaxLen, maxTokenLen)},
+       atok AS (SELECT $idCol, token FROM (
+           SELECT $idCol,
+             unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS token
+           FROM $table) t
+         WHERE length(token) > 0 AND length(token) <= $maxTokenLen)
+       SELECT atok.$idCol,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(aseg.n_sub) AS BIGINT) AS n_sub_base,
+         CAST(sum(pseg.n_sub) AS BIGINT) AS n_sub_pruned
+       FROM atok JOIN aseg ON aseg.token = atok.token
+                 JOIN pseg ON pseg.token = atok.token
+       GROUP BY 1 ORDER BY atok.$idCol"""
+
   /** The model as a DataFrame (piece, cnt, logp_micro) — the persistable
     * artifact (one bounded driver-built frame, the OPQ-model shape). */
   def modelDf(spark: org.apache.spark.sql.SparkSession, model: Model): DataFrame = {
