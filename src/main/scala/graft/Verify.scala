@@ -89,7 +89,8 @@ object Verify {
       name.startsWith("q_sync_") || name.startsWith("q_verify_") ||
       Set("q_pipe_dag", "q_fleet_sync", "q_join_fetch_incremental",
           "q_schedule_fires", "q_curation_v3", "q_leakage_split_stored",
-          "q_copy_pipe", "q_backtrack_window", "q_deduplicate_pipe")(name)
+          "q_copy_pipe", "q_backtrack_window", "q_deduplicate_pipe",
+          "q_sp_prune_apply", "q_hnsw_batch", "q_hnsw_recall")(name)
     val ordered = selected.toSeq.sortBy { case (n, _) => (heavy(n), n) }
 
     val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
