@@ -6232,9 +6232,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
         HnswCents)
+      val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
       graft.ops.GraphAnn.recallReport(emb, "vec_id", "embedding",
         HnswQids, cents, HnswNpBuild, HnswM, HnswBuckets,
-        HnswEntries, HnswEf, HnswHops, HnswK, nProbeIvf = 2)
+        HnswEntries, HnswEf, HnswHops, HnswK, nProbeIvf = 2,
+        codebooks = cbs, pqRerank = 24)
     }),
 
     // ── LLM-pipeline: the trigram LM model maintained INCREMENTALLY as
@@ -7585,7 +7588,7 @@ object SparkEntry {
         queryFilter = s"id IN (${HnswQids.mkString(", ")})",
         nCentroids = HnswCents, nProbeBuild = HnswNpBuild, m = HnswM,
         nEntries = HnswEntries, ef = HnswEf, hops = HnswHops, k = HnswK,
-        nProbeIvf = 2),
+        nProbeIvf = 2, dim = 64, pqM = 4, ks = 16, pqRerank = 24),
 
     "q_ann_recall" ->
       graft.ops.SimilaritySearch.annRecallOracleSql("embeddings", "vec_id",

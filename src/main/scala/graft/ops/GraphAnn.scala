@@ -310,33 +310,38 @@ object GraphAnn {
     s"$sq, ${frontierCtes(nEntries, ef, hops)}"
   }
 
-  /** The frontier-evolution CTEs alone, over an existing `sc(qid, src,
-    * dst, c)` relation (higher c = better — the PQ oracle feeds negated
-    * ADC distances). */
-  private def frontierCtes(nEntries: Int, ef: Int, hops: Int): String = {
+  /** The frontier-evolution CTEs alone, over an existing `${pfx}sc(qid,
+    * src, dst, c)` relation (higher c = better — the PQ oracle feeds
+    * negated ADC distances). `pfx` namespaces the chain so two beams
+    * (float-graph and PQ-graph) can coexist in one oracle. */
+  private def frontierCtes(nEntries: Int, ef: Int, hops: Int,
+                           pfx: String = ""): String = {
     require(hops == 2 || hops == 3, "oracle unrolls 2 or 3 hops")
+    val (sc, v1, x1, v2, x2, v3, vis) =
+      (s"${pfx}sc", s"${pfx}v1", s"${pfx}x1", s"${pfx}v2", s"${pfx}x2",
+        s"${pfx}v3", s"${pfx}vis")
     val hop23 = s"""
-       v1 AS (SELECT DISTINCT qid, dst, c FROM sc WHERE src < $nEntries),
-       x1 AS (SELECT qid, dst FROM (
+       $v1 AS (SELECT DISTINCT qid, dst, c FROM $sc WHERE src < $nEntries),
+       $x1 AS (SELECT qid, dst FROM (
            SELECT qid, dst, row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS rn
-           FROM v1 WHERE dst >= $nEntries) WHERE rn <= $ef),
-       v2 AS (SELECT DISTINCT qid, dst, c FROM (
-           SELECT qid, dst, c FROM v1
+           FROM $v1 WHERE dst >= $nEntries) WHERE rn <= $ef),
+       $v2 AS (SELECT DISTINCT qid, dst, c FROM (
+           SELECT qid, dst, c FROM $v1
            UNION ALL
-           SELECT s.qid, s.dst, s.c FROM sc s JOIN x1 ON x1.qid = s.qid AND x1.dst = s.src))"""
+           SELECT s.qid, s.dst, s.c FROM $sc s JOIN $x1 ON $x1.qid = s.qid AND $x1.dst = s.src))"""
     val hop3 = s"""
-       x2 AS (SELECT qid, dst FROM (
-           SELECT v2.qid, v2.dst, row_number() OVER (PARTITION BY v2.qid ORDER BY v2.c DESC, v2.dst) AS rn
-           FROM v2
-           WHERE v2.dst >= $nEntries
-             AND NOT EXISTS (SELECT 1 FROM x1 WHERE x1.qid = v2.qid AND x1.dst = v2.dst))
+       $x2 AS (SELECT qid, dst FROM (
+           SELECT $v2.qid, $v2.dst, row_number() OVER (PARTITION BY $v2.qid ORDER BY $v2.c DESC, $v2.dst) AS rn
+           FROM $v2
+           WHERE $v2.dst >= $nEntries
+             AND NOT EXISTS (SELECT 1 FROM $x1 WHERE $x1.qid = $v2.qid AND $x1.dst = $v2.dst))
          WHERE rn <= $ef),
-       v3 AS (SELECT DISTINCT qid, dst, c FROM (
-           SELECT qid, dst, c FROM v2
+       $v3 AS (SELECT DISTINCT qid, dst, c FROM (
+           SELECT qid, dst, c FROM $v2
            UNION ALL
-           SELECT s.qid, s.dst, s.c FROM sc s JOIN x2 ON x2.qid = s.qid AND x2.dst = s.src))"""
-    if (hops == 2) s"$hop23, vis AS (SELECT qid, dst, c FROM v2)"
-    else s"$hop23, $hop3, vis AS (SELECT qid, dst, c FROM v3)"
+           SELECT s.qid, s.dst, s.c FROM $sc s JOIN $x2 ON $x2.qid = s.qid AND $x2.dst = s.src))"""
+    if (hops == 2) s"$hop23, $vis AS (SELECT qid, dst, c FROM $v2)"
+    else s"$hop23, $hop3, $vis AS (SELECT qid, dst, c FROM $v3)"
   }
 
   /** Oracle for a stored-graph beam probe of ONE query id: full rebuild of
@@ -455,17 +460,29 @@ object GraphAnn {
                    queryIds: Seq[Long], centroids: Seq[Seq[Double]],
                    nProbeBuild: Int, m: Int, buckets: Int,
                    nEntries: Int, ef: Int, hops: Int,
-                   k: Int, nProbeIvf: Int): DataFrame = {
+                   k: Int, nProbeIvf: Int,
+                   codebooks: Seq[Seq[Seq[Double]]], pqRerank: Int): DataFrame = {
     val spark = emb.sparkSession
     val cells = withBuildCells(emb, idCol, vecCol, centroids, nProbeBuild)
     val adj = foldAdjacency(edgeBatch(cells, None, m, buckets), m)
       .localCheckpoint(true) // expanded `hops` times per query
+    val pqAdj = foldAdjacency(pqEdgeBatch(cells, None, m, buckets, codebooks), m)
+      .localCheckpoint(true)
     val entries = (0L until nEntries.toLong).toSeq
     val rows = queryIds.sorted.map { qid =>
       val q = emb.where(col(idCol) === qid)
         .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0)
       val beam = beamSearch(expandFrom(adj, q), entries, ef, hops, k)
         .map(_._1).toSet
+      // the PQ arm: ADC traversal, exact rerank from self-edge vectors
+      val pqCands = beamSearch(
+        expandPqFrom(pqAdj, SimilaritySearch.pqAdcTable(q, codebooks)),
+        entries, ef, hops, pqRerank).map(_._1)
+      val pq = pqAdj.where(col("src") === col("dst") &&
+          col("src").isin(pqCands: _*))
+        .select(col("src"), VectorFns.cosineToQuery(col("dvec"), q).as("c"))
+        .orderBy(col("c").desc, col("src")).limit(k)
+        .collect().map(_.getLong(0)).toSet
       val exact = SimilaritySearch.bruteForceTopK(emb, idCol, vecCol, q, k)
         .select(col(idCol)).collect().map(_.getLong(0)).toSeq
       val ivf = SimilaritySearch.ivfTopK(
@@ -473,13 +490,15 @@ object GraphAnn {
           idCol, vecCol, "cell", q, centroids, k, nProbeIvf)
         .select(col(idCol)).collect().map(_.getLong(0)).toSet
       val hHits = exact.count(beam.contains).toLong
+      val pHits = exact.count(pq.contains).toLong
       val iHits = exact.count(ivf.contains).toLong
       (qid, exact.size.toLong, hHits, hHits * 1000000L / exact.size,
+        pHits, pHits * 1000000L / exact.size,
         iHits, iHits * 1000000L / exact.size)
     }
     import spark.implicits._
     rows.toDF("qid", "k_exact", "hnsw_hits", "hnsw_recall_micro",
-      "ivf_hits", "ivf_recall_micro")
+      "pq_hits", "pq_recall_micro", "ivf_hits", "ivf_recall_micro")
   }
 
   /** Oracle replaying [[recallReport]]: exact top-k, the IVF probe, and the
@@ -487,13 +506,49 @@ object GraphAnn {
   def recallOracleSql(table: String, idCol: String, vecCol: String,
                       queryFilter: String, nCentroids: Int, nProbeBuild: Int,
                       m: Int, nEntries: Int, ef: Int, hops: Int,
-                      k: Int, nProbeIvf: Int): String =
+                      k: Int, nProbeIvf: Int,
+                      dim: Int, pqM: Int, ks: Int, pqRerank: Int): String = {
+    val d = dim / pqM
+    val chain = (1 until pqM).foldLeft("s0") { (acc, j) => s"($acc + s$j)" }
+    val pivots = (0 until pqM)
+      .map(j => s"max(CASE WHEN j = $j THEN t END) AS s$j").mkString(", ")
     s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m)},
        qs AS (SELECT id AS qid, ev AS qv FROM e WHERE $queryFilter),
        ${beamCtes(nEntries, ef, hops)},
        beam AS (SELECT qid, dst FROM (
            SELECT qid, dst, row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS rn
            FROM vis) WHERE rn <= $k),
+       js AS (SELECT unnest(generate_series(0, ${pqM - 1})) AS j),
+       sub AS (SELECT id, j, ev[(j*$d+1):(j*$d+$d)] AS sv FROM e, js),
+       cb AS (SELECT j, id AS cid, sv AS cv FROM sub WHERE id < $ks),
+       enc AS (
+         SELECT id, j, cid FROM (
+           SELECT s.id, s.j, c.cid,
+             row_number() OVER (PARTITION BY s.id, s.j
+               ORDER BY list_dot_product(c.cv, c.cv) - 2*list_dot_product(s.sv, c.cv) ASC, c.cid) AS rn
+           FROM sub s JOIN cb c USING (j)) WHERE rn = 1),
+       qsub AS (SELECT q.qid, s.j, s.sv AS qsv
+                FROM sub s JOIN qs q ON s.id = q.qid),
+       term AS (
+         SELECT u.qid, enc.id, enc.j,
+           list_dot_product(c.cv, c.cv) - 2*list_dot_product(u.qsv, c.cv) AS t
+         FROM enc JOIN cb c ON enc.j = c.j AND enc.cid = c.cid
+                  JOIN qsub u ON u.j = enc.j),
+       adc AS (SELECT qid, id, $chain AS adist FROM (
+         SELECT qid, id, $pivots FROM term GROUP BY qid, id)),
+       gsc AS (SELECT adc.qid, a.src, a.dst, -(adc.adist) AS c
+               FROM adj a JOIN adc ON adc.id = a.dst),
+       ${frontierCtes(nEntries, ef, hops, pfx = "g")},
+       pcand AS (SELECT qid, dst FROM (
+           SELECT qid, dst, row_number() OVER (PARTITION BY qid ORDER BY c DESC, dst) AS rn
+           FROM gvis) WHERE rn <= $pqRerank),
+       pq AS (SELECT qid, dst FROM (
+           SELECT p.qid, p.dst,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY list_dot_product(e.ev, q.qv) /
+                 (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, p.dst) AS rn
+           FROM pcand p JOIN e ON e.id = p.dst
+                        JOIN qs q ON q.qid = p.qid) WHERE rn <= $k),
        exact AS (SELECT qid, id FROM (
            SELECT q.qid, e.id,
              row_number() OVER (PARTITION BY q.qid
@@ -518,14 +573,20 @@ object GraphAnn {
            FROM qcell qc JOIN icell a USING (cell) JOIN e ON e.id = a.id) WHERE rn <= $k),
        hh AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS hnsw_hits
               FROM exact x JOIN beam b ON b.qid = x.qid AND b.dst = x.id GROUP BY 1),
+       ph AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS pq_hits
+              FROM exact x JOIN pq p ON p.qid = x.qid AND p.dst = x.id GROUP BY 1),
        ih AS (SELECT x.qid, CAST(count(*) AS BIGINT) AS ivf_hits
               FROM exact x JOIN ivf v ON v.qid = x.qid AND v.id = x.id GROUP BY 1),
        ke AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_exact FROM exact GROUP BY 1)
        SELECT ke.qid, ke.k_exact,
          COALESCE(hh.hnsw_hits, 0) AS hnsw_hits,
          COALESCE(hh.hnsw_hits, 0) * 1000000 // ke.k_exact AS hnsw_recall_micro,
+         COALESCE(ph.pq_hits, 0) AS pq_hits,
+         COALESCE(ph.pq_hits, 0) * 1000000 // ke.k_exact AS pq_recall_micro,
          COALESCE(ih.ivf_hits, 0) AS ivf_hits,
          COALESCE(ih.ivf_hits, 0) * 1000000 // ke.k_exact AS ivf_recall_micro
-       FROM ke LEFT JOIN hh USING (qid) LEFT JOIN ih USING (qid)
+       FROM ke LEFT JOIN hh USING (qid) LEFT JOIN ph USING (qid)
+               LEFT JOIN ih USING (qid)
        ORDER BY ke.qid"""
+  }
 }
