@@ -14,12 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Silence the per-sweep "was locally checkpointed, its lineage has been
-    // truncated" WARN flood (r12 verdict item 6: 318 lines/run, most of the
-    // driver's captured tail): it fires when the between-queries sweep
-    // unpersists blocks of ALREADY-FINISHED queries — noise, not signal.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // Message-matching filter for the two known-benign WARN floods
+    // (localCheckpoint lineage truncation, allowlisted unpartitioned
+    // windows) — see LogHygiene for why a package-wide ERROR was wrong.
+    LogHygiene.install()
     // JVM/codegen/parquet-reader warmup so the first measured query doesn't
     // absorb ~5-15s of class loading (queries iterate in arbitrary map order)
     spark.range(0, 100000).selectExpr("sum(id)").collect()

@@ -21,21 +21,32 @@ object Evaluation {
     * make |distinct| ≈ N and collapse that window to one partition at
     * scale — or, where the operator casts to long, silently truncate the
     * signal to garbage. Fail LOUDLY at the boundary instead: schema-only
-    * check, no extra job. */
+    * check, no extra job. `allowString = false` for CASTING callers
+    * (spearmanRho, ksValueCounts/ksDriftFromCounts): a string signal is
+    * discrete, but `cast("long")` turns it into all-NULL ranks — exactly
+    * the silent divergence this guard exists to stop. Callers that group
+    * on the raw value (signalAuc, fprThreshold) keep strings legal. */
   private[ops] def requireDiscrete(df: DataFrame, valueCol: Column,
-                                   op: String): Unit = {
+                                   op: String,
+                                   allowString: Boolean = true): Unit = {
     import org.apache.spark.sql.types._
     val t = df.select(valueCol).schema.head.dataType
     val ok = t match {
       case ByteType | ShortType | IntegerType | LongType
-         | BooleanType | DateType | StringType => true
+         | BooleanType | DateType => true
+      case StringType => allowString
       case d: DecimalType => d.scale == 0
       case _ => false
     }
-    require(ok, s"$op: signal column has continuous type $t — the rank " +
-      "window is bounded by the signal's |distinct| domain, which a " +
-      "continuous signal collapses to one partition at scale. " +
-      "Micro-quantize first (e.g. floor(x * 1e6) cast to LONG).")
+    val why =
+      if (t == StringType)
+        "this operator casts the signal to LONG, so a string value " +
+        "becomes all-NULL ranks. Pre-encode the string domain to integers."
+      else
+        "the rank window is bounded by the signal's |distinct| domain, " +
+        "which a continuous signal collapses to one partition at scale. " +
+        "Micro-quantize first (e.g. floor(x * 1e6) cast to LONG)."
+    require(ok, s"$op: signal column has type $t — " + why)
   }
 
   /** Exact ROC AUC of an integer-valued score against a binary label, with
@@ -1721,8 +1732,8 @@ object Evaluation {
     * moment aggregate; windows touch only the bounded value grids. */
   def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    requireDiscrete(df, col(xCol), "spearmanRho(x)")
-    requireDiscrete(df, col(yCol), "spearmanRho(y)")
+    requireDiscrete(df, col(xCol), "spearmanRho(x)", allowString = false)
+    requireDiscrete(df, col(yCol), "spearmanRho(y)", allowString = false)
     val rows = df.select(col(xCol).cast("long").as("x"),
       col(yCol).cast("long").as("y")).localCheckpoint(true)
     def rankTable(c: String) = {

@@ -398,7 +398,7 @@ object Maintenance {
     * without re-reading the baseline corpus (the psi_drift_stored
     * shape). */
   def ksValueCounts(a: DataFrame, valueCol: Column): DataFrame = {
-    Evaluation.requireDiscrete(a, valueCol, "ksValueCounts")
+    Evaluation.requireDiscrete(a, valueCol, "ksValueCounts", allowString = false)
     a.select(valueCol.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("ca"))
   }
@@ -407,7 +407,7 @@ object Maintenance {
   def ksDriftFromCounts(baselineCounts: DataFrame, b: DataFrame,
                         valueCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Evaluation.requireDiscrete(b, valueCol, "ksDriftFromCounts")
+    Evaluation.requireDiscrete(b, valueCol, "ksDriftFromCounts", allowString = false)
     val ca = baselineCounts.select(col("v"), col("ca"))
     val cb = b.select(valueCol.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cb"))

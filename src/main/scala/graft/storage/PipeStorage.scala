@@ -419,19 +419,43 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     org.apache.spark.sql.types.StructType(
       s.filterNot(_.name == PartCol).map(_.copy(nullable = true)))
 
-  /** Open table parquet: explicit cached schema when known (NO footer-merge
-    * job), mergeSchema inference otherwise. `cacheable` marks opens that
-    * span the WHOLE table (dataPath / all segments) — only those may
-    * populate the cache, a subset's inferred schema could miss columns
-    * that live in other chunks. With an explicit schema, Spark's partition
-    * discovery still appends `__graft_chunk` for partitioned layouts, so
-    * downstream drop/filter code is unchanged. */
+  /** Cheap cross-process staleness fingerprint of the table's physical
+    * state. Partitioned pipes hash the chunk-dir listing (name, mtime,
+    * len) — ONE driver metadata call, the same cost class as
+    * [[diskChunkLabels]]; an append into an existing chunk updates that
+    * chunk dir's mtime, a new chunk changes the name set, a swap replaces
+    * dirs wholesale. Snapshot pipes use the manifest pointer version,
+    * which every mutation advances. The lease model permits SERIALIZED
+    * writers in different processes, so cache coherence cannot rest on
+    * in-process bookkeeping alone: the fingerprint lets cached-schema
+    * reads self-invalidate when a foreign writer touched the table,
+    * instead of silently hiding its columns until a manual
+    * [[PipeStorage.invalidateSchema]]. */
+  private def schemaFingerprint(): Long =
+    if (partitioned) {
+      val p = new Path(dataPath)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).foldLeft(1125899906842597L) { (h, st) =>
+        ((h * 31 + st.getPath.getName.hashCode) * 31 +
+          st.getModificationTime) * 31 + st.getLen
+      }
+    } else readPtr.map(_.toLong + 1L).getOrElse(0L)
+
+  /** Open table parquet: explicit cached schema when known AND still
+    * fingerprint-fresh (NO footer-merge job), mergeSchema inference
+    * otherwise. `cacheable` marks opens that span the WHOLE table
+    * (dataPath / all segments) — only those may populate the cache, a
+    * subset's inferred schema could miss columns that live in other
+    * chunks. With an explicit schema, Spark's partition discovery still
+    * appends `__graft_chunk` for partitioned layouts, so downstream
+    * drop/filter code is unchanged. */
   private def openData(paths: Seq[String], cacheable: Boolean): DataFrame =
-    PipeStorage.schemaCacheGet(basePath) match {
+    PipeStorage.schemaCacheGet(basePath, () => schemaFingerprint()) match {
       case Some(sch) => spark.read.schema(sch).parquet(paths: _*)
       case None =>
         val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        if (cacheable) PipeStorage.schemaCachePut(basePath, stripPart(df.schema))
+        if (cacheable)
+          PipeStorage.schemaCachePut(basePath, stripPart(df.schema), schemaFingerprint())
         df
     }
 
@@ -439,19 +463,29 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
     * row additions — a batch may ADD columns (schema evolution appends
     * typed nulls); a same-name TYPE change out-of-band invalidates so the
     * next read re-infers (engine-level promotion goes through overwrite,
-    * which replaces). */
+    * which replaces). Called AFTER the physical write lands; `fpBefore`
+    * (merge mode only) is the fingerprint captured before our write — if
+    * the cache entry predates some FOREIGN write (entry.fp ≠ fpBefore),
+    * merging our columns into it would stamp a fresh fingerprint onto a
+    * schema missing the foreign columns, so the entry is dropped instead. */
   private def recordWrittenSchema(s: org.apache.spark.sql.types.StructType,
-                                  replace: Boolean): Unit = {
+                                  replace: Boolean,
+                                  fpBefore: Long = -1L): Unit = {
     val incoming = stripPart(s)
-    if (replace) PipeStorage.schemaCachePut(basePath, incoming)
-    else PipeStorage.schemaCacheGet(basePath).foreach { cur =>
-      val conflict = incoming.exists(f =>
-        cur.find(_.name == f.name).exists(_.dataType != f.dataType))
-      if (conflict) PipeStorage.invalidateSchema(basePath)
+    if (replace) PipeStorage.schemaCachePut(basePath, incoming, schemaFingerprint())
+    else PipeStorage.schemaCacheGetRaw(basePath).foreach { cached =>
+      if (cached.fp != fpBefore) PipeStorage.invalidateSchema(basePath)
       else {
-        val added = incoming.filterNot(f => cur.exists(_.name == f.name))
-        if (added.nonEmpty) PipeStorage.schemaCachePut(basePath,
-          org.apache.spark.sql.types.StructType(cur.fields ++ added))
+        val cur = cached.schema
+        val conflict = incoming.exists(f =>
+          cur.find(_.name == f.name).exists(_.dataType != f.dataType))
+        if (conflict) PipeStorage.invalidateSchema(basePath)
+        else {
+          val added = incoming.filterNot(f => cur.exists(_.name == f.name))
+          PipeStorage.schemaCachePut(basePath,
+            org.apache.spark.sql.types.StructType(cur.fields ++ added),
+            schemaFingerprint())
+        }
       }
     }
   }
@@ -614,7 +648,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
   }
 
   override def append(df: DataFrame): Unit = { withWriteLease {
-    recordWrittenSchema(df.schema, replace = false)
+    val fpBefore = schemaFingerprint()
     if (partitioned)
       withChunk(df).write.mode(SaveMode.Append).partitionBy(PartCol).parquet(s"$basePath/data")
     else {
@@ -627,6 +661,10 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       writeManifest(v, prev :+ seg)
       writePtr(v); gcOldSnapshots(keep = 2)
     }
+    // AFTER the data lands (mirrors write()): a failed/partial append must
+    // not leave a cache entry claiming columns that exist in no surviving
+    // file — later explicit-schema reads would surface phantom null columns
+    recordWrittenSchema(df.schema, replace = false, fpBefore)
   }
   }
 
@@ -642,7 +680,7 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
              strayScan: StrayScan = StrayScan.Full): Unit = { withWriteLease {
     require(keys.nonEmpty, "upsert requires key columns")
     if (!exists) { create(patch); return }
-    recordWrittenSchema(patch.schema, replace = false)
+    val fpBefore = schemaFingerprint()
     if (partitioned) {
       val p = withChunk(patch).cache()
       try {
@@ -746,6 +784,12 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
         }
       appendSegment(merged, untouched)
     }
+    // AFTER the merge lands (mirrors write()/append()): recording before
+    // the physical rewrite would let a failed upsert poison the schema
+    // cache with columns no surviving file holds. The merge reads above
+    // deliberately see the PRE-patch schema; unionByName(allowMissing)
+    // reconciles any width difference.
+    recordWrittenSchema(patch.schema, replace = false, fpBefore)
   }
   }
 
@@ -1110,17 +1154,29 @@ object PipeStorage {
     * STREAMING micro-batch). The cache turns those opens into
     * `spark.read.schema(...)` — zero jobs. Coherence: every mutation
     * through this class updates or invalidates the entry (create/
-    * overwrite replace, append/upsert merge-or-invalidate, drop removes);
-    * a writer in ANOTHER process is already outside the single-writer
-    * lease model, and a reader that must see foreign schema changes calls
-    * [[invalidateSchema]] — the `REFRESH TABLE` analog. */
+    * overwrite replace, append/upsert merge-or-invalidate, drop removes),
+    * and every entry carries the table's physical FINGERPRINT at stamp
+    * time (`schemaFingerprint`) — the lease model permits serialized
+    * writers in DIFFERENT processes, so reads validate the fingerprint
+    * and self-invalidate when a foreign writer touched the table.
+    * [[invalidateSchema]] remains the manual `REFRESH TABLE` analog. */
+  private[storage] final case class CachedSchema(
+    schema: org.apache.spark.sql.types.StructType, fp: Long)
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSchema]()
   def invalidateSchema(basePath: String): Unit = { schemaCache.remove(basePath); () }
-  private[storage] def schemaCacheGet(basePath: String): Option[org.apache.spark.sql.types.StructType] =
+  /** Fingerprint-validated read: `fp` is evaluated only when an entry
+    * exists; on mismatch the stale entry is dropped (the caller re-infers
+    * with mergeSchema and re-stamps). */
+  private[storage] def schemaCacheGet(basePath: String, fp: () => Long): Option[org.apache.spark.sql.types.StructType] =
+    Option(schemaCache.get(basePath)).flatMap { c =>
+      if (c.fp == fp()) Some(c.schema)
+      else { schemaCache.remove(basePath, c); None }
+    }
+  private[storage] def schemaCacheGetRaw(basePath: String): Option[CachedSchema] =
     Option(schemaCache.get(basePath))
-  private[storage] def schemaCachePut(basePath: String, s: org.apache.spark.sql.types.StructType): Unit = {
-    schemaCache.put(basePath, s); ()
+  private[storage] def schemaCachePut(basePath: String, s: org.apache.spark.sql.types.StructType, fp: Long): Unit = {
+    schemaCache.put(basePath, CachedSchema(s, fp)); ()
   }
   /** How long acquire spins before failing loudly / when a lease counts as
     * abandoned. Test-adjustable. */
