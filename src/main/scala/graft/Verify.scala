@@ -55,7 +55,6 @@ object Verify {
     // (localCheckpoint lineage truncation, allowlisted unpartitioned
     // windows) — see LogHygiene for why a package-wide ERROR was wrong.
     LogHygiene.install()
-    new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
     // The driver sets no env, so its run always dumps everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -75,6 +74,27 @@ object Verify {
         }
         SparkEntry.queries.view.filterKeys(only).toMap
       }
+    val k = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
+      .getOrElse(math.max(1, math.min(6, cpus / 2)))
+    val (okN, failN) = runAll(spark, sfDir, outDir, selected, k)
+    // Always exit 0: the per-query record (parquet present/absent) IS the
+    // signal; a non-zero exit could make the driver discard the whole
+    // partial report — the exact zeroing this rewrite exists to prevent.
+    System.err.println(s"[verify] done: $okN/${selected.size} ok, $failN failed")
+    spark.stop()
+  }
+
+  /** The whole dump as a callable (main minus session/env/exit):
+    * `selected` queries run cheapest-tier-first, `k` at a time, each on
+    * its own `spark.newSession()`; oracle_sql.json + report.json rewrite
+    * atomically per batch. Returns (ok, failed) counts. Testable —
+    * VerifyConcurrencySpec runs a subset twice at k=6 and asserts
+    * identical outputs, pinning the session-isolation claims. */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String,
+             selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+             k: Int): (Int, Int) = {
+    new java.io.File(outDir).mkdirs()
 
     // Cheapest-tier-first order: under a driver-side cap the partial report
     // should hold as MANY green rows as possible, so the fixed-overhead-heavy
@@ -88,7 +108,8 @@ object Verify {
       Set("q_pipe_dag", "q_fleet_sync", "q_join_fetch_incremental",
           "q_schedule_fires", "q_curation_v3", "q_leakage_split_stored",
           "q_copy_pipe", "q_backtrack_window", "q_deduplicate_pipe",
-          "q_sp_prune_apply", "q_hnsw_batch", "q_hnsw_recall")(name)
+          "q_sp_prune_apply", "q_hnsw_batch", "q_hnsw_pq_batch",
+          "q_hnsw_recall")(name)
     val ordered = selected.toSeq.sortBy { case (n, _) => (heavy(n), n) }
 
     val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -179,9 +200,6 @@ object Verify {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
-    val k = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
-      .getOrElse(math.max(1, math.min(6, cpus / 2)))
     ordered.grouped(k).foreach { batch =>
       val threads = batch.map { case (name, fn) =>
         val t = new Thread(() => runOne(name, fn), s"verify-$name")
@@ -206,10 +224,6 @@ object Verify {
       rewriteOracle()
       rewriteReport()
     }
-    // Always exit 0: the per-query record (parquet present/absent) IS the
-    // signal; a non-zero exit could make the driver discard the whole
-    // partial report — the exact zeroing this rewrite exists to prevent.
-    System.err.println(s"[verify] done: ${completed.size}/${ordered.size} ok, ${errors.size} failed")
-    spark.stop()
+    (completed.size, errors.size)
   }
 }

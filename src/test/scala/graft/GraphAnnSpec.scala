@@ -12,7 +12,7 @@ import graft.sync.SyncEngine
 class GraphAnnSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private val (npb, m, buckets, ef, hops, k) = (2, 6, 8, 8, 3, 10)
+  private val (npb, m, buckets, cap, ef, hops, k) = (2, 6, 8, 2, 8, 3, 10)
 
   private def cellsOf(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
     GraphAnn.withBuildCells(emb, "vec_id", "embedding", cents, npb)
@@ -21,15 +21,15 @@ class GraphAnnSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
     val full = GraphAnn.foldAdjacency(
-      GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets), m)
+      GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets, cap), m, cap)
       .select("src", "dst").orderBy("src", "dst").collect().toSeq
     // three different split keys — the fold must not depend on arrival order
     Seq(2L, 3L, 5L).foreach { p =>
       val b1 = cellsOf(emb.where(col("vec_id") % p === 0), cents)
       val b2 = cellsOf(emb.where(col("vec_id") % p =!= 0), cents)
-      val appended = GraphAnn.edgeBatch(b1, None, m, buckets)
-        .unionByName(GraphAnn.edgeBatch(b2, Some(b1), m, buckets))
-      val folded = GraphAnn.foldAdjacency(appended, m)
+      val appended = GraphAnn.edgeBatch(b1, None, m, buckets, cap)
+        .unionByName(GraphAnn.edgeBatch(b2, Some(b1), m, buckets, cap))
+      val folded = GraphAnn.foldAdjacency(appended, m, cap)
         .select("src", "dst").orderBy("src", "dst").collect().toSeq
       assert(folded == full, s"fold != rebuild for split mod $p")
     }
@@ -44,7 +44,7 @@ class GraphAnnSpec extends SparkSpec {
       columns = ColumnRoles(Map("datetime" -> "bucket")),
       epochUnit = Some("minute"), chunkMinutes = 1)
     val store = eng.storage(spec)
-    store.create(GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets))
+    store.create(GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets, cap))
     val q = emb.where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
     val readBuckets = scala.collection.mutable.Set.empty[String]
@@ -62,7 +62,7 @@ class GraphAnnSpec extends SparkSpec {
             s"probe read bucket $b outside frontier buckets $want")
           readBuckets += b
         }
-      GraphAnn.expandFrom(GraphAnn.foldAdjacency(rows, m), q)(frontier)
+      GraphAnn.expandFrom(GraphAnn.foldAdjacency(rows, m, cap), q)(frontier)
     }
     val top = GraphAnn.beamSearch(expand, Seq(0L, 1L, 2L, 3L), ef, hops, k)
     assert(top.nonEmpty && top.size <= k)
@@ -72,11 +72,55 @@ class GraphAnnSpec extends SparkSpec {
     assert(readBuckets.size < buckets)
   }
 
+  test("entry batches fold to the full rebuild (per-cell argmax mergeability)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val full = GraphAnn.entryBatch(cellsOf(emb, cents), cents)
+      .select("cell", "id").orderBy("cell").collect().toSeq
+    Seq(2L, 3L, 5L).foreach { p =>
+      val appended = GraphAnn.entryBatch(
+          cellsOf(emb.where(col("vec_id") % p === 0), cents), cents)
+        .unionByName(GraphAnn.entryBatch(
+          cellsOf(emb.where(col("vec_id") % p =!= 0), cents), cents))
+      val folded = GraphAnn.foldEntries(appended)
+        .select("cell", "id").orderBy("cell").collect().toSeq
+      assert(folded == full, s"entry fold != rebuild for split mod $p")
+    }
+  }
+
+  test("probe is id-space invariant: a non-zero-based corpus gets the same results") {
+    // r13 seeded the beam with ids 0..nEntries-1 by convention — a corpus
+    // whose ids start at 1e6 (sharded / UUID-mapped) got degenerate seeds.
+    // Entries now come from the per-cell build rule, so shifting every id
+    // by a constant must shift the probe output by exactly that constant.
+    val emb = Tables.embeddings(spark, sf)
+    val shift = 1000000L
+    val shifted = emb.select((col("vec_id") + shift).as("vec_id"),
+      col("embedding"))
+    // centroids are an id-agnostic Seq[Seq[Double]] artifact — share one
+    // set so both probes cluster identically (sampleCentroids' id<n rule
+    // is a sampling convention, not part of the probe under test)
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+    def probe(e: DataFrame, qid: Long): Seq[(Long, Double)] = {
+      val cells = cellsOf(e, cents)
+      val adj = GraphAnn.foldAdjacency(
+        GraphAnn.edgeBatch(cells, None, m, buckets, cap), m, cap).localCheckpoint(true)
+      val entries = GraphAnn.entryIds(GraphAnn.entryBatch(cells, cents))
+      val q = e.where(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      GraphAnn.beamSearch(GraphAnn.expandFrom(adj, q), entries, ef, hops, k)
+    }
+    val base = probe(emb, 7L)
+    val moved = probe(shifted, 7L + shift)
+    assert(moved == base.map { case (id, c) => (id + shift, c) },
+      "shifting the id space changed the probe output")
+  }
+
   test("beam result ids exist and scores are exact cosines") {
     val emb = Tables.embeddings(spark, sf)
     val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
     val adj = GraphAnn.foldAdjacency(
-      GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets), m)
+      GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets, cap), m, cap)
       .localCheckpoint(true)
     val q = emb.where(col("vec_id") === 7)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
