@@ -651,8 +651,11 @@ object SparkEntry {
         eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
           cells1, None, HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true),
           checkExisting = false)
-        eng.sync(entSpec, graft.ops.GraphAnn.entryBatch(cells1, cents),
-          checkExisting = false)
+        // entry batches are a tiny per-cell artifact — write through the
+        // store (create/append) instead of paying the ~1.3 s sync
+        // envelope twice per build
+        eng.storage(entSpec).create(
+          graft.ops.GraphAnn.entryBatch(cells1, cents))
         // batch 2's old-side vectors come from the STORE (self-edges) —
         // sequential by design: the increment reads batch 1's stored state
         val oldCells = cellsOf(eng.getData(spec)
@@ -663,8 +666,8 @@ object SparkEntry {
         eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
           cells2, Some(oldCells), HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true),
           checkExisting = false)
-        eng.sync(entSpec, graft.ops.GraphAnn.entryBatch(cells2, cents),
-          checkExisting = false)
+        eng.storage(entSpec).append(
+          graft.ops.GraphAnn.entryBatch(cells2, cents))
         ()
        },
        () => {
@@ -719,8 +722,8 @@ object SparkEntry {
         eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
           cells1, None, HnswM, HnswBuckets, HnswCellCap, cbs).localCheckpoint(true),
           checkExisting = false)
-        eng.sync(entSpec, graft.ops.GraphAnn.entryBatch(cells1, cents),
-          checkExisting = false)
+        eng.storage(entSpec).create(
+          graft.ops.GraphAnn.entryBatch(cells1, cents))
         val oldCells = cellsOf(eng.getData(spec)
           .where(col("src") === col("dst"))
           .select(col("src").as("vec_id"), col("dvec").as("embedding")))
@@ -729,8 +732,8 @@ object SparkEntry {
         eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
           cells2, Some(oldCells), HnswM, HnswBuckets, HnswCellCap, cbs).localCheckpoint(true),
           checkExisting = false)
-        eng.sync(entSpec, graft.ops.GraphAnn.entryBatch(cells2, cents),
-          checkExisting = false)
+        eng.storage(entSpec).append(
+          graft.ops.GraphAnn.entryBatch(cells2, cents))
         ()
        },
        () => {
@@ -2760,9 +2763,10 @@ object SparkEntry {
             .where(col("src") === col("dst"))
             .select(col("src").as("vec_id"), col("dvec").as("embedding")))
           // entry increment rides the same micro-batch (argmax-mergeable,
-          // so redelivered duplicates collapse in the entry fold)
-          eng.sync(entSpec, graft.ops.GraphAnn.entryBatch(newCells, cents),
-            checkExisting = false)
+          // so redelivered duplicates collapse in the entry fold); direct
+          // store append — the tiny artifact doesn't buy a sync envelope
+          eng.storage(entSpec).append(
+            graft.ops.GraphAnn.entryBatch(newCells, cents))
           graft.ops.GraphAnn.edgeBatch(newCells, Some(oldCells),
             HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true)
         })
@@ -6365,6 +6369,27 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ── FILTERED graph-ANN probe — predicate-constrained top-k (the RAG /
+    // tenant-scoped retrieval access pattern, Filtered-DiskANN shape):
+    // traversal navigates the UNfiltered graph (non-matching nodes are the
+    // bridges), only the collection keeps label-matching visited nodes.
+    "q_hnsw_filtered" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding",
+        HnswCents)
+      val cells = graft.ops.GraphAnn.withBuildCells(emb, "vec_id", "embedding",
+        cents, HnswNpBuild)
+      val adj = graft.ops.GraphAnn.foldAdjacency(
+        graft.ops.GraphAnn.edgeBatch(cells, None, HnswM, HnswBuckets,
+          HnswCellCap), HnswM, HnswCellCap).localCheckpoint(true)
+      val entries = graft.ops.GraphAnn.entryIds(
+        graft.ops.GraphAnn.entryBatch(cells, cents))
+      graft.ops.GraphAnn.beamSearchBatchFiltered(adj,
+          emb.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          emb, "vec_id", "label", entries, HnswEf, HnswHops, HnswK)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ── BATCHED PQ-graph probe — DiskANN's serving path for N queries at
     // once: per-query ADC tables stamp in-plan, traversal reads only the
     // m-byte codes, per-query top-`rerank` survivors rerank with exact
@@ -7791,6 +7816,12 @@ object SparkEntry {
         nProbeBuild = HnswNpBuild, m = HnswM, cellCap = HnswCellCap,
         ef = HnswEf, hops = HnswHops, dim = 64, pqM = 4, ks = 16,
         rerank = 24, k = HnswK),
+
+    "q_hnsw_filtered" ->
+      graft.ops.GraphAnn.beamBatchFilteredOracleSql("embeddings", "vec_id",
+        "embedding", labelCol = "label", queryFilter = "id % 100 = 0",
+        nCentroids = HnswCents, nProbeBuild = HnswNpBuild, m = HnswM,
+        cellCap = HnswCellCap, ef = HnswEf, hops = HnswHops, k = HnswK),
 
     "q_hnsw_pq_batch" ->
       graft.ops.GraphAnn.pqBeamBatchOracleSql("embeddings", "vec_id",

@@ -109,7 +109,7 @@ object Verify {
           "q_schedule_fires", "q_curation_v3", "q_leakage_split_stored",
           "q_copy_pipe", "q_backtrack_window", "q_deduplicate_pipe",
           "q_sp_prune_apply", "q_hnsw_batch", "q_hnsw_pq_batch",
-          "q_hnsw_recall")(name)
+          "q_hnsw_filtered", "q_hnsw_recall", "q_hnsw_recall_clustered")(name)
     val ordered = selected.toSeq.sortBy { case (n, _) => (heavy(n), n) }
 
     val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -331,6 +331,59 @@ object GraphAnn {
         col("rank"))
   }
 
+  /** FILTERED batched beam — predicate-constrained top-k in the
+    * Filtered-DiskANN spirit (Gollapudi et al., WWW 2023): the traversal
+    * navigates the UNfiltered graph (restricting the frontier starves it —
+    * non-matching nodes are the bridges between matching regions), and only
+    * the COLLECTION step keeps visited nodes whose label matches the
+    * query's own. The RAG / tenant-scoped retrieval access pattern.
+    * `labels` is the (id, label) side; the visited set is the bounded side
+    * of its join, the query-label side is query-batch-sized and broadcast.
+    * Output: (qid, id, cosine, rank ≤ k) among matching nodes. */
+  def beamSearchBatchFiltered(adj: DataFrame, queries: DataFrame,
+                              qidCol: String, qvecCol: String,
+                              labels: DataFrame, idCol: String,
+                              labelCol: String,
+                              entries: Seq[Long], ef: Int, hops: Int,
+                              k: Int): DataFrame = {
+    val qs = queries.select(col(qidCol).cast("long").as("qid"),
+      col(qvecCol).cast("array<double>").as("__qv")).distinct()
+    val lab = labels.select(col(idCol).cast("long").as("dst"),
+      col(labelCol).as("__lab"))
+    val qlab = qs.select(col("qid"))
+      .join(lab.withColumnRenamed("dst", "qid")
+        .withColumnRenamed("__lab", "__qlab"), Seq("qid"))
+    beamBatchCore(adj.select(col("src"), col("dst"), col("dvec")), Seq("dvec"),
+        qs, VectorFns.cosine(col("dvec"), col("__qv")), entries, ef, hops)
+      .join(lab, Seq("dst"))
+      .join(broadcast(qlab), Seq("qid"))
+      .where(col("__lab") === col("__qlab"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("c").desc, col("dst"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("dst").as("id"), col("c").as("cosine"),
+        col("rank"))
+  }
+
+  /** Oracle replaying [[beamSearchBatchFiltered]]: the unfiltered frontier
+    * replay, label-filtered collection, per-qid rank. */
+  def beamBatchFilteredOracleSql(table: String, idCol: String, vecCol: String,
+                                 labelCol: String, queryFilter: String,
+                                 nCentroids: Int, nProbeBuild: Int, m: Int,
+                                 cellCap: Int, ef: Int, hops: Int,
+                                 k: Int): String =
+    s"""WITH ${adjacencyCtes(table, idCol, vecCol, nCentroids, nProbeBuild, m, cellCap)},
+       lab AS (SELECT CAST($idCol AS BIGINT) AS id, $labelCol AS lab FROM $table),
+       qs AS (SELECT id AS qid, ev AS qv FROM e WHERE $queryFilter),
+       ${beamCtes(ef, hops)}
+       SELECT v.qid, v.dst AS id, v.c AS cosine,
+         CAST(row_number() OVER (PARTITION BY v.qid ORDER BY v.c DESC, v.dst) AS INT) AS rank
+       FROM vis v JOIN lab dl ON dl.id = v.dst
+                  JOIN lab ql ON ql.id = v.qid
+       WHERE dl.lab = ql.lab
+       QUALIFY rank <= $k
+       ORDER BY v.qid, rank"""
+
   /** BATCHED PQ-graph beam — the DiskANN serving path for N queries at
     * once: per-query ADC term tables are stamped IN-PLAN (one bounded
     * projection over the query side — `zip_with` over the literal
