@@ -70,6 +70,13 @@ object PlanAudit {
        "cell equi-join prunes the corpus with only (id, cell, codes) crossing " +
        "it, and two qid-keyed windows rank ADC candidates then exact-cosine " +
        "rerank. No cartesian product, no collect anywhere in the plan."),
+    "q_hnsw_batch" ->
+      ("BATCHED graph-ANN beam (final hop + rank): the frontier⋈adjacency " +
+       "equi-join keys on the node id with the query side broadcast, hop " +
+       "state is a localCheckpointed scan (earlier hops materialized once — " +
+       "no lineage re-execution), and the per-query top-k is ONE qid-keyed " +
+       "rank window. No cartesian product; per-hop work is bounded by " +
+       "ef·(m+1) adjacency rows per query."),
     "q_bm25_topk" ->
       ("BM25 retrieval: the tf aggregate shuffles only rows already filtered " +
        "to the query's terms; document frequencies and the single (N, avgdl) " +
