@@ -116,6 +116,23 @@ class GraphAnnSpec extends SparkSpec {
       "shifting the id space changed the probe output")
   }
 
+  test("diversity prune: per-cell cap holds and full-degree nodes span distinct cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val adj = GraphAnn.foldAdjacency(
+      GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets, cap), m, cap)
+      .where(col("src") =!= col("dst")).cache()
+    // ≤ cap edges per (src, dst-primary-cell) — the long-range guarantee
+    assert(adj.groupBy("src", "dcell").count()
+      .where(col("count") > cap).count() == 0, "cell cap violated")
+    // a node holding its full m edges necessarily spans ≥ m/cap cells
+    assert(adj.groupBy("src")
+      .agg(countDistinct(col("dcell")).as("cells"), count(lit(1)).as("deg"))
+      .where(col("deg") === m && col("cells") < m / cap).count() == 0,
+      "full-degree node with too few distinct cells")
+    adj.unpersist()
+  }
+
   test("beam result ids exist and scores are exact cosines") {
     val emb = Tables.embeddings(spark, sf)
     val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
