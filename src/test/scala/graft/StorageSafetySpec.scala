@@ -458,3 +458,41 @@ class WriterLeaseSpec extends SparkSpec {
       "drop must remove the pipe directory")
   }
 }
+
+/** The schema cache's cross-process staleness fingerprint (ADVICE r14):
+  * the write-lease model permits SERIALIZED writers in different
+  * processes, so a column appended by another process must not stay
+  * invisible behind this process's cached explicit-schema reads. */
+class SchemaCacheFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cached schema self-invalidates when a foreign writer widens the table") {
+    val root = tmpDir()
+    val eng = new SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("safe", "fpcache"),
+      columns = ColumnRoles(Map("datetime" -> "ts", "primary" -> "id")))
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "a"),
+      (java.sql.Timestamp.valueOf("2024-02-06 10:00:00"), 2L, "b")
+    ).toDF("ts", "id", "v")
+    eng.sync(spec, df)
+    val store = eng.storage(spec)
+    assert(store.read.count() == 2) // populates the schema cache
+    // FOREIGN writer (a serialized writer in another process — its JVM
+    // holds its own cache, ours hears nothing): a WIDER file lands inside
+    // an existing chunk dir, bypassing this process's bookkeeping
+    val dataDir = new java.io.File(s"$root/${spec.targetName}/data")
+    val chunk = dataDir.listFiles()
+      .filter(_.getName.startsWith("__graft_chunk=")).head
+    Seq((java.sql.Timestamp.valueOf("2024-01-06 10:00:00"), 3L, "c", 42L))
+      .toDF("ts", "id", "v", "extra_col")
+      .write.mode("append").parquet(chunk.getAbsolutePath)
+    // the chunk-dir listing fingerprint changed → the stale entry drops,
+    // the read re-infers with mergeSchema and the foreign column appears
+    val again = store.read
+    assert(again.columns.contains("extra_col"),
+      "foreign column invisible: stale cached schema survived the write")
+    assert(again.count() == 3)
+    assert(again.where(col("extra_col") === 42L).count() == 1)
+  }
+}
