@@ -2708,6 +2708,95 @@ object SparkEntry {
         .distinct().orderBy(col("qid"), col("rank"))
     }),
 
+    // ── STREAMING MinHash band-index MAINTENANCE — arriving docs keep the
+    // LSH dedup index fresh at ingest: the per-batch transform is the
+    // band-index projection (shingle → minhash → band rows), blind-appended
+    // into the bucket-chunked pipe; band rows are row-local (fold = union
+    // ≡ rebuild) and the probe's candidate distinct collapses redelivered
+    // duplicates. The probe is the stored pruned path (≤ bands bucket
+    // dirs + exact shingle verify) against a doc that itself ARRIVED via
+    // the stream — same oracle as the batch index sync.
+    "q_streaming_minhash_maintain" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_smhm").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val qid  = 45L
+      def index(df: DataFrame) = ApproxDedup.minhashBandIndex(
+        df, "doc_id", "text", shingleSize = 3, k = 24, bands = 6, buckets = 4)
+      val spec = PipeSpec(PipeKeys("stream", "mh_maint"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(spec).create(index(docs.where(col("doc_id") % 2 === 0)))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sq = graft.streaming.StreamingSync.run(eng, spec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => index(batch.dropDuplicates("doc_id")))
+      sq.awaitTermination()
+      probeStoredBandIndex(eng.storage(spec), docs, qid, index)
+    }),
+
+    // ── STREAMING IVF+PQ index MAINTENANCE — arriving vectors keep the
+    // quantized index FRESH at ingest: the per-batch transform is two
+    // stacked shuffle-free projections (nearest cell + m-byte PQ code),
+    // blind-appended into the cell-chunked pipe; rows are ROW-LOCAL, so
+    // fold = plain union ≡ rebuild and redelivered files append
+    // byte-identical rows the probe's distinct collapses. The final probe
+    // is the stored partition-pruned IVF+PQ path (nProbe cell dirs, ADC
+    // candidates, exact rerank) — same oracle as the batch index sync.
+    "q_streaming_ivfpq_maintain" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_sivfpq").toString
+      val eng  = new SyncEngine(s, root)
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+      val cbs = SimilaritySearch.pqCodebooks(emb, "vec_id", "embedding",
+        m = 4, ks = 16)
+      def index(df: DataFrame) =
+        SimilaritySearch.withPqCodes(
+            SimilaritySearch.withIvfCell(df, "embedding", cents), "embedding", cbs)
+          .select(col("vec_id"), col("embedding"), col("pq"),
+            col("cell").cast("long").as("cell"))
+      val spec = PipeSpec(PipeKeys("stream", "ivfpq_maint"),
+        columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(spec).create(index(emb.where(col("vec_id") % 2 === 0)))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      emb.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sq = graft.streaming.StreamingSync.run(eng, spec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => index(batch.dropDuplicates("vec_id")))
+      sq.awaitTermination()
+      val probe = SimilaritySearch.ivfProbeCells(cents, qv, nProbe = 8)
+      SimilaritySearch.pqTopK(
+        eng.storage(spec).readIn(probe.map(_.toLong)).distinct(),
+        "vec_id", "embedding", "pq", qv, cbs, k = 10, rerank = 50)
+    }),
+
     // ── STREAMING graph-ANN index MAINTENANCE — the WRITE-path complement
     // of q_streaming_hnsw_probe: arriving vectors extend the STORED graph
     // at ingest. Each micro-batch builds its edge increment against the
@@ -8818,6 +8907,13 @@ object SparkEntry {
         dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
         queryId = 0, k = 10, rerank = 50),
 
+    // streamed increments are row-local (fold = union ≡ rebuild), so the
+    // maintained-index probe replays as the full IVF+PQ probe
+    "q_streaming_ivfpq_maintain" ->
+      SimilaritySearch.ivfPqOracleSql("embeddings", "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, nCentroids = 16, nProbe = 8,
+        queryId = 0, k = 10, rerank = 50),
+
     "q_profile_stats" ->
       graft.ops.Maintenance.profileOracleSql("events",
         Seq(("event_id", true), ("user_id", true), ("value", true),
@@ -8892,6 +8988,21 @@ object SparkEntry {
     },
 
     "q_minhash_index_sync" ->
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' ')) END) AS sh
+           FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents)),
+         q AS (SELECT sh FROM sh WHERE doc_id = 45),
+         p AS (
+           SELECT LEAST(45, b.doc_id) AS id1, GREATEST(45, b.doc_id) AS id2,
+             len(list_intersect(q.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(q.sh, b.sh)))::DOUBLE AS jaccard
+           FROM sh b, q WHERE b.doc_id <> 45)
+         SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.5 ORDER BY id1, id2""",
+
+    // streamed band increments are row-local (fold = union ≡ rebuild),
+    // so the maintained-index probe replays as the batch index sync
+    "q_streaming_minhash_maintain" ->
       """WITH sh AS (
            SELECT doc_id,
              list_distinct(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
