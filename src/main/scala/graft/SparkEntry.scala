@@ -2847,10 +2847,21 @@ object SparkEntry {
         transform = batch => {
           val newCells = cellsOf(batch.dropDuplicates("vec_id"))
             .localCheckpoint(true)
-          // old side from the STORE's self-edges — never the corpus
+          // the batch's cohort cells — a bounded driver list (≤ nCentroids)
+          val batchCells = newCells.select(col("cell")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          // old side from the STORE's self-edges — never the corpus — with
+          // the EXPLODED cohort rows pruned to the batch's cells: every
+          // cross pair joins on a shared cell ∈ batchCells, so dropping
+          // old cohort rows outside them loses no edge (pruning by the
+          // node's PRIMARY cell alone would — a secondary-cell overlap
+          // still pairs). The cohort join input shrinks to the touched
+          // fraction; at 100× a cell-chunked node pipe would prune the
+          // SCAN too (SCALE.md).
           val oldCells = cellsOf(eng.getData(edgeSpec)
             .where(col("src") === col("dst"))
             .select(col("src").as("vec_id"), col("dvec").as("embedding")))
+            .where(col("cell").isin(batchCells: _*))
           // entry increment rides the same micro-batch (argmax-mergeable,
           // so redelivered duplicates collapse in the entry fold); direct
           // store append — the tiny artifact doesn't buy a sync envelope
