@@ -31,7 +31,15 @@ object LogHygiene {
       private def drop(m: String): Boolean =
         (m.contains("locally checkpointed") &&
           m.contains("lineage has been truncated")) ||
-        m.contains("No Partition Defined for Window operation")
+        m.contains("No Partition Defined for Window operation") ||
+        // Structural streaming notices (r14 verdict item 6): AQE is NEVER
+        // supported in stateful streaming — Spark emits one WARN per
+        // streaming query construction (MicroBatchExecution /
+        // ResolveWriteToStream) regardless of configuration, so the
+        // category carries zero signal. Matching the exact phrases keeps
+        // every other AQE warning visible.
+        m.contains("Disabling AQE since AQE is not supported in stateful") ||
+        m.contains("spark.sql.adaptive.enabled is not supported in streaming")
       override def filter(e: LogEvent): Filter.Result =
         if (e != null && e.getMessage != null &&
             drop(e.getMessage.getFormattedMessage)) onMatch else onMismatch

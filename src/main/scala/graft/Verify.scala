@@ -77,7 +77,8 @@ object Verify {
     val k = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
       .getOrElse(math.max(1, math.min(6, cpus / 2)))
-    val (okN, failN) = runAll(spark, sfDir, outDir, selected, k)
+    val (okN, failN) = runAll(spark, sfDir, outDir, selected, k,
+      digestPath = if (only.isEmpty) Some("VERIFY_REPORT.json") else None)
     // Always exit 0: the per-query record (parquet present/absent) IS the
     // signal; a non-zero exit could make the driver discard the whole
     // partial report — the exact zeroing this rewrite exists to prevent.
@@ -93,7 +94,7 @@ object Verify {
     * identical outputs, pinning the session-isolation claims. */
   def runAll(spark: SparkSession, sfDir: String, outDir: String,
              selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-             k: Int): (Int, Int) = {
+             k: Int, digestPath: Option[String] = None): (Int, Int) = {
     new java.io.File(outDir).mkdirs()
 
     // Cheapest-tier-first order: under a driver-side cap the partial report
@@ -153,11 +154,15 @@ object Verify {
     // report.json — rewritten atomically after every batch — proves what
     // ran, green or red, independently of any downstream compare: per-query
     // ok/rows/seconds, plus run totals. A partial dir is self-describing.
+    // Locale.ROOT: a comma-decimal default locale (de_DE etc.) would make
+    // f-interpolation emit "1,23" and the JSON unparseable (ADVICE r14)
+    def num(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def rewriteReport(): Unit = {
       val entries = selected.keys.toSeq.sorted.flatMap { k =>
         if (completed.contains(k)) {
           val (rows, secs) = stats.getOrDefault(k, (-1L, -1.0))
-          Some(s"${q(k)}: {\"ok\": true, \"rows\": $rows, \"seconds\": ${f"$secs%.2f"}}")
+          Some(s"${q(k)}: {\"ok\": true, \"rows\": $rows, \"seconds\": ${num(secs, 2)}}")
         } else Option(errors.get(k)).map { err =>
           s"${q(k)}: {\"ok\": false, \"error\": ${q(err)}}"
         }
@@ -165,12 +170,35 @@ object Verify {
       val json =
         s"""{"sf_dir": ${q(sfDir)}, "total": ${selected.size}, """ +
         s""""ok": ${completed.size}, "failed": ${errors.size}, """ +
-        s""""elapsed_seconds": ${f"${(System.nanoTime() - runStart) / 1e9}%.1f"}, """ +
+        s""""elapsed_seconds": ${num((System.nanoTime() - runStart) / 1e9, 1)}, """ +
         s""""queries": ${entries.mkString("{", ", ", "}")}}"""
       val tmp = Paths.get(s"$outDir/report.json.tmp")
       Files.writeString(tmp, json)
       Files.move(tmp, Paths.get(s"$outDir/report.json"),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      // The repo-carried digest (r14 verdict item 1): CORRECTNESS_r12-r14
+      // were `{}` because the driver's compare phase never ran, so the
+      // official record carried no correctness evidence at all. This
+      // summary — counts + per-query failures only, atomically rewritten
+      // with report.json — is committed as VERIFY_REPORT.json and echoed
+      // into the bench stdout line the driver provably captures each round.
+      // FULL runs only: a SPARK_GRAFT_ONLY subset (or the concurrency
+      // spec's runAll call) must never clobber the committed full-suite
+      // digest with a partial one.
+      digestPath.foreach { path =>
+        val fails = selected.keys.toSeq.sorted
+          .flatMap(k => Option(errors.get(k)).map(e => s"${q(k)}: ${q(e)}"))
+        val digest =
+          s"""{"sf_dir": ${q(sfDir)}, "total": ${selected.size}, """ +
+          s""""ok": ${completed.size}, "failed": ${errors.size}, """ +
+          s""""elapsed_seconds": ${num((System.nanoTime() - runStart) / 1e9, 1)}, """ +
+          s""""generated_at_epoch_ms": ${System.currentTimeMillis()}, """ +
+          s""""failures": ${fails.mkString("{", ", ", "}")}}"""
+        val dtmp = Paths.get(s"$path.tmp")
+        Files.writeString(dtmp, digest)
+        Files.move(dtmp, Paths.get(path),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+      }
     }
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {

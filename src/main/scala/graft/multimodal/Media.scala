@@ -147,6 +147,11 @@ object Media {
       while (pos + 8 <= bytes.length) {
         val tag = new String(bytes, pos, 4, "US-ASCII")
         val len = bb.getInt(pos + 4)
+        // a corrupt negative/oversized chunk length would walk pos
+        // backwards and spin this loop forever inside an executor task
+        // (ADVICE r14) — reject instead of trusting the payload
+        require(len >= 0 && len <= bytes.length - pos - 8,
+          s"corrupt WAVE chunk '$tag': length $len at offset $pos")
         if (tag == "data") {
           val n = math.min(len, bytes.length - pos - 8) / 2
           val out = new Array[Short](n)
@@ -529,6 +534,13 @@ object Media {
       .mapPartitions { it =>
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
+          // The oracles replay the fold with length()/ord(substring())
+          // over CHARACTERS while the engine folds UTF-8 BYTES — equal
+          // only for ASCII text (ADVICE r14). Enforce the fixture
+          // contract loudly instead of silently diverging on the first
+          // non-ASCII document.
+          require(bytes.length == text.length,
+            s"media fixture requires ASCII document text (doc_id=$id)")
           (bytes.length % 3) match {
             case 0 =>
               MediaRow(id, "image",

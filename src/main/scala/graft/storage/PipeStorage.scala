@@ -420,24 +420,32 @@ final class PipeStorage(spark: SparkSession, root: String, val spec: PipeSpec)
       s.filterNot(_.name == PartCol).map(_.copy(nullable = true)))
 
   /** Cheap cross-process staleness fingerprint of the table's physical
-    * state. Partitioned pipes hash the chunk-dir listing (name, mtime,
-    * len) — ONE driver metadata call, the same cost class as
-    * [[diskChunkLabels]]; an append into an existing chunk updates that
-    * chunk dir's mtime, a new chunk changes the name set, a swap replaces
-    * dirs wholesale. Snapshot pipes use the manifest pointer version,
-    * which every mutation advances. The lease model permits SERIALIZED
-    * writers in different processes, so cache coherence cannot rest on
-    * in-process bookkeeping alone: the fingerprint lets cached-schema
-    * reads self-invalidate when a foreign writer touched the table,
-    * instead of silently hiding its columns until a manual
-    * [[PipeStorage.invalidateSchema]]. */
+    * state. Partitioned pipes hash, per chunk dir, (name, mtime, file
+    * count, total file length) — one listing of the table plus one per
+    * chunk dir, the same metadata-read cost class as a pruned open; an
+    * append into an existing chunk changes its file set even when it
+    * lands within the filesystem's mtime resolution of the cached stamp
+    * (the ADVICE r14 coherence hole: dir mtime alone has second-level
+    * granularity on some filesystems), a new chunk changes the name set,
+    * a swap replaces dirs wholesale. Snapshot pipes use the manifest
+    * pointer version, which every mutation advances. The lease model
+    * permits SERIALIZED writers in different processes, so cache
+    * coherence cannot rest on in-process bookkeeping alone: the
+    * fingerprint lets cached-schema reads self-invalidate when a foreign
+    * writer touched the table, instead of silently hiding its columns
+    * until a manual [[PipeStorage.invalidateSchema]]. */
   private def schemaFingerprint(): Long =
     if (partitioned) {
       val p = new Path(dataPath)
       if (!fs.exists(p)) 0L
       else fs.listStatus(p).foldLeft(1125899906842597L) { (h, st) =>
+        val contents =
+          if (!st.isDirectory) st.getLen
+          else fs.listStatus(st.getPath).foldLeft(0L) { (a, c) =>
+            (a * 31 + c.getLen) + 1 // +1: count files, so same-size swaps move it
+          }
         ((h * 31 + st.getPath.getName.hashCode) * 31 +
-          st.getModificationTime) * 31 + st.getLen
+          st.getModificationTime) * 31 + contents
       }
     } else readPtr.map(_.toLong + 1L).getOrElse(0L)
 
