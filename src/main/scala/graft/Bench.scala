@@ -96,8 +96,8 @@ object Bench {
     // deterministic name order: map-order iteration made round-over-round
     // per-query comparisons noisy (whichever query ran after a heavy one
     // inherited its GC shadow; the slot changed every build)
-    def runPass(): Seq[(String, (Double, String))] =
-      selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    def runPass(sel: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = selected): Seq[(String, (Double, String))] =
+      sel.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // stored-index queries: time build (once-per-corpus-sync cost) and
       // probe (per-query cost) separately — `name` reports the PROBE, the
       // build lands as `<name>_build`, so the total stays the end-to-end
@@ -249,10 +249,70 @@ object Bench {
     }
     val calibrationSec = passes.map(_._1._1).min
     val ioCalibrationSec = passes.map(_._1._2).min
-    val protocol = if (reps == 1) "single-pass" else s"min-of-$reps"
     val queryPasses = passes.map(_._2)
+    def minOf(ps: Seq[Seq[(String, (Double, String))]], label: String): Option[Double] = {
+      val ok = ps.flatMap(_.collectFirst { case (`label`, (t, null)) => t })
+      if (ok.nonEmpty) Some(ok.min) else None
+    }
+    // TARGETED EXTRA MEASUREMENT (r14 verdict item 4): min-of-2 provably
+    // failed to suppress sustained slow-box windows for multi-action
+    // entries — q_moore_lewis_select benched +63% round-over-round with
+    // ZERO commits touching it. Two trip wires pick entries for ONE more
+    // in-protocol measurement: (a) the two passes disagree >30% (transient
+    // noise hit one pass), (b) the min is >20% above the committed
+    // BENCH_LOCAL baseline BEYOND what the canaries explain (a sustained
+    // window covering both passes — the moore_lewis case; the canary
+    // ratio keys CPU drift to calibration_sec and IO drift to
+    // io_calibration_sec, whichever is larger). Full-suite runs only;
+    // capped at 48 entries so a genuinely slow box cannot triple the
+    // suite.
+    val priorBaseline: (Map[String, Double], Double, Double) = {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (only.nonEmpty || !java.nio.file.Files.exists(p)) (Map.empty, 0.0, 0.0)
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(p))
+        val qs = root.path("queries")
+        val it = qs.fieldNames()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val n = it.next(); b += n -> qs.get(n).asDouble() }
+        (b.result(), root.path("calibration_sec").asDouble(0.0),
+          root.path("io_calibration_sec").asDouble(0.0))
+      } catch { case _: Throwable => (Map.empty, 0.0, 0.0) }
+    }
+    val retried: Seq[Seq[(String, (Double, String))]] =
+      if (only.nonEmpty || reps < 2) Seq.empty
+      else {
+        val envRatio = math.max(1.0, math.max(
+          if (priorBaseline._2 > 0) calibrationSec / priorBaseline._2 else 1.0,
+          if (priorBaseline._3 > 0) ioCalibrationSec / priorBaseline._3 else 1.0))
+        val labels = queryPasses.head.map(_._1)
+        val suspect = labels.filter { label =>
+          val runs = queryPasses.flatMap(_.collectFirst { case (`label`, (t, null)) => t })
+          val spreadHit = runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 1.3
+          val baseHit = minOf(queryPasses, label).exists(cur =>
+            priorBaseline._1.get(label).exists(p0 =>
+              p0 > 0.5 && cur / p0 > envRatio * 1.2))
+          spreadHit || baseHit
+        }
+        // a staged entry's build+probe labels rerun together via the name
+        val names = suspect.map { l =>
+          val base = l.stripSuffix("_build")
+          if (l.endsWith("_build") && SparkEntry.staged.contains(base)) base else l
+        }.distinct.filter(selected.contains).take(48)
+        if (names.isEmpty) Seq.empty
+        else {
+          System.err.println(s"[bench] targeted retry of ${names.size} noisy entries: ${names.mkString(", ")}")
+          Seq(runPass(selected.view.filterKeys(names.toSet).toMap))
+        }
+      }
+    val protocol =
+      if (reps == 1) "single-pass"
+      else if (retried.isEmpty) s"min-of-$reps"
+      else s"min-of-$reps+retry${retried.head.size}"
+    val allPasses = queryPasses ++ retried
     val results: Seq[(String, (Double, String))] = queryPasses.head.map(_._1).map { label =>
-      val runs = queryPasses.flatMap(_.collectFirst { case (`label`, r) => r })
+      val runs = allPasses.flatMap(_.collectFirst { case (`label`, r) => r })
       val firstErr = runs.collectFirst { case (_, e) if e != null => e }
       val ok = runs.collect { case (t, null) => t }
       val t = if (ok.nonEmpty) ok.min else runs.map(_._1).min
@@ -312,6 +372,29 @@ object Bench {
     // 2.9k → BENCH_r04.parsed = null). Stdout therefore shows the slowest
     // `cap` queries (the informative ones) plus an omitted-count/-sum so the
     // totals still reconcile; cap=0 (BENCH_LOCAL.json) keeps every query.
+    // CORRECTNESS DIGEST IN THE CAPTURED CHANNEL (r14 verdict item 1):
+    // CORRECTNESS_r12-r14 were `{}` because the driver's correctness phase
+    // never ran graft.Verify — but BENCH_r{N}.json's stdout tail IS
+    // committed every round. Verify (full runs) rewrites VERIFY_REPORT.json
+    // atomically per batch; the bench echoes its counts + age here so the
+    // official round record carries correctness evidence either way. The
+    // age field keeps the echo honest: a stale digest says so.
+    val verifyDigest: String = {
+      val p = java.nio.file.Paths.get("VERIFY_REPORT.json")
+      if (!java.nio.file.Files.exists(p)) "null"
+      else {
+        val raw = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        def field(k: String): Option[String] =
+          (s""""$k":\\s*(\\d+)""").r.findFirstMatchIn(raw).map(_.group(1))
+        (field("total"), field("ok"), field("failed"),
+            field("generated_at_epoch_ms")) match {
+          case (Some(t), Some(o), Some(f), Some(ts)) =>
+            val ageH = (System.currentTimeMillis() - ts.toLong) / 3.6e6
+            s"""{"total":$t,"ok":$o,"failed":$f,"report_age_hours":${fmt(ageH, 1)}}"""
+          case _ => "null"
+        }
+      }
+    }
     def line(dec: Int, cap: Int): String = {
       val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
       val (shown, omitted) =
@@ -324,7 +407,7 @@ object Bench {
       val total = results.map(_._2._1).sum
       val omitSum = omitted.map(_._2._1).sum
       val guards = guardFailures.map(jstr).mkString("[", ",", "]")
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"io_calibration_sec":${fmt(ioCalibrationSec, dec)},"n_queries":${results.size},"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"io_calibration_sec":${fmt(ioCalibrationSec, dec)},"n_queries":${results.size},"verify":$verifyDigest,"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
     // subset runs (SPARK_GRAFT_ONLY) land in /tmp — they must never clobber
     // the committed full-suite baseline that round-over-round regression

@@ -132,6 +132,35 @@ object GraphAnn {
       .where(col("__rn") <= m).drop("__rc", "__rn")
   }
 
+  // ── cell-chunked node pipe ──────────────────────────────────────────────
+  // The incremental old side used to come from SCANNING the edge store's
+  // self-edges and recomputing their cohort cells — O(stored graph) per
+  // increment even when the batch touches two cells (the r14 `weak`).
+  // Node rows (cell, id, pcell, vec) — one per (node, cohort cell) —
+  // persist CHUNKED BY CELL next to the bucket-chunked edges, so an
+  // increment reads `readIn(touchedCells)`: exactly the old cohort rows
+  // that can pair with the batch (every cross pair joins on a shared
+  // cell ∈ touched — commit e85acac's preservation argument, now applied
+  // to the SCAN, not just the join input). Blind-append increments are
+  // row-local, so fold ≡ rebuild needs no read-side fold at all;
+  // redelivered duplicates collapse in edgeCandidates' pair/vector
+  // distincts. Cost: vectors stored twice (self-edges + node rows) —
+  // disk traded for read locality, the DiskANN layout move.
+
+  /** Node-pipe rows from a cohort-assignment frame: (cell, id, pcell,
+    * vec) — [[withBuildCells]]' own rows under storable names, chunk key
+    * first. */
+  def nodeBatch(cells: DataFrame): DataFrame =
+    cells.select(col("cell"), col("id"), col("pcell"),
+      col("__vec").as("vec"))
+
+  /** The stored node rows back in cohort-assignment shape — the `old`
+    * side [[edgeCandidates]] consumes. No recompute: cells were resolved
+    * at build time and ride in the rows. */
+  def nodeCells(rows: DataFrame): DataFrame =
+    rows.select(col("id"), col("vec").as("__vec"), col("pcell"),
+      col("cell"))
+
   /** Self-edges (id→id carrying the node's own vector, cosine pinned to
     * 1.0): the probe's vector storage AND every node's reachability seed. */
   def selfEdges(cells: DataFrame): DataFrame =
@@ -749,6 +778,22 @@ object GraphAnn {
       .select(col("src"), col("dst"), col("dvec"), col("pq").as("dpq"))
       .localCheckpoint(true)
     val entries = entryIds(entryBatch(cells, centroids))
+    recallReportFromIndex(emb, idCol, vecCol, queryIds, centroids,
+      eadj, entries, ef, hops, k, nProbeIvf, codebooks, pqRerank)
+  }
+
+  /** [[recallReport]] over a PREBUILT index: `eadj` is the folded
+    * adjacency carrying BOTH payloads (src, dst, dvec, dpq) — a
+    * materialized frame (checkpoint or a store/parquet read; it is
+    * expanded `hops` times) — and `entries` the build-time entry ids. The
+    * build-once/probe-many split lets one corpus-level build serve every
+    * gate (and every bench pass) instead of rebuilding per call. */
+  def recallReportFromIndex(emb: DataFrame, idCol: String, vecCol: String,
+                            queryIds: Seq[Long], centroids: Seq[Seq[Double]],
+                            eadj: DataFrame, entries: Seq[Long],
+                            ef: Int, hops: Int, k: Int, nProbeIvf: Int,
+                            codebooks: Seq[Seq[Seq[Double]]],
+                            pqRerank: Int): DataFrame = {
     val qs = emb.where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).cast("long").as("qid"),
         col(vecCol).cast("array<double>").as("__qv"))

@@ -133,6 +133,55 @@ class GraphAnnSpec extends SparkSpec {
     adj.unpersist()
   }
 
+  test("node-pipe increment: touched-cell read prunes files AND equals the unpruned build") {
+    // r14's one `weak`: the increment's old side scanned every stored
+    // self-edge. Node rows now persist chunked by cohort cell; this pins
+    // (a) executionally, that readIn(touched) reads ONLY touched cell
+    // dirs, and (b) algebraically, that the cell-pruned old side yields
+    // the SAME increment as the full one, and the fold of (batch1 +
+    // pruned increment) is the full rebuild.
+    val emb = Tables.embeddings(spark, sf)
+    val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
+    val inc = col("vec_id").isin(7L, 11L) // a small increment
+    val cells1 = cellsOf(emb.where(!inc), cents).localCheckpoint(true)
+    val cells2 = cellsOf(emb.where(inc), cents).localCheckpoint(true)
+    val root = java.nio.file.Files.createTempDirectory("graft_hnsw_nodes").toString
+    val eng = new SyncEngine(spark, root)
+    val nodeSpec = PipeSpec(PipeKeys("ann", "hnsw_nodes_prune"),
+      columns = ColumnRoles(Map("datetime" -> "cell")),
+      epochUnit = Some("minute"), chunkMinutes = 1)
+    val store = eng.storage(nodeSpec)
+    store.create(GraphAnn.nodeBatch(cells1))
+    val touched = cells2.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val allCells = cells1.select("cell").distinct().count()
+    assert(touched.size < allCells,
+      s"fixture regression: increment touches all $allCells cells — prune vacuous")
+    val oldRows = store.readIn(touched)
+    // executional file audit: every file read lives under a touched cell's dir
+    oldRows.select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0)).foreach { f =>
+        val mm = "__graft_chunk=([^/]+)/".r.findFirstMatchIn(f)
+        assert(mm.isDefined, s"increment read a non-node file: $f")
+        assert(touched.map(_.toString).contains(mm.get.group(1)),
+          s"increment read cell dir ${mm.get.group(1)} outside touched $touched")
+      }
+    def edgeSet(df: DataFrame) = df.where(col("src") =!= col("dst"))
+      .select("src", "dst").orderBy("src", "dst").collect().toSeq
+    val incPruned = GraphAnn.edgeBatch(cells2,
+      Some(GraphAnn.nodeCells(oldRows)), m, buckets, cap)
+    val incFull = GraphAnn.edgeBatch(cells2, Some(cells1), m, buckets, cap)
+    assert(edgeSet(incPruned) == edgeSet(incFull),
+      "cell-pruned old side changed the increment's edge set")
+    val full = GraphAnn.foldAdjacency(
+      GraphAnn.edgeBatch(cellsOf(emb, cents), None, m, buckets, cap), m, cap)
+    val folded = GraphAnn.foldAdjacency(
+      GraphAnn.edgeBatch(cells1, None, m, buckets, cap).unionByName(incPruned),
+      m, cap)
+    assert(edgeSet(folded) == edgeSet(full),
+      "fold of batch1 + pruned increment != full rebuild")
+  }
+
   test("beam result ids exist and scores are exact cosines") {
     val emb = Tables.embeddings(spark, sf)
     val cents = SimilaritySearch.sampleCentroids(emb, "vec_id", "embedding", 16)
