@@ -4547,11 +4547,13 @@ object SparkEntry {
     // partition-wise stub decode (mapPartitions = the mapInPandas shape);
     // oracle checks the plumbing-derived fields (byte length, type, frames).
     "q_media_features" -> ((s, d) => {
-      // REAL decodes (r13 verdict item 6): image payloads are genuine PNG
+      // REAL decodes, all three modalities: image payloads are genuine PNG
       // bytes decoded through ImageIO (width/height/mean-luma from the
       // pixel plane), audio payloads genuine RIFF/WAVE PCM walked
-      // chunk-by-chunk; the oracle recomputes the expected decode outputs
-      // from the fixture's content fold. Video stays the documented stub.
+      // chunk-by-chunk, video payloads genuine RIFF/AVI containers with
+      // uncompressed DIB frames (dims/frame-count/mean-luma from the
+      // container walk); the oracle recomputes the expected decode
+      // outputs from the fixture's content fold.
       val media = Media.fromDocuments(s, Tables.documents(s, d))
       Media.extractFeatures(media).toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
@@ -4581,13 +4583,12 @@ object SparkEntry {
     // ── LLM-pipeline: perceptual (aHash) media near-dup — 64-bit
     // average-hash fingerprints band into 4×16-bit chunks; by pigeonhole
     // the banded equi-join is EXACT for hamming ≤ 3 (never all-pairs), and
-    // the verify is one bit_count(xor) per candidate. Image/audio luma
-    // grids come from REAL decodes (ImageIO pixels / RIFF PCM bins), so
-    // near-identical content genuinely lands at small hamming; only video
-    // keeps the md5 byte-grid stub (no JDK codec). Every 10th payload is
-    // re-ingested under a shifted id (the re-crawl / re-upload case), so
-    // the hamming-0 pairs are real rows, not an empty trivially-matching
-    // result.
+    // the verify is one bit_count(xor) per candidate. Luma grids come
+    // from REAL decodes for all three modalities (ImageIO pixels / RIFF
+    // PCM bins / AVI frame-0 pixels), so near-identical content genuinely
+    // lands at small hamming. Every 10th payload is re-ingested under a
+    // shifted id (the re-crawl / re-upload case), so the hamming-0 pairs
+    // are real rows, not an empty trivially-matching result.
     "q_media_neardups" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val reup = docs.where(col("doc_id") % 10 === 0)

@@ -361,10 +361,18 @@ class MediaSpec extends SparkSpec {
     val auds = feats.where(col("media_type") === "audio").collect()
     assert(auds.nonEmpty && auds.forall(r => r.n_bytes == 300L)) // 44 + 2·128
     assert(auds.forall(r => r.mean_abs_sample >= 0 && r.mean_abs_sample <= 32768))
-    // non-audio rows carry no sample level; non-image rows no luma
+    // video: REAL container walk — dims from the BITMAPINFOHEADER, frame
+    // count from the movi chunks (2..5 by the fixture rule), mean luma
+    // across all decoded frames
+    val vids = feats.where(col("media_type") === "video").collect()
+    assert(vids.nonEmpty && vids.forall(r => r.width == 8 && r.height == 8))
+    assert(vids.forall(r => r.n_frames_sampled >= 2 && r.n_frames_sampled <= 5))
+    assert(vids.forall(r => r.n_bytes == 224L + 200L * r.n_frames_sampled))
+    assert(vids.forall(r => r.mean_luma_micro >= 0 && r.mean_luma_micro <= 1000000))
+    // non-audio rows carry no sample level; audio rows no luma
     assert(feats.where(col("media_type") =!= "audio")
       .agg(sum(when(col("mean_abs_sample") =!= 0L, 1).otherwise(0))).head().getLong(0) == 0L)
-    assert(feats.where(col("media_type") =!= "image")
+    assert(feats.where(col("media_type") === "audio")
       .agg(sum(when(col("mean_luma_micro") =!= 0L, 1).otherwise(0))).head().getLong(0) == 0L)
     // determinism: run twice, same result
     val again = Media.extractFeatures(media)
@@ -391,17 +399,49 @@ class MediaSpec extends SparkSpec {
     val media = Media.fromDocuments(spark, docs)
     val small = Media.resize(media, 32, 32).cache()
     assert(small.count() == media.count())
-    assert(small.collect().forall(r => r.width == 32 && r.height == 32 && r.payload.nonEmpty))
-    val frames = Media.sampleFrames(media, everyMs = 1000).cache()
+    // images/video re-encode at the target dims; audio passes through
+    assert(small.collect().forall(r =>
+      (r.media_type == "audio") || (r.width == 32 && r.height == 32)))
+    // resized video really re-encoded: decode back and check geometry
+    val sv = small.filter(_.media_type == "video").head()
+    val (rw, rh, _, rframes) = Media.AviCodec.decode(sv.payload)
+    assert(rw == 32 && rh == 32 && rframes.nonEmpty)
+    // sample at the fixture's 125 ms/frame: one row per frame, and each
+    // payload is a REAL standalone PNG of that frame
+    val frames = Media.sampleFrames(media, everyMs = 125).cache()
     val vids = media.filter(_.media_type == "video").collect()
-    val expected = vids.map(v => v.duration_ms / 1000).sum
+    val expected = vids.map(v => v.duration_ms / 125).sum
     assert(frames.count() == expected)
     // frame rows group by media and index densely from 0
     val byId = frames.collect().groupBy(_.media_id)
     byId.values.foreach { fs =>
       assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length).toSeq)
+      fs.foreach { f =>
+        val (fw, fh, luma) = Media.PngCodec.decodeLuma(f.frame_payload)
+        assert(fw == 8 && fh == 8 && luma.length == 64)
+      }
     }
-    assert(frames.exceptAll(Media.sampleFrames(media, 1000)).isEmpty)
+    assert(frames.exceptAll(Media.sampleFrames(media, 125)).isEmpty)
     small.unpersist(); frames.unpersist()
+  }
+
+  test("AVI codec: encode/decode round-trip, corrupt payloads rejected") {
+    val f0 = Array.tabulate(64)(j => (j * 11 + 3) % 256)
+    val f1 = Array.tabulate(64)(j => (j * 5 + 90) % 256)
+    val avi = Media.AviCodec.encode(8, 8, 125000, Seq(f0, f1))
+    assert(avi.length == 224 + 2 * 200) // closed-form size the oracle uses
+    val (w, h, us, back) = Media.AviCodec.decode(avi)
+    assert(w == 8 && h == 8 && us == 125000)
+    assert(back.length == 2 && back(0).toSeq == f0.toSeq && back(1).toSeq == f1.toSeq)
+    // non-square + padded-stride geometry (w=5 → stride 16, not 15)
+    val g = Array.tabulate(5 * 3)(j => (j * 29 + 1) % 256)
+    val (w2, h2, _, back2) = Media.AviCodec.decode(
+      Media.AviCodec.encode(5, 3, 40000, Seq(g)))
+    assert(w2 == 5 && h2 == 3 && back2.head.toSeq == g.toSeq)
+    // corrupt chunk length must throw, not loop forever
+    val corrupt = avi.clone()
+    corrupt(16) = 0xff.toByte; corrupt(17) = 0xff.toByte
+    corrupt(18) = 0xff.toByte; corrupt(19) = 0xff.toByte
+    intercept[IllegalArgumentException](Media.AviCodec.decode(corrupt))
   }
 }
