@@ -4563,6 +4563,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ── LLM-pipeline: video SCENE-CUT detection — shot segmentation over
+    // REAL decoded AVI frames (mean |Δluma| between consecutive frames,
+    // micro-normalized, integer-exact); the curation step before per-shot
+    // sampling/dedup. The oracle replays the fixture's per-frame drift
+    // (+7 mod 256), whose wrap count makes the delta content-dependent.
+    "q_video_scene_cuts" -> ((s, d) => {
+      val media = Media.fromDocuments(s, Tables.documents(s, d))
+      Media.sceneCuts(media, cutThresholdMicro = 55000L).toDF()
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // ── LLM-pipeline: audio LOUDNESS / silence segmentation — the REAL
+    // decoded PCM stream splits into equal windows reporting mean
+    // |sample| (16-bit units); silence flags gate transcription-worthy
+    // segments. Oracle replays the fixture's sample rule per window.
+    "q_audio_loudness" -> ((s, d) => {
+      val media = Media.fromDocuments(s, Tables.documents(s, d))
+      Media.loudnessWindows(media, nWindows = 8, silenceThreshold = 14000L)
+        .toDF().orderBy(col("media_id"), col("win_idx"))
+    }),
+
     // ── LLM-pipeline: multimodal content-hash dedup — duplicate media
     // payloads (opaque binary) collapse onto their sha-256; one hash agg
     // keyed on the digest, payload bytes never shuffle (the hash does).
@@ -8508,6 +8529,12 @@ object SparkEntry {
 
     "q_media_features" ->
       Media.featuresOracleSql("documents", "doc_id", "text"),
+
+    "q_video_scene_cuts" ->
+      Media.sceneCutsOracleSql("documents", "doc_id", "text", 55000L),
+
+    "q_audio_loudness" ->
+      Media.loudnessOracleSql("documents", "doc_id", "text", 8, 14000L),
 
     "q_na_canonicalize" ->
       """SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS event_type,

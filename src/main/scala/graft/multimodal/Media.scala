@@ -425,6 +425,113 @@ object Media {
     }
   }
 
+  /** One frame-transition row per consecutive frame pair of each video. */
+  final case class SceneCutRow(
+      media_id: Long, frame_idx: Int, mean_abs_delta_micro: Long, is_cut: Int)
+
+  /** Scene-cut detection — the video-curation primitive (shot segmentation
+    * before per-shot sampling/dedup): mean absolute luma delta between
+    * consecutive REAL decoded frames, micro-normalized by the 255 luma
+    * range (`Σ|Δ|·1e6 div (n·255)` — integer-exact, oracle-replayable);
+    * `is_cut` flags transitions at/above `cutThresholdMicro`.
+    * Partition-local like every media stage: payloads never shuffle, only
+    * (id, idx, delta) rows leave the scan. */
+  def sceneCuts(media: Dataset[MediaRow],
+                cutThresholdMicro: Long): Dataset[SceneCutRow] = {
+    require(cutThresholdMicro >= 0, "threshold must be non-negative")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "video").flatMap { r =>
+        val (w, h, _, frames) = AviCodec.decode(r.payload)
+        (1 until frames.length).iterator.map { i =>
+          val a = frames(i - 1); val b = frames(i)
+          var sum = 0L; var j = 0
+          while (j < a.length) { sum += math.abs(b(j) - a(j)); j += 1 }
+          val micro = sum * 1000000L / (w.toLong * h * 255L)
+          SceneCutRow(r.media_id, i, micro,
+            if (micro >= cutThresholdMicro) 1 else 0)
+        }
+      }
+    }
+  }
+
+  /** DuckDB oracle replaying [[sceneCuts]] over the fixture: frame f's
+    * cell value is (fold64 + 7f) mod 256, so the per-cell delta is 7
+    * except where the +7 wraps past 255 (then |7 − 256| = 249) — the
+    * content-dependent wrap count is what the engine's decoded deltas
+    * must reproduce. */
+  def sceneCutsOracleSql(table: String, idCol: String, textExpr: String,
+                         cutThresholdMicro: Long): String =
+    s"""WITH mm AS (SELECT $idCol AS id, $textExpr AS mtext,
+           length($textExpr) AS mlen FROM $table),
+       vids AS (SELECT id, CAST(2 + mlen % 4 AS INT) AS nf,
+           ${foldSql(64)} AS f64 FROM mm WHERE mlen % 3 = 2),
+       fr AS (SELECT id, nf, f64, unnest(generate_series(1, nf - 1)) AS fi
+              FROM vids),
+       d AS (SELECT id, fi,
+           list_sum(list_transform(f64, v ->
+             CASE WHEN (v + 7 * (fi - 1)) % 256 <= 248 THEN 7 ELSE 249 END))
+             * 1000000 // (64 * 255) AS micro
+         FROM fr)
+       SELECT id AS media_id, CAST(fi AS INT) AS frame_idx,
+         CAST(micro AS BIGINT) AS mean_abs_delta_micro,
+         CAST(CASE WHEN micro >= $cutThresholdMicro THEN 1 ELSE 0 END AS INT) AS is_cut
+       FROM d ORDER BY media_id, frame_idx"""
+
+  /** One loudness window per audio object. */
+  final case class LoudnessRow(
+      media_id: Long, win_idx: Int, mean_abs_sample: Long, is_silent: Int)
+
+  /** Loudness segmentation / silence detection — the audio-curation
+    * primitive (trim silence, drop dead segments before transcription):
+    * the REAL decoded PCM stream splits into `nWindows` equal windows,
+    * each reporting its mean |sample| (16-bit PCM units, integer-exact);
+    * `is_silent` flags windows under `silenceThreshold`. Partition-local,
+    * payloads never shuffle. */
+  def loudnessWindows(media: Dataset[MediaRow], nWindows: Int,
+                      silenceThreshold: Long): Dataset[LoudnessRow] = {
+    require(nWindows >= 1 && silenceThreshold >= 0, "bad loudness config")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "audio").flatMap { r =>
+        val s = WavCodec.decodePcm16(r.payload)
+        require(s.length % nWindows == 0,
+          s"sample count ${s.length} not divisible into $nWindows windows")
+        val wlen = s.length / nWindows
+        (0 until nWindows).iterator.map { w =>
+          var sum = 0L; var j = w * wlen
+          while (j < (w + 1) * wlen) { sum += math.abs(s(j).toInt); j += 1 }
+          val mean = sum / wlen
+          LoudnessRow(r.media_id, w, mean,
+            if (mean < silenceThreshold) 1 else 0)
+        }
+      }
+    }
+  }
+
+  /** DuckDB oracle replaying [[loudnessWindows]] over the fixture: sample
+    * t is (fold128[t] − 128)·256 by construction, so |sample| =
+    * |fold128[t] − 128|·256 and each window mean replays exactly. */
+  def loudnessOracleSql(table: String, idCol: String, textExpr: String,
+                        nWindows: Int, silenceThreshold: Long): String = {
+    val wlen = AudioSamples / nWindows
+    s"""WITH mm AS (SELECT $idCol AS id, $textExpr AS mtext,
+           length($textExpr) AS mlen FROM $table),
+       au AS (SELECT id, ${foldSql(AudioSamples)} AS f128 FROM mm
+              WHERE mlen % 3 = 1),
+       w AS (SELECT id, unnest(generate_series(0, ${nWindows - 1})) AS wi
+             FROM au),
+       m AS (SELECT w.id, w.wi,
+           list_sum(list_transform(
+             a.f128[(w.wi * $wlen + 1):(w.wi * $wlen + $wlen)],
+             v -> abs(v - 128) * 256)) // $wlen AS mean_abs
+         FROM w JOIN au a ON a.id = w.id)
+       SELECT id AS media_id, CAST(wi AS INT) AS win_idx,
+         CAST(mean_abs AS BIGINT) AS mean_abs_sample,
+         CAST(CASE WHEN mean_abs < $silenceThreshold THEN 1 ELSE 0 END AS INT) AS is_silent
+       FROM m ORDER BY media_id, win_idx"""
+  }
+
   /** 64-cell perceptual luma grid per media object — the aHash input:
     *  - image: REAL decode (ImageIO), 8×8 nearest-neighbor sample of the
     *    luma plane (identity for the 8×8 fixtures; integer index math for
