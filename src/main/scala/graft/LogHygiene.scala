@@ -39,7 +39,13 @@ object LogHygiene {
         // category carries zero signal. Matching the exact phrases keeps
         // every other AQE warning visible.
         m.contains("Disabling AQE since AQE is not supported in stateful") ||
-        m.contains("spark.sql.adaptive.enabled is not supported in streaming")
+        m.contains("spark.sql.adaptive.enabled is not supported in streaming") ||
+        // DAGScheduler's stop-side race: a finished streaming query's
+        // cancelJobGroup fires after its jobs already completed — by
+        // construction there is nothing to cancel, and the message carries
+        // no signal a hung cancellation wouldn't surface elsewhere (the
+        // stream's own awaitTermination would fail first).
+        m.contains("Failed to cancel job group")
       override def filter(e: LogEvent): Filter.Result =
         if (e != null && e.getMessage != null &&
             drop(e.getMessage.getFormattedMessage)) onMatch else onMismatch

@@ -84,11 +84,17 @@ object GraftFunctions {
       (args => e(TextFns.stripTrackingParams(c(args(0))))),
     "graft_normalize_url" -> (args => e(TextFns.normalizeUrl(c(args(0))))))
 
-  /** Register into a live session (temp functions, this session only). */
+  /** Register into a live session (temp functions, this session only).
+    * Idempotent registration is skipped: createOrReplaceTempFunction on an
+    * already-registered name WARNs once per function, and a bench pass
+    * re-running the registering query floods the captured tail with 18
+    * "replaced a previously registered function" lines. The builders are
+    * immutable, so an existing registration is always the same function. */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "scala_udf")
+      val reg = spark.sessionState.functionRegistry
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
 }
 
