@@ -1,6 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Pure selection of entries deserving ONE targeted extra measurement
+    * (r14 verdict item 4) — extracted so BenchRetrySpec can pin both trip
+    * wires without a bench run. A label is suspect when (a) its
+    * successful observations across passes disagree by >30% (transient
+    * noise hit one pass), or (b) its min sits >20% above the committed
+    * baseline BEYOND the canary-explained environment ratio (a sustained
+    * slow window covering every pass — the q_moore_lewis case, measured
+    * +63% r13→r14 with zero code change and recovered to −56% by the
+    * retry). Staged `<name>_build` labels map back to their query name
+    * (build+probe rerun together); the result is capped so a genuinely
+    * slow box cannot triple the suite. */
+  def selectRetryNames(queryPasses: Seq[Seq[(String, (Double, String))]],
+                       prior: Map[String, Double],
+                       priorCal: Double, priorIoCal: Double,
+                       calibrationSec: Double, ioCalibrationSec: Double,
+                       stagedNames: Set[String], selectedNames: Set[String],
+                       cap: Int = 48): Seq[String] = {
+    val envRatio = math.max(1.0, math.max(
+      if (priorCal > 0) calibrationSec / priorCal else 1.0,
+      if (priorIoCal > 0) ioCalibrationSec / priorIoCal else 1.0))
+    val labels = queryPasses.headOption.map(_.map(_._1)).getOrElse(Seq.empty)
+    val suspect = labels.filter { label =>
+      val runs = queryPasses.flatMap(_.collectFirst { case (`label`, (t, null)) => t })
+      val spreadHit = runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 1.3
+      val baseHit = runs.nonEmpty && prior.get(label).exists(p0 =>
+        p0 > 0.5 && runs.min / p0 > envRatio * 1.2)
+      spreadHit || baseHit
+    }
+    suspect.map { l =>
+      val base = l.stripSuffix("_build")
+      if (l.endsWith("_build") && stagedNames.contains(base)) base else l
+    }.distinct.filter(selectedNames.contains).take(cap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -250,10 +285,6 @@ object Bench {
     val calibrationSec = passes.map(_._1._1).min
     val ioCalibrationSec = passes.map(_._1._2).min
     val queryPasses = passes.map(_._2)
-    def minOf(ps: Seq[Seq[(String, (Double, String))]], label: String): Option[Double] = {
-      val ok = ps.flatMap(_.collectFirst { case (`label`, (t, null)) => t })
-      if (ok.nonEmpty) Some(ok.min) else None
-    }
     // TARGETED EXTRA MEASUREMENT (r14 verdict item 4): min-of-2 provably
     // failed to suppress sustained slow-box windows for multi-action
     // entries — q_moore_lewis_select benched +63% round-over-round with
@@ -283,23 +314,10 @@ object Bench {
     val retried: Seq[Seq[(String, (Double, String))]] =
       if (only.nonEmpty || reps < 2) Seq.empty
       else {
-        val envRatio = math.max(1.0, math.max(
-          if (priorBaseline._2 > 0) calibrationSec / priorBaseline._2 else 1.0,
-          if (priorBaseline._3 > 0) ioCalibrationSec / priorBaseline._3 else 1.0))
-        val labels = queryPasses.head.map(_._1)
-        val suspect = labels.filter { label =>
-          val runs = queryPasses.flatMap(_.collectFirst { case (`label`, (t, null)) => t })
-          val spreadHit = runs.size >= 2 && runs.min > 0 && runs.max / runs.min > 1.3
-          val baseHit = minOf(queryPasses, label).exists(cur =>
-            priorBaseline._1.get(label).exists(p0 =>
-              p0 > 0.5 && cur / p0 > envRatio * 1.2))
-          spreadHit || baseHit
-        }
-        // a staged entry's build+probe labels rerun together via the name
-        val names = suspect.map { l =>
-          val base = l.stripSuffix("_build")
-          if (l.endsWith("_build") && SparkEntry.staged.contains(base)) base else l
-        }.distinct.filter(selected.contains).take(48)
+        val names = Bench.selectRetryNames(queryPasses,
+          priorBaseline._1, priorBaseline._2, priorBaseline._3,
+          calibrationSec, ioCalibrationSec,
+          SparkEntry.staged.keySet, selected.keySet)
         if (names.isEmpty) Seq.empty
         else {
           System.err.println(s"[bench] targeted retry of ${names.size} noisy entries: ${names.mkString(", ")}")

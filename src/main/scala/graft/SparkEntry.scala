@@ -630,7 +630,11 @@ object SparkEntry {
           StructType(Seq(StructField("row_id", LongType),
             StructField("kind", LongType), StructField("i", LongType),
             StructField("coeffs", ArrayType(DoubleType)))))
-        eng.sync(mspec, modelDf, checkExisting = false)
+        // model rows are a bounded per-model artifact — direct store
+        // create (the entry-pipe move): the ~1.3 s sync envelope buys
+        // nothing for a driver-built 2k-row frame, and the corpus halves
+        // below still exercise the real sync surface
+        eng.storage(mspec).create(modelDf)
         eng.syncBlindAll(spec, Seq(
           index(emb.where(col("vec_id") % 2 === 0)),
           index(emb.where(col("vec_id") % 2 === 1))))
