@@ -4623,6 +4623,21 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // ── LLM-pipeline: video TEMPORAL near-dup (the content-ID shape) —
+    // videos sharing ≥ minShared distinct per-frame aHashes (re-uploads,
+    // re-encodes, clipped copies). Equi-join on the frame hash behind a
+    // hot-hash cap (black frames / test cards can't go quadratic) — the
+    // minhash/winnowing guard applied to the temporal fingerprint. The
+    // re-ingested every-10th corpus provides real full-overlap pairs.
+    "q_video_temporal_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reup = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      Media.videoTemporalNearDups(
+          Media.fromDocuments(s, docs.unionByName(reup)), minShared = 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "q_na_canonicalize" -> ((s, d) => {
       // NA-marker strings → NULL (diff canonicalizer), §2.8
       val ev = Tables.events(s, d).withColumn("event_type",
@@ -9566,6 +9581,14 @@ object SparkEntry {
             SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 10 = 0)""",
         "doc_id", "text", maxHamming = 3),
+
+    "q_video_temporal_dedup" ->
+      Media.videoTemporalOracleSql(
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 10 = 0)""",
+        "doc_id", "text", minShared = 2, maxVideosPerHash = 32),
 
     "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

@@ -478,6 +478,90 @@ object Media {
          CAST(CASE WHEN micro >= $cutThresholdMicro THEN 1 ELSE 0 END AS INT) AS is_cut
        FROM d ORDER BY media_id, frame_idx"""
 
+  /** One perceptual hash per decoded video frame. */
+  final case class FrameHashRow(media_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Per-frame perceptual hashes — the temporal-fingerprint primitive:
+    * every decoded frame reduces to the same 8×8 aHash the image path
+    * uses (nearest-neighbor grid → mean-threshold bits), so a video is a
+    * SEQUENCE of 8-byte fingerprints. Partition-local; payloads never
+    * shuffle, only (id, idx, hash) rows leave the scan. */
+  def videoFrameHashes(media: Dataset[MediaRow]): Dataset[FrameHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.media_type == "video").flatMap { r =>
+        val (w, h, _, frames) = AviCodec.decode(r.payload)
+        frames.iterator.zipWithIndex.map { case (fr, i) =>
+          val luma = Array.tabulate(64)(j =>
+            fr((j / 8 * h / 8) * w + (j % 8 * w / 8)))
+          var sum = 0L; var j = 0
+          while (j < 64) { sum += luma(j); j += 1 }
+          var hsh = 0L; j = 0
+          while (j < 64) {
+            if (64L * luma(j) > sum) hsh |= (1L << j)
+            j += 1
+          }
+          FrameHashRow(r.media_id, i, hsh)
+        }
+      }
+    }
+  }
+
+  /** Temporal near-dup pairs — the content-ID shape: videos sharing at
+    * least `minShared` DISTINCT frame hashes (re-encodes, re-uploads,
+    * clipped copies). Candidates come from an equi-join on the frame
+    * hash — never all-pairs — with a HOT-HASH CAP first: a frame hash
+    * present in more than `maxVideosPerHash` videos (test cards, black
+    * frames) is boilerplate and drops BEFORE the self-join, the same
+    * quadratic-blowup guard the minhash and winnowing paths use. Output:
+    * (id1, id2, shared_frames), id1 < id2. */
+  def videoTemporalNearDups(media: Dataset[MediaRow], minShared: Int,
+                            maxVideosPerHash: Int = 32): DataFrame = {
+    require(minShared >= 1 && maxVideosPerHash >= 2, "bad temporal-dedup config")
+    val d = videoFrameHashes(media).toDF()
+      .select(col("media_id"), col("fhash")).distinct()
+    val rare = d.groupBy(col("fhash")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxVideosPerHash).select(col("fhash"))
+    val pruned = d.join(rare, Seq("fhash"))
+    pruned.select(col("fhash"), col("media_id").as("id1"))
+      .join(pruned.select(col("fhash"), col("media_id").as("id2")), Seq("fhash"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(countDistinct(col("fhash")).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
+  /** DuckDB oracle replaying [[videoTemporalNearDups]] over the fixture:
+    * frame f's luma is (fold64 + 7f) mod 256, each frame hashes through
+    * the same mean-threshold bit rule as [[aHashCtes]], then the hot-cap
+    * + equi-join + distinct-count replay. */
+  def videoTemporalOracleSql(table: String, idCol: String, textExpr: String,
+                             minShared: Int, maxVideosPerHash: Int): String =
+    s"""WITH mm AS (SELECT $idCol AS id, $textExpr AS mtext,
+           length($textExpr) AS mlen FROM $table),
+       vids AS (SELECT id, CAST(2 + mlen % 4 AS INT) AS nf,
+           ${foldSql(64)} AS f64 FROM mm WHERE mlen % 3 = 2),
+       vf AS (SELECT id, unnest(generate_series(0, nf - 1)) AS fi, f64
+              FROM vids),
+       fh AS (SELECT id, fi,
+           CAST(list_sum(list_transform(generate_series(1, 64), j ->
+             CASE WHEN 64 * ((f64[j] + 7 * fi) % 256) >
+                    list_sum(list_transform(f64, v -> (v + 7 * fi) % 256))
+               THEN (CASE WHEN j = 64 THEN -9223372036854775807 - 1
+                     ELSE (CAST(1 AS BIGINT) << (j - 1)) END)
+               ELSE 0 END)) AS BIGINT) AS fhash
+         FROM vf),
+       d AS (SELECT DISTINCT id, fhash FROM fh),
+       rare AS (SELECT fhash FROM d GROUP BY 1
+                HAVING count(*) <= $maxVideosPerHash),
+       pruned AS (SELECT d.id, d.fhash FROM d JOIN rare USING (fhash))
+       SELECT a.id AS id1, b.id AS id2,
+         CAST(count(DISTINCT a.fhash) AS BIGINT) AS shared_frames
+       FROM pruned a JOIN pruned b ON a.fhash = b.fhash AND a.id < b.id
+       GROUP BY 1, 2
+       HAVING count(DISTINCT a.fhash) >= $minShared
+       ORDER BY id1, id2"""
+
   /** One loudness window per audio object. */
   final case class LoudnessRow(
       media_id: Long, win_idx: Int, mean_abs_sample: Long, is_silent: Int)
