@@ -1013,6 +1013,51 @@ object SparkEntry {
        })
     }),
 
+    // Stored VIDEO temporal-fingerprint index — per-frame aHash rows
+    // (media_id, frame_idx, fhash) bucket-chunked by fhash: the arriving
+    // re-upload hashes ONE video's frames (≤ 5 driver rows), reads ≤ that
+    // many bucket dirs, equi-matches on the exact hash, and thresholds
+    // distinct shared frames — the content-ID lookup-at-ingest shape.
+    // Frame-hash rows are row-local, so blind-appended halves fold to the
+    // rebuild trivially. The query video is the LOWEST video-typed doc
+    // (derived from data, so the oracle selects it in SQL).
+    "q_videohash_index_sync" -> ((s, d) => {
+      val buckets = 16
+      val docs = Tables.documents(s, d)
+      def index(df: DataFrame) =
+        Media.videoFrameHashes(Media.fromDocuments(s, df)).toDF()
+          .withColumn("bucket", pmod(col("fhash"), lit(buckets.toLong)))
+      val root = java.nio.file.Files.createTempDirectory("graft_vh_sync").toString
+      val eng  = new SyncEngine(s, root)
+      val spec = PipeSpec(PipeKeys("ann", "video_fhash"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      val store = eng.storage(spec)
+      (() => {
+        eng.syncBlindAll(spec, Seq(
+          index(docs.where(col("doc_id") % 2 === 0)),
+          index(docs.where(col("doc_id") % 2 === 1))))
+        ()
+       },
+       () => {
+        val qdoc = docs.where(length(col("text")) % 3 === 2)
+          .agg(min(col("doc_id"))).head().getLong(0)
+        val qHashes = Media.videoFrameHashes(Media.fromDocuments(s,
+            docs.where(col("doc_id") === qdoc)
+              .withColumn("doc_id", col("doc_id") + 1000000L))).toDF()
+          .select(col("fhash")).distinct().collect().map(_.getLong(0)).toSeq
+        store.readIn(qHashes.map(h => math.floorMod(h, buckets).toLong).distinct)
+          .where(col("fhash").isin(qHashes: _*))
+          .select(lit(qdoc + 1000000L).as("sid"),
+            col("media_id").as("hist_id"), col("fhash"))
+          .distinct()
+          .groupBy(col("sid"), col("hist_id"))
+          .agg(countDistinct(col("fhash")).as("shared_frames"))
+          .where(col("shared_frames") >= 2)
+          .orderBy(col("hist_id"))
+       })
+    }),
+
     // Stored BPE tokenizer artifact: the merge table trains on HALF the
     // corpus, persists as a pipe, and the probe re-reads it (k driver
     // rows, configuration-bounded) to segment the FULL corpus — including
@@ -4969,6 +5014,7 @@ object SparkEntry {
     // pipe — re-upload probes read ≤ 4 bucket dirs and verify from stored
     // hashes; payload bytes never leave their scan (see `staged`).
     "q_media_index_sync" -> composed("q_media_index_sync"),
+    "q_videohash_index_sync" -> composed("q_videohash_index_sync"),
 
     // ── LLM-pipeline: BPE pair counting — the tokenizer-training kernel
     // (one merge iteration = this op). The only corpus-sized pass is the
@@ -9581,6 +9627,10 @@ object SparkEntry {
             SELECT doc_id + 1000000 AS doc_id, text FROM documents
             WHERE doc_id % 10 = 0)""",
         "doc_id", "text", maxHamming = 3),
+
+    "q_videohash_index_sync" ->
+      Media.videoHashProbeOracleSql("documents", "doc_id", "text",
+        minShared = 2),
 
     "q_video_temporal_dedup" ->
       Media.videoTemporalOracleSql(

@@ -531,13 +531,13 @@ object Media {
       .where(col("shared_frames") >= minShared)
   }
 
-  /** DuckDB oracle replaying [[videoTemporalNearDups]] over the fixture:
-    * frame f's luma is (fold64 + 7f) mod 256, each frame hashes through
-    * the same mean-threshold bit rule as [[aHashCtes]], then the hot-cap
-    * + equi-join + distinct-count replay. */
-  def videoTemporalOracleSql(table: String, idCol: String, textExpr: String,
-                             minShared: Int, maxVideosPerHash: Int): String =
-    s"""WITH mm AS (SELECT $idCol AS id, $textExpr AS mtext,
+  /** Shared CTE chain ending in `fh(id, fi, fhash)` — per-frame aHashes
+    * of every video row, replaying the fixture's (fold64 + 7f) mod 256
+    * frame content through the same mean-threshold bit rule as
+    * [[aHashCtes]]. */
+  private def frameHashCtes(table: String, idCol: String,
+                            textExpr: String): String =
+    s"""mm AS (SELECT $idCol AS id, $textExpr AS mtext,
            length($textExpr) AS mlen FROM $table),
        vids AS (SELECT id, CAST(2 + mlen % 4 AS INT) AS nf,
            ${foldSql(64)} AS f64 FROM mm WHERE mlen % 3 = 2),
@@ -550,7 +550,14 @@ object Media {
                THEN (CASE WHEN j = 64 THEN -9223372036854775807 - 1
                      ELSE (CAST(1 AS BIGINT) << (j - 1)) END)
                ELSE 0 END)) AS BIGINT) AS fhash
-         FROM vf),
+         FROM vf)"""
+
+  /** DuckDB oracle replaying [[videoTemporalNearDups]] over the fixture:
+    * the frame-hash CTEs, then the hot-cap + equi-join + distinct-count
+    * replay. */
+  def videoTemporalOracleSql(table: String, idCol: String, textExpr: String,
+                             minShared: Int, maxVideosPerHash: Int): String =
+    s"""WITH ${frameHashCtes(table, idCol, textExpr)},
        d AS (SELECT DISTINCT id, fhash FROM fh),
        rare AS (SELECT fhash FROM d GROUP BY 1
                 HAVING count(*) <= $maxVideosPerHash),
@@ -561,6 +568,22 @@ object Media {
        GROUP BY 1, 2
        HAVING count(DISTINCT a.fhash) >= $minShared
        ORDER BY id1, id2"""
+
+  /** DuckDB oracle for the STORED frame-hash index probe: the lowest
+    * video-typed doc re-uploads under id+1000000 and matches history on
+    * exact frame hashes — shared-frame counts per history video. */
+  def videoHashProbeOracleSql(table: String, idCol: String, textExpr: String,
+                              minShared: Int): String =
+    s"""WITH ${frameHashCtes(table, idCol, textExpr)},
+       q AS (SELECT min(id) AS qid FROM vids),
+       qfh AS (SELECT DISTINCT fhash FROM fh JOIN q ON fh.id = q.qid),
+       d AS (SELECT DISTINCT id, fhash FROM fh)
+       SELECT q.qid + 1000000 AS sid, d.id AS hist_id,
+         CAST(count(DISTINCT d.fhash) AS BIGINT) AS shared_frames
+       FROM d JOIN qfh USING (fhash) CROSS JOIN q
+       GROUP BY 1, 2
+       HAVING count(DISTINCT d.fhash) >= $minShared
+       ORDER BY hist_id"""
 
   /** One loudness window per audio object. */
   final case class LoudnessRow(

@@ -425,6 +425,38 @@ class MediaSpec extends SparkSpec {
     small.unpersist(); frames.unpersist()
   }
 
+  test("stored frame-hash index probe reads only the query hashes' bucket dirs") {
+    import graft.catalog.{ColumnRoles, PipeKeys, PipeSpec}
+    val buckets = 16
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Media.videoFrameHashes(Media.fromDocuments(spark, docs)).toDF()
+      .withColumn("bucket", pmod(col("fhash"), lit(buckets.toLong)))
+    val root = java.nio.file.Files.createTempDirectory("graft_vh_prune").toString
+    val eng = new graft.sync.SyncEngine(spark, root)
+    val spec = PipeSpec(PipeKeys("ann", "vh_prune"),
+      columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
+      epochUnit = Some("minute"), chunkMinutes = 1)
+    val store = eng.storage(spec)
+    store.create(rows)
+    val qdoc = docs.where(length(col("text")) % 3 === 2)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val qHashes = Media.videoFrameHashes(Media.fromDocuments(spark,
+        docs.where(col("doc_id") === qdoc))).toDF()
+      .select(col("fhash")).distinct().collect().map(_.getLong(0)).toSeq
+    val want = qHashes.map(h => math.floorMod(h, buckets).toLong).distinct
+    val read = store.readIn(want).where(col("fhash").isin(qHashes: _*))
+    read.select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0)).foreach { f =>
+        val mm = "__graft_chunk=([^/]+)/".r.findFirstMatchIn(f)
+        assert(mm.isDefined, s"probe read a non-index file: $f")
+        assert(want.map(_.toString).contains(mm.get.group(1)),
+          s"probe read bucket ${mm.get.group(1)} outside $want")
+      }
+    // pruning is not vacuous and the probe finds its own video's frames
+    assert(want.size < buckets)
+    assert(read.where(col("media_id") === qdoc).count() >= 2)
+  }
+
   test("AVI codec: encode/decode round-trip, corrupt payloads rejected") {
     val f0 = Array.tabulate(64)(j => (j * 11 + 3) % 256)
     val f1 = Array.tabulate(64)(j => (j * 5 + 90) % 256)
