@@ -45,7 +45,15 @@ object LogHygiene {
         // construction there is nothing to cancel, and the message carries
         // no signal a hung cancellation wouldn't surface elsewhere (the
         // stream's own awaitTermination would fail first).
-        m.contains("Failed to cancel job group")
+        m.contains("Failed to cancel job group") ||
+        // The ANN family ships model artifacts (PQ codebooks, rotated
+        // centroids, per-query ADC tables) as PLAN LITERALS by design —
+        // the bounded-configuration alternative to per-row joins — so
+        // task binaries legitimately cross the 1000 KiB notice threshold
+        // (≤ ~6 MiB, sized by m·ks·dim configuration, never by data). An
+        // unbounded-literal regression would surface in PLANS.md (the
+        // literal prints in the plan), which the audit reads every round.
+        m.contains("Broadcasting large task binary")
       override def filter(e: LogEvent): Filter.Result =
         if (e != null && e.getMessage != null &&
             drop(e.getMessage.getFormattedMessage)) onMatch else onMismatch
