@@ -285,6 +285,32 @@ object SparkEntry {
     * thresholds cannot drift between them. A query doc with no band rows
     * (absent id / shorter than the shingle) yields an empty pair set
     * rather than an empty-reduce crash. */
+  /** Probe a STORED video frame-hash index: the lowest video-typed doc
+    * re-uploads under id+1000000, its ≤ nf frame hashes read ONLY their
+    * bucket dirs (`readIn`), exact-hash match, distinct-shared-frame
+    * threshold — shared by the batch index-sync and streaming-maintain
+    * queries so the content-ID probe cannot drift between them. */
+  private def probeStoredFrameHashIndex(s: SparkSession,
+                                        store: graft.storage.InstanceStore,
+                                        docs: DataFrame,
+                                        buckets: Int): DataFrame = {
+    val qdoc = docs.where(length(col("text")) % 3 === 2)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val qHashes = Media.videoFrameHashes(Media.fromDocuments(s,
+        docs.where(col("doc_id") === qdoc)
+          .withColumn("doc_id", col("doc_id") + 1000000L))).toDF()
+      .select(col("fhash")).distinct().collect().map(_.getLong(0)).toSeq
+    store.readIn(qHashes.map(h => math.floorMod(h, buckets).toLong).distinct)
+      .where(col("fhash").isin(qHashes: _*))
+      .select(lit(qdoc + 1000000L).as("sid"),
+        col("media_id").as("hist_id"), col("fhash"))
+      .distinct()
+      .groupBy(col("sid"), col("hist_id"))
+      .agg(countDistinct(col("fhash")).as("shared_frames"))
+      .where(col("shared_frames") >= 2)
+      .orderBy(col("hist_id"))
+  }
+
   private def probeStoredBandIndex(store: graft.storage.InstanceStore,
                                    docs: DataFrame, qid: Long,
                                    index: DataFrame => DataFrame): DataFrame = {
@@ -1039,23 +1065,7 @@ object SparkEntry {
           index(docs.where(col("doc_id") % 2 === 1))))
         ()
        },
-       () => {
-        val qdoc = docs.where(length(col("text")) % 3 === 2)
-          .agg(min(col("doc_id"))).head().getLong(0)
-        val qHashes = Media.videoFrameHashes(Media.fromDocuments(s,
-            docs.where(col("doc_id") === qdoc)
-              .withColumn("doc_id", col("doc_id") + 1000000L))).toDF()
-          .select(col("fhash")).distinct().collect().map(_.getLong(0)).toSeq
-        store.readIn(qHashes.map(h => math.floorMod(h, buckets).toLong).distinct)
-          .where(col("fhash").isin(qHashes: _*))
-          .select(lit(qdoc + 1000000L).as("sid"),
-            col("media_id").as("hist_id"), col("fhash"))
-          .distinct()
-          .groupBy(col("sid"), col("hist_id"))
-          .agg(countDistinct(col("fhash")).as("shared_frames"))
-          .where(col("shared_frames") >= 2)
-          .orderBy(col("hist_id"))
-       })
+       () => probeStoredFrameHashIndex(s, store, docs, buckets))
     }),
 
     // Stored BPE tokenizer artifact: the merge table trains on HALF the
@@ -2862,6 +2872,46 @@ object SparkEntry {
         transform = batch => index(batch.dropDuplicates("doc_id")))
       sq.awaitTermination()
       probeStoredBandIndex(eng.storage(spec), docs, qid, index)
+    }),
+
+    // ── STREAMING video frame-hash index MAINTENANCE — arriving videos
+    // keep the stored temporal-fingerprint (content-ID) index fresh at
+    // ingest: the per-batch transform decodes the batch's videos and
+    // blind-appends their per-frame aHash rows into the bucket-chunked
+    // pipe. Rows are ROW-LOCAL ⇒ fold = union ≡ rebuild; redelivered
+    // files append byte-identical rows the probe's distinct collapses.
+    // Final probe = the stored bucket-pruned content-ID lookup, same
+    // oracle as the batch index sync.
+    "q_streaming_videohash_maintain" -> ((s, d) => withStatePartitions(s, 8) {
+      val root = java.nio.file.Files.createTempDirectory("graft_svhm").toString
+      val eng  = new SyncEngine(s, root)
+      val docs = Tables.documents(s, d)
+      val buckets = 16
+      def index(df: DataFrame) =
+        Media.videoFrameHashes(Media.fromDocuments(s, df)).toDF()
+          .withColumn("bucket", pmod(col("fhash"), lit(buckets.toLong)))
+      val spec = PipeSpec(PipeKeys("stream", "vh_maint"),
+        columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
+        epochUnit = Some("minute"), chunkMinutes = 1)
+      eng.storage(spec).create(index(docs.where(col("doc_id") % 2 === 0)))
+      val srcDir = s"$root/source"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      val tmpW = s"$root/arriving"
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.parquet(tmpW)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      for (i <- 1 to 2)
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      val schema = s.read.parquet(srcDir).schema
+      val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
+      val sq = graft.streaming.StreamingSync.run(eng, spec, stream,
+        s"$root/ckpt", checkExisting = false,
+        transform = batch => index(batch.dropDuplicates("doc_id")))
+      sq.awaitTermination()
+      probeStoredFrameHashIndex(s, eng.storage(spec), docs, buckets)
     }),
 
     // ── STREAMING IVF+PQ index MAINTENANCE — arriving vectors keep the
@@ -9629,6 +9679,12 @@ object SparkEntry {
         "doc_id", "text", maxHamming = 3),
 
     "q_videohash_index_sync" ->
+      Media.videoHashProbeOracleSql("documents", "doc_id", "text",
+        minShared = 2),
+
+    // maintained index fold ≡ rebuild (row-local frame-hash rows), so the
+    // streaming probe replays as the same full-corpus content-ID lookup
+    "q_streaming_videohash_maintain" ->
       Media.videoHashProbeOracleSql("documents", "doc_id", "text",
         minShared = 2),
 
