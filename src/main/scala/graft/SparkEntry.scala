@@ -624,10 +624,14 @@ object SparkEntry {
         .map(v => SimilaritySearch.rotateQuery(v, rot))
       lazy val rcbs = SimilaritySearch.opqCodebooks(
         emb, "vec_id", "embedding", rot, m = OpqM, ks = OpqKs)
+      // spread the encode input (guide §2.5 single-row-group input): the
+      // rotation (64×64 dots) + cell argmax + 8×128-centroid PQ encode is
+      // the build's dominant per-row kernel and otherwise runs on the
+      // 1-2 scan tasks the single-row-group testdata file plans
       def index(df: DataFrame) =
         SimilaritySearch.withPqCodes(
             SimilaritySearch.withIvfCell(
-              SimilaritySearch.withRotation(df, "embedding", rot, "rvec"),
+              SimilaritySearch.withRotation(Tables.spread(df), "embedding", rot, "rvec"),
               "rvec", rcents), "rvec", rcbs)
           .select(col("vec_id"), col("rvec"), col("pq"),
             col("cell").cast("long").as("cell"))
@@ -5555,17 +5559,13 @@ object SparkEntry {
     // (ACL 2010) — rank candidates by H_in − H_out under an in-domain vs
     // a general trigram LM; the classic data-selection signal. Two scorer
     // passes + one id equi-join; exact LONG micro-nats, one IEEE division.
-    "q_moore_lewis_select" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val C = graft.ops.Corpus
-      val (iu, ib, it) = C.trigramModelCounts(
-        docs.where(col("lang") === "en"), "doc_id", "text", buckets = 1)
-      val (ou, ob, ot) = C.trigramModelCounts(docs, "doc_id", "text", buckets = 1)
-      C.crossEntropySelect(docs, "doc_id", "text",
-          C.lmFoldUni(iu), C.lmFoldBi(ib), C.lmFoldTri(it),
-          C.lmFoldUni(ou), C.lmFoldBi(ob), C.lmFoldTri(ot))
-        .orderBy(col("doc_id"))
-    }),
+    "q_moore_lewis_select" -> ((s, d) =>
+      // fused self-trained form — identical values to the generic
+      // two-trigramModelCounts + crossEntropySelect composition (same
+      // oracle); see Corpus.crossEntropySelectSelf for the cost argument
+      graft.ops.Corpus.crossEntropySelectSelf(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc_id"))),
 
     // ── LLM-pipeline: epoch materialization — the upsampling step after
     // the token-budget plan: each doc repeats floor(rate) times plus a

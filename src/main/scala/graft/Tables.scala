@@ -24,6 +24,32 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Scale-adaptive scan spreading (optimization guide §2.5, "input skew:
+    * one huge unsplittable file ... otherwise repartition immediately
+    * after the read"). A parquet row group is the atomic split unit, and
+    * the driver's testdata tables are SINGLE-row-group files — so every
+    * scan plans one task and any expensive per-row kernel downstream
+    * (the k-hash MinHash ladder, PQ/rotation encodes, media decode,
+    * tokenize+explode map sides) runs single-threaded regardless of
+    * cores. Gated on the ACTUAL planned scan parallelism: a real corpus
+    * (many files / row groups — at 100 TB thousands of splits) returns
+    * `df` untouched, so no production shuffle is ever added; only the
+    * degenerate local shape pays the (tiny: input is at most a few
+    * single-row-group files) round-robin exchange. Callers must be
+    * row-order-independent downstream — every consumer is an aggregate /
+    * equi-join / total-order window under the engine-wide integer
+    * arithmetic discipline; order-SENSITIVE paths (autoincrement
+    * minting's zipWithIndex, coalesce(1) staging writes) must not route
+    * through this. Streaming frames pass through untouched (`.rdd` is
+    * undefined for them; micro-batch kernels inside foreachBatch see
+    * plain batch frames and do spread). */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df
+    else df.repartition(target)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = name match {
       case "events" =>

@@ -1503,6 +1503,77 @@ object Corpus {
                lambda3, lambda2)}) b USING ($idCol)
        ORDER BY a.$idCol"""
 
+  /** [[crossEntropySelect]] specialized to the SELF-TRAINED shape the
+    * Moore–Lewis query runs (in-model = docs WHERE `inDom`, out-model =
+    * all docs, scored = all docs) — IDENTICAL output, restructured for
+    * cost (optimization guide §1.2: fix the distributed algorithm first):
+    *
+    *   - the corpus tokenizes ONCE into a persisted token table that
+    *     feeds the model counts and BOTH scoring ladders (the generic
+    *     form tokenized it four times);
+    *   - uni/bi/tri TYPE counts for both models come from ONE explode
+    *     each, with the in-domain model as a conditional sum — counting
+    *     `when(inDom, 1)` over the full explode is row-for-row the count
+    *     over the filtered explode, so both models' tables carry the
+    *     exact values the two [[trigramModelCounts]] calls produced;
+    *   - the six model tables are EAGERLY checkpointed: they are
+    *     type-level (vocab-sized) while each scoring ladder references
+    *     its cf/cvw/cuvw several times (first/second/trigram branches,
+    *     derived context sums, totals) — left lazy, every reference
+    *     re-ran the whole corpus count pipeline, which is where the
+    *     benched cost of q_moore_lewis_select actually lived.
+    *
+    * The ladders then consume identical count VALUES through the same
+    * [[trigramScoreFromToks]] arithmetic, so every micro-quantized term
+    * is bit-identical to the generic form — same oracle. */
+  def crossEntropySelectSelf(docs: DataFrame, idCol: String, textCol: String,
+                             inDom: Column,
+                             lambda3: Double = 0.5,
+                             lambda2: Double = 0.3): DataFrame = {
+    val toks = docs
+      .select(col(idCol), inDom.as("__in"),
+        filter(TextFns.tokens(lower(col(textCol))),
+          t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dual(df: DataFrame, keys: Seq[String],
+             cnt: String): (DataFrame, DataFrame) = {
+      val agg = df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__out"), sum(when(col("__in"), 1L)).as("__inc"))
+        .localCheckpoint(true)
+      (agg.where(col("__inc") > 0)
+         .select(keys.map(col) :+ col("__inc").as(cnt): _*),
+       agg.select(keys.map(col) :+ col("__out").as(cnt): _*))
+    }
+    val (inCf, outCf) = dual(
+      toks.select(col("__in"), explode(col("toks")).as("token")),
+      Seq("token"), "cf")
+    val (inCvw, outCvw) = dual(
+      toks.select(col("__in"), explode(lmPairs).as("p"))
+        .select(col("__in"), col("p.v").as("v"), col("p.w").as("w")),
+      Seq("v", "w"), "c_vw")
+    val (inCuvw, outCuvw) = dual(
+      toks.select(col("__in"), explode(lmTriples).as("p"))
+        .select(col("__in"), col("p.u").as("u"), col("p.v").as("v"),
+          col("p.w").as("w")),
+      Seq("u", "v", "w"), "c_uvw")
+    val scored = toks.select(col(idCol), col("toks"))
+    val a = trigramScoreFromToks(scored, idCol, inCf, inCvw, inCuvw,
+        lambda3, lambda2)
+      .select(col(idCol), col("n_tokens"),
+        col("logprob_micro").as("lp_in_micro"))
+    val b = trigramScoreFromToks(scored, idCol, outCf, outCvw, outCuvw,
+        lambda3, lambda2)
+      .select(col(idCol), col("logprob_micro").as("lp_out_micro"))
+    val out = a.join(b, Seq(idCol))
+      .withColumn("ce_delta",
+        (col("lp_out_micro") - col("lp_in_micro")).cast("double") /
+          (col("n_tokens").cast("double") * lit(1e6)))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
   /** Token BURSTINESS (Church & Gale 1995): variance-to-mean ratio of a
     * token's per-document count across the corpus. A Poisson-scattered
     * token has VMR ≈ 1 (function words — the data-driven stopword list);

@@ -990,13 +990,19 @@ object Evaluation {
   def bleuPairs(cands: DataFrame, refs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
     import graft.functions.TextFns
-    def grams(df: DataFrame, cnt: String) = (1 to 4).map { n =>
-      df.select(col(idCol).as("id"),
-          explode(TextFns.wordShingles(trim(col(textCol)), n)).as("g"))
-        .groupBy(col("id"), col("g"))
+    // fused n=1..4 gram counts: one scan + one shuffle per side (was 4
+    // per-n branches each — see chrfPairs for the move); identical rows.
+    def grams(df: DataFrame, cnt: String) = {
+      val all = array((1 to 4).map(n =>
+        TextFns.wordShingles(col("__t"), n)): _*)
+      graft.Tables.spread(df)
+        .select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
+        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
+        .select(col("id"), (col("__n0") + lit(1)).as("n"),
+          explode(col("__gs")).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
         .agg(count(lit(1)).as(cnt))
-        .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
-    }.reduce(_ unionByName _)
+    }
     def len(df: DataFrame, name: String) = df.select(col(idCol).as("id"),
       size(TextFns.tokens(trim(col(textCol)))).cast("long").as(name))
     val joined = grams(cands, "cc")
@@ -1093,13 +1099,21 @@ object Evaluation {
              textCol: String, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
     import graft.functions.TextFns
     require(ns.nonEmpty, "need at least one n")
-    def grams(df: DataFrame, cnt: String) = ns.map { n =>
-      df.select(col(idCol).as("id"),
-          explode(TextFns.wordShingles(trim(col(textCol)), n)).as("g"))
-        .groupBy(col("id"), col("g"))
+    // fused per-n gram counts: one scan + one shuffle per side (was one
+    // scan+groupBy branch per n — see chrfPairs for the move).
+    def grams(df: DataFrame, cnt: String) = {
+      val nArr = typedLit(ns.map(_.toLong))
+      val all = array(ns.map(n =>
+        TextFns.wordShingles(col("__t"), n)): _*)
+      graft.Tables.spread(df)
+        .select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
+        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
+        .select(col("id"),
+          element_at(nArr, col("__n0") + lit(1)).cast("int").as("n"),
+          explode(col("__gs")).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
         .agg(count(lit(1)).as(cnt))
-        .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
-    }.reduce(_ unionByName _)
+    }
     // each gram table feeds TWO consumers (the clipped-match join and its
     // side's totals): materialize once and cut lineage, so neither branch
     // re-explodes the corpus and the suite's GC shadow can't land on a
@@ -1261,13 +1275,25 @@ object Evaluation {
     import graft.functions.TextFns
     def stripped(c: org.apache.spark.sql.Column) =
       regexp_replace(trim(c), "\\s+", "")
-    def grams(df: DataFrame, cnt: String) = (1 to ChrfMaxN).map { n =>
-      df.select(col(idCol).as("id"),
-          explode(TextFns.charNgrams(stripped(col(textCol)), n)).as("g"))
-        .groupBy(col("id"), col("g"))
+    // ONE scan + ONE shuffle for all 6 orders (was: 6 per-n scan+groupBy
+    // branches unioned per side — 12 corpus scans / 12 exchanges for the
+    // pair; guide §2.3-2.4 "project before the exchange / do fewer
+    // shuffles"). The stripped text materializes once behind a projection
+    // boundary (6 references keep CollapseProject from re-inlining the
+    // regex); each order's gram array keeps its LITERAL n (codegen), the
+    // arrays concat into one (n, g) stream, and a single (id, n, g)
+    // aggregate produces exactly the rows the per-n union produced.
+    def grams(df: DataFrame, cnt: String) = {
+      val all = array((1 to ChrfMaxN).map(n =>
+        TextFns.charNgrams(col("__t"), n)): _*)
+      graft.Tables.spread(df)
+        .select(col(idCol).as("id"), stripped(col(textCol)).as("__t"))
+        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
+        .select(col("id"), (col("__n0") + lit(1)).as("n"),
+          explode(col("__gs")).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
         .agg(count(lit(1)).as(cnt))
-        .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
-    }.reduce(_ unionByName _)
+    }
     // same two-consumer materialization as rougeN: build each side's char
     // gram counts once, cut lineage
     val cg = grams(cands, "cc").localCheckpoint(true)
