@@ -890,10 +890,16 @@ object SparkEntry {
         // job-ladders instead of six for the same stored rows.
         val halves = Seq(docs.where(col("doc_id") % 2 === 0),
             docs.where(col("doc_id") % 2 === 1)).map { half =>
-          val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
-            half, "doc_id", "text", buckets)
-          (u.localCheckpoint(true), b.localCheckpoint(true),
+          // one tokenization per half, shared by the three count
+          // checkpoints (was: each count branch re-tokenized the half)
+          val toks = graft.ops.Corpus.lmTokens(half, "doc_id", "text")
+            .localCheckpoint(true)
+          val (u, b, t) =
+            graft.ops.Corpus.trigramModelCountsFromToks(toks, buckets)
+          val out = (u.localCheckpoint(true), b.localCheckpoint(true),
             t.localCheckpoint(true))
+          ApproxDedup.freeCheckpoint(toks)
+          out
         }
         eng.syncBlindAll(sU, halves.map(_._1))
         eng.syncBlindAll(sB, halves.map(_._2))
@@ -2464,11 +2470,14 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val (sU, sB, sT) = (mSpec("lm_uni"), mSpec("lm_bi"), mSpec("lm_tri"))
-      val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
-        docs, "doc_id", "text", buckets)
+      // shared tokenization for the three creates — see q_streaming_kn_probe
+      val toks = graft.ops.Corpus.lmTokens(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val (u, b, t) = graft.ops.Corpus.trigramModelCountsFromToks(toks, buckets)
       eng.storage(sU).create(u)
       eng.storage(sB).create(b)
       eng.storage(sT).create(t)
+      ApproxDedup.freeCheckpoint(toks)
       val cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true)
       val cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true)
       val cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true)
@@ -2745,11 +2754,16 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val (sU, sB, sT) = (mSpec("kn_uni"), mSpec("kn_bi"), mSpec("kn_tri"))
-      val (u, b, t) = graft.ops.Corpus.trigramModelCounts(
-        docs, "doc_id", "text", buckets)
+      // ONE tokenization pass shared by the three count-table writes
+      // (was: each create re-tokenized the corpus through its lazy count
+      // branch); released as soon as the writes land
+      val toks = graft.ops.Corpus.lmTokens(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      val (u, b, t) = graft.ops.Corpus.trigramModelCountsFromToks(toks, buckets)
       eng.storage(sU).create(u)
       eng.storage(sB).create(b)
       eng.storage(sT).create(t)
+      ApproxDedup.freeCheckpoint(toks)
       val cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true)
       val cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true)
       val cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true)
@@ -7106,10 +7120,15 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val (uni, bi, tri) = graft.ops.Corpus.trigramModelCounts(
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text", buckets = 8)
+      // checkpoint the vocab-sized model tables: the KN ladder references
+      // each several times, and lazy they re-ran the count pipeline from
+      // the corpus per reference (the q_moore_lewis_select finding)
       graft.ops.Corpus.knScoreWithModel(
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
-          graft.ops.Corpus.lmFoldUni(uni), graft.ops.Corpus.lmFoldBi(bi),
-          graft.ops.Corpus.lmFoldTri(tri), discount = 0.75)
+          graft.ops.Corpus.lmFoldUni(uni).localCheckpoint(true),
+          graft.ops.Corpus.lmFoldBi(bi).localCheckpoint(true),
+          graft.ops.Corpus.lmFoldTri(tri).localCheckpoint(true),
+          discount = 0.75)
         .orderBy(col("doc_id"))
     }),
 

@@ -776,9 +776,22 @@ object Corpus {
     * doc batches, so fold ≡ full-corpus rebuild — the stored-model score
     * is bit-identical to [[trigramLogProb]]'s self-model score. */
   def trigramModelCounts(docs: DataFrame, idCol: String, textCol: String,
-                         buckets: Int): (DataFrame, DataFrame, DataFrame) = {
+                         buckets: Int): (DataFrame, DataFrame, DataFrame) =
+    trigramModelCountsFromToks(lmToks(docs, idCol, textCol), buckets)
+
+  /** The LM builders' shared filtered token arrays, exposed so callers
+    * that materialize all three count tables can tokenize ONCE (eagerly
+    * checkpoint the returned frame, feed it to
+    * [[trigramModelCountsFromToks]], release after the writes land)
+    * instead of paying one corpus tokenization per count table. */
+  def lmTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmToks(docs, idCol, textCol)
+
+  /** [[trigramModelCounts]] over a PRE-BUILT `toks` table (any frame with
+    * a `toks` array column — typically a checkpointed [[lmTokens]]). */
+  def trigramModelCountsFromToks(toks: DataFrame,
+                                 buckets: Int): (DataFrame, DataFrame, DataFrame) = {
     require(buckets >= 1, "need at least one bucket")
-    val toks = lmToks(docs, idCol, textCol)
     def bucketOf(key: Column) =
       pmod(TextFns.md5Long60(key), lit(buckets.toLong)).as("bucket")
     val uni = toks.select(explode(col("toks")).as("token"))
@@ -2280,7 +2293,8 @@ object Corpus {
     // shuffles total. Shingles stay per-branch with LITERAL n — a
     // column-typed n in slice()/sequence() drops the whole projection out
     // of codegen and costs more than the branches save.
-    val tok = docs.select(col(idCol), TextFns.tokens(lower(col(textCol))).as("toks"))
+    val tok = graft.Tables.spread(docs)
+      .select(col(idCol), TextFns.tokens(lower(col(textCol))).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = tok.select(col(idCol),
         posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -2295,10 +2309,20 @@ object Corpus {
         .otherwise(transform(
           sequence(lit(1), size(col("toks")) - lit(n - 1)),
           i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-    val allG = allNs.map { n =>
-      tok.select(col(idCol), lit(n).as("n"),
-        posexplode(shingles(n)).as(Seq("pos", "gram")))
-    }.reduce(_.unionByName(_))
+    // ONE pass over the token arrays for all 9 orders (was one
+    // posexplode branch per n unioned — 9 reads of the cached token
+    // table; the r15 pair-metric fusion move): the per-n shingle arrays
+    // (each with its LITERAL n, staying codegen) stack into one array and
+    // two chained generators emit (order-index, pos, gram); the order
+    // index maps back to its n through a literal lookup. Row set
+    // identical to the per-n union.
+    val nArr = typedLit(allNs.toArray)
+    val allG = tok
+      .select(col(idCol),
+        posexplode(array(allNs.map(shingles): _*)).as(Seq("__i", "__gs")))
+      .select(col(idCol),
+        element_at(nArr, col("__i") + lit(1)).as("n"),
+        posexplode(col("__gs")).as(Seq("pos", "gram")))
       // 60-bit truncated-md5 keys: the counts shuffle carries 8-byte longs
       // instead of 32-char digests, and DuckDB replays the truncation
       // exactly (the winnowing-oracle pattern; 15 hex digits stay inside a
