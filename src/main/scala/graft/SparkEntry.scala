@@ -5122,7 +5122,11 @@ object SparkEntry {
     // types. Output = the model artifact.
     "q_nb_train" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val (_, toks) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
+      // checkpoint the type-level count table BEFORE the vocab count so
+      // the corpus tokenize+aggregate runs once (the vocab action and the
+      // model's internal snap otherwise each replayed it)
+      val (_, toks0) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
+      val toks = toks0.localCheckpoint(true)
       val v = toks.select(col("token")).distinct().count()
       graft.ops.Classify.nbModel(toks, v)
         .orderBy(col("label"), col("token"))

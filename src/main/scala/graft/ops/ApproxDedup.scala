@@ -1839,7 +1839,13 @@ object ApproxDedup {
     val nodes = pairs.select(col(id1).as("node"))
       .union(pairs.select(col(id2).as("node")))
       .distinct().localCheckpoint(true)
-    var converged = edges.isEmpty
+    // carried cardinality of the live (distinct) edge set: convergence
+    // below is count-gated, and the previous round's ss.count IS this
+    // round's edges.count — one tiny job per round instead of two
+    // exceptAll jobs (r15 job-ladder trim; equivalence argument at the
+    // convergence site)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var i = 0
     // every live checkpoint, so ANY failure path (including mid-round, where
     // `ls` is live) releases all blocks — the r11 version freed only `nodes`
@@ -1879,7 +1885,14 @@ object ApproxDedup {
         // while round-start == round-end only holds at star forests —
         // both ops map stars to themselves and the paper's potential
         // argument rules out any other composite fixed point.
-        converged = ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+        // Both sides are DISTINCT sets, so equality ⟺ equal cardinality
+        // ∧ one-sided containment: a count of the (checkpointed) round
+        // output gates the single exceptAll, replacing the former
+        // two-exceptAll check — non-converged rounds usually exit on the
+        // count alone (r15: this loop's cost is job count, not bytes).
+        val ssCount = ss.count()
+        converged = ssCount == edgeCount && ss.exceptAll(edges).isEmpty
+        edgeCount = ssCount
         free(edges)
         edges = ss
         i += 1
@@ -1892,10 +1905,13 @@ object ApproxDedup {
       // the fixed point must be a star forest — roots never appear as
       // children and every child has exactly one root; anything else would
       // silently emit wrong labels below, so verify rather than assume
-      val nonStar =
-        !edges.select(col("small")).intersect(edges.select(col("big"))).isEmpty ||
-        !edges.groupBy(col("big")).agg(count(lit(1)).as("c"))
-          .where(col("c") > 1).isEmpty
+      // one emptiness probe for both star-forest violations (roots that
+      // appear as children; children with two parents) instead of two
+      val nonStar = !edges.select(col("small")).intersect(edges.select(col("big")))
+        .select(lit(1L).as("__bad"))
+        .unionByName(edges.groupBy(col("big")).agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select(lit(1L).as("__bad")))
+        .isEmpty
       if (nonStar)
         throw new IllegalStateException(
           "star contraction reached a non-star fixed point")
