@@ -1060,7 +1060,10 @@ object ApproxDedup {
     val docsWide =
       if (idType == org.apache.spark.sql.types.LongType) docs
       else docs.withColumn(idCol, col(idCol).cast("long"))
-    val sh = docsWide.select(col(idCol),
+    // spread the shingle+md5 kernel (guide §2.5 single-split input; the
+    // chrf-gram move) — downstream is two aggregates + one window, so the
+    // wider map side doesn't fan into many small stages
+    val sh = graft.Tables.spread(docsWide).select(col(idCol),
         explode(array_distinct(
           TextFns.wordShingles(lower(col(textCol)), n))).as("s"))
       .select(col(idCol), TextFns.md5Long60(col("s")).as("h"))

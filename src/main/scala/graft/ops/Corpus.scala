@@ -1543,6 +1543,20 @@ object Corpus {
                              inDom: Column,
                              lambda3: Double = 0.5,
                              lambda2: Double = 0.3): DataFrame = {
+    val (out0, toks) = crossEntropySelectSelfLazy(docs, idCol, textCol,
+      inDom, lambda3, lambda2)
+    val out = out0.localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
+
+  /** The lazy pipeline behind [[crossEntropySelectSelf]] (pre-checkpoint),
+    * returning the persisted token table too — split out so the plan dump
+    * can show the fused shape (the public entry's eager checkpoint hides
+    * it behind a LogicalRDD; the repetitionMatrixLazy precedent). */
+  private[graft] def crossEntropySelectSelfLazy(
+      docs: DataFrame, idCol: String, textCol: String, inDom: Column,
+      lambda3: Double, lambda2: Double): (DataFrame, DataFrame) = {
     val toks = docs
       .select(col(idCol), inDom.as("__in"),
         filter(TextFns.tokens(lower(col(textCol))),
@@ -1582,9 +1596,7 @@ object Corpus {
       .withColumn("ce_delta",
         (col("lp_out_micro") - col("lp_in_micro")).cast("double") /
           (col("n_tokens").cast("double") * lit(1e6)))
-      .localCheckpoint(true)
-    toks.unpersist()
-    out
+    (out, toks)
   }
 
   /** Token BURSTINESS (Church & Gale 1995): variance-to-mean ratio of a

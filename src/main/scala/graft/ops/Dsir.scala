@@ -133,10 +133,13 @@ object Dsir {
     // shapes never had (measured net-slower); caching the 16-byte rows
     // keeps both downstream aggregates map-side combined exactly as before
     // while the tokenize/shingle/md5 work runs once
-    val db = gramBuckets(docs, idCol, textCol, nBuckets)
+    // spread both gram explodes (guide §2.5 single-split input): the
+    // tokenize/shingle/md5 kernel is the path's dominant per-row work and
+    // the persisted rows feed only two aggregates
+    val db = gramBuckets(graft.Tables.spread(docs), idCol, textCol, nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ratios = bucketLogRatiosMicroFromCounts(
-      gramBuckets(target, idCol, textCol, nBuckets),
+      gramBuckets(graft.Tables.spread(target), idCol, textCol, nBuckets),
       db.groupBy(col("bucket")).agg(count(lit(1)).as("nr")), nBuckets)
     val w = db.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))
