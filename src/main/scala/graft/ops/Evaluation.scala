@@ -2034,8 +2034,16 @@ object Evaluation {
       val u = (conv(substring(md5(concat(lit(s"$rep:"),
         col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
         .cast("double") + lit(0.5)) / lit(4294967296.0)
-      PoissonCdf.zipWithIndex.foldRight(lit(8): Column) { case ((c, k), e) =>
-        when(u < lit(c), lit(k)).otherwise(e)
+      // bind u ONCE per (row, replicate): inlined into all 8 CASE arms it
+      // appeared 8·B times in the replicate-fan projection — at B=32 the
+      // generated method blew Janino's 64 KB limit and the WHOLE stage
+      // fell back to interpreted mode (bench log: "Failed to compile the
+      // generated Java code"), paying 8 md5 evaluations per (row, rep)
+      // on top. Same values, one evaluation (guide §4).
+      graft.functions.TextFns.bindOnce(u) { uu =>
+        PoissonCdf.zipWithIndex.foldRight(lit(8): Column) { case ((c, k), e) =>
+          when(uu < lit(c), lit(k)).otherwise(e)
+        }
       }
     }
     val reps = rows.select(col(groupCol).as("grp"),
