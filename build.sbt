@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked app's stdout is the driver's machine-readable channel: the
+// default LoggedOutput strategy prefixes every line with "[info] ", which
+// made the bench's one-line JSON unparseable to the driver in 15/15 rounds
+// (BENCH_r*.json `parsed: null`). StdoutOutput inherits the child's
+// stdout/stderr raw, so the JSON line arrives starting with `{`.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,6 +36,18 @@ object Bench {
     }.distinct.filter(selectedNames.contains).take(cap)
   }
 
+  /** Observations per retried ENTRY label across every pass (base passes +
+    * the retry pass), successful runs only — the auditable record of which
+    * reported mins came from a third measurement (r15 verdict item 7: the
+    * one-sided retry must be visible in the committed JSON, not just on
+    * stderr). Pure; pinned in BenchRetrySpec. */
+  def retriedObservations(retryPass: Seq[(String, (Double, String))],
+                          allPasses: Seq[Seq[(String, (Double, String))]]
+                         ): Seq[(String, Seq[Double])] =
+    retryPass.map(_._1).map { label =>
+      label -> allPasses.flatMap(_.collectFirst { case (`label`, (t, null)) => t })
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -324,10 +336,20 @@ object Bench {
           Seq(runPass(selected.view.filterKeys(names.toSet).toMap))
         }
       }
+    // Auditability of the one-sided retry (r15 verdict item 7): the retried
+    // ENTRY labels and every pass's successful observation land in the JSON
+    // record, so a reader can see exactly which mins came from three
+    // observations instead of two. The protocol count uses the SAME number
+    // as the retried map (expanded entry labels, build+probe counted
+    // separately) — the r15 string mixed selected names with expanded
+    // entries.
+    val retriedTimes: Seq[(String, Seq[Double])] =
+      retriedObservations(retried.headOption.getOrElse(Seq.empty),
+        queryPasses ++ retried)
     val protocol =
       if (reps == 1) "single-pass"
       else if (retried.isEmpty) s"min-of-$reps"
-      else s"min-of-$reps+retry${retried.head.size}"
+      else s"min-of-$reps+retry${retriedTimes.size}"
     val allPasses = queryPasses ++ retried
     val results: Seq[(String, (Double, String))] = queryPasses.head.map(_._1).map { label =>
       val runs = allPasses.flatMap(_.collectFirst { case (`label`, r) => r })
@@ -413,7 +435,11 @@ object Bench {
         }
       }
     }
-    def line(dec: Int, cap: Int): String = {
+    // `includeRetried` gates the full per-entry retry observations: they
+    // belong in BENCH_LOCAL.json (the canonical machine artifact, cap=0)
+    // but would push the bounded stdout line past the harness's 2000-char
+    // tail capture, so stdout carries only the count.
+    def line(dec: Int, cap: Int, includeRetried: Boolean): String = {
       val bySlowest = results.toSeq.sortBy { case (_, (v, _)) => -v }
       val (shown, omitted) =
         if (cap > 0) bySlowest.splitAt(cap) else (bySlowest, Seq.empty)
@@ -425,7 +451,13 @@ object Bench {
       val total = results.map(_._2._1).sum
       val omitSum = omitted.map(_._2._1).sum
       val guards = guardFailures.map(jstr).mkString("[", ",", "]")
-      s"""{"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"calibration_sec":${fmt(calibrationSec, dec)},"io_calibration_sec":${fmt(ioCalibrationSec, dec)},"n_queries":${results.size},"verify":$verifyDigest,"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
+      val retriedField =
+        if (includeRetried)
+          retriedTimes.map { case (k, ts) =>
+            jstr(k) + ":" + ts.map(fmt(_, dec)).mkString("[", ",", "]")
+          }.mkString("\"retried\":{", ",", "},")
+        else ""
+      s"""{$retriedField"queries":$qs,"errors":$errs,"failed":$nFailed,"guard_failures":$guards,"omitted_fast":${omitted.size},"omitted_sec":${fmt(omitSum, dec)},"sf":${jstr(sfDir)},"protocol":${jstr(protocol)},"n_retried":${retriedTimes.size},"calibration_sec":${fmt(calibrationSec, dec)},"io_calibration_sec":${fmt(ioCalibrationSec, dec)},"n_queries":${results.size},"verify":$verifyDigest,"metric":"total","value":${fmt(total, dec)},"unit":"sec"}"""
     }
     // subset runs (SPARK_GRAFT_ONLY) land in /tmp — they must never clobber
     // the committed full-suite baseline that round-over-round regression
@@ -434,8 +466,8 @@ object Bench {
       if (only.isEmpty) "BENCH_LOCAL.json" else "/tmp/BENCH_SUBSET.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line(3, 0) + "\n").getBytes("UTF-8"))
-    println(line(2, 40))
+      (line(3, 0, includeRetried = true) + "\n").getBytes("UTF-8"))
+    println(line(2, 40, includeRetried = false))
     spark.stop()
     // exit AFTER the JSON lands on stdout and disk so the diagnostics
     // survive the loud failure

@@ -56,30 +56,26 @@ object PlanDumpR15 {
     }
     // moore-lewis: lazy stage of the fused self-trained scorer
     locally {
-      val (out, toks) = graft.ops.Corpus.crossEntropySelectSelfLazy(
+      val (out, toks, ckpts) = graft.ops.Corpus.crossEntropySelectSelfLazy(
         Tables.documents(spark, sfDir), "doc_id", "text",
         col("lang") === "en", 0.5, 0.3)
       try dump("q_moore_lewis_select", out)
-      finally { toks.unpersist(); () }
+      finally {
+        toks.unpersist()
+        ckpts.foreach(graft.ops.ApproxDedup.freeCheckpoint)
+      }
     }
-    // chrf gram stage (checkpoint-hidden in the public frame): the fused
-    // one-scan/one-aggregate build, reconstructed exactly as shipped
-    // (OptimizationEquivalenceSpec pins this == the per-n union)
+    // chrf gram stage (checkpoint-hidden in the public frame): the SHIPPED
+    // fused one-scan/one-aggregate build — the same
+    // Evaluation.fusedGramCounts the operators and the equivalence pin use
+    // (r15 ADVICE: no third hand copy)
     locally {
       import graft.functions.TextFns
       val cands = Tables.documents(spark, sfDir)
         .where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
-      val all = array((1 to 6).map(n =>
-        TextFns.charNgrams(col("__t"), n)): _*)
-      val grams = Tables.spread(cands)
-        .select(col("doc_id").as("id"),
-          regexp_replace(trim(col("text")), "\\s+", "").as("__t"))
-        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
-        .select(col("id"), (col("__n0") + lit(1)).as("n"),
-          explode(col("__gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cc"))
-      dump("q_chrf_pairs_gramstage", grams)
+      dump("q_chrf_pairs_gramstage", graft.ops.Evaluation.fusedGramCounts(
+        cands, "doc_id", regexp_replace(trim(col("text")), "\\s+", ""),
+        1 to 6, TextFns.charNgrams, "cc"))
     }
     // opq build: the encode projection (the part the spread touched) —
     // reconstructed with the same parameters as q_opq_index_sync

@@ -5246,16 +5246,21 @@ object SparkEntry {
     // arm is its own vocab-bounded trainer + one token equi-join.
     "q_tokenizer_ab" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bpe = graft.ops.Corpus.fertilityReport(
-        docs.withColumn("__fam", lit("bpe")), "text", "__fam", nMerges = 8)
-      val wpMerges = graft.ops.Corpus.wordPieceTrain(docs, "text", 8)
-        .orderBy(col("step")).select(col("pair"))
-        .collect().map(_.getString(0)).toSeq
-      val wp = graft.ops.Corpus.fertilityFromMerges(
-        docs.withColumn("__fam", lit("wordpiece")), "text", "__fam", wpMerges)
-      val sp = graft.ops.SpUnigram.fertilityReport(
-        docs.withColumn("__fam", lit("sp_unigram")), "text", "__fam",
-        SpModel.scores(SpModel.forScope(s, d, "full")), SpP, SpCap)
+      // r16 (r15 verdict item 4): ONE word-frequency fit shared by all
+      // three trainers (was: one corpus vocab pass per trainer plus an
+      // 8-round merge REPLAY for the WordPiece fertility), and
+      // constant-group fertility computed from the trainers' final
+      // |vocab|-row state (per-occurrence corpus join ≡ freq-weighted
+      // vocab sums when the group column is a literal). Row-identical —
+      // pinned in OptimizationEquivalenceSpec, re-oracled.
+      val words = graft.ops.Corpus.vocab(docs, "text").localCheckpoint(true)
+      val (_, bpeV) = graft.ops.Corpus.bpeTrainStateFromWords(words, nMerges = 8)
+      val bpe = graft.ops.Corpus.fertilityFromTrainedState(bpeV, "bpe", "__fam")
+      val (_, wpV) = graft.ops.Corpus.wordPieceTrainStateFromWords(words, nMerges = 8)
+      val wp = graft.ops.Corpus.fertilityFromTrainedState(wpV, "wordpiece", "__fam")
+      val sp = graft.ops.SpUnigram.fertilityFromWords(words, "sp_unigram",
+        "__fam", SpModel.scores(SpModel.forScope(s, d, "full")), SpP, SpCap)
+      graft.ops.ApproxDedup.freeCheckpoint(words)
       bpe.unionByName(wp).unionByName(sp)
         .withColumnRenamed("__fam", "family")
         .orderBy(col("family"))
@@ -7124,14 +7129,21 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val (uni, bi, tri) = graft.ops.Corpus.trigramModelCounts(
         docs.where(col("doc_id") % 2 === 0), "doc_id", "text", buckets = 8)
-      // checkpoint the vocab-sized model tables: the KN ladder references
-      // each several times, and lazy they re-ran the count pipeline from
-      // the corpus per reference (the q_moore_lewis_select finding)
+      // r16 (r15 verdict item 6): the r15 eager checkpoints of the three
+      // folded model tables REVERTED — q_kn_stored was the one touched
+      // entry consistently slower (3.06 → 3.63 committed). Lazy model
+      // leaves cost nothing extra here: the KN ladder's repeated
+      // references are identical subtrees inside ONE action, so exchange
+      // reuse computes each count pipeline once, while the checkpoints
+      // paid three eager materialization jobs up front. Measured r16,
+      // alternating in-JVM A/B at sf0.1 (3 rounds each): checkpointed
+      // 4.76/4.03/4.62 s vs lazy 3.75/3.51/3.65 s — lazy wins every
+      // alternation by ~1 s.
       graft.ops.Corpus.knScoreWithModel(
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
-          graft.ops.Corpus.lmFoldUni(uni).localCheckpoint(true),
-          graft.ops.Corpus.lmFoldBi(bi).localCheckpoint(true),
-          graft.ops.Corpus.lmFoldTri(tri).localCheckpoint(true),
+          graft.ops.Corpus.lmFoldUni(uni),
+          graft.ops.Corpus.lmFoldBi(bi),
+          graft.ops.Corpus.lmFoldTri(tri),
           discount = 0.75)
         .orderBy(col("doc_id"))
     }),

@@ -45,6 +45,24 @@ object Tables {
     * plain batch frames and do spread). */
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
+    // Exchange-free gate BEFORE touching .rdd (r15 ADVICE): `.rdd`
+    // re-plans the frame and, under AQE, eagerly materializes any upstream
+    // shuffle stages at DataFrame-construction time — work the real
+    // execution does not reuse. Spread only ever targets scan-adjacent
+    // kernels, so frames whose analyzed plan contains anything wider than
+    // project/filter/generate/union over leaves pass through untouched
+    // (a post-shuffle frame's parallelism is already the shuffle's); for
+    // the narrow survivors, planning .rdd runs no jobs.
+    val narrow = df.queryExecution.analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+          if !(p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project] ||
+               p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] ||
+               p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate] ||
+               p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias] ||
+               p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Union] ||
+               p.children.isEmpty) => p
+    }.isEmpty
+    if (!narrow) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)

@@ -23,6 +23,12 @@ object ApproxDedup {
   // default ANSI arithmetic. 31-bit minhash space is ample for sketching.
   private val P = 2147483647L // 2^31 - 1
 
+  /** Fixed edge-count cap for the driver-side union-find branch of
+    * [[nearDupClustersStar]]: an ABSOLUTE constant (≤ ~1.6 MB of collected
+    * longs), deliberately not a fraction of the input, so at any corpus
+    * scale only genuinely tiny frontiers run on the driver. */
+  private[graft] val DriverUnionFindMaxEdges = 100000L
+
   // the evaluate-once lambda binding lives in ONE place (TextFns) — the
   // trick is Catalyst-version-sensitive and must not drift between copies
   private def bindOnce(e: Column)(body: Column => Column): Column =
@@ -1829,8 +1835,11 @@ object ApproxDedup {
     * one convergence counter. Same output contract as
     * [[nearDupClusters]]: (doc_id, cluster_id = min reachable id).
     */
+  /** `driverGateEdges` exists for the equivalence spec (force the
+    * distributed branch with 0); production callers use the default. */
   def nearDupClustersStar(pairs: DataFrame, id1: String = "id1",
-                          id2: String = "id2", maxRounds: Int = 32): DataFrame = {
+                          id2: String = "id2", maxRounds: Int = 32,
+                          driverGateEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     // canonical undirected edge list, self-loops dropped
     var edges = pairs.select(
         greatest(col(id1), col(id2)).as("big"),
@@ -1848,6 +1857,60 @@ object ApproxDedup {
     // exceptAll jobs (r15 job-ladder trim; equivalence argument at the
     // convergence site)
     var edgeCount = edges.count()
+    // SIZE-GATED DRIVER UNION-FIND (r15 verdict item 3, approved shape):
+    // the contraction loop costs ~6 tiny Spark jobs per round — pure
+    // job-ladder overhead when the distinct edge set is small (incremental
+    // CC frontiers are root-level and batch-bounded by construction). A
+    // COUNTED edge set at or under the fixed constant collapses the whole
+    // loop into one collect (≤ 2·MaxEdges longs, the same bounded-driver
+    // pattern as broadcast thresholds) + an in-memory union-find whose
+    // component labels are provably the min reachable id — identical to
+    // the star fixed point (pinned on randomized graphs in
+    // StarDriverEquivalenceSpec). The gate is an absolute edge COUNT,
+    // never a fraction of the input, so a 100 TB pair graph takes the
+    // distributed branch below untouched; non-integral id types also stay
+    // distributed (the driver path would have to change their type).
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+      f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (edgeCount > 0L && edgeCount <= driverGateEdges && integralIds &&
+        edges.schema.fields.map(_.dataType).distinct.length == 1) {
+      val rows = edges.collect()
+      freeCheckpoint(edges)
+      val isLong = rows.headOption.exists(_.get(0).isInstanceOf[Long])
+      def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (isLong) r.getLong(i) else r.getInt(i).toLong
+      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression keeps chains amortized-flat
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        val a = lv(row, 0); val b = lv(row, 1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // the smaller root absorbs: every tree root stays the component's
+        // minimum id, so the final find(x) IS min-reachable(x)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val labels = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach { x =>
+        val r = find(x)
+        if (r != x) labels += ((x, r))
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      var mapping = labels.toSeq.toDF("node", "root")
+      if (!isLong) mapping = mapping.select(
+        col("node").cast("int").as("node"), col("root").cast("int").as("root"))
+      return nodes.join(mapping, Seq("node"), "left")
+        .select(col("node").as("doc_id"),
+          coalesce(col("root"), col("node")).as("cluster_id"))
+    }
     var converged = edgeCount == 0L
     var i = 0
     // every live checkpoint, so ANY failure path (including mid-round, where

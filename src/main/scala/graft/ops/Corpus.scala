@@ -1543,60 +1543,144 @@ object Corpus {
                              inDom: Column,
                              lambda3: Double = 0.5,
                              lambda2: Double = 0.3): DataFrame = {
-    val (out0, toks) = crossEntropySelectSelfLazy(docs, idCol, textCol,
-      inDom, lambda3, lambda2)
+    val (out0, toks, modelCkpts) = crossEntropySelectSelfLazy(docs, idCol,
+      textCol, inDom, lambda3, lambda2)
     val out = out0.localCheckpoint(true)
     toks.unpersist()
+    // release the three dual-count checkpoints now that the result is
+    // snapped (r15 ADVICE: they accumulated in block-manager storage
+    // across repeated calls in a long-lived session)
+    modelCkpts.foreach(graft.ops.ApproxDedup.freeCheckpoint)
     out
   }
 
   /** The lazy pipeline behind [[crossEntropySelectSelf]] (pre-checkpoint),
-    * returning the persisted token table too — split out so the plan dump
-    * can show the fused shape (the public entry's eager checkpoint hides
-    * it behind a LogicalRDD; the repetitionMatrixLazy precedent). */
+    * returning the persisted token table and the checkpointed dual model
+    * tables — split out so the plan dump can show the fused shape (the
+    * public entry's eager checkpoint hides it behind a LogicalRDD; the
+    * repetitionMatrixLazy precedent) and so the caller can release every
+    * block.
+    *
+    * r16: the two per-model scoring ladders are FUSED into one dual-model
+    * pass (the r15 deferred item). Each model table carries BOTH counts
+    * (`*_out` from count(*), `*_in` from the conditional sum) in one row,
+    * and a single ladder computes both logprobs per position. Equivalence
+    * to the two [[trigramScoreFromToks]] passes is per-row arithmetic
+    * independence: a LEFT join against the filtered in-model table (miss ⇒
+    * null count) reads the same values as the dual row's nullable in-count
+    * (row absent ⇒ null, row present with no in-domain occurrences ⇒ null,
+    * since sum(when(__in,1)) over zero matches is null, and the filtered
+    * table kept exactly the __inc-non-null rows); every downstream double
+    * is the same expression over the same values. Pinned against the
+    * generic two-model composition in OptimizationEquivalenceSpec. */
   private[graft] def crossEntropySelectSelfLazy(
       docs: DataFrame, idCol: String, textCol: String, inDom: Column,
-      lambda3: Double, lambda2: Double): (DataFrame, DataFrame) = {
+      lambda3: Double, lambda2: Double): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    require(lambda3 > 0.0 && lambda2 > 0.0 && lambda3 + lambda2 < 1.0,
+      "need lambda3, lambda2 > 0 with lambda3 + lambda2 < 1")
+    val lam23 = lambda3 + lambda2
+    val lamU  = 1.0d - lambda3 - lambda2
+    // spread BEFORE the persist (re-tested r16): r15 measured spreading
+    // this table net-negative when ~13 lazy subtrees each fanned its
+    // partitioning into every stage; the fused dual ladder has half the
+    // consumers and the 1-partition cached table serialized every map
+    // side behind one task (profiled 1.65 s single-task tokenize + every
+    // downstream stage at 1 task)
     val toks = docs
-      .select(col(idCol), inDom.as("__in"),
-        filter(TextFns.tokens(lower(col(textCol))),
-          t => length(t) > 0).as("toks"))
-      .where(size(col("toks")) > 0)
+        .select(col(idCol), inDom.as("__in"),
+          filter(TextFns.tokens(lower(col(textCol))),
+            t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def dual(df: DataFrame, keys: Seq[String],
-             cnt: String): (DataFrame, DataFrame) = {
-      val agg = df.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__out"), sum(when(col("__in"), 1L)).as("__inc"))
+    // dual count tables, eagerly checkpointed (type-level / vocab-sized;
+    // the ladder references each several times — see the r15 scaladoc)
+    def dual(df: DataFrame, keys: Seq[String], cnt: String): DataFrame =
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(s"${cnt}_out"),
+          sum(when(col("__in"), 1L)).as(s"${cnt}_in"))
         .localCheckpoint(true)
-      (agg.where(col("__inc") > 0)
-         .select(keys.map(col) :+ col("__inc").as(cnt): _*),
-       agg.select(keys.map(col) :+ col("__out").as(cnt): _*))
-    }
-    val (inCf, outCf) = dual(
+    val dcf = dual(
       toks.select(col("__in"), explode(col("toks")).as("token")),
       Seq("token"), "cf")
-    val (inCvw, outCvw) = dual(
+    val dcvw = dual(
       toks.select(col("__in"), explode(lmPairs).as("p"))
         .select(col("__in"), col("p.v").as("v"), col("p.w").as("w")),
-      Seq("v", "w"), "c_vw")
-    val (inCuvw, outCuvw) = dual(
+      Seq("v", "w"), "vw")
+    val dcuvw = dual(
       toks.select(col("__in"), explode(lmTriples).as("p"))
         .select(col("__in"), col("p.u").as("u"), col("p.v").as("v"),
           col("p.w").as("w")),
-      Seq("u", "v", "w"), "c_uvw")
+      Seq("u", "v", "w"), "uvw")
+    // ONE scoring ladder for BOTH models (join count halved vs a+b):
+    // context sums and totals derive per side; sum() skips nulls, so the
+    // in-side context sums cover exactly the filtered in-table's rows
+    val cv = dcvw.groupBy(col("v"))
+      .agg(sum(col("vw_out")).as("cv_out"), sum(col("vw_in")).as("cv_in"))
+    val cuv = dcuvw.groupBy(col("u"), col("v"))
+      .agg(sum(col("uvw_out")).as("cuv_out"), sum(col("uvw_in")).as("cuv_in"))
+    // in-side vocab = rows whose in-count is non-null (≡ the filtered
+    // table's row count); count(col) counts non-nulls
+    val totals = dcf.agg(
+      sum(col("cf_out")).as("tot_t_out"), count(lit(1)).as("tot_v_out"),
+      sum(col("cf_in")).as("tot_t_in"), count(col("cf_in")).as("tot_v_in"))
+    val cfW = dcf.withColumnRenamed("token", "w")
+    def floorTerm(s: String) = (coalesce(col(s"cf_$s"), lit(0L)) + lit(1.0d)) /
+      (col(s"tot_t_$s") + col(s"tot_v_$s")).cast("double")
+    def bgTerm(s: String) = coalesce(
+      col(s"vw_$s").cast("double") / col(s"cv_$s").cast("double"), lit(0.0d))
+    def triTerm(s: String) = coalesce(
+      col(s"uvw_$s").cast("double") / col(s"cuv_$s").cast("double"), lit(0.0d))
     val scored = toks.select(col(idCol), col("toks"))
-    val a = trigramScoreFromToks(scored, idCol, inCf, inCvw, inCuvw,
-        lambda3, lambda2)
-      .select(col(idCol), col("n_tokens"),
-        col("logprob_micro").as("lp_in_micro"))
-    val b = trigramScoreFromToks(scored, idCol, outCf, outCvw, outCuvw,
-        lambda3, lambda2)
-      .select(col(idCol), col("logprob_micro").as("lp_out_micro"))
-    val out = a.join(b, Seq(idCol))
+    val tf = scored.select(col(idCol), explode(col("toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nt = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("n_tokens"))
+    def lw0(s: String) =
+      round(log(floorTerm(s)) * lit(1e6)).cast("long").as(s"lw0_$s")
+    val first = scored.select(col(idCol), element_at(col("toks"), 1).as("token"))
+      .join(dcf, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), lw0("in"), lw0("out"))
+    def lw2(s: String) =
+      round(log(lit(lam23) * bgTerm(s) + lit(lamU) * floorTerm(s)) * lit(1e6))
+        .cast("long").as(s"lw2_$s")
+    val second = scored.where(size(col("toks")) >= 2)
+      .select(col(idCol), element_at(col("toks"), 1).as("v"),
+        element_at(col("toks"), 2).as("w"))
+      .join(dcvw, Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(cfW, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), lw2("in"), lw2("out"))
+    val tg = scored.select(col(idCol), explode(lmTriples).as("p"))
+      .select(col(idCol), col("p.u").as("u"), col("p.v").as("v"), col("p.w").as("w"))
+      .groupBy(col(idCol), col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    def cMicro(s: String) = (col("tf") *
+      round(log(
+        lit(lambda3) * triTerm(s) + lit(lambda2) * bgTerm(s) +
+        lit(lamU) * floorTerm(s)) * lit(1e6)).cast("long")).as(s"c_$s")
+    val tsum = tg
+      .join(dcuvw, Seq("u", "v", "w"), "left")
+      .join(cuv, Seq("u", "v"), "left")
+      .join(dcvw, Seq("v", "w"), "left")
+      .join(cv, Seq("v"), "left")
+      .join(cfW, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), cMicro("in"), cMicro("out"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c_in")).as("tri_in"), sum(col("c_out")).as("tri_out"))
+    def lp(s: String) =
+      (col(s"lw0_$s") + coalesce(col(s"lw2_$s"), lit(0L)) +
+        coalesce(col(s"tri_$s"), lit(0L))).as(s"lp_${s}_micro")
+    val out = nt.join(first, Seq(idCol))
+      .join(second, Seq(idCol), "left")
+      .join(tsum, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), lp("in"), lp("out"))
       .withColumn("ce_delta",
         (col("lp_out_micro") - col("lp_in_micro")).cast("double") /
           (col("n_tokens").cast("double") * lit(1e6)))
-    (out, toks)
+    (out, toks, Seq(dcf, dcvw, dcuvw))
   }
 
   /** Token BURSTINESS (Church & Gale 1995): variance-to-mean ratio of a
@@ -2589,11 +2673,18 @@ object Corpus {
     * [[bpeSegmentCounts]] applies; callers release it via the returned
     * frame when done. */
   private[graft] def bpeTrainState(docs: DataFrame, textCol: String,
-                                   nMerges: Int): (DataFrame, DataFrame) = {
+                                   nMerges: Int): (DataFrame, DataFrame) =
+    bpeTrainStateFromWords(vocab(docs, textCol), nMerges)
+
+  /** [[bpeTrainState]] over a PRE-BUILT word-frequency table (token, freq)
+    * — lets q_tokenizer_ab share ONE corpus vocab fit across its three
+    * trainers (r15 verdict item 4; equivalence = identical word table). */
+  private[graft] def bpeTrainStateFromWords(words: DataFrame,
+                                            nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges > 0, "nMerges must be positive")
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    var v = vocab(docs, textCol)
+    var v = words
       .select(col("token"),
         trim(regexp_replace(col("token"), "(.)", "$1 ")).as("sym"),
         col("freq"))
@@ -2772,10 +2863,24 @@ object Corpus {
     * frequencies) and one literal replace; corpus-size-independent.
     * Returns the merge table (step, pair, score). */
   def wordPieceTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (merges, v) = wordPieceTrainStateFromWords(vocab(docs, textCol), nMerges)
+    graft.ops.ApproxDedup.freeCheckpoint(v)
+    merges
+  }
+
+  /** The WordPiece trainer loop over a PRE-BUILT word table, also
+    * returning the FINAL segmented vocabulary — the [[bpeTrainState]]
+    * twins: q_tokenizer_ab derives its fertility numbers from the final
+    * state directly instead of replaying the merges from scratch
+    * ([[fertilityFromMerges]] applies the same deterministic literal
+    * replaces to the same initial vocab, so the final `sym` strings are
+    * identical by construction; pinned in OptimizationEquivalenceSpec). */
+  private[graft] def wordPieceTrainStateFromWords(
+      words: DataFrame, nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges > 0, "nMerges must be positive")
-    val spark = docs.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    var v = vocab(docs, textCol)
+    var v = words
       .select(col("token"),
         trim(regexp_replace(col("token"), "(.)", "$1 ")).as("sym"),
         col("freq"))
@@ -2819,8 +2924,36 @@ object Corpus {
         step += 1
       }
     }
+    (merges.toSeq.toDF("step", "pair", "score"), v)
+  }
+
+  /** Constant-group fertility from the WORD-FREQUENCY side: when the group
+    * column is one literal (the q_tokenizer_ab shape), every corpus
+    * occurrence of `token` contributes the same (n_sub, n_ch), so the
+    * per-occurrence corpus explode + join of [[fertilityReport]] equals
+    * freq-weighted sums over the |vocab|-row table — the corpus is never
+    * re-scanned. `v` (a trainer's final segmented vocabulary checkpoint)
+    * is released after the result snaps. Row-identical to
+    * `fertilityReport`/`fertilityFromMerges` with a literal group column
+    * (pinned in OptimizationEquivalenceSpec); an empty corpus yields an
+    * empty frame in both shapes (groupBy over zero rows). */
+  private[graft] def fertilityFromTrainedState(v: DataFrame,
+      fam: String, groupName: String): DataFrame = {
+    // the trainer's final segmented vocabulary carries (token, sym, freq),
+    // so the aggregate runs straight over the |vocab|-row checkpoint
+    val out = v.select(col("freq"),
+        size(split(col("sym"), " ")).cast("long").as("n_sub"),
+        length(col("token")).cast("long").as("n_ch"))
+      .groupBy(lit(fam).as(groupName))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_sub")).as("n_subwords"),
+        sum(col("freq") * col("n_ch")).as("n_chars"))
+      .withColumn("fertility_micro", expr("n_subwords * 1000000L div n_words"))
+      .withColumn("chars_per_subword_micro",
+        expr("n_chars * 1000000L div n_subwords"))
+      .localCheckpoint(true)
     graft.ops.ApproxDedup.freeCheckpoint(v)
-    merges.toSeq.toDF("step", "pair", "score")
+    out
   }
 
   /** [[fertilityReport]] under a PRECOMPUTED merge list (WordPiece or any

@@ -987,22 +987,42 @@ object Evaluation {
     * reference side (equal keys, no fanout) and two |pairs|-row
     * aggregates. No windows, no driver state.
     */
+  /** Fused multi-order gram counts — ONE scan + ONE (id, n, g) aggregate
+    * per side via a posexploded array-of-gram-arrays; each order's gram
+    * array keeps its LITERAL n so whole-stage codegen survives. The one
+    * shared implementation behind [[bleuPairs]]/[[rougeN]]/[[chrfPairs]],
+    * their OptimizationEquivalenceSpec pins, and the plan dumps (r15
+    * ADVICE: the pin must exercise the shipped build, not a hand copy).
+    * `ns` must be distinct: the per-n union this replaced emitted two
+    * identical (id,n,g,cnt) row GROUPS for a duplicated order, while the
+    * fused aggregate would emit one row with doubled counts (r15 ADVICE —
+    * fail loudly instead of silently changing the clipped-match join). */
+  private[graft] def fusedGramCounts(df: DataFrame, idCol: String,
+      prep: org.apache.spark.sql.Column, ns: Seq[Int],
+      gramsOf: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column,
+      cnt: String): DataFrame = {
+    require(ns.nonEmpty && ns.distinct.size == ns.size,
+      s"gram orders must be non-empty and distinct, got $ns")
+    val nArr = typedLit(ns.map(_.toLong))
+    val all = array(ns.map(n => gramsOf(col("__t"), n)): _*)
+    graft.Tables.spread(df)
+      .select(col(idCol).as("id"), prep.as("__t"))
+      .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
+      .select(col("id"),
+        element_at(nArr, col("__n0") + lit(1)).cast("int").as("n"),
+        explode(col("__gs")).as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(count(lit(1)).as(cnt))
+  }
+
   def bleuPairs(cands: DataFrame, refs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
     import graft.functions.TextFns
     // fused n=1..4 gram counts: one scan + one shuffle per side (was 4
     // per-n branches each — see chrfPairs for the move); identical rows.
-    def grams(df: DataFrame, cnt: String) = {
-      val all = array((1 to 4).map(n =>
-        TextFns.wordShingles(col("__t"), n)): _*)
-      graft.Tables.spread(df)
-        .select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
-        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
-        .select(col("id"), (col("__n0") + lit(1)).as("n"),
-          explode(col("__gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as(cnt))
-    }
+    def grams(df: DataFrame, cnt: String) =
+      fusedGramCounts(df, idCol, trim(col(textCol)), 1 to 4,
+        TextFns.wordShingles, cnt)
     def len(df: DataFrame, name: String) = df.select(col(idCol).as("id"),
       size(TextFns.tokens(trim(col(textCol)))).cast("long").as(name))
     val joined = grams(cands, "cc")
@@ -1098,22 +1118,12 @@ object Evaluation {
   def rougeN(cands: DataFrame, refs: DataFrame, idCol: String,
              textCol: String, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
     import graft.functions.TextFns
-    require(ns.nonEmpty, "need at least one n")
     // fused per-n gram counts: one scan + one shuffle per side (was one
-    // scan+groupBy branch per n — see chrfPairs for the move).
-    def grams(df: DataFrame, cnt: String) = {
-      val nArr = typedLit(ns.map(_.toLong))
-      val all = array(ns.map(n =>
-        TextFns.wordShingles(col("__t"), n)): _*)
-      graft.Tables.spread(df)
-        .select(col(idCol).as("id"), trim(col(textCol)).as("__t"))
-        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
-        .select(col("id"),
-          element_at(nArr, col("__n0") + lit(1)).cast("int").as("n"),
-          explode(col("__gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as(cnt))
-    }
+    // scan+groupBy branch per n — see chrfPairs for the move); the helper
+    // rejects duplicate orders (they would double-count vs the old union).
+    def grams(df: DataFrame, cnt: String) =
+      fusedGramCounts(df, idCol, trim(col(textCol)), ns,
+        TextFns.wordShingles, cnt)
     // each gram table feeds TWO consumers (the clipped-match join and its
     // side's totals): materialize once and cut lineage, so neither branch
     // re-explodes the corpus and the suite's GC shadow can't land on a
@@ -1283,17 +1293,9 @@ object Evaluation {
     // regex); each order's gram array keeps its LITERAL n (codegen), the
     // arrays concat into one (n, g) stream, and a single (id, n, g)
     // aggregate produces exactly the rows the per-n union produced.
-    def grams(df: DataFrame, cnt: String) = {
-      val all = array((1 to ChrfMaxN).map(n =>
-        TextFns.charNgrams(col("__t"), n)): _*)
-      graft.Tables.spread(df)
-        .select(col(idCol).as("id"), stripped(col(textCol)).as("__t"))
-        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
-        .select(col("id"), (col("__n0") + lit(1)).as("n"),
-          explode(col("__gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as(cnt))
-    }
+    def grams(df: DataFrame, cnt: String) =
+      fusedGramCounts(df, idCol, stripped(col(textCol)), 1 to ChrfMaxN,
+        TextFns.charNgrams, cnt)
     // same two-consumer materialization as rougeN: build each side's char
     // gram counts once, cut lineage
     val cg = grams(cands, "cc").localCheckpoint(true)

@@ -265,6 +265,33 @@ object SpUnigram {
     * [[Corpus.fertilityReport]] shape (per-group subwords/word and
     * chars/subword in exact micro-units) with SP segmentation, so the two
     * tokenizer families compare row-for-row. */
+  /** Constant-group fertility from a PRE-BUILT word-frequency table — the
+    * q_tokenizer_ab shape (one literal family label): every corpus
+    * occurrence of `token` contributes the same (n_sub, n_ch), so the
+    * per-occurrence corpus explode + join of [[fertilityReport]] equals
+    * freq-weighted sums over the |vocab|-row table; the corpus is never
+    * re-scanned and the vocab fit is shared with the other trainers
+    * (Corpus.fertilityFromTrainedState is the BPE/WordPiece twin; both
+    * pinned in OptimizationEquivalenceSpec). */
+  private[graft] def fertilityFromWords(words0: DataFrame, fam: String,
+      groupName: String, scores: Map[String, Long], pieceMaxLen: Int,
+      maxTokenLen: Int): DataFrame = {
+    val words = words0.where(length(col("token")) <= maxTokenLen)
+    // withSegmentation carries every input column through, so freq rides
+    // alongside the computed pieces — no self-join against the word table
+    withSegmentation(words, scores, pieceMaxLen)
+      .select(col("freq"), size(col("pieces")).cast("long").as("n_sub"),
+        length(col("token")).cast("long").as("n_ch"))
+      .groupBy(lit(fam).as(groupName))
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_sub")).as("n_subwords"),
+        sum(col("freq") * col("n_ch")).as("n_chars"))
+      .withColumn("fertility_micro", expr("n_subwords * 1000000L div n_words"))
+      .withColumn("chars_per_subword_micro",
+        expr("n_chars * 1000000L div n_subwords"))
+      .localCheckpoint(true)
+  }
+
   def fertilityReport(docs: DataFrame, textCol: String, groupCol: String,
                       scores: Map[String, Long], pieceMaxLen: Int,
                       maxTokenLen: Int): DataFrame = {

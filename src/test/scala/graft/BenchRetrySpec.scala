@@ -58,6 +58,16 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(capped.size == 1)
   }
 
+  test("retriedObservations records every successful pass per retried entry") {
+    val base1 = pass("q_a" -> 5.0, "q_b" -> 1.0)
+    val base2 = pass("q_a" -> 3.0, "q_b" -> 1.1)
+    val retry = pass("q_a" -> 2.9) :+ ("q_a_build" -> (9.0, "boom"))
+    val obs = Bench.retriedObservations(retry, Seq(base1, base2, retry))
+    // q_a: all three observations; q_a_build: failed retry excluded and
+    // absent from the base passes → empty observation list, label kept
+    assert(obs == Seq("q_a" -> Seq(5.0, 3.0, 2.9), "q_a_build" -> Seq.empty))
+  }
+
   test("a faster box never relaxes the regression bar below 1.2x") {
     // canary ratio 0.5 (box twice as fast) must floor at 1.0, so a query
     // 1.3x its prior still trips the 1.2 bar

@@ -50,17 +50,10 @@ class OptimizationEquivalenceSpec extends SparkSpec {
         .agg(count(lit(1)).as(cnt))
         .select(col("id"), lit(n).as("n"), col("g"), col(cnt))
     }.reduce(_ unionByName _)
-    val fusedCg = {
-      val all = array((1 to 4).map(n =>
-        TextFns.wordShingles(col("__t"), n)): _*)
-      Tables.spread(cands)
-        .select(col("doc_id").as("id"), trim(col("text")).as("__t"))
-        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
-        .select(col("id"), (col("__n0") + lit(1)).as("n"),
-          explode(col("__gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cc"))
-    }
+    // the SHIPPED fused build (r15 ADVICE: no hand copy — bleuPairs,
+    // rougeN, chrfPairs and the plan dumps all route through this helper)
+    val fusedCg = Evaluation.fusedGramCounts(cands, "doc_id",
+      trim(col("text")), 1 to 4, TextFns.wordShingles, "cc")
     assert(sortedRows(fusedCg) == sortedRows(gramsRef(cands, "cc")))
     // and the end-to-end metric row set is non-empty and deterministic
     assert(fused.count() > 0)
@@ -77,18 +70,19 @@ class OptimizationEquivalenceSpec extends SparkSpec {
         .agg(count(lit(1)).as("cc"))
         .select(col("id"), lit(n).as("n"), col("g"), col("cc"))
     }.reduce(_ unionByName _)
-    val fused = {
-      val all = array((1 to 6).map(n =>
-        TextFns.charNgrams(col("__t"), n)): _*)
-      Tables.spread(cands)
-        .select(col("doc_id").as("id"), stripped(col("text")).as("__t"))
-        .select(col("id"), posexplode(all).as(Seq("__n0", "__gs")))
-        .select(col("id"), (col("__n0") + lit(1)).as("n"),
-          explode(col("__gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("cc"))
-    }
+    val fused = Evaluation.fusedGramCounts(cands, "doc_id",
+      stripped(col("text")), 1 to 6, TextFns.charNgrams, "cc")
     assert(sortedRows(fused) == sortedRows(gramsRef))
+  }
+
+  test("fusedGramCounts rejects duplicate orders (union-vs-agg semantics)") {
+    // a duplicated n would make the fused (id,n,g) aggregate double-count
+    // where the old per-n union emitted two identical row groups
+    val cands = docs.select(col("doc_id"), col("text"))
+    assertThrows[IllegalArgumentException] {
+      Evaluation.fusedGramCounts(cands, "doc_id", trim(col("text")),
+        Seq(1, 2, 1), TextFns.wordShingles, "cc")
+    }
   }
 
   test("crossEntropySelectSelf == generic two-model composition") {
@@ -103,6 +97,39 @@ class OptimizationEquivalenceSpec extends SparkSpec {
     val fused = Corpus.crossEntropySelectSelf(docs, "doc_id", "text",
       col("lang") === "en")
     assert(sortedRows(fused) == sortedRows(generic))
+  }
+
+  test("tokenizer_ab shared-vocab fertility == per-trainer corpus-pass composition") {
+    // r16: one word-frequency fit + vocab-side constant-group fertility vs
+    // the pre-r16 composition (per-trainer vocab pass; corpus explode +
+    // segLen join; WordPiece fertility via an 8-round merge REPLAY)
+    val words = Corpus.vocab(docs, "text").localCheckpoint(true)
+    // BPE
+    val (_, bpeV) = Corpus.bpeTrainStateFromWords(words, nMerges = 8)
+    val bpeNew = Corpus.fertilityFromTrainedState(bpeV, "bpe", "__fam")
+    val bpeOld = Corpus.fertilityReport(
+      docs.withColumn("__fam", lit("bpe")), "text", "__fam", nMerges = 8)
+    assert(sortedRows(bpeNew) == sortedRows(bpeOld))
+    // WordPiece: final trainer state ≡ replaying the merge list
+    val (wpMergesDf, wpV) = Corpus.wordPieceTrainStateFromWords(words, nMerges = 8)
+    val wpMerges = wpMergesDf.orderBy(col("step")).select(col("pair"))
+      .collect().map(_.getString(0)).toSeq
+    val wpNew = Corpus.fertilityFromTrainedState(wpV, "wordpiece", "__fam")
+    val wpOld = Corpus.fertilityFromMerges(
+      docs.withColumn("__fam", lit("wordpiece")), "text", "__fam", wpMerges)
+    assert(sortedRows(wpNew) == sortedRows(wpOld))
+    // SP-unigram: vocab-side fertility vs the corpus-pass report (same
+    // scores map on both sides — equivalence is the fit, not the model)
+    val scores = Map("t" -> -1000000L, "h" -> -1200000L, "e" -> -900000L,
+      "th" -> -1500000L, "he" -> -1600000L, "qu" -> -1800000L,
+      "a" -> -1100000L, "b" -> -1300000L)
+    val spNew = graft.ops.SpUnigram.fertilityFromWords(words, "sp_unigram",
+      "__fam", scores, pieceMaxLen = 2, maxTokenLen = 16)
+    val spOld = graft.ops.SpUnigram.fertilityReport(
+      docs.withColumn("__fam", lit("sp_unigram")), "text", "__fam",
+      scores, pieceMaxLen = 2, maxTokenLen = 16)
+    assert(sortedRows(spNew) == sortedRows(spOld))
+    graft.ops.ApproxDedup.freeCheckpoint(words)
   }
 
   test("Tables.spread is identity on frames already at session parallelism") {
