@@ -434,6 +434,45 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Overlap INDEPENDENT Spark actions from a small thread pool
+    * (optimization guide §2.6 "overlap independent jobs"): concurrent
+    * driver threads submit jobs that back-fill each other's scheduling/
+    * planning/commit gaps. Used where a build writes several DISJOINT
+    * pipes from already-checkpointed inputs — the fixed per-write envelope
+    * (plan + write job + footer bookkeeping + lease fsyncs) dominates at
+    * any scale and the writes share no state. Actions that read a pipe
+    * another action writes must stay sequential. First failure rethrows
+    * after all complete (a failed build surfaces, never half-silently). */
+  private def inParallel(fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try {
+      val futs = fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = f()
+      }))
+      val errs = futs.flatMap(f =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) })
+      errs.headOption.foreach(throw _)
+    } finally pool.shutdown()
+  }
+
+  /** Stage an "arriving" frame into `$root/source` as `n` byte-identical
+    * single-file deliveries (the redelivery protocol every streaming
+    * probe/maintain entry uses): ONE coalesce(1) write + n file copies.
+    * Returns the source dir. Factored so entries can overlap the staging
+    * write with their independent stored-model/index build (guide §2.6). */
+  private def stageArrivals(df: DataFrame, root: String, n: Int = 2): String = {
+    val srcDir = s"$root/source"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val tmpW = s"$root/arriving"
+    df.coalesce(1).write.parquet(tmpW)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    (1 to n).foreach(i => java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet")))
+    srcDir
+  }
+
   /** Stage the events table plus two far-future sentinel rows (user_id −1,
     * 2030/2031) as separate stream files. With `maxFilesPerTrigger = 1`
     * each sentinel forms its own micro-batch, driving the watermark past
@@ -448,7 +487,12 @@ object SparkEntry {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(Tables.path(d, "events")),
       java.nio.file.Paths.get(s"$srcDir/a_events.parquet"))
-    for ((year, idx) <- Seq((2030, 1), (2031, 2))) {
+    // NOTE (r16): overlapping the two sentinel writes was tried and
+    // REVERTED as unmeasurable — the consuming entries are io-canary-bound
+    // (every A/B window tracked io_calibration_sec 1.0→2.6 swings, not the
+    // change) and the writes are ~0.1 s limit(1) jobs with nothing to
+    // amortize; sequential keeps the mtime protocol trivially ordered.
+    Seq((2030, 1), (2031, 2)).foreach { case (year, idx) => locally {
       val ns = java.time.LocalDateTime.of(year, 1, 1, 0, 0)
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
       val tmp = s"$root/sent_$idx"
@@ -472,7 +516,8 @@ object SparkEntry {
       java.nio.file.Files.setLastModifiedTime(dest,
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() + idx * 10000L))
-    }
+      ()
+    } }
     srcDir
   }
 
@@ -664,10 +709,13 @@ object SparkEntry {
         // create (the entry-pipe move): the ~1.3 s sync envelope buys
         // nothing for a driver-built 2k-row frame, and the corpus halves
         // below still exercise the real sync surface
-        eng.storage(mspec).create(modelDf)
-        eng.syncBlindAll(spec, Seq(
-          index(emb.where(col("vec_id") % 2 === 0)),
-          index(emb.where(col("vec_id") % 2 === 1))))
+        // model create and corpus sync write DISJOINT pipes — overlap
+        // their envelopes (guide §2.6)
+        inParallel(
+          () => { eng.storage(mspec).create(modelDf); () },
+          () => { eng.syncBlindAll(spec, Seq(
+            index(emb.where(col("vec_id") % 2 === 0)),
+            index(emb.where(col("vec_id") % 2 === 1)))); () })
         ()
        },
        () => {
@@ -735,16 +783,20 @@ object SparkEntry {
         // and would otherwise re-run the cohort join + top-m per action
         val cells1 = cellsOf(emb.where(col("vec_id") % 2 === 0))
           .localCheckpoint(true)
-        eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
-          cells1, None, HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true),
-          checkExisting = false)
-        // entry/node batches are small per-cell artifacts — write through
-        // the store (create/append) instead of paying the ~1.3 s sync
-        // envelope extra times per build
-        eng.storage(entSpec).create(
-          graft.ops.GraphAnn.entryBatch(cells1, cents))
-        eng.storage(nodeSpec).create(
-          graft.ops.GraphAnn.nodeBatch(cells1))
+        // the edge sync, entry create and node create write DISJOINT
+        // pipes off the one checkpointed cohort frame — overlap their
+        // fixed write envelopes (guide §2.6); entry/node batches are
+        // small per-cell artifacts written through the store
+        // (create/append) instead of paying the ~1.3 s sync envelope
+        // extra times per build
+        inParallel(
+          () => { eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
+            cells1, None, HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true),
+            checkExisting = false); () },
+          () => { eng.storage(entSpec).create(
+            graft.ops.GraphAnn.entryBatch(cells1, cents)); () },
+          () => { eng.storage(nodeSpec).create(
+            graft.ops.GraphAnn.nodeBatch(cells1)); () })
         // batch 2's old side comes from the NODE PIPE, pruned to the
         // increment's touched cells (a bounded ≤ nCentroids driver list) —
         // sequential by design: the increment reads batch 1's stored state
@@ -754,13 +806,19 @@ object SparkEntry {
           .collect().map(_.getLong(0)).toSeq
         val oldCells = graft.ops.GraphAnn.nodeCells(
           eng.storage(nodeSpec).readIn(touched))
-        eng.sync(spec, graft.ops.GraphAnn.edgeBatch(
-          cells2, Some(oldCells), HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true),
-          checkExisting = false)
-        eng.storage(entSpec).append(
-          graft.ops.GraphAnn.entryBatch(cells2, cents))
-        eng.storage(nodeSpec).append(
-          graft.ops.GraphAnn.nodeBatch(cells2))
+        // readIn snapshot taken above; the increment's three writes are
+        // again disjoint-pipe and overlap. The edge batch materializes
+        // FIRST (it reads the node pipe lazily via oldCells — it must not
+        // race the node append in this group).
+        val edges2 = graft.ops.GraphAnn.edgeBatch(
+          cells2, Some(oldCells), HnswM, HnswBuckets, HnswCellCap)
+          .localCheckpoint(true)
+        inParallel(
+          () => { eng.sync(spec, edges2, checkExisting = false); () },
+          () => { eng.storage(entSpec).append(
+            graft.ops.GraphAnn.entryBatch(cells2, cents)); () },
+          () => { eng.storage(nodeSpec).append(
+            graft.ops.GraphAnn.nodeBatch(cells2)); () })
         ()
        },
        () => {
@@ -816,26 +874,33 @@ object SparkEntry {
         // batch, not one per sync-envelope action
         val cells1 = cellsOf(emb.where(col("vec_id") % 2 === 0))
           .localCheckpoint(true)
-        eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
-          cells1, None, HnswM, HnswBuckets, HnswCellCap, cbs).localCheckpoint(true),
-          checkExisting = false)
-        eng.storage(entSpec).create(
-          graft.ops.GraphAnn.entryBatch(cells1, cents))
-        eng.storage(nodeSpec).create(
-          graft.ops.GraphAnn.nodeBatch(cells1))
+        // disjoint-pipe writes overlapped (guide §2.6) — see
+        // q_hnsw_index_sync for the dependence argument
+        inParallel(
+          () => { eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
+            cells1, None, HnswM, HnswBuckets, HnswCellCap, cbs).localCheckpoint(true),
+            checkExisting = false); () },
+          () => { eng.storage(entSpec).create(
+            graft.ops.GraphAnn.entryBatch(cells1, cents)); () },
+          () => { eng.storage(nodeSpec).create(
+            graft.ops.GraphAnn.nodeBatch(cells1)); () })
         val cells2 = cellsOf(emb.where(col("vec_id") % 2 === 1))
           .localCheckpoint(true)
         val touched = cells2.select(col("cell")).distinct()
           .collect().map(_.getLong(0)).toSeq
         val oldCells = graft.ops.GraphAnn.nodeCells(
           eng.storage(nodeSpec).readIn(touched))
-        eng.sync(spec, graft.ops.GraphAnn.pqEdgeBatch(
-          cells2, Some(oldCells), HnswM, HnswBuckets, HnswCellCap, cbs).localCheckpoint(true),
-          checkExisting = false)
-        eng.storage(entSpec).append(
-          graft.ops.GraphAnn.entryBatch(cells2, cents))
-        eng.storage(nodeSpec).append(
-          graft.ops.GraphAnn.nodeBatch(cells2))
+        // edge batch materializes BEFORE the group (it reads the node
+        // pipe via oldCells — must not race this batch's node append)
+        val edges2 = graft.ops.GraphAnn.pqEdgeBatch(
+          cells2, Some(oldCells), HnswM, HnswBuckets, HnswCellCap, cbs)
+          .localCheckpoint(true)
+        inParallel(
+          () => { eng.sync(spec, edges2, checkExisting = false); () },
+          () => { eng.storage(entSpec).append(
+            graft.ops.GraphAnn.entryBatch(cells2, cents)); () },
+          () => { eng.storage(nodeSpec).append(
+            graft.ops.GraphAnn.nodeBatch(cells2)); () })
         ()
        },
        () => {
@@ -896,14 +961,20 @@ object SparkEntry {
             .localCheckpoint(true)
           val (u, b, t) =
             graft.ops.Corpus.trigramModelCountsFromToks(toks, buckets)
-          val out = (u.localCheckpoint(true), b.localCheckpoint(true),
-            t.localCheckpoint(true))
+          // independent count materializations overlapped (guide §2.6)
+          var uc: DataFrame = null; var bc: DataFrame = null; var tc: DataFrame = null
+          inParallel(
+            () => uc = u.localCheckpoint(true),
+            () => bc = b.localCheckpoint(true),
+            () => tc = t.localCheckpoint(true))
           ApproxDedup.freeCheckpoint(toks)
-          out
+          (uc, bc, tc)
         }
-        eng.syncBlindAll(sU, halves.map(_._1))
-        eng.syncBlindAll(sB, halves.map(_._2))
-        eng.syncBlindAll(sT, halves.map(_._3))
+        // three disjoint-pipe sync envelopes overlapped (guide §2.6)
+        inParallel(
+          () => { eng.syncBlindAll(sU, halves.map(_._1)); () },
+          () => { eng.syncBlindAll(sB, halves.map(_._2)); () },
+          () => { eng.syncBlindAll(sT, halves.map(_._3)); () })
         ()
        },
        () => graft.ops.Corpus.trigramScoreWithModel(docs, "doc_id", "text",
@@ -951,12 +1022,14 @@ object SparkEntry {
       val half0 = pages.where(col("doc_id") % 2 === 0)
       val half1 = pages.where(col("doc_id") % 2 === 1)
       (() => {
-        eng.syncBlindAll(cSpec, Seq(
-          graft.ops.Cleaning.boilerplateCounts(half0, "doc_id", "text", "source"),
-          graft.ops.Cleaning.boilerplateCounts(half1, "doc_id", "text", "source")))
-        eng.syncBlindAll(nSpec, Seq(
-          graft.ops.Cleaning.sourceDocCounts(half0, "source", 0L),
-          graft.ops.Cleaning.sourceDocCounts(half1, "source", 1L)))
+        // two disjoint-pipe envelopes overlapped (guide §2.6)
+        inParallel(
+          () => { eng.syncBlindAll(cSpec, Seq(
+            graft.ops.Cleaning.boilerplateCounts(half0, "doc_id", "text", "source"),
+            graft.ops.Cleaning.boilerplateCounts(half1, "doc_id", "text", "source"))); () },
+          () => { eng.syncBlindAll(nSpec, Seq(
+            graft.ops.Cleaning.sourceDocCounts(half0, "source", 0L),
+            graft.ops.Cleaning.sourceDocCounts(half1, "source", 1L))); () })
         ()
        },
        () => graft.ops.Cleaning.boilerplateFold(
@@ -1128,8 +1201,10 @@ object SparkEntry {
             docs.where(col("doc_id") % 2 === h), "source", "text", 16)
           (cls.withColumn("batch", lit(h.toLong)), toks)
         }
-        eng.syncBlindAll(cSpec, halves.map(_._1))
-        eng.syncBlindAll(tSpec, halves.map(_._2))
+        // two disjoint-pipe envelopes overlapped (guide §2.6)
+        inParallel(
+          () => { eng.syncBlindAll(cSpec, halves.map(_._1)); () },
+          () => { eng.syncBlindAll(tSpec, halves.map(_._2)); () })
         ()
        },
        () => {
@@ -1198,8 +1273,11 @@ object SparkEntry {
       def appendRows(rows: DataFrame, create: Boolean): Unit = {
         val l = rows.select(col("node_bucket").as("bucket"), col("node"), col("root"))
         val m = rows.select(col("root_bucket").as("bucket"), col("root"), col("node"))
-        if (create) { lStore.create(l); mStore.create(m) }
-        else { lStore.append(l); mStore.append(m) }
+        // rows is checkpointed by ccIncrementRows; the two projections
+        // write DISJOINT pipes — overlap the write envelopes (guide §2.6)
+        inParallel(
+          () => { if (create) lStore.create(l) else lStore.append(l); () },
+          () => { if (create) mStore.create(m) else mStore.append(m); () })
       }
       (() => {
         val pairs = ApproxDedup.minhashNearDupsFast(docs,
@@ -1242,13 +1320,17 @@ object SparkEntry {
         val bothEven = col("id1") % 2 === 0 && col("id2") % 2 === 0
         val r1 = ApproxDedup.ccIncrementRows(pairs.where(bothEven),
           "id1", "id2", buckets, history = None)
-        lStore.create(r1.select(col("node_bucket").as("bucket"), col("node"), col("root")))
-        mStore.create(r1.select(col("root_bucket").as("bucket"), col("root"), col("node")))
+        // r1/r2 are checkpointed; label and member pipes are disjoint —
+        // overlap the two write envelopes per step (guide §2.6)
+        inParallel(
+          () => { lStore.create(r1.select(col("node_bucket").as("bucket"), col("node"), col("root"))); () },
+          () => { mStore.create(r1.select(col("root_bucket").as("bucket"), col("root"), col("node"))); () })
         val r2 = ApproxDedup.ccIncrementRows(pairs.where(!bothEven),
           "id1", "id2", buckets,
           history = Some((bs => lStore.readIn(bs), bs => mStore.readIn(bs))))
-        lStore.append(r2.select(col("node_bucket").as("bucket"), col("node"), col("root")))
-        mStore.append(r2.select(col("root_bucket").as("bucket"), col("root"), col("node")))
+        inParallel(
+          () => { lStore.append(r2.select(col("node_bucket").as("bucket"), col("node"), col("root"))); () },
+          () => { mStore.append(r2.select(col("root_bucket").as("bucket"), col("root"), col("node"))); () })
         ApproxDedup.freeCheckpoint(pairs)
         ()
        },
@@ -1276,12 +1358,14 @@ object SparkEntry {
       val half0 = docs.where(col("doc_id") % 2 === 0)
       val half1 = docs.where(col("doc_id") % 2 === 1)
       (() => {
-        eng.syncBlindAll(cSpec, Seq(
-          graft.ops.Corpus.dataCardBatch(half0, "source", "lang", "text", 0L),
-          graft.ops.Corpus.dataCardBatch(half1, "source", "lang", "text", 1L)))
-        eng.syncBlindAll(fSpec, Seq(
-          graft.ops.Corpus.dataCardFps(half0, "source", "text"),
-          graft.ops.Corpus.dataCardFps(half1, "source", "text")))
+        // two disjoint-pipe envelopes overlapped (guide §2.6)
+        inParallel(
+          () => { eng.syncBlindAll(cSpec, Seq(
+            graft.ops.Corpus.dataCardBatch(half0, "source", "lang", "text", 0L),
+            graft.ops.Corpus.dataCardBatch(half1, "source", "lang", "text", 1L))); () },
+          () => { eng.syncBlindAll(fSpec, Seq(
+            graft.ops.Corpus.dataCardFps(half0, "source", "text"),
+            graft.ops.Corpus.dataCardFps(half1, "source", "text"))); () })
         ()
        },
        () => graft.ops.Corpus.dataCardFold(
@@ -1306,10 +1390,12 @@ object SparkEntry {
       val half0 = docs.where(col("doc_id") % 2 === 0)
       val half1 = docs.where(col("doc_id") % 2 === 1)
       (() => {
-        eng.syncBlindAll(pSpec, Seq(postings(half0), postings(half1)))
-        eng.syncBlindAll(sSpec, Seq(
-          graft.ops.Corpus.bm25BatchStats(half0, "text", 0L),
-          graft.ops.Corpus.bm25BatchStats(half1, "text", 1L)))
+        // two disjoint-pipe envelopes overlapped (guide §2.6)
+        inParallel(
+          () => { eng.syncBlindAll(pSpec, Seq(postings(half0), postings(half1))); () },
+          () => { eng.syncBlindAll(sSpec, Seq(
+            graft.ops.Corpus.bm25BatchStats(half0, "text", 0L),
+            graft.ops.Corpus.bm25BatchStats(half1, "text", 1L))); () })
         ()
        },
        () => {
@@ -1554,8 +1640,10 @@ object SparkEntry {
             battles.where(col("bid") % 2 === half), "w", "l", buckets = 8)
           (pc.localCheckpoint(true), w.localCheckpoint(true))
         }
-        eng.syncBlindAll(pSpec, halves.map(_._1))
-        eng.syncBlindAll(wSpec, halves.map(_._2))
+        // two disjoint-pipe envelopes overlapped (guide §2.6)
+        inParallel(
+          () => { eng.syncBlindAll(pSpec, halves.map(_._1)); () },
+          () => { eng.syncBlindAll(wSpec, halves.map(_._2)); () })
         ()
        },
        () => graft.ops.Rlhf.bradleyTerryFromCounts(
@@ -2333,16 +2421,28 @@ object SparkEntry {
       val srcDir = s"$root/source"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
       val ev = Tables.events(s, d) // ts already normalized to NTZ
-      def stageQuarter(i: Int, name: String): Unit = {
-        val tmp = s"$root/stage$i"
-        ev.where(pmod(col("event_id"), lit(4)) === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val f = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.copy(f.toPath,
-          java.nio.file.Paths.get(s"$srcDir/$name"))
+      // Stage several quarter files in ONE partitionBy write (guide §6 /
+      // r15 verdict item 1: batch the staging writes): each quarter's
+      // rows hash to one shuffle partition, so every __q directory holds
+      // exactly one parquet file carrying ev's schema (partitionBy drops
+      // the synthetic column from the file). Two write jobs for four
+      // staged files instead of four coalesce(1) jobs. The quarters'
+      // ARRIVAL protocol is unchanged — q2/q3 still land only after the
+      // phase-1 kill.
+      def stageQuarters(qs: Seq[Int], names: Map[Int, String]): Unit = {
+        val tmp = s"$root/stage_${qs.mkString("_")}"
+        ev.where(pmod(col("event_id"), lit(4)).isin(qs.map(_.toLong): _*))
+          .withColumn("__q", pmod(col("event_id"), lit(4)))
+          .repartition(col("__q"))
+          .write.partitionBy("__q").mode("overwrite").parquet(tmp)
+        qs.foreach { i =>
+          val f = new java.io.File(s"$tmp/__q=$i").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(s"$srcDir/${names(i)}"))
+        }
       }
-      stageQuarter(0, "q0.parquet"); stageQuarter(1, "q1.parquet")
+      stageQuarters(Seq(0, 1), Map(0 -> "q0.parquet", 1 -> "q1.parquet"))
       val schema = s.read.parquet(srcDir).schema
       val ckpt = s"$root/ckpt"
       def mkStream = graft.streaming.StreamingSync.parquetStream(
@@ -2371,7 +2471,7 @@ object SparkEntry {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$srcDir/q1.parquet"),
         java.nio.file.Paths.get(s"$srcDir/q1_redelivered.parquet"))
-      stageQuarter(2, "q2.parquet"); stageQuarter(3, "q3.parquet")
+      stageQuarters(Seq(2, 3), Map(2 -> "q2.parquet", 3 -> "q3.parquet"))
       val q2 = graft.streaming.StreamingSync.run(eng, spec, mkStream, ckpt)
       q2.awaitTermination()
       eng.getData(spec)
@@ -2474,25 +2574,25 @@ object SparkEntry {
       val toks = graft.ops.Corpus.lmTokens(docs, "doc_id", "text")
         .localCheckpoint(true)
       val (u, b, t) = graft.ops.Corpus.trigramModelCountsFromToks(toks, buckets)
-      eng.storage(sU).create(u)
-      eng.storage(sB).create(b)
-      eng.storage(sT).create(t)
+      // the three creates write DISJOINT pipes off the one checkpointed
+      // token table — overlap their fixed write envelopes (guide §2.6)
+      inParallel(
+        () => { eng.storage(sU).create(u); () },
+        () => { eng.storage(sB).create(b); () },
+        () => { eng.storage(sT).create(t); () })
       ApproxDedup.freeCheckpoint(toks)
-      val cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true)
-      val cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true)
-      val cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true)
-      // arriving docs: every 5th doc re-enters under a new id, delivered twice
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      // the three independent fold materializations AND the arriving-file
+      // staging write (independent of the folds) overlap in one group
+      var cf: DataFrame = null; var cvw: DataFrame = null; var cuvw: DataFrame = null
+      var srcDir: String = null
+      inParallel(
+        () => cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true),
+        () => cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true),
+        () => cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true),
+        // arriving docs: every 5th doc re-enters under a new id, ×2
+        () => srcDir = stageArrivals(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "lm_scores"),
@@ -2528,26 +2628,24 @@ object SparkEntry {
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
       val (cls0, toks0) = graft.ops.Classify.nbCounts(docs, "source", "text", 16)
-      eng.storage(cSpec).create(cls0.withColumn("batch", lit(0L)))
-      eng.storage(tSpec).create(toks0)
-      val cls = graft.ops.Classify.nbFoldClasses(
-        eng.getData(cSpec).select(col("label"), col("n_docs")))
-        .localCheckpoint(true)
-      val toks = graft.ops.Classify.nbFoldTokens(eng.getData(tSpec))
-        .localCheckpoint(true)
+      // disjoint-pipe creates + folds overlapped (guide §2.6)
+      inParallel(
+        () => { eng.storage(cSpec).create(cls0.withColumn("batch", lit(0L))); () },
+        () => { eng.storage(tSpec).create(toks0); () })
+      var cls: DataFrame = null; var toks: DataFrame = null
+      var srcDir: String = null
+      inParallel(
+        () => cls = graft.ops.Classify.nbFoldClasses(
+          eng.getData(cSpec).select(col("label"), col("n_docs")))
+          .localCheckpoint(true),
+        () => toks = graft.ops.Classify.nbFoldTokens(eng.getData(tSpec))
+          .localCheckpoint(true),
+        // arriving docs: every 5th doc under a new id, delivered twice
+        () => srcDir = stageArrivals(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("source"),
+              col("text")), root))
       val v = toks.select(col("token")).distinct().count()
-      // arriving docs: every 5th doc re-enters under a new id, delivered twice
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"), col("source"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "nb_preds"),
@@ -2578,22 +2676,18 @@ object SparkEntry {
       val gSpec = PipeSpec(PipeKeys("stream", "ref_grams"),
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(gSpec).create(graft.ops.TextStats.gramIndexBatch(
-        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3, buckets = 8))
+      // index create and staging write are independent — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(gSpec).create(graft.ops.TextStats.gramIndexBatch(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text", n = 3,
+          buckets = 8)); () },
+        // arrivals: every 5th doc re-enters under a new id, delivered twice
+        () => srcDir = stageArrivals(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")), root))
       val grams = eng.getData(gSpec).select(col("h")).distinct()
         .localCheckpoint(true)
-      // arrivals: every 5th doc re-enters under a new id, delivered twice
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "novelty_scores"),
@@ -2619,17 +2713,9 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_sac").toString
       val eng  = new SyncEngine(s, root)
       val docs = Tables.documents(s, d)
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      val srcDir = stageArrivals(
       docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+        .select((col("doc_id") + 20000L).as("doc_id"), col("text")), root)
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "ac_gate"),
@@ -2662,19 +2748,14 @@ object SparkEntry {
       val statsSpec = PipeSpec(PipeKeys("stream", "cell_stats"),
         columns = ColumnRoles(Map("datetime" -> "epoch")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(statsSpec).create(SimilaritySearch.cellStatsBatch(
-        emb.where(col("vec_id") % 2 === 0), "embedding", cents, 0L))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      emb.where(col("vec_id") % 2 === 1)
-        .select((col("vec_id") + 20000L).as("vec_id"), col("embedding"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      // stats create and staging write are independent — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(statsSpec).create(SimilaritySearch.cellStatsBatch(
+          emb.where(col("vec_id") % 2 === 0), "embedding", cents, 0L)); () },
+        () => srcDir = stageArrivals(
+          emb.where(col("vec_id") % 2 === 1)
+            .select((col("vec_id") + 20000L).as("vec_id"), col("embedding")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "cell_assigns"),
@@ -2708,20 +2789,15 @@ object SparkEntry {
       val baseSpec = PipeSpec(PipeKeys("stream", "dd_base"),
         columns = ColumnRoles(Map("datetime" -> "octave")),
         epochUnit = Some("minute"), chunkMinutes = 16)
-      eng.storage(baseSpec).create(graft.ops.Sketches.ddSketchHistogram(
-        docs.where(col("doc_id") % 2 === 0).select(col("n_chars").as("v")), "v")
-        .localCheckpoint(true))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      docs.where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("n_chars"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      // base-histogram create and staging write are independent (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(baseSpec).create(graft.ops.Sketches.ddSketchHistogram(
+          docs.where(col("doc_id") % 2 === 0).select(col("n_chars").as("v")), "v")
+          .localCheckpoint(true)); () },
+        () => srcDir = stageArrivals(
+          docs.where(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("n_chars")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "dd_batches"),
@@ -2760,24 +2836,22 @@ object SparkEntry {
       val toks = graft.ops.Corpus.lmTokens(docs, "doc_id", "text")
         .localCheckpoint(true)
       val (u, b, t) = graft.ops.Corpus.trigramModelCountsFromToks(toks, buckets)
-      eng.storage(sU).create(u)
-      eng.storage(sB).create(b)
-      eng.storage(sT).create(t)
+      // disjoint-pipe writes + folds overlapped (guide §2.6) — see
+      // q_streaming_lm_probe
+      inParallel(
+        () => { eng.storage(sU).create(u); () },
+        () => { eng.storage(sB).create(b); () },
+        () => { eng.storage(sT).create(t); () })
       ApproxDedup.freeCheckpoint(toks)
-      val cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true)
-      val cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true)
-      val cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true)
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      docs.where(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      var cf: DataFrame = null; var cvw: DataFrame = null; var cuvw: DataFrame = null
+      var srcDir: String = null
+      inParallel(
+        () => cf   = graft.ops.Corpus.lmFoldUni(eng.getData(sU)).localCheckpoint(true),
+        () => cvw  = graft.ops.Corpus.lmFoldBi(eng.getData(sB)).localCheckpoint(true),
+        () => cuvw = graft.ops.Corpus.lmFoldTri(eng.getData(sT)).localCheckpoint(true),
+        () => srcDir = stageArrivals(
+          docs.where(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 20000L).as("doc_id"), col("text")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "kn_scores"),
@@ -2816,27 +2890,23 @@ object SparkEntry {
         epochUnit = Some("minute"), chunkMinutes = 1)
       val buildCells = graft.ops.GraphAnn.withBuildCells(emb, "vec_id",
         "embedding", cents, HnswNpBuild).localCheckpoint(true)
-      eng.storage(idxSpec).create(graft.ops.GraphAnn.edgeBatch(
-        buildCells, None, HnswM, HnswBuckets, HnswCellCap))
-      eng.storage(entSpec).create(
-        graft.ops.GraphAnn.entryBatch(buildCells, cents))
+      // edge create, entry create, and staging write touch disjoint
+      // targets off the one checkpointed cohort frame — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(idxSpec).create(graft.ops.GraphAnn.edgeBatch(
+          buildCells, None, HnswM, HnswBuckets, HnswCellCap)); () },
+        () => { eng.storage(entSpec).create(
+          graft.ops.GraphAnn.entryBatch(buildCells, cents)); () },
+        () => srcDir = stageArrivals(
+          emb.where(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")), root))
       val adj = graft.ops.GraphAnn.foldAdjacency(
         eng.storage(idxSpec).read, HnswM, HnswCellCap).localCheckpoint(true)
       // entry seeds read ONCE from the stored entry pipe at stream setup —
       // ≤ |cells| ids, the bounded-collect discipline of every stored probe
       val entries = graft.ops.GraphAnn.entryIds(
         graft.ops.GraphAnn.foldEntries(eng.storage(entSpec).read))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      emb.where(col("vec_id") % 100 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sinkSpec = PipeSpec(PipeKeys("stream", "hnsw_hits"),
@@ -2871,18 +2941,14 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("stream", "mh_maint"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(spec).create(index(docs.where(col("doc_id") % 2 === 0)))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      // the stored-index create and the arriving-file staging write are
+      // independent — overlap their envelopes (guide §2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(spec).create(index(docs.where(col("doc_id") % 2 === 0))); () },
+        () => srcDir = stageArrivals(
       docs.where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+        .select(col("doc_id"), col("text")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sq = graft.streaming.StreamingSync.run(eng, spec, stream,
@@ -2911,18 +2977,14 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("stream", "vh_maint"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(spec).create(index(docs.where(col("doc_id") % 2 === 0)))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      // the stored-index create and the arriving-file staging write are
+      // independent — overlap their envelopes (guide §2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(spec).create(index(docs.where(col("doc_id") % 2 === 0))); () },
+        () => srcDir = stageArrivals(
       docs.where(col("doc_id") % 2 === 1)
-        .select(col("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+        .select(col("doc_id"), col("text")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sq = graft.streaming.StreamingSync.run(eng, spec, stream,
@@ -2958,18 +3020,14 @@ object SparkEntry {
       val spec = PipeSpec(PipeKeys("stream", "ivfpq_maint"),
         columns = ColumnRoles(Map("datetime" -> "cell", "id" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(spec).create(index(emb.where(col("vec_id") % 2 === 0)))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      // the stored-index create and the arriving-file staging write are
+      // independent — overlap their envelopes (guide §2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(spec).create(index(emb.where(col("vec_id") % 2 === 0))); () },
+        () => srcDir = stageArrivals(
       emb.where(col("vec_id") % 2 === 1)
-        .select(col("vec_id"), col("embedding"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+        .select(col("vec_id"), col("embedding")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sq = graft.streaming.StreamingSync.run(eng, spec, stream,
@@ -3018,24 +3076,21 @@ object SparkEntry {
       // history half builds the initial graph + entries + node rows
       val histCells = cellsOf(emb.where(col("vec_id") % 2 === 0))
         .localCheckpoint(true)
-      eng.storage(edgeSpec).create(graft.ops.GraphAnn.edgeBatch(
-        histCells, None, HnswM, HnswBuckets, HnswCellCap))
-      eng.storage(entSpec).create(
-        graft.ops.GraphAnn.entryBatch(histCells, cents))
-      eng.storage(nodeSpec).create(
-        graft.ops.GraphAnn.nodeBatch(histCells))
-      // arriving half, delivered twice (redelivery)
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      emb.where(col("vec_id") % 2 === 1)
-        .select(col("vec_id"), col("embedding"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+      // three disjoint-pipe creates off the one checkpointed cohort frame
+      // plus the independent staging write — overlap all four envelopes
+      // (guide §2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(edgeSpec).create(graft.ops.GraphAnn.edgeBatch(
+          histCells, None, HnswM, HnswBuckets, HnswCellCap)); () },
+        () => { eng.storage(entSpec).create(
+          graft.ops.GraphAnn.entryBatch(histCells, cents)); () },
+        () => { eng.storage(nodeSpec).create(
+          graft.ops.GraphAnn.nodeBatch(histCells)); () },
+        // arriving half, delivered twice (redelivery)
+        () => srcDir = stageArrivals(
+          emb.where(col("vec_id") % 2 === 1)
+            .select(col("vec_id"), col("embedding")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val q = graft.streaming.StreamingSync.run(eng, edgeSpec, stream,
@@ -3061,11 +3116,13 @@ object SparkEntry {
             HnswM, HnswBuckets, HnswCellCap).localCheckpoint(true)
           // entry + node increments ride the same micro-batch (argmax /
           // row-local mergeability collapses redelivered duplicates);
-          // direct store appends — tiny artifacts don't buy sync envelopes
-          eng.storage(entSpec).append(
-            graft.ops.GraphAnn.entryBatch(newCells, cents))
-          eng.storage(nodeSpec).append(
-            graft.ops.GraphAnn.nodeBatch(newCells))
+          // direct store appends — tiny artifacts don't buy sync
+          // envelopes; disjoint pipes, so the two appends overlap (§2.6)
+          inParallel(
+            () => { eng.storage(entSpec).append(
+              graft.ops.GraphAnn.entryBatch(newCells, cents)); () },
+            () => { eng.storage(nodeSpec).append(
+              graft.ops.GraphAnn.nodeBatch(newCells)); () })
           inc
         })
       q.awaitTermination()
@@ -3106,19 +3163,14 @@ object SparkEntry {
       val idxSpec = PipeSpec(PipeKeys("stream", "srp_bands"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "vec_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(idxSpec).create(
-        withBands(emb, "vec_id").drop("__v"))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      // index create and staging write are independent — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(idxSpec).create(
+        withBands(emb, "vec_id").drop("__v")); () },
+        () => srcDir = stageArrivals(
       emb.where(col("vec_id") % 5 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sbands = withBands(stream, "sid").drop("bucket", "sig")
@@ -3159,20 +3211,15 @@ object SparkEntry {
       val idxSpec = PipeSpec(PipeKeys("stream", "media_bands"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "media_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(idxSpec).create(
-        Media.perceptualBands(Media.fromDocuments(s, docs), buckets))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      // index create and staging write are independent — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(idxSpec).create(
+        Media.perceptualBands(Media.fromDocuments(s, docs), buckets)); () },
+        () => srcDir = stageArrivals(
       docs.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 20000L).as("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+          col("lang"), col("source"), col("n_chars")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val bands = Media.perceptualBands(Media.fromDocuments(s, stream), buckets)
@@ -3214,23 +3261,19 @@ object SparkEntry {
       val idxSpec = PipeSpec(PipeKeys("stream", "nd_bands"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(idxSpec).create(ApproxDedup.minhashBandIndex(
-        docs, "doc_id", "text", shingleSize = 3, k = 24, bands = 6, buckets = 4))
+      // index create and staging write are independent — overlap (§2.6);
+      // staged arrivals are exact twins of every 3rd doc, the file
+      // redelivered twice (at-least-once source semantics)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(idxSpec).create(ApproxDedup.minhashBandIndex(
+          docs, "doc_id", "text", shingleSize = 3, k = 24, bands = 6,
+          buckets = 4)); () },
+        () => srcDir = stageArrivals(
+          docs.where(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text")), root))
       val histSh = docs.select(col("doc_id").as("hist_id"),
         array_distinct(TextFns.wordShingles(col("text"), 3)).as("hist_sh"))
-      // stage the arriving docs: exact twins of every 3rd doc, the file
-      // redelivered twice (at-least-once source semantics)
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      docs.where(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val bands = ApproxDedup.minhashBandIndex(stream, "doc_id", "text",
@@ -3278,20 +3321,15 @@ object SparkEntry {
       val eSpec = PipeSpec(PipeKeys("stream", "tri_hist"),
         columns = ColumnRoles(Map("datetime" -> "bucket")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(eSpec).create(canon.where(col("par") === 0L)
+      // index create and staging write are independent — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(eSpec).create(canon.where(col("par") === 0L)
         .select(pmod(TextFns.md5Long60(
             concat_ws("#", col("a"), col("b"))), lit(8L)).as("bucket"),
-          col("a"), col("b")))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
-      canon.where(col("par") === 1L).select(col("a"), col("b"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+          col("a"), col("b"))); () },
+        () => srcDir = stageArrivals(
+      canon.where(col("par") === 1L).select(col("a"), col("b")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val hist = eng.storage(eSpec).read.select(col("a"), col("b"))
@@ -3330,20 +3368,15 @@ object SparkEntry {
       val idxSpec = PipeSpec(PipeKeys("stream", "sh_bands"),
         columns = ColumnRoles(Map("datetime" -> "bucket", "id" -> "doc_id")),
         epochUnit = Some("minute"), chunkMinutes = 1)
-      eng.storage(idxSpec).create(
-        ApproxDedup.simhashBands(docs, "doc_id", "text", buckets))
-      val srcDir = s"$root/source"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
-      val tmpW = s"$root/arriving"
+      // index create and staging write are independent — overlap (§2.6)
+      var srcDir: String = null
+      inParallel(
+        () => { eng.storage(idxSpec).create(
+        ApproxDedup.simhashBands(docs, "doc_id", "text", buckets)); () },
+        () => srcDir = stageArrivals(
       docs.where(col("doc_id") % 3 === 0)
         .select((col("doc_id") + lit(10000L)).as("doc_id"),
-          concat(col("text"), lit(" "), col("text")).as("text"))
-        .coalesce(1).write.parquet(tmpW)
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmpW))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      for (i <- 1 to 2)
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(s"$srcDir/arriving_$i.parquet"))
+          concat(col("text"), lit(" "), col("text")).as("text")), root))
       val schema = s.read.parquet(srcDir).schema
       val stream = graft.streaming.StreamingSync.parquetStream(s, srcDir, schema)
       val sigs = stream.select(col("doc_id").as("sid"),

@@ -1770,8 +1770,44 @@ object ApproxDedup {
     * near-cliques — the classic observation behind single-linkage LSH
     * dedup). Driver state is one convergence counter per pass, never data.
     */
+  /** In-memory union-find with min-id roots over collected 2-column
+    * integral edge rows — the bounded driver branch shared by
+    * [[nearDupClusters]] and [[nearDupClustersStar]]. Labels ≡ min
+    * reachable id: the smaller root absorbs on every union, so each
+    * tree's root stays its component's minimum; path compression in find
+    * keeps chains amortized-flat. Returns EVERY distinct endpoint with
+    * its component minimum (roots map to themselves). Callers gate the
+    * collect on a counted edge cardinality. */
+  private def driverComponentMins(rows: Array[org.apache.spark.sql.Row],
+                                  isLong: Boolean): Seq[(Long, Long)] = {
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (isLong) r.getLong(i) else r.getInt(i).toLong
+    val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = lv(row, 0); val b = lv(row, 1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.keySet().forEach { x => out += ((x, find(x))); () }
+    out.toSeq
+  }
+
+  /** `driverGateEdges` exists for the equivalence spec (force the
+    * distributed branch with 0); production callers use the default —
+    * see [[nearDupClustersStar]] for the gate's scale argument. */
   def nearDupClusters(pairs: DataFrame, id1: String = "id1",
-                      id2: String = "id2", maxIters: Int = 20): DataFrame = {
+                      id2: String = "id2", maxIters: Int = 20,
+                      driverGateEdges: Long = DriverUnionFindMaxEdges): DataFrame = {
     // Eager localCheckpoints truncate lineage each pass — without them every
     // iteration's plan embeds all previous iterations' plans and Catalyst
     // re-analysis grows quadratically (the classic iterative-DataFrame trap;
@@ -1780,6 +1816,40 @@ object ApproxDedup {
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .distinct().localCheckpoint(true)
+    // SIZE-GATED DRIVER UNION-FIND (r16; the nearDupClustersStar gate
+    // applied to the hash-min variant): the propagation loop costs
+    // 3-4 tiny jobs per round × diameter; a counted directed-edge set at
+    // or under the same absolute constant collapses it into one collect +
+    // union-find whose labels are provably min-reachable — exactly this
+    // loop's fixed point. The label table's node set is the edge
+    // endpoints, so the driver mapping IS the output (self-loop-only
+    // nodes appear as their own roots). Larger inputs and non-integral
+    // id types take the loop below untouched.
+    locally {
+      val integralIds = edges.schema.fields.forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+      val edgeCount = edges.count()
+      if (edgeCount > 0L && edgeCount <= driverGateEdges && integralIds &&
+          edges.schema.fields.map(_.dataType).distinct.length == 1) {
+        val rows = edges.collect()
+        freeCheckpoint(edges)
+        val isLong = rows.headOption.exists(_.get(0).isInstanceOf[Long])
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        var mapping = driverComponentMins(rows, isLong)
+          .toDF("doc_id", "cluster_id")
+        if (!isLong) mapping = mapping.select(
+          col("doc_id").cast("int").as("doc_id"),
+          col("cluster_id").cast("int").as("cluster_id"))
+        return mapping
+      }
+      if (edgeCount == 0L)
+        // empty graph: the loop below would converge to an empty label
+        // table on its first pass — return the same empty frame directly
+        // (the zero-row checkpoint stays readable for the projection)
+        return edges.select(col("a").as("doc_id"), col("a").as("cluster_id"))
+    }
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var converged = false
@@ -1878,33 +1948,11 @@ object ApproxDedup {
       val rows = edges.collect()
       freeCheckpoint(edges)
       val isLong = rows.headOption.exists(_.get(0).isInstanceOf[Long])
-      def lv(r: org.apache.spark.sql.Row, i: Int): Long =
-        if (isLong) r.getLong(i) else r.getInt(i).toLong
-      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x // path compression keeps chains amortized-flat
-        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
-        r
-      }
-      rows.foreach { row =>
-        val a = lv(row, 0); val b = lv(row, 1)
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val ra = find(a); val rb = find(b)
-        // the smaller root absorbs: every tree root stays the component's
-        // minimum id, so the final find(x) IS min-reachable(x)
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      val labels = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      parent.keySet().forEach { x =>
-        val r = find(x)
-        if (r != x) labels += ((x, r))
-      }
+      val labels = driverComponentMins(rows, isLong)
+        .filter { case (x, r) => r != x } // roots resolve via the left join
       val spark = pairs.sparkSession
       import spark.implicits._
-      var mapping = labels.toSeq.toDF("node", "root")
+      var mapping = labels.toDF("node", "root")
       if (!isLong) mapping = mapping.select(
         col("node").cast("int").as("node"), col("root").cast("int").as("root"))
       return nodes.join(mapping, Seq("node"), "left")

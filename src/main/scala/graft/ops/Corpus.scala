@@ -783,9 +783,32 @@ object Corpus {
     * that materialize all three count tables can tokenize ONCE (eagerly
     * checkpoint the returned frame, feed it to
     * [[trigramModelCountsFromToks]], release after the writes land)
-    * instead of paying one corpus tokenization per count table. */
+    * instead of paying one corpus tokenization per count table.
+    *
+    * SPREAD (r16, guide §2.5): every caller of THIS entry point eagerly
+    * checkpoints the result and feeds exactly three count aggregates — the
+    * few-consumer kernel shape where widening the map side pays. On the
+    * single-row-group testdata the un-spread checkpoint had 1 partition,
+    * which serialized the tokenize (profiled 1.5 s single-task) AND all
+    * three downstream explode+agg map sides behind one task (~3.5 s more);
+    * multi-split corpora pass through untouched. The LAZY [[lmToks]] paths
+    * (scorers, q_kn_stored's reuse-deduped folds) are deliberately not
+    * spread — they have more consumers or rely on exchange reuse. */
   def lmTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    lmToks(docs, idCol, textCol)
+    // Spread the INPUT and drop [[lmToks]]' empty-doc row filter: the
+    // filter is a semantic no-op for the count builders (an empty/null
+    // `toks` array explodes to ZERO unigram/pair/triple rows), but its
+    // predicate evaluates the tokenizer, so the optimizer's
+    // filter-through-exchange pushdown dragged the whole tokenization
+    // below the repartition onto the single scan task (profiled 1.6 s
+    // single-task either way until the filter went). With a pure
+    // projection above the exchange the tokenize runs at session
+    // parallelism. Row-equivalence of the count tables is pinned in
+    // OptimizationEquivalenceSpec.
+    graft.Tables.spread(docs)
+      .select(col(idCol),
+        filter(TextFns.tokens(lower(col(textCol))),
+          t => length(t) > 0).as("toks"))
 
   /** [[trigramModelCounts]] over a PRE-BUILT `toks` table (any frame with
     * a `toks` array column — typically a checkpointed [[lmTokens]]). */

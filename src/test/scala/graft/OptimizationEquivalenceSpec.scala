@@ -132,6 +132,27 @@ class OptimizationEquivalenceSpec extends SparkSpec {
     graft.ops.ApproxDedup.freeCheckpoint(words)
   }
 
+  test("lmTokens without the empty-doc filter yields identical count tables") {
+    // r16: lmTokens dropped lmToks' where(size(toks) > 0) so the tokenize
+    // projection stays above the spread exchange (the filter's predicate
+    // evaluates the tokenizer, and filter-through-exchange pushdown dragged
+    // the whole tokenization onto the single scan task). Empty/null arrays
+    // explode to ZERO unigram/pair/triple rows, so all three count tables
+    // are row-identical.
+    val withEmpty = docs.unionByName(
+      spark.createDataFrame(Seq((7L, "en", "   "), (8L, "en", "")))
+        .toDF("doc_id", "lang", "text"))
+    val (u1, b1, t1) = Corpus.trigramModelCountsFromToks(
+      Corpus.lmTokens(withEmpty, "doc_id", "text"), buckets = 4)
+    // the pre-r16 shape: filtered token rows
+    val filtered = Corpus.lmTokens(withEmpty, "doc_id", "text")
+      .where(size(col("toks")) > 0)
+    val (u2, b2, t2) = Corpus.trigramModelCountsFromToks(filtered, buckets = 4)
+    assert(sortedRows(u1) == sortedRows(u2))
+    assert(sortedRows(b1) == sortedRows(b2))
+    assert(sortedRows(t1) == sortedRows(t2))
+  }
+
   test("Tables.spread is identity on frames already at session parallelism") {
     val wide = spark.range(0, 100, 1,
       spark.sparkContext.defaultParallelism).toDF("id")

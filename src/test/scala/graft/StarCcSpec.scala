@@ -16,9 +16,14 @@ class StarCcSpec extends SparkSpec {
     (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id1", "id2")
 
   test("nearDupClusters throws loudly when diameter exceeds maxIters") {
-    // path of 12 nodes: diameter 11, labels advance one hop per pass
+    // path of 12 nodes: diameter 11, labels advance one hop per pass.
+    // driverGateEdges = 0 forces the DISTRIBUTED loop (r16: a graph this
+    // small otherwise takes the exact driver union-find branch, which has
+    // no iteration cap to trip — StarDriverEquivalenceSpec pins that
+    // branch's labels instead).
     val e = intercept[IllegalStateException] {
-      ApproxDedup.nearDupClusters(path(12), maxIters = 4).collect()
+      ApproxDedup.nearDupClusters(path(12), maxIters = 4,
+        driverGateEdges = 0L).collect()
     }
     assert(e.getMessage.contains("maxIters"))
   }

@@ -32,6 +32,13 @@ class StarDriverEquivalenceSpec extends SparkSpec {
       .as[(Long, Long)].collect().sorted.toSeq
   }
 
+  private def hashMinLabelsOf(pairs: Seq[(Long, Long)], gate: Long): Seq[(Long, Long)] = {
+    val df = pairs.toDF("id1", "id2")
+    ApproxDedup.nearDupClusters(df, "id1", "id2", driverGateEdges = gate)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect().sorted.toSeq
+  }
+
   test("driver union-find ≡ distributed star contraction on random graphs") {
     // ids from a small pool force dense collision-heavy components; the
     // pool size varies so sparse forests and near-cliques both occur.
@@ -46,6 +53,21 @@ class StarDriverEquivalenceSpec extends SparkSpec {
     check(forAll(edgesGen) { es =>
       labelsOf(es, gate = ApproxDedup.DriverUnionFindMaxEdges) ==
         labelsOf(es, gate = 0L)
+    })
+  }
+
+  test("driver union-find ≡ distributed hash-min propagation on random graphs") {
+    val edgesGen: Gen[List[(Long, Long)]] = for {
+      pool <- Gen.chooseNum(2, 30)
+      n    <- Gen.chooseNum(1, 40)
+      es   <- Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, pool.toLong)
+        b <- Gen.chooseNum(0L, pool.toLong)
+      } yield (a, b))
+    } yield es
+    check(forAll(edgesGen) { es =>
+      hashMinLabelsOf(es, gate = ApproxDedup.DriverUnionFindMaxEdges) ==
+        hashMinLabelsOf(es, gate = 0L)
     })
   }
 
