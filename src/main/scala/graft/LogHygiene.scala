@@ -53,7 +53,14 @@ object LogHygiene {
         // (≤ ~6 MiB, sized by m·ks·dim configuration, never by data). An
         // unbounded-literal regression would surface in PLANS.md (the
         // literal prints in the plan), which the audit reads every round.
-        m.contains("Broadcasting large task binary")
+        m.contains("Broadcasting large task binary") ||
+        // Concurrent materialization of frames sharing a cached upstream
+        // (the r16 §2.6 overlapped-writes groups): two driver threads can
+        // race to compute the same cached partition; BlockManager keeps
+        // the first copy and logs this per block. Benign by construction —
+        // the winning block is what both readers consume — and the message
+        // carries no signal a real storage failure wouldn't raise louder.
+        m.contains("already exists on this machine; not re-adding it")
       override def filter(e: LogEvent): Filter.Result =
         if (e != null && e.getMessage != null &&
             drop(e.getMessage.getFormattedMessage)) onMatch else onMismatch
